@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.QueryDef
+import graft.QueryDef.sql
+import graft.core.Tables
+
+/** Relational operator inventory (SURVEY.md §2.2) demonstrated over the
+  * driver test tables, each with a DuckDB oracle.
+  *
+  * Determinism notes (the driver hash-compares against DuckDB):
+  *  - Sums of doubles are order-dependent, so every money/quantity sum
+  *    first casts to DECIMAL (exact, associative) and only then to
+  *    DOUBLE for a type both engines agree on.
+  *  - Transcendental functions (ln, sqrt composites) are rounded to 6
+  *    decimals to absorb libm last-ulp differences.
+  *  - Every top-k has a total tiebreak order.
+  */
+object Relational {
+
+  private val D2  = DecimalType(18, 2)
+  private val D6  = DecimalType(28, 6)
+
+  def all: Seq[QueryDef] = Seq(
+
+    // -- Scan: parquet ----------------------------------------------------
+    sql("scan_parquet",
+      """SELECT count(*) AS n_rows, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |       count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_key"),
+        max("l_orderkey").as("max_key"),
+        countDistinct("l_partkey").as("n_parts"))
+    },
+
+    // -- Scan: CSV import channel (SURVEY §2.2 "/import" mount) -----------
+    // Round-trips `region` through CSV to exercise the CSV source with an
+    // explicit schema, mirroring the reference's bulk-CSV-load channel.
+    sql("scan_csv",
+      "SELECT r_regionkey, r_name FROM region") { (s, d) =>
+      val out = s"/root/repo/target/scratch/csv-region"
+      Tables.region(s, d).write.mode("overwrite")
+        .option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      s.read.option("header", "true").schema(schema).csv(out)
+    },
+
+    // -- Projection + filter with parquet pushdown ------------------------
+    sql("proj_filter",
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_quantity > 45.0 AND l_returnflag = 'R'""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter($(s)("l_quantity") > 45.0 && $(s)("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    },
+
+    // -- Aggregation: hash agg w/ partial+final (TPC-H Q1 shape) ----------
+    sql("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(D2)).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(D2)).cast(DoubleType).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D6))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // -- Join: 3-way equi + agg + top-k (TPC-H Q3 shape) ------------------
+    // nation/region-sized dims broadcast; customer⋈orders⋈lineitem shuffle
+    // on the join keys, AQE picks broadcast when the filtered side is small.
+    sql("q3_topk_revenue",
+      """SELECT o.o_orderkey,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey
+        |ORDER BY revenue DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D6))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // -- Join: left outer -------------------------------------------------
+    sql("join_left",
+      """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, o("o_custkey") === c("c_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("n_orders"))
+    },
+
+    // -- Join: left semi (EXISTS) -----------------------------------------
+    sql("join_semi",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    // -- Join: left anti (NOT EXISTS) -------------------------------------
+    sql("join_anti",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // -- Join: theta (non-equi; broadcast nested loop on the small dims) --
+    sql("join_theta",
+      """SELECT r.r_name, count(*) AS n
+        |FROM region r JOIN nation n ON n.n_regionkey <> r.r_regionkey
+        |GROUP BY r.r_name""".stripMargin) { (s, d) =>
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      r.join(n, n("n_regionkey") =!= r("r_regionkey"))
+        .groupBy(r("r_name")).agg(count(lit(1)).as("n"))
+    },
+
+    // -- Aggregation: distinct + HLL sketch counterpart -------------------
+    sql("agg_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+             countDistinct("l_partkey").as("n_part"))
+    },
+
+    // -- Grouping sets / rollup -------------------------------------------
+    sql("agg_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_quantity").cast(D2)).cast(DoubleType).as("sum_qty"))
+    },
+
+    // -- Window functions --------------------------------------------------
+    sql("window_rank",
+      """SELECT l_orderkey, l_linenumber, rn, run_qty FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+        |      (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+        |  FROM lineitem) t
+        |WHERE rn <= 2""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("run_qty",
+          sum(col("l_quantity").cast(D2))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType))
+        .filter(col("rn") <= 2)
+        .select("l_orderkey", "l_linenumber", "rn", "run_qty")
+    },
+
+    // -- Sort / limit / top-k (TakeOrderedAndProject) ---------------------
+    sql("topk_orders",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    },
+
+    // -- Set ops: union ----------------------------------------------------
+    sql("setop_union",
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey AS nk FROM supplier) t
+        |GROUP BY nk""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+      c.unionByName(su).groupBy("nk").agg(count(lit(1)).as("n"))
+    },
+
+    // -- String functions --------------------------------------------------
+    sql("string_fns",
+      """SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 9) AS pfx,
+        |       length(c_name) AS nlen, replace(c_name, 'Customer', 'C') AS cshort,
+        |       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+        |FROM customer WHERE c_custkey <= 50""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 9).as("pfx"),
+          length(col("c_name")).as("nlen"),
+          regexp_replace(col("c_name"), "Customer", "C").as("cshort"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"))
+    },
+
+    // -- Date/time functions ----------------------------------------------
+    sql("date_fns",
+      """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_totalprice").cast(D2)).cast(DoubleType).as("sum_price"))
+    },
+
+    // -- Math functions ----------------------------------------------------
+    sql("math_fns",
+      """SELECT c_custkey, abs(c_acctbal) AS aabs, floor(c_acctbal) AS afloor,
+        |       ceil(c_acctbal) AS aceil, round(sqrt(abs(c_acctbal)), 6) AS asqrt
+        |FROM customer WHERE c_custkey <= 100""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"),
+          abs(col("c_acctbal")).as("aabs"),
+          floor(col("c_acctbal")).as("afloor"),
+          ceil(col("c_acctbal")).as("aceil"),
+          round(sqrt(abs(col("c_acctbal"))), 6).as("asqrt"))
+    },
+
+    // -- Array / higher-order functions (embeddings) ----------------------
+    sql("array_fns",
+      """SELECT vec_id, len(embedding) AS dim,
+        |       CAST(embedding[1] AS DOUBLE) AS first_val,
+        |       CAST(list_max(embedding) AS DOUBLE) AS max_val
+        |FROM embeddings WHERE vec_id < 100""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast(DoubleType).as("first_val"),
+          array_max(col("embedding")).cast(DoubleType).as("max_val"))
+    },
+
+    // -- JSON functions (events.props is a JSON string) -------------------
+    sql("json_fns",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kmod,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy((get_json_object(col("props"), "$.k").cast(LongType) % 10).as("kmod"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // -- C16: sorted string aggregation (ref DatabaseIO.java:76-82) -------
+    sql("agg_stringagg",
+      """SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer WHERE c_custkey <= 200 GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).filter(col("c_custkey") <= 200)
+        .groupBy("c_nationkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("c_name")))).as("names"))
+    }
+  )
+
+  private def $(s: SparkSession) = (name: String) => col(name)
+}
