@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.core.{GraphCatalog, GraphDatabase, PropertyGraph}
+import graft.cypher.{CypherCompiler, CypherParser, ast}
+import graft.procs.ProcedureRegistry
+
+/** Session façade — the engine's equivalent of a Bolt session against
+  * the packaged server (SURVEY.md §3.1): `cypher(q)` parses, plans
+  * onto DataFrames, and lets Catalyst optimize/execute.
+  *
+  * Reads are fully distributed; CREATE mutations are driver-coordinated
+  * appends that atomically swap the database's immutable snapshot
+  * (SURVEY §7.4.1 — the reference's mutation surface is a handful of
+  * rows in container tests, ref DatabaseIO.java:42,63).
+  */
+final class GraftSession(val spark: SparkSession,
+    val settings: collection.Map[String, String] = Map.empty) {
+
+  val catalog = new GraphCatalog(spark)
+  val procedures = new ProcedureRegistry(spark)
+  registerBuiltins()
+
+  def graph(db: String = "neo4j"): PropertyGraph = catalog.database(db).graph
+
+  def setGraph(g: PropertyGraph, db: String = "neo4j"): Unit =
+    catalog.database(db).graph = g
+
+  // ----------------------------------------------------------------
+  // entry point
+  // ----------------------------------------------------------------
+
+  private val StopDb  = """(?is)\s*STOP\s+DATABASE\s+(\w+)\s*""".r
+  private val StartDb = """(?is)\s*START\s+DATABASE\s+(\w+)\s*""".r
+  private val ShowProcs = """(?is)\s*SHOW\s+PROCEDURES\b(.*)""".r
+  private val CreateDb = """(?is)\s*CREATE\s+DATABASE\s+(\w+)\s*""".r
+
+  def cypher(q: String, database: String = "neo4j"): DataFrame = q match {
+    case StopDb(name)   => catalog.stop(name); unit()
+    case StartDb(name)  => catalog.start(name); unit()
+    case CreateDb(name) => catalog.createDatabase(name); unit()
+    case ShowProcs(rest) => showProcedures(rest)
+    case _ =>
+      val db = catalog.database(database)
+      db.requireStarted()
+      val parsed = CypherParser.parse(q)
+      if (parsed.clauses.exists(_.isInstanceOf[ast.Create])) mutate(db, parsed)
+      else compiler(db).compile(parsed)
+  }
+
+  private def compiler(db: GraphDatabase) =
+    new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
+
+  private def unit(): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    spark.range(1).select(lit("ok").as("status"))
+  }
+
+  private def showProcedures(rest: String): DataFrame = {
+    // supports: SHOW PROCEDURES [YIELD a, b[, …] [RETURN …]] — the shape
+    // the reference tests issue (ref TestPluginInstallation.java:184,215)
+    val df = procedures.asDataFrame
+    val yieldRe = """(?is)\s*YIELD\s+([\w,\s]+?)(\s+RETURN\s+.*)?$""".r
+    rest match {
+      case yieldRe(cols, _) =>
+        val names = cols.split(",").map(_.trim).filter(_.nonEmpty)
+        df.select(names.head, names.tail.toIndexedSeq: _*)
+      case _ => df
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // CREATE (C1/C2/C5) — append + atomic snapshot swap
+  // ----------------------------------------------------------------
+
+  private def mutate(db: GraphDatabase, q: ast.Query): DataFrame = {
+    val matches = q.clauses.collect { case m: ast.Match => m }
+    val creates = q.clauses.collect { case c: ast.Create => c }
+    val returns = q.clauses.collect { case r: ast.Return => r }
+
+    // 1. resolve MATCH part to bindings of var -> id (driver-side; the
+    //    reference's mutation statements bind a handful of rows)
+    val matchedBindings: Seq[Map[String, Long]] =
+      if (matches.isEmpty) Seq(Map.empty)
+      else {
+        val df = matches.foldLeft(Option.empty[DataFrame]) { (ctx, m) =>
+          Some(new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
+            .compile(ast.Query(Seq(m, ast.Return(
+              m.patterns.flatMap(p => (p.start.variable ++ p.hops.flatMap(_._2.variable)).toSeq)
+                .distinct.map(v => ast.ReturnItem(ast.FnCall("id", Seq(ast.Variable(v))), Some(v))),
+              distinct = false, Nil, None, None)))))
+        }.get
+        df.collect().toSeq.map(r =>
+          r.schema.fieldNames.map(f => f -> r.getAs[Long](f)).toMap)
+      }
+
+    // 2. instantiate created nodes/edges per binding
+    val newNodes = collection.mutable.ArrayBuffer.empty[(Long, Seq[String], Map[String, Any])]
+    val newEdges = collection.mutable.ArrayBuffer.empty[(Long, Long, String, Map[String, Any])]
+    val createdProps = collection.mutable.Map.empty[String, Map[String, Any]]
+    var firstBindingIds = Map.empty[String, Long]
+
+    matchedBindings.foreach { binding =>
+      val bound = collection.mutable.Map.empty[String, Long] ++ binding
+      creates.foreach { c =>
+        c.patterns.foreach { p =>
+          def nodeId(n: ast.NodePat): Long = {
+            val v = n.variable.getOrElse(s"_anon${newNodes.size}")
+            bound.getOrElse(v, {
+              val id = db.allocate(1).head
+              val props = n.props.map { case (k, ast.Lit(value)) => k -> value }
+              newNodes += ((id, n.labels, props))
+              bound(v) = id
+              createdProps(v) = props
+              id
+            })
+          }
+          var prev = nodeId(p.start)
+          p.hops.foreach { case (rel, node) =>
+            val next = nodeId(node)
+            val relType = rel.types.headOption.getOrElse(
+              throw new IllegalArgumentException("CREATE relationship requires a type"))
+            val props = rel.props.map { case (k, ast.Lit(value)) => k -> value }
+            if (rel.dir == -1) newEdges += ((next, prev, relType, props))
+            else newEdges += ((prev, next, relType, props))
+            prev = next
+          }
+        }
+      }
+      if (firstBindingIds.isEmpty) firstBindingIds = bound.toMap
+    }
+
+    // 3. append with schema-optional union, swap snapshot
+    val g = db.graph
+    val nodesDf = if (newNodes.isEmpty) g.nodes else {
+      val propKeys = newNodes.flatMap(_._3.keys).distinct.sorted
+      val schema = StructType(
+        PropertyGraph.nodeBaseSchema.fields.toSeq ++
+        propKeys.map(k => StructField(k,
+          PropertyGraph.literalType(newNodes.flatMap(_._3.get(k)).head))))
+      val rows = newNodes.toSeq.map { case (id, labels, props) =>
+        Row.fromSeq(Seq(id, labels) ++ propKeys.map(k => props.get(k).map(norm).orNull))
+      }
+      PropertyGraph.appendByName(g.nodes, spark.createDataFrame(javaList(rows), schema))
+    }
+    val edgesDf = if (newEdges.isEmpty) g.edges else {
+      val propKeys = newEdges.flatMap(_._4.keys).distinct.sorted
+      val schema = StructType(
+        PropertyGraph.edgeBaseSchema.fields.toSeq ++
+        propKeys.map(k => StructField(k,
+          PropertyGraph.literalType(newEdges.flatMap(_._4.get(k)).head))))
+      val rows = newEdges.toSeq.map { case (s0, d0, t, props) =>
+        Row.fromSeq(Seq(s0, d0, t) ++ propKeys.map(k => props.get(k).map(norm).orNull))
+      }
+      PropertyGraph.appendByName(g.edges, spark.createDataFrame(javaList(rows), schema))
+    }
+    db.graph = PropertyGraph(nodesDf, edgesDf)
+
+    // 4. RETURN over the created bindings (reference shape:
+    //    `CREATE (arne:dog {…}) RETURN arne.name` — DatabaseIO.java:42)
+    returns.headOption match {
+      case None => unit()
+      case Some(r) =>
+        val values = r.items.map { item =>
+          val value = item.expr match {
+            case ast.Prop(v, k) => createdProps.get(v).flatMap(_.get(k)).orNull
+            case ast.Variable(v) => firstBindingIds.get(v).map(Long.box).orNull
+            case ast.FnCall(id0, Seq(ast.Variable(v)), _) if id0.equalsIgnoreCase("id") =>
+              firstBindingIds.get(v).map(Long.box).orNull
+            case other => throw new UnsupportedOperationException(
+              s"RETURN after CREATE supports property/id access, got $other")
+          }
+          item.name -> value
+        }
+        val schema = StructType(values.map { case (n, v) =>
+          StructField(n, if (v == null) StringType else PropertyGraph.literalType(norm(v)))
+        })
+        spark.createDataFrame(javaList(Seq(Row.fromSeq(values.map(v => norm(v._2))))), schema)
+    }
+  }
+
+  private def norm(v: Any): Any = v match {
+    case i: Int => i.toLong
+    case other  => other
+  }
+
+  private def javaList(rows: Seq[Row]): java.util.List[Row] = {
+    val l = new java.util.ArrayList[Row](rows.size)
+    rows.foreach(l.add); l
+  }
+
+  // ----------------------------------------------------------------
+  // built-in procedures (packs extend these at boot — SURVEY §2.4/2.5)
+  // ----------------------------------------------------------------
+
+  private def registerBuiltins(): Unit = {
+    procedures.register("dbms.listConfig", "() :: (name, value)",
+      "List the session configuration") { _ =>
+      val rows = settings.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+      val schema = StructType(Seq(
+        StructField("name", StringType), StructField("value", StringType)))
+      spark.createDataFrame(javaList(rows), schema)
+    }
+    procedures.register("dbms.components", "() :: (name, versions, edition)",
+      "DBMS components") { _ =>
+      procedures.oneRow("name" -> "graft", "versions" -> "5.26.0", "edition" -> "community")
+    }
+    procedures.register("db.labels", "() :: (label)", "All node labels") { _ =>
+      import org.apache.spark.sql.functions.{col, explode}
+      graph().nodes.select(explode(col("labels")).as("label")).distinct().orderBy("label")
+    }
+  }
+}

@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** Every registered operator demo, in registration order. */
   def catalog: Seq[QueryDef] =
-    graft.operators.Relational.all
+    graft.operators.Relational.all ++
+    graft.operators.CypherQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,49 @@
+package graft.core
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.SparkSession
+import scala.collection.concurrent.TrieMap
+
+/** Multi-database graph catalog (SURVEY.md §1.1 "multiple logical
+  * databases per DBMS incl. `system`" — ref DatabaseIO.java:134-143,
+  * TestBackupRestore.java:146,163 STOP/START DATABASE).
+  *
+  * Databases hold an immutable `PropertyGraph` snapshot swapped
+  * atomically on mutation (append-log semantics, SURVEY §7.4.1); id
+  * allocation is a deterministic per-db counter so t2 hashes are
+  * stable across runs.
+  */
+final class GraphDatabase(val name: String) {
+  @volatile var graph: PropertyGraph = _
+  @volatile var stopped: Boolean = false
+  val nextId = new AtomicLong(0L)
+
+  def allocate(n: Int): Seq[Long] = {
+    val start = nextId.getAndAdd(n.toLong)
+    start until (start + n)
+  }
+  def requireStarted(): Unit =
+    if (stopped) throw new IllegalStateException(
+      s"database $name is stopped; START DATABASE $name first")
+}
+
+final class GraphCatalog(spark: SparkSession) {
+  private val dbs = TrieMap.empty[String, GraphDatabase]
+  createDatabase("neo4j")
+  createDatabase("system")
+
+  def createDatabase(name: String): GraphDatabase = {
+    val db = new GraphDatabase(name)
+    db.graph = PropertyGraph.empty(spark)
+    dbs.putIfAbsent(name, db).getOrElse(db)
+  }
+
+  def database(name: String): GraphDatabase =
+    dbs.getOrElse(name, throw new NoSuchElementException(s"no such database: $name"))
+
+  def listDatabases: Seq[String] = dbs.keys.toSeq.sorted
+
+  def stop(name: String): Unit  = database(name).stopped = true
+  def start(name: String): Unit = database(name).stopped = false
+  def drop(name: String): Unit  = dbs.remove(name)
+}

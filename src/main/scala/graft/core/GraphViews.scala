@@ -1,0 +1,65 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Property-graph view over the driver test tables (repo:FIXTURES.md §6):
+  * nodes = region/nation/customer/supplier/part/order entities, edges =
+  * PLACED/CONTAINS/SUPPLIED/IN relationships derived from the key
+  * columns.
+  *
+  * Node ids are deterministic (`key * 10 + tableTag`) so result hashes
+  * are stable and oracle SQL can recompute them. At 100 TB the same
+  * derivation is a per-table projection — no shuffle; edges derive from
+  * fact-table scans with only the key columns read (column pruning).
+  */
+object GraphViews {
+
+  val TAG_REGION = 1L
+  val TAG_NATION = 2L
+  val TAG_CUSTOMER = 3L
+  val TAG_ORDER = 4L
+  val TAG_SUPPLIER = 5L
+  val TAG_PART = 6L
+
+  def nodeId(key: org.apache.spark.sql.Column, tag: Long) =
+    key.cast("long") * 10L + lit(tag)
+
+  def tpch(spark: SparkSession, dir: String): PropertyGraph = {
+    def t(n: String) = Tables(spark, dir, n)
+
+    def asNodes(df: DataFrame, keyCol: String, tag: Long, label: String): DataFrame =
+      df.select(
+        (Seq(nodeId(col(keyCol), tag).as("id"), array(lit(label)).as("labels")) ++
+          df.columns.toSeq.map(c => col(c))): _*)
+
+    val nodes = Seq(
+      asNodes(t("region"), "r_regionkey", TAG_REGION, "region"),
+      asNodes(t("nation"), "n_nationkey", TAG_NATION, "nation"),
+      asNodes(t("customer"), "c_custkey", TAG_CUSTOMER, "customer"),
+      asNodes(t("supplier"), "s_suppkey", TAG_SUPPLIER, "supplier"),
+      asNodes(t("part"), "p_partkey", TAG_PART, "part"),
+      asNodes(t("orders"), "o_orderkey", TAG_ORDER, "order"))
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+
+    def edge(df: DataFrame, srcKey: String, srcTag: Long, dstKey: String,
+        dstTag: Long, relType: String, props: Seq[String] = Nil): DataFrame =
+      df.select(
+        (Seq(nodeId(col(srcKey), srcTag).as("src"),
+          nodeId(col(dstKey), dstTag).as("dst"),
+          lit(relType).as("relType")) ++ props.map(col)): _*)
+
+    val li = t("lineitem")
+    val edges = Seq(
+      edge(t("orders"), "o_custkey", TAG_CUSTOMER, "o_orderkey", TAG_ORDER, "PLACED"),
+      edge(t("customer"), "c_custkey", TAG_CUSTOMER, "c_nationkey", TAG_NATION, "IN"),
+      edge(t("supplier"), "s_suppkey", TAG_SUPPLIER, "s_nationkey", TAG_NATION, "IN"),
+      edge(t("nation"), "n_nationkey", TAG_NATION, "n_regionkey", TAG_REGION, "IN"),
+      edge(li, "l_orderkey", TAG_ORDER, "l_partkey", TAG_PART, "CONTAINS",
+        Seq("l_quantity", "l_extendedprice")),
+      edge(li, "l_suppkey", TAG_SUPPLIER, "l_partkey", TAG_PART, "SUPPLIED"))
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+
+    PropertyGraph(nodes, edges)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Labeled property graph as a pair of DataFrames (SURVEY.md §1.2).
+  *
+  * nodes: `id LONG, labels ARRAY<STRING>, <typed property columns…>`
+  * edges: `src LONG, dst LONG, relType STRING, <typed property columns…>`
+  *
+  * Schema-optional: property columns appear on first CREATE
+  * (`unionByName(allowMissingColumns = true)`), mirroring the
+  * reference's no-DDL model (ref DatabaseIO.java:42 — nodes exist on
+  * first CREATE). At 100 TB, nodes/edges live as parquet partitioned
+  * by label/relType; this class never assumes collected data.
+  */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+
+  def nodesWithLabel(label: String): DataFrame =
+    nodes.filter(array_contains(col("labels"), label))
+
+  def edgesOfType(relType: String): DataFrame =
+    edges.filter(col("relType") === relType)
+
+  def persist(): PropertyGraph =
+    PropertyGraph(nodes.persist(), edges.persist())
+}
+
+object PropertyGraph {
+
+  def nodeBaseSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("labels", ArrayType(StringType), nullable = false)))
+
+  def edgeBaseSchema: StructType = StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("dst", LongType, nullable = false),
+    StructField("relType", StringType, nullable = false)))
+
+  def empty(spark: SparkSession): PropertyGraph = PropertyGraph(
+    spark.createDataFrame(new java.util.ArrayList[Row](), nodeBaseSchema),
+    spark.createDataFrame(new java.util.ArrayList[Row](), edgeBaseSchema))
+
+  /** Infer the Spark type of a Cypher literal (the four property types
+    * the reference asserts: string/long/double/boolean —
+    * ref StubPluginHelper.java:131-134). */
+  def literalType(v: Any): DataType = v match {
+    case _: String  => StringType
+    case _: Long    => LongType
+    case _: Int     => LongType
+    case _: Double  => DoubleType
+    case _: Boolean => BooleanType
+    case null       => StringType
+    case other => throw new IllegalArgumentException(s"unsupported property type: $other")
+  }
+
+  /** Append rows with a possibly-new property schema (schema-optional
+    * writes): missing columns null-fill on both sides. */
+  def appendByName(base: DataFrame, extra: DataFrame): DataFrame =
+    base.unionByName(extra, allowMissingColumns = true)
+}

@@ -1,0 +1,86 @@
+package graft.cypher
+
+/** AST for the Cypher subset the reference exercises (SURVEY.md §2.1)
+  * plus the openCypher constructs needed for completeness: MATCH /
+  * OPTIONAL MATCH / WHERE / RETURN (DISTINCT, aggregates, ORDER BY,
+  * SKIP, LIMIT), CREATE, var-length relationships, CALL … YIELD.
+  *
+  * Shapes follow the published openCypher grammar (opencypher.org);
+  * no reference code is reproduced — the reference ships no parser
+  * (it is a packaging repo, see SURVEY.md §0).
+  */
+object ast {
+
+  // ---- expressions ----
+  sealed trait Expr
+  final case class Lit(v: Any) extends Expr
+  final case class Variable(name: String) extends Expr
+  final case class Prop(variable: String, key: String) extends Expr
+  final case class FnCall(name: String, args: Seq[Expr], distinct: Boolean = false) extends Expr
+  final case class Cmp(op: String, l: Expr, r: Expr) extends Expr // = <> < <= > >=
+  final case class And(l: Expr, r: Expr) extends Expr
+  final case class Or(l: Expr, r: Expr) extends Expr
+  final case class Not(e: Expr) extends Expr
+  final case class In(e: Expr, list: Seq[Expr]) extends Expr
+  final case class StringPred(op: String, l: Expr, r: Expr) extends Expr // STARTS WITH | ENDS WITH | CONTAINS
+  final case class IsNull(e: Expr, negated: Boolean) extends Expr
+  final case class Arith(op: String, l: Expr, r: Expr) extends Expr // + - * / %
+
+  // ---- patterns ----
+  final case class NodePat(
+      variable: Option[String],
+      labels: Seq[String],
+      props: Map[String, Lit])
+
+  /** dir: 1 = ->, -1 = <-, 0 = undirected. varLength: (min, max). */
+  final case class RelPat(
+      variable: Option[String],
+      types: Seq[String],
+      props: Map[String, Lit],
+      dir: Int,
+      varLength: Option[(Int, Int)])
+
+  final case class PathPat(start: NodePat, hops: Seq[(RelPat, NodePat)])
+
+  // ---- clauses ----
+  final case class ReturnItem(expr: Expr, alias: Option[String]) {
+    def name: String = alias.getOrElse(ast.defaultName(expr))
+  }
+
+  sealed trait Clause
+  final case class Match(patterns: Seq[PathPat], optional: Boolean, where: Option[Expr]) extends Clause
+  final case class Create(patterns: Seq[PathPat]) extends Clause
+  final case class With(items: Seq[ReturnItem], distinct: Boolean, where: Option[Expr],
+      orderBy: Seq[(Expr, Boolean)], skip: Option[Long], limit: Option[Long]) extends Clause
+  final case class Return(items: Seq[ReturnItem], distinct: Boolean,
+      orderBy: Seq[(Expr, Boolean)], skip: Option[Long], limit: Option[Long]) extends Clause
+  final case class CallProc(name: String, args: Seq[Expr], yields: Seq[String],
+      where: Option[Expr]) extends Clause
+  final case class Unwind(expr: Expr, alias: String) extends Clause
+
+  final case class Query(clauses: Seq[Clause])
+
+  def defaultName(e: Expr): String = e match {
+    case Prop(v, k)        => s"$v.$k"
+    case Variable(n)       => n
+    case FnCall(f, as, d)  =>
+      val inner = if (as.isEmpty) "*" else as.map(defaultName).mkString(",")
+      s"$f(${if (d) "DISTINCT " else ""}$inner)"
+    case Lit(v)            => String.valueOf(v)
+    case _                 => e.toString
+  }
+
+  val aggregateFns: Set[String] =
+    Set("count", "sum", "min", "max", "avg", "collect", "stdev")
+
+  def containsAggregate(e: Expr): Boolean = e match {
+    case FnCall(n, args, _) =>
+      aggregateFns(n.toLowerCase) || args.exists(containsAggregate)
+    case Cmp(_, l, r)       => containsAggregate(l) || containsAggregate(r)
+    case And(l, r)          => containsAggregate(l) || containsAggregate(r)
+    case Or(l, r)           => containsAggregate(l) || containsAggregate(r)
+    case Not(x)             => containsAggregate(x)
+    case Arith(_, l, r)     => containsAggregate(l) || containsAggregate(r)
+    case _                  => false
+  }
+}

@@ -1,0 +1,413 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.PropertyGraph
+import ast._
+
+/** Compiles the Cypher AST onto declarative DataFrame operations so
+  * Catalyst owns optimization (predicate pushdown, join selection,
+  * AQE): a pattern hop is an equi join, label/inline-prop predicates
+  * are filters emitted before the join so they reach the parquet scan,
+  * RETURN is a projection / hash aggregate (SURVEY.md §2.1, §4).
+  *
+  * Binding-table encoding: pattern variable `v` occupies columns
+  * `v__id`, `v__labels`, `v__<prop>…` (nodes) or `v__src`, `v__dst`,
+  * `v__relType`, `v__<prop>…` (relationships); post-WITH projected
+  * values are plain columns.
+  */
+final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
+    procedures: String => Option[Seq[Any] => DataFrame] = _ => None,
+    scalarFns: String => Option[Seq[Column] => Column] = _ => None) {
+
+  private val SEP = "__"
+  private var freshId = 0
+  private def fresh(prefix: String): String = { freshId += 1; s"_$prefix$freshId" }
+
+  // ------------------------------------------------------------------
+  // clause pipeline
+  // ------------------------------------------------------------------
+
+  def compile(q: Query): DataFrame = {
+    var ctx: Option[DataFrame] = None
+    q.clauses.foreach {
+      case m: Match    => ctx = Some(compileMatch(ctx, m))
+      case r: Return   => return compileProjection(ctx, r.items, r.distinct, r.orderBy, r.skip, r.limit, keepVarCols = false)
+      case w: With     =>
+        var df = compileProjection(ctx, w.items, w.distinct, w.orderBy, w.skip, w.limit, keepVarCols = true)
+        w.where.foreach(e => df = df.filter(compileExpr(e, df)))
+        ctx = Some(df)
+      case c: CallProc => ctx = Some(compileCall(ctx, c))
+      case u: Unwind   =>
+        val base = ctx.getOrElse(unitDf)
+        ctx = Some(base.withColumn(u.alias, explode(compileExpr(u.expr, base))))
+      case _: Create   =>
+        throw new UnsupportedOperationException(
+          "CREATE must run through GraftSession (mutation)")
+    }
+    ctx.getOrElse(unitDf)
+  }
+
+  private def unitDf: DataFrame = spark.range(1).select(lit(1).as("_unit"))
+
+  // ------------------------------------------------------------------
+  // MATCH
+  // ------------------------------------------------------------------
+
+  private def compileMatch(ctx: Option[DataFrame], m: Match): DataFrame = {
+    if (m.optional) return compileOptional(ctx, m)
+    var df = ctx.orNull
+    m.patterns.foreach { p => df = compilePath(Option(df), p) }
+    m.where.foreach(e => df = df.filter(compileExpr(e, df)))
+    df
+  }
+
+  /** OPTIONAL MATCH = compile the pattern standalone, then left join on
+    * the shared variables' id columns (openCypher semantics). */
+  private def compileOptional(ctx: Option[DataFrame], m: Match): DataFrame = {
+    val left = ctx.getOrElse(return compileMatch(ctx, m.copy(optional = false)))
+    var right: DataFrame = null
+    m.patterns.foreach { p => right = compilePath(Option(right), p) }
+    m.where.foreach(e => right = right.filter(compileExpr(e, right)))
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+      .filter(_.endsWith(s"${SEP}id")).toSeq.sorted
+    if (shared.isEmpty)
+      throw new UnsupportedOperationException("OPTIONAL MATCH with no shared variable")
+    // non-key duplicated columns on the right would collide; drop them
+    val dupNonKey = left.columns.toSet.intersect(right.columns.toSet) -- shared
+    val r2 = dupNonKey.foldLeft(right)((d, c) => d.drop(c))
+    val cond = shared.map(c => left(c) === r2(c)).reduce(_ && _)
+    val joined = left.join(r2, cond, "left_outer")
+    shared.foldLeft(joined)((d, c) => d.drop(r2(c)))
+  }
+
+  private def compilePath(ctx: Option[DataFrame], p: PathPat): DataFrame = {
+    var cur: DataFrame = null
+    var prevVar: String = null
+
+    def bindStart(n: NodePat): Unit = {
+      val v = n.variable.getOrElse(fresh("n"))
+      prevVar = v
+      ctx match {
+        case Some(df) if df.columns.contains(s"$v${SEP}id") =>
+          cur = filterBound(df, v, n)
+        case Some(df) =>
+          cur = df.crossJoin(nodeDf(v, n))
+        case None =>
+          cur = nodeDf(v, n)
+      }
+    }
+
+    bindStart(p.start)
+    p.hops.foreach { case (rel, node) =>
+      cur = compileHop(cur, prevVar, rel, node)
+      prevVar = node.variable.getOrElse {
+        // compileHop bound it under a fresh name recorded on the node pat
+        lastNodeVar
+      }
+    }
+    cur
+  }
+
+  private var lastNodeVar: String = _
+
+  private def compileHop(cur: DataFrame, prevVar: String, rel: RelPat, node: NodePat): DataFrame = {
+    val nv = node.variable.getOrElse(fresh("n"))
+    lastNodeVar = nv
+    rel.varLength match {
+      case Some((lo, hi)) => compileVarHop(cur, prevVar, rel, node, nv, lo, hi)
+      case None =>
+        val rv = rel.variable.getOrElse(fresh("e"))
+        val e = edgeDf(rv, rel)
+        val joined = rel.dir match {
+          case 1  => cur.join(e, cur(s"$prevVar${SEP}id") === e(s"$rv${SEP}src"))
+          case -1 => cur.join(e, cur(s"$prevVar${SEP}id") === e(s"$rv${SEP}dst"))
+          case 0  => cur.join(e, cur(s"$prevVar${SEP}id") === e(s"$rv${SEP}src")) // e pre-symmetrized
+        }
+        val farSide = if (rel.dir == -1) s"$rv${SEP}src" else s"$rv${SEP}dst"
+        if (cur.columns.contains(s"$nv${SEP}id")) {
+          joined.filter(col(farSide) === col(s"$nv${SEP}id"))
+        } else {
+          val n = nodeDf(nv, node)
+          joined.join(n, col(farSide) === n(s"$nv${SEP}id"))
+        }
+    }
+  }
+
+  /** Var-length expand `[:T*lo..hi]`: iterative frontier join with
+    * per-step distinct on (start, end) node pairs — reachability
+    * semantics, deduped each step so the frontier can't explode
+    * (SURVEY §7.4.2). Each step is one equi join on the edge table;
+    * stops early at fixpoint. */
+  private def compileVarHop(cur: DataFrame, prevVar: String, rel: RelPat,
+      node: NodePat, nv: String, lo: Int, hi: Int): DataFrame = {
+    val base0 = rel.dir match {
+      case 1  => typedEdges(rel).select(col("src").as("_s"), col("dst").as("_t"))
+      case -1 => typedEdges(rel).select(col("dst").as("_s"), col("src").as("_t"))
+      case 0  => symmetrized(typedEdges(rel)).select(col("src").as("_s"), col("dst").as("_t"))
+    }
+    val base = base0.distinct()
+    var frontier = base
+    var pairs = if (lo <= 1) base else null
+    var step = 1
+    var exhausted = false
+    while (step < hi && !exhausted) {
+      step += 1
+      frontier = frontier.join(base.withColumnRenamed("_s", "_m").withColumnRenamed("_t", "_u"),
+          col("_t") === col("_m"))
+        .select(col("_s"), col("_u").as("_t")).distinct().persist()
+      if (frontier.isEmpty) exhausted = true
+      else if (step >= lo) pairs = if (pairs == null) frontier else pairs.union(frontier)
+    }
+    if (pairs == null) pairs = frontier.limit(0)
+    val reach = pairs.distinct()
+      .withColumnRenamed("_s", s"_vl${SEP}s").withColumnRenamed("_t", s"_vl${SEP}t")
+    val joined = cur.join(reach, cur(s"$prevVar${SEP}id") === col(s"_vl${SEP}s"))
+    val out =
+      if (cur.columns.contains(s"$nv${SEP}id"))
+        joined.filter(col(s"_vl${SEP}t") === col(s"$nv${SEP}id"))
+      else {
+        val n = nodeDf(nv, node)
+        joined.join(n, col(s"_vl${SEP}t") === n(s"$nv${SEP}id"))
+      }
+    out.drop(s"_vl${SEP}s", s"_vl${SEP}t")
+  }
+
+  // ------------------------------------------------------------------
+  // scans (filters emitted here so Catalyst pushes them to the source)
+  // ------------------------------------------------------------------
+
+  private def nodeDf(v: String, n: NodePat): DataFrame = {
+    var df = graph.nodes
+    n.labels.foreach(l => df = df.filter(array_contains(col("labels"), l)))
+    n.props.foreach { case (k, Lit(value)) => df = df.filter(col(k) === lit(value)) }
+    df.select(df.columns.map(c => col(c).as(s"$v$SEP$c")).toIndexedSeq: _*)
+  }
+
+  private def filterBound(df: DataFrame, v: String, n: NodePat): DataFrame = {
+    var out = df
+    n.labels.foreach(l => out = out.filter(array_contains(col(s"$v${SEP}labels"), l)))
+    n.props.foreach { case (k, Lit(value)) => out = out.filter(col(s"$v$SEP$k") === lit(value)) }
+    out
+  }
+
+  private def typedEdges(rel: RelPat): DataFrame = {
+    var df = graph.edges
+    if (rel.types.nonEmpty) df = df.filter(col("relType").isin(rel.types: _*))
+    rel.props.foreach { case (k, Lit(value)) => df = df.filter(col(k) === lit(value)) }
+    df
+  }
+
+  private def symmetrized(e: DataFrame): DataFrame = {
+    val swapped = e.withColumnRenamed("src", "_tmp")
+      .withColumnRenamed("dst", "src").withColumnRenamed("_tmp", "dst")
+    e.unionByName(swapped)
+  }
+
+  private def edgeDf(rv: String, rel: RelPat): DataFrame = {
+    val base = if (rel.dir == 0) symmetrized(typedEdges(rel)) else typedEdges(rel)
+    base.select(base.columns.map(c => col(c).as(s"$rv$SEP$c")).toIndexedSeq: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // CALL … YIELD
+  // ------------------------------------------------------------------
+
+  private def compileCall(ctx: Option[DataFrame], c: CallProc): DataFrame = {
+    val fn = procedures(c.name).getOrElse(
+      throw new NoSuchElementException(s"There is no procedure with the name `${c.name}` registered"))
+    val args = c.args.map { case Lit(v) => v; case other =>
+      throw new UnsupportedOperationException(s"procedure arg must be a literal: $other") }
+    var out = fn(args)
+    if (c.yields.nonEmpty) out = out.select(c.yields.map(col).toIndexedSeq: _*)
+    c.where.foreach(e => out = out.filter(compileExpr(e, out)))
+    ctx match {
+      case Some(df) => df.crossJoin(out)
+      case None     => out
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // RETURN / WITH
+  // ------------------------------------------------------------------
+
+  private def compileProjection(ctx: Option[DataFrame], items: Seq[ReturnItem],
+      distinct: Boolean, orderBy: Seq[(Expr, Boolean)], skip: Option[Long],
+      limit: Option[Long], keepVarCols: Boolean): DataFrame = {
+    val df = ctx.getOrElse(unitDf)
+    val hasAgg = items.exists(i => containsAggregate(i.expr))
+
+    // ORDER BY may reference pre-projection values (openCypher allows
+    // both); resolve each sort expr to an output column, or carry it
+    // through as a hidden column dropped after the sort.
+    val itemNames = items.map(_.name).toSet
+    val hiddenSorts = collection.mutable.ArrayBuffer.empty[(String, Expr)]
+    val sortRefs: Seq[(String, Boolean)] = orderBy.map { case (e, asc) =>
+      val byName = e match {
+        case Variable(n) if itemNames.contains(n) => Some(n)
+        case _ if itemNames.contains(defaultName(e)) => Some(defaultName(e))
+        case _ => None
+      }
+      byName match {
+        case Some(n) => (n, asc)
+        case None =>
+          if (hasAgg) throw new UnsupportedOperationException(
+            s"ORDER BY ${defaultName(e)} must be in the RETURN items of an aggregating query")
+          val h = s"_sort${hiddenSorts.size}"
+          hiddenSorts += ((h, e))
+          (h, asc)
+      }
+    }
+
+    var out: DataFrame =
+      if (hasAgg) {
+        val keys = items.filterNot(i => containsAggregate(i.expr))
+        val aggs = items.filter(i => containsAggregate(i.expr))
+          .map(i => compileExpr(i.expr, df).as(i.name))
+        if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+        else df.groupBy(keys.map(i => compileExpr(i.expr, df).as(i.name)): _*)
+          .agg(aggs.head, aggs.tail: _*)
+      } else {
+        val cols = items.flatMap { i =>
+          i.expr match {
+            // bare node/rel variable in WITH: pass all its columns through
+            case Variable(v) if keepVarCols && df.columns.exists(_.startsWith(s"$v$SEP")) =>
+              df.columns.filter(_.startsWith(s"$v$SEP")).toSeq.map(col)
+            case _ => Seq(compileExpr(i.expr, df).as(i.name))
+          }
+        } ++ hiddenSorts.map { case (h, e) => compileExpr(e, df).as(h) }
+        df.select(cols: _*)
+      }
+
+    if (distinct) {
+      out =
+        if (hiddenSorts.isEmpty) out.dropDuplicates()
+        else out.dropDuplicates(items.map(_.name))
+    }
+
+    if (sortRefs.nonEmpty)
+      out = out.orderBy(sortRefs.map { case (n, asc) =>
+        if (asc) col(n).asc else col(n).desc }: _*)
+    skip.foreach(n => out = out.offset(n.toInt))
+    limit.foreach(n => out = out.limit(n.toInt))
+    if (hiddenSorts.nonEmpty) out = out.drop(hiddenSorts.map(_._1).toSeq: _*)
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // expressions
+  // ------------------------------------------------------------------
+
+  def compileExpr(e: Expr, df: DataFrame): Column = e match {
+    case Lit(null)      => lit(null)
+    case Lit(v)         => lit(v)
+    case Prop(v, k)     =>
+      val c = s"$v$SEP$k"
+      if (df.columns.contains(c)) col(c)
+      else if (df.columns.contains(v)) col(v).getField(k) // post-WITH struct/map
+      else lit(null).cast("string")
+    case Variable(n)    =>
+      if (df.columns.contains(n)) col(n)
+      else if (df.columns.contains(s"$n${SEP}id")) col(s"$n${SEP}id")
+      else throw new NoSuchElementException(s"Variable `$n` not defined")
+    case Cmp("=", l, r)  => compileExpr(l, df) === compileExpr(r, df)
+    case Cmp("<>", l, r) => compileExpr(l, df) =!= compileExpr(r, df)
+    case Cmp("<", l, r)  => compileExpr(l, df) < compileExpr(r, df)
+    case Cmp("<=", l, r) => compileExpr(l, df) <= compileExpr(r, df)
+    case Cmp(">", l, r)  => compileExpr(l, df) > compileExpr(r, df)
+    case Cmp(">=", l, r) => compileExpr(l, df) >= compileExpr(r, df)
+    case And(l, r)       => compileExpr(l, df) && compileExpr(r, df)
+    case Or(l, r)        => compileExpr(l, df) || compileExpr(r, df)
+    case Not(x)          => !compileExpr(x, df)
+    case In(x, list)     => compileExpr(x, df).isin(list.map { case Lit(v) => v; case o => o }: _*)
+    case StringPred("starts", l, r)   => compileExpr(l, df).startsWith(compileExpr(r, df))
+    case StringPred("ends", l, r)     => compileExpr(l, df).endsWith(compileExpr(r, df))
+    case StringPred("contains", l, r) => compileExpr(l, df).contains(compileExpr(r, df))
+    case StringPred(op, _, _)         => throw new UnsupportedOperationException(op)
+    case IsNull(x, false) => compileExpr(x, df).isNull
+    case IsNull(x, true)  => compileExpr(x, df).isNotNull
+    case Arith("+", l, r) => compileExpr(l, df) + compileExpr(r, df)
+    case Arith("-", l, r) => compileExpr(l, df) - compileExpr(r, df)
+    case Arith("*", l, r) => compileExpr(l, df) * compileExpr(r, df)
+    case Arith("/", l, r) => compileExpr(l, df) / compileExpr(r, df)
+    case Arith("%", l, r) => compileExpr(l, df) % compileExpr(r, df)
+    case Arith(op, _, _)  => throw new UnsupportedOperationException(op)
+    case f: FnCall        => compileFn(f, df)
+  }
+
+  private def compileFn(f: FnCall, df: DataFrame): Column = {
+    def a(i: Int) = compileExpr(f.args(i), df)
+    f.name.toLowerCase match {
+      // aggregates
+      case "count" if f.args.isEmpty => count(lit(1))
+      case "count" if f.distinct     => countDistinct(a(0))
+      case "count"                   => count(a(0))
+      case "sum"                     => sum(a(0))
+      case "min"                     => min(a(0))
+      case "max"                     => max(a(0))
+      case "avg"                     => avg(a(0))
+      case "collect" if f.distinct   => sort_array(collect_set(a(0)))
+      case "collect"                 => sort_array(collect_list(a(0)))
+      case "stdev"                   => stddev_samp(a(0))
+      // graph accessors
+      case "id"     => f.args.head match {
+        case Variable(v) => col(s"$v${SEP}id")
+        case other       => compileExpr(other, df)
+      }
+      case "labels" => f.args.head match {
+        case Variable(v) => col(s"$v${SEP}labels")
+        case other       => compileExpr(other, df)
+      }
+      case "type"   => f.args.head match {
+        case Variable(v) => col(s"$v${SEP}relType")
+        case other       => compileExpr(other, df)
+      }
+      // scalar library (openCypher names → Catalyst built-ins; codegen'd)
+      case "tolower" | "lower"  => lower(a(0))
+      case "toupper" | "upper"  => upper(a(0))
+      case "trim"               => trim(a(0))
+      case "size" | "length"    =>
+        if (f.args.nonEmpty && isArrayCol(a(0), df)) size(a(0)) else length(a(0))
+      case "substring"          =>
+        if (f.args.size >= 3) a(0).substr(a(1) + lit(1), a(2))
+        else a(0).substr(a(1) + lit(1), lit(Int.MaxValue))
+      case "replace"            => regexp_replace(a(0), lit(java.util.regex.Pattern.quote(litStr(f.args(1)))), lit(java.util.regex.Matcher.quoteReplacement(litStr(f.args(2)))))
+      case "split"              => split(a(0), litStr(f.args(1)))
+      case "left"               => a(0).substr(lit(1), a(1))
+      case "right"              => expr(s"substring(${a(0).toString}, -${litStr(f.args(1))})")
+      case "reverse"            => reverse(a(0))
+      case "tostring"           => a(0).cast("string")
+      case "tointeger"          => a(0).cast("long")
+      case "tofloat"            => a(0).cast("double")
+      case "abs"                => abs(a(0))
+      case "ceil"               => ceil(a(0))
+      case "floor"              => floor(a(0))
+      case "round"              => if (f.args.size > 1) round(a(0), litStr(f.args(1)).toInt) else round(a(0))
+      case "sqrt"               => sqrt(a(0))
+      case "sign"               => signum(a(0))
+      case "exp"                => exp(a(0))
+      case "log"                => log(a(0))
+      case "log10"              => log10(a(0))
+      case "coalesce"           => coalesce(f.args.map(compileExpr(_, df)): _*)
+      case "head"               => element_at(a(0), 1)
+      case "last"               => element_at(a(0), -1)
+      case "range"              => sequence(a(0), a(1))
+      case "keys"               => map_keys(a(0))
+      case other =>
+        scalarFns(f.name) match {
+          case Some(fn) => fn(f.args.map(compileExpr(_, df)))
+          case None =>
+            throw new UnsupportedOperationException(s"Unknown function: $other")
+        }
+    }
+  }
+
+  private def litStr(e: Expr): String = e match {
+    case Lit(s) => String.valueOf(s)
+    case other  => throw new UnsupportedOperationException(s"expected literal, got $other")
+  }
+
+  private def isArrayCol(c: Column, df: DataFrame): Boolean =
+    try df.select(c).schema.head.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    catch { case _: Throwable => false }
+}

@@ -1,0 +1,191 @@
+package graft.cypher
+
+import scala.util.parsing.combinator.RegexParsers
+import ast._
+
+/** Recursive-descent parser for the supported Cypher subset.
+  *
+  * Grammar follows the published openCypher spec (opencypher.org).
+  * Case-insensitive keywords; identifiers and string/number/bool
+  * literals; patterns with labels, inline property maps, typed and
+  * var-length relationships in either direction.
+  */
+object CypherParser extends RegexParsers {
+
+  override val skipWhitespace = true
+  override val whiteSpace = """(\s|//.*)+""".r
+
+  private def kw(s: String): Parser[String] =
+    ("""(?i)\b""" + s + """\b""").r ^^ (_ => s.toUpperCase)
+
+  private val ident: Parser[String] = """[A-Za-z_][A-Za-z0-9_]*""".r
+  private val qualIdent: Parser[String] = """[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*""".r
+
+  // ---- literals ----
+  private val stringLit: Parser[Lit] =
+    ("'" + """([^'\\]|\\.)*""" + "'").r ^^ { s =>
+      Lit(unescape(s.substring(1, s.length - 1)))
+    } |
+    ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ { s =>
+      Lit(unescape(s.substring(1, s.length - 1)))
+    }
+  private def unescape(s: String): String =
+    s.replace("\\'", "'").replace("\\\"", "\"").replace("\\n", "\n")
+      .replace("\\t", "\t").replace("\\\\", "\\")
+
+  private val numberLit: Parser[Lit] =
+    """-?\d+\.\d+""".r ^^ (s => Lit(s.toDouble)) |
+    """-?\d+""".r ^^ (s => Lit(s.toLong))
+  private val boolLit: Parser[Lit] =
+    kw("true") ^^ (_ => Lit(true)) | kw("false") ^^ (_ => Lit(false))
+  private val nullLit: Parser[Lit] = kw("null") ^^ (_ => Lit(null))
+  private val literal: Parser[Lit] = stringLit | numberLit | boolLit | nullLit
+
+  // ---- expressions (precedence: OR < AND < NOT < cmp < add < mul < unary) ----
+  def expr: Parser[Expr] = orExpr
+
+  private def orExpr: Parser[Expr] =
+    andExpr ~ rep(kw("or") ~> andExpr) ^^ { case h ~ t => t.foldLeft(h)(Or.apply) }
+  private def andExpr: Parser[Expr] =
+    notExpr ~ rep(kw("and") ~> notExpr) ^^ { case h ~ t => t.foldLeft(h)(And.apply) }
+  private def notExpr: Parser[Expr] =
+    kw("not") ~> notExpr ^^ Not.apply | cmpExpr
+  private def cmpExpr: Parser[Expr] =
+    addExpr ~ opt(cmpTail) ^^ { case l ~ t => t.map(_(l)).getOrElse(l) }
+  private def cmpTail: Parser[Expr => Expr] =
+    ("<=" | ">=" | "<>" | "=" | "<" | ">") ~ addExpr ^^ { case op ~ r => (l: Expr) => Cmp(op, l, r) } |
+    kw("in") ~> "[" ~> repsep(expr, ",") <~ "]" ^^ { list => (l: Expr) => In(l, list) } |
+    kw("starts") ~> kw("with") ~> addExpr ^^ { r => (l: Expr) => StringPred("starts", l, r) } |
+    kw("ends") ~> kw("with") ~> addExpr ^^ { r => (l: Expr) => StringPred("ends", l, r) } |
+    kw("contains") ~> addExpr ^^ { r => (l: Expr) => StringPred("contains", l, r) } |
+    kw("is") ~> kw("not") ~> kw("null") ^^ { _ => (l: Expr) => IsNull(l, negated = true) } |
+    kw("is") ~> kw("null") ^^ { _ => (l: Expr) => IsNull(l, negated = false) }
+  private def addExpr: Parser[Expr] =
+    mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ { case h ~ t =>
+      t.foldLeft(h) { case (l, op ~ r) => Arith(op, l, r) } }
+  private def mulExpr: Parser[Expr] =
+    unaryExpr ~ rep(("*" | "/" | "%") ~ unaryExpr) ^^ { case h ~ t =>
+      t.foldLeft(h) { case (l, op ~ r) => Arith(op, l, r) } }
+  private def unaryExpr: Parser[Expr] =
+    literal |
+    fnCall |
+    propOrVar |
+    "(" ~> expr <~ ")"
+
+  private def fnCall: Parser[Expr] =
+    (qualIdent <~ "(") ~ opt(kw("distinct")) ~ (repsep(expr, ",") <~ ")") ^^ {
+      case name ~ d ~ args => FnCall(name, args, d.isDefined)
+    } |
+    (qualIdent <~ "(") ~ ("*" ~> ")") ^^ { case name ~ _ => FnCall(name, Nil) }
+
+  private def propOrVar: Parser[Expr] =
+    ident ~ opt("." ~> ident) ^^ {
+      case v ~ Some(k) => Prop(v, k)
+      case v ~ None    => Variable(v)
+    }
+
+  // ---- patterns ----
+  private def mapLit: Parser[Map[String, Lit]] =
+    "{" ~> repsep(ident ~ (":" ~> literal), ",") <~ "}" ^^ {
+      _.map { case k ~ v => k -> v }.toMap
+    }
+
+  private def nodePat: Parser[NodePat] =
+    "(" ~> opt(ident) ~ rep(":" ~> ident) ~ opt(mapLit) <~ ")" ^^ {
+      case v ~ ls ~ m => NodePat(v, ls, m.getOrElse(Map.empty))
+    }
+
+  private def relDetail: Parser[(Option[String], Seq[String], Map[String, Lit], Option[(Int, Int)])] =
+    "[" ~> opt(ident) ~ opt(":" ~> rep1sep(ident, "|")) ~ opt(varLen) ~ opt(mapLit) <~ "]" ^^ {
+      case v ~ ts ~ vl ~ m => (v, ts.getOrElse(Nil), m.getOrElse(Map.empty), vl)
+    }
+
+  private def varLen: Parser[(Int, Int)] =
+    "*" ~> opt("""\d+""".r) ~ opt(".." ~> opt("""\d+""".r)) ^^ {
+      case lo ~ hi =>
+        val min = lo.map(_.toInt).getOrElse(1)
+        val max = hi match {
+          case Some(Some(h)) => h.toInt
+          case Some(None)    => 15 // unbounded — engine caps + stops at fixpoint
+          case None          => lo.map(_.toInt).getOrElse(15)
+        }
+        (min, max)
+    }
+
+  private def hop: Parser[(RelPat, NodePat)] =
+    ("<-" ~> opt(relDetail) <~ "-") ~ nodePat ^^ {
+      case r ~ n => (mkRel(r, -1), n)
+    } |
+    ("-" ~> opt(relDetail) <~ "->") ~ nodePat ^^ {
+      case r ~ n => (mkRel(r, 1), n)
+    } |
+    ("-" ~> opt(relDetail) <~ "-") ~ nodePat ^^ {
+      case r ~ n => (mkRel(r, 0), n)
+    }
+
+  private def mkRel(r: Option[(Option[String], Seq[String], Map[String, Lit], Option[(Int, Int)])], dir: Int): RelPat =
+    r match {
+      case Some((v, ts, m, vl)) => RelPat(v, ts, m, dir, vl)
+      case None                 => RelPat(None, Nil, Map.empty, dir, None)
+    }
+
+  private def pathPat: Parser[PathPat] =
+    nodePat ~ rep(hop) ^^ { case n ~ hs => PathPat(n, hs) }
+
+  private def patternList: Parser[Seq[PathPat]] = rep1sep(pathPat, ",")
+
+  // ---- clauses ----
+  private def whereClause: Parser[Expr] = kw("where") ~> expr
+
+  private def matchClause: Parser[Match] =
+    opt(kw("optional")) ~ (kw("match") ~> patternList) ~ opt(whereClause) ^^ {
+      case o ~ ps ~ w => Match(ps, o.isDefined, w)
+    }
+
+  private def createClause: Parser[Create] =
+    kw("create") ~> patternList ^^ Create.apply
+
+  private def returnItem: Parser[ReturnItem] =
+    expr ~ opt(kw("as") ~> ident) ^^ { case e ~ a => ReturnItem(e, a) }
+
+  private def orderItem: Parser[(Expr, Boolean)] =
+    expr ~ opt(kw("desc") | kw("asc")) ^^ { case e ~ d => (e, !d.contains("DESC")) }
+
+  private def tail: Parser[(Seq[(Expr, Boolean)], Option[Long], Option[Long])] =
+    opt(kw("order") ~> kw("by") ~> rep1sep(orderItem, ",")) ~
+    opt(kw("skip") ~> """\d+""".r) ~ opt(kw("limit") ~> """\d+""".r) ^^ {
+      case ob ~ sk ~ li => (ob.getOrElse(Nil), sk.map(_.toLong), li.map(_.toLong))
+    }
+
+  private def returnClause: Parser[Return] =
+    kw("return") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",") ~ tail ^^ {
+      case d ~ items ~ ((ob, sk, li)) => Return(items, d.isDefined, ob, sk, li)
+    }
+
+  private def withClause: Parser[With] =
+    kw("with") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",") ~ tail ~ opt(whereClause) ^^ {
+      case d ~ items ~ ((ob, sk, li)) ~ w => With(items, d.isDefined, w, ob, sk, li)
+    }
+
+  private def callClause: Parser[CallProc] =
+    (kw("call") ~> qualIdent) ~ opt("(" ~> repsep(expr, ",") <~ ")") ~
+      opt(kw("yield") ~> rep1sep(ident, ",")) ~ opt(whereClause) ^^ {
+      case n ~ args ~ ys ~ w => CallProc(n, args.getOrElse(Nil), ys.getOrElse(Nil), w)
+    }
+
+  private def unwindClause: Parser[Unwind] =
+    (kw("unwind") ~> expr) ~ (kw("as") ~> ident) ^^ { case e ~ a => Unwind(e, a) }
+
+  private def clause: Parser[Clause] =
+    matchClause | createClause | withClause | returnClause | callClause | unwindClause
+
+  private def query: Parser[Query] = rep1(clause) ^^ Query.apply
+
+  def parse(q: String): Query = parseAll(query, q) match {
+    case Success(res, _) => res
+    case NoSuccess(msg, next) =>
+      throw new IllegalArgumentException(
+        s"Cypher parse error at ${next.pos.line}:${next.pos.column}: $msg\n${next.pos.longString}")
+    case other => throw new IllegalArgumentException(s"Cypher parse error: $other")
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{GraftSession, QueryDef}
+import graft.QueryDef.sql
+import graft.core.GraphViews
+
+/** SURVEY.md §2.1 Cypher surface executed end-to-end through the
+  * engine (parser → pattern compiler → Catalyst) over the TPC-H graph
+  * view, each with a DuckDB oracle on the raw tables.
+  */
+object CypherQueries {
+
+  // One session per (spark, dir): graph-view lineage is rebuilt only once.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, GraftSession]()
+
+  private def session(s: SparkSession, dir: String): GraftSession =
+    cache.computeIfAbsent(dir, _ => {
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      gs
+    })
+
+  private def q(name: String, oracle: String)(cypher: String): QueryDef =
+    sql(name, oracle) { (s, dir) => session(s, dir).cypher(cypher) }
+
+  def all: Seq[QueryDef] = Seq(
+
+    // C3: one-hop pattern expand = label filter ⋈ edges ⋈ label filter
+    q("cy_match_expand",
+      """SELECT c.c_name AS c_name, o.o_orderkey AS o_orderkey
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey""".stripMargin)(
+      "MATCH (c:customer)-[:PLACED]->(o:order) RETURN c.c_name AS c_name, o.o_orderkey AS o_orderkey"),
+
+    // C4 + C7: inline property predicate + WHERE on matched values
+    q("cy_prop_filter",
+      """SELECT c.c_name AS c_name, o.o_orderkey AS o_orderkey, o.o_totalprice AS price
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING' AND o.o_totalprice > 150000""".stripMargin)(
+      """MATCH (c:customer {c_mktsegment:'BUILDING'})-[:PLACED]->(o:order)
+        |WHERE o.o_totalprice > 150000
+        |RETURN c.c_name AS c_name, o.o_orderkey AS o_orderkey, o.o_totalprice AS price""".stripMargin),
+
+    // C6: multi-column RETURN projection with property access
+    q("cy_return_proj",
+      """SELECT c.c_name AS c_name, n.n_name AS n_name
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey <= 100""".stripMargin)(
+      """MATCH (c:customer)-[:IN]->(n:nation) WHERE c.c_custkey <= 100
+        |RETURN c.c_name AS c_name, n.n_name AS n_name""".stripMargin),
+
+    // C16: aggregation over matched rows, grouped + counted
+    q("cy_agg_count",
+      """SELECT n.n_name AS n_name, count(*) AS n_cust
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin)(
+      "MATCH (c:customer)-[:IN]->(n:nation) RETURN n.n_name AS n_name, count(c) AS n_cust"),
+
+    // C16 string form: sorted collect (ref DatabaseIO.java:76-82)
+    sql("cy_agg_collect",
+      """SELECT n.n_name AS n_name, string_agg(c.c_name, ',' ORDER BY c.c_name) AS names
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey <= 100 GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.{array_join, col}
+      session(s, dir).cypher(
+        """MATCH (c:customer)-[:IN]->(n:nation) WHERE c.c_custkey <= 100
+          |RETURN n.n_name AS n_name, collect(c.c_name) AS names""".stripMargin)
+        .withColumn("names", array_join(col("names"), ","))
+    },
+
+    // OPTIONAL MATCH = left outer join
+    q("cy_optional_match",
+      """SELECT c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey <= 1000""".stripMargin)(
+      """MATCH (c:customer) WHERE c.c_custkey <= 1000
+        |OPTIONAL MATCH (c:customer)-[:PLACED]->(o:order)
+        |RETURN c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey""".stripMargin),
+
+    // ORDER BY + LIMIT (top-k via TakeOrderedAndProject)
+    q("cy_topk",
+      """SELECT o_orderkey, o_totalprice AS price FROM orders
+        |ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin)(
+      """MATCH (o:order) RETURN o.o_orderkey AS o_orderkey, o.o_totalprice AS price
+        |ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    // var-length path expand *1..2: customer reaches nation (1 hop) and
+    // region (2 hops) over IN edges; ids recomputed arithmetically in SQL
+    q("cy_varlen_expand",
+      """SELECT c_custkey, x_id FROM (
+        |  SELECT c.c_custkey AS c_custkey, c.c_nationkey * 10 + 2 AS x_id FROM customer c
+        |  UNION
+        |  SELECT c.c_custkey AS c_custkey, n.n_regionkey * 10 + 1 AS x_id
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey) t
+        |WHERE c_custkey <= 2000""".stripMargin)(
+      """MATCH (c:customer)-[:IN*1..2]->(x) WHERE c.c_custkey <= 2000
+        |RETURN DISTINCT c.c_custkey AS c_custkey, id(x) AS x_id""".stripMargin),
+
+    // two-hop chained pattern across three node sets
+    q("cy_two_hop",
+      """SELECT n.n_name AS n_name, r.r_name AS r_name, count(*) AS n_supp
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY n.n_name, r.r_name""".stripMargin)(
+      """MATCH (s:supplier)-[:IN]->(n:nation)-[:IN]->(r:region)
+        |RETURN n.n_name AS n_name, r.r_name AS r_name, count(s) AS n_supp""".stripMargin),
+
+    // WITH pipeline: filter on aggregated value (HAVING shape)
+    q("cy_with_having",
+      """SELECT nk, n FROM (
+        |  SELECT c_nationkey AS nk, count(*) AS n FROM customer GROUP BY c_nationkey) t
+        |WHERE n > 10""".stripMargin)(
+      """MATCH (c:customer) WITH c.c_nationkey AS nk, count(c) AS n WHERE n > 10
+        |RETURN nk, n""".stripMargin)
+  )
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Replays the reference's canonical data round-trip (the "dogs"
+  * fixture — ref DatabaseIO.java:37-86) plus the Cypher surface of
+  * SURVEY.md §2.1 against an embedded GraftSession.
+  */
+class CypherSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("C1/C2: CREATE pattern returns created property (putInitialDataIntoContainer)") {
+    val s = new GraftSession(spark)
+    val res = s.cypher(
+      "CREATE (arne:dog {name:'Arne'})-[:SNIFFS]->(bosse:dog {name:'Bosse'}) RETURN arne.name AS name")
+    assert(res.collect().map(_.getString(0)).toSeq == Seq("Arne"))
+    assert(s.graph().nodes.count() == 2)
+    assert(s.graph().edges.count() == 1)
+  }
+
+  test("C3: MATCH one-hop expand (verifyInitialDataInContainer)") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (arne:dog {name:'Arne'})-[:SNIFFS]->(bosse:dog {name:'Bosse'})")
+    val res = s.cypher("MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN a.name AS name")
+    assert(res.collect().map(_.getString(0)).toSeq == Seq("Arne"))
+  }
+
+  test("C5/C16: MATCH..CREATE then sorted name aggregation (putMoreDataIntoContainer)") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (arne:dog {name:'Arne'})-[:SNIFFS]->(bosse:dog {name:'Bosse'})")
+    s.cypher(
+      "MATCH (bosse:dog {name:'Bosse'}) CREATE (armstrong:dog {name:'Armstrong'})-[:SNIFFS]->(bosse)")
+    val res = s.cypher(
+      "MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN a.name AS name ORDER BY name")
+    assert(res.collect().map(_.getString(0)).toSeq == Seq("Armstrong", "Arne"))
+    // aggregate form used by the ref's comma-join check (DatabaseIO.java:76-82)
+    val agg = s.cypher(
+      "MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN collect(a.name) AS names")
+    assert(agg.collect().head.getSeq[String](0) == Seq("Armstrong", "Arne"))
+  }
+
+  test("C4: inline property predicate") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (arne:dog {name:'Arne'})-[:SNIFFS]->(bosse:dog {name:'Bosse'})")
+    val res = s.cypher("MATCH (a:dog {name:'Arne'}) RETURN a.name AS name")
+    assert(res.collect().map(_.getString(0)).toSeq == Seq("Arne"))
+  }
+
+  test("C7: WHERE clause, comparison + boolean ops") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne', age: 3}), (b:dog {name:'Bosse', age: 7})")
+    val res = s.cypher(
+      "MATCH (d:dog) WHERE d.age > 5 AND NOT d.name = 'Arne' RETURN d.name AS name")
+    assert(res.collect().map(_.getString(0)).toSeq == Seq("Bosse"))
+  }
+
+  test("property types: string, long, double, boolean round-trip") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (x:rec {s:'a string', i: 42, f: 3.14, b: true})")
+    val res = s.cypher("MATCH (x:rec) RETURN x.s AS s, x.i AS i, x.f AS f, x.b AS b")
+    val row = res.collect().head
+    assert(row.getString(0) == "a string")
+    assert(row.getLong(1) == 42L)
+    assert(row.getDouble(2) == 3.14)
+    assert(row.getBoolean(3))
+  }
+
+  test("OPTIONAL MATCH yields nulls for unmatched") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    s.cypher("CREATE (c:dog {name:'Solo'})")
+    val res = s.cypher(
+      "MATCH (d:dog) OPTIONAL MATCH (d:dog)-[:SNIFFS]->(o:dog) RETURN d.name AS name, o.name AS sniffed ORDER BY name")
+    val rows = res.collect().map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows.toSeq == Seq(("Arne", Some("Bosse")), ("Bosse", None), ("Solo", None)))
+  }
+
+  test("var-length expand *1..2") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:n {name:'a'})-[:T]->(b:n {name:'b'})-[:T]->(c:n {name:'c'})")
+    val res = s.cypher(
+      "MATCH (x:n {name:'a'})-[:T*1..2]->(y:n) RETURN y.name AS name ORDER BY name")
+    assert(res.collect().map(_.getString(0)).toSeq == Seq("b", "c"))
+  }
+
+  test("aggregates: count, sum, avg, min, max, distinct") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:v {g:'x', n: 1}), (b:v {g:'x', n: 3}), (c:v {g:'y', n: 5})")
+    val res = s.cypher(
+      "MATCH (v:v) RETURN v.g AS g, count(v) AS cnt, sum(v.n) AS total ORDER BY g")
+    val rows = res.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("x", 2L, 4L), ("y", 1L, 5L)))
+  }
+
+  test("WITH chaining and UNWIND") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:v {n: 1}), (b:v {n: 2}), (c:v {n: 3})")
+    val res = s.cypher(
+      "MATCH (v:v) WITH v.n AS n WHERE n > 1 RETURN sum(n) AS total")
+    assert(res.collect().head.getLong(0) == 5L)
+    val un = s.cypher("UNWIND range(1, 4) AS x RETURN sum(x) AS s")
+    assert(un.collect().head.getLong(0) == 10L)
+  }
+
+  test("C14: STOP/START DATABASE gates queries") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne'})")
+    s.cypher("STOP DATABASE neo4j")
+    intercept[IllegalStateException] {
+      s.cypher("MATCH (a:dog) RETURN a.name AS name")
+    }
+    s.cypher("START DATABASE neo4j")
+    assert(s.cypher("MATCH (a:dog) RETURN a.name AS name").count() == 1)
+  }
+
+  test("C8/C15: CALL dbms.listConfig YIELD + WHERE (ref DatabaseIO.java:92)") {
+    val s = new GraftSession(spark, Map(
+      "server.memory.pagecache.size" -> "512M",
+      "server.default_listen_address" -> "0.0.0.0"))
+    val res = s.cypher(
+      "CALL dbms.listConfig() YIELD name, value WHERE name = 'server.memory.pagecache.size' RETURN value")
+    assert(res.collect().map(_.getString(0)).toSeq == Seq("512M"))
+  }
+
+  test("C9: SHOW PROCEDURES YIELD name, signature") {
+    val s = new GraftSession(spark)
+    val res = s.cypher("SHOW PROCEDURES YIELD name, signature")
+    val names = res.collect().map(_.getString(0)).toSeq
+    assert(names.contains("dbms.listConfig"))
+    assert(names == names.sorted)
+  }
+
+  test("string predicates and scalar functions") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:p {name:'Customer#1'}), (b:p {name:'Supplier#2'})")
+    val res = s.cypher(
+      "MATCH (p:p) WHERE p.name STARTS WITH 'Cust' RETURN toUpper(p.name) AS u")
+    assert(res.collect().map(_.getString(0)).toSeq == Seq("CUSTOMER#1"))
+  }
+}
