@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the LLM-pipeline operators
+  * (tokenize / shingle / hash / language-ID / quality), built from
+  * Catalyst built-ins + higher-order functions so everything stays
+  * inside whole-stage codegen — no Scala UDFs on the hot path.
+  *
+  * Every function here has an exact DuckDB-SQL equivalent (the
+  * definitions are integer/string-deterministic), which is what makes
+  * the dedup/text operators oracle-checkable.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct word n-grams (shingles), space-joined. Docs with fewer
+    * than n tokens yield an empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val idx = when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+  }
+
+  /** 28-bit integer hash of a string: first 7 hex chars of md5.
+    * DuckDB: CAST(concat('0x', substring(md5(s),1,7)) AS BIGINT). */
+  def md5Int(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** MinHash permutation parameters: k (a, b) pairs mod P, fixed
+    * constants shared with the SQL oracles. */
+  val MINHASH_P: Long = 2147483647L
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (1 to k).map { i =>
+      val a = (1103515245L * i + 12345L) % MINHASH_P
+      val b = (69069L * i + 1L) % MINHASH_P
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** One minhash value: min over hashed shingles of (a*h+b) mod P.
+    * `h` must be < 2^28 (md5Int) so a*h fits in a long. */
+  def permHash(h: Column, a: Long, b: Long): Column =
+    (h * lit(a) + lit(b)) % lit(MINHASH_P)
+
+  // ---- language ID (n-gram/stopword heuristic, SURVEY north star) ----
+
+  /** Stopword markers per language; order is the deterministic
+    * tie-break priority. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "los", "y", "que", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "了", "是", "我", "不"))
+
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** Predicted language: the first language (in `langMarkers` order)
+    * whose marker-hit count equals the max; 'und' when no marker hits. */
+  def langId(text: Column): Column = {
+    val hits = langMarkers.map { case (l, ws) => l -> stopwordHits(text, ws) }
+    val maxHits = greatest(hits.map(_._2): _*)
+    val chain = hits.reverse.foldLeft(lit("und")) { case (acc, (l, h)) =>
+      when(h === maxHits && maxHits > 0, lit(l)).otherwise(acc)
+    }
+    chain
+  }
+
+  // ---- quality scoring ----
+
+  def punctRatio(text: Column): Column =
+    round((length(text) - length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))).cast("double")
+      / greatest(length(text), lit(1)), 6)
+
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    round(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
+      / greatest(size(t), lit(1)), 6)
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val all = langMarkers.flatMap(_._2)
+    round(stopwordHits(text, all).cast("double") / greatest(tokenCount(text), lit(1)), 6)
+  }
+
+  /** Composite quality score in [0,1]-ish: favors stopword-bearing,
+    * low-punctuation, mid-length docs. Deterministic double math. */
+  def qualityScore(text: Column): Column =
+    round(stopwordRatio(text) * 2.0
+      + when(tokenCount(text).between(20, 1000), 0.5).otherwise(0.0)
+      - punctRatio(text), 6)
+
+  // ---- fingerprinting ----
+
+  /** Whole-document fingerprint: md5 of whitespace-normalized lowercase. */
+  def docFingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Rolling min-hash style fingerprint: min md5 over word 5-grams. */
+  def minShingleFingerprint(text: Column): Column =
+    array_min(transform(shingles(text, 5), s => md5(s)))
+}

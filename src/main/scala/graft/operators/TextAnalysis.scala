@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.QueryDef.sql
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table (driver north
+  * star: language-ID, quality scoring, token counting, fingerprinting).
+  * All single-pass narrow scans — no shuffle except the final
+  * aggregation, so they scale linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  // SQL fragments shared by the oracles (exact mirrors of TextFunctions)
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  private def hitsSql(words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($toksSql, x -> list_contains($lst, x)))"
+  }
+  private val markers = graft.functions.TextFunctions.langMarkers
+  private val allStops = markers.flatMap(_._2)
+
+  def all: Seq[QueryDef] = Seq(
+
+    // token counting: per-language totals
+    sql("text_tokens",
+      s"""SELECT lang, count(*) AS n_docs,
+         |  sum(len($toksSql)) AS total_tokens,
+         |  min(len($toksSql)) AS min_tokens,
+         |  max(len($toksSql)) AS max_tokens
+         |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("total_tokens"),
+          min(tokenCount(col("text"))).as("min_tokens"),
+          max(tokenCount(col("text"))).as("max_tokens"))
+    },
+
+    // language ID vs ground-truth lang column (confusion counts)
+    sql("text_langid", {
+      val maxExpr = markers.map { case (l, ws) => hitsSql(ws) }.mkString("greatest(", ", ", ")")
+      val chain = markers.map { case (l, ws) =>
+        s"WHEN $maxExpr > 0 AND ${hitsSql(ws)} = $maxExpr THEN '$l'" }.mkString(" ")
+      s"""SELECT lang, CASE $chain ELSE 'und' END AS pred, count(*) AS n
+         |FROM documents GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), langId(col("text")).as("pred"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // quality scoring: per-doc metrics (subset for stable output size)
+    sql("text_quality",
+      s"""SELECT doc_id,
+         |  len($toksSql) AS n_tokens,
+         |  round((length(text) - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')))*1.0
+         |        / greatest(length(text), 1), 6) AS punct_ratio,
+         |  round(list_sum(list_transform($toksSql, x -> length(x)))*1.0
+         |        / greatest(len($toksSql), 1), 6) AS mean_token_len,
+         |  round(${hitsSql(allStops)}*1.0 / greatest(len($toksSql), 1), 6) AS stop_ratio
+         |FROM documents WHERE doc_id < 200""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          punctRatio(col("text")).as("punct_ratio"),
+          meanTokenLen(col("text")).as("mean_token_len"),
+          stopwordRatio(col("text")).as("stop_ratio"))
+    },
+
+    // document fingerprinting: md5 of normalized text + min-shingle hash
+    sql("text_fingerprint",
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |  list_min(list_transform(sh, s -> md5(s))) AS min_shingle_fp
+        |FROM (
+        |  SELECT doc_id, text,
+        |    (SELECT list(DISTINCT t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3] || ' ' || t[u.i+4])
+        |     FROM unnest(CASE WHEN len(t) >= 5 THEN range(1, len(t)-3) ELSE [] END) u(i)) AS sh
+        |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents)
+        |) WHERE doc_id < 500""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          docFingerprint(col("text")).as("fp"),
+          minShingleFingerprint(col("text")).as("min_shingle_fp"))
+    }
+  )
+}
