@@ -13,7 +13,9 @@ object SparkEntry {
   /** Every registered operator demo, in registration order. */
   def catalog: Seq[QueryDef] =
     graft.operators.Relational.all ++
-    graft.operators.CypherQueries.all
+    graft.operators.CypherQueries.all ++
+    graft.operators.Dedup.all ++
+    graft.operators.TextAnalysis.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

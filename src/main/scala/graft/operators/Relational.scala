@@ -241,16 +241,20 @@ object Relational {
     },
 
     // -- Math functions ----------------------------------------------------
+    // asqrt goes through DECIMAL(18,6) on BOTH sides: last-ulp libm
+    // differences between engines survive round(x, 6) on borderline
+    // doubles, but the decimal cast forces one canonical 6-decimal value.
     sql("math_fns",
       """SELECT c_custkey, abs(c_acctbal) AS aabs, floor(c_acctbal) AS afloor,
-        |       ceil(c_acctbal) AS aceil, round(sqrt(abs(c_acctbal)), 6) AS asqrt
+        |       ceil(c_acctbal) AS aceil,
+        |       CAST(round(sqrt(abs(c_acctbal)), 6) AS DECIMAL(18,6)) AS asqrt
         |FROM customer WHERE c_custkey <= 100""".stripMargin) { (s, d) =>
       Tables.customer(s, d).filter(col("c_custkey") <= 100)
         .select(col("c_custkey"),
           abs(col("c_acctbal")).as("aabs"),
           floor(col("c_acctbal")).as("afloor"),
           ceil(col("c_acctbal")).as("aceil"),
-          round(sqrt(abs(col("c_acctbal"))), 6).as("asqrt"))
+          round(sqrt(abs(col("c_acctbal"))), 6).cast(DecimalType(18, 6)).as("asqrt"))
     },
 
     // -- Array / higher-order functions (embeddings) ----------------------

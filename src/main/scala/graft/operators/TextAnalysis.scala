@@ -27,7 +27,7 @@ object TextAnalysis {
     // token counting: per-language totals
     sql("text_tokens",
       s"""SELECT lang, count(*) AS n_docs,
-         |  sum(len($toksSql)) AS total_tokens,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
          |  min(len($toksSql)) AS min_tokens,
          |  max(len($toksSql)) AS max_tokens
          |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
