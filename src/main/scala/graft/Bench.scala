@@ -1,8 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): one JSON line with per-query and
+  * total wall seconds at SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology: every query first runs once at sf0.001 (untimed) so
+  * JIT/codegen warmup isn't charged to whichever query happens to run
+  * first; timed runs then execute in deterministic catalog order and
+  * materialize through the noop sink — all columns are produced, so
+  * Catalyst can't prune the projection the way a bare count() allows.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -10,14 +21,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    SparkEntry.catalog.foreach { q =>
+      try materialize(q.fn(spark, warmDir))
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+    val results = SparkEntry.catalog.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try materialize(q.fn(spark, sfDir)) catch { case _: Throwable => () }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

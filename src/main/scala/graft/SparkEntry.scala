@@ -15,7 +15,8 @@ object SparkEntry {
     graft.operators.Relational.all ++
     graft.operators.CypherQueries.all ++
     graft.operators.Dedup.all ++
-    graft.operators.TextAnalysis.all
+    graft.operators.TextAnalysis.all ++
+    graft.operators.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

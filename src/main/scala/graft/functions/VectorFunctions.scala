@@ -7,11 +7,55 @@ import org.apache.spark.sql.functions._
   * higher-order functions — stays in codegen, no UDF, distributes as a
   * narrow per-row map (SURVEY.md §2.5 genai pack).
   *
-  * All math is double-precision with left-to-right folds, matching
-  * DuckDB's `list_dot_product` on `DOUBLE[]` so similarity operators
-  * are oracle-checkable (results rounded to 6 decimals at the edge).
+  * Determinism strategy: similarity operators first QUANTIZE each
+  * embedding to integers (`floor(x * 1e6)`). Testdata values are in
+  * [-1, 1], so quantized values are ≤ 1e6, pairwise products ≤ 1e12
+  * and dim-64 dot products ≤ 6.4e13 — all exactly representable in
+  * IEEE-754 doubles. Integer sums are exact, hence associative: the
+  * result is bit-identical across engines and summation orders, so
+  * cosine scores and LSH bucket signs hash-match a DuckDB oracle with
+  * no float-rounding caveats.
   */
 object VectorFunctions {
+
+  /** Quantization scale: 1e6 keeps dim<=1000, |x|<=2 embeddings inside
+    * the double-exact integer range (2^53). */
+  val QUANT = 1000000.0
+
+  /** floor(x * 1e6) per element — integer-valued LongType array. */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(QUANT)).cast("long"))
+
+  /** DuckDB mirror of [[quantize]]; kept as integer-valued DOUBLE[] so
+    * list_dot_product applies directly (exact — see object doc). */
+  def quantizeSql(vecExpr: String): String =
+    s"list_transform(CAST($vecExpr AS DOUBLE[]), x -> floor(x * 1000000))"
+
+  /** Exact integer dot product of two quantized vectors. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Integer cosine score in [-1e6, 1e6]: floor(cos * 1e6 + 0.5).
+    * All inputs are exact integers, sqrt is IEEE-correctly-rounded,
+    * and *, /, +, floor are deterministic on identical doubles — the
+    * BIGINT is engine-independent. */
+  def icos(qa: Column, qb: Column): Column =
+    floor(intDot(qa, qb).cast("double")
+        / (sqrt(intDot(qa, qa).cast("double")) * sqrt(intDot(qb, qb).cast("double")))
+        * lit(QUANT) + lit(0.5))
+      .cast("long")
+
+  /** DuckDB mirror of [[icos]] over quantized DOUBLE[] expressions. */
+  def icosSql(qa: String, qb: String): String =
+    s"""CAST(floor(list_dot_product($qa, $qb)
+       | / (sqrt(list_dot_product($qa, $qa)) * sqrt(list_dot_product($qb, $qb)))
+       | * 1000000 + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")
+
+  /** Exact integer squared-L2 distance of two quantized vectors. */
+  def intL2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  // ---- raw double variants (internal use; not oracle-checked) ----
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -27,6 +71,8 @@ object VectorFunctions {
       (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v))
 
+  // ---- sign-LSH bucketing (the 100 TB similarity path) ----
+
   /** Deterministic ±1 hyperplane coefficients for sign-LSH: coef(i, j)
     * derives from md5 so Scala, generated SQL, and any other engine
     * agree. */
@@ -37,22 +83,24 @@ object VectorFunctions {
       if ((h(0) & 1) == 1) 1 else -1
     }
 
-  /** Sign-LSH bucket signature: `bits` sign bits of dot(v, r_i),
-    * concatenated as a string like "10110010". */
-  def lshSignature(v: Column, bits: Int, dim: Int): Column = {
+  /** Sign-LSH bucket signature over a QUANTIZED vector: `bits` sign
+    * bits of dot(q, r_i), concatenated as a string like "1011". The
+    * ±1-weighted integer sums are exact, so bucket assignment is
+    * identical across engines. At scale, `bits` grows with log(n) to
+    * keep per-bucket candidate counts bounded. */
+  def lshSignature(q: Column, bits: Int, dim: Int): Column = {
     val bitCols = (0 until bits).map { i =>
       val coefs = hyperplane(i, dim)
-      val signed = zip_with(v, array(coefs.map(c => lit(c.toDouble)): _*),
-        (x, c) => x.cast("double") * c)
-      when(aggregate(signed, lit(0.0), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0"))
+      val signed = zip_with(q, array(coefs.map(c => lit(c.toLong)): _*), (x, c) => x * c)
+      when(aggregate(signed, lit(0L), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0"))
     }
     concat(bitCols: _*)
   }
 
-  /** SQL mirror of [[lshSignature]] for the DuckDB oracles. */
-  def lshSignatureSql(vecExpr: String, bits: Int, dim: Int): String =
+  /** DuckDB mirror of [[lshSignature]] over a quantized DOUBLE[]. */
+  def lshSignatureSql(qExpr: String, bits: Int, dim: Int): String =
     (0 until bits).map { i =>
       val coefs = hyperplane(i, dim).map(_.toDouble).mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(CAST($vecExpr AS DOUBLE[]), $coefs) > 0 THEN '1' ELSE '0' END)"
+      s"(CASE WHEN list_dot_product($qExpr, $coefs) > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 }

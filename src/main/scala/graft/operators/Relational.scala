@@ -130,11 +130,15 @@ object Relational {
     },
 
     // -- Join: left anti (NOT EXISTS) -------------------------------------
+    // The orders side is filtered (customers with no >400k order) so the
+    // result is non-empty at sf0.01 — an all-orders anti join matches
+    // nothing in the testdata, which would make the check vacuous.
     sql("join_anti",
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (s, d) =>
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin) { (s, d) =>
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     },
@@ -241,20 +245,25 @@ object Relational {
     },
 
     // -- Math functions ----------------------------------------------------
-    // asqrt goes through DECIMAL(18,6) on BOTH sides: last-ulp libm
-    // differences between engines survive round(x, 6) on borderline
-    // doubles, but the decimal cast forces one canonical 6-decimal value.
+    // All derived values are integers: IEEE-754 sqrt is correctly
+    // rounded (bit-identical across engines) and *, +, floor on
+    // identical doubles are deterministic, so the BIGINT results are
+    // engine-independent — no decimal-rounding semantics involved
+    // (round(x, n) half-way behavior differs between engines).
     sql("math_fns",
-      """SELECT c_custkey, abs(c_acctbal) AS aabs, floor(c_acctbal) AS afloor,
-        |       ceil(c_acctbal) AS aceil,
-        |       CAST(round(sqrt(abs(c_acctbal)), 6) AS DECIMAL(18,6)) AS asqrt
+      """SELECT c_custkey, abs(c_acctbal) AS aabs,
+        |       CAST(floor(c_acctbal) AS BIGINT) AS afloor,
+        |       CAST(ceil(c_acctbal) AS BIGINT) AS aceil,
+        |       CAST(floor(sqrt(abs(c_acctbal)) * 1000000 + 0.5) AS BIGINT) AS isqrt,
+        |       c_acctbal * c_acctbal AS apow
         |FROM customer WHERE c_custkey <= 100""".stripMargin) { (s, d) =>
       Tables.customer(s, d).filter(col("c_custkey") <= 100)
         .select(col("c_custkey"),
           abs(col("c_acctbal")).as("aabs"),
           floor(col("c_acctbal")).as("afloor"),
           ceil(col("c_acctbal")).as("aceil"),
-          round(sqrt(abs(col("c_acctbal"))), 6).cast(DecimalType(18, 6)).as("asqrt"))
+          floor(sqrt(abs(col("c_acctbal"))) * 1000000 + 0.5).cast(LongType).as("isqrt"),
+          (col("c_acctbal") * col("c_acctbal")).as("apow"))
     },
 
     // -- Array / higher-order functions (embeddings) ----------------------

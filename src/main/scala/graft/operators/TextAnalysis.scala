@@ -82,9 +82,10 @@ object TextAnalysis {
         |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents)
         |) WHERE doc_id < 500""".stripMargin) { (s, d) =>
       Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
         .select(col("doc_id"),
           docFingerprint(col("text")).as("fp"),
-          minShingleFingerprint(col("text")).as("min_shingle_fp"))
+          minShingleFingerprint(col("t")).as("min_shingle_fp"))
     }
   )
 }

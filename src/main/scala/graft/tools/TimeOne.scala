@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: times one catalog query N times after an optional
+  * warmup subset; prints the final (AQE) join strategy lines.
+  * Args: <name> [sfdir] [n] [warmPrefixes|none|catalog]. */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val n = if (args.length > 2) args(2).toInt else 3
+    val warm = if (args.length > 3) args(3) else "none"
+    val spark = SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def mat(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      df.write.format("noop").mode("overwrite").save(); df
+    }
+    if (warm != "none") {
+      val sel = graft.SparkEntry.catalog.filter(q =>
+        warm == "catalog" || warm.split(",").exists(p => q.name.startsWith(p)))
+      val t0 = System.nanoTime()
+      sel.foreach { q =>
+        try mat(q.fn(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => () }
+      }
+      println(f"warmup ${sel.size} queries: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      val df = mat(graft.SparkEntry.queries(name)(spark, sf))
+      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (i == n) println(df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join") || l.contains("Exchange"))
+        .map(_.replaceAll("\\[plan_id=\\d+\\]", "").take(120)).mkString("\n"))
+    }
+    spark.stop()
+  }
+}
