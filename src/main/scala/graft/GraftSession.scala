@@ -16,7 +16,8 @@ import graft.procs.ProcedureRegistry
   * rows in container tests, ref DatabaseIO.java:42,63).
   */
 final class GraftSession(val spark: SparkSession,
-    val settings: collection.Map[String, String] = Map.empty) {
+    val settings: collection.Map[String, String] = Map.empty,
+    val config: Option[graft.config.GraftConfig.Assembled] = None) {
 
   val catalog = new GraphCatalog(spark)
   val procedures = new ProcedureRegistry(spark)
@@ -197,7 +198,8 @@ final class GraftSession(val spark: SparkSession,
   private def registerBuiltins(): Unit = {
     procedures.register("dbms.listConfig", "() :: (name, value)",
       "List the session configuration") { _ =>
-      val rows = settings.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+      val resolved = config.map(_.resolved()).getOrElse(Map.empty) ++ settings
+      val rows = resolved.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
       val schema = StructType(Seq(
         StructField("name", StringType), StructField("value", StringType)))
       spark.createDataFrame(javaList(rows), schema)
@@ -210,5 +212,28 @@ final class GraftSession(val spark: SparkSession,
       import org.apache.spark.sql.functions.{col, explode}
       graph().nodes.select(explode(col("labels")).as("label")).distinct().orderBy("label")
     }
+  }
+}
+
+object GraftSession {
+
+  /** Boot a session the way `docker run neo4j` boots the reference
+    * (SURVEY.md §3.1 steps 3-8): assemble layered config from env +
+    * mounted conf, then install the requested plugin packs. */
+  def fromEnv(spark: SparkSession,
+      env: Map[String, String],
+      userConf: Option[String] = None,
+      userApocConf: Option[String] = None,
+      readFile: String => Option[String] = p =>
+        try Some(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+        catch { case _: Exception => None }): GraftSession = {
+    val assembled = graft.config.GraftConfig.assemble(
+      env, userConf, userApocConf, readFile,
+      edition = env.getOrElse("NEO4J_EDITION", "community"))
+    val session = new GraftSession(spark, Map.empty, Some(assembled))
+    val plugins = env.get("NEO4J_PLUGINS")
+      .map(graft.config.GraftConfig.parsePluginList).getOrElse(Nil)
+    graft.procs.Packs.install(session, plugins)
+    session
   }
 }

@@ -16,7 +16,8 @@ object SparkEntry {
     graft.operators.CypherQueries.all ++
     graft.operators.Dedup.all ++
     graft.operators.TextAnalysis.all ++
-    graft.operators.Similarity.all
+    graft.operators.Similarity.all ++
+    graft.operators.GraphAlgos.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -25,6 +25,7 @@ object ast {
   final case class StringPred(op: String, l: Expr, r: Expr) extends Expr // STARTS WITH | ENDS WITH | CONTAINS
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr // + - * / %
+  final case class ListLit(items: Seq[Expr]) extends Expr // [e1, e2, …]
 
   // ---- patterns ----
   final case class NodePat(

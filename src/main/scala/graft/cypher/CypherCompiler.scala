@@ -332,6 +332,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case Arith("/", l, r) => compileExpr(l, df) / compileExpr(r, df)
     case Arith("%", l, r) => compileExpr(l, df) % compileExpr(r, df)
     case Arith(op, _, _)  => throw new UnsupportedOperationException(op)
+    case ListLit(items)   => array(items.map(compileExpr(_, df)): _*)
     case f: FnCall        => compileFn(f, df)
   }
 

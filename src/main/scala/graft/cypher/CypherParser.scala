@@ -70,7 +70,11 @@ object CypherParser extends RegexParsers {
     literal |
     fnCall |
     propOrVar |
+    listLit |
     "(" ~> expr <~ ")"
+
+  private def listLit: Parser[Expr] =
+    "[" ~> repsep(expr, ",") <~ "]" ^^ ListLit.apply
 
   private def fnCall: Parser[Expr] =
     (qualIdent <~ "(") ~ opt(kw("distinct")) ~ (repsep(expr, ",") <~ ")") ^^ {

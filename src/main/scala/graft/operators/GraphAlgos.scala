@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import graft.{GraftSession, QueryDef}
+import graft.QueryDef.{rowsOnly, sql}
+import graft.core.GraphViews
+import graft.procs.Packs
+
+/** GDS-pack graph algorithms (SURVEY.md §2.5) graded end-to-end:
+  * CALL … YIELD through the Cypher engine onto GraphX, over the TPC-H
+  * graph view. WCC and shortest-path have closed-form DuckDB oracles
+  * because the IN-edge subgraph is a forest of region trees
+  * (customer/supplier -> nation -> region) with deterministic node ids
+  * (GraphViews: key*10+tag); PageRank is rows-only (float iteration
+  * order is not oracle-hashable) with semantics pinned by PacksSpec.
+  */
+object GraphAlgos {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, GraftSession]()
+
+  private def session(s: SparkSession, dir: String): GraftSession =
+    cache.computeIfAbsent(dir, _ => {
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      Packs.install(gs, Seq("graph-data-science"))
+      gs
+    })
+
+  def all: Seq[QueryDef] = Seq(
+
+    // WCC over IN edges: component = min node id in the region tree.
+    // Output restricted to customer nodes (tag 3) to keep the result
+    // labeled; the oracle recomputes the component min by construction.
+    sql("gds_wcc",
+      """WITH m AS (
+        |  SELECT rk, min(id) AS component FROM (
+        |    SELECT r_regionkey AS rk, r_regionkey*10+1 AS id FROM region
+        |    UNION ALL SELECT n_regionkey, n_nationkey*10+2 FROM nation
+        |    UNION ALL SELECT n.n_regionkey, c.c_custkey*10+3
+        |      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |    UNION ALL SELECT n.n_regionkey, s.s_suppkey*10+5
+        |      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |  GROUP BY rk)
+        |SELECT c.c_custkey*10+3 AS node_id, m.component AS component
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN m ON m.rk = n.n_regionkey""".stripMargin) { (s, dir) =>
+      session(s, dir).cypher(
+        "CALL gds.wcc('IN') YIELD node_id, component WHERE node_id % 10 = 3 RETURN node_id, component")
+    },
+
+    // Hop distance to the region-0 landmark (node id 1) along IN edges:
+    // region 0, its nations at 1, their customers/suppliers at 2.
+    sql("gds_shortest_path",
+      """SELECT CAST(1 AS BIGINT) AS node_id, CAST(0 AS BIGINT) AS distance
+        |UNION ALL SELECT n_nationkey*10+2, 1 FROM nation WHERE n_regionkey = 0
+        |UNION ALL SELECT c.c_custkey*10+3, 2
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = 0
+        |UNION ALL SELECT s.s_suppkey*10+5, 2
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = 0""".stripMargin) { (s, dir) =>
+      session(s, dir).cypher(
+        "CALL gds.shortestPath(1, 'IN') YIELD node_id, distance RETURN node_id, distance")
+    },
+
+    // PageRank over IN edges, 10 fixed iterations (rows-only: GraphX
+    // accumulates double rank in partition order, so last-ulp noise
+    // makes a cross-engine hash flaky even after integer scaling).
+    rowsOnly("gds_pagerank") { (s, dir) =>
+      session(s, dir).cypher(
+        "CALL gds.pageRank('IN', 10) YIELD node_id, iscore RETURN node_id, iscore")
+    }
+  )
+}

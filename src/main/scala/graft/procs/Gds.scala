@@ -1,0 +1,78 @@
+package graft.procs
+
+import org.apache.spark.graphx.{Edge => GXEdge, Graph => GXGraph}
+import org.apache.spark.graphx.lib.ShortestPaths
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.core.PropertyGraph
+
+/** Graph-data-science pack algorithms over GraphX (SURVEY.md §2.5;
+  * ref neo4j-plugins.json:24-30, TestBundledPluginInstallation.java:74-75;
+  * BASELINE "GraphX for analytics only").
+  *
+  * The PropertyGraph's nodes/edges DataFrames project to a
+  * `Graph[Long, Long]` (vertex attr = id; edge attr unused): algorithm
+  * state lives in GraphX's own vertex RDDs, results come back as
+  * DataFrames so they compose with the rest of the engine. All
+  * algorithms are iterative Pregel jobs — distributed, no driver-side
+  * graph materialization.
+  */
+object Gds {
+
+  def toGraphX(g: PropertyGraph, relType: Option[String]): GXGraph[Long, Long] = {
+    val edgesDf = relType.map(g.edgesOfType).getOrElse(g.edges)
+    val vertices = g.nodes.select("id").rdd.map(r => (r.getLong(0), r.getLong(0)))
+    val edges = edgesDf.select("src", "dst").rdd
+      .map(r => GXEdge(r.getLong(0), r.getLong(1), 1L))
+    GXGraph(vertices, edges)
+  }
+
+  private def df(spark: SparkSession, rows: Seq[Row], fields: (String, DataType)*): DataFrame = {
+    val schema = StructType(fields.map { case (n, t) => StructField(n, t) })
+    val l = new java.util.ArrayList[Row](rows.size)
+    rows.foreach(l.add)
+    spark.createDataFrame(l, schema)
+  }
+
+  /** Static PageRank, fixed iteration count (deterministic given the
+    * graph). Scores scaled to integer iscore = floor(score*1e6+0.5)
+    * at the edge so results are hash-stable. */
+  def pageRank(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      iterations: Int = 20, damping: Double = 0.85): DataFrame = {
+    val ranks = toGraphX(g, relType).staticPageRank(iterations, 1.0 - damping)
+      .vertices
+    import spark.implicits._
+    ranks.toDF("node_id", "score")
+      .selectExpr("node_id", "CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS iscore")
+      .orderBy("node_id")
+  }
+
+  /** Weakly connected components: component id = min vertex id in the
+    * component (GraphX's ConnectedComponents contract). */
+  def wcc(spark: SparkSession, g: PropertyGraph, relType: Option[String]): DataFrame = {
+    val cc = toGraphX(g, relType).connectedComponents().vertices
+    import spark.implicits._
+    cc.toDF("node_id", "component").orderBy("node_id")
+  }
+
+  /** Single-source shortest hop-distance TO the landmark along edge
+    * direction (GraphX ShortestPaths); unreachable nodes omitted. */
+  def shortestPath(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      landmark: Long): DataFrame = {
+    val sp = ShortestPaths.run(toGraphX(g, relType), Seq(landmark)).vertices
+      .flatMap { case (id, dists) => dists.get(landmark).map(d => (id, d.toLong)) }
+    import spark.implicits._
+    sp.toDF("node_id", "distance").orderBy("node_id")
+  }
+
+  /** Per-node triangle count (undirected; GraphX canonicalizes). */
+  def triangleCount(spark: SparkSession, g: PropertyGraph, relType: Option[String]): DataFrame = {
+    val base = toGraphX(g, relType)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    val tc = base.triangleCount().vertices
+    import spark.implicits._
+    tc.toDF("node_id", "triangles")
+      .selectExpr("node_id", "CAST(triangles AS BIGINT) AS triangles")
+      .orderBy("node_id")
+  }
+}

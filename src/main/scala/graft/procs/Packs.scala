@@ -1,0 +1,124 @@
+package graft.procs
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+
+/** Bundled plugin packs (SURVEY.md §2.4/2.5). Each pack registers its
+  * procedures/scalar functions into the session's registry, the way
+  * the reference installs plugin jars at container start
+  * (docker-entrypoint.sh:216-252; registry neo4j-plugins.json:2-49).
+  *
+  * Packs are compiled in (always "local", docker-entrypoint.sh:237-249)
+  * and semver-gated: a pack whose supported version specs don't match
+  * the engine version is skipped with a warning, mirroring the
+  * reference's degrade-gracefully path (docker-entrypoint.sh:157-170).
+  */
+object Packs {
+
+  /** Engine version (the version packs are matched against). */
+  val EngineVersion = "5.26.0"
+
+  /** Pack name -> supported engine-version specs (semver.jq syntax). */
+  val packVersions: Map[String, Seq[String]] = Map(
+    "apoc" -> Seq("5.x.x"),
+    "apoc-extended" -> Seq("5.x.x"),
+    "graph-data-science" -> Seq("5.x.x"),
+    "genai" -> Seq("5.x.x"),
+    "bloom" -> Seq("5.x.x"),
+    "fleet-management" -> Seq("5.x.x"),
+    "_testing" -> Seq("x.x.x"))
+
+  def knownPlugins: Seq[String] = packVersions.keys.toSeq.sorted
+
+  /** Install the requested packs; unknown names error with the
+    * reference's message shape, hiding `_testing` (the first sorted
+    * key — docker-entrypoint.sh:220-224). */
+  def install(session: GraftSession, plugins: Seq[String],
+      log: String => Unit = _ => ()): Unit = {
+    plugins.foreach { p =>
+      if (!packVersions.contains(p))
+        throw new IllegalArgumentException(
+          s""""$p" is not a known Neo4j plugin. Options are:
+             |${knownPlugins.drop(1).mkString("\n")}""".stripMargin)
+    }
+    plugins.foreach { p =>
+      SemVer.selectBest(packVersions(p), EngineVersion) match {
+        case None =>
+          log(s"ERROR: No compatible \"$p\" plugin found for Neo4j $EngineVersion. " +
+            s"The engine will continue to start, but \"$p\" will not be loaded.")
+        case Some(_) => p match {
+          case "apoc" | "apoc-extended" => installApoc(session)
+          case "graph-data-science"     => installGds(session)
+          case "genai"                  => installGenai(session)
+          case _ => () // bloom / fleet-management / _testing: config-only
+        }
+      }
+    }
+  }
+
+  // ---- apoc (ref TestConfSettings.java:411 `RETURN apoc.version()`) ----
+
+  private def installApoc(session: GraftSession): Unit = {
+    val procs = session.procedures
+    procs.registerScalar("apoc.version", "() :: STRING")(_ => lit(EngineVersion))
+    procs.register("apoc.help", "(name :: STRING) :: (name, signature, description)",
+      "Procedures matching a name fragment") { args =>
+      val frag = args.headOption.map(String.valueOf).getOrElse("")
+      procs.asDataFrame.filter(col("name").contains(frag))
+    }
+    // export gated by apoc.export.file.enabled (ref Configuration.java:13)
+    procs.register("apoc.export.csv.all", "(file :: STRING) :: (file, rows)",
+      "Export all nodes to CSV (requires apoc.export.file.enabled)") { args =>
+      val enabled = session.config.flatMap(_.setting("apoc.export.file.enabled"))
+        .orElse(session.settings.get("apoc.export.file.enabled"))
+        .contains("true")
+      if (!enabled) throw new IllegalStateException(
+        "Export to files not enabled, please set apoc.export.file.enabled=true in your apoc.conf")
+      val file = String.valueOf(args.head)
+      val nodes = session.graph().nodes
+      // CSV has no array type: stringify labels (apoc's CSV export
+      // flattens the same way)
+      val flat = nodes.withColumn("labels", concat_ws(";", col("labels")))
+      flat.write.mode("overwrite").option("header", "true").csv(file)
+      procs.oneRow("file" -> file, "rows" -> nodes.count())
+    }
+  }
+
+  // ---- graph-data-science (GraphX; SURVEY §2.5) ----
+
+  private def installGds(session: GraftSession): Unit = {
+    val procs = session.procedures
+    val spark = session.spark
+    def relTypeArg(args: Seq[Any], i: Int): Option[String] =
+      args.lift(i).map(String.valueOf).filter(s => s.nonEmpty && s != "*")
+    procs.register("gds.pageRank", "(relType :: STRING?, iterations :: INTEGER?) :: (node_id, iscore)",
+      "PageRank over the property graph (GraphX static PageRank)") { args =>
+      val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(20)
+      Gds.pageRank(spark, session.graph(), relTypeArg(args, 0), iters)
+    }
+    procs.register("gds.wcc", "(relType :: STRING?) :: (node_id, component)",
+      "Weakly connected components (GraphX)") { args =>
+      Gds.wcc(spark, session.graph(), relTypeArg(args, 0))
+    }
+    procs.register("gds.shortestPath", "(landmark :: INTEGER, relType :: STRING?) :: (node_id, distance)",
+      "Hop-distance to the landmark node (GraphX ShortestPaths)") { args =>
+      val landmark = String.valueOf(args.head).toLong
+      Gds.shortestPath(spark, session.graph(), relTypeArg(args, 1), landmark)
+    }
+    procs.register("gds.triangleCount", "(relType :: STRING?) :: (node_id, triangles)",
+      "Per-node triangle count (GraphX)") { args =>
+      Gds.triangleCount(spark, session.graph(), relTypeArg(args, 0))
+    }
+  }
+
+  // ---- genai (vector ops over ARRAY<FLOAT>; neo4j-plugins.json:31-36) ----
+
+  private def installGenai(session: GraftSession): Unit = {
+    val procs = session.procedures
+    val V = graft.functions.VectorFunctions
+    procs.registerScalar("genai.vector.similarity.cosine",
+      "(a :: LIST<FLOAT>, b :: LIST<FLOAT>) :: FLOAT")(a => V.cosine(a(0), a(1)))
+    procs.registerScalar("genai.vector.similarity.euclidean",
+      "(a :: LIST<FLOAT>, b :: LIST<FLOAT>) :: FLOAT")(a => V.l2Distance(a(0), a(1)))
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.procs.Packs
+
+/** Bundled-pack behaviors (SURVEY.md §2.4/2.5): apoc scalar functions
+  * usable from RETURN (C10 — ref TestConfSettings.java:411), GDS
+  * algorithms over GraphX via CALL … YIELD (ref
+  * TestBundledPluginInstallation.java:74-75), export gating, unknown
+  * plugin error shape, and the session-from-env boot path.
+  */
+class PacksSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def sessionWith(plugins: String*): GraftSession = {
+    val s = new GraftSession(spark)
+    Packs.install(s, plugins)
+    s
+  }
+
+  test("C10: RETURN apoc.version() (TestConfSettings.java:411)") {
+    val s = sessionWith("apoc")
+    val res = s.cypher("RETURN apoc.version() AS version")
+    assert(res.collect().map(_.getString(0)).toSeq == Seq(Packs.EngineVersion))
+  }
+
+  test("apoc export is gated by apoc.export.file.enabled (Configuration.java:13)") {
+    val gated = sessionWith("apoc")
+    val e = intercept[IllegalStateException] {
+      gated.cypher("CALL apoc.export.csv.all('/tmp/graft-test-export')").collect()
+    }
+    assert(e.getMessage.contains("apoc.export.file.enabled"))
+
+    val enabled = new GraftSession(spark, Map("apoc.export.file.enabled" -> "true"))
+    Packs.install(enabled, Seq("apoc"))
+    enabled.cypher("CREATE (a:dog {name:'Arne'})")
+    val out = enabled.cypher("CALL apoc.export.csv.all('/tmp/graft-test-export') YIELD file, rows")
+      .collect().head
+    assert(out.getString(0) == "/tmp/graft-test-export")
+    assert(out.getLong(1) == 1L)
+  }
+
+  test("unknown plugin error lists options hiding _testing (docker-entrypoint.sh:220-224)") {
+    val e = intercept[IllegalArgumentException] { sessionWith("streams") }
+    assert(e.getMessage.contains("\"streams\" is not a known Neo4j plugin"))
+    assert(e.getMessage.contains("graph-data-science"))
+    assert(!e.getMessage.contains("_testing"))
+  }
+
+  // ---- GDS over the dogs-style fixture ----
+
+  private def chainSession: GraftSession = {
+    // a -> b -> c and a separate pair d -> e
+    val s = sessionWith("graph-data-science")
+    s.cypher("CREATE (a:n {name:'a'})-[:T]->(b:n {name:'b'})-[:T]->(c:n {name:'c'})")
+    s.cypher("CREATE (d:n {name:'d'})-[:T]->(e:n {name:'e'})")
+    s
+  }
+
+  test("gds.wcc: components labeled by min member id") {
+    val s = chainSession
+    val rows = s.cypher("CALL gds.wcc() YIELD node_id, component")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // nodes 0,1,2 form one component; 3,4 the other
+    assert(rows == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("gds.shortestPath: hop distance to landmark along edges") {
+    val s = chainSession
+    val rows = s.cypher("CALL gds.shortestPath(2) YIELD node_id, distance")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // distances TO node c (id 2): a=2 hops, b=1, c=0; d,e unreachable
+    assert(rows == Map(0L -> 2L, 1L -> 1L, 2L -> 0L))
+  }
+
+  test("gds.pageRank: sink accumulates highest rank; scores deterministic") {
+    val s = chainSession
+    val rows = s.cypher("CALL gds.pageRank() YIELD node_id, iscore")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 5)
+    // c is the 2-chain sink: strictly more rank than b, which beats a
+    assert(rows(2L) > rows(1L) && rows(1L) > rows(0L))
+    // d is a pure source, same structural rank as a
+    assert(rows(3L) == rows(0L))
+  }
+
+  test("gds.triangleCount: triangle graph counts 1 per corner") {
+    val s = sessionWith("graph-data-science")
+    s.cypher("CREATE (a:n {name:'a'})-[:T]->(b:n {name:'b'})-[:T]->(c:n {name:'c'})-[:T]->(a)")
+    val rows = s.cypher("CALL gds.triangleCount() YIELD node_id, triangles")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("genai cosine scalar works in RETURN") {
+    val s = sessionWith("genai")
+    val res = s.cypher("UNWIND range(1, 1) AS x RETURN genai.vector.similarity.cosine([1.0, 0.0], [1.0, 0.0]) AS c")
+    assert(res.collect().head.getDouble(0) == 1.0)
+  }
+
+  test("GraftSession.fromEnv boots config + plugins together (§3.1 pipeline)") {
+    val s = GraftSession.fromEnv(spark, Map(
+      "NEO4J_PLUGINS" -> """["apoc"]""",
+      "NEO4J_server_memory_pagecache_size" -> "42M"))
+    assert(s.cypher("RETURN apoc.version() AS v").collect().head.getString(0) == Packs.EngineVersion)
+    val conf = s.cypher(
+      "CALL dbms.listConfig() YIELD name, value WHERE name = 'server.memory.pagecache.size' RETURN value")
+    assert(conf.collect().head.getString(0) == "42M")
+    assert(s.config.get.resolved()("dbms.security.procedures.unrestricted") == "apoc.*")
+  }
+}
