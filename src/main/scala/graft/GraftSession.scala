@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
-import graft.core.{GraphCatalog, GraphDatabase, PropertyGraph}
+import graft.auth.{Auth, AuthStore}
+import graft.core.{GraphCatalog, GraphDatabase, PropertyGraph, SnapshotStore}
 import graft.cypher.{CypherCompiler, CypherParser, ast}
 import graft.procs.ProcedureRegistry
 
@@ -21,12 +22,76 @@ final class GraftSession(val spark: SparkSession,
 
   val catalog = new GraphCatalog(spark)
   val procedures = new ProcedureRegistry(spark)
+
+  /** Credential store + current principal (SURVEY §2.7). `None` =
+    * auth disabled (`NEO4J_AUTH=none` or never bootstrapped). */
+  @volatile var authStore: Option[AuthStore] = None
+  @volatile private var currentUser: String = "neo4j"
+  @volatile private var currentPassword: String = ""
+
   registerBuiltins()
 
   def graph(db: String = "neo4j"): PropertyGraph = catalog.database(db).graph
 
   def setGraph(g: PropertyGraph, db: String = "neo4j"): Unit =
     catalog.database(db).graph = g
+
+  /** Authenticate against the store (the Bolt-session-open analog).
+    * Fails like the reference driver on a bad credential. */
+  def login(user: String, password: String): Unit = authStore.foreach { store =>
+    if (!store.verify(user, password))
+      throw Auth.AuthError(s"The client is unauthorized due to authentication failure.")
+    currentUser = user
+    currentPassword = password
+  }
+
+  // ----------------------------------------------------------------
+  // snapshot lifecycle (SURVEY §2.6 — ref TestDumpLoad, TestBackupRestore)
+  // ----------------------------------------------------------------
+
+  /** Flush a database to the data-dir snapshot (the `/data` volume
+    * analog; shutdown-hook flush target). */
+  def saveDatabase(dataDir: String, db: String = "neo4j"): Unit =
+    SnapshotStore.write(graph(db), catalog.database(db).nextId.get(),
+      s"$dataDir/databases/$db", db)
+
+  /** Load a database from the data-dir snapshot. */
+  def loadDatabase(dataDir: String, db: String = "neo4j"): Unit = {
+    val (g, m) = SnapshotStore.read(spark, s"$dataDir/databases/$db")
+    catalog.createDatabase(db)
+    setGraph(g, db)
+    catalog.database(db).nextId.set(m.nextId)
+  }
+
+  /** Offline dump: refuses while the database is started, like
+    * `neo4j-admin database dump` (ref TestDumpLoad.java:100-115 stops
+    * the server first). */
+  def dumpDatabase(toPath: String, db: String = "neo4j"): Unit = {
+    if (!catalog.database(db).stopped)
+      throw new IllegalStateException(
+        s"database $db is started; STOP DATABASE $db before dumping")
+    SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), s"$toPath/$db.dump", db)
+  }
+
+  /** Online backup: the immutable snapshot makes this safe while the
+    * database serves reads (ref TestBackupRestore.java:117-127). */
+  def backupDatabase(toPath: String, db: String = "neo4j"): Unit =
+    SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), s"$toPath/$db.backup", db)
+
+  /** Restore from a backup; requires the database stopped and
+    * explicit overwrite consent (ref TestBackupRestore.java:149-163). */
+  def restoreDatabase(fromPath: String, db: String = "neo4j",
+      overwriteDestination: Boolean = false): Unit = {
+    if (!catalog.database(db).stopped)
+      throw new IllegalStateException(
+        s"database $db is started; STOP DATABASE $db before restoring")
+    if (graph(db).nodes.take(1).nonEmpty && !overwriteDestination)
+      throw new IllegalStateException(
+        s"database $db is not empty; use overwriteDestination=true to replace it")
+    val (g, m) = SnapshotStore.read(spark, s"$fromPath/$db.backup")
+    setGraph(g, db)
+    catalog.database(db).nextId.set(m.nextId)
+  }
 
   // ----------------------------------------------------------------
   // entry point
@@ -36,11 +101,15 @@ final class GraftSession(val spark: SparkSession,
   private val StartDb = """(?is)\s*START\s+DATABASE\s+(\w+)\s*""".r
   private val ShowProcs = """(?is)\s*SHOW\s+PROCEDURES\b(.*)""".r
   private val CreateDb = """(?is)\s*CREATE\s+DATABASE\s+(\w+)\s*""".r
+  // C12 (ref DatabaseIO.java:113-115) — issued against the system db
+  private val AlterPw =
+    """(?is)\s*ALTER\s+CURRENT\s+USER\s+SET\s+PASSWORD\s+FROM\s+'([^']*)'\s+TO\s+'([^']*)'\s*""".r
 
   def cypher(q: String, database: String = "neo4j"): DataFrame = q match {
     case StopDb(name)   => catalog.stop(name); unit()
     case StartDb(name)  => catalog.start(name); unit()
     case CreateDb(name) => catalog.createDatabase(name); unit()
+    case AlterPw(from, to) => changePassword(from, to); unit()
     case ShowProcs(rest) => showProcedures(rest)
     case _ =>
       val db = catalog.database(database)
@@ -52,6 +121,13 @@ final class GraftSession(val spark: SparkSession,
 
   private def compiler(db: GraphDatabase) =
     new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
+
+  private def changePassword(from: String, to: String): Unit = {
+    val store = authStore.getOrElse(throw new IllegalStateException(
+      "Auth is disabled; there is no password to change"))
+    store.changePassword(currentUser, from, to)
+    currentPassword = to
+  }
 
   private def unit(): DataFrame = {
     import org.apache.spark.sql.functions.lit
@@ -212,6 +288,12 @@ final class GraftSession(val spark: SparkSession,
       import org.apache.spark.sql.functions.{col, explode}
       graph().nodes.select(explode(col("labels")).as("label")).distinct().orderBy("label")
     }
+    // C13: legacy (<4.0) password change (ref DatabaseIO.java:117)
+    procedures.register("dbms.changePassword", "(password :: STRING) :: ()",
+      "Change the current user's password") { args =>
+      changePassword(currentPassword, String.valueOf(args.head))
+      unit()
+    }
   }
 }
 
@@ -219,11 +301,14 @@ object GraftSession {
 
   /** Boot a session the way `docker run neo4j` boots the reference
     * (SURVEY.md §3.1 steps 3-8): assemble layered config from env +
-    * mounted conf, then install the requested plugin packs. */
+    * mounted conf, install the requested plugin packs, then bootstrap
+    * auth (NEO4J_AUTH_PATH beats NEO4J_AUTH; an existing password is
+    * never overwritten — docker-entrypoint.sh:299-360,617-633). */
   def fromEnv(spark: SparkSession,
       env: Map[String, String],
       userConf: Option[String] = None,
       userApocConf: Option[String] = None,
+      dataDir: Option[String] = None,
       readFile: String => Option[String] = p =>
         try Some(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
         catch { case _: Exception => None }): GraftSession = {
@@ -234,6 +319,27 @@ object GraftSession {
     val plugins = env.get("NEO4J_PLUGINS")
       .map(graft.config.GraftConfig.parsePluginList).getOrElse(Nil)
     graft.procs.Packs.install(session, plugins)
+
+    // auth bootstrap — min length honors the already-assembled config
+    // ("inbuilt assumption that env settings have been applied",
+    // docker-entrypoint.sh:322-323)
+    val minLen = assembled.resolved()
+      .get("dbms.security.auth_minimum_password_length").map(_.toInt).getOrElse(8)
+    (Auth.resolveBootstrap(env, readFile, minLen), dataDir) match {
+      case (Auth.NoAuth, _) | (Auth.Unset, None) => ()
+      case (Auth.Unset, Some(dir)) =>
+        session.authStore = Some(new AuthStore(dir))
+      case (sp: Auth.SetPassword, dirOpt) =>
+        val dir = dirOpt.getOrElse(
+          java.nio.file.Files.createTempDirectory("graft-data").toString)
+        val store = new AuthStore(dir)
+        store.setInitialPassword(sp.password, sp.requireChange)
+        session.authStore = Some(store)
+        // if credentials already existed, the env password was NOT
+        // applied (never overwrite) — the caller must login() with the
+        // real password
+        if (store.verify(sp.user, sp.password)) session.login(sp.user, sp.password)
+    }
     session
   }
 }

@@ -1,0 +1,97 @@
+package graft.core
+
+import java.nio.file.{Files, Paths, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Parquet snapshot store — the engine's `/data` persistence analog
+  * (SURVEY.md §1.2 "/data volume" row, §2.6 dump/load/backup/restore;
+  * ref TestDumpLoad.java:112-122, TestBackupRestore.java:117-163).
+  *
+  * Layout: one directory per snapshot with `nodes/` + `edges/` parquet
+  * and a `manifest.json` carrying the snapshot format version from day
+  * one (SURVEY §7.4.6: upgrade-in-place needs versioned snapshots —
+  * ref TestUpgrade.java:54-73). Parquet keeps snapshots splittable and
+  * schema-carrying at 100 TB; a dump is one distributed write, a load
+  * is a lazy distributed read.
+  */
+object SnapshotStore {
+
+  val FormatVersion = 1
+
+  final case class Manifest(
+      formatVersion: Int,
+      database: String,
+      nodeCount: Long,
+      edgeCount: Long,
+      nextId: Long)
+
+  /** Write a snapshot of the graph (+ id-allocator state) to `dir`. */
+  def write(graph: PropertyGraph, nextId: Long, dir: String, database: String): Manifest = {
+    val nodeCount = graph.nodes.count()
+    val edgeCount = graph.edges.count()
+    graph.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
+    graph.edges.write.mode("overwrite").parquet(s"$dir/edges")
+    val m = Manifest(FormatVersion, database, nodeCount, edgeCount, nextId)
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/manifest.json"),
+      s"""{"format_version": ${m.formatVersion}, "database": "${m.database}", """ +
+        s""""node_count": ${m.nodeCount}, "edge_count": ${m.edgeCount}, "next_id": ${m.nextId}}""")
+    m
+  }
+
+  /** Read a snapshot back. Snapshots from older format versions pass
+    * through [[migrate]]; newer-than-engine formats are refused. */
+  def read(spark: SparkSession, dir: String): (PropertyGraph, Manifest) = {
+    val m = readManifest(dir)
+    if (m.formatVersion > FormatVersion)
+      throw new IllegalStateException(
+        s"snapshot at $dir has format version ${m.formatVersion}, " +
+          s"but this engine supports at most $FormatVersion")
+    val g = PropertyGraph(
+      spark.read.parquet(s"$dir/nodes"),
+      spark.read.parquet(s"$dir/edges"))
+    (migrate(g, m.formatVersion), m)
+  }
+
+  def exists(dir: String): Boolean = Files.exists(Paths.get(s"$dir/manifest.json"))
+
+  def readManifest(dir: String): Manifest = {
+    val path = Paths.get(s"$dir/manifest.json")
+    if (!Files.exists(path))
+      throw new java.io.FileNotFoundException(s"no snapshot manifest at $dir")
+    val text = Files.readString(path)
+    def field(name: String): String =
+      s""""$name"\\s*:\\s*("([^"]*)"|[-0-9]+)""".r.findFirstMatchIn(text)
+        .map(m => Option(m.group(2)).getOrElse(m.group(1)))
+        .getOrElse(throw new IllegalStateException(s"manifest at $dir missing $name"))
+    Manifest(field("format_version").toInt, field("database"),
+      field("node_count").toLong, field("edge_count").toLong, field("next_id").toLong)
+  }
+
+  /** Upgrade-in-place hook: per-version migrations applied on load
+    * (none yet — v1 is current; the seam exists so old snapshots keep
+    * loading as the format evolves). */
+  private def migrate(g: PropertyGraph, fromVersion: Int): PropertyGraph = g
+
+  /** Recursive copy used by dump/load/backup/restore verbs (a snapshot
+    * directory is a self-contained artifact). */
+  def copyDir(from: String, to: String): Unit = {
+    val src = Paths.get(from)
+    val dst = Paths.get(to)
+    Files.walk(src).forEach { p =>
+      val target = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else {
+        Files.createDirectories(target.getParent)
+        Files.copy(p, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  def deleteDir(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+  }
+}

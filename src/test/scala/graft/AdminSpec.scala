@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.GraftAdmin
+
+/** Admin data-lifecycle behaviors (SURVEY.md §2.6): dump -> load
+  * round-trip into a fresh session with identical data (ref
+  * TestDumpLoad.java:88-135), online backup -> restore (ref
+  * TestBackupRestore.java:117-163), offline-only dump gating, and the
+  * admin entrypoint's refusals (neo4j-admin/docker-entrypoint.sh:49-74).
+  */
+class AdminSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def dogsSession(): GraftSession = {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (arne:dog {name:'Arne'})-[:SNIFFS]->(bosse:dog {name:'Bosse'})")
+    s
+  }
+
+  private def verifyDogs(s: GraftSession): Unit = {
+    val res = s.cypher("MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN a.name AS name")
+    assert(res.collect().map(_.getString(0)).toSeq == Seq("Arne"))
+  }
+
+  test("dump -> load round-trip preserves the graph (TestDumpLoad shouldDumpAndLoad)") {
+    val data1 = tmp("graft-data1")
+    val data2 = tmp("graft-data2")
+    val backups = tmp("graft-backups")
+
+    // populate + flush, like the server writing /data before stopping
+    dogsSession().saveDatabase(data1)
+
+    assert(GraftAdmin.run(Seq("database", "dump", "neo4j", s"--to-path=$backups"), data1) == 0)
+    assert(Files.exists(java.nio.file.Paths.get(s"$backups/neo4j.dump/manifest.json")),
+      "dump file not created")
+
+    assert(GraftAdmin.run(Seq("database", "load", "neo4j", s"--from-path=$backups"), data2) == 0)
+
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(data2)
+    verifyDogs(fresh)
+    // id allocator restored: new nodes don't collide with loaded ones
+    fresh.cypher("CREATE (c:dog {name:'Solo'})")
+    assert(fresh.graph().nodes.select("id").distinct().count() == 3)
+  }
+
+  test("load refuses to overwrite without --overwrite-destination") {
+    val data = tmp("graft-data")
+    val backups = tmp("graft-backups")
+    dogsSession().saveDatabase(data)
+    assert(GraftAdmin.run(Seq("database", "dump", "neo4j", s"--to-path=$backups"), data) == 0)
+    var errs = List.empty[String]
+    assert(GraftAdmin.run(Seq("database", "load", "neo4j", s"--from-path=$backups"),
+      data, err = e => errs ::= e) == 1)
+    assert(errs.exists(_.contains("already exists")))
+    assert(GraftAdmin.run(Seq("database", "load", "neo4j", s"--from-path=$backups",
+      "--overwrite-destination=true"), data) == 0)
+  }
+
+  test("online backup -> restore round-trip (TestBackupRestore)") {
+    val backups = tmp("graft-backups")
+    val s = dogsSession()
+    s.backupDatabase(backups) // db still started: online backup is allowed
+    s.cypher("CREATE (x:dog {name:'Extra'})")
+    assert(s.graph().nodes.count() == 3)
+
+    // restore refuses while started, and without overwrite consent
+    intercept[IllegalStateException] { s.restoreDatabase(backups) }
+    s.cypher("STOP DATABASE neo4j")
+    intercept[IllegalStateException] { s.restoreDatabase(backups) }
+    s.restoreDatabase(backups, overwriteDestination = true)
+    s.cypher("START DATABASE neo4j")
+    verifyDogs(s)
+    assert(s.graph().nodes.count() == 2)
+  }
+
+  test("offline dump refuses while the database is started (C14 gating)") {
+    val s = dogsSession()
+    val backups = tmp("graft-backups")
+    intercept[IllegalStateException] { s.dumpDatabase(backups) }
+    s.cypher("STOP DATABASE neo4j")
+    s.dumpDatabase(backups)
+    assert(graft.core.SnapshotStore.exists(s"$backups/neo4j.dump"))
+  }
+
+  test("snapshot manifest carries the format version; newer formats refused") {
+    val dir = tmp("graft-snap")
+    val s = dogsSession()
+    s.saveDatabase(dir)
+    val m = graft.core.SnapshotStore.readManifest(s"$dir/databases/neo4j")
+    assert(m.formatVersion == graft.core.SnapshotStore.FormatVersion)
+    assert(m.nodeCount == 2 && m.edgeCount == 1)
+    // simulate a snapshot from a future engine
+    val path = java.nio.file.Paths.get(s"$dir/databases/neo4j/manifest.json")
+    Files.writeString(path, Files.readString(path).replace(
+      "\"format_version\": 1", "\"format_version\": 99"))
+    intercept[IllegalStateException] {
+      new GraftSession(spark).loadDatabase(dir)
+    }
+  }
+
+  test("admin refuses to run the server (neo4j-admin/docker-entrypoint.sh:49-60)") {
+    var errs = List.empty[String]
+    assert(GraftAdmin.run(Seq("neo4j"), "data", err = e => errs ::= e) == 1)
+    assert(errs.exists(_.contains("usage of Neo4j server is not supported from here")))
+  }
+
+  test("admin refuses report (neo4j-admin/docker-entrypoint.sh:62-74)") {
+    var errs = List.empty[String]
+    assert(GraftAdmin.run(Seq("server", "report"), "data", err = e => errs ::= e) == 1)
+    assert(errs.exists(_.contains("must be run in the same container as neo4j")))
+  }
+}
