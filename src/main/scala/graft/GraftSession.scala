@@ -156,21 +156,13 @@ final class GraftSession(val spark: SparkSession,
     val creates = q.clauses.collect { case c: ast.Create => c }
     val returns = q.clauses.collect { case r: ast.Return => r }
 
-    // 1. resolve MATCH part to bindings of var -> id (driver-side; the
-    //    reference's mutation statements bind a handful of rows)
-    val matchedBindings: Seq[Map[String, Long]] =
-      if (matches.isEmpty) Seq(Map.empty)
-      else {
-        val df = matches.foldLeft(Option.empty[DataFrame]) { (ctx, m) =>
-          Some(new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
-            .compile(ast.Query(Seq(m, ast.Return(
-              m.patterns.flatMap(p => (p.start.variable ++ p.hops.flatMap(_._2.variable)).toSeq)
-                .distinct.map(v => ast.ReturnItem(ast.FnCall("id", Seq(ast.Variable(v))), Some(v))),
-              distinct = false, Nil, None, None)))))
-        }.get
-        df.collect().toSeq.map(r =>
-          r.schema.fieldNames.map(f => f -> r.getAs[Long](f)).toMap)
-      }
+    // MATCH … CREATE appends one instantiation per matched binding —
+    // built distributively (no driver collect; `MATCH (n) CREATE …`
+    // over a real table would OOM the driver otherwise).
+    if (matches.nonEmpty) return mutateMatched(db, matches, creates, returns)
+
+    // Plain CREATE: a handful of literal rows, instantiated directly.
+    val matchedBindings: Seq[Map[String, Long]] = Seq(Map.empty)
 
     // 2. instantiate created nodes/edges per binding
     val newNodes = collection.mutable.ArrayBuffer.empty[(Long, Seq[String], Map[String, Any])]
@@ -255,6 +247,83 @@ final class GraftSession(val spark: SparkSession,
         })
         spark.createDataFrame(javaList(Seq(Row.fromSeq(values.map(v => norm(v._2))))), schema)
     }
+  }
+
+  /** Distributed MATCH … CREATE: the matched bindings stay a DataFrame;
+    * fresh nodes get ids `base + row_number` (one deterministic global
+    * numbering — ids must be stable for snapshot/oracle hashing, which
+    * forces a total order; the sort runs once per mutation, not per
+    * row), and the appended node/edge rows are projections of the
+    * binding table unioned onto the immutable snapshot. */
+  private def mutateMatched(db: GraphDatabase, matches: Seq[ast.Match],
+      creates: Seq[ast.Create], returns: Seq[ast.Return]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    if (returns.nonEmpty) throw new UnsupportedOperationException(
+      "RETURN after MATCH … CREATE is not supported")
+
+    val boundVars = matches.flatMap(_.patterns.flatMap(p =>
+      (p.start.variable ++ p.hops.flatMap(_._2.variable)).toSeq)).distinct
+    val matchedDf = new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
+      .compile(ast.Query(matches ++ Seq(ast.Return(
+        boundVars.map(v => ast.ReturnItem(ast.FnCall("id", Seq(ast.Variable(v))), Some(v))),
+        distinct = false, Nil, None, None))))
+
+    val n = matchedDf.count()
+    val w = Window.orderBy(boundVars.map(col): _*)
+    val numbered = matchedDf.withColumn("_rn", row_number().over(w).cast("long") - 1)
+
+    def litCol(v: Any) = v match {
+      case i: Int => lit(i.toLong)
+      case other  => lit(other)
+    }
+
+    // fresh create-pattern variables -> an id column per matched row
+    val freshIdCols = collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.Column]
+    val freshNodePats = collection.mutable.LinkedHashMap.empty[String, ast.NodePat]
+    var anon = 0
+    creates.foreach(_.patterns.foreach { p =>
+      (p.start +: p.hops.map(_._2)).foreach { np =>
+        val v = np.variable.getOrElse { anon += 1; s"_anon$anon" }
+        if (!boundVars.contains(v) && !freshIdCols.contains(v)) {
+          val base = db.allocate(n.toInt).headOption.getOrElse(0L)
+          freshIdCols(v) = lit(base) + col("_rn")
+          freshNodePats(v) = np
+        }
+      }
+    })
+
+    def idCol(v: String) = freshIdCols.getOrElse(v, col(v))
+
+    val newNodes = freshNodePats.toSeq.map { case (v, np) =>
+      val propKeys = np.props.keys.toSeq.sorted
+      numbered.select(
+        (Seq(freshIdCols(v).as("id"),
+          array(np.labels.map(lit): _*).as("labels")) ++
+          propKeys.map(k => litCol(np.props(k).v).as(k))): _*)
+    }
+    val newEdges = creates.flatMap(_.patterns.flatMap { p =>
+      var prev = p.start.variable.getOrElse(freshNodePats.keys.headOption.getOrElse("_anon1"))
+      p.hops.map { case (rel, np) =>
+        val next = np.variable.getOrElse(
+          freshNodePats.keys.find(k => freshNodePats(k) == np).getOrElse("_anon1"))
+        val relType = rel.types.headOption.getOrElse(
+          throw new IllegalArgumentException("CREATE relationship requires a type"))
+        val propKeys = rel.props.keys.toSeq.sorted
+        val (s0, d0) = if (rel.dir == -1) (next, prev) else (prev, next)
+        val e = numbered.select(
+          (Seq(idCol(s0).as("src"), idCol(d0).as("dst"), lit(relType).as("relType")) ++
+            propKeys.map(k => litCol(rel.props(k).v).as(k))): _*)
+        prev = next
+        e
+      }
+    })
+
+    val g = db.graph
+    val nodesDf = newNodes.foldLeft(g.nodes)(PropertyGraph.appendByName)
+    val edgesDf = newEdges.foldLeft(g.edges)(PropertyGraph.appendByName)
+    db.graph = PropertyGraph(nodesDf, edgesDf)
+    unit()
   }
 
   private def norm(v: Any): Any = v match {

@@ -63,7 +63,13 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   }
 
   /** OPTIONAL MATCH = compile the pattern standalone, then left join on
-    * the shared variables' id columns (openCypher semantics). */
+    * the shared variables' id columns (openCypher semantics).
+    *
+    * The right side is first SEMI-JOINED on the left's distinct shared
+    * ids: Catalyst does not infer predicates across a left outer join,
+    * so without this a selective left side (`c_custkey <= 1000`) would
+    * still rebuild the optional pattern's full expand. The semi join
+    * keys the very first right-side join on the relevant ids only. */
   private def compileOptional(ctx: Option[DataFrame], m: Match): DataFrame = {
     val left = ctx.getOrElse(return compileMatch(ctx, m.copy(optional = false)))
     var right: DataFrame = null
@@ -75,7 +81,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       throw new UnsupportedOperationException("OPTIONAL MATCH with no shared variable")
     // non-key duplicated columns on the right would collide; drop them
     val dupNonKey = left.columns.toSet.intersect(right.columns.toSet) -- shared
-    val r2 = dupNonKey.foldLeft(right)((d, c) => d.drop(c))
+    var r2 = dupNonKey.foldLeft(right)((d, c) => d.drop(c))
+    r2 = r2.join(left.select(shared.map(col): _*).distinct(), shared, "left_semi")
     val cond = shared.map(c => left(c) === r2(c)).reduce(_ && _)
     val joined = left.join(r2, cond, "left_outer")
     shared.foldLeft(joined)((d, c) => d.drop(r2(c)))
@@ -137,8 +144,15 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   /** Var-length expand `[:T*lo..hi]`: iterative frontier join with
     * per-step distinct on (start, end) node pairs — reachability
     * semantics, deduped each step so the frontier can't explode
-    * (SURVEY §7.4.2). Each step is one equi join on the edge table;
-    * stops early at fixpoint. */
+    * (SURVEY §7.4.2).
+    *
+    * The frontier is SEEDED from the bound start ids (semi join before
+    * iterating): `MATCH (x {id:1})-[:T*1..5]->(y)` walks only edges
+    * reachable from x, not the whole typed edge set. No persist — each
+    * frontier is a linear join chain over the seeded (small) edge set,
+    * so recompute inside one plan is cheap, and a persist here would
+    * leak cache entries across catalog invocations. The fixpoint probe
+    * (`isEmpty`) is one bounded driver action per hop past `lo`. */
   private def compileVarHop(cur: DataFrame, prevVar: String, rel: RelPat,
       node: NodePat, nv: String, lo: Int, hi: Int): DataFrame = {
     val base0 = rel.dir match {
@@ -147,15 +161,16 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case 0  => symmetrized(typedEdges(rel)).select(col("src").as("_s"), col("dst").as("_t"))
     }
     val base = base0.distinct()
-    var frontier = base
-    var pairs = if (lo <= 1) base else null
+    val startIds = cur.select(cur(s"$prevVar${SEP}id").as("_s")).distinct()
+    var frontier = base.join(startIds, Seq("_s"), "left_semi")
+    var pairs = if (lo <= 1) frontier else null
     var step = 1
     var exhausted = false
     while (step < hi && !exhausted) {
       step += 1
       frontier = frontier.join(base.withColumnRenamed("_s", "_m").withColumnRenamed("_t", "_u"),
           col("_t") === col("_m"))
-        .select(col("_s"), col("_u").as("_t")).distinct().persist()
+        .select(col("_s"), col("_u").as("_t")).distinct()
       if (frontier.isEmpty) exhausted = true
       else if (step >= lo) pairs = if (pairs == null) frontier else pairs.union(frontier)
     }

@@ -46,6 +46,18 @@ class CypherSpec extends AnyFunSuite {
     assert(agg.collect().head.getSeq[String](0) == Seq("Armstrong", "Arne"))
   }
 
+  test("C5 distributed: MATCH over many rows CREATE appends per binding without collect") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:v {n: 1}), (b:v {n: 2}), (c:v {n: 3})")
+    s.cypher("MATCH (v:v) CREATE (t:tag {kind:'x'})-[:FOR]->(v)")
+    assert(s.graph().nodes.count() == 6)
+    assert(s.graph().edges.count() == 3)
+    // fresh ids are distinct and don't collide with matched ids
+    assert(s.graph().nodes.select("id").distinct().count() == 6)
+    val res = s.cypher("MATCH (t:tag)-[:FOR]->(v:v) RETURN v.n AS n ORDER BY n")
+    assert(res.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("C4: inline property predicate") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (arne:dog {name:'Arne'})-[:SNIFFS]->(bosse:dog {name:'Bosse'})")
