@@ -134,6 +134,21 @@ object GraftConfig {
 
     def setting(name: String): Option[String] =
       resolved(if (name.startsWith("apoc.")) ApocConf else Neo4jConf).get(name)
+
+    /** Properties-file text of one conf file, line order preserved
+      * (the `dump-config` sink — docker-entrypoint.sh:646-655). */
+    def render(file: String = Neo4jConf): String =
+      files.getOrElse(file, Vector.empty)
+        .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+
+    /** `dump-config`: write the assembled conf files to a directory. */
+    def dumpTo(dir: String): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      files.keys.foreach { f =>
+        if (files(f).nonEmpty || f == Neo4jConf)
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, f), render(f))
+      }
+    }
   }
 
   final case class SecretError(message: String) extends RuntimeException(message)

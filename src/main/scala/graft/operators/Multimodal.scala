@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.QueryDef
+import graft.QueryDef.{rowsOnly, sql}
+import graft.core.Tables
+
+/** Multimodal-column operators (driver north star): image/audio/video
+  * payloads are opaque `BINARY` columns with typed metadata alongside.
+  * The testdata ships no media files, so the payload column is the
+  * UTF-8 encoding of `documents.text` — every byte-level operation
+  * (length, content hash, magic sniff, frame slicing) is real Spark
+  * binary-column plumbing; only the media CODEC is stubbed (the
+  * container has no image/audio libraries).
+  *
+  * Scale notes: all three queries are narrow single-pass scans over
+  * the payload column; the per-frame explode multiplies rows by a
+  * constant frame count (the batch shape a real decoder produces);
+  * the decode stub runs via mapPartitions with an Iterator-in /
+  * Iterator-out signature — the same contract a Pandas-UDF/JNI
+  * decoder batch would use, so swapping in a real codec changes one
+  * function, not the plan.
+  */
+object Multimodal {
+
+  private val FRAME_BYTES = 16 // stub "frame" stride in bytes
+  private val N_FRAMES = 4
+
+  /** documents with the opaque payload column attached. */
+  private def withPayload(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("payload", encode(col("text"), "UTF-8"))
+
+  def all: Seq[QueryDef] = Seq(
+
+    // ---- typed metadata over the opaque payload ----
+    sql("mm_binary_meta",
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       sha256(text) AS content_sha,
+        |       upper(substring(hex(encode(text)), 1, 4)) AS magic
+        |FROM documents WHERE doc_id < 100""".stripMargin) { (s, d) =>
+      withPayload(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("content_sha"),
+          upper(substring(hex(col("payload")), 1, 4)).as("magic"))
+    },
+
+    // ---- frame sampling: fixed-stride slices of the payload ----
+    // (the batch shape of video frame-sampling: one output row per
+    // (doc, frame), frame payload carried as hex of the byte slice)
+    sql("mm_frame_sample",
+      s"""SELECT doc_id, u.f AS frame_no,
+         |  upper(substring(hex(encode(text)), u.f*${FRAME_BYTES * 2} + 1, ${FRAME_BYTES * 2})) AS frame_hex
+         |FROM documents, unnest(range(0, $N_FRAMES)) u(f)
+         |WHERE doc_id < 50 AND octet_length(encode(text)) >= ${FRAME_BYTES * N_FRAMES}""".stripMargin) { (s, d) =>
+      withPayload(s, d)
+        .filter(col("doc_id") < 50 && length(col("payload")) >= FRAME_BYTES * N_FRAMES)
+        .select(col("doc_id"), col("payload"),
+          explode(sequence(lit(0L), lit(N_FRAMES - 1L))).as("frame_no"))
+        .select(col("doc_id"), col("frame_no"),
+          upper(substring(hex(col("payload")),
+            (col("frame_no") * (FRAME_BYTES * 2) + 1).cast("int"),
+            lit(FRAME_BYTES * 2))).as("frame_hex"))
+    },
+
+    // ---- decode stub: mapPartitions batch contract ----
+    // STUB: a real image/audio codec is not available in this
+    // container. The decode produces a deterministic fake feature
+    // vector (first 8 payload bytes, zero-padded) through the exact
+    // Iterator-batch signature a JNI/Pandas decoder uses.
+    rowsOnly("mm_decode_stub") { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("features", ArrayType(FloatType))))
+      val input = withPayload(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id").cast(LongType), col("payload"))
+      val rdd = input.rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          // STUB decode: a real codec parses the container format
+          // here; the fake is deterministic so tests can pin results
+          val features = (0 until 8).map(i =>
+            if (i < bytes.length) (bytes(i) & 0xff).toFloat else 0f).toArray
+          Row(id, 64, 64, features)
+        }
+      }
+      s.createDataFrame(rdd, schema)
+    }
+  )
+}

@@ -43,7 +43,9 @@ object Relational {
     // explicit schema, mirroring the reference's bulk-CSV-load channel.
     sql("scan_csv",
       "SELECT r_regionkey, r_name FROM region") { (s, d) =>
-      val out = s"/root/repo/target/scratch/csv-region"
+      // per-invocation temp dir: a fixed path would race under
+      // concurrent catalog runs
+      val out = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/region"
       Tables.region(s, d).write.mode("overwrite")
         .option("header", "true").csv(out)
       val schema = StructType(Seq(
@@ -216,6 +218,39 @@ object Relational {
       val c = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
       val su = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
       c.unionByName(su).groupBy("nk").agg(count(lit(1)).as("n"))
+    },
+
+    // -- Set ops: intersect / except ---------------------------------------
+    sql("setop_intersect",
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+    },
+
+    sql("setop_except",
+      """SELECT p_partkey AS pk FROM part WHERE p_partkey <= 500
+        |EXCEPT SELECT l_partkey AS pk FROM lineitem WHERE l_quantity > 49""".stripMargin) { (s, d) =>
+      Tables.part(s, d).filter(col("p_partkey") <= 500).select(col("p_partkey").as("pk"))
+        .except(Tables.lineitem(s, d).filter(col("l_quantity") > 49)
+          .select(col("l_partkey").as("pk")))
+    },
+
+    // -- Aggregation: HLL sketch sanity ([NS] approx_count_distinct) ------
+    // Sketch values differ across engines by construction, so the
+    // oracle checks the CONTRACT both agree on: every group's sketch
+    // lands within 15% of the exact distinct count (HLL rsd is 5%).
+    sql("agg_approx_distinct",
+      """SELECT count(*) AS n_groups_ok FROM (
+        |  SELECT l_returnflag, approx_count_distinct(l_partkey) AS a,
+        |         count(DISTINCT l_partkey) AS e
+        |  FROM lineitem GROUP BY l_returnflag)
+        |WHERE abs(a - e) <= 0.15 * e""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("a"),
+          countDistinct(col("l_partkey")).as("e"))
+        .filter(abs(col("a") - col("e")) <= lit(0.15) * col("e"))
+        .agg(count(lit(1)).as("n_groups_ok"))
     },
 
     // -- String functions --------------------------------------------------

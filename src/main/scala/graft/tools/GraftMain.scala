@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.GraftSession
+import graft.core.SnapshotStore
+
+/** `docker run neo4j` analog (SURVEY.md §2.8/§3.1): boot = stale-lock
+  * cleanup -> extension script -> config/packs/auth assembly
+  * (GraftSession.fromEnv) -> load persisted databases -> serve the
+  * shell; arbitrary command passthrough mirrors
+  * docker-entrypoint.sh:682-685.
+  */
+object GraftMain {
+
+  def main(args: Array[String]): Unit = {
+    val env = sys.env.toMap
+    val dataDir = env.getOrElse("GRAFT_DATA", "data")
+
+    args.headOption match {
+      case Some("console") | Some("graft") | None =>
+        Lifecycle.cleanStalePid(dataDir)
+        Lifecycle.runExtensionScript(env, script =>
+          Console.out.println(s"[extension] ${script.linesIterator.size} lines sourced"))
+        Lifecycle.writePid(dataDir)
+
+        val spark = SparkSession.builder()
+          .master(env.getOrElse("SPARK_MASTER", "local[8]"))
+          .appName("graft")
+          .config("spark.sql.shuffle.partitions", env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+
+        val session = GraftSession.fromEnv(spark, env, dataDir = Some(dataDir))
+        // load persisted databases from the data dir
+        val dbRoot = java.nio.file.Paths.get(dataDir, "databases")
+        if (java.nio.file.Files.isDirectory(dbRoot))
+          java.nio.file.Files.list(dbRoot).forEach { p =>
+            if (SnapshotStore.exists(p.toString))
+              session.loadDatabase(dataDir, p.getFileName.toString)
+          }
+        Lifecycle.registerShutdownHook(dataDir, () =>
+          session.catalog.listDatabases.filterNot(_ == "system")
+            .foreach(db => session.saveDatabase(dataDir, db)))
+        Console.out.println("Started.")
+        Shell.main(args.drop(1))
+
+      case Some("shell") =>
+        Shell.main(args.drop(1))
+
+      case Some(other) =>
+        // arbitrary command passthrough (docker-entrypoint.sh:682-685)
+        val pb = new ProcessBuilder(args: _*).inheritIO()
+        sys.exit(pb.start().waitFor())
+    }
+  }
+}

@@ -183,6 +183,23 @@ class ConfigSpec extends AnyFunSuite {
     assert(on.resolved()("server.memory.pagecache.size") == "20M")
   }
 
+  // ---- dump-config sink ----
+
+  test("dump-config writes the assembled conf files (docker-entrypoint.sh:646-655)") {
+    val a = assemble(Map(
+      "NEO4J_server_memory_heap_max__size" -> "128M",
+      "NEO4J_apoc_export_file_enabled" -> "true"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-conf").toString
+    a.dumpTo(dir)
+    val neo4jConf = java.nio.file.Files.readString(java.nio.file.Paths.get(dir, Neo4jConf))
+    assert(neo4jConf.contains("server.memory.heap.max_size=128M"))
+    assert(neo4jConf.contains("server.memory.pagecache.size=512M"))
+    val apocConf = java.nio.file.Files.readString(java.nio.file.Paths.get(dir, ApocConf))
+    assert(apocConf.trim == "apoc.export.file.enabled=true")
+    // round-trip: parsing the dump resolves to the same settings
+    assert(parseConf(neo4jConf).toMap == a.resolved())
+  }
+
   // ---- enterprise defaults ----
 
   test("enterprise cluster advertised-address defaults (docker-entrypoint.sh:578-584)") {
