@@ -78,6 +78,35 @@ final class GraftSession(val spark: SparkSession,
   def backupDatabase(toPath: String, db: String = "neo4j"): Unit =
     SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), s"$toPath/$db.backup", db)
 
+  /** Cluster-availability/readiness probe (SURVEY §2.9 — ref
+    * WaitStrategies.java:24-28 polls /db/<db>/cluster/available):
+    * ready = the database exists and is started. */
+  def available(db: String = "neo4j"): Boolean =
+    catalog.listDatabases.contains(db) && !catalog.database(db).stopped
+
+  /** `neo4j-admin server report` analog, run in-process like the
+    * reference's neo4j-admin-report.sh wrapper (SURVEY §2.6 — ref
+    * neo4j-admin-report.sh:6-31, TestAdminReport.java:59-127): dumps
+    * config, the procedure catalog, per-database stats, and JVM info
+    * to the target directory. */
+  def report(toPath: String): Unit = {
+    val dir = java.nio.file.Paths.get(toPath)
+    java.nio.file.Files.createDirectories(dir)
+    config.foreach(_.dumpTo(toPath))
+    val procsTxt = procedures.asDataFrame.collect()
+      .map(r => s"${r.getString(0)}\t${r.getString(1)}").mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(dir.resolve("procedures.txt"), procsTxt)
+    val dbsTxt = catalog.listDatabases.map { db =>
+      val d = catalog.database(db)
+      s"$db\tnodes=${d.graph.nodes.count()}\tedges=${d.graph.edges.count()}\t" +
+        s"state=${if (d.stopped) "stopped" else "online"}"
+    }.mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(dir.resolve("databases.txt"), dbsTxt)
+    java.nio.file.Files.writeString(dir.resolve("jvm.txt"),
+      s"java.version=${System.getProperty("java.version")}\n" +
+        s"spark.version=${spark.version}\nmax.memory=${Runtime.getRuntime.maxMemory()}\n")
+  }
+
   /** Restore from a backup; requires the database stopped and
     * explicit overwrite consent (ref TestBackupRestore.java:149-163). */
   def restoreDatabase(fromPath: String, db: String = "neo4j",
@@ -381,9 +410,20 @@ object GraftSession {
       readFile: String => Option[String] = p =>
         try Some(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
         catch { case _: Exception => None }): GraftSession = {
+    val edition = env.getOrElse("NEO4J_EDITION", "community")
+
+    // enterprise license gate (SURVEY §2.8 — docker-entrypoint.sh:
+    // 428-466, TestBasic.java:78-143): yes|eval accepted, else refuse
+    if (edition == "enterprise") {
+      val accept = env.getOrElse("NEO4J_ACCEPT_LICENSE_AGREEMENT", "not accepted")
+      if (accept != "yes" && accept != "eval")
+        throw new IllegalStateException(
+          "In order to use Neo4j Enterprise Edition you must accept the license agreement. " +
+            "Set NEO4J_ACCEPT_LICENSE_AGREEMENT=yes (or =eval to evaluate).")
+    }
+
     val assembled = graft.config.GraftConfig.assemble(
-      env, userConf, userApocConf, readFile,
-      edition = env.getOrElse("NEO4J_EDITION", "community"))
+      env, userConf, userApocConf, readFile, edition = edition)
     val session = new GraftSession(spark, Map.empty, Some(assembled))
     val plugins = env.get("NEO4J_PLUGINS")
       .map(graft.config.GraftConfig.parsePluginList).getOrElse(Nil)

@@ -50,7 +50,8 @@ object Packs {
           case "apoc" | "apoc-extended" => installApoc(session)
           case "graph-data-science"     => installGds(session)
           case "genai"                  => installGenai(session)
-          case _ => () // bloom / fleet-management / _testing: config-only
+          case "_testing"               => installTesting(session)
+          case _ => () // bloom / fleet-management: config-only
         }
       }
     }
@@ -108,6 +109,28 @@ object Packs {
     procs.register("gds.triangleCount", "(relType :: STRING?) :: (node_id, triangles)",
       "Per-node triangle count (GraphX)") { args =>
       Gds.triangleCount(spark, session.graph(), relTypeArg(args, 0))
+    }
+  }
+
+  // ---- _testing: the stub-plugin analog (C11) ----
+  // Replays the reference's test plugin: a procedure with
+  // default-valued named args returning a typed one-row record of all
+  // four property types (ref ExampleNeo4jPlugin.java:17-59, asserted
+  // StubPluginHelper.java:124-134).
+
+  private def installTesting(session: GraftSession): Unit = {
+    val procs = session.procedures
+    import procs.Param
+    procs.registerWithParams("com.neo4j.docker.test.myplugin.defaultValues",
+      Seq(Param("string", Some("a string")), Param("integer", Some(42L)),
+        Param("float", Some(3.14d)), Param("boolean", Some(true))),
+      "(string = 'a string' :: STRING, integer = 42 :: INTEGER, float = 3.14 :: FLOAT, boolean = true :: BOOLEAN) :: (string, integer, aFloat, aBoolean)",
+      "Stub test procedure returning its (defaulted) arguments") { args =>
+      procs.oneRow(
+        "string" -> String.valueOf(args(0)),
+        "integer" -> (args(1) match { case i: Int => i.toLong; case l: Long => l; case o => String.valueOf(o).toLong }),
+        "aFloat" -> (args(2) match { case d: Double => d; case o => String.valueOf(o).toDouble }),
+        "aBoolean" -> (args(3) match { case b: Boolean => b; case o => String.valueOf(o).toBoolean }))
     }
   }
 

@@ -14,15 +14,37 @@ import scala.collection.mutable
   */
 final class ProcedureRegistry(spark: SparkSession) {
 
+  /** Declared parameter: name + optional default (C11 — the stub
+    * plugin's `@Name(value = "string", defaultValue = "a string")`
+    * shape, ref ExampleNeo4jPlugin.java:52-59). */
+  final case class Param(name: String, default: Option[Any] = None)
+
   final case class ProcDef(name: String, signature: String,
-      description: String, fn: Seq[Any] => DataFrame)
+      description: String, params: Seq[Param], fn: Seq[Any] => DataFrame)
 
   private val procs = mutable.LinkedHashMap.empty[String, ProcDef]
   private val scalars = mutable.LinkedHashMap.empty[String, (String, Seq[Column] => Column)]
 
   def register(name: String, signature: String, description: String = "")(
       fn: Seq[Any] => DataFrame): Unit =
-    procs(name) = ProcDef(name, signature, description, fn)
+    procs(name) = ProcDef(name, signature, description, Nil, fn)
+
+  /** Register with declared parameters: positional call args fill the
+    * declared params in order; missing trailing args take their
+    * defaults; a missing arg without a default is an error. */
+  def registerWithParams(name: String, params: Seq[Param], signature: String,
+      description: String = "")(fn: Seq[Any] => DataFrame): Unit =
+    procs(name) = ProcDef(name, signature, description, params, { args =>
+      if (args.size > params.size)
+        throw new IllegalArgumentException(
+          s"Procedure $name expects at most ${params.size} arguments, got ${args.size}")
+      val resolved = params.zipWithIndex.map { case (p, i) =>
+        args.lift(i).orElse(p.default).getOrElse(
+          throw new IllegalArgumentException(
+            s"Procedure $name: missing required argument `${p.name}`"))
+      }
+      fn(resolved)
+    })
 
   def registerScalar(name: String, signature: String)(fn: Seq[Column] => Column): Unit =
     scalars(name) = (signature, fn)

@@ -111,6 +111,19 @@ class AdminSpec extends AnyFunSuite {
     }
   }
 
+  test("server-side report dumps config, procedures, db stats (TestAdminReport.java:59-127)") {
+    val s = GraftSession.fromEnv(spark, Map("NEO4J_server_memory_pagecache_size" -> "42M"))
+    s.cypher("CREATE (a:dog {name:'Arne'})")
+    val dir = tmp("graft-report")
+    s.report(dir)
+    val p = java.nio.file.Paths.get(dir)
+    assert(Files.readString(p.resolve("neo4j.conf")).contains("server.memory.pagecache.size=42M"))
+    assert(Files.readString(p.resolve("procedures.txt")).contains("dbms.listConfig"))
+    val dbs = Files.readString(p.resolve("databases.txt"))
+    assert(dbs.contains("neo4j\tnodes=1\tedges=0\tstate=online"))
+    assert(Files.readString(p.resolve("jvm.txt")).contains("spark.version="))
+  }
+
   test("admin refuses to run the server (neo4j-admin/docker-entrypoint.sh:49-60)") {
     var errs = List.empty[String]
     assert(GraftAdmin.run(Seq("neo4j"), "data", err = e => errs ::= e) == 1)

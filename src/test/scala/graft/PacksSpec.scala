@@ -99,6 +99,48 @@ class PacksSpec extends AnyFunSuite {
     assert(rows == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("C11: stub procedure with default named args returns typed record (StubPluginHelper.java:124-134)") {
+    val s = sessionWith("_testing")
+    val defaults = s.cypher("CALL com.neo4j.docker.test.myplugin.defaultValues()")
+      .collect().head
+    assert(defaults.getString(0) == "a string")
+    assert(defaults.getLong(1) == 42L)
+    assert(defaults.getDouble(2) == 3.14)
+    assert(defaults.getBoolean(3))
+    // positional args override leading defaults, the rest stay default
+    val partial = s.cypher("CALL com.neo4j.docker.test.myplugin.defaultValues('over', 7)")
+      .collect().head
+    assert(partial.getString(0) == "over")
+    assert(partial.getLong(1) == 7L)
+    assert(partial.getDouble(2) == 3.14)
+    // SHOW PROCEDURES lists it (TestPluginInstallation.java:184,215)
+    val names = s.cypher("SHOW PROCEDURES YIELD name, signature")
+      .collect().map(_.getString(0))
+    assert(names.exists(_.contains("defaultValues")))
+  }
+
+  test("enterprise license gate refuses boot without acceptance (TestBasic.java:78-143)") {
+    val e = intercept[IllegalStateException] {
+      GraftSession.fromEnv(spark, Map("NEO4J_EDITION" -> "enterprise"))
+    }
+    assert(e.getMessage.contains("you must accept the license agreement"))
+    // yes and eval both accepted
+    GraftSession.fromEnv(spark,
+      Map("NEO4J_EDITION" -> "enterprise", "NEO4J_ACCEPT_LICENSE_AGREEMENT" -> "yes"))
+    GraftSession.fromEnv(spark,
+      Map("NEO4J_EDITION" -> "enterprise", "NEO4J_ACCEPT_LICENSE_AGREEMENT" -> "eval"))
+  }
+
+  test("readiness probe reflects database state (WaitStrategies.java:24-28 analog)") {
+    val s = new GraftSession(spark)
+    assert(s.available("neo4j"))
+    s.cypher("STOP DATABASE neo4j")
+    assert(!s.available("neo4j"))
+    s.cypher("START DATABASE neo4j")
+    assert(s.available("neo4j"))
+    assert(!s.available("nosuchdb"))
+  }
+
   test("genai cosine scalar works in RETURN") {
     val s = sessionWith("genai")
     val res = s.cypher("UNWIND range(1, 1) AS x RETURN genai.vector.similarity.cosine([1.0, 0.0], [1.0, 0.0]) AS c")

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+
+/** Structured Streaming behaviors ([NS]): the streaming windowed agg
+  * must agree with its batch equivalent once the stream drains, and
+  * the stateful session operator must count gap-separated sessions.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  private def writeSource(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val events = Seq(
+      // user 1: two sessions (gap 45 min between minute 10 and 55)
+      Ev(0, ts(0), 1, "click", 1.0), Ev(1, ts(10), 1, "view", 2.0),
+      Ev(2, ts(55), 1, "click", 3.0),
+      // user 2: one session
+      Ev(3, ts(5), 2, "view", 4.0), Ev(4, ts(20), 2, "error", 5.0),
+      // a second hour for the window agg
+      Ev(5, ts(70), 1, "click", 6.0))
+    events.toDF().write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def drain(q: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val query = q.writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+  }
+
+  test("streaming windowed agg matches the batch equivalent after drain") {
+    val dir = writeSource()
+    drain(StreamingOps.windowedCounts(spark, dir), "win_counts")
+    val streamed = spark.sql(
+      "SELECT hour, event_type, n, sum_value FROM win_counts")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    import org.apache.spark.sql.functions._
+    val batch = spark.read.parquet(dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState sessionizes with a 30-minute gap") {
+    val dir = writeSource()
+    drain(StreamingOps.sessionCounts(spark, dir).toDF(), "sess_counts")
+    val rows = spark.sql("SELECT user_id, n_sessions, n_events FROM sess_counts")
+      .collect()
+      // Update mode may emit a row per micro-batch per key: keep the
+      // final (max-events) row per user
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.maxBy(_.getLong(2)) }
+    // user 1: events at 0,10 | 55 | 70 minutes -> gaps 45 and 15 min -> 2 sessions, 4 events
+    assert(rows(1L).getLong(1) == 2L && rows(1L).getLong(2) == 4L)
+    // user 2: one session, 2 events
+    assert(rows(2L).getLong(1) == 1L && rows(2L).getLong(2) == 2L)
+  }
+}
