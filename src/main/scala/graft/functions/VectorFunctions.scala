@@ -51,6 +51,22 @@ object VectorFunctions {
        | / (sqrt(list_dot_product($qa, $qa)) * sqrt(list_dot_product($qb, $qb)))
        | * 1000000 + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")
 
+  /** Per-vector norm, computed once before a join so each candidate
+    * pair folds the arrays once instead of three times (higher-order
+    * lambdas are interpreted per element — at k candidate pairs this
+    * is the dominant cost). */
+  def qNorm(q: Column): Column = sqrt(intDot(q, q).cast("double"))
+
+  def qNormSql(q: String): String = s"sqrt(list_dot_product($q, $q))"
+
+  /** [[icos]] with precomputed norms: same expression tree as icos on
+    * identical inputs, so results are bit-identical. */
+  def icosN(qa: Column, qb: Column, na: Column, nb: Column): Column =
+    floor(intDot(qa, qb).cast("double") / (na * nb) * lit(QUANT) + lit(0.5)).cast("long")
+
+  def icosNSql(qa: String, qb: String, na: String, nb: String): String =
+    s"CAST(floor(list_dot_product($qa, $qb) / ($na * $nb) * 1000000 + 0.5) AS BIGINT)"
+
   /** Exact integer squared-L2 distance of two quantized vectors. */
   def intL2Sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)

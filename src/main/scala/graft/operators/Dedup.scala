@@ -227,19 +227,24 @@ object Dedup {
     sql("dedup_embed_cosine", {
       val sig = V.lshSignatureSql("q", LSH_BITS, DIM)
       s"""WITH qe AS (SELECT vec_id, ${V.quantizeSql("embedding")} AS q FROM embeddings),
-         |sg AS (SELECT vec_id, q, $sig AS bucket FROM qe)
+         |sg AS (SELECT vec_id, q, ${V.qNormSql("q")} AS nrm, $sig AS bucket FROM qe)
          |SELECT v1, v2, icos FROM (
-         |  SELECT a.vec_id AS v1, b.vec_id AS v2, ${V.icosSql("a.q", "b.q")} AS icos
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    ${V.icosNSql("a.q", "b.q", "a.nrm", "b.nrm")} AS icos
          |  FROM sg a JOIN sg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE icos >= 350000""".stripMargin
     }) { (s, d) =>
       val qe = Tables.embeddings(s, d)
         .select(col("vec_id"), V.quantize(col("embedding")).as("q"))
-        .withColumn("bucket", V.lshSignature(col("q"), LSH_BITS, DIM))
-      val a = qe.toDF("v1", "qa", "bucket")
-      val b = qe.toDF("v2", "qb", "bucket2")
+        // norm + bucket computed once per vector, NOT per candidate
+        // pair: per-pair scoring then folds the arrays once (icosN)
+        .select(col("vec_id"), col("q"), V.qNorm(col("q")).as("nrm"),
+          V.lshSignature(col("q"), LSH_BITS, DIM).as("bucket"))
+      val a = qe.toDF("v1", "qa", "na", "bucket")
+      val b = qe.toDF("v2", "qb", "nb", "bucket2")
       a.join(b, col("bucket") === col("bucket2") && col("v1") < col("v2"))
-        .select(col("v1"), col("v2"), V.icos(col("qa"), col("qb")).as("icos"))
+        .select(col("v1"), col("v2"),
+          V.icosN(col("qa"), col("qb"), col("na"), col("nb")).as("icos"))
         .filter(col("icos") >= 350000)
     }
   )

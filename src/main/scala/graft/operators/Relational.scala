@@ -177,6 +177,15 @@ object Relational {
              sum(col("l_quantity").cast(D2)).cast(DoubleType).as("sum_qty"))
     },
 
+    // -- Grouping sets: cube -----------------------------------------------
+    sql("agg_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+    },
+
     // -- Window functions --------------------------------------------------
     sql("window_rank",
       """SELECT l_orderkey, l_linenumber, rn, run_qty FROM (

@@ -11,19 +11,24 @@ import graft.functions.{VectorFunctions => V}
   * `embeddings` table (driver north star; the gds.nodeSimilarity /
   * genai-pack analog — ref neo4j-plugins.json:31-36).
   *
-  * Two plans, both oracle-checked with exact integer cosine scores
-  * (see [[graft.functions.VectorFunctions]] quantization):
+  * Three plans, all oracle-checked with exact integer cosine scores
+  * (see [[graft.functions.VectorFunctions]] quantization). Per-vector
+  * norms are computed once before any join so per-pair scoring folds
+  * the arrays exactly once.
   *
   *  - `ann_topk`: brute-force exact top-k. The tiny query side is
   *    broadcast and every data row is scanned once — for a handful of
   *    query vectors this IS the right distributed plan (one narrow
-  *    pass over n rows, top-k via window; no shuffle of the data
-  *    side beyond the final per-query k rows).
-  *  - `ann_topk_lsh`: the 100 TB path — queries and data bucket on a
-  *    sign-LSH signature and equi-join (hash join) on the bucket, so
-  *    each query only scores its bucket's candidates. Recall < 1 by
-  *    design; the oracle mirrors the same bucketing, so correctness
-  *    checks the algorithm, not brute force.
+  *    pass over n rows, top-k via window).
+  *  - `ann_topk_lsh`: sign-LSH path — queries and data bucket on the
+  *    signature and equi-join (hash join), so each query scores only
+  *    its bucket's candidates. Recall < 1 by design; the oracle
+  *    mirrors the same bucketing.
+  *  - `ann_topk_ivf`: IVF path — a deterministic "coarse quantizer"
+  *    (the first NLIST vectors act as centroids), every vector is
+  *    assigned to its nearest centroid cell, and each query probes
+  *    only its own cell. At scale the centroid table stays broadcast
+  *    (NLIST << n) and the cell assignment is one narrow pass.
   */
 object Similarity {
 
@@ -31,55 +36,104 @@ object Similarity {
   private val DIM = 64
   private val K = 5
   private val NQ = 8 // query vectors: vec_id < NQ
+  private val NLIST = 16 // IVF centroid count (vec_id < NLIST)
+
+  private def topkSql(scoredCte: String) =
+    s"""SELECT q_id, neighbor, icos, rnk FROM (
+       |  SELECT q_id, neighbor, icos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY icos DESC, neighbor) AS rnk
+       |  FROM $scoredCte)
+       |WHERE rnk <= $K""".stripMargin
+
+  private def topk(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("icos").desc, col("neighbor"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+  }
+
+  /** vec_id, q (quantized), nrm — the shared scan. */
+  private def qe(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), V.quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q"), V.qNorm(col("q")).as("nrm"))
+
+  private val qeSql =
+    s"""qe AS (SELECT vec_id, q, ${V.qNormSql("q")} AS nrm FROM
+       |  (SELECT vec_id, ${V.quantizeSql("embedding")} AS q FROM embeddings))""".stripMargin
 
   def all: Seq[QueryDef] = Seq(
 
     sql("ann_topk", {
-      s"""WITH qe AS (SELECT vec_id, ${V.quantizeSql("embedding")} AS q FROM embeddings),
-         |qs AS (SELECT vec_id AS q_id, q AS qq FROM qe WHERE vec_id < $NQ),
+      s"""WITH $qeSql,
+         |qs AS (SELECT vec_id AS q_id, q AS qq, nrm AS qn FROM qe WHERE vec_id < $NQ),
          |scored AS (
-         |  SELECT q_id, e.vec_id AS neighbor, ${V.icosSql("qq", "e.q")} AS icos
+         |  SELECT q_id, e.vec_id AS neighbor,
+         |    ${V.icosNSql("qq", "e.q", "qn", "e.nrm")} AS icos
          |  FROM qs JOIN qe e ON e.vec_id <> qs.q_id)
-         |SELECT q_id, neighbor, icos, rnk FROM (
-         |  SELECT q_id, neighbor, icos,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY icos DESC, neighbor) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= $K""".stripMargin
+         |${topkSql("scored")}""".stripMargin
     }) { (s, d) =>
-      val qe = Tables.embeddings(s, d)
-        .select(col("vec_id"), V.quantize(col("embedding")).as("q"))
-      val qs = qe.filter(col("vec_id") < NQ).toDF("q_id", "qq")
-      val scored = qe.toDF("neighbor", "qn")
+      val e = qe(s, d)
+      val qs = e.filter(col("vec_id") < NQ).toDF("q_id", "qq", "qn")
+      val scored = e.toDF("neighbor", "qv", "nv")
         .crossJoin(broadcast(qs))
         .filter(col("neighbor") =!= col("q_id"))
-        .select(col("q_id"), col("neighbor"), V.icos(col("qq"), col("qn")).as("icos"))
-      val w = Window.partitionBy("q_id").orderBy(col("icos").desc, col("neighbor"))
-      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+        .select(col("q_id"), col("neighbor"),
+          V.icosN(col("qq"), col("qv"), col("qn"), col("nv")).as("icos"))
+      topk(scored)
     },
 
     sql("ann_topk_lsh", {
       val sig = V.lshSignatureSql("q", LSH_BITS, DIM)
-      s"""WITH qe AS (SELECT vec_id, ${V.quantizeSql("embedding")} AS q FROM embeddings),
-         |sg AS (SELECT vec_id, q, $sig AS bucket FROM qe),
-         |qs AS (SELECT vec_id AS q_id, q AS qq, bucket FROM sg WHERE vec_id < $NQ),
+      s"""WITH $qeSql,
+         |sg AS (SELECT vec_id, q, nrm, $sig AS bucket FROM qe),
+         |qs AS (SELECT vec_id AS q_id, q AS qq, nrm AS qn, bucket FROM sg WHERE vec_id < $NQ),
          |scored AS (
-         |  SELECT q_id, e.vec_id AS neighbor, ${V.icosSql("qq", "e.q")} AS icos
+         |  SELECT q_id, e.vec_id AS neighbor,
+         |    ${V.icosNSql("qq", "e.q", "qn", "e.nrm")} AS icos
          |  FROM qs JOIN sg e ON e.bucket = qs.bucket AND e.vec_id <> qs.q_id)
-         |SELECT q_id, neighbor, icos, rnk FROM (
-         |  SELECT q_id, neighbor, icos,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY icos DESC, neighbor) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= $K""".stripMargin
+         |${topkSql("scored")}""".stripMargin
     }) { (s, d) =>
-      val sg = Tables.embeddings(s, d)
-        .select(col("vec_id"), V.quantize(col("embedding")).as("q"))
+      val sg = qe(s, d)
         .withColumn("bucket", V.lshSignature(col("q"), LSH_BITS, DIM))
-      val qs = sg.filter(col("vec_id") < NQ).toDF("q_id", "qq", "qbucket")
-      val scored = sg.toDF("neighbor", "qn", "bucket")
+      val qs = sg.filter(col("vec_id") < NQ).toDF("q_id", "qq", "qn", "qbucket")
+      val scored = sg.toDF("neighbor", "qv", "nv", "bucket")
         .join(broadcast(qs), col("bucket") === col("qbucket") && col("neighbor") =!= col("q_id"))
-        .select(col("q_id"), col("neighbor"), V.icos(col("qq"), col("qn")).as("icos"))
-      val w = Window.partitionBy("q_id").orderBy(col("icos").desc, col("neighbor"))
-      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+        .select(col("q_id"), col("neighbor"),
+          V.icosN(col("qq"), col("qv"), col("qn"), col("nv")).as("icos"))
+      topk(scored)
+    },
+
+    sql("ann_topk_ivf", {
+      // cell = argmax centroid cosine (ties -> lowest centroid id)
+      s"""WITH $qeSql,
+         |cent AS (SELECT vec_id AS c_id, q AS cq, nrm AS cn FROM qe WHERE vec_id < $NLIST),
+         |assign AS (
+         |  SELECT vec_id, q, nrm, c_id AS cell FROM (
+         |    SELECT e.vec_id, e.q, e.nrm, cent.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${V.icosNSql("e.q", "cq", "e.nrm", "cn")} DESC, cent.c_id) AS rc
+         |    FROM qe e, cent)
+         |  WHERE rc = 1),
+         |qs AS (SELECT vec_id AS q_id, q AS qq, nrm AS qn, cell FROM assign WHERE vec_id < $NQ),
+         |scored AS (
+         |  SELECT q_id, e.vec_id AS neighbor,
+         |    ${V.icosNSql("qq", "e.q", "qn", "e.nrm")} AS icos
+         |  FROM qs JOIN assign e ON e.cell = qs.cell AND e.vec_id <> qs.q_id)
+         |${topkSql("scored")}""".stripMargin
+    }) { (s, d) =>
+      val e = qe(s, d)
+      val cent = e.filter(col("vec_id") < NLIST).toDF("c_id", "cq", "cn")
+      val wc = Window.partitionBy("vec_id")
+        .orderBy(V.icosN(col("q"), col("cq"), col("nrm"), col("cn")).desc, col("c_id"))
+      val assign = e.crossJoin(broadcast(cent))
+        .withColumn("rc", row_number().over(wc))
+        .filter(col("rc") === 1)
+        .select(col("vec_id"), col("q"), col("nrm"), col("c_id").as("cell"))
+      val qs = assign.filter(col("vec_id") < NQ).toDF("q_id", "qq", "qn", "qcell")
+      val scored = assign.toDF("neighbor", "qv", "nv", "cell")
+        .join(broadcast(qs), col("cell") === col("qcell") && col("neighbor") =!= col("q_id"))
+        .select(col("q_id"), col("neighbor"),
+          V.icosN(col("qq"), col("qv"), col("qn"), col("nv")).as("icos"))
+      topk(scored)
     }
   )
 }

@@ -34,7 +34,11 @@ object Shell {
 
     def run(q: String): Unit =
       try session.cypher(q).show(50, truncate = false)
-      catch { case e: Exception => System.err.println(s"error: ${e.getMessage}") }
+      catch {
+        case e: Exception =>
+          System.err.println(s"error: ${e.getMessage}")
+          if (sys.env.contains("GRAFT_DEBUG")) e.printStackTrace()
+      }
 
     if (rest.nonEmpty) rest.foreach(run)
     else {

@@ -124,6 +124,24 @@ class AdminSpec extends AnyFunSuite {
     assert(Files.readString(p.resolve("jvm.txt")).contains("spark.version="))
   }
 
+  test("read scaling: N sessions serve reads over one shared snapshot (SURVEY §2.9)") {
+    // the engine's read-replica analog: replicas are independent
+    // sessions over the same immutable parquet snapshot — no
+    // coordination needed, reads scale with session count
+    val data = tmp("graft-data")
+    dogsSession().saveDatabase(data)
+    val replicas = (1 to 3).map { _ =>
+      val r = new GraftSession(spark)
+      r.loadDatabase(data)
+      r
+    }
+    replicas.foreach(verifyDogs)
+    // a replica's local write does not affect the others (snapshot isolation)
+    replicas.head.cypher("CREATE (x:dog {name:'Local'})")
+    assert(replicas.head.graph().nodes.count() == 3)
+    assert(replicas(1).graph().nodes.count() == 2)
+  }
+
   test("admin refuses to run the server (neo4j-admin/docker-entrypoint.sh:49-60)") {
     var errs = List.empty[String]
     assert(GraftAdmin.run(Seq("neo4j"), "data", err = e => errs ::= e) == 1)
