@@ -50,10 +50,16 @@ final class GraftSession(val spark: SparkSession,
   // ----------------------------------------------------------------
 
   /** Flush a database to the data-dir snapshot (the `/data` volume
-    * analog; shutdown-hook flush target). */
-  def saveDatabase(dataDir: String, db: String = "neo4j"): Unit =
-    SnapshotStore.write(graph(db), catalog.database(db).nextId.get(),
-      s"$dataDir/databases/$db", db)
+    * analog; shutdown-hook flush target). The in-memory graph is then
+    * re-pointed at the durable snapshot: the append-log lineage
+    * collapses into one parquet read (compaction), and the old lazy
+    * plan never dangles on the replaced files. */
+  def saveDatabase(dataDir: String, db: String = "neo4j"): Unit = {
+    val dir = s"$dataDir/databases/$db"
+    SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), dir, db)
+    setGraph(PropertyGraph(spark.read.parquet(s"$dir/nodes"),
+      spark.read.parquet(s"$dir/edges")), db)
+  }
 
   /** Load a database from the data-dir snapshot. */
   def loadDatabase(dataDir: String, db: String = "neo4j"): Unit = {

@@ -25,14 +25,28 @@ object SnapshotStore {
       edgeCount: Long,
       nextId: Long)
 
-  /** Write a snapshot of the graph (+ id-allocator state) to `dir`. */
+  /** Write a snapshot of the graph (+ id-allocator state) to `dir`.
+    *
+    * Writes land in a temp sibling first and swap in atomically-ish:
+    * the graph being saved may itself lazily read from `dir` (a
+    * database loaded from this snapshot and then mutated), and a
+    * direct overwrite would delete the write job's own input files
+    * mid-read. */
   def write(graph: PropertyGraph, nextId: Long, dir: String, database: String): Manifest = {
-    val nodeCount = graph.nodes.count()
-    val edgeCount = graph.edges.count()
-    graph.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
-    graph.edges.write.mode("overwrite").parquet(s"$dir/edges")
-    val m = Manifest(FormatVersion, database, nodeCount, edgeCount, nextId)
+    val tmp = s"$dir/.tmp-write"
+    deleteDir(tmp)
+    graph.nodes.write.mode("overwrite").parquet(s"$tmp/nodes")
+    graph.edges.write.mode("overwrite").parquet(s"$tmp/edges")
+    deleteDir(s"$dir/nodes")
+    deleteDir(s"$dir/edges")
     Files.createDirectories(Paths.get(dir))
+    Files.move(Paths.get(s"$tmp/nodes"), Paths.get(s"$dir/nodes"))
+    Files.move(Paths.get(s"$tmp/edges"), Paths.get(s"$dir/edges"))
+    deleteDir(tmp)
+    val spark = graph.nodes.sparkSession
+    val nodeCount = spark.read.parquet(s"$dir/nodes").count()
+    val edgeCount = spark.read.parquet(s"$dir/edges").count()
+    val m = Manifest(FormatVersion, database, nodeCount, edgeCount, nextId)
     Files.writeString(Paths.get(s"$dir/manifest.json"),
       s"""{"format_version": ${m.formatVersion}, "database": "${m.database}", """ +
         s""""node_count": ${m.nodeCount}, "edge_count": ${m.edgeCount}, "next_id": ${m.nextId}}""")
@@ -40,9 +54,23 @@ object SnapshotStore {
   }
 
   /** Read a snapshot back. Snapshots from older format versions pass
-    * through [[migrate]]; newer-than-engine formats are refused. */
+    * through [[migrate]] (upgrade-in-place, ref TestUpgrade.java:54-73);
+    * newer-than-engine formats are refused.
+    *
+    * Format v0 is the manifest-less layout (bare `nodes/` + `edges/`
+    * parquet): the manifest is synthesized on load — counts from the
+    * data, next id = max node id + 1 — and the snapshot loads like any
+    * current one. */
   def read(spark: SparkSession, dir: String): (PropertyGraph, Manifest) = {
-    val m = readManifest(dir)
+    val m =
+      if (Files.exists(Paths.get(s"$dir/manifest.json"))) readManifest(dir)
+      else if (Files.exists(Paths.get(s"$dir/nodes"))) {
+        val nodes = spark.read.parquet(s"$dir/nodes")
+        val maxId = nodes.agg(org.apache.spark.sql.functions.max("id")).collect()
+          .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(-1L)
+        Manifest(0, dir.split('/').last, nodes.count(),
+          spark.read.parquet(s"$dir/edges").count(), maxId + 1)
+      } else throw new java.io.FileNotFoundException(s"no snapshot at $dir")
     if (m.formatVersion > FormatVersion)
       throw new IllegalStateException(
         s"snapshot at $dir has format version ${m.formatVersion}, " +
@@ -53,7 +81,9 @@ object SnapshotStore {
     (migrate(g, m.formatVersion), m)
   }
 
-  def exists(dir: String): Boolean = Files.exists(Paths.get(s"$dir/manifest.json"))
+  def exists(dir: String): Boolean =
+    Files.exists(Paths.get(s"$dir/manifest.json")) ||
+      Files.exists(Paths.get(s"$dir/nodes"))
 
   def readManifest(dir: String): Manifest = {
     val path = Paths.get(s"$dir/manifest.json")

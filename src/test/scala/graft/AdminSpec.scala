@@ -142,6 +142,26 @@ class AdminSpec extends AnyFunSuite {
     assert(replicas(1).graph().nodes.count() == 2)
   }
 
+  test("upgrade-in-place: a v0 manifest-less snapshot loads with a synthesized manifest (TestUpgrade analog)") {
+    val data = tmp("graft-data")
+    dogsSession().saveDatabase(data)
+    // strip the manifest: the old (v0) layout was bare parquet dirs
+    Files.delete(java.nio.file.Paths.get(s"$data/databases/neo4j/manifest.json"))
+    val s = new GraftSession(spark)
+    s.loadDatabase(data)
+    verifyDogs(s)
+    // id allocator recovered from the data: new ids don't collide
+    s.cypher("CREATE (c:dog {name:'Solo'})")
+    assert(s.graph().nodes.select("id").distinct().count() == 3)
+    // re-saving writes the CURRENT format, and the session keeps
+    // serving reads from the compacted snapshot
+    s.saveDatabase(data)
+    assert(graft.core.SnapshotStore.readManifest(s"$data/databases/neo4j").formatVersion
+      == graft.core.SnapshotStore.FormatVersion)
+    verifyDogs(s)
+    assert(s.graph().nodes.count() == 3)
+  }
+
   test("admin refuses to run the server (neo4j-admin/docker-entrypoint.sh:49-60)") {
     var errs = List.empty[String]
     assert(GraftAdmin.run(Seq("neo4j"), "data", err = e => errs ::= e) == 1)
