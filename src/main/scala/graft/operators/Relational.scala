@@ -333,6 +333,22 @@ object Relational {
         .agg(count(lit(1)).as("n"))
     },
 
+    // -- UDF surface: custom typed Aggregator (SURVEY §2.2 UDF row) -------
+    // A minhash-style min-of-permuted-hash aggregate registered as a
+    // UDAF — integer arithmetic end to end, so the DuckDB oracle is an
+    // exact mirror. (Scalar UDFs live in the packs registry; table
+    // functions are procedures — this closes the Aggregator leg.)
+    sql("agg_custom_udaf",
+      """SELECT l_returnflag,
+        |  min((1103515245 * l_partkey + 12345) % 2147483647) AS minhash,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      s.udf.register("graft_minhash", udaf(MinHashAggregator))
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("graft_minhash(l_partkey)").as("minhash"),
+          count(lit(1)).as("n"))
+    },
+
     // -- C16: sorted string aggregation (ref DatabaseIO.java:76-82) -------
     sql("agg_stringagg",
       """SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
@@ -344,4 +360,20 @@ object Relational {
   )
 
   private def $(s: SparkSession) = (name: String) => col(name)
+}
+
+/** Typed `Aggregator` (the custom-UDAF surface): min of a fixed
+  * integer hash permutation — the single-permutation core of the
+  * MinHash signature, exact integer math so it oracle-matches. */
+object MinHashAggregator extends org.apache.spark.sql.expressions.Aggregator[Long, Long, Long] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  private val A = 1103515245L
+  private val B = 12345L
+  private val P = 2147483647L
+  def zero: Long = Long.MaxValue
+  def reduce(acc: Long, key: Long): Long = math.min(acc, (A * key + B) % P)
+  def merge(a: Long, b: Long): Long = math.min(a, b)
+  def finish(acc: Long): Long = acc
+  def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+  def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
