@@ -150,7 +150,11 @@ final class GraftSession(val spark: SparkSession,
       val db = catalog.database(database)
       db.requireStarted()
       val parsed = CypherParser.parse(q)
-      if (parsed.clauses.exists(_.isInstanceOf[ast.Create])) mutate(db, parsed)
+      val isMutation = parsed.clauses.exists {
+        case _: ast.Create | _: ast.SetProps | _: ast.Delete | _: ast.Merge => true
+        case _ => false
+      }
+      if (isMutation) mutate(db, parsed)
       else compiler(db).compile(parsed)
   }
 
@@ -190,6 +194,20 @@ final class GraftSession(val spark: SparkSession,
     val matches = q.clauses.collect { case m: ast.Match => m }
     val creates = q.clauses.collect { case c: ast.Create => c }
     val returns = q.clauses.collect { case r: ast.Return => r }
+    val sets = q.clauses.collect { case s: ast.SetProps => s }
+    val deletes = q.clauses.collect { case d: ast.Delete => d }
+    val merges = q.clauses.collect { case m: ast.Merge => m }
+
+    if (merges.nonEmpty) {
+      if (matches.nonEmpty || creates.nonEmpty || sets.nonEmpty || deletes.nonEmpty)
+        throw new UnsupportedOperationException("MERGE composes only with itself per statement")
+      return mutateMerge(db, merges)
+    }
+    if (sets.nonEmpty || deletes.nonEmpty) {
+      if (creates.nonEmpty)
+        throw new UnsupportedOperationException("CREATE with SET/DELETE in one statement is not supported")
+      return mutateSetDelete(db, matches, sets, deletes)
+    }
 
     // MATCH … CREATE appends one instantiation per matched binding —
     // built distributively (no driver collect; `MATCH (n) CREATE …`
@@ -282,6 +300,90 @@ final class GraftSession(val spark: SparkSession,
         })
         spark.createDataFrame(javaList(Seq(Row.fromSeq(values.map(v => norm(v._2))))), schema)
     }
+  }
+
+  /** Bound-variable id table for a MATCH prefix: one column per
+    * pattern variable, all distributed. */
+  private def matchedIds(db: GraphDatabase, matches: Seq[ast.Match]): (DataFrame, Seq[String]) = {
+    val boundVars = matches.flatMap(_.patterns.flatMap(p =>
+      (p.start.variable ++ p.hops.flatMap(_._2.variable)).toSeq)).distinct
+    val df = new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
+      .compile(ast.Query(matches ++ Seq(ast.Return(
+        boundVars.map(v => ast.ReturnItem(ast.FnCall("id", Seq(ast.Variable(v))), Some(v))),
+        distinct = false, Nil, None, None))))
+    (df, boundVars)
+  }
+
+  /** MATCH … SET / (DETACH) DELETE — both are joins against the
+    * matched id set, applied to the immutable snapshot and swapped in:
+    * SET rewrites the property column via a left join (update-by-join,
+    * the scale-correct shape); DELETE anti-joins nodes (and, for
+    * DETACH, incident edges). A plain DELETE of a node that still has
+    * relationships refuses, like the reference engine. */
+  private def mutateSetDelete(db: GraphDatabase, matches: Seq[ast.Match],
+      sets: Seq[ast.SetProps], deletes: Seq[ast.Delete]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (matches.isEmpty)
+      throw new UnsupportedOperationException("SET/DELETE requires a MATCH part")
+    val (bindings, _) = matchedIds(db, matches)
+    var g = db.graph
+
+    sets.foreach(_.items.foreach { case (ast.Prop(v, key), rhs) =>
+      val value = rhs match {
+        case ast.Lit(x) => norm(x)
+        case other => throw new UnsupportedOperationException(
+          s"SET value must be a literal, got $other")
+      }
+      val ids = bindings.select(col(v).as("_mid")).distinct()
+      val base = g.nodes
+      val joined = base.join(ids, base("id") === col("_mid"), "left_outer")
+      val updated =
+        if (base.columns.contains(key))
+          joined.withColumn(key, when(col("_mid").isNotNull, lit(value)).otherwise(col(key)))
+        else
+          joined.withColumn(key,
+            when(col("_mid").isNotNull, lit(value))
+              .otherwise(lit(null).cast(PropertyGraph.literalType(value))))
+      g = PropertyGraph(updated.drop("_mid"), g.edges)
+    })
+
+    deletes.foreach { d =>
+      d.vars.foreach { v =>
+        val ids = bindings.select(col(v).as("_mid")).distinct()
+        if (!d.detach) {
+          val incident = g.edges.join(ids,
+            g.edges("src") === col("_mid") || g.edges("dst") === col("_mid"), "left_semi")
+          if (incident.take(1).nonEmpty)
+            throw new IllegalStateException(
+              "Cannot delete nodes, because they still have relationships. " +
+                "To delete them, use DETACH DELETE.")
+        }
+        val edges =
+          if (d.detach)
+            g.edges.join(ids, g.edges("src") === col("_mid"), "left_anti")
+              .join(ids, col("dst") === col("_mid"), "left_anti")
+          else g.edges
+        val nodes = g.nodes.join(ids, g.nodes("id") === col("_mid"), "left_anti")
+        g = PropertyGraph(nodes, edges)
+      }
+    }
+
+    db.graph = g
+    unit()
+  }
+
+  /** MERGE: match the whole pattern; create it only when absent
+    * (openCypher match-or-create for fully-literal patterns). */
+  private def mutateMerge(db: GraphDatabase, merges: Seq[ast.Merge]): DataFrame = {
+    merges.foreach { m =>
+      val found = new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
+        .compile(ast.Query(Seq(
+          ast.Match(Seq(m.pattern), optional = false, None),
+          ast.Return(Seq(ast.ReturnItem(ast.Lit(1L), Some("one"))), distinct = false, Nil, None, Some(1L)))))
+      if (found.take(1).isEmpty)
+        mutate(db, ast.Query(Seq(ast.Create(Seq(m.pattern)))))
+    }
+    unit()
   }
 
   /** Distributed MATCH … CREATE: the matched bindings stay a DataFrame;

@@ -51,6 +51,12 @@ object ast {
   sealed trait Clause
   final case class Match(patterns: Seq[PathPat], optional: Boolean, where: Option[Expr]) extends Clause
   final case class Create(patterns: Seq[PathPat]) extends Clause
+  /** SET n.key = <literal expr>, … */
+  final case class SetProps(items: Seq[(Prop, Expr)]) extends Clause
+  /** DELETE / DETACH DELETE of bound node variables. */
+  final case class Delete(vars: Seq[String], detach: Boolean) extends Clause
+  /** MERGE: match the whole pattern, create it if absent. */
+  final case class Merge(pattern: PathPat) extends Clause
   final case class With(items: Seq[ReturnItem], distinct: Boolean, where: Option[Expr],
       orderBy: Seq[(Expr, Boolean)], skip: Option[Long], limit: Option[Long]) extends Clause
   final case class Return(items: Seq[ReturnItem], distinct: Boolean,

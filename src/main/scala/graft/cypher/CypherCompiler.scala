@@ -192,24 +192,31 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   // scans (filters emitted here so Catalyst pushes them to the source)
   // ------------------------------------------------------------------
 
+  // schema-optional matching: a predicate on a property key that no
+  // node/edge carries yet matches nothing (the column only appears on
+  // first CREATE — SURVEY §1.2), it is not an error
+  private def propFilter(df: DataFrame, k: String, value: Any): DataFrame =
+    if (df.columns.contains(k)) df.filter(col(k) === lit(value))
+    else df.filter(lit(false))
+
   private def nodeDf(v: String, n: NodePat): DataFrame = {
     var df = graph.nodes
     n.labels.foreach(l => df = df.filter(array_contains(col("labels"), l)))
-    n.props.foreach { case (k, Lit(value)) => df = df.filter(col(k) === lit(value)) }
+    n.props.foreach { case (k, Lit(value)) => df = propFilter(df, k, value) }
     df.select(df.columns.map(c => col(c).as(s"$v$SEP$c")).toIndexedSeq: _*)
   }
 
   private def filterBound(df: DataFrame, v: String, n: NodePat): DataFrame = {
     var out = df
     n.labels.foreach(l => out = out.filter(array_contains(col(s"$v${SEP}labels"), l)))
-    n.props.foreach { case (k, Lit(value)) => out = out.filter(col(s"$v$SEP$k") === lit(value)) }
+    n.props.foreach { case (k, Lit(value)) => out = propFilter(out, s"$v$SEP$k", value) }
     out
   }
 
   private def typedEdges(rel: RelPat): DataFrame = {
     var df = graph.edges
     if (rel.types.nonEmpty) df = df.filter(col("relType").isin(rel.types: _*))
-    rel.props.foreach { case (k, Lit(value)) => df = df.filter(col(k) === lit(value)) }
+    rel.props.foreach { case (k, Lit(value)) => df = propFilter(df, k, value) }
     df
   }
 

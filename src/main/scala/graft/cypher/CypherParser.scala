@@ -149,6 +149,19 @@ object CypherParser extends RegexParsers {
   private def createClause: Parser[Create] =
     kw("create") ~> patternList ^^ Create.apply
 
+  private def setClause: Parser[SetProps] =
+    kw("set") ~> rep1sep((ident ~ ("." ~> ident) ~ ("=" ~> expr)), ",") ^^ { items =>
+      SetProps(items.map { case v ~ k ~ e => (Prop(v, k), e) })
+    }
+
+  private def deleteClause: Parser[Delete] =
+    opt(kw("detach")) ~ (kw("delete") ~> rep1sep(ident, ",")) ^^ {
+      case d ~ vs => Delete(vs, d.isDefined)
+    }
+
+  private def mergeClause: Parser[Merge] =
+    kw("merge") ~> pathPat ^^ Merge.apply
+
   private def returnItem: Parser[ReturnItem] =
     expr ~ opt(kw("as") ~> ident) ^^ { case e ~ a => ReturnItem(e, a) }
 
@@ -181,7 +194,8 @@ object CypherParser extends RegexParsers {
     (kw("unwind") ~> expr) ~ (kw("as") ~> ident) ^^ { case e ~ a => Unwind(e, a) }
 
   private def clause: Parser[Clause] =
-    matchClause | createClause | withClause | returnClause | callClause | unwindClause
+    matchClause | createClause | mergeClause | setClause | deleteClause |
+      withClause | returnClause | callClause | unwindClause
 
   private def query: Parser[Query] = rep1(clause) ^^ Query.apply
 

@@ -58,6 +58,43 @@ class CypherSpec extends AnyFunSuite {
     assert(res.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("SET updates matched properties by join (existing and new columns)") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne', age: 3}), (b:dog {name:'Bosse', age: 7})")
+    s.cypher("MATCH (d:dog {name:'Arne'}) SET d.age = 4, d.city = 'Malmo'")
+    val rows = s.cypher("MATCH (d:dog) RETURN d.name AS n, d.age AS a, d.city AS c ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+    assert(rows.toSeq == Seq(("Arne", 4L, Some("Malmo")), ("Bosse", 7L, None)))
+  }
+
+  test("DELETE refuses nodes with relationships; DETACH DELETE removes both") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    val e = intercept[IllegalStateException] {
+      s.cypher("MATCH (d:dog {name:'Arne'}) DELETE d")
+    }
+    assert(e.getMessage.contains("DETACH DELETE"))
+    s.cypher("MATCH (d:dog {name:'Arne'}) DETACH DELETE d")
+    assert(s.graph().nodes.count() == 1)
+    assert(s.graph().edges.count() == 0)
+    // deleting an unconnected node without DETACH works
+    s.cypher("MATCH (d:dog {name:'Bosse'}) DELETE d")
+    assert(s.graph().nodes.count() == 0)
+  }
+
+  test("MERGE creates once, then matches (idempotent)") {
+    val s = new GraftSession(spark)
+    s.cypher("MERGE (a:dog {name:'Arne'})")
+    s.cypher("MERGE (a:dog {name:'Arne'})")
+    assert(s.graph().nodes.count() == 1)
+    s.cypher("MERGE (a:dog {name:'Else'})")
+    assert(s.graph().nodes.count() == 2)
+    // whole-pattern merge: existing pattern is not recreated
+    s.cypher("CREATE (x:cat {name:'Mio'})-[:CHASES]->(y:cat {name:'Rut'})")
+    s.cypher("MERGE (x:cat {name:'Mio'})-[:CHASES]->(y:cat {name:'Rut'})")
+    assert(s.graph().edges.count() == 1)
+  }
+
   test("C4: inline property predicate") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (arne:dog {name:'Arne'})-[:SNIFFS]->(bosse:dog {name:'Bosse'})")
