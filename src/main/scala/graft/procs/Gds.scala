@@ -65,6 +65,31 @@ object Gds {
     sp.toDF("node_id", "distance").orderBy("node_id")
   }
 
+  /** gds.nodeSimilarity: Jaccard similarity of out-neighbor sets for
+    * node pairs sharing at least one neighbor (the GDS semantic),
+    * as DataFrame joins — blocking on the shared neighbor keeps work
+    * proportional to collision volume, and degrees ride along via a
+    * window so the neighbor sets are never re-joined. Integer score
+    * ijac = floor(jac*1e6+0.5) for engine-stable output. */
+  def nodeSimilarity(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      minScore: Long = 1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val edgesDf = relType.map(g.edgesOfType).getOrElse(g.edges)
+      .select("src", "dst").distinct()
+    val withDeg = edgesDf.withColumn("deg",
+      count(lit(1)).over(Window.partitionBy("src")))
+    val a = withDeg.toDF("n1", "shared", "d1")
+    val b = withDeg.toDF("n2", "shared2", "d2")
+    a.join(b, col("shared") === col("shared2") && col("n1") < col("n2"))
+      .groupBy("n1", "n2", "d1", "d2").agg(count(lit(1)).as("inter"))
+      .select(col("n1").as("node1"), col("n2").as("node2"),
+        floor(col("inter") * lit(1000000.0) / (col("d1") + col("d2") - col("inter")) + lit(0.5))
+          .cast("long").as("ijac"))
+      .filter(col("ijac") >= minScore)
+      .orderBy("node1", "node2")
+  }
+
   /** Per-node triangle count (undirected; GraphX canonicalizes). */
   def triangleCount(spark: SparkSession, g: PropertyGraph, relType: Option[String]): DataFrame = {
     val base = toGraphX(g, relType)

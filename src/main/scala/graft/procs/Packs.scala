@@ -110,6 +110,12 @@ object Packs {
       "Per-node triangle count (GraphX)") { args =>
       Gds.triangleCount(spark, session.graph(), relTypeArg(args, 0))
     }
+    procs.register("gds.nodeSimilarity",
+      "(relType :: STRING?, minScore :: INTEGER?) :: (node1, node2, ijac)",
+      "Jaccard similarity of out-neighbor sets (scaled to 1e6)") { args =>
+      val minScore = args.lift(1).map(String.valueOf(_).toLong).getOrElse(1L)
+      Gds.nodeSimilarity(spark, session.graph(), relTypeArg(args, 0), minScore)
+    }
   }
 
   // ---- _testing: the stub-plugin analog (C11) ----

@@ -141,6 +141,19 @@ class PacksSpec extends AnyFunSuite {
     assert(!s.available("nosuchdb"))
   }
 
+  test("gds.nodeSimilarity: neighbor-set Jaccard for pairs sharing a neighbor") {
+    val s = sessionWith("graph-data-science")
+    // a -> x, b -> x, b -> y, c -> y  (ids: a=0 x=1 b=2 y=3 c=4)
+    s.cypher("CREATE (a:n {name:'a'})-[:T]->(x:n {name:'x'})")
+    s.cypher("MATCH (x:n {name:'x'}) CREATE (b:n {name:'b'})-[:T]->(x)")
+    s.cypher("MATCH (b:n {name:'b'}), (x2:n {name:'x'}) CREATE (b)-[:T]->(y:n {name:'y'})")
+    s.cypher("MATCH (y:n {name:'y'}) CREATE (c:n {name:'c'})-[:T]->(y)")
+    val rows = s.cypher("CALL gds.nodeSimilarity() YIELD node1, node2, ijac")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a={x}, b={x,y}, c={y}: jac(a,b)=jac(b,c)=1/2; (a,c) share nothing
+    assert(rows == Map((0L, 2L) -> 500000L, (2L, 4L) -> 500000L))
+  }
+
   test("genai cosine scalar works in RETURN") {
     val s = sessionWith("genai")
     val res = s.cypher("UNWIND range(1, 1) AS x RETURN genai.vector.similarity.cosine([1.0, 0.0], [1.0, 0.0]) AS c")
