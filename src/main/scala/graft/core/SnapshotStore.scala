@@ -36,7 +36,14 @@ object SnapshotStore {
     val tmp = s"$dir/.tmp-write"
     deleteDir(tmp)
     graph.nodes.write.mode("overwrite").parquet(s"$tmp/nodes")
-    graph.edges.write.mode("overwrite").parquet(s"$tmp/edges")
+    // edges partition by relType: typed pattern expands prune to the
+    // matching partition directories at scale (SURVEY §4 "partition
+    // snapshots by label/relType at write"). An empty edge set writes
+    // unpartitioned — a partitioned empty write loses the schema.
+    if (graph.edges.take(1).isEmpty)
+      graph.edges.write.mode("overwrite").parquet(s"$tmp/edges")
+    else
+      graph.edges.write.mode("overwrite").partitionBy("relType").parquet(s"$tmp/edges")
     deleteDir(s"$dir/nodes")
     deleteDir(s"$dir/edges")
     Files.createDirectories(Paths.get(dir))

@@ -26,6 +26,8 @@ object ast {
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr // + - * / %
   final case class ListLit(items: Seq[Expr]) extends Expr // [e1, e2, …]
+  /** CASE WHEN c THEN v … [ELSE d] END (searched form). */
+  final case class CaseExpr(whens: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
 
   // ---- patterns ----
   final case class NodePat(
@@ -88,6 +90,10 @@ object ast {
     case Or(l, r)           => containsAggregate(l) || containsAggregate(r)
     case Not(x)             => containsAggregate(x)
     case Arith(_, l, r)     => containsAggregate(l) || containsAggregate(r)
+    case ListLit(items)     => items.exists(containsAggregate)
+    case CaseExpr(ws, o)    =>
+      ws.exists { case (c, v) => containsAggregate(c) || containsAggregate(v) } ||
+        o.exists(containsAggregate)
     case _                  => false
   }
 }

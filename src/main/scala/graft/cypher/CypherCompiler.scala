@@ -355,6 +355,13 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case Arith("%", l, r) => compileExpr(l, df) % compileExpr(r, df)
     case Arith(op, _, _)  => throw new UnsupportedOperationException(op)
     case ListLit(items)   => array(items.map(compileExpr(_, df)): _*)
+    case CaseExpr(whens, other) =>
+      val chain = whens.foldLeft(Option.empty[Column]) { case (acc, (c, v)) =>
+        val cond = compileExpr(c, df)
+        val value = compileExpr(v, df)
+        Some(acc.map(_.when(cond, value)).getOrElse(when(cond, value)))
+      }.get
+      other.map(o => chain.otherwise(compileExpr(o, df))).getOrElse(chain)
     case f: FnCall        => compileFn(f, df)
   }
 

@@ -68,10 +68,17 @@ object CypherParser extends RegexParsers {
       t.foldLeft(h) { case (l, op ~ r) => Arith(op, l, r) } }
   private def unaryExpr: Parser[Expr] =
     literal |
+    caseExpr |
     fnCall |
     propOrVar |
     listLit |
     "(" ~> expr <~ ")"
+
+  private def caseExpr: Parser[Expr] =
+    kw("case") ~> rep1(kw("when") ~> expr ~ (kw("then") ~> expr)) ~
+      opt(kw("else") ~> expr) <~ kw("end") ^^ {
+      case whens ~ other => CaseExpr(whens.map { case c ~ v => (c, v) }, other)
+    }
 
   private def listLit: Parser[Expr] =
     "[" ~> repsep(expr, ",") <~ "]" ^^ ListLit.apply

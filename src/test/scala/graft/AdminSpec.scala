@@ -56,6 +56,16 @@ class AdminSpec extends AnyFunSuite {
     assert(fresh.graph().nodes.select("id").distinct().count() == 3)
   }
 
+  test("edge snapshots partition by relType (typed-expand partition pruning)") {
+    val data = tmp("graft-data")
+    dogsSession().saveDatabase(data)
+    assert(Files.isDirectory(
+      java.nio.file.Paths.get(s"$data/databases/neo4j/edges/relType=SNIFFS")))
+    val s = new GraftSession(spark)
+    s.loadDatabase(data)
+    verifyDogs(s)
+  }
+
   test("load refuses to overwrite without --overwrite-destination") {
     val data = tmp("graft-data")
     val backups = tmp("graft-backups")

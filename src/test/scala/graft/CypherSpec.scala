@@ -186,6 +186,20 @@ class CypherSpec extends AnyFunSuite {
     assert(names == names.sorted)
   }
 
+  test("CASE WHEN expression in RETURN and with aggregates") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:v {n: 1}), (b:v {n: 5}), (c:v {n: 9})")
+    val res = s.cypher(
+      """MATCH (v:v) RETURN v.n AS n,
+        |CASE WHEN v.n < 3 THEN 'low' WHEN v.n < 7 THEN 'mid' ELSE 'high' END AS bucket
+        |ORDER BY n""".stripMargin)
+    assert(res.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "low"), (5L, "mid"), (9L, "high")))
+    val agg = s.cypher(
+      "MATCH (v:v) RETURN sum(CASE WHEN v.n > 3 THEN 1 ELSE 0 END) AS big")
+    assert(agg.collect().head.getLong(0) == 2L)
+  }
+
   test("string predicates and scalar functions") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:p {name:'Customer#1'}), (b:p {name:'Supplier#2'})")
