@@ -136,6 +136,7 @@ final class GraftSession(val spark: SparkSession,
   private val StartDb = """(?is)\s*START\s+DATABASE\s+(\w+)\s*""".r
   private val ShowProcs = """(?is)\s*SHOW\s+PROCEDURES\b(.*)""".r
   private val CreateDb = """(?is)\s*CREATE\s+DATABASE\s+(\w+)\s*""".r
+  private val ShowDbs = """(?is)\s*SHOW\s+DATABASES\s*""".r
   // C12 (ref DatabaseIO.java:113-115) — issued against the system db
   private val AlterPw =
     """(?is)\s*ALTER\s+CURRENT\s+USER\s+SET\s+PASSWORD\s+FROM\s+'([^']*)'\s+TO\s+'([^']*)'\s*""".r
@@ -145,6 +146,7 @@ final class GraftSession(val spark: SparkSession,
     case StartDb(name)  => catalog.start(name); unit()
     case CreateDb(name) => catalog.createDatabase(name); unit()
     case AlterPw(from, to) => changePassword(from, to); unit()
+    case ShowDbs() => showDatabases()
     case ShowProcs(rest) => showProcedures(rest)
     case _ =>
       val db = catalog.database(database)
@@ -171,6 +173,15 @@ final class GraftSession(val spark: SparkSession,
   private def unit(): DataFrame = {
     import org.apache.spark.sql.functions.lit
     spark.range(1).select(lit("ok").as("status"))
+  }
+
+  private def showDatabases(): DataFrame = {
+    val rows = catalog.listDatabases.map { db =>
+      Row(db, if (catalog.database(db).stopped) "offline" else "online")
+    }
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("currentStatus", StringType)))
+    spark.createDataFrame(javaList(rows), schema)
   }
 
   private def showProcedures(rest: String): DataFrame = {

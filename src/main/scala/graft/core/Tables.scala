@@ -29,12 +29,13 @@ object Tables {
     * `CAST(ts AS TIMESTAMP)` performs, so oracle comparisons line up.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // set once and leave on: toggling back was racy under concurrent
+    // catalog queries, and the conf only affects TIMESTAMP(NANOS)
+    // parquet columns — `events` is the sole such table
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
-      import org.apache.spark.sql.functions.{col, expr}
-      apply(s, d, "events")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } finally s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    import org.apache.spark.sql.functions.expr
+    apply(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

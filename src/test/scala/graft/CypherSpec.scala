@@ -158,6 +158,17 @@ class CypherSpec extends AnyFunSuite {
     assert(un.collect().head.getLong(0) == 10L)
   }
 
+  test("SHOW DATABASES lists databases with status") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE DATABASE extra")
+    s.cypher("STOP DATABASE extra")
+    val rows = s.cypher("SHOW DATABASES", "system")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("neo4j") == "online")
+    assert(rows("system") == "online")
+    assert(rows("extra") == "offline")
+  }
+
   test("C14: STOP/START DATABASE gates queries") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:dog {name:'Arne'})")
