@@ -53,6 +53,28 @@ object Events {
           sum(col("value").cast(D2)).cast(DoubleType).as("sum_value"))
     },
 
+    // ---- salted two-stage aggregation (skew pattern) ----
+    // The skew recipe for a hot grouping key: salt the key with a
+    // deterministic shard (event_id % 16), aggregate partially per
+    // (key, salt) — spreading one hot key over 16 reducers — then
+    // combine partials. Result is identical to a direct groupBy
+    // (counts/sums are associative), which is what the oracle checks.
+    sql("events_salted_agg",
+      """SELECT event_type, CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(SUM(sv) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT event_type, event_id % 16 AS salt, count(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY event_type, event_id % 16)
+        |GROUP BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), (col("event_id") % 16).as("salt"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(D2)).as("sv"))
+        .groupBy("event_type")
+        .agg(sum(col("n")).cast(LongType).as("n"),
+          sum(col("sv")).cast(DoubleType).as("sum_value"))
+    },
+
     // ---- tumbling time window (micro-batch shape; Spark window()) ----
     sql("events_window",
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

@@ -62,6 +62,21 @@ object Packs {
   private def installApoc(session: GraftSession): Unit = {
     val procs = session.procedures
     procs.registerScalar("apoc.version", "() :: STRING")(_ => lit(EngineVersion))
+    // string/coll helpers (SURVEY §2.5 apoc row) — all Catalyst
+    // built-ins / higher-order fns, no Scala UDFs
+    procs.registerScalar("apoc.text.clean", "(text :: STRING) :: STRING")(a =>
+      lower(regexp_replace(a(0), "[^A-Za-z0-9]", "")))
+    procs.registerScalar("apoc.text.join", "(texts :: LIST<STRING>, delim :: STRING) :: STRING")(a =>
+      // fold-join because concat_ws needs a literal separator
+      when(size(a(0)) === 0, lit("")).otherwise(
+        aggregate(slice(a(0), lit(2), size(a(0))),
+          element_at(a(0), 1), (acc, x) => concat(acc, a(1), x))))
+    procs.registerScalar("apoc.coll.sum", "(coll :: LIST<FLOAT>) :: FLOAT")(a =>
+      aggregate(a(0), lit(0.0), (acc, x) => acc + x.cast("double")))
+    procs.registerScalar("apoc.coll.max", "(coll :: LIST<ANY>) :: ANY")(a => array_max(a(0)))
+    procs.registerScalar("apoc.coll.min", "(coll :: LIST<ANY>) :: ANY")(a => array_min(a(0)))
+    procs.registerScalar("apoc.coll.contains", "(coll :: LIST<ANY>, value :: ANY) :: BOOLEAN")(a =>
+      array_contains(a(0), a(1)))
     procs.register("apoc.help", "(name :: STRING) :: (name, signature, description)",
       "Procedures matching a name fragment") { args =>
       val frag = args.headOption.map(String.valueOf).getOrElse("")

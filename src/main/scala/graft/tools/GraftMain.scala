@@ -32,7 +32,16 @@ object GraftMain {
           .getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
 
-        val session = GraftSession.fromEnv(spark, env, dataDir = Some(dataDir))
+        // /conf mount analog (SURVEY §2.8 mounts row): GRAFT_CONF dir
+        // may carry user neo4j.conf / apoc.conf
+        def confFile(name: String): Option[String] =
+          env.get("GRAFT_CONF").map(d => java.nio.file.Paths.get(d, name))
+            .filter(java.nio.file.Files.exists(_))
+            .map(java.nio.file.Files.readString(_))
+        val session = GraftSession.fromEnv(spark, env,
+          userConf = confFile("neo4j.conf"),
+          userApocConf = confFile("apoc.conf"),
+          dataDir = Some(dataDir))
         // load persisted databases from the data dir
         val dbRoot = java.nio.file.Paths.get(dataDir, "databases")
         if (java.nio.file.Files.isDirectory(dbRoot))

@@ -31,6 +31,22 @@ class PacksSpec extends AnyFunSuite {
     assert(res.collect().map(_.getString(0)).toSeq == Seq(Packs.EngineVersion))
   }
 
+  test("apoc text/coll helper scalars") {
+    val s = sessionWith("apoc")
+    val r = s.cypher(
+      """UNWIND range(1, 1) AS x
+        |RETURN apoc.text.clean('Hello, World!') AS cleaned,
+        |       apoc.text.join(['a', 'b', 'c'], '-') AS joined,
+        |       apoc.coll.sum([1.0, 2.5]) AS total,
+        |       apoc.coll.max([3, 1, 2]) AS mx,
+        |       apoc.coll.contains([1, 2], 2) AS has""".stripMargin).collect().head
+    assert(r.getString(0) == "helloworld")
+    assert(r.getString(1) == "a-b-c")
+    assert(r.getDouble(2) == 3.5)
+    assert(r.getLong(3) == 3L)
+    assert(r.getBoolean(4))
+  }
+
   test("apoc export is gated by apoc.export.file.enabled (Configuration.java:13)") {
     val gated = sessionWith("apoc")
     val e = intercept[IllegalStateException] {
