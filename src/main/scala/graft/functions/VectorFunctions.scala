@@ -31,8 +31,19 @@ object VectorFunctions {
   def quantizeSql(vecExpr: String): String =
     s"list_transform(CAST($vecExpr AS DOUBLE[]), x -> floor(x * 1000000))"
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd Catalyst expression ([[graft.plans.IntDotProduct]]):
+    * the interpreted `aggregate(zip_with(...))` form evaluates lambda
+    * calls per element, this compiles to a tight long loop inside the
+    * stage. Identical integer semantics. */
   def intDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.IntDotProduct(
+      org.apache.spark.sql.GraftSqlBridge.expression(a),
+      org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  /** Interpreted higher-order form of [[intDot]] (kept as the
+    * cross-check reference for the native expression). */
+  def intDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Integer cosine score in [-1e6, 1e6]: floor(cos * 1e6 + 0.5).
