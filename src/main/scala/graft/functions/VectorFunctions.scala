@@ -113,13 +113,14 @@ object VectorFunctions {
   /** Sign-LSH bucket signature over a QUANTIZED vector: `bits` sign
     * bits of dot(q, r_i), concatenated as a string like "1011". The
     * ±1-weighted integer sums are exact, so bucket assignment is
-    * identical across engines. At scale, `bits` grows with log(n) to
-    * keep per-bucket candidate counts bounded. */
+    * identical across engines. Each bit's dot runs through the native
+    * codegen'd [[intDot]] against a literal coefficient array. At
+    * scale, `bits` grows with log(n) to keep per-bucket candidate
+    * counts bounded. */
   def lshSignature(q: Column, bits: Int, dim: Int): Column = {
     val bitCols = (0 until bits).map { i =>
-      val coefs = hyperplane(i, dim)
-      val signed = zip_with(q, array(coefs.map(c => lit(c.toLong)): _*), (x, c) => x * c)
-      when(aggregate(signed, lit(0L), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0"))
+      val coefs = array(hyperplane(i, dim).map(c => lit(c.toLong)): _*)
+      when(intDot(q, coefs) > 0, lit("1")).otherwise(lit("0"))
     }
     concat(bitCols: _*)
   }
