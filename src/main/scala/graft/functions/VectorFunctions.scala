@@ -46,22 +46,6 @@ object VectorFunctions {
   def intDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** Integer cosine score in [-1e6, 1e6]: floor(cos * 1e6 + 0.5).
-    * All inputs are exact integers, sqrt is IEEE-correctly-rounded,
-    * and *, /, +, floor are deterministic on identical doubles — the
-    * BIGINT is engine-independent. */
-  def icos(qa: Column, qb: Column): Column =
-    floor(intDot(qa, qb).cast("double")
-        / (sqrt(intDot(qa, qa).cast("double")) * sqrt(intDot(qb, qb).cast("double")))
-        * lit(QUANT) + lit(0.5))
-      .cast("long")
-
-  /** DuckDB mirror of [[icos]] over quantized DOUBLE[] expressions. */
-  def icosSql(qa: String, qb: String): String =
-    s"""CAST(floor(list_dot_product($qa, $qb)
-       | / (sqrt(list_dot_product($qa, $qa)) * sqrt(list_dot_product($qb, $qb)))
-       | * 1000000 + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")
-
   /** Per-vector norm, computed once before a join so each candidate
     * pair folds the arrays once instead of three times (higher-order
     * lambdas are interpreted per element — at k candidate pairs this
@@ -70,17 +54,15 @@ object VectorFunctions {
 
   def qNormSql(q: String): String = s"sqrt(list_dot_product($q, $q))"
 
-  /** [[icos]] with precomputed norms: same expression tree as icos on
-    * identical inputs, so results are bit-identical. */
+  /** Integer cosine score in [-1e6, 1e6] with precomputed norms:
+    * floor(cos * 1e6 + 0.5). All dot inputs are exact integers, sqrt
+    * is IEEE-correctly-rounded, and *, /, +, floor are deterministic
+    * on identical doubles — the BIGINT is engine-independent. */
   def icosN(qa: Column, qb: Column, na: Column, nb: Column): Column =
     floor(intDot(qa, qb).cast("double") / (na * nb) * lit(QUANT) + lit(0.5)).cast("long")
 
   def icosNSql(qa: String, qb: String, na: String, nb: String): String =
     s"CAST(floor(list_dot_product($qa, $qb) / ($na * $nb) * 1000000 + 0.5) AS BIGINT)"
-
-  /** Exact integer squared-L2 distance of two quantized vectors. */
-  def intL2Sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
 
   // ---- raw double variants (internal use; not oracle-checked) ----
 

@@ -53,21 +53,27 @@ object TextAnalysis {
     },
 
     // quality scoring: per-doc metrics (subset for stable output size)
-    sql("text_quality",
+    sql("text_quality", {
+      val punct = s"round((length(text) - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')))*1.0 / greatest(length(text), 1), 6)"
+      val stop = s"round(${hitsSql(allStops)}*1.0 / greatest(len($toksSql), 1), 6)"
       s"""SELECT doc_id,
          |  len($toksSql) AS n_tokens,
-         |  round((length(text) - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')))*1.0
-         |        / greatest(length(text), 1), 6) AS punct_ratio,
+         |  $punct AS punct_ratio,
          |  round(list_sum(list_transform($toksSql, x -> length(x)))*1.0
          |        / greatest(len($toksSql), 1), 6) AS mean_token_len,
-         |  round(${hitsSql(allStops)}*1.0 / greatest(len($toksSql), 1), 6) AS stop_ratio
-         |FROM documents WHERE doc_id < 200""".stripMargin) { (s, d) =>
+         |  $stop AS stop_ratio,
+         |  round($stop * 2.0
+         |    + (CASE WHEN len($toksSql) BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END)
+         |    - $punct, 6) AS quality
+         |FROM documents WHERE doc_id < 200""".stripMargin
+    }) { (s, d) =>
       Tables.documents(s, d).filter(col("doc_id") < 200)
         .select(col("doc_id"),
           tokenCount(col("text")).as("n_tokens"),
           punctRatio(col("text")).as("punct_ratio"),
           meanTokenLen(col("text")).as("mean_token_len"),
-          stopwordRatio(col("text")).as("stop_ratio"))
+          stopwordRatio(col("text")).as("stop_ratio"),
+          qualityScore(col("text")).as("quality"))
     },
 
     // document fingerprinting: md5 of normalized text + min-shingle hash
