@@ -15,8 +15,10 @@ import graft.core.Tables
   *  - Sums of doubles are order-dependent, so every money/quantity sum
   *    first casts to DECIMAL (exact, associative) and only then to
   *    DOUBLE for a type both engines agree on.
-  *  - Transcendental functions (ln, sqrt composites) are rounded to 6
-  *    decimals to absorb libm last-ulp differences.
+  *  - Derived float values (sqrt composites) are emitted as integers,
+  *    `CAST(floor(x * 1e6 + 0.5) AS BIGINT)`: IEEE sqrt/mul/add/floor
+  *    are bit-deterministic on identical inputs, while `round(x, n)`
+  *    half-way behavior is engine-specific.
   *  - Every top-k has a total tiebreak order.
   */
 object Relational {
