@@ -28,6 +28,9 @@ object ast {
   final case class ListLit(items: Seq[Expr]) extends Expr // [e1, e2, …]
   /** CASE WHEN c THEN v … [ELSE d] END (searched form). */
   final case class CaseExpr(whens: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
+  /** Pattern-existence predicate in WHERE: `(a)-[:T]->(b)` — compiles
+    * to a semi join (anti under NOT), never to a Column. */
+  final case class PatternPred(pattern: PathPat) extends Expr
 
   // ---- patterns ----
   final case class NodePat(

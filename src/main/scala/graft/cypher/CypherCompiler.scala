@@ -58,8 +58,42 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     if (m.optional) return compileOptional(ctx, m)
     var df = ctx.orNull
     m.patterns.foreach { p => df = compilePath(Option(df), p) }
-    m.where.foreach(e => df = df.filter(compileExpr(e, df)))
+    m.where.foreach { e =>
+      // top-level conjuncts split: pattern-existence predicates become
+      // semi/anti joins (plan-shaping — they cannot be a Column);
+      // everything else stays an ordinary filter
+      val (patternPreds, rest) = splitConjuncts(e)
+      patternPreds.foreach { case (p, negated) => df = applyPatternPred(df, p, negated) }
+      rest.foreach(r => df = df.filter(compileExpr(r, df)))
+    }
     df
+  }
+
+  /** Decompose a top-level AND tree into pattern predicates
+    * (possibly negated) and residual boolean conjuncts. */
+  private def splitConjuncts(e: Expr): (Seq[(PathPat, Boolean)], Seq[Expr]) = e match {
+    case And(l, r) =>
+      val (lp, lr) = splitConjuncts(l)
+      val (rp, rr) = splitConjuncts(r)
+      (lp ++ rp, lr ++ rr)
+    case PatternPred(p)      => (Seq((p, false)), Nil)
+    case Not(PatternPred(p)) => (Seq((p, true)), Nil)
+    case other               => (Nil, Seq(other))
+  }
+
+  /** `WHERE (a)-[:T]->(b)` = left semi join of the bound rows against
+    * the standalone pattern on the shared variables' ids (left anti
+    * under NOT) — the SURVEY §2.2 semi/anti mapping. */
+  private def applyPatternPred(df: DataFrame, p: PathPat, negated: Boolean): DataFrame = {
+    val sub = compilePath(None, p)
+    val shared = df.columns.toSet.intersect(sub.columns.toSet)
+      .filter(_.endsWith(s"${SEP}id")).toSeq.sorted
+    if (shared.isEmpty)
+      throw new UnsupportedOperationException(
+        "pattern predicate must share at least one bound variable with the MATCH")
+    val subKeys = sub.select(shared.map(col): _*)
+    val cond = shared.map(c => df(c) === subKeys(c)).reduce(_ && _)
+    df.join(subKeys, cond, if (negated) "left_anti" else "left_semi")
   }
 
   /** OPTIONAL MATCH = compile the pattern standalone, then left join on
@@ -363,6 +397,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       }.get
       other.map(o => chain.otherwise(compileExpr(o, df))).getOrElse(chain)
     case f: FnCall        => compileFn(f, df)
+    case _: PatternPred   => throw new UnsupportedOperationException(
+      "pattern predicates are only supported as top-level WHERE conjuncts")
   }
 
   private def compileFn(f: FnCall, df: DataFrame): Column = {

@@ -70,9 +70,16 @@ object CypherParser extends RegexParsers {
     literal |
     caseExpr |
     fnCall |
+    patternPred |
     propOrVar |
     listLit |
     "(" ~> expr <~ ")"
+
+  /** `(a)-[:T]->(b)` inside WHERE: tried before propOrVar/parens; a
+    * parenthesized expression fails the mandatory-hop requirement and
+    * backtracks. */
+  private def patternPred: Parser[Expr] =
+    nodePat ~ rep1(hop) ^^ { case n ~ hs => PatternPred(PathPat(n, hs)) }
 
   private def caseExpr: Parser[Expr] =
     kw("case") ~> rep1(kw("when") ~> expr ~ (kw("then") ~> expr)) ~

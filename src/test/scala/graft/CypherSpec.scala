@@ -197,6 +197,22 @@ class CypherSpec extends AnyFunSuite {
     assert(names == names.sorted)
   }
 
+  test("pattern-existence predicates compile to semi/anti joins") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    s.cypher("CREATE (c:dog {name:'Solo'})")
+    val some = s.cypher(
+      "MATCH (d:dog) WHERE (d)-[:SNIFFS]->() RETURN d.name AS name ORDER BY name")
+    assert(some.collect().map(_.getString(0)).toSeq == Seq("Arne"))
+    val none = s.cypher(
+      "MATCH (d:dog) WHERE NOT (d)-[:SNIFFS]->() RETURN d.name AS name ORDER BY name")
+    assert(none.collect().map(_.getString(0)).toSeq == Seq("Bosse", "Solo"))
+    // composes with ordinary predicates in the same WHERE
+    val both = s.cypher(
+      "MATCH (d:dog) WHERE NOT (d)-[:SNIFFS]->() AND d.name STARTS WITH 'S' RETURN d.name AS name")
+    assert(both.collect().map(_.getString(0)).toSeq == Seq("Solo"))
+  }
+
   test("CASE WHEN expression in RETURN and with aggregates") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {n: 1}), (b:v {n: 5}), (c:v {n: 9})")
