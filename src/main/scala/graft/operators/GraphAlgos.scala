@@ -69,6 +69,30 @@ object GraphAlgos {
     rowsOnly("gds_pagerank") { (s, dir) =>
       session(s, dir).cypher(
         "CALL gds.pageRank('IN', 10) YIELD node_id, iscore RETURN node_id, iscore")
+    },
+
+    // nodeSimilarity over a bounded order->part subgraph (CONTAINS
+    // edges, l_orderkey < 3000): Jaccard of part sets for order pairs
+    // sharing a part. Integer scores; the oracle mirrors the blocking.
+    sql("gds_node_similarity",
+      """WITH e AS (SELECT DISTINCT l_orderkey*10+4 AS src, l_partkey*10+6 AS dst
+        |           FROM lineitem WHERE l_orderkey < 3000),
+        |d AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS deg FROM e)
+        |SELECT node1, node2, ijac FROM (
+        |  SELECT a.src AS node1, b.src AS node2,
+        |    CAST(floor(count(*)*1000000.0/(a.deg + b.deg - count(*)) + 0.5) AS BIGINT) AS ijac
+        |  FROM d a JOIN d b ON a.dst = b.dst AND a.src < b.src
+        |  GROUP BY a.src, b.src, a.deg, b.deg)
+        |ORDER BY node1, node2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val li = graft.core.Tables.lineitem(s, dir).filter(col("l_orderkey") < 3000)
+      val edges = li.select(
+        (col("l_orderkey") * 10 + 4).as("src"),
+        (col("l_partkey") * 10 + 6).as("dst"),
+        lit("CONTAINS").as("relType"))
+      val g = graft.core.PropertyGraph(
+        graft.core.PropertyGraph.empty(s).nodes, edges)
+      graft.procs.Gds.nodeSimilarity(s, g, None)
     }
   )
 }
