@@ -18,6 +18,7 @@ object GraftMain {
 
     args.headOption match {
       case Some("console") | Some("graft") | None =>
+        Lifecycle.checkDataDir(env, dataDir)
         Lifecycle.cleanStalePid(dataDir)
         Lifecycle.runExtensionScript(env, script =>
           Console.out.println(s"[extension] ${script.linesIterator.size} lines sourced"))

@@ -30,6 +30,20 @@ object Lifecycle {
     Files.writeString(p, String.valueOf(ProcessHandle.current().pid()))
   }
 
+  /** Strict-permissions mode (SECURE_FILE_PERMISSIONS — ref
+    * utilities.sh:7-10, docker-entrypoint.sh:94): the reference skips
+    * chown-as-root fixups and demands mounts be readable/writable
+    * up front. The engine analog: the data dir must already exist and
+    * be writable — it is never auto-created or adjusted. */
+  def checkDataDir(env: Map[String, String], dataDir: String): Unit =
+    if (env.get("SECURE_FILE_PERMISSIONS").exists(v => v == "yes" || v == "true")) {
+      val p = Paths.get(dataDir)
+      if (!Files.isDirectory(p) || !Files.isWritable(p))
+        throw new IllegalStateException(
+          s"Folder $dataDir must be accessible and writable when " +
+            "SECURE_FILE_PERMISSIONS is set; permissions will not be adjusted.")
+    }
+
   /** EXTENSION_SCRIPT init hook: errors if the configured file is
     * missing, otherwise hands its contents to the interpreter hook. */
   def runExtensionScript(env: Map[String, String],

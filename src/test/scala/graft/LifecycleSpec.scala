@@ -39,6 +39,17 @@ class LifecycleSpec extends AnyFunSuite {
     Lifecycle.runExtensionScript(Map.empty, _ => fail("should not run"))
   }
 
+  test("SECURE_FILE_PERMISSIONS refuses a missing data dir (utilities.sh:7-10)") {
+    val missing = tmp() + "/nonexistent"
+    val e = intercept[IllegalStateException] {
+      Lifecycle.checkDataDir(Map("SECURE_FILE_PERMISSIONS" -> "yes"), missing)
+    }
+    assert(e.getMessage.contains("must be accessible and writable"))
+    // existing writable dir passes; unset flag never checks
+    Lifecycle.checkDataDir(Map("SECURE_FILE_PERMISSIONS" -> "yes"), tmp())
+    Lifecycle.checkDataDir(Map.empty, missing)
+  }
+
   test("shutdown hook flushes, removes pid, and reports Stopped. (TestBasic.java:192-214)") {
     val dir = tmp()
     Lifecycle.writePid(dir)
