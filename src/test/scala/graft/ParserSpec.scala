@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cypher.CypherParser
+import graft.cypher.ast._
+
+/** Parser-level edge cases: precedence, literals, escapes, pattern
+  * syntax — shapes that don't need a SparkSession to pin down.
+  */
+class ParserSpec extends AnyFunSuite {
+
+  private def parseExpr(e: String): Expr =
+    CypherParser.parse(s"RETURN $e AS x").clauses.head
+      .asInstanceOf[Return].items.head.expr
+
+  test("arithmetic precedence: mul binds tighter than add; parens override") {
+    assert(parseExpr("1 + 2 * 3") ==
+      Arith("+", Lit(1L), Arith("*", Lit(2L), Lit(3L))))
+    assert(parseExpr("(1 + 2) * 3") ==
+      Arith("*", Arith("+", Lit(1L), Lit(2L)), Lit(3L)))
+  }
+
+  test("boolean precedence: NOT > AND > OR") {
+    assert(parseExpr("NOT true AND false OR true") ==
+      Or(And(Not(Lit(true)), Lit(false)), Lit(true)))
+  }
+
+  test("string literals: quotes and escapes") {
+    assert(parseExpr("'it\\'s'") == Lit("it's"))
+    assert(parseExpr("\"two\\nlines\"") == Lit("two\nlines"))
+  }
+
+  test("number literals: negative ints and doubles") {
+    assert(parseExpr("-42") == Lit(-42L))
+    assert(parseExpr("-3.25") == Lit(-3.25))
+  }
+
+  test("comparison chains with IN / STARTS WITH / IS NULL") {
+    assert(parseExpr("x IN [1, 2]") == In(Variable("x"), Seq(Lit(1L), Lit(2L))))
+    assert(parseExpr("n.a STARTS WITH 'p'") ==
+      StringPred("starts", Prop("n", "a"), Lit("p")))
+    assert(parseExpr("n.a IS NOT NULL") == IsNull(Prop("n", "a"), negated = true))
+  }
+
+  test("var-length relationship bounds") {
+    def rel(q: String): RelPat =
+      CypherParser.parse(q).clauses.head.asInstanceOf[Match]
+        .patterns.head.hops.head._1
+    assert(rel("MATCH (a)-[:T*1..3]->(b) RETURN a").varLength.contains((1, 3)))
+    assert(rel("MATCH (a)-[:T*2]->(b) RETURN a").varLength.contains((2, 2)))
+    assert(rel("MATCH (a)-[:T*]->(b) RETURN a").varLength.contains((1, 15)))
+    assert(rel("MATCH (a)-[:T|U]->(b) RETURN a").types == Seq("T", "U"))
+  }
+
+  test("pattern directions") {
+    def dir(q: String): Int =
+      CypherParser.parse(q).clauses.head.asInstanceOf[Match]
+        .patterns.head.hops.head._1.dir
+    assert(dir("MATCH (a)-[:T]->(b) RETURN a") == 1)
+    assert(dir("MATCH (a)<-[:T]-(b) RETURN a") == -1)
+    assert(dir("MATCH (a)-[:T]-(b) RETURN a") == 0)
+  }
+
+  test("parenthesized arithmetic is not a pattern predicate") {
+    assert(parseExpr("(1 + 2) - 3") ==
+      Arith("-", Arith("+", Lit(1L), Lit(2L)), Lit(3L)))
+    // but a real pattern in WHERE parses as PatternPred
+    val w = CypherParser.parse("MATCH (a) WHERE (a)-[:T]->() RETURN a")
+      .clauses.head.asInstanceOf[Match].where.get
+    assert(w.isInstanceOf[PatternPred])
+  }
+
+  test("keywords are case-insensitive; line comments skipped") {
+    val q = CypherParser.parse(
+      "match (a:dog) // a comment\nreturn a.name as name order by name limit 3")
+    assert(q.clauses.size == 2)
+    val r = q.clauses(1).asInstanceOf[Return]
+    assert(r.limit.contains(3L))
+    assert(r.orderBy.size == 1)
+  }
+
+  test("parse errors carry position info") {
+    val e = intercept[IllegalArgumentException] {
+      CypherParser.parse("MATCH (a RETURN a")
+    }
+    assert(e.getMessage.contains("Cypher parse error"))
+  }
+}
