@@ -11,10 +11,12 @@ import graft.procs.ProcedureRegistry
   * the packaged server (SURVEY.md §3.1): `cypher(q)` parses, plans
   * onto DataFrames, and lets Catalyst optimize/execute.
   *
-  * Reads are fully distributed; CREATE mutations are driver-coordinated
-  * appends that atomically swap the database's immutable snapshot
-  * (SURVEY §7.4.1 — the reference's mutation surface is a handful of
-  * rows in container tests, ref DatabaseIO.java:42,63).
+  * Reads and mutations are both distributed: MATCH…CREATE/SET/DELETE
+  * build the appended or rewritten rows as DataFrame projections of
+  * the matched binding table and atomically swap the database's
+  * immutable snapshot (SURVEY §7.4.1); only plain literal CREATEs
+  * (a handful of rows, ref DatabaseIO.java:42,63) instantiate on the
+  * driver.
   */
 final class GraftSession(val spark: SparkSession,
     val settings: collection.Map[String, String] = Map.empty,
