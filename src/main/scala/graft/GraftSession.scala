@@ -158,8 +158,11 @@ final class GraftSession(val spark: SparkSession,
         case _: ast.Create | _: ast.SetProps | _: ast.Delete | _: ast.Merge => true
         case _ => false
       }
-      if (isMutation) mutate(db, parsed)
-      else compiler(db).compile(parsed)
+      if (isMutation) {
+        if (parsed.unions.nonEmpty)
+          throw new UnsupportedOperationException("UNION of mutating queries is not supported")
+        mutate(db, parsed)
+      } else compiler(db).compile(parsed)
   }
 
   private def compiler(db: GraphDatabase) =

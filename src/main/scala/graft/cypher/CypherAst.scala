@@ -70,7 +70,9 @@ object ast {
       where: Option[Expr]) extends Clause
   final case class Unwind(expr: Expr, alias: String) extends Clause
 
-  final case class Query(clauses: Seq[Clause])
+  /** One or more single queries combined with UNION [ALL]: rows union
+    * by column name; plain UNION dedups (openCypher set semantics). */
+  final case class Query(clauses: Seq[Clause], unions: Seq[(Boolean, Query)] = Nil)
 
   def defaultName(e: Expr): String = e match {
     case Prop(v, k)        => s"$v.$k"

@@ -29,6 +29,15 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   // ------------------------------------------------------------------
 
   def compile(q: Query): DataFrame = {
+    val head = compileSingle(q)
+    if (q.unions.isEmpty) head
+    else q.unions.foldLeft(head) { case (acc, (all, sub)) =>
+      val u = acc.unionByName(compileSingle(sub))
+      if (all) u else u.dropDuplicates()
+    }
+  }
+
+  private def compileSingle(q: Query): DataFrame = {
     var ctx: Option[DataFrame] = None
     q.clauses.foreach {
       case m: Match    => ctx = Some(compileMatch(ctx, m))

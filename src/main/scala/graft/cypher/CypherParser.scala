@@ -211,7 +211,12 @@ object CypherParser extends RegexParsers {
     matchClause | createClause | mergeClause | setClause | deleteClause |
       withClause | returnClause | callClause | unwindClause
 
-  private def query: Parser[Query] = rep1(clause) ^^ Query.apply
+  private def singleQuery: Parser[Query] = rep1(clause) ^^ (cs => Query(cs))
+
+  private def query: Parser[Query] =
+    singleQuery ~ rep((kw("union") ~> opt(kw("all"))) ~ singleQuery) ^^ {
+      case h ~ t => h.copy(unions = t.map { case all ~ q => (all.isDefined, q) })
+    }
 
   def parse(q: String): Query = parseAll(query, q) match {
     case Success(res, _) => res

@@ -197,6 +197,17 @@ class CypherSpec extends AnyFunSuite {
     assert(names == names.sorted)
   }
 
+  test("UNION and UNION ALL combine single queries by column name") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne'}), (b:cat {name:'Mio'}), (c:cat {name:'Arne'})")
+    val all = s.cypher(
+      "MATCH (d:dog) RETURN d.name AS name UNION ALL MATCH (c:cat) RETURN c.name AS name")
+    assert(all.collect().map(_.getString(0)).sorted.toSeq == Seq("Arne", "Arne", "Mio"))
+    val dedup = s.cypher(
+      "MATCH (d:dog) RETURN d.name AS name UNION MATCH (c:cat) RETURN c.name AS name")
+    assert(dedup.collect().map(_.getString(0)).sorted.toSeq == Seq("Arne", "Mio"))
+  }
+
   test("pattern-existence predicates compile to semi/anti joins") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
