@@ -155,7 +155,8 @@ final class GraftSession(val spark: SparkSession,
       db.requireStarted()
       val parsed = CypherParser.parse(q)
       val isMutation = parsed.clauses.exists {
-        case _: ast.Create | _: ast.SetProps | _: ast.Delete | _: ast.Merge => true
+        case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
+             _: ast.Delete | _: ast.Merge => true
         case _ => false
       }
       if (isMutation) {
@@ -210,7 +211,11 @@ final class GraftSession(val spark: SparkSession,
     val matches = q.clauses.collect { case m: ast.Match => m }
     val creates = q.clauses.collect { case c: ast.Create => c }
     val returns = q.clauses.collect { case r: ast.Return => r }
-    val sets = q.clauses.collect { case s: ast.SetProps => s }
+    // REMOVE = SET to null over the matched rows
+    val sets = q.clauses.collect {
+      case s: ast.SetProps => s
+      case r: ast.RemoveProps => ast.SetProps(r.items.map(p => (p, ast.Lit(null))))
+    }
     val deletes = q.clauses.collect { case d: ast.Delete => d }
     val merges = q.clauses.collect { case m: ast.Merge => m }
 
@@ -350,17 +355,19 @@ final class GraftSession(val spark: SparkSession,
         case other => throw new UnsupportedOperationException(
           s"SET value must be a literal, got $other")
       }
-      val ids = bindings.select(col(v).as("_mid")).distinct()
       val base = g.nodes
-      val joined = base.join(ids, base("id") === col("_mid"), "left_outer")
-      val updated =
-        if (base.columns.contains(key))
-          joined.withColumn(key, when(col("_mid").isNotNull, lit(value)).otherwise(col(key)))
-        else
-          joined.withColumn(key,
-            when(col("_mid").isNotNull, lit(value))
-              .otherwise(lit(null).cast(PropertyGraph.literalType(value))))
-      g = PropertyGraph(updated.drop("_mid"), g.edges)
+      if (value != null || base.columns.contains(key)) { // REMOVE of an absent key is a no-op
+        val ids = bindings.select(col(v).as("_mid")).distinct()
+        val joined = base.join(ids, base("id") === col("_mid"), "left_outer")
+        val updated =
+          if (base.columns.contains(key))
+            joined.withColumn(key, when(col("_mid").isNotNull, lit(value)).otherwise(col(key)))
+          else
+            joined.withColumn(key,
+              when(col("_mid").isNotNull, lit(value))
+                .otherwise(lit(null).cast(PropertyGraph.literalType(value))))
+        g = PropertyGraph(updated.drop("_mid"), g.edges)
+      }
     })
 
     deletes.foreach { d =>

@@ -58,6 +58,8 @@ object ast {
   final case class Create(patterns: Seq[PathPat]) extends Clause
   /** SET n.key = <literal expr>, … */
   final case class SetProps(items: Seq[(Prop, Expr)]) extends Clause
+  /** REMOVE n.key, … (property nulled for the matched rows). */
+  final case class RemoveProps(items: Seq[Prop]) extends Clause
   /** DELETE / DETACH DELETE of bound node variables. */
   final case class Delete(vars: Seq[String], detach: Boolean) extends Clause
   /** MERGE: match the whole pattern, create it if absent. */

@@ -168,6 +168,11 @@ object CypherParser extends RegexParsers {
       SetProps(items.map { case v ~ k ~ e => (Prop(v, k), e) })
     }
 
+  private def removeClause: Parser[RemoveProps] =
+    kw("remove") ~> rep1sep(ident ~ ("." ~> ident), ",") ^^ { items =>
+      RemoveProps(items.map { case v ~ k => Prop(v, k) })
+    }
+
   private def deleteClause: Parser[Delete] =
     opt(kw("detach")) ~ (kw("delete") ~> rep1sep(ident, ",")) ^^ {
       case d ~ vs => Delete(vs, d.isDefined)
@@ -208,8 +213,8 @@ object CypherParser extends RegexParsers {
     (kw("unwind") ~> expr) ~ (kw("as") ~> ident) ^^ { case e ~ a => Unwind(e, a) }
 
   private def clause: Parser[Clause] =
-    matchClause | createClause | mergeClause | setClause | deleteClause |
-      withClause | returnClause | callClause | unwindClause
+    matchClause | createClause | mergeClause | setClause | removeClause |
+      deleteClause | withClause | returnClause | callClause | unwindClause
 
   private def singleQuery: Parser[Query] = rep1(clause) ^^ (cs => Query(cs))
 

@@ -67,6 +67,17 @@ class CypherSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("Arne", 4L, Some("Malmo")), ("Bosse", 7L, None)))
   }
 
+  test("REMOVE nulls a property on matched rows; absent keys are a no-op") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne', age: 3}), (b:dog {name:'Bosse', age: 7})")
+    s.cypher("MATCH (d:dog {name:'Arne'}) REMOVE d.age")
+    val rows = s.cypher("MATCH (d:dog) RETURN d.name AS n, d.age AS a ORDER BY n")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(rows.toSeq == Seq(("Arne", None), ("Bosse", Some(7L))))
+    s.cypher("MATCH (d:dog) REMOVE d.nosuchkey") // no-op, no error
+    assert(s.graph().nodes.count() == 2)
+  }
+
   test("DELETE refuses nodes with relationships; DETACH DELETE removes both") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
