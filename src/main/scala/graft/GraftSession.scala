@@ -139,6 +139,11 @@ final class GraftSession(val spark: SparkSession,
   private val ShowProcs = """(?is)\s*SHOW\s+PROCEDURES\b(.*)""".r
   private val CreateDb = """(?is)\s*CREATE\s+DATABASE\s+(\w+)\s*""".r
   private val ShowDbs = """(?is)\s*SHOW\s+DATABASES\s*""".r
+  // index/constraint DDL is accepted as a no-op: there are no index
+  // structures to maintain — scans + Catalyst pushdown serve the same
+  // role — but scripts written for the reference must keep running
+  private val IndexDdl =
+    """(?is)\s*(CREATE|DROP)\s+(INDEX|CONSTRAINT)\b.*""".r
   // C12 (ref DatabaseIO.java:113-115) — issued against the system db
   private val AlterPw =
     """(?is)\s*ALTER\s+CURRENT\s+USER\s+SET\s+PASSWORD\s+FROM\s+'([^']*)'\s+TO\s+'([^']*)'\s*""".r
@@ -148,6 +153,7 @@ final class GraftSession(val spark: SparkSession,
     case StartDb(name)  => catalog.start(name); unit()
     case CreateDb(name) => catalog.createDatabase(name); unit()
     case AlterPw(from, to) => changePassword(from, to); unit()
+    case IndexDdl(_, _) => unit()
     case ShowDbs() => showDatabases()
     case ShowProcs(rest) => showProcedures(rest)
     case _ =>

@@ -169,6 +169,16 @@ class CypherSpec extends AnyFunSuite {
     assert(un.collect().head.getLong(0) == 10L)
   }
 
+  test("index/constraint DDL is accepted as a no-op") {
+    val s = new GraftSession(spark)
+    assert(s.cypher("CREATE INDEX dog_name IF NOT EXISTS FOR (d:dog) ON (d.name)").count() == 1)
+    assert(s.cypher("CREATE CONSTRAINT uniq_name FOR (d:dog) REQUIRE d.name IS UNIQUE").count() == 1)
+    assert(s.cypher("DROP INDEX dog_name IF EXISTS").count() == 1)
+    // ordinary CREATE still routes to mutation
+    s.cypher("CREATE (a:dog {name:'Arne'})")
+    assert(s.graph().nodes.count() == 1)
+  }
+
   test("SHOW DATABASES lists databases with status") {
     val s = new GraftSession(spark)
     s.cypher("CREATE DATABASE extra")
