@@ -31,6 +31,11 @@ object ast {
   /** Pattern-existence predicate in WHERE: `(a)-[:T]->(b)` — compiles
     * to a semi join (anti under NOT), never to a Column. */
   final case class PatternPred(pattern: PathPat) extends Expr
+  /** List comprehension `[x IN list WHERE pred | proj]`. */
+  final case class ListComp(variable: String, list: Expr,
+      where: Option[Expr], projection: Option[Expr]) extends Expr
+  /** The comprehension variable inside its WHERE/projection. */
+  final case class LambdaVar(name: String) extends Expr
 
   // ---- patterns ----
   final case class NodePat(
@@ -87,7 +92,8 @@ object ast {
   }
 
   val aggregateFns: Set[String] =
-    Set("count", "sum", "min", "max", "avg", "collect", "stdev")
+    Set("count", "sum", "min", "max", "avg", "collect", "stdev",
+      "percentilecont", "percentiledisc")
 
   def containsAggregate(e: Expr): Boolean = e match {
     case FnCall(n, args, _) =>

@@ -363,6 +363,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   // expressions
   // ------------------------------------------------------------------
 
+  /** In-scope comprehension-lambda bindings (compile is single-
+    * threaded; nested comprehensions save/restore around the body). */
+  private var lambdaBinds: Map[String, Column] = Map.empty
+
   def compileExpr(e: Expr, df: DataFrame): Column = e match {
     case Lit(null)      => lit(null)
     case Lit(v)         => lit(v)
@@ -371,10 +375,21 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       if (df.columns.contains(c)) col(c)
       else if (df.columns.contains(v)) col(v).getField(k) // post-WITH struct/map
       else lit(null).cast("string")
+    case Variable(n) if lambdaBinds.contains(n) => lambdaBinds(n)
     case Variable(n)    =>
       if (df.columns.contains(n)) col(n)
       else if (df.columns.contains(s"$n${SEP}id")) col(s"$n${SEP}id")
       else throw new NoSuchElementException(s"Variable `$n` not defined")
+    case ListComp(v, l, w, p) =>
+      def body(e0: Expr, x: Column): Column = {
+        val saved = lambdaBinds
+        lambdaBinds = lambdaBinds.updated(v, x)
+        try compileExpr(e0, df) finally lambdaBinds = saved
+      }
+      var arr = compileExpr(l, df)
+      w.foreach(cond => arr = filter(arr, x => body(cond, x)))
+      p.foreach(proj => arr = transform(arr, x => body(proj, x)))
+      arr
     case Cmp("=", l, r)  => compileExpr(l, df) === compileExpr(r, df)
     case Cmp("<>", l, r) => compileExpr(l, df) =!= compileExpr(r, df)
     case Cmp("<", l, r)  => compileExpr(l, df) < compileExpr(r, df)
@@ -424,6 +439,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "collect" if f.distinct   => sort_array(collect_set(a(0)))
       case "collect"                 => sort_array(collect_list(a(0)))
       case "stdev"                   => stddev_samp(a(0))
+      case "percentilecont"          => call_function("percentile", a(0), a(1))
+      case "percentiledisc"          => call_function("percentile_approx", a(0), a(1), lit(10000))
       // graph accessors
       case "id"     => f.args.head match {
         case Variable(v) => col(s"$v${SEP}id")
@@ -464,6 +481,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "log"                => log(a(0))
       case "log10"              => log10(a(0))
       case "coalesce"           => coalesce(f.args.map(compileExpr(_, df)): _*)
+      case "exists"             => a(0).isNotNull
       case "head"               => element_at(a(0), 1)
       case "last"               => element_at(a(0), -1)
       case "range"              => sequence(a(0), a(1))

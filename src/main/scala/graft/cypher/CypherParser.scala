@@ -88,7 +88,15 @@ object CypherParser extends RegexParsers {
     }
 
   private def listLit: Parser[Expr] =
+    listComp |
     "[" ~> repsep(expr, ",") <~ "]" ^^ ListLit.apply
+
+  /** `[x IN list WHERE pred | proj]` — WHERE and projection optional. */
+  private def listComp: Parser[Expr] =
+    ("[" ~> ident <~ kw("in")) ~ expr ~ opt(kw("where") ~> expr) ~
+      opt("|" ~> expr) <~ "]" ^^ {
+      case v ~ l ~ w ~ p => ListComp(v, l, w, p)
+    }
 
   private def fnCall: Parser[Expr] =
     (qualIdent <~ "(") ~ opt(kw("distinct")) ~ (repsep(expr, ",") <~ ")") ^^ {

@@ -245,6 +245,22 @@ class CypherSpec extends AnyFunSuite {
     assert(both.collect().map(_.getString(0)).toSeq == Seq("Solo"))
   }
 
+  test("list comprehensions, exists(), and percentile aggregates") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:v {n: 1}), (b:v {n: 2}), (c:v {n: 3}), (d:v {n: 4})")
+    val comp = s.cypher(
+      "UNWIND [y IN range(1, 6) WHERE y % 2 = 0 | y * 10] AS x RETURN sum(x) AS total")
+    assert(comp.collect().head.getLong(0) == 120L) // 20 + 40 + 60
+    val pct = s.cypher(
+      "MATCH (v:v) RETURN percentileCont(v.n, 0.5) AS med, percentileDisc(v.n, 0.5) AS dmed")
+    val row = pct.collect().head
+    assert(row.getDouble(0) == 2.5)
+    assert(row.getLong(1) == 2L)
+    s.cypher("CREATE (x:p {name:'HasName'}), (y:p {other: 1})")
+    val ex = s.cypher("MATCH (p:p) WHERE exists(p.name) RETURN p.name AS name")
+    assert(ex.collect().map(_.getString(0)).toSeq == Seq("HasName"))
+  }
+
   test("CASE WHEN expression in RETURN and with aggregates") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {n: 1}), (b:v {n: 5}), (c:v {n: 9})")
