@@ -458,6 +458,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "tolower" | "lower"  => lower(a(0))
       case "toupper" | "upper"  => upper(a(0))
       case "trim"               => trim(a(0))
+      case "ltrim"              => ltrim(a(0))
+      case "rtrim"              => rtrim(a(0))
+      // temporal constructors (openCypher temporal subset)
+      case "date"               => to_date(a(0))
+      case "datetime" | "localdatetime" => to_timestamp(a(0))
+      case "duration.between"   => a(1).cast("long") - a(0).cast("long")
       case "size" | "length"    =>
         if (f.args.nonEmpty && isArrayCol(a(0), df)) size(a(0)) else length(a(0))
       case "substring"          =>

@@ -275,6 +275,17 @@ class CypherSpec extends AnyFunSuite {
     assert(agg.collect().head.getLong(0) == 2L)
   }
 
+  test("temporal constructors and trim variants") {
+    val s = new GraftSession(spark)
+    val r = s.cypher(
+      """UNWIND range(1, 1) AS x
+        |RETURN date('2024-03-01') AS d, datetime('2024-03-01 12:30:00') AS ts,
+        |       lTrim('  a') AS l, rTrim('a  ') AS r""".stripMargin).collect().head
+    assert(r.getDate(0).toString == "2024-03-01")
+    assert(r.getTimestamp(1).toString.startsWith("2024-03-01 12:30:00"))
+    assert(r.getString(2) == "a" && r.getString(3) == "a")
+  }
+
   test("string predicates and scalar functions") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:p {name:'Customer#1'}), (b:p {name:'Supplier#2'})")
