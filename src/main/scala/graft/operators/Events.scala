@@ -8,10 +8,15 @@ import graft.QueryDef.sql
 import graft.core.Tables
 
 /** Event-stream batch analytics over `events` ([NS] rows of SURVEY
-  * §2.2: sessionization + micro-batch time windowing). Session gaps
-  * compare integer epoch-micros on both engines — interval arithmetic
-  * on timestamps is exact integer math, so the grouping is
-  * hash-stable.
+  * §2.2: sessionization + micro-batch time windowing). The raw
+  * parquet column is TIMESTAMP(NANOS); engines disagree on ns→µs
+  * conversion at the sub-microsecond level (truncate vs round, and
+  * DuckDB versions differ on whether the scan preserves ns). So every
+  * ordering/gap/bucket key here is a BIGINT derived from the raw
+  * integer nanos the same way on both sides: Spark reads the column
+  * as a long and `div 1000`s it (Tables.events), the oracle uses
+  * `epoch_ns(ts) // 1000` — floor division on identical integers, no
+  * timestamp semantics left to disagree on.
   *
   * Scale: both queries are one shuffle on `user_id` (window) or the
   * group keys; sessionization's running sum shares the same sort as
@@ -26,26 +31,30 @@ object Events {
 
     // ---- sessionization: 30-min-gap sessions per user ----
     sql("events_sessionize",
-      s"""WITH lagged AS (
-         |  SELECT user_id, event_id, ts, value,
-         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-         |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > $GAP_US
-         |         THEN 1 ELSE 0 END AS new_sess
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tsus
          |  FROM events),
+         |lagged AS (
+         |  SELECT user_id, event_id, value, tsus,
+         |    CASE WHEN tsus - lag(tsus)
+         |           OVER (PARTITION BY user_id ORDER BY tsus, event_id) > $GAP_US
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM base),
          |sess AS (
          |  SELECT user_id, event_id, value,
-         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsus, event_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
          |  FROM lagged)
          |SELECT user_id, session_id, count(*) AS n_events,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM sess GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("tsus", "event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("tsus", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
+        .withColumn("tsus", unix_micros(col("ts")))
         .withColumn("new_sess",
-          when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w) > GAP_US, 1)
+          when(col("tsus") - lag(col("tsus"), 1).over(w) > GAP_US, 1)
             .otherwise(0))
         .withColumn("session_id", sum(col("new_sess")).over(wRun))
         .groupBy("user_id", "session_id")
@@ -76,15 +85,20 @@ object Events {
     },
 
     // ---- tumbling time window (micro-batch shape; Spark window()) ----
+    // The bucket is emitted as BIGINT hours-since-epoch (not a
+    // timestamp) so the comparison never touches engine timestamp
+    // formatting; Spark still derives it via window() to exercise the
+    // tumbling-window operator.
     sql("events_window",
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(D2)).cast(DoubleType).as("sum_value"))
-        .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+        .select((unix_micros(col("window.start")) / 3600000000L).cast(LongType).as("hour_id"),
+          col("event_type"), col("n"), col("sum_value"))
     }
   )
 }

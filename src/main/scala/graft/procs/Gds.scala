@@ -34,17 +34,42 @@ object Gds {
     spark.createDataFrame(l, schema)
   }
 
-  /** Static PageRank, fixed iteration count (deterministic given the
-    * graph). Scores scaled to integer iscore = floor(score*1e6+0.5)
-    * at the edge so results are hash-stable. */
+  /** Rank scale for integer PageRank: iscore ≈ rank * 1e6. Headroom:
+    * total rank mass is n_nodes * SCALE, so Long holds ~9e12 nodes —
+    * far past the 100 TB design point. */
+  val RANK_SCALE = 1000000L
+
+  /** Static PageRank, fixed iteration count, computed entirely in
+    * scaled Long arithmetic: rank' = 0.15*S + (Σ rank_src/outdeg) * 85/100
+    * with integer division throughout. Long sums are exact and
+    * associative, so the result is bit-identical across partitionings,
+    * engines, and message orders — unlike double accumulation, this is
+    * hash-gradeable against a SQL oracle. GraphX aggregateMessages is
+    * the map-side-combined message pass; each iteration caches the new
+    * rank graph and unpersists its parent (no lineage blowup, no
+    * executor-memory leak). */
   def pageRank(spark: SparkSession, g: PropertyGraph, relType: Option[String],
-      iterations: Int = 20, damping: Double = 0.85): DataFrame = {
-    val ranks = toGraphX(g, relType).staticPageRank(iterations, 1.0 - damping)
-      .vertices
+      iterations: Int = 20): DataFrame = {
+    val graph = toGraphX(g, relType)
+    // vertex attr = (outDegree, scaledRank)
+    var ranked = graph.outerJoinVertices(graph.outDegrees) {
+      (_, _, d) => (d.getOrElse(0), RANK_SCALE)
+    }.cache()
+    for (_ <- 1 to iterations) {
+      val msgs = ranked.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr._2 / ctx.srcAttr._1), _ + _)
+      val prev = ranked
+      ranked = ranked.outerJoinVertices(msgs) {
+        (_, attr, m) => (attr._1, RANK_SCALE * 15 / 100 + m.getOrElse(0L) * 85 / 100)
+      }.cache()
+      ranked.edges.foreachPartition(_ => ()) // materialize before dropping parent
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+    }
     import spark.implicits._
-    ranks.toDF("node_id", "score")
-      .selectExpr("node_id", "CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS iscore")
-      .orderBy("node_id")
+    val out = ranked.vertices.map { case (id, (_, r)) => (id, r) }
+      .toDF("node_id", "iscore").orderBy("node_id")
+    out
   }
 
   /** Weakly connected components: component id = min vertex id in the
