@@ -11,8 +11,9 @@ import graft.procs.Packs
   * graph view. WCC and shortest-path have closed-form DuckDB oracles
   * because the IN-edge subgraph is a forest of region trees
   * (customer/supplier -> nation -> region) with deterministic node ids
-  * (GraphViews: key*10+tag); PageRank is rows-only (float iteration
-  * order is not oracle-hashable) with semantics pinned by PacksSpec.
+  * (GraphViews: key*10+tag); PageRank runs in scaled-Long arithmetic
+  * (Gds.pageRank) so it is hash-graded too — the oracle replays the
+  * exact integer recurrence as chained CTEs (pagerankOracleSql).
   */
 object GraphAlgos {
 
@@ -25,6 +26,42 @@ object GraphAlgos {
       Packs.install(gs, Seq("graph-data-science"))
       gs
     })
+
+  /** DuckDB oracle replaying Gds.pageRank's integer recurrence over the
+    * IN-edge view: nodes are ALL tpch graph nodes (GraphViews ids
+    * key*10+tag), edges customer/supplier->nation and nation->region.
+    * Init rank = 1000000; each iteration rank' = 150000 +
+    * (Σ_in rank_src // outdeg_src) * 85 // 100. DuckDB `//` floors,
+    * which equals Long division for the always-positive ranks, and
+    * BIGINT sums are order-independent — so the hash gate holds.
+    */
+  private def pagerankOracleSql(iterations: Int): String = {
+    val base =
+      """WITH nodes AS (
+        |  SELECT r_regionkey*10+1 AS id FROM region
+        |  UNION ALL SELECT n_nationkey*10+2 FROM nation
+        |  UNION ALL SELECT c_custkey*10+3 FROM customer
+        |  UNION ALL SELECT s_suppkey*10+5 FROM supplier
+        |  UNION ALL SELECT p_partkey*10+6 FROM part
+        |  UNION ALL SELECT o_orderkey*10+4 FROM orders),
+        |edges AS (
+        |  SELECT c_custkey*10+3 AS src, c_nationkey*10+2 AS dst FROM customer
+        |  UNION ALL SELECT s_suppkey*10+5, s_nationkey*10+2 FROM supplier
+        |  UNION ALL SELECT n_nationkey*10+2, n_regionkey*10+1 FROM nation),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes)""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id, 150000 + COALESCE(m.msg, 0) * 85 // 100 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(r.rank // d.outdeg) AS msg
+         |    FROM edges e JOIN r${i - 1} r ON r.id = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) m ON m.id = n.id)""".stripMargin
+    }
+    (Seq(base) ++ steps).mkString(",\n") +
+      s"\nSELECT id AS node_id, CAST(rank AS BIGINT) AS iscore FROM r$iterations ORDER BY node_id"
+  }
 
   def all: Seq[QueryDef] = Seq(
 

@@ -35,8 +35,9 @@ object Gds {
   }
 
   /** Rank scale for integer PageRank: iscore ≈ rank * 1e6. Headroom:
-    * total rank mass is n_nodes * SCALE, so Long holds ~9e12 nodes —
-    * far past the 100 TB design point. */
+    * the binding term is msg*85 in the rank update, so Long holds
+    * ~Long.MaxValue/(SCALE*85) ≈ 1e11 nodes' rank mass converging on
+    * one vertex — still far past the 100 TB design point. */
   val RANK_SCALE = 1000000L
 
   /** Static PageRank, fixed iteration count, computed entirely in
