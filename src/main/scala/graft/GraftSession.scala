@@ -257,7 +257,7 @@ final class GraftSession(val spark: SparkSession,
           def nodeId(n: ast.NodePat): Long = {
             val v = n.variable.getOrElse(s"_anon${newNodes.size}")
             bound.getOrElse(v, {
-              val id = db.allocate(1).head
+              val id = db.allocate(1L)
               val props = n.props.map { case (k, ast.Lit(value)) => k -> value }
               newNodes += ((id, n.labels, props))
               bound(v) = id
@@ -356,23 +356,62 @@ final class GraftSession(val spark: SparkSession,
     var g = db.graph
 
     sets.foreach(_.items.foreach { case (ast.Prop(v, key), rhs) =>
-      val value = rhs match {
-        case ast.Lit(x) => norm(x)
-        case other => throw new UnsupportedOperationException(
-          s"SET value must be a literal, got $other")
-      }
       val base = g.nodes
-      if (value != null || base.columns.contains(key)) { // REMOVE of an absent key is a no-op
-        val ids = bindings.select(col(v).as("_mid")).distinct()
-        val joined = base.join(ids, base("id") === col("_mid"), "left_outer")
-        val updated =
-          if (base.columns.contains(key))
-            joined.withColumn(key, when(col("_mid").isNotNull, lit(value)).otherwise(col(key)))
-          else
-            joined.withColumn(key,
-              when(col("_mid").isNotNull, lit(value))
-                .otherwise(lit(null).cast(PropertyGraph.literalType(value))))
-        g = PropertyGraph(updated.drop("_mid"), g.edges)
+      // SET RHS over the node's own row: `SET n.x = n.y + 1` compiles
+      // to a Column over the node columns — still one update-by-join.
+      def exprCol(e: ast.Expr): org.apache.spark.sql.Column = e match {
+        case ast.Lit(x) => lit(norm(x))
+        case ast.Prop(`v`, k) if base.columns.contains(k) => col(k)
+        case ast.Prop(v2, k) => throw new UnsupportedOperationException(
+          s"SET value may reference only $v's own properties, got $v2.$k")
+        case ast.FnCall(fn, Seq(ast.Variable(`v`)), _) if fn.equalsIgnoreCase("id") => col("id")
+        case ast.Arith(op, l, r0) =>
+          val (lc, rc) = (exprCol(l), exprCol(r0))
+          op match {
+            case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
+            case "/" => lc / rc; case "%" => lc % rc
+            case other => throw new UnsupportedOperationException(other)
+          }
+        case ast.CaseExpr(whens, otherwise) =>
+          val chain = whens.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+            case (acc, (c, value)) =>
+              val cond = exprCol(c); val cv = exprCol(value)
+              Some(acc.map(_.when(cond, cv)).getOrElse(when(cond, cv)))
+          }.get
+          otherwise.map(o => chain.otherwise(exprCol(o))).getOrElse(chain)
+        case ast.Cmp(op, l, r0) =>
+          val (lc, rc) = (exprCol(l), exprCol(r0))
+          op match {
+            case "=" => lc === rc; case "<>" => lc =!= rc; case "<" => lc < rc
+            case "<=" => lc <= rc; case ">" => lc > rc; case ">=" => lc >= rc
+          }
+        case other => throw new UnsupportedOperationException(
+          s"SET value must be a literal or an expression over $v's properties, got $other")
+      }
+      rhs match {
+        case ast.Lit(value0) =>
+          val value = norm(value0)
+          if (value != null || base.columns.contains(key)) { // REMOVE of an absent key is a no-op
+            val ids = bindings.select(col(v).as("_mid")).distinct()
+            val joined = base.join(ids, base("id") === col("_mid"), "left_outer")
+            val updated =
+              if (base.columns.contains(key))
+                joined.withColumn(key, when(col("_mid").isNotNull, lit(value)).otherwise(col(key)))
+              else
+                joined.withColumn(key,
+                  when(col("_mid").isNotNull, lit(value))
+                    .otherwise(lit(null).cast(PropertyGraph.literalType(value))))
+            g = PropertyGraph(updated.drop("_mid"), g.edges)
+          }
+        case expr =>
+          val ids = bindings.select(col(v).as("_mid")).distinct()
+          val joined = base.join(ids, base("id") === col("_mid"), "left_outer")
+          val valueCol = exprCol(expr)
+          val updated =
+            if (base.columns.contains(key))
+              joined.withColumn(key, when(col("_mid").isNotNull, valueCol).otherwise(col(key)))
+            else joined.withColumn(key, when(col("_mid").isNotNull, valueCol))
+          g = PropertyGraph(updated.drop("_mid"), g.edges)
       }
     })
 
@@ -416,17 +455,18 @@ final class GraftSession(val spark: SparkSession,
   }
 
   /** Distributed MATCH … CREATE: the matched bindings stay a DataFrame;
-    * fresh nodes get ids `base + row_number` (one deterministic global
-    * numbering — ids must be stable for snapshot/oracle hashing, which
-    * forces a total order; the sort runs once per mutation, not per
-    * row), and the appended node/edge rows are projections of the
-    * binding table unioned onto the immutable snapshot. */
+    * fresh nodes get ids `base + position` under one deterministic
+    * global order (ids must be stable for snapshot/oracle hashing).
+    * The numbering is scale-safe: a range repartition + in-partition
+    * sort establishes the total order across partitions, and
+    * `zipWithIndex` assigns contiguous positions per partition — no
+    * single-task global window. The appended node/edge rows are
+    * projections of the binding table unioned onto the immutable
+    * snapshot, and RETURN projects ids/props back out of the same
+    * binding table (ref DatabaseIO.java:63 `MATCH … CREATE … RETURN`). */
   private def mutateMatched(db: GraphDatabase, matches: Seq[ast.Match],
       creates: Seq[ast.Create], returns: Seq[ast.Return]): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    if (returns.nonEmpty) throw new UnsupportedOperationException(
-      "RETURN after MATCH … CREATE is not supported")
 
     val boundVars = matches.flatMap(_.patterns.flatMap(p =>
       (p.start.variable ++ p.hops.flatMap(_._2.variable)).toSeq)).distinct
@@ -435,29 +475,47 @@ final class GraftSession(val spark: SparkSession,
         boundVars.map(v => ast.ReturnItem(ast.FnCall("id", Seq(ast.Variable(v))), Some(v))),
         distinct = false, Nil, None, None))))
 
-    val n = matchedDf.count()
-    val w = Window.orderBy(boundVars.map(col): _*)
-    val numbered = matchedDf.withColumn("_rn", row_number().over(w).cast("long") - 1)
+    // Deterministic distributed numbering: same total order as a global
+    // sort (range partitions are ordered, partitions sorted within),
+    // but each task numbers its own slice — the whole match never
+    // funnels through one executor.
+    val boundCols = boundVars.map(col)
+    val sorted = matchedDf.repartitionByRange(boundCols: _*).sortWithinPartitions(boundCols: _*)
+    val rnSchema = StructType(sorted.schema.fields :+ StructField("_rn", LongType, nullable = false))
+    val numbered = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, rnSchema)
+      .persist()
+    val n = numbered.count()
 
     def litCol(v: Any) = v match {
       case i: Int => lit(i.toLong)
       case other  => lit(other)
     }
 
-    // fresh create-pattern variables -> an id column per matched row
+    // Resolve every create-pattern node occurrence to a variable name
+    // ONCE, positionally: each anonymous occurrence gets its own fresh
+    // `_anonN` (two structurally identical anonymous nodes are still
+    // two distinct nodes), while a named fresh variable reuses its id
+    // columns across occurrences.
     val freshIdCols = collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.Column]
     val freshNodePats = collection.mutable.LinkedHashMap.empty[String, ast.NodePat]
     var anon = 0
-    creates.foreach(_.patterns.foreach { p =>
-      (p.start +: p.hops.map(_._2)).foreach { np =>
-        val v = np.variable.getOrElse { anon += 1; s"_anon$anon" }
-        if (!boundVars.contains(v) && !freshIdCols.contains(v)) {
-          val base = db.allocate(n.toInt).headOption.getOrElse(0L)
-          freshIdCols(v) = lit(base) + col("_rn")
-          freshNodePats(v) = np
-        }
+    def bindFresh(v: String, np: ast.NodePat): Unit =
+      if (!boundVars.contains(v) && !freshIdCols.contains(v)) {
+        val base = db.allocate(n)
+        freshIdCols(v) = lit(base) + col("_rn")
+        freshNodePats(v) = np
       }
-    })
+    val resolvedPatterns: Seq[(Seq[String], ast.PathPat)] =
+      creates.flatMap(_.patterns.map { p =>
+        val names = (p.start +: p.hops.map(_._2)).map { np =>
+          np.variable match {
+            case Some(v) => bindFresh(v, np); v
+            case None    => anon += 1; val v = s"_anon$anon"; bindFresh(v, np); v
+          }
+        }
+        (names, p)
+      })
 
     def idCol(v: String) = freshIdCols.getOrElse(v, col(v))
 
@@ -468,28 +526,65 @@ final class GraftSession(val spark: SparkSession,
           array(np.labels.map(lit): _*).as("labels")) ++
           propKeys.map(k => litCol(np.props(k).v).as(k))): _*)
     }
-    val newEdges = creates.flatMap(_.patterns.flatMap { p =>
-      var prev = p.start.variable.getOrElse(freshNodePats.keys.headOption.getOrElse("_anon1"))
-      p.hops.map { case (rel, np) =>
-        val next = np.variable.getOrElse(
-          freshNodePats.keys.find(k => freshNodePats(k) == np).getOrElse("_anon1"))
+    val newEdges = resolvedPatterns.flatMap { case (names, p) =>
+      p.hops.zipWithIndex.map { case ((rel, _), i) =>
+        val (prev, next) = (names(i), names(i + 1))
         val relType = rel.types.headOption.getOrElse(
           throw new IllegalArgumentException("CREATE relationship requires a type"))
         val propKeys = rel.props.keys.toSeq.sorted
         val (s0, d0) = if (rel.dir == -1) (next, prev) else (prev, next)
-        val e = numbered.select(
+        numbered.select(
           (Seq(idCol(s0).as("src"), idCol(d0).as("dst"), lit(relType).as("relType")) ++
             propKeys.map(k => litCol(rel.props(k).v).as(k))): _*)
-        prev = next
-        e
       }
-    })
+    }
 
     val g = db.graph
     val nodesDf = newNodes.foldLeft(g.nodes)(PropertyGraph.appendByName)
     val edgesDf = newEdges.foldLeft(g.edges)(PropertyGraph.appendByName)
     db.graph = PropertyGraph(nodesDf, edgesDf)
-    unit()
+
+    returns.headOption match {
+      case None => unit()
+      case Some(r) => returnAfterCreate(db, r, numbered, boundVars, freshIdCols, freshNodePats)
+    }
+  }
+
+  /** RETURN after MATCH … CREATE (ref DatabaseIO.java:63): one id
+    * column per variable from the binding table; fresh variables'
+    * properties are the CREATE literals (per-row constants), bound
+    * variables' properties come from an id join against the node
+    * snapshot. All projections/joins — no driver materialization. */
+  private def returnAfterCreate(db: GraphDatabase, r: ast.Return,
+      numbered: DataFrame, boundVars: Seq[String],
+      freshIdCols: collection.Map[String, org.apache.spark.sql.Column],
+      freshNodePats: collection.Map[String, ast.NodePat]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    var res = numbered.select(
+      (boundVars.map(col) ++ freshIdCols.toSeq.map { case (v, c) => c.as(v) }): _*)
+    // bound-variable property fetches need a join to the node snapshot
+    val boundProps = r.items.map(_.expr).collect {
+      case ast.Prop(v, k) if !freshNodePats.contains(v) => (v, k)
+    }.distinct
+    boundProps.groupBy(_._1).foreach { case (v, vks) =>
+      val keys = vks.map(_._2).distinct
+      val nd = db.graph.nodes.select(
+        (col("id").as(s"__nid_$v") +: keys.map(k => col(k).as(s"__p_${v}_$k"))): _*)
+      res = res.join(nd, col(v) === col(s"__nid_$v"), "left_outer")
+    }
+    val out = res.select(r.items.map { item =>
+      val c = item.expr match {
+        case ast.Prop(v, k) if freshNodePats.contains(v) =>
+          freshNodePats(v).props.get(k).map(l => lit(norm(l.v))).getOrElse(lit(null))
+        case ast.Prop(v, k)     => col(s"__p_${v}_$k")
+        case ast.Variable(v)    => col(v)
+        case ast.FnCall(fn, Seq(ast.Variable(v)), _) if fn.equalsIgnoreCase("id") => col(v)
+        case other => throw new UnsupportedOperationException(
+          s"RETURN after MATCH … CREATE supports property/id access, got $other")
+      }
+      c.as(item.name)
+    }: _*)
+    r.limit.map(l => out.limit(l.toInt)).getOrElse(out)
   }
 
   private def norm(v: Any): Any = v match {

@@ -103,12 +103,20 @@ final class AuthStore(dataDir: String) {
   def setInitialPassword(password: String, requireChange: Boolean = false): Boolean = {
     if (exists) false
     else {
-      val salt = java.util.UUID.nameUUIDFromBytes(
-        ("graft-auth-" + password).getBytes("UTF-8")).toString
+      val salt = newSalt()
       writeEntries(Map("neo4j" ->
         ((sha256(salt + password), salt, if (requireChange) "password_change_required" else ""))))
       true
     }
+  }
+
+  /** Random per-entry salt (the reference's auth file stores a random
+    * per-user salt too): identical passwords must not produce
+    * identical stored lines, or the auth file leaks password equality. */
+  private def newSalt(): String = {
+    val bytes = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(bytes)
+    bytes.map("%02x".format(_)).mkString
   }
 
   def verify(user: String, password: String): Boolean =
@@ -123,8 +131,7 @@ final class AuthStore(dataDir: String) {
       throw AuthError(s"Invalid principal or credentials for $user")
     if (to == from)
       throw AuthError("Old password and new password cannot be the same.")
-    val salt = java.util.UUID.nameUUIDFromBytes(
-      ("graft-auth-" + to).getBytes("UTF-8")).toString
+    val salt = newSalt()
     writeEntries(entries.updated(user, (sha256(salt + to), salt, "")))
   }
 }

@@ -18,10 +18,10 @@ final class GraphDatabase(val name: String) {
   @volatile var stopped: Boolean = false
   val nextId = new AtomicLong(0L)
 
-  def allocate(n: Int): Seq[Long] = {
-    val start = nextId.getAndAdd(n.toLong)
-    start until (start + n)
-  }
+  /** Reserve `n` consecutive ids; returns the first. Long-typed
+    * end-to-end — a MATCH over 2³¹+ rows must not truncate the
+    * reservation (id collisions would silently corrupt the graph). */
+  def allocate(n: Long): Long = nextId.getAndAdd(n)
   def requireStarted(): Unit =
     if (stopped) throw new IllegalStateException(
       s"database $name is stopped; START DATABASE $name first")

@@ -44,19 +44,27 @@ object SnapshotStore {
       graph.edges.write.mode("overwrite").parquet(s"$tmp/edges")
     else
       graph.edges.write.mode("overwrite").partitionBy("relType").parquet(s"$tmp/edges")
-    deleteDir(s"$dir/nodes")
-    deleteDir(s"$dir/edges")
-    Files.createDirectories(Paths.get(dir))
-    Files.move(Paths.get(s"$tmp/nodes"), Paths.get(s"$dir/nodes"))
-    Files.move(Paths.get(s"$tmp/edges"), Paths.get(s"$dir/edges"))
-    deleteDir(tmp)
+    // The manifest is staged in the tmp sibling and moved into place
+    // LAST — it is the commit point. A crash anywhere mid-swap leaves
+    // a manifest-less directory, which read() treats as format v0 and
+    // re-synthesizes next_id from the data actually present (max node
+    // id + 1) — new data is never paired with a stale manifest's
+    // next_id, so recovered databases can never reuse ids.
     val spark = graph.nodes.sparkSession
-    val nodeCount = spark.read.parquet(s"$dir/nodes").count()
-    val edgeCount = spark.read.parquet(s"$dir/edges").count()
+    val nodeCount = spark.read.parquet(s"$tmp/nodes").count()
+    val edgeCount = spark.read.parquet(s"$tmp/edges").count()
     val m = Manifest(FormatVersion, database, nodeCount, edgeCount, nextId)
-    Files.writeString(Paths.get(s"$dir/manifest.json"),
+    Files.writeString(Paths.get(s"$tmp/manifest.json"),
       s"""{"format_version": ${m.formatVersion}, "database": "${m.database}", """ +
         s""""node_count": ${m.nodeCount}, "edge_count": ${m.edgeCount}, "next_id": ${m.nextId}}""")
+    Files.createDirectories(Paths.get(dir))
+    Files.deleteIfExists(Paths.get(s"$dir/manifest.json")) // invalidate before touching data
+    deleteDir(s"$dir/nodes")
+    deleteDir(s"$dir/edges")
+    Files.move(Paths.get(s"$tmp/nodes"), Paths.get(s"$dir/nodes"))
+    Files.move(Paths.get(s"$tmp/edges"), Paths.get(s"$dir/edges"))
+    Files.move(Paths.get(s"$tmp/manifest.json"), Paths.get(s"$dir/manifest.json"))
+    deleteDir(tmp)
     m
   }
 

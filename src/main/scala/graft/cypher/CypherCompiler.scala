@@ -73,9 +73,60 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       // everything else stays an ordinary filter
       val (patternPreds, rest) = splitConjuncts(e)
       patternPreds.foreach { case (p, negated) => df = applyPatternPred(df, p, negated) }
-      rest.foreach(r => df = df.filter(compileExpr(r, df)))
+      rest.foreach(r => df = filterWithPatternPreds(df, r))
     }
     df
+  }
+
+  /** Residual conjunct filter that may still embed pattern predicates
+    * under OR/NOT (`WHERE (a)-[:T]->() OR a.x = 1`): each embedded
+    * pattern becomes an exists-FLAG column via a marker left join
+    * (distinct shared ids + TRUE marker, coalesced to false), the
+    * predicate node is substituted with the flag variable, and the
+    * whole expression compiles as an ordinary Column filter. */
+  private def filterWithPatternPreds(df0: DataFrame, e: Expr): DataFrame = {
+    val preds = collectPatternPreds(e)
+    if (preds.isEmpty) return df0.filter(compileExpr(e, df0))
+    var d = df0
+    var rewritten = e
+    preds.zipWithIndex.foreach { case (p, i) =>
+      val flag = s"_pp_flag_$i"
+      d = addExistsFlag(d, p, flag)
+      rewritten = substPatternPred(rewritten, p, Variable(flag))
+    }
+    d = d.filter(compileExpr(rewritten, d))
+    preds.indices.foldLeft(d)((x, i) => x.drop(s"_pp_flag_$i"))
+  }
+
+  private def collectPatternPreds(e: Expr): Seq[PathPat] = (e match {
+    case And(l, r)      => collectPatternPreds(l) ++ collectPatternPreds(r)
+    case Or(l, r)       => collectPatternPreds(l) ++ collectPatternPreds(r)
+    case Not(x)         => collectPatternPreds(x)
+    case PatternPred(p) => Seq(p)
+    case _              => Nil
+  }).distinct
+
+  private def substPatternPred(e: Expr, target: PathPat, repl: Expr): Expr = e match {
+    case And(l, r) => And(substPatternPred(l, target, repl), substPatternPred(r, target, repl))
+    case Or(l, r)  => Or(substPatternPred(l, target, repl), substPatternPred(r, target, repl))
+    case Not(x)    => Not(substPatternPred(x, target, repl))
+    case PatternPred(p) if p == target => repl
+    case other     => other
+  }
+
+  private def addExistsFlag(df: DataFrame, p: PathPat, flag: String): DataFrame = {
+    val sub = compilePath(None, p)
+    val shared = df.columns.toSet.intersect(sub.columns.toSet)
+      .filter(_.endsWith(s"${SEP}id")).toSeq.sorted
+    if (shared.isEmpty)
+      throw new UnsupportedOperationException(
+        "pattern predicate must share at least one bound variable with the MATCH")
+    val marker = sub.select(shared.map(col): _*).distinct()
+      .select((shared.map(c => col(c).as(s"_ppk_$c")) :+ lit(true).as(s"_ppm_$flag")): _*)
+    val cond = shared.map(c => df(c) === marker(s"_ppk_$c")).reduce(_ && _)
+    val joined = df.join(marker, cond, "left_outer")
+      .withColumn(flag, coalesce(col(s"_ppm_$flag"), lit(false)))
+    (shared.map(c => s"_ppk_$c") :+ s"_ppm_$flag").foldLeft(joined)((x, c) => x.drop(c))
   }
 
   /** Decompose a top-level AND tree into pattern predicates

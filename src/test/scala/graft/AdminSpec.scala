@@ -56,6 +56,24 @@ class AdminSpec extends AnyFunSuite {
     assert(fresh.graph().nodes.select("id").distinct().count() == 3)
   }
 
+  test("snapshot commit point is the manifest: a mid-swap crash never reuses ids") {
+    val data = tmp("graft-crash")
+    val s = dogsSession()
+    s.saveDatabase(data)
+    s.cypher("CREATE (c:dog {name:'Solo'})")
+    s.saveDatabase(data)
+    // Simulate a crash after the data swap but before the manifest move
+    // (the commit point): the directory has new data, no manifest.
+    Files.delete(java.nio.file.Paths.get(s"$data/databases/neo4j/manifest.json"))
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(data)
+    // v0 synthesis derives next_id from the data actually present, so a
+    // new CREATE can never collide with an existing id
+    fresh.cypher("CREATE (d:dog {name:'Rex'})")
+    assert(fresh.graph().nodes.count() == 4)
+    assert(fresh.graph().nodes.select("id").distinct().count() == 4)
+  }
+
   test("edge snapshots partition by relType (typed-expand partition pruning)") {
     val data = tmp("graft-data")
     dogsSession().saveDatabase(data)

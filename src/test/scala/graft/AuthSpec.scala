@@ -119,6 +119,17 @@ class AuthSpec extends AnyFunSuite {
     s.login("neo4j", "secretpassword")
   }
 
+  test("random per-entry salt: identical passwords produce different stored lines") {
+    val d1 = tmp(); val d2 = tmp()
+    new AuthStore(d1).setInitialPassword("samepassword")
+    new AuthStore(d2).setInitialPassword("samepassword")
+    val l1 = Files.readString(java.nio.file.Paths.get(d1, "dbms", "auth"))
+    val l2 = Files.readString(java.nio.file.Paths.get(d2, "dbms", "auth"))
+    assert(l1 != l2, "identical passwords must not produce identical auth lines")
+    assert(new AuthStore(d1).verify("neo4j", "samepassword"))
+    assert(new AuthStore(d2).verify("neo4j", "samepassword"))
+  }
+
   test("bootstrap against a data dir with existing credentials keeps the old password") {
     val dir = tmp()
     new AuthStore(dir).setInitialPassword("realpassword")

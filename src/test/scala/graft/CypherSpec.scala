@@ -293,4 +293,71 @@ class CypherSpec extends AnyFunSuite {
       "MATCH (p:p) WHERE p.name STARTS WITH 'Cust' RETURN toUpper(p.name) AS u")
     assert(res.collect().map(_.getString(0)).toSeq == Seq("CUSTOMER#1"))
   }
+
+  test("C5 + RETURN: MATCH … CREATE … RETURN mixes bound and fresh props (DatabaseIO.java:63)") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (arne:dog {name:'Arne'})-[:SNIFFS]->(bosse:dog {name:'Bosse'})")
+    val res = s.cypher(
+      "MATCH (a:dog {name:'Arne'}) CREATE (armstrong:dog {name:'Armstrong'})-[:SNIFFS]->(a) " +
+        "RETURN a.name, armstrong.name")
+    val row = res.collect().head
+    assert(row.getAs[String]("a.name") == "Arne")
+    assert(row.getAs[String]("armstrong.name") == "Armstrong")
+    assert(s.graph().nodes.count() == 3)
+    assert(s.graph().edges.count() == 2)
+  }
+
+  test("anonymous CREATE nodes are distinct per occurrence (positional keying)") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:v {n: 1}), (b:v {n: 2})")
+    s.cypher("MATCH (v:v) CREATE (v)-[:A]->(:x)-[:B]->(:x)")
+    // per binding: TWO fresh anonymous :x nodes, not one shared
+    assert(s.graph().nodes.count() == 6)
+    assert(s.graph().nodes.select("id").distinct().count() == 6)
+    assert(s.graph().edges.count() == 4)
+    val e = s.graph().edges
+    val aDst = e.filter("relType = 'A'").select("dst").collect().map(_.getLong(0)).toSet
+    val bSrc = e.filter("relType = 'B'").select("src").collect().map(_.getLong(0)).toSet
+    val bDst = e.filter("relType = 'B'").select("dst").collect().map(_.getLong(0)).toSet
+    assert(aDst == bSrc, "B edges must start at the first anonymous node")
+    assert(aDst.intersect(bDst).isEmpty, "the two anonymous nodes must be distinct")
+    assert(aDst.size == 2 && bDst.size == 2)
+  }
+
+  test("SET with expression values: SET n.m = n.n + 1") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:v {n: 1}), (b:v {n: 2}), (c:w {n: 10})")
+    s.cypher("MATCH (n:v) SET n.m = n.n + 1")
+    val res = s.cypher("MATCH (n:v) RETURN n.m AS m ORDER BY m")
+    assert(res.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // unmatched label untouched (new column null there)
+    val w = s.cypher("MATCH (n:w) RETURN n.m AS m")
+    assert(w.collect().head.isNullAt(0))
+    // self-referential update over the existing column
+    s.cypher("MATCH (n:v) SET n.n = n.n * 10")
+    val res2 = s.cypher("MATCH (n:v) RETURN n.n AS n ORDER BY n")
+    assert(res2.collect().map(_.getLong(0)).toSeq == Seq(10L, 20L))
+  }
+
+  test("pattern predicates under OR compile via exists-flag marker joins") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    s.cypher("CREATE (c:dog {name:'Solo'})")
+    val res = s.cypher(
+      "MATCH (d:dog) WHERE (d)-[:SNIFFS]->() OR d.name = 'Bosse' RETURN d.name AS name ORDER BY name")
+    assert(res.collect().map(_.getString(0)).toSeq == Seq("Arne", "Bosse"))
+    val neg = s.cypher(
+      "MATCH (d:dog) WHERE NOT (d)-[:SNIFFS]->() OR d.name = 'Arne' RETURN d.name AS name ORDER BY name")
+    assert(neg.collect().map(_.getString(0)).toSeq == Seq("Arne", "Bosse", "Solo"))
+  }
+
+  test("MATCH … CREATE numbering avoids a single-partition global window") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:v {n: 1}), (b:v {n: 2}), (c:v {n: 3})")
+    s.cypher("MATCH (v:v) CREATE (t:tag {kind:'y'})-[:FOR]->(v)")
+    val plan = s.graph().nodes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "fresh-id numbering must not funnel the match through one Window task")
+    assert(s.graph().nodes.count() == 6)
+  }
 }
