@@ -62,4 +62,23 @@ object GraphViews {
 
     PropertyGraph(nodes, edges)
   }
+
+  /** Bounded part co-purchase graph: nodes = parts appearing in orders
+    * with `l_orderkey < maxOrderKey`, one CO edge per part pair sharing
+    * an order, canonical `src < dst` (GraphX TriangleCount's input
+    * contract). The bound keeps the pair blow-up proportional to the
+    * probed subgraph — the same blocking discipline nodeSimilarity
+    * uses; at 100 TB the orderkey predicate prunes the lineitem scan. */
+  def copurchase(spark: SparkSession, dir: String, maxOrderKey: Long = 3000L): PropertyGraph = {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < maxOrderKey)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nodes = li.select(nodeId(col("p"), TAG_PART).as("id"))
+      .distinct().withColumn("labels", array(lit("part")))
+    val b = li.select(col("o").as("o2"), col("p").as("p2"))
+    val edges = li.join(b, col("o") === col("o2") && col("p") < col("p2"))
+      .select(nodeId(col("p"), TAG_PART).as("src"), nodeId(col("p2"), TAG_PART).as("dst"),
+        lit("CO").as("relType")).distinct()
+    PropertyGraph(nodes, edges)
+  }
 }

@@ -15,8 +15,12 @@ import graft.core.Tables
   * ordering/gap/bucket key here is a BIGINT derived from the raw
   * integer nanos the same way on both sides: Spark reads the column
   * as a long and `div 1000`s it (Tables.events), the oracle uses
-  * `epoch_ns(ts) // 1000` — floor division on identical integers, no
-  * timestamp semantics left to disagree on.
+  * `epoch_ns(ts) // 1000` — identical integer division on both sides
+  * for the post-1970 timestamps this data has. (Spark's `div`
+  * truncates toward zero while DuckDB's `//` floors, so the two WOULD
+  * differ by 1µs on pre-epoch (negative-nanos) timestamps; the events
+  * generator emits 2023+ only, and the assumption is documented here
+  * rather than paying a pmod adjustment on the hot path.)
   *
   * Scale: both queries are one shuffle on `user_id` (window) or the
   * group keys; sessionization's running sum shares the same sort as

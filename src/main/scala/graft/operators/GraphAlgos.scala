@@ -27,6 +27,17 @@ object GraphAlgos {
       gs
     })
 
+  /** Part co-purchase session (the tpch view itself is triangle-free:
+    * every edge type is bipartite or tree-shaped, so triangleCount
+    * needs a graph that actually has triangles). */
+  private def coSession(s: SparkSession, dir: String): GraftSession =
+    cache.computeIfAbsent(dir + "#co", _ => {
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.copurchase(s, dir))
+      Packs.install(gs, Seq("graph-data-science"))
+      gs
+    })
+
   /** DuckDB oracle replaying Gds.pageRank's integer recurrence over the
     * IN-edge view: nodes are ALL tpch graph nodes (GraphViews ids
     * key*10+tag), edges customer/supplier->nation and nation->region.
@@ -132,6 +143,32 @@ object GraphAlgos {
       val g = graft.core.PropertyGraph(
         graft.core.PropertyGraph.empty(s).nodes, edges)
       graft.procs.Gds.nodeSimilarity(s, g, None)
+    },
+
+    // Per-node triangle count over the bounded part co-purchase graph
+    // (parts sharing an order, l_orderkey < 3000, canonical src < dst).
+    // The oracle enumerates triangles a<b<c by a three-way edge join
+    // and credits each corner — exactly GraphX TriangleCount's
+    // "triangles passing through each vertex" semantic. Counts are
+    // integers, so the hash gate holds.
+    sql("gds_triangle_count",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |e AS (SELECT DISTINCT a.p*10+6 AS src, b.p*10+6 AS dst
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |cnt AS (SELECT node_id, count(*) AS t FROM (
+        |          SELECT a AS node_id FROM tri
+        |          UNION ALL SELECT b FROM tri
+        |          UNION ALL SELECT c FROM tri) GROUP BY node_id)
+        |SELECT n.id AS node_id, CAST(COALESCE(cnt.t, 0) AS BIGINT) AS triangles
+        |FROM (SELECT DISTINCT p*10+6 AS id FROM li) n
+        |LEFT JOIN cnt ON cnt.node_id = n.id
+        |ORDER BY node_id""".stripMargin) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.triangleCount('CO') YIELD node_id, triangles RETURN node_id, triangles")
     }
   )
 }
