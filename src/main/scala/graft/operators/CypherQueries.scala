@@ -111,6 +111,19 @@ object CypherQueries {
         |  SELECT c_nationkey AS nk, count(*) AS n FROM customer GROUP BY c_nationkey) t
         |WHERE n > 10""".stripMargin)(
       """MATCH (c:customer) WITH c.c_nationkey AS nk, count(c) AS n WHERE n > 10
-        |RETURN nk, n""".stripMargin)
+        |RETURN nk, n""".stripMargin),
+
+    // Pattern predicate under OR: compiles to an exists-flag marker
+    // join (not a semi join — the disjunction needs the flag as a
+    // first-class boolean). Both disjuncts contribute: customers with
+    // a finished order, plus negative-balance customers without one.
+    q("cy_pattern_or",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |   OR c.c_acctbal < 0
+        |ORDER BY c_custkey""".stripMargin)(
+      """MATCH (c:customer) WHERE (c)-[:PLACED]->(:order {o_orderstatus:'F'}) OR c.c_acctbal < 0
+        |RETURN c.c_custkey AS c_custkey, c.c_name AS c_name ORDER BY c_custkey""".stripMargin)
   )
 }

@@ -351,6 +351,15 @@ class CypherSpec extends AnyFunSuite {
     assert(neg.collect().map(_.getString(0)).toSeq == Seq("Arne", "Bosse", "Solo"))
   }
 
+  test("MATCH with no bindings: CREATE appends nothing, RETURN yields no rows") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:v {n: 1})")
+    val res = s.cypher("MATCH (v:nope) CREATE (t:tag)-[:FOR]->(v) RETURN t.kind")
+    assert(res.collect().isEmpty)
+    assert(s.graph().nodes.count() == 1)
+    assert(s.graph().edges.count() == 0)
+  }
+
   test("MATCH … CREATE numbering avoids a single-partition global window") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {n: 1}), (b:v {n: 2}), (c:v {n: 3})")
