@@ -88,6 +88,46 @@ object Events {
           sum(col("sv")).cast(DoubleType).as("sum_value"))
     },
 
+    // ---- as-of join: latest event at-or-before each checkpoint ----
+    // The distributed as-of shape (Spark has no ASOF JOIN operator;
+    // DuckDB does, which makes the oracle genuinely independent):
+    // tag quotes 0 / probes 1, union, one window pass per user_id
+    // carries the latest quote forward onto each probe row. ONE
+    // shuffle on user_id, no per-row lookups, no range cross join —
+    // at 100 TB this is a sort-merge within each user partition.
+    // Tie-breaking ((user_id, tsus) duplicates) folds into the window
+    // order (t, tag, event_id): among equal timestamps the largest
+    // event_id is carried, which is exactly the oracle's max() dedup —
+    // the event table itself moves through ONE exchange only. Probes
+    // (hour-end checkpoints derived from the data) are a tiny
+    // map-side-combined distinct (≤ users × hours rows) and always
+    // have at least one quote before them, so the join is total.
+    sql("events_asof_join",
+      """WITH q AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tsus, max(event_id) AS event_id
+        |  FROM events GROUP BY user_id, epoch_ns(ts) // 1000),
+        |p AS (
+        |  SELECT DISTINCT user_id, (tsus // 3600000000) * 3600000000 + 3600000000 AS pts
+        |  FROM q)
+        |SELECT p.user_id AS user_id, p.pts AS pts, q.event_id AS last_event_id
+        |FROM p ASOF JOIN q ON p.user_id = q.user_id AND p.pts >= q.tsus
+        |ORDER BY p.user_id, p.pts""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("tsus", unix_micros(col("ts")))
+      val quotes = ev.select(
+        col("user_id"), col("tsus").as("t"), lit(0).as("tag"), col("event_id"))
+      val probes = ev.select(col("user_id"),
+          (expr("tsus div 3600000000") * 3600000000L + 3600000000L).as("t"))
+        .distinct()
+        .select(col("user_id"), col("t"), lit(1).as("tag"),
+          lit(null).cast(LongType).as("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("t", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      quotes.unionByName(probes)
+        .withColumn("last_event_id", last(col("event_id"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("user_id"), col("t").as("pts"), col("last_event_id"))
+    },
+
     // ---- tumbling time window (micro-batch shape; Spark window()) ----
     // The bucket is emitted as BIGINT hours-since-epoch (not a
     // timestamp) so the comparison never touches engine timestamp
