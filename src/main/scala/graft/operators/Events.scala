@@ -128,6 +128,41 @@ object Events {
         .select(col("user_id"), col("t").as("pts"), col("last_event_id"))
     },
 
+    // ---- range join: events near another user's purchase ----
+    // Spark has no native band/interval join (a raw |t1-t2| <= B theta
+    // join plans as a cartesian product); the scalable shape is bucket
+    // replication: purchases replicate to 3 adjacent B-wide buckets,
+    // events keep their own bucket, the join is an EQUI join on bucket
+    // with the band residual applied after — work is proportional to
+    // true collision volume, and each qualifying pair meets in exactly
+    // one bucket (no dedup pass). DuckDB executes the same band
+    // predicate with its native IEJoin, making the oracle an
+    // independent range-join implementation.
+    sql("events_range_join",
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsus FROM events),
+        |p AS (SELECT user_id AS pu, epoch_ns(ts) // 1000 AS pt
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id AS event_id, CAST(count(p.pt) AS BIGINT) AS n_nearby
+        |FROM e LEFT JOIN p
+        |  ON p.pt BETWEEN e.tsus - 300000000 AND e.tsus + 300000000
+        | AND e.user_id <> p.pu
+        |GROUP BY e.event_id ORDER BY event_id""".stripMargin) { (s, d) =>
+      val B = 300000000L // 5-minute band in µs
+      val ev = Tables.events(s, d).withColumn("tsus", unix_micros(col("ts")))
+      val events = ev.select(col("event_id"), col("user_id"), col("tsus"),
+        expr(s"tsus div $B").as("bucket"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("tsus").as("pt"),
+          expr(s"tsus div $B").as("pb"))
+        .withColumn("bucket", explode(array(col("pb") - 1, col("pb"), col("pb") + 1)))
+        .drop("pb")
+      events.join(purchases, Seq("bucket"), "left_outer")
+        .groupBy("event_id")
+        .agg(sum(when(col("pt").isNotNull &&
+            abs(col("tsus") - col("pt")) <= B && col("user_id") =!= col("pu"), 1L)
+          .otherwise(0L)).cast(LongType).as("n_nearby"))
+    },
+
     // ---- tumbling time window (micro-batch shape; Spark window()) ----
     // The bucket is emitted as BIGINT hours-since-epoch (not a
     // timestamp) so the comparison never touches engine timestamp
