@@ -352,19 +352,32 @@ final class GraftSession(val spark: SparkSession,
     import org.apache.spark.sql.functions._
     if (matches.isEmpty)
       throw new UnsupportedOperationException("SET/DELETE requires a MATCH part")
-    val (bindings, _) = matchedIds(db, matches)
+    lazy val bindings = matchedIds(db, matches)._1
+    // relationship variables get SET/DELETE too: a matched rel is
+    // identified by its (src, dst, relType) key (edges carry no
+    // surrogate id; indistinguishable duplicate edges update together)
+    val relVars = matches.flatMap(_.patterns.flatMap(_.hops.flatMap(_._1.variable))).toSet
+    def relKeys(rv: String): DataFrame =
+      new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
+        .compile(ast.Query(matches ++ Seq(ast.Return(Seq(
+          ast.ReturnItem(ast.Prop(rv, "src"), Some("_rs")),
+          ast.ReturnItem(ast.Prop(rv, "dst"), Some("_rd")),
+          ast.ReturnItem(ast.Prop(rv, "relType"), Some("_rt"))),
+          distinct = true, Nil, None, None))))
     var g = db.graph
 
     sets.foreach(_.items.foreach { case (ast.Prop(v, key), rhs) =>
-      val base = g.nodes
-      // SET RHS over the node's own row: `SET n.x = n.y + 1` compiles
-      // to a Column over the node columns — still one update-by-join.
+      val isRel = relVars.contains(v)
+      val base = if (isRel) g.edges else g.nodes
+      // SET RHS over the matched row's own columns: `SET n.x = n.y + 1`
+      // compiles to a Column over them — still one update-by-join.
       def exprCol(e: ast.Expr): org.apache.spark.sql.Column = e match {
         case ast.Lit(x) => lit(norm(x))
         case ast.Prop(`v`, k) if base.columns.contains(k) => col(k)
         case ast.Prop(v2, k) => throw new UnsupportedOperationException(
           s"SET value may reference only $v's own properties, got $v2.$k")
-        case ast.FnCall(fn, Seq(ast.Variable(`v`)), _) if fn.equalsIgnoreCase("id") => col("id")
+        case ast.FnCall(fn, Seq(ast.Variable(`v`)), _) if fn.equalsIgnoreCase("id") && !isRel =>
+          col("id")
         case ast.Arith(op, l, r0) =>
           val (lc, rc) = (exprCol(l), exprCol(r0))
           op match {
@@ -388,51 +401,68 @@ final class GraftSession(val spark: SparkSession,
         case other => throw new UnsupportedOperationException(
           s"SET value must be a literal or an expression over $v's properties, got $other")
       }
+      val (joined, mark) =
+        if (isRel) {
+          val keys = relKeys(v)
+          (base.join(keys,
+            base("src") === col("_rs") && base("dst") === col("_rd") &&
+              base("relType") === col("_rt"), "left_outer"),
+            col("_rs").isNotNull)
+        } else {
+          val ids = bindings.select(col(v).as("_mid")).distinct()
+          (base.join(ids, base("id") === col("_mid"), "left_outer"), col("_mid").isNotNull)
+        }
+      def swapIn(updated: DataFrame): Unit = {
+        val cleaned = updated.drop("_mid", "_rs", "_rd", "_rt")
+        g = if (isRel) PropertyGraph(g.nodes, cleaned) else PropertyGraph(cleaned, g.edges)
+      }
       rhs match {
         case ast.Lit(value0) =>
           val value = norm(value0)
           if (value != null || base.columns.contains(key)) { // REMOVE of an absent key is a no-op
-            val ids = bindings.select(col(v).as("_mid")).distinct()
-            val joined = base.join(ids, base("id") === col("_mid"), "left_outer")
-            val updated =
+            swapIn(
               if (base.columns.contains(key))
-                joined.withColumn(key, when(col("_mid").isNotNull, lit(value)).otherwise(col(key)))
+                joined.withColumn(key, when(mark, lit(value)).otherwise(col(key)))
               else
                 joined.withColumn(key,
-                  when(col("_mid").isNotNull, lit(value))
-                    .otherwise(lit(null).cast(PropertyGraph.literalType(value))))
-            g = PropertyGraph(updated.drop("_mid"), g.edges)
+                  when(mark, lit(value)).otherwise(lit(null).cast(PropertyGraph.literalType(value)))))
           }
         case expr =>
-          val ids = bindings.select(col(v).as("_mid")).distinct()
-          val joined = base.join(ids, base("id") === col("_mid"), "left_outer")
           val valueCol = exprCol(expr)
-          val updated =
+          swapIn(
             if (base.columns.contains(key))
-              joined.withColumn(key, when(col("_mid").isNotNull, valueCol).otherwise(col(key)))
-            else joined.withColumn(key, when(col("_mid").isNotNull, valueCol))
-          g = PropertyGraph(updated.drop("_mid"), g.edges)
+              joined.withColumn(key, when(mark, valueCol).otherwise(col(key)))
+            else joined.withColumn(key, when(mark, valueCol)))
       }
     })
 
     deletes.foreach { d =>
       d.vars.foreach { v =>
-        val ids = bindings.select(col(v).as("_mid")).distinct()
-        if (!d.detach) {
-          val incident = g.edges.join(ids,
-            g.edges("src") === col("_mid") || g.edges("dst") === col("_mid"), "left_semi")
-          if (incident.take(1).nonEmpty)
-            throw new IllegalStateException(
-              "Cannot delete nodes, because they still have relationships. " +
-                "To delete them, use DETACH DELETE.")
+        if (relVars.contains(v)) {
+          // DELETE r: anti-join the matched rel keys out of the edge set
+          val keys = relKeys(v)
+          val edges = g.edges.join(keys,
+            g.edges("src") === col("_rs") && g.edges("dst") === col("_rd") &&
+              g.edges("relType") === col("_rt"), "left_anti")
+          g = PropertyGraph(g.nodes, edges)
+        } else {
+          val ids = bindings.select(col(v).as("_mid")).distinct()
+          if (!d.detach) {
+            val incident = g.edges.join(ids,
+              g.edges("src") === col("_mid") || g.edges("dst") === col("_mid"), "left_semi")
+            if (incident.take(1).nonEmpty)
+              throw new IllegalStateException(
+                "Cannot delete nodes, because they still have relationships. " +
+                  "To delete them, use DETACH DELETE.")
+          }
+          val edges =
+            if (d.detach)
+              g.edges.join(ids, g.edges("src") === col("_mid"), "left_anti")
+                .join(ids, col("dst") === col("_mid"), "left_anti")
+            else g.edges
+          val nodes = g.nodes.join(ids, g.nodes("id") === col("_mid"), "left_anti")
+          g = PropertyGraph(nodes, edges)
         }
-        val edges =
-          if (d.detach)
-            g.edges.join(ids, g.edges("src") === col("_mid"), "left_anti")
-              .join(ids, col("dst") === col("_mid"), "left_anti")
-          else g.edges
-        val nodes = g.nodes.join(ids, g.nodes("id") === col("_mid"), "left_anti")
-        g = PropertyGraph(nodes, edges)
       }
     }
 

@@ -542,7 +542,31 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "head"               => element_at(a(0), 1)
       case "last"               => element_at(a(0), -1)
       case "range"              => sequence(a(0), a(1))
-      case "keys"               => map_keys(a(0))
+      // keys(n)/properties(n) on a bound entity: the row's non-null
+      // property columns (meta columns excluded). properties() values
+      // stringify — one map type must hold heterogeneous props.
+      case "keys" => f.args.head match {
+        case Variable(v) if df.columns.exists(_.startsWith(s"$v$SEP")) =>
+          entityPropCols(df, v) match {
+            case Seq() => typedLit(Seq.empty[String])
+            case cols => sort_array(array_compact(array(cols.map { c =>
+              when(col(c).isNotNull, lit(c.stripPrefix(s"$v$SEP")))
+            }: _*)))
+          }
+        case _ => map_keys(a(0))
+      }
+      case "properties" => f.args.head match {
+        case Variable(v) if df.columns.exists(_.startsWith(s"$v$SEP")) =>
+          entityPropCols(df, v) match {
+            case Seq() => typedLit(Map.empty[String, String])
+            case cols => map_filter(
+              map(cols.flatMap(c =>
+                Seq(lit(c.stripPrefix(s"$v$SEP")), col(c).cast("string"))): _*),
+              (_, pv) => pv.isNotNull)
+          }
+        case other => throw new UnsupportedOperationException(
+          s"properties() expects a bound node/relationship variable, got $other")
+      }
       case other =>
         scalarFns(f.name) match {
           case Some(fn) => fn(f.args.map(compileExpr(_, df)))
@@ -550,6 +574,14 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
             throw new UnsupportedOperationException(s"Unknown function: $other")
         }
     }
+  }
+
+  /** The property columns of a bound entity variable: its prefixed
+    * columns minus the structural meta columns. */
+  private def entityPropCols(df: DataFrame, v: String): Seq[String] = {
+    val meta = Set("id", "labels", "src", "dst", "relType")
+    df.columns.toIndexedSeq.filter(c =>
+      c.startsWith(s"$v$SEP") && !meta.contains(c.stripPrefix(s"$v$SEP")))
   }
 
   private def litStr(e: Expr): String = e match {

@@ -351,6 +351,38 @@ class CypherSpec extends AnyFunSuite {
     assert(neg.collect().map(_.getString(0)).toSeq == Seq("Arne", "Bosse", "Solo"))
   }
 
+  test("SET and DELETE on relationship variables (keyed by src/dst/relType)") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    s.cypher("CREATE (c:dog {name:'Solo'})-[:BARKS]->(d:dog {name:'Rex'})")
+    s.cypher("MATCH (:dog {name:'Arne'})-[r:SNIFFS]->(:dog) SET r.strength = 9")
+    val e = s.graph().edges
+    assert(e.filter("relType = 'SNIFFS'").select("strength").collect().head.getLong(0) == 9L)
+    assert(e.filter("relType = 'BARKS'").select("strength").collect().head.isNullAt(0))
+    // expression RHS over the rel's own property
+    s.cypher("MATCH (:dog)-[r:SNIFFS]->(:dog) SET r.strength = r.strength + 1")
+    assert(s.graph().edges.filter("relType = 'SNIFFS'")
+      .select("strength").collect().head.getLong(0) == 10L)
+    // DELETE r removes only the matched relationship, never nodes
+    s.cypher("MATCH (:dog)-[r:SNIFFS]->(:dog) DELETE r")
+    assert(s.graph().edges.count() == 1)
+    assert(s.graph().edges.collect().head.getAs[String]("relType") == "BARKS")
+    assert(s.graph().nodes.count() == 4)
+  }
+
+  test("keys() and properties() over bound entities") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne', age: 4})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    val k = s.cypher("MATCH (d:dog {name:'Arne'}) RETURN keys(d) AS ks")
+    assert(k.collect().head.getSeq[String](0) == Seq("age", "name"))
+    // Bosse has no age: the null column drops out of keys()
+    val k2 = s.cypher("MATCH (d:dog {name:'Bosse'}) RETURN keys(d) AS ks")
+    assert(k2.collect().head.getSeq[String](0) == Seq("name"))
+    val p = s.cypher("MATCH (d:dog {name:'Arne'}) RETURN properties(d) AS props")
+    val m = p.collect().head.getAs[scala.collection.Map[String, String]](0)
+    assert(m == Map("name" -> "Arne", "age" -> "4"))
+  }
+
   test("MATCH with no bindings: CREATE appends nothing, RETURN yields no rows") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {n: 1})")
