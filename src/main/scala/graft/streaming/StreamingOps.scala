@@ -34,6 +34,23 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup on event_id: the watermark bounds the
+    * dedup state the same way it bounds window state — ids older than
+    * the watermark are evicted, so state is proportional to the
+    * watermark horizon, not the stream's lifetime. */
+  def dedupEvents(spark: SparkSession, sourceDir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join: each micro-batch hash-joins
+    * against the static dimension (broadcast when small — no stream
+    * state at all, the canonical dimension-enrichment shape). */
+  def enrichAgainstStatic(spark: SparkSession, sourceDir: String,
+      dim: DataFrame): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(sourceDir)
+      .join(broadcast(dim), Seq("user_id"), "inner")
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -62,6 +62,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-dup").toString
+    val events = Seq(
+      Ev(0, ts(0), 1, "click", 1.0), Ev(0, ts(1), 1, "click", 1.0), // dup id
+      Ev(1, ts(2), 1, "view", 2.0), Ev(2, ts(3), 2, "view", 3.0),
+      Ev(2, ts(4), 2, "view", 3.0)) // dup id
+    events.toDF().write.mode("overwrite").parquet(dir)
+    val q = StreamingOps.dedupEvents(spark, dir).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.sql("SELECT event_id FROM dedup_out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(0L, 1L, 2L))
+  }
+
+  test("stream-static join enriches each micro-batch against a broadcast dimension") {
+    import spark.implicits._
+    val dir = writeSource()
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = StreamingOps.enrichAgainstStatic(spark, dir, dim).writeStream
+      .format("memory").queryName("enrich_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT user_id, tier, event_id FROM enrich_out").collect()
+    assert(rows.length == 6) // every event matched its user's tier
+    assert(rows.filter(_.getLong(0) == 1L).forall(_.getString(1) == "gold"))
+    assert(rows.filter(_.getLong(0) == 2L).forall(_.getString(1) == "silver"))
+  }
+
   test("flatMapGroupsWithState sessionizes with a 30-minute gap") {
     val dir = writeSource()
     drain(StreamingOps.sessionCounts(spark, dir).toDF(), "sess_counts")
