@@ -226,8 +226,9 @@ final class GraftSession(val spark: SparkSession,
     val merges = q.clauses.collect { case m: ast.Merge => m }
 
     if (merges.nonEmpty) {
-      if (matches.nonEmpty || creates.nonEmpty || sets.nonEmpty || deletes.nonEmpty)
-        throw new UnsupportedOperationException("MERGE composes only with itself per statement")
+      if (creates.nonEmpty || sets.nonEmpty || deletes.nonEmpty)
+        throw new UnsupportedOperationException("MERGE composes only with MATCH per statement")
+      if (matches.nonEmpty) return mutateMatchedMerge(db, matches, merges)
       return mutateMerge(db, merges)
     }
     if (sets.nonEmpty || deletes.nonEmpty) {
@@ -471,15 +472,59 @@ final class GraftSession(val spark: SparkSession,
   }
 
   /** MERGE: match the whole pattern; create it only when absent
-    * (openCypher match-or-create for fully-literal patterns). */
+    * (openCypher match-or-create for fully-literal patterns). ON
+    * CREATE / ON MATCH SET items run as an ordinary MATCH … SET over
+    * whichever branch was taken. */
   private def mutateMerge(db: GraphDatabase, merges: Seq[ast.Merge]): DataFrame = {
     merges.foreach { m =>
       val found = new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
         .compile(ast.Query(Seq(
           ast.Match(Seq(m.pattern), optional = false, None),
           ast.Return(Seq(ast.ReturnItem(ast.Lit(1L), Some("one"))), distinct = false, Nil, None, Some(1L)))))
-      if (found.take(1).isEmpty)
-        mutate(db, ast.Query(Seq(ast.Create(Seq(m.pattern)))))
+        .take(1).nonEmpty
+      val handlers = if (found) m.onMatch else m.onCreate
+      if (!found) mutate(db, ast.Query(Seq(ast.Create(Seq(m.pattern)))))
+      if (handlers.nonEmpty)
+        mutateSetDelete(db, Seq(ast.Match(Seq(m.pattern), optional = false, None)),
+          Seq(ast.SetProps(handlers)), Nil)
+    }
+    unit()
+  }
+
+  /** MATCH … MERGE (a)-[:T]->(b): both endpoints bound by the MATCH;
+    * the relationship is appended for exactly the bindings that lack
+    * it — a distinct projection of the binding table anti-joined
+    * against the typed edge set, then unioned in. Fully distributed:
+    * the merge of N bindings is two joins, not N lookups. */
+  private def mutateMatchedMerge(db: GraphDatabase, matches: Seq[ast.Match],
+      merges: Seq[ast.Merge]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (bindings, boundVars) = matchedIds(db, matches)
+    merges.foreach { m =>
+      if (m.onCreate.nonEmpty || m.onMatch.nonEmpty)
+        throw new UnsupportedOperationException(
+          "ON CREATE/ON MATCH are not supported on a MATCH-composed MERGE")
+      val p = m.pattern
+      if (p.hops.size != 1)
+        throw new UnsupportedOperationException(
+          "MATCH … MERGE supports a single relationship pattern")
+      val (rel, endPat) = p.hops.head
+      val (sv, dv) = (p.start.variable, endPat.variable) match {
+        case (Some(a), Some(b)) if boundVars.contains(a) && boundVars.contains(b) =>
+          if (rel.dir == -1) (b, a) else (a, b)
+        case _ => throw new UnsupportedOperationException(
+          "MATCH … MERGE requires both endpoints bound by the MATCH")
+      }
+      val relType = rel.types.headOption.getOrElse(
+        throw new IllegalArgumentException("MERGE relationship requires a type"))
+      val g = db.graph
+      val candidates = bindings.select(col(sv).as("src"), col(dv).as("dst")).distinct()
+      val existing = g.edges.filter(col("relType") === relType).select("src", "dst")
+      val missing = candidates.join(existing, Seq("src", "dst"), "left_anti")
+        .withColumn("relType", lit(relType))
+      val withProps = rel.props.keys.toSeq.sorted.foldLeft(missing)((d, k) =>
+        d.withColumn(k, lit(norm(rel.props(k).v))))
+      db.graph = PropertyGraph(g.nodes, PropertyGraph.appendByName(g.edges, withProps))
     }
     unit()
   }

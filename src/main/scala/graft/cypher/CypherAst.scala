@@ -67,8 +67,10 @@ object ast {
   final case class RemoveProps(items: Seq[Prop]) extends Clause
   /** DELETE / DETACH DELETE of bound node variables. */
   final case class Delete(vars: Seq[String], detach: Boolean) extends Clause
-  /** MERGE: match the whole pattern, create it if absent. */
-  final case class Merge(pattern: PathPat) extends Clause
+  /** MERGE: match the whole pattern, create it if absent; ON CREATE /
+    * ON MATCH SET items apply to whichever branch was taken. */
+  final case class Merge(pattern: PathPat,
+      onCreate: Seq[(Prop, Expr)] = Nil, onMatch: Seq[(Prop, Expr)] = Nil) extends Clause
   final case class With(items: Seq[ReturnItem], distinct: Boolean, where: Option[Expr],
       orderBy: Seq[(Expr, Boolean)], skip: Option[Long], limit: Option[Long]) extends Clause
   final case class Return(items: Seq[ReturnItem], distinct: Boolean,

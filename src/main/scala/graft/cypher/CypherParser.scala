@@ -186,8 +186,17 @@ object CypherParser extends RegexParsers {
       case d ~ vs => Delete(vs, d.isDefined)
     }
 
+  private def propAssign: Parser[(Prop, Expr)] =
+    ident ~ ("." ~> ident) ~ ("=" ~> expr) ^^ { case v ~ k ~ e => (Prop(v, k), e) }
+
   private def mergeClause: Parser[Merge] =
-    kw("merge") ~> pathPat ^^ Merge.apply
+    kw("merge") ~> pathPat ~
+      rep((kw("on") ~> (kw("create") | kw("match"))) ~ (kw("set") ~> rep1sep(propAssign, ","))) ^^ {
+      case p ~ handlers =>
+        val creates = handlers.collect { case b ~ items if b.equalsIgnoreCase("create") => items }
+        val matches0 = handlers.collect { case b ~ items if b.equalsIgnoreCase("match") => items }
+        Merge(p, creates.flatten, matches0.flatten)
+    }
 
   private def returnItem: Parser[ReturnItem] =
     expr ~ opt(kw("as") ~> ident) ^^ { case e ~ a => ReturnItem(e, a) }

@@ -383,6 +383,31 @@ class CypherSpec extends AnyFunSuite {
     assert(m == Map("name" -> "Arne", "age" -> "4"))
   }
 
+  test("MERGE ON CREATE SET / ON MATCH SET take the right branch") {
+    val s = new GraftSession(spark)
+    val q = "MERGE (c:city {name:'Oslo'}) " +
+      "ON CREATE SET c.visits = 1 ON MATCH SET c.visits = c.visits + 1"
+    s.cypher(q)
+    assert(s.cypher("MATCH (c:city) RETURN c.visits AS v").collect().head.getLong(0) == 1L)
+    s.cypher(q)
+    assert(s.cypher("MATCH (c:city) RETURN c.visits AS v").collect().head.getLong(0) == 2L)
+    assert(s.graph().nodes.count() == 1)
+  }
+
+  test("MATCH … MERGE appends the relationship only where absent") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    val q = "MATCH (a:dog {name:'Arne'}), (b:dog {name:'Bosse'}) MERGE (a)-[:LIKES]->(b)"
+    s.cypher(q)
+    assert(s.graph().edges.filter("relType = 'LIKES'").count() == 1)
+    s.cypher(q) // idempotent
+    assert(s.graph().edges.filter("relType = 'LIKES'").count() == 1)
+    // an already-present type is left alone too
+    s.cypher("MATCH (a:dog {name:'Arne'}), (b:dog {name:'Bosse'}) MERGE (a)-[:SNIFFS]->(b)")
+    assert(s.graph().edges.filter("relType = 'SNIFFS'").count() == 1)
+    assert(s.graph().nodes.count() == 2)
+  }
+
   test("MATCH with no bindings: CREATE appends nothing, RETURN yields no rows") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {n: 1})")
