@@ -162,7 +162,7 @@ final class GraftSession(val spark: SparkSession,
       val parsed = CypherParser.parse(q)
       val isMutation = parsed.clauses.exists {
         case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
-             _: ast.Delete | _: ast.Merge => true
+             _: ast.SetLabels | _: ast.Delete | _: ast.Merge => true
         case _ => false
       }
       if (isMutation) {
@@ -224,17 +224,18 @@ final class GraftSession(val spark: SparkSession,
     }
     val deletes = q.clauses.collect { case d: ast.Delete => d }
     val merges = q.clauses.collect { case m: ast.Merge => m }
+    val labelSets = q.clauses.collect { case l: ast.SetLabels => l }
 
     if (merges.nonEmpty) {
-      if (creates.nonEmpty || sets.nonEmpty || deletes.nonEmpty)
+      if (creates.nonEmpty || sets.nonEmpty || deletes.nonEmpty || labelSets.nonEmpty)
         throw new UnsupportedOperationException("MERGE composes only with MATCH per statement")
       if (matches.nonEmpty) return mutateMatchedMerge(db, matches, merges)
       return mutateMerge(db, merges)
     }
-    if (sets.nonEmpty || deletes.nonEmpty) {
+    if (sets.nonEmpty || deletes.nonEmpty || labelSets.nonEmpty) {
       if (creates.nonEmpty)
         throw new UnsupportedOperationException("CREATE with SET/DELETE in one statement is not supported")
-      return mutateSetDelete(db, matches, sets, deletes)
+      return mutateSetDelete(db, matches, sets, deletes, labelSets)
     }
 
     // MATCH … CREATE appends one instantiation per matched binding —
@@ -349,7 +350,8 @@ final class GraftSession(val spark: SparkSession,
     * DETACH, incident edges). A plain DELETE of a node that still has
     * relationships refuses, like the reference engine. */
   private def mutateSetDelete(db: GraphDatabase, matches: Seq[ast.Match],
-      sets: Seq[ast.SetProps], deletes: Seq[ast.Delete]): DataFrame = {
+      sets: Seq[ast.SetProps], deletes: Seq[ast.Delete],
+      labelSets: Seq[ast.SetLabels] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     if (matches.isEmpty)
       throw new UnsupportedOperationException("SET/DELETE requires a MATCH part")
@@ -436,6 +438,21 @@ final class GraftSession(val spark: SparkSession,
             else joined.withColumn(key, when(mark, valueCol)))
       }
     })
+
+    // SET n:Label / REMOVE n:Label — the labels array updates through
+    // the same update-by-join; append preserves existing order.
+    labelSets.foreach { ls =>
+      ls.items.foreach { case (v, labels) =>
+        val ids = bindings.select(col(v).as("_mid")).distinct()
+        val joined = g.nodes.join(ids, g.nodes("id") === col("_mid"), "left_outer")
+        val newLabels =
+          if (ls.remove) array_except(col("labels"), typedlit(labels))
+          else array_union(col("labels"), typedlit(labels))
+        val updated = joined.withColumn("labels",
+          when(col("_mid").isNotNull, newLabels).otherwise(col("labels")))
+        g = PropertyGraph(updated.drop("_mid"), g.edges)
+      }
+    }
 
     deletes.foreach { d =>
       d.vars.foreach { v =>

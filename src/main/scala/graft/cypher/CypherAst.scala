@@ -65,6 +65,9 @@ object ast {
   final case class SetProps(items: Seq[(Prop, Expr)]) extends Clause
   /** REMOVE n.key, … (property nulled for the matched rows). */
   final case class RemoveProps(items: Seq[Prop]) extends Clause
+  /** SET n:Label / REMOVE n:Label (labels array updated for the
+    * matched rows). */
+  final case class SetLabels(items: Seq[(String, Seq[String])], remove: Boolean) extends Clause
   /** DELETE / DETACH DELETE of bound node variables. */
   final case class Delete(vars: Seq[String], detach: Boolean) extends Clause
   /** MERGE: match the whole pattern, create it if absent; ON CREATE /

@@ -171,15 +171,22 @@ object CypherParser extends RegexParsers {
   private def createClause: Parser[Create] =
     kw("create") ~> patternList ^^ Create.apply
 
-  private def setClause: Parser[SetProps] =
-    kw("set") ~> rep1sep((ident ~ ("." ~> ident) ~ ("=" ~> expr)), ",") ^^ { items =>
-      SetProps(items.map { case v ~ k ~ e => (Prop(v, k), e) })
-    }
+  private def labelItem: Parser[(String, Seq[String])] =
+    ident ~ rep1(":" ~> ident) ^^ { case v ~ ls => (v, ls) }
 
-  private def removeClause: Parser[RemoveProps] =
-    kw("remove") ~> rep1sep(ident ~ ("." ~> ident), ",") ^^ { items =>
-      RemoveProps(items.map { case v ~ k => Prop(v, k) })
-    }
+  private def setClause: Parser[Clause] =
+    kw("set") ~> (
+      rep1sep((ident ~ ("." ~> ident) ~ ("=" ~> expr)), ",") ^^ { items =>
+        SetProps(items.map { case v ~ k ~ e => (Prop(v, k), e) })
+      }
+      | rep1sep(labelItem, ",") ^^ (items => SetLabels(items, remove = false)))
+
+  private def removeClause: Parser[Clause] =
+    kw("remove") ~> (
+      rep1sep(ident ~ ("." ~> ident), ",") ^^ { items =>
+        RemoveProps(items.map { case v ~ k => Prop(v, k) })
+      }
+      | rep1sep(labelItem, ",") ^^ (items => SetLabels(items, remove = true)))
 
   private def deleteClause: Parser[Delete] =
     opt(kw("detach")) ~ (kw("delete") ~> rep1sep(ident, ",")) ^^ {

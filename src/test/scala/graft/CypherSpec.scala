@@ -408,6 +408,18 @@ class CypherSpec extends AnyFunSuite {
     assert(s.graph().nodes.count() == 2)
   }
 
+  test("SET n:Label / REMOVE n:Label update the labels array") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne'}), (b:dog {name:'Bosse'})")
+    s.cypher("MATCH (d:dog {name:'Arne'}) SET d:goodboy")
+    val labeled = s.cypher("MATCH (d:goodboy) RETURN d.name AS name")
+    assert(labeled.collect().map(_.getString(0)).toSeq == Seq("Arne"))
+    // original label retained
+    assert(s.cypher("MATCH (d:dog) RETURN count(d) AS n").collect().head.getLong(0) == 2L)
+    s.cypher("MATCH (d:dog {name:'Arne'}) REMOVE d:goodboy")
+    assert(s.cypher("MATCH (d:goodboy) RETURN count(d) AS n").collect().head.getLong(0) == 0L)
+  }
+
   test("MATCH with no bindings: CREATE appends nothing, RETURN yields no rows") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {n: 1})")
