@@ -246,6 +246,34 @@ object Dedup {
         .select(col("v1"), col("v2"),
           V.icosN(col("qa"), col("qb"), col("na"), col("nb")).as("icos"))
         .filter(col("icos") >= 350000)
+    },
+
+    // Fuzzy near-dup by edit distance: blocked (12-char prefix +
+    // length bucket) so levenshtein — O(l²) per pair — runs only on
+    // candidate pairs, never all-pairs. Both engines ship the same
+    // character-level levenshtein built-in, so distances (and the
+    // hash) agree exactly. At 100 TB the block key join is an equi
+    // shuffle; block granularity tunes candidate volume.
+    sql("dedup_editdist",
+      """WITH d AS (SELECT doc_id, substr(text, 1, 60) AS head,
+        |                  substr(text, 1, 12) AS blk, n_chars // 50 AS lb
+        |           FROM documents)
+        |SELECT a.doc_id AS d1, c.doc_id AS d2,
+        |       CAST(levenshtein(a.head, c.head) AS BIGINT) AS dist
+        |FROM d a JOIN d c ON a.blk = c.blk AND a.lb = c.lb AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.head, c.head) <= 5
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 60).as("head"),
+        substring(col("text"), 1, 12).as("blk"),
+        expr("n_chars div 50").as("lb"))
+      val a = docs.toDF("d1", "h1", "blk", "lb")
+      val b = docs.toDF("d2", "h2", "blk2", "lb2")
+      a.join(b, col("blk") === col("blk2") && col("lb") === col("lb2") &&
+          col("d1") < col("d2"))
+        .withColumn("dist", levenshtein(col("h1"), col("h2")).cast("long"))
+        .filter(col("dist") <= 5)
+        .select(col("d1"), col("d2"), col("dist"))
     }
   )
 

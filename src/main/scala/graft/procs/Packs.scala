@@ -77,6 +77,21 @@ object Packs {
     procs.registerScalar("apoc.coll.min", "(coll :: LIST<ANY>) :: ANY")(a => array_min(a(0)))
     procs.registerScalar("apoc.coll.contains", "(coll :: LIST<ANY>, value :: ANY) :: BOOLEAN")(a =>
       array_contains(a(0), a(1)))
+    procs.registerScalar("apoc.coll.sort", "(coll :: LIST<ANY>) :: LIST<ANY>")(a =>
+      sort_array(a(0)))
+    procs.registerScalar("apoc.coll.toSet", "(coll :: LIST<ANY>) :: LIST<ANY>")(a =>
+      array_distinct(a(0)))
+    procs.registerScalar("apoc.coll.reverse", "(coll :: LIST<ANY>) :: LIST<ANY>")(a =>
+      reverse(a(0)))
+    procs.registerScalar("apoc.text.capitalize", "(text :: STRING) :: STRING")(a =>
+      initcap(a(0)))
+    procs.registerScalar("apoc.text.levenshteinDistance",
+      "(text1 :: STRING, text2 :: STRING) :: INTEGER")(a =>
+      levenshtein(a(0), a(1)).cast("long"))
+    procs.registerScalar("apoc.text.levenshteinSimilarity",
+      "(text1 :: STRING, text2 :: STRING) :: FLOAT")(a =>
+      lit(1.0) - levenshtein(a(0), a(1)).cast("double") /
+        greatest(length(a(0)), length(a(1)), lit(1)).cast("double"))
     procs.register("apoc.help", "(name :: STRING) :: (name, signature, description)",
       "Procedures matching a name fragment") { args =>
       val frag = args.headOption.map(String.valueOf).getOrElse("")

@@ -45,6 +45,19 @@ class PacksSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 3.5)
     assert(r.getLong(3) == 3L)
     assert(r.getBoolean(4))
+    val r2 = s.cypher(
+      """UNWIND range(1, 1) AS x
+        |RETURN apoc.coll.sort([3, 1, 2]) AS sorted,
+        |       apoc.coll.toSet([1, 2, 2, 1]) AS dset,
+        |       apoc.text.capitalize('hello') AS cap,
+        |       apoc.text.levenshteinDistance('kitten', 'sitting') AS dist,
+        |       apoc.text.levenshteinSimilarity('kitten', 'kitten') AS sim""".stripMargin)
+      .collect().head
+    assert(r2.getSeq[Long](0) == Seq(1L, 2L, 3L))
+    assert(r2.getSeq[Long](1) == Seq(1L, 2L))
+    assert(r2.getString(2) == "Hello")
+    assert(r2.getLong(3) == 3L)
+    assert(r2.getDouble(4) == 1.0)
   }
 
   test("apoc export is gated by apoc.export.file.enabled (Configuration.java:13)") {
