@@ -225,6 +225,10 @@ final class GraftSession(val spark: SparkSession,
     val deletes = q.clauses.collect { case d: ast.Delete => d }
     val merges = q.clauses.collect { case m: ast.Merge => m }
     val labelSets = q.clauses.collect { case l: ast.SetLabels => l }
+    // refuse rather than silently instantiate once instead of N times
+    if (q.clauses.exists(_.isInstanceOf[ast.Unwind]))
+      throw new UnsupportedOperationException(
+        "UNWIND does not compose with mutating clauses yet")
 
     if (merges.nonEmpty) {
       if (creates.nonEmpty || sets.nonEmpty || deletes.nonEmpty || labelSets.nonEmpty)

@@ -115,7 +115,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   }
 
   private def addExistsFlag(df: DataFrame, p: PathPat, flag: String): DataFrame = {
-    val sub = compilePath(None, p)
+    val sub = compilePath(None, p, idsOnly = true)
     val shared = df.columns.toSet.intersect(sub.columns.toSet)
       .filter(_.endsWith(s"${SEP}id")).toSeq.sorted
     if (shared.isEmpty)
@@ -145,7 +145,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * the standalone pattern on the shared variables' ids (left anti
     * under NOT) — the SURVEY §2.2 semi/anti mapping. */
   private def applyPatternPred(df: DataFrame, p: PathPat, negated: Boolean): DataFrame = {
-    val sub = compilePath(None, p)
+    val sub = compilePath(None, p, idsOnly = true)
     val shared = df.columns.toSet.intersect(sub.columns.toSet)
       .filter(_.endsWith(s"${SEP}id")).toSeq.sorted
     if (shared.isEmpty)
@@ -182,7 +182,13 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     shared.foldLeft(joined)((d, c) => d.drop(r2(c)))
   }
 
-  private def compilePath(ctx: Option[DataFrame], p: PathPat): DataFrame = {
+  /** idsOnly: the caller consumes nothing but `*__id` columns (pattern
+    * existence sub-queries). Unconstrained nodes then bind their id
+    * straight off the edge endpoint instead of joining the node table —
+    * an edge's src/dst reference existing nodes by construction, so the
+    * union-of-entity-tables scan is pure overhead there. */
+  private def compilePath(ctx: Option[DataFrame], p: PathPat,
+      idsOnly: Boolean = false): DataFrame = {
     var cur: DataFrame = null
     var prevVar: String = null
 
@@ -195,13 +201,16 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         case Some(df) =>
           cur = df.crossJoin(nodeDf(v, n))
         case None =>
-          cur = nodeDf(v, n)
+          // defer to the first hop's edge when only the id matters
+          if (idsOnly && n.labels.isEmpty && n.props.isEmpty &&
+              p.hops.headOption.exists(_._1.varLength.isEmpty)) cur = null
+          else cur = nodeDf(v, n)
       }
     }
 
     bindStart(p.start)
     p.hops.foreach { case (rel, node) =>
-      cur = compileHop(cur, prevVar, rel, node)
+      cur = compileHop(cur, prevVar, rel, node, idsOnly)
       prevVar = node.variable.getOrElse {
         // compileHop bound it under a fresh name recorded on the node pat
         lastNodeVar
@@ -212,7 +221,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
 
   private var lastNodeVar: String = _
 
-  private def compileHop(cur: DataFrame, prevVar: String, rel: RelPat, node: NodePat): DataFrame = {
+  private def compileHop(cur: DataFrame, prevVar: String, rel: RelPat, node: NodePat,
+      idsOnly: Boolean = false): DataFrame = {
     val nv = node.variable.getOrElse(fresh("n"))
     lastNodeVar = nv
     rel.varLength match {
@@ -220,14 +230,20 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case None =>
         val rv = rel.variable.getOrElse(fresh("e"))
         val e = edgeDf(rv, rel)
-        val joined = rel.dir match {
-          case 1  => cur.join(e, cur(s"$prevVar${SEP}id") === e(s"$rv${SEP}src"))
-          case -1 => cur.join(e, cur(s"$prevVar${SEP}id") === e(s"$rv${SEP}dst"))
-          case 0  => cur.join(e, cur(s"$prevVar${SEP}id") === e(s"$rv${SEP}src")) // e pre-symmetrized
-        }
+        val nearSide = if (rel.dir == -1) s"$rv${SEP}dst" else s"$rv${SEP}src"
+        val joined =
+          if (cur == null) // deferred idsOnly start: id comes from the edge
+            e.withColumn(s"$prevVar${SEP}id", col(nearSide))
+          else rel.dir match {
+            case 1  => cur.join(e, cur(s"$prevVar${SEP}id") === e(s"$rv${SEP}src"))
+            case -1 => cur.join(e, cur(s"$prevVar${SEP}id") === e(s"$rv${SEP}dst"))
+            case 0  => cur.join(e, cur(s"$prevVar${SEP}id") === e(s"$rv${SEP}src")) // e pre-symmetrized
+          }
         val farSide = if (rel.dir == -1) s"$rv${SEP}src" else s"$rv${SEP}dst"
-        if (cur.columns.contains(s"$nv${SEP}id")) {
+        if (joined.columns.contains(s"$nv${SEP}id")) {
           joined.filter(col(farSide) === col(s"$nv${SEP}id"))
+        } else if (idsOnly && node.labels.isEmpty && node.props.isEmpty) {
+          joined.withColumn(s"$nv${SEP}id", col(farSide))
         } else {
           val n = nodeDf(nv, node)
           joined.join(n, col(farSide) === n(s"$nv${SEP}id"))
