@@ -79,6 +79,32 @@ object Dedup {
 
   private val hSql = "CAST(concat('0x', substring(md5(s), 1, 7)) AS BIGINT)"
 
+  /** Shared 32-bit SimHash: per-token md5 bits summed ±1 per position,
+    * sign of each sum becomes the fingerprint bit. Identical integer
+    * recurrence on both engines. */
+  private def simhashOracleCte: String = {
+    val tok = "SELECT DISTINCT doc_id, u.x AS s FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), unnest(t) u(x)"
+    val sums = (0 until 32).map(j =>
+      s"sum(CASE WHEN ($hSql >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n    ")
+    val fp = (0 until 32).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""tok AS ($tok),
+       |sums AS (SELECT doc_id, $sums FROM tok s GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $fp AS simhash FROM sums WHERE doc_id < 500)""".stripMargin
+  }
+
+  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("s"))
+      .withColumn("h", md5Int(col("s")))
+    val sums = (0 until 32).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
+    val fp = (0 until 32).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
   def all: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: hash-group on content ----
@@ -194,25 +220,40 @@ object Dedup {
     },
 
     // ---- SimHash: 32-bit near-dup fingerprint in one agg pass ----
-    sql("dedup_simhash", {
-      val tok = "SELECT DISTINCT doc_id, u.x AS s FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), unnest(t) u(x)"
-      val sums = (0 until 32).map(j =>
-        s"sum(CASE WHEN ($hSql >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n    ")
-      val fp = (0 until 32).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-      s"""WITH tok AS ($tok),
-         |sums AS (SELECT doc_id, $sums FROM tok s GROUP BY doc_id)
-         |SELECT doc_id, $fp AS simhash FROM sums WHERE doc_id < 500""".stripMargin
-    }) { (s, d) =>
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("s"))
-        .withColumn("h", md5Int(col("s")))
-      val sums = (0 until 32).map(j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
-      val fp = (0 until 32).map(j =>
-        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-      tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .filter(col("doc_id") < 500)
-        .select(col("doc_id"), fp.as("simhash"))
+    sql("dedup_simhash",
+      s"""WITH $simhashOracleCte
+         |SELECT doc_id, simhash FROM sims""".stripMargin) { (s, d) =>
+      simhashDf(s, d)
+    },
+
+    // ---- SimHash near-dup PAIRS: banded LSH join + hamming verify ----
+    // 4 bands of 8 bits: hamming <= 1 can flip bits in at most one
+    // band, so a colliding band is guaranteed (pigeonhole) — the equi
+    // join on (band index, band value) finds every qualifying pair
+    // with work proportional to band-bucket collisions, never n².
+    // The oracle side can therefore be plain all-pairs: same result
+    // set, independently derived. Band width grows with log(n) at
+    // scale to bound bucket sizes.
+    sql("dedup_simhash_pairs",
+      s"""WITH $simhashOracleCte
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hd
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val sims = simhashDf(s, d)
+      val banded = sims.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("bi"),
+            shiftright(col("simhash"), j * 8).bitwiseAND(255).as("bv"))): _*)).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      val a = banded.toDF("d1", "sh1", "bi", "bv")
+      val b = banded.toDF("d2", "sh2", "bi2", "bv2")
+      a.join(b, col("bi") === col("bi2") && col("bv") === col("bv2") && col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long").as("hd"))
+        .filter(col("hd") <= 1)
+        .distinct()
     },
 
     // ---- embedding-cosine near-dup pairs: sign-LSH bucketed ----
