@@ -21,6 +21,16 @@ object TextAnalysis {
   }
   private val markers = graft.functions.TextFunctions.langMarkers
   private val allStops = markers.flatMap(_._2)
+  private val punctSql = s"round((length(text) - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')))*1.0 / greatest(length(text), 1), 6)"
+  private def stopSql = s"round(${hitsSql(allStops)}*1.0 / greatest(len($toksSql), 1), 6)"
+  private def qualSql =
+    s"round($stopSql * 2.0 + (CASE WHEN len($toksSql) BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END) - $punctSql, 6)"
+  private def predSql: String = {
+    val maxExpr = markers.map { case (_, ws) => hitsSql(ws) }.mkString("greatest(", ", ", ")")
+    val chain = markers.map { case (l, ws) =>
+      s"WHEN $maxExpr > 0 AND ${hitsSql(ws)} = $maxExpr THEN '$l'" }.mkString(" ")
+    s"CASE $chain ELSE 'und' END"
+  }
 
   def all: Seq[QueryDef] = Seq(
 
@@ -40,33 +50,24 @@ object TextAnalysis {
     },
 
     // language ID vs ground-truth lang column (confusion counts)
-    sql("text_langid", {
-      val maxExpr = markers.map { case (l, ws) => hitsSql(ws) }.mkString("greatest(", ", ", ")")
-      val chain = markers.map { case (l, ws) =>
-        s"WHEN $maxExpr > 0 AND ${hitsSql(ws)} = $maxExpr THEN '$l'" }.mkString(" ")
-      s"""SELECT lang, CASE $chain ELSE 'und' END AS pred, count(*) AS n
-         |FROM documents GROUP BY 1, 2""".stripMargin
-    }) { (s, d) =>
+    sql("text_langid",
+      s"""SELECT lang, $predSql AS pred, count(*) AS n
+         |FROM documents GROUP BY 1, 2""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .groupBy(col("lang"), langId(col("text")).as("pred"))
         .agg(count(lit(1)).as("n"))
     },
 
     // quality scoring: per-doc metrics (subset for stable output size)
-    sql("text_quality", {
-      val punct = s"round((length(text) - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')))*1.0 / greatest(length(text), 1), 6)"
-      val stop = s"round(${hitsSql(allStops)}*1.0 / greatest(len($toksSql), 1), 6)"
+    sql("text_quality",
       s"""SELECT doc_id,
          |  len($toksSql) AS n_tokens,
-         |  $punct AS punct_ratio,
+         |  $punctSql AS punct_ratio,
          |  round(list_sum(list_transform($toksSql, x -> length(x)))*1.0
          |        / greatest(len($toksSql), 1), 6) AS mean_token_len,
-         |  $stop AS stop_ratio,
-         |  round($stop * 2.0
-         |    + (CASE WHEN len($toksSql) BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END)
-         |    - $punct, 6) AS quality
-         |FROM documents WHERE doc_id < 200""".stripMargin
-    }) { (s, d) =>
+         |  $stopSql AS stop_ratio,
+         |  $qualSql AS quality
+         |FROM documents WHERE doc_id < 200""".stripMargin) { (s, d) =>
       Tables.documents(s, d).filter(col("doc_id") < 200)
         .select(col("doc_id"),
           tokenCount(col("text")).as("n_tokens"),
@@ -74,6 +75,31 @@ object TextAnalysis {
           meanTokenLen(col("text")).as("mean_token_len"),
           stopwordRatio(col("text")).as("stop_ratio"),
           qualityScore(col("text")).as("quality"))
+    },
+
+    // ---- composite training-data pipeline: langid gate -> quality
+    // gate -> exact-dedup keeper -> per-language corpus stats. The
+    // whole pipeline is ONE declarative plan: narrow per-row scoring,
+    // one window shuffle for the dedup keeper, one final aggregation —
+    // Catalyst fuses the gates into the scan. The thresholds match the
+    // testdata's score distribution (quality is negative-shifted here;
+    // all-marker-miss docs are 'und').
+    sql("text_pipeline",
+      s"""WITH k AS (
+         |  SELECT doc_id, lang, text, $predSql AS pred, $qualSql AS q,
+         |         min(doc_id) OVER (PARTITION BY text) AS keeper
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens
+         |FROM k WHERE pred <> 'und' AND q >= -0.4 AND doc_id = keeper
+         |GROUP BY lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+          langId(col("text")).as("pred"), qualityScore(col("text")).as("q"))
+        .withColumn("keeper", min("doc_id").over(Window.partitionBy("text")))
+      k.filter(col("pred") =!= "und" && col("q") >= -0.4 && col("doc_id") === col("keeper"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(tokenCount(col("text"))).as("total_tokens"))
     },
 
     // document fingerprinting: md5 of normalized text + min-shingle hash
