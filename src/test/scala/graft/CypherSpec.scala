@@ -368,6 +368,9 @@ class CypherSpec extends AnyFunSuite {
     assert(s.graph().edges.count() == 1)
     assert(s.graph().edges.collect().head.getAs[String]("relType") == "BARKS")
     assert(s.graph().nodes.count() == 4)
+    // fully-anonymous endpoints: no node vars bound at all
+    s.cypher("MATCH ()-[r:BARKS]->() DELETE r")
+    assert(s.graph().edges.count() == 0)
   }
 
   test("keys() and properties() over bound entities") {
