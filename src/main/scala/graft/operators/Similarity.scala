@@ -134,6 +134,47 @@ object Similarity {
         .select(col("q_id"), col("neighbor"),
           V.icosN(col("qq"), col("qv"), col("qn"), col("nv")).as("icos"))
       topk(scored)
+    },
+
+    // IVF multi-probe: queries probe their top-2 nearest cells (the
+    // standard recall knob — a query near a cell boundary also checks
+    // the runner-up cell). Corpus assignment stays single-cell, so a
+    // (query, neighbor) pair can match through at most one probe and
+    // no dedup pass is needed. Work doubles on the (tiny, broadcast)
+    // query side only.
+    sql("ann_topk_ivf_probe2", {
+      s"""WITH $qeSql,
+         |cent AS (SELECT vec_id AS c_id, q AS cq, nrm AS cn FROM qe WHERE vec_id < $NLIST),
+         |ranked AS (
+         |  SELECT e.vec_id, e.q, e.nrm, cent.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${V.icosNSql("e.q", "cq", "e.nrm", "cn")} DESC, cent.c_id) AS rc
+         |  FROM qe e, cent),
+         |assign AS (SELECT vec_id, q, nrm, c_id AS cell FROM ranked WHERE rc = 1),
+         |probe AS (SELECT vec_id AS q_id, q AS qq, nrm AS qn, c_id AS qcell
+         |          FROM ranked WHERE rc <= 2 AND vec_id < $NQ),
+         |scored AS (
+         |  SELECT q_id, e.vec_id AS neighbor,
+         |    ${V.icosNSql("qq", "e.q", "qn", "e.nrm")} AS icos
+         |  FROM probe JOIN assign e ON e.cell = probe.qcell AND e.vec_id <> probe.q_id)
+         |${topkSql("scored")}""".stripMargin
+    }) { (s, d) =>
+      val e = qe(s, d)
+      val cent = e.filter(col("vec_id") < NLIST).toDF("c_id", "cq", "cn")
+      val wc = Window.partitionBy("vec_id")
+        .orderBy(V.icosN(col("q"), col("cq"), col("nrm"), col("cn")).desc, col("c_id"))
+      val ranked = e.crossJoin(broadcast(cent))
+        .withColumn("rc", row_number().over(wc))
+      val assign = ranked.filter(col("rc") === 1)
+        .select(col("vec_id"), col("q"), col("nrm"), col("c_id").as("cell"))
+      val probe = ranked.filter(col("rc") <= 2 && col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"),
+          col("nrm").as("qn"), col("c_id").as("qcell"))
+      val scored = assign.toDF("neighbor", "qv", "nv", "cell")
+        .join(broadcast(probe), col("cell") === col("qcell") && col("neighbor") =!= col("q_id"))
+        .select(col("q_id"), col("neighbor"),
+          V.icosN(col("qq"), col("qv"), col("qn"), col("nv")).as("icos"))
+      topk(scored)
     }
   )
 }
