@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the catalog's scale-critical plan
+  * properties (no accidental cartesians, pruned scans, single-exchange
+  * shapes) asserted at sf0.001 so a refactor can't silently reintroduce
+  * a scan or join shape that dies at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("band/range join and as-of join never plan a cartesian product") {
+    Seq("events_range_join", "events_asof_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNL join")
+    }
+  }
+
+  test("pattern predicate sub-queries bind ids from edges, not the node union") {
+    // before the idsOnly optimization this plan scanned all six entity
+    // tables for the unconstrained (c); now: customer + orders edges +
+    // orders status filter
+    val scans = plan("cy_pattern_or").linesIterator.count(_.contains("FileScan"))
+    assert(scans <= 4, s"cy_pattern_or scans $scans files — node-union join crept back in")
+  }
+
+  test("selective filters reach the parquet scan (pushdown)") {
+    val p = plan("proj_filter")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      "proj_filter pushes nothing down to parquet")
+  }
+
+  test("dedup self-joins are equi joins on block keys") {
+    Seq("dedup_minhash_lsh", "dedup_embed_cosine", "dedup_editdist",
+      "dedup_simhash_pairs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNL join")
+    }
+  }
+}
