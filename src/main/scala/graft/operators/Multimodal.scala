@@ -65,6 +65,34 @@ object Multimodal {
             lit(FRAME_BYTES * 2))).as("frame_hex"))
     },
 
+    // ---- byte-distribution features: NOT a stub ----
+    // A 16-bucket high-nibble histogram of the raw payload — the kind
+    // of cheap content signal (entropy/type sniffing) a media pipeline
+    // computes before deciding to decode at all. Runs entirely on
+    // built-in string/binary expressions: hex the payload once (own
+    // projection — lambdas don't CSE), strip to high nibbles, count
+    // each bucket by deletion length-delta. Narrow single-pass scan.
+    sql("mm_byte_histogram", {
+      val nib = """lower(regexp_replace(hex(encode(text)), '(.).', '\1', 'g'))"""
+      val counts = (0 until 16).map { v =>
+        val c = Integer.toHexString(v)
+        s"CAST(length(nib) - length(replace(nib, '$c', '')) AS BIGINT) AS n_$c"
+      }.mkString(",\n  ")
+      s"""WITH p AS (SELECT doc_id, $nib AS nib FROM documents WHERE doc_id < 100)
+         |SELECT doc_id,
+         |  $counts
+         |FROM p""".stripMargin
+    }) { (s, d) =>
+      val hist = (0 until 16).map { v =>
+        val c = Integer.toHexString(v)
+        (length(col("nib")) - length(translate(col("nib"), c, ""))).cast("long").as(s"n_$c")
+      }
+      withPayload(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          lower(regexp_replace(hex(col("payload")), "(.).", "$1")).as("nib"))
+        .select((col("doc_id") +: hist): _*)
+    },
+
     // ---- decode stub: mapPartitions batch contract ----
     // STUB: a real image/audio codec is not available in this
     // container. The decode produces a deterministic fake feature
