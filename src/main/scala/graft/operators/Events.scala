@@ -30,6 +30,7 @@ object Events {
 
   private val D2 = DecimalType(18, 2)
   private val GAP_US = 30L * 60 * 1000000 // 30-minute session gap
+  private val FUNNEL_W = 24L * 3600 * 1000000 // 24-hour funnel conversion window
 
   def all: Seq[QueryDef] = Seq(
 
@@ -161,6 +162,46 @@ object Events {
         .agg(sum(when(col("pt").isNotNull &&
             abs(col("tsus") - col("pt")) <= B && col("user_id") =!= col("pu"), 1L)
           .otherwise(0L)).cast(LongType).as("n_nearby"))
+    },
+
+    // ---- funnel: view -> click -> purchase, strictly ordered, each
+    // step within a 24-hour conversion window ----
+    // Classic event-sequence analysis as staged aggregates: stage N's
+    // first-completion time bounds stage N+1's search interval. Three
+    // aggregations + two joins, ALL keyed on user_id — one logical
+    // shuffle key end-to-end, so AQE coalesces the exchanges; no
+    // per-user sorting or UDF sequence matching.
+    sql("events_funnel",
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events),
+         |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN t END) AS t1
+         |       FROM e GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+         |       WHERE event_type = 'click' AND t > t1 AND t <= t1 + $FUNNEL_W
+         |       GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+         |       WHERE event_type = 'purchase' AND t > t2 AND t <= t2 + $FUNNEL_W
+         |       GROUP BY e.user_id)
+         |SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+         |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+         |       count(*) AS n_users
+         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      val s1 = e.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("t"))).as("t1"))
+      val s2 = e.join(s1, "user_id")
+        .filter(col("event_type") === "click" && col("t") > col("t1") &&
+          col("t") <= col("t1") + FUNNEL_W)
+        .groupBy("user_id").agg(min("t").as("t2"))
+      val s3 = e.join(s2, "user_id")
+        .filter(col("event_type") === "purchase" && col("t") > col("t2") &&
+          col("t") <= col("t2") + FUNNEL_W)
+        .groupBy("user_id").agg(min("t").as("t3"))
+      s1.join(s2, Seq("user_id"), "left_outer").join(s3, Seq("user_id"), "left_outer")
+        .select(when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0).as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
     },
 
     // ---- tumbling time window (micro-batch shape; Spark window()) ----
