@@ -225,10 +225,46 @@ final class GraftSession(val spark: SparkSession,
     val deletes = q.clauses.collect { case d: ast.Delete => d }
     val merges = q.clauses.collect { case m: ast.Merge => m }
     val labelSets = q.clauses.collect { case l: ast.SetLabels => l }
-    // refuse rather than silently instantiate once instead of N times
-    if (q.clauses.exists(_.isInstanceOf[ast.Unwind]))
-      throw new UnsupportedOperationException(
-        "UNWIND does not compose with mutating clauses yet")
+    // UNWIND <literal list> AS x CREATE …: batch insert, one pattern
+    // instantiation per element, `{k: x}` prop values substituted per
+    // element. Anything fancier (UNWIND over a query, UNWIND with
+    // SET/MERGE) is refused rather than silently instantiated once.
+    val unwinds = q.clauses.collect { case u: ast.Unwind => u }
+    if (unwinds.nonEmpty) {
+      if (unwinds.size != 1 || creates.isEmpty || matches.nonEmpty || merges.nonEmpty ||
+          sets.nonEmpty || deletes.nonEmpty || labelSets.nonEmpty || returns.nonEmpty)
+        throw new UnsupportedOperationException(
+          "UNWIND composes with mutations only as `UNWIND <list> AS x CREATE …`")
+      val u = unwinds.head
+      val elems = u.expr match {
+        case ast.ListLit(items) => items.map {
+          case ast.Lit(v) => v
+          case other => throw new UnsupportedOperationException(
+            s"UNWIND … CREATE needs a literal list, got element $other")
+        }
+        case other => throw new UnsupportedOperationException(
+          s"UNWIND … CREATE needs a literal list, got $other")
+      }
+      val alias = u.alias
+      def subst(props: Map[String, ast.Lit], elem: Any): Map[String, ast.Lit] =
+        props.map {
+          case (k, ast.Lit(ast.VarRefValue(`alias`))) => k -> ast.Lit(elem)
+          case (k, ast.Lit(ast.VarRefValue(other))) =>
+            throw new NoSuchElementException(s"Variable `$other` not defined")
+          case kv => kv
+        }
+      elems.foreach { elem =>
+        val substituted = creates.map(c => ast.Create(c.patterns.map { p =>
+          ast.PathPat(
+            p.start.copy(props = subst(p.start.props, elem)),
+            p.hops.map { case (r, n) =>
+              (r.copy(props = subst(r.props, elem)), n.copy(props = subst(n.props, elem)))
+            })
+        }))
+        mutate(db, ast.Query(substituted))
+      }
+      return unit()
+    }
 
     if (merges.nonEmpty) {
       if (creates.nonEmpty || sets.nonEmpty || deletes.nonEmpty || labelSets.nonEmpty)
@@ -583,10 +619,7 @@ final class GraftSession(val spark: SparkSession,
       .persist()
     val n = numbered.count()
 
-    def litCol(v: Any) = v match {
-      case i: Int => lit(i.toLong)
-      case other  => lit(other)
-    }
+    def litCol(v: Any) = lit(norm(v))
 
     // Resolve every create-pattern node occurrence to a variable name
     // ONCE, positionally: each anonymous occurrence gets its own fresh
@@ -685,6 +718,8 @@ final class GraftSession(val spark: SparkSession,
 
   private def norm(v: Any): Any = v match {
     case i: Int => i.toLong
+    case ast.VarRefValue(n) => throw new UnsupportedOperationException(
+      s"variable property value `$n` is only supported in UNWIND … CREATE patterns")
     case other  => other
   }
 

@@ -38,6 +38,11 @@ object ast {
   final case class LambdaVar(name: String) extends Expr
 
   // ---- patterns ----
+  /** Marker wrapped in a pattern-prop Lit: `{v: x}` references the
+    * UNWIND alias `x`. Resolved by substitution in UNWIND … CREATE;
+    * rejected (with a clear error) anywhere else. */
+  final case class VarRefValue(name: String)
+
   final case class NodePat(
       variable: Option[String],
       labels: Seq[String],

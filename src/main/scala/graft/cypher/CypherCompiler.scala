@@ -305,9 +305,13 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   // schema-optional matching: a predicate on a property key that no
   // node/edge carries yet matches nothing (the column only appears on
   // first CREATE — SURVEY §1.2), it is not an error
-  private def propFilter(df: DataFrame, k: String, value: Any): DataFrame =
-    if (df.columns.contains(k)) df.filter(col(k) === lit(value))
-    else df.filter(lit(false))
+  private def propFilter(df: DataFrame, k: String, value: Any): DataFrame = value match {
+    case VarRefValue(n) => throw new UnsupportedOperationException(
+      s"variable property value `$n` is only supported in UNWIND … CREATE patterns")
+    case _ =>
+      if (df.columns.contains(k)) df.filter(col(k) === lit(value))
+      else df.filter(lit(false))
+  }
 
   private def nodeDf(v: String, n: NodePat): DataFrame = {
     var df = graph.nodes

@@ -111,8 +111,11 @@ object CypherParser extends RegexParsers {
     }
 
   // ---- patterns ----
+  private def mapValue: Parser[Lit] =
+    literal | ident ^^ (n => Lit(VarRefValue(n)))
+
   private def mapLit: Parser[Map[String, Lit]] =
-    "{" ~> repsep(ident ~ (":" ~> literal), ",") <~ "}" ^^ {
+    "{" ~> repsep(ident ~ (":" ~> mapValue), ",") <~ "}" ^^ {
       _.map { case k ~ v => k -> v }.toMap
     }
 

@@ -358,6 +358,23 @@ object Relational {
       Tables.customer(s, d).filter(col("c_custkey") <= 200)
         .groupBy("c_nationkey")
         .agg(concat_ws(",", sort_array(collect_list(col("c_name")))).as("names"))
+    },
+
+    // -- pivot: rows-to-columns with explicit output values ---------------
+    // Spark's relational pivot (one shuffle; pivot values named, so no
+    // extra values-discovery pass). The oracle spells the same thing
+    // as conditional aggregates — pivot IS a macro over CASE sums.
+    sql("agg_pivot",
+      """SELECT o_orderpriority,
+        |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+        |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+        |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L, Seq("F", "O", "P"))
     }
   )
 

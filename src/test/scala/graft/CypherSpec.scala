@@ -423,6 +423,22 @@ class CypherSpec extends AnyFunSuite {
     assert(s.cypher("MATCH (d:goodboy) RETURN count(d) AS n").collect().head.getLong(0) == 0L)
   }
 
+  test("UNWIND + CREATE batch-inserts one instantiation per element") {
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND [1, 2, 3] AS x CREATE (n:num {v: x})")
+    val res = s.cypher("MATCH (n:num) RETURN n.v AS v ORDER BY v")
+    assert(res.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(s.graph().nodes.count() == 3)
+    // prop value referencing an undefined variable is an error
+    intercept[NoSuchElementException] {
+      s.cypher("UNWIND [1] AS x CREATE (n:num {v: y})")
+    }
+    // variable prop values outside UNWIND…CREATE are clearly refused
+    intercept[UnsupportedOperationException] {
+      s.cypher("MATCH (n:num {v: x}) RETURN n.v AS v")
+    }
+  }
+
   test("MATCH with no bindings: CREATE appends nothing, RETURN yields no rows") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {n: 1})")
