@@ -204,6 +204,28 @@ object Events {
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
     },
 
+    // ---- cohort retention: day-k activity per first-seen cohort ----
+    // cohort = each user's first active day; a user counts toward
+    // (cohort, k) once if active k days after first seen. Two
+    // aggregates + one join, all keyed on user_id; day ids are integer
+    // epoch-days so the hash gate holds.
+    sql("events_retention",
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort, e.day - f.cohort AS k
+        |      FROM e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort, k, count(*) AS n_users
+        |FROM a WHERE k <= 7 GROUP BY cohort, k ORDER BY cohort, k""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      val f = e.groupBy("user_id").agg(min("day").as("cohort"))
+      e.join(f, "user_id")
+        .select(col("user_id"), col("cohort"), (col("day") - col("cohort")).as("k"))
+        .distinct()
+        .filter(col("k") <= 7)
+        .groupBy("cohort", "k").agg(count(lit(1)).as("n_users"))
+    },
+
     // ---- tumbling time window (micro-batch shape; Spark window()) ----
     // The bucket is emitted as BIGINT hours-since-epoch (not a
     // timestamp) so the comparison never touches engine timestamp
