@@ -175,6 +175,42 @@ object Similarity {
         .select(col("q_id"), col("neighbor"),
           V.icosN(col("qq"), col("qv"), col("qn"), col("nv")).as("icos"))
       topk(scored)
+    },
+
+    // One k-means update step over the IVF assignment: new centroid =
+    // per-dimension integer mean (truncated toward zero — DuckDB's
+    // BIGINT `//` truncates for negative quotients, so the Spark side
+    // uses `div`, which matches) of the cell's members. The
+    // iterative-ML shuffle shape: assignment is a broadcast-join
+    // narrow pass, the update one (cell, dim) hash aggregate over the
+    // exploded vectors. Exact quantized-Long math end to end, so the
+    // step is hash-graded — emitted as (cell, dim, icentroid) rows.
+    sql("ann_kmeans_step", {
+      s"""WITH $qeSql,
+         |cent AS (SELECT vec_id AS c_id, q AS cq, nrm AS cn FROM qe WHERE vec_id < $NLIST),
+         |assign AS (
+         |  SELECT vec_id, q, c_id AS cell FROM (
+         |    SELECT e.vec_id, e.q, cent.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${V.icosNSql("e.q", "cq", "e.nrm", "cn")} DESC, cent.c_id) AS rc
+         |    FROM qe e, cent)
+         |  WHERE rc = 1)
+         |SELECT cell, u.i - 1 AS dim,
+         |  CAST(sum(q[u.i]) AS BIGINT) // count(*) AS icentroid
+         |FROM assign, unnest(range(1, $DIM + 1)) u(i)
+         |GROUP BY cell, u.i ORDER BY cell, dim""".stripMargin
+    }) { (s, d) =>
+      val e = qe(s, d)
+      val cent = e.filter(col("vec_id") < NLIST).toDF("c_id", "cq", "cn")
+      val wc = Window.partitionBy("vec_id")
+        .orderBy(V.icosN(col("q"), col("cq"), col("nrm"), col("cn")).desc, col("c_id"))
+      val assign = e.crossJoin(broadcast(cent))
+        .withColumn("rc", row_number().over(wc))
+        .filter(col("rc") === 1)
+        .select(col("vec_id"), col("q"), col("c_id").as("cell"))
+      assign.select(col("cell"), posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(expr("CAST(sum(x) div count(1) AS BIGINT)").as("icentroid"))
     }
   )
 }
