@@ -749,6 +749,32 @@ final class GraftSession(val spark: SparkSession,
       import org.apache.spark.sql.functions.{col, explode}
       graph().nodes.select(explode(col("labels")).as("label")).distinct().orderBy("label")
     }
+    procedures.register("db.relationshipTypes", "() :: (relationshipType)",
+      "All relationship types") { _ =>
+      import org.apache.spark.sql.functions.col
+      graph().edges.select(col("relType").as("relationshipType")).distinct()
+        .orderBy("relationshipType")
+    }
+    procedures.register("db.propertyKeys", "() :: (propertyKey)", "All property keys") { _ =>
+      import org.apache.spark.sql.functions.{col, explode, lit, array}
+      val meta = Set("id", "labels", "src", "dst", "relType")
+      val g = graph()
+      val keys = (g.nodes.columns ++ g.edges.columns).distinct
+        .filterNot(meta.contains).sorted
+      val kcol = if (keys.isEmpty) array() else array(keys.map(lit): _*)
+      spark.range(1).select(explode(kcol).as("propertyKey"))
+    }
+    procedures.register("apoc.meta.stats", "() :: (nodeCount, relCount, labels)",
+      "Graph counts + per-label node counts") { _ =>
+      import org.apache.spark.sql.functions.{col, explode, map_from_entries, collect_list, struct, count, lit}
+      val g = graph()
+      val byLabel = g.nodes.select(explode(col("labels")).as("l"))
+        .groupBy("l").agg(count(lit(1)).as("n"))
+        .agg(map_from_entries(collect_list(struct(col("l"), col("n")))).as("labels"))
+      byLabel.crossJoin(spark.range(1))
+        .select(lit(g.nodes.count()).as("nodeCount"), lit(g.edges.count()).as("relCount"),
+          col("labels"))
+    }
     // C13: legacy (<4.0) password change (ref DatabaseIO.java:117)
     procedures.register("dbms.changePassword", "(password :: STRING) :: ()",
       "Change the current user's password") { args =>

@@ -439,6 +439,18 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("introspection: db.relationshipTypes, db.propertyKeys, apoc.meta.stats") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne', age: 4})-[:SNIFFS]->(b:cat {name:'Tom'})")
+    val rts = s.cypher("CALL db.relationshipTypes() YIELD relationshipType RETURN relationshipType")
+    assert(rts.collect().map(_.getString(0)).toSeq == Seq("SNIFFS"))
+    val pks = s.cypher("CALL db.propertyKeys() YIELD propertyKey RETURN propertyKey")
+    assert(pks.collect().map(_.getString(0)).toSeq == Seq("age", "name"))
+    val st = s.cypher("CALL apoc.meta.stats() YIELD nodeCount, relCount RETURN nodeCount, relCount")
+      .collect().head
+    assert(st.getLong(0) == 2L && st.getLong(1) == 1L)
+  }
+
   test("MATCH with no bindings: CREATE appends nothing, RETURN yields no rows") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {n: 1})")
