@@ -124,6 +124,13 @@ object CypherQueries {
         |   OR c.c_acctbal < 0
         |ORDER BY c_custkey""".stripMargin)(
       """MATCH (c:customer) WHERE (c)-[:PLACED]->(:order {o_orderstatus:'F'}) OR c.c_acctbal < 0
-        |RETURN c.c_custkey AS c_custkey, c.c_name AS c_name ORDER BY c_custkey""".stripMargin)
+        |RETURN c.c_custkey AS c_custkey, c.c_name AS c_name ORDER BY c_custkey""".stripMargin),
+
+    // C8 introspection through the graded path: CALL … YIELD over the
+    // graph view's label set (derived from data, constant per view).
+    q("cy_call_labels",
+      """SELECT label FROM (VALUES ('customer'), ('nation'), ('order'),
+        |  ('part'), ('region'), ('supplier')) t(label) ORDER BY label""".stripMargin)(
+      "CALL db.labels() YIELD label RETURN label ORDER BY label")
   )
 }
