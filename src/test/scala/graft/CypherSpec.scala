@@ -460,6 +460,17 @@ class CypherSpec extends AnyFunSuite {
     assert(s.graph().edges.count() == 0)
   }
 
+  test("MATCH … CREATE assigns deterministic ids across sessions") {
+    def build(): Seq[Long] = {
+      val s = new GraftSession(spark)
+      s.cypher("CREATE (a:v {n: 2}), (b:v {n: 1}), (c:v {n: 3})")
+      s.cypher("MATCH (v:v) CREATE (t:tag {kind:'x'})-[:FOR]->(v)")
+      s.graph().edges.select("src", "dst").collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(build() == build(), "fresh-id assignment must be run-independent")
+  }
+
   test("MATCH … CREATE numbering avoids a single-partition global window") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {n: 1}), (b:v {n: 2}), (c:v {n: 3})")
