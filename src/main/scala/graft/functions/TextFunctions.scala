@@ -83,28 +83,48 @@ object TextFunctions {
   }
 
   // ---- quality scoring ----
+  // All scores are emitted as exact integer PARTS-PER-MILLION (ppm)
+  // BIGINTs, never doubles: `round(x, 6)` at a comparison boundary is
+  // the known Spark-vs-DuckDB half-way-rounding trap (Spark rounds the
+  // shortest-decimal repr via BigDecimal HALF_UP; DuckDB rounds the
+  // binary double). Integer numerator*1e6 div denominator is exact and
+  // engine-independent.
 
-  def punctRatio(text: Column): Column =
-    round((length(text) - length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))).cast("double")
-      / greatest(length(text), lit(1)), 6)
+  /** Exact integral division for non-negative `a`, `b >= 1`: the
+    * pmod subtraction makes the double division an exact multiple
+    * (both operands < 2^53), so the quotient is bit-exact — identical
+    * to DuckDB's BIGINT `//` and Spark's `div`. */
+  private def intDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
 
+  private val PPM = 1000000L
+
+  /** Punctuation chars per million total chars. */
+  def punctRatio(text: Column): Column = {
+    val punct = (length(text) - length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))).cast("long")
+    intDiv(punct * PPM, greatest(length(text), lit(1)).cast("long"))
+  }
+
+  /** Mean token length in millionths of a char. */
   def meanTokenLen(text: Column): Column = {
     val t = tokens(text)
-    round(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
-      / greatest(size(t), lit(1)), 6)
+    intDiv(aggregate(t, lit(0L), (acc, x) => acc + length(x)) * PPM,
+      greatest(size(t), lit(1)).cast("long"))
   }
 
+  /** Stopword hits per million tokens. */
   def stopwordRatio(text: Column): Column = {
     val all = langMarkers.flatMap(_._2)
-    round(stopwordHits(text, all).cast("double") / greatest(tokenCount(text), lit(1)), 6)
+    intDiv(stopwordHits(text, all).cast("long") * PPM,
+      greatest(tokenCount(text), lit(1)).cast("long"))
   }
 
-  /** Composite quality score in [0,1]-ish: favors stopword-bearing,
-    * low-punctuation, mid-length docs. Deterministic double math. */
+  /** Composite quality score in ppm: favors stopword-bearing,
+    * low-punctuation, mid-length docs. Pure integer math. */
   def qualityScore(text: Column): Column =
-    round(stopwordRatio(text) * 2.0
-      + when(tokenCount(text).between(20, 1000), 0.5).otherwise(0.0)
-      - punctRatio(text), 6)
+    stopwordRatio(text) * 2L +
+      when(tokenCount(text).between(20, 1000), lit(500000L)).otherwise(lit(0L)) -
+      punctRatio(text)
 
   // ---- fingerprinting ----
 

@@ -15,12 +15,12 @@ import graft.core.Tables
   * ordering/gap/bucket key here is a BIGINT derived from the raw
   * integer nanos the same way on both sides: Spark reads the column
   * as a long and `div 1000`s it (Tables.events), the oracle uses
-  * `epoch_ns(ts) // 1000` — identical integer division on both sides
-  * for the post-1970 timestamps this data has. (Spark's `div`
-  * truncates toward zero while DuckDB's `//` floors, so the two WOULD
-  * differ by 1µs on pre-epoch (negative-nanos) timestamps; the events
-  * generator emits 2023+ only, and the assumption is documented here
-  * rather than paying a pmod adjustment on the hot path.)
+  * `epoch_ns(ts) // 1000` — identical integer division on both sides.
+  * (DuckDB's `//` on INTEGER/BIGINT operands truncates toward zero,
+  * exactly like Spark's `div` — verified empirically: -7 // 2 = -3 —
+  * so the derivation agrees even for pre-epoch (negative-nanos)
+  * timestamps. Note `//` on DOUBLE/DECIMAL is plain division; every
+  * `//` in these oracles runs on BIGINT.)
   *
   * Scale: both queries are one shuffle on `user_id` (window) or the
   * group keys; sessionization's running sum shares the same sort as
@@ -47,10 +47,10 @@ object Events {
          |  FROM base),
          |sess AS (
          |  SELECT user_id, event_id, value,
-         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsus, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsus, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |  FROM lagged)
-         |SELECT user_id, session_id, count(*) AS n_events,
+         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM sess GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("tsus", "event_id")

@@ -21,10 +21,14 @@ object TextAnalysis {
   }
   private val markers = graft.functions.TextFunctions.langMarkers
   private val allStops = markers.flatMap(_._2)
-  private val punctSql = s"round((length(text) - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')))*1.0 / greatest(length(text), 1), 6)"
-  private def stopSql = s"round(${hitsSql(allStops)}*1.0 / greatest(len($toksSql), 1), 6)"
+  // Scores are exact integer ppm (see TextFunctions): numerator*1e6
+  // with BIGINT `//` — no round()/doubles at any compared column, per
+  // the repo determinism rule (Relational.scala notes). DuckDB `//`
+  // truncates on BIGINT like Spark `div`; all numerators are >= 0.
+  private val punctSql = s"CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) * 1000000 // greatest(CAST(length(text) AS BIGINT), 1)"
+  private def stopSql = s"CAST(${hitsSql(allStops)} AS BIGINT) * 1000000 // greatest(CAST(len($toksSql) AS BIGINT), 1)"
   private def qualSql =
-    s"round($stopSql * 2.0 + (CASE WHEN len($toksSql) BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END) - $punctSql, 6)"
+    s"($stopSql) * 2 + (CASE WHEN len($toksSql) BETWEEN 20 AND 1000 THEN 500000 ELSE 0 END) - ($punctSql)"
   private def predSql: String = {
     val maxExpr = markers.map { case (_, ws) => hitsSql(ws) }.mkString("greatest(", ", ", ")")
     val chain = markers.map { case (l, ws) =>
@@ -63,10 +67,10 @@ object TextAnalysis {
       s"""SELECT doc_id,
          |  len($toksSql) AS n_tokens,
          |  $punctSql AS punct_ratio,
-         |  round(list_sum(list_transform($toksSql, x -> length(x)))*1.0
-         |        / greatest(len($toksSql), 1), 6) AS mean_token_len,
+         |  CAST(list_sum(list_transform($toksSql, x -> length(x))) AS BIGINT) * 1000000
+         |        // greatest(CAST(len($toksSql) AS BIGINT), 1) AS mean_token_len,
          |  $stopSql AS stop_ratio,
-         |  $qualSql AS quality
+         |  CAST($qualSql AS BIGINT) AS quality
          |FROM documents WHERE doc_id < 200""".stripMargin) { (s, d) =>
       Tables.documents(s, d).filter(col("doc_id") < 200)
         .select(col("doc_id"),
@@ -91,13 +95,13 @@ object TextAnalysis {
          |  FROM documents)
          |SELECT lang, count(*) AS n_docs,
          |       CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens
-         |FROM k WHERE pred <> 'und' AND q >= -0.4 AND doc_id = keeper
+         |FROM k WHERE pred <> 'und' AND q >= -400000 AND doc_id = keeper
          |GROUP BY lang""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val k = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"),
           langId(col("text")).as("pred"), qualityScore(col("text")).as("q"))
         .withColumn("keeper", min("doc_id").over(Window.partitionBy("text")))
-      k.filter(col("pred") =!= "und" && col("q") >= -0.4 && col("doc_id") === col("keeper"))
+      k.filter(col("pred") =!= "und" && col("q") >= -400000L && col("doc_id") === col("keeper"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(tokenCount(col("text"))).as("total_tokens"))
     },
