@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import graft.auth.{Auth, AuthStore}
 import graft.core.{GraphCatalog, GraphDatabase, PropertyGraph, SnapshotStore}
-import graft.cypher.{CypherCompiler, CypherParser, ast}
+import graft.cypher.{CypherCompiler, CypherParser, Params, ast}
 import graft.procs.ProcedureRegistry
 
 /** Session façade — the engine's equivalent of a Bolt session against
@@ -148,7 +148,17 @@ final class GraftSession(val spark: SparkSession,
   private val AlterPw =
     """(?is)\s*ALTER\s+CURRENT\s+USER\s+SET\s+PASSWORD\s+FROM\s+'([^']*)'\s+TO\s+'([^']*)'\s*""".r
 
-  def cypher(q: String, database: String = "neo4j"): DataFrame = q match {
+  def cypher(q: String, database: String = "neo4j"): DataFrame =
+    cypher(q, Map.empty[String, Any], database)
+
+  def cypher(q: String, params: Map[String, Any]): DataFrame =
+    cypher(q, params, "neo4j")
+
+  /** Parameterized form, mirroring the reference driver's
+    * `session.run(query, params)` surface (ref DatabaseIO.java:121-132):
+    * `$name` placeholders are substituted as literals before
+    * compilation; an unbound `$name` raises "Expected parameter(s)". */
+  def cypher(q: String, params: Map[String, Any], database: String): DataFrame = q match {
     case StopDb(name)   => catalog.stop(name); unit()
     case StartDb(name)  => catalog.start(name); unit()
     case CreateDb(name) => catalog.createDatabase(name); unit()
@@ -159,7 +169,7 @@ final class GraftSession(val spark: SparkSession,
     case _ =>
       val db = catalog.database(database)
       db.requireStarted()
-      val parsed = CypherParser.parse(q)
+      val parsed = Params.substitute(CypherParser.parse(q), params)
       val isMutation = parsed.clauses.exists {
         case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
              _: ast.SetLabels | _: ast.Delete | _: ast.Merge => true

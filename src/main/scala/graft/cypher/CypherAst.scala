@@ -14,6 +14,10 @@ object ast {
   // ---- expressions ----
   sealed trait Expr
   final case class Lit(v: Any) extends Expr
+  /** `$name` query parameter — replaced by a Lit before compilation
+    * (Params.substitute); reaching the compiler unresolved is an
+    * "Expected parameter(s)" error, as in the reference driver API. */
+  final case class Param(name: String) extends Expr
   final case class Variable(name: String) extends Expr
   final case class Prop(variable: String, key: String) extends Expr
   final case class FnCall(name: String, args: Seq[Expr], distinct: Boolean = false) extends Expr
@@ -42,6 +46,10 @@ object ast {
     * UNWIND alias `x`. Resolved by substitution in UNWIND … CREATE;
     * rejected (with a clear error) anywhere else. */
   final case class VarRefValue(name: String)
+
+  /** Marker wrapped in a pattern-prop Lit: `{v: $p}` references a
+    * query parameter. Resolved by Params.substitute. */
+  final case class ParamRefValue(name: String)
 
   final case class NodePat(
       variable: Option[String],

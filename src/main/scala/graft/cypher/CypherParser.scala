@@ -55,6 +55,7 @@ object CypherParser extends RegexParsers {
   private def cmpTail: Parser[Expr => Expr] =
     ("<=" | ">=" | "<>" | "=" | "<" | ">") ~ addExpr ^^ { case op ~ r => (l: Expr) => Cmp(op, l, r) } |
     kw("in") ~> "[" ~> repsep(expr, ",") <~ "]" ^^ { list => (l: Expr) => In(l, list) } |
+    kw("in") ~> param ^^ { p => (l: Expr) => In(l, Seq(p)) } |
     kw("starts") ~> kw("with") ~> addExpr ^^ { r => (l: Expr) => StringPred("starts", l, r) } |
     kw("ends") ~> kw("with") ~> addExpr ^^ { r => (l: Expr) => StringPred("ends", l, r) } |
     kw("contains") ~> addExpr ^^ { r => (l: Expr) => StringPred("contains", l, r) } |
@@ -66,8 +67,11 @@ object CypherParser extends RegexParsers {
   private def mulExpr: Parser[Expr] =
     unaryExpr ~ rep(("*" | "/" | "%") ~ unaryExpr) ^^ { case h ~ t =>
       t.foldLeft(h) { case (l, op ~ r) => Arith(op, l, r) } }
+  private val param: Parser[Param] = "$" ~> ident ^^ Param.apply
+
   private def unaryExpr: Parser[Expr] =
     literal |
+    param |
     caseExpr |
     fnCall |
     patternPred |
@@ -112,7 +116,9 @@ object CypherParser extends RegexParsers {
 
   // ---- patterns ----
   private def mapValue: Parser[Lit] =
-    literal | ident ^^ (n => Lit(VarRefValue(n)))
+    literal |
+    "$" ~> ident ^^ (n => Lit(ParamRefValue(n))) |
+    ident ^^ (n => Lit(VarRefValue(n)))
 
   private def mapLit: Parser[Map[String, Lit]] =
     "{" ~> repsep(ident ~ (":" ~> mapValue), ",") <~ "}" ^^ {

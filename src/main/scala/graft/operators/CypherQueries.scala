@@ -24,6 +24,9 @@ object CypherQueries {
   private def q(name: String, oracle: String)(cypher: String): QueryDef =
     sql(name, oracle) { (s, dir) => session(s, dir).cypher(cypher) }
 
+  private def qp(name: String, oracle: String)(cypher: String, params: Map[String, Any]): QueryDef =
+    sql(name, oracle) { (s, dir) => session(s, dir).cypher(cypher, params) }
+
   def all: Seq[QueryDef] = Seq(
 
     // C3: one-hop pattern expand = label filter ⋈ edges ⋈ label filter
@@ -40,6 +43,20 @@ object CypherQueries {
       """MATCH (c:customer {c_mktsegment:'BUILDING'})-[:PLACED]->(o:order)
         |WHERE o.o_totalprice > 150000
         |RETURN c.c_name AS c_name, o.o_orderkey AS o_orderkey, o.o_totalprice AS price""".stripMargin),
+
+    // Same pattern driven through the $parameter surface (the ref
+    // driver passes a param map on every session.run — DatabaseIO
+    // .java:121-132): inline-prop param + WHERE param + IN-list param.
+    qp("cy_param_filter",
+      """SELECT c.c_name AS c_name, o.o_orderkey AS o_orderkey
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'AUTOMOBILE' AND o.o_totalprice > 200000
+        |  AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin)(
+      """MATCH (c:customer {c_mktsegment: $seg})-[:PLACED]->(o:order)
+        |WHERE o.o_totalprice > $minprice AND o.o_orderpriority IN $prios
+        |RETURN c.c_name AS c_name, o.o_orderkey AS o_orderkey""".stripMargin,
+      Map("seg" -> "AUTOMOBILE", "minprice" -> 200000,
+        "prios" -> Seq("1-URGENT", "2-HIGH"))),
 
     // C6: multi-column RETURN projection with property access
     q("cy_return_proj",

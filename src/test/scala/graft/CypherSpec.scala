@@ -480,4 +480,43 @@ class CypherSpec extends AnyFunSuite {
       "fresh-id numbering must not funnel the match through one Window task")
     assert(s.graph().nodes.count() == 6)
   }
+
+  // ---- query parameters ($name) — ref driver API carries a param map
+  // on every session.run (DatabaseIO.java:121-132) ----
+
+  test("parameters: CREATE with $props values and MATCH with $name predicate") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (d:dog {name: $name, age: $age})",
+      Map("name" -> "Arne", "age" -> 7))
+    s.cypher("CREATE (d:dog {name: $name, age: $age})",
+      Map("name" -> "Bosse", "age" -> 3))
+    val res = s.cypher("MATCH (d:dog) WHERE d.name = $name RETURN d.age AS age",
+      Map("name" -> "Arne"))
+    assert(res.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // inline-prop form too: MATCH (d:dog {name: $name})
+    val res2 = s.cypher("MATCH (d:dog {name: $name}) RETURN d.age AS age",
+      Map("name" -> "Bosse"))
+    assert(res2.collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("parameters: SET with expression over $param and IN $list") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:v {n: 1}), (b:v {n: 2}), (c:v {n: 3})")
+    s.cypher("MATCH (v:v) WHERE v.n = $k SET v.n = $k * 10", Map("k" -> 2))
+    val ns = s.cypher("MATCH (v:v) RETURN v.n AS n ORDER BY n")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ns == Seq(1L, 3L, 20L))
+    val in = s.cypher("MATCH (v:v) WHERE v.n IN $wanted RETURN count(*) AS c",
+      Map("wanted" -> Seq(1, 20)))
+    assert(in.collect().head.getLong(0) == 2L)
+  }
+
+  test("parameters: unbound $name raises Expected parameter(s)") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:v {n: 1})")
+    val e = intercept[IllegalArgumentException] {
+      s.cypher("MATCH (v:v) WHERE v.n = $missing RETURN v.n")
+    }
+    assert(e.getMessage.contains("Expected parameter(s): missing"))
+  }
 }
