@@ -235,10 +235,13 @@ final class GraftSession(val spark: SparkSession,
     val deletes = q.clauses.collect { case d: ast.Delete => d }
     val merges = q.clauses.collect { case m: ast.Merge => m }
     val labelSets = q.clauses.collect { case l: ast.SetLabels => l }
-    // UNWIND <literal list> AS x CREATE …: batch insert, one pattern
-    // instantiation per element, `{k: x}` prop values substituted per
-    // element. Anything fancier (UNWIND over a query, UNWIND with
-    // SET/MERGE) is refused rather than silently instantiated once.
+    // UNWIND <list|range(a,b[,s])> AS x CREATE …: BATCH insert — all
+    // elements are substituted into the pattern first, then appended
+    // in ONE union + ONE snapshot swap (a per-element recursion would
+    // build an N-deep plan lineage and N catalog swaps; the whole
+    // point of the idiom is 10k-row bulk loads). Anything fancier
+    // (UNWIND over a query, UNWIND with SET/MERGE) is refused rather
+    // than silently instantiated once.
     val unwinds = q.clauses.collect { case u: ast.Unwind => u }
     if (unwinds.nonEmpty) {
       if (unwinds.size != 1 || creates.isEmpty || matches.nonEmpty || merges.nonEmpty ||
@@ -246,14 +249,26 @@ final class GraftSession(val spark: SparkSession,
         throw new UnsupportedOperationException(
           "UNWIND composes with mutations only as `UNWIND <list> AS x CREATE …`")
       val u = unwinds.head
-      val elems = u.expr match {
+      val elems: Seq[Any] = u.expr match {
         case ast.ListLit(items) => items.map {
           case ast.Lit(v) => v
           case other => throw new UnsupportedOperationException(
             s"UNWIND … CREATE needs a literal list, got element $other")
         }
+        // the standard bulk-load idiom: UNWIND range(1, 10000) AS x
+        case ast.FnCall(f, args, _) if f.equalsIgnoreCase("range") =>
+          val nums = args.map {
+            case ast.Lit(n: Long) => n
+            case other => throw new UnsupportedOperationException(
+              s"range() in UNWIND … CREATE needs integer literals, got $other")
+          }
+          if (nums.size < 2 || nums.size > 3)
+            throw new IllegalArgumentException("range() takes (start, end[, step])")
+          val step = if (nums.size == 3) nums(2) else 1L
+          if (step == 0) throw new IllegalArgumentException("range() step must not be 0")
+          (nums(0) to nums(1) by step).toVector
         case other => throw new UnsupportedOperationException(
-          s"UNWIND … CREATE needs a literal list, got $other")
+          s"UNWIND … CREATE needs a literal list or range(), got $other")
       }
       val alias = u.alias
       def subst(props: Map[String, ast.Lit], elem: Any): Map[String, ast.Lit] =
@@ -263,16 +278,16 @@ final class GraftSession(val spark: SparkSession,
             throw new NoSuchElementException(s"Variable `$other` not defined")
           case kv => kv
         }
-      elems.foreach { elem =>
-        val substituted = creates.map(c => ast.Create(c.patterns.map { p =>
+      val groups = elems.map { elem =>
+        creates.map(c => ast.Create(c.patterns.map { p =>
           ast.PathPat(
             p.start.copy(props = subst(p.start.props, elem)),
             p.hops.map { case (r, n) =>
               (r.copy(props = subst(r.props, elem)), n.copy(props = subst(n.props, elem)))
             })
         }))
-        mutate(db, ast.Query(substituted))
       }
+      appendLiteralCreates(db, groups)
       return unit()
     }
 
@@ -294,16 +309,48 @@ final class GraftSession(val spark: SparkSession,
     if (matches.nonEmpty) return mutateMatched(db, matches, creates, returns)
 
     // Plain CREATE: a handful of literal rows, instantiated directly.
-    val matchedBindings: Seq[Map[String, Long]] = Seq(Map.empty)
+    val (createdProps, firstBindingIds) = appendLiteralCreates(db, Seq(creates))
 
-    // 2. instantiate created nodes/edges per binding
+    // RETURN over the created bindings (reference shape:
+    // `CREATE (arne:dog {…}) RETURN arne.name` — DatabaseIO.java:42)
+    returns.headOption match {
+      case None => unit()
+      case Some(r) =>
+        val values = r.items.map { item =>
+          val value = item.expr match {
+            case ast.Prop(v, k) => createdProps.get(v).flatMap(_.get(k)).orNull
+            case ast.Variable(v) => firstBindingIds.get(v).map(Long.box).orNull
+            case ast.FnCall(id0, Seq(ast.Variable(v)), _) if id0.equalsIgnoreCase("id") =>
+              firstBindingIds.get(v).map(Long.box).orNull
+            case other => throw new UnsupportedOperationException(
+              s"RETURN after CREATE supports property/id access, got $other")
+          }
+          item.name -> value
+        }
+        val schema = StructType(values.map { case (n, v) =>
+          StructField(n, if (v == null) StringType else PropertyGraph.literalType(norm(v)))
+        })
+        spark.createDataFrame(javaList(Seq(Row.fromSeq(values.map(v => norm(v._2))))), schema)
+    }
+  }
+
+  /** Instantiate literal CREATE patterns and append them in ONE
+    * union + ONE snapshot swap. Each group (an UNWIND element, or the
+    * single plain-CREATE scope) gets its own variable scope, so a
+    * 10k-element UNWIND builds 10k disjoint pattern instances but the
+    * graph lineage grows by exactly one append regardless of N.
+    * Returns the FIRST group's (var → props, var → id) bindings for
+    * RETURN-after-CREATE. */
+  private def appendLiteralCreates(db: GraphDatabase, groups: Seq[Seq[ast.Create]])
+      : (Map[String, Map[String, Any]], Map[String, Long]) = {
     val newNodes = collection.mutable.ArrayBuffer.empty[(Long, Seq[String], Map[String, Any])]
     val newEdges = collection.mutable.ArrayBuffer.empty[(Long, Long, String, Map[String, Any])]
-    val createdProps = collection.mutable.Map.empty[String, Map[String, Any]]
-    var firstBindingIds = Map.empty[String, Long]
+    var firstProps = Map.empty[String, Map[String, Any]]
+    var firstIds = Map.empty[String, Long]
 
-    matchedBindings.foreach { binding =>
-      val bound = collection.mutable.Map.empty[String, Long] ++ binding
+    groups.foreach { creates =>
+      val bound = collection.mutable.Map.empty[String, Long]
+      val createdProps = collection.mutable.Map.empty[String, Map[String, Any]]
       creates.foreach { c =>
         c.patterns.foreach { p =>
           def nodeId(n: ast.NodePat): Long = {
@@ -329,10 +376,10 @@ final class GraftSession(val spark: SparkSession,
           }
         }
       }
-      if (firstBindingIds.isEmpty) firstBindingIds = bound.toMap
+      if (firstIds.isEmpty) { firstIds = bound.toMap; firstProps = createdProps.toMap }
     }
 
-    // 3. append with schema-optional union, swap snapshot
+    // append with schema-widening union, swap snapshot — once
     val g = db.graph
     val nodesDf = if (newNodes.isEmpty) g.nodes else {
       val propKeys = newNodes.flatMap(_._3.keys).distinct.sorted
@@ -357,28 +404,7 @@ final class GraftSession(val spark: SparkSession,
       PropertyGraph.appendByName(g.edges, spark.createDataFrame(javaList(rows), schema))
     }
     db.graph = PropertyGraph(nodesDf, edgesDf)
-
-    // 4. RETURN over the created bindings (reference shape:
-    //    `CREATE (arne:dog {…}) RETURN arne.name` — DatabaseIO.java:42)
-    returns.headOption match {
-      case None => unit()
-      case Some(r) =>
-        val values = r.items.map { item =>
-          val value = item.expr match {
-            case ast.Prop(v, k) => createdProps.get(v).flatMap(_.get(k)).orNull
-            case ast.Variable(v) => firstBindingIds.get(v).map(Long.box).orNull
-            case ast.FnCall(id0, Seq(ast.Variable(v)), _) if id0.equalsIgnoreCase("id") =>
-              firstBindingIds.get(v).map(Long.box).orNull
-            case other => throw new UnsupportedOperationException(
-              s"RETURN after CREATE supports property/id access, got $other")
-          }
-          item.name -> value
-        }
-        val schema = StructType(values.map { case (n, v) =>
-          StructField(n, if (v == null) StringType else PropertyGraph.literalType(norm(v)))
-        })
-        spark.createDataFrame(javaList(Seq(Row.fromSeq(values.map(v => norm(v._2))))), schema)
-    }
+    (firstProps, firstIds)
   }
 
   /** Bound-variable id table for a MATCH prefix: one column per

@@ -439,6 +439,22 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("UNWIND range(…) CREATE bulk-loads 10k nodes with ONE append") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (seed:seed {v: 0})")
+    s.cypher("UNWIND range(1, 10000) AS x CREATE (n:num {v: x})")
+    // one append regardless of N: the logical lineage holds exactly
+    // one Union over the pre-existing graph (a per-element recursion
+    // would stack 10k of them and crawl)
+    val unions = "(?i)\\bunion\\b".r.findAllIn(
+      s.graph().nodes.queryExecution.logical.toString).size
+    assert(unions <= 2, s"expected one batched append, saw $unions Unions in lineage")
+    assert(s.graph().nodes.count() == 10001)
+    val agg = s.cypher("MATCH (n:num) RETURN count(*) AS c, sum(n.v) AS tot")
+    val row = agg.collect().head
+    assert(row.getLong(0) == 10000L && row.getLong(1) == 50005000L)
+  }
+
   test("introspection: db.relationshipTypes, db.propertyKeys, apoc.meta.stats") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:dog {name:'Arne', age: 4})-[:SNIFFS]->(b:cat {name:'Tom'})")
