@@ -425,6 +425,47 @@ final class GraftSession(val spark: SparkSession,
     * the scale-correct shape); DELETE anti-joins nodes (and, for
     * DETACH, incident edges). A plain DELETE of a node that still has
     * relationships refuses, like the reference engine. */
+  /** SET RHS over the target row's own columns: `SET n.x = n.y + 1`
+    * compiles to a Column over them — still one update-by-join. A
+    * property that does not exist as a column reads as null
+    * (reference semantics for absent properties). */
+  private def setValueColumn(base: DataFrame, v: String, isRel: Boolean,
+      rhs: ast.Expr): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    def exprCol(e0: ast.Expr): org.apache.spark.sql.Column = e0 match {
+      case ast.Lit(x) => lit(norm(x))
+      case ast.Prop(`v`, k) if base.columns.contains(k) => col(k)
+      case ast.Prop(`v`, _) => lit(null) // absent property is null
+      case ast.Prop(v2, k) => throw new UnsupportedOperationException(
+        s"SET value may reference only $v's own properties, got $v2.$k")
+      case ast.FnCall(fn, Seq(ast.Variable(`v`)), _) if fn.equalsIgnoreCase("id") && !isRel =>
+        col("id")
+      case ast.Arith(op, l, r0) =>
+        val (lc, rc) = (exprCol(l), exprCol(r0))
+        op match {
+          case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
+          case "/" => lc / rc; case "%" => lc % rc
+          case other => throw new UnsupportedOperationException(other)
+        }
+      case ast.CaseExpr(whens, otherwise) =>
+        val chain = whens.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+          case (acc, (c, value)) =>
+            val cond = exprCol(c); val cv = exprCol(value)
+            Some(acc.map(_.when(cond, cv)).getOrElse(when(cond, cv)))
+        }.get
+        otherwise.map(o => chain.otherwise(exprCol(o))).getOrElse(chain)
+      case ast.Cmp(op, l, r0) =>
+        val (lc, rc) = (exprCol(l), exprCol(r0))
+        op match {
+          case "=" => lc === rc; case "<>" => lc =!= rc; case "<" => lc < rc
+          case "<=" => lc <= rc; case ">" => lc > rc; case ">=" => lc >= rc
+        }
+      case other => throw new UnsupportedOperationException(
+        s"SET value must be a literal or an expression over $v's properties, got $other")
+    }
+    exprCol(rhs)
+  }
+
   private def mutateSetDelete(db: GraphDatabase, matches: Seq[ast.Match],
       sets: Seq[ast.SetProps], deletes: Seq[ast.Delete],
       labelSets: Seq[ast.SetLabels] = Nil): DataFrame = {
@@ -448,38 +489,7 @@ final class GraftSession(val spark: SparkSession,
     sets.foreach(_.items.foreach { case (ast.Prop(v, key), rhs) =>
       val isRel = relVars.contains(v)
       val base = if (isRel) g.edges else g.nodes
-      // SET RHS over the matched row's own columns: `SET n.x = n.y + 1`
-      // compiles to a Column over them — still one update-by-join.
-      def exprCol(e: ast.Expr): org.apache.spark.sql.Column = e match {
-        case ast.Lit(x) => lit(norm(x))
-        case ast.Prop(`v`, k) if base.columns.contains(k) => col(k)
-        case ast.Prop(v2, k) => throw new UnsupportedOperationException(
-          s"SET value may reference only $v's own properties, got $v2.$k")
-        case ast.FnCall(fn, Seq(ast.Variable(`v`)), _) if fn.equalsIgnoreCase("id") && !isRel =>
-          col("id")
-        case ast.Arith(op, l, r0) =>
-          val (lc, rc) = (exprCol(l), exprCol(r0))
-          op match {
-            case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
-            case "/" => lc / rc; case "%" => lc % rc
-            case other => throw new UnsupportedOperationException(other)
-          }
-        case ast.CaseExpr(whens, otherwise) =>
-          val chain = whens.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
-            case (acc, (c, value)) =>
-              val cond = exprCol(c); val cv = exprCol(value)
-              Some(acc.map(_.when(cond, cv)).getOrElse(when(cond, cv)))
-          }.get
-          otherwise.map(o => chain.otherwise(exprCol(o))).getOrElse(chain)
-        case ast.Cmp(op, l, r0) =>
-          val (lc, rc) = (exprCol(l), exprCol(r0))
-          op match {
-            case "=" => lc === rc; case "<>" => lc =!= rc; case "<" => lc < rc
-            case "<=" => lc <= rc; case ">" => lc > rc; case ">=" => lc >= rc
-          }
-        case other => throw new UnsupportedOperationException(
-          s"SET value must be a literal or an expression over $v's properties, got $other")
-      }
+      def exprCol(e: ast.Expr) = setValueColumn(base, v, isRel, e)
       val (joined, mark) =
         if (isRel) {
           val keys = relKeys(v)
@@ -565,38 +575,95 @@ final class GraftSession(val spark: SparkSession,
   }
 
   /** MERGE: match the whole pattern; create it only when absent
-    * (openCypher match-or-create for fully-literal patterns). ON
-    * CREATE / ON MATCH SET items run as an ordinary MATCH … SET over
-    * whichever branch was taken. */
+    * (openCypher match-or-create for fully-literal patterns).
+    *
+    * Single-node MERGE compiles to ONE declarative plan with no
+    * driver probe: ON MATCH folds in as an update-by-join over the
+    * pre-existing matched ids, and the create branch is the literal
+    * row anti-joined against the (≤1-row) match — so the row appends
+    * exactly when the pattern was absent, with ON CREATE columns
+    * applied. One snapshot swap per clause, plan depth constant.
+    *
+    * Path MERGE keeps a whole-pattern existence probe (one tiny
+    * driver action on a literal pattern) and then branches — creating
+    * a multi-node path "only if absent" needs the branch decision
+    * before id minting. */
   private def mutateMerge(db: GraphDatabase, merges: Seq[ast.Merge]): DataFrame = {
     merges.foreach { m =>
-      val found = new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
-        .compile(ast.Query(Seq(
-          ast.Match(Seq(m.pattern), optional = false, None),
-          ast.Return(Seq(ast.ReturnItem(ast.Lit(1L), Some("one"))), distinct = false, Nil, None, Some(1L)))))
-        .take(1).nonEmpty
-      val handlers = if (found) m.onMatch else m.onCreate
-      if (!found) mutate(db, ast.Query(Seq(ast.Create(Seq(m.pattern)))))
-      if (handlers.nonEmpty)
-        mutateSetDelete(db, Seq(ast.Match(Seq(m.pattern), optional = false, None)),
-          Seq(ast.SetProps(handlers)), Nil)
+      if (m.pattern.hops.isEmpty) mergeNode(db, m)
+      else {
+        val found = new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
+          .compile(ast.Query(Seq(
+            ast.Match(Seq(m.pattern), optional = false, None),
+            ast.Return(Seq(ast.ReturnItem(ast.Lit(1L), Some("one"))), distinct = false, Nil, None, Some(1L)))))
+          .take(1).nonEmpty
+        val handlers = if (found) m.onMatch else m.onCreate
+        if (!found) mutate(db, ast.Query(Seq(ast.Create(Seq(m.pattern)))))
+        if (handlers.nonEmpty)
+          mutateSetDelete(db, Seq(ast.Match(Seq(m.pattern), optional = false, None)),
+            Seq(ast.SetProps(handlers)), Nil)
+      }
     }
     unit()
   }
 
-  /** MATCH … MERGE (a)-[:T]->(b): both endpoints bound by the MATCH;
-    * the relationship is appended for exactly the bindings that lack
-    * it — a distinct projection of the binding table anti-joined
-    * against the typed edge set, then unioned in. Fully distributed:
-    * the merge of N bindings is two joins, not N lookups. */
+  /** Declarative single-node match-or-create (see [[mutateMerge]]). */
+  private def mergeNode(db: GraphDatabase, m: ast.Merge): Unit = {
+    import org.apache.spark.sql.functions._
+    val np0 = m.pattern.start
+    val v = np0.variable.getOrElse("_m")
+    val np = np0.copy(variable = Some(v))
+    val matched = new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
+      .compile(ast.Query(Seq(
+        ast.Match(Seq(ast.PathPat(np, Nil)), optional = false, None),
+        ast.Return(Seq(ast.ReturnItem(ast.FnCall("id", Seq(ast.Variable(v))), Some("_mid"))),
+          distinct = true, Nil, None, None))))
+    val g = db.graph
+
+    // ON MATCH: update-by-join over the pre-existing matched ids
+    var nodes = g.nodes
+    m.onMatch.foreach { case (ast.Prop(_, key), rhs) =>
+      val valueCol = setValueColumn(nodes, v, isRel = false, rhs)
+      val joined = nodes.join(matched, nodes("id") === matched("_mid"), "left_outer")
+      val mark = col("_mid").isNotNull
+      nodes = (if (nodes.columns.contains(key))
+          joined.withColumn(key, when(mark, valueCol).otherwise(col(key)))
+        else joined.withColumn(key, when(mark, valueCol))).drop("_mid")
+    }
+
+    // create branch: the literal row rides in iff the match is empty.
+    // The id is minted unconditionally (run-deterministic either way);
+    // the anti join against the ≤1-row match gates the append.
+    val id = db.allocate(1L)
+    val propKeys = np.props.keys.toSeq.sorted
+    var row = spark.range(1).select(
+      (Seq(lit(id).as("id"), array(np.labels.map(lit): _*).as("labels")) ++
+        propKeys.map(k => lit(norm(np.props(k).v)).as(k))): _*)
+    m.onCreate.foreach { case (ast.Prop(_, key), rhs) =>
+      row = row.withColumn(key, setValueColumn(row, v, isRel = false, rhs))
+    }
+    val missing = row.join(matched.limit(1), lit(true), "left_anti")
+    db.graph = PropertyGraph(PropertyGraph.appendByName(nodes, missing), g.edges)
+  }
+
+  /** MATCH … MERGE (a)-[r:T {props}]->(b): both endpoints bound by
+    * the MATCH; the relationship is appended for exactly the bindings
+    * that lack it — a distinct projection of the binding table
+    * anti-joined against the typed edge set, then unioned in. Fully
+    * distributed: the merge of N bindings is two joins, not N lookups.
+    *
+    * Whole-pattern semantics: existence requires the relationship's
+    * literal props to match too (an absent prop column means nothing
+    * matches), and an undirected pattern matches either orientation
+    * (creating left-to-right when absent, per openCypher). ON CREATE
+    * SET folds into the appended rows; ON MATCH SET is an update-by-
+    * join over the pre-existing hits — both restricted to the merged
+    * relationship variable, anything else is refused loudly. */
   private def mutateMatchedMerge(db: GraphDatabase, matches: Seq[ast.Match],
       merges: Seq[ast.Merge]): DataFrame = {
     import org.apache.spark.sql.functions._
     val (bindings, boundVars) = matchedIds(db, matches)
     merges.foreach { m =>
-      if (m.onCreate.nonEmpty || m.onMatch.nonEmpty)
-        throw new UnsupportedOperationException(
-          "ON CREATE/ON MATCH are not supported on a MATCH-composed MERGE")
       val p = m.pattern
       if (p.hops.size != 1)
         throw new UnsupportedOperationException(
@@ -610,14 +677,60 @@ final class GraftSession(val spark: SparkSession,
       }
       val relType = rel.types.headOption.getOrElse(
         throw new IllegalArgumentException("MERGE relationship requires a type"))
+      val relVar = rel.variable
+      def handlerItems(items: Seq[(ast.Prop, ast.Expr)], which: String): Seq[(String, ast.Expr)] =
+        items.map {
+          case (ast.Prop(v0, k), e) if relVar.contains(v0) => k -> e
+          case (p0, _) => throw new UnsupportedOperationException(
+            s"$which on a MATCH-composed MERGE supports SET on the merged relationship " +
+              s"variable only, got ${p0.variable}.${p0.key}")
+        }
+      val onCreate = handlerItems(m.onCreate, "ON CREATE")
+      val onMatch = handlerItems(m.onMatch, "ON MATCH")
+
       val g = db.graph
       val candidates = bindings.select(col(sv).as("src"), col(dv).as("dst")).distinct()
-      val existing = g.edges.filter(col("relType") === relType).select("src", "dst")
-      val missing = candidates.join(existing, Seq("src", "dst"), "left_anti")
+      // full-pattern existence: same type AND same literal props; an
+      // undirected pattern matches either orientation
+      val typed = g.edges.filter(col("relType") === relType)
+      val propMatched = rel.props.toSeq.sortBy(_._1).foldLeft(typed) { case (df, (k, l)) =>
+        if (df.columns.contains(k)) df.filter(col(k) <=> lit(norm(l.v)))
+        else df.filter(lit(false))
+      }
+      val existing = propMatched.select("src", "dst")
+      val existingEither =
+        if (rel.dir == 0)
+          existing.union(propMatched.select(col("dst").as("src"), col("src").as("dst")))
+        else existing
+
+      // ON MATCH: update the pre-existing hit edges (both orientations
+      // of an undirected hit) before the append, so created rows never
+      // see ON MATCH values
+      var edges = g.edges
+      if (onMatch.nonEmpty) {
+        val hits = candidates.join(existingEither, Seq("src", "dst"), "left_semi")
+        val hitKeys = (if (rel.dir == 0)
+            hits.union(hits.select(col("dst").as("src"), col("src").as("dst")))
+          else hits)
+          .select(col("src").as("_ms"), col("dst").as("_md")).distinct()
+        val joined = edges.join(hitKeys,
+          edges("src") === col("_ms") && edges("dst") === col("_md"), "left_outer")
+        val mark = col("_ms").isNotNull && col("relType") === relType
+        edges = onMatch.foldLeft(joined) { case (df, (k, e)) =>
+          val valueCol = setValueColumn(g.edges, relVar.getOrElse("r"), isRel = true, e)
+          if (g.edges.columns.contains(k))
+            df.withColumn(k, when(mark, valueCol).otherwise(col(k)))
+          else df.withColumn(k, when(mark, valueCol))
+        }.drop("_ms", "_md")
+      }
+
+      val missing = candidates.join(existingEither, Seq("src", "dst"), "left_anti")
         .withColumn("relType", lit(relType))
-      val withProps = rel.props.keys.toSeq.sorted.foldLeft(missing)((d, k) =>
-        d.withColumn(k, lit(norm(rel.props(k).v))))
-      db.graph = PropertyGraph(g.nodes, PropertyGraph.appendByName(g.edges, withProps))
+      val createCols = (rel.props.view.mapValues(l => ast.Lit(l.v): ast.Expr).toSeq ++ onCreate)
+      val withProps = createCols.sortBy(_._1).foldLeft(missing) { case (d, (k, e)) =>
+        d.withColumn(k, setValueColumn(d, relVar.getOrElse("r"), isRel = true, e))
+      }
+      db.graph = PropertyGraph(g.nodes, PropertyGraph.appendByName(edges, withProps))
     }
     unit()
   }

@@ -411,6 +411,59 @@ class CypherSpec extends AnyFunSuite {
     assert(s.graph().nodes.count() == 2)
   }
 
+  test("MATCH … MERGE honors ON CREATE / ON MATCH on the rel variable") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    val q = "MATCH (a:dog {name:'Arne'}), (b:dog {name:'Bosse'}) " +
+      "MERGE (a)-[r:LIKES]->(b) ON CREATE SET r.since = 2020 ON MATCH SET r.seen = 1"
+    s.cypher(q)
+    val first = s.graph().edges.filter("relType = 'LIKES'").collect()
+    assert(first.length == 1)
+    assert(first.head.getAs[Long]("since") == 2020L)
+    s.cypher(q) // second run takes the ON MATCH branch
+    val second = s.graph().edges.filter("relType = 'LIKES'").collect()
+    assert(second.length == 1)
+    assert(second.head.getAs[Long]("since") == 2020L)
+    assert(second.head.getAs[Long]("seen") == 1L)
+    // handlers on anything but the rel variable are refused loudly
+    intercept[UnsupportedOperationException] {
+      s.cypher("MATCH (a:dog {name:'Arne'}), (b:dog {name:'Bosse'}) " +
+        "MERGE (a)-[r:LIKES]->(b) ON MATCH SET a.touched = 1")
+    }
+  }
+
+  test("MATCH … MERGE matches the whole pattern including rel props") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:u {n: 1}), (b:u {n: 2})")
+    s.cypher("MATCH (a:u {n: 1}), (b:u {n: 2}) MERGE (a)-[r:RATED {stars: 3}]->(b)")
+    assert(s.graph().edges.filter("relType = 'RATED'").count() == 1)
+    // same type, different props: NOT the same pattern — a second edge
+    s.cypher("MATCH (a:u {n: 1}), (b:u {n: 2}) MERGE (a)-[r:RATED {stars: 5}]->(b)")
+    assert(s.graph().edges.filter("relType = 'RATED'").count() == 2)
+    // identical props: matched, no third edge
+    s.cypher("MATCH (a:u {n: 1}), (b:u {n: 2}) MERGE (a)-[r:RATED {stars: 5}]->(b)")
+    assert(s.graph().edges.filter("relType = 'RATED'").count() == 2)
+  }
+
+  test("MATCH … MERGE undirected matches either orientation") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:p {n: 1})-[:KNOWS]->(b:p {n: 2})")
+    // (b)-[:KNOWS]-(a) exists as (a)->(b): undirected merge must match it
+    s.cypher("MATCH (a:p {n: 2}), (b:p {n: 1}) MERGE (a)-[r:KNOWS]-(b)")
+    assert(s.graph().edges.filter("relType = 'KNOWS'").count() == 1)
+    // directed merge in the reverse direction is a different pattern
+    s.cypher("MATCH (a:p {n: 2}), (b:p {n: 1}) MERGE (a)-[r:KNOWS]->(b)")
+    assert(s.graph().edges.filter("relType = 'KNOWS'").count() == 2)
+  }
+
+  test("SET n.x = n.y + 1 with absent property y yields null, not an error") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:v {n: 1})")
+    s.cypher("MATCH (a:v) SET a.m = a.nope + 1")
+    val r = s.cypher("MATCH (a:v) RETURN a.m AS m").collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("SET n:Label / REMOVE n:Label update the labels array") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:dog {name:'Arne'}), (b:dog {name:'Bosse'})")
