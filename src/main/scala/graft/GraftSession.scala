@@ -147,6 +147,16 @@ final class GraftSession(val spark: SparkSession,
   // C12 (ref DatabaseIO.java:113-115) — issued against the system db
   private val AlterPw =
     """(?is)\s*ALTER\s+CURRENT\s+USER\s+SET\s+PASSWORD\s+FROM\s+'([^']*)'\s+TO\s+'([^']*)'\s*""".r
+  // Transaction script syntax (cypher-shell scripts open explicit
+  // transactions — ref TestBasic.java:146-156 drives cypher-shell):
+  // every statement here autocommits, so BEGIN/COMMIT are validated
+  // no-ops; ROLLBACK of a transaction that already applied a mutation
+  // must ERROR rather than silently pretend to undo it.
+  private val BeginTx    = """(?is)\s*BEGIN(\s+TRANSACTION)?\s*""".r
+  private val CommitTx   = """(?is)\s*COMMIT(\s+TRANSACTION)?\s*""".r
+  private val RollbackTx = """(?is)\s*ROLLBACK(\s+TRANSACTION)?\s*""".r
+  @volatile private var txnOpen = false
+  @volatile private var txnMutated = false
 
   def cypher(q: String, database: String = "neo4j"): DataFrame =
     cypher(q, Map.empty[String, Any], database)
@@ -164,6 +174,20 @@ final class GraftSession(val spark: SparkSession,
     case CreateDb(name) => catalog.createDatabase(name); unit()
     case AlterPw(from, to) => changePassword(from, to); unit()
     case IndexDdl(_, _) => unit()
+    case BeginTx(_) =>
+      if (txnOpen) throw new IllegalStateException("There is already an open transaction")
+      txnOpen = true; txnMutated = false; unit()
+    case CommitTx(_) =>
+      if (!txnOpen) throw new IllegalStateException("There is no open transaction to commit")
+      txnOpen = false; txnMutated = false; unit()
+    case RollbackTx(_) =>
+      if (!txnOpen) throw new IllegalStateException("There is no open transaction to roll back")
+      val dirty = txnMutated
+      txnOpen = false; txnMutated = false
+      if (dirty) throw new IllegalStateException(
+        "Cannot roll back: statements in this transaction were already applied " +
+          "(every statement autocommits in this engine)")
+      unit()
     case ShowDbs() => showDatabases()
     case ShowProcs(rest) => showProcedures(rest)
     case _ =>
@@ -178,6 +202,7 @@ final class GraftSession(val spark: SparkSession,
       if (isMutation) {
         if (parsed.unions.nonEmpty)
           throw new UnsupportedOperationException("UNION of mutating queries is not supported")
+        if (txnOpen) txnMutated = true
         mutate(db, parsed)
       } else compiler(db).compile(parsed)
   }

@@ -40,18 +40,40 @@ object Shell {
           if (sys.env.contains("GRAFT_DEBUG")) e.printStackTrace()
       }
 
-    if (rest.nonEmpty) rest.foreach(run)
+    // cypher-shell `:commands` (ref cypher-shell script surface):
+    // transaction commands map onto the session's validated no-op
+    // transaction statements; they need no `;` terminator.
+    def runShellCommand(cmd: String): Boolean = cmd.toLowerCase match {
+      case ":begin"            => run("BEGIN"); true
+      case ":commit"           => run("COMMIT"); true
+      case ":rollback"         => run("ROLLBACK"); true
+      case ":exit" | ":quit"   => false
+      case other =>
+        System.err.println(s"error: unknown command $other"); true
+    }
+
+    if (rest.nonEmpty) rest.foreach { stmt =>
+      if (stmt.trim.startsWith(":")) runShellCommand(stmt.trim) else run(stmt)
+    }
     else {
       print("graft> "); Console.flush()
       val buf = new StringBuilder
-      for (line <- scala.io.Source.stdin.getLines()) {
-        buf.append(line).append('\n')
-        if (line.trim.endsWith(";")) {
-          run(buf.toString.trim.stripSuffix(";")); buf.clear()
-          print("graft> "); Console.flush()
+      var live = true
+      val lines = scala.io.Source.stdin.getLines()
+      while (live && lines.hasNext) {
+        val line = lines.next()
+        if (buf.isEmpty && line.trim.startsWith(":")) {
+          live = runShellCommand(line.trim)
+          if (live) { print("graft> "); Console.flush() }
+        } else {
+          buf.append(line).append('\n')
+          if (line.trim.endsWith(";")) {
+            run(buf.toString.trim.stripSuffix(";")); buf.clear()
+            print("graft> "); Console.flush()
+          }
         }
       }
-      if (buf.toString.trim.nonEmpty) run(buf.toString)
+      if (live && buf.toString.trim.nonEmpty) run(buf.toString)
     }
     spark.stop()
   }

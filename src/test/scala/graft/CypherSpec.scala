@@ -580,6 +580,32 @@ class CypherSpec extends AnyFunSuite {
     assert(in.collect().head.getLong(0) == 2L)
   }
 
+  test("transaction script syntax: BEGIN/COMMIT no-ops, ROLLBACK-after-write errors") {
+    val s = new GraftSession(spark)
+    // the cypher-shell script shape (ref TestBasic.java:146-156):
+    // BEGIN … statements … COMMIT keeps running under autocommit
+    s.cypher("BEGIN")
+    s.cypher("CREATE (a:tx {n: 1})")
+    s.cypher("COMMIT")
+    assert(s.graph().nodes.filter("n = 1").count() == 1)
+    // read-only transaction may roll back (nothing applied)
+    s.cypher("BEGIN TRANSACTION")
+    s.cypher("MATCH (a:tx) RETURN a.n AS n").collect()
+    s.cypher("ROLLBACK")
+    // rolling back an applied mutation must error, not lie
+    s.cypher("BEGIN")
+    s.cypher("CREATE (b:tx {n: 2})")
+    val e = intercept[IllegalStateException] { s.cypher("ROLLBACK") }
+    assert(e.getMessage.contains("Cannot roll back"))
+    // commit/rollback without an open transaction are errors
+    intercept[IllegalStateException] { s.cypher("COMMIT") }
+    intercept[IllegalStateException] { s.cypher("ROLLBACK") }
+    // nested BEGIN is an error
+    s.cypher("BEGIN")
+    intercept[IllegalStateException] { s.cypher("BEGIN") }
+    s.cypher("COMMIT")
+  }
+
   test("parameters: unbound $name raises Expected parameter(s)") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {n: 1})")
