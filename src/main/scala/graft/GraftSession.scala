@@ -61,6 +61,9 @@ final class GraftSession(val spark: SparkSession,
     SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), dir, db)
     setGraph(PropertyGraph(spark.read.parquet(s"$dir/nodes"),
       spark.read.parquet(s"$dir/edges")), db)
+    // the durable snapshot replaced the append-log lineage: any
+    // mutation-pinned caches it referenced can be freed now
+    catalog.database(db).releasePinned()
   }
 
   /** Load a database from the data-dir snapshot. */
@@ -69,6 +72,7 @@ final class GraftSession(val spark: SparkSession,
     catalog.createDatabase(db)
     setGraph(g, db)
     catalog.database(db).nextId.set(m.nextId)
+    catalog.database(db).releasePinned()
   }
 
   /** Offline dump: refuses while the database is started, like
@@ -791,6 +795,7 @@ final class GraftSession(val spark: SparkSession,
     val numbered = spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, rnSchema)
       .persist()
+    db.pin(numbered) // released when the lineage next collapses to a snapshot
     val n = numbered.count()
 
     def litCol(v: Any) = lit(norm(v))
@@ -887,7 +892,27 @@ final class GraftSession(val spark: SparkSession,
       }
       c.as(item.name)
     }: _*)
-    r.limit.map(l => out.limit(l.toInt)).getOrElse(out)
+    // full RETURN tail: DISTINCT, ORDER BY (over returned columns),
+    // SKIP, LIMIT — anything unresolvable is refused loudly rather
+    // than silently dropped
+    var outDf = if (r.distinct) out.dropDuplicates() else out
+    if (r.orderBy.nonEmpty) {
+      val sortCols = r.orderBy.map { case (e, asc) =>
+        val name = r.items.find(_.expr == e).map(_.name)
+          .orElse(e match {
+            case ast.Variable(nm) if outDf.columns.contains(nm) => Some(nm)
+            case ast.Prop(v, k) if outDf.columns.contains(s"$v.$k") => Some(s"$v.$k")
+            case _ => None
+          })
+          .getOrElse(throw new UnsupportedOperationException(
+            s"ORDER BY after MATCH … CREATE must reference a returned column, got $e"))
+        if (asc) col(name).asc else col(name).desc
+      }
+      outDf = outDf.orderBy(sortCols: _*)
+    }
+    r.skip.foreach(sk => outDf = outDf.offset(sk.toInt))
+    r.limit.foreach(l => outDf = outDf.limit(l.toInt))
+    outDf
   }
 
   private def norm(v: Any): Any = v match {

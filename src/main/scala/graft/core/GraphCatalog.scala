@@ -18,6 +18,22 @@ final class GraphDatabase(val name: String) {
   @volatile var stopped: Boolean = false
   val nextId = new AtomicLong(0L)
 
+  /** DataFrames persisted by mutations whose cached RDDs the current
+    * graph lineage still references (e.g. the numbered binding table
+    * of MATCH…CREATE). They stay pinned only until the lineage next
+    * collapses to a durable snapshot — releasePinned() then frees the
+    * executor storage, so mutation-heavy sessions don't grow cache
+    * without bound. */
+  private val pinned = collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+
+  def pin(df: org.apache.spark.sql.DataFrame): Unit =
+    pinned.synchronized { pinned += df }
+
+  def releasePinned(): Unit = pinned.synchronized {
+    pinned.foreach(_.unpersist(blocking = false))
+    pinned.clear()
+  }
+
   /** Reserve `n` consecutive ids; returns the first. Long-typed
     * end-to-end — a MATCH over 2³¹+ rows must not truncate the
     * reservation (id collisions would silently corrupt the graph). */

@@ -520,6 +520,18 @@ class CypherSpec extends AnyFunSuite {
     assert(st.getLong(0) == 2L && st.getLong(1) == 1L)
   }
 
+  test("RETURN after MATCH…CREATE honors ORDER BY / DISTINCT / SKIP / LIMIT") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:v {n: 1}), (b:v {n: 2}), (c:v {n: 3})")
+    val res = s.cypher(
+      "MATCH (v:v) CREATE (t:tag {kind:'x'})-[:FOR]->(v) " +
+        "RETURN v.n AS n ORDER BY n DESC SKIP 1 LIMIT 1")
+    assert(res.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val dist = s.cypher(
+      "MATCH (v:v) CREATE (u:tag {kind:'y'})-[:FOR]->(v) RETURN DISTINCT u.kind AS kind")
+    assert(dist.collect().map(_.getString(0)).toSeq == Seq("y"))
+  }
+
   test("MATCH with no bindings: CREATE appends nothing, RETURN yields no rows") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {n: 1})")
