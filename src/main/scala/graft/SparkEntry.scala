@@ -19,7 +19,8 @@ object SparkEntry {
     graft.operators.Similarity.all ++
     graft.operators.GraphAlgos.all ++
     graft.operators.Multimodal.all ++
-    graft.operators.Events.all
+    graft.operators.Events.all ++
+    graft.operators.Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

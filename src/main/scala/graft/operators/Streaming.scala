@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import graft.QueryDef
+import graft.QueryDef.sql
+
+/** Graded Structured Streaming run ([NS] — SURVEY §2.10): the events
+  * table replayed through a real file-source micro-batch pipeline
+  * (`readStream` → watermarkless windowed agg → `writeStream`). The
+  * COMPLETE-mode output after the final `AvailableNow` trigger equals
+  * the batch `events_window` aggregation by construction, so the
+  * stream grades against the same DuckDB oracle — turning the
+  * streaming path from spec-only into a driver-hash-checked row.
+  *
+  * Scale shape: the windowed agg is a streaming partial/final hash
+  * aggregate; `foreachBatch` overwrites the sink parquet per trigger
+  * with an executor-side write (the driver never holds rows). A
+  * long-running deployment would use Append mode + watermark so
+  * window state is evicted as the watermark advances — Complete mode
+  * here is what makes a bounded replay emit trailing windows (they
+  * are never past the watermark when the source runs dry).
+  */
+object Streaming {
+
+  /** Driver-testdata schema: TIMESTAMP(NANOS) reads as a raw long
+    * under nanosAsLong — same contract as Tables.events. */
+  private val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def all: Seq[QueryDef] = Seq(
+    sql("stream_window",
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+      val sink = s"$tmp/sink"
+      // the file source wants a directory: stream the sf dir with a
+      // glob keeping only the events table file(s)
+      val agg = s.readStream.schema(rawEventSchema)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(d)
+        .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(window(col("tsm"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .select(
+          (unix_micros(col("window.start")) / 3600000000L).cast(LongType).as("hour_id"),
+          col("event_type"), col("n"), col("sum_value"))
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(sink)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+    }
+  )
+}
