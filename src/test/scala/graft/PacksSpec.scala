@@ -109,6 +109,23 @@ class PacksSpec extends AnyFunSuite {
     assert(rows == Map(0L -> 2L, 1L -> 1L, 2L -> 0L))
   }
 
+  test("procedure args compose: constant expressions and $parameters") {
+    val s = chainSession
+    // arithmetic constant arg: 1 + 1 folds to the landmark id 2
+    val viaExpr = s.cypher("CALL gds.shortestPath(1 + 1) YIELD node_id, distance")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == Map(0L -> 2L, 1L -> 1L, 2L -> 0L))
+    // parameterized arg: $landmark substitutes pre-compile
+    val viaParam = s.cypher("CALL gds.shortestPath($landmark) YIELD node_id, distance",
+      Map("landmark" -> 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaParam == viaExpr)
+    // a non-constant arg is refused loudly
+    intercept[UnsupportedOperationException] {
+      s.cypher("CALL gds.shortestPath(x) YIELD node_id, distance")
+    }
+  }
+
   test("gds.pageRank: sink accumulates highest rank; scores deterministic") {
     val s = chainSession
     val rows = s.cypher("CALL gds.pageRank() YIELD node_id, iscore")
