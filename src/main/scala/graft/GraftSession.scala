@@ -305,6 +305,16 @@ final class GraftSession(val spark: SparkSession,
           case (k, ast.Lit(ast.VarRefValue(`alias`))) => k -> ast.Lit(elem)
           case (k, ast.Lit(ast.VarRefValue(other))) =>
             throw new NoSuchElementException(s"Variable `$other` not defined")
+          // `{name: row.name}` over `UNWIND $batch AS row` — each
+          // element is a map; a missing key reads as null
+          case (k, ast.Lit(ast.PropRefValue(`alias`, key))) => elem match {
+            case m: collection.Map[_, _] =>
+              k -> ast.Lit(m.asInstanceOf[collection.Map[String, Any]].getOrElse(key, null))
+            case other => throw new UnsupportedOperationException(
+              s"`$alias.$key` needs map elements in UNWIND, got $other")
+          }
+          case (_, ast.Lit(ast.PropRefValue(other, key))) =>
+            throw new NoSuchElementException(s"Variable `$other` not defined (in `$other.$key`)")
           case kv => kv
         }
       val groups = elems.map { elem =>
@@ -412,10 +422,13 @@ final class GraftSession(val spark: SparkSession,
     val g = db.graph
     val nodesDf = if (newNodes.isEmpty) g.nodes else {
       val propKeys = newNodes.flatMap(_._3.keys).distinct.sorted
+      // type from the first NON-NULL occurrence (a map-batch element
+      // may carry null for a key that other elements type)
       val schema = StructType(
         PropertyGraph.nodeBaseSchema.fields.toSeq ++
         propKeys.map(k => StructField(k,
-          PropertyGraph.literalType(newNodes.flatMap(_._3.get(k)).head))))
+          newNodes.flatMap(_._3.get(k)).find(_ != null)
+            .map(v => PropertyGraph.literalType(norm(v))).getOrElse(StringType))))
       val rows = newNodes.toSeq.map { case (id, labels, props) =>
         Row.fromSeq(Seq(id, labels) ++ propKeys.map(k => props.get(k).map(norm).orNull))
       }
@@ -426,7 +439,8 @@ final class GraftSession(val spark: SparkSession,
       val schema = StructType(
         PropertyGraph.edgeBaseSchema.fields.toSeq ++
         propKeys.map(k => StructField(k,
-          PropertyGraph.literalType(newEdges.flatMap(_._4.get(k)).head))))
+          newEdges.flatMap(_._4.get(k)).find(_ != null)
+            .map(v => PropertyGraph.literalType(norm(v))).getOrElse(StringType))))
       val rows = newEdges.toSeq.map { case (s0, d0, t, props) =>
         Row.fromSeq(Seq(s0, d0, t) ++ propKeys.map(k => props.get(k).map(norm).orNull))
       }
@@ -919,6 +933,8 @@ final class GraftSession(val spark: SparkSession,
     case i: Int => i.toLong
     case ast.VarRefValue(n) => throw new UnsupportedOperationException(
       s"variable property value `$n` is only supported in UNWIND … CREATE patterns")
+    case ast.PropRefValue(n, k) => throw new UnsupportedOperationException(
+      s"map-field property value `$n.$k` is only supported in UNWIND … CREATE patterns")
     case other  => other
   }
 

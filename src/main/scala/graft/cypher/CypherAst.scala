@@ -51,6 +51,12 @@ object ast {
     * query parameter. Resolved by Params.substitute. */
   final case class ParamRefValue(name: String)
 
+  /** Marker wrapped in a pattern-prop Lit: `{v: row.key}` references
+    * a field of the UNWIND alias (the `UNWIND $batch AS row` bulk-
+    * load idiom, where each element is a map). Resolved per element
+    * in UNWIND … CREATE; rejected anywhere else. */
+  final case class PropRefValue(variable: String, key: String)
+
   final case class NodePat(
       variable: Option[String],
       labels: Seq[String],

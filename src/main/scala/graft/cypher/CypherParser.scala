@@ -118,6 +118,7 @@ object CypherParser extends RegexParsers {
   private def mapValue: Parser[Lit] =
     literal |
     "$" ~> ident ^^ (n => Lit(ParamRefValue(n))) |
+    ident ~ ("." ~> ident) ^^ { case v ~ k => Lit(PropRefValue(v, k)) } |
     ident ^^ (n => Lit(VarRefValue(n)))
 
   private def mapLit: Parser[Map[String, Lit]] =

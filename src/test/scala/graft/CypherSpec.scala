@@ -492,6 +492,25 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("UNWIND $batch AS row CREATE — the driver bulk-load idiom with map fields") {
+    val s = new GraftSession(spark)
+    val batch = Seq(
+      Map("name" -> "Else"), // missing key reads as null — even first
+      Map("name" -> "Arne", "age" -> 7),
+      Map("name" -> "Bosse", "age" -> 3))
+    s.cypher("UNWIND $batch AS row CREATE (d:dog {name: row.name, age: row.age})",
+      Map("batch" -> batch))
+    assert(s.graph().nodes.count() == 3)
+    val rows = s.cypher("MATCH (d:dog) RETURN d.name AS name, d.age AS age ORDER BY name")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(rows.toSeq == Seq(("Arne", 7L), ("Bosse", 3L), ("Else", null)))
+    // referencing an undefined alias in the map field errors
+    intercept[NoSuchElementException] {
+      s.cypher("UNWIND $batch AS row CREATE (d:dog {name: other.name})",
+        Map("batch" -> batch))
+    }
+  }
+
   test("UNWIND range(…) CREATE bulk-loads 10k nodes with ONE append") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (seed:seed {v: 0})")
