@@ -156,6 +156,11 @@ final class GraftSession(val spark: SparkSession,
   // every statement here autocommits, so BEGIN/COMMIT are validated
   // no-ops; ROLLBACK of a transaction that already applied a mutation
   // must ERROR rather than silently pretend to undo it.
+  // EXPLAIN <q> returns the Catalyst plan without executing; PROFILE
+  // <q> executes and appends the row count (the reference's EXPLAIN/
+  // PROFILE prefixes, minus its proprietary operator cards — the
+  // honest analog here is the real Spark plan).
+  private val ExplainQ = """(?is)\s*(EXPLAIN|PROFILE)\b(.*)""".r
   private val BeginTx    = """(?is)\s*BEGIN(\s+TRANSACTION)?\s*""".r
   private val CommitTx   = """(?is)\s*COMMIT(\s+TRANSACTION)?\s*""".r
   private val RollbackTx = """(?is)\s*ROLLBACK(\s+TRANSACTION)?\s*""".r
@@ -178,6 +183,23 @@ final class GraftSession(val spark: SparkSession,
     case CreateDb(name) => catalog.createDatabase(name); unit()
     case AlterPw(from, to) => changePassword(from, to); unit()
     case IndexDdl(_, _) => unit()
+    case ExplainQ(mode, rest) =>
+      val db = catalog.database(database)
+      db.requireStarted()
+      val parsed = Params.substitute(CypherParser.parse(rest), params)
+      if (parsed.clauses.exists {
+        case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
+             _: ast.SetLabels | _: ast.Delete | _: ast.Merge => true
+        case _ => false
+      }) throw new UnsupportedOperationException(
+        s"${mode.toUpperCase} of a mutating statement is not supported")
+      val df = compiler(db).compile(parsed)
+      val isProfile = mode.equalsIgnoreCase("profile")
+      val nRows = if (isProfile) Some(df.count()) else None
+      val planLines = df.queryExecution.executedPlan.toString.linesIterator.toSeq ++
+        nRows.map(n => s"rows: $n")
+      val schema = StructType(Seq(StructField("plan", StringType)))
+      spark.createDataFrame(javaList(planLines.map(Row(_))), schema)
     case BeginTx(_) =>
       if (txnOpen) throw new IllegalStateException("There is already an open transaction")
       txnOpen = true; txnMutated = false; unit()

@@ -611,6 +611,22 @@ class CypherSpec extends AnyFunSuite {
     assert(in.collect().head.getLong(0) == 2L)
   }
 
+  test("EXPLAIN returns the plan without executing; PROFILE executes with row count") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    val plan = s.cypher("EXPLAIN MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN a.name AS name")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.nonEmpty)
+    val prof = s.cypher("PROFILE MATCH (a:dog) RETURN a.name AS name")
+      .collect().map(_.getString(0))
+    assert(prof.last == "rows: 2")
+    intercept[UnsupportedOperationException] {
+      s.cypher("EXPLAIN CREATE (c:dog {name:'Nope'})")
+    }
+    // EXPLAIN never executed the CREATE
+    assert(s.graph().nodes.count() == 2)
+  }
+
   test("transaction script syntax: BEGIN/COMMIT no-ops, ROLLBACK-after-write errors") {
     val s = new GraftSession(spark)
     // the cypher-shell script shape (ref TestBasic.java:146-156):
