@@ -74,6 +74,36 @@ object GraphAlgos {
       s"\nSELECT id AS node_id, CAST(rank AS BIGINT) AS iscore FROM r$iterations ORDER BY node_id"
   }
 
+  /** DuckDB oracle replaying Gds.labelPropagation's deterministic
+    * recurrence over the part co-purchase graph: per iteration each
+    * node adopts the (count DESC, label ASC)-first label among its
+    * undirected neighbors; isolated nodes keep theirs. Labels are
+    * BIGINT node ids throughout, so the hash gate holds. */
+  private def lpaOracleSql(iterations: Int): String = {
+    val base =
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |e AS (SELECT DISTINCT a.p*10+6 AS src, b.p*10+6 AS dst
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |l0 AS (SELECT DISTINCT CAST(p*10+6 AS BIGINT) AS id,
+        |              CAST(p*10+6 AS BIGINT) AS label FROM li)""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      s"""l$i AS (
+         |  SELECT n.id, COALESCE(p.newlab, n.label) AS label
+         |  FROM l${i - 1} n LEFT JOIN (
+         |    SELECT id, label AS newlab FROM (
+         |      SELECT id, label,
+         |        row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+         |      FROM (SELECT u.src AS id, l.label, count(*) AS c
+         |            FROM und u JOIN l${i - 1} l ON l.id = u.dst
+         |            GROUP BY u.src, l.label))
+         |    WHERE rn = 1) p ON p.id = n.id)""".stripMargin
+    }
+    (Seq(base) ++ steps).mkString(",\n") +
+      s"\nSELECT id AS node_id, CAST(label AS BIGINT) AS label FROM l$iterations ORDER BY node_id"
+  }
+
   def all: Seq[QueryDef] = Seq(
 
     // WCC over IN edges: component = min node id in the region tree.
@@ -169,6 +199,15 @@ object GraphAlgos {
         |ORDER BY node_id""".stripMargin) { (s, dir) =>
       coSession(s, dir).cypher(
         "CALL gds.triangleCount('CO') YIELD node_id, triangles RETURN node_id, triangles")
+    },
+
+    // Label propagation over the co-purchase graph, 4 fixed sync
+    // iterations with the deterministic smallest-label tie-break —
+    // community detection as DataFrame argmax iterations, replayed by
+    // the oracle as chained CTEs.
+    sql("gds_label_propagation", lpaOracleSql(4)) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.labelPropagation('CO', 4) YIELD node_id, label RETURN node_id, label")
     }
   )
 }

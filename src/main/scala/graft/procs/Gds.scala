@@ -116,6 +116,38 @@ object Gds {
       .orderBy("node1", "node2")
   }
 
+  /** Synchronous label propagation, fixed iteration count,
+    * deterministic tie-break: each node adopts the most frequent label
+    * among its undirected neighbors, ties broken toward the SMALLEST
+    * label; isolated nodes keep their own label. Implemented as
+    * DataFrame joins + window argmax rather than GraphX's LPA — the
+    * (count DESC, label ASC) ordering is what makes the result
+    * engine-replayable (GraphX's hash-map argmax has no defined tie
+    * order), so this one is hash-gradeable via chained-CTE replay.
+    * Shuffle profile per iteration: one join on dst + one hash
+    * aggregate + one window on id — all keyed shuffles, no all-pairs. */
+  def labelPropagation(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      iterations: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e0 = relType.map(g.edgesOfType).getOrElse(g.edges)
+      .select("src", "dst").distinct()
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    var labels = g.nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iterations) {
+      val nbr = und.join(labels.select(col("id").as("nid"), col("label")),
+          col("dst") === col("nid"))
+        .select(col("src").as("id"), col("label"))
+      val w = Window.partitionBy("id").orderBy(col("c").desc, col("label").asc)
+      val pick = nbr.groupBy("id", "label").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id").as("pid"), col("label").as("newLabel"))
+      labels = labels.join(pick, col("id") === col("pid"), "left_outer")
+        .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
+    }
+    labels.select(col("id").as("node_id"), col("label")).orderBy("node_id")
+  }
+
   /** Per-node triangle count (undirected; GraphX canonicalizes). */
   def triangleCount(spark: SparkSession, g: PropertyGraph, relType: Option[String]): DataFrame = {
     val base = toGraphX(g, relType)

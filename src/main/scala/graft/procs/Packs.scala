@@ -140,6 +140,12 @@ object Packs {
       "Per-node triangle count (GraphX)") { args =>
       Gds.triangleCount(spark, session.graph(), relTypeArg(args, 0))
     }
+    procs.register("gds.labelPropagation",
+      "(relType :: STRING?, iterations :: INTEGER?) :: (node_id, label)",
+      "Synchronous label propagation, smallest-label tie-break") { args =>
+      val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(5)
+      Gds.labelPropagation(spark, session.graph(), relTypeArg(args, 0), iters)
+    }
     procs.register("gds.nodeSimilarity",
       "(relType :: STRING?, minScore :: INTEGER?) :: (node1, node2, ijac)",
       "Jaccard similarity of out-neighbor sets (scaled to 1e6)") { args =>

@@ -137,6 +137,16 @@ class PacksSpec extends AnyFunSuite {
     assert(rows(3L) == rows(0L))
   }
 
+  test("gds.labelPropagation: triangle converges to min id, isolated node keeps its own") {
+    val s = sessionWith("graph-data-science")
+    s.cypher("CREATE (a:n {name:'a'})-[:T]->(b:n {name:'b'})-[:T]->(c:n {name:'c'})-[:T]->(a)")
+    s.cypher("CREATE (d:n {name:'d'})")
+    val rows = s.cypher("CALL gds.labelPropagation('T', 4) YIELD node_id, label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the triangle's smallest-label tie-break drains everything to id 0
+    assert(rows == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+  }
+
   test("gds.triangleCount: triangle graph counts 1 per corner") {
     val s = sessionWith("graph-data-science")
     s.cypher("CREATE (a:n {name:'a'})-[:T]->(b:n {name:'b'})-[:T]->(c:n {name:'c'})-[:T]->(a)")
