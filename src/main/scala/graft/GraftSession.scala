@@ -142,6 +142,7 @@ final class GraftSession(val spark: SparkSession,
   private val StartDb = """(?is)\s*START\s+DATABASE\s+(\w+)\s*""".r
   private val ShowProcs = """(?is)\s*SHOW\s+PROCEDURES\b(.*)""".r
   private val CreateDb = """(?is)\s*CREATE\s+DATABASE\s+(\w+)\s*""".r
+  private val DropDb = """(?is)\s*DROP\s+DATABASE\s+(\w+)(\s+IF\s+EXISTS)?\s*""".r
   private val ShowDbs = """(?is)\s*SHOW\s+DATABASES\s*""".r
   // index/constraint DDL is accepted as a no-op: there are no index
   // structures to maintain — scans + Catalyst pushdown serve the same
@@ -181,6 +182,13 @@ final class GraftSession(val spark: SparkSession,
     case StopDb(name)   => catalog.stop(name); unit()
     case StartDb(name)  => catalog.start(name); unit()
     case CreateDb(name) => catalog.createDatabase(name); unit()
+    case DropDb(name, ifExists) =>
+      if (name.equalsIgnoreCase("system"))
+        throw new IllegalArgumentException("Cannot drop the system database")
+      if (catalog.listDatabases.contains(name)) catalog.drop(name)
+      else if (ifExists == null)
+        throw new NoSuchElementException(s"no such database: $name")
+      unit()
     case AlterPw(from, to) => changePassword(from, to); unit()
     case IndexDdl(_, _) => unit()
     case ExplainQ(mode, rest) =>

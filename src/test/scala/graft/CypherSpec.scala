@@ -190,6 +190,19 @@ class CypherSpec extends AnyFunSuite {
     assert(rows("extra") == "offline")
   }
 
+  test("DROP DATABASE removes it; IF EXISTS tolerates absence; system refused") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE DATABASE scratch")
+    assert(s.cypher("SHOW DATABASES", "system")
+      .collect().exists(_.getString(0) == "scratch"))
+    s.cypher("DROP DATABASE scratch")
+    assert(!s.cypher("SHOW DATABASES", "system")
+      .collect().exists(_.getString(0) == "scratch"))
+    intercept[NoSuchElementException] { s.cypher("DROP DATABASE scratch") }
+    s.cypher("DROP DATABASE scratch IF EXISTS") // tolerated
+    intercept[IllegalArgumentException] { s.cypher("DROP DATABASE system") }
+  }
+
   test("C14: STOP/START DATABASE gates queries") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:dog {name:'Arne'})")
