@@ -67,6 +67,41 @@ object Events {
           sum(col("value").cast(D2)).cast(DoubleType).as("sum_value"))
     },
 
+    // ---- native session_window operator over the same 30-min gap ----
+    // Exercises Spark's built-in session window (merge-on-overlap
+    // semantics: an event exactly GAP after the previous one starts a
+    // NEW session, so the oracle's island break is `diff >= GAP`,
+    // unlike the lag-based sessionize above which uses `> GAP`).
+    // Tie timestamps need no id tiebreak: whichever tie row the window
+    // order visits first carries the break flag, and every row of the
+    // tie lands in the same island either way.
+    sql("events_session_window",
+      s"""WITH base AS (
+         |  SELECT user_id, epoch_ns(ts) // 1000 AS tsus, value FROM events),
+         |lagged AS (
+         |  SELECT user_id, tsus, value,
+         |    CASE WHEN lag(tsus) OVER w IS NULL
+         |           OR tsus - lag(tsus) OVER w >= $GAP_US
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY tsus)),
+         |sess AS (
+         |  SELECT user_id, tsus, value,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsus
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+         |  FROM lagged)
+         |SELECT user_id, CAST(min(tsus) AS BIGINT) AS sess_start,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(D2)).cast(DoubleType).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start"),
+          col("n_events"), col("sum_value"))
+    },
+
     // ---- salted two-stage aggregation (skew pattern) ----
     // The skew recipe for a hot grouping key: salt the key with a
     // deterministic shard (event_id % 16), aggregate partially per
