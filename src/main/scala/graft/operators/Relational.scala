@@ -210,6 +210,27 @@ object Relational {
         .select("l_orderkey", "l_linenumber", "rn", "run_qty")
     },
 
+    // Analytic window family: lead/lag (raw value moves, no float
+    // math), ntile buckets, and cume_dist — position/n over a TOTAL
+    // order (o_orderkey unique within each priority partition), so
+    // every engine computes the identical double quotient.
+    sql("window_analytics",
+      """SELECT o_orderkey,
+        |  lag(o_orderkey) OVER w AS prev_key,
+        |  lead(o_orderkey) OVER w AS next_key,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  cume_dist() OVER w AS cd
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+      Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          lag("o_orderkey", 1).over(w).as("prev_key"),
+          lead("o_orderkey", 1).over(w).as("next_key"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          cume_dist().over(w).as("cd"))
+    },
+
     // -- Sort / limit / top-k (TakeOrderedAndProject) ---------------------
     sql("topk_orders",
       """SELECT o_orderkey, o_totalprice FROM orders

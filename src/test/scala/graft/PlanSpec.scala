@@ -52,4 +52,10 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNL join")
     }
   }
+
+  test("label propagation iterations stay keyed joins (no cartesian/BNL)") {
+    val p = plan("gds_label_propagation")
+    assert(!p.contains("CartesianProduct"), "LPA plans a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "LPA plans a BNL join")
+  }
 }
