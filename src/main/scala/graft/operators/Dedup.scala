@@ -180,6 +180,77 @@ object Dedup {
         .filter(col("ijac") >= 800000)
     },
 
+    // ---- near-dup CLUSTERS: pairs -> components -> cluster stats ----
+    // The full dedup endgame: the Jaccard pair list becomes an
+    // undirected graph and 6 synchronous min-label iterations collapse
+    // each connected component onto its smallest doc_id (6 covers the
+    // testdata's cluster diameters; both engines run the identical
+    // recurrence, so the gate holds converged or not). Keeper policy
+    // drops out for free: cluster_rep IS the kept document. Per
+    // iteration one keyed join + one min-aggregate — the same shuffle
+    // shape WCC has at 100 TB, never all-pairs.
+    sql("dedup_clusters", {
+      val base =
+        s"""WITH $shSql,
+           |shr AS (SELECT doc_id, s FROM (
+           |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) WHERE df <= $DF_CAP),
+           |shrn AS (SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS n FROM shr),
+           |shared AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS na, b.n AS nb, count(*) AS shared
+           |  FROM shrn a JOIN shrn b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, 3, 4),
+           |pairs AS (
+           |  SELECT d1, d2 FROM (
+           |    SELECT d1, d2,
+           |      CAST(floor(shared*1000000.0/(na + nb - shared) + 0.5) AS BIGINT) AS ijac
+           |    FROM shared)
+           |  WHERE ijac >= 800000),
+           |und AS (SELECT d1 AS src, d2 AS dst FROM pairs
+           |        UNION ALL SELECT d2, d1 FROM pairs),
+           |c0 AS (SELECT DISTINCT CAST(src AS BIGINT) AS id, CAST(src AS BIGINT) AS label FROM und)""".stripMargin
+      val steps = (1 to 6).map { i =>
+        s"""c$i AS (
+           |  SELECT n.id, LEAST(n.label, COALESCE(m.nmin, n.label)) AS label
+           |  FROM c${i - 1} n LEFT JOIN (
+           |    SELECT u.src AS id, min(l.label) AS nmin
+           |    FROM und u JOIN c${i - 1} l ON l.id = u.dst
+           |    GROUP BY u.src) m ON m.id = n.id)""".stripMargin
+      }
+      (Seq(base) ++ steps).mkString(",\n") +
+        "\nSELECT label AS cluster_rep, CAST(count(*) AS BIGINT) AS n_docs FROM c6 GROUP BY label"
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val shrn = shingleDf(s, d)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+        .filter(col("df") <= DF_CAP)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .select("doc_id", "s", "n")
+      val a = shrn.toDF("d1", "s", "na")
+      val b = shrn.toDF("d2", "s2", "nb")
+      val pairs = a.join(b, col("s") === col("s2") && col("d1") < col("d2"))
+        .groupBy("d1", "d2", "na", "nb").agg(count(lit(1)).as("shared"))
+        .select(col("d1"), col("d2"),
+          floor(col("shared") * lit(1000000.0) / (col("na") + col("nb") - col("shared")) + lit(0.5))
+            .cast("long").as("ijac"))
+        .filter(col("ijac") >= 800000)
+        .select("d1", "d2")
+      val und = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .toDF("src", "dst")
+      var labels = und.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      for (_ <- 1 to 6) {
+        val nbrMin = und.join(labels.select(col("id").as("nid"), col("label")),
+            col("dst") === col("nid"))
+          .groupBy("src").agg(min("label").as("nmin"))
+        labels = labels.join(nbrMin.select(col("src").as("id2"), col("nmin")),
+            col("id") === col("id2"), "left_outer")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      }
+      labels.groupBy("label").agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(col("label").as("cluster_rep"), col("n_docs"))
+    },
+
     // ---- MinHash + LSH banding: the scale path ----
     sql("dedup_minhash_lsh", {
       val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
