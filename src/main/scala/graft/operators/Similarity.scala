@@ -102,6 +102,37 @@ object Similarity {
       topk(scored)
     },
 
+    // kNN GRAPH construction: EVERY vector is a query (retrieval-eval /
+    // dedup-graph building). No broadcast side — both sides are the
+    // full table, equi-joined on the LSH bucket (shuffled hash join),
+    // so work is proportional to bucket collision volume and the plan
+    // scales with executors, not with a driver-side query list.
+    // LSH_BITS grows with log n at scale to bound bucket sizes.
+    sql("ann_knn_graph", {
+      val sig = V.lshSignatureSql("q", LSH_BITS, DIM)
+      s"""WITH $qeSql,
+         |sg AS (SELECT vec_id, q, nrm, $sig AS bucket FROM qe),
+         |scored AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor,
+         |    ${V.icosNSql("a.q", "b.q", "a.nrm", "b.nrm")} AS icos
+         |  FROM sg a JOIN sg b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id)
+         |SELECT q_id, neighbor, icos, rnk FROM (
+         |  SELECT q_id, neighbor, icos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY icos DESC, neighbor) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3""".stripMargin
+    }) { (s, d) =>
+      val sg = qe(s, d).withColumn("bucket", V.lshSignature(col("q"), LSH_BITS, DIM))
+      val a = sg.toDF("q_id", "qa", "na", "bucket")
+      val b = sg.toDF("neighbor", "qb", "nb", "bucket2")
+      val scored = a.join(b,
+          col("bucket") === col("bucket2") && col("q_id") =!= col("neighbor"))
+        .select(col("q_id"), col("neighbor"),
+          V.icosN(col("qa"), col("qb"), col("na"), col("nb")).as("icos"))
+      val w = Window.partitionBy("q_id").orderBy(col("icos").desc, col("neighbor"))
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    },
+
     sql("ann_topk_ivf", {
       // cell = argmax centroid cosine (ties -> lowest centroid id)
       s"""WITH $qeSql,

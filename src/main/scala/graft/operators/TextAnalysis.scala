@@ -106,6 +106,23 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"), sum(tokenCount(col("text"))).as("total_tokens"))
     },
 
+    // top-k vocabulary: corpus token frequencies, deterministic
+    // (count DESC, token ASC) ranking. One explode + one map-side-
+    // combined hash aggregate + a 50-row top-k — the canonical
+    // vocabulary-building shuffle at any corpus size.
+    sql("text_vocab",
+      s"""SELECT token, n FROM (
+         |  SELECT u.x AS token, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT $toksSql AS t FROM documents), unnest(t) u(x)
+         |  GROUP BY u.x)
+         |ORDER BY n DESC, token LIMIT 50""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    },
+
     // document fingerprinting: md5 of normalized text + min-shingle hash
     sql("text_fingerprint",
       """SELECT doc_id,

@@ -58,4 +58,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "LPA plans a cartesian")
     assert(!p.contains("BroadcastNestedLoopJoin"), "LPA plans a BNL join")
   }
+
+  test("kNN-graph and dedup-cluster self-joins stay bucketed equi joins") {
+    Seq("ann_knn_graph", "dedup_clusters").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNL join")
+    }
+  }
 }
