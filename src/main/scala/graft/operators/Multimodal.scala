@@ -47,6 +47,22 @@ object Multimodal {
           upper(substring(hex(col("payload")), 1, 4)).as("magic"))
     },
 
+    // ---- exact binary dedup: checksum group, keep lowest doc_id ----
+    // The image/audio-dedup staple: hash the opaque payload, group,
+    // keep one representative per checksum. A single map-side-combined
+    // hash aggregate over a narrow (id, payload) scan — the shape is
+    // identical at 100 TB with the payload column pruned to the hash.
+    sql("mm_dedup_exact",
+      """SELECT content_sha, CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper
+        |FROM (SELECT doc_id, sha256(text) AS content_sha FROM documents)
+        |GROUP BY content_sha""".stripMargin) { (s, d) =>
+      withPayload(s, d)
+        .select(col("doc_id"), sha2(col("payload"), 256).as("content_sha"))
+        .groupBy("content_sha")
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+    },
+
     // ---- frame sampling: fixed-stride slices of the payload ----
     // (the batch shape of video frame-sampling: one output row per
     // (doc, frame), frame payload carried as hex of the byte slice)
