@@ -170,8 +170,15 @@ object Dedup {
         .filter(col("df") <= DF_CAP)
         .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .select("doc_id", "s", "n")
-      val a = shrn.toDF("d1", "s", "na")
-      val b = shrn.toDF("d2", "s2", "nb")
+      // shuffle_hash hint on BOTH sides: without it AQE sees the
+      // post-shuffle compressed size under the broadcast threshold and
+      // builds a driver-side HashedRelation of the ENTIRE exploded
+      // shingle relation (~500k string rows at sf0.1) — measured
+      // 4.6–115 s/run from driver GC thrash, and the r6 bench-wide
+      // slowdown. A shuffle-hash self-join on the shingle key is the
+      // plan that survives 100 TB (skew already capped by DF_CAP).
+      val a = shrn.toDF("d1", "s", "na").hint("shuffle_hash")
+      val b = shrn.toDF("d2", "s2", "nb").hint("shuffle_hash")
       a.join(b, col("s") === col("s2") && col("d1") < col("d2"))
         .groupBy("d1", "d2", "na", "nb").agg(count(lit(1)).as("shared"))
         .select(col("d1"), col("d2"),
@@ -225,8 +232,10 @@ object Dedup {
         .filter(col("df") <= DF_CAP)
         .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .select("doc_id", "s", "n")
-      val a = shrn.toDF("d1", "s", "na")
-      val b = shrn.toDF("d2", "s2", "nb")
+      // Same shuffle_hash pinning as dedup_ngram_jaccard (see comment
+      // there): never let AQE broadcast the exploded-shingle side.
+      val a = shrn.toDF("d1", "s", "na").hint("shuffle_hash")
+      val b = shrn.toDF("d2", "s2", "nb").hint("shuffle_hash")
       val pairs = a.join(b, col("s") === col("s2") && col("d1") < col("d2"))
         .groupBy("d1", "d2", "na", "nb").agg(count(lit(1)).as("shared"))
         .select(col("d1"), col("d2"),
@@ -234,10 +243,23 @@ object Dedup {
             .cast("long").as("ijac"))
         .filter(col("ijac") >= 800000)
         .select("d1", "d2")
+      // Iterative plan hygiene: WITHOUT truncation each of the 6
+      // iterations re-embeds the shingle self-join subtree (the most
+      // expensive stage) into the growing plan — at sf0.1 that was a
+      // 724 s query (BENCH_r06). The edge list is computed ONCE and
+      // checkpointed; every labels step is checkpointed too, so each
+      // iteration is exactly one keyed join + one min-aggregate over
+      // materialized inputs and plan depth stays constant in the
+      // iteration count. localCheckpoint (executor-local, eager) is
+      // the local-mode form; a 1000-executor deployment would point
+      // sc.setCheckpointDir at durable storage and use checkpoint()
+      // for lineage truncation that survives executor loss.
       val und = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
         .toDF("src", "dst")
+        .localCheckpoint()
       var labels = und.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
+        .localCheckpoint()
       for (_ <- 1 to 6) {
         val nbrMin = und.join(labels.select(col("id").as("nid"), col("label")),
             col("dst") === col("nid"))
@@ -246,6 +268,7 @@ object Dedup {
             col("id") === col("id2"), "left_outer")
           .select(col("id"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .localCheckpoint()
       }
       labels.groupBy("label").agg(count(lit(1)).cast("long").as("n_docs"))
         .select(col("label").as("cluster_rep"), col("n_docs"))
