@@ -16,6 +16,7 @@ object SparkEntry {
     graft.operators.CypherQueries.all ++
     graft.operators.Dedup.all ++
     graft.operators.TextAnalysis.all ++
+    graft.operators.Pipeline.all ++
     graft.operators.Similarity.all ++
     graft.operators.GraphAlgos.all ++
     graft.operators.Multimodal.all ++

@@ -94,7 +94,7 @@ object TextFunctions {
     * pmod subtraction makes the double division an exact multiple
     * (both operands < 2^53), so the quotient is bit-exact — identical
     * to DuckDB's BIGINT `//` and Spark's `div`. */
-  private def intDiv(a: Column, b: Column): Column =
+  def intDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
   private val PPM = 1000000L

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.QueryDef.sql
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Training-data pipeline preparation operators over `documents` /
+  * `orders`: deterministic dataset splits, stratified sampling,
+  * context-window chunking, repetition (Gopher-style) scoring,
+  * benchmark-contamination checks, boilerplate stripping, and exact
+  * discrete quantiles.
+  *
+  * Determinism rules (shared with the rest of the catalog): every
+  * compared ratio is integer ppm via BIGINT `div` (`//` in DuckDB,
+  * identical truncation); dataset assignment uses a Knuth
+  * multiplicative hash over `doc_id` — pure BIGINT arithmetic, so the
+  * same doc lands in the same split on any engine, any partitioning,
+  * any cluster size. No doubles at any compared column except the
+  * cents quantization `floor(x*100 + 0.5)`, which is IEEE-exact on
+  * both engines.
+  *
+  * Scale shapes (the point of each op at 100 TB):
+  *  - hash split / stratified sample: narrow map + one hash agg or one
+  *    per-stratum window — no data movement proportional to splits.
+  *  - chunking: explode is linear in output chunks; no shuffle at all
+  *    (chunk ids derive from in-row arithmetic, not a global order).
+  *  - repetition: per-doc bigram counting rides ONE shuffle keyed by
+  *    (doc, bigram) then folds to per-doc — never a cross-doc join.
+  *  - contamination: the benchmark side is tiny by construction →
+  *    broadcast join against the corpus shingle stream.
+  *  - boilerplate: the global top-k token list is k rows → broadcast
+  *    anti-membership, corpus side stays narrow.
+  */
+object Pipeline {
+
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  /** Knuth multiplicative hash bucket of doc_id, BIGINT on both sides. */
+  private val hkSql = "(doc_id * 2654435761) % 4294967296"
+  private def hkCol = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+
+  def all: Seq[QueryDef] = Seq(
+
+    // deterministic train/val/test split: 80/10/10 by hashed doc_id.
+    // The assignment is a pure per-row function — at 100 TB the split
+    // is a free narrow map; only the audit aggregation shuffles.
+    sql("sample_hash_split",
+      s"""WITH h AS (
+         |  SELECT doc_id, text, $hkSql % 100 AS b FROM documents)
+         |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM h GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("b", hkCol % 100)
+        .withColumn("split",
+          when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("total_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    },
+
+    // stratified sample: 10 docs per language, ranked by the same
+    // doc-id hash (uniform within each stratum, reproducible across
+    // runs/engines). One window shuffle keyed by the stratum.
+    sql("sample_stratified",
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY $hkSql, doc_id) AS rn
+         |  FROM documents)
+         |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 10""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy("lang").orderBy(hkCol, col("doc_id"))).cast("long"))
+        .filter(col("rn") <= 10)
+        .select("lang", "doc_id", "rn")
+    },
+
+    // context-window chunking: 20-token windows, stride 15 (5-token
+    // overlap) — the LLM-pretraining document→sample step. Chunk ids
+    // are in-row arithmetic over token offsets: NO global order, no
+    // shuffle, embarrassingly parallel at any corpus size.
+    sql("text_chunking",
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id < 300),
+         |c AS (
+         |  SELECT doc_id, u.s AS s, t[u.s:least(u.s+19, len(t))] AS ch
+         |  FROM t, unnest(range(1, len(t)+1, 15)) u(s))
+         |SELECT doc_id, (s - 1) // 15 AS chunk_id,
+         |  CAST(len(ch) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(ch, ' ')) AS fp
+         |FROM c""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      t.select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")), lit(15))).as("s"))
+        .select(col("doc_id"),
+          ((col("s") - 1).cast("long") / 15).cast("long").as("chunk_id"),
+          size(slice(col("t"), col("s"), lit(20))).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", slice(col("t"), col("s"), lit(20)))).as("fp"))
+    },
+
+    // repetition scoring (Gopher-rule family): duplicate-token ppm and
+    // most-frequent-bigram ppm per doc. Bigram counting is one shuffle
+    // keyed (doc, bigram) with map-side combine, folded to per-doc —
+    // the cost is linear in tokens, never quadratic.
+    sql("text_repetition",
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id < 300),
+         |base AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS total,
+         |         CAST(len(list_distinct(t)) AS BIGINT) AS dst, t FROM t),
+         |bg AS (
+         |  SELECT doc_id, t[u.i] || ' ' || t[u.i+1] AS b
+         |  FROM t, unnest(range(1, len(t))) u(i)),
+         |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, max(c) AS topc, CAST(sum(c) AS BIGINT) AS nbg
+         |        FROM bgc GROUP BY 1)
+         |SELECT base.doc_id, total AS n_tokens,
+         |  ((total - dst) * 1000000) // total AS dup_token_ppm,
+         |  (CAST(topc AS BIGINT) * 1000000) // nbg AS top_bigram_ppm
+         |FROM base JOIN agg ON base.doc_id = agg.doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val base = t.select(col("doc_id"), size(col("t")).cast("long").as("total"),
+        size(array_distinct(col("t"))).cast("long").as("dst"), col("t"))
+      val bg = base.select(col("doc_id"), col("total"), col("dst"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))).as("b"))
+      bg.groupBy("doc_id", "total", "dst", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "total", "dst")
+        .agg(max("c").as("topc"), sum("c").as("nbg"))
+        .select(col("doc_id"), col("total").as("n_tokens"),
+          intDiv((col("total") - col("dst")) * 1000000L, col("total")).as("dup_token_ppm"),
+          intDiv(col("topc") * 1000000L, col("nbg")).as("top_bigram_ppm"))
+    },
+
+    // benchmark contamination: corpus docs sharing any word-4-gram
+    // with the held-out "benchmark" set (doc_id % 97 == 0 here). The
+    // benchmark shingle set is tiny by construction → broadcast join;
+    // the corpus side streams through once. This is the standard
+    // eval-decontamination pass before pretraining.
+    sql("text_contamination",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh0 AS (SELECT doc_id,
+         |  (SELECT list(DISTINCT t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3])
+         |   FROM unnest(CASE WHEN len(t) >= 4 THEN range(1, len(t)-2) ELSE [] END) u(i)) AS sh
+         |  FROM t),
+         |ex AS (SELECT doc_id, u.x AS s FROM sh0, unnest(sh) u(x)),
+         |bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, s FROM ex WHERE doc_id % 97 <> 0)
+         |SELECT corpus.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM corpus JOIN bench ON corpus.s = bench.s
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val ex = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), explode(shinglesOfTokens(col("t"), 4)).as("s"))
+      val bench = ex.filter(col("doc_id") % 97 === 0).select("s").distinct()
+      ex.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "s")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    },
+
+    // boilerplate stripping: drop the global top-10 most frequent
+    // tokens (ties broken by token) and report retained counts. The
+    // top-k list is k rows however big the corpus is → broadcast
+    // anti-membership against the exploded token stream.
+    sql("text_boilerplate",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |ex AS (SELECT doc_id, u.x AS tok FROM t, unnest(t) u(x)),
+         |top10 AS (SELECT tok FROM (
+         |  SELECT tok, count(*) AS n FROM ex GROUP BY 1
+         |  ORDER BY n DESC, tok LIMIT 10)),
+         |per AS (
+         |  SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS total,
+         |    CAST(sum(CASE WHEN top10.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept
+         |  FROM ex LEFT JOIN top10 ON ex.tok = top10.tok
+         |  GROUP BY 1)
+         |SELECT doc_id, total AS n_tokens, kept AS kept_tokens,
+         |  ((total - kept) * 1000000) // total AS boilerplate_ppm
+         |FROM per WHERE doc_id < 200""".stripMargin) { (s, d) =>
+      val ex = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), explode(col("t")).as("tok"))
+      val top10 = ex.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(10)
+        .select(col("tok"), lit(1).as("_b"))
+      ex.join(broadcast(top10), Seq("tok"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("_b").isNull, 1L).otherwise(0L)).as("kept"))
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("total").as("n_tokens"), col("kept").as("kept_tokens"),
+          intDiv((col("total") - col("kept")) * 1000000L, col("total")).as("boilerplate_ppm"))
+    },
+
+    // exact discrete quantiles (p50/p90 of order value in cents) per
+    // priority class: value at rank floor((n-1)*p)+1 of the sorted
+    // partition — engine-independent (no interpolated doubles), and
+    // the rank pick rides the same single window shuffle as the count.
+    sql("agg_quantile_disc",
+      """WITH v AS (
+        |  SELECT o_orderpriority AS pri,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT pri, cents,
+        |    row_number() OVER (PARTITION BY pri ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY pri) AS n
+        |  FROM v)
+        |SELECT pri,
+        |  max(CASE WHEN rn = (n-1)//2 + 1 THEN cents END) AS p50_cents,
+        |  max(CASE WHEN rn = ((n-1)*9)//10 + 1 THEN cents END) AS p90_cents,
+        |  CAST(max(n) AS BIGINT) AS n_orders
+        |FROM r GROUP BY pri""".stripMargin) { (s, d) =>
+      val v = Tables.orders(s, d).select(col("o_orderpriority").as("pri"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val part = Window.partitionBy("pri")
+      val r = v
+        .withColumn("rn", row_number().over(part.orderBy("cents")).cast("long"))
+        .withColumn("n", count(lit(1)).over(part))
+      r.groupBy("pri").agg(
+        max(when(col("rn") === intDiv(col("n") - 1, lit(2L)) + 1, col("cents"))).as("p50_cents"),
+        max(when(col("rn") === intDiv((col("n") - 1) * 9, lit(10L)) + 1, col("cents"))).as("p90_cents"),
+        max("n").as("n_orders"))
+    }
+  )
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pipeline-prep operators (graft.operators.Pipeline): dataset splits,
+  * stratified sampling, chunking, repetition, contamination,
+  * boilerplate, discrete quantiles. Value checks at sf0.001 plus the
+  * plan properties that make each op viable at 100 TB.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("hash split partitions every doc exactly once, roughly 80/10/10") {
+    val rows = run("sample_hash_split").collect().map(r =>
+      r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    val total = rows.values.sum
+    val docs = graft.core.Tables.documents(spark, sf).count()
+    assert(total == docs, s"split counts $total != $docs docs")
+    assert(rows("train") > rows.getOrElse("val", 0L))
+    assert(rows("train") > rows.getOrElse("test", 0L))
+  }
+
+  test("stratified sample takes at most 10 docs per language, rn dense from 1") {
+    val rows = run("sample_stratified").collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      val rns = rs.map(_.getAs[Long]("rn")).sorted
+      assert(rns.length <= 10, s"$lang sampled ${rns.length} > 10")
+      assert(rns.toSeq == (1L to rns.length).toSeq, s"$lang ranks not dense: ${rns.toSeq}")
+    }
+  }
+
+  test("chunking covers every token: stride-15 windows tile each doc") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 300)
+    import org.apache.spark.sql.functions._
+    val nToks = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = run("text_chunking").collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == nToks.keySet)
+    byDoc.foreach { case (id, cs) =>
+      val n = nToks(id)
+      val expected = 1L + (n - 1) / 15 // starts at 1, 16, … <= n
+      assert(cs.length.toLong == expected, s"doc $id: ${cs.length} chunks, expected $expected")
+      // last chunk ends exactly at the doc's final token
+      val covered = cs.map(c => c.getAs[Long]("chunk_id") * 15 + c.getAs[Long]("n_tokens")).max
+      assert(covered == n, s"doc $id: chunks cover $covered of $n tokens")
+    }
+  }
+
+  test("repetition ppm values are in [0, 1e6] and dup ppm is 0 iff all tokens distinct") {
+    val rows = run("text_repetition").collect()
+    rows.foreach { r =>
+      val dup = r.getAs[Long]("dup_token_ppm")
+      val top = r.getAs[Long]("top_bigram_ppm")
+      assert(dup >= 0 && dup <= 1000000L)
+      assert(top > 0 && top <= 1000000L)
+    }
+  }
+
+  test("contamination joins the tiny benchmark side as a broadcast, no cartesian") {
+    val p = run("text_contamination").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "benchmark side is not broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("boilerplate ppm is consistent with kept + stripped = total") {
+    val rows = run("text_boilerplate").collect()
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_tokens")
+      val kept = r.getAs[Long]("kept_tokens")
+      assert(kept >= 0 && kept <= total)
+      val ppm = r.getAs[Long]("boilerplate_ppm")
+      assert(ppm == (total - kept) * 1000000L / total)
+    }
+    val p = run("text_boilerplate").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "top-k membership join is not broadcast")
+  }
+
+  test("discrete quantiles: p50 <= p90, both are actual data values") {
+    import org.apache.spark.sql.functions._
+    val rows = run("agg_quantile_disc").collect()
+    assert(rows.nonEmpty)
+    val cents = graft.core.Tables.orders(spark, sf)
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long")).collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val p50 = r.getAs[Long]("p50_cents")
+      val p90 = r.getAs[Long]("p90_cents")
+      assert(p50 <= p90)
+      assert(cents.contains(p50) && cents.contains(p90), "quantile not an actual data value")
+    }
+  }
+}
