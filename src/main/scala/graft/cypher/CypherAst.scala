@@ -35,6 +35,15 @@ object ast {
   /** Pattern-existence predicate in WHERE: `(a)-[:T]->(b)` — compiles
     * to a semi join (anti under NOT), never to a Column. */
   final case class PatternPred(pattern: PathPat) extends Expr
+  /** Existential subquery `EXISTS { [MATCH] patterns [WHERE expr] }` —
+    * the general form of PatternPred: multiple patterns and an inner
+    * WHERE. Compiles to a semi join (anti under NOT) or an exists-flag
+    * marker join when embedded under OR. */
+  final case class ExistsSub(patterns: Seq[PathPat], where: Option[Expr]) extends Expr
+  /** Count subquery `COUNT { [MATCH] patterns [WHERE expr] }` — the
+    * per-row match count, usable inside WHERE comparisons. Compiles to
+    * a grouped count left-joined back on the shared variables. */
+  final case class CountSub(patterns: Seq[PathPat], where: Option[Expr]) extends Expr
   /** List comprehension `[x IN list WHERE pred | proj]`. */
   final case class ListComp(variable: String, list: Expr,
       where: Option[Expr], projection: Option[Expr]) extends Expr
@@ -79,6 +88,11 @@ object ast {
 
   sealed trait Clause
   final case class Match(patterns: Seq[PathPat], optional: Boolean, where: Option[Expr]) extends Clause
+  /** `MATCH p = shortestPath((a)-[:T*lo..hi]->(b)) [WHERE expr]`:
+    * breadth-first expansion with first-hit distances; `length(p)`
+    * reads the hop count. The pattern must be a single var-length
+    * relationship. */
+  final case class MatchShortest(pathVar: String, pat: PathPat, where: Option[Expr]) extends Clause
   final case class Create(patterns: Seq[PathPat]) extends Clause
   /** SET n.key = <literal expr>, … */
   final case class SetProps(items: Seq[(Prop, Expr)]) extends Clause

@@ -41,6 +41,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     var ctx: Option[DataFrame] = None
     q.clauses.foreach {
       case m: Match    => ctx = Some(compileMatch(ctx, m))
+      case s: MatchShortest => ctx = Some(compileShortest(ctx, s))
       case r: Return   => return compileProjection(ctx, r.items, r.distinct, r.orderBy, r.skip, r.limit, keepVarCols = false)
       case w: With     =>
         var df = compileProjection(ctx, w.items, w.distinct, w.orderBy, w.skip, w.limit, keepVarCols = true)
@@ -68,59 +69,93 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     var df = ctx.orNull
     m.patterns.foreach { p => df = compilePath(Option(df), p) }
     m.where.foreach { e =>
-      // top-level conjuncts split: pattern-existence predicates become
-      // semi/anti joins (plan-shaping — they cannot be a Column);
-      // everything else stays an ordinary filter
-      val (patternPreds, rest) = splitConjuncts(e)
-      patternPreds.foreach { case (p, negated) => df = applyPatternPred(df, p, negated) }
-      rest.foreach(r => df = filterWithPatternPreds(df, r))
+      // top-level conjuncts split: pattern/EXISTS-existence predicates
+      // become semi/anti joins (plan-shaping — they cannot be a
+      // Column); everything else stays an ordinary filter
+      val (existencePreds, rest) = splitConjuncts(e)
+      existencePreds.foreach { case (pats, w, negated) =>
+        df = applyExists(df, pats, w, negated) }
+      rest.foreach(r => df = filterWithSubqueries(df, r))
     }
     df
   }
 
-  /** Residual conjunct filter that may still embed pattern predicates
-    * under OR/NOT (`WHERE (a)-[:T]->() OR a.x = 1`): each embedded
-    * pattern becomes an exists-FLAG column via a marker left join
-    * (distinct shared ids + TRUE marker, coalesced to false), the
-    * predicate node is substituted with the flag variable, and the
+  /** Residual conjunct filter that may still embed existence/count
+    * subqueries under OR/NOT/comparisons (`WHERE (a)-[:T]->() OR
+    * a.x = 1`, `WHERE COUNT { … } >= 2`): each existence subquery
+    * becomes an exists-FLAG column via a marker left join (distinct
+    * shared ids + TRUE marker, coalesced to false), each count
+    * subquery becomes a grouped-count column (coalesced to 0), the
+    * subquery node is substituted with the helper variable, and the
     * whole expression compiles as an ordinary Column filter. */
-  private def filterWithPatternPreds(df0: DataFrame, e: Expr): DataFrame = {
-    val preds = collectPatternPreds(e)
-    if (preds.isEmpty) return df0.filter(compileExpr(e, df0))
+  private def filterWithSubqueries(df0: DataFrame, e: Expr): DataFrame = {
+    val subs = collectSubqueries(e)
+    if (subs.isEmpty) return df0.filter(compileExpr(e, df0))
     var d = df0
     var rewritten = e
-    preds.zipWithIndex.foreach { case (p, i) =>
-      val flag = s"_pp_flag_$i"
-      d = addExistsFlag(d, p, flag)
-      rewritten = substPatternPred(rewritten, p, Variable(flag))
+    val helpers = collection.mutable.ArrayBuffer.empty[String]
+    subs.zipWithIndex.foreach { case (s, i) =>
+      val helper = s"_sq_$i"
+      helpers += helper
+      s match {
+        case PatternPred(p)     => d = addExistsFlag(d, compileSub(Seq(p), None), helper)
+        case ExistsSub(pats, w) => d = addExistsFlag(d, compileSub(pats, w), helper)
+        case CountSub(pats, w)  => d = addCountCol(d, compileSub(pats, w), helper)
+        case _                  => ()
+      }
+      rewritten = substSubquery(rewritten, s, Variable(helper))
     }
     d = d.filter(compileExpr(rewritten, d))
-    preds.indices.foldLeft(d)((x, i) => x.drop(s"_pp_flag_$i"))
+    helpers.foldLeft(d)((x, c) => x.drop(c))
   }
 
-  private def collectPatternPreds(e: Expr): Seq[PathPat] = (e match {
-    case And(l, r)      => collectPatternPreds(l) ++ collectPatternPreds(r)
-    case Or(l, r)       => collectPatternPreds(l) ++ collectPatternPreds(r)
-    case Not(x)         => collectPatternPreds(x)
-    case PatternPred(p) => Seq(p)
-    case _              => Nil
+  private def collectSubqueries(e: Expr): Seq[Expr] = (e match {
+    case And(l, r)        => collectSubqueries(l) ++ collectSubqueries(r)
+    case Or(l, r)         => collectSubqueries(l) ++ collectSubqueries(r)
+    case Not(x)           => collectSubqueries(x)
+    case Cmp(_, l, r)     => collectSubqueries(l) ++ collectSubqueries(r)
+    case Arith(_, l, r)   => collectSubqueries(l) ++ collectSubqueries(r)
+    case In(x, _)         => collectSubqueries(x)
+    case IsNull(x, _)     => collectSubqueries(x)
+    case p: PatternPred   => Seq(p)
+    case s: ExistsSub     => Seq(s)
+    case c: CountSub      => Seq(c)
+    case _                => Nil
   }).distinct
 
-  private def substPatternPred(e: Expr, target: PathPat, repl: Expr): Expr = e match {
-    case And(l, r) => And(substPatternPred(l, target, repl), substPatternPred(r, target, repl))
-    case Or(l, r)  => Or(substPatternPred(l, target, repl), substPatternPred(r, target, repl))
-    case Not(x)    => Not(substPatternPred(x, target, repl))
-    case PatternPred(p) if p == target => repl
-    case other     => other
+  private def substSubquery(e: Expr, target: Expr, repl: Expr): Expr = e match {
+    case _ if e == target => repl
+    case And(l, r)    => And(substSubquery(l, target, repl), substSubquery(r, target, repl))
+    case Or(l, r)     => Or(substSubquery(l, target, repl), substSubquery(r, target, repl))
+    case Not(x)       => Not(substSubquery(x, target, repl))
+    case Cmp(op, l, r)   => Cmp(op, substSubquery(l, target, repl), substSubquery(r, target, repl))
+    case Arith(op, l, r) => Arith(op, substSubquery(l, target, repl), substSubquery(r, target, repl))
+    case In(x, list)     => In(substSubquery(x, target, repl), list)
+    case IsNull(x, n)    => IsNull(substSubquery(x, target, repl), n)
+    case other        => other
   }
 
-  private def addExistsFlag(df: DataFrame, p: PathPat, flag: String): DataFrame = {
-    val sub = compilePath(None, p, idsOnly = true)
+  /** Compile a subquery's patterns (chained, so they share variables)
+    * plus its inner WHERE. idsOnly applies only when no inner WHERE
+    * could read property columns. */
+  private def compileSub(patterns: Seq[PathPat], where: Option[Expr]): DataFrame = {
+    var df: DataFrame = null
+    patterns.foreach { p => df = compilePath(Option(df), p, idsOnly = where.isEmpty) }
+    where.foreach(e => df = df.filter(compileExpr(e, df)))
+    df
+  }
+
+  private def sharedIdCols(df: DataFrame, sub: DataFrame): Seq[String] = {
     val shared = df.columns.toSet.intersect(sub.columns.toSet)
       .filter(_.endsWith(s"${SEP}id")).toSeq.sorted
     if (shared.isEmpty)
       throw new UnsupportedOperationException(
-        "pattern predicate must share at least one bound variable with the MATCH")
+        "subquery must share at least one bound variable with the MATCH")
+    shared
+  }
+
+  private def addExistsFlag(df: DataFrame, sub: DataFrame, flag: String): DataFrame = {
+    val shared = sharedIdCols(df, sub)
     val marker = sub.select(shared.map(col): _*).distinct()
       .select((shared.map(c => col(c).as(s"_ppk_$c")) :+ lit(true).as(s"_ppm_$flag")): _*)
     val cond = shared.map(c => df(c) === marker(s"_ppk_$c")).reduce(_ && _)
@@ -129,28 +164,42 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     (shared.map(c => s"_ppk_$c") :+ s"_ppm_$flag").foldLeft(joined)((x, c) => x.drop(c))
   }
 
-  /** Decompose a top-level AND tree into pattern predicates
-    * (possibly negated) and residual boolean conjuncts. */
-  private def splitConjuncts(e: Expr): (Seq[(PathPat, Boolean)], Seq[Expr]) = e match {
+  /** COUNT subquery column: grouped count of the subquery keyed by the
+    * shared ids, left-joined back, absent groups = 0. */
+  private def addCountCol(df: DataFrame, sub: DataFrame, cname: String): DataFrame = {
+    val shared = sharedIdCols(df, sub)
+    val counts = sub.groupBy(shared.map(col): _*).agg(count(lit(1)).as(s"_cc_$cname"))
+      .select((shared.map(c => col(c).as(s"_ppk_$c")) :+ col(s"_cc_$cname")): _*)
+    val cond = shared.map(c => df(c) === counts(s"_ppk_$c")).reduce(_ && _)
+    val joined = df.join(counts, cond, "left_outer")
+      .withColumn(cname, coalesce(col(s"_cc_$cname"), lit(0L)))
+    (shared.map(c => s"_ppk_$c") :+ s"_cc_$cname").foldLeft(joined)((x, c) => x.drop(c))
+  }
+
+  /** Decompose a top-level AND tree into existence predicates
+    * (patterns + optional inner WHERE, possibly negated) and residual
+    * boolean conjuncts. */
+  private def splitConjuncts(e: Expr)
+      : (Seq[(Seq[PathPat], Option[Expr], Boolean)], Seq[Expr]) = e match {
     case And(l, r) =>
       val (lp, lr) = splitConjuncts(l)
       val (rp, rr) = splitConjuncts(r)
       (lp ++ rp, lr ++ rr)
-    case PatternPred(p)      => (Seq((p, false)), Nil)
-    case Not(PatternPred(p)) => (Seq((p, true)), Nil)
-    case other               => (Nil, Seq(other))
+    case PatternPred(p)          => (Seq((Seq(p), None, false)), Nil)
+    case Not(PatternPred(p))     => (Seq((Seq(p), None, true)), Nil)
+    case ExistsSub(ps, w)        => (Seq((ps, w, false)), Nil)
+    case Not(ExistsSub(ps, w))   => (Seq((ps, w, true)), Nil)
+    case other                   => (Nil, Seq(other))
   }
 
-  /** `WHERE (a)-[:T]->(b)` = left semi join of the bound rows against
-    * the standalone pattern on the shared variables' ids (left anti
-    * under NOT) — the SURVEY §2.2 semi/anti mapping. */
-  private def applyPatternPred(df: DataFrame, p: PathPat, negated: Boolean): DataFrame = {
-    val sub = compilePath(None, p, idsOnly = true)
-    val shared = df.columns.toSet.intersect(sub.columns.toSet)
-      .filter(_.endsWith(s"${SEP}id")).toSeq.sorted
-    if (shared.isEmpty)
-      throw new UnsupportedOperationException(
-        "pattern predicate must share at least one bound variable with the MATCH")
+  /** `WHERE (a)-[:T]->(b)` / `WHERE EXISTS { … }` = left semi join of
+    * the bound rows against the standalone subquery on the shared
+    * variables' ids (left anti under NOT) — the SURVEY §2.2 semi/anti
+    * mapping. */
+  private def applyExists(df: DataFrame, patterns: Seq[PathPat],
+      where: Option[Expr], negated: Boolean): DataFrame = {
+    val sub = compileSub(patterns, where)
+    val shared = sharedIdCols(df, sub)
     val subKeys = sub.select(shared.map(col): _*)
     val cond = shared.map(c => df(c) === subKeys(c)).reduce(_ && _)
     df.join(subKeys, cond, if (negated) "left_anti" else "left_semi")
@@ -298,6 +347,104 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     out.drop(s"_vl${SEP}s", s"_vl${SEP}t")
   }
 
+  /** `MATCH p = shortestPath((a)-[:T*lo..hi]->(b)) [WHERE …]`:
+    * breadth-first frontier expansion from the seeded start ids with
+    * per-step anti-join against already-reached (start, end) pairs —
+    * the first hit IS the shortest distance, recorded as
+    * `<pathVar>__len`. `length(p)` reads it.
+    *
+    * Scale shape: identical to the var-length expand (seeded frontier,
+    * per-step distinct) plus one anti join per step for first-hit
+    * semantics; everything is keyed equi joins over the typed edge
+    * set. A WHERE that touches only the start variable is applied
+    * BEFORE seeding so the BFS walks only the filtered sources. */
+  private def compileShortest(ctx: Option[DataFrame], m: MatchShortest): DataFrame = {
+    val p = m.pat
+    val (rel, endPat) = p.hops match {
+      case Seq(h) if h._1.varLength.isDefined => h
+      case _ => throw new UnsupportedOperationException(
+        "shortestPath supports a single var-length relationship pattern")
+    }
+    val (lo, hi) = rel.varLength.get
+    val av = p.start.variable.getOrElse(fresh("n"))
+    val bv = endPat.variable.getOrElse(fresh("n"))
+
+    // start side: bound context or a fresh node scan; a start-only
+    // WHERE is pushed here so the BFS seeds are already filtered
+    var cur = ctx match {
+      case Some(df) if df.columns.contains(s"$av${SEP}id") => filterBound(df, av, p.start)
+      case Some(df) => df.crossJoin(nodeDf(av, p.start))
+      case None     => nodeDf(av, p.start)
+    }
+    val (startOnlyWhere, restWhere) = m.where match {
+      case Some(w) =>
+        val (conj, rest) = splitConjuncts(w)
+        if (conj.nonEmpty) throw new UnsupportedOperationException(
+          "existence subqueries are not supported in shortestPath WHERE")
+        rest.partition(e => referencedVars(e).subsetOf(Set(av)))
+      case None => (Nil, Nil)
+    }
+    startOnlyWhere.foreach(e => cur = cur.filter(compileExpr(e, cur)))
+
+    val base = (rel.dir match {
+      case 1  => typedEdges(rel).select(col("src").as("_s"), col("dst").as("_t"))
+      case -1 => typedEdges(rel).select(col("dst").as("_s"), col("src").as("_t"))
+      case 0  => symmetrized(typedEdges(rel)).select(col("src").as("_s"), col("dst").as("_t"))
+    }).distinct()
+    val seeds = cur.select(cur(s"$av${SEP}id").as("_s")).distinct()
+    var frontier = base.join(seeds, Seq("_s"), "left_semi")
+      .withColumn("_d", lit(1L))
+    var reached = frontier
+    var step = 1
+    var exhausted = false
+    while (step < hi && !exhausted) {
+      step += 1
+      val next = frontier.drop("_d")
+        .join(base.withColumnRenamed("_s", "_m").withColumnRenamed("_t", "_u"),
+          col("_t") === col("_m"))
+        .select(col("_s"), col("_u").as("_t")).distinct()
+        .join(reached.select("_s", "_t"), Seq("_s", "_t"), "left_anti")
+        .withColumn("_d", lit(step.toLong))
+      if (next.isEmpty) exhausted = true
+      else { reached = reached.union(next); frontier = next }
+    }
+    val dist = reached.filter(col("_d") >= lo)
+      .withColumnRenamed("_s", s"_sp${SEP}s").withColumnRenamed("_t", s"_sp${SEP}t")
+    var out = cur.join(dist, cur(s"$av${SEP}id") === col(s"_sp${SEP}s"))
+    out =
+      if (out.columns.contains(s"$bv${SEP}id"))
+        out.filter(col(s"_sp${SEP}t") === col(s"$bv${SEP}id"))
+      else {
+        val n = nodeDf(bv, endPat)
+        out.join(n, col(s"_sp${SEP}t") === n(s"$bv${SEP}id"))
+      }
+    out = out.withColumn(s"${m.pathVar}${SEP}len", col("_d"))
+      .drop(s"_sp${SEP}s", s"_sp${SEP}t", "_d")
+    restWhere.foreach(e => out = filterWithSubqueries(out, e))
+    out
+  }
+
+  /** Variables an expression reads (prefix of Prop / Variable / id()
+    * args), for start-only WHERE pushdown in shortestPath. */
+  private def referencedVars(e: Expr): Set[String] = e match {
+    case Prop(v, _)      => Set(v)
+    case Variable(v)     => Set(v)
+    case Cmp(_, l, r)    => referencedVars(l) ++ referencedVars(r)
+    case And(l, r)       => referencedVars(l) ++ referencedVars(r)
+    case Or(l, r)        => referencedVars(l) ++ referencedVars(r)
+    case Not(x)          => referencedVars(x)
+    case In(x, list)     => referencedVars(x) ++ list.flatMap(referencedVars)
+    case IsNull(x, _)    => referencedVars(x)
+    case Arith(_, l, r)  => referencedVars(l) ++ referencedVars(r)
+    case StringPred(_, l, r) => referencedVars(l) ++ referencedVars(r)
+    case FnCall(_, args, _)  => args.flatMap(referencedVars).toSet
+    case ListLit(items)  => items.flatMap(referencedVars).toSet
+    case CaseExpr(ws, o) =>
+      ws.flatMap { case (c, v) => referencedVars(c) ++ referencedVars(v) }.toSet ++
+        o.toSeq.flatMap(referencedVars)
+    case _               => Set.empty
+  }
+
   // ------------------------------------------------------------------
   // scans (filters emitted here so Catalyst pushes them to the source)
   // ------------------------------------------------------------------
@@ -398,10 +545,28 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   // RETURN / WITH
   // ------------------------------------------------------------------
 
-  private def compileProjection(ctx: Option[DataFrame], items: Seq[ReturnItem],
-      distinct: Boolean, orderBy: Seq[(Expr, Boolean)], skip: Option[Long],
+  private def compileProjection(ctx: Option[DataFrame], items0: Seq[ReturnItem],
+      distinct: Boolean, orderBy0: Seq[(Expr, Boolean)], skip: Option[Long],
       limit: Option[Long], keepVarCols: Boolean): DataFrame = {
-    val df = ctx.getOrElse(unitDf)
+    var df = ctx.getOrElse(unitDf)
+    // EXISTS/COUNT subqueries in RETURN/WITH items (`RETURN COUNT {
+    // (n)-->() } AS deg`): materialize each as a helper column first,
+    // then the item compiles as an ordinary expression
+    var items = items0
+    var orderBy = orderBy0
+    val subs = (items0.flatMap(i => collectSubqueries(i.expr)) ++
+      orderBy0.flatMap(o => collectSubqueries(o._1))).distinct
+    subs.zipWithIndex.foreach { case (s, i) =>
+      val helper = s"_rsq_$i"
+      s match {
+        case PatternPred(p)   => df = addExistsFlag(df, compileSub(Seq(p), None), helper)
+        case ExistsSub(ps, w) => df = addExistsFlag(df, compileSub(ps, w), helper)
+        case CountSub(ps, w)  => df = addCountCol(df, compileSub(ps, w), helper)
+        case _                => ()
+      }
+      items = items.map(it => ReturnItem(substSubquery(it.expr, s, Variable(helper)), Some(it.name)))
+      orderBy = orderBy.map { case (e, asc) => (substSubquery(e, s, Variable(helper)), asc) }
+    }
     val hasAgg = items.exists(i => containsAggregate(i.expr))
 
     // ORDER BY may reference pre-projection values (openCypher allows
@@ -525,6 +690,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case f: FnCall        => compileFn(f, df)
     case _: PatternPred   => throw new UnsupportedOperationException(
       "pattern predicates are only supported as top-level WHERE conjuncts")
+    case _: ExistsSub | _: CountSub => throw new UnsupportedOperationException(
+      "EXISTS { } / COUNT { } subqueries are only supported inside WHERE")
   }
 
   private def compileFn(f: FnCall, df: DataFrame): Column = {
@@ -566,6 +733,13 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "date"               => to_date(a(0))
       case "datetime" | "localdatetime" => to_timestamp(a(0))
       case "duration.between"   => a(1).cast("long") - a(0).cast("long")
+      case "size" | "length"
+          if f.args.headOption.exists {
+            case Variable(v) => df.columns.contains(s"$v${SEP}len")
+            case _           => false
+          } => // path variable: hop count bound by shortestPath
+        val Variable(v) = f.args.head: @unchecked
+        col(s"$v${SEP}len")
       case "size" | "length"    =>
         if (f.args.nonEmpty && isArrayCol(a(0), df)) size(a(0)) else length(a(0))
       case "substring"          =>

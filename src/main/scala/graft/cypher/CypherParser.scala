@@ -73,11 +73,27 @@ object CypherParser extends RegexParsers {
     literal |
     param |
     caseExpr |
+    existsSub |
+    countSub |
     fnCall |
     patternPred |
     propOrVar |
     listLit |
     "(" ~> expr <~ ")"
+
+  /** `EXISTS { [MATCH] pattern, … [WHERE expr] }` — tried before
+    * fnCall; `exists(` (the scalar function) fails the `{` and
+    * backtracks. */
+  private def existsSub: Parser[Expr] =
+    kw("exists") ~> "{" ~> opt(kw("match")) ~> patternList ~ opt(whereClause) <~ "}" ^^ {
+      case ps ~ w => ExistsSub(ps, w)
+    }
+
+  /** `COUNT { [MATCH] pattern, … [WHERE expr] }`. */
+  private def countSub: Parser[Expr] =
+    kw("count") ~> "{" ~> opt(kw("match")) ~> patternList ~ opt(whereClause) <~ "}" ^^ {
+      case ps ~ w => CountSub(ps, w)
+    }
 
   /** `(a)-[:T]->(b)` inside WHERE: tried before propOrVar/parens; a
     * parenthesized expression fails the mandatory-hop requirement and
@@ -178,6 +194,13 @@ object CypherParser extends RegexParsers {
       case o ~ ps ~ w => Match(ps, o.isDefined, w)
     }
 
+  /** `MATCH p = shortestPath((a)-[:T*..k]->(b)) [WHERE …]` — tried
+    * before matchClause; a plain MATCH starts with `(` and fails the
+    * `ident =`. */
+  private def shortestMatch: Parser[MatchShortest] =
+    (kw("match") ~> ident <~ "=") ~ (kw("shortestPath") ~> "(" ~> pathPat <~ ")") ~
+      opt(whereClause) ^^ { case v ~ p ~ w => MatchShortest(v, p, w) }
+
   private def createClause: Parser[Create] =
     kw("create") ~> patternList ^^ Create.apply
 
@@ -247,7 +270,7 @@ object CypherParser extends RegexParsers {
     (kw("unwind") ~> expr) ~ (kw("as") ~> ident) ^^ { case e ~ a => Unwind(e, a) }
 
   private def clause: Parser[Clause] =
-    matchClause | createClause | mergeClause | setClause | removeClause |
+    shortestMatch | matchClause | createClause | mergeClause | setClause | removeClause |
       deleteClause | withClause | returnClause | callClause | unwindClause
 
   private def singleQuery: Parser[Query] = rep1(clause) ^^ (cs => Query(cs))

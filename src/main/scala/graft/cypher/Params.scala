@@ -21,6 +21,8 @@ object Params {
 
   private def clause(c: Clause, ps: Map[String, Any]): Clause = c match {
     case Match(pats, opt, where) => Match(pats.map(path(_, ps)), opt, where.map(expr(_, ps)))
+    case MatchShortest(v, pat, where) =>
+      MatchShortest(v, path(pat, ps), where.map(expr(_, ps)))
     case Create(pats)            => Create(pats.map(path(_, ps)))
     case SetProps(items)         => SetProps(items.map { case (p, e) => (p, expr(e, ps)) })
     case Merge(pat, oc, om) =>
@@ -85,6 +87,8 @@ object Params {
     case ListComp(v, l, w, pr) =>
       ListComp(v, expr(l, ps), w.map(expr(_, ps)), pr.map(expr(_, ps)))
     case PatternPred(pat)   => PatternPred(path(pat, ps))
+    case ExistsSub(pats, w) => ExistsSub(pats.map(path(_, ps)), w.map(expr(_, ps)))
+    case CountSub(pats, w)  => CountSub(pats.map(path(_, ps)), w.map(expr(_, ps)))
     case other              => other // Lit / Variable / Prop / LambdaVar
   }
 

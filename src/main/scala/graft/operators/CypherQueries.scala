@@ -143,6 +143,43 @@ object CypherQueries {
       """MATCH (c:customer) WHERE (c)-[:PLACED]->(:order {o_orderstatus:'F'}) OR c.c_acctbal < 0
         |RETURN c.c_custkey AS c_custkey, c.c_name AS c_name ORDER BY c_custkey""".stripMargin),
 
+    // EXISTS { } existential subquery with inner WHERE: semi join
+    // against the compiled sub-pattern on the shared variable's id.
+    q("cy_exists_subquery",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin)(
+      """MATCH (c:customer)
+        |WHERE EXISTS { (c)-[:PLACED]->(o:order) WHERE o.o_totalprice > 300000 }
+        |RETURN c.c_custkey AS c_custkey, c.c_name AS c_name ORDER BY c_custkey""".stripMargin),
+
+    // COUNT { } subquery under a comparison: grouped count left-joined
+    // back (absent = 0), then an ordinary filter column.
+    q("cy_count_subquery",
+      """SELECT c_custkey, n_orders FROM (
+        |  SELECT c.c_custkey AS c_custkey,
+        |         (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |  FROM customer c) t
+        |WHERE n_orders >= 18 ORDER BY c_custkey""".stripMargin)(
+      """MATCH (c:customer)
+        |WHERE COUNT { (c)-[:PLACED]->(:order) } >= 18
+        |RETURN c.c_custkey AS c_custkey,
+        |       COUNT { (c)-[:PLACED]->(:order) } AS n_orders
+        |ORDER BY c_custkey""".stripMargin),
+
+    // shortestPath: BFS first-hit distances over IN edges — customer
+    // reaches its nation at 1 hop, its region at 2.
+    q("cy_shortest_path",
+      """SELECT c_custkey, c_nationkey * 10 + 2 AS node_id, CAST(1 AS BIGINT) AS dist
+        |FROM customer WHERE c_custkey <= 500
+        |UNION ALL
+        |SELECT c.c_custkey, n.n_regionkey * 10 + 1 AS node_id, CAST(2 AS BIGINT) AS dist
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey <= 500""".stripMargin)(
+      """MATCH p = shortestPath((c:customer)-[:IN*1..4]->(x)) WHERE c.c_custkey <= 500
+        |RETURN c.c_custkey AS c_custkey, id(x) AS node_id, length(p) AS dist""".stripMargin),
+
     // C8 introspection through the graded path: CALL … YIELD over the
     // graph view's label set (derived from data, constant per view).
     q("cy_call_labels",

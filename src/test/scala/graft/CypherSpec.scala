@@ -674,4 +674,56 @@ class CypherSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("Expected parameter(s): missing"))
   }
+
+  // ---- EXISTS { } / COUNT { } subqueries + shortestPath ----
+
+  private def subqueryFixture(): GraftSession = {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    s.cypher("MATCH (a:dog {name:'Arne'}) CREATE (a)-[:SNIFFS]->(:dog {name:'Cilla'})")
+    s.cypher("CREATE (:dog {name:'Doris'})")
+    s
+  }
+
+  test("EXISTS { } subquery with inner WHERE filters by sub-pattern match") {
+    val s = subqueryFixture()
+    val res = s.cypher(
+      """MATCH (d:dog)
+        |WHERE EXISTS { (d)-[:SNIFFS]->(x:dog) WHERE x.name = 'Cilla' }
+        |RETURN d.name AS name""".stripMargin)
+    assert(res.collect().map(_.getString(0)).toSeq == Seq("Arne"))
+  }
+
+  test("NOT EXISTS { } compiles to an anti join") {
+    val s = subqueryFixture()
+    val res = s.cypher(
+      """MATCH (d:dog) WHERE NOT EXISTS { (d)-[:SNIFFS]->(:dog) }
+        |RETURN d.name AS name ORDER BY name""".stripMargin)
+    assert(res.collect().map(_.getString(0)).toSeq == Seq("Bosse", "Cilla", "Doris"))
+  }
+
+  test("COUNT { } subquery in WHERE and RETURN") {
+    val s = subqueryFixture()
+    val res = s.cypher(
+      """MATCH (d:dog)
+        |RETURN d.name AS name, COUNT { (d)-[:SNIFFS]->(:dog) } AS n
+        |ORDER BY name""".stripMargin)
+    assert(res.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("Arne", 2L), ("Bosse", 0L), ("Cilla", 0L), ("Doris", 0L)))
+    val filtered = s.cypher(
+      "MATCH (d:dog) WHERE COUNT { (d)-[:SNIFFS]->(:dog) } >= 2 RETURN d.name AS name")
+    assert(filtered.collect().map(_.getString(0)).toSeq == Seq("Arne"))
+  }
+
+  test("shortestPath binds first-hit hop distances to length(p)") {
+    val s = new GraftSession(spark)
+    // chain a->b->c->d plus a shortcut a->c: dist(a,c) must be 1
+    s.cypher("CREATE (a:n {k:1})-[:T]->(b:n {k:2})-[:T]->(c:n {k:3})-[:T]->(d:n {k:4})")
+    s.cypher("MATCH (a:n {k:1}) MATCH (c:n {k:3}) CREATE (a)-[:T]->(c)")
+    val res = s.cypher(
+      """MATCH p = shortestPath((a:n)-[:T*1..5]->(x)) WHERE a.k = 1
+        |RETURN x.k AS k, length(p) AS d ORDER BY k""".stripMargin)
+    assert(res.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 1L), (3L, 1L), (4L, 2L)))
+  }
 }

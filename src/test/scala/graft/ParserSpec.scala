@@ -85,4 +85,30 @@ class ParserSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("Cypher parse error"))
   }
+
+  test("EXISTS { } and COUNT { } subqueries parse with inner WHERE") {
+    val w = CypherParser.parse(
+      "MATCH (a) WHERE EXISTS { (a)-[:T]->(b:L) WHERE b.x > 1 } RETURN a")
+      .clauses.head.asInstanceOf[Match].where.get
+    val ex = w.asInstanceOf[ExistsSub]
+    assert(ex.patterns.size == 1 && ex.where.isDefined)
+
+    val c = CypherParser.parse(
+      "MATCH (a) WHERE COUNT { MATCH (a)-[:T]->() } >= 2 RETURN a")
+      .clauses.head.asInstanceOf[Match].where.get
+    val Cmp(">=", cs: CountSub, Lit(2L)) = c: @unchecked
+    assert(cs.patterns.size == 1 && cs.where.isEmpty)
+
+    // exists( the scalar function still parses as a call
+    assert(parseExpr("exists(a.x)") == FnCall("exists", Seq(Prop("a", "x"))))
+  }
+
+  test("MATCH p = shortestPath((a)-[:T*..4]->(b)) parses") {
+    val q = CypherParser.parse(
+      "MATCH p = shortestPath((a:L)-[:T*..4]->(b)) WHERE a.k <= 5 RETURN length(p) AS d")
+    val ms = q.clauses.head.asInstanceOf[MatchShortest]
+    assert(ms.pathVar == "p")
+    assert(ms.pat.hops.head._1.varLength.contains((1, 4)))
+    assert(ms.where.isDefined)
+  }
 }
