@@ -109,6 +109,33 @@ object GraphAlgos {
     // WCC over IN edges: component = min node id in the region tree.
     // Output restricted to customer nodes (tag 3) to keep the result
     // labeled; the oracle recomputes the component min by construction.
+    // degree centrality over ALL edge types: orders/lineitem fan-out
+    // per node, with isolated-node zeroes preserved
+    sql("gds_degree",
+      """WITH nodes AS (
+        |  SELECT r_regionkey*10+1 AS id FROM region
+        |  UNION ALL SELECT n_nationkey*10+2 FROM nation
+        |  UNION ALL SELECT c_custkey*10+3 FROM customer
+        |  UNION ALL SELECT s_suppkey*10+5 FROM supplier
+        |  UNION ALL SELECT p_partkey*10+6 FROM part
+        |  UNION ALL SELECT o_orderkey*10+4 FROM orders),
+        |edges AS (
+        |  SELECT o_custkey*10+3 AS src, o_orderkey*10+4 AS dst FROM orders
+        |  UNION ALL SELECT c_custkey*10+3, c_nationkey*10+2 FROM customer
+        |  UNION ALL SELECT s_suppkey*10+5, s_nationkey*10+2 FROM supplier
+        |  UNION ALL SELECT n_nationkey*10+2, n_regionkey*10+1 FROM nation
+        |  UNION ALL SELECT l_orderkey*10+4, l_partkey*10+6 FROM lineitem
+        |  UNION ALL SELECT l_suppkey*10+5, l_partkey*10+6 FROM lineitem),
+        |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS o FROM edges GROUP BY src),
+        |ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS i FROM edges GROUP BY dst)
+        |SELECT nodes.id AS node_id,
+        |  coalesce(outd.o, 0) AS out_degree, coalesce(ind.i, 0) AS in_degree
+        |FROM nodes LEFT JOIN outd ON outd.src = nodes.id
+        |LEFT JOIN ind ON ind.dst = nodes.id""".stripMargin) { (s, dir) =>
+      session(s, dir).cypher(
+        "CALL gds.degree() YIELD node_id, out_degree, in_degree RETURN node_id, out_degree, in_degree")
+    },
+
     sql("gds_wcc",
       """WITH m AS (
         |  SELECT rk, min(id) AS component FROM (

@@ -396,6 +396,37 @@ object Relational {
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .count()
         .na.fill(0L, Seq("F", "O", "P"))
+    },
+
+    // unpivot/melt: wide per-priority metrics to (metric, value) rows —
+    // the inverse of pivot, a narrow per-row expansion after one agg
+    sql("agg_unpivot",
+      """WITH a AS (
+        |  SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT pri, 'n_orders' AS metric, n_orders AS value FROM a
+        |UNION ALL SELECT pri, 'sum_cents' AS metric, sum_cents FROM a""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("sum_cents"))
+        .unpivot(Array(col("pri")), Array(col("n_orders"), col("sum_cents")),
+          "metric", "value")
+    },
+
+    // JSON source: parquet rows round-tripped through JSON-lines files
+    // and read back with an explicit schema (schema-on-read; no
+    // inference pass at scale)
+    sql("scan_json",
+      "SELECT r_regionkey, r_name FROM region") { (s, d) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-json").toString + "/region"
+      Tables.region(s, d).select("r_regionkey", "r_name")
+        .write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      s.read.schema(schema).json(out)
     }
   )
 

@@ -73,6 +73,24 @@ object Gds {
     out
   }
 
+  /** gds.degree: in/out degree centrality per node. Pure DataFrame
+    * aggregation — two map-side-combined hash aggs over the edge set
+    * plus left joins back to the node set; no GraphX materialization,
+    * so it scales as a plain groupBy at any edge count. */
+  def degree(spark: SparkSession, g: PropertyGraph, relType: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = relType.map(g.edgesOfType).getOrElse(g.edges)
+    val outD = e.groupBy(col("src").as("node_id")).agg(count(lit(1)).as("_out"))
+    val inD = e.groupBy(col("dst").as("node_id")).agg(count(lit(1)).as("_in"))
+    g.nodes.select(col("id").as("node_id"))
+      .join(outD, Seq("node_id"), "left_outer")
+      .join(inD, Seq("node_id"), "left_outer")
+      .select(col("node_id"),
+        coalesce(col("_out"), lit(0L)).as("out_degree"),
+        coalesce(col("_in"), lit(0L)).as("in_degree"))
+      .orderBy("node_id")
+  }
+
   /** Weakly connected components: component id = min vertex id in the
     * component (GraphX's ConnectedComponents contract). */
   def wcc(spark: SparkSession, g: PropertyGraph, relType: Option[String]): DataFrame = {

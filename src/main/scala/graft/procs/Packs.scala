@@ -127,6 +127,10 @@ object Packs {
       val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(20)
       Gds.pageRank(spark, session.graph(), relTypeArg(args, 0), iters)
     }
+    procs.register("gds.degree", "(relType :: STRING?) :: (node_id, out_degree, in_degree)",
+      "In/out degree centrality per node (DataFrame hash aggregation)") { args =>
+      Gds.degree(spark, session.graph(), relTypeArg(args, 0))
+    }
     procs.register("gds.wcc", "(relType :: STRING?) :: (node_id, component)",
       "Weakly connected components (GraphX)") { args =>
       Gds.wcc(spark, session.graph(), relTypeArg(args, 0))
