@@ -122,6 +122,25 @@ object Relational {
         .agg(count(o("o_orderkey")).as("n_orders"))
     },
 
+    // -- Join: full outer (both-side nulls preserved) ---------------------
+    sql("join_full",
+      """WITH a AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+        |           FROM customer WHERE c_custkey <= 100 GROUP BY 1),
+        |b AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp
+        |      FROM supplier WHERE s_suppkey <= 50 GROUP BY 1)
+        |SELECT coalesce(a.nk, b.nk) AS nk,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM a FULL OUTER JOIN b ON a.nk = b.nk""".stripMargin) { (s, d) =>
+      val a = Tables.customer(s, d).filter(col("c_custkey") <= 100)
+        .groupBy(col("c_nationkey").as("nk_a")).agg(count(lit(1)).as("n_cust"))
+      val b = Tables.supplier(s, d).filter(col("s_suppkey") <= 50)
+        .groupBy(col("s_nationkey").as("nk_b")).agg(count(lit(1)).as("n_supp"))
+      a.join(b, col("nk_a") === col("nk_b"), "full_outer")
+        .select(coalesce(col("nk_a"), col("nk_b")).as("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    },
+
     // -- Join: left semi (EXISTS) -----------------------------------------
     sql("join_semi",
       """SELECT c_custkey, c_name FROM customer c
@@ -413,6 +432,52 @@ object Relational {
           sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("sum_cents"))
         .unpivot(Array(col("pri")), Array(col("n_orders"), col("sum_cents")),
           "metric", "value")
+    },
+
+    // explicit GROUPING SETS (rollup/cube's general form): two
+    // disjoint grouping columns aggregated in one pass
+    sql("agg_grouping_sets",
+      """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin) { (s, d) =>
+      val view = s"orders_gs_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      Tables.orders(s, d).createOrReplaceTempView(view)
+      s.sql(
+        s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n
+           |FROM $view
+           |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin)
+    },
+
+    // RANGE-frame window: value-range moving aggregates (vs the
+    // ROWS-frame running sum in window_rank). Partitioned by priority —
+    // a partitionless ordered window would funnel into one task.
+    sql("window_range_frame",
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(count(*) OVER w AS BIGINT) AS cnt_win,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS sum_win
+        |FROM (SELECT o_orderkey, o_orderpriority,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM orders WHERE o_orderkey < 3000)
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+        .rangeBetween(-100, 0)
+      Tables.orders(s, d).filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          count(lit(1)).over(w).as("cnt_win"),
+          sum("cents").over(w).as("sum_win"))
+    },
+
+    // ORC source: same round-trip discipline as scan_json — the oracle
+    // checks values, the Spark side proves the columnar ORC read path
+    sql("scan_orc",
+      "SELECT n_nationkey, n_name FROM nation") { (s, d) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/nation"
+      Tables.nation(s, d).select("n_nationkey", "n_name")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
     },
 
     // JSON source: parquet rows round-tripped through JSON-lines files
