@@ -670,6 +670,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case StringPred("starts", l, r)   => compileExpr(l, df).startsWith(compileExpr(r, df))
     case StringPred("ends", l, r)     => compileExpr(l, df).endsWith(compileExpr(r, df))
     case StringPred("contains", l, r) => compileExpr(l, df).contains(compileExpr(r, df))
+    // Cypher `=~` is a FULL match (java.util.regex matches()), while
+    // Spark's rlike is a find(); anchor a non-capturing group to align.
+    case StringPred("regex", l, Lit(pat: String)) =>
+      compileExpr(l, df).rlike("^(?:" + pat + ")$")
+    case StringPred("regex", _, r) =>
+      throw new UnsupportedOperationException(s"=~ needs a literal pattern, got $r")
     case StringPred(op, _, _)         => throw new UnsupportedOperationException(op)
     case IsNull(x, false) => compileExpr(x, df).isNull
     case IsNull(x, true)  => compileExpr(x, df).isNotNull

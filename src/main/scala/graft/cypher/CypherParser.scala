@@ -53,6 +53,7 @@ object CypherParser extends RegexParsers {
   private def cmpExpr: Parser[Expr] =
     addExpr ~ opt(cmpTail) ^^ { case l ~ t => t.map(_(l)).getOrElse(l) }
   private def cmpTail: Parser[Expr => Expr] =
+    "=~" ~> addExpr ^^ { r => (l: Expr) => StringPred("regex", l, r) } |
     ("<=" | ">=" | "<>" | "=" | "<" | ">") ~ addExpr ^^ { case op ~ r => (l: Expr) => Cmp(op, l, r) } |
     kw("in") ~> "[" ~> repsep(expr, ",") <~ "]" ^^ { list => (l: Expr) => In(l, list) } |
     kw("in") ~> param ^^ { p => (l: Expr) => In(l, Seq(p)) } |

@@ -185,6 +185,71 @@ object CypherQueries {
     q("cy_call_labels",
       """SELECT label FROM (VALUES ('customer'), ('nation'), ('order'),
         |  ('part'), ('region'), ('supplier')) t(label) ORDER BY label""".stripMargin)(
-      "CALL db.labels() YIELD label RETURN label ORDER BY label")
+      "CALL db.labels() YIELD label RETURN label ORDER BY label"),
+
+    // String predicates: STARTS WITH / ENDS WITH / CONTAINS compile to
+    // startsWith/endsWith/contains — all pushdown-eligible scan filters.
+    q("cy_string_pred",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name LIKE 'red %'
+        |   OR (p_name LIKE '% bolt' AND p_type LIKE '%ECO%')
+        |ORDER BY p_partkey""".stripMargin)(
+      """MATCH (p:part)
+        |WHERE p.p_name STARTS WITH 'red ' OR
+        |      (p.p_name ENDS WITH ' bolt' AND p.p_type CONTAINS 'ECO')
+        |RETURN p.p_partkey AS p_partkey, p.p_name AS p_name ORDER BY p_partkey""".stripMargin),
+
+    // `=~` regex predicate: Cypher full-match semantics (anchored
+    // non-capturing group over Spark's find()-style rlike).
+    q("cy_regex",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE regexp_full_match(c_name, 'Customer#0{6}1[0-9]{2}')
+        |ORDER BY c_custkey""".stripMargin)(
+      """MATCH (c:customer) WHERE c.c_name =~ 'Customer#0{6}1[0-9]{2}'
+        |RETURN c.c_custkey AS c_custkey, c.c_name AS c_name ORDER BY c_custkey""".stripMargin),
+
+    // Undirected hop: `-[:IN]-` matches either orientation — nation
+    // touches its customers + suppliers (incoming) and its region
+    // (outgoing) through one symmetrized edge set.
+    q("cy_undirected",
+      """SELECT n.n_name AS n_name,
+        |  (SELECT count(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+        |  + (SELECT count(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+        |  + 1 AS n_neighbors
+        |FROM nation n ORDER BY n_name""".stripMargin)(
+      """MATCH (n:nation)-[:IN]-(x)
+        |RETURN n.n_name AS n_name, count(x) AS n_neighbors ORDER BY n_name""".stripMargin),
+
+    // Multi-type hop `[:CONTAINS|SUPPLIED]`: one isin() filter over the
+    // edge set — both lineitem-derived edge types end at part.
+    q("cy_multi_type",
+      """SELECT p_partkey, count(*) AS n_in FROM (
+        |  SELECT l_partkey AS p_partkey FROM lineitem
+        |  UNION ALL SELECT l_partkey FROM lineitem) t
+        |WHERE p_partkey <= 200 GROUP BY p_partkey ORDER BY p_partkey""".stripMargin)(
+      """MATCH (x)-[:CONTAINS|SUPPLIED]->(p:part) WHERE p.p_partkey <= 200
+        |RETURN p.p_partkey AS p_partkey, count(x) AS n_in ORDER BY p_partkey""".stripMargin),
+
+    // count(DISTINCT expr) in RETURN: distinct hash aggregate.
+    q("cy_agg_distinct",
+      """SELECT o.o_orderpriority AS pri, count(DISTINCT c.c_nationkey) AS n_nations
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY pri""".stripMargin)(
+      """MATCH (c:customer)-[:PLACED]->(o:order)
+        |RETURN o.o_orderpriority AS pri, count(DISTINCT c.c_nationkey) AS n_nations
+        |ORDER BY pri""".stripMargin),
+
+    // IS NULL over an optional-match miss: the left-join null is a
+    // first-class value the WITH…WHERE can filter on.
+    q("cy_is_null",
+      """SELECT c_custkey FROM customer c
+        |WHERE c.c_custkey <= 1000 AND NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)(
+      """MATCH (c:customer) WHERE c.c_custkey <= 1000
+        |OPTIONAL MATCH (c)-[:PLACED]->(o:order {o_orderstatus:'P'})
+        |WITH c.c_custkey AS c_custkey, o.o_orderkey AS ok WHERE ok IS NULL
+        |RETURN c_custkey ORDER BY c_custkey""".stripMargin)
   )
 }

@@ -492,6 +492,63 @@ object Relational {
         StructField("r_regionkey", IntegerType),
         StructField("r_name", StringType)))
       s.read.schema(schema).json(out)
+    },
+
+    // -- Bucketed co-located join (the 100 TB fact⋈fact shape) ------------
+    // Both sides are written bucketed+sorted on the join key, so the
+    // sort-merge join reads pre-partitioned, pre-sorted buckets: ZERO
+    // Exchange and zero Sort in the join plan (PlanSpec-guarded). At
+    // 100 TB this is the difference between joining in place and
+    // re-shuffling two whole tables; the grouped count after the join
+    // reuses the same bucket partitioning, so the aggregate is
+    // exchange-free too. The oracle checks values only — bucketing is
+    // physical layout, invisible to results.
+    sql("join_bucketed",
+      """SELECT o.o_custkey AS custkey, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |WHERE c.c_acctbal > 0
+        |GROUP BY o.o_custkey""".stripMargin) { (s, d) =>
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val base = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+      val (ot, ct) = (s"orders_b_$tag", s"customer_b_$tag")
+      // one writer task per table → exactly one file per bucket, so the
+      // bucket-sorted read needs no per-partition sort either
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(1)
+        .write.mode("overwrite").option("path", s"$base/$ot")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+      Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        .repartition(1)
+        .write.mode("overwrite").option("path", s"$base/$ct")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+      val o = s.table(ot)
+      val c = s.table(ct).filter(col("c_acctbal") > 0)
+      // merge hint: keep the bucket-aligned SMJ even when one side is
+      // small enough that AQE would broadcast it (the point is the
+      // exchange-free plan shape, which broadcast would mask)
+      o.hint("merge").join(c, c("c_custkey") === o("o_custkey"))
+        .groupBy(o("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D2)).cast(DoubleType).as("sum_price"))
+    },
+
+    // -- Partition-pruned scan (static partition pruning) -----------------
+    // Writes orders hive-partitioned by status, then queries ONE
+    // partition: the scan's PartitionFilters prune the other
+    // directories before any I/O (PlanSpec asserts the filter landed in
+    // the scan, not in a post-read Filter). The 100 TB analog is a
+    // date-partitioned event log where a day query touches 1/365th of
+    // the files.
+    sql("scan_partition_prune",
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderstatus = 'P'""".stripMargin) { (s, d) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/orders"
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderstatus") === "P")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
     }
   )
 

@@ -715,6 +715,17 @@ class CypherSpec extends AnyFunSuite {
     assert(filtered.collect().map(_.getString(0)).toSeq == Seq("Arne"))
   }
 
+  test("=~ is a FULL regex match, not a substring find") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne'})")
+    s.cypher("CREATE (b:dog {name:'Arnold the Great'})")
+    // find() semantics would match both; Cypher full-match takes only Arne
+    val res = s.cypher("MATCH (d:dog) WHERE d.name =~ 'Arn.' RETURN d.name AS name")
+    assert(res.collect().map(_.getString(0)).toSeq == Seq("Arne"))
+    val none = s.cypher("MATCH (d:dog) WHERE d.name =~ 'rne' RETURN d.name AS name")
+    assert(none.count() == 0)
+  }
+
   test("shortestPath binds first-hit hop distances to length(p)") {
     val s = new GraftSession(spark)
     // chain a->b->c->d plus a shortcut a->c: dist(a,c) must be 1

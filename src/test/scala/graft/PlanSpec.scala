@@ -53,6 +53,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed join plans with zero Exchange (co-located buckets)") {
+    val p = plan("join_bucketed")
+    assert(p.contains("SortMergeJoin"), "bucketed join is not a sort-merge join")
+    assert(!p.contains("Exchange"), "bucketed join shuffles — bucket pruning lost:\n" + p)
+  }
+
+  test("partitioned scan prunes by partition filter, not a post-read Filter") {
+    val p = plan("scan_partition_prune")
+    val scanLine = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(scanLine.contains("o_orderstatus"),
+      "partition filter did not reach the scan:\n" + p)
+  }
+
   test("label propagation iterations stay keyed joins (no cartesian/BNL)") {
     val p = plan("gds_label_propagation")
     assert(!p.contains("CartesianProduct"), "LPA plans a cartesian")
