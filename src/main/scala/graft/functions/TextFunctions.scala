@@ -132,6 +132,28 @@ object TextFunctions {
   def docFingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** POSITIONAL word n-gram hashes over a pre-projected token array
+    * (order preserved, duplicates kept — winnowing needs the rolling
+    * sequence, unlike the distinct [[shinglesOfTokens]] sets). */
+  def positionalShingleHashes(t: Column, n: Int): Column = {
+    val idx = when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i =>
+      md5Int(concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS local document fingerprint): slide a window
+    * of `w` consecutive k-gram hashes over `hs` and keep each window's
+    * minimum, deduplicated. Guarantees every match of length
+    * >= w+k-1 tokens shares a fingerprint, with density 2/(w+1).
+    * Pure integer/array math — exact across engines. */
+  def winnowedFingerprints(hs: Column, w: Int): Column = {
+    val idx = when(size(hs) >= w, sequence(lit(1), size(hs) - (w - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, j => array_min(slice(hs, j, lit(w)))))
+  }
+
   /** Rolling min-hash style fingerprint: min md5 over word 5-grams of
     * a pre-projected token array (see [[shinglesOfTokens]]). */
   def minShingleFingerprint(t: Column): Column =

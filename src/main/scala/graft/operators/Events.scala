@@ -276,6 +276,27 @@ object Events {
           sum(col("value").cast(D2)).cast(DoubleType).as("sum_value"))
         .select((unix_micros(col("window.start")) / 3600000000L).cast(LongType).as("hour_id"),
           col("event_type"), col("n"), col("sum_value"))
+    },
+
+    // ---- Markov transition counts: (previous event → event) pairs per
+    // user in time order — the first-order behavioral model behind
+    // next-event prediction and anomaly scoring. One lag window on the
+    // same (user_id; time) sort sessionization uses, then a tiny hash
+    // agg over (prev, next) — a single exchange at any scale.
+    sql("events_transitions",
+      """WITH x AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_et
+        |  FROM events)
+        |SELECT prev_et, event_type AS et, count(*) AS n
+        |FROM x WHERE prev_et IS NOT NULL GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(expr("unix_micros(ts)"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_et", lag("event_type", 1).over(w))
+        .filter(col("prev_et").isNotNull)
+        .groupBy(col("prev_et"), col("event_type").as("et"))
+        .agg(count(lit(1)).as("n"))
     }
   )
 }

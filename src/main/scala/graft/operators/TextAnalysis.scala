@@ -123,6 +123,119 @@ object TextAnalysis {
         .limit(50)
     },
 
+    // winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03, the
+    // MOSS algorithm): rolling 4-token k-gram hashes, keep each
+    // 4-window's min, dedupe. Per-doc narrow array math — zero shuffle;
+    // the selected set is what a plagiarism/near-dup index stores at
+    // corpus scale (density 2/(w+1) of all k-grams).
+    sql("text_winnowing",
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 4 THEN list_transform(range(1, len(t)-2),
+        |    i -> CAST(concat('0x', substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 7)) AS BIGINT))
+        |  ELSE CAST([] AS BIGINT[]) END AS hs FROM tk),
+        |sel AS (SELECT doc_id,
+        |  CASE WHEN len(hs) >= 4 THEN list_distinct(list_transform(range(1, len(hs)-2),
+        |    j -> list_min(hs[j:j+3])))
+        |  ELSE CAST([] AS BIGINT[]) END AS fp FROM h)
+        |SELECT doc_id, len(fp) AS n_fp, list_min(fp) AS min_fp, list_max(fp) AS max_fp
+        |FROM sel""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), positionalShingleHashes(col("t"), 4).as("hs"))
+        .select(col("doc_id"), winnowedFingerprints(col("hs"), 4).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
+    },
+
+    // TF-IDF term ranking: tf and df computed exactly (integers); the
+    // final float multiply is left to the consumer so the compared
+    // columns stay engine-exact. Corpus df comes from ALL docs; the
+    // per-doc top-3 is (tf DESC, df ASC, term) — rare-but-frequent
+    // terms first, the TF-IDF order. Two hash aggs + one broadcast-able
+    // df join + one per-doc window: the canonical shape at corpus scale.
+    sql("text_tfidf_terms",
+      """WITH tok AS (
+        |  SELECT doc_id, u.x AS token
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |       unnest(t) u(x)),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |                       ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rn
+        |  FROM tf JOIN df USING (token))
+        |SELECT doc_id, token, tf, df, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 3 AND doc_id < 100""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("token"))
+      tf.join(dfreq, "token")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3 && col("doc_id") < 100)
+        .select("doc_id", "token", "tf", "df", "rn")
+    },
+
+    // bigram language-model counts: positional (order-preserving,
+    // duplicate-keeping) 2-grams, corpus top-30. One explode + one
+    // map-side-combined agg — the n-gram LM counting shuffle.
+    sql("text_bigrams",
+      """SELECT bigram, n FROM (
+        |  SELECT u.x AS bigram, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT CASE WHEN len(t) >= 2
+        |            THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |            ELSE CAST([] AS VARCHAR[]) END AS bg
+        |        FROM (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents)),
+        |       unnest(bg) u(x)
+        |  GROUP BY u.x)
+        |ORDER BY n DESC, bigram LIMIT 30""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(tokens(col("text")).as("t"))
+      val idx = when(size(col("t")) >= 2, sequence(lit(1), size(col("t")) - 1))
+        .otherwise(array().cast("array<int>"))
+      t.select(explode(transform(idx,
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(30)
+    },
+
+    // PII scrubbing: email/long-digit-run redaction with match counts.
+    // The synthetic corpus carries no organic PII, so contact strings
+    // are derived from customer fields (the redaction plumbing — regex
+    // replace + count, one narrow scan — is what matters at 100 TB;
+    // the patterns are the standard email / digit-run classes).
+    sql("text_pii_scrub",
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    c_name || ' email user' || CAST(c_custkey AS VARCHAR)
+        |      || '@example.com phone 555-' || lpad(CAST(c_custkey AS VARCHAR), 4, '0')
+        |      AS contact
+        |  FROM customer WHERE c_custkey <= 100)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(contact, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
+        |                 '[0-9]{3,}', '[NUM]', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(contact, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(contact, '[0-9]{3,}')) AS BIGINT) AS n_digit_runs
+        |FROM c""".stripMargin) { (s, d) =>
+      val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+      val digitRe = "[0-9]{3,}"
+      Tables.customer(s, d).filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(" email user"), col("c_custkey").cast("string"),
+            lit("@example.com phone 555-"),
+            lpad(col("c_custkey").cast("string"), 4, "0")).as("contact"))
+        .select(col("c_custkey"),
+          regexp_replace(regexp_replace(col("contact"), emailRe, "[EMAIL]"),
+            digitRe, "[NUM]").as("scrubbed"),
+          regexp_count(col("contact"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("contact"), lit(digitRe)).cast("long").as("n_digit_runs"))
+    },
+
     // document fingerprinting: md5 of normalized text + min-shingle hash
     sql("text_fingerprint",
       """SELECT doc_id,

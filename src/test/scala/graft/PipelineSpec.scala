@@ -102,4 +102,22 @@ class PipelineSpec extends AnyFunSuite {
       assert(cents.contains(p50) && cents.contains(p90), "quantile not an actual data value")
     }
   }
+
+  test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    import spark.implicits._
+    // k=4, w=4: any shared run of >= 7 tokens must yield a common fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      s"intro words here $shared trailing tail",
+      s"$shared completely different suffix tokens now").toDF("text")
+    val fps = docs
+      .select(tokens(col("text")).as("t"))
+      .select(positionalShingleHashes(col("t"), 4).as("hs"))
+      .select(winnowedFingerprints(col("hs"), 4).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(fps(0).intersect(fps(1)).nonEmpty,
+      "winnowing missed a 7-token shared run — selection window broken")
+  }
 }
