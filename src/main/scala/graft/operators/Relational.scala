@@ -304,6 +304,43 @@ object Relational {
         .agg(count(lit(1)).as("n_groups_ok"))
     },
 
+    // -- Aggregation: approximate percentile (KLL/GK-sketch class) ---------
+    // Same contract discipline as agg_approx_distinct: sketch outputs
+    // differ across engines by construction, so each engine checks its
+    // OWN approx median against its exact median (both near-exact at
+    // this accuracy) and the compared value is the count of groups
+    // inside the ±10% contract.
+    sql("agg_approx_percentile",
+      """SELECT count(*) AS n_groups_ok FROM (
+        |  SELECT l_returnflag, approx_quantile(l_extendedprice, 0.5) AS a,
+        |         quantile_cont(l_extendedprice, 0.5) AS e
+        |  FROM lineitem GROUP BY l_returnflag)
+        |WHERE abs(a - e) <= 0.10 * e""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a"),
+          expr("percentile(l_extendedprice, 0.5)").as("e"))
+        .filter(abs(col("a") - col("e")) <= lit(0.10) * col("e"))
+        .agg(count(lit(1)).as("n_groups_ok"))
+    },
+
+    // -- Correlated scalar subquery (decorrelated to outer join + agg) ----
+    // Catalyst rewrites the per-row subquery into ONE aggregated left
+    // join — no per-row re-execution; the 100 TB shape is a single
+    // shuffle on the correlation key.
+    sql("subq_scalar",
+      """SELECT c_custkey,
+        |  (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c WHERE c_custkey <= 500""".stripMargin) { (s, d) =>
+      val view = s"cust_sq_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      val oview = s"ord_sq_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      Tables.customer(s, d).createOrReplaceTempView(view)
+      Tables.orders(s, d).createOrReplaceTempView(oview)
+      s.sql(
+        s"""SELECT c_custkey,
+           |  (SELECT max(o_totalprice) FROM $oview o WHERE o.o_custkey = c.c_custkey) AS max_price
+           |FROM $view c WHERE c_custkey <= 500""".stripMargin)
+    },
+
     // -- String functions --------------------------------------------------
     sql("string_fns",
       """SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 9) AS pfx,
@@ -492,6 +529,20 @@ object Relational {
         StructField("r_regionkey", IntegerType),
         StructField("r_name", StringType)))
       s.read.schema(schema).json(out)
+    },
+
+    // XML source (built into Spark 4's spark-sql): same round-trip
+    // discipline as scan_orc/scan_json — explicit schema-on-read, no
+    // inference pass over the files at scale.
+    sql("scan_xml",
+      "SELECT n_nationkey, n_name FROM nation") { (s, d) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-xml").toString + "/nation"
+      Tables.nation(s, d).select("n_nationkey", "n_name")
+        .write.mode("overwrite").option("rowTag", "nation").format("xml").save(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType)))
+      s.read.option("rowTag", "nation").schema(schema).format("xml").load(out)
     },
 
     // -- Bucketed co-located join (the 100 TB fact⋈fact shape) ------------

@@ -126,6 +126,52 @@ object Streaming {
         .start()
       q.awaitTermination()
       s.read.parquet(sink)
+    },
+
+    // Stream-stream inner join: views joined to same-user purchases
+    // within 30 minutes — both sides are watermarked streams, so the
+    // join state store holds only rows inside the watermark horizon
+    // (the unbounded-state hazard of stream joins is exactly what the
+    // time-band condition + watermark bound). The bounded replay emits
+    // every matched pair (inner joins emit eagerly; nothing is late in
+    // a single AvailableNow pass), so the per-user pair counts grade
+    // against the batch band join in DuckDB.
+    sql("stream_stream_join",
+      """WITH v AS (SELECT user_id, epoch_ns(ts) // 1000 AS tsus FROM events
+        |           WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS tsus FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT v.user_id, count(*) AS n_pairs
+        |FROM v JOIN p ON p.user_id = v.user_id
+        |  AND p.tsus >= v.tsus AND p.tsus <= v.tsus + 1800000000
+        |GROUP BY v.user_id""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+      val sink = s"$tmp/sink"
+      def side(et: String, pfx: String) =
+        s.readStream.schema(rawEventSchema)
+          .option("pathGlobFilter", "events*.parquet")
+          .parquet(d)
+          .filter(col("event_type") === et)
+          .select(col("user_id").as(s"${pfx}_user"),
+            expr("timestamp_micros(ts div 1000)").as(s"${pfx}_tsm"))
+          .withWatermark(s"${pfx}_tsm", "1 hour")
+      val joined = side("view", "v").join(side("purchase", "p"),
+        col("p_user") === col("v_user") &&
+          col("p_tsm") >= col("v_tsm") &&
+          col("p_tsm") <= col("v_tsm") + expr("INTERVAL 30 MINUTES"))
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          batch.write.mode("append").parquet(sink)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
     }
   )
 }
