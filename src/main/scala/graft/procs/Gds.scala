@@ -16,6 +16,11 @@ import graft.core.PropertyGraph
   * DataFrames so they compose with the rest of the engine. All
   * algorithms are iterative Pregel jobs — distributed, no driver-side
   * graph materialization.
+  *
+  * Outputs are deliberately UNSORTED: a global orderBy on a
+  * billion-node result is a full range-partition shuffle the caller
+  * pays even when the next step is a join or a sink. Callers that
+  * need order add it; the correctness gate sorts rows before hashing.
   */
 object Gds {
 
@@ -69,7 +74,7 @@ object Gds {
     }
     import spark.implicits._
     val out = ranked.vertices.map { case (id, (_, r)) => (id, r) }
-      .toDF("node_id", "iscore").orderBy("node_id")
+      .toDF("node_id", "iscore")
     out
   }
 
@@ -88,7 +93,6 @@ object Gds {
       .select(col("node_id"),
         coalesce(col("_out"), lit(0L)).as("out_degree"),
         coalesce(col("_in"), lit(0L)).as("in_degree"))
-      .orderBy("node_id")
   }
 
   /** Weakly connected components: component id = min vertex id in the
@@ -96,7 +100,7 @@ object Gds {
   def wcc(spark: SparkSession, g: PropertyGraph, relType: Option[String]): DataFrame = {
     val cc = toGraphX(g, relType).connectedComponents().vertices
     import spark.implicits._
-    cc.toDF("node_id", "component").orderBy("node_id")
+    cc.toDF("node_id", "component")
   }
 
   /** Single-source shortest hop-distance TO the landmark along edge
@@ -106,7 +110,7 @@ object Gds {
     val sp = ShortestPaths.run(toGraphX(g, relType), Seq(landmark)).vertices
       .flatMap { case (id, dists) => dists.get(landmark).map(d => (id, d.toLong)) }
     import spark.implicits._
-    sp.toDF("node_id", "distance").orderBy("node_id")
+    sp.toDF("node_id", "distance")
   }
 
   /** gds.nodeSimilarity: Jaccard similarity of out-neighbor sets for
@@ -131,7 +135,6 @@ object Gds {
         floor(col("inter") * lit(1000000.0) / (col("d1") + col("d2") - col("inter")) + lit(0.5))
           .cast("long").as("ijac"))
       .filter(col("ijac") >= minScore)
-      .orderBy("node1", "node2")
   }
 
   /** Synchronous label propagation, fixed iteration count,
@@ -163,7 +166,7 @@ object Gds {
       labels = labels.join(pick, col("id") === col("pid"), "left_outer")
         .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
     }
-    labels.select(col("id").as("node_id"), col("label")).orderBy("node_id")
+    labels.select(col("id").as("node_id"), col("label"))
   }
 
   /** Per-node triangle count (undirected; GraphX canonicalizes). */
@@ -174,6 +177,5 @@ object Gds {
     import spark.implicits._
     tc.toDF("node_id", "triangles")
       .selectExpr("node_id", "CAST(triangles AS BIGINT) AS triangles")
-      .orderBy("node_id")
   }
 }
