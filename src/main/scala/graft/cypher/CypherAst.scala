@@ -115,6 +115,11 @@ object ast {
       where: Option[Expr]) extends Clause
   final case class Unwind(expr: Expr, alias: String) extends Clause
 
+  /** `CALL { [WITH v, …] MATCH … RETURN items }` — the composition
+    * subquery (openCypher CALL subquery). `imports` are the outer
+    * variables the inner query correlates on (empty = uncorrelated). */
+  final case class CallSub(imports: Seq[String], clauses: Seq[Clause]) extends Clause
+
   /** One or more single queries combined with UNION [ALL]: rows union
     * by column name; plain UNION dedups (openCypher set semantics). */
   final case class Query(clauses: Seq[Clause], unions: Seq[(Boolean, Query)] = Nil)

@@ -48,6 +48,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         w.where.foreach(e => df = df.filter(compileExpr(e, df)))
         ctx = Some(df)
       case c: CallProc => ctx = Some(compileCall(ctx, c))
+      case cs: CallSub => ctx = Some(compileCallSub(ctx, cs))
       case u: Unwind   =>
         val base = ctx.getOrElse(unitDf)
         ctx = Some(base.withColumn(u.alias, explode(compileExpr(u.expr, base))))
@@ -203,6 +204,112 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val subKeys = sub.select(shared.map(col): _*)
     val cond = shared.map(c => df(c) === subKeys(c)).reduce(_ && _)
     df.join(subKeys, cond, if (negated) "left_anti" else "left_semi")
+  }
+
+  /** `CALL { … }` composition subquery.
+    *
+    * Uncorrelated (no WITH import): the inner query compiles standalone
+    * and cross-joins the outer rows — inner results are typically a
+    * one-row aggregate, so the cross join is a broadcast of one row.
+    *
+    * Correlated (`CALL { WITH v … }`): the inner pattern compiles
+    * standalone and joins back on the imported variables' ids —
+    * Catalyst-style decorrelation, never a per-row re-execution.
+    * All-aggregate RETURNs group by the import keys first and
+    * left-join back (count/sum over no matches = 0, openCypher
+    * semantics); row-returning RETURNs inner-join (a row per match,
+    * non-matching outer rows drop). A row-returning `ORDER BY … LIMIT
+    * k` applies PER imported row (the "top-k per entity" idiom) via a
+    * row_number window over the import keys, not a global sort. */
+  private def compileCallSub(ctx: Option[DataFrame], cs: CallSub): DataFrame = {
+    if (cs.imports.isEmpty) {
+      val inner = compileSingle(Query(cs.clauses))
+      return ctx.map(_.crossJoin(inner)).getOrElse(inner)
+    }
+    val outer = ctx.getOrElse(throw new UnsupportedOperationException(
+      "CALL { WITH … } needs a preceding MATCH to import from"))
+    val ret = cs.clauses.lastOption match {
+      case Some(r: Return) => r
+      case _ => throw new UnsupportedOperationException("CALL { } must end in RETURN")
+    }
+    var sub: Option[DataFrame] = None
+    cs.clauses.init.foreach {
+      case m: Match  => sub = Some(compileMatch(sub, m))
+      case u: Unwind =>
+        val base = sub.getOrElse(unitDf)
+        sub = Some(base.withColumn(u.alias, explode(compileExpr(u.expr, base))))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported clause inside CALL { }: $other")
+    }
+    val subDf = sub.getOrElse(throw new UnsupportedOperationException(
+      "CALL { WITH … } needs an inner MATCH"))
+    val keys = cs.imports.map { v =>
+      val k = s"$v${SEP}id"
+      if (!outer.columns.contains(k) || !subDf.columns.contains(k))
+        throw new UnsupportedOperationException(
+          s"CALL { WITH $v }: $v must be a node/rel variable bound outside and used inside")
+      k
+    }
+    ret.items.foreach { i =>
+      if (outer.columns.contains(i.name)) throw new UnsupportedOperationException(
+        s"CALL { } RETURN ${i.name} collides with an outer column")
+    }
+    val (aggItems, rowItems) = ret.items.partition(i => containsAggregate(i.expr))
+    if (aggItems.nonEmpty && rowItems.nonEmpty)
+      throw new UnsupportedOperationException(
+        "CALL { } RETURN must be all aggregates or all row values")
+    if (aggItems.nonEmpty) {
+      if (ret.orderBy.nonEmpty || ret.limit.isDefined || ret.skip.isDefined)
+        throw new UnsupportedOperationException(
+          "ORDER BY/SKIP/LIMIT on an aggregating CALL { } RETURN")
+      val aggs = aggItems.map(i => compileExpr(i.expr, subDf).as(i.name))
+      val grouped = subDf.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        .select((keys.map(c => col(c).as(s"_cs_$c")) ++ aggItems.map(i => col(i.name))): _*)
+      val cond = keys.map(c => outer(c) === grouped(s"_cs_$c")).reduce(_ && _)
+      var out = outer.join(grouped, cond, "left_outer")
+      aggItems.foreach { i =>
+        i.expr match {
+          case f: FnCall if Set("count", "sum").contains(f.name.toLowerCase) =>
+            out = out.withColumn(i.name, coalesce(col(i.name), lit(0L)))
+          case _ => ()
+        }
+      }
+      keys.foldLeft(out)((d, c) => d.drop(s"_cs_$c"))
+    } else {
+      // sort exprs resolve against the inner frame (an ORDER BY alias
+      // resolves to its item's expression) and ride as hidden columns
+      def sortCol(e: Expr): Column = e match {
+        case Variable(n) if rowItems.exists(_.name == n) =>
+          compileExpr(rowItems.find(_.name == n).get.expr, subDf)
+        case _ => compileExpr(e, subDf)
+      }
+      val hidden = ret.orderBy.zipWithIndex.map { case ((e, asc), i) =>
+        (s"_cs_sort$i", sortCol(e), asc) }
+      var proj = subDf.select(
+        (keys.map(c => col(c).as(s"_cs_$c")) ++
+          rowItems.map(i => compileExpr(i.expr, subDf).as(i.name)) ++
+          hidden.map { case (h, c, _) => c.as(h) }): _*)
+      if (ret.distinct)
+        proj = proj.dropDuplicates(keys.map(c => s"_cs_$c") ++ rowItems.map(_.name))
+      (ret.orderBy, ret.limit) match {
+        case (ob, Some(k)) if ob.nonEmpty =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(c => col(s"_cs_$c")): _*)
+            .orderBy(hidden.map { case (h, _, asc) =>
+              if (asc) col(h).asc else col(h).desc }: _*)
+          proj = proj.withColumn("_cs_rn", row_number().over(w))
+            .filter(col("_cs_rn") <= k + ret.skip.getOrElse(0L) &&
+              col("_cs_rn") > ret.skip.getOrElse(0L))
+            .drop("_cs_rn")
+        case (Nil, None) => ()
+        case _ => throw new UnsupportedOperationException(
+          "CALL { } supports ORDER BY only together with LIMIT (per-row top-k)")
+      }
+      proj = proj.drop(hidden.map(_._1): _*)
+      val cond = keys.map(c => outer(c) === proj(s"_cs_$c")).reduce(_ && _)
+      val joined = outer.join(proj, cond, "inner")
+      keys.foldLeft(joined)((d, c) => d.drop(s"_cs_$c"))
+    }
   }
 
   /** OPTIONAL MATCH = compile the pattern standalone, then left join on

@@ -270,9 +270,16 @@ object CypherParser extends RegexParsers {
   private def unwindClause: Parser[Unwind] =
     (kw("unwind") ~> expr) ~ (kw("as") ~> ident) ^^ { case e ~ a => Unwind(e, a) }
 
+  /** `CALL { [WITH imports] … }` — tried before callClause; a plain
+    * procedure CALL fails the `{` and backtracks. */
+  private def callSubClause: Parser[CallSub] =
+    kw("call") ~> "{" ~> opt(kw("with") ~> rep1sep(ident, ",")) ~ rep1(clause) <~ "}" ^^ {
+      case imp ~ cls => CallSub(imp.getOrElse(Nil), cls)
+    }
+
   private def clause: Parser[Clause] =
     shortestMatch | matchClause | createClause | mergeClause | setClause | removeClause |
-      deleteClause | withClause | returnClause | callClause | unwindClause
+      deleteClause | withClause | returnClause | callSubClause | callClause | unwindClause
 
   private def singleQuery: Parser[Query] = rep1(clause) ^^ (cs => Query(cs))
 

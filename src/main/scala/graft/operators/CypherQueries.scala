@@ -239,6 +239,25 @@ object CypherQueries {
         |RETURN o.o_orderpriority AS pri, count(DISTINCT c.c_nationkey) AS n_nations
         |ORDER BY pri""".stripMargin),
 
+    // CALL { } composition subquery, the per-entity top-k idiom: each
+    // customer's 2 priciest orders. Compiles to ONE row_number window
+    // over the import key + a join back — decorrelated, never per-row
+    // re-execution.
+    q("cy_call_subquery",
+      """SELECT c_custkey, ok, price FROM (
+        |  SELECT c.c_custkey, o.o_orderkey AS ok, o.o_totalprice AS price,
+        |    row_number() OVER (PARTITION BY c.c_custkey
+        |                       ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey <= 200) t
+        |WHERE rn <= 2 ORDER BY c_custkey, price DESC, ok""".stripMargin)(
+      """MATCH (c:customer) WHERE c.c_custkey <= 200
+        |CALL { WITH c MATCH (c)-[:PLACED]->(o:order)
+        |       RETURN o.o_orderkey AS ok, o.o_totalprice AS price
+        |       ORDER BY price DESC, ok LIMIT 2 }
+        |RETURN c.c_custkey AS c_custkey, ok, price
+        |ORDER BY c_custkey, price DESC, ok""".stripMargin),
+
     // IS NULL over an optional-match miss: the left-join null is a
     // first-class value the WITH…WHERE can filter on.
     q("cy_is_null",

@@ -715,6 +715,38 @@ class CypherSpec extends AnyFunSuite {
     assert(filtered.collect().map(_.getString(0)).toSeq == Seq("Arne"))
   }
 
+  test("CALL { } uncorrelated: one-row aggregate cross-joins every outer row") {
+    val s = subqueryFixture()
+    val res = s.cypher(
+      """MATCH (d:dog)
+        |CALL { MATCH (x:dog) RETURN count(x) AS total }
+        |RETURN d.name AS name, total ORDER BY name""".stripMargin)
+    val rows = res.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("Arne", 4L), ("Bosse", 4L), ("Cilla", 4L), ("Doris", 4L)))
+  }
+
+  test("CALL { WITH d } aggregating: count per outer row, zero when no match") {
+    val s = subqueryFixture()
+    val res = s.cypher(
+      """MATCH (d:dog)
+        |CALL { WITH d MATCH (d)-[:SNIFFS]->(x:dog) RETURN count(x) AS n }
+        |RETURN d.name AS name, n ORDER BY name""".stripMargin)
+    val rows = res.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("Arne", 2L), ("Bosse", 0L), ("Cilla", 0L), ("Doris", 0L)))
+  }
+
+  test("CALL { WITH d } row-returning with ORDER BY/LIMIT: per-row top-k, not global") {
+    val s = subqueryFixture()
+    val res = s.cypher(
+      """MATCH (d:dog)
+        |CALL { WITH d MATCH (d)-[:SNIFFS]->(x:dog)
+        |       RETURN x.name AS sniffed ORDER BY sniffed LIMIT 1 }
+        |RETURN d.name AS name, sniffed ORDER BY name""".stripMargin)
+    val rows = res.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // only Arne sniffs anyone; his alphabetically-first target is Bosse
+    assert(rows == Seq(("Arne", "Bosse")))
+  }
+
   test("=~ is a FULL regex match, not a substring find") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:dog {name:'Arne'})")
