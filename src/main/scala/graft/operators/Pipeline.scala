@@ -228,6 +228,37 @@ object Pipeline {
         max(when(col("rn") === intDiv(col("n") - 1, lit(2L)) + 1, col("cents"))).as("p50_cents"),
         max(when(col("rn") === intDiv((col("n") - 1) * 9, lit(10L)) + 1, col("cents"))).as("p90_cents"),
         max("n").as("n_orders"))
+    },
+
+    // corpus mixture sampling (data mixing): per-language keep rates —
+    // high-resource languages downsampled, the mixture-weighting step
+    // every pretraining data pipeline runs. The keep decision is the
+    // same deterministic doc-id hash as the splits (reproducible,
+    // engine-independent, a free narrow map at any scale); only the
+    // audit aggregation shuffles.
+    sql("sample_weighted",
+      s"""WITH rated AS (
+         |  SELECT lang, text, $hkSql % 1000000 AS h,
+         |    CASE lang WHEN 'en' THEN 900000 WHEN 'de' THEN 500000
+         |              WHEN 'es' THEN 500000 WHEN 'fr' THEN 250000
+         |              ELSE 100000 END AS rate
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN h < rate THEN len($toksSql) ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM rated GROUP BY lang""".stripMargin) { (s, d) =>
+      val rate = when(col("lang") === "en", 900000L)
+        .when(col("lang") === "de", 500000L)
+        .when(col("lang") === "es", 500000L)
+        .when(col("lang") === "fr", 250000L)
+        .otherwise(100000L)
+      Tables.documents(s, d)
+        .withColumn("h", hkCol % 1000000L)
+        .withColumn("keep", col("h") < rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), tokenCount(col("text"))).otherwise(0L)).as("kept_tokens"))
     }
   )
 }
