@@ -45,6 +45,10 @@ object ast {
     * a grouped count left-joined back on the shared variables. */
   final case class CountSub(patterns: Seq[PathPat], where: Option[Expr]) extends Expr
   /** List comprehension `[x IN list WHERE pred | proj]`. */
+  /** `[(a)-[:T]->(b) WHERE pred | proj]` — pattern comprehension: the
+    * list of `proj` values over the pattern's matches, per outer row. */
+  final case class PatternComp(pattern: PathPat, where: Option[Expr], proj: Expr) extends Expr
+
   final case class ListComp(variable: String, list: Expr,
       where: Option[Expr], projection: Option[Expr]) extends Expr
   /** The comprehension variable inside its WHERE/projection. */

@@ -102,6 +102,11 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         case PatternPred(p)     => d = addExistsFlag(d, compileSub(Seq(p), None), helper)
         case ExistsSub(pats, w) => d = addExistsFlag(d, compileSub(pats, w), helper)
         case CountSub(pats, w)  => d = addCountCol(d, compileSub(pats, w), helper)
+        case PatternComp(p, w, proj) =>
+          // full node binding (no idsOnly): the projection reads props
+          var sub = compilePath(None, p)
+          w.foreach(e => sub = sub.filter(compileExpr(e, sub)))
+          d = addListCol(d, sub, proj, helper)
         case _                  => ()
       }
       rewritten = substSubquery(rewritten, s, Variable(helper))
@@ -118,9 +123,11 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case Arith(_, l, r)   => collectSubqueries(l) ++ collectSubqueries(r)
     case In(x, _)         => collectSubqueries(x)
     case IsNull(x, _)     => collectSubqueries(x)
+    case FnCall(_, args, _) => args.flatMap(collectSubqueries)
     case p: PatternPred   => Seq(p)
     case s: ExistsSub     => Seq(s)
     case c: CountSub      => Seq(c)
+    case pc: PatternComp  => Seq(pc)
     case _                => Nil
   }).distinct
 
@@ -133,6 +140,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case Arith(op, l, r) => Arith(op, substSubquery(l, target, repl), substSubquery(r, target, repl))
     case In(x, list)     => In(substSubquery(x, target, repl), list)
     case IsNull(x, n)    => IsNull(substSubquery(x, target, repl), n)
+    case FnCall(n, args, d) => FnCall(n, args.map(substSubquery(_, target, repl)), d)
     case other        => other
   }
 
@@ -163,6 +171,27 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val joined = df.join(marker, cond, "left_outer")
       .withColumn(flag, coalesce(col(s"_ppm_$flag"), lit(false)))
     (shared.map(c => s"_ppk_$c") :+ s"_ppm_$flag").foldLeft(joined)((x, c) => x.drop(c))
+  }
+
+  /** Pattern-comprehension column: the subquery's projected values
+    * collected per shared-id group (sorted for determinism — openCypher
+    * leaves comprehension order unspecified), left-joined back; rows
+    * with no match get the empty list. */
+  private def addListCol(df: DataFrame, sub: DataFrame, proj: Expr, cname: String): DataFrame = {
+    val shared = sharedIdCols(df, sub)
+    val lists = sub.groupBy(shared.map(col): _*)
+      .agg(sort_array(collect_list(compileExpr(proj, sub))).as(s"_lc_$cname"))
+    val emptyTyped = array().cast(lists.schema(s"_lc_$cname").dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        org.apache.spark.sql.types.ArrayType(et, containsNull = true)
+      case other => other
+    })
+    val keyed = lists.select(
+      (shared.map(c => col(c).as(s"_ppk_$c")) :+ col(s"_lc_$cname")): _*)
+    val cond = shared.map(c => df(c) === keyed(s"_ppk_$c")).reduce(_ && _)
+    val joined = df.join(keyed, cond, "left_outer")
+      .withColumn(cname, coalesce(col(s"_lc_$cname"), emptyTyped))
+    (shared.map(c => s"_ppk_$c") :+ s"_lc_$cname").foldLeft(joined)((x, c) => x.drop(c))
   }
 
   /** COUNT subquery column: grouped count of the subquery keyed by the
@@ -669,6 +698,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         case PatternPred(p)   => df = addExistsFlag(df, compileSub(Seq(p), None), helper)
         case ExistsSub(ps, w) => df = addExistsFlag(df, compileSub(ps, w), helper)
         case CountSub(ps, w)  => df = addCountCol(df, compileSub(ps, w), helper)
+        case PatternComp(p, w, proj) =>
+          var sub = compilePath(None, p)
+          w.foreach(e => sub = sub.filter(compileExpr(e, sub)))
+          df = addListCol(df, sub, proj, helper)
         case _                => ()
       }
       items = items.map(it => ReturnItem(substSubquery(it.expr, s, Variable(helper)), Some(it.name)))

@@ -110,7 +110,16 @@ object CypherParser extends RegexParsers {
 
   private def listLit: Parser[Expr] =
     listComp |
+    patternComp |
     "[" ~> repsep(expr, ",") <~ "]" ^^ ListLit.apply
+
+  /** `[(a)-[:T]->(b) [WHERE pred] | proj]` — tried after listComp
+    * (which needs `ident IN`); a plain list starting with a
+    * parenthesized expression fails the mandatory hop and backtracks. */
+  private def patternComp: Parser[Expr] =
+    ("[" ~> nodePat) ~ rep1(hop) ~ opt(whereClause) ~ ("|" ~> expr) <~ "]" ^^ {
+      case n ~ hs ~ w ~ p => PatternComp(PathPat(n, hs), w, p)
+    }
 
   /** `[x IN list WHERE pred | proj]` — WHERE and projection optional. */
   private def listComp: Parser[Expr] =

@@ -88,6 +88,8 @@ object Params {
     case ListComp(v, l, w, pr) =>
       ListComp(v, expr(l, ps), w.map(expr(_, ps)), pr.map(expr(_, ps)))
     case PatternPred(pat)   => PatternPred(path(pat, ps))
+    case PatternComp(pat, w, pr) =>
+      PatternComp(path(pat, ps), w.map(expr(_, ps)), expr(pr, ps))
     case ExistsSub(pats, w) => ExistsSub(pats.map(path(_, ps)), w.map(expr(_, ps)))
     case CountSub(pats, w)  => CountSub(pats.map(path(_, ps)), w.map(expr(_, ps)))
     case other              => other // Lit / Variable / Prop / LambdaVar

@@ -258,6 +258,23 @@ object CypherQueries {
         |RETURN c.c_custkey AS c_custkey, ok, price
         |ORDER BY c_custkey, price DESC, ok""".stripMargin),
 
+    // Pattern comprehension: per-nation supplier-name lists, compiled
+    // to one grouped collect + left join back (empty list when no
+    // match) — never a per-row subquery. Compared as a joined string
+    // (engines canonicalize list values differently).
+    sql("cy_pattern_comp",
+      """SELECT n.n_name AS n_name,
+        |  coalesce(string_agg(s.s_name, ',' ORDER BY s.s_name), '') AS suppliers
+        |FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.{array_join, col}
+      session(s, dir).cypher(
+        """MATCH (n:nation)
+          |RETURN n.n_name AS n_name, [(s:supplier)-[:IN]->(n) | s.s_name] AS suppliers
+          |ORDER BY n_name""".stripMargin)
+        .withColumn("suppliers", array_join(col("suppliers"), ","))
+    },
+
     // IS NULL over an optional-match miss: the left-join null is a
     // first-class value the WITH…WHERE can filter on.
     q("cy_is_null",

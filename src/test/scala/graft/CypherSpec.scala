@@ -747,6 +747,28 @@ class CypherSpec extends AnyFunSuite {
     assert(rows == Seq(("Arne", "Bosse")))
   }
 
+  test("pattern comprehension: projected match list per row, empty when no match") {
+    val s = subqueryFixture()
+    val res = s.cypher(
+      """MATCH (d:dog)
+        |RETURN d.name AS name, [(d)-[:SNIFFS]->(x:dog) | x.name] AS sniffed,
+        |       size([(d)-[:SNIFFS]->(x:dog) | x.name]) AS n
+        |ORDER BY name""".stripMargin)
+    val rows = res.collect().map(r =>
+      (r.getString(0), r.getSeq[String](1).toList, r.getInt(2))).toSeq
+    assert(rows == Seq(
+      ("Arne", List("Bosse", "Cilla"), 2),
+      ("Bosse", Nil, 0), ("Cilla", Nil, 0), ("Doris", Nil, 0)))
+  }
+
+  test("pattern comprehension with inner WHERE filters the collected matches") {
+    val s = subqueryFixture()
+    val res = s.cypher(
+      """MATCH (d:dog {name:'Arne'})
+        |RETURN [(d)-[:SNIFFS]->(x:dog) WHERE x.name STARTS WITH 'C' | x.name] AS picky""".stripMargin)
+    assert(res.collect().head.getSeq[String](0).toList == List("Cilla"))
+  }
+
   test("=~ is a FULL regex match, not a substring find") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:dog {name:'Arne'})")
