@@ -278,6 +278,49 @@ object Events {
           col("event_type"), col("n"), col("sum_value"))
     },
 
+    // ---- robust anomaly detection: hourly volume spikes per event
+    // type flagged by median + 3×MAD (median absolute deviation) —
+    // the outlier-resistant alternative to mean/stddev z-scores, in
+    // EXACT integer math (discrete medians via the same row_number
+    // rank selection as agg_quantile_disc, so no float quantile
+    // semantics cross the oracle boundary). Two window passes over
+    // the (tiny) per-type hourly aggregate, one shuffle each.
+    sql("events_anomaly",
+      """WITH h AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n, hour_id) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS cnt FROM h),
+        |m AS (SELECT event_type, max(CASE WHEN rn = (cnt-1)//2 + 1 THEN n END) AS med
+        |      FROM r GROUP BY 1),
+        |d AS (SELECT h.event_type, h.hour_id, h.n, m.med, abs(h.n - m.med) AS dev
+        |      FROM h JOIN m USING (event_type)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev, hour_id) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS cnt FROM d),
+        |md AS (SELECT event_type, max(CASE WHEN rn = (cnt-1)//2 + 1 THEN dev END) AS mad
+        |       FROM r2 GROUP BY 1)
+        |SELECT d.event_type, d.hour_id, d.n, d.med, md.mad
+        |FROM d JOIN md USING (event_type) WHERE d.n > d.med + 3 * md.mad""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions.intDiv
+      val hourly = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("hour_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type")
+      def discreteMedian(df: org.apache.spark.sql.DataFrame, valueCol: String, out: String) =
+        df.withColumn("rn", row_number().over(w.orderBy(valueCol, "hour_id")))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .groupBy("event_type")
+          .agg(max(when(col("rn") === intDiv(col("cnt") - 1, lit(2L)) + 1,
+            col(valueCol))).as(out))
+      val med = discreteMedian(hourly, "n", "med")
+      val dev = hourly.join(med, "event_type")
+        .withColumn("dev", abs(col("n") - col("med")))
+      val mad = discreteMedian(dev, "dev", "mad")
+      dev.join(mad, "event_type")
+        .filter(col("n") > col("med") + lit(3L) * col("mad"))
+        .select("event_type", "hour_id", "n", "med", "mad")
+    },
+
     // ---- Markov transition counts: (previous event → event) pairs per
     // user in time order — the first-order behavioral model behind
     // next-event prediction and anomaly scoring. One lag window on the

@@ -287,6 +287,39 @@ object Relational {
           .select(col("l_partkey").as("pk")))
     },
 
+    // -- Set ops: bag semantics (EXCEPT ALL keeps multiplicity) -----------
+    sql("setop_except_all",
+      """SELECT l_partkey AS pk FROM lineitem WHERE l_partkey <= 300
+        |EXCEPT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_partkey <= 300 AND l_quantity > 25""".stripMargin) { (s, d) =>
+      val base = Tables.lineitem(s, d).filter(col("l_partkey") <= 300)
+      base.select(col("l_partkey").as("pk"))
+        .exceptAll(base.filter(col("l_quantity") > 25).select(col("l_partkey").as("pk")))
+    },
+
+    // -- Lateral join: per-row derived table (correlated FROM item) -------
+    // Catalyst decorrelates the lateral subquery into a window/join —
+    // same engine path as CALL { } per-entity top-k.
+    sql("join_lateral",
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |           WHERE o.o_custkey = c.c_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |WHERE c.c_custkey <= 300""".stripMargin) { (s, d) =>
+      val cv = s"cust_lat_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      val ov = s"ord_lat_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      Tables.customer(s, d).createOrReplaceTempView(cv)
+      Tables.orders(s, d).createOrReplaceTempView(ov)
+      s.sql(
+        s"""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+           |FROM $cv c,
+           |  LATERAL (SELECT o_orderkey, o_totalprice FROM $ov o
+           |           WHERE o.o_custkey = c.c_custkey
+           |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+           |WHERE c.c_custkey <= 300""".stripMargin)
+    },
+
     // -- Aggregation: HLL sketch sanity ([NS] approx_count_distinct) ------
     // Sketch values differ across engines by construction, so the
     // oracle checks the CONTRACT both agree on: every group's sketch
