@@ -18,6 +18,17 @@ import org.apache.spark.sql.SparkSession
   * BOTH round's numbers (agg_rollup 0.80–1.17 s, text_langid
   * 0.49–0.82 s) with byte-identical executedPlans — noise on the
   * one-row-group scheduling floor; no plan fix applicable.
+  *
+  * Round-7 disposition: the r6 total (1935 s) was one bug — the first
+  * dedup_clusters used an uncapped shingle self-join (724 s) plus its
+  * memory pressure dragging every later query; the r7 rewrite (pinned
+  * shuffle-hash self-join + per-iteration checkpoints) brings the
+  * full 122-query catalog to ~75 s at sf0.1 / 32 threads / -Xmx8g,
+  * worst query 5.4 s (stream_stream_join — micro-batch machinery, not
+  * plan cost). Heap note: at -Xmx100g the SAME catalog shows 3–19 s
+  * GC stalls on the first timed queries (huge-young-gen G1 artifact);
+  * the driver's sbt fork (8g) is the honest configuration, so bench
+  * comparisons should use it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
