@@ -133,6 +133,32 @@ object Similarity {
       scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
     },
 
+    // RANGE (radius) search: every neighbor with cosine >= tau per
+    // query — the other retrieval contract besides top-k (dedup
+    // candidate pull, near-duplicate fetch). LSH-bucketed like
+    // ann_topk_lsh so each query scores only its bucket; the result
+    // set size is data-driven, not k-bounded, so there is no window —
+    // just the threshold filter (cheaper than top-k at scale).
+    sql("ann_range", {
+      val sig = V.lshSignatureSql("q", LSH_BITS, DIM)
+      s"""WITH $qeSql,
+         |sg AS (SELECT vec_id, q, nrm, $sig AS bucket FROM qe),
+         |qs AS (SELECT vec_id AS q_id, q AS qq, nrm AS qn, bucket FROM sg WHERE vec_id < $NQ)
+         |SELECT q_id, e.vec_id AS neighbor,
+         |  ${V.icosNSql("qq", "e.q", "qn", "e.nrm")} AS icos
+         |FROM qs JOIN sg e ON e.bucket = qs.bucket AND e.vec_id <> qs.q_id
+         |WHERE ${V.icosNSql("qq", "e.q", "qn", "e.nrm")} >= 150000""".stripMargin
+    }) { (s, d) =>
+      val sg = qe(s, d)
+        .withColumn("bucket", V.lshSignature(col("q"), LSH_BITS, DIM))
+      val qs = sg.filter(col("vec_id") < NQ).toDF("q_id", "qq", "qn", "qbucket")
+      sg.toDF("neighbor", "qv", "nv", "bucket")
+        .join(broadcast(qs), col("bucket") === col("qbucket") && col("neighbor") =!= col("q_id"))
+        .select(col("q_id"), col("neighbor"),
+          V.icosN(col("qq"), col("qv"), col("qn"), col("nv")).as("icos"))
+        .filter(col("icos") >= 150000L)
+    },
+
     sql("ann_topk_ivf", {
       // cell = argmax centroid cosine (ties -> lowest centroid id)
       s"""WITH $qeSql,
