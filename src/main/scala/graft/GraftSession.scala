@@ -230,7 +230,7 @@ final class GraftSession(val spark: SparkSession,
       val parsed = Params.substitute(CypherParser.parse(q), params)
       val isMutation = parsed.clauses.exists {
         case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
-             _: ast.SetLabels | _: ast.Delete | _: ast.Merge => true
+             _: ast.SetLabels | _: ast.Delete | _: ast.Merge | _: ast.Foreach => true
         case _ => false
       }
       if (isMutation) {
@@ -283,6 +283,18 @@ final class GraftSession(val spark: SparkSession,
   // ----------------------------------------------------------------
 
   private def mutate(db: GraphDatabase, q: ast.Query): DataFrame = {
+    // FOREACH (x IN list | CREATE …) desugars to the batched
+    // UNWIND … CREATE path: all elements substituted up front, ONE
+    // append + ONE snapshot swap. Other body clauses (SET/MERGE per
+    // element) are refused loudly rather than run once.
+    q.clauses.collectFirst { case f: ast.Foreach => f }.foreach { f =>
+      if (q.clauses.size != 1)
+        throw new UnsupportedOperationException(
+          "FOREACH is supported as a standalone statement")
+      if (!f.body.forall(_.isInstanceOf[ast.Create]))
+        throw new UnsupportedOperationException("FOREACH body supports CREATE only")
+      return mutate(db, ast.Query(ast.Unwind(f.list, f.variable) +: f.body))
+    }
     val matches = q.clauses.collect { case m: ast.Match => m }
     val creates = q.clauses.collect { case c: ast.Create => c }
     val returns = q.clauses.collect { case r: ast.Return => r }

@@ -124,6 +124,9 @@ object ast {
     * variables the inner query correlates on (empty = uncorrelated). */
   final case class CallSub(imports: Seq[String], clauses: Seq[Clause]) extends Clause
 
+  /** `FOREACH (x IN list | CREATE …)` — list-iterated mutation. */
+  final case class Foreach(variable: String, list: Expr, body: Seq[Clause]) extends Clause
+
   /** One or more single queries combined with UNION [ALL]: rows union
     * by column name; plain UNION dedups (openCypher set semantics). */
   final case class Query(clauses: Seq[Clause], unions: Seq[(Boolean, Query)] = Nil)

@@ -286,9 +286,15 @@ object CypherParser extends RegexParsers {
       case imp ~ cls => CallSub(imp.getOrElse(Nil), cls)
     }
 
+  private def foreachClause: Parser[Foreach] =
+    (kw("foreach") ~> "(" ~> ident <~ kw("in")) ~ expr ~ ("|" ~> rep1(clause)) <~ ")" ^^ {
+      case v ~ l ~ body => Foreach(v, l, body)
+    }
+
   private def clause: Parser[Clause] =
     shortestMatch | matchClause | createClause | mergeClause | setClause | removeClause |
-      deleteClause | withClause | returnClause | callSubClause | callClause | unwindClause
+      deleteClause | withClause | returnClause | callSubClause | callClause |
+      unwindClause | foreachClause
 
   private def singleQuery: Parser[Query] = rep1(clause) ^^ (cs => Query(cs))
 

@@ -769,6 +769,20 @@ class CypherSpec extends AnyFunSuite {
     assert(res.collect().head.getSeq[String](0).toList == List("Cilla"))
   }
 
+  test("FOREACH (x IN list | CREATE) batch-inserts one row per element") {
+    val s = new GraftSession(spark)
+    s.cypher("FOREACH (x IN [1, 2, 3] | CREATE (:num {v: x}))")
+    val res = s.cypher("MATCH (n:num) RETURN n.v AS v ORDER BY v")
+    assert(res.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // a parameterized list drives the same batched path
+    s.cypher("FOREACH (x IN $xs | CREATE (:num {v: x}))", Map("xs" -> Seq(7, 8)))
+    assert(s.cypher("MATCH (n:num) RETURN count(n) AS c").collect().head.getLong(0) == 5L)
+    // non-CREATE bodies are refused loudly, not silently run once
+    intercept[UnsupportedOperationException] {
+      s.cypher("FOREACH (x IN [1] | MERGE (:num {v: x}))")
+    }
+  }
+
   test("=~ is a FULL regex match, not a substring find") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:dog {name:'Arne'})")
