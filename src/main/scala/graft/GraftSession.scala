@@ -1012,6 +1012,20 @@ final class GraftSession(val spark: SparkSession,
       graph().edges.select(col("relType").as("relationshipType")).distinct()
         .orderBy("relationshipType")
     }
+    procedures.register("db.schema.visualization",
+      "() :: (srcLabel, relType, dstLabel, n)",
+      "Schema summary: one row per (source label, relationship type, target label)") { _ =>
+      import org.apache.spark.sql.functions.{col, explode, count, lit}
+      val g = graph()
+      // one row per (label, id) — multi-label nodes contribute each label
+      val labeled = g.nodes.select(col("id"), explode(col("labels")).as("lbl"))
+      val src = labeled.toDF("sid", "srcLabel")
+      val dst = labeled.toDF("did", "dstLabel")
+      g.edges.join(src, col("src") === col("sid"))
+        .join(dst, col("dst") === col("did"))
+        .groupBy("srcLabel", "relType", "dstLabel")
+        .agg(count(lit(1)).as("n"))
+    }
     procedures.register("db.propertyKeys", "() :: (propertyKey)", "All property keys") { _ =>
       import org.apache.spark.sql.functions.{col, explode, lit, array}
       val meta = Set("id", "labels", "src", "dst", "relType")

@@ -258,6 +258,22 @@ object CypherQueries {
         |RETURN c.c_custkey AS c_custkey, ok, price
         |ORDER BY c_custkey, price DESC, ok""".stripMargin),
 
+    // Schema introspection (what Neo4j Browser calls on connect): one
+    // row per (srcLabel, relType, dstLabel) with edge counts — two
+    // label joins + one hash agg over the graph view.
+    q("cy_schema_viz",
+      """SELECT * FROM (
+        |  SELECT 'customer' AS srcLabel, 'PLACED' AS relType, 'order' AS dstLabel,
+        |         (SELECT count(*) FROM orders) AS n
+        |  UNION ALL SELECT 'customer', 'IN', 'nation', (SELECT count(*) FROM customer)
+        |  UNION ALL SELECT 'supplier', 'IN', 'nation', (SELECT count(*) FROM supplier)
+        |  UNION ALL SELECT 'nation', 'IN', 'region', (SELECT count(*) FROM nation)
+        |  UNION ALL SELECT 'order', 'CONTAINS', 'part', (SELECT count(*) FROM lineitem)
+        |  UNION ALL SELECT 'supplier', 'SUPPLIED', 'part', (SELECT count(*) FROM lineitem)
+        |) t ORDER BY srcLabel, relType, dstLabel""".stripMargin)(
+      """CALL db.schema.visualization() YIELD srcLabel, relType, dstLabel, n
+        |RETURN srcLabel, relType, dstLabel, n ORDER BY srcLabel, relType, dstLabel""".stripMargin),
+
     // Pattern comprehension: per-nation supplier-name lists, compiled
     // to one grouped collect + left join back (empty list when no
     // match) — never a per-row subquery. Compared as a joined string
