@@ -278,6 +278,33 @@ object Events {
           col("event_type"), col("n"), col("sum_value"))
     },
 
+    // ---- time-series gap filling: the dense hourly series per event
+    // type with zero rows where nothing happened — downstream models
+    // need the explicit zeros (a missing hour is not a missing
+    // observation). The dense axis is generated per type from its own
+    // [min, max] hour span via sequence+explode (narrow; no driver
+    // loop), then the sparse counts left-join in. Bounded output at
+    // sf0.01; at scale the span clamps to the analysis window.
+    sql("events_gap_fill",
+      """WITH h AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(hour_id) AS lo, max(hour_id) AS hi
+        |         FROM h GROUP BY 1),
+        |axis AS (SELECT event_type, u.h AS hour_id
+        |         FROM span, unnest(range(lo, hi + 1)) u(h))
+        |SELECT axis.event_type, axis.hour_id, coalesce(h.n, 0) AS n
+        |FROM axis LEFT JOIN h USING (event_type, hour_id)""".stripMargin) { (s, d) =>
+      val h = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hour_id"))
+        .agg(count(lit(1)).as("n"))
+      val axis = h.groupBy("event_type")
+        .agg(min("hour_id").as("lo"), max("hour_id").as("hi"))
+        .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hour_id"))
+      axis.join(h, Seq("event_type", "hour_id"), "left_outer")
+        .select(col("event_type"), col("hour_id"), coalesce(col("n"), lit(0L)).as("n"))
+    },
+
     // ---- robust anomaly detection: hourly volume spikes per event
     // type flagged by median + 3×MAD (median absolute deviation) —
     // the outlier-resistant alternative to mean/stddev z-scores, in

@@ -374,6 +374,23 @@ object Relational {
            |FROM $view c WHERE c_custkey <= 500""".stripMargin)
     },
 
+    // -- Aggregation: mode (most frequent value, deterministic tiebreak) --
+    sql("agg_mode",
+      """SELECT c_nationkey, seg AS mode_segment, n FROM (
+        |  SELECT c_nationkey, c_mktsegment AS seg, count(*) AS n,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY count(*) DESC, c_mktsegment) AS rn
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment) t
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_nationkey").orderBy(col("n").desc, col("seg"))
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_nationkey"), col("seg").as("mode_segment"), col("n"))
+    },
+
     // -- String functions --------------------------------------------------
     sql("string_fns",
       """SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 9) AS pfx,
