@@ -123,6 +123,28 @@ object TextAnalysis {
         .limit(50)
     },
 
+    // BPE-style regex pre-tokenization (the GPT-2 pattern family,
+    // simplified to ASCII classes and no lookahead so Java regex and
+    // RE2 agree): contractions | space-prefixed letter runs | digit
+    // runs | punctuation runs. Fertility = BPE-ish tokens per
+    // whitespace token ppm — the stat tokenizer work is sized by.
+    sql("text_tokens_bpe",
+      s"""SELECT lang,
+         |  CAST(sum(len(regexp_extract_all(text, $$$$'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+$$$$))) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(len(regexp_extract_all(text, $$$$'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+$$$$))) AS BIGINT) * 1000000
+         |    // CAST(sum(len($toksSql)) AS BIGINT) AS fertility_ppm
+         |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions.intDiv
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(sum(size(regexp_extract_all(col("text"), lit(pat), lit(0)))).as("bpe_tokens"),
+          sum(tokenCount(col("text"))).as("ws_tokens"))
+        .select(col("lang"), col("bpe_tokens"), col("ws_tokens"),
+          intDiv(col("bpe_tokens") * 1000000L, col("ws_tokens")).as("fertility_ppm"))
+    },
+
     // winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03, the
     // MOSS algorithm): rolling 4-token k-gram hashes, keep each
     // 4-window's min, dedupe. Per-doc narrow array math — zero shuffle;
