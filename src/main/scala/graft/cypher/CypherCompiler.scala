@@ -685,10 +685,23 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       distinct: Boolean, orderBy0: Seq[(Expr, Boolean)], skip: Option[Long],
       limit: Option[Long], keepVarCols: Boolean): DataFrame = {
     var df = ctx.getOrElse(unitDf)
+    // `*` expands to every bound variable (node/rel prefix groups) plus
+    // every scalar column, name-sorted for determinism; internal helper
+    // columns (`_`-prefixed) stay hidden.
+    val items1 = items0.flatMap {
+      case ReturnItem(Variable("*"), _) =>
+        val cols = df.columns.filterNot(_.startsWith("_"))
+        val prefixes = cols.filter(_.endsWith(s"${SEP}id"))
+          .map(_.dropRight(SEP.length + 2)).distinct
+        val scalars = cols.filterNot(_.contains(SEP))
+        (prefixes ++ scalars).distinct.sorted
+          .map(v => ReturnItem(Variable(v), Some(v)))
+      case other => Seq(other)
+    }
     // EXISTS/COUNT subqueries in RETURN/WITH items (`RETURN COUNT {
     // (n)-->() } AS deg`): materialize each as a helper column first,
     // then the item compiles as an ordinary expression
-    var items = items0
+    var items = items1
     var orderBy = orderBy0
     val subs = (items0.flatMap(i => collectSubqueries(i.expr)) ++
       orderBy0.flatMap(o => collectSubqueries(o._1))).distinct

@@ -217,9 +217,23 @@ object CypherParser extends RegexParsers {
   private def labelItem: Parser[(String, Seq[String])] =
     ident ~ rep1(":" ~> ident) ^^ { case v ~ ls => (v, ls) }
 
+  /** Pattern-map value re-encoded as a SET expression (`SET n += {a:
+    * $p, b: m.k, c: 1}` reuses mapLit, whose references are wrapped). */
+  private def mapValueExpr(l: Lit): Expr = l.v match {
+    case ParamRefValue(n)   => Param(n)
+    case PropRefValue(v, k) => Prop(v, k)
+    case VarRefValue(n)     => Variable(n)
+    case _                  => l
+  }
+
   private def setClause: Parser[Clause] =
     kw("set") ~> (
-      rep1sep((ident ~ ("." ~> ident) ~ ("=" ~> expr)), ",") ^^ { items =>
+      rep1sep((ident <~ "+=") ~ mapLit, ",") ^^ { items =>
+        SetProps(items.flatMap { case v ~ m =>
+          m.toSeq.sortBy(_._1).map { case (k, l) => (Prop(v, k), mapValueExpr(l)) }
+        })
+      }
+      | rep1sep((ident ~ ("." ~> ident) ~ ("=" ~> expr)), ",") ^^ { items =>
         SetProps(items.map { case v ~ k ~ e => (Prop(v, k), e) })
       }
       | rep1sep(labelItem, ",") ^^ (items => SetLabels(items, remove = false)))
@@ -260,13 +274,22 @@ object CypherParser extends RegexParsers {
       case ob ~ sk ~ li => (ob.getOrElse(Nil), sk.map(_.toLong), li.map(_.toLong))
     }
 
+  /** `*` (all bound variables) optionally followed by more items:
+    * `RETURN *`, `WITH *, x AS y`. Expanded against the bound columns
+    * at compile time. */
+  private def itemList: Parser[Seq[ReturnItem]] =
+    "*" ~> opt("," ~> rep1sep(returnItem, ",")) ^^ {
+      extra => ReturnItem(Variable("*"), None) +: extra.getOrElse(Nil)
+    } |
+    rep1sep(returnItem, ",")
+
   private def returnClause: Parser[Return] =
-    kw("return") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",") ~ tail ^^ {
+    kw("return") ~> opt(kw("distinct")) ~ itemList ~ tail ^^ {
       case d ~ items ~ ((ob, sk, li)) => Return(items, d.isDefined, ob, sk, li)
     }
 
   private def withClause: Parser[With] =
-    kw("with") ~> opt(kw("distinct")) ~ rep1sep(returnItem, ",") ~ tail ~ opt(whereClause) ^^ {
+    kw("with") ~> opt(kw("distinct")) ~ itemList ~ tail ~ opt(whereClause) ^^ {
       case d ~ items ~ ((ob, sk, li)) ~ w => With(items, d.isDefined, w, ob, sk, li)
     }
 

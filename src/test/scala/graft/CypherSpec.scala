@@ -769,6 +769,30 @@ class CypherSpec extends AnyFunSuite {
     assert(res.collect().head.getSeq[String](0).toList == List("Cilla"))
   }
 
+  test("RETURN * projects every bound variable; WITH *, extra carries all plus new") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    val star = s.cypher("MATCH (a:dog)-[:SNIFFS]->(b:dog) RETURN *")
+    assert(star.columns.sorted.toSeq == Seq("a", "b"))
+    assert(star.count() == 1)
+    val withStar = s.cypher(
+      """MATCH (a:dog)-[:SNIFFS]->(b:dog)
+        |WITH *, a.name AS an
+        |RETURN an, b.name AS bn""".stripMargin)
+    assert(withStar.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("Arne", "Bosse")))
+  }
+
+  test("SET n += {map} merges properties, including $params and expressions") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (d:dog {name:'Arne', age: 3})")
+    s.cypher("MATCH (d:dog {name:'Arne'}) SET d += {age: 4, coat: $c}",
+      Map("c" -> "brown"))
+    val r = s.cypher(
+      "MATCH (d:dog {name:'Arne'}) RETURN d.age AS age, d.coat AS coat").collect().head
+    assert(r.getLong(0) == 4L && r.getString(1) == "brown")
+  }
+
   test("FOREACH (x IN list | CREATE) batch-inserts one row per element") {
     val s = new GraftSession(spark)
     s.cypher("FOREACH (x IN [1, 2, 3] | CREATE (:num {v: x}))")
