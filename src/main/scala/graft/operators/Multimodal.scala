@@ -148,6 +148,37 @@ object Multimodal {
         .withColumn("feat_str",
           array_join(transform(col("features"), f => f.cast(IntegerType).cast(StringType)), ","))
         .drop("features")
+    },
+
+    // ---- shard packing: bin payloads into ~2 KiB output shards (the
+    // webdataset/tar-shard step every multimodal training pipeline
+    // runs before upload). Deterministic: within each source, docs
+    // pack in doc_id order; shard = running-byte-offset div size. The
+    // running sum windows PER SOURCE — parallel across sources, which
+    // is exactly how real shard writers scale (one ordered stream per
+    // writer task, never a global order).
+    sql("mm_shard_pack",
+      """WITH sized AS (
+        |  SELECT source, doc_id, octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |placed AS (
+        |  SELECT source, doc_id, n_bytes,
+        |    -- window SUM promotes to HUGEINT; pin BIGINT before //
+        |    (CAST(sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+        |      - n_bytes) // 2048 AS shard_id
+        |  FROM sized)
+        |SELECT source, shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_bytes) AS BIGINT) AS shard_bytes
+        |FROM placed GROUP BY source, shard_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions.intDiv
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      withPayload(s, d)
+        .select(col("source"), col("doc_id"), length(col("payload")).cast(LongType).as("n_bytes"))
+        .withColumn("shard_id",
+          intDiv(sum("n_bytes").over(w) - col("n_bytes"), lit(2048L)))
+        .groupBy("source", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("shard_bytes"))
     }
   )
 }
