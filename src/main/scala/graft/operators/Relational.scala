@@ -462,6 +462,23 @@ object Relational {
         .agg(count(lit(1)).as("n"))
     },
 
+    // -- Semi-structured: VariantType (Spark 4's binary JSON) -------------
+    // parse_json once into the compact variant encoding, then typed
+    // variant_get extractions — at scale this beats per-field
+    // get_json_object re-parses (one parse, many reads) and is the
+    // engine's answer to schema-on-read JSON columns.
+    sql("json_variant",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS kmod,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(parse_json(col("props")).as("v"))
+        .select(try_variant_get(col("v"), "$.k", "long").as("k"))
+        .groupBy((col("k") % 7).as("kmod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    },
+
     // -- UDF surface: custom typed Aggregator (SURVEY §2.2 UDF row) -------
     // A minhash-style min-of-permuted-hash aggregate registered as a
     // UDAF — integer arithmetic end to end, so the DuckDB oracle is an
