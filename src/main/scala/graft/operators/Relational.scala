@@ -630,14 +630,17 @@ object Relational {
       val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       val base = java.nio.file.Files.createTempDirectory("graft-bucket").toString
       val (ot, ct) = (s"orders_b_$tag", s"customer_b_$tag")
-      // one writer task per table → exactly one file per bucket, so the
-      // bucket-sorted read needs no per-partition sort either
+      // repartition on the bucket column with the bucket count: the
+      // repartition hash and the bucket hash agree (both Murmur3 mod
+      // 8), so each of the 8 writer tasks owns exactly its bucket →
+      // one file per bucket from a PARALLEL write (a repartition(1)
+      // single writer would serialize at scale)
       Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
-        .repartition(1)
+        .repartition(8, col("o_custkey"))
         .write.mode("overwrite").option("path", s"$base/$ot")
         .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
       Tables.customer(s, d).select("c_custkey", "c_acctbal")
-        .repartition(1)
+        .repartition(8, col("c_custkey"))
         .write.mode("overwrite").option("path", s"$base/$ct")
         .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
       val o = s.table(ot)
