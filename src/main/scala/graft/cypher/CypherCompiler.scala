@@ -694,8 +694,11 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         val prefixes = cols.filter(_.endsWith(s"${SEP}id"))
           .map(_.dropRight(SEP.length + 2)).distinct
         val scalars = cols.filterNot(_.contains(SEP))
-        (prefixes ++ scalars).distinct.sorted
+        val expanded = (prefixes ++ scalars).distinct.sorted
           .map(v => ReturnItem(Variable(v), Some(v)))
+        if (expanded.isEmpty) throw new UnsupportedOperationException(
+          "RETURN * is not allowed when there are no variables in scope")
+        expanded
       case other => Seq(other)
     }
     // EXISTS/COUNT subqueries in RETURN/WITH items (`RETURN COUNT {

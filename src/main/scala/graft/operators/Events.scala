@@ -278,6 +278,24 @@ object Events {
           col("event_type"), col("n"), col("sum_value"))
     },
 
+    // ---- value profiling: equi-width histogram of event values per
+    // type (integer cents, bin = value-offset div width) — the
+    // column-profiling pass a pipeline runs before schema decisions.
+    // One narrow map + one hash agg. (`value` is non-negative in the
+    // testdata, where intDiv's floor and DuckDB's truncating `//`
+    // agree; a signed column would need the offset-shift recipe.)
+    sql("events_histogram",
+      """SELECT event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) // 2500 AS bin,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions.intDiv
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          intDiv(floor(col("value") * 100 + 0.5).cast(LongType), lit(2500L)).as("bin"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- time-series gap filling: the dense hourly series per event
     // type with zero rows where nothing happened — downstream models
     // need the explicit zeros (a missing hour is not a missing

@@ -612,6 +612,30 @@ object Relational {
       s.read.option("rowTag", "nation").schema(schema).format("xml").load(out)
     },
 
+    // binaryFile source: the raw-media ingest path (each file one row
+    // of path/length/content). The fixture file is derived from the
+    // region table (5 rows — the driver-side write is the fixture
+    // setup, not the operator); the graded operator is the binaryFile
+    // READ projecting length + content hash, which is how image/audio
+    // corpora enter a pipeline before any decode.
+    sql("scan_binary_files",
+      """WITH c AS (
+        |  SELECT string_agg(r_regionkey || ':' || r_name, chr(10) ORDER BY r_regionkey) AS s
+        |  FROM region)
+        |SELECT CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes, sha256(s) AS sha
+        |FROM c""".stripMargin) { (s, d) =>
+      val content = Tables.region(s, d)
+        .orderBy("r_regionkey")
+        .select(concat_ws(":", col("r_regionkey"), col("r_name")).as("line"))
+        .agg(concat_ws("\n", collect_list(col("line"))).as("s"))
+        .collect().head.getString(0)
+      val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+      java.nio.file.Files.write(dir.resolve("region.bin"),
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s.read.format("binaryFile").load(dir.toString)
+        .select(col("length").as("n_bytes"), sha2(col("content"), 256).as("sha"))
+    },
+
     // -- Bucketed co-located join (the 100 TB fact⋈fact shape) ------------
     // Both sides are written bucketed+sorted on the join key, so the
     // sort-merge join reads pre-partitioned, pre-sorted buckets: ZERO
