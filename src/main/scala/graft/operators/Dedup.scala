@@ -383,6 +383,55 @@ object Dedup {
         .filter(col("icos") >= 350000)
     },
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    // embedding space first (deterministic coarse centroids — the
+    // first 16 vectors, as in the IVF path), then mark near-duplicate
+    // PAIRS only within a cluster, keeping the lowest id. Clustering
+    // bounds the pair search exactly like LSH buckets do, but with
+    // semantically-coherent cells — the published recipe for pruning
+    // web-scale corpora. Output: per-cell totals + how many vectors a
+    // dedup pass would drop.
+    sql("dedup_semantic", {
+      s"""WITH qe AS (SELECT vec_id, ${V.quantizeSql("embedding")} AS q FROM embeddings),
+         |sg AS (SELECT vec_id, q, ${V.qNormSql("q")} AS nrm FROM qe),
+         |cent AS (SELECT vec_id AS c_id, q AS cq, nrm AS cn FROM sg WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, q, nrm, c_id AS cell FROM (
+         |    SELECT sg.vec_id, sg.q, sg.nrm, cent.c_id,
+         |      row_number() OVER (PARTITION BY sg.vec_id
+         |        ORDER BY ${V.icosNSql("sg.q", "cq", "sg.nrm", "cn")} DESC, cent.c_id) AS rc
+         |    FROM sg, cent)
+         |  WHERE rc = 1),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id AS dup
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${V.icosNSql("a.q", "b.q", "a.nrm", "b.nrm")} >= 350000)
+         |SELECT cell, count(*) AS n_vectors,
+         |  CAST(sum(CASE WHEN dup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM assign LEFT JOIN dups ON assign.vec_id = dups.dup
+         |GROUP BY cell""".stripMargin
+    }) { (s, d) =>
+      val sg = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.quantize(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q"), V.qNorm(col("q")).as("nrm"))
+      val cent = sg.filter(col("vec_id") < 16).toDF("c_id", "cq", "cn")
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+        .orderBy(V.icosN(col("q"), col("cq"), col("nrm"), col("cn")).desc, col("c_id"))
+      val assign = sg.crossJoin(broadcast(cent))
+        .withColumn("rc", row_number().over(wc))
+        .filter(col("rc") === 1)
+        .select(col("vec_id"), col("q"), col("nrm"), col("c_id").as("cell"))
+      val a = assign.toDF("v1", "qa", "na", "cell")
+      val b = assign.toDF("v2", "qb", "nb", "cell2")
+      val dups = a.join(b, col("cell") === col("cell2") && col("v1") < col("v2"))
+        .filter(V.icosN(col("qa"), col("qb"), col("na"), col("nb")) >= 350000)
+        .select(col("v2").as("dup")).distinct()
+      assign.join(dups, col("vec_id") === col("dup"), "left_outer")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+    },
+
     // Fuzzy near-dup by edit distance: blocked (12-char prefix +
     // length bucket) so levenshtein — O(l²) per pair — runs only on
     // candidate pairs, never all-pairs. Both engines ship the same
