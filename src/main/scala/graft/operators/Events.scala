@@ -366,6 +366,25 @@ object Events {
         .select("event_type", "hour_id", "n", "med", "mad")
     },
 
+    // ---- SLIDING time window (2h length, 1h slide): every event
+    // lands in two overlapping buckets — Spark's window() emits the
+    // assignment natively; the oracle derives the same two start
+    // hours per event arithmetically. Overlap factor multiplies rows
+    // by length/slide (2 here), a constant — still one hash agg.
+    sql("events_sliding_window",
+      """SELECT t.start_hour, event_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |    unnest([epoch_ns(ts) // 3600000000000 - 1,
+        |            epoch_ns(ts) // 3600000000000]) AS start_hour
+        |  FROM events) t
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select((unix_micros(col("window.start")) / 3600000000L).cast(LongType).as("start_hour"),
+          col("event_type"), col("n"))
+    },
+
     // ---- Markov transition counts: (previous event → event) pairs per
     // user in time order — the first-order behavioral model behind
     // next-event prediction and anomaly scoring. One lag window on the
