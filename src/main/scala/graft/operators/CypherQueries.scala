@@ -258,6 +258,38 @@ object CypherQueries {
         |RETURN c.c_custkey AS c_custkey, ok, price
         |ORDER BY c_custkey, price DESC, ok""".stripMargin),
 
+    // UNION across two MATCH arms (set semantics: distinct rows)
+    q("cy_union",
+      """SELECT name FROM (
+        |  SELECT c_name AS name FROM customer WHERE c_custkey <= 50
+        |  UNION SELECT s_name FROM supplier WHERE s_suppkey <= 50) t
+        |ORDER BY name""".stripMargin)(
+      """MATCH (c:customer) WHERE c.c_custkey <= 50 RETURN c.c_name AS name
+        |UNION
+        |MATCH (s:supplier) WHERE s.s_suppkey <= 50 RETURN s.s_name AS name
+        |ORDER BY name""".stripMargin),
+
+    // CASE expression in RETURN, grouped
+    q("cy_case",
+      """SELECT o_orderpriority AS pri,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1, 2""".stripMargin)(
+      """MATCH (o:order)
+        |RETURN o.o_orderpriority AS pri,
+        |  CASE WHEN o.o_totalprice > 100000 THEN
+        |    CASE WHEN o.o_totalprice > 200000 THEN 'big' ELSE 'mid' END
+        |  ELSE 'small' END AS bucket,
+        |  count(o) AS n""".stripMargin),
+
+    // read-side UNWIND: list expansion crossed with matched rows
+    q("cy_unwind",
+      """SELECT r.r_name AS r_name, u.x AS mult FROM region r,
+        |  unnest([1, 2, 3]) u(x) ORDER BY r_name, mult""".stripMargin)(
+      """MATCH (r:region) UNWIND [1, 2, 3] AS mult
+        |RETURN r.r_name AS r_name, mult ORDER BY r_name, mult""".stripMargin),
+
     // Schema introspection (what Neo4j Browser calls on connect): one
     // row per (srcLabel, relType, dstLabel) with edge counts — two
     // label joins + one hash agg over the graph view.
