@@ -46,7 +46,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup self-joins are equi joins on block keys") {
     Seq("dedup_minhash_lsh", "dedup_embed_cosine", "dedup_editdist",
-      "dedup_simhash_pairs").foreach { q =>
+      "dedup_simhash_pairs", "ann_range").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNL join")
