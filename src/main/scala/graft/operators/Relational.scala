@@ -110,6 +110,61 @@ object Relational {
         .limit(10)
     },
 
+    // -- 6-way join (TPC-H Q5 shape): region→nation→customer/supplier
+    // co-location predicate + lineitem fact. Dims broadcast, the two
+    // fact joins shuffle on their keys — the join-ordering stress shape.
+    sql("q5_local_supplier",
+      """SELECT n.n_name AS n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      c.join(o, o("o_custkey") === c("c_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .join(su, su("s_suppkey") === l("l_suppkey") &&
+          su("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), n("n_nationkey") === c("c_nationkey"))
+        .join(broadcast(r), r("r_regionkey") === n("n_regionkey"))
+        .groupBy(n("n_name").as("n_name"))
+        .agg(sum((l("l_extendedprice") * (lit(1.0) - l("l_discount"))).cast(D6))
+          .cast(DoubleType).as("revenue"))
+    },
+
+    // -- HAVING + semi-join back to the fact (TPC-H Q18 shape): find
+    // large-volume orders, then re-join to pull their details — the
+    // aggregate acts as a filter relation (Catalyst plans the IN as a
+    // semi join, no correlated re-execution).
+    sql("q18_large_volume",
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |GROUP BY o.o_orderkey, o.o_totalprice""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val big = l.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(D2)).as("q"))
+        .filter(col("q") > 150)
+        .select(col("l_orderkey").as("big_key"))
+      o.join(big, o("o_orderkey") === col("big_key"), "left_semi")
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderkey"), o("o_totalprice"))
+        .agg(sum(col("l_quantity").cast(D2)).cast(DoubleType).as("total_qty"))
+    },
+
     // -- Join: left outer -------------------------------------------------
     sql("join_left",
       """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
