@@ -366,6 +366,46 @@ object Events {
         .select("event_type", "hour_id", "n", "med", "mad")
     },
 
+    // ---- RFM segmentation: recency/frequency/monetary scores per
+    // user at fixed business thresholds (the scale-honest variant —
+    // rank-based quintiles need a GLOBAL ordered window, one task at
+    // any size; fixed bins are a narrow map). Metrics are exact
+    // integers (days, counts, cents); the corpus max-day anchor is a
+    // one-row broadcast join.
+    sql("events_rfm",
+      """WITH anchor AS (SELECT max(epoch_ns(ts) // 86400000000000) AS maxd FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |    (SELECT maxd FROM anchor) - max(epoch_ns(ts) // 86400000000000) AS rec,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  CASE WHEN rec <= 0 THEN 3 WHEN rec <= 1 THEN 2 ELSE 1 END AS r,
+        |  CASE WHEN freq >= 75 THEN 4 WHEN freq >= 65 THEN 3
+        |       WHEN freq >= 55 THEN 2 ELSE 1 END AS f,
+        |  CASE WHEN cents >= 450000 THEN 4 WHEN cents >= 350000 THEN 3
+        |       WHEN cents >= 250000 THEN 2 ELSE 1 END AS m,
+        |  count(*) AS n_users
+        |FROM pu GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+      val anchor = e.agg(max("day").as("maxd"))
+      val perUser = e.groupBy("user_id")
+        .agg(max("day").as("last_day"), count(lit(1)).as("freq"),
+          sum("cents").as("cents"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("rec", col("maxd") - col("last_day"))
+      perUser.select(
+          when(col("rec") <= 0, 3).when(col("rec") <= 1, 2).otherwise(1).as("r"),
+          when(col("freq") >= 75, 4).when(col("freq") >= 65, 3)
+            .when(col("freq") >= 55, 2).otherwise(1).as("f"),
+          when(col("cents") >= 450000L, 4).when(col("cents") >= 350000L, 3)
+            .when(col("cents") >= 250000L, 2).otherwise(1).as("m"))
+        .groupBy("r", "f", "m").agg(count(lit(1)).as("n_users"))
+    },
+
     // ---- SLIDING time window (2h length, 1h slide): every event
     // lands in two overlapping buckets — Spark's window() emits the
     // assignment natively; the oracle derives the same two start
