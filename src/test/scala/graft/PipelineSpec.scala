@@ -103,6 +103,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sampling keeps roughly the configured per-language rate") {
+    val rows = run("sample_weighted").collect()
+    rows.foreach { r =>
+      val (lang, total, kept) =
+        (r.getAs[String]("lang"), r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))
+      val rate = lang match {
+        case "en" => 0.9; case "de" | "es" => 0.5; case "fr" => 0.25; case _ => 0.1
+      }
+      assert(kept <= total)
+      // hash-uniformity tolerance on small strata: within ±0.25 absolute
+      assert(math.abs(kept.toDouble / total - rate) <= 0.25,
+        s"$lang kept $kept/$total, configured rate $rate")
+    }
+  }
+
+  test("gap-filled hourly series is dense: consecutive hours, zero-count rows present") {
+    val rows = SparkEntry.queries("events_gap_fill")(spark, sf).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val hours = rs.map(_.getAs[Long]("hour_id")).sorted
+      assert(hours.last - hours.head + 1 == hours.length, "series has holes")
+    }
+    assert(rows.exists(_.getAs[Long]("n") == 0L), "no zero-filled rows — gap fill vacuous")
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions._
