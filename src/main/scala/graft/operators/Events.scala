@@ -366,6 +366,47 @@ object Events {
         .select("event_type", "hour_id", "n", "med", "mad")
     },
 
+    // ---- clickstream path analysis: top-20 full session paths —
+    // sessionize, concatenate each session's event types in time
+    // order, count path frequencies. The order-preserving concat is
+    // collect-structs → array_sort → project (collect_list alone has
+    // no order guarantee); one window + one agg + a 20-row top-k.
+    sql("events_top_paths",
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tsus
+         |  FROM events),
+         |lagged AS (
+         |  SELECT *, CASE WHEN tsus - lag(tsus)
+         |      OVER (PARTITION BY user_id ORDER BY tsus, event_id) > $GAP_US
+         |    THEN 1 ELSE 0 END AS new_sess
+         |  FROM base),
+         |sess AS (
+         |  SELECT user_id, event_id, event_type, tsus,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsus, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM lagged),
+         |paths AS (
+         |  SELECT string_agg(event_type, '>' ORDER BY tsus, event_id) AS path
+         |  FROM sess GROUP BY user_id, session_id)
+         |SELECT path, count(*) AS n FROM paths
+         |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("tsus", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("tsus", unix_micros(col("ts")))
+        .withColumn("new_sess",
+          when(col("tsus") - lag(col("tsus"), 1).over(w) > GAP_US, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(concat_ws(">",
+          transform(
+            array_sort(collect_list(struct(col("tsus"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type"))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    },
+
     // ---- RFM segmentation: recency/frequency/monetary scores per
     // user at fixed business thresholds (the scale-honest variant —
     // rank-based quintiles need a GLOBAL ordered window, one task at
