@@ -113,6 +113,24 @@ object CypherQueries {
       """MATCH (c:customer)-[:IN*1..2]->(x) WHERE c.c_custkey <= 2000
         |RETURN DISTINCT c.c_custkey AS c_custkey, id(x) AS x_id""".stripMargin),
 
+    // UNDIRECTED var-length expand: 2-hop reachability over the
+    // symmetrized IN edges from region 0 — nations at hop 1, their
+    // customers/suppliers at hop 2, plus the start again via the
+    // back-edge (reachability semantics keep it).
+    q("cy_varlen_undirected",
+      """SELECT DISTINCT x_id FROM (
+        |  SELECT n_nationkey * 10 + 2 AS x_id FROM nation WHERE n_regionkey = 0
+        |  UNION ALL
+        |  SELECT c.c_custkey * 10 + 3 FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey WHERE n.n_regionkey = 0
+        |  UNION ALL
+        |  SELECT s.s_suppkey * 10 + 5 FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey WHERE n.n_regionkey = 0
+        |  UNION ALL SELECT 1) t
+        |ORDER BY x_id""".stripMargin)(
+      """MATCH (r:region)-[:IN*1..2]-(x) WHERE r.r_regionkey = 0
+        |RETURN DISTINCT id(x) AS x_id ORDER BY x_id""".stripMargin),
+
     // two-hop chained pattern across three node sets
     q("cy_two_hop",
       """SELECT n.n_name AS n_name, r.r_name AS r_name, count(*) AS n_supp
