@@ -461,6 +461,61 @@ object Relational {
           regexp_replace(col("c_name"), "[0-9]", "#").as("masked"))
     },
 
+    // -- Filtered / boolean aggregates -------------------------------------
+    sql("agg_filtered",
+      """SELECT l_returnflag,
+        |  count(*) FILTER (l_quantity > 25) AS n_big,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_discount > 0.09) AS any_high_discount
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count_if(col("l_quantity") > 25).as("n_big"),
+          bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_or(col("l_discount") > 0.09).as("any_high_discount"))
+    },
+
+    // -- String functions, second family (pad/translate/initcap/repeat) ---
+    sql("string_fns2",
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '.') AS padded,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS tr,
+        |  repeat(p_type, 2) AS rep,
+        |  CAST(strpos(p_name, 'e') AS INTEGER) AS epos,
+        |  reverse(p_brand) AS rev
+        |FROM part WHERE p_partkey <= 60""".stripMargin) { (s, d) =>
+      Tables.part(s, d).filter(col("p_partkey") <= 60)
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, ".").as("padded"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+          repeat(col("p_type"), 2).as("rep"),
+          instr(col("p_name"), "e").as("epos"),
+          reverse(col("p_brand")).as("rev"))
+    },
+
+    // -- Date field extraction + arithmetic --------------------------------
+    // ISO dow/weeks on both sides (Spark dayofweek is 1=Sunday, DuckDB
+    // dow is 0=Sunday — `isodow`/weekday-from-Monday avoids both).
+    sql("date_fns2",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(isodow(o_orderdate) AS INTEGER) AS idow,
+        |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due,
+        |  CAST(last_day(o_orderdate) AS DATE) AS month_end
+        |FROM orders WHERE o_orderkey <= 500""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          expr("(dayofweek(o_orderdate) + 5) % 7 + 1").cast(IntegerType).as("idow"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          date_add(col("o_orderdate"), 30).as("due"),
+          last_day(col("o_orderdate")).as("month_end"))
+    },
+
     // -- Date/time functions ----------------------------------------------
     sql("date_fns",
       """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
