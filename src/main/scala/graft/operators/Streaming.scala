@@ -160,15 +160,24 @@ object Streaming {
         col("p_user") === col("v_user") &&
           col("p_tsm") >= col("v_tsm") &&
           col("p_tsm") <= col("v_tsm") + expr("INTERVAL 30 MINUTES"))
-      val q = joined.writeStream
-        .outputMode(OutputMode.Append())
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-          batch.write.mode("append").parquet(sink)
-        }
-        .start()
-      q.awaitTermination()
+      // a stream-stream join instantiates FOUR state stores per state
+      // partition; the partition count is pinned at first run from
+      // spark.sql.shuffle.partitions, so scope it down for this
+      // bounded replay (state sizing is a per-deployment knob — a real
+      // cluster sizes it to executors, not to the session default)
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            batch.write.mode("append").parquet(sink)
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
       s.read.parquet(sink)
         .groupBy(col("v_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
