@@ -152,11 +152,18 @@ final class GraftSession(val spark: SparkSession,
   // C12 (ref DatabaseIO.java:113-115) — issued against the system db
   private val AlterPw =
     """(?is)\s*ALTER\s+CURRENT\s+USER\s+SET\s+PASSWORD\s+FROM\s+'([^']*)'\s+TO\s+'([^']*)'\s*""".r
-  // Transaction script syntax (cypher-shell scripts open explicit
+  // Transaction scripts (cypher-shell scripts open explicit
   // transactions — ref TestBasic.java:146-156 drives cypher-shell):
-  // every statement here autocommits, so BEGIN/COMMIT are validated
-  // no-ops; ROLLBACK of a transaction that already applied a mutation
-  // must ERROR rather than silently pretend to undo it.
+  // the immutable-snapshot design makes real transactions a pointer
+  // swap. BEGIN marks the transaction open; the first mutation of
+  // each database inside it captures that database's entry state
+  // (graph pointer + id counter); COMMIT publishes (drops the saved
+  // entries); ROLLBACK restores every captured pointer, leaving the
+  // graph bit-identical to the entry snapshot. Reads inside the
+  // transaction see its own uncommitted writes (read-your-writes).
+  // Catalog DDL (CREATE/DROP/STOP/START DATABASE) and password
+  // changes still autocommit — documented in README "Deliberate
+  // deviations".
   // EXPLAIN <q> returns the Catalyst plan without executing; PROFILE
   // <q> executes and appends the row count (the reference's EXPLAIN/
   // PROFILE prefixes, minus its proprietary operator cards — the
@@ -166,7 +173,9 @@ final class GraftSession(val spark: SparkSession,
   private val CommitTx   = """(?is)\s*COMMIT(\s+TRANSACTION)?\s*""".r
   private val RollbackTx = """(?is)\s*ROLLBACK(\s+TRANSACTION)?\s*""".r
   @volatile private var txnOpen = false
-  @volatile private var txnMutated = false
+  /** Entry (graph, nextId) per database first mutated inside the open
+    * transaction — what ROLLBACK restores. */
+  private val txnEntry = collection.mutable.Map.empty[String, (PropertyGraph, Long)]
 
   def cypher(q: String, database: String = "neo4j"): DataFrame =
     cypher(q, Map.empty[String, Any], database)
@@ -210,18 +219,20 @@ final class GraftSession(val spark: SparkSession,
       spark.createDataFrame(javaList(planLines.map(Row(_))), schema)
     case BeginTx(_) =>
       if (txnOpen) throw new IllegalStateException("There is already an open transaction")
-      txnOpen = true; txnMutated = false; unit()
+      txnOpen = true; txnEntry.clear(); unit()
     case CommitTx(_) =>
       if (!txnOpen) throw new IllegalStateException("There is no open transaction to commit")
-      txnOpen = false; txnMutated = false; unit()
+      // the mutations already swapped each database's snapshot in as
+      // they ran; COMMIT just drops the entry pointers (publish)
+      txnOpen = false; txnEntry.clear(); unit()
     case RollbackTx(_) =>
       if (!txnOpen) throw new IllegalStateException("There is no open transaction to roll back")
-      val dirty = txnMutated
-      txnOpen = false; txnMutated = false
-      if (dirty) throw new IllegalStateException(
-        "Cannot roll back: statements in this transaction were already applied " +
-          "(every statement autocommits in this engine)")
-      unit()
+      txnEntry.foreach { case (name, (g, nid)) =>
+        val d = catalog.database(name)
+        d.graph = g
+        d.nextId.set(nid)
+      }
+      txnEntry.clear(); txnOpen = false; unit()
     case ShowDbs() => showDatabases()
     case ShowProcs(rest) => showProcedures(rest)
     case _ =>
@@ -236,7 +247,11 @@ final class GraftSession(val spark: SparkSession,
       if (isMutation) {
         if (parsed.unions.nonEmpty)
           throw new UnsupportedOperationException("UNION of mutating queries is not supported")
-        if (txnOpen) txnMutated = true
+        // first mutation of this database inside the open transaction:
+        // capture its entry state for ROLLBACK (pointers only — the
+        // snapshots are immutable, so this costs nothing)
+        if (txnOpen && !txnEntry.contains(database))
+          txnEntry(database) = (db.graph, db.nextId.get())
         mutate(db, parsed)
       } else compiler(db).compile(parsed)
   }

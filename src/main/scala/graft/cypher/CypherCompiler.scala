@@ -291,18 +291,44 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       if (ret.orderBy.nonEmpty || ret.limit.isDefined || ret.skip.isDefined)
         throw new UnsupportedOperationException(
           "ORDER BY/SKIP/LIMIT on an aggregating CALL { } RETURN")
-      val aggs = aggItems.map(i => compileExpr(i.expr, subDf).as(i.name))
+      // Each item splits into its aggregate subcalls (computed in the
+      // groupBy) and a post-join combiner, so count/sum zero-fill lands
+      // BEFORE any surrounding arithmetic: `count(x) + 1` is 1 for an
+      // outer row with no match (count over empty = 0, openCypher),
+      // not NULL. min/max/avg/collect over empty stay NULL.
+      val aggParts = collection.mutable.LinkedHashMap.empty[FnCall, String]
+      def decompose(e: Expr): Unit = e match {
+        case f: FnCall if aggregateFns(f.name.toLowerCase) =>
+          aggParts.getOrElseUpdate(f, s"_csagg${aggParts.size}"); ()
+        case Arith(_, l, r) => decompose(l); decompose(r)
+        case _: Lit         => ()
+        case other => throw new UnsupportedOperationException(
+          "an aggregating CALL { } RETURN item combines aggregates, " +
+            s"arithmetic and literals only, got $other")
+      }
+      aggItems.foreach(i => decompose(i.expr))
+      val aggs = aggParts.toSeq.map { case (f, nm) => compileExpr(f, subDf).as(nm) }
       val grouped = subDf.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        .select((keys.map(c => col(c).as(s"_cs_$c")) ++ aggItems.map(i => col(i.name))): _*)
+        .select((keys.map(c => col(c).as(s"_cs_$c")) ++
+          aggParts.values.toSeq.map(col)): _*)
       val cond = keys.map(c => outer(c) === grouped(s"_cs_$c")).reduce(_ && _)
       var out = outer.join(grouped, cond, "left_outer")
-      aggItems.foreach { i =>
-        i.expr match {
-          case f: FnCall if Set("count", "sum").contains(f.name.toLowerCase) =>
-            out = out.withColumn(i.name, coalesce(col(i.name), lit(0L)))
-          case _ => ()
-        }
+      def combine(e: Expr): Column = e match {
+        case f: FnCall if aggregateFns(f.name.toLowerCase) =>
+          if (Set("count", "sum").contains(f.name.toLowerCase))
+            coalesce(col(aggParts(f)), lit(0L))
+          else col(aggParts(f))
+        case Arith(op, l, r) =>
+          val (lc, rc) = (combine(l), combine(r))
+          op match {
+            case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
+            case "/" => lc / rc; case "%" => lc % rc
+          }
+        case Lit(v) => lit(v)
+        case other => throw new UnsupportedOperationException(s"unsupported $other")
       }
+      aggItems.foreach(i => out = out.withColumn(i.name, combine(i.expr)))
+      out = out.drop(aggParts.values.toSeq: _*)
       keys.foldLeft(out)((d, c) => d.drop(s"_cs_$c"))
     } else {
       // sort exprs resolve against the inner frame (an ORDER BY alias
@@ -330,7 +356,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
             .filter(col("_cs_rn") <= k + ret.skip.getOrElse(0L) &&
               col("_cs_rn") > ret.skip.getOrElse(0L))
             .drop("_cs_rn")
-        case (Nil, None) => ()
+        case (Nil, None) =>
+          // refuse rather than silently return unskipped rows: SKIP
+          // without the ORDER BY … LIMIT window has no per-import-key
+          // implementation here
+          if (ret.skip.isDefined) throw new UnsupportedOperationException(
+            "CALL { } supports SKIP only together with ORDER BY … LIMIT (per-row top-k)")
         case _ => throw new UnsupportedOperationException(
           "CALL { } supports ORDER BY only together with LIMIT (per-row top-k)")
       }

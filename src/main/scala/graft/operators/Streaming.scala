@@ -144,13 +144,28 @@ object Streaming {
         |SELECT v.user_id, count(*) AS n_pairs
         |FROM v JOIN p ON p.user_id = v.user_id
         |  AND p.tsus >= v.tsus AND p.tsus <= v.tsus + 1800000000
-        |GROUP BY v.user_id""".stripMargin) { (s, d) =>
+        |GROUP BY v.user_id""".stripMargin) { (s0, d) =>
+      // a stream-stream join instantiates FOUR state stores per state
+      // partition; the partition count is pinned at first run from
+      // spark.sql.shuffle.partitions, so scope it down for this
+      // bounded replay. The override lives on a CLONED session (shared
+      // SparkContext, isolated SQLConf) — a concurrent query on the
+      // main session never sees the 8-partition sizing (state sizing
+      // is a per-deployment knob — a real cluster sizes it to
+      // executors, not to the session default).
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
       val sink = s"$tmp/sink"
+      // parity with the batch oracle assumes the whole replay lands in
+      // ONE micro-batch (cross-batch pairs could otherwise be dropped
+      // once the 1-hour watermark advances between batches): pin
+      // single-batch behavior instead of relying on it incidentally
       def side(et: String, pfx: String) =
         s.readStream.schema(rawEventSchema)
           .option("pathGlobFilter", "events*.parquet")
+          .option("maxFilesPerTrigger", "1000000")
           .parquet(d)
           .filter(col("event_type") === et)
           .select(col("user_id").as(s"${pfx}_user"),
@@ -160,24 +175,15 @@ object Streaming {
         col("p_user") === col("v_user") &&
           col("p_tsm") >= col("v_tsm") &&
           col("p_tsm") <= col("v_tsm") + expr("INTERVAL 30 MINUTES"))
-      // a stream-stream join instantiates FOUR state stores per state
-      // partition; the partition count is pinned at first run from
-      // spark.sql.shuffle.partitions, so scope it down for this
-      // bounded replay (state sizing is a per-deployment knob — a real
-      // cluster sizes it to executors, not to the session default)
-      val saved = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = joined.writeStream
-          .outputMode(OutputMode.Append())
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-            batch.write.mode("append").parquet(sink)
-          }
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          batch.write.mode("append").parquet(sink)
+        }
+        .start()
+      q.awaitTermination()
       s.read.parquet(sink)
         .groupBy(col("v_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))

@@ -640,23 +640,37 @@ class CypherSpec extends AnyFunSuite {
     assert(s.graph().nodes.count() == 2)
   }
 
-  test("transaction script syntax: BEGIN/COMMIT no-ops, ROLLBACK-after-write errors") {
+  test("transactions: COMMIT publishes atomically, ROLLBACK restores the entry snapshot") {
     val s = new GraftSession(spark)
     // the cypher-shell script shape (ref TestBasic.java:146-156):
-    // BEGIN … statements … COMMIT keeps running under autocommit
+    // BEGIN … statements … COMMIT applies the writes
     s.cypher("BEGIN")
     s.cypher("CREATE (a:tx {n: 1})")
     s.cypher("COMMIT")
     assert(s.graph().nodes.filter("n = 1").count() == 1)
-    // read-only transaction may roll back (nothing applied)
+    // read-only transaction rolls back trivially
     s.cypher("BEGIN TRANSACTION")
     s.cypher("MATCH (a:tx) RETURN a.n AS n").collect()
     s.cypher("ROLLBACK")
-    // rolling back an applied mutation must error, not lie
+    // ROLLBACK after writes restores the entry snapshot bit-identically
+    // (including the id counter, so the next create reuses the ids)
+    val before = s.graph().nodes.collect().toSet
     s.cypher("BEGIN")
     s.cypher("CREATE (b:tx {n: 2})")
-    val e = intercept[IllegalStateException] { s.cypher("ROLLBACK") }
-    assert(e.getMessage.contains("Cannot roll back"))
+    // a refused statement mid-transaction must not corrupt the txn
+    intercept[UnsupportedOperationException] { s.cypher("SET b.n = 3") }
+    // reads inside the transaction see its own uncommitted writes
+    assert(s.cypher("MATCH (b:tx) RETURN count(*) AS c").collect().head.getLong(0) == 2L)
+    s.cypher("ROLLBACK")
+    assert(s.graph().nodes.collect().toSet == before)
+    assert(s.cypher("MATCH (b:tx) RETURN count(*) AS c").collect().head.getLong(0) == 1L)
+    // BEGIN → two CREATEs → COMMIT applies both
+    s.cypher("BEGIN")
+    s.cypher("CREATE (c:tx {n: 10})")
+    s.cypher("CREATE (d:tx {n: 11})")
+    s.cypher("COMMIT")
+    assert(s.cypher("MATCH (x:tx) WHERE x.n >= 10 RETURN count(*) AS c")
+      .collect().head.getLong(0) == 2L)
     // commit/rollback without an open transaction are errors
     intercept[IllegalStateException] { s.cypher("COMMIT") }
     intercept[IllegalStateException] { s.cypher("ROLLBACK") }
