@@ -325,37 +325,22 @@ final class GraftSession(val spark: SparkSession,
     // elements are substituted into the pattern first, then appended
     // in ONE union + ONE snapshot swap (a per-element recursion would
     // build an N-deep plan lineage and N catalog swaps; the whole
-    // point of the idiom is 10k-row bulk loads). Anything fancier
-    // (UNWIND over a query, UNWIND with SET/MERGE) is refused rather
+    // point of the idiom is 10k-row bulk loads). UNWIND … MERGE is
+    // the batched upsert path (mutateUnwindMerge). Anything fancier
+    // (UNWIND over a query, UNWIND with SET/DELETE) is refused rather
     // than silently instantiated once.
     val unwinds = q.clauses.collect { case u: ast.Unwind => u }
     if (unwinds.nonEmpty) {
+      if (unwinds.size == 1 && merges.size == 1 && creates.isEmpty && matches.isEmpty &&
+          sets.isEmpty && deletes.isEmpty && labelSets.isEmpty && returns.isEmpty)
+        return mutateUnwindMerge(db, unwinds.head, merges.head)
       if (unwinds.size != 1 || creates.isEmpty || matches.nonEmpty || merges.nonEmpty ||
           sets.nonEmpty || deletes.nonEmpty || labelSets.nonEmpty || returns.nonEmpty)
         throw new UnsupportedOperationException(
-          "UNWIND composes with mutations only as `UNWIND <list> AS x CREATE …`")
+          "UNWIND composes with mutations only as `UNWIND <list> AS x CREATE …` " +
+            "or `UNWIND <list> AS x MERGE (n:L {key: x.key}) [ON CREATE SET …] [ON MATCH SET …]`")
       val u = unwinds.head
-      val elems: Seq[Any] = u.expr match {
-        case ast.ListLit(items) => items.map {
-          case ast.Lit(v) => v
-          case other => throw new UnsupportedOperationException(
-            s"UNWIND … CREATE needs a literal list, got element $other")
-        }
-        // the standard bulk-load idiom: UNWIND range(1, 10000) AS x
-        case ast.FnCall(f, args, _) if f.equalsIgnoreCase("range") =>
-          val nums = args.map {
-            case ast.Lit(n: Long) => n
-            case other => throw new UnsupportedOperationException(
-              s"range() in UNWIND … CREATE needs integer literals, got $other")
-          }
-          if (nums.size < 2 || nums.size > 3)
-            throw new IllegalArgumentException("range() takes (start, end[, step])")
-          val step = if (nums.size == 3) nums(2) else 1L
-          if (step == 0) throw new IllegalArgumentException("range() step must not be 0")
-          (nums(0) to nums(1) by step).toVector
-        case other => throw new UnsupportedOperationException(
-          s"UNWIND … CREATE needs a literal list or range(), got $other")
-      }
+      val elems: Seq[Any] = unwindElements(u, "UNWIND … CREATE")
       val alias = u.alias
       def subst(props: Map[String, ast.Lit], elem: Any): Map[String, ast.Lit] =
         props.map {
@@ -677,34 +662,94 @@ final class GraftSession(val spark: SparkSession,
   /** MERGE: match the whole pattern; create it only when absent
     * (openCypher match-or-create for fully-literal patterns).
     *
-    * Single-node MERGE compiles to ONE declarative plan with no
-    * driver probe: ON MATCH folds in as an update-by-join over the
-    * pre-existing matched ids, and the create branch is the literal
-    * row anti-joined against the (≤1-row) match — so the row appends
-    * exactly when the pattern was absent, with ON CREATE columns
-    * applied. One snapshot swap per clause, plan depth constant.
-    *
-    * Path MERGE keeps a whole-pattern existence probe (one tiny
-    * driver action on a literal pattern) and then branches — creating
-    * a multi-node path "only if absent" needs the branch decision
-    * before id minting. */
+    * Both shapes compile to declarative plans with ZERO driver
+    * actions: ON MATCH folds in as an update-by-join over the
+    * pre-existing matches, and the create branch's literal rows are
+    * anti-joined against the (≤1-row) whole-pattern match — they
+    * append exactly when the pattern was absent, with ON CREATE
+    * columns applied at build. One snapshot swap per clause, plan
+    * depth constant. */
   private def mutateMerge(db: GraphDatabase, merges: Seq[ast.Merge]): DataFrame = {
     merges.foreach { m =>
       if (m.pattern.hops.isEmpty) mergeNode(db, m)
-      else {
-        val found = new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
-          .compile(ast.Query(Seq(
-            ast.Match(Seq(m.pattern), optional = false, None),
-            ast.Return(Seq(ast.ReturnItem(ast.Lit(1L), Some("one"))), distinct = false, Nil, None, Some(1L)))))
-          .take(1).nonEmpty
-        val handlers = if (found) m.onMatch else m.onCreate
-        if (!found) mutate(db, ast.Query(Seq(ast.Create(Seq(m.pattern)))))
-        if (handlers.nonEmpty)
-          mutateSetDelete(db, Seq(ast.Match(Seq(m.pattern), optional = false, None)),
-            Seq(ast.SetProps(handlers)), Nil)
-      }
+      else mergePath(db, m)
     }
     unit()
+  }
+
+  /** Declarative whole-path MERGE (see [[mutateMerge]]): the literal
+    * pattern's existence is a ≤1-row subquery over the PRE-statement
+    * snapshot, evaluated inside anti joins — never a driver probe.
+    * The snapshot is immutable, so the lazy gate plan stays correct
+    * even after ON MATCH swaps the graph pointer (and after ON MATCH
+    * rewrites the very properties the pattern matched on — the gate
+    * must see the entry state, exactly what the old-snapshot plan
+    * pins). Fresh ids are minted unconditionally (run-deterministic
+    * either way); the anti join decides whether the rows land. */
+  private def mergePath(db: GraphDatabase, m: ast.Merge): Unit = {
+    import org.apache.spark.sql.functions._
+    val g0 = db.graph
+    val gate = new CypherCompiler(spark, g0, procedures.procedure, procedures.scalar)
+      .compile(ast.Query(Seq(
+        ast.Match(Seq(m.pattern), optional = false, None),
+        ast.Return(Seq(ast.ReturnItem(ast.Lit(1L), Some("_gate"))),
+          distinct = false, Nil, None, Some(1L)))))
+
+    // ON MATCH: update-by-join over the pre-existing matches (an empty
+    // match marks nothing — the join is a no-op on the data)
+    if (m.onMatch.nonEmpty)
+      mutateSetDelete(db, Seq(ast.Match(Seq(m.pattern), optional = false, None)),
+        Seq(ast.SetProps(m.onMatch)), Nil)
+
+    // instantiate the literal pattern
+    val bound = collection.mutable.LinkedHashMap.empty[String, (Long, ast.NodePat)]
+    var anon = 0
+    def bindNode(n: ast.NodePat): Long = {
+      val v = n.variable.getOrElse { anon += 1; s"_anon$anon" }
+      bound.getOrElseUpdate(v, (db.allocate(1L), n))._1
+    }
+    val relRows = collection.mutable.ArrayBuffer.empty[(Long, Long, ast.RelPat, String)]
+    var prevId = bindNode(m.pattern.start)
+    m.pattern.hops.foreach { case (rel, node) =>
+      val nextId = bindNode(node)
+      val rv = rel.variable.getOrElse { anon += 1; s"_anonr$anon" }
+      if (rel.dir == -1) relRows += ((nextId, prevId, rel, rv))
+      else relRows += ((prevId, nextId, rel, rv))
+      prevId = nextId
+    }
+    val onCreateByVar = m.onCreate.groupBy(_._1.variable)
+    val patternVars = bound.keySet ++ relRows.map(_._4)
+    onCreateByVar.keys.find(!patternVars.contains(_)).foreach { v =>
+      throw new UnsupportedOperationException(
+        s"ON CREATE SET references `$v`, which the MERGE pattern does not bind")
+    }
+
+    val g1 = db.graph // post-ON MATCH
+    var nodesDf = g1.nodes
+    bound.foreach { case (v, (id, np)) =>
+      val propKeys = np.props.keys.toSeq.sorted
+      var row = spark.range(1).select(
+        (Seq(lit(id).as("id"), array(np.labels.map(lit): _*).as("labels")) ++
+          propKeys.map(k => lit(norm(np.props(k).v)).as(k))): _*)
+      onCreateByVar.getOrElse(v, Nil).foreach { case (p, rhs) =>
+        row = row.withColumn(p.key, setValueColumn(row, v, isRel = false, rhs))
+      }
+      nodesDf = PropertyGraph.appendByName(nodesDf, row.join(gate, lit(true), "left_anti"))
+    }
+    var edgesDf = g1.edges
+    relRows.foreach { case (s0, d0, rel, rv) =>
+      val relType = rel.types.headOption.getOrElse(
+        throw new IllegalArgumentException("MERGE relationship requires a type"))
+      val propKeys = rel.props.keys.toSeq.sorted
+      var row = spark.range(1).select(
+        (Seq(lit(s0).as("src"), lit(d0).as("dst"), lit(relType).as("relType")) ++
+          propKeys.map(k => lit(norm(rel.props(k).v)).as(k))): _*)
+      onCreateByVar.getOrElse(rv, Nil).foreach { case (p, rhs) =>
+        row = row.withColumn(p.key, setValueColumn(row, rv, isRel = true, rhs))
+      }
+      edgesDf = PropertyGraph.appendByName(edgesDf, row.join(gate, lit(true), "left_anti"))
+    }
+    db.graph = PropertyGraph(nodesDf, edgesDf)
   }
 
   /** Declarative single-node match-or-create (see [[mutateMerge]]). */
@@ -744,6 +789,246 @@ final class GraftSession(val spark: SparkSession,
     }
     val missing = row.join(matched.limit(1), lit(true), "left_anti")
     db.graph = PropertyGraph(PropertyGraph.appendByName(nodes, missing), g.edges)
+  }
+
+  /** Literal elements of an UNWIND over a literal list or range(). */
+  private def unwindElements(u: ast.Unwind, what: String): Seq[Any] = u.expr match {
+    case ast.ListLit(items) => items.map {
+      case ast.Lit(v) => v
+      case other => throw new UnsupportedOperationException(
+        s"$what needs a literal list, got element $other")
+    }
+    // the standard bulk-load idiom: UNWIND range(1, 10000) AS x
+    case ast.FnCall(f, args, _) if f.equalsIgnoreCase("range") =>
+      val nums = args.map {
+        case ast.Lit(n: Long) => n
+        case other => throw new UnsupportedOperationException(
+          s"range() in $what needs integer literals, got $other")
+      }
+      if (nums.size < 2 || nums.size > 3)
+        throw new IllegalArgumentException("range() takes (start, end[, step])")
+      val step = if (nums.size == 3) nums(2) else 1L
+      if (step == 0) throw new IllegalArgumentException("range() step must not be 0")
+      (nums(0) to nums(1) by step).toVector
+    case other => throw new UnsupportedOperationException(
+      s"$what needs a literal list or range(), got $other")
+  }
+
+  /** Bulk upsert — `UNWIND $batch AS row MERGE (n:L {key: row.key})
+    * ON CREATE SET … ON MATCH SET …` — the reference client surface's
+    * #1 write idiom: every Bolt driver batches writes as a parameter
+    * map on `session.run` (ref DatabaseIO.java:121-132).
+    *
+    * Declarative, constant plan depth in the batch size: the batch
+    * lands as ONE local DataFrame; pre-existing matches update through
+    * ONE update-by-join (the batch side broadcasts, the node table
+    * stays distributed); missing keys append through ONE anti-join of
+    * the candidate rows against the pre-statement key set (at scale
+    * that anti-join shuffles only the key projection of the node
+    * table, or broadcasts it when small — AQE's call). Never a
+    * per-element probe: a 10k-row batch is two joins, not 10k lookups.
+    *
+    * openCypher parity notes (all refusals loud):
+    * - the merge pattern is a single node whose props (the merge key)
+    *   come from the unwind alias or literals; a null key value
+    *   errors like the reference ("cannot merge … null property");
+    * - SET values combine row fields, literals, arithmetic and the
+    *   merge variable's own properties (`n.cnt + 1`);
+    * - duplicate keys in one batch collapse: the first occurrence
+    *   drives ON CREATE, the last drives ON MATCH — exactly the
+    *   sequential outcome for row-valued SETs. A duplicate key whose
+    *   ON MATCH reads the merge variable's own properties is refused
+    *   (a sequential self-increment cannot collapse into one join).
+    */
+  private def mutateUnwindMerge(db: GraphDatabase, u: ast.Unwind, m: ast.Merge): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (m.pattern.hops.nonEmpty)
+      throw new UnsupportedOperationException(
+        "UNWIND … MERGE supports a single-node merge pattern")
+    val alias = u.alias
+    val np = m.pattern.start
+    val mergeVar = np.variable.getOrElse("_m")
+    val elems = unwindElements(u, "UNWIND … MERGE")
+    if (elems.isEmpty) return unit()
+    val keyNames = np.props.keys.toSeq.sorted
+    if (keyNames.isEmpty) throw new UnsupportedOperationException(
+      "UNWIND … MERGE needs at least one merge-key property on the pattern")
+    (m.onCreate ++ m.onMatch).foreach { case (p, _) =>
+      if (p.variable != mergeVar) throw new UnsupportedOperationException(
+        s"SET on UNWIND … MERGE targets the merged variable only, got ${p.variable}.${p.key}")
+    }
+
+    // ---- per-element access ------------------------------------------
+    val ELEM = "__elem" // pseudo-field: the alias itself (scalar batches)
+    def field(elem: Any, key: String): Any =
+      if (key == ELEM) norm(elem)
+      else elem match {
+        case mp: collection.Map[_, _] =>
+          norm(mp.asInstanceOf[collection.Map[String, Any]].getOrElse(key, null))
+        case other => throw new UnsupportedOperationException(
+          s"`$alias.$key` needs map elements in the UNWIND batch, got $other")
+      }
+    def keyOf(elem: Any): Seq[Any] = keyNames.map { k =>
+      val v = np.props(k).v match {
+        case ast.VarRefValue(`alias`)     => norm(elem)
+        case ast.PropRefValue(`alias`, f) => field(elem, f)
+        case ast.VarRefValue(other) =>
+          throw new NoSuchElementException(s"Variable `$other` not defined")
+        case ast.PropRefValue(other, f) =>
+          throw new NoSuchElementException(s"Variable `$other` not defined (in `$other.$f`)")
+        case lit0 => norm(lit0)
+      }
+      if (v == null) throw new IllegalArgumentException(
+        s"Cannot merge the following node because of null property value for '$k'")
+      v
+    }
+    def rowFields(e: ast.Expr): Set[String] = e match {
+      case ast.Prop(`alias`, k)  => Set(k)
+      case ast.Variable(`alias`) => Set(ELEM)
+      case ast.Arith(_, l, r)    => rowFields(l) ++ rowFields(r)
+      case ast.Cmp(_, l, r)      => rowFields(l) ++ rowFields(r)
+      case ast.CaseExpr(ws, o) =>
+        ws.flatMap { case (c, v) => rowFields(c) ++ rowFields(v) }.toSet ++
+          o.toSeq.flatMap(rowFields)
+      case _ => Set.empty
+    }
+    def refsMergeVar(e: ast.Expr): Boolean = e match {
+      case ast.Prop(`mergeVar`, _)  => true
+      case ast.Variable(`mergeVar`) => true
+      case ast.Arith(_, l, r)       => refsMergeVar(l) || refsMergeVar(r)
+      case ast.Cmp(_, l, r)         => refsMergeVar(l) || refsMergeVar(r)
+      case ast.CaseExpr(ws, o) =>
+        ws.exists { case (c, v) => refsMergeVar(c) || refsMergeVar(v) } ||
+          o.exists(refsMergeVar)
+      case _ => false
+    }
+    // driver-side evaluation for row-only values (the create branch)
+    def evalLocal(e: ast.Expr, elem: Any): Any = e match {
+      case ast.Lit(v)            => norm(v)
+      case ast.Prop(`alias`, k)  => field(elem, k)
+      case ast.Variable(`alias`) => norm(elem)
+      case ast.Prop(`mergeVar`, k) if keyNames.contains(k) =>
+        keyOf(elem)(keyNames.indexOf(k)) // pattern prop of the node being created
+      case ast.Arith(op, l, r) =>
+        (evalLocal(l, elem), evalLocal(r, elem)) match {
+          case (x: Long, y: Long) => op match {
+            case "+" => x + y; case "-" => x - y; case "*" => x * y
+            case "/" => x / y; case "%" => x % y
+          }
+          case (x: String, y: String) if op == "+" => x + y
+          case (a, b) =>
+            def toD(v: Any): Double = v match {
+              case l0: Long => l0.toDouble; case d0: Double => d0
+              case other => throw new UnsupportedOperationException(
+                s"non-numeric operand $other in UNWIND … MERGE SET arithmetic")
+            }
+            val (x, y) = (toD(a), toD(b))
+            op match {
+              case "+" => x + y; case "-" => x - y; case "*" => x * y
+              case "/" => x / y; case "%" => x % y
+            }
+        }
+      case other => throw new UnsupportedOperationException(
+        s"UNWIND … MERGE SET value supports row fields, literals and arithmetic, got $other")
+    }
+    def firstType(vs: Iterable[Any]): DataType =
+      vs.find(_ != null).map(PropertyGraph.literalType).getOrElse(StringType)
+
+    // ---- collapse the batch per merge key ----------------------------
+    // (first occurrence, last occurrence, count)
+    val byKey = collection.mutable.LinkedHashMap.empty[Seq[Any], (Any, Any, Int)]
+    elems.foreach { e =>
+      val k = keyOf(e)
+      byKey.get(k) match {
+        case None              => byKey(k) = (e, e, 1)
+        case Some((f0, _, c0)) => byKey(k) = (f0, e, c0 + 1)
+      }
+    }
+    val onMatchReadsNode = m.onMatch.exists { case (_, e) => refsMergeVar(e) }
+    if (onMatchReadsNode && byKey.valuesIterator.exists(_._3 > 1))
+      throw new UnsupportedOperationException(
+        "duplicate merge keys in one batch cannot compose with an ON MATCH SET " +
+          "that reads the merge variable's own properties")
+
+    val g = db.graph
+    def labelCond(nodesDf: DataFrame): org.apache.spark.sql.Column =
+      np.labels.foldLeft(lit(true))((c, l) => c && array_contains(nodesDf("labels"), l))
+    val keyColsPresent = keyNames.forall(g.nodes.columns.contains)
+
+    // ---- ON MATCH: one update-by-join over the pre-statement nodes ---
+    var nodes = g.nodes
+    if (m.onMatch.nonEmpty && keyColsPresent) {
+      val fields = m.onMatch.flatMap { case (_, e) => rowFields(e) }.distinct
+      val rows = byKey.toSeq.map { case (k, (_, last, _)) =>
+        Row.fromSeq(k ++ fields.map(f => field(last, f)))
+      }
+      val schema = StructType(
+        keyNames.zipWithIndex.map { case (kn, i) =>
+          StructField(s"_bk_$kn", firstType(byKey.keysIterator.map(_(i)).toSeq)) } ++
+        fields.map { f =>
+          StructField(s"_bf_$f", firstType(byKey.valuesIterator.map(v => field(v._2, f)).toSeq)) })
+      val batchDf = spark.createDataFrame(javaList(rows), schema)
+      val cond = keyNames.map(kn => g.nodes(kn) === col(s"_bk_$kn")).reduce(_ && _)
+      var upd = g.nodes.join(broadcast(batchDf), cond, "left_outer")
+      val mark = col(s"_bk_${keyNames.head}").isNotNull && labelCond(g.nodes)
+      def colExpr(e: ast.Expr): org.apache.spark.sql.Column = e match {
+        case ast.Lit(v)            => lit(norm(v))
+        case ast.Prop(`alias`, f)  => col(s"_bf_$f")
+        case ast.Variable(`alias`) => col(s"_bf_$ELEM")
+        case ast.Prop(`mergeVar`, k) if g.nodes.columns.contains(k) => col(k)
+        case ast.Prop(`mergeVar`, _) => lit(null)
+        case ast.Arith(op, l, r) =>
+          val (lc, rc) = (colExpr(l), colExpr(r))
+          op match {
+            case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
+            case "/" => lc / rc; case "%" => lc % rc
+          }
+        case other => throw new UnsupportedOperationException(
+          s"UNWIND … MERGE ON MATCH SET value supports row fields, literals, " +
+            s"arithmetic and $mergeVar's own properties, got $other")
+      }
+      m.onMatch.foreach { case (p, e) =>
+        val vcol = colExpr(e)
+        upd = if (upd.columns.contains(p.key))
+          upd.withColumn(p.key, when(mark, vcol).otherwise(col(p.key)))
+        else upd.withColumn(p.key, when(mark, vcol))
+      }
+      nodes = upd.drop(schema.fieldNames.toIndexedSeq: _*)
+    }
+
+    // ---- create branch: candidates anti-joined against existing keys -
+    // ids minted per distinct key up front (run-deterministic); keys
+    // that turn out to exist just skip their candidate row. A key that
+    // repeats in the batch applies the last occurrence's ON MATCH to
+    // its own created row (row-only values — the n-reading case was
+    // refused above).
+    val createBase = db.allocate(byKey.size.toLong)
+    val candProps = byKey.toSeq.zipWithIndex.map { case ((k, (first, last, cnt)), i) =>
+      val props = collection.mutable.LinkedHashMap.empty[String, Any]
+      keyNames.zip(k).foreach { case (kn, kv) => props(kn) = kv }
+      m.onCreate.foreach { case (p, e) => props(p.key) = evalLocal(e, first) }
+      if (cnt > 1) m.onMatch.foreach { case (p, e) => props(p.key) = evalLocal(e, last) }
+      (createBase + i, props)
+    }
+    val propKeys = candProps.flatMap(_._2.keys).distinct.sorted
+    val candSchema = StructType(
+      PropertyGraph.nodeBaseSchema.fields.toSeq ++
+      propKeys.map(k => StructField(k,
+        firstType(candProps.flatMap(_._2.get(k))))))
+    val candRows = candProps.map { case (id, props) =>
+      Row.fromSeq(Seq(id, np.labels) ++ propKeys.map(k => props.getOrElse(k, null)))
+    }
+    val cand = spark.createDataFrame(javaList(candRows), candSchema)
+    val missing =
+      if (!keyColsPresent) cand // no such property column: nothing can match
+      else {
+        val existingKeys = g.nodes.filter(labelCond(g.nodes))
+          .select(keyNames.map(kn => col(kn).as(s"_ek_$kn")): _*).distinct()
+        cand.join(existingKeys,
+          keyNames.map(kn => cand(kn) === col(s"_ek_$kn")).reduce(_ && _), "left_anti")
+      }
+    db.graph = PropertyGraph(PropertyGraph.appendByName(nodes, missing), g.edges)
+    unit()
   }
 
   /** MATCH … MERGE (a)-[r:T {props}]->(b): both endpoints bound by

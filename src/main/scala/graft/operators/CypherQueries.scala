@@ -267,6 +267,37 @@ object CypherQueries {
         |RETURN o.o_orderpriority AS pri, count(DISTINCT c.c_nationkey) AS n_nations
         |ORDER BY pri""".stripMargin),
 
+    // Bulk upsert — `UNWIND $batch AS row MERGE … ON CREATE SET … ON
+    // MATCH SET …`, the reference client surface's #1 write idiom
+    // (every Bolt driver batches writes as a parameter map on
+    // session.run — ref DatabaseIO.java:121-132). 1500 keys, half
+    // pre-existing: ONE update-by-join marks the hits, ONE anti-join
+    // append creates the misses — constant plan depth in the batch
+    // size. Runs on a FRESH session (the shared cached graph must not
+    // see the mutation); the oracle recomputes the hit/miss split
+    // from the raw customer table.
+    sql("cy_unwind_merge",
+      """WITH batch AS (
+        |  SELECT range AS k, range * 7 AS bal FROM range(1, 3000, 2)),
+        |tag AS (
+        |  SELECT b.k, b.bal, c.c_custkey IS NOT NULL AS hit
+        |  FROM batch b LEFT JOIN customer c ON c.c_custkey = b.k)
+        |SELECT CASE WHEN hit THEN 'old' ELSE 'new' END AS src,
+        |  count(*) AS n, CAST(sum(bal) AS BIGINT) AS total
+        |FROM tag GROUP BY 1""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      val batch = (1L until 3000L by 2L).map(k => Map("k" -> k, "bal" -> k * 7))
+      gs.cypher(
+        """UNWIND $batch AS row MERGE (c:customer {c_custkey: row.k})
+          |ON CREATE SET c.src = 'new', c.bal2 = row.bal
+          |ON MATCH SET c.src = 'old', c.bal2 = row.bal""".stripMargin,
+        Map("batch" -> batch))
+      gs.cypher(
+        """MATCH (c:customer) WHERE c.src IS NOT NULL
+          |RETURN c.src AS src, count(c) AS n, sum(c.bal2) AS total""".stripMargin)
+    },
+
     // CALL { } composition subquery, the per-entity top-k idiom: each
     // customer's 2 priciest orders. Compiles to ONE row_number window
     // over the import key + a join back — decorrelated, never per-row

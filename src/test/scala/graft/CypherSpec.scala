@@ -399,6 +399,24 @@ class CypherSpec extends AnyFunSuite {
     assert(m == Map("name" -> "Arne", "age" -> "4"))
   }
 
+  test("path MERGE is fully declarative: zero driver jobs until read") {
+    val s = new GraftSession(spark)
+    val sc = spark.sparkContext
+    sc.setJobGroup("merge-noprobe", "path MERGE probe check", false)
+    s.cypher("MERGE (x:mcat {name:'Mio'})-[:CHASES]->(y:mcat {name:'Rut'})")
+    s.cypher("MERGE (x:mcat {name:'Mio'})-[:CHASES]->(y:mcat {name:'Rut'}) " +
+      "ON MATCH SET x.seen = 1 ON CREATE SET y.fresh = 1")
+    sc.clearJobGroup()
+    // materialize AFTER clearing the group — only the reads run jobs
+    assert(s.graph().nodes.filter("name = 'Mio'").count() == 1)
+    assert(s.graph().nodes.filter("name = 'Mio' AND seen = 1").count() == 1)
+    assert(s.graph().nodes.filter("fresh = 1").count() == 0)
+    assert(s.graph().edges.filter("relType = 'CHASES'").count() == 1)
+    Thread.sleep(300) // allow the async status store to ingest
+    assert(sc.statusTracker.getJobIdsForGroup("merge-noprobe").isEmpty,
+      "path MERGE ran driver actions while building the mutation")
+  }
+
   test("MERGE ON CREATE SET / ON MATCH SET take the right branch") {
     val s = new GraftSession(spark)
     val q = "MERGE (c:city {name:'Oslo'}) " +
@@ -678,6 +696,61 @@ class CypherSpec extends AnyFunSuite {
     s.cypher("BEGIN")
     intercept[IllegalStateException] { s.cypher("BEGIN") }
     s.cypher("COMMIT")
+  }
+
+  test("UNWIND $batch MERGE: 10k-element upsert, one append + one update join") {
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(1, 500) AS x CREATE (:item {k: x, v: 0})")
+    val batch = (1 to 10000).map(i => Map("k" -> i.toLong, "v" -> (i * 3).toLong))
+    s.cypher(
+      """UNWIND $batch AS row MERGE (n:item {k: row.k})
+        |ON CREATE SET n.v = row.v, n.src = 'new'
+        |ON MATCH SET n.v = row.v, n.src = 'old'""".stripMargin,
+      Map("batch" -> batch))
+    val nodes = s.graph().nodes
+    assert(nodes.count() == 10000)
+    assert(nodes.filter("src = 'old'").count() == 500)
+    assert(nodes.filter("src = 'new'").count() == 9500)
+    assert(nodes.filter("k = 7").select("v").collect().head.getLong(0) == 21L)
+    assert(nodes.filter("k = 9999").select("v").collect().head.getLong(0) == 29997L)
+    // constant plan depth: the batch lands as one local relation plus
+    // two joins — a per-element path would show ~10k plan nodes here
+    val planSize = nodes.queryExecution.logical.collect { case p => p }.size
+    assert(planSize < 60, s"plan grew with batch size: $planSize nodes")
+  }
+
+  test("UNWIND $batch MERGE: counter increment, duplicate-key collapse, refusals") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:acc {k: 1, cnt: 10})")
+    s.cypher(
+      """UNWIND $b AS row MERGE (n:acc {k: row.k})
+        |ON CREATE SET n.cnt = 0 ON MATCH SET n.cnt = n.cnt + row.d""".stripMargin,
+      Map("b" -> Seq(Map("k" -> 1L, "d" -> 5L), Map("k" -> 2L, "d" -> 7L))))
+    val acc = s.graph().nodes
+    assert(acc.filter("k = 1").select("cnt").collect().head.getLong(0) == 15L)
+    assert(acc.filter("k = 2").select("cnt").collect().head.getLong(0) == 0L)
+    // duplicate keys collapse: first occurrence drives ON CREATE, last
+    // drives ON MATCH — including onto the just-created node
+    s.cypher(
+      """UNWIND $b AS row MERGE (n:acc2 {k: row.k})
+        |ON CREATE SET n.a = row.v ON MATCH SET n.b = row.v""".stripMargin,
+      Map("b" -> Seq(Map("k" -> 9L, "v" -> 1L), Map("k" -> 9L, "v" -> 2L))))
+    val d = s.graph().nodes.filter("k = 9").select("a", "b").collect().head
+    assert(d.getLong(0) == 1L && d.getLong(1) == 2L)
+    assert(s.graph().nodes.filter("k = 9").count() == 1)
+    // scalar batches merge on the element itself
+    s.cypher("UNWIND $b AS x MERGE (n:s {k: x})", Map("b" -> Seq(1, 2, 2, 3)))
+    assert(s.cypher("MATCH (n:s) RETURN count(*) AS c").collect().head.getLong(0) == 3L)
+    // refused loudly: duplicate keys + ON MATCH reading the node
+    intercept[UnsupportedOperationException] {
+      s.cypher("UNWIND $b AS row MERGE (n:acc3 {k: row.k}) ON MATCH SET n.c = n.c + 1",
+        Map("b" -> Seq(Map("k" -> 1L), Map("k" -> 1L))))
+    }
+    // refused loudly: null merge key
+    intercept[IllegalArgumentException] {
+      s.cypher("UNWIND $b AS row MERGE (n:acc4 {k: row.k})",
+        Map("b" -> Seq(Map("x" -> 1L))))
+    }
   }
 
   test("parameters: unbound $name raises Expected parameter(s)") {
