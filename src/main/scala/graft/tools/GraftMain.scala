@@ -53,6 +53,14 @@ object GraftMain {
         Lifecycle.registerShutdownHook(dataDir, () =>
           session.catalog.listDatabases.filterNot(_ == "system")
             .foreach(db => session.saveDatabase(dataDir, db)))
+        // 7474-style HTTP surface (tx/commit + readiness probe),
+        // opt-in via GRAFT_HTTP_PORT (the reference image always maps
+        // 7474; here the default stays off so batch/driver runs don't
+        // bind ports)
+        env.get("GRAFT_HTTP_PORT").map(_.toInt).foreach { p =>
+          val bound = new graft.http.HttpEndpoint(session, p).start()
+          Console.out.println(s"HTTP enabled on 127.0.0.1:$bound")
+        }
         Console.out.println("Started.")
         Shell.main(args.drop(1))
 

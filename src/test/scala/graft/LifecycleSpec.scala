@@ -63,4 +63,99 @@ class LifecycleSpec extends AnyFunSuite {
       assert(!Files.exists(Paths.get(dir, "run", "graft.pid")))
     } finally Runtime.getRuntime.removeShutdownHook(hook)
   }
+
+  // ---- 7474-style HTTP surface (ref WaitStrategies.java:24-39,
+  // Dockerfile-trixie:54) --------------------------------------------
+
+  private def httpGet(url: String): (Int, String) = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val body = new String(is.readAllBytes(), "UTF-8")
+    (code, body)
+  }
+
+  private def httpPost(url: String, json: String,
+      auth: Option[(String, String)] = None): (Int, String) = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/json")
+    auth.foreach { case (u, p) =>
+      val tok = java.util.Base64.getEncoder.encodeToString(s"$u:$p".getBytes("UTF-8"))
+      conn.setRequestProperty("Authorization", s"Basic $tok")
+    }
+    conn.getOutputStream.write(json.getBytes("UTF-8"))
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val body = new String(is.readAllBytes(), "UTF-8")
+    (code, body)
+  }
+
+  test("HTTP tx/commit round-trips the dogs graph; readiness flips with STOP/START") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val session = new GraftSession(spark)
+    val ep = new graft.http.HttpEndpoint(session, 0) // ephemeral port
+    val port = ep.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      // write + parameterized read in one transactional request
+      val (code, body) = httpPost(s"$base/db/neo4j/tx/commit",
+        """{"statements":[
+          |{"statement":"CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})"},
+          |{"statement":"MATCH (a:dog)-[:SNIFFS]->(b:dog) WHERE a.name = $who RETURN a.name AS a, b.name AS b",
+          | "parameters":{"who":"Arne"}}]}""".stripMargin)
+      assert(code == 200, body)
+      assert(body.contains(""""columns":["a","b"]"""), body)
+      assert(body.contains(""""row":["Arne","Bosse"]"""), body)
+      assert(body.contains(""""errors":[]"""), body)
+      // a failing statement rolls the whole request back
+      val (code2, body2) = httpPost(s"$base/db/neo4j/tx/commit",
+        """{"statements":[
+          |{"statement":"CREATE (c:dog {name:'Nope'})"},
+          |{"statement":"THIS IS NOT CYPHER"}]}""".stripMargin)
+      assert(code2 == 200)
+      assert(body2.contains("SyntaxError"), body2)
+      assert(session.graph().nodes.count() == 2) // Nope rolled back
+      // readiness probe (ref WaitStrategies.java:24-39): 200 ↔ started
+      assert(httpGet(s"$base/db/neo4j/cluster/available")._1 == 200)
+      session.cypher("STOP DATABASE neo4j")
+      assert(httpGet(s"$base/db/neo4j/cluster/available")._1 == 404)
+      session.cypher("START DATABASE neo4j")
+      assert(httpGet(s"$base/db/neo4j/cluster/available")._1 == 200)
+      assert(httpGet(s"$base/db/nosuchdb/cluster/available")._1 == 404)
+      // unknown endpoint
+      assert(httpGet(s"$base/db/neo4j/wat")._1 == 404)
+    } finally ep.stop()
+  }
+
+  test("HTTP tx/commit enforces basic auth when the session has a credential store") {
+    val spark = org.apache.spark.sql.SparkSession.builder().getOrCreate()
+    val dir = tmp()
+    val store = new graft.auth.AuthStore(dir)
+    store.setInitialPassword("secretpass")
+    val session = new GraftSession(spark)
+    session.authStore = Some(store)
+    val ep = new graft.http.HttpEndpoint(session, 0)
+    val port = ep.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val stmt = """{"statements":[{"statement":"MATCH (n) RETURN count(n) AS c"}]}"""
+      assert(httpPost(s"$base/db/neo4j/tx/commit", stmt)._1 == 401)
+      assert(httpPost(s"$base/db/neo4j/tx/commit", stmt,
+        Some(("neo4j", "wrong")))._1 == 401)
+      val (code, body) = httpPost(s"$base/db/neo4j/tx/commit", stmt,
+        Some(("neo4j", "secretpass")))
+      assert(code == 200, body)
+      assert(body.contains(""""row":[0]"""), body)
+    } finally ep.stop()
+  }
 }
