@@ -559,8 +559,14 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case 0  => symmetrized(typedEdges(rel)).select(col("src").as("_s"), col("dst").as("_t"))
     }).distinct()
     val seeds = cur.select(cur(s"$av${SEP}id").as("_s")).distinct()
+    // `_p` carries the witness path (node-id array) per (start, end):
+    // the first-hit level IS the shortest distance, and the groupBy
+    // min(_p) keeps the lexicographically smallest shortest path —
+    // deterministic, so nodes(p) is oracle-hashable. Array width is
+    // bounded by `hi`, so state per pair stays O(hi).
     var frontier = base.join(seeds, Seq("_s"), "left_semi")
       .withColumn("_d", lit(1L))
+      .withColumn("_p", array(col("_s"), col("_t")))
     var reached = frontier
     var step = 1
     var exhausted = false
@@ -569,11 +575,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       val next = frontier.drop("_d")
         .join(base.withColumnRenamed("_s", "_m").withColumnRenamed("_t", "_u"),
           col("_t") === col("_m"))
-        .select(col("_s"), col("_u").as("_t")).distinct()
+        .select(col("_s"), col("_u").as("_t"), concat(col("_p"), array(col("_u"))).as("_p"))
+        .groupBy(col("_s"), col("_t")).agg(min(col("_p")).as("_p"))
         .join(reached.select("_s", "_t"), Seq("_s", "_t"), "left_anti")
         .withColumn("_d", lit(step.toLong))
       if (next.isEmpty) exhausted = true
-      else { reached = reached.union(next); frontier = next }
+      else { reached = reached.union(next.select(reached.columns.map(col): _*)); frontier = next }
     }
     val dist = reached.filter(col("_d") >= lo)
       .withColumnRenamed("_s", s"_sp${SEP}s").withColumnRenamed("_t", s"_sp${SEP}t")
@@ -586,7 +593,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         out.join(n, col(s"_sp${SEP}t") === n(s"$bv${SEP}id"))
       }
     out = out.withColumn(s"${m.pathVar}${SEP}len", col("_d"))
-      .drop(s"_sp${SEP}s", s"_sp${SEP}t", "_d")
+      .withColumn(s"${m.pathVar}${SEP}nodes", col("_p"))
+      .withColumn(s"${m.pathVar}${SEP}relType",
+        lit(rel.types.headOption.orNull).cast("string"))
+      .drop(s"_sp${SEP}s", s"_sp${SEP}t", "_d", "_p")
     restWhere.foreach(e => out = filterWithSubqueries(out, e))
     out
   }
@@ -754,6 +764,31 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       items = items.map(it => ReturnItem(substSubquery(it.expr, s, Variable(helper)), Some(it.name)))
       orderBy = orderBy.map { case (e, asc) => (substSubquery(e, s, Variable(helper)), asc) }
     }
+
+    // `[x IN nodes(p) | x.key]` — per-element property projection over
+    // a path's node-id array. A transform() lambda cannot look a
+    // property up in the node table, so this materializes as a helper
+    // column: posexplode the ids, join the property, regroup in path
+    // order (addPathPropCol), then the item compiles as an ordinary
+    // expression over the helper.
+    def collectPathProps(e: Expr): Seq[ListComp] = e match {
+      case lc @ ListComp(v, FnCall(fn, Seq(Variable(p)), _), None, Some(Prop(v2, _)))
+          if fn.equalsIgnoreCase("nodes") && v2 == v &&
+            df.columns.contains(s"$p${SEP}nodes") => Seq(lc)
+      case FnCall(_, args, _) => args.flatMap(collectPathProps)
+      case Arith(_, l, r)     => collectPathProps(l) ++ collectPathProps(r)
+      case _                  => Nil
+    }
+    val pathProps = items.flatMap(i => collectPathProps(i.expr)).distinct
+    pathProps.zipWithIndex.foreach { case (lc, i) =>
+      val helper = s"_ppc$i"
+      (lc: @unchecked) match {
+        case ListComp(_, FnCall(_, Seq(Variable(p)), _), _, Some(Prop(_, key))) =>
+          df = addPathPropCol(df, s"$p${SEP}nodes", key, helper)
+      }
+      items = items.map(it => ReturnItem(substSubquery(it.expr, lc, Variable(helper)), Some(it.name)))
+      orderBy = orderBy.map { case (e, asc) => (substSubquery(e, lc, Variable(helper)), asc) }
+    }
     val hasAgg = items.exists(i => containsAggregate(i.expr))
 
     // ORDER BY may reference pre-projection values (openCypher allows
@@ -811,6 +846,29 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     limit.foreach(n => out = out.limit(n.toInt))
     if (hiddenSorts.nonEmpty) out = out.drop(hiddenSorts.map(_._1).toSeq: _*)
     out
+  }
+
+  /** Materialize `[x IN nodes(p) | x.<key>]` as a column: explode the
+    * id array with positions, left-join the node property (absent key
+    * or unmatched id reads as null, openCypher semantics), then
+    * regroup sorted by position. The row key is a per-row surrogate —
+    * deterministic within one execution, dropped before returning. */
+  private def addPathPropCol(df0: DataFrame, arrCol: String, key: String,
+      helper: String): DataFrame = {
+    val rowKey = s"${helper}_rk"
+    val withId = df0.withColumn(rowKey, monotonically_increasing_id())
+    val exploded = withId.select(col(rowKey),
+      posexplode(col(arrCol)).as(Seq("_pos", "_nid")))
+    val nodeProp =
+      if (graph.nodes.columns.contains(key))
+        graph.nodes.select(col("id").as("_nid"), col(key).as("_pv"))
+      else graph.nodes.select(col("id").as("_nid"), lit(null).cast("string").as("_pv"))
+    val packed = exploded.join(nodeProp, Seq("_nid"), "left_outer")
+      .groupBy(col(rowKey))
+      .agg(sort_array(collect_list(struct(col("_pos"), col("_pv")))).as("_sorted"))
+      .withColumn(helper, transform(col("_sorted"), x => x.getField("_pv")))
+      .select(col(rowKey), col(helper))
+    withId.join(packed, Seq(rowKey), "left_outer").drop(rowKey)
   }
 
   // ------------------------------------------------------------------
@@ -915,6 +973,25 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "type"   => f.args.head match {
         case Variable(v) => col(s"$v${SEP}relType")
         case other       => compileExpr(other, df)
+      }
+      // path accessors over a shortestPath binding: nodes(p) is the
+      // witness path's node-id array; relationships(p) derives the
+      // consecutive (src, dst, relType) triples from it (edges carry
+      // no surrogate id — README "Deliberate deviations")
+      case "nodes" => f.args.head match {
+        case Variable(v) if df.columns.contains(s"$v${SEP}nodes") => col(s"$v${SEP}nodes")
+        case other => throw new UnsupportedOperationException(
+          s"nodes() takes a bound path variable, got $other")
+      }
+      case "relationships" => f.args.head match {
+        case Variable(v) if df.columns.contains(s"$v${SEP}nodes") =>
+          val arr = col(s"$v${SEP}nodes")
+          transform(slice(arr, lit(1), size(arr) - 1), (x, i) => struct(
+            x.as("src"),
+            element_at(arr, (i + lit(2)).cast("int")).as("dst"),
+            col(s"$v${SEP}relType").as("relType")))
+        case other => throw new UnsupportedOperationException(
+          s"relationships() takes a bound path variable, got $other")
       }
       // scalar library (openCypher names → Catalyst built-ins; codegen'd)
       case "tolower" | "lower"  => lower(a(0))

@@ -267,6 +267,33 @@ object CypherQueries {
         |RETURN o.o_orderpriority AS pri, count(DISTINCT c.c_nationkey) AS n_nations
         |ORDER BY pri""".stripMargin),
 
+    // Path projection beyond length(p): nodes(p) yields the witness
+    // path's node-id array (lexicographically smallest shortest path —
+    // deterministic, hashable), and `[x IN nodes(p) | x.prop]`
+    // projects a property per path node via explode+join+regroup (a
+    // transform() lambda cannot read the node table). Customer →
+    // nation → region is the unique 2-hop IN path, so the oracle
+    // reconstructs ids arithmetically; n_name exists only on the
+    // middle node — absent-property nulls render as '?', openCypher
+    // null semantics kept visible.
+    sql("cy_path_nodes",
+      """SELECT c.c_custkey AS ck,
+        |  CAST(c.c_custkey*10+3 AS VARCHAR) || '->' ||
+        |  CAST(n.n_nationkey*10+2 AS VARCHAR) || '->' ||
+        |  CAST(n.n_regionkey*10+1 AS VARCHAR) AS path_ids,
+        |  '?->' || n.n_name || '->?' AS names
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey <= 100 AND n.n_regionkey = 0""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.{array_join, col}
+      session(s, dir).cypher(
+        """MATCH p = shortestPath((c:customer)-[:IN*1..2]->(r:region))
+          |WHERE c.c_custkey <= 100 AND r.r_regionkey = 0
+          |RETURN c.c_custkey AS ck, nodes(p) AS path_ids,
+          |  [x IN nodes(p) | x.n_name] AS names""".stripMargin)
+        .withColumn("path_ids", array_join(col("path_ids").cast("array<string>"), "->"))
+        .withColumn("names", array_join(col("names"), "->", "?"))
+    },
+
     // Bulk upsert — `UNWIND $batch AS row MERGE … ON CREATE SET … ON
     // MATCH SET …`, the reference client surface's #1 write idiom
     // (every Bolt driver batches writes as a parameter map on

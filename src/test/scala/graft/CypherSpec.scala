@@ -753,6 +753,32 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("shortestPath: nodes(p)/relationships(p) project the witness path") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:hop {name:'a'})-[:N]->(b:hop {name:'b'})-[:N]->(c:hop {name:'c'})")
+    val two = s.cypher(
+      """MATCH p = shortestPath((a:hop {name:'a'})-[:N*1..5]->(c:hop {name:'c'}))
+        |RETURN length(p) AS len, [x IN nodes(p) | x.name] AS names""".stripMargin)
+      .collect().head
+    assert(two.getLong(0) == 2L)
+    assert(two.getSeq[String](1) == Seq("a", "b", "c"))
+    // add a direct shortcut: the shortest path drops to one hop
+    s.cypher("MATCH (a:hop {name:'a'}), (c:hop {name:'c'}) CREATE (a)-[:N]->(c)")
+    val one = s.cypher(
+      """MATCH p = shortestPath((a:hop {name:'a'})-[:N*1..5]->(c:hop {name:'c'}))
+        |RETURN length(p) AS len, nodes(p) AS ids, relationships(p) AS rels,
+        |  [x IN nodes(p) | x.name] AS names""".stripMargin)
+      .collect().head
+    assert(one.getLong(0) == 1L)
+    val ids = one.getSeq[Long](1)
+    assert(ids.size == 2)
+    assert(one.getSeq[String](3) == Seq("a", "c"))
+    val rels = one.getSeq[org.apache.spark.sql.Row](2)
+    assert(rels.size == 1)
+    assert(rels.head.getLong(0) == ids(0) && rels.head.getLong(1) == ids(1))
+    assert(rels.head.getString(2) == "N")
+  }
+
   test("parameters: unbound $name raises Expected parameter(s)") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {n: 1})")
