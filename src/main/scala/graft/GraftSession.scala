@@ -204,19 +204,42 @@ final class GraftSession(val spark: SparkSession,
       val db = catalog.database(database)
       db.requireStarted()
       val parsed = Params.substitute(CypherParser.parse(rest), params)
-      if (parsed.clauses.exists {
+      val isMut = parsed.clauses.exists {
         case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
-             _: ast.SetLabels | _: ast.Delete | _: ast.Merge => true
+             _: ast.SetLabels | _: ast.Delete | _: ast.Merge | _: ast.Foreach => true
         case _ => false
-      }) throw new UnsupportedOperationException(
-        s"${mode.toUpperCase} of a mutating statement is not supported")
-      val df = compiler(db).compile(parsed)
-      val isProfile = mode.equalsIgnoreCase("profile")
-      val nRows = if (isProfile) Some(df.count()) else None
-      val planLines = df.queryExecution.executedPlan.toString.linesIterator.toSeq ++
-        nRows.map(n => s"rows: $n")
+      }
       val schema = StructType(Seq(StructField("plan", StringType)))
-      spark.createDataFrame(javaList(planLines.map(Row(_))), schema)
+      if (isMut) {
+        if (mode.equalsIgnoreCase("profile")) throw new UnsupportedOperationException(
+          "PROFILE of a mutating statement is not supported")
+        // EXPLAIN of a mutation: run it against a SHADOW database
+        // sharing the current immutable snapshot and a copy of the id
+        // counter — a mutation's whole effect is building new lazy
+        // plans plus a pointer swap, so "explain without executing"
+        // is exactly "mutate the shadow, print its would-be plans".
+        // The real database, its id counter and its caches stay
+        // untouched.
+        val shadow = new GraphDatabase(db.name)
+        shadow.graph = db.graph
+        shadow.nextId.set(db.nextId.get())
+        try {
+          mutate(shadow, parsed)
+          val lines =
+            Seq("== would-be nodes plan ==") ++
+            shadow.graph.nodes.queryExecution.optimizedPlan.toString.linesIterator ++
+            Seq("== would-be edges plan ==") ++
+            shadow.graph.edges.queryExecution.optimizedPlan.toString.linesIterator
+          spark.createDataFrame(javaList(lines.map(Row(_)).toSeq), schema)
+        } finally shadow.releasePinned()
+      } else {
+        val df = compiler(db).compile(parsed)
+        val isProfile = mode.equalsIgnoreCase("profile")
+        val nRows = if (isProfile) Some(df.count()) else None
+        val planLines = df.queryExecution.executedPlan.toString.linesIterator.toSeq ++
+          nRows.map(n => s"rows: $n")
+        spark.createDataFrame(javaList(planLines.map(Row(_))), schema)
+      }
     case BeginTx(_) =>
       if (txnOpen) throw new IllegalStateException("There is already an open transaction")
       txnOpen = true; txnEntry.clear(); unit()

@@ -14,6 +14,18 @@ import org.apache.spark.sql.types._
   * reference's no-DDL model (ref DatabaseIO.java:42 — nodes exist on
   * first CREATE). At 100 TB, nodes/edges live as parquet partitioned
   * by label/relType; this class never assumes collected data.
+  *
+  * Schema-width contract (SURVEY §1.2 documented divergence): every
+  * property key promotes to a typed column — there is NO
+  * `MapType(String,String)` overflow. Typed columns keep predicates
+  * inside whole-stage codegen and push down to parquet scans, which a
+  * map lookup never does; the cost is schema width proportional to
+  * the DISTINCT key count. Re-using a key never re-widens (union is
+  * by name — spec-guarded), so width is bounded by the vocabulary of
+  * property keys, which is bounded in every reference-shaped workload
+  * (the reference asserts exactly four property value types,
+  * StubPluginHelper.java:131-134). A corpus with genuinely unbounded
+  * dynamic keys would want the map-overflow design instead.
   */
 final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 

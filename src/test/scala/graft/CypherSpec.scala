@@ -651,11 +651,20 @@ class CypherSpec extends AnyFunSuite {
     val prof = s.cypher("PROFILE MATCH (a:dog) RETURN a.name AS name")
       .collect().map(_.getString(0))
     assert(prof.last == "rows: 2")
-    intercept[UnsupportedOperationException] {
-      s.cypher("EXPLAIN CREATE (c:dog {name:'Nope'})")
-    }
-    // EXPLAIN never executed the CREATE
+    // EXPLAIN of a mutation prints the would-be plans and mutates NOTHING
+    val idBefore = s.catalog.database("neo4j").nextId.get()
+    val mplan = s.cypher("EXPLAIN CREATE (c:dog {name:'Nope'})")
+      .collect().map(_.getString(0))
+    assert(mplan.exists(_.contains("would-be nodes plan")))
+    assert(mplan.exists(_.contains("Union")), mplan.mkString("\n")) // the append shape
     assert(s.graph().nodes.count() == 2)
+    assert(s.graph().nodes.filter("name = 'Nope'").count() == 0)
+    assert(s.catalog.database("neo4j").nextId.get() == idBefore,
+      "EXPLAIN must not consume ids")
+    // PROFILE of a mutation still refuses (profiling would execute it)
+    intercept[UnsupportedOperationException] {
+      s.cypher("PROFILE CREATE (c:dog {name:'Nope'})")
+    }
   }
 
   test("transactions: COMMIT publishes atomically, ROLLBACK restores the entry snapshot") {
@@ -777,6 +786,22 @@ class CypherSpec extends AnyFunSuite {
     assert(rels.size == 1)
     assert(rels.head.getLong(0) == ids(0) && rels.head.getLong(1) == ids(1))
     assert(rels.head.getString(2) == "N")
+  }
+
+  test("schema width tracks DISTINCT property keys; key re-use never re-widens") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:w {novel: 1})")
+    val w1 = s.graph().nodes.columns.length
+    s.cypher("CREATE (b:w {novel: 2})") // same novel key again
+    assert(s.graph().nodes.columns.length == w1,
+      "re-using a property key must not add a column")
+    assert(s.graph().nodes.columns.count(_ == "novel") == 1)
+    s.cypher("CREATE (c:w {novel: 3, other: 'x'})") // one new key
+    assert(s.graph().nodes.columns.length == w1 + 1)
+    // MERGE/SET paths obey the same contract
+    s.cypher("MERGE (d:w {novel: 3})")
+    s.cypher("MATCH (a:w {novel: 1}) SET a.novel = 9")
+    assert(s.graph().nodes.columns.length == w1 + 1)
   }
 
   test("parameters: unbound $name raises Expected parameter(s)") {
