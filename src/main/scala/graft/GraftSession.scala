@@ -357,11 +357,15 @@ final class GraftSession(val spark: SparkSession,
       if (unwinds.size == 1 && merges.size == 1 && creates.isEmpty && matches.isEmpty &&
           sets.isEmpty && deletes.isEmpty && labelSets.isEmpty && returns.isEmpty)
         return mutateUnwindMerge(db, unwinds.head, merges.head)
+      if (unwinds.size == 1 && merges.nonEmpty && matches.nonEmpty && creates.isEmpty &&
+          sets.isEmpty && deletes.isEmpty && labelSets.isEmpty && returns.isEmpty)
+        return mutateUnwindMatchMerge(db, unwinds.head, matches, merges)
       if (unwinds.size != 1 || creates.isEmpty || matches.nonEmpty || merges.nonEmpty ||
           sets.nonEmpty || deletes.nonEmpty || labelSets.nonEmpty || returns.nonEmpty)
         throw new UnsupportedOperationException(
-          "UNWIND composes with mutations only as `UNWIND <list> AS x CREATE …` " +
-            "or `UNWIND <list> AS x MERGE (n:L {key: x.key}) [ON CREATE SET …] [ON MATCH SET …]`")
+          "UNWIND composes with mutations only as `UNWIND <list> AS x CREATE …`, " +
+            "`UNWIND <list> AS x MERGE (n:L {key: x.key}) …` " +
+            "or `UNWIND <list> AS x MATCH (a {k: x.s}), (b {k: x.d}) MERGE (a)-[:T]->(b) …`")
       val u = unwinds.head
       val elems: Seq[Any] = unwindElements(u, "UNWIND … CREATE")
       val alias = u.alias
@@ -1054,6 +1058,107 @@ final class GraftSession(val spark: SparkSession,
     unit()
   }
 
+  /** Batched relationship upsert — `UNWIND $batch AS row
+    * MATCH (a:L {k: row.src}), (b:M {k: row.dst}) MERGE (a)-[r:T]->(b)
+    * [ON CREATE SET …] [ON MATCH SET …]` — the second half of the Bolt
+    * drivers' batch-write idiom (node batch first, then the edge batch
+    * keyed by business ids; ref DatabaseIO.java:121-132 ships the
+    * parameter map on session.run).
+    *
+    * Declarative, constant plan depth: the batch lands as ONE local
+    * DataFrame whose per-variable key columns equi-join (broadcast)
+    * against the node table to bind each endpoint id — MATCH
+    * semantics, so keys that bind nothing drop — and the resulting
+    * binding table feeds the same anti-join/update-by-join core as
+    * MATCH … MERGE ([[mergeRelFromBindings]]): a 10k-pair batch is a
+    * handful of joins, never 10k probes.
+    *
+    * SET values are restricted to literals and the merged
+    * relationship's own properties (row fields inside SET would need
+    * per-pair value carriage through the distinct — refused loudly;
+    * batch edge payloads belong in the node/edge CREATE paths). */
+  private def mutateUnwindMatchMerge(db: GraphDatabase, u: ast.Unwind,
+      matches: Seq[ast.Match], merges: Seq[ast.Merge]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val alias = u.alias
+    val elems = unwindElements(u, "UNWIND … MATCH … MERGE")
+    if (elems.isEmpty) return unit()
+    if (matches.exists(_.where.isDefined) || matches.exists(_.optional))
+      throw new UnsupportedOperationException(
+        "UNWIND … MATCH … MERGE supports plain single-node MATCH patterns (no WHERE/OPTIONAL)")
+    val nodePats = matches.flatMap(_.patterns).map { p =>
+      if (p.hops.nonEmpty) throw new UnsupportedOperationException(
+        "UNWIND … MATCH … MERGE binds endpoints with single-node patterns")
+      p.start
+    }
+    val vars = nodePats.map(_.variable.getOrElse(throw new UnsupportedOperationException(
+      "UNWIND … MATCH … MERGE endpoint patterns must be named")))
+    merges.foreach { m =>
+      (m.onCreate ++ m.onMatch).foreach { case (_, e) =>
+        def refsRow(e0: ast.Expr): Boolean = e0 match {
+          case ast.Prop(`alias`, _) | ast.Variable(`alias`) => true
+          case ast.Arith(_, l, r) => refsRow(l) || refsRow(r)
+          case ast.Cmp(_, l, r)   => refsRow(l) || refsRow(r)
+          case ast.CaseExpr(ws, o) =>
+            ws.exists { case (c, v) => refsRow(c) || refsRow(v) } || o.exists(refsRow)
+          case _ => false
+        }
+        if (refsRow(e)) throw new UnsupportedOperationException(
+          "SET values on UNWIND … MATCH … MERGE support literals and the merged " +
+            "relationship's own properties only (no batch-row fields)")
+      }
+    }
+
+    // one local row per element: the key value for each (var, propKey)
+    def field(elem: Any, key: String): Any = elem match {
+      case mp: collection.Map[_, _] =>
+        norm(mp.asInstanceOf[collection.Map[String, Any]].getOrElse(key, null))
+      case other => throw new UnsupportedOperationException(
+        s"`$alias.$key` needs map elements in the UNWIND batch, got $other")
+    }
+    val keyCols: Seq[(String, String, Any => Any)] = nodePats.zip(vars).flatMap {
+      case (np, v) =>
+        if (np.props.isEmpty) throw new UnsupportedOperationException(
+          s"endpoint pattern `$v` needs at least one key property")
+        np.props.toSeq.sortBy(_._1).map { case (k, l) =>
+          val get: Any => Any = l.v match {
+            case ast.VarRefValue(`alias`)     => e => norm(e)
+            case ast.PropRefValue(`alias`, f) => e => field(e, f)
+            case ast.VarRefValue(o) =>
+              throw new NoSuchElementException(s"Variable `$o` not defined")
+            case ast.PropRefValue(o, f) =>
+              throw new NoSuchElementException(s"Variable `$o` not defined (in `$o.$f`)")
+            case litVal => _ => norm(litVal)
+          }
+          (v, k, get)
+        }
+    }
+    val rows = elems.map(e => Row.fromSeq(keyCols.map { case (_, _, get) => get(e) }))
+    val schema = StructType(keyCols.zipWithIndex.map { case ((v, k, get), i) =>
+      StructField(s"_bm_${v}_$k",
+        elems.iterator.map(get).find(_ != null)
+          .map(PropertyGraph.literalType).getOrElse(StringType))
+    })
+    var bindings: DataFrame = spark.createDataFrame(javaList(rows), schema).distinct()
+
+    // bind each endpoint: broadcast the batch against the label+key-
+    // filtered node table (MATCH semantics — unmatched keys drop)
+    val g = db.graph
+    nodePats.zip(vars).foreach { case (np, v) =>
+      val keys = np.props.keys.toSeq.sorted
+      if (!keys.forall(g.nodes.columns.contains))
+        { bindings = bindings.limit(0).withColumn(v, lit(null).cast("long")); return unit() }
+      val labeled = np.labels.foldLeft(g.nodes)((d, l) =>
+        d.filter(array_contains(col("labels"), l)))
+      val sel = labeled.select((col("id").as(v) +: keys.map(k => col(k).as(s"_nk_${v}_$k"))): _*)
+      val cond = keys.map(k => col(s"_bm_${v}_$k") === col(s"_nk_${v}_$k")).reduce(_ && _)
+      bindings = sel.join(broadcast(bindings), cond, "inner")
+        .drop(keys.map(k => s"_nk_${v}_$k"): _*)
+    }
+    bindings = bindings.drop(schema.fieldNames.toIndexedSeq: _*)
+    mergeRelFromBindings(db, bindings, vars, merges)
+  }
+
   /** MATCH … MERGE (a)-[r:T {props}]->(b): both endpoints bound by
     * the MATCH; the relationship is appended for exactly the bindings
     * that lack it — a distinct projection of the binding table
@@ -1069,8 +1174,16 @@ final class GraftSession(val spark: SparkSession,
     * relationship variable, anything else is refused loudly. */
   private def mutateMatchedMerge(db: GraphDatabase, matches: Seq[ast.Match],
       merges: Seq[ast.Merge]): DataFrame = {
-    import org.apache.spark.sql.functions._
     val (bindings, boundVars) = matchedIds(db, matches)
+    mergeRelFromBindings(db, bindings, boundVars, merges)
+  }
+
+  /** The declarative relationship-merge core over a precomputed
+    * binding table (one id column per endpoint variable) — shared by
+    * MATCH … MERGE and the batched UNWIND … MATCH … MERGE path. */
+  private def mergeRelFromBindings(db: GraphDatabase, bindings: DataFrame,
+      boundVars: Seq[String], merges: Seq[ast.Merge]): DataFrame = {
+    import org.apache.spark.sql.functions._
     merges.foreach { m =>
       val p = m.pattern
       if (p.hops.size != 1)

@@ -325,6 +325,39 @@ object CypherQueries {
           |RETURN c.src AS src, count(c) AS n, sum(c.bal2) AS total""".stripMargin)
     },
 
+    // Batched relationship upsert — `UNWIND $batch AS row MATCH (a),
+    // (b) MERGE (a)-[:T]->(b)`, the second half of the Bolt batch
+    // idiom: endpoints bind by business key via broadcast equi-joins
+    // of the batch against the node table (MATCH semantics), then one
+    // anti-join appends the missing edges and one update-by-join
+    // marks the hits. 200 (customer, nation) pairs; a pair hits iff
+    // it is the customer's real nation — the oracle recomputes the
+    // split from the raw tables.
+    sql("cy_unwind_rel_merge",
+      """WITH batch AS (SELECT range AS s, range % 25 AS d FROM range(1, 201)),
+        |hits AS (SELECT (c.c_nationkey = b.d) AS hit
+        |         FROM batch b JOIN customer c ON c.c_custkey = b.s)
+        |SELECT
+        |  CAST((SELECT count(*) FROM customer) +
+        |       sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_edges,
+        |  CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_created,
+        |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        |FROM hits""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      val batch = (1L to 200L).map(k => Map("s" -> k, "d" -> (k % 25)))
+      gs.cypher(
+        """UNWIND $batch AS row
+          |MATCH (c:customer {c_custkey: row.s}), (n:nation {n_nationkey: row.d})
+          |MERGE (c)-[r:IN]->(n) ON CREATE SET r.f = 1 ON MATCH SET r.m = 1""".stripMargin,
+        Map("batch" -> batch))
+      gs.cypher(
+        """MATCH (c:customer)-[r:IN]->(n:nation)
+          |RETURN count(c) AS n_edges,
+          |  sum(CASE WHEN r.f = 1 THEN 1 ELSE 0 END) AS n_created,
+          |  sum(CASE WHEN r.m = 1 THEN 1 ELSE 0 END) AS n_matched""".stripMargin)
+    },
+
     // CALL { } composition subquery, the per-entity top-k idiom: each
     // customer's 2 priciest orders. Compiles to ONE row_number window
     // over the import key + a join back — decorrelated, never per-row

@@ -804,6 +804,37 @@ class CypherSpec extends AnyFunSuite {
     assert(s.graph().nodes.columns.length == w1 + 1)
   }
 
+  test("UNWIND $batch MATCH MERGE: batched relationship upsert") {
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(1, 100) AS x CREATE (:bu {k: x})")
+    // seed one pre-existing edge 1->2
+    s.cypher("MATCH (a:bu {k: 1}), (b:bu {k: 2}) MERGE (a)-[:LINK]->(b)")
+    val batch = (1 to 99).map(i => Map("s" -> i.toLong, "d" -> (i + 1).toLong)) ++
+      Seq(Map("s" -> 1L, "d" -> 2L),   // duplicate pair in the batch
+          Map("s" -> 500L, "d" -> 1L)) // dangling key: MATCH drops it
+    s.cypher(
+      """UNWIND $batch AS row MATCH (a:bu {k: row.s}), (b:bu {k: row.d})
+        |MERGE (a)-[r:LINK]->(b) ON CREATE SET r.fresh = 1 ON MATCH SET r.seen = 1""".stripMargin,
+      Map("batch" -> batch))
+    val edges = s.graph().edges.filter("relType = 'LINK'")
+    assert(edges.count() == 99)
+    assert(edges.filter("seen = 1").count() == 1)   // the pre-existing 1->2
+    assert(edges.filter("fresh = 1").count() == 98)
+    // idempotent: re-running the same batch adds nothing
+    s.cypher(
+      """UNWIND $batch AS row MATCH (a:bu {k: row.s}), (b:bu {k: row.d})
+        |MERGE (a)-[r:LINK]->(b)""".stripMargin,
+      Map("batch" -> batch))
+    assert(s.graph().edges.filter("relType = 'LINK'").count() == 99)
+    // row fields inside SET refuse loudly
+    intercept[UnsupportedOperationException] {
+      s.cypher(
+        """UNWIND $b AS row MATCH (a:bu {k: row.s}), (b:bu {k: row.d})
+          |MERGE (a)-[r:LINK]->(b) ON CREATE SET r.w = row.w""".stripMargin,
+        Map("b" -> Seq(Map("s" -> 1L, "d" -> 3L, "w" -> 9L))))
+    }
+  }
+
   test("parameters: unbound $name raises Expected parameter(s)") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {n: 1})")
