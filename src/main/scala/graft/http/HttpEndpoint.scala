@@ -47,6 +47,15 @@ final class HttpEndpoint(session: GraftSession, port: Int = 7474) {
       (ex.getRequestMethod, ex.getRequestURI.getPath) match {
         case ("POST", TxPath(db))   => handleTx(ex, db)
         case ("GET", AvailPath(db)) => handleAvail(ex, db)
+        // root discovery document — the reference server answers 200
+        // on "/" (the default HttpWaitStrategy probe path) with
+        // edition/version plus the transaction-endpoint template
+        case ("GET", "/") =>
+          val out = mapper.createObjectNode()
+          out.put("transaction", "/db/{databaseName}/tx")
+          out.put("neo4j_version", "5.26.0")
+          out.put("neo4j_edition", "community")
+          respond(ex, 200, mapper.writeValueAsString(out))
         case _ => respond(ex, 404, errorBody("Neo.ClientError.Request.Invalid",
           s"no such endpoint: ${ex.getRequestURI.getPath}"))
       }

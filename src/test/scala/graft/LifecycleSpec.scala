@@ -132,6 +132,9 @@ class LifecycleSpec extends AnyFunSuite {
       session.cypher("START DATABASE neo4j")
       assert(httpGet(s"$base/db/neo4j/cluster/available")._1 == 200)
       assert(httpGet(s"$base/db/nosuchdb/cluster/available")._1 == 404)
+      // root discovery document (the default HttpWaitStrategy probe)
+      val (dcode, dbody) = httpGet(s"$base/")
+      assert(dcode == 200 && dbody.contains("neo4j_version"))
       // unknown endpoint
       assert(httpGet(s"$base/db/neo4j/wat")._1 == 404)
     } finally ep.stop()
