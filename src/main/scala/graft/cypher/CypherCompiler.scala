@@ -24,6 +24,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   private var freshId = 0
   private def fresh(prefix: String): String = { freshId += 1; s"_$prefix$freshId" }
 
+  /** Pattern facts per bound path variable (direction, rel types) —
+    * compile is single-threaded, one compiler per query; relationships(p)
+    * needs these to orient its (src, dst) output and to refuse
+    * multi-type patterns whose traversed type is unknowable. */
+  private val pathMeta = collection.mutable.Map.empty[String, (Int, Seq[String])]
+
   // ------------------------------------------------------------------
   // clause pipeline
   // ------------------------------------------------------------------
@@ -592,6 +598,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         val n = nodeDf(bv, endPat)
         out.join(n, col(s"_sp${SEP}t") === n(s"$bv${SEP}id"))
       }
+    pathMeta(m.pathVar) = (rel.dir, rel.types)
     out = out.withColumn(s"${m.pathVar}${SEP}len", col("_d"))
       .withColumn(s"${m.pathVar}${SEP}nodes", col("_p"))
       .withColumn(s"${m.pathVar}${SEP}relType",
@@ -849,26 +856,35 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   }
 
   /** Materialize `[x IN nodes(p) | x.<key>]` as a column: explode the
-    * id array with positions, left-join the node property (absent key
-    * or unmatched id reads as null, openCypher semantics), then
-    * regroup sorted by position. The row key is a per-row surrogate —
-    * deterministic within one execution, dropped before returning. */
+    * id array with positions carrying ALL original columns, left-join
+    * the node property (absent key or unmatched id reads as null,
+    * openCypher semantics), then regroup sorted by position.
+    *
+    * Deliberately ONE plan branch: the per-row surrogate key is a
+    * `monotonically_increasing_id` whose values depend on shuffle row
+    * order, so it must never be evaluated on two branches of a
+    * self-join (cross-branch id divergence on a cluster would attach
+    * arrays to the wrong rows — Spark's indeterminate-stage rerun
+    * protects a single evaluation, not two). The original columns ride
+    * through the explode and come back via first() per group (every
+    * row in a group carries identical values). */
   private def addPathPropCol(df0: DataFrame, arrCol: String, key: String,
       helper: String): DataFrame = {
     val rowKey = s"${helper}_rk"
     val withId = df0.withColumn(rowKey, monotonically_increasing_id())
-    val exploded = withId.select(col(rowKey),
+    val exploded = withId.select(col("*"),
       posexplode(col(arrCol)).as(Seq("_pos", "_nid")))
     val nodeProp =
       if (graph.nodes.columns.contains(key))
         graph.nodes.select(col("id").as("_nid"), col(key).as("_pv"))
       else graph.nodes.select(col("id").as("_nid"), lit(null).cast("string").as("_pv"))
-    val packed = exploded.join(nodeProp, Seq("_nid"), "left_outer")
+    val aggs = df0.columns.toIndexedSeq.map(c => first(col(c)).as(c)) :+
+      sort_array(collect_list(struct(col("_pos"), col("_pv")))).as("_sorted")
+    exploded.join(nodeProp, Seq("_nid"), "left_outer")
       .groupBy(col(rowKey))
-      .agg(sort_array(collect_list(struct(col("_pos"), col("_pv")))).as("_sorted"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn(helper, transform(col("_sorted"), x => x.getField("_pv")))
-      .select(col(rowKey), col(helper))
-    withId.join(packed, Seq(rowKey), "left_outer").drop(rowKey)
+      .drop("_sorted", rowKey)
   }
 
   // ------------------------------------------------------------------
@@ -985,11 +1001,23 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       }
       case "relationships" => f.args.head match {
         case Variable(v) if df.columns.contains(s"$v${SEP}nodes") =>
+          // The witness array is in TRAVERSAL order; stored edges are
+          // oriented src->dst, so a left-directed pattern's hop i is the
+          // stored edge (path[i+1], path[i]). Undirected and multi-type
+          // patterns are refused: the stored orientation / traversed
+          // type per hop is not recoverable from node ids alone.
+          val (dir, types) = pathMeta.getOrElse(v, (1, Seq.empty[String]))
+          if (dir == 0) throw new UnsupportedOperationException(
+            "relationships() over an undirected path is ambiguous: the stored edge orientation per hop is unknowable")
+          if (types.size > 1) throw new UnsupportedOperationException(
+            s"relationships() over a multi-type pattern [:${types.mkString("|")}] is ambiguous: the traversed type per hop is unknowable")
           val arr = col(s"$v${SEP}nodes")
-          transform(slice(arr, lit(1), size(arr) - 1), (x, i) => struct(
-            x.as("src"),
-            element_at(arr, (i + lit(2)).cast("int")).as("dst"),
-            col(s"$v${SEP}relType").as("relType")))
+          transform(slice(arr, lit(1), size(arr) - 1), (x, i) => {
+            val nxt = element_at(arr, (i + lit(2)).cast("int"))
+            val (s, d) = if (dir == -1) (nxt, x) else (x, nxt)
+            struct(s.as("src"), d.as("dst"),
+              col(s"$v${SEP}relType").as("relType"))
+          })
         case other => throw new UnsupportedOperationException(
           s"relationships() takes a bound path variable, got $other")
       }
