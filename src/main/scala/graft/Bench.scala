@@ -82,10 +82,11 @@ object Bench {
   private def scalingSlopes(spark: SparkSession, sfDir: String,
       t1s: Map[String, Double]): Option[String] = {
     if (sys.env.get("SPARK_GRAFT_SCALING").contains("off")) return None
+    var tmp: String = null
     try {
       import org.apache.spark.sql.functions._
       val factor = 10
-      val tmp = java.nio.file.Files.createTempDirectory("graft_scale10_").toString
+      tmp = java.nio.file.Files.createTempDirectory("graft_scale10_").toString
 
       def rep(df: org.apache.spark.sql.DataFrame, shift: Seq[String]) =
         (0 until factor).map { i =>
@@ -139,5 +140,13 @@ object Bench {
       } :+ """"gds_label_propagation":"constant-input (bounded CO probe, l_orderkey<3000)""""
       Some(parts.mkString(s"""{"factor":$factor,""", ",", "}"))
     } catch { case _: Throwable => None }
+    finally if (tmp != null) {
+      // the ×10 replica is ~10× the sf directory — never leave it in /tmp
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(Path.of(tmp)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () }
+    }
   }
 }

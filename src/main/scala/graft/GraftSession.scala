@@ -176,6 +176,13 @@ final class GraftSession(val spark: SparkSession,
   /** Entry (graph, nextId) per database first mutated inside the open
     * transaction — what ROLLBACK restores. */
   private val txnEntry = collection.mutable.Map.empty[String, (PropertyGraph, Long)]
+  /** Serializes statement execution across threads. The session has ONE
+    * transaction slot (txnOpen/txnEntry), and the HTTP endpoint runs on
+    * its own daemon thread: without mutual exclusion a concurrent shell
+    * autocommit write would silently join an open HTTP transaction (and
+    * vanish on its ROLLBACK). Reentrant so the HTTP handler can hold it
+    * across its whole BEGIN..COMMIT sequence while calling cypher(). */
+  private[graft] val stmtLock = new java.util.concurrent.locks.ReentrantLock
 
   def cypher(q: String, database: String = "neo4j"): DataFrame =
     cypher(q, Map.empty[String, Any], database)
@@ -187,7 +194,12 @@ final class GraftSession(val spark: SparkSession,
     * `session.run(query, params)` surface (ref DatabaseIO.java:121-132):
     * `$name` placeholders are substituted as literals before
     * compilation; an unbound `$name` raises "Expected parameter(s)". */
-  def cypher(q: String, params: Map[String, Any], database: String): DataFrame = q match {
+  def cypher(q: String, params: Map[String, Any], database: String): DataFrame = {
+    stmtLock.lock()
+    try cypherLocked(q, params, database) finally stmtLock.unlock()
+  }
+
+  private def cypherLocked(q: String, params: Map[String, Any], database: String): DataFrame = q match {
     case StopDb(name)   => catalog.stop(name); unit()
     case StartDb(name)  => catalog.start(name); unit()
     case CreateDb(name) => catalog.createDatabase(name); unit()
@@ -250,10 +262,15 @@ final class GraftSession(val spark: SparkSession,
       txnOpen = false; txnEntry.clear(); unit()
     case RollbackTx(_) =>
       if (!txnOpen) throw new IllegalStateException("There is no open transaction to roll back")
+      // a database dropped inside the transaction (catalog DDL
+      // autocommits) has nothing left to restore — skip it rather than
+      // throwing mid-restore and leaving the transaction slot stuck
       txnEntry.foreach { case (name, (g, nid)) =>
-        val d = catalog.database(name)
-        d.graph = g
-        d.nextId.set(nid)
+        if (catalog.listDatabases.contains(name)) {
+          val d = catalog.database(name)
+          d.graph = g
+          d.nextId.set(nid)
+        }
       }
       txnEntry.clear(); txnOpen = false; unit()
     case ShowDbs() => showDatabases()
@@ -1236,7 +1253,16 @@ final class GraftSession(val spark: SparkSession,
           .select(col("src").as("_ms"), col("dst").as("_md")).distinct()
         val joined = edges.join(hitKeys,
           edges("src") === col("_ms") && edges("dst") === col("_md"), "left_outer")
-        val mark = col("_ms").isNotNull && col("relType") === relType
+        // the update must be scoped exactly like the existence check:
+        // type AND the pattern's literal props — otherwise a parallel
+        // edge between the same endpoints with different props would be
+        // mutated by a pattern that never matched it
+        val mark = rel.props.toSeq.sortBy(_._1)
+          .foldLeft(col("_ms").isNotNull && col("relType") === relType) {
+            case (c, (k, l)) =>
+              if (g.edges.columns.contains(k)) c && col(k) <=> lit(norm(l.v))
+              else c && lit(false)
+          }
         edges = onMatch.foldLeft(joined) { case (df, (k, e)) =>
           val valueCol = setValueColumn(g.edges, relVar.getOrElse("r"), isRel = true, e)
           if (g.edges.columns.contains(k))

@@ -299,41 +299,46 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           "ORDER BY/SKIP/LIMIT on an aggregating CALL { } RETURN")
       // Each item splits into its aggregate subcalls (computed in the
       // groupBy) and a post-join combiner, so count/sum zero-fill lands
-      // BEFORE any surrounding arithmetic: `count(x) + 1` is 1 for an
-      // outer row with no match (count over empty = 0, openCypher),
-      // not NULL. min/max/avg/collect over empty stay NULL.
+      // BEFORE any surrounding expression: `count(x) + 1` is 1 and
+      // `toFloat(count(x))` is 0.0 for an outer row with no match
+      // (count over empty = 0, openCypher), not NULL. min/max/avg/
+      // collect over empty stay NULL. The rewrite substitutes each
+      // aggregate subcall with a helper variable (bound via lambdaBinds
+      // to the joined, zero-filled column) and compiles the remaining
+      // expression through the normal path — any scalar wrapper,
+      // comparison or CASE around an aggregate just works.
       val aggParts = collection.mutable.LinkedHashMap.empty[FnCall, String]
-      def decompose(e: Expr): Unit = e match {
+      def decompose(e: Expr): Expr = e match {
         case f: FnCall if aggregateFns(f.name.toLowerCase) =>
-          aggParts.getOrElseUpdate(f, s"_csagg${aggParts.size}"); ()
-        case Arith(_, l, r) => decompose(l); decompose(r)
-        case _: Lit         => ()
-        case other => throw new UnsupportedOperationException(
-          "an aggregating CALL { } RETURN item combines aggregates, " +
-            s"arithmetic and literals only, got $other")
+          Variable(aggParts.getOrElseUpdate(f, s"_csagg${aggParts.size}"))
+        case f: FnCall       => f.copy(args = f.args.map(decompose))
+        case Cmp(op, l, r)   => Cmp(op, decompose(l), decompose(r))
+        case And(l, r)       => And(decompose(l), decompose(r))
+        case Or(l, r)        => Or(decompose(l), decompose(r))
+        case Not(x)          => Not(decompose(x))
+        case Arith(op, l, r) => Arith(op, decompose(l), decompose(r))
+        case ListLit(items)  => ListLit(items.map(decompose))
+        case CaseExpr(ws, o) =>
+          CaseExpr(ws.map { case (c, v) => (decompose(c), decompose(v)) },
+            o.map(decompose))
+        case other           => other // containsAggregate looks no deeper
       }
-      aggItems.foreach(i => decompose(i.expr))
+      val rewritten = aggItems.map(i => i.name -> decompose(i.expr))
       val aggs = aggParts.toSeq.map { case (f, nm) => compileExpr(f, subDf).as(nm) }
       val grouped = subDf.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
         .select((keys.map(c => col(c).as(s"_cs_$c")) ++
           aggParts.values.toSeq.map(col)): _*)
       val cond = keys.map(c => outer(c) === grouped(s"_cs_$c")).reduce(_ && _)
       var out = outer.join(grouped, cond, "left_outer")
-      def combine(e: Expr): Column = e match {
-        case f: FnCall if aggregateFns(f.name.toLowerCase) =>
-          if (Set("count", "sum").contains(f.name.toLowerCase))
-            coalesce(col(aggParts(f)), lit(0L))
-          else col(aggParts(f))
-        case Arith(op, l, r) =>
-          val (lc, rc) = (combine(l), combine(r))
-          op match {
-            case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
-            case "/" => lc / rc; case "%" => lc % rc
-          }
-        case Lit(v) => lit(v)
-        case other => throw new UnsupportedOperationException(s"unsupported $other")
-      }
-      aggItems.foreach(i => out = out.withColumn(i.name, combine(i.expr)))
+      val binds = aggParts.toSeq.map { case (f, nm) =>
+        nm -> (if (Set("count", "sum").contains(f.name.toLowerCase))
+          coalesce(col(nm), lit(0L)) else col(nm))
+      }.toMap
+      val saved = lambdaBinds
+      lambdaBinds = lambdaBinds ++ binds
+      try rewritten.foreach { case (name, e) =>
+        out = out.withColumn(name, compileExpr(e, out))
+      } finally lambdaBinds = saved
       out = out.drop(aggParts.values.toSeq: _*)
       keys.foldLeft(out)((d, c) => d.drop(s"_cs_$c"))
     } else {

@@ -31,10 +31,14 @@ import scala.jdk.CollectionConverters._
   * contract as a Bolt result stream — row volume is the client's
   * LIMIT responsibility, exactly as with the reference server.
   */
-final class HttpEndpoint(session: GraftSession, port: Int = 7474) {
+final class HttpEndpoint(session: GraftSession, port: Int = 7474,
+    bindAddress: String = "0.0.0.0") {
 
   private val mapper = new ObjectMapper
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // 0.0.0.0 default: the reference server listens on all interfaces
+  // inside the container so `-p 7474:7474` port mapping works; a
+  // loopback-only listener would time out the host-side wait strategy
+  private val server = HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
   server.setExecutor(java.util.concurrent.Executors.newSingleThreadExecutor(r => {
     val t = new Thread(r, "graft-http"); t.setDaemon(true); t
   }))
@@ -89,35 +93,43 @@ final class HttpEndpoint(session: GraftSession, port: Int = 7474) {
     val statements = mapper.readTree(body).path("statements")
     val results = mapper.createArrayNode()
     val errors = mapper.createArrayNode()
-    session.cypher("BEGIN", db)
+    // hold the session's statement lock across the WHOLE transaction:
+    // the session has one transaction slot, and without exclusion a
+    // concurrent shell autocommit write would silently join this
+    // transaction (and vanish on its ROLLBACK); the lock is reentrant,
+    // so the nested cypher() calls below re-acquire it harmlessly
+    session.stmtLock.lock()
     try {
-      statements.elements().asScala.foreach { st =>
-        val q = st.path("statement").asText("")
-        val params = Option(st.get("parameters"))
-          .map(fromJsonMap).getOrElse(Map.empty[String, Any])
-        val df = session.cypher(q, params, db)
-        val cols = df.columns
-        val res: ObjectNode = results.addObject()
-        val colArr = res.putArray("columns")
-        cols.foreach(colArr.add)
-        val data = res.putArray("data")
-        df.collect().foreach { r =>
-          val rowArr = data.addObject().putArray("row")
-          cols.indices.foreach(i => addJson(rowArr, r.get(i)))
+      session.cypher("BEGIN", db)
+      try {
+        statements.elements().asScala.foreach { st =>
+          val q = st.path("statement").asText("")
+          val params = Option(st.get("parameters"))
+            .map(fromJsonMap).getOrElse(Map.empty[String, Any])
+          val df = session.cypher(q, params, db)
+          val cols = df.columns
+          val res: ObjectNode = results.addObject()
+          val colArr = res.putArray("columns")
+          cols.foreach(colArr.add)
+          val data = res.putArray("data")
+          df.collect().foreach { r =>
+            val rowArr = data.addObject().putArray("row")
+            cols.indices.foreach(i => addJson(rowArr, r.get(i)))
+          }
         }
+        session.cypher("COMMIT", db)
+      } catch {
+        case e: Exception =>
+          session.cypher("ROLLBACK", db)
+          val err = errors.addObject()
+          err.put("code", e match {
+            case _: IllegalArgumentException => "Neo.ClientError.Statement.SyntaxError"
+            case _: UnsupportedOperationException => "Neo.ClientError.Statement.SyntaxError"
+            case _ => "Neo.DatabaseError.General.UnknownError"
+          })
+          err.put("message", String.valueOf(e.getMessage))
       }
-      session.cypher("COMMIT", db)
-    } catch {
-      case e: Exception =>
-        session.cypher("ROLLBACK", db)
-        val err = errors.addObject()
-        err.put("code", e match {
-          case _: IllegalArgumentException => "Neo.ClientError.Statement.SyntaxError"
-          case _: UnsupportedOperationException => "Neo.ClientError.Statement.SyntaxError"
-          case _ => "Neo.DatabaseError.General.UnknownError"
-        })
-        err.put("message", String.valueOf(e.getMessage))
-    }
+    } finally session.stmtLock.unlock()
     val out = mapper.createObjectNode()
     out.set[JsonNode]("results", results)
     out.set[JsonNode]("errors", errors)
@@ -131,11 +143,14 @@ final class HttpEndpoint(session: GraftSession, port: Int = 7474) {
     case Some(store) =>
       Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
         h.startsWith("Basic ") && {
-          val dec = new String(java.util.Base64.getDecoder.decode(h.substring(6).trim), "UTF-8")
-          dec.split(":", 2) match {
-            case Array(u, p) => store.verify(u, p)
-            case _           => false
-          }
+          // malformed base64 is an auth FAILURE (401), not a server
+          // error — clients retry credentials on 401, not on 500
+          scala.util.Try(
+            new String(java.util.Base64.getDecoder.decode(h.substring(6).trim), "UTF-8"))
+            .toOption.exists(_.split(":", 2) match {
+              case Array(u, p) => store.verify(u, p)
+              case _           => false
+            })
         }
       }
   }

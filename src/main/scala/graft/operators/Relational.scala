@@ -761,10 +761,13 @@ object Relational {
         |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         |WHERE c.c_acctbal > 0
         |GROUP BY o.o_custkey""".stripMargin) { (s, d) =>
-      // fixed names + overwrite, NOT uuid-per-run: a uuid name would
-      // leak two catalog entries (and their bucket files) per gate run
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucket"
-      val (ot, ct) = ("graft_orders_bucketed", "graft_customer_bucketed")
+      // names fixed PER PROCESS (pid suffix) + overwrite: repeat runs in
+      // one JVM reuse the same two catalog entries (no per-run leak),
+      // while two concurrent processes on one machine never overwrite
+      // each other's bucket files mid-read
+      val pid = ProcessHandle.current().pid()
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucket-$pid"
+      val (ot, ct) = (s"graft_orders_bucketed_$pid", s"graft_customer_bucketed_$pid")
       // repartition on the bucket column with the bucket count: the
       // repartition hash and the bucket hash agree (both Murmur3 mod
       // 8), so each of the 8 writer tasks owns exactly its bucket →

@@ -58,8 +58,11 @@ object GraftMain {
         // 7474; here the default stays off so batch/driver runs don't
         // bind ports)
         env.get("GRAFT_HTTP_PORT").map(_.toInt).foreach { p =>
-          val bound = new graft.http.HttpEndpoint(session, p).start()
-          Console.out.println(s"HTTP enabled on 127.0.0.1:$bound")
+          // all-interfaces default so container port mapping works
+          // (reference parity); override with GRAFT_HTTP_ADDRESS
+          val addr = env.getOrElse("GRAFT_HTTP_ADDRESS", "0.0.0.0")
+          val bound = new graft.http.HttpEndpoint(session, p, addr).start()
+          Console.out.println(s"HTTP enabled on $addr:$bound")
         }
         Console.out.println("Started.")
         Shell.main(args.drop(1))
