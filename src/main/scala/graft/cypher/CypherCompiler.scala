@@ -479,9 +479,20 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   }
 
   /** Var-length expand `[:T*lo..hi]`: iterative frontier join with
-    * per-step distinct on (start, end) node pairs — reachability
-    * semantics, deduped each step so the frontier can't explode
-    * (SURVEY §7.4.2).
+    * openCypher relationship-uniqueness (trail) semantics — each
+    * frontier row carries the canonicalized set of edge keys its path
+    * traversed, and the expand join refuses to re-traverse one
+    * (`-[:IN*1..2]-` can no longer bounce straight back over the same
+    * relationship). State per row is O(hi) keys, the per-step
+    * distinct is on (start, end, edge-set) — set-canonicalized
+    * (sorted, deduped), so equivalent edge orders collapse and the
+    * frontier is bounded by distinct trail edge-SETS, far fewer than
+    * raw trails. Edge keys are endpoint-pair granular (canonical
+    * (min,max) when undirected): the graph stores no surrogate edge
+    * ids (README "Deliberate deviations"), so parallel same-type
+    * edges collapse for uniqueness purposes — visible only when a
+    * path needs the same endpoint pair twice via distinct parallel
+    * edges (SURVEY §7.4.2).
     *
     * The frontier is SEEDED from the bound start ids (semi join before
     * iterating): `MATCH (x {id:1})-[:T*1..5]->(y)` walks only edges
@@ -497,21 +508,34 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case -1 => typedEdges(rel).select(col("dst").as("_s"), col("src").as("_t"))
       case 0  => symmetrized(typedEdges(rel)).select(col("src").as("_s"), col("dst").as("_t"))
     }
-    val base = base0.distinct()
+    // canonical edge key: traversal orientation for directed patterns
+    // (a bijection of the stored edge), order-free (min, max) when
+    // undirected so both traversal directions of one edge share a key
+    val edgeKey =
+      if (rel.dir == 0) struct(least(col("_s"), col("_t")), greatest(col("_s"), col("_t")))
+      else struct(col("_s"), col("_t"))
+    val base = base0.distinct().withColumn("_k", edgeKey)
     val startIds = cur.select(cur(s"$prevVar${SEP}id").as("_s")).distinct()
     var frontier = base.join(startIds, Seq("_s"), "left_semi")
-    var pairs = if (lo <= 1) frontier else null
+      .select(col("_s"), col("_t"), array(col("_k")).as("_e"))
+    def endpoints(df: DataFrame) = df.select(col("_s"), col("_t"))
+    var pairs = if (lo <= 1) endpoints(frontier) else null
     var step = 1
     var exhausted = false
     while (step < hi && !exhausted) {
       step += 1
-      frontier = frontier.join(base.withColumnRenamed("_s", "_m").withColumnRenamed("_t", "_u"),
+      frontier = frontier
+        .join(base.select(col("_s").as("_m"), col("_t").as("_u"), col("_k")),
           col("_t") === col("_m"))
-        .select(col("_s"), col("_u").as("_t")).distinct()
+        .filter(!array_contains(col("_e"), col("_k")))
+        .select(col("_s"), col("_u").as("_t"),
+          sort_array(array_union(col("_e"), array(col("_k")))).as("_e"))
+        .distinct()
       if (frontier.isEmpty) exhausted = true
-      else if (step >= lo) pairs = if (pairs == null) frontier else pairs.union(frontier)
+      else if (step >= lo) pairs = if (pairs == null) endpoints(frontier)
+        else pairs.union(endpoints(frontier))
     }
-    if (pairs == null) pairs = frontier.limit(0)
+    if (pairs == null) pairs = endpoints(frontier).limit(0)
     val reach = pairs.distinct()
       .withColumnRenamed("_s", s"_vl${SEP}s").withColumnRenamed("_t", s"_vl${SEP}t")
     val joined = cur.join(reach, cur(s"$prevVar${SEP}id") === col(s"_vl${SEP}s"))

@@ -113,20 +113,14 @@ object CypherQueries {
       """MATCH (c:customer)-[:IN*1..2]->(x) WHERE c.c_custkey <= 2000
         |RETURN DISTINCT c.c_custkey AS c_custkey, id(x) AS x_id""".stripMargin),
 
-    // UNDIRECTED var-length expand: 2-hop reachability over the
-    // symmetrized IN edges from region 0 — nations at hop 1, their
-    // customers/suppliers at hop 2, plus the start again via the
-    // back-edge (reachability semantics keep it).
-    //
-    // DELIBERATE SEMANTIC DEVIATION (documented in README "Deliberate
-    // deviations"): the engine's undirected var-length expand is
-    // node-REACHABILITY, not openCypher relationship-uniqueness
-    // (trail) semantics — `-[:IN*1..2]-` may re-traverse the same
-    // relationship backwards, so the start region reappears at hop 2.
-    // The oracle's `UNION ALL SELECT 1` encodes exactly that. Trail
-    // semantics would need per-path edge-set tracking, which explodes
-    // frontier state at scale for no graded benefit; the deviation is
-    // visible only when a path revisits its own edge.
+    // UNDIRECTED var-length expand with openCypher relationship-
+    // uniqueness (trail) semantics: nations of region 0 at hop 1,
+    // their customers/suppliers at hop 2. The start region does NOT
+    // reappear at hop 2 — bouncing straight back would re-traverse
+    // hop 1's relationship, which trail semantics forbid (per-path
+    // edge-set tracking in compileVarHop; until round 8 this was a
+    // documented reachability deviation whose oracle carried a
+    // `UNION ALL SELECT 1` for the bounce-back row).
     q("cy_varlen_undirected",
       """SELECT DISTINCT x_id FROM (
         |  SELECT n_nationkey * 10 + 2 AS x_id FROM nation WHERE n_regionkey = 0
@@ -135,8 +129,7 @@ object CypherQueries {
         |  JOIN nation n ON c.c_nationkey = n.n_nationkey WHERE n.n_regionkey = 0
         |  UNION ALL
         |  SELECT s.s_suppkey * 10 + 5 FROM supplier s
-        |  JOIN nation n ON s.s_nationkey = n.n_nationkey WHERE n.n_regionkey = 0
-        |  UNION ALL SELECT 1) t
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey WHERE n.n_regionkey = 0) t
         |ORDER BY x_id""".stripMargin)(
       """MATCH (r:region)-[:IN*1..2]-(x) WHERE r.r_regionkey = 0
         |RETURN DISTINCT id(x) AS x_id ORDER BY x_id""".stripMargin),

@@ -150,6 +150,26 @@ class CypherSpec extends AnyFunSuite {
     assert(res.collect().map(_.getString(0)).toSeq == Seq("b", "c"))
   }
 
+  test("var-length expand has trail semantics: no bounce-back over one relationship") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:tn {name:'a'})-[:T]->(b:tn {name:'b'})-[:T]->(c:tn {name:'c'})")
+    // undirected 2-hop from b: a and c at hop 1; hop 2 may not re-use
+    // hop 1's edge, so b itself is NOT reachable (a->b back is the same
+    // relationship), and a<->c cross via b IS (two distinct edges)
+    val undirected = s.cypher(
+      "MATCH (x:tn {name:'b'})-[:T*1..2]-(y:tn) RETURN DISTINCT y.name AS name ORDER BY name")
+    assert(undirected.collect().map(_.getString(0)).toSeq == Seq("a", "c"))
+    // directed self-loop: the loop relationship can be traversed once,
+    // not twice, so no length-2 walk exists
+    s.cypher("CREATE (l:loop {name:'l'})")
+    s.cypher("MATCH (x:loop) CREATE (x)-[:SELF]->(x)")
+    def walks(range: String) = s.cypher(
+      s"MATCH (x:loop)-[:SELF*$range]->(y:loop) RETURN count(y) AS n")
+      .collect().head.getLong(0)
+    assert(walks("1..1") == 1L) // the loop exists and is traversable once
+    assert(walks("2..2") == 0L) // but a 2-walk would re-use it
+  }
+
   test("aggregates: count, sum, avg, min, max, distinct") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {g:'x', n: 1}), (b:v {g:'x', n: 3}), (c:v {g:'y', n: 5})")
