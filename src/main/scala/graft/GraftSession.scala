@@ -1176,19 +1176,24 @@ final class GraftSession(val spark: SparkSession,
     mergeRelFromBindings(db, bindings, vars, merges)
   }
 
-  /** MATCH … MERGE (a)-[r:T {props}]->(b): both endpoints bound by
-    * the MATCH; the relationship is appended for exactly the bindings
-    * that lack it — a distinct projection of the binding table
-    * anti-joined against the typed edge set, then unioned in. Fully
-    * distributed: the merge of N bindings is two joins, not N lookups.
+  /** MATCH … MERGE (a)-[r:T {props}]->(b)[-[s:U]->(c)…]: every
+    * endpoint bound by the MATCH; the pattern is appended for exactly
+    * the bindings that lack it — a distinct projection of the binding
+    * table semi-joined per hop against the typed edge set (a hit
+    * needs EVERY hop), the misses anti-joined back out, then unioned
+    * in. Fully distributed: the merge of N bindings is a few joins,
+    * not N lookups.
     *
-    * Whole-pattern semantics: existence requires the relationship's
+    * Whole-pattern semantics: existence requires each relationship's
     * literal props to match too (an absent prop column means nothing
-    * matches), and an undirected pattern matches either orientation
-    * (creating left-to-right when absent, per openCypher). ON CREATE
-    * SET folds into the appended rows; ON MATCH SET is an update-by-
-    * join over the pre-existing hits — both restricted to the merged
-    * relationship variable, anything else is refused loudly. */
+    * matches), an undirected hop matches either orientation (creating
+    * left-to-right when absent, per openCypher), and a half-present
+    * multi-hop path is a full-pattern miss — the whole pattern is
+    * created, like Neo4j (except per-hop pairs dedupe: parallel
+    * duplicates collapse, README deviations). ON CREATE SET folds
+    * into the appended rows; ON MATCH SET is an update-by-join over
+    * the pre-existing hits — both restricted to the merged
+    * relationship variables, anything else is refused loudly. */
   private def mutateMatchedMerge(db: GraphDatabase, matches: Seq[ast.Match],
       merges: Seq[ast.Merge]): DataFrame = {
     val (bindings, boundVars) = matchedIds(db, matches)
@@ -1203,81 +1208,110 @@ final class GraftSession(val spark: SparkSession,
     import org.apache.spark.sql.functions._
     merges.foreach { m =>
       val p = m.pattern
-      if (p.hops.size != 1)
-        throw new UnsupportedOperationException(
-          "MATCH … MERGE supports a single relationship pattern")
-      val (rel, endPat) = p.hops.head
-      val (sv, dv) = (p.start.variable, endPat.variable) match {
-        case (Some(a), Some(b)) if boundVars.contains(a) && boundVars.contains(b) =>
-          if (rel.dir == -1) (b, a) else (a, b)
-        case _ => throw new UnsupportedOperationException(
-          "MATCH … MERGE requires both endpoints bound by the MATCH")
+      val g = db.graph
+
+      // resolve every hop to (srcVar, dstVar, rel), orienting <- hops;
+      // all endpoint variables must be bound by the MATCH
+      val hopDefs = {
+        var prev = p.start
+        p.hops.map { case (rel, end) =>
+          val hop = (prev.variable, end.variable) match {
+            case (Some(a), Some(b)) if boundVars.contains(a) && boundVars.contains(b) =>
+              if (rel.dir == -1) (b, a, rel) else (a, b, rel)
+            case _ => throw new UnsupportedOperationException(
+              "MATCH … MERGE requires every pattern endpoint bound by the MATCH")
+          }
+          prev = end
+          hop
+        }
       }
-      val relType = rel.types.headOption.getOrElse(
-        throw new IllegalArgumentException("MERGE relationship requires a type"))
-      val relVar = rel.variable
-      def handlerItems(items: Seq[(ast.Prop, ast.Expr)], which: String): Seq[(String, ast.Expr)] =
+      val pathVars = (hopDefs.map(_._1) ++ hopDefs.map(_._2)).distinct
+      val relVarHop: Map[String, Int] = hopDefs.zipWithIndex
+        .flatMap { case ((_, _, rel), i) => rel.variable.map(_ -> i) }.toMap
+      def handlerItems(items: Seq[(ast.Prop, ast.Expr)], which: String): Seq[(Int, String, ast.Expr)] =
         items.map {
-          case (ast.Prop(v0, k), e) if relVar.contains(v0) => k -> e
+          case (ast.Prop(v0, k), e) if relVarHop.contains(v0) => (relVarHop(v0), k, e)
           case (p0, _) => throw new UnsupportedOperationException(
-            s"$which on a MATCH-composed MERGE supports SET on the merged relationship " +
+            s"$which on a MATCH-composed MERGE supports SET on a merged relationship " +
               s"variable only, got ${p0.variable}.${p0.key}")
         }
       val onCreate = handlerItems(m.onCreate, "ON CREATE")
       val onMatch = handlerItems(m.onMatch, "ON MATCH")
 
-      val g = db.graph
-      val candidates = bindings.select(col(sv).as("src"), col(dv).as("dst")).distinct()
-      // full-pattern existence: same type AND same literal props; an
+      def relTypeOf(rel: ast.RelPat): String = rel.types.headOption.getOrElse(
+        throw new IllegalArgumentException("MERGE relationship requires a type"))
+      // per-hop existence: same type AND same literal props; an
       // undirected pattern matches either orientation
-      val typed = g.edges.filter(col("relType") === relType)
-      val propMatched = rel.props.toSeq.sortBy(_._1).foldLeft(typed) { case (df, (k, l)) =>
-        if (df.columns.contains(k)) df.filter(col(k) <=> lit(norm(l.v)))
-        else df.filter(lit(false))
-      }
-      val existing = propMatched.select("src", "dst")
-      val existingEither =
+      def existingEither(rel: ast.RelPat): DataFrame = {
+        val typed = g.edges.filter(col("relType") === relTypeOf(rel))
+        val propMatched = rel.props.toSeq.sortBy(_._1).foldLeft(typed) { case (df, (k, l)) =>
+          if (df.columns.contains(k)) df.filter(col(k) <=> lit(norm(l.v)))
+          else df.filter(lit(false))
+        }
+        val existing = propMatched.select("src", "dst")
         if (rel.dir == 0)
           existing.union(propMatched.select(col("dst").as("src"), col("src").as("dst")))
         else existing
+      }
+
+      // whole-pattern semantics (openCypher): a binding is a hit only
+      // if EVERY hop exists; otherwise the ENTIRE pattern is created —
+      // including hops that individually pre-exist (Neo4j does the
+      // same: a half-present path is a full-pattern miss)
+      val candidates = bindings.select(pathVars.map(col): _*).distinct()
+      val hits = hopDefs.foldLeft(candidates) { case (df, (sv, dv, rel)) =>
+        df.join(existingEither(rel).select(col("src").as("_hs"), col("dst").as("_hd")),
+          col(sv) === col("_hs") && col(dv) === col("_hd"), "left_semi")
+      }
+      val missing = candidates.join(hits, pathVars, "left_anti")
 
       // ON MATCH: update the pre-existing hit edges (both orientations
       // of an undirected hit) before the append, so created rows never
       // see ON MATCH values
       var edges = g.edges
-      if (onMatch.nonEmpty) {
-        val hits = candidates.join(existingEither, Seq("src", "dst"), "left_semi")
-        val hitKeys = (if (rel.dir == 0)
-            hits.union(hits.select(col("dst").as("src"), col("src").as("dst")))
-          else hits)
-          .select(col("src").as("_ms"), col("dst").as("_md")).distinct()
-        val joined = edges.join(hitKeys,
-          edges("src") === col("_ms") && edges("dst") === col("_md"), "left_outer")
-        // the update must be scoped exactly like the existence check:
-        // type AND the pattern's literal props — otherwise a parallel
-        // edge between the same endpoints with different props would be
-        // mutated by a pattern that never matched it
-        val mark = rel.props.toSeq.sortBy(_._1)
-          .foldLeft(col("_ms").isNotNull && col("relType") === relType) {
-            case (c, (k, l)) =>
-              if (g.edges.columns.contains(k)) c && col(k) <=> lit(norm(l.v))
-              else c && lit(false)
-          }
-        edges = onMatch.foldLeft(joined) { case (df, (k, e)) =>
-          val valueCol = setValueColumn(g.edges, relVar.getOrElse("r"), isRel = true, e)
-          if (g.edges.columns.contains(k))
-            df.withColumn(k, when(mark, valueCol).otherwise(col(k)))
-          else df.withColumn(k, when(mark, valueCol))
-        }.drop("_ms", "_md")
+      hopDefs.zipWithIndex.foreach { case ((sv, dv, rel), i) =>
+        val items = onMatch.collect { case (`i`, k, e) => k -> e }
+        if (items.nonEmpty) {
+          val hitPairs = hits.select(col(sv).as("src"), col(dv).as("dst"))
+          val hitKeys = (if (rel.dir == 0)
+              hitPairs.union(hitPairs.select(col("dst").as("src"), col("src").as("dst")))
+            else hitPairs)
+            .select(col("src").as("_ms"), col("dst").as("_md")).distinct()
+          val joined = edges.join(hitKeys,
+            edges("src") === col("_ms") && edges("dst") === col("_md"), "left_outer")
+          // the update must be scoped exactly like the existence check:
+          // type AND the pattern's literal props — otherwise a parallel
+          // edge between the same endpoints with different props would be
+          // mutated by a pattern that never matched it
+          val mark = rel.props.toSeq.sortBy(_._1)
+            .foldLeft(col("_ms").isNotNull && col("relType") === relTypeOf(rel)) {
+              case (c, (k, l)) =>
+                if (g.edges.columns.contains(k)) c && col(k) <=> lit(norm(l.v))
+                else c && lit(false)
+            }
+          edges = items.foldLeft(joined) { case (df, (k, e)) =>
+            val valueCol = setValueColumn(g.edges, rel.variable.getOrElse("r"), isRel = true, e)
+            if (g.edges.columns.contains(k))
+              df.withColumn(k, when(mark, valueCol).otherwise(col(k)))
+            else df.withColumn(k, when(mark, valueCol))
+          }.drop("_ms", "_md")
+        }
       }
 
-      val missing = candidates.join(existingEither, Seq("src", "dst"), "left_anti")
-        .withColumn("relType", lit(relType))
-      val createCols = (rel.props.view.mapValues(l => ast.Lit(l.v): ast.Expr).toSeq ++ onCreate)
-      val withProps = createCols.sortBy(_._1).foldLeft(missing) { case (d, (k, e)) =>
-        d.withColumn(k, setValueColumn(d, relVar.getOrElse("r"), isRel = true, e))
+      // append the whole pattern for each full-pattern miss; per-hop
+      // pairs dedupe (two path tuples sharing a hop pair append that
+      // edge once — parallel duplicates collapse, README deviations)
+      val appended = hopDefs.zipWithIndex.map { case ((sv, dv, rel), i) =>
+        val pairs = missing.select(col(sv).as("src"), col(dv).as("dst")).distinct()
+          .withColumn("relType", lit(relTypeOf(rel)))
+        val createCols = (rel.props.view.mapValues(l => ast.Lit(l.v): ast.Expr).toSeq ++
+          onCreate.collect { case (`i`, k, e) => k -> e })
+        createCols.sortBy(_._1).foldLeft(pairs) { case (d, (k, e)) =>
+          d.withColumn(k, setValueColumn(d, rel.variable.getOrElse("r"), isRel = true, e))
+        }
       }
-      db.graph = PropertyGraph(g.nodes, PropertyGraph.appendByName(edges, withProps))
+      db.graph = PropertyGraph(g.nodes,
+        appended.foldLeft(edges)(PropertyGraph.appendByName))
     }
     unit()
   }

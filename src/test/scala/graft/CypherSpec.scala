@@ -507,6 +507,29 @@ class CypherSpec extends AnyFunSuite {
     assert(s.graph().edges.filter("relType = 'KNOWS'").count() == 2)
   }
 
+  test("MATCH … MERGE multi-hop: whole pattern matched or wholly created") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:mh {n: 1}), (b:mh {n: 2}), (c:mh {n: 3})")
+    // nothing exists: both hops created
+    s.cypher("MATCH (a:mh {n:1}), (b:mh {n:2}), (c:mh {n:3}) " +
+      "MERGE (a)-[x:X]->(b)-[y:Y]->(c) ON CREATE SET x.made = 1, y.made = 2")
+    def cnt(t: String) = s.graph().edges.filter(s"relType = '$t'").count()
+    assert(cnt("X") == 1 && cnt("Y") == 1)
+    assert(s.graph().edges.filter("relType = 'X' AND made = 1").count() == 1)
+    assert(s.graph().edges.filter("relType = 'Y' AND made = 2").count() == 1)
+    // full pattern present: nothing appended, ON MATCH applies per hop
+    s.cypher("MATCH (a:mh {n:1}), (b:mh {n:2}), (c:mh {n:3}) " +
+      "MERGE (a)-[x:X]->(b)-[y:Y]->(c) ON MATCH SET x.seen = 1")
+    assert(cnt("X") == 1 && cnt("Y") == 1)
+    assert(s.graph().edges.filter("relType = 'X' AND seen = 1").count() == 1)
+    // half-present path (X exists toward a NEW endpoint pattern): a
+    // full-pattern miss recreates the whole pattern, like Neo4j
+    s.cypher("CREATE (d:mh {n: 4})")
+    s.cypher("MATCH (a:mh {n:1}), (b:mh {n:2}), (d:mh {n:4}) " +
+      "MERGE (a)-[x:X]->(b)-[y:Y]->(d)")
+    assert(cnt("X") == 2 && cnt("Y") == 2)
+  }
+
   test("SET n.x = n.y + 1 with absent property y yields null, not an error") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {n: 1})")
