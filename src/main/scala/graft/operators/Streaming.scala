@@ -187,6 +187,49 @@ object Streaming {
       s.read.parquet(sink)
         .groupBy(col("v_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // Streaming exact dedup on ingest: the training-pipeline shape
+    // where documents arrive continuously and only first occurrences
+    // pass downstream. dropDuplicates keeps one state entry per
+    // (source, content-hash) — the 32-byte sha, never the document
+    // text, is what sits in the state store. The dedup is the single
+    // stateful operator in the stream (the per-source count is a batch
+    // agg over the sink), so the plan stays one keyed exchange. A
+    // long-running deployment would use dropDuplicatesWithinWatermark
+    // keyed the same way so state is evicted at the horizon; the
+    // bounded replay needs no watermark (state = distinct corpus keys,
+    // and nothing is late in one AvailableNow pass).
+    sql("stream_dedup",
+      """SELECT source, count(DISTINCT text) AS n_unique
+        |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+      val sink = s"$tmp/sink"
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val deduped = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(d)
+        // dedupe on (source, hash): a text shared across sources keeps
+        // one representative PER source, so the graded count is
+        // deterministic (global dedup would keep whichever source's
+        // row a race won)
+        .select(col("source"), sha2(col("text"), 256).as("sha"))
+        .dropDuplicates("source", "sha")
+      val q = deduped.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          batch.write.mode("append").parquet(sink)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_unique"))
     }
   )
 }
