@@ -287,6 +287,31 @@ object CypherQueries {
         .withColumn("names", array_join(col("names"), "->", "?"))
     },
 
+    // relationships(p) over a LEFT-directed shortestPath: the witness
+    // array is in traversal order (region → nation → customer here),
+    // but every emitted (src, dst) must be the STORED edge orientation
+    // (customer-IN->nation, nation-IN->region) — the oracle string
+    // would flip if relationships(p) ever echoed traversal order for a
+    // <- pattern (the pre-round-8 bug this row pins).
+    sql("cy_path_rels",
+      """SELECT c.c_custkey AS ck,
+        |  CAST(n.n_nationkey*10+2 AS VARCHAR) || '-IN->' ||
+        |  CAST(n.n_regionkey*10+1 AS VARCHAR) || ';' ||
+        |  CAST(c.c_custkey*10+3 AS VARCHAR) || '-IN->' ||
+        |  CAST(n.n_nationkey*10+2 AS VARCHAR) AS rels
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey <= 100 AND n.n_regionkey = 0""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.{array_join, col, concat, lit, transform}
+      session(s, dir).cypher(
+        """MATCH p = shortestPath((r:region)<-[:IN*1..2]-(c:customer))
+          |WHERE c.c_custkey <= 100 AND r.r_regionkey = 0
+          |RETURN c.c_custkey AS ck, relationships(p) AS rels""".stripMargin)
+        .withColumn("rels", array_join(
+          transform(col("rels"), x => concat(
+            x.getField("src").cast("string"), lit("-"), x.getField("relType"),
+            lit("->"), x.getField("dst").cast("string"))), ";"))
+    },
+
     // Bulk upsert — `UNWIND $batch AS row MERGE … ON CREATE SET … ON
     // MATCH SET …`, the reference client surface's #1 write idiom
     // (every Bolt driver batches writes as a parameter map on
