@@ -936,6 +936,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case Variable(n)    =>
       if (df.columns.contains(n)) col(n)
       else if (df.columns.contains(s"$n${SEP}id")) col(s"$n${SEP}id")
+      // a bound relationship variable has no id (README deviations);
+      // its always-set relType column stands in for row-wise uses
+      // like count(x)
+      else if (df.columns.contains(s"$n${SEP}relType")) col(s"$n${SEP}relType")
       else throw new NoSuchElementException(s"Variable `$n` not defined")
     case ListComp(v, l, w, p) =>
       def body(e0: Expr, x: Column): Column = {

@@ -376,6 +376,48 @@ object CypherQueries {
           |  sum(CASE WHEN r.m = 1 THEN 1 ELSE 0 END) AS n_matched""".stripMargin)
     },
 
+    // Multi-hop MERGE — `UNWIND $batch MATCH …, …, … MERGE
+    // (s)-[:VOUCHES]->(n)-[:BADGED]->(r)`: whole-pattern match-or-
+    // create across two relationships in one batch (per-hop semi-join
+    // existence, one anti-join append per hop). First call creates
+    // every hop (fresh rel types); the second call finds every full
+    // pattern present and ON MATCH-marks only the BADGED hop. The
+    // oracle recomputes both cardinalities from the raw tables —
+    // VOUCHES pairs are unique per supplier, BADGED pairs dedupe to
+    // the distinct (nation, region) combinations.
+    sql("cy_merge_path",
+      """WITH batch AS (SELECT range AS a, range % 25 AS b, range % 5 AS c
+        |               FROM range(1, 101)),
+        |m AS (SELECT bt.a, bt.b, bt.c FROM batch bt
+        |      JOIN supplier s ON s.s_suppkey = bt.a
+        |      JOIN nation n ON n.n_nationkey = bt.b
+        |      JOIN region r ON r.r_regionkey = bt.c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vouches,
+        |  CAST(count(*) AS BIGINT) AS v_created,
+        |  CAST(count(DISTINCT b || ':' || c) AS BIGINT) AS n_badges,
+        |  CAST(count(DISTINCT b || ':' || c) AS BIGINT) AS b_marked
+        |FROM m""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      val batch = (1L to 100L).map(k => Map("a" -> k, "b" -> (k % 25), "c" -> (k % 5)))
+      val merge =
+        """UNWIND $batch AS row
+          |MATCH (s:supplier {s_suppkey: row.a}), (n:nation {n_nationkey: row.b}),
+          |      (r:region {r_regionkey: row.c})
+          |MERGE (s)-[x:VOUCHES]->(n)-[y:BADGED]->(r)""".stripMargin
+      gs.cypher(s"$merge ON CREATE SET x.f = 1", Map("batch" -> batch))
+      gs.cypher(s"$merge ON MATCH SET y.m = 1", Map("batch" -> batch))
+      val v = gs.cypher(
+        """MATCH (s:supplier)-[x:VOUCHES]->(n:nation)
+          |RETURN count(x) AS n_vouches,
+          |  sum(CASE WHEN x.f = 1 THEN 1 ELSE 0 END) AS v_created""".stripMargin)
+      val b = gs.cypher(
+        """MATCH (n:nation)-[y:BADGED]->(r:region)
+          |RETURN count(y) AS n_badges,
+          |  sum(CASE WHEN y.m = 1 THEN 1 ELSE 0 END) AS b_marked""".stripMargin)
+      v.crossJoin(b)
+    },
+
     // CALL { } composition subquery, the per-entity top-k idiom: each
     // customer's 2 priciest orders. Compiles to ONE row_number window
     // over the import key + a join back — decorrelated, never per-row
