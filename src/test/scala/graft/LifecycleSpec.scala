@@ -155,6 +155,13 @@ class LifecycleSpec extends AnyFunSuite {
       assert(httpPost(s"$base/db/neo4j/tx/commit", stmt)._1 == 401)
       assert(httpPost(s"$base/db/neo4j/tx/commit", stmt,
         Some(("neo4j", "wrong")))._1 == 401)
+      // malformed base64 in the header is an auth FAILURE, not a 500
+      val conn = new java.net.URL(s"$base/db/neo4j/tx/commit").openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.setRequestProperty("Authorization", "Basic not-base64!!")
+      conn.getOutputStream.write(stmt.getBytes("UTF-8"))
+      assert(conn.getResponseCode == 401)
       val (code, body) = httpPost(s"$base/db/neo4j/tx/commit", stmt,
         Some(("neo4j", "secretpass")))
       assert(code == 200, body)
