@@ -35,8 +35,15 @@ final class GraftSession(val spark: SparkSession,
 
   def graph(db: String = "neo4j"): PropertyGraph = catalog.database(db).graph
 
-  def setGraph(g: PropertyGraph, db: String = "neo4j"): Unit =
-    catalog.database(db).graph = g
+  def setGraph(g: PropertyGraph, db: String = "neo4j"): Unit = {
+    val d = catalog.database(db)
+    d.graph = g
+    // an externally-set graph is the materialized baseline: later
+    // compactions checkpoint only components mutations moved off it
+    d.matNodes = g.nodes
+    d.matEdges = g.edges
+    d.pendingMutations = 0
+  }
 
   /** Authenticate against the store (the Bolt-session-open analog).
     * Fails like the reference driver on a bad credential. */
@@ -292,9 +299,37 @@ final class GraftSession(val spark: SparkSession,
         // snapshots are immutable, so this costs nothing)
         if (txnOpen && !txnEntry.contains(database))
           txnEntry(database) = (db.graph, db.nextId.get())
-        mutate(db, parsed)
-      } else compiler(db).compile(parsed)
+        val out = mutate(db, parsed)
+        db.pendingMutations += 1
+        out
+      } else {
+        compactIfNeeded(db)
+        compiler(db).compile(parsed)
+      }
   }
+
+  /** Chained mutations build plan-on-plan lineage: statement K's
+    * existence joins re-execute statements 1..K-1 inside their own
+    * plans, so a write burst followed by reads costs O(K²) in chain
+    * re-executions. The first read after ≥2 unmaterialized writes
+    * collapses the lineage with an eager localCheckpoint — same
+    * values, pointer swap — so every later plan starts from
+    * materialized rows; the pinned mutation caches the old lineage
+    * referenced are then released. Mutations themselves stay lazy
+    * (EXPLAIN of a mutation must build plans without executing). On a
+    * cluster, a durable `checkpoint()` into the checkpoint dir serves
+    * the same role where executor loss must not drop the graph. */
+  private def compactIfNeeded(db: GraphDatabase): Unit =
+    if (db.pendingMutations >= 2) {
+      val g = db.graph
+      val nodes = if (g.nodes eq db.matNodes) g.nodes else g.nodes.localCheckpoint()
+      val edges = if (g.edges eq db.matEdges) g.edges else g.edges.localCheckpoint()
+      db.graph = PropertyGraph(nodes, edges)
+      db.matNodes = nodes
+      db.matEdges = edges
+      db.releasePinned()
+      db.pendingMutations = 0
+    }
 
   private def compiler(db: GraphDatabase) =
     new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)

@@ -17,6 +17,16 @@ final class GraphDatabase(val name: String) {
   @volatile var graph: PropertyGraph = _
   @volatile var stopped: Boolean = false
   val nextId = new AtomicLong(0L)
+  /** Mutating statements applied since the graph lineage last
+    * materialized — reads compact the plan-on-plan chain once it
+    * grows (GraftSession.compactIfNeeded). The mat* references mark
+    * the component DataFrames considered already-materialized (the
+    * externally-set base, a loaded snapshot, or the last checkpoint):
+    * compaction checkpoints only a component whose reference moved,
+    * so edge-only write bursts never re-materialize the node side. */
+  @volatile var pendingMutations: Int = 0
+  @volatile var matNodes: org.apache.spark.sql.DataFrame = _
+  @volatile var matEdges: org.apache.spark.sql.DataFrame = _
 
   /** DataFrames persisted by mutations whose cached RDDs the current
     * graph lineage still references (e.g. the numbered binding table
