@@ -147,6 +147,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case In(x, list)     => In(substSubquery(x, target, repl), list)
     case IsNull(x, n)    => IsNull(substSubquery(x, target, repl), n)
     case FnCall(n, args, d) => FnCall(n, args.map(substSubquery(_, target, repl)), d)
+    case ListComp(v, l, w, p) => ListComp(v, substSubquery(l, target, repl), w, p)
     case other        => other
   }
 
@@ -825,6 +826,35 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       items = items.map(it => ReturnItem(substSubquery(it.expr, lc, Variable(helper)), Some(it.name)))
       orderBy = orderBy.map { case (e, asc) => (substSubquery(e, lc, Variable(helper)), asc) }
     }
+
+    // `relationships(p)` over an UNDIRECTED or MULTI-TYPE pattern: the
+    // traversed orientation/type per hop is not recoverable from node
+    // ids alone (compileExpr refuses), but the STORED edge is — so
+    // these materialize as a helper column resolved against the edge
+    // table (addPathRelsCol), and the item compiles as an ordinary
+    // expression over the helper. The directed single-type case stays
+    // on the cheap pure-Column path in compileExpr.
+    def collectPathRels(e: Expr): Seq[FnCall] = e match {
+      case fc @ FnCall(fn, Seq(Variable(p)), _)
+          if fn.equalsIgnoreCase("relationships") &&
+            df.columns.contains(s"$p${SEP}nodes") &&
+            pathMeta.get(p).exists { case (d, ts) => d == 0 || ts.size > 1 } => Seq(fc)
+      case FnCall(_, args, _)   => args.flatMap(collectPathRels)
+      case Arith(_, l, r)       => collectPathRels(l) ++ collectPathRels(r)
+      case ListComp(_, l, _, _) => collectPathRels(l)
+      case _                    => Nil
+    }
+    val pathRels = items.flatMap(i => collectPathRels(i.expr)).distinct
+    pathRels.zipWithIndex.foreach { case (fc, i) =>
+      val helper = s"_prc$i"
+      (fc: @unchecked) match {
+        case FnCall(_, Seq(Variable(p)), _) =>
+          val (d, ts) = pathMeta(p)
+          df = addPathRelsCol(df, s"$p${SEP}nodes", d, ts, helper)
+      }
+      items = items.map(it => ReturnItem(substSubquery(it.expr, fc, Variable(helper)), Some(it.name)))
+      orderBy = orderBy.map { case (e, asc) => (substSubquery(e, fc, Variable(helper)), asc) }
+    }
     val hasAgg = items.exists(i => containsAggregate(i.expr))
 
     // ORDER BY may reference pre-projection values (openCypher allows
@@ -913,6 +943,50 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       .groupBy(col(rowKey))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn(helper, transform(col("_sorted"), x => x.getField("_pv")))
+      .drop("_sorted", rowKey)
+  }
+
+  /** Materialize `relationships(p)` for an undirected or multi-type
+    * path as a column of stored-edge structs: explode the witness
+    * array's consecutive pairs with positions, look each pair up in
+    * the edge table (both orientations for an undirected pattern,
+    * lexicographically-smallest type when several match — a
+    * deterministic valid witness), then regroup sorted by position.
+    * Same single-plan-branch shape as addPathPropCol: the
+    * monotonically_increasing_id row key is evaluated once, original
+    * columns ride through the explode and come back via first(). */
+  private def addPathRelsCol(df0: DataFrame, arrCol: String, dir: Int,
+      types: Seq[String], helper: String): DataFrame = {
+    val rowKey = s"${helper}_rk"
+    val hops = df0.withColumn(rowKey, monotonically_increasing_id())
+      .select(col("*"), posexplode(
+        transform(slice(col(arrCol), lit(1), size(col(arrCol)) - 1), (x, i) =>
+          struct(x.as("_a"),
+            element_at(col(arrCol), (i + lit(2)).cast("int")).as("_b"))))
+        .as(Seq("_pos", "_hop")))
+      .withColumn("_a", col("_hop").getField("_a"))
+      .withColumn("_b", col("_hop").getField("_b"))
+      .drop("_hop")
+    val e0 = if (types.nonEmpty) graph.edges.filter(col("relType").isin(types: _*))
+      else graph.edges
+    val fwd = e0.groupBy(col("src").as("_a"), col("dst").as("_b"))
+      .agg(min(col("relType")).as("_ft"))
+    val bwd = e0.groupBy(col("dst").as("_a"), col("src").as("_b"))
+      .agg(min(col("relType")).as("_bt"))
+    var j = hops
+    j = if (dir != -1) j.join(fwd, Seq("_a", "_b"), "left_outer")
+      else j.withColumn("_ft", lit(null).cast("string"))
+    j = if (dir != 1) j.join(bwd, Seq("_a", "_b"), "left_outer")
+      else j.withColumn("_bt", lit(null).cast("string"))
+    val rel = when(col("_ft").isNotNull,
+        struct(col("_a").as("src"), col("_b").as("dst"), col("_ft").as("relType")))
+      .when(col("_bt").isNotNull,
+        struct(col("_b").as("src"), col("_a").as("dst"), col("_bt").as("relType")))
+    val aggs = df0.columns.toIndexedSeq.map(c => first(col(c)).as(c)) :+
+      sort_array(collect_list(struct(col("_pos"), rel.as("_rel")))).as("_sorted")
+    j.groupBy(col(rowKey))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(helper, transform(col("_sorted"), x => x.getField("_rel")))
       .drop("_sorted", rowKey)
   }
 

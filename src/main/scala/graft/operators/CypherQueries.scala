@@ -376,6 +376,31 @@ object CypherQueries {
           |  sum(CASE WHEN r.m = 1 THEN 1 ELSE 0 END) AS n_matched""".stripMargin)
     },
 
+    // relationships(p) over an UNDIRECTED shortestPath: the traversed
+    // orientation is unknowable from node ids, so each hop is resolved
+    // against the stored edge table (addPathRelsCol) — the oracle
+    // encodes the STORED orientations (customer-IN->nation,
+    // nation-IN->region), which an implementation echoing traversal
+    // order (region → nation → customer here) would flip.
+    sql("cy_path_rels_undirected",
+      """SELECT c.c_custkey AS ck,
+        |  CAST(n.n_nationkey*10+2 AS VARCHAR) || '-IN->' ||
+        |  CAST(n.n_regionkey*10+1 AS VARCHAR) || ';' ||
+        |  CAST(c.c_custkey*10+3 AS VARCHAR) || '-IN->' ||
+        |  CAST(n.n_nationkey*10+2 AS VARCHAR) AS rels
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey <= 100 AND n.n_regionkey = 0""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.{array_join, col, concat, lit, transform}
+      session(s, dir).cypher(
+        """MATCH p = shortestPath((r:region)-[:IN*2..2]-(c:customer))
+          |WHERE c.c_custkey <= 100 AND r.r_regionkey = 0
+          |RETURN c.c_custkey AS ck, relationships(p) AS rels""".stripMargin)
+        .withColumn("rels", array_join(
+          transform(col("rels"), x => concat(
+            x.getField("src").cast("string"), lit("-"), x.getField("relType"),
+            lit("->"), x.getField("dst").cast("string"))), ";"))
+    },
+
     // Multi-hop MERGE — `UNWIND $batch MATCH …, …, … MERGE
     // (s)-[:VOUCHES]->(n)-[:BADGED]->(r)`: whole-pattern match-or-
     // create across two relationships in one batch (per-hop semi-join

@@ -170,6 +170,21 @@ class CypherSpec extends AnyFunSuite {
     assert(walks("2..2") == 0L) // but a 2-walk would re-use it
   }
 
+  test("relationships(p) over an undirected path recovers stored edge orientation") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:pr {name:'a'})-[:T]->(b:pr {name:'b'})")
+    s.cypher("CREATE (c:pr {name:'c'})")
+    // second hop stored AGAINST traversal order: path a-b-c walks b~c
+    // via the stored edge c->b
+    s.cypher("MATCH (b:pr {name:'b'}), (c:pr {name:'c'}) CREATE (c)-[:T]->(b)")
+    val row = s.cypher(
+      """MATCH p = shortestPath((a:pr {name:'a'})-[:T*1..3]-(c:pr {name:'c'}))
+        |RETURN relationships(p) AS rels""".stripMargin).collect().head
+    val rels = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rels == Seq((0L, 1L, "T"), (2L, 1L, "T")))
+  }
+
   test("aggregates: count, sum, avg, min, max, distinct") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {g:'x', n: 1}), (b:v {g:'x', n: 3}), (c:v {g:'y', n: 5})")
