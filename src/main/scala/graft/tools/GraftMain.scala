@@ -64,6 +64,13 @@ object GraftMain {
           val bound = new graft.http.HttpEndpoint(session, p, addr).start()
           Console.out.println(s"HTTP enabled on $addr:$bound")
         }
+        // 7687-style Bolt surface (autocommit RUN/PULL), opt-in via
+        // GRAFT_BOLT_PORT (the reference image always maps 7687)
+        env.get("GRAFT_BOLT_PORT").map(_.toInt).foreach { p =>
+          val addr = env.getOrElse("GRAFT_BOLT_ADDRESS", "0.0.0.0")
+          val bound = new graft.bolt.BoltEndpoint(session, p, addr).start()
+          Console.out.println(s"Bolt enabled on $addr:$bound")
+        }
         Console.out.println("Started.")
         Shell.main(args.drop(1))
 

@@ -1,0 +1,153 @@
+package graft
+
+import graft.bolt.{BoltEndpoint, PackStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the Bolt endpoint with a minimal raw-socket client speaking
+  * the published Bolt 4.4 framing: handshake, HELLO auth, autocommit
+  * RUN/PULL with parameters, FAILURE→IGNORED→RESET recovery, and the
+  * explicit-transaction refusal. */
+class BoltSpec extends AnyFunSuite {
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private final class Client(port: Int) {
+    private val sock = new Socket("127.0.0.1", port)
+    private val in = new DataInputStream(sock.getInputStream)
+    private val out = new DataOutputStream(sock.getOutputStream)
+
+    def handshake(proposal: Int = 0x00000404): Int = {
+      out.writeInt(0x6060B017)
+      out.writeInt(proposal); out.writeInt(0); out.writeInt(0); out.writeInt(0)
+      out.flush()
+      in.readInt()
+    }
+
+    def send(tag: Int, fields: Any*): Unit = {
+      val body = new ByteArrayOutputStream()
+      val ps = new DataOutputStream(body)
+      PackStream.writeStructHeader(ps, tag, fields.size)
+      fields.foreach(PackStream.writeValue(ps, _))
+      val bytes = body.toByteArray
+      out.writeShort(bytes.length); out.write(bytes); out.writeShort(0)
+      out.flush()
+    }
+
+    def recv(): (Int, Seq[Any]) = {
+      val buf = new ByteArrayOutputStream()
+      var size = in.readUnsignedShort()
+      while (size == 0) size = in.readUnsignedShort()
+      while (size != 0) {
+        val chunk = new Array[Byte](size); in.readFully(chunk); buf.write(chunk)
+        size = in.readUnsignedShort()
+      }
+      val ps = new DataInputStream(new ByteArrayInputStream(buf.toByteArray))
+      PackStream.readValue(ps) match {
+        case PackStream.Struct(tag, fields) => (tag, fields)
+        case other => fail(s"not a message: $other")
+      }
+    }
+
+    def close(): Unit = sock.close()
+  }
+
+  private val SUCCESS = 0x70; private val RECORD = 0x71
+  private val IGNORED = 0x7E; private val FAILURE = 0x7F
+
+  test("handshake negotiates 4.4 and rejects unknown majors") {
+    val ep = new BoltEndpoint(new GraftSession(spark), 0, "127.0.0.1")
+    val port = ep.start()
+    try {
+      val c = new Client(port)
+      assert(c.handshake() == 0x00000404)
+      c.close()
+      val c2 = new Client(port)
+      assert(c2.handshake(0x00000003) == 0) // Bolt 3 only → no match
+      c2.close()
+    } finally ep.stop()
+  }
+
+  test("autocommit RUN/PULL round-trips rows with parameters") {
+    val session = new GraftSession(spark)
+    session.cypher("CREATE (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog {name:'Bosse'})")
+    val ep = new BoltEndpoint(session, 0, "127.0.0.1")
+    val port = ep.start()
+    try {
+      val c = new Client(port)
+      assert(c.handshake() == 0x00000404)
+      c.send(0x01, Map("user_agent" -> "graft-test/1.0")) // HELLO, auth off
+      val (t0, f0) = c.recv()
+      assert(t0 == SUCCESS)
+      assert(f0.head.asInstanceOf[Map[String, Any]]("server") == "Neo4j/5.26.0")
+      c.send(0x10, // RUN with a parameter
+        "MATCH (a:dog)-[:SNIFFS]->(b:dog) WHERE a.name = $who RETURN a.name AS a, b.name AS b",
+        Map("who" -> "Arne"), Map.empty[String, Any])
+      val (t1, f1) = c.recv()
+      assert(t1 == SUCCESS)
+      assert(f1.head.asInstanceOf[Map[String, Any]]("fields") == Seq("a", "b"))
+      c.send(0x3F, Map("n" -> -1L)) // PULL all
+      val (t2, f2) = c.recv()
+      assert(t2 == RECORD && f2.head == Seq("Arne", "Bosse"))
+      assert(c.recv()._1 == SUCCESS)
+      // FAILURE → IGNORED → RESET recovery
+      c.send(0x10, "THIS IS NOT CYPHER", Map.empty[String, Any], Map.empty[String, Any])
+      val (t3, f3) = c.recv()
+      assert(t3 == FAILURE)
+      assert(f3.head.asInstanceOf[Map[String, Any]]("code").toString.contains("SyntaxError"))
+      c.send(0x3F, Map("n" -> -1L))
+      assert(c.recv()._1 == IGNORED)
+      c.send(0x0F) // RESET
+      assert(c.recv()._1 == SUCCESS)
+      // explicit transactions refuse loudly
+      c.send(0x11, Map.empty[String, Any]) // BEGIN
+      val (t4, f4) = c.recv()
+      assert(t4 == FAILURE)
+      assert(f4.head.asInstanceOf[Map[String, Any]]("message").toString
+        .contains("autocommit"))
+      c.send(0x02) // GOODBYE
+      c.close()
+    } finally ep.stop()
+  }
+
+  test("HELLO enforces basic auth when the session has a credential store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bolt_auth_").toString
+    val store = new graft.auth.AuthStore(dir)
+    store.setInitialPassword("secretpass")
+    val session = new GraftSession(spark)
+    session.authStore = Some(store)
+    val ep = new BoltEndpoint(session, 0, "127.0.0.1")
+    val port = ep.start()
+    try {
+      val bad = new Client(port)
+      assert(bad.handshake() == 0x00000404)
+      bad.send(0x01, Map("scheme" -> "basic", "principal" -> "neo4j",
+        "credentials" -> "wrong"))
+      val (tb, fb) = bad.recv()
+      assert(tb == FAILURE)
+      assert(fb.head.asInstanceOf[Map[String, Any]]("code").toString
+        .contains("Unauthorized"))
+      bad.close()
+      val good = new Client(port)
+      assert(good.handshake() == 0x00000404)
+      good.send(0x01, Map("scheme" -> "basic", "principal" -> "neo4j",
+        "credentials" -> "secretpass"))
+      assert(good.recv()._1 == SUCCESS)
+      good.send(0x10, "MATCH (n) RETURN count(n) AS c",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(good.recv()._1 == SUCCESS)
+      good.send(0x3F, Map("n" -> -1L))
+      val (tr, fr) = good.recv()
+      assert(tr == RECORD && fr.head == Seq(0L))
+      assert(good.recv()._1 == SUCCESS)
+      good.send(0x02)
+      good.close()
+    } finally ep.stop()
+  }
+}
