@@ -545,6 +545,18 @@ class CypherSpec extends AnyFunSuite {
     assert(cnt("X") == 2 && cnt("Y") == 2)
   }
 
+  test("relationships(p) over a multi-type path recovers the stored type per hop") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:mt {name:'a'})-[:X]->(b:mt {name:'b'})")
+    s.cypher("MATCH (b:mt {name:'b'}) CREATE (b)-[:Y]->(c:mt {name:'c'})")
+    val row = s.cypher(
+      """MATCH p = shortestPath((a:mt {name:'a'})-[:X|Y*1..3]->(c:mt {name:'c'}))
+        |RETURN relationships(p) AS rels""".stripMargin).collect().head
+    val rels = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rels == Seq((0L, 1L, "X"), (1L, 2L, "Y")))
+  }
+
   test("SET n.x = n.y + 1 with absent property y yields null, not an error") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:v {n: 1})")
