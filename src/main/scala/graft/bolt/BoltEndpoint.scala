@@ -24,15 +24,20 @@ import java.nio.charset.StandardCharsets.UTF_8
   *  - `RUN {query, params, {db}}` / `PULL {n}` / `DISCARD {n}` →
   *    executes through `session.cypher` (the statement lock serializes
   *    with the shell and HTTP surfaces) and streams RECORDs;
-  *  - `RESET` clears a FAILURE; messages after a failure are IGNORED
-  *    until then; `GOODBYE` closes.
-  *
-  * Explicit transactions (BEGIN/COMMIT/ROLLBACK messages) are refused
-  * with a clear FAILURE: a Bolt transaction spans an unbounded number
-  * of network round-trips, and holding the session's single statement
-  * lock hostage to a stalled client would block every other surface —
-  * autocommit `session.run`, the reference tests' own idiom, is the
-  * supported path (README "Deliberate deviations").
+  *  - `RESET` clears a FAILURE (rolling back any open explicit
+  *    transaction, like the reference server); messages after a
+  *    failure are IGNORED until then; `GOODBYE` closes;
+  *  - `BEGIN {db}` / `COMMIT` / `ROLLBACK` → explicit transactions
+  *    over the session's snapshot-pointer transaction slot. The
+  *    statement lock is held from BEGIN to COMMIT/ROLLBACK (the
+  *    session has ONE transaction slot; without exclusion a
+  *    concurrent shell/HTTP autocommit write would silently join
+  *    this transaction and vanish on its ROLLBACK). A transaction
+  *    spans an unbounded number of network round-trips, so a stalled
+  *    client could hold that lock hostage — the socket gets a read
+  *    timeout while a transaction is open (`txIdleTimeoutMs`,
+  *    default 30 s between messages); on timeout or disconnect the
+  *    transaction rolls back and the lock is released.
   *
   * Values stream as PackStream scalars/lists/maps; engine rows carry
   * scalars, arrays and structs (never node/relationship objects), so
@@ -46,7 +51,7 @@ import java.nio.charset.StandardCharsets.UTF_8
   * shortcut.
   */
 final class BoltEndpoint(session: GraftSession, port: Int = 7687,
-    bindAddress: String = "0.0.0.0") {
+    bindAddress: String = "0.0.0.0", txIdleTimeoutMs: Int = 30000) {
 
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress(bindAddress, port))
@@ -99,18 +104,41 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
     var failed = false
     // the RUN result pending PULL/DISCARD: (rows, already-streamed)
     var pending: Option[Iterator[Seq[Any]]] = None
+    // the open explicit transaction's database; the statement lock is
+    // held exactly while this is Some (see endTx/cleanup)
+    var txDb: Option[String] = None
 
     def success(meta: Map[String, Any]): Unit = writeMessage(out, SUCCESS, Seq(meta))
     def failure(code: String, msg: String): Unit = {
       failed = true; pending = None
       writeMessage(out, FAILURE, Seq(Map("code" -> code, "message" -> msg)))
     }
+    // close the open transaction (verb = COMMIT | ROLLBACK), always
+    // releasing the lock and the in-transaction socket timeout
+    def endTx(verb: String): Unit = txDb.foreach { db =>
+      try session.cypher(verb, db)
+      finally {
+        txDb = None
+        session.stmtLock.unlock()
+        try sock.setSoTimeout(0) catch { case _: Throwable => () }
+      }
+    }
 
-    while (true) {
+    def extraMap(fields: Seq[Any], i: Int): Map[String, Any] =
+      fields.lift(i).collect { case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]] }.getOrElse(Map.empty)
+    def dbOf(extra: Map[String, Any]): String =
+      extra.get("db").collect { case s: String if s.nonEmpty => s }.getOrElse("neo4j")
+
+    try while (true) {
       val msg = readMessage(in).getOrElse(return)
       val (tag, fields) = msg
       if (tag == GOODBYE) return
-      else if (tag == RESET) { failed = false; pending = None; success(Map.empty) }
+      else if (tag == RESET) {
+        // RESET rolls back any open transaction, then clears FAILURE
+        try endTx("ROLLBACK") catch { case _: Exception => () }
+        failed = false; pending = None; success(Map.empty)
+      }
       else if (failed) writeMessage(out, IGNORED, Nil)
       else if (!authed) {
         if (tag != HELLO) { failure("Neo.ClientError.Request.Invalid", "expected HELLO"); return }
@@ -138,10 +166,8 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
           val query = fields.headOption.collect { case s: String => s }.getOrElse("")
           val params = fields.lift(1).collect { case m: Map[_, _] =>
             m.asInstanceOf[Map[String, Any]] }.getOrElse(Map.empty)
-          val extra = fields.lift(2).collect { case m: Map[_, _] =>
-            m.asInstanceOf[Map[String, Any]] }.getOrElse(Map.empty)
-          val db = extra.get("db").collect { case s: String if s.nonEmpty => s }
-            .getOrElse("neo4j")
+          // inside an explicit transaction the db was fixed by BEGIN
+          val db = txDb.getOrElse(dbOf(extraMap(fields, 2)))
           try {
             val df = session.cypher(query, params, db)
             val cols = df.columns.toSeq
@@ -172,14 +198,44 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
           }
         case DISCARD =>
           pending = None; success(Map("t_last" -> 0L))
-        case BEGIN | COMMIT | ROLLBACK =>
-          failure("Neo.ClientError.Statement.SyntaxError",
-            "explicit Bolt transactions are not supported; use autocommit session.run " +
-              "(README Deliberate deviations)")
+        case BEGIN =>
+          if (txDb.isDefined)
+            failure("Neo.ClientError.Request.Invalid",
+              "there is already an open transaction on this connection")
+          else {
+            val db = dbOf(extraMap(fields, 0))
+            session.stmtLock.lock()
+            try {
+              session.cypher("BEGIN", db)
+              txDb = Some(db)
+              try sock.setSoTimeout(txIdleTimeoutMs) catch { case _: Throwable => () }
+              success(Map.empty)
+            } catch {
+              case e: Exception =>
+                session.stmtLock.unlock()
+                failure("Neo.DatabaseError.General.UnknownError", String.valueOf(e.getMessage))
+            }
+          }
+        case COMMIT | ROLLBACK =>
+          val verb = if (tag == COMMIT) "COMMIT" else "ROLLBACK"
+          if (txDb.isEmpty)
+            failure("Neo.ClientError.Request.Invalid", s"no open transaction to $verb")
+          else try {
+            endTx(verb)
+            success(if (tag == COMMIT) Map("bookmark" -> "graft:bm-0") else Map.empty)
+          } catch {
+            case e: Exception =>
+              failure("Neo.DatabaseError.General.UnknownError", String.valueOf(e.getMessage))
+          }
         case _ =>
           failure("Neo.ClientError.Request.Invalid", s"unsupported message 0x${tag.toHexString}")
       }
       out.flush()
+    } finally {
+      // disconnect / read-timeout with a transaction still open: roll
+      // back and release the lock so the other surfaces never block on
+      // a vanished client
+      try endTx("ROLLBACK") catch { case _: Throwable => () }
     }
   }
 

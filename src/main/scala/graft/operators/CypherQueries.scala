@@ -443,6 +443,39 @@ object CypherQueries {
       v.crossJoin(b)
     },
 
+    // Real transactions over snapshot pointers (BEGIN/COMMIT/ROLLBACK —
+    // the reference's cypher-shell drives `:begin` blocks, ref
+    // TestBasic.java:146-156): tx1 flags customers ≤ 200 and COMMITs
+    // (published); tx2 flags EVERY customer and bulk-CREATEs 500
+    // :Ghost nodes, then ROLLs BACK — the snapshot-pointer restore
+    // must erase both effects completely. The read runs after both
+    // transactions: only tx1's flags are visible, the rolled-back
+    // marker reads as absent (null ≠ 1), and the Ghost label matches
+    // nothing. The oracle recomputes the committed count from the raw
+    // customer table.
+    sql("cy_tx_commit_rollback",
+      """SELECT
+        |  CAST(count(CASE WHEN c_custkey <= 200 THEN 1 END) AS BIGINT) AS committed,
+        |  CAST(0 AS BIGINT) AS rolled_back,
+        |  CAST(0 AS BIGINT) AS ghosts
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      gs.cypher("BEGIN")
+      gs.cypher("MATCH (c:customer) WHERE c.c_custkey <= 200 SET c.keep = 1")
+      gs.cypher("COMMIT")
+      gs.cypher("BEGIN")
+      gs.cypher("MATCH (c:customer) SET c.nope = 1")
+      gs.cypher("UNWIND range(1, 500) AS x CREATE (:Ghost {g: x})")
+      gs.cypher("ROLLBACK")
+      val c = gs.cypher(
+        """MATCH (c:customer)
+          |RETURN sum(CASE WHEN c.keep = 1 THEN 1 ELSE 0 END) AS committed,
+          |  sum(CASE WHEN c.nope = 1 THEN 1 ELSE 0 END) AS rolled_back""".stripMargin)
+      val g = gs.cypher("MATCH (g:Ghost) RETURN count(g) AS ghosts")
+      c.crossJoin(g)
+    },
+
     // CALL { } composition subquery, the per-entity top-k idiom: each
     // customer's 2 priciest orders. Compiles to ONE row_number window
     // over the import key + a join back — decorrelated, never per-row

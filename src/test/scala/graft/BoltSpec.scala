@@ -105,14 +105,93 @@ class BoltSpec extends AnyFunSuite {
       assert(c.recv()._1 == IGNORED)
       c.send(0x0F) // RESET
       assert(c.recv()._1 == SUCCESS)
-      // explicit transactions refuse loudly
-      c.send(0x11, Map.empty[String, Any]) // BEGIN
-      val (t4, f4) = c.recv()
-      assert(t4 == FAILURE)
-      assert(f4.head.asInstanceOf[Map[String, Any]]("message").toString
-        .contains("autocommit"))
       c.send(0x02) // GOODBYE
       c.close()
+    } finally ep.stop()
+  }
+
+  test("explicit transactions: ROLLBACK discards, COMMIT publishes, RESET rolls back") {
+    val session = new GraftSession(spark)
+    val ep = new BoltEndpoint(session, 0, "127.0.0.1")
+    val port = ep.start()
+    try {
+      val c = new Client(port)
+      assert(c.handshake() == 0x00000404)
+      c.send(0x01, Map("user_agent" -> "graft-test/1.0"))
+      assert(c.recv()._1 == SUCCESS)
+
+      def runDiscard(q: String): Unit = {
+        c.send(0x10, q, Map.empty[String, Any], Map.empty[String, Any])
+        assert(c.recv()._1 == SUCCESS)
+        c.send(0x2F, Map("n" -> -1L)) // DISCARD
+        assert(c.recv()._1 == SUCCESS)
+      }
+      def countTmp(): Long = {
+        c.send(0x10, "MATCH (x:tmp) RETURN count(x) AS n",
+          Map.empty[String, Any], Map.empty[String, Any])
+        assert(c.recv()._1 == SUCCESS)
+        c.send(0x3F, Map("n" -> -1L))
+        val (tr, fr) = c.recv()
+        assert(tr == RECORD)
+        assert(c.recv()._1 == SUCCESS)
+        fr.head.asInstanceOf[Seq[Any]].head.asInstanceOf[Long]
+      }
+
+      // BEGIN → write → ROLLBACK: nothing published
+      c.send(0x11, Map.empty[String, Any]) // BEGIN
+      assert(c.recv()._1 == SUCCESS)
+      runDiscard("CREATE (x:tmp {k: 1})")
+      c.send(0x13) // ROLLBACK
+      assert(c.recv()._1 == SUCCESS)
+      assert(countTmp() == 0L)
+
+      // BEGIN → write → read-your-writes → COMMIT: published
+      c.send(0x11, Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      runDiscard("CREATE (x:tmp {k: 2})")
+      assert(countTmp() == 1L) // reads inside the tx see its writes
+      c.send(0x12) // COMMIT
+      val (tc, fc) = c.recv()
+      assert(tc == SUCCESS)
+      assert(fc.head.asInstanceOf[Map[String, Any]].contains("bookmark"))
+      assert(countTmp() == 1L)
+
+      // nested BEGIN refuses; COMMIT with no tx refuses
+      c.send(0x11, Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x11, Map.empty[String, Any])
+      assert(c.recv()._1 == FAILURE)
+      c.send(0x0F) // RESET: rolls the open tx back and clears FAILURE
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x12) // COMMIT with nothing open
+      assert(c.recv()._1 == FAILURE)
+      c.send(0x0F)
+      assert(c.recv()._1 == SUCCESS)
+
+      // disconnect with an open tx: the lock is released and the
+      // write rolled back — a fresh connection can immediately BEGIN
+      c.send(0x11, Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      runDiscard("CREATE (x:tmp {k: 3})")
+      c.close() // vanish mid-transaction
+
+      val c2 = new Client(port)
+      assert(c2.handshake() == 0x00000404)
+      c2.send(0x01, Map("user_agent" -> "graft-test/1.0"))
+      assert(c2.recv()._1 == SUCCESS)
+      c2.send(0x11, Map.empty[String, Any]) // BEGIN must not block
+      assert(c2.recv()._1 == SUCCESS)
+      c2.send(0x10, "MATCH (x:tmp) RETURN count(x) AS n",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(c2.recv()._1 == SUCCESS)
+      c2.send(0x3F, Map("n" -> -1L))
+      val (t2, f2) = c2.recv()
+      assert(t2 == RECORD && f2.head.asInstanceOf[Seq[Any]].head == 1L) // k:3 rolled back
+      assert(c2.recv()._1 == SUCCESS)
+      c2.send(0x13)
+      assert(c2.recv()._1 == SUCCESS)
+      c2.send(0x02)
+      c2.close()
     } finally ep.stop()
   }
 
