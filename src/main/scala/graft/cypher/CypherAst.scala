@@ -51,6 +51,12 @@ object ast {
 
   final case class ListComp(variable: String, list: Expr,
       where: Option[Expr], projection: Option[Expr]) extends Expr
+  /** `any/all/none/single(x IN list WHERE pred)`. */
+  final case class ListPred(fn: String, variable: String, list: Expr,
+      pred: Expr) extends Expr
+  /** `reduce(acc = init, x IN list | expr)`. */
+  final case class ReduceExpr(acc: String, init: Expr, variable: String,
+      list: Expr, step: Expr) extends Expr
   /** The comprehension variable inside its WHERE/projection. */
   final case class LambdaVar(name: String) extends Expr
 

@@ -656,6 +656,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case CaseExpr(ws, o) =>
       ws.flatMap { case (c, v) => referencedVars(c) ++ referencedVars(v) }.toSet ++
         o.toSeq.flatMap(referencedVars)
+    // lambda-binding forms: the bound variable shadows, everything else counts
+    case ListComp(v, l, w, p) =>
+      referencedVars(l) ++ ((w.toSeq ++ p.toSeq).flatMap(referencedVars).toSet - v)
+    case ListPred(_, v, l, p)       => referencedVars(l) ++ (referencedVars(p) - v)
+    case ReduceExpr(acc, init, v, l, e) =>
+      referencedVars(init) ++ referencedVars(l) ++ (referencedVars(e) - v - acc)
     case _               => Set.empty
   }
 
@@ -1025,6 +1031,26 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       w.foreach(cond => arr = filter(arr, x => body(cond, x)))
       p.foreach(proj => arr = transform(arr, x => body(proj, x)))
       arr
+    // list predicates → Spark higher-order functions (codegen'd, no UDF)
+    case ListPred(fn, v, l, p) =>
+      def pred(x: Column): Column = {
+        val saved = lambdaBinds
+        lambdaBinds = lambdaBinds.updated(v, x)
+        try compileExpr(p, df) finally lambdaBinds = saved
+      }
+      val arr = compileExpr(l, df)
+      fn match {
+        case "any"    => exists(arr, pred)
+        case "all"    => forall(arr, pred)
+        case "none"   => !exists(arr, pred)
+        case "single" => size(filter(arr, x => pred(x))) === 1
+      }
+    case ReduceExpr(acc, init, v, l, e) =>
+      aggregate(compileExpr(l, df), compileExpr(init, df), (a, x) => {
+        val saved = lambdaBinds
+        lambdaBinds = lambdaBinds.updated(acc, a).updated(v, x)
+        try compileExpr(e, df) finally lambdaBinds = saved
+      })
     case Cmp("=", l, r)  => compileExpr(l, df) === compileExpr(r, df)
     case Cmp("<>", l, r) => compileExpr(l, df) =!= compileExpr(r, df)
     case Cmp("<", l, r)  => compileExpr(l, df) < compileExpr(r, df)

@@ -76,6 +76,8 @@ object CypherParser extends RegexParsers {
     caseExpr |
     existsSub |
     countSub |
+    listPred |
+    reduceExpr |
     fnCall |
     patternPred |
     propOrVar |
@@ -94,6 +96,22 @@ object CypherParser extends RegexParsers {
   private def countSub: Parser[Expr] =
     kw("count") ~> "{" ~> opt(kw("match")) ~> patternList ~ opt(whereClause) <~ "}" ^^ {
       case ps ~ w => CountSub(ps, w)
+    }
+
+  /** `any/all/none/single(x IN list WHERE pred)` — tried before
+    * fnCall; a call of one of these names without `ident IN` fails
+    * the `IN` and backtracks to fnCall. */
+  private def listPred: Parser[Expr] =
+    (kw("any") | kw("all") | kw("none") | kw("single")) ~
+      ("(" ~> ident <~ kw("in")) ~ expr ~ (kw("where") ~> expr) <~ ")" ^^ {
+      case fn ~ v ~ l ~ p => ListPred(fn.toLowerCase, v, l, p)
+    }
+
+  /** `reduce(acc = init, x IN list | expr)`. */
+  private def reduceExpr: Parser[Expr] =
+    kw("reduce") ~> "(" ~> (ident <~ "=") ~ expr ~ ("," ~> ident <~ kw("in")) ~
+      expr ~ ("|" ~> expr) <~ ")" ^^ {
+      case acc ~ init ~ v ~ l ~ e => ReduceExpr(acc, init, v, l, e)
     }
 
   /** `(a)-[:T]->(b)` inside WHERE: tried before propOrVar/parens; a

@@ -88,6 +88,9 @@ object Params {
       CaseExpr(ws.map { case (c, v) => (expr(c, ps), expr(v, ps)) }, o.map(expr(_, ps)))
     case ListComp(v, l, w, pr) =>
       ListComp(v, expr(l, ps), w.map(expr(_, ps)), pr.map(expr(_, ps)))
+    case ListPred(fn, v, l, p) => ListPred(fn, v, expr(l, ps), expr(p, ps))
+    case ReduceExpr(acc, init, v, l, e) =>
+      ReduceExpr(acc, expr(init, ps), v, expr(l, ps), expr(e, ps))
     case PatternPred(pat)   => PatternPred(path(pat, ps))
     case PatternComp(pat, w, pr) =>
       PatternComp(path(pat, ps), w.map(expr(_, ps)), expr(pr, ps))

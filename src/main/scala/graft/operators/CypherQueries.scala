@@ -476,6 +476,32 @@ object CypherQueries {
       c.crossJoin(g)
     },
 
+    // List predicates + reduce over collected lists — openCypher's
+    // any/all/none/single(x IN xs WHERE …) and reduce(acc = …, x IN
+    // xs | …) compile to Spark's codegen'd higher-order functions
+    // (exists/forall/filter/aggregate) over the grouped collect —
+    // no UDF, no explode round-trip. The oracle recomputes each
+    // predicate relationally (bool_or/bool_and/conditional count;
+    // the reduce is an exact integer sum).
+    q("cy_list_predicates",
+      """SELECT c.c_custkey AS ck,
+        |  bool_or(o.o_totalprice > 250000) AS has_big,
+        |  bool_and(o.o_totalprice > 5000) AS all_over_5k,
+        |  NOT bool_or(o.o_totalprice < 0) AS none_neg,
+        |  (count(CASE WHEN o.o_totalprice > 300000 THEN 1 END) = 1) AS one_huge,
+        |  CAST(sum(o.o_orderkey) AS BIGINT) AS keysum
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey <= 200
+        |GROUP BY 1""".stripMargin)(
+      """MATCH (c:customer)-[:PLACED]->(o:order) WHERE c.c_custkey <= 200
+        |WITH c.c_custkey AS ck, collect(o.o_totalprice) AS prices,
+        |     collect(o.o_orderkey) AS keys
+        |RETURN ck, any(p IN prices WHERE p > 250000) AS has_big,
+        |  all(p IN prices WHERE p > 5000) AS all_over_5k,
+        |  none(p IN prices WHERE p < 0) AS none_neg,
+        |  single(p IN prices WHERE p > 300000) AS one_huge,
+        |  reduce(s = 0, k IN keys | s + k) AS keysum""".stripMargin),
+
     // CALL { } composition subquery, the per-entity top-k idiom: each
     // customer's 2 priciest orders. Compiles to ONE row_number window
     // over the import key + a join back — decorrelated, never per-row

@@ -1057,6 +1057,29 @@ class CypherSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("list predicates any/all/none/single and reduce() over collected lists") {
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(1, 5) AS x CREATE (:num {v: x})")
+    val r = s.cypher(
+      """MATCH (n:num) WITH collect(n.v) AS xs
+        |RETURN any(x IN xs WHERE x > 4) AS a, all(x IN xs WHERE x > 0) AS b,
+        |  none(x IN xs WHERE x > 5) AS c, single(x IN xs WHERE x = 3) AS d,
+        |  reduce(s = 0, x IN xs | s + x) AS e""".stripMargin).collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getLong(4) == 15L)
+    // negative cases: all() fails on a zero, single() on two hits
+    val r2 = s.cypher(
+      """MATCH (n:num) WITH collect(n.v) AS xs
+        |RETURN all(x IN xs WHERE x > 1) AS a, single(x IN xs WHERE x >= 4) AS b,
+        |  any(x IN xs WHERE x > 99) AS c""".stripMargin).collect().head
+    assert(!r2.getBoolean(0) && !r2.getBoolean(1) && !r2.getBoolean(2))
+    // reduce with a parameterized init; any() name still works as fnCall-free
+    val r3 = s.cypher(
+      "RETURN reduce(acc = $base, x IN [10, 20] | acc + x) AS t",
+      Map("base" -> 5L)).collect().head
+    assert(r3.getLong(0) == 35L)
+  }
+
   test("shortestPath binds first-hit hop distances to length(p)") {
     val s = new GraftSession(spark)
     // chain a->b->c->d plus a shortcut a->c: dist(a,c) must be 1
