@@ -1073,7 +1073,23 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case StringPred(op, _, _)         => throw new UnsupportedOperationException(op)
     case IsNull(x, false) => compileExpr(x, df).isNull
     case IsNull(x, true)  => compileExpr(x, df).isNotNull
-    case Arith("+", l, r) => compileExpr(l, df) + compileExpr(r, df)
+    // openCypher `+` is type-directed: string concatenation when either
+    // side is a string (the other coerces), list concatenation on two
+    // lists, numeric addition otherwise. Resolve the operand types
+    // against the frame; lambda-bound columns can't be resolved that
+    // way and keep numeric semantics (same bound as isArrayCol).
+    case Arith("+", l, r) =>
+      val (cl, cr) = (compileExpr(l, df), compileExpr(r, df))
+      def typ(c: Column): Option[org.apache.spark.sql.types.DataType] =
+        try Some(df.select(c).schema.head.dataType) catch { case _: Throwable => None }
+      (typ(cl), typ(cr)) match {
+        case (Some(org.apache.spark.sql.types.StringType), _) |
+             (_, Some(org.apache.spark.sql.types.StringType)) =>
+          concat(cl.cast("string"), cr.cast("string"))
+        case (Some(_: org.apache.spark.sql.types.ArrayType),
+              Some(_: org.apache.spark.sql.types.ArrayType)) => concat(cl, cr)
+        case _ => cl + cr
+      }
     case Arith("-", l, r) => compileExpr(l, df) - compileExpr(r, df)
     case Arith("*", l, r) => compileExpr(l, df) * compileExpr(r, df)
     case Arith("/", l, r) => compileExpr(l, df) / compileExpr(r, df)

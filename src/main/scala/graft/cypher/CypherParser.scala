@@ -124,6 +124,14 @@ object CypherParser extends RegexParsers {
     kw("case") ~> rep1(kw("when") ~> expr ~ (kw("then") ~> expr)) ~
       opt(kw("else") ~> expr) <~ kw("end") ^^ {
       case whens ~ other => CaseExpr(whens.map { case c ~ v => (c, v) }, other)
+    } |
+    // simple form: `CASE subj WHEN v THEN r … END` desugars to the
+    // generic form with `subj = v` tests (tried second: the generic
+    // form fails fast when an expression follows CASE)
+    kw("case") ~> expr ~ rep1(kw("when") ~> expr ~ (kw("then") ~> expr)) ~
+      opt(kw("else") ~> expr) <~ kw("end") ^^ {
+      case subj ~ whens ~ other =>
+        CaseExpr(whens.map { case c ~ v => (Cmp("=", subj, c), v) }, other)
     }
 
   private def listLit: Parser[Expr] =

@@ -1080,6 +1080,21 @@ class CypherSpec extends AnyFunSuite {
     assert(r3.getLong(0) == 35L)
   }
 
+  test("type-directed + (string/list concat) and simple-form CASE") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:dog {name:'Arne', age: 3})")
+    val r = s.cypher(
+      """MATCH (d:dog)
+        |RETURN d.name + '-' + d.age AS tag,
+        |  [1, 2] + [3] AS arr, d.age + 1 AS older,
+        |  CASE d.name WHEN 'Arne' THEN 'A' WHEN 'Bosse' THEN 'B' ELSE '?' END AS init
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "Arne-3")
+    assert(r.getSeq[Long](1) == Seq(1L, 2L, 3L))
+    assert(r.getLong(2) == 4L)
+    assert(r.getString(3) == "A")
+  }
+
   test("shortestPath binds first-hit hop distances to length(p)") {
     val s = new GraftSession(spark)
     // chain a->b->c->d plus a shortcut a->c: dist(a,c) must be 1
