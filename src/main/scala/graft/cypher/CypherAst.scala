@@ -57,6 +57,10 @@ object ast {
   /** `reduce(acc = init, x IN list | expr)`. */
   final case class ReduceExpr(acc: String, init: Expr, variable: String,
       list: Expr, step: Expr) extends Expr
+  /** `xs[i]` (0-based; negative from the end) / `m[key]`. */
+  final case class Subscript(e: Expr, index: Expr) extends Expr
+  /** `xs[lo..hi]` — 0-based, end-exclusive, clamped, either bound optional. */
+  final case class ListSlice(e: Expr, lo: Option[Expr], hi: Option[Expr]) extends Expr
   /** The comprehension variable inside its WHERE/projection. */
   final case class LambdaVar(name: String) extends Expr
 

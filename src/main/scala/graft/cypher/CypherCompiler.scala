@@ -662,6 +662,9 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case ListPred(_, v, l, p)       => referencedVars(l) ++ (referencedVars(p) - v)
     case ReduceExpr(acc, init, v, l, e) =>
       referencedVars(init) ++ referencedVars(l) ++ (referencedVars(e) - v - acc)
+    case Subscript(x, i)   => referencedVars(x) ++ referencedVars(i)
+    case ListSlice(x, lo, hi) =>
+      referencedVars(x) ++ (lo.toSeq ++ hi.toSeq).flatMap(referencedVars)
     case _               => Set.empty
   }
 
@@ -1051,6 +1054,31 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         lambdaBinds = lambdaBinds.updated(acc, a).updated(v, x)
         try compileExpr(e, df) finally lambdaBinds = saved
       })
+    // xs[i] — Cypher is 0-based with negative-from-end; element_at is
+    // 1-based with negative-from-end, and the try_ variant nulls (not
+    // throws, ANSI default) on out-of-range, matching Cypher. Map
+    // subscripts key directly.
+    case Subscript(e, i) =>
+      val c = compileExpr(e, df)
+      val ci = compileExpr(i, df)
+      val isMap =
+        try df.select(c).schema.head.dataType
+          .isInstanceOf[org.apache.spark.sql.types.MapType]
+        catch { case _: Throwable => false }
+      if (isMap) try_element_at(c, ci)
+      else when(ci >= 0, try_element_at(c, (ci + 1).cast("int")))
+        .otherwise(try_element_at(c, ci.cast("int")))
+    // xs[lo..hi] — 0-based, end-exclusive, bounds clamped to the list
+    // (openCypher slices never error), negatives count from the end
+    case ListSlice(e, lo, hi) =>
+      val arr = compileExpr(e, df)
+      val sz = size(arr)
+      def clamp(x: Column): Column =
+        when(x < 0, greatest(sz + x, lit(0))).otherwise(least(x, sz.cast("long")))
+      val start = clamp(lo.map(compileExpr(_, df)).getOrElse(lit(0L)))
+      val end = clamp(hi.map(compileExpr(_, df)).getOrElse(sz.cast("long")))
+      slice(arr, (start + 1).cast("int"),
+        greatest(end - start, lit(0L)).cast("int"))
     case Cmp("=", l, r)  => compileExpr(l, df) === compileExpr(r, df)
     case Cmp("<>", l, r) => compileExpr(l, df) =!= compileExpr(r, df)
     case Cmp("<", l, r)  => compileExpr(l, df) < compileExpr(r, df)

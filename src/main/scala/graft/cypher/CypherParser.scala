@@ -71,6 +71,17 @@ object CypherParser extends RegexParsers {
   private val param: Parser[Param] = "$" ~> ident ^^ Param.apply
 
   private def unaryExpr: Parser[Expr] =
+    atomExpr ~ rep(subscript) ^^ { case h ~ t => t.foldLeft(h)((e, f) => f(e)) }
+
+  /** Postfix `[i]` / `[lo..hi]` (slice tried first: a bare index has
+    * no `..`). */
+  private def subscript: Parser[Expr => Expr] =
+    ("[" ~> opt(expr) <~ "..") ~ (opt(expr) <~ "]") ^^ {
+      case lo ~ hi => (e: Expr) => ListSlice(e, lo, hi)
+    } |
+    "[" ~> expr <~ "]" ^^ { i => (e: Expr) => Subscript(e, i) }
+
+  private def atomExpr: Parser[Expr] =
     literal |
     param |
     caseExpr |

@@ -91,6 +91,9 @@ object Params {
     case ListPred(fn, v, l, p) => ListPred(fn, v, expr(l, ps), expr(p, ps))
     case ReduceExpr(acc, init, v, l, e) =>
       ReduceExpr(acc, expr(init, ps), v, expr(l, ps), expr(e, ps))
+    case Subscript(e0, i) => Subscript(expr(e0, ps), expr(i, ps))
+    case ListSlice(e0, lo, hi) =>
+      ListSlice(expr(e0, ps), lo.map(expr(_, ps)), hi.map(expr(_, ps)))
     case PatternPred(pat)   => PatternPred(path(pat, ps))
     case PatternComp(pat, w, pr) =>
       PatternComp(path(pat, ps), w.map(expr(_, ps)), expr(pr, ps))

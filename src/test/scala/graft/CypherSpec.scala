@@ -1095,6 +1095,29 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getString(3) == "A")
   }
 
+  test("subscript xs[i] (0-based, negative, map key) and slices xs[lo..hi]") {
+    val s = new GraftSession(spark)
+    val r = s.cypher(
+      """RETURN [10, 20, 30][0] AS a, [10, 20, 30][-1] AS b,
+        |  [10, 20, 30][5] AS oob, [10, 20, 30, 40][1..3] AS sl,
+        |  [10, 20, 30][..2] AS head2, [10, 20, 30][-2..] AS tail2,
+        |  [10, 20, 30][1..99] AS clamped, $xs[1] AS p
+        |""".stripMargin, Map("xs" -> Seq(7L, 8L, 9L))).collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 30L)
+    assert(r.isNullAt(2))
+    assert(r.getSeq[Long](3) == Seq(20L, 30L))
+    assert(r.getSeq[Long](4) == Seq(10L, 20L))
+    assert(r.getSeq[Long](5) == Seq(20L, 30L))
+    assert(r.getSeq[Long](6) == Seq(20L, 30L))
+    assert(r.getLong(7) == 8L)
+    // map subscript keys directly (no index shift), missing key = null
+    s.cypher("CREATE (:cfg {a: 1, b: 2})")
+    val m = s.cypher(
+      "MATCH (c:cfg) RETURN properties(c)['a'] AS a, properties(c)['z'] AS z")
+      .collect().head
+    assert(m.getString(0) == "1" && m.isNullAt(1))
+  }
+
   test("shortestPath binds first-hit hop distances to length(p)") {
     val s = new GraftSession(spark)
     // chain a->b->c->d plus a shortcut a->c: dist(a,c) must be 1
