@@ -179,16 +179,22 @@ final class GraftSession(val spark: SparkSession,
   private val BeginTx    = """(?is)\s*BEGIN(\s+TRANSACTION)?\s*""".r
   private val CommitTx   = """(?is)\s*COMMIT(\s+TRANSACTION)?\s*""".r
   private val RollbackTx = """(?is)\s*ROLLBACK(\s+TRANSACTION)?\s*""".r
-  @volatile private var txnOpen = false
-  /** Entry (graph, nextId) per database first mutated inside the open
-    * transaction — what ROLLBACK restores. */
-  private val txnEntry = collection.mutable.Map.empty[String, (PropertyGraph, Long)]
-  /** Serializes statement execution across threads. The session has ONE
-    * transaction slot (txnOpen/txnEntry), and the HTTP endpoint runs on
-    * its own daemon thread: without mutual exclusion a concurrent shell
-    * autocommit write would silently join an open HTTP transaction (and
-    * vanish on its ROLLBACK). Reentrant so the HTTP handler can hold it
-    * across its whole BEGIN..COMMIT sequence while calling cypher(). */
+  /** The transaction driven by BEGIN/COMMIT/ROLLBACK STATEMENT TEXT,
+    * bound to the calling thread: a cypher-shell session is one thread,
+    * and thread-binding means an autocommit write arriving on another
+    * surface (Bolt/HTTP run on their own threads) can never silently
+    * join — and be erased with — a transaction it didn't open. Wire
+    * protocols don't use this: each connection carries its own
+    * [[TxHandle]] through the `cypher(…, tx)` overload. */
+  private val threadTx = new ThreadLocal[Option[TxHandle]] {
+    override def initialValue(): Option[TxHandle] = None
+  }
+  /** Serializes statement execution across threads: Spark plan
+    * construction and the snapshot-pointer swap of a mutation are not
+    * thread-safe per database. Held per STATEMENT, never across a
+    * transaction's network round-trips — isolation comes from each
+    * transaction's private shadow databases, not from lock tenure, so
+    * one slow client cannot starve the other surfaces (ADVICE r8). */
   private[graft] val stmtLock = new java.util.concurrent.locks.ReentrantLock
 
   def cypher(q: String, database: String = "neo4j"): DataFrame =
@@ -203,10 +209,93 @@ final class GraftSession(val spark: SparkSession,
     * compilation; an unbound `$name` raises "Expected parameter(s)". */
   def cypher(q: String, params: Map[String, Any], database: String): DataFrame = {
     stmtLock.lock()
-    try cypherLocked(q, params, database) finally stmtLock.unlock()
+    try cypherLocked(q, params, database, threadTx.get()) finally stmtLock.unlock()
   }
 
-  private def cypherLocked(q: String, params: Map[String, Any], database: String): DataFrame = q match {
+  /** Statement executed INSIDE an explicit per-connection transaction:
+    * reads and writes route to `tx`'s private shadow of each database
+    * (read-your-writes; invisible to every other surface until
+    * [[commitTransaction]]). Transaction-control text is refused here —
+    * the wire endpoints own their transaction lifecycle via messages
+    * (Bolt BEGIN/COMMIT/ROLLBACK, HTTP tx URLs), and in-band text would
+    * desynchronize their bookkeeping (ADVICE r8). */
+  def cypher(q: String, params: Map[String, Any], database: String,
+      tx: TxHandle): DataFrame = {
+    if (isTxControl(q))
+      throw new IllegalArgumentException(
+        "explicit transaction control (BEGIN/COMMIT/ROLLBACK) is not allowed as " +
+          "statement text inside an open transaction — use the protocol's own " +
+          "transaction messages")
+    if (!tx.open) throw new IllegalStateException("transaction is closed")
+    stmtLock.lock()
+    try cypherLocked(q, params, database, Some(tx)) finally stmtLock.unlock()
+  }
+
+  /** Does this statement text drive the transaction lifecycle? Wire
+    * endpoints reject such text (their protocol messages own it). */
+  def isTxControl(q: String): Boolean = q match {
+    case BeginTx(_) | CommitTx(_) | RollbackTx(_) => true
+    case _ => false
+  }
+
+  // ---- explicit transaction handles --------------------------------
+  // Each open transaction owns a SHADOW GraphDatabase per database it
+  // touches (created lazily from the live snapshot pointer — a pointer
+  // copy, no data movement; the snapshots are immutable). Statements
+  // inside the transaction read and mutate the shadow, so concurrent
+  // transactions and autocommit statements are fully isolated without
+  // any lock held across network round-trips. COMMIT publishes each
+  // MUTATED shadow's pointers into the live database under the
+  // statement lock (commits serialize; two transactions writing the
+  // same database resolve last-writer-wins at the database level —
+  // snapshot isolation without write merging, documented in README).
+  // ROLLBACK just discards the shadows.
+
+  /** Open a transaction handle (cheap: no lock, no data copied). */
+  def beginTransaction(): TxHandle = new TxHandle(catalog)
+
+  def commitTransaction(h: TxHandle): Unit = {
+    stmtLock.lock()
+    try {
+      if (!h.open) throw new IllegalStateException("transaction is closed")
+      publishTx(h)
+    } finally stmtLock.unlock()
+  }
+
+  def rollbackTransaction(h: TxHandle): Unit = {
+    stmtLock.lock()
+    try {
+      if (!h.open) throw new IllegalStateException("transaction is closed")
+      discardTx(h)
+    } finally stmtLock.unlock()
+  }
+
+  private def publishTx(h: TxHandle): Unit = {
+    h.shadows.foreach { case (name, sh) =>
+      // only databases the transaction MUTATED publish — a read-only
+      // shadow must not roll the live pointer back to its entry state
+      if (h.mutated.contains(name) && catalog.listDatabases.contains(name)) {
+        val d = catalog.database(name)
+        d.graph = sh.graph
+        // never move the id counter backwards: another committed
+        // transaction may have allocated past this one's snapshot
+        d.nextId.set(math.max(d.nextId.get(), sh.nextId.get()))
+        d.matNodes = sh.matNodes
+        d.matEdges = sh.matEdges
+        d.pendingMutations = sh.pendingMutations
+        d.adoptPinnedFrom(sh)
+      } else sh.releasePinned()
+    }
+    h.shadows.clear(); h.mutated.clear(); h.open = false
+  }
+
+  private def discardTx(h: TxHandle): Unit = {
+    h.shadows.values.foreach(_.releasePinned())
+    h.shadows.clear(); h.mutated.clear(); h.open = false
+  }
+
+  private def cypherLocked(q: String, params: Map[String, Any], database: String,
+      tx: Option[TxHandle]): DataFrame = q match {
     case StopDb(name)   => catalog.stop(name); unit()
     case StartDb(name)  => catalog.start(name); unit()
     case CreateDb(name) => catalog.createDatabase(name); unit()
@@ -220,8 +309,11 @@ final class GraftSession(val spark: SparkSession,
     case AlterPw(from, to) => changePassword(from, to); unit()
     case IndexDdl(_, _) => unit()
     case ExplainQ(mode, rest) =>
-      val db = catalog.database(database)
-      db.requireStarted()
+      val db = tx match {
+        case Some(h) => h.database(database)
+        case None =>
+          val d = catalog.database(database); d.requireStarted(); d
+      }
       val parsed = Params.substitute(CypherParser.parse(rest), params)
       val isMut = parsed.clauses.exists {
         case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
@@ -260,31 +352,30 @@ final class GraftSession(val spark: SparkSession,
         spark.createDataFrame(javaList(planLines.map(Row(_))), schema)
       }
     case BeginTx(_) =>
-      if (txnOpen) throw new IllegalStateException("There is already an open transaction")
-      txnOpen = true; txnEntry.clear(); unit()
+      if (threadTx.get().isDefined)
+        throw new IllegalStateException("There is already an open transaction")
+      threadTx.set(Some(new TxHandle(catalog))); unit()
     case CommitTx(_) =>
-      if (!txnOpen) throw new IllegalStateException("There is no open transaction to commit")
-      // the mutations already swapped each database's snapshot in as
-      // they ran; COMMIT just drops the entry pointers (publish)
-      txnOpen = false; txnEntry.clear(); unit()
-    case RollbackTx(_) =>
-      if (!txnOpen) throw new IllegalStateException("There is no open transaction to roll back")
-      // a database dropped inside the transaction (catalog DDL
-      // autocommits) has nothing left to restore — skip it rather than
-      // throwing mid-restore and leaving the transaction slot stuck
-      txnEntry.foreach { case (name, (g, nid)) =>
-        if (catalog.listDatabases.contains(name)) {
-          val d = catalog.database(name)
-          d.graph = g
-          d.nextId.set(nid)
-        }
+      threadTx.get() match {
+        case None => throw new IllegalStateException("There is no open transaction to commit")
+        case Some(h) => publishTx(h); threadTx.set(None); unit()
       }
-      txnEntry.clear(); txnOpen = false; unit()
+    case RollbackTx(_) =>
+      threadTx.get() match {
+        case None => throw new IllegalStateException("There is no open transaction to roll back")
+        case Some(h) => discardTx(h); threadTx.set(None); unit()
+      }
     case ShowDbs() => showDatabases()
     case ShowProcs(rest) => showProcedures(rest)
     case _ =>
-      val db = catalog.database(database)
-      db.requireStarted()
+      // inside a transaction every statement targets the handle's
+      // private shadow (read-your-writes; invisible elsewhere until
+      // COMMIT publishes the pointers); autocommit targets the live db
+      val db = tx match {
+        case Some(h) => h.database(database)
+        case None =>
+          val d = catalog.database(database); d.requireStarted(); d
+      }
       val parsed = Params.substitute(CypherParser.parse(q), params)
       val isMutation = parsed.clauses.exists {
         case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
@@ -294,11 +385,7 @@ final class GraftSession(val spark: SparkSession,
       if (isMutation) {
         if (parsed.unions.nonEmpty)
           throw new UnsupportedOperationException("UNION of mutating queries is not supported")
-        // first mutation of this database inside the open transaction:
-        // capture its entry state for ROLLBACK (pointers only — the
-        // snapshots are immutable, so this costs nothing)
-        if (txnOpen && !txnEntry.contains(database))
-          txnEntry(database) = (db.graph, db.nextId.get())
+        tx.foreach(_.mutated += database)
         val out = mutate(db, parsed)
         db.pendingMutations += 1
         out
@@ -604,10 +691,12 @@ final class GraftSession(val spark: SparkSession,
         s"SET value may reference only $v's own properties, got $v2.$k")
       case ast.FnCall(fn, Seq(ast.Variable(`v`)), _) if fn.equalsIgnoreCase("id") && !isRel =>
         col("id")
+      case ast.Arith("+", l, r0) =>
+        typedPlus(base, exprCol(l), exprCol(r0), l, r0)
       case ast.Arith(op, l, r0) =>
         val (lc, rc) = (exprCol(l), exprCol(r0))
         op match {
-          case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
+          case "-" => lc - rc; case "*" => lc * rc
           case "/" => lc / rc; case "%" => lc % rc
           case other => throw new UnsupportedOperationException(other)
         }
@@ -628,6 +717,31 @@ final class GraftSession(val spark: SparkSession,
         s"SET value must be a literal or an expression over $v's properties, got $other")
     }
     exprCol(rhs)
+  }
+
+  /** openCypher `+` is type-directed, and the WRITE path must agree
+    * with the read path (`SET n.tag = n.name + '-x'` concatenates, it
+    * does not cast the string to double and null out): string concat
+    * when either operand resolves to a string against the frame or is
+    * a string literal, list concat on two arrays, numeric add
+    * otherwise. */
+  private def typedPlus(frame: DataFrame, lc: org.apache.spark.sql.Column,
+      rc: org.apache.spark.sql.Column, l: ast.Expr, r: ast.Expr): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    def typ(c: org.apache.spark.sql.Column): Option[DataType] =
+      try Some(frame.select(c).schema.head.dataType) catch { case _: Throwable => None }
+    def isStrLit(e: ast.Expr): Boolean = e match {
+      case ast.Lit(_: String) => true
+      case _                  => false
+    }
+    val (tl, tr) = (typ(lc), typ(rc))
+    if (tl.contains(StringType) || tr.contains(StringType) || isStrLit(l) || isStrLit(r))
+      concat(lc.cast("string"), rc.cast("string"))
+    else (tl, tr) match {
+      case (Some(_: org.apache.spark.sql.types.ArrayType),
+            Some(_: org.apache.spark.sql.types.ArrayType)) => concat(lc, rc)
+      case _ => lc + rc
+    }
   }
 
   private def mutateSetDelete(db: GraphDatabase, matches: Seq[ast.Match],
@@ -1056,10 +1170,12 @@ final class GraftSession(val spark: SparkSession,
         case ast.Variable(`alias`) => col(s"_bf_$ELEM")
         case ast.Prop(`mergeVar`, k) if g.nodes.columns.contains(k) => col(k)
         case ast.Prop(`mergeVar`, _) => lit(null)
+        case ast.Arith("+", l, r) =>
+          typedPlus(upd, colExpr(l), colExpr(r), l, r)
         case ast.Arith(op, l, r) =>
           val (lc, rc) = (colExpr(l), colExpr(r))
           op match {
-            case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
+            case "-" => lc - rc; case "*" => lc * rc
             case "/" => lc / rc; case "%" => lc % rc
           }
         case other => throw new UnsupportedOperationException(
@@ -1641,5 +1757,45 @@ object GraftSession {
         if (store.verify(sp.user, sp.password)) session.login(sp.user, sp.password)
     }
     session
+  }
+}
+
+/** An explicit transaction — one per wire connection (Bolt/HTTP) or
+  * per thread (the statement-text BEGIN surface). Holds a lazily
+  * created private SHADOW of every database it touches: shadow
+  * creation copies two pointers (the immutable graph snapshot and the
+  * id counter), never data. Reads and mutations inside the
+  * transaction hit the shadow only, so transactions are isolated from
+  * each other and from autocommit statements without any lock held
+  * across client round-trips; `GraftSession.commitTransaction`
+  * publishes the mutated shadows' pointers atomically under the
+  * statement lock, `rollbackTransaction` discards them.
+  *
+  * Parity target: the reference server's per-session explicit
+  * transactions (its drivers hold many concurrently, ref
+  * `src/test/java/com/neo4j/docker/utils/DatabaseIO.java:121-132`
+  * used from parallel tests). Commits serialize; two transactions
+  * mutating the SAME database resolve last-writer-wins at the
+  * database level (documented in README "Deliberate deviations"). */
+final class TxHandle private[graft] (catalog: GraphCatalog) {
+  private[graft] val shadows = collection.mutable.Map.empty[String, GraphDatabase]
+  private[graft] val mutated = collection.mutable.Set.empty[String]
+  @volatile private[graft] var open = true
+  /** Wall-clock epoch when the transaction opened — endpoints enforce
+    * their max-duration policy against this. */
+  val startedAt: Long = System.currentTimeMillis()
+
+  private[graft] def database(name: String): GraphDatabase = shadows.synchronized {
+    shadows.getOrElseUpdate(name, {
+      val real = catalog.database(name)
+      real.requireStarted()
+      val sh = new GraphDatabase(name)
+      sh.graph = real.graph
+      sh.nextId.set(real.nextId.get())
+      sh.matNodes = real.matNodes
+      sh.matEdges = real.matEdges
+      sh.pendingMutations = real.pendingMutations
+      sh
+    })
   }
 }

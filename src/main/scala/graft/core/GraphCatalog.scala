@@ -44,6 +44,17 @@ final class GraphDatabase(val name: String) {
     pinned.clear()
   }
 
+  /** Transfer `other`'s pinned caches to this database WITHOUT
+    * unpersisting them — a committing transaction's shadow hands the
+    * published lineage's cached frames to the real database, which
+    * frees them at its own next lineage collapse. */
+  def adoptPinnedFrom(other: GraphDatabase): Unit = {
+    val moved = other.pinned.synchronized {
+      val s = other.pinned.toList; other.pinned.clear(); s
+    }
+    pinned.synchronized { pinned ++= moved }
+  }
+
   /** Reserve `n` consecutive ids; returns the first. Long-typed
     * end-to-end — a MATCH over 2³¹+ rows must not truncate the
     * reservation (id collisions would silently corrupt the graph). */

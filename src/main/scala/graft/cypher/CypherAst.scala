@@ -167,6 +167,17 @@ object ast {
     case CaseExpr(ws, o)    =>
       ws.exists { case (c, v) => containsAggregate(c) || containsAggregate(v) } ||
         o.exists(containsAggregate)
+    case In(e, list)        => containsAggregate(e) || list.exists(containsAggregate)
+    case StringPred(_, l, r) => containsAggregate(l) || containsAggregate(r)
+    case IsNull(e, _)       => containsAggregate(e)
+    case Subscript(e, i)    => containsAggregate(e) || containsAggregate(i)
+    case ListSlice(e, lo, hi) =>
+      containsAggregate(e) || lo.exists(containsAggregate) || hi.exists(containsAggregate)
+    case ListComp(_, l, w, p) =>
+      containsAggregate(l) || w.exists(containsAggregate) || p.exists(containsAggregate)
+    case ListPred(_, _, l, p) => containsAggregate(l) || containsAggregate(p)
+    case ReduceExpr(_, init, _, l, step) =>
+      containsAggregate(init) || containsAggregate(l) || containsAggregate(step)
     case _                  => false
   }
 }

@@ -322,6 +322,17 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         case CaseExpr(ws, o) =>
           CaseExpr(ws.map { case (c, v) => (decompose(c), decompose(v)) },
             o.map(decompose))
+        case In(e, list)     => In(decompose(e), list.map(decompose))
+        case StringPred(op, l, r) => StringPred(op, decompose(l), decompose(r))
+        case IsNull(e, n)    => IsNull(decompose(e), n)
+        case Subscript(e, i) => Subscript(decompose(e), decompose(i))
+        case ListSlice(e, lo, hi) =>
+          ListSlice(decompose(e), lo.map(decompose), hi.map(decompose))
+        case ListComp(v, l, w, p) =>
+          ListComp(v, decompose(l), w.map(decompose), p.map(decompose))
+        case ListPred(fn, v, l, p) => ListPred(fn, v, decompose(l), decompose(p))
+        case ReduceExpr(a, i0, v, l, s) =>
+          ReduceExpr(a, decompose(i0), v, decompose(l), decompose(s))
         case other           => other // containsAggregate looks no deeper
       }
       val rewritten = aggItems.map(i => i.name -> decompose(i.expr))
@@ -1061,13 +1072,35 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case Subscript(e, i) =>
       val c = compileExpr(e, df)
       val ci = compileExpr(i, df)
-      val isMap =
-        try df.select(c).schema.head.dataType
-          .isInstanceOf[org.apache.spark.sql.types.MapType]
-        catch { case _: Throwable => false }
-      if (isMap) try_element_at(c, ci)
-      else when(ci >= 0, try_element_at(c, (ci + 1).cast("int")))
-        .otherwise(try_element_at(c, ci.cast("int")))
+      import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
+      def probe(x: Column): Option[org.apache.spark.sql.types.DataType] =
+        try Some(df.select(x).schema.head.dataType) catch { case _: Throwable => None }
+      def listAt: Column =
+        when(ci >= 0, try_element_at(c, (ci + 1).cast("int")))
+          .otherwise(try_element_at(c, ci.cast("int")))
+      probe(c) match {
+        case Some(_: MapType)   => try_element_at(c, ci)
+        case Some(_: ArrayType) => listAt
+        case Some(other) => throw new UnsupportedOperationException(
+          s"subscript over a ${other.simpleString} value — only lists and maps support [..]")
+        case None =>
+          // target unresolvable against the frame (lambda-bound inside a
+          // comprehension/predicate): decide by the INDEX — a string key
+          // means map semantics, a numeric index means list semantics;
+          // anything else is refused rather than silently nulling out
+          // (m['k'] on a lambda-bound map must not cast 'k' to int)
+          i match {
+            case Lit(_: String) => try_element_at(c, ci)
+            case Lit(_: Int) | Lit(_: Long) | Lit(_: Double) => listAt
+            case _ => probe(ci) match {
+              case Some(StringType) => try_element_at(c, ci)
+              case Some(dt) if dt.isInstanceOf[org.apache.spark.sql.types.NumericType] => listAt
+              case _ => throw new UnsupportedOperationException(
+                "cannot determine subscript semantics: the target is lambda-bound and " +
+                  "the index type is unresolvable — bind the value through WITH first")
+            }
+          }
+      }
     // xs[lo..hi] — 0-based, end-exclusive, bounds clamped to the list
     // (openCypher slices never error), negatives count from the end
     case ListSlice(e, lo, hi) =>
@@ -1110,12 +1143,21 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       val (cl, cr) = (compileExpr(l, df), compileExpr(r, df))
       def typ(c: Column): Option[org.apache.spark.sql.types.DataType] =
         try Some(df.select(c).schema.head.dataType) catch { case _: Throwable => None }
+      // a lambda-bound operand can't be resolved against the frame; a
+      // string LITERAL on either side still forces concatenation there
+      // (`x + '-sfx'` inside transform() must not become numeric null)
+      def litStr(e0: Expr): Boolean = e0 match {
+        case Lit(_: String) => true
+        case _              => false
+      }
       (typ(cl), typ(cr)) match {
         case (Some(org.apache.spark.sql.types.StringType), _) |
              (_, Some(org.apache.spark.sql.types.StringType)) =>
           concat(cl.cast("string"), cr.cast("string"))
         case (Some(_: org.apache.spark.sql.types.ArrayType),
               Some(_: org.apache.spark.sql.types.ArrayType)) => concat(cl, cr)
+        case (None, _) | (_, None) if litStr(l) || litStr(r) =>
+          concat(cl.cast("string"), cr.cast("string"))
         case _ => cl + cr
       }
     case Arith("-", l, r) => compileExpr(l, df) - compileExpr(r, df)

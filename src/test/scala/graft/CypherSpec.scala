@@ -777,6 +777,52 @@ class CypherSpec extends AnyFunSuite {
     s.cypher("COMMIT")
   }
 
+  test("two interleaved transaction handles: isolated until COMMIT, serialized commits") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:acct {aid: 0, bal: 100})")
+    val t1 = s.beginTransaction()
+    val t2 = s.beginTransaction()
+    s.cypher("CREATE (:acct {aid: 1, bal: 10})", Map.empty[String, Any], "neo4j", t1)
+    s.cypher("CREATE (:acct {aid: 2, bal: 20})", Map.empty[String, Any], "neo4j", t2)
+    def count(tx: TxHandle): Long =
+      s.cypher("MATCH (a:acct) RETURN count(*) AS c", Map.empty[String, Any], "neo4j", tx)
+        .collect().head.getLong(0)
+    // each transaction sees the base row plus ONLY its own write
+    assert(count(t1) == 2L)
+    assert(count(t2) == 2L)
+    // the autocommit surface sees neither uncommitted write
+    assert(s.cypher("MATCH (a:acct) RETURN count(*) AS c").collect().head.getLong(0) == 1L)
+    s.commitTransaction(t1)
+    // t1's write published; t2 keeps reading its own snapshot
+    assert(s.cypher("MATCH (a:acct) RETURN count(*) AS c").collect().head.getLong(0) == 2L)
+    assert(count(t2) == 2L)
+    // second commit: same-database writes resolve last-writer-wins
+    // (t2's snapshot never contained t1's row)
+    s.commitTransaction(t2)
+    val ids = s.cypher("MATCH (a:acct) RETURN a.aid AS aid ORDER BY aid")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(0L, 2L))
+    // a closed handle refuses further statements and double-commit
+    intercept[IllegalStateException] {
+      s.cypher("MATCH (a:acct) RETURN a.aid AS aid", Map.empty[String, Any], "neo4j", t2)
+    }
+    intercept[IllegalStateException] { s.commitTransaction(t2) }
+    // rollback discards: nothing published
+    val t3 = s.beginTransaction()
+    s.cypher("CREATE (:acct {aid: 3, bal: 30})", Map.empty[String, Any], "neo4j", t3)
+    s.rollbackTransaction(t3)
+    assert(s.cypher("MATCH (a:acct) RETURN count(*) AS c").collect().head.getLong(0) == 2L)
+    // transaction-control text inside a handle is refused loudly
+    val t4 = s.beginTransaction()
+    intercept[IllegalArgumentException] {
+      s.cypher("BEGIN", Map.empty[String, Any], "neo4j", t4)
+    }
+    intercept[IllegalArgumentException] {
+      s.cypher("ROLLBACK", Map.empty[String, Any], "neo4j", t4)
+    }
+    s.rollbackTransaction(t4)
+  }
+
   test("UNWIND $batch MERGE: 10k-element upsert, one append + one update join") {
     val s = new GraftSession(spark)
     s.cypher("UNWIND range(1, 500) AS x CREATE (:item {k: x, v: 0})")
