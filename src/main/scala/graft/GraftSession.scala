@@ -294,8 +294,27 @@ final class GraftSession(val spark: SparkSession,
     h.shadows.clear(); h.mutated.clear(); h.open = false
   }
 
+  /** Wire-protocol variant of [[cypher]]: bare node/relationship
+    * RETURN items project as tagged entity structs the Bolt endpoint
+    * serializes as PackStream Node/Relationship. `tx` may be null
+    * (autocommit). */
+  def cypherWire(q: String, params: Map[String, Any], database: String,
+      tx: TxHandle): DataFrame = {
+    // wire protocols own their transaction lifecycle via protocol
+    // messages; in-band BEGIN/COMMIT/ROLLBACK text would desynchronize
+    // the endpoint's bookkeeping (ADVICE r8) — always a loud refusal
+    if (isTxControl(q))
+      throw new IllegalArgumentException(
+        "transaction control (BEGIN/COMMIT/ROLLBACK) is not allowed as statement " +
+          "text on this surface — use the protocol's own transaction messages")
+    if (tx != null && !tx.open) throw new IllegalStateException("transaction is closed")
+    stmtLock.lock()
+    try cypherLocked(q, params, database, Option(tx), wire = true)
+    finally stmtLock.unlock()
+  }
+
   private def cypherLocked(q: String, params: Map[String, Any], database: String,
-      tx: Option[TxHandle]): DataFrame = q match {
+      tx: Option[TxHandle], wire: Boolean = false): DataFrame = q match {
     case StopDb(name)   => catalog.stop(name); unit()
     case StartDb(name)  => catalog.start(name); unit()
     case CreateDb(name) => catalog.createDatabase(name); unit()
@@ -391,7 +410,7 @@ final class GraftSession(val spark: SparkSession,
         out
       } else {
         compactIfNeeded(db)
-        compiler(db).compile(parsed)
+        compiler(db, wire).compile(parsed)
       }
   }
 
@@ -418,8 +437,9 @@ final class GraftSession(val spark: SparkSession,
       db.pendingMutations = 0
     }
 
-  private def compiler(db: GraphDatabase) =
-    new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
+  private def compiler(db: GraphDatabase, wire: Boolean = false) =
+    new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar,
+      entityStructs = wire)
 
   private def changePassword(from: String, to: String): Unit = {
     val store = authStore.getOrElse(throw new IllegalStateException(

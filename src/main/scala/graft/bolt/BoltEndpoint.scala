@@ -1,69 +1,82 @@
 package graft.bolt
 
-import graft.GraftSession
+import graft.{GraftSession, TxHandle}
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException}
 import java.net.{InetSocketAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** Minimal Bolt 7687 surface mirroring the reference image's second
-  * mapped port (SURVEY §2.9; the reference maps 7473/7474/7687 at
+/** Bolt 7687 surface mirroring the reference image's second mapped
+  * port (SURVEY §2.9; the reference maps 7473/7474/7687 at
   * `docker-image-src/calver/coredb/Dockerfile-trixie:54`, and its
   * tests open real driver sessions against it, ref
   * `src/test/java/com/neo4j/docker/utils/DatabaseIO.java:121-132`).
   *
-  * Implements the AUTOCOMMIT subset of Bolt 4.4 from the published
-  * protocol documentation (the openly specified handshake, chunked
-  * message framing, and PackStream v1 serialization):
+  * Implemented from the published protocol documentation (the openly
+  * specified handshake, chunked message framing, and PackStream v1
+  * serialization):
   *
   *  - handshake: `60:60:B0:17` magic + four version proposals; the
-  *    server answers 4.4 when offered (range proposals honored),
+  *    server answers 4.4 when offered (range proposals honored), else
+  *    5.0 when a 5.x proposal's range covers it (the 4.4 message set
+  *    is compatible for this subset, and 5.0 keeps single-message
+  *    HELLO auth — the HELLO/LOGON split only appears in 5.1),
   *    0.0.0.0 otherwise and closes;
   *  - `HELLO {scheme, principal, credentials, …}` → basic auth against
   *    the session's credential store (open when auth is disabled,
   *    like the reference image with NEO4J_AUTH=none);
   *  - `RUN {query, params, {db}}` / `PULL {n}` / `DISCARD {n}` →
-  *    executes through `session.cypher` (the statement lock serializes
-  *    with the shell and HTTP surfaces) and streams RECORDs;
-  *  - `RESET` clears a FAILURE (rolling back any open explicit
-  *    transaction, like the reference server); messages after a
-  *    failure are IGNORED until then; `GOODBYE` closes;
-  *  - `BEGIN {db}` / `COMMIT` / `ROLLBACK` → explicit transactions
-  *    over the session's snapshot-pointer transaction slot. The
-  *    statement lock is held from BEGIN to COMMIT/ROLLBACK (the
-  *    session has ONE transaction slot; without exclusion a
-  *    concurrent shell/HTTP autocommit write would silently join
-  *    this transaction and vanish on its ROLLBACK). A transaction
-  *    spans an unbounded number of network round-trips, so a stalled
-  *    client could hold that lock hostage — the socket gets a read
-  *    timeout while a transaction is open (`txIdleTimeoutMs`,
-  *    default 30 s between messages); on timeout or disconnect the
-  *    transaction rolls back and the lock is released.
+  *    executes through `session.cypherWire` and streams RECORDs
+  *    INCREMENTALLY: the result is a `toLocalIterator`, so PULL n
+  *    holds at most one Spark partition on the driver, not the whole
+  *    result set;
+  *  - `RETURN n` over a bare node/relationship variable emits real
+  *    PackStream Node (0x4E) / Relationship (0x52) structs — typed
+  *    entities with identity, labels and property maps, the shape a
+  *    stock driver expects (4-field/8-field forms incl. element_id
+  *    when 5.0 was negotiated);
+  *  - `BEGIN {db}` / `COMMIT` / `ROLLBACK` → a per-connection
+  *    [[TxHandle]]: every statement inside the transaction targets
+  *    the handle's private shadow snapshot, so NO lock is held across
+  *    network round-trips — concurrent connections (and the HTTP/
+  *    shell surfaces) run freely while a transaction is open, and
+  *    `RUN "BEGIN"` in-band text is refused loudly rather than
+  *    desynchronizing this bookkeeping. A transaction still can't be
+  *    held hostage: the socket gets a read timeout while one is open
+  *    (`txIdleTimeoutMs` between messages) and a total wall-clock cap
+  *    (`txMaxDurationMs`) rolls back a slow-but-chatty client's
+  *    transaction at its next message;
+  *  - `RESET` clears a FAILURE (rolling back any open transaction,
+  *    like the reference server); messages after a failure are
+  *    IGNORED until then; `GOODBYE` closes.
   *
-  * Values stream as PackStream scalars/lists/maps; engine rows carry
-  * scalars, arrays and structs (never node/relationship objects), so
-  * the temporal/spatial/graph Bolt structures are not needed —
-  * timestamps, dates and decimals are emitted as their string forms.
-  *
-  * One connection is served at a time (same single-executor stance as
-  * the HTTP endpoint): the engine's unit of concurrency is the Spark
-  * job, not the wire listener, and request serialization at the
-  * session boundary is correctness (one transaction slot), not a
-  * shortcut.
+  * Connections are served one THREAD each (daemon pool): the
+  * reference server handles many concurrent drivers (its tests open
+  * sessions from parallel methods), and since transaction isolation
+  * moved into per-connection shadow snapshots the accept loop no
+  * longer needs to serialize anything — statement execution itself
+  * serializes on the session's statement lock, held per statement.
   */
 final class BoltEndpoint(session: GraftSession, port: Int = 7687,
-    bindAddress: String = "0.0.0.0", txIdleTimeoutMs: Int = 30000) {
+    bindAddress: String = "0.0.0.0", txIdleTimeoutMs: Int = 30000,
+    txMaxDurationMs: Long = 10 * 60 * 1000L) {
 
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress(bindAddress, port))
   @volatile private var running = true
 
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-bolt-conn"); t.setDaemon(true); t
+  })
+
   private val acceptor = new Thread(() => {
     while (running) {
       try {
         val sock = server.accept()
-        try serve(sock)
-        catch { case _: Throwable => () }
-        finally { try sock.close() catch { case _: Throwable => () } }
+        pool.execute(() => {
+          try serve(sock)
+          catch { case _: Throwable => () }
+          finally { try sock.close() catch { case _: Throwable => () } }
+        })
       } catch { case _: Throwable => () } // accept interrupted by stop()
     }
   }, "graft-bolt")
@@ -73,9 +86,13 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
     * ephemeral test port). */
   def start(): Int = { acceptor.start(); server.getLocalPort }
 
-  def stop(): Unit = { running = false; try server.close() catch { case _: Throwable => () } }
+  def stop(): Unit = {
+    running = false
+    try server.close() catch { case _: Throwable => () }
+    pool.shutdownNow()
+  }
 
-  // ---- message tags (Bolt 4.4) -------------------------------------
+  // ---- message tags (Bolt 4.4 / 5.0 — identical for this subset) ---
   private val HELLO = 0x01; private val GOODBYE = 0x02; private val RESET = 0x0F
   private val RUN = 0x10; private val BEGIN = 0x11; private val COMMIT = 0x12
   private val ROLLBACK = 0x13; private val DISCARD = 0x2F; private val PULL = 0x3F
@@ -86,43 +103,53 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
 
-    // handshake: magic + 4 proposals, each 4 bytes
-    // (reserved/range/minor/major little-to-big per the spec's layout
-    // [0, ranges, minor, major]); a 4.x proposal whose minor range
-    // covers 4 wins
+    // handshake: magic + 4 proposals, each 4 bytes (layout
+    // [reserved, range, minor, major]); a proposal covers version
+    // (M, m) when its major matches and its minor range [minor-range,
+    // minor] includes m. Prefer 4.4 (LTS, most-tested), else 5.0.
     if (in.readInt() != 0x6060B017) return
     val proposals = Seq.fill(4)(in.readInt())
-    val ok = proposals.exists { p =>
-      val major = p & 0xFF; val minor = (p >> 8) & 0xFF; val range = (p >> 16) & 0xFF
-      major == 4 && minor >= 4 && minor - range <= 4
+    def covers(p: Int, major: Int, minor: Int): Boolean = {
+      val mj = p & 0xFF; val mn = (p >> 8) & 0xFF; val rg = (p >> 16) & 0xFF
+      mj == major && minor <= mn && minor >= mn - rg
     }
-    if (!ok) { out.writeInt(0); out.flush(); return }
-    out.writeInt((4 << 8) | 4) // 0x00000404 = Bolt 4.4
-    out.flush()
+    val chosen: Option[Int] =
+      if (proposals.exists(covers(_, 4, 4))) Some((4 << 8) | 4)
+      else if (proposals.exists(covers(_, 5, 0))) Some(5)
+      else None
+    chosen match {
+      case None => out.writeInt(0); out.flush(); return
+      case Some(v) => out.writeInt(v); out.flush()
+    }
+    val v5 = chosen.contains(5)
 
     var authed = false
     var failed = false
-    // the RUN result pending PULL/DISCARD: (rows, already-streamed)
-    var pending: Option[Iterator[Seq[Any]]] = None
-    // the open explicit transaction's database; the statement lock is
-    // held exactly while this is Some (see endTx/cleanup)
-    var txDb: Option[String] = None
+    // the RUN result pending PULL/DISCARD: (columns, row iterator)
+    var pending: Option[(Seq[String], java.util.Iterator[org.apache.spark.sql.Row])] = None
+    // the open per-connection transaction and its database
+    var tx: Option[TxHandle] = None
+    var txDb = "neo4j"
 
     def success(meta: Map[String, Any]): Unit = writeMessage(out, SUCCESS, Seq(meta))
     def failure(code: String, msg: String): Unit = {
       failed = true; pending = None
       writeMessage(out, FAILURE, Seq(Map("code" -> code, "message" -> msg)))
     }
-    // close the open transaction (verb = COMMIT | ROLLBACK), always
-    // releasing the lock and the in-transaction socket timeout
-    def endTx(verb: String): Unit = txDb.foreach { db =>
-      try session.cypher(verb, db)
-      finally {
-        txDb = None
-        session.stmtLock.unlock()
+    def endTx(commit: Boolean): Unit = tx.foreach { h =>
+      try {
+        if (commit) session.commitTransaction(h)
+        else session.rollbackTransaction(h)
+      } finally {
+        tx = None
         try sock.setSoTimeout(0) catch { case _: Throwable => () }
       }
     }
+    // total-duration cap: a client that keeps the socket chatty can
+    // still not hold a transaction open forever (ADVICE r8) — checked
+    // at each message that touches the transaction
+    def txExpired(h: TxHandle): Boolean =
+      System.currentTimeMillis() - h.startedAt > txMaxDurationMs
 
     def extraMap(fields: Seq[Any], i: Int): Map[String, Any] =
       fields.lift(i).collect { case m: Map[_, _] =>
@@ -136,7 +163,7 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
       if (tag == GOODBYE) return
       else if (tag == RESET) {
         // RESET rolls back any open transaction, then clears FAILURE
-        try endTx("ROLLBACK") catch { case _: Exception => () }
+        try endTx(commit = false) catch { case _: Exception => () }
         failed = false; pending = None; success(Map.empty)
       }
       else if (failed) writeMessage(out, IGNORED, Nil)
@@ -167,13 +194,21 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
           val params = fields.lift(1).collect { case m: Map[_, _] =>
             m.asInstanceOf[Map[String, Any]] }.getOrElse(Map.empty)
           // inside an explicit transaction the db was fixed by BEGIN
-          val db = txDb.getOrElse(dbOf(extraMap(fields, 2)))
-          try {
-            val df = session.cypher(query, params, db)
-            val cols = df.columns.toSeq
-            pending = Some(df.collect().iterator.map(r =>
-              cols.indices.map(i => r.get(i))))
-            success(Map("fields" -> cols, "t_first" -> 0L))
+          val db = if (tx.isDefined) txDb else dbOf(extraMap(fields, 2))
+          if (session.isTxControl(query))
+            failure("Neo.ClientError.Request.Invalid",
+              "transaction control must use the BEGIN/COMMIT/ROLLBACK messages, " +
+                "not statement text")
+          else if (tx.exists(txExpired)) {
+            try endTx(commit = false) catch { case _: Exception => () }
+            failure("Neo.ClientError.Transaction.TransactionTimedOut",
+              s"the transaction exceeded its maximum duration (${txMaxDurationMs} ms) " +
+                "and was rolled back")
+          }
+          else try {
+            val df = session.cypherWire(query, params, db, tx.orNull)
+            pending = Some((df.columns.toSeq, df.toLocalIterator()))
+            success(Map("fields" -> df.columns.toSeq, "t_first" -> 0L))
           } catch {
             case e: Exception => failure(e match {
               case _: IllegalArgumentException | _: UnsupportedOperationException =>
@@ -184,45 +219,55 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
         case PULL =>
           pending match {
             case None => failure("Neo.ClientError.Request.Invalid", "PULL with no open result")
-            case Some(it) =>
+            case Some((cols, it)) =>
               val n = fields.headOption.collect { case m: Map[_, _] =>
                 m.asInstanceOf[Map[String, Any]] }.flatMap(_.get("n"))
                 .collect { case l: Long => l }.getOrElse(-1L)
-              var left = n
-              while (it.hasNext && (n < 0 || left > 0)) {
-                writeMessage(out, RECORD, Seq(it.next().toList))
-                left -= 1
+              try {
+                var left = n
+                while (it.hasNext && (n < 0 || left > 0)) {
+                  val r = it.next()
+                  writeMessage(out, RECORD,
+                    Seq(cols.indices.map(i => WireValue(r.get(i))).toList),
+                    v5)
+                  left -= 1
+                }
+                if (it.hasNext) success(Map("has_more" -> true))
+                else { pending = None; success(Map("t_last" -> 0L)) }
+              } catch {
+                // the query executes lazily during the stream now — a
+                // runtime error surfaces here, not at RUN
+                case e: Exception =>
+                  failure("Neo.DatabaseError.General.UnknownError",
+                    String.valueOf(e.getMessage))
               }
-              if (it.hasNext) success(Map("has_more" -> true))
-              else { pending = None; success(Map("t_last" -> 0L)) }
           }
         case DISCARD =>
           pending = None; success(Map("t_last" -> 0L))
         case BEGIN =>
-          if (txDb.isDefined)
+          if (tx.isDefined)
             failure("Neo.ClientError.Request.Invalid",
               "there is already an open transaction on this connection")
           else {
-            val db = dbOf(extraMap(fields, 0))
-            session.stmtLock.lock()
-            try {
-              session.cypher("BEGIN", db)
-              txDb = Some(db)
-              try sock.setSoTimeout(txIdleTimeoutMs) catch { case _: Throwable => () }
-              success(Map.empty)
-            } catch {
-              case e: Exception =>
-                session.stmtLock.unlock()
-                failure("Neo.DatabaseError.General.UnknownError", String.valueOf(e.getMessage))
-            }
+            txDb = dbOf(extraMap(fields, 0))
+            tx = Some(session.beginTransaction())
+            try sock.setSoTimeout(txIdleTimeoutMs) catch { case _: Throwable => () }
+            success(Map.empty)
           }
         case COMMIT | ROLLBACK =>
-          val verb = if (tag == COMMIT) "COMMIT" else "ROLLBACK"
-          if (txDb.isEmpty)
-            failure("Neo.ClientError.Request.Invalid", s"no open transaction to $verb")
+          val commit = tag == COMMIT
+          if (tx.isEmpty)
+            failure("Neo.ClientError.Request.Invalid",
+              s"no open transaction to ${if (commit) "COMMIT" else "ROLLBACK"}")
+          else if (commit && tx.exists(txExpired)) {
+            try endTx(commit = false) catch { case _: Exception => () }
+            failure("Neo.ClientError.Transaction.TransactionTimedOut",
+              s"the transaction exceeded its maximum duration (${txMaxDurationMs} ms) " +
+                "and was rolled back")
+          }
           else try {
-            endTx(verb)
-            success(if (tag == COMMIT) Map("bookmark" -> "graft:bm-0") else Map.empty)
+            endTx(commit)
+            success(if (commit) Map("bookmark" -> "graft:bm-0") else Map.empty)
           } catch {
             case e: Exception =>
               failure("Neo.DatabaseError.General.UnknownError", String.valueOf(e.getMessage))
@@ -233,9 +278,9 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
       out.flush()
     } finally {
       // disconnect / read-timeout with a transaction still open: roll
-      // back and release the lock so the other surfaces never block on
-      // a vanished client
-      try endTx("ROLLBACK") catch { case _: Throwable => () }
+      // back so the shadow snapshots are freed and nothing half-done
+      // ever publishes
+      try endTx(commit = false) catch { case _: Throwable => () }
     }
   }
 
@@ -259,11 +304,12 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
     }
   } catch { case _: EOFException => None }
 
-  private def writeMessage(out: DataOutputStream, tag: Int, fields: Seq[Any]): Unit = {
+  private def writeMessage(out: DataOutputStream, tag: Int, fields: Seq[Any],
+      v5: Boolean = false): Unit = {
     val body = new ByteArrayOutputStream()
     val ps = new DataOutputStream(body)
     writeStructHeader(ps, tag, fields.size)
-    fields.foreach(writeValue(ps, _))
+    fields.foreach(PackStream.writeValue(ps, _, v5))
     val bytes = body.toByteArray
     var off = 0
     while (off < bytes.length) {
@@ -274,12 +320,16 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
   }
 
   private def readValue(in: DataInputStream): Any = PackStream.readValue(in)
-  private def writeValue(out: DataOutputStream, v: Any): Unit = PackStream.writeValue(out, v)
   private def writeStructHeader(out: DataOutputStream, tag: Int, size: Int): Unit =
     PackStream.writeStructHeader(out, tag, size)
   private type Struct = PackStream.Struct
   private val Struct = PackStream.Struct
 }
+
+/** Marker wrapper: a record value that may be a tagged entity struct
+  * (the compiler's wire-mode `__node_*` / `__rel_*` rows) and must go
+  * through the entity-aware writer. */
+private[bolt] final case class WireValue(v: Any)
 
 /** PackStream v1 codec (subset: the types the engine emits), shared
   * with the test client. Implemented from the published PackStream
@@ -330,12 +380,60 @@ private[graft] object PackStream {
     out.writeByte(0xB0 + size); out.writeByte(tag)
   }
 
-  def writeValue(out: DataOutputStream, v: Any): Unit = v match {
+  /** Non-null property fields of a props struct Row (an absent
+    * property is ABSENT from the entity's map, not null — reference
+    * driver semantics). */
+  private def propsOf(v: Any): Map[String, Any] = v match {
+    case r: org.apache.spark.sql.Row if r.schema != null =>
+      r.schema.fieldNames.zipWithIndex.collect {
+        case (n, i) if !r.isNullAt(i) => n -> r.get(i)
+      }.toMap
+    case _ => Map.empty
+  }
+
+  def writeValue(out: DataOutputStream, v: Any, v5: Boolean = false): Unit = v match {
+    case WireValue(inner) => inner match {
+      // wire-mode entity rows (CypherCompiler entityStructs): the tag
+      // is carried in the struct field names
+      case r: org.apache.spark.sql.Row if r.schema != null &&
+          r.schema.fieldNames.headOption.contains("__node_id") =>
+        if (r.isNullAt(0)) out.writeByte(0xC0) // OPTIONAL MATCH miss
+        else {
+          val id = r.getLong(0)
+          val labels = Option(r.get(1)).map {
+            case s: scala.collection.Seq[_] => s.toList
+            case a: Array[_] => a.toList
+            case other => List(other)
+          }.getOrElse(Nil)
+          // Bolt 5.0 Node adds element_id (string form of the id)
+          writeStructHeader(out, 0x4E, if (v5) 4 else 3)
+          writeValue(out, id, v5)
+          writeValue(out, labels, v5)
+          writeValue(out, propsOf(r.get(2)), v5)
+          if (v5) writeValue(out, id.toString, v5)
+        }
+      case r: org.apache.spark.sql.Row if r.schema != null &&
+          r.schema.fieldNames.headOption.contains("__rel_id") =>
+        if (r.isNullAt(1)) out.writeByte(0xC0)
+        else {
+          val (id, src, dst) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          val typ = r.getString(3)
+          // Bolt 5.0 Relationship adds element_id + endpoint element_ids
+          writeStructHeader(out, 0x52, if (v5) 8 else 5)
+          writeValue(out, id, v5); writeValue(out, src, v5); writeValue(out, dst, v5)
+          writeValue(out, typ, v5); writeValue(out, propsOf(r.get(4)), v5)
+          if (v5) {
+            writeValue(out, id.toString, v5)
+            writeValue(out, src.toString, v5); writeValue(out, dst.toString, v5)
+          }
+        }
+      case other => writeValue(out, other, v5)
+    }
     case null          => out.writeByte(0xC0)
     case b: Boolean    => out.writeByte(if (b) 0xC3 else 0xC2)
-    case i: Int        => writeValue(out, i.toLong)
-    case i: Short      => writeValue(out, i.toLong)
-    case i: Byte       => writeValue(out, i.toLong)
+    case i: Int        => writeValue(out, i.toLong, v5)
+    case i: Short      => writeValue(out, i.toLong, v5)
+    case i: Byte       => writeValue(out, i.toLong, v5)
     case l: Long       =>
       if (l >= -16 && l <= 127) out.writeByte(l.toInt & 0xFF)
       else if (l >= Byte.MinValue && l <= Byte.MaxValue) { out.writeByte(0xC8); out.writeByte(l.toInt) }
@@ -356,18 +454,18 @@ private[graft] object PackStream {
       else if (seq.size <= 0xFF) { out.writeByte(0xD4); out.writeByte(seq.size) }
       else if (seq.size <= 0xFFFF) { out.writeByte(0xD5); out.writeShort(seq.size) }
       else { out.writeByte(0xD6); out.writeInt(seq.size) }
-      seq.foreach(writeValue(out, _))
-    case arr: Array[_] => writeValue(out, arr.toSeq)
+      seq.foreach(writeValue(out, _, v5))
+    case arr: Array[_] => writeValue(out, arr.toSeq, v5)
     case m: scala.collection.Map[_, _] =>
       if (m.size <= 15) out.writeByte(0xA0 + m.size)
       else if (m.size <= 0xFF) { out.writeByte(0xD8); out.writeByte(m.size) }
       else if (m.size <= 0xFFFF) { out.writeByte(0xD9); out.writeShort(m.size) }
       else { out.writeByte(0xDA); out.writeInt(m.size) }
-      m.foreach { case (k, x) => writeValue(out, String.valueOf(k)); writeValue(out, x) }
+      m.foreach { case (k, x) => writeValue(out, String.valueOf(k), v5); writeValue(out, x, v5) }
     case r: org.apache.spark.sql.Row => // struct column → map by field name
       val names = Option(r.schema).map(_.fieldNames)
         .getOrElse(Array.tabulate(r.length)(i => s"_$i"))
-      writeValue(out, names.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap)
-    case other         => writeValue(out, String.valueOf(other)) // timestamps/dates/decimals
+      writeValue(out, names.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap, v5)
+    case other         => writeValue(out, String.valueOf(other), v5) // timestamps/dates/decimals
   }
 }

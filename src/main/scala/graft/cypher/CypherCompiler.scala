@@ -18,7 +18,8 @@ import ast._
   */
 final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     procedures: String => Option[Seq[Any] => DataFrame] = _ => None,
-    scalarFns: String => Option[Seq[Column] => Column] = _ => None) {
+    scalarFns: String => Option[Seq[Column] => Column] = _ => None,
+    entityStructs: Boolean = false) {
 
   private val SEP = "__"
   private var freshId = 0
@@ -913,6 +914,43 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
             // bare node/rel variable in WITH: pass all its columns through
             case Variable(v) if keepVarCols && df.columns.exists(_.startsWith(s"$v$SEP")) =>
               df.columns.filter(_.startsWith(s"$v$SEP")).toSeq.map(col)
+            // wire mode (Bolt): a bare node/rel variable in RETURN
+            // projects as a TAGGED STRUCT the endpoint turns into a
+            // PackStream Node (0x4E) / Relationship (0x52) — a stock
+            // driver's `RETURN n` gets a typed entity, not flattened
+            // columns. The tag lives in the struct's field names
+            // (`__node_*` / `__rel_*`), so the record writer needs no
+            // side channel. Null id (OPTIONAL MATCH miss) → null.
+            case Variable(v) if entityStructs && !keepVarCols &&
+                df.columns.contains(s"$v${SEP}id") =>
+              val propCols = df.columns.filter(_.startsWith(s"$v$SEP"))
+                .filterNot(c => Set("id", "labels", "nodes")
+                  .contains(c.stripPrefix(s"$v$SEP"))).toSeq
+              val props =
+                if (propCols.isEmpty) lit(null).cast("string")
+                else struct(propCols.map(c => col(c).as(c.stripPrefix(s"$v$SEP"))): _*)
+              Seq(struct(
+                col(s"$v${SEP}id").as("__node_id"),
+                col(s"$v${SEP}labels").as("__node_labels"),
+                props.as("__node_props")).as(i.name))
+            case Variable(v) if entityStructs && !keepVarCols &&
+                df.columns.contains(s"$v${SEP}relType") =>
+              val propCols = df.columns.filter(_.startsWith(s"$v$SEP"))
+                .filterNot(c => Set("src", "dst", "relType")
+                  .contains(c.stripPrefix(s"$v$SEP"))).toSeq
+              val props =
+                if (propCols.isEmpty) lit(null).cast("string")
+                else struct(propCols.map(c => col(c).as(c.stripPrefix(s"$v$SEP"))): _*)
+              // edges carry no surrogate id (README deviations): the
+              // wire id is a deterministic hash of the (src, dst, type)
+              // identity key, stable across runs and partitions
+              Seq(struct(
+                xxhash64(col(s"$v${SEP}src"), col(s"$v${SEP}dst"),
+                  col(s"$v${SEP}relType")).as("__rel_id"),
+                col(s"$v${SEP}src").as("__rel_src"),
+                col(s"$v${SEP}dst").as("__rel_dst"),
+                col(s"$v${SEP}relType").as("__rel_type"),
+                props.as("__rel_props")).as(i.name))
             case _ => Seq(compileExpr(i.expr, df).as(i.name))
           }
         } ++ hiddenSorts.map { case (h, e) => compileExpr(e, df).as(h) }

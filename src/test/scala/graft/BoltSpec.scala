@@ -195,6 +195,214 @@ class BoltSpec extends AnyFunSuite {
     } finally ep.stop()
   }
 
+  test("concurrent connections interleave; a held transaction doesn't block autocommit") {
+    val session = new GraftSession(spark)
+    session.cypher("CREATE (:conc {v: 1})")
+    val ep = new BoltEndpoint(session, 0, "127.0.0.1")
+    val port = ep.start()
+    try {
+      def open(): Client = {
+        val c = new Client(port)
+        assert(c.handshake() == 0x00000404)
+        c.send(0x01, Map("user_agent" -> "graft-test/1.0"))
+        assert(c.recv()._1 == SUCCESS)
+        c
+      }
+      // two SIMULTANEOUS connections, RUN/PULL interleaved — the old
+      // accept loop served one connection to completion, so c2's HELLO
+      // alone would hang here
+      val c1 = open()
+      val c2 = open()
+      c1.send(0x10, "MATCH (x:conc) RETURN count(x) AS n",
+        Map.empty[String, Any], Map.empty[String, Any])
+      c2.send(0x10, "MATCH (x:conc) RETURN count(x) AS n",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(c1.recv()._1 == SUCCESS)
+      assert(c2.recv()._1 == SUCCESS)
+      c2.send(0x3F, Map("n" -> -1L))
+      c1.send(0x3F, Map("n" -> -1L))
+      val (tr2, fr2) = c2.recv()
+      assert(tr2 == RECORD && fr2.head.asInstanceOf[Seq[Any]].head == 1L)
+      assert(c2.recv()._1 == SUCCESS)
+      val (tr1, fr1) = c1.recv()
+      assert(tr1 == RECORD && fr1.head.asInstanceOf[Seq[Any]].head == 1L)
+      assert(c1.recv()._1 == SUCCESS)
+
+      // c1 holds an open transaction with a write; c2's autocommit
+      // write COMPLETES meanwhile (no session-wide lock tenure), and
+      // c2 never sees c1's uncommitted row
+      c1.send(0x11, Map.empty[String, Any]) // BEGIN
+      assert(c1.recv()._1 == SUCCESS)
+      c1.send(0x10, "CREATE (x:conc {v: 2})",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(c1.recv()._1 == SUCCESS)
+      c1.send(0x2F, Map("n" -> -1L))
+      assert(c1.recv()._1 == SUCCESS)
+      def count(c: Client): Long = {
+        c.send(0x10, "MATCH (x:conc) RETURN count(x) AS n",
+          Map.empty[String, Any], Map.empty[String, Any])
+        assert(c.recv()._1 == SUCCESS)
+        c.send(0x3F, Map("n" -> -1L))
+        val (tr, fr) = c.recv()
+        assert(tr == RECORD)
+        assert(c.recv()._1 == SUCCESS)
+        fr.head.asInstanceOf[Seq[Any]].head.asInstanceOf[Long]
+      }
+      c2.send(0x10, "CREATE (x:conc {v: 3})",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(c2.recv()._1 == SUCCESS) // would deadlock under lock tenure
+      c2.send(0x2F, Map("n" -> -1L))
+      assert(c2.recv()._1 == SUCCESS)
+      assert(count(c2) == 2L) // v1 + v3; c1's v2 invisible
+      c1.send(0x12) // COMMIT — c1's snapshot never saw v3 (last-writer-wins)
+      assert(c1.recv()._1 == SUCCESS)
+      c1.send(0x02); c1.close()
+      c2.send(0x02); c2.close()
+    } finally ep.stop()
+  }
+
+  test("PULL n streams incrementally with has_more") {
+    val ep = new BoltEndpoint(new GraftSession(spark), 0, "127.0.0.1")
+    val port = ep.start()
+    try {
+      val c = new Client(port)
+      assert(c.handshake() == 0x00000404)
+      c.send(0x01, Map("user_agent" -> "graft-test/1.0"))
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x10, "UNWIND range(1, 50) AS x RETURN x",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x3F, Map("n" -> 1L)) // PULL one row only
+      val (t1, f1) = c.recv()
+      assert(t1 == RECORD && f1.head.asInstanceOf[Seq[Any]].head == 1L)
+      val (t2, f2) = c.recv()
+      assert(t2 == SUCCESS)
+      assert(f2.head.asInstanceOf[Map[String, Any]].get("has_more").contains(true))
+      c.send(0x3F, Map("n" -> -1L)) // drain the rest
+      var records = 0
+      var done = false
+      while (!done) c.recv() match {
+        case (RECORD, _)  => records += 1
+        case (SUCCESS, _) => done = true
+        case other        => fail(s"unexpected $other")
+      }
+      assert(records == 49)
+      c.send(0x02); c.close()
+    } finally ep.stop()
+  }
+
+  test("RETURN n/r emit PackStream Node and Relationship structs; 5.x adds element_id") {
+    val session = new GraftSession(spark)
+    session.cypher("CREATE (a:dog {name:'Arne'})-[:SNIFFS {since: 2020}]->(b:dog {name:'Bosse'})")
+    val ep = new BoltEndpoint(session, 0, "127.0.0.1")
+    val port = ep.start()
+    try {
+      val c = new Client(port)
+      assert(c.handshake() == 0x00000404)
+      c.send(0x01, Map("user_agent" -> "graft-test/1.0"))
+      assert(c.recv()._1 == SUCCESS)
+      // Node struct (tag 0x4E): id, labels, properties — props as a
+      // typed map, absent/null properties omitted
+      c.send(0x10, "MATCH (n:dog) WHERE n.name = 'Arne' RETURN n",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x3F, Map("n" -> -1L))
+      val (tn, fn) = c.recv()
+      assert(tn == RECORD)
+      val node = fn.head.asInstanceOf[Seq[Any]].head.asInstanceOf[PackStream.Struct]
+      assert(node.tag == 0x4E)
+      assert(node.fields.size == 3)
+      assert(node.fields(1) == Seq("dog"))
+      assert(node.fields(2) == Map("name" -> "Arne"))
+      assert(c.recv()._1 == SUCCESS)
+      // Relationship struct (tag 0x52): id, start, end, type, props;
+      // start/end match the endpoint nodes' wire ids
+      c.send(0x10, "MATCH (a:dog)-[r:SNIFFS]->(b:dog) RETURN r",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x3F, Map("n" -> -1L))
+      val (tr, fr) = c.recv()
+      assert(tr == RECORD)
+      val rel = fr.head.asInstanceOf[Seq[Any]].head.asInstanceOf[PackStream.Struct]
+      assert(rel.tag == 0x52)
+      assert(rel.fields.size == 5)
+      assert(rel.fields(1) == node.fields.head) // start = Arne's id
+      assert(rel.fields(3) == "SNIFFS")
+      assert(rel.fields(4) == Map("since" -> 2020L))
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x02); c.close()
+
+      // a 5.x-only handshake (5.4 with range back to 5.0) negotiates
+      // 5.0 and the entity structs grow their element_id fields
+      val c5 = new Client(port)
+      assert(c5.handshake(0x00040405) == 0x00000005)
+      c5.send(0x01, Map("user_agent" -> "graft-test/1.0"))
+      assert(c5.recv()._1 == SUCCESS)
+      c5.send(0x10, "MATCH (n:dog) WHERE n.name = 'Arne' RETURN n",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(c5.recv()._1 == SUCCESS)
+      c5.send(0x3F, Map("n" -> -1L))
+      val (t5, f5) = c5.recv()
+      assert(t5 == RECORD)
+      val node5 = f5.head.asInstanceOf[Seq[Any]].head.asInstanceOf[PackStream.Struct]
+      assert(node5.tag == 0x4E)
+      assert(node5.fields.size == 4)
+      assert(node5.fields(3) == node5.fields.head.toString) // element_id
+      assert(c5.recv()._1 == SUCCESS)
+      c5.send(0x02); c5.close()
+    } finally ep.stop()
+  }
+
+  test("in-band transaction-control text is refused; wall-clock cap expires a chatty tx") {
+    val session = new GraftSession(spark)
+    val ep = new BoltEndpoint(session, 0, "127.0.0.1", txMaxDurationMs = 400L)
+    val port = ep.start()
+    try {
+      val c = new Client(port)
+      assert(c.handshake() == 0x00000404)
+      c.send(0x01, Map("user_agent" -> "graft-test/1.0"))
+      assert(c.recv()._1 == SUCCESS)
+      // RUN "BEGIN" as text must not flip any transaction state
+      c.send(0x10, "BEGIN", Map.empty[String, Any], Map.empty[String, Any])
+      val (tb, fb) = c.recv()
+      assert(tb == FAILURE)
+      assert(fb.head.asInstanceOf[Map[String, Any]]("code").toString
+        .contains("Request.Invalid"))
+      c.send(0x0F); assert(c.recv()._1 == SUCCESS)
+      // a real BEGIN still works after the refusal (no orphan state)
+      c.send(0x11, Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x10, "ROLLBACK", Map.empty[String, Any], Map.empty[String, Any])
+      assert(c.recv()._1 == FAILURE) // in-band text refused inside a tx too
+      c.send(0x0F); assert(c.recv()._1 == SUCCESS) // RESET rolled the tx back
+      // wall cap: keep the connection chatty past txMaxDurationMs —
+      // the next RUN in the tx rolls back with TransactionTimedOut
+      c.send(0x11, Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x10, "CREATE (x:capped {k: 1})",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x2F, Map("n" -> -1L)); assert(c.recv()._1 == SUCCESS)
+      Thread.sleep(600)
+      c.send(0x10, "CREATE (x:capped {k: 2})",
+        Map.empty[String, Any], Map.empty[String, Any])
+      val (tt, ft) = c.recv()
+      assert(tt == FAILURE)
+      assert(ft.head.asInstanceOf[Map[String, Any]]("code").toString
+        .contains("TransactionTimedOut"))
+      c.send(0x0F); assert(c.recv()._1 == SUCCESS)
+      // everything rolled back
+      c.send(0x10, "MATCH (x:capped) RETURN count(x) AS n",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x3F, Map("n" -> -1L))
+      val (tc, fc) = c.recv()
+      assert(tc == RECORD && fc.head.asInstanceOf[Seq[Any]].head == 0L)
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x02); c.close()
+    } finally ep.stop()
+  }
+
   test("HELLO enforces basic auth when the session has a credential store") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bolt_auth_").toString
     val store = new graft.auth.AuthStore(dir)
