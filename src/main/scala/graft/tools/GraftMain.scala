@@ -64,6 +64,19 @@ object GraftMain {
           val bound = new graft.http.HttpEndpoint(session, p, addr).start()
           Console.out.println(s"HTTP enabled on $addr:$bound")
         }
+        // 7473-style HTTPS surface, opt-in via GRAFT_HTTPS_PORT +
+        // GRAFT_SSL_KEYSTORE/GRAFT_SSL_PASSWORD (the reference wires
+        // mounted /ssl certificates into its HTTPS connector,
+        // docker-entrypoint.sh:479-537; a keystore plays that role)
+        env.get("GRAFT_HTTPS_PORT").map(_.toInt).foreach { p =>
+          val ks = env.getOrElse("GRAFT_SSL_KEYSTORE", sys.error(
+            "GRAFT_HTTPS_PORT requires GRAFT_SSL_KEYSTORE (path to a JKS/PKCS12 keystore)"))
+          val pw = env.getOrElse("GRAFT_SSL_PASSWORD", "")
+          val ctx = graft.http.HttpEndpoint.sslContextFromKeystore(ks, pw)
+          val addr = env.getOrElse("GRAFT_HTTP_ADDRESS", "0.0.0.0")
+          val bound = new graft.http.HttpEndpoint(session, p, addr, ssl = Some(ctx)).start()
+          Console.out.println(s"HTTPS enabled on $addr:$bound")
+        }
         // 7687-style Bolt surface (autocommit RUN/PULL), opt-in via
         // GRAFT_BOLT_PORT (the reference image always maps 7687)
         env.get("GRAFT_BOLT_PORT").map(_.toInt).foreach { p =>
