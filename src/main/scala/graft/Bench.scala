@@ -126,7 +126,13 @@ object Bench {
         write(rep(spark.read.parquet(s"$sfDir/$n.parquet"), cols), n)
       }
 
-      val probed = Seq("dedup_clusters", "stream_stream_join", "gds_degree")
+      // dedup_minhash_lsh is the flagship 100 TB dedup route — probed
+      // with the same identical-replica caveat as dedup_clusters
+      // (clones share signatures, so every LSH bucket gets ×10 members
+      // and candidate pairs grow ~quadratically BY CONSTRUCTION; the
+      // slope is an upper bound on organic near-duplicate data)
+      val probed = Seq("dedup_clusters", "dedup_minhash_lsh",
+        "stream_stream_join", "gds_degree")
       val byName = SparkEntry.catalog.map(q => q.name -> q).toMap
       val parts = probed.flatMap { name =>
         byName.get(name).map { q =>

@@ -396,6 +396,13 @@ final class GraftSession(val spark: SparkSession,
           val d = catalog.database(database); d.requireStarted(); d
       }
       val parsed = Params.substitute(CypherParser.parse(q), params)
+      if (parsed.clauses.exists { case cs: ast.CallSub => cs.inTransactions; case _ => false }) {
+        // batched-commit ingest: each batch is its own transaction, so
+        // it cannot nest inside an open one (reference refusal)
+        if (tx.isDefined) throw new UnsupportedOperationException(
+          "CALL { … } IN TRANSACTIONS is not allowed inside an open transaction")
+        return mutateCallInTx(db, parsed)
+      }
       val isMutation = parsed.clauses.exists {
         case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
              _: ast.SetLabels | _: ast.Delete | _: ast.Merge | _: ast.Foreach => true
@@ -1002,6 +1009,53 @@ final class GraftSession(val spark: SparkSession,
     }
     val missing = row.join(matched.limit(1), lit(true), "left_anti")
     db.graph = PropertyGraph(PropertyGraph.appendByName(nodes, missing), g.edges)
+  }
+
+  /** `UNWIND <list> AS x CALL { WITH x <mutations> } IN TRANSACTIONS
+    * [OF n ROWS]` — openCypher's batched-commit bulk-ingest surface
+    * (cypher-shell scripts drive it for huge loads; default 1000 rows
+    * per batch, like the reference). The driving list chunks into
+    * batches; each batch replays through the ordinary declarative
+    * UNWIND…CREATE/MERGE paths as ONE statement — one snapshot swap —
+    * and commits immediately. Reference error semantics: a failing
+    * batch rolls ITSELF back and stops, but the batches before it
+    * stay committed. Returns the (rows, batches) summary.
+    *
+    * Scale note: each batch is the same two-join bulk path as
+    * UNWIND…MERGE (batch broadcast against the distributed node
+    * table), so batching bounds DRIVER memory for the literal batch
+    * rows without introducing per-element probes. */
+  private def mutateCallInTx(db: GraphDatabase, q: ast.Query): DataFrame = q.clauses match {
+    case Seq(u: ast.Unwind, cs: ast.CallSub) if cs.inTransactions =>
+      if (!cs.imports.contains(u.alias))
+        throw new UnsupportedOperationException(
+          s"CALL { … } IN TRANSACTIONS must import the UNWIND alias: CALL { WITH ${u.alias} … }")
+      val isMut = cs.clauses.exists {
+        case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
+             _: ast.SetLabels | _: ast.Delete | _: ast.Merge | _: ast.Foreach => true
+        case _ => false
+      }
+      if (!isMut) throw new UnsupportedOperationException(
+        "CALL { … } IN TRANSACTIONS expects a mutating body")
+      val elems = unwindElements(u, "UNWIND … CALL { } IN TRANSACTIONS")
+      val n = cs.batchRows.getOrElse(1000L)
+      if (n <= 0) throw new IllegalArgumentException(
+        s"IN TRANSACTIONS OF $n ROWS: batch size must be positive")
+      var batches = 0L
+      elems.grouped(n.toInt).foreach { chunk =>
+        val chunkQ = ast.Query(
+          ast.Unwind(ast.ListLit(chunk.map(v => ast.Lit(v)).toSeq), u.alias) +: cs.clauses)
+        // one statement per batch = one snapshot swap = one commit; a
+        // throwing batch leaves the previous swaps published
+        mutate(db, chunkQ)
+        db.pendingMutations += 1
+        batches += 1
+      }
+      spark.createDataFrame(javaList(Seq(Row(elems.size.toLong, batches))),
+        StructType(Seq(StructField("rows", LongType), StructField("batches", LongType))))
+    case _ => throw new UnsupportedOperationException(
+      "CALL { … } IN TRANSACTIONS composes as " +
+        "`UNWIND <list> AS x CALL { WITH x <mutations> } IN TRANSACTIONS [OF n ROWS]`")
   }
 
   /** Literal elements of an UNWIND over a literal list or range(). */

@@ -132,7 +132,12 @@ object ast {
   /** `CALL { [WITH v, …] MATCH … RETURN items }` — the composition
     * subquery (openCypher CALL subquery). `imports` are the outer
     * variables the inner query correlates on (empty = uncorrelated). */
-  final case class CallSub(imports: Seq[String], clauses: Seq[Clause]) extends Clause
+  /** `CALL { [WITH imports] … } [IN TRANSACTIONS [OF n ROWS]]` — the
+    * IN TRANSACTIONS form batches the driving rows and commits per
+    * batch (openCypher's huge-ingest surface; executes only over a
+    * literal/parameter UNWIND, GraftSession.mutateCallInTx). */
+  final case class CallSub(imports: Seq[String], clauses: Seq[Clause],
+      inTransactions: Boolean = false, batchRows: Option[Long] = None) extends Clause
 
   /** `FOREACH (x IN list | CREATE …)` — list-iterated mutation. */
   final case class Foreach(variable: String, list: Expr, body: Seq[Clause]) extends Clause

@@ -342,8 +342,16 @@ object CypherParser extends RegexParsers {
   /** `CALL { [WITH imports] … }` — tried before callClause; a plain
     * procedure CALL fails the `{` and backtracks. */
   private def callSubClause: Parser[CallSub] =
-    kw("call") ~> "{" ~> opt(kw("with") ~> rep1sep(ident, ",")) ~ rep1(clause) <~ "}" ^^ {
-      case imp ~ cls => CallSub(imp.getOrElse(Nil), cls)
+    ((kw("call") ~> "{" ~> opt(kw("with") ~> rep1sep(ident, ",")) ~ rep1(clause) <~ "}") ~
+      opt(kw("in") ~> kw("transactions") ~>
+        opt(kw("of") ~> numberLit <~ kw("rows")))) ^^ {
+      case imp ~ cls ~ itx =>
+        CallSub(imp.getOrElse(Nil), cls, itx.isDefined,
+          itx.flatten.map {
+            case Lit(n: Long) => n
+            case Lit(other) => throw new IllegalArgumentException(
+              s"IN TRANSACTIONS OF n ROWS needs an integer, got $other")
+          })
     }
 
   private def foreachClause: Parser[Foreach] =

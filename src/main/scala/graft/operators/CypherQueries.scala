@@ -476,6 +476,28 @@ object CypherQueries {
       c.crossJoin(g)
     },
 
+    // CALL { } IN TRANSACTIONS — openCypher's batched-commit ingest
+    // (cypher-shell scripts use it for huge loads): 150 merge keys
+    // flag their customers in 5 batches of 30, each batch its own
+    // committed statement (one broadcast-batch update join per batch,
+    // GraftSession.mutateCallInTx). Every custkey 1..150 exists at
+    // every SF, so the oracle recomputes the flagged count from the
+    // raw table; the batch count pins the chunking arithmetic.
+    sql("cy_call_in_tx",
+      """SELECT CAST(count(CASE WHEN c_custkey BETWEEN 1 AND 150 THEN 1 END) AS BIGINT) AS batched,
+        |  CAST(5 AS BIGINT) AS batches
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      val summary = gs.cypher(
+        """UNWIND range(1, 150) AS x CALL { WITH x
+          |MERGE (c:customer {c_custkey: x}) ON MATCH SET c.batched = 1
+          |} IN TRANSACTIONS OF 30 ROWS""".stripMargin)
+      val b = gs.cypher(
+        "MATCH (c:customer) WHERE c.batched = 1 RETURN count(c) AS batched")
+      b.crossJoin(summary.selectExpr("batches"))
+    },
+
     // List predicates + reduce over collected lists — openCypher's
     // any/all/none/single(x IN xs WHERE …) and reduce(acc = …, x IN
     // xs | …) compile to Spark's codegen'd higher-order functions

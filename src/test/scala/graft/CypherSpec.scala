@@ -777,6 +777,49 @@ class CypherSpec extends AnyFunSuite {
     s.cypher("COMMIT")
   }
 
+  test("CALL { } IN TRANSACTIONS commits per batch; a failing batch keeps earlier commits") {
+    val s = new GraftSession(spark)
+    // happy path: 25 rows in batches of 10 → 3 batches, all created
+    val res = s.cypher(
+      "UNWIND range(1, 25) AS x CALL { WITH x CREATE (:bat {k: x}) } IN TRANSACTIONS OF 10 ROWS")
+      .collect().head
+    assert(res.getLong(0) == 25L && res.getLong(1) == 3L) // (rows, batches)
+    assert(s.cypher("MATCH (b:bat) RETURN count(b) AS c").collect().head.getLong(0) == 25L)
+    // parameter-batch form with MERGE upsert body
+    val batch = (1 to 25).map(i => Map("k" -> i.toLong, "v" -> (i * 2).toLong))
+    s.cypher(
+      """UNWIND $rows AS row CALL { WITH row
+        |MERGE (b:bat {k: row.k}) ON MATCH SET b.v = row.v
+        |} IN TRANSACTIONS OF 7 ROWS""".stripMargin,
+      Map("rows" -> batch))
+    assert(s.cypher("MATCH (b:bat) WHERE b.v = b.k * 2 RETURN count(b) AS c")
+      .collect().head.getLong(0) == 25L)
+    // reference error semantics: the failing batch rolls itself back,
+    // the batches BEFORE it stay committed (null merge key in row 3,
+    // one row per batch → rows 1-2 land, 3 fails)
+    val bad = Seq(Map("k" -> 100L), Map("k" -> 101L), Map("k" -> null))
+    intercept[IllegalArgumentException] {
+      s.cypher(
+        "UNWIND $rows AS row CALL { WITH row MERGE (b:bat {k: row.k}) } IN TRANSACTIONS OF 1 ROWS",
+        Map("rows" -> bad))
+    }
+    assert(s.cypher("MATCH (b:bat) WHERE b.k >= 100 RETURN count(b) AS c")
+      .collect().head.getLong(0) == 2L)
+    // not allowed inside an open transaction (reference refusal)
+    s.cypher("BEGIN")
+    intercept[UnsupportedOperationException] {
+      s.cypher("UNWIND range(1, 5) AS x CALL { WITH x CREATE (:bat2 {k: x}) } IN TRANSACTIONS")
+    }
+    s.cypher("ROLLBACK")
+    // the alias must be imported; a read-only body is refused
+    intercept[UnsupportedOperationException] {
+      s.cypher("UNWIND range(1, 5) AS x CALL { CREATE (:bat3 {k: 1}) } IN TRANSACTIONS")
+    }
+    intercept[UnsupportedOperationException] {
+      s.cypher("UNWIND range(1, 5) AS x CALL { WITH x MATCH (b:bat) RETURN b.k AS k } IN TRANSACTIONS")
+    }
+  }
+
   test("two interleaved transaction handles: isolated until COMMIT, serialized commits") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (:acct {aid: 0, bal: 100})")
