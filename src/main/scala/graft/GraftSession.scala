@@ -151,6 +151,7 @@ final class GraftSession(val spark: SparkSession,
   private val CreateDb = """(?is)\s*CREATE\s+DATABASE\s+(\w+)\s*""".r
   private val DropDb = """(?is)\s*DROP\s+DATABASE\s+(\w+)(\s+IF\s+EXISTS)?\s*""".r
   private val ShowDbs = """(?is)\s*SHOW\s+DATABASES\s*""".r
+  private val ShowTxs = """(?is)\s*SHOW\s+TRANSACTIONS\s*""".r
   // index/constraint DDL is accepted as a no-op: there are no index
   // structures to maintain — scans + Catalyst pushdown serve the same
   // role — but scripts written for the reference must keep running
@@ -251,8 +252,19 @@ final class GraftSession(val spark: SparkSession,
   // snapshot isolation without write merging, documented in README).
   // ROLLBACK just discards the shadows.
 
-  /** Open a transaction handle (cheap: no lock, no data copied). */
-  def beginTransaction(): TxHandle = new TxHandle(catalog)
+  /** Open transactions by id — what `SHOW TRANSACTIONS` lists (the
+    * reference's `SHOW TRANSACTIONS` / `dbms.listTransactions`). */
+  private val openHandles =
+    scala.collection.concurrent.TrieMap.empty[Long, TxHandle]
+  private val txSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Open a transaction handle (cheap: no lock, no data copied).
+    * `origin` tags the owning surface for SHOW TRANSACTIONS. */
+  def beginTransaction(origin: String = "embedded"): TxHandle = {
+    val h = new TxHandle(catalog, txSeq.incrementAndGet(), origin)
+    openHandles.put(h.id, h)
+    h
+  }
 
   def commitTransaction(h: TxHandle): Unit = {
     stmtLock.lock()
@@ -287,11 +299,31 @@ final class GraftSession(val spark: SparkSession,
       } else sh.releasePinned()
     }
     h.shadows.clear(); h.mutated.clear(); h.open = false
+    openHandles.remove(h.id)
   }
 
   private def discardTx(h: TxHandle): Unit = {
     h.shadows.values.foreach(_.releasePinned())
     h.shadows.clear(); h.mutated.clear(); h.open = false
+    openHandles.remove(h.id)
+  }
+
+  /** `SHOW TRANSACTIONS` — the open transaction handles across every
+    * surface (reference surface: SHOW TRANSACTIONS /
+    * dbms.listTransactions; its tests read the id + database
+    * columns). Row shape: graft-transaction-<id>, origin surface,
+    * comma-joined databases touched so far, elapsed ms. */
+  private def showTransactions(): DataFrame = {
+    val rows = openHandles.values.toSeq.sortBy(_.id).map { h =>
+      Row(s"graft-transaction-${h.id}", h.origin,
+        h.shadows.synchronized { h.shadows.keys.toSeq.sorted.mkString(",") },
+        System.currentTimeMillis() - h.startedAt)
+    }
+    spark.createDataFrame(javaList(rows), StructType(Seq(
+      StructField("transactionId", StringType),
+      StructField("origin", StringType),
+      StructField("databases", StringType),
+      StructField("elapsedMs", LongType))))
   }
 
   /** Wire-protocol variant of [[cypher]]: bare node/relationship
@@ -373,7 +405,7 @@ final class GraftSession(val spark: SparkSession,
     case BeginTx(_) =>
       if (threadTx.get().isDefined)
         throw new IllegalStateException("There is already an open transaction")
-      threadTx.set(Some(new TxHandle(catalog))); unit()
+      threadTx.set(Some(beginTransaction("text"))); unit()
     case CommitTx(_) =>
       threadTx.get() match {
         case None => throw new IllegalStateException("There is no open transaction to commit")
@@ -385,6 +417,7 @@ final class GraftSession(val spark: SparkSession,
         case Some(h) => discardTx(h); threadTx.set(None); unit()
       }
     case ShowDbs() => showDatabases()
+    case ShowTxs() => showTransactions()
     case ShowProcs(rest) => showProcedures(rest)
     case _ =>
       // inside a transaction every statement targets the handle's
@@ -1851,12 +1884,14 @@ object GraftSession {
   * used from parallel tests). Commits serialize; two transactions
   * mutating the SAME database resolve last-writer-wins at the
   * database level (documented in README "Deliberate deviations"). */
-final class TxHandle private[graft] (catalog: GraphCatalog) {
+final class TxHandle private[graft] (catalog: GraphCatalog,
+    val id: Long = 0L, val origin: String = "embedded") {
   private[graft] val shadows = collection.mutable.Map.empty[String, GraphDatabase]
   private[graft] val mutated = collection.mutable.Set.empty[String]
   @volatile private[graft] var open = true
   /** Wall-clock epoch when the transaction opened — endpoints enforce
-    * their max-duration policy against this. */
+    * their max-duration policy against this, and SHOW TRANSACTIONS
+    * reports the elapsed time. */
   val startedAt: Long = System.currentTimeMillis()
 
   private[graft] def database(name: String): GraphDatabase = shadows.synchronized {

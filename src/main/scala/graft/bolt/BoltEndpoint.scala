@@ -96,6 +96,7 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
   private val HELLO = 0x01; private val GOODBYE = 0x02; private val RESET = 0x0F
   private val RUN = 0x10; private val BEGIN = 0x11; private val COMMIT = 0x12
   private val ROLLBACK = 0x13; private val DISCARD = 0x2F; private val PULL = 0x3F
+  private val ROUTE = 0x66
   private val SUCCESS = 0x70; private val RECORD = 0x71
   private val IGNORED = 0x7E; private val FAILURE = 0x7F
 
@@ -250,7 +251,7 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
               "there is already an open transaction on this connection")
           else {
             txDb = dbOf(extraMap(fields, 0))
-            tx = Some(session.beginTransaction())
+            tx = Some(session.beginTransaction("bolt"))
             try sock.setSoTimeout(txIdleTimeoutMs) catch { case _: Throwable => () }
             success(Map.empty)
           }
@@ -272,6 +273,26 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
             case e: Exception =>
               failure("Neo.DatabaseError.General.UnknownError", String.valueOf(e.getMessage))
           }
+        case ROUTE =>
+          // `neo4j://`-scheme drivers send ROUTE before any query
+          // (Bolt 4.3+); a single instance answers a one-server table
+          // where WRITE/READ/ROUTE all point at itself — the shape the
+          // reference community server returns. The advertised address
+          // is the one the client dialed (routing context), falling
+          // back to the bound port.
+          val routing = extraMap(fields, 0)
+          val dbArg = fields.lift(2) match {
+            case Some(s: String) if s.nonEmpty => s
+            case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]].get("db")
+              .collect { case s: String if s.nonEmpty => s }.getOrElse("neo4j")
+            case _ => "neo4j"
+          }
+          val addr = routing.get("address").collect { case s: String => s }
+            .getOrElse(s"localhost:${server.getLocalPort}")
+          val servers = Seq("WRITE", "READ", "ROUTE").map(role =>
+            Map("addresses" -> Seq(addr), "role" -> role))
+          success(Map("rt" ->
+            Map("ttl" -> 300L, "db" -> dbArg, "servers" -> servers)))
         case _ =>
           failure("Neo.ClientError.Request.Invalid", s"unsupported message 0x${tag.toHexString}")
       }

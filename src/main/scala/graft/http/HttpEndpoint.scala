@@ -131,7 +131,7 @@ final class HttpEndpoint(session: GraftSession, port: Int = 7474,
   private def handleOneShot(ex: HttpExchange, db: String): Unit = {
     if (!requireAuth(ex)) return
     val statements = readStatements(ex)
-    val tx = session.beginTransaction()
+    val tx = session.beginTransaction("http")
     streamResults(ex, 200, Map.empty) { gen =>
       val err = runStatements(gen, statements, db, tx)
       err match {
@@ -154,7 +154,7 @@ final class HttpEndpoint(session: GraftSession, port: Int = 7474,
     if (!requireAuth(ex)) return
     sweepExpired()
     val statements = readStatements(ex)
-    val tx = session.beginTransaction()
+    val tx = session.beginTransaction("http")
     val id = txIds.incrementAndGet()
     val entry = new HttpTx(tx, db)
     openTxs.put(id, entry)

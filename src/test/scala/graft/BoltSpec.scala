@@ -353,6 +353,26 @@ class BoltSpec extends AnyFunSuite {
     } finally ep.stop()
   }
 
+  test("ROUTE answers a single-instance routing table (neo4j:// drivers)") {
+    val ep = new BoltEndpoint(new GraftSession(spark), 0, "127.0.0.1")
+    val port = ep.start()
+    try {
+      val c = new Client(port)
+      assert(c.handshake() == 0x00000404)
+      c.send(0x01, Map("user_agent" -> "graft-test/1.0"))
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x66, Map("address" -> s"127.0.0.1:$port"), Seq.empty[Any], null)
+      val (t, f) = c.recv()
+      assert(t == SUCCESS)
+      val rt = f.head.asInstanceOf[Map[String, Any]]("rt").asInstanceOf[Map[String, Any]]
+      assert(rt("db") == "neo4j")
+      val servers = rt("servers").asInstanceOf[Seq[Map[String, Any]]]
+      assert(servers.map(_("role")).toSet == Set("WRITE", "READ", "ROUTE"))
+      assert(servers.forall(_("addresses") == Seq(s"127.0.0.1:$port")))
+      c.send(0x02); c.close()
+    } finally ep.stop()
+  }
+
   test("in-band transaction-control text is refused; wall-clock cap expires a chatty tx") {
     val session = new GraftSession(spark)
     val ep = new BoltEndpoint(session, 0, "127.0.0.1", txMaxDurationMs = 400L)

@@ -866,6 +866,23 @@ class CypherSpec extends AnyFunSuite {
     s.rollbackTransaction(t4)
   }
 
+  test("SHOW TRANSACTIONS lists open handles across surfaces, empty after close") {
+    val s = new GraftSession(spark)
+    assert(s.cypher("SHOW TRANSACTIONS").collect().isEmpty)
+    val t1 = s.beginTransaction("bolt")
+    s.cypher("CREATE (:stx {k: 1})", Map.empty[String, Any], "neo4j", t1)
+    s.cypher("BEGIN") // text-surface transaction on this thread
+    val rows = s.cypher("SHOW TRANSACTIONS").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(1)).toSet == Set("bolt", "text"))
+    val boltRow = rows.find(_.getString(1) == "bolt").get
+    assert(boltRow.getString(0).startsWith("graft-transaction-"))
+    assert(boltRow.getString(2) == "neo4j") // databases touched
+    s.cypher("COMMIT")
+    s.rollbackTransaction(t1)
+    assert(s.cypher("SHOW TRANSACTIONS").collect().isEmpty)
+  }
+
   test("UNWIND $batch MERGE: 10k-element upsert, one append + one update join") {
     val s = new GraftSession(spark)
     s.cypher("UNWIND range(1, 500) AS x CREATE (:item {k: x, v: 0})")
