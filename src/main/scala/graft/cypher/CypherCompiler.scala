@@ -1321,7 +1321,47 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "exists"             => a(0).isNotNull
       case "head"               => element_at(a(0), 1)
       case "last"               => element_at(a(0), -1)
+      case "tail"               => slice(a(0), lit(2), greatest(size(a(0)) - 1, lit(0)))
       case "range"              => sequence(a(0), a(1))
+      // trigonometry + constants (openCypher math surface; all map to
+      // codegen'd built-ins)
+      case "sin"                => sin(a(0))
+      case "cos"                => cos(a(0))
+      case "tan"                => tan(a(0))
+      case "cot"                => lit(1.0) / tan(a(0))
+      case "asin"               => asin(a(0))
+      case "acos"               => acos(a(0))
+      case "atan"               => atan(a(0))
+      case "atan2"              => atan2(a(0), a(1))
+      case "pi" if f.args.isEmpty => lit(math.Pi)
+      case "e" if f.args.isEmpty  => lit(math.E)
+      case "degrees"            => degrees(a(0))
+      case "radians"            => radians(a(0))
+      case "haversin"           => (lit(1.0) - cos(a(0))) / 2
+      case "rand" if f.args.isEmpty => rand()
+      case "randomuuid" if f.args.isEmpty => expr("uuid()")
+      case "timestamp" if f.args.isEmpty => unix_millis(current_timestamp())
+      case "toboolean"          => a(0).cast("boolean")
+      case "charlength" | "characterlength" => length(a(0))
+      case "isempty"            =>
+        if (f.args.nonEmpty && isArrayCol(a(0), df)) size(a(0)) === 0
+        else length(a(0)) === 0
+      // graph-entity accessors over the binding-table encoding
+      case "elementid" => f.args.head match {
+        case Variable(v) if df.columns.contains(s"$v${SEP}id") =>
+          col(s"$v${SEP}id").cast("string")
+        case other => compileExpr(other, df).cast("string")
+      }
+      case "startnode" => f.args.head match {
+        case Variable(v) if df.columns.contains(s"$v${SEP}src") => col(s"$v${SEP}src")
+        case other => throw new UnsupportedOperationException(
+          s"startNode() needs a bound relationship variable, got $other")
+      }
+      case "endnode" => f.args.head match {
+        case Variable(v) if df.columns.contains(s"$v${SEP}dst") => col(s"$v${SEP}dst")
+        case other => throw new UnsupportedOperationException(
+          s"endNode() needs a bound relationship variable, got $other")
+      }
       // keys(n)/properties(n) on a bound entity: the row's non-null
       // property columns (meta columns excluded). properties() values
       // stringify — one map type must hold heterogeneous props.

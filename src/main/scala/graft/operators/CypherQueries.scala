@@ -548,6 +548,41 @@ object CypherQueries {
         .withColumn("mid", array_join(col("mid").cast("array<string>"), ","))
     },
 
+    // Scalar-function surface sweep — trig/constants quantized to
+    // integers (floor(x*1e6+0.5), the repo's standard float-grading
+    // idiom), charLength/isEmpty, and tail() sized (array canon across
+    // engines is unreliable; cardinality is). All codegen'd built-ins.
+    q("cy_scalar_fns",
+      """SELECT n_name AS name,
+        |  CAST(floor(sin(n_nationkey) * 1000000 + 0.5) AS BIGINT) AS qsin,
+        |  CAST(floor(atan2(CAST(n_nationkey AS DOUBLE), 7.0) * 1000000 + 0.5) AS BIGINT) AS qatan2,
+        |  CAST(floor(degrees(n_nationkey) * 1000000 + 0.5) AS BIGINT) AS qdeg,
+        |  CAST(floor(pi() * 1000000 + 0.5) AS BIGINT) AS qpi,
+        |  CAST(length(n_name) AS BIGINT) AS clen,
+        |  CAST(CASE WHEN length(n_name) = 0 THEN 1 ELSE 0 END AS BIGINT) AS cempty,
+        |  CAST(len(string_split(n_name, 'A')) - 1 AS BIGINT) AS tailn
+        |FROM nation""".stripMargin)(
+      """MATCH (n:nation)
+        |RETURN n.n_name AS name,
+        |  toInteger(floor(sin(n.n_nationkey) * 1000000 + 0.5)) AS qsin,
+        |  toInteger(floor(atan2(n.n_nationkey, 7.0) * 1000000 + 0.5)) AS qatan2,
+        |  toInteger(floor(degrees(n.n_nationkey) * 1000000 + 0.5)) AS qdeg,
+        |  toInteger(floor(pi() * 1000000 + 0.5)) AS qpi,
+        |  toInteger(charLength(n.n_name)) AS clen,
+        |  CASE WHEN isEmpty(n.n_name) THEN 1 ELSE 0 END AS cempty,
+        |  toInteger(size(tail(split(n.n_name, 'A')))) AS tailn""".stripMargin),
+
+    // startNode()/endNode() recover a matched relationship's endpoint
+    // ids from the binding table — graded as a consistency count (the
+    // oracle can't see engine node ids, but every traversed edge must
+    // agree with its own endpoints).
+    q("cy_rel_endpoints",
+      """SELECT CAST(count(*) AS BIGINT) AS n_ok
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin)(
+      """MATCH (c:customer)-[r:PLACED]->(o:order)
+        |WHERE startNode(r) = id(c) AND endNode(r) = id(o)
+        |RETURN count(r) AS n_ok""".stripMargin),
+
     // CALL { } composition subquery, the per-entity top-k idiom: each
     // customer's 2 priciest orders. Compiles to ONE row_number window
     // over the import key + a join back — decorrelated, never per-row
