@@ -152,6 +152,10 @@ final class GraftSession(val spark: SparkSession,
   private val DropDb = """(?is)\s*DROP\s+DATABASE\s+(\w+)(\s+IF\s+EXISTS)?\s*""".r
   private val ShowDbs = """(?is)\s*SHOW\s+DATABASES\s*""".r
   private val ShowTxs = """(?is)\s*SHOW\s+TRANSACTIONS\s*""".r
+  // `USE db <query>` — per-statement database routing (cypher-shell's
+  // `:use` and the driver's session database both reduce to this)
+  private val UseDb = """(?is)\s*USE\s+(\w+)\s+(.+)""".r
+  private val TerminateTxs = """(?is)\s*TERMINATE\s+TRANSACTIONS\s+(.+?)\s*""".r
   // index/constraint DDL is accepted as a no-op: there are no index
   // structures to maintain — scans + Catalyst pushdown serve the same
   // role — but scripts written for the reference must keep running
@@ -409,22 +413,47 @@ final class GraftSession(val spark: SparkSession,
     case CommitTx(_) =>
       threadTx.get() match {
         case None => throw new IllegalStateException("There is no open transaction to commit")
-        case Some(h) => publishTx(h); threadTx.set(None); unit()
+        case Some(h) =>
+          threadTx.set(None)
+          if (!h.open) throw new IllegalStateException(
+            "the transaction was terminated; its writes were rolled back")
+          publishTx(h); unit()
       }
     case RollbackTx(_) =>
       threadTx.get() match {
         case None => throw new IllegalStateException("There is no open transaction to roll back")
-        case Some(h) => discardTx(h); threadTx.set(None); unit()
+        case Some(h) => threadTx.set(None); if (h.open) discardTx(h); unit()
       }
+    case UseDb(name, rest) => cypherLocked(rest, params, name, tx, wire)
     case ShowDbs() => showDatabases()
     case ShowTxs() => showTransactions()
+    case TerminateTxs(rest) =>
+      // admin counterpart of SHOW TRANSACTIONS: roll back the listed
+      // handles; their owners' next statement/commit errors with
+      // "transaction is closed" (the reference's TERMINATE TRANSACTIONS
+      // returns one (id, message) row per requested id)
+      val rows = rest.split(",").toSeq.map(_.trim
+        .stripPrefix("'").stripSuffix("'")
+        .stripPrefix("\"").stripSuffix("\"")).map { idStr =>
+        idStr.stripPrefix("graft-transaction-").toLongOption
+          .flatMap(openHandles.get) match {
+          case Some(h) => discardTx(h); Row(idStr, "Transaction terminated.")
+          case None    => Row(idStr, "Transaction not found.")
+        }
+      }
+      spark.createDataFrame(javaList(rows), StructType(Seq(
+        StructField("transactionId", StringType),
+        StructField("message", StringType))))
     case ShowProcs(rest) => showProcedures(rest)
     case _ =>
       // inside a transaction every statement targets the handle's
       // private shadow (read-your-writes; invisible elsewhere until
       // COMMIT publishes the pointers); autocommit targets the live db
       val db = tx match {
-        case Some(h) => h.database(database)
+        case Some(h) =>
+          if (!h.open) throw new IllegalStateException(
+            "the transaction was terminated; its writes were rolled back")
+          h.database(database)
         case None =>
           val d = catalog.database(database); d.requireStarted(); d
       }

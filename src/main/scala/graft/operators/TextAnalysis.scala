@@ -274,6 +274,46 @@ object TextAnalysis {
         .select(col("doc_id"),
           docFingerprint(col("text")).as("fp"),
           minShingleFingerprint(col("t")).as("min_shingle_fp"))
+    },
+
+    // Benchmark decontamination — the training-data step that removes
+    // documents overlapping a held-out evaluation set (n-gram overlap
+    // is the standard detector). The "benchmark" here is the distinct
+    // 3-gram set of a deterministic doc_id slice (% 97) standing in
+    // for an external eval suite. 100 TB shape: the benchmark n-gram
+    // set is SMALL by construction (an eval suite, not the corpus) →
+    // broadcast; the corpus side is one narrow scan whose exploded
+    // 3-grams semi-join map-side against the broadcast, then ONE
+    // shuffle groups overlap counts per document. No corpus-vs-corpus
+    // join ever happens.
+    sql("text_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS gs
+        |  FROM toks),
+        |eg AS (SELECT doc_id, u.x AS ng FROM g, unnest(gs) u(x)),
+        |bench AS (SELECT DISTINCT ng FROM eg WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT eg.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM eg JOIN bench USING (ng) WHERE eg.doc_id % 97 <> 0
+        |  GROUP BY eg.doc_id)
+        |SELECT doc_id, n_overlap,
+        |  CAST(CASE WHEN n_overlap >= 5 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM hits ORDER BY n_overlap DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), explode(shinglesOfTokens(col("t"), 3)).as("ng"))
+      val bench = grams.filter(col("doc_id") % 97 === 0).select("ng").distinct()
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("ng"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        .select(col("doc_id"), col("n_overlap"),
+          when(col("n_overlap") >= 5, 1L).otherwise(0L).as("contaminated"))
+        .orderBy(col("n_overlap").desc, col("doc_id"))
+        .limit(50)
     }
   )
 }

@@ -866,6 +866,34 @@ class CypherSpec extends AnyFunSuite {
     s.rollbackTransaction(t4)
   }
 
+  test("USE routes per statement; TERMINATE TRANSACTIONS rolls back a live handle") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE DATABASE otherdb")
+    s.cypher("USE otherdb CREATE (:u {k: 1})")
+    assert(s.cypher("USE otherdb MATCH (u:u) RETURN count(u) AS c")
+      .collect().head.getLong(0) == 1L)
+    // the default database is untouched
+    assert(s.cypher("MATCH (u:u) RETURN count(u) AS c").collect().head.getLong(0) == 0L)
+    // terminate a live handle: its write is discarded and every later
+    // use of the handle errors
+    val t = s.beginTransaction("bolt")
+    s.cypher("CREATE (:term {k: 1})", Map.empty[String, Any], "neo4j", t)
+    val rows = s.cypher(s"TERMINATE TRANSACTIONS 'graft-transaction-${t.id}'").collect()
+    assert(rows.head.getString(1) == "Transaction terminated.")
+    intercept[IllegalStateException] { s.commitTransaction(t) }
+    assert(s.cypher("MATCH (x:term) RETURN count(x) AS c").collect().head.getLong(0) == 0L)
+    assert(s.cypher("TERMINATE TRANSACTIONS 'graft-transaction-999999'")
+      .collect().head.getString(1) == "Transaction not found.")
+    // a terminated TEXT transaction errors on COMMIT and rolls back
+    s.cypher("BEGIN")
+    s.cypher("CREATE (:term {k: 2})")
+    val id2 = s.cypher("SHOW TRANSACTIONS").collect()
+      .find(_.getString(1) == "text").get.getString(0)
+    s.cypher(s"TERMINATE TRANSACTIONS '$id2'")
+    intercept[IllegalStateException] { s.cypher("COMMIT") }
+    assert(s.cypher("MATCH (x:term) RETURN count(x) AS c").collect().head.getLong(0) == 0L)
+  }
+
   test("SHOW TRANSACTIONS lists open handles across surfaces, empty after close") {
     val s = new GraftSession(spark)
     assert(s.cypher("SHOW TRANSACTIONS").collect().isEmpty)
