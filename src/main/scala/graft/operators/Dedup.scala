@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.QueryDef.sql
@@ -134,6 +135,42 @@ object Dedup {
         .groupBy("grp")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
         .filter(col("n") > 1)
+    },
+
+    // Representative selection — the step that turns dup GROUPS into a
+    // kept CORPUS. Policy: within each group keep the longest document
+    // (most-complete-version, the common crawl-dedup choice), tiebreak
+    // lowest doc_id for determinism. One window shuffle keyed by the
+    // group fingerprint — the keeper decision never joins back to the
+    // corpus, so at 100 TB this is a single hash-partitioned pass.
+    sql("dedup_keep_best",
+      """WITH g AS (
+        |  SELECT doc_id, n_chars, md5(concat_ws(' ', t[1], t[2], t[3])) AS grp
+        |  FROM (SELECT doc_id, n_chars,
+        |        string_split_regex(trim(text), '\s+') AS t FROM documents)),
+        |r AS (
+        |  SELECT grp, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY grp ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS n,
+        |    sum(n_chars) OVER (PARTITION BY grp) AS grp_chars
+        |  FROM g)
+        |SELECT grp, doc_id AS keep_id, CAST(n_chars AS BIGINT) AS keep_chars,
+        |  CAST(n - 1 AS BIGINT) AS n_dropped,
+        |  CAST(grp_chars - n_chars AS BIGINT) AS dropped_chars
+        |FROM r WHERE rn = 1 AND n > 1""".stripMargin) { (s, d) =>
+      val t = tokens(col("text"))
+      val w = Window.partitionBy("grp")
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          md5(concat_ws(" ", element_at(t, 1), element_at(t, 2), element_at(t, 3))).as("grp"))
+        .withColumn("rn", row_number().over(w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("grp_chars", sum("n_chars").over(w))
+      g.filter(col("rn") === 1 && col("n") > 1)
+        .select(col("grp"), col("doc_id").as("keep_id"),
+          col("n_chars").cast("long").as("keep_chars"),
+          (col("n") - 1).cast("long").as("n_dropped"),
+          (col("grp_chars") - col("n_chars")).cast("long").as("dropped_chars"))
     },
 
     // ---- n-gram Jaccard over discriminative shingles ----

@@ -259,6 +259,62 @@ object Pipeline {
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("keep"), tokenCount(col("text"))).otherwise(0L)).as("kept_tokens"))
+    },
+
+    // sequence packing for a fixed context window (the concat-and-cut
+    // step every pretraining pipeline runs before tokenizer sharding):
+    // documents are laid on one deterministic global token stream —
+    // ordered by (hash bucket, hash, doc_id) — and each doc's pack is
+    // its start offset // budget. Docs whose token span crosses a
+    // window boundary are counted as straddlers (they would be split).
+    //
+    // Scale shape: a single global window over 100 TB of docs is a
+    // one-partition sort — the classic prefix-sum trap. Instead the
+    // offset is a TWO-LEVEL prefix sum: a per-bucket exclusive cumsum
+    // (window keyed by the 64-way hash bucket, fully parallel) plus a
+    // bucket-offset table (64 rows — a broadcast join), which is how a
+    // distributed scan/prefix-sum is actually built. The oracle
+    // replays the identical order as ONE global cumsum, proving the
+    // two-level decomposition exact.
+    sql("pipeline_pack_sequences",
+      s"""WITH t AS (
+         |  SELECT doc_id, $hkSql AS hk,
+         |    CAST(len($toksSql) AS BIGINT) AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, tok,
+         |    CAST(COALESCE(SUM(tok) OVER (ORDER BY hk % 64, hk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+         |  FROM t)
+         |SELECT start // 2048 AS pack_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS pack_tokens,
+         |  CAST(sum(CASE WHEN tok > 0
+         |                AND start // 2048 <> (start + tok - 1) // 2048
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+         |FROM c GROUP BY 1""".stripMargin) { (s, d) =>
+      val budget = lit(2048L)
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), hkCol.as("hk"), tokenCount(col("text")).as("tok"))
+        .withColumn("bucket", col("hk") % 64)
+      // level 1: exclusive cumsum within each hash bucket (parallel)
+      val local = t.withColumn("local_start",
+        coalesce(sum("tok").over(Window.partitionBy("bucket")
+          .orderBy("hk", "doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // level 2: 64-row bucket totals -> exclusive cumsum -> broadcast
+      val offsets = t.groupBy("bucket").agg(sum("tok").as("btok"))
+        .withColumn("bucket_off",
+          coalesce(sum("btok").over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "bucket_off")
+      local.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("start", col("bucket_off") + col("local_start"))
+        .groupBy(intDiv(col("start"), budget).as("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tok").as("pack_tokens"),
+          sum(when(col("tok") > 0 &&
+            intDiv(col("start"), budget) =!= intDiv(col("start") + col("tok") - 1, budget),
+            1L).otherwise(0L)).as("n_straddle"))
     }
   )
 }

@@ -145,4 +145,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(fps(0).intersect(fps(1)).nonEmpty,
       "winnowing missed a 7-token shared run — selection window broken")
   }
+
+  test("sequence packing: every doc assigned, packs tile the token stream") {
+    import org.apache.spark.sql.functions._
+    val packs = run("pipeline_pack_sequences").collect()
+    val docs = graft.core.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val totalToks = docs.select(sum(size(split(trim(col("text")), "\\s+"))))
+      .collect()(0).getLong(0)
+    assert(packs.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every document must land in exactly one pack")
+    assert(packs.map(_.getAs[Long]("pack_tokens")).sum == totalToks,
+      "pack token mass must equal corpus token mass (concat-and-cut)")
+    // pack ids are the dense prefix 0..ceil(total/2048)-1: the stream
+    // has no holes, so every window up to the last token is populated
+    val ids = packs.map(_.getAs[Long]("pack_id")).sorted
+    assert(ids.toSeq == (0L until (totalToks + 2047) / 2048).toSeq,
+      s"pack ids not a dense prefix: ${ids.toSeq}")
+    // straddlers exist but are bounded by one per boundary
+    val straddle = packs.map(_.getAs[Long]("n_straddle")).sum
+    assert(straddle <= ids.length, "at most one straddler per window boundary")
+  }
+
+  test("dedup keeper: keeps the longest doc per group, accounts for all dropped") {
+    val keep = SparkEntry.queries("dedup_keep_best")(spark, sf).collect()
+    assert(keep.nonEmpty, "testdata has prefix-duplicate groups")
+    // cross-check one group end-to-end against the raw table
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val t = tokens(col("text"))
+    val grouped = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"),
+        md5(concat_ws(" ", element_at(t, 1), element_at(t, 2), element_at(t, 3))).as("grp"))
+      .collect().groupBy(_.getAs[String]("grp"))
+    keep.foreach { r =>
+      val members = grouped(r.getAs[String]("grp"))
+      val best = members.maxBy(m => (m.getAs[Long]("n_chars"), -m.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("keep_id") == best.getAs[Long]("doc_id"),
+        s"group ${r.getAs[String]("grp")}: keeper is not the longest member")
+      assert(r.getAs[Long]("n_dropped") == members.length - 1)
+      assert(r.getAs[Long]("dropped_chars") ==
+        members.map(_.getAs[Long]("n_chars")).sum - r.getAs[Long]("keep_chars"))
+    }
+  }
 }
