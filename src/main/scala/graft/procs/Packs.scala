@@ -156,6 +156,18 @@ object Packs {
       val minScore = args.lift(1).map(String.valueOf(_).toLong).getOrElse(1L)
       Gds.nodeSimilarity(spark, session.graph(), relTypeArg(args, 0), minScore)
     }
+    procs.register("gds.closeness",
+      "(relType :: STRING?, maxIter :: INTEGER?) :: (node_id, n_reachable, sum_dist, iscore)",
+      "Within-component closeness centrality (iterative BFS, scaled to 1e6)") { args =>
+      val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(10)
+      Gds.closeness(spark, session.graph(), relTypeArg(args, 0), iters)
+    }
+    procs.register("gds.harmonic",
+      "(relType :: STRING?, maxIter :: INTEGER?) :: (node_id, hscore)",
+      "Harmonic centrality (iterative BFS, per-pair 1e6 div d)") { args =>
+      val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(10)
+      Gds.harmonic(spark, session.graph(), relTypeArg(args, 0), iters)
+    }
   }
 
   // ---- _testing: the stub-plugin analog (C11) ----

@@ -109,6 +109,24 @@ class PacksSpec extends AnyFunSuite {
     assert(rows == Map(0L -> 2L, 1L -> 1L, 2L -> 0L))
   }
 
+  test("gds.closeness/harmonic: chain + pair, undirected hop distances") {
+    val s = chainSession
+    // undirected chain a-b-c: a: d(b)=1 d(c)=2; b: 1,1; c: 2,1. pair d-e: 1.
+    val cl = s.cypher("CALL gds.closeness() YIELD node_id, n_reachable, sum_dist, iscore")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(cl == Map(
+      0L -> ((2L, 3L, 666666L)), // a: 2 others, sum 3
+      1L -> ((2L, 2L, 1000000L)), // b: center
+      2L -> ((2L, 3L, 666666L)),
+      3L -> ((1L, 1L, 1000000L)), // d-e pair
+      4L -> ((1L, 1L, 1000000L))))
+    val h = s.cypher("CALL gds.harmonic() YIELD node_id, hscore")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(
+      0L -> 1500000L, 1L -> 2000000L, 2L -> 1500000L,
+      3L -> 1000000L, 4L -> 1000000L))
+  }
+
   test("procedure args compose: constant expressions and $parameters") {
     val s = chainSession
     // arithmetic constant arg: 1 + 1 folds to the landmark id 2
