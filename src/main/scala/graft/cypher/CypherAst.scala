@@ -61,6 +61,16 @@ object ast {
   final case class Subscript(e: Expr, index: Expr) extends Expr
   /** `xs[lo..hi]` — 0-based, end-exclusive, clamped, either bound optional. */
   final case class ListSlice(e: Expr, lo: Option[Expr], hi: Option[Expr]) extends Expr
+  /** Map projection `v {.prop, .*, key: expr, var}` — builds a map
+    * value from an entity's properties plus computed entries. */
+  final case class MapProj(variable: String, items: Seq[MapProjItem]) extends Expr
+  sealed trait MapProjItem
+  /** `.key` — copy one property. */
+  final case class ProjProp(key: String) extends MapProjItem
+  /** `.*` — copy every property (not identity/labels/type). */
+  case object ProjAll extends MapProjItem
+  /** `key: expr` (and bare `var`, sugar for `var: var`). */
+  final case class ProjExpr(key: String, e: Expr) extends MapProjItem
   /** The comprehension variable inside its WHERE/projection. */
   final case class LambdaVar(name: String) extends Expr
 
@@ -183,6 +193,8 @@ object ast {
     case ListPred(_, _, l, p) => containsAggregate(l) || containsAggregate(p)
     case ReduceExpr(_, init, _, l, step) =>
       containsAggregate(init) || containsAggregate(l) || containsAggregate(step)
+    case MapProj(_, items)  =>
+      items.exists { case ProjExpr(_, e) => containsAggregate(e); case _ => false }
     case _                  => false
   }
 }

@@ -334,6 +334,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         case ListPred(fn, v, l, p) => ListPred(fn, v, decompose(l), decompose(p))
         case ReduceExpr(a, i0, v, l, s) =>
           ReduceExpr(a, decompose(i0), v, decompose(l), decompose(s))
+        case MapProj(v, items) => MapProj(v, items.map {
+          case ProjExpr(k, e0) => ProjExpr(k, decompose(e0))
+          case o               => o
+        })
         case other           => other // containsAggregate looks no deeper
       }
       val rewritten = aggItems.map(i => i.name -> decompose(i.expr))
@@ -677,6 +681,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case Subscript(x, i)   => referencedVars(x) ++ referencedVars(i)
     case ListSlice(x, lo, hi) =>
       referencedVars(x) ++ (lo.toSeq ++ hi.toSeq).flatMap(referencedVars)
+    case MapProj(v, items) => Set(v) ++ items.flatMap {
+      case ProjExpr(_, e0) => referencedVars(e0)
+      case _               => Nil
+    }
     case _               => Set.empty
   }
 
@@ -1107,6 +1115,41 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     // 1-based with negative-from-end, and the try_ variant nulls (not
     // throws, ANSI default) on out-of-range, matching Cypher. Map
     // subscripts key directly.
+    // map projection: builds a STRUCT value (Cypher maps are
+    // heterogeneous — MapType would force a common value type). The
+    // post-WITH `m.key` path already reads structs via getField, and
+    // Subscript accepts literal string keys on structs below.
+    case MapProj(v, items) =>
+      val prefix = s"$v$SEP"
+      val entityInternal = Set("id", "labels", "src", "dst", "relType")
+      val isEntity = df.columns.exists(_.startsWith(prefix))
+      def propCol(k: String): Column =
+        if (isEntity) {
+          // absent property → null, openCypher map-projection semantics
+          if (df.columns.contains(s"$prefix$k")) col(s"$prefix$k")
+          else lit(null).cast("string")
+        } else if (df.columns.contains(v)) col(v).getField(k)
+        else throw new NoSuchElementException(s"Variable `$v` not defined")
+      val pairs: Seq[(String, Column)] = items.flatMap {
+        case ProjProp(k) => Seq(k -> propCol(k))
+        case ProjAll if isEntity =>
+          df.columns.filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+            .filterNot(entityInternal).sorted.toSeq
+            .map(k => k -> col(s"$prefix$k"))
+        case ProjAll =>
+          df.select(col(v)).schema.head.dataType match {
+            case st: org.apache.spark.sql.types.StructType =>
+              st.fieldNames.toSeq.map(k => k -> col(v).getField(k))
+            case other => throw new UnsupportedOperationException(
+              s"`$v {.*}` needs an entity or map value, got ${other.simpleString}")
+          }
+        case ProjExpr(k, e0) => Seq(k -> compileExpr(e0, df))
+      }
+      // later entries override earlier ones (openCypher map semantics)
+      val deduped = pairs.foldLeft(Vector.empty[(String, Column)]) {
+        case (acc, (k, c)) => acc.filterNot(_._1 == k) :+ (k -> c)
+      }
+      struct(deduped.map { case (k, c) => c.as(k) }: _*)
     case Subscript(e, i) =>
       val c = compileExpr(e, df)
       val ci = compileExpr(i, df)
@@ -1119,6 +1162,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       probe(c) match {
         case Some(_: MapType)   => try_element_at(c, ci)
         case Some(_: ArrayType) => listAt
+        // struct-encoded maps (map projections): literal string key only
+        case Some(_: org.apache.spark.sql.types.StructType) => i match {
+          case Lit(k: String) => c.getField(k)
+          case _ => throw new UnsupportedOperationException(
+            "map values built by projection support only literal string keys in [..]")
+        }
         case Some(other) => throw new UnsupportedOperationException(
           s"subscript over a ${other.simpleString} value — only lists and maps support [..]")
         case None =>

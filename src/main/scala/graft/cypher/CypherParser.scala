@@ -91,6 +91,7 @@ object CypherParser extends RegexParsers {
     reduceExpr |
     fnCall |
     patternPred |
+    mapProj |
     propOrVar |
     listLit |
     "(" ~> expr <~ ")"
@@ -170,6 +171,19 @@ object CypherParser extends RegexParsers {
       case name ~ d ~ args => FnCall(name, args, d.isDefined)
     } |
     (qualIdent <~ "(") ~ ("*" ~> ")") ^^ { case name ~ _ => FnCall(name, Nil) }
+
+  /** Map projection `v {.prop, .*, key: expr, var}` — tried before
+    * propOrVar (a bare `v` not followed by `{` backtracks). */
+  private def mapProjItem: Parser[MapProjItem] =
+    "." ~ "*" ^^ { _ => ProjAll } |
+    "." ~> ident ^^ ProjProp.apply |
+    ident ~ (":" ~> expr) ^^ { case k ~ e => ProjExpr(k, e) } |
+    ident ^^ (n => ProjExpr(n, Variable(n)))
+
+  private def mapProj: Parser[Expr] =
+    ident ~ ("{" ~> repsep(mapProjItem, ",") <~ "}") ^^ {
+      case v ~ items => MapProj(v, items)
+    }
 
   private def propOrVar: Parser[Expr] =
     ident ~ opt("." ~> ident) ^^ {

@@ -94,6 +94,10 @@ object Params {
     case Subscript(e0, i) => Subscript(expr(e0, ps), expr(i, ps))
     case ListSlice(e0, lo, hi) =>
       ListSlice(expr(e0, ps), lo.map(expr(_, ps)), hi.map(expr(_, ps)))
+    case MapProj(v, items) => MapProj(v, items.map {
+      case ProjExpr(k, e0) => ProjExpr(k, expr(e0, ps))
+      case other           => other
+    })
     case PatternPred(pat)   => PatternPred(path(pat, ps))
     case PatternComp(pat, w, pr) =>
       PatternComp(path(pat, ps), w.map(expr(_, ps)), expr(pr, ps))

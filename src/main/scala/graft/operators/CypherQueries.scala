@@ -548,6 +548,18 @@ object CypherQueries {
         .withColumn("mid", array_join(col("mid").cast("array<string>"), ","))
     },
 
+    // Map projection `c {.prop, key: expr, var}` built, carried
+    // through WITH as a struct value, and read back via dot + ['key']
+    // access — the driver-facing RETURN-a-map shape.
+    q("cy_map_projection",
+      """SELECT c_name AS name, c_mktsegment AS segment,
+        |  c_custkey * 2 AS dkey, 7 AS lucky
+        |FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin)(
+      """MATCH (c:customer {c_mktsegment:'MACHINERY'})
+        |WITH c {.c_name, segment: c.c_mktsegment, dkey: c.c_custkey * 2, lucky: 7} AS m
+        |RETURN m.c_name AS name, m.segment AS segment,
+        |  m['dkey'] AS dkey, m.lucky AS lucky""".stripMargin),
+
     // Scalar-function surface sweep — trig/constants quantized to
     // integers (floor(x*1e6+0.5), the repo's standard float-grading
     // idiom), charLength/isEmpty, and tail() sized (array canon across

@@ -1263,4 +1263,33 @@ class CypherSpec extends AnyFunSuite {
     assert(res.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((2L, 1L), (3L, 1L), (4L, 2L)))
   }
+
+  test("map projection n {.prop, key: expr, var} builds a map; .* copies all props") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:dog {name:'Arne', age: 3, breed:'mix'})")
+    // selected + computed + bare-variable entries; later keys override
+    val r = s.cypher(
+      """MATCH (d:dog) WITH d, 7 AS lucky
+        |RETURN d {.name, older: d.age + 1, lucky} AS m""".stripMargin)
+      .collect().head.getStruct(0)
+    assert(r.getAs[String]("name") == "Arne")
+    assert(r.getAs[Long]("older") == 4L)
+    assert(r.getAs[Long]("lucky") == 7L)
+    // .* copies every property (no id/labels), sorted field order
+    val all = s.cypher("MATCH (d:dog) RETURN d {.*} AS m").collect().head.getStruct(0)
+    assert(all.schema.fieldNames.toSeq == Seq("age", "breed", "name"))
+    assert(all.getAs[String]("breed") == "mix")
+    // absent property projects as null, not an error
+    val miss = s.cypher("MATCH (d:dog) RETURN d {.nope} AS m").collect().head.getStruct(0)
+    assert(miss.isNullAt(0))
+    // the projected map composes: WITH-bound map read back via dot and [..]
+    val back = s.cypher(
+      """MATCH (d:dog) WITH d {.name, .age} AS m
+        |RETURN m.name AS n, m['age'] AS a""".stripMargin).collect().head
+    assert(back.getString(0) == "Arne" && back.getLong(1) == 3L)
+    // override order: explicit entry after .* wins
+    val over = s.cypher("MATCH (d:dog) RETURN d {.*, name: 'X'} AS m")
+      .collect().head.getStruct(0)
+    assert(over.getAs[String]("name") == "X")
+  }
 }
