@@ -186,12 +186,18 @@ object Gds {
     * exposes exactly that knob.
     */
   private def hopDistances(spark: SparkSession, edgesDf: DataFrame,
-      maxIter: Int): DataFrame = {
+      maxIter: Int, sampleMod: Long = 1L, sampleK: Long = 1L): DataFrame = {
     import org.apache.spark.sql.functions._
     val e = edgesDf.select("src", "dst")
+    // materialized once — every BFS round joins this; recomputing the
+    // union+distinct per iteration would re-scan the source 2×/round
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().select(col("src").as("a"), col("dst").as("b"))
+      .localCheckpoint()
+    // sampled source set: id % sampleMod < sampleK (deterministic,
+    // engine-replayable). sampleMod=1 → every node (exact centrality).
     val roots = und.select(col("a").as("id")).distinct()
+      .filter(pmod(col("id"), lit(sampleMod)) < lit(sampleK))
     var dists = roots
       .select(col("id").as("node"), col("id").as("root"), lit(0L).as("dist"))
       .localCheckpoint()
@@ -207,7 +213,12 @@ object Gds {
         .localCheckpoint()
       if (fresh.isEmpty) converged = true
       else {
-        dists = dists.union(fresh).localCheckpoint()
+        // union of already-checkpointed rounds — NOT re-checkpointed:
+        // re-materializing the whole growing dists every round was the
+        // dominant cost (measured at sf0.1); a ≤maxIter-deep union of
+        // materialized pieces keeps the anti-join probe cheap without
+        // rewriting settled rows.
+        dists = dists.union(fresh)
         frontier = fresh
       }
       i += 1
@@ -221,10 +232,11 @@ object Gds {
     * disconnected projections don't poison the score). Nodes are the
     * edge-incident set (the projected subgraph, GDS semantics). */
   def closeness(spark: SparkSession, g: PropertyGraph, relType: Option[String],
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 10, sampleMod: Long = 1L, sampleK: Long = 1L): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.intDiv
-    val d = hopDistances(spark, relType.map(g.edgesOfType).getOrElse(g.edges), maxIter)
+    val d = hopDistances(spark, relType.map(g.edgesOfType).getOrElse(g.edges),
+      maxIter, sampleMod, sampleK)
     d.filter(col("dist") > 0)
       .groupBy(col("root").as("node_id"))
       .agg(count(lit(1)).as("n_reachable"), sum("dist").as("sum_dist"))
@@ -237,10 +249,11 @@ object Gds {
     * instead of ∞). Same BFS, different fold; integer division per
     * pair keeps the sum order-independent and hash-gradeable. */
   def harmonic(spark: SparkSession, g: PropertyGraph, relType: Option[String],
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 10, sampleMod: Long = 1L, sampleK: Long = 1L): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.intDiv
-    val d = hopDistances(spark, relType.map(g.edgesOfType).getOrElse(g.edges), maxIter)
+    val d = hopDistances(spark, relType.map(g.edgesOfType).getOrElse(g.edges),
+      maxIter, sampleMod, sampleK)
     d.filter(col("dist") > 0)
       .groupBy(col("root").as("node_id"))
       .agg(sum(intDiv(lit(1000000L), col("dist"))).as("hscore"))

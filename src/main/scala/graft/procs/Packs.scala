@@ -156,17 +156,24 @@ object Packs {
       val minScore = args.lift(1).map(String.valueOf(_).toLong).getOrElse(1L)
       Gds.nodeSimilarity(spark, session.graph(), relTypeArg(args, 0), minScore)
     }
+    // sampleMod/sampleK: deterministic source sampling (roots with
+    // id % sampleMod < sampleK) — the Eppstein-Wang-style knob that
+    // keeps centrality tractable on big graphs; defaults = exact.
     procs.register("gds.closeness",
-      "(relType :: STRING?, maxIter :: INTEGER?) :: (node_id, n_reachable, sum_dist, iscore)",
+      "(relType :: STRING?, maxIter :: INTEGER?, sampleMod :: INTEGER?, sampleK :: INTEGER?) :: (node_id, n_reachable, sum_dist, iscore)",
       "Within-component closeness centrality (iterative BFS, scaled to 1e6)") { args =>
       val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(10)
-      Gds.closeness(spark, session.graph(), relTypeArg(args, 0), iters)
+      val sm = args.lift(2).map(String.valueOf(_).toLong).getOrElse(1L)
+      val sk = args.lift(3).map(String.valueOf(_).toLong).getOrElse(1L)
+      Gds.closeness(spark, session.graph(), relTypeArg(args, 0), iters, sm, sk)
     }
     procs.register("gds.harmonic",
-      "(relType :: STRING?, maxIter :: INTEGER?) :: (node_id, hscore)",
+      "(relType :: STRING?, maxIter :: INTEGER?, sampleMod :: INTEGER?, sampleK :: INTEGER?) :: (node_id, hscore)",
       "Harmonic centrality (iterative BFS, per-pair 1e6 div d)") { args =>
       val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(10)
-      Gds.harmonic(spark, session.graph(), relTypeArg(args, 0), iters)
+      val sm = args.lift(2).map(String.valueOf(_).toLong).getOrElse(1L)
+      val sk = args.lift(3).map(String.valueOf(_).toLong).getOrElse(1L)
+      Gds.harmonic(spark, session.graph(), relTypeArg(args, 0), iters, sm, sk)
     }
   }
 
