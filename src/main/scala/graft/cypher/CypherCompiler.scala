@@ -1060,6 +1060,29 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   // expressions
   // ------------------------------------------------------------------
 
+  /** openCypher temporal component accessors (`d.year` …) on a
+    * date/timestamp value. All Long-typed; dayOfWeek is ISO Monday=1
+    * (Spark's dayofweek is Sunday=1, hence the rotation). Unknown
+    * components refuse loudly rather than null out. */
+  private def temporalComponent(c: Column, key: String): Column =
+    (key.toLowerCase match {
+      case "year"       => year(c)
+      case "quarter"    => quarter(c)
+      case "month"      => month(c)
+      case "week"       => weekofyear(c)
+      case "day"        => dayofmonth(c)
+      case "ordinalday" => dayofyear(c)
+      case "dayofweek"  => (dayofweek(c) + lit(5)) % 7 + lit(1)
+      case "hour"       => hour(c)
+      case "minute"     => minute(c)
+      case "second"     => second(c)
+      case "epochseconds" => unix_timestamp(c)
+      case "epochmillis"  => unix_timestamp(c) * 1000L
+      case other => throw new UnsupportedOperationException(
+        s"unknown temporal component `.$other` — supported: year, quarter, month, " +
+          "week, day, ordinalDay, dayOfWeek, hour, minute, second, epochSeconds, epochMillis")
+    }).cast("long")
+
   /** In-scope comprehension-lambda bindings (compile is single-
     * threaded; nested comprehensions save/restore around the body). */
   private var lambdaBinds: Map[String, Column] = Map.empty
@@ -1070,7 +1093,18 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case Prop(v, k)     =>
       val c = s"$v$SEP$k"
       if (df.columns.contains(c)) col(c)
-      else if (df.columns.contains(v)) col(v).getField(k) // post-WITH struct/map
+      else if (df.columns.contains(v)) {
+        // post-WITH value: temporal components on date/timestamp
+        // (openCypher `d.year` accessor family), getField otherwise
+        import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
+        val dt = try Some(df.select(col(v)).schema.head.dataType)
+                 catch { case _: Throwable => None }
+        dt match {
+          case Some(DateType | TimestampType | TimestampNTZType) =>
+            temporalComponent(col(v), k)
+          case _ => col(v).getField(k)
+        }
+      }
       else lit(null).cast("string")
     case Variable(n) if lambdaBinds.contains(n) => lambdaBinds(n)
     case Variable(n)    =>
@@ -1337,6 +1371,11 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "date"               => to_date(a(0))
       case "datetime" | "localdatetime" => to_timestamp(a(0))
       case "duration.between"   => a(1).cast("long") - a(0).cast("long")
+      // datetime.truncate('month', d) — unit names shared with Spark's
+      // date_trunc (year/quarter/month/week/day/hour/minute/second)
+      case "date.truncate"      => to_date(date_trunc(litStr(f.args(0)), a(1)))
+      case "datetime.truncate" | "localdatetime.truncate" =>
+        date_trunc(litStr(f.args(0)), a(1))
       case "size" | "length"
           if f.args.headOption.exists {
             case Variable(v) => df.columns.contains(s"$v${SEP}len")

@@ -560,6 +560,23 @@ object CypherQueries {
         |RETURN m.c_name AS name, m.segment AS segment,
         |  m['dkey'] AS dkey, m.lucky AS lucky""".stripMargin),
 
+    // Temporal accessor family: date values carried through WITH and
+    // read back component-wise (d.year … d.dayOfWeek, ISO Monday=1)
+    // plus datetime.truncate — the openCypher temporal subset over a
+    // real DATE-typed property.
+    q("cy_temporal",
+      """SELECT o_orderkey AS k, year(o_orderdate) AS y,
+        |  quarter(o_orderdate) AS q, month(o_orderdate) AS m,
+        |  weekofyear(o_orderdate) AS w, isodow(o_orderdate) AS dow,
+        |  dayofyear(o_orderdate) AS doy,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart
+        |FROM orders WHERE o_orderkey < 200""".stripMargin)(
+      """MATCH (o:order) WHERE o.o_orderkey < 200
+        |WITH o.o_orderkey AS k, date(o.o_orderdate) AS d
+        |RETURN k, d.year AS y, d.quarter AS q, d.month AS m,
+        |  d.week AS w, d.dayOfWeek AS dow, d.ordinalDay AS doy,
+        |  date.truncate('month', d) AS mstart""".stripMargin),
+
     // Scalar-function surface sweep — trig/constants quantized to
     // integers (floor(x*1e6+0.5), the repo's standard float-grading
     // idiom), charLength/isEmpty, and tail() sized (array canon across

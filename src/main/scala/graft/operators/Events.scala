@@ -485,6 +485,41 @@ object Events {
         .filter(col("prev_et").isNotNull)
         .groupBy(col("prev_et"), col("event_type").as("et"))
         .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- CDC changelog apply: collapse an ordered change stream to
+    // current state — the merge every lakehouse ingest pipeline runs.
+    // The stream is reinterpreted as upserts ('error' rows = deletes);
+    // per key only the LATEST op survives (event_id = the commit LSN,
+    // a total deterministic order), and a surviving delete means
+    // the key is absent from the state table. ONE window shuffle keyed
+    // by the entity key — latest-wins never joins the snapshot; the
+    // streaming analog of this exact fold is mapGroupsWithState.
+    sql("events_cdc_apply",
+      """WITH log AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM log)
+        |SELECT user_id, cents AS last_cents, event_id AS last_event,
+        |  CAST(n AS BIGINT) AS n_changes
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+      val log = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+        .withColumn("rn", row_number().over(w.orderBy(col("event_id").desc)))
+        .withColumn("n", count(lit(1)).over(w))
+      log.filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("user_id"), col("cents").as("last_cents"),
+          col("event_id").as("last_event"), col("n").cast(LongType).as("n_changes"))
     }
   )
 }

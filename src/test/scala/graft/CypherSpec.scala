@@ -1264,6 +1264,30 @@ class CypherSpec extends AnyFunSuite {
       Seq((2L, 1L), (3L, 1L), (4L, 2L)))
   }
 
+  test("temporal components d.year..d.dayOfWeek (ISO Monday=1) and truncate") {
+    val s = new GraftSession(spark)
+    // 1996-01-02 was a Tuesday → dayOfWeek 2 under ISO numbering
+    val r = s.cypher(
+      """WITH date('1996-01-02') AS d, datetime('1996-01-02 13:45:09') AS t
+        |RETURN d.year AS y, d.quarter AS q, d.month AS m, d.week AS w,
+        |  d.day AS day, d.dayOfWeek AS dow, d.ordinalDay AS doy,
+        |  t.hour AS h, t.minute AS mi, t.second AS sec,
+        |  date.truncate('month', d) AS mstart""".stripMargin).collect().head
+    assert(r.getLong(0) == 1996L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 2L && r.getLong(5) == 2L)
+    assert(r.getLong(6) == 2L)
+    assert(r.getLong(7) == 13L && r.getLong(8) == 45L && r.getLong(9) == 9L)
+    assert(r.getDate(10).toString == "1996-01-01")
+    // sunday must map to 7, not 1
+    val sun = s.cypher("WITH date('2026-08-09') AS d RETURN d.dayOfWeek AS dow")
+      .collect().head
+    assert(sun.getLong(0) == 7L)
+    // unknown component refuses loudly
+    val err = intercept[Exception](
+      s.cypher("WITH date('1996-01-02') AS d RETURN d.fortnight AS x").collect())
+    assert(err.getMessage.contains("temporal component"))
+  }
+
   test("map projection n {.prop, key: expr, var} builds a map; .* copies all props") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (:dog {name:'Arne', age: 3, breed:'mix'})")
