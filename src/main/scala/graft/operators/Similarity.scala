@@ -81,6 +81,38 @@ object Similarity {
       topk(scored)
     },
 
+    // Maximum-inner-product search (the retrieval scoring for
+    // dot-product-trained embedding models): identical broadcast plan
+    // to ann_topk but the score is the RAW integer dot product — no
+    // norm divide, so high-magnitude vectors legitimately dominate.
+    // Pure Long arithmetic via the codegen'd IntDotProduct expression
+    // → exact, order-independent, hash-gradeable. At scale the
+    // LSH-bucketed variant applies after the standard norm-augmentation
+    // reduction ([x; sqrt(M²-|x|²)] turns MIPS into cosine); the
+    // brute pass here is the exact baseline recall is measured against.
+    sql("ann_mips", {
+      s"""WITH $qeSql,
+         |qs AS (SELECT vec_id AS q_id, q AS qq FROM qe WHERE vec_id < $NQ),
+         |scored AS (
+         |  SELECT q_id, e.vec_id AS neighbor,
+         |    CAST(list_dot_product(qq, e.q) AS BIGINT) AS idp
+         |  FROM qs JOIN qe e ON e.vec_id <> qs.q_id)
+         |SELECT q_id, neighbor, idp, rnk FROM (
+         |  SELECT q_id, neighbor, idp,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY idp DESC, neighbor) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $K""".stripMargin
+    }) { (s, d) =>
+      val e = qe(s, d)
+      val qs = e.filter(col("vec_id") < NQ).select(col("vec_id").as("q_id"), col("q").as("qq"))
+      val scored = e.select(col("vec_id").as("neighbor"), col("q").as("qv"))
+        .crossJoin(broadcast(qs))
+        .filter(col("neighbor") =!= col("q_id"))
+        .select(col("q_id"), col("neighbor"), V.intDot(col("qq"), col("qv")).as("idp"))
+      val w = Window.partitionBy("q_id").orderBy(col("idp").desc, col("neighbor"))
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+    },
+
     sql("ann_topk_lsh", {
       val sig = V.lshSignatureSql("q", LSH_BITS, DIM)
       s"""WITH $qeSql,
