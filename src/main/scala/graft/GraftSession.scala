@@ -156,9 +156,23 @@ final class GraftSession(val spark: SparkSession,
   // `:use` and the driver's session database both reduce to this)
   private val UseDb = """(?is)\s*USE\s+(\w+)\s+(.+)""".r
   private val TerminateTxs = """(?is)\s*TERMINATE\s+TRANSACTIONS\s+(.+?)\s*""".r
-  // index/constraint DDL is accepted as a no-op: there are no index
-  // structures to maintain — scans + Catalyst pushdown serve the same
-  // role — but scripts written for the reference must keep running
+  // schema DDL. Uniqueness constraints are REAL (enforced on every
+  // write, duplicates refuse the statement); indexes are metadata-only
+  // (scans + Catalyst pushdown serve the runtime role; the 100 TB
+  // analog of an index is storage layout). Unrecognized constraint
+  // forms refuse loudly — a silently-ignored EXISTS constraint would
+  // be a silent wrong answer.
+  private val CreateConstraintDdl =
+    """(?is)\s*CREATE\s+CONSTRAINT\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*(\w+)\s*:\s*(\w+)\s*\)\s*REQUIRE\s+\w+\.(\w+)\s+IS\s+(?:UNIQUE|NODE\s+KEY)\s*""".r
+  private val DropConstraintDdl =
+    """(?is)\s*DROP\s+CONSTRAINT\s+(\w+)\s*(?:(IF)\s+EXISTS\s*)?""".r
+  private val ShowConstraintsQ =
+    """(?is)\s*SHOW\s+(?:UNIQUE(?:NESS)?\s+|ALL\s+)?CONSTRAINTS\s*""".r
+  private val CreateIndexDdl =
+    """(?is)\s*CREATE\s+(?:RANGE\s+|TEXT\s+|POINT\s+)?INDEX\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*(\w+)\s*:\s*(\w+)\s*\)\s*ON\s*\(\s*\w+\.(\w+)\s*\)\s*""".r
+  private val DropIndexDdl =
+    """(?is)\s*DROP\s+INDEX\s+(\w+)\s*(?:(IF)\s+EXISTS\s*)?""".r
+  private val ShowIndexesQ = """(?is)\s*SHOW\s+INDEXES\s*""".r
   private val IndexDdl =
     """(?is)\s*(CREATE|DROP)\s+(INDEX|CONSTRAINT)\b.*""".r
   // C12 (ref DatabaseIO.java:113-115) — issued against the system db
@@ -287,6 +301,26 @@ final class GraftSession(val spark: SparkSession,
   }
 
   private def publishTx(h: TxHandle): Unit = {
+    // commit-time uniqueness re-check of every mutated shadow: a
+    // shadow validated per-statement can still publish stale state if
+    // a concurrent transaction committed conflicting keys meanwhile.
+    // The check runs against the COMMITTING shadow's graph (snapshot
+    // isolation, last-writer-wins across transactions — README); a
+    // violation rolls the whole transaction back, reference semantics.
+    h.shadows.foreach { case (name, sh) =>
+      if (h.mutated.contains(name) && catalog.listDatabases.contains(name)) {
+        val d = catalog.database(name)
+        d.constraints.foreach { case (cname, (label, prop)) =>
+          uniquenessViolation(sh.graph, label, prop).foreach { v =>
+            discardTx(h)
+            throw new IllegalStateException(
+              s"Commit refused: node already exists with label `$label` and " +
+                s"property `$prop` = $v (uniqueness constraint `$cname`); " +
+                "transaction rolled back")
+          }
+        }
+      }
+    }
     h.shadows.foreach { case (name, sh) =>
       // only databases the transaction MUTATED publish — a read-only
       // shadow must not roll the live pointer back to its entry state
@@ -330,6 +364,81 @@ final class GraftSession(val spark: SparkSession,
       StructField("elapsedMs", LongType))))
   }
 
+  // ---- schema metadata: uniqueness constraints + indexes -----------
+
+  private def requireNoTx(tx: Option[TxHandle], what: String): Unit =
+    if (tx.isDefined) throw new UnsupportedOperationException(
+      s"$what is schema DDL and cannot run inside an open transaction " +
+        "(the reference separates schema and data transactions)")
+
+  /** CREATE CONSTRAINT: existing data must already satisfy uniqueness
+    * (reference semantics — creation fails on a populated duplicate).
+    * The scan is one hash aggregate over the constrained label only;
+    * LIMIT 1 bounds the driver materialization to the witness row. */
+  private def createConstraint(db0: GraphDatabase, name: String,
+      ifNotExists: Boolean, label: String, prop: String): DataFrame = {
+    if (db0.constraints.contains(name)) {
+      if (ifNotExists) return unit()
+      throw new IllegalStateException(s"An equivalent constraint already exists: $name")
+    }
+    uniquenessViolation(db0.graph, label, prop).foreach { v =>
+      throw new IllegalStateException(
+        s"Unable to create constraint `$name`: both existing nodes have label " +
+          s"`$label` and property `$prop` = $v")
+    }
+    db0.constraints.putIfAbsent(name, (label, prop))
+    unit()
+  }
+
+  /** First duplicated value of `prop` among `label` nodes, if any.
+    * Null property values never conflict (openCypher uniqueness). */
+  private def uniquenessViolation(g: PropertyGraph, label: String,
+      prop: String): Option[Any] = {
+    import org.apache.spark.sql.functions.{array_contains, col, count, lit}
+    if (!g.nodes.columns.contains(prop)) return None
+    g.nodes.filter(array_contains(col("labels"), lit(label)) && col(prop).isNotNull)
+      .groupBy(col(prop)).agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+      .limit(1).collect().headOption.map(_.get(0))
+  }
+
+  /** Wrap a mutation with uniqueness enforcement: on violation the
+    * graph pointer is restored to the pre-statement snapshot (the
+    * immutable-snapshot design makes statement rollback a pointer
+    * write) and the statement errors. Cost: one hash aggregate per
+    * constraint over its label's nodes — proportional to the
+    * constrained label, not the graph; the 100 TB refinement is
+    * diffing only written keys against the snapshot, which this
+    * surface's write volumes don't yet warrant. */
+  private def withConstraintCheck(target: GraphDatabase,
+      meta: GraphDatabase)(body: => DataFrame): DataFrame = {
+    if (meta.constraints.isEmpty) return body
+    val pre = target.graph
+    val out = body
+    meta.constraints.foreach { case (name, (label, prop)) =>
+      uniquenessViolation(target.graph, label, prop).foreach { v =>
+        target.graph = pre
+        throw new IllegalStateException(
+          s"Node already exists with label `$label` and property `$prop` = $v " +
+            s"(uniqueness constraint `$name`); statement rolled back")
+      }
+    }
+    out
+  }
+
+  /** SHOW CONSTRAINTS / SHOW INDEXES — reference column shapes. */
+  private def showSchemaMeta(db0: GraphDatabase, isIndex: Boolean): DataFrame = {
+    val src = if (isIndex) db0.indexes else db0.constraints
+    val rows = src.toSeq.sortBy(_._1).map { case (name, (label, prop)) =>
+      if (isIndex) Row(name, "ONLINE", "RANGE", label, prop)
+      else Row(name, "UNIQUENESS", "NODE", label, prop)
+    }
+    val cols =
+      if (isIndex) Seq("name", "state", "type", "labelsOrTypes", "properties")
+      else Seq("name", "type", "entityType", "labelsOrTypes", "properties")
+    spark.createDataFrame(javaList(rows),
+      StructType(cols.map(StructField(_, StringType))))
+  }
+
   /** Wire-protocol variant of [[cypher]]: bare node/relationship
     * RETURN items project as tagged entity structs the Bolt endpoint
     * serializes as PackStream Node/Relationship. `tx` may be null
@@ -362,7 +471,33 @@ final class GraftSession(val spark: SparkSession,
         throw new NoSuchElementException(s"no such database: $name")
       unit()
     case AlterPw(from, to) => changePassword(from, to); unit()
-    case IndexDdl(_, _) => unit()
+    case CreateConstraintDdl(name, ifNot, _, label, prop) =>
+      requireNoTx(tx, "CREATE CONSTRAINT")
+      createConstraint(catalog.database(database), name, ifNot != null, label, prop)
+    case DropConstraintDdl(name, ifExists) =>
+      requireNoTx(tx, "DROP CONSTRAINT")
+      val db0 = catalog.database(database)
+      if (db0.constraints.remove(name).isEmpty && ifExists == null)
+        throw new NoSuchElementException(s"no such constraint: $name")
+      unit()
+    case ShowConstraintsQ() => showSchemaMeta(catalog.database(database), isIndex = false)
+    case CreateIndexDdl(name, ifNot, _, label, prop) =>
+      requireNoTx(tx, "CREATE INDEX")
+      val db0 = catalog.database(database)
+      if (db0.indexes.contains(name) && ifNot == null)
+        throw new IllegalStateException(s"An equivalent index already exists: $name")
+      db0.indexes.putIfAbsent(name, (label, prop)); unit()
+    case DropIndexDdl(name, ifExists) =>
+      requireNoTx(tx, "DROP INDEX")
+      val db0 = catalog.database(database)
+      if (db0.indexes.remove(name).isEmpty && ifExists == null)
+        throw new NoSuchElementException(s"no such index: $name")
+      unit()
+    case ShowIndexesQ() => showSchemaMeta(catalog.database(database), isIndex = true)
+    case IndexDdl(verb, kind) => throw new UnsupportedOperationException(
+      s"unsupported $verb $kind form — supported: single-property uniqueness " +
+        "constraints (CREATE CONSTRAINT n FOR (v:Label) REQUIRE v.prop IS UNIQUE) " +
+        "and single-property indexes; refusing rather than silently ignoring")
     case ExplainQ(mode, rest) =>
       val db = tx match {
         case Some(h) => h.database(database)
@@ -474,7 +609,11 @@ final class GraftSession(val spark: SparkSession,
         if (parsed.unions.nonEmpty)
           throw new UnsupportedOperationException("UNION of mutating queries is not supported")
         tx.foreach(_.mutated += database)
-        val out = mutate(db, parsed)
+        // constraint metadata lives on the REAL database; `db` may be
+        // a transaction shadow (which carries no entries)
+        val meta =
+          if (catalog.listDatabases.contains(database)) catalog.database(database) else db
+        val out = withConstraintCheck(db, meta)(mutate(db, parsed))
         db.pendingMutations += 1
         out
       } else {
@@ -1108,8 +1247,9 @@ final class GraftSession(val spark: SparkSession,
         val chunkQ = ast.Query(
           ast.Unwind(ast.ListLit(chunk.map(v => ast.Lit(v)).toSeq), u.alias) +: cs.clauses)
         // one statement per batch = one snapshot swap = one commit; a
-        // throwing batch leaves the previous swaps published
-        mutate(db, chunkQ)
+        // throwing batch (including a uniqueness violation) leaves the
+        // previous swaps published — reference batch semantics
+        withConstraintCheck(db, db)(mutate(db, chunkQ))
         db.pendingMutations += 1
         batches += 1
       }

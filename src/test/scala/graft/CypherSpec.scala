@@ -204,14 +204,64 @@ class CypherSpec extends AnyFunSuite {
     assert(un.collect().head.getLong(0) == 10L)
   }
 
-  test("index/constraint DDL is accepted as a no-op") {
+  test("uniqueness constraints are enforced; indexes are tracked metadata") {
     val s = new GraftSession(spark)
     assert(s.cypher("CREATE INDEX dog_name IF NOT EXISTS FOR (d:dog) ON (d.name)").count() == 1)
     assert(s.cypher("CREATE CONSTRAINT uniq_name FOR (d:dog) REQUIRE d.name IS UNIQUE").count() == 1)
+    val idx = s.cypher("SHOW INDEXES").collect()
+    assert(idx.map(_.getAs[String]("name")).toSeq == Seq("dog_name"))
+    val cons = s.cypher("SHOW CONSTRAINTS").collect()
+    assert(cons.map(r => (r.getAs[String]("name"), r.getAs[String]("type"),
+      r.getAs[String]("labelsOrTypes"), r.getAs[String]("properties"))).toSeq ==
+      Seq(("uniq_name", "UNIQUENESS", "dog", "name")))
     assert(s.cypher("DROP INDEX dog_name IF EXISTS").count() == 1)
-    // ordinary CREATE still routes to mutation
+    assert(s.cypher("SHOW INDEXES").count() == 0)
+
     s.cypher("CREATE (a:dog {name:'Arne'})")
+    // duplicate key refused, statement rolled back (count unchanged)
+    val dup = intercept[Exception](s.cypher("CREATE (:dog {name:'Arne'})"))
+    assert(dup.getMessage.contains("uniq_name"))
     assert(s.graph().nodes.count() == 1)
+    // different key, other labels, and null keys all still insert
+    s.cypher("CREATE (:dog {name:'Bosse'})")
+    s.cypher("CREATE (:cat {name:'Arne'})")
+    s.cypher("CREATE (:dog {age: 2})")
+    assert(s.graph().nodes.count() == 4)
+    // MERGE match path composes with the constraint (no new row)
+    s.cypher("MERGE (d:dog {name:'Arne'})")
+    assert(s.graph().nodes.count() == 4)
+    // DROP lifts enforcement
+    s.cypher("DROP CONSTRAINT uniq_name")
+    s.cypher("CREATE (:dog {name:'Arne'})")
+    assert(s.graph().nodes.count() == 5)
+    // re-creating over now-duplicated data refuses (reference semantics)
+    val bad = intercept[Exception](
+      s.cypher("CREATE CONSTRAINT uniq2 FOR (d:dog) REQUIRE d.name IS UNIQUE"))
+    assert(bad.getMessage.contains("Unable to create constraint"))
+    // unknown constraint forms refuse loudly instead of no-op
+    val uns = intercept[Exception](
+      s.cypher("CREATE CONSTRAINT c3 FOR (d:dog) REQUIRE d.name IS NOT NULL"))
+    assert(uns.getMessage.contains("unsupported"))
+  }
+
+  test("constraints gate transactional writes; schema DDL refuses inside a transaction") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE CONSTRAINT u FOR (p:person) REQUIRE p.pid IS UNIQUE")
+    s.cypher("CREATE (:person {pid: 1})")
+    val tx = s.beginTransaction()
+    val err = intercept[Exception](
+      s.cypher("CREATE (:person {pid: 1})", Map.empty[String, Any], "neo4j", tx))
+    assert(err.getMessage.contains("uniqueness constraint"))
+    // the transaction survives a refused statement; valid write commits
+    s.cypher("CREATE (:person {pid: 2})", Map.empty[String, Any], "neo4j", tx)
+    s.commitTransaction(tx)
+    assert(s.cypher("MATCH (p:person) RETURN count(*) AS n").collect().head.getLong(0) == 2L)
+    val tx2 = s.beginTransaction()
+    val ddl = intercept[Exception](
+      s.cypher("CREATE CONSTRAINT u2 FOR (x:q) REQUIRE x.k IS UNIQUE",
+        Map.empty[String, Any], "neo4j", tx2))
+    assert(ddl.getMessage.contains("schema DDL"))
+    s.rollbackTransaction(tx2)
   }
 
   test("SHOW DATABASES lists databases with status") {
