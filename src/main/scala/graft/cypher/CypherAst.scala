@@ -30,6 +30,10 @@ object ast {
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr // + - * / %
   final case class ListLit(items: Seq[Expr]) extends Expr // [e1, e2, …]
+  /** Map literal `{k1: e1, k2: e2, …}` with full expression values —
+    * the expression-position form (pattern maps stay restricted).
+    * Declared entry order is preserved (it names struct fields). */
+  final case class MapLit(items: Seq[(String, Expr)]) extends Expr
   /** CASE WHEN c THEN v … [ELSE d] END (searched form). */
   final case class CaseExpr(whens: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
   /** Pattern-existence predicate in WHERE: `(a)-[:T]->(b)` — compiles
@@ -195,6 +199,7 @@ object ast {
       containsAggregate(init) || containsAggregate(l) || containsAggregate(step)
     case MapProj(_, items)  =>
       items.exists { case ProjExpr(_, e) => containsAggregate(e); case _ => false }
+    case MapLit(items)      => items.exists { case (_, e) => containsAggregate(e) }
     case _                  => false
   }
 }

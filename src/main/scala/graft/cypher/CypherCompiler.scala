@@ -685,6 +685,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case ProjExpr(_, e0) => referencedVars(e0)
       case _               => Nil
     }
+    case MapLit(items)   => items.flatMap { case (_, e0) => referencedVars(e0) }.toSet
     case _               => Set.empty
   }
 
@@ -1102,6 +1103,24 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         dt match {
           case Some(DateType | TimestampType | TimestampNTZType) =>
             temporalComponent(col(v), k)
+          // spatial point accessors: p.x/p.y/p.latitude/p.longitude/
+          // p.srid/p.crs over the point struct encoding (lat/lon are
+          // only defined for the geographic CRS — null for cartesian,
+          // matching the reference's accessor behavior)
+          case Some(st: org.apache.spark.sql.types.StructType)
+              if st.fieldNames.headOption.contains("__point_srid") =>
+            val srid = col(v).getField("__point_srid")
+            k match {
+              case "x"         => col(v).getField("x")
+              case "y"         => col(v).getField("y")
+              case "longitude" => when(srid === 4326, col(v).getField("x"))
+              case "latitude"  => when(srid === 4326, col(v).getField("y"))
+              case "srid"      => srid
+              case "crs"       => when(srid === 4326, lit("wgs-84"))
+                .otherwise(lit("cartesian"))
+              case other => throw new UnsupportedOperationException(
+                s"unknown point accessor `.$other`")
+            }
           case _ => col(v).getField(k)
         }
       }
@@ -1294,6 +1313,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         Some(acc.map(_.when(cond, value)).getOrElse(when(cond, value)))
       }.get
       other.map(o => chain.otherwise(compileExpr(o, df))).getOrElse(chain)
+    // map literal → named struct (Cypher maps are heterogeneous;
+    // MapType would force one value type — same encoding as MapProj)
+    case MapLit(items) =>
+      struct(items.map { case (k, e0) => compileExpr(e0, df).as(k) }: _*)
     case f: FnCall        => compileFn(f, df)
     case _: PatternPred   => throw new UnsupportedOperationException(
       "pattern predicates are only supported as top-level WHERE conjuncts")
@@ -1376,6 +1399,70 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "date.truncate"      => to_date(date_trunc(litStr(f.args(0)), a(1)))
       case "datetime.truncate" | "localdatetime.truncate" =>
         date_trunc(litStr(f.args(0)), a(1))
+      // duration({years, months, weeks, days, hours, minutes, seconds,
+      // milliseconds}) → a calendar interval; `date/datetime ± duration`
+      // then resolves through Catalyst's native datetime arithmetic
+      // (ResolveBinaryArithmetic rewrites Add/Subtract to interval ops).
+      case "duration" => f.args.head match {
+        case MapLit(items) =>
+          val known = Seq("years", "months", "weeks", "days", "hours",
+            "minutes", "seconds", "milliseconds")
+          val bad = items.map(_._1).filterNot(known.contains)
+          if (bad.nonEmpty) throw new UnsupportedOperationException(
+            s"duration() components ${bad.mkString(", ")} not supported " +
+              s"(known: ${known.mkString(", ")})")
+          val m = items.toMap
+          def comp(k: String): Column =
+            m.get(k).map(e0 => compileExpr(e0, df)).getOrElse(lit(0))
+          make_interval(comp("years"), comp("months"), comp("weeks"),
+            comp("days"), comp("hours"), comp("minutes"),
+            (comp("seconds") + comp("milliseconds") / lit(1000.0))
+              .cast("decimal(18,6)"))
+        case other => throw new UnsupportedOperationException(
+          s"duration() takes a {components} map, got $other")
+      }
+      // spatial point: {x, y} → cartesian (SRID 7203), {latitude,
+      // longitude} → WGS84 (SRID 4326); encoded as a named struct the
+      // accessor (`p.x`), distance and wire (Bolt Point2D) paths share
+      case "point" => f.args.head match {
+        case MapLit(items) =>
+          val m = items.toMap
+          def g(k: String): Option[Column] =
+            m.get(k).map(e0 => compileExpr(e0, df).cast("double"))
+          (g("x"), g("y"), g("latitude"), g("longitude")) match {
+            case (Some(x), Some(y), None, None) =>
+              struct(lit(7203).as("__point_srid"), x.as("x"), y.as("y"))
+            case (None, None, Some(lat), Some(lon)) =>
+              struct(lit(4326).as("__point_srid"), lon.as("x"), lat.as("y"))
+            case _ => throw new UnsupportedOperationException(
+              "point() needs {x, y} or {latitude, longitude}")
+          }
+        case other => throw new UnsupportedOperationException(
+          s"point() takes a {coordinates} map, got $other")
+      }
+      // point.distance: euclidean for cartesian pairs, haversine great-
+      // circle meters (IUGG mean earth radius) for geographic pairs —
+      // the same two formulas the reference's spatial library applies
+      // per CRS. All built-in math functions, codegen'd.
+      case "point.distance" | "distance" =>
+        val (p1, p2) = (a(0), a(1))
+        def fld(p: Column, n: String) = p.getField(n)
+        val (x1, y1) = (fld(p1, "x"), fld(p1, "y"))
+        val (x2, y2) = (fld(p2, "x"), fld(p2, "y"))
+        val euclid = sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2))
+        val rad = lit(math.Pi / 180.0)
+        val sinLat = sin((y2 - y1) * rad / 2)
+        val sinLon = sin((x2 - x1) * rad / 2)
+        val h = sinLat * sinLat + cos(y1 * rad) * cos(y2 * rad) * sinLon * sinLon
+        val haversine = lit(2 * 6371008.7714) * asin(sqrt(h))
+        when(fld(p1, "__point_srid") =!= fld(p2, "__point_srid"), lit(null))
+          .when(fld(p1, "__point_srid") === 4326, haversine)
+          .otherwise(euclid)
+      case "point.withinbbox" =>
+        val (p, ll, ur) = (a(0), a(1), a(2))
+        def fld(c: Column, n: String) = c.getField(n)
+        fld(p, "x") >= fld(ll, "x") && fld(p, "x") <= fld(ur, "x") &&
+          fld(p, "y") >= fld(ll, "y") && fld(p, "y") <= fld(ur, "y")
       case "size" | "length"
           if f.args.headOption.exists {
             case Variable(v) => df.columns.contains(s"$v${SEP}len")

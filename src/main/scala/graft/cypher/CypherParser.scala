@@ -94,7 +94,16 @@ object CypherParser extends RegexParsers {
     mapProj |
     propOrVar |
     listLit |
+    mapLitExpr |
     "(" ~> expr <~ ")"
+
+  /** Map literal in expression position: `{k: expr, …}` with FULL
+    * expression values (`point({x: c.c_acctbal, y: 0.0})`), unlike the
+    * restricted pattern-map form. No other atom starts with `{`. */
+  private def mapLitExpr: Parser[Expr] =
+    "{" ~> repsep(ident ~ (":" ~> expr), ",") <~ "}" ^^ { items =>
+      MapLit(items.map { case k ~ v => k -> v })
+    }
 
   /** `EXISTS { [MATCH] pattern, … [WHERE expr] }` — tried before
     * fnCall; `exists(` (the scalar function) fails the `{` and

@@ -707,6 +707,36 @@ object CypherQueries {
       """MATCH (c:customer) WHERE c.c_custkey <= 1000
         |OPTIONAL MATCH (c)-[:PLACED]->(o:order {o_orderstatus:'P'})
         |WITH c.c_custkey AS c_custkey, o.o_orderkey AS ok WHERE ok IS NULL
-        |RETURN c_custkey ORDER BY c_custkey""".stripMargin)
+        |RETURN c_custkey ORDER BY c_custkey""".stripMargin),
+
+    // Spatial points: point({x,y}) construction from property values,
+    // accessors (p.x, p.srid) and cartesian point.distance. Distance
+    // is IEEE-exact across engines (sub/mul/sqrt are all correctly
+    // rounded), so the full hash gate holds without quantization. The
+    // geographic (haversine) branch is spec-tested with tolerance
+    // instead — libm vs JVM trig may differ in the last ulp.
+    q("cy_point_distance",
+      """SELECT c.c_custkey AS k, c.c_acctbal AS px, 7203 AS srid,
+        |  sqrt(c.c_acctbal * c.c_acctbal +
+        |       (CAST(n.n_nationkey AS DOUBLE) * 100) * (CAST(n.n_nationkey AS DOUBLE) * 100)) AS dist
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey <= 500""".stripMargin)(
+      """MATCH (c:customer)-[:IN]->(n:nation) WHERE c.c_custkey <= 500
+        |WITH c.c_custkey AS k, point({x: c.c_acctbal, y: toFloat(n.n_nationkey * 100)}) AS p1
+        |RETURN k, p1.x AS px, p1.srid AS srid,
+        |  point.distance(p1, point({x: 0.0, y: 0.0})) AS dist""".stripMargin),
+
+    // duration({components}) + datetime arithmetic: the interval value
+    // rides Catalyst's native Add/Subtract rewrite (TimeAdd), so the
+    // plan stays whole-stage-codegen'd — no UDF, no driver math.
+    q("cy_duration_arith",
+      """SELECT o_orderkey AS k,
+        |  o_orderdate + INTERVAL '30 days 12 hours' AS due,
+        |  o_orderdate - INTERVAL '7 days' AS earlier
+        |FROM orders WHERE o_orderkey <= 1000""".stripMargin)(
+      """MATCH (o:order) WHERE o.o_orderkey <= 1000
+        |RETURN o.o_orderkey AS k,
+        |  o.o_orderdate + duration({days: 30, hours: 12}) AS due,
+        |  o.o_orderdate - duration({weeks: 1}) AS earlier""".stripMargin)
   )
 }

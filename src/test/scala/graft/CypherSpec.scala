@@ -1366,4 +1366,66 @@ class CypherSpec extends AnyFunSuite {
       .collect().head.getStruct(0)
     assert(over.getAs[String]("name") == "X")
   }
+
+  test("map literal {k: expr} compiles to a named struct value") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (d:dog {name:'Arne', age: 3})")
+    val m = s.cypher(
+      "MATCH (d:dog) RETURN {who: d.name, older: d.age + 1, tag: 'x'} AS m")
+      .collect().head.getStruct(0)
+    assert(m.getAs[String]("who") == "Arne")
+    assert(m.getAs[Long]("older") == 4L)
+    assert(m.getAs[String]("tag") == "x")
+  }
+
+  test("point(): cartesian accessors + distance, geographic haversine, withinBBox") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (p:place {x: 3.0, y: 4.0})")
+    val cart = s.cypher(
+      """MATCH (p:place) WITH point({x: p.x, y: p.y}) AS pt
+        |RETURN pt.x AS x, pt.y AS y, pt.srid AS srid, pt.crs AS crs,
+        |  pt.latitude AS lat,
+        |  point.distance(pt, point({x: 0.0, y: 0.0})) AS d""".stripMargin)
+      .collect().head
+    assert(cart.getDouble(0) == 3.0 && cart.getDouble(1) == 4.0)
+    assert(cart.getInt(2) == 7203 && cart.getString(3) == "cartesian")
+    assert(cart.isNullAt(4)) // latitude undefined on a cartesian point
+    assert(cart.getDouble(5) == 5.0)
+    // geographic: Paris → Berlin great-circle ≈ 878 km (haversine on
+    // the IUGG mean-radius sphere; tolerance covers libm-vs-JVM ulp)
+    val geo = s.cypher(
+      """RETURN point.distance(point({latitude: 48.8566, longitude: 2.3522}),
+        |  point({latitude: 52.52, longitude: 13.405})) AS d""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(geo - 878000.0) < 5000.0, s"got $geo")
+    // srid mismatch → null, never a silently-wrong number
+    val mixed = s.cypher(
+      """RETURN point.distance(point({x: 1.0, y: 2.0}),
+        |  point({latitude: 1.0, longitude: 2.0})) AS d""".stripMargin)
+      .collect().head
+    assert(mixed.isNullAt(0))
+    val bbox = s.cypher(
+      """WITH point({x: 3.0, y: 4.0}) AS p
+        |RETURN point.withinBBox(p, point({x: 0.0, y: 0.0}), point({x: 5.0, y: 5.0})) AS hit,
+        |  point.withinBBox(p, point({x: 0.0, y: 0.0}), point({x: 2.0, y: 5.0})) AS miss""".stripMargin)
+      .collect().head
+    assert(bbox.getBoolean(0) && !bbox.getBoolean(1))
+  }
+
+  test("duration(): calendar components + datetime arithmetic incl. month clamp") {
+    val s = new GraftSession(spark)
+    val r = s.cypher(
+      """WITH datetime('2021-01-31 10:00:00') AS t
+        |RETURN t + duration({months: 1}) AS clamped,
+        |  t + duration({days: 1, hours: 2, minutes: 30}) AS plus,
+        |  t - duration({weeks: 2}) AS minus""".stripMargin).collect().head
+    assert(r.getTimestamp(0).toString == "2021-02-28 10:00:00.0") // month-end clamp
+    assert(r.getTimestamp(1).toString == "2021-02-01 12:30:00.0")
+    assert(r.getTimestamp(2).toString == "2021-01-17 10:00:00.0")
+    // unknown component refused loudly, not silently zero
+    val err = intercept[UnsupportedOperationException] {
+      s.cypher("RETURN datetime('2021-01-01 00:00:00') + duration({fortnights: 1}) AS x")
+    }
+    assert(err.getMessage.contains("fortnights"))
+  }
 }
