@@ -451,6 +451,50 @@ private[graft] object PackStream {
       case other => writeValue(out, other, v5)
     }
     case null          => out.writeByte(0xC0)
+    // typed temporal/spatial structs (published PackStream structure
+    // tags): Date 'D' 0x44 (epoch days), LocalDateTime 'd' 0x64
+    // (epoch seconds + nanos; the session runs UTC), Duration 'E'
+    // 0x45 (months, days, seconds, nanos), Point2D 'X' 0x58 (srid,
+    // x, y) — what a stock driver decodes to typed values, instead of
+    // the old stringify fallback.
+    case d: java.sql.Date =>
+      writeStructHeader(out, 0x44, 1)
+      writeValue(out, d.toLocalDate.toEpochDay, v5)
+    case d: java.time.LocalDate =>
+      writeStructHeader(out, 0x44, 1)
+      writeValue(out, d.toEpochDay, v5)
+    case t: java.sql.Timestamp =>
+      writeStructHeader(out, 0x64, 2)
+      writeValue(out, Math.floorDiv(t.getTime, 1000L), v5)
+      writeValue(out, t.getNanos.toLong, v5)
+    case t: java.time.Instant =>
+      writeStructHeader(out, 0x64, 2)
+      writeValue(out, t.getEpochSecond, v5)
+      writeValue(out, t.getNano.toLong, v5)
+    case t: java.time.LocalDateTime =>
+      writeStructHeader(out, 0x64, 2)
+      writeValue(out, t.toEpochSecond(java.time.ZoneOffset.UTC), v5)
+      writeValue(out, t.getNano.toLong, v5)
+    case iv: org.apache.spark.unsafe.types.CalendarInterval =>
+      writeStructHeader(out, 0x45, 4)
+      writeValue(out, iv.months.toLong, v5)
+      writeValue(out, iv.days.toLong, v5)
+      writeValue(out, Math.floorDiv(iv.microseconds, 1000000L), v5)
+      writeValue(out, Math.floorMod(iv.microseconds, 1000000L) * 1000L, v5)
+    case d: java.time.Duration =>
+      writeStructHeader(out, 0x45, 4)
+      writeValue(out, 0L, v5); writeValue(out, 0L, v5)
+      writeValue(out, d.getSeconds, v5); writeValue(out, d.getNano.toLong, v5)
+    case p: java.time.Period =>
+      writeStructHeader(out, 0x45, 4)
+      writeValue(out, p.toTotalMonths, v5); writeValue(out, p.getDays.toLong, v5)
+      writeValue(out, 0L, v5); writeValue(out, 0L, v5)
+    case r: org.apache.spark.sql.Row if r.schema != null &&
+        r.schema.fieldNames.headOption.contains("__point_srid") =>
+      writeStructHeader(out, 0x58, 3)
+      writeValue(out, r.getInt(0).toLong, v5)
+      writeValue(out, r.getDouble(1), v5)
+      writeValue(out, r.getDouble(2), v5)
     case b: Boolean    => out.writeByte(if (b) 0xC3 else 0xC2)
     case i: Int        => writeValue(out, i.toLong, v5)
     case i: Short      => writeValue(out, i.toLong, v5)

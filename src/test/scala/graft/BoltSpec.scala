@@ -457,4 +457,48 @@ class BoltSpec extends AnyFunSuite {
       good.close()
     } finally ep.stop()
   }
+
+  test("temporal and spatial values emit typed PackStream structs") {
+    val session = new GraftSession(spark)
+    val ep = new BoltEndpoint(session, 0, "127.0.0.1")
+    val port = ep.start()
+    try {
+      val c = new Client(port)
+      assert(c.handshake() == 0x00000404)
+      c.send(0x01, Map("user_agent" -> "graft-test/1.0"))
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x10,
+        """RETURN date('2021-03-04') AS d,
+          |  datetime('2021-03-04 05:06:07') AS ts,
+          |  duration({days: 2, hours: 3}) AS dur,
+          |  point({x: 1.5, y: 2.5}) AS p""".stripMargin,
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x3F, Map("n" -> -1L))
+      val (tr, fr) = c.recv()
+      assert(tr == RECORD)
+      val Seq(d, ts, dur, p) = fr.head.asInstanceOf[Seq[Any]]
+      // Date 0x44: epoch days
+      val ds = d.asInstanceOf[PackStream.Struct]
+      assert(ds.tag == 0x44)
+      assert(ds.fields == Seq(java.time.LocalDate.parse("2021-03-04").toEpochDay))
+      // LocalDateTime 0x64: epoch seconds (UTC session) + nanos
+      val tss = ts.asInstanceOf[PackStream.Struct]
+      assert(tss.tag == 0x64)
+      assert(tss.fields == Seq(
+        java.time.LocalDateTime.parse("2021-03-04T05:06:07")
+          .toEpochSecond(java.time.ZoneOffset.UTC), 0L))
+      // Duration 0x45: months, days, seconds, nanos
+      val dus = dur.asInstanceOf[PackStream.Struct]
+      assert(dus.tag == 0x45)
+      assert(dus.fields == Seq(0L, 2L, 3L * 3600, 0L))
+      // Point2D 0x58: srid, x, y
+      val ps = p.asInstanceOf[PackStream.Struct]
+      assert(ps.tag == 0x58)
+      assert(ps.fields == Seq(7203L, 1.5, 2.5))
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x02)
+      c.close()
+    } finally ep.stop()
+  }
 }
