@@ -23,19 +23,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses to map to TimestampType. Read it as a long (nanos since
-    * epoch) and truncate to micros — the same ns→us truncation DuckDB's
-    * `CAST(ts AS TIMESTAMP)` performs, so oracle comparisons line up.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (reads
+    * as a raw long under `nanosAsLong`, which Spark 4 requires for
+    * nanos columns) and TIMESTAMP(MICROS) (reads natively as a
+    * timestamp). The generator owns the footer, not this library, so
+    * the reader adapts: branch on the type Spark actually loaded and
+    * normalize to TimestampType micros either way — the same value
+    * DuckDB's `epoch_ns(ts)` sees, so oracle comparisons line up.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // set once and leave on: toggling back was racy under concurrent
-    // catalog queries, and the conf only affects TIMESTAMP(NANOS)
-    // parquet columns — `events` is the sole such table
+    // catalog queries, and the conf ONLY affects TIMESTAMP(NANOS)
+    // parquet columns — micros/NTZ columns load identically with it on
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.expr
-    apply(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(apply(s, d, "events"))
+  }
+
+  /** Normalize an events frame's `ts` to TimestampType whatever layout
+    * the parquet footer declared. Works on batch and streaming frames.
+    * NTZ→LTZ cast preserves the wall clock under the UTC session
+    * timezone every graft entry point pins (`Verify`/`Bench`/specs).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => // legacy TIMESTAMP(NANOS) read as nanos-long
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — expected " +
+          "long-nanos, TIMESTAMP, or TIMESTAMP_NTZ; regenerate testdata " +
+          "or extend Tables.normalizeEventTs")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -25,14 +25,24 @@ import graft.QueryDef.sql
   */
 object Streaming {
 
-  /** Driver-testdata schema: TIMESTAMP(NANOS) reads as a raw long
-    * under nanosAsLong — same contract as Tables.events. */
-  private val rawEventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** The file stream source needs an explicit schema, but the events
+    * footer has shipped as both TIMESTAMP(NANOS) (long under
+    * nanosAsLong) and TIMESTAMP(MICROS): probe the batch footer
+    * (a metadata-only read) and reuse the SAME adaptive normalization
+    * as the batch path (`Tables.normalizeEventTs`), so batch and
+    * stream can never disagree about what `ts` means. */
+  private def eventStream(s: SparkSession, d: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val footer = s.read.parquet(s"$d/events.parquet").schema
+    val src = options.foldLeft(s.readStream.schema(footer)) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    graft.core.Tables.normalizeEventTs(
+      src.option("pathGlobFilter", "events*.parquet").parquet(d))
+  }
 
-  /** Raw-nanos event for the stateful session counter: integer
+  /** Micros-long event for the stateful session counter: integer
     * timestamps end to end (a java.sql.Timestamp would truncate to
     * millis and drift off the µs-resolution oracle). */
   final case class RawEv(event_id: Long, ts: Long, user_id: Long)
@@ -46,16 +56,12 @@ object Streaming {
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
       val sink = s"$tmp/sink"
       // the file source wants a directory: stream the sf dir with a
       // glob keeping only the events table file(s)
-      val agg = s.readStream.schema(rawEventSchema)
-        .option("pathGlobFilter", "events*.parquet")
-        .parquet(d)
-        .withColumn("tsm", expr("timestamp_micros(ts div 1000)"))
-        .groupBy(window(col("tsm"), "1 hour"), col("event_type"))
+      val agg = eventStream(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
         .select(
@@ -94,13 +100,10 @@ object Streaming {
          |  CAST(count(*) AS BIGINT) AS n_events
          |FROM lagged GROUP BY user_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
       val sink = s"$tmp/sink"
-      val src = s.readStream.schema(rawEventSchema)
-        .option("pathGlobFilter", "events*.parquet")
-        .parquet(d)
-        .select(col("event_id"), col("ts"), col("user_id"))
+      val src = eventStream(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts"), col("user_id"))
         .as[RawEv]
       val sessions = src.groupByKey(_.user_id)
         .flatMapGroupsWithState[SessSt, UserSess](
@@ -109,7 +112,7 @@ object Streaming {
               state: org.apache.spark.sql.streaming.GroupState[SessSt]) =>
             var st = state.getOption.getOrElse(SessSt(Long.MinValue, 0L, 0L))
             evs.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
-              val us = e.ts / 1000
+              val us = e.ts
               val fresh = st.lastTsUs == Long.MinValue || us - st.lastTsUs > GAP_US
               st = SessSt(us, st.sessions + (if (fresh) 1L else 0L), st.events + 1L)
             }
@@ -155,7 +158,6 @@ object Streaming {
       // executors, not to the session default).
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
       val sink = s"$tmp/sink"
       // parity with the batch oracle assumes the whole replay lands in
@@ -163,13 +165,10 @@ object Streaming {
       // once the 1-hour watermark advances between batches): pin
       // single-batch behavior instead of relying on it incidentally
       def side(et: String, pfx: String) =
-        s.readStream.schema(rawEventSchema)
-          .option("pathGlobFilter", "events*.parquet")
-          .option("maxFilesPerTrigger", "1000000")
-          .parquet(d)
+        eventStream(s, d, Map("maxFilesPerTrigger" -> "1000000"))
           .filter(col("event_type") === et)
           .select(col("user_id").as(s"${pfx}_user"),
-            expr("timestamp_micros(ts div 1000)").as(s"${pfx}_tsm"))
+            col("ts").as(s"${pfx}_tsm"))
           .withWatermark(s"${pfx}_tsm", "1 hour")
       val joined = side("view", "v").join(side("purchase", "p"),
         col("p_user") === col("v_user") &&
