@@ -16,9 +16,25 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (unset on the driver): comma-separated
-    // query names; only those are dumped.
+    // query names; only those are dumped. A filtered dump is NOT a
+    // gradable surface — be loud about it and leave a marker in the
+    // output dir so a partial dump can never pass for a full one.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      System.err.println(
+        "[verify] ############################################################\n" +
+        s"[verify] ## SPARK_GRAFT_ONLY is set (${names.size} of " +
+        s"${SparkEntry.queries.size} queries).\n" +
+        "[verify] ## This dump is PARTIAL and must not be graded.\n" +
+        "[verify] ############################################################")
+      Files.writeString(Paths.get(s"$outDir/PARTIAL_DUMP"),
+        names.toSeq.sorted.mkString("\n"))
+    }
+    // A query that throws must surface as a graded ERROR, never as a
+    // silent omission: collect failures into a manifest the driver
+    // (and tools/check.py) can read alongside the parquet dirs.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,6 +42,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +61,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.keys.mkString(", "))
     spark.stop()
   }
 }

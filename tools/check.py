@@ -66,12 +66,20 @@ def main():
     import pandas as pd
     run_verify()
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    errs = {}
+    if os.path.exists(f"{OUT}/verify_errors.json"):
+        errs = json.load(open(f"{OUT}/verify_errors.json"))
     con = duckdb.connect()
     import glob
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     ok = fail = weak = 0
+    for name, msg in sorted(errs.items()):
+        if ONLY and name not in ONLY:
+            continue
+        fail += 1
+        print(f"  [VERIFY-ERR] {name}: {msg}")
     names = sorted(os.listdir(OUT))
     for name in names:
         if name == "oracle_sql.json" or not os.path.isdir(f"{OUT}/{name}"):
