@@ -92,8 +92,9 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
     pool.shutdownNow()
   }
 
-  // ---- message tags (Bolt 4.4 / 5.0 — identical for this subset) ---
+  // ---- message tags (Bolt 4.4 – 5.x — identical for this subset) ---
   private val HELLO = 0x01; private val GOODBYE = 0x02; private val RESET = 0x0F
+  private val LOGON = 0x6A; private val LOGOFF = 0x6B
   private val RUN = 0x10; private val BEGIN = 0x11; private val COMMIT = 0x12
   private val ROLLBACK = 0x13; private val DISCARD = 0x2F; private val PULL = 0x3F
   private val ROUTE = 0x66
@@ -107,22 +108,34 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
     // handshake: magic + 4 proposals, each 4 bytes (layout
     // [reserved, range, minor, major]); a proposal covers version
     // (M, m) when its major matches and its minor range [minor-range,
-    // minor] includes m. Prefer 4.4 (LTS, most-tested), else 5.0.
+    // minor] includes m. Prefer 4.4 (LTS, most-tested); else the
+    // HIGHEST 5.x minor we speak that any proposal covers — modern
+    // drivers (Java ≥5.6 etc.) propose only 5.minor ranges, and a
+    // server stuck at 5.0 would answer 0.0.0.0 to a 5.4-only range.
     if (in.readInt() != 0x6060B017) return
     val proposals = Seq.fill(4)(in.readInt())
     def covers(p: Int, major: Int, minor: Int): Boolean = {
       val mj = p & 0xFF; val mn = (p >> 8) & 0xFF; val rg = (p >> 16) & 0xFF
       mj == major && minor <= mn && minor >= mn - rg
     }
+    val maxV5Minor = 7 // messages used here are stable through 5.7
     val chosen: Option[Int] =
       if (proposals.exists(covers(_, 4, 4))) Some((4 << 8) | 4)
-      else if (proposals.exists(covers(_, 5, 0))) Some(5)
-      else None
+      else (maxV5Minor to 0 by -1)
+        .find(mn => proposals.exists(covers(_, 5, mn)))
+        .map(mn => (mn << 8) | 5)
     chosen match {
       case None => out.writeInt(0); out.flush(); return
       case Some(v) => out.writeInt(v); out.flush()
     }
-    val v5 = chosen.contains(5)
+    val major = chosen.get & 0xFF
+    val minor = (chosen.get >> 8) & 0xFF
+    val v5 = major == 5
+    // Bolt 5.1 moved authentication out of HELLO into a LOGON message
+    // (LOGOFF returns to the unauthenticated state); ≤5.0 carries
+    // credentials inline in HELLO's extra map.
+    val logonAuth = major == 5 && minor >= 1
+    var helloDone = false
 
     var authed = false
     var failed = false
@@ -169,10 +182,7 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
       }
       else if (failed) writeMessage(out, IGNORED, Nil)
       else if (!authed) {
-        if (tag != HELLO) { failure("Neo.ClientError.Request.Invalid", "expected HELLO"); return }
-        val extra = fields.headOption.collect { case m: Map[_, _] =>
-          m.asInstanceOf[Map[String, Any]] }.getOrElse(Map.empty)
-        val okAuth = session.authStore match {
+        def verifyAuth(extra: Map[String, Any]): Boolean = session.authStore match {
           case None => true
           case Some(store) =>
             extra.get("scheme").contains("basic") &&
@@ -181,14 +191,35 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
                 case _ => false
               })
         }
-        if (okAuth) {
-          authed = true
-          success(Map("server" -> "Neo4j/5.26.0", "connection_id" -> "bolt-1"))
-        } else {
+        def authFailure(): Unit =
           failure("Neo.ClientError.Security.Unauthorized",
             "The client is unauthorized due to authentication failure.")
-          return // auth failures terminate the connection, per the spec
+        if (logonAuth && !helloDone) {
+          // 5.1+: HELLO carries no credentials; answer SUCCESS and
+          // move to the AUTHENTICATION state awaiting LOGON
+          if (tag != HELLO) { failure("Neo.ClientError.Request.Invalid", "expected HELLO"); return }
+          helloDone = true
+          success(Map("server" -> "Neo4j/5.26.0", "connection_id" -> "bolt-1"))
+        } else if (logonAuth) {
+          if (tag != LOGON) { failure("Neo.ClientError.Request.Invalid", "expected LOGON"); return }
+          val auth = fields.headOption.collect { case m: Map[_, _] =>
+            m.asInstanceOf[Map[String, Any]] }.getOrElse(Map.empty)
+          if (verifyAuth(auth)) { authed = true; success(Map.empty) }
+          else { authFailure(); return } // auth failures terminate the connection
+        } else {
+          if (tag != HELLO) { failure("Neo.ClientError.Request.Invalid", "expected HELLO"); return }
+          val extra = fields.headOption.collect { case m: Map[_, _] =>
+            m.asInstanceOf[Map[String, Any]] }.getOrElse(Map.empty)
+          if (verifyAuth(extra)) {
+            authed = true
+            success(Map("server" -> "Neo4j/5.26.0", "connection_id" -> "bolt-1"))
+          } else { authFailure(); return }
         }
+      } else if (logonAuth && tag == LOGOFF) {
+        // back to the AUTHENTICATION state: any open work dies with
+        // the identity that started it
+        try endTx(commit = false) catch { case _: Exception => () }
+        pending = None; authed = false; success(Map.empty)
       } else tag match {
         case RUN =>
           val query = fields.headOption.collect { case s: String => s }.getOrElse("")

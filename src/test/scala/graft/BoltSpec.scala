@@ -333,10 +333,13 @@ class BoltSpec extends AnyFunSuite {
       c.send(0x02); c.close()
 
       // a 5.x-only handshake (5.4 with range back to 5.0) negotiates
-      // 5.0 and the entity structs grow their element_id fields
+      // the highest minor (5.4), auth moves to LOGON, and the entity
+      // structs grow their element_id fields
       val c5 = new Client(port)
-      assert(c5.handshake(0x00040405) == 0x00000005)
+      assert(c5.handshake(0x00040405) == 0x00000405)
       c5.send(0x01, Map("user_agent" -> "graft-test/1.0"))
+      assert(c5.recv()._1 == SUCCESS)
+      c5.send(0x6A, Map("scheme" -> "none")) // LOGON; no credential store
       assert(c5.recv()._1 == SUCCESS)
       c5.send(0x10, "MATCH (n:dog) WHERE n.name = 'Arne' RETURN n",
         Map.empty[String, Any], Map.empty[String, Any])
@@ -455,6 +458,60 @@ class BoltSpec extends AnyFunSuite {
       assert(good.recv()._1 == SUCCESS)
       good.send(0x02)
       good.close()
+    } finally ep.stop()
+  }
+
+  test("Bolt 5.x: highest-minor negotiation, LOGON auth after HELLO, LOGOFF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bolt_logon_").toString
+    val store = new graft.auth.AuthStore(dir)
+    store.setInitialPassword("logonpass")
+    val session = new GraftSession(spark)
+    session.authStore = Some(store)
+    val ep = new BoltEndpoint(session, 0, "127.0.0.1")
+    val port = ep.start()
+    try {
+      // a driver proposing ONLY 5.4 (no ≤5.0 fallback) must connect
+      val bad = new Client(port)
+      assert(bad.handshake(0x00000405) == 0x00000405)
+      bad.send(0x01, Map("user_agent" -> "graft-test/1.0")) // HELLO, no creds in 5.1+
+      assert(bad.recv()._1 == SUCCESS)
+      bad.send(0x6A, Map("scheme" -> "basic", "principal" -> "neo4j",
+        "credentials" -> "wrong")) // LOGON
+      val (tb, fb) = bad.recv()
+      assert(tb == FAILURE)
+      assert(fb.head.asInstanceOf[Map[String, Any]]("code").toString
+        .contains("Unauthorized"))
+      bad.close()
+
+      val c = new Client(port)
+      assert(c.handshake(0x00030405) == 0x00000405) // range 5.1–5.4 → 5.4
+      c.send(0x01, Map("user_agent" -> "graft-test/1.0"))
+      val (th, fh) = c.recv()
+      assert(th == SUCCESS)
+      assert(fh.head.asInstanceOf[Map[String, Any]]("server") == "Neo4j/5.26.0")
+      c.send(0x6A, Map("scheme" -> "basic", "principal" -> "neo4j",
+        "credentials" -> "logonpass"))
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x10, "RETURN 1 AS one", Map.empty[String, Any], Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x3F, Map("n" -> -1L))
+      val (tr, fr) = c.recv()
+      assert(tr == RECORD && fr.head == Seq(1L))
+      assert(c.recv()._1 == SUCCESS)
+      // LOGOFF drops back to the authentication state; LOGON re-enters
+      c.send(0x6B)
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x6A, Map("scheme" -> "basic", "principal" -> "neo4j",
+        "credentials" -> "logonpass"))
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x10, "RETURN 2 AS two", Map.empty[String, Any], Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x3F, Map("n" -> -1L))
+      val (t2, f2) = c.recv()
+      assert(t2 == RECORD && f2.head == Seq(2L))
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x02)
+      c.close()
     } finally ep.stop()
   }
 
