@@ -28,8 +28,17 @@ object StreamingOps {
   /** Streaming tumbling-window counts: 1-hour windows, 2-hour
     * watermark for late data. */
   def windowedCounts(spark: SparkSession, sourceDir: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(sourceDir)
-      .withWatermark("ts", "2 hours")
+    windowedCountsOf(spark.readStream.schema(eventSchema).parquet(sourceDir))
+
+  /** Same aggregation over any streaming source frame — lets a
+    * deployment (or spec) pick its own source pacing options
+    * (`maxFilesPerTrigger`, Kafka, …) while keeping one definition of
+    * the aggregation. In Append mode the watermark is what closes
+    * windows: a window emits once the watermark passes its end, and
+    * its state row is evicted — state is bounded by the horizon, not
+    * the stream's lifetime. */
+  def windowedCountsOf(src: DataFrame): DataFrame =
+    src.withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))

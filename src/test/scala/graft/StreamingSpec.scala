@@ -93,6 +93,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.filter(_.getLong(0) == 2L).forall(_.getString(1) == "silver"))
   }
 
+  test("append mode with watermark across micro-batches: closed windows emit, state stays bounded") {
+    import spark.implicits._
+    // two source files, processed as SEPARATE micro-batches via
+    // maxFilesPerTrigger=1 — the continuous-operation shape: the
+    // watermark advances between batches and closes earlier windows
+    val dir = Files.createTempDirectory("graft-stream-append").toString
+    def writeOne(name: String, evs: Seq[Ev], modMinute: Long): Unit = {
+      val stage = Files.createTempDirectory("graft-stream-stage").toString
+      evs.toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$dir/$name")
+      Files.move(part.toPath, dst)
+      // the file source processes oldest-modified first: pin the order
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(modMinute * 60000L))
+    }
+    // batch 1: hour-0 events; batch 2: an hour-3 event that advances
+    // the 2h watermark to 1:10, past the hour-0 window's 1:00 end
+    writeOne("a.parquet", Seq(
+      Ev(0, ts(0), 1, "click", 1.0), Ev(1, ts(10), 1, "view", 2.0),
+      Ev(2, ts(20), 2, "click", 3.0)), modMinute = 1)
+    writeOne("b.parquet", Seq(Ev(3, ts(190), 1, "click", 4.0)), modMinute = 2)
+
+    val src = spark.readStream.schema(StreamingOps.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingOps.windowedCountsOf(src).writeStream
+      .format("memory").queryName("append_win").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 2, s"expected >=2 data micro-batches, saw $dataBatches")
+
+    // only the CLOSED hour-0 windows may appear; hour 3 is still open
+    val emitted = spark.sql("SELECT hour, event_type, n FROM append_win")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    assert(emitted == Set((0L, "click", 2L), (0L, "view", 1L)),
+      s"append emitted $emitted")
+
+    // state holds only the open window's group(s), not everything seen
+    val stateRows = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators.head.numRowsTotal
+    assert(stateRows <= 2, s"state not bounded: $stateRows rows")
+  }
+
   test("flatMapGroupsWithState sessionizes with a 30-minute gap") {
     val dir = writeSource()
     drain(StreamingOps.sessionCounts(spark, dir).toDF(), "sess_counts")
