@@ -63,9 +63,21 @@ final class GraftSession(val spark: SparkSession,
     * re-pointed at the durable snapshot: the append-log lineage
     * collapses into one parquet read (compaction), and the old lazy
     * plan never dangles on the replaced files. */
+  private def schemaMeta(db: String): SnapshotStore.SchemaMeta = {
+    val d = catalog.database(db)
+    SnapshotStore.SchemaMeta(d.constraints.toMap, d.indexes.toMap)
+  }
+
+  private def applySchemaMeta(db: String, s: SnapshotStore.SchemaMeta): Unit = {
+    val d = catalog.database(db)
+    d.constraints.clear(); d.constraints ++= s.constraints
+    d.indexes.clear(); d.indexes ++= s.indexes
+  }
+
   def saveDatabase(dataDir: String, db: String = "neo4j"): Unit = {
     val dir = s"$dataDir/databases/$db"
-    SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), dir, db)
+    SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), dir, db,
+      schemaMeta(db))
     setGraph(PropertyGraph(spark.read.parquet(s"$dir/nodes"),
       spark.read.parquet(s"$dir/edges")), db)
     // the durable snapshot replaced the append-log lineage: any
@@ -75,10 +87,12 @@ final class GraftSession(val spark: SparkSession,
 
   /** Load a database from the data-dir snapshot. */
   def loadDatabase(dataDir: String, db: String = "neo4j"): Unit = {
-    val (g, m) = SnapshotStore.read(spark, s"$dataDir/databases/$db")
+    val dir = s"$dataDir/databases/$db"
+    val (g, m) = SnapshotStore.read(spark, dir)
     catalog.createDatabase(db)
     setGraph(g, db)
     catalog.database(db).nextId.set(m.nextId)
+    applySchemaMeta(db, SnapshotStore.readSchema(dir))
     catalog.database(db).releasePinned()
   }
 
@@ -89,13 +103,15 @@ final class GraftSession(val spark: SparkSession,
     if (!catalog.database(db).stopped)
       throw new IllegalStateException(
         s"database $db is started; STOP DATABASE $db before dumping")
-    SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), s"$toPath/$db.dump", db)
+    SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), s"$toPath/$db.dump", db,
+      schemaMeta(db))
   }
 
   /** Online backup: the immutable snapshot makes this safe while the
     * database serves reads (ref TestBackupRestore.java:117-127). */
   def backupDatabase(toPath: String, db: String = "neo4j"): Unit =
-    SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), s"$toPath/$db.backup", db)
+    SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), s"$toPath/$db.backup", db,
+      schemaMeta(db))
 
   /** Cluster-availability/readiness probe (SURVEY §2.9 — ref
     * WaitStrategies.java:24-28 polls /db/<db>/cluster/available):
@@ -139,6 +155,7 @@ final class GraftSession(val spark: SparkSession,
     val (g, m) = SnapshotStore.read(spark, s"$fromPath/$db.backup")
     setGraph(g, db)
     catalog.database(db).nextId.set(m.nextId)
+    applySchemaMeta(db, SnapshotStore.readSchema(s"$fromPath/$db.backup"))
   }
 
   // ----------------------------------------------------------------

@@ -16,7 +16,12 @@ import org.apache.spark.sql.SparkSession
   */
 object SnapshotStore {
 
-  val FormatVersion = 1
+  /** v0: manifest-less bare `nodes/` + `edges/`; v1: + manifest.json;
+    * v2: + schema.json (uniqueness constraints + index metadata —
+    * before v2 a dump/load round-trip silently dropped constraints).
+    * Older snapshots upgrade IN PLACE on first read, the reference's
+    * store-migration-on-startup behavior (ref TestUpgrade.java:54-73). */
+  val FormatVersion = 2
 
   final case class Manifest(
       formatVersion: Int,
@@ -25,6 +30,12 @@ object SnapshotStore {
       edgeCount: Long,
       nextId: Long)
 
+  /** Schema metadata riding with a snapshot: name -> (label, prop). */
+  final case class SchemaMeta(
+      constraints: Map[String, (String, String)],
+      indexes: Map[String, (String, String)])
+  object SchemaMeta { val empty: SchemaMeta = SchemaMeta(Map.empty, Map.empty) }
+
   /** Write a snapshot of the graph (+ id-allocator state) to `dir`.
     *
     * Writes land in a temp sibling first and swap in atomically-ish:
@@ -32,7 +43,8 @@ object SnapshotStore {
     * database loaded from this snapshot and then mutated), and a
     * direct overwrite would delete the write job's own input files
     * mid-read. */
-  def write(graph: PropertyGraph, nextId: Long, dir: String, database: String): Manifest = {
+  def write(graph: PropertyGraph, nextId: Long, dir: String, database: String,
+      schema: SchemaMeta = SchemaMeta.empty): Manifest = {
     val tmp = s"$dir/.tmp-write"
     deleteDir(tmp)
     graph.nodes.write.mode("overwrite").parquet(s"$tmp/nodes")
@@ -57,12 +69,15 @@ object SnapshotStore {
     Files.writeString(Paths.get(s"$tmp/manifest.json"),
       s"""{"format_version": ${m.formatVersion}, "database": "${m.database}", """ +
         s""""node_count": ${m.nodeCount}, "edge_count": ${m.edgeCount}, "next_id": ${m.nextId}}""")
+    Files.writeString(Paths.get(s"$tmp/schema.json"), schemaJson(schema))
     Files.createDirectories(Paths.get(dir))
     Files.deleteIfExists(Paths.get(s"$dir/manifest.json")) // invalidate before touching data
     deleteDir(s"$dir/nodes")
     deleteDir(s"$dir/edges")
+    Files.deleteIfExists(Paths.get(s"$dir/schema.json"))
     Files.move(Paths.get(s"$tmp/nodes"), Paths.get(s"$dir/nodes"))
     Files.move(Paths.get(s"$tmp/edges"), Paths.get(s"$dir/edges"))
+    Files.move(Paths.get(s"$tmp/schema.json"), Paths.get(s"$dir/schema.json"))
     Files.move(Paths.get(s"$tmp/manifest.json"), Paths.get(s"$dir/manifest.json"))
     deleteDir(tmp)
     m
@@ -77,7 +92,7 @@ object SnapshotStore {
     * data, next id = max node id + 1 — and the snapshot loads like any
     * current one. */
   def read(spark: SparkSession, dir: String): (PropertyGraph, Manifest) = {
-    val m =
+    val m0 =
       if (Files.exists(Paths.get(s"$dir/manifest.json"))) readManifest(dir)
       else if (Files.exists(Paths.get(s"$dir/nodes"))) {
         val nodes = spark.read.parquet(s"$dir/nodes")
@@ -86,14 +101,68 @@ object SnapshotStore {
         Manifest(0, dir.split('/').last, nodes.count(),
           spark.read.parquet(s"$dir/edges").count(), maxId + 1)
       } else throw new java.io.FileNotFoundException(s"no snapshot at $dir")
-    if (m.formatVersion > FormatVersion)
+    if (m0.formatVersion > FormatVersion)
       throw new IllegalStateException(
-        s"snapshot at $dir has format version ${m.formatVersion}, " +
+        s"snapshot at $dir has format version ${m0.formatVersion}, " +
           s"but this engine supports at most $FormatVersion")
+    val m = if (m0.formatVersion < FormatVersion) migrateInPlace(dir, m0) else m0
     val g = PropertyGraph(
       spark.read.parquet(s"$dir/nodes"),
       spark.read.parquet(s"$dir/edges"))
-    (migrate(g, m.formatVersion), m)
+    (g, m)
+  }
+
+  /** Upgrade an older-format snapshot directory to the current layout,
+    * chaining one step per version so each migration stays a small
+    * local diff (the reference upgrades 3.5→4.4→5.x the same way,
+    * ref TestUpgrade.java:54-73). Each step ends by rewriting the
+    * manifest at its target version — the commit point — so a crash
+    * mid-upgrade re-runs only the remaining idempotent steps. */
+  private def migrateInPlace(dir: String, m: Manifest): Manifest = {
+    var cur = m
+    while (cur.formatVersion < FormatVersion) {
+      cur.formatVersion match {
+        case 0 => // v0→v1: materialize the synthesized manifest
+          ()
+        case 1 => // v1→v2: snapshots gain schema.json (none recorded)
+          if (!Files.exists(Paths.get(s"$dir/schema.json")))
+            Files.writeString(Paths.get(s"$dir/schema.json"),
+              schemaJson(SchemaMeta.empty))
+        case v => throw new IllegalStateException(
+          s"no migration from snapshot format $v at $dir")
+      }
+      cur = cur.copy(formatVersion = cur.formatVersion + 1)
+      Files.writeString(Paths.get(s"$dir/manifest.json"),
+        s"""{"format_version": ${cur.formatVersion}, "database": "${cur.database}", """ +
+          s""""node_count": ${cur.nodeCount}, "edge_count": ${cur.edgeCount}, "next_id": ${cur.nextId}}""")
+    }
+    cur
+  }
+
+  /** Read the schema metadata of a (current-format) snapshot. Missing
+    * file reads as empty — read() has already migrated by the time
+    * callers ask. */
+  def readSchema(dir: String): SchemaMeta = {
+    val path = Paths.get(s"$dir/schema.json")
+    if (!Files.exists(path)) return SchemaMeta.empty
+    val text = Files.readString(path)
+    def section(name: String): Map[String, (String, String)] = {
+      val start = text.indexOf("\"" + name + "\"")
+      if (start < 0) return Map.empty
+      val end = text.indexOf('}', start)
+      val body = text.substring(start, if (end < 0) text.length else end)
+      """"([^"]+)"\s*:\s*\[\s*"([^"]*)"\s*,\s*"([^"]*)"\s*\]""".r
+        .findAllMatchIn(body)
+        .map(m => m.group(1) -> (m.group(2), m.group(3))).toMap
+    }
+    SchemaMeta(section("constraints"), section("indexes"))
+  }
+
+  private def schemaJson(s: SchemaMeta): String = {
+    def sec(m: Map[String, (String, String)]): String =
+      m.toSeq.sortBy(_._1).map { case (n, (l, p)) =>
+        s""""$n": ["$l", "$p"]""" }.mkString("{", ", ", "}")
+    s"""{"constraints": ${sec(s.constraints)}, "indexes": ${sec(s.indexes)}}"""
   }
 
   def exists(dir: String): Boolean =
@@ -112,11 +181,6 @@ object SnapshotStore {
     Manifest(field("format_version").toInt, field("database"),
       field("node_count").toLong, field("edge_count").toLong, field("next_id").toLong)
   }
-
-  /** Upgrade-in-place hook: per-version migrations applied on load
-    * (none yet — v1 is current; the seam exists so old snapshots keep
-    * loading as the format evolves). */
-  private def migrate(g: PropertyGraph, fromVersion: Int): PropertyGraph = g
 
   /** Recursive copy used by dump/load/backup/restore verbs (a snapshot
     * directory is a self-contained artifact). */

@@ -133,7 +133,8 @@ class AdminSpec extends AnyFunSuite {
     // simulate a snapshot from a future engine
     val path = java.nio.file.Paths.get(s"$dir/databases/neo4j/manifest.json")
     Files.writeString(path, Files.readString(path).replace(
-      "\"format_version\": 1", "\"format_version\": 99"))
+      s""""format_version": ${graft.core.SnapshotStore.FormatVersion}""",
+      "\"format_version\": 99"))
     intercept[IllegalStateException] {
       new GraftSession(spark).loadDatabase(dir)
     }
@@ -188,6 +189,51 @@ class AdminSpec extends AnyFunSuite {
       == graft.core.SnapshotStore.FormatVersion)
     verifyDogs(s)
     assert(s.graph().nodes.count() == 3)
+  }
+
+  test("format migration chain: v0 and v1 snapshots upgrade IN PLACE to the current layout") {
+    import graft.core.SnapshotStore
+    val data = tmp("graft-data")
+    dogsSession().saveDatabase(data)
+    val snap = s"$data/databases/neo4j"
+    // rewind the on-disk snapshot to v1: pre-schema.json manifest
+    Files.delete(java.nio.file.Paths.get(s"$snap/schema.json"))
+    val mpath = java.nio.file.Paths.get(s"$snap/manifest.json")
+    Files.writeString(mpath, Files.readString(mpath).replace(
+      s""""format_version": ${SnapshotStore.FormatVersion}""",
+      "\"format_version\": 1"))
+    assert(SnapshotStore.readManifest(snap).formatVersion == 1)
+    // first read migrates the DIRECTORY, not just the in-memory view
+    val s1 = new GraftSession(spark)
+    s1.loadDatabase(data)
+    verifyDogs(s1)
+    assert(SnapshotStore.readManifest(snap).formatVersion == SnapshotStore.FormatVersion)
+    assert(Files.exists(java.nio.file.Paths.get(s"$snap/schema.json")))
+    // rewind all the way to v0 (bare parquet): the chain runs 0→1→2
+    Files.delete(mpath)
+    Files.delete(java.nio.file.Paths.get(s"$snap/schema.json"))
+    val s0 = new GraftSession(spark)
+    s0.loadDatabase(data)
+    verifyDogs(s0)
+    val m = SnapshotStore.readManifest(snap)
+    assert(m.formatVersion == SnapshotStore.FormatVersion)
+    assert(m.nodeCount == 2 && m.edgeCount == 1)
+    assert(Files.exists(java.nio.file.Paths.get(s"$snap/schema.json")))
+  }
+
+  test("uniqueness constraints survive a save -> load round-trip (schema.json)") {
+    val data = tmp("graft-data")
+    val s = dogsSession()
+    s.cypher("CREATE CONSTRAINT uniq_snap FOR (d:dog) REQUIRE d.name IS UNIQUE")
+    s.saveDatabase(data)
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(data)
+    val cons = fresh.cypher("SHOW CONSTRAINTS").collect()
+    assert(cons.exists(_.getString(cons.head.fieldIndex("name")) == "uniq_snap"))
+    // and it ENFORCES: a duplicate name is refused post-load
+    intercept[Exception] {
+      fresh.cypher("CREATE (d:dog {name:'Arne'})")
+    }
   }
 
   test("admin refuses to run the server (neo4j-admin/docker-entrypoint.sh:49-60)") {
