@@ -1088,9 +1088,63 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * threaded; nested comprehensions save/restore around the body). */
   private var lambdaBinds: Map[String, Column] = Map.empty
 
+  /** Static types for lambda-bound variables, propagated from the
+    * source list's element type (and reduce's init). A lambda arg
+    * Column can never be probed via `df.select`, so without this the
+    * type-directed operators (`+`, subscript, property access) had to
+    * guess inside lambda scopes; with it they resolve exactly, and
+    * the residual truly-unresolvable cases refuse loudly (ADVICE r9). */
+  private var lambdaTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty
+
+  /** Probe a column's type against the frame; None when the column
+    * references an in-flight lambda argument (unresolvable by design). */
+  private def colType(c: Column, df: DataFrame): Option[org.apache.spark.sql.types.DataType] =
+    try Some(df.select(c).schema.head.dataType) catch { case _: Throwable => None }
+
+  /** Best-effort static type of an expression: lambda vars from the
+    * propagated environment, struct fields through it, everything else
+    * by probing the frame. */
+  private def staticType(e: Expr, c: Column, df: DataFrame): Option[org.apache.spark.sql.types.DataType] = e match {
+    case Variable(n) if lambdaBinds.contains(n) && lambdaTypes.contains(n) =>
+      lambdaTypes.get(n)
+    case Prop(v, k) if lambdaBinds.contains(v) =>
+      lambdaTypes.get(v).collect {
+        case st: org.apache.spark.sql.types.StructType if st.fieldNames.contains(k) =>
+          st(k).dataType
+      }
+    case _ => colType(c, df)
+  }
+
+  /** Run `body` with lambda variable `v` bound to `x`, carrying the
+    * static type when the source was resolvable (removing any stale
+    * outer binding of the same name when it was not). */
+  private def withLambda[A](v: String, x: Column,
+      t: Option[org.apache.spark.sql.types.DataType])(body: => A): A = {
+    val savedB = lambdaBinds; val savedT = lambdaTypes
+    lambdaBinds = lambdaBinds.updated(v, x)
+    lambdaTypes = t match {
+      case Some(dt) => lambdaTypes.updated(v, dt)
+      case None     => lambdaTypes - v
+    }
+    try body finally { lambdaBinds = savedB; lambdaTypes = savedT }
+  }
+
+  private def elemTypeOf(arr: Column, df: DataFrame): Option[org.apache.spark.sql.types.DataType] =
+    colType(arr, df).collect { case org.apache.spark.sql.types.ArrayType(et, _) => et }
+
   def compileExpr(e: Expr, df: DataFrame): Column = e match {
     case Lit(null)      => lit(null)
     case Lit(v)         => lit(v)
+    // property access on a lambda-bound value: resolve through the
+    // propagated element type — a known map-struct reads its field
+    // (missing keys null, openCypher), an unknown type lets Spark's
+    // resolver refuse loudly rather than silently nulling out
+    case Prop(v, k) if lambdaBinds.contains(v) =>
+      lambdaTypes.get(v) match {
+        case Some(st: org.apache.spark.sql.types.StructType) =>
+          if (st.fieldNames.contains(k)) lambdaBinds(v).getField(k) else lit(null)
+        case _ => lambdaBinds(v).getField(k)
+      }
     case Prop(v, k)     =>
       val c = s"$v$SEP$k"
       if (df.columns.contains(c)) col(c)
@@ -1135,23 +1189,19 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       else if (df.columns.contains(s"$n${SEP}relType")) col(s"$n${SEP}relType")
       else throw new NoSuchElementException(s"Variable `$n` not defined")
     case ListComp(v, l, w, p) =>
-      def body(e0: Expr, x: Column): Column = {
-        val saved = lambdaBinds
-        lambdaBinds = lambdaBinds.updated(v, x)
-        try compileExpr(e0, df) finally lambdaBinds = saved
-      }
       var arr = compileExpr(l, df)
+      val et = elemTypeOf(arr, df)
+      def body(e0: Expr, x: Column): Column =
+        withLambda(v, x, et)(compileExpr(e0, df))
       w.foreach(cond => arr = filter(arr, x => body(cond, x)))
       p.foreach(proj => arr = transform(arr, x => body(proj, x)))
       arr
     // list predicates → Spark higher-order functions (codegen'd, no UDF)
     case ListPred(fn, v, l, p) =>
-      def pred(x: Column): Column = {
-        val saved = lambdaBinds
-        lambdaBinds = lambdaBinds.updated(v, x)
-        try compileExpr(p, df) finally lambdaBinds = saved
-      }
       val arr = compileExpr(l, df)
+      val et = elemTypeOf(arr, df)
+      def pred(x: Column): Column =
+        withLambda(v, x, et)(compileExpr(p, df))
       fn match {
         case "any"    => exists(arr, pred)
         case "all"    => forall(arr, pred)
@@ -1159,11 +1209,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         case "single" => size(filter(arr, x => pred(x))) === 1
       }
     case ReduceExpr(acc, init, v, l, e) =>
-      aggregate(compileExpr(l, df), compileExpr(init, df), (a, x) => {
-        val saved = lambdaBinds
-        lambdaBinds = lambdaBinds.updated(acc, a).updated(v, x)
-        try compileExpr(e, df) finally lambdaBinds = saved
-      })
+      val arr = compileExpr(l, df)
+      val initC = compileExpr(init, df)
+      val accT = colType(initC, df)
+      val et = elemTypeOf(arr, df)
+      aggregate(arr, initC, (a, x) =>
+        withLambda(acc, a, accT)(withLambda(v, x, et)(compileExpr(e, df))))
     // xs[i] — Cypher is 0-based with negative-from-end; element_at is
     // 1-based with negative-from-end, and the try_ variant nulls (not
     // throws, ANSI default) on out-of-range, matching Cypher. Map
@@ -1207,12 +1258,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       val c = compileExpr(e, df)
       val ci = compileExpr(i, df)
       import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
-      def probe(x: Column): Option[org.apache.spark.sql.types.DataType] =
-        try Some(df.select(x).schema.head.dataType) catch { case _: Throwable => None }
       def listAt: Column =
         when(ci >= 0, try_element_at(c, (ci + 1).cast("int")))
           .otherwise(try_element_at(c, ci.cast("int")))
-      probe(c) match {
+      staticType(e, c, df) match {
         case Some(_: MapType)   => try_element_at(c, ci)
         case Some(_: ArrayType) => listAt
         // struct-encoded maps (map projections): literal string key only
@@ -1224,15 +1273,15 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         case Some(other) => throw new UnsupportedOperationException(
           s"subscript over a ${other.simpleString} value — only lists and maps support [..]")
         case None =>
-          // target unresolvable against the frame (lambda-bound inside a
-          // comprehension/predicate): decide by the INDEX — a string key
-          // means map semantics, a numeric index means list semantics;
-          // anything else is refused rather than silently nulling out
+          // target unresolvable even through the lambda type
+          // environment: decide by the INDEX — a string key means map
+          // semantics, a numeric index means list semantics; anything
+          // else is refused rather than silently nulling out
           // (m['k'] on a lambda-bound map must not cast 'k' to int)
           i match {
             case Lit(_: String) => try_element_at(c, ci)
             case Lit(_: Int) | Lit(_: Long) | Lit(_: Double) => listAt
-            case _ => probe(ci) match {
+            case _ => staticType(i, ci, df) match {
               case Some(StringType) => try_element_at(c, ci)
               case Some(dt) if dt.isInstanceOf[org.apache.spark.sql.types.NumericType] => listAt
               case _ => throw new UnsupportedOperationException(
@@ -1276,21 +1325,21 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case IsNull(x, true)  => compileExpr(x, df).isNotNull
     // openCypher `+` is type-directed: string concatenation when either
     // side is a string (the other coerces), list concatenation on two
-    // lists, numeric addition otherwise. Resolve the operand types
-    // against the frame; lambda-bound columns can't be resolved that
-    // way and keep numeric semantics (same bound as isArrayCol).
+    // lists, numeric addition otherwise. Operand types resolve against
+    // the frame, or through the lambda type environment inside
+    // comprehension/predicate/reduce scopes; when BOTH sides stay
+    // unresolvable the statement is refused loudly — guessing numeric
+    // there silently nulled string concatenations (ADVICE r9).
     case Arith("+", l, r) =>
       val (cl, cr) = (compileExpr(l, df), compileExpr(r, df))
-      def typ(c: Column): Option[org.apache.spark.sql.types.DataType] =
-        try Some(df.select(c).schema.head.dataType) catch { case _: Throwable => None }
-      // a lambda-bound operand can't be resolved against the frame; a
-      // string LITERAL on either side still forces concatenation there
-      // (`x + '-sfx'` inside transform() must not become numeric null)
+      // a string LITERAL on either side forces concatenation even when
+      // the other side is unresolvable (`x + '-sfx'` inside transform()
+      // must not become numeric null)
       def litStr(e0: Expr): Boolean = e0 match {
         case Lit(_: String) => true
         case _              => false
       }
-      (typ(cl), typ(cr)) match {
+      (staticType(l, cl, df), staticType(r, cr, df)) match {
         case (Some(org.apache.spark.sql.types.StringType), _) |
              (_, Some(org.apache.spark.sql.types.StringType)) =>
           concat(cl.cast("string"), cr.cast("string"))
@@ -1298,6 +1347,11 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
               Some(_: org.apache.spark.sql.types.ArrayType)) => concat(cl, cr)
         case (None, _) | (_, None) if litStr(l) || litStr(r) =>
           concat(cl.cast("string"), cr.cast("string"))
+        case (None, None) => throw new UnsupportedOperationException(
+          "cannot determine `+` semantics: both operand types are " +
+            "unresolvable (lambda-bound) — string concatenation, list " +
+            "concatenation and numeric addition are all possible; bind " +
+            "the values through WITH first or use a literal operand")
         case _ => cl + cr
       }
     case Arith("-", l, r) => compileExpr(l, df) - compileExpr(r, df)

@@ -1302,6 +1302,33 @@ class CypherSpec extends AnyFunSuite {
     assert(m.getString(0) == "1" && m.isNullAt(1))
   }
 
+  test("lambda scopes carry static types: string +, map subscript and property access resolve (ADVICE r9)") {
+    val s = new GraftSession(spark)
+    // string + inside reduce/transform used to guess numeric semantics
+    // and silently null out; the propagated element type resolves it
+    val r = s.cypher(
+      """WITH ['a', 'b', 'c'] AS xs, [{k:'v1'}, {k:'v2'}] AS ms
+        |RETURN reduce(s = '', x IN xs | s + x) AS cat,
+        |  [x IN xs | x + '!'] AS bang,
+        |  [m IN ms | m['k']] AS keyed,
+        |  [m IN ms | m.k] AS dotted,
+        |  [m IN ms | m.nope] AS missing,
+        |  reduce(n = 0, x IN [1, 2, 3] | n + x) AS total
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "abc")
+    assert(r.getSeq[String](1) == Seq("a!", "b!", "c!"))
+    assert(r.getSeq[String](2) == Seq("v1", "v2"))
+    assert(r.getSeq[String](3) == Seq("v1", "v2"))
+    assert(r.getSeq[Any](4) == Seq(null, null)) // missing key → null, not an error
+    assert(r.getLong(5) == 6L)
+    // nested lambdas: the inner scope sees the outer element's type
+    val n = s.cypher(
+      """WITH [['a','b'], ['c']] AS xss
+        |RETURN [xs IN xss | reduce(s = '', x IN xs | s + x)] AS cats
+        |""".stripMargin).collect().head
+    assert(n.getSeq[String](0) == Seq("ab", "c"))
+  }
+
   test("shortestPath binds first-hit hop distances to length(p)") {
     val s = new GraftSession(spark)
     // chain a->b->c->d plus a shortcut a->c: dist(a,c) must be 1
