@@ -76,9 +76,13 @@ object GraphViews {
     val nodes = li.select(nodeId(col("p"), TAG_PART).as("id"))
       .distinct().withColumn("labels", array(lit("part")))
     val b = li.select(col("o").as("o2"), col("p").as("p2"))
+    // deterministic Long cost property for weighted traversals
+    // (gds.dijkstra): a pure function of the canonical (p, p2) pair, so
+    // an oracle can recompute it exactly
     val edges = li.join(b, col("o") === col("o2") && col("p") < col("p2"))
       .select(nodeId(col("p"), TAG_PART).as("src"), nodeId(col("p2"), TAG_PART).as("dst"),
-        lit("CO").as("relType")).distinct()
+        lit("CO").as("relType"),
+        ((col("p") + col("p2")) % 9 + 1).cast("long").as("weight")).distinct()
     PropertyGraph(nodes, edges)
   }
 }

@@ -217,6 +217,41 @@ object GraphAlgos {
         "CALL gds.shortestPath(1, 'IN') YIELD node_id, distance RETURN node_id, distance")
     },
 
+    // Weighted SSSP (Dijkstra) over the co-purchase graph: edge cost =
+    // (p + p2) % 9 + 1 (a pure function of the canonical pair, so the
+    // oracle recomputes it), source = the smallest part node, costs
+    // capped at 15 on BOTH sides. The engine runs GraphX Pregel
+    // min-plus to convergence; the oracle explores (node, cost) states
+    // with a DuckDB recursive CTE — the UNION dedups states and the
+    // cap bounds them, so it terminates, and positive weights mean any
+    // path with total cost <= 15 has all prefixes <= 15: min(cost) per
+    // node equals the true shortest cost wherever that is <= 15.
+    sql("gds_dijkstra",
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey < 3000),
+        |pair AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+        |         FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |e AS (SELECT pa*10+6 AS src, pb*10+6 AS dst, (pa + pb) % 9 + 1 AS w FROM pair
+        |      UNION ALL
+        |      SELECT pb*10+6, pa*10+6, (pa + pb) % 9 + 1 FROM pair),
+        |walk(node, cost) AS (
+        |  SELECT CAST(min(p)*10+6 AS BIGINT), CAST(0 AS BIGINT) FROM li
+        |  UNION
+        |  SELECT e.dst, walk.cost + e.w
+        |  FROM walk JOIN e ON e.src = walk.node
+        |  WHERE walk.cost + e.w <= 15)
+        |SELECT node AS node_id, CAST(min(cost) AS BIGINT) AS cost
+        |FROM walk GROUP BY node""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, min}
+      val src = graft.core.Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 3000)
+        .agg(min("l_partkey")).collect().head.getLong(0) * 10 + 6
+      coSession(s, dir).cypher(
+        s"CALL gds.dijkstra($src, 'CO') YIELD node_id, cost " +
+          "WHERE cost <= 15 RETURN node_id, cost")
+    },
+
     // PageRank over IN edges, 10 fixed iterations. Rank arithmetic is
     // scaled-Long on both engines (Gds.pageRank), so the hash gate
     // holds: the oracle replays the same integer recurrence as chained

@@ -113,6 +113,33 @@ object Gds {
     sp.toDF("node_id", "distance")
   }
 
+  /** Weighted single-source shortest path (Dijkstra semantics) over
+    * the UNDIRECTED projection, edge cost from a Long `weight`
+    * property — GraphX Pregel min-plus relaxation: each superstep
+    * relaxes only vertices whose distance improved (Pregel's active
+    * set IS Dijkstra's frontier, batched), messages are `dist + w`
+    * aggregated by min, convergence when no distance improves. At
+    * scale each superstep is one keyed shuffle over the frontier's
+    * out-edges; no all-pairs state ever materializes. Unreachable
+    * nodes are omitted. */
+  def dijkstra(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      source: Long, weightProp: String = "weight"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ed = relType.map(g.edgesOfType).getOrElse(g.edges)
+      .select(col("src"), col("dst"), col(weightProp).cast("long").as("w"))
+    val und = ed.union(ed.select(col("dst"), col("src"), col("w")))
+    val vertices = g.nodes.select("id").rdd
+      .map(r => (r.getLong(0), if (r.getLong(0) == source) 0L else Long.MaxValue))
+    val edges = und.rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), r.getLong(2)))
+    val res = GXGraph(vertices, edges).pregel(Long.MaxValue)(
+      (_, d, m) => math.min(d, m),
+      t => if (t.srcAttr != Long.MaxValue && t.srcAttr + t.attr < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + t.attr)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    import spark.implicits._
+    res.vertices.filter(_._2 != Long.MaxValue).toDF("node_id", "cost")
+  }
+
   /** gds.nodeSimilarity: Jaccard similarity of out-neighbor sets for
     * node pairs sharing at least one neighbor (the GDS semantic),
     * as DataFrame joins — blocking on the shared neighbor keeps work

@@ -140,6 +140,13 @@ object Packs {
       val landmark = String.valueOf(args.head).toLong
       Gds.shortestPath(spark, session.graph(), relTypeArg(args, 1), landmark)
     }
+    procs.register("gds.dijkstra",
+      "(source :: INTEGER, relType :: STRING?) :: (node_id, cost)",
+      "Weighted single-source shortest path over the undirected " +
+        "projection, Long `weight` edge property (GraphX Pregel)") { args =>
+      val source = String.valueOf(args.head).toLong
+      Gds.dijkstra(spark, session.graph(), relTypeArg(args, 1), source)
+    }
     procs.register("gds.triangleCount", "(relType :: STRING?) :: (node_id, triangles)",
       "Per-node triangle count (GraphX)") { args =>
       Gds.triangleCount(spark, session.graph(), relTypeArg(args, 0))

@@ -109,6 +109,18 @@ class PacksSpec extends AnyFunSuite {
     assert(rows == Map(0L -> 2L, 1L -> 1L, 2L -> 0L))
   }
 
+  test("gds.dijkstra: weighted cost takes the cheap detour over the direct edge") {
+    val s = sessionWith("graph-data-science")
+    // a-b (1), b-c (1), a-c (5), c-d (1): cheapest a->c is 2 via b,
+    // not the direct weight-5 edge; d costs 3. Undirected projection.
+    s.cypher("CREATE (a:n {name:'a'})-[:T {weight: 1}]->(b:n {name:'b'})-[:T {weight: 1}]->(c:n {name:'c'})")
+    s.cypher("MATCH (a:n {name:'a'}), (c:n {name:'c'}) CREATE (a)-[:T {weight: 5}]->(c)")
+    s.cypher("MATCH (c:n {name:'c'}) CREATE (c)-[:T {weight: 1}]->(d:n {name:'d'})")
+    val rows = s.cypher("CALL gds.dijkstra(0) YIELD node_id, cost")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("gds.closeness/harmonic: chain + pair, undirected hop distances") {
     val s = chainSession
     // undirected chain a-b-c: a: d(b)=1 d(c)=2; b: 1,1; c: 2,1. pair d-e: 1.
