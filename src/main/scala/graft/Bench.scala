@@ -105,9 +105,11 @@ object Bench {
           java.nio.file.Paths.get(s"$tmp/$name.parquet"))
       }
 
-      // events: raw read keeps ts as int64 nanos (nanosAsLong is on
-      // after the catalog ran); same time range, 10× density — join
-      // state grows 10×, which is exactly what the slope should see
+      // events: a raw read/write round-trips ts in whatever layout the
+      // footer declares (nanos-long under nanosAsLong, or native
+      // micros) — the adaptive Tables.normalizeEventTs reads either.
+      // Same time range, 10× density: join state grows 10×, which is
+      // exactly what the slope should see
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       write(rep(spark.read.parquet(s"$sfDir/events.parquet"),
         Seq("event_id", "user_id")), "events")
@@ -134,17 +136,46 @@ object Bench {
       val probed = Seq("dedup_clusters", "dedup_minhash_lsh",
         "stream_stream_join", "gds_degree")
       val byName = SparkEntry.catalog.map(q => q.name -> q).toMap
-      val parts = probed.flatMap { name =>
+      def timeAt(name: String, dir: String): Option[String] =
         byName.get(name).map { q =>
           val t0 = System.nanoTime()
-          q.fn(spark, tmp).write.format("noop").mode("overwrite").save()
+          q.fn(spark, dir).write.format("noop").mode("overwrite").save()
           val t10 = (System.nanoTime() - t0) / 1e9
           val t1 = t1s.getOrElse(name, Double.NaN)
           val slope = math.log10(t10 / t1)
-          f"""\"$name\":{\"t1\":$t1%.3f,\"t10\":$t10%.3f,\"slope\":$slope%.2f}"""
+          f"""{\"t1\":$t1%.3f,\"t10\":$t10%.3f,\"slope\":$slope%.2f}"""
         }
-      } :+ """"gds_label_propagation":"constant-input (bounded CO probe, l_orderkey<3000)""""
-      Some(parts.mkString(s"""{"factor":$factor,""", ",", "}"))
+      val parts = probed.flatMap(n => timeAt(n, tmp).map(j => s""""$n":$j"""))
+
+      // organic near-dup variant of the minhash probe: identical
+      // clones share signatures, so every LSH bucket gets ×10 denser
+      // and candidates grow quadratically BY CONSTRUCTION — an upper
+      // bound, not organic behavior. Here each clone i>0 has a
+      // per-clone token injected after every 6 words, breaking ~half
+      // the word-3-shingles: clones stop colliding by construction and
+      // the measured slope reflects a mostly-distinct (organic) corpus
+      // growing ×10. Both numbers are reported side by side.
+      val orgDir = s"$tmp/_organic"
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val orgRep = (0 until factor).map { i =>
+        val shifted = docs0.withColumn("doc_id", col("doc_id") + lit(i * 1000000000L))
+        if (i == 0) shifted
+        else shifted.withColumn("text",
+          regexp_replace(col("text"), "((?:\\S+\\s+){6})", s"$$1zq$i "))
+      }.reduce(_ unionByName _)
+      val orgStage = s"$tmp/_stage_org"
+      orgRep.coalesce(1).write.mode("overwrite").parquet(orgStage)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(orgDir))
+      val orgPart = new java.io.File(orgStage).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(orgPart.toPath,
+        java.nio.file.Paths.get(s"$orgDir/documents.parquet"))
+      val orgParts = timeAt("dedup_minhash_lsh", orgDir)
+        .map(j => s""""dedup_minhash_lsh_organic":$j""").toSeq
+
+      val allParts = parts ++ orgParts :+
+        """"gds_label_propagation":"constant-input (bounded CO probe, l_orderkey<3000)""""
+      Some(allParts.mkString(s"""{"factor":$factor,""", ",", "}"))
     } catch { case _: Throwable => None }
     finally if (tmp != null) {
       // the ×10 replica is ~10× the sf directory — never leave it in /tmp
