@@ -94,7 +94,7 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
 
   // ---- message tags (Bolt 4.4 – 5.x — identical for this subset) ---
   private val HELLO = 0x01; private val GOODBYE = 0x02; private val RESET = 0x0F
-  private val LOGON = 0x6A; private val LOGOFF = 0x6B
+  private val LOGON = 0x6A; private val LOGOFF = 0x6B; private val TELEMETRY = 0x54
   private val RUN = 0x10; private val BEGIN = 0x11; private val COMMIT = 0x12
   private val ROLLBACK = 0x13; private val DISCARD = 0x2F; private val PULL = 0x3F
   private val ROUTE = 0x66
@@ -304,6 +304,10 @@ final class BoltEndpoint(session: GraftSession, port: Int = 7687,
             case e: Exception =>
               failure("Neo.DatabaseError.General.UnknownError", String.valueOf(e.getMessage))
           }
+        case TELEMETRY =>
+          // 5.4+ driver API-usage metric — acknowledged and discarded
+          // (the reference accepts it whether or not collection is on)
+          success(Map.empty)
         case ROUTE =>
           // `neo4j://`-scheme drivers send ROUTE before any query
           // (Bolt 4.3+); a single instance answers a one-server table

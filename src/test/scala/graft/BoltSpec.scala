@@ -504,6 +504,9 @@ class BoltSpec extends AnyFunSuite {
       c.send(0x6A, Map("scheme" -> "basic", "principal" -> "neo4j",
         "credentials" -> "logonpass"))
       assert(c.recv()._1 == SUCCESS)
+      // TELEMETRY (5.4+ drivers) is acknowledged, not failed
+      c.send(0x54, 1L)
+      assert(c.recv()._1 == SUCCESS)
       c.send(0x10, "RETURN 2 AS two", Map.empty[String, Any], Map.empty[String, Any])
       assert(c.recv()._1 == SUCCESS)
       c.send(0x3F, Map("n" -> -1L))
