@@ -495,6 +495,59 @@ object Dedup {
         .withColumn("dist", levenshtein(col("h1"), col("h2")).cast("long"))
         .filter(col("dist") <= 5)
         .select(col("d1"), col("d2"), col("dist"))
+    },
+
+    // ---- exact SUBSTRING dedup (Lee et al. 2021, arXiv:2107.06499) ----
+    // "Deduplicating Training Data Makes Language Models Better" finds
+    // verbatim token runs shared across documents with a suffix array.
+    // The suffix array is a single-machine structure; the
+    // Spark-scalable re-expression is fixed-K gram matching: any
+    // duplicated run of >= K tokens shares ALL of its K-grams, so
+    // positional K-gram hashes that occur in >= 2 distinct docs mark
+    // exactly the duplicated regions (runs shorter than K are below
+    // the dedup threshold by construction). Adjacent duplicated
+    // positions then merge into maximal spans with the
+    // gaps-and-islands trick (p - row_number is constant within a
+    // consecutive run). Per doc we report span count, duplicated gram
+    // count, and the summed token extent of the spans (overlapping
+    // extents of nearby spans are counted per-span — identical
+    // arithmetic in both engines).
+    // Scale shape: one hash-aggregate over grams (map-side
+    // combinable), one semi equi-join back on the gram key, one
+    // per-doc window — never all-pairs, and the gram relation is
+    // ~tokens-per-corpus rows, the same cardinality every shingle
+    // pass here already handles.
+    sql("dedup_substring",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, u.i AS p,
+        |    CAST(concat('0x', substring(md5(t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3] || ' ' || t[u.i+4]), 1, 7)) AS BIGINT) AS g
+        |  FROM toks, unnest(range(1, greatest(len(t)-3, 1))) u(i)),
+        |dupg AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g) WHERE nd >= 2),
+        |dp AS (SELECT doc_id, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+        |       FROM grams WHERE g IN (SELECT g FROM dupg)),
+        |spans AS (SELECT doc_id, isl, count(*) AS len FROM dp GROUP BY doc_id, isl)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(len) AS BIGINT) AS dup_grams,
+        |  CAST(sum(len + 4) AS BIGINT) AS span_tokens
+        |FROM spans GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val SK = 5 // gram width = minimum duplicated-run length detected
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), posexplode(positionalShingleHashes(col("t"), SK)))
+        .toDF("doc_id", "p", "g")
+      val dupg = grams.groupBy("g")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+        .select("g")
+      val dp = grams.join(dupg, Seq("g"), "left_semi")
+        .withColumn("isl",
+          col("p") - row_number().over(Window.partitionBy("doc_id").orderBy("p")))
+      dp.groupBy("doc_id", "isl").agg(count(lit(1)).as("len"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_spans"),
+          sum("len").cast("long").as("dup_grams"),
+          sum(col("len") + lit(SK - 1)).cast("long").as("span_tokens"))
     }
   )
 
