@@ -704,6 +704,16 @@ final class GraftSession(val spark: SparkSession,
   // CREATE (C1/C2/C5) — append + atomic snapshot swap
   // ----------------------------------------------------------------
 
+  private def refuseReadOnlyPatternSyntax(p: ast.PathPat, clause: String): Unit =
+    (p.start +: p.hops.map(_._2)).foreach { n =>
+      if (n.labelExpr.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"label expressions (|, &, !, %) are not allowed in a $clause pattern")
+      if (n.where.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"inline WHERE is not allowed in a $clause pattern")
+    }
+
   private def mutate(db: GraphDatabase, q: ast.Query): DataFrame = {
     // FOREACH (x IN list | CREATE …) desugars to the batched
     // UNWIND … CREATE path: all elements substituted up front, ONE
@@ -716,6 +726,14 @@ final class GraftSession(val spark: SparkSession,
       if (!f.body.forall(_.isInstanceOf[ast.Create]))
         throw new UnsupportedOperationException("FOREACH body supports CREATE only")
       return mutate(db, ast.Query(ast.Unwind(f.list, f.variable) +: f.body))
+    }
+    // label expressions / inline WHERE are read-pattern syntax: a
+    // CREATE/MERGE target needs a concrete label list, so refuse
+    // loudly instead of silently dropping the expression
+    q.clauses.foreach {
+      case c: ast.Create => c.patterns.foreach(refuseReadOnlyPatternSyntax(_, "CREATE"))
+      case m: ast.Merge  => refuseReadOnlyPatternSyntax(m.pattern, "MERGE")
+      case _             => ()
     }
     val matches = q.clauses.collect { case m: ast.Match => m }
     val creates = q.clauses.collect { case c: ast.Create => c }
@@ -1554,6 +1572,13 @@ final class GraftSession(val spark: SparkSession,
     }
     val vars = nodePats.map(_.variable.getOrElse(throw new UnsupportedOperationException(
       "UNWIND … MATCH … MERGE endpoint patterns must be named")))
+    // this path binds endpoints manually (no CypherCompiler) — refuse
+    // read-pattern syntax it would otherwise silently drop
+    nodePats.foreach { np =>
+      if (np.labelExpr.nonEmpty || np.where.nonEmpty)
+        throw new UnsupportedOperationException(
+          "UNWIND … MATCH … MERGE endpoint patterns support plain labels only")
+    }
     merges.foreach { m =>
       (m.onCreate ++ m.onMatch).foreach { case (_, e) =>
         def refsRow(e0: ast.Expr): Boolean = e0 match {

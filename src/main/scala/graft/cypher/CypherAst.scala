@@ -94,10 +94,25 @@ object ast {
     * in UNWIND … CREATE; rejected anywhere else. */
   final case class PropRefValue(variable: String, key: String)
 
+  /** Neo4j 5 label expression (`:A|B`, `:A&B`, `:!A`, `:%`, parens).
+    * Plain conjunctions stay in `NodePat.labels` (the write path needs
+    * a concrete label list); anything else lands here and is only
+    * legal in read patterns. */
+  sealed trait LabelExpr
+  object LabelExpr {
+    final case class Leaf(name: String) extends LabelExpr
+    final case class LAnd(l: LabelExpr, r: LabelExpr) extends LabelExpr
+    final case class LOr(l: LabelExpr, r: LabelExpr) extends LabelExpr
+    final case class LNot(e: LabelExpr) extends LabelExpr
+    case object Wildcard extends LabelExpr // :% — node with any label
+  }
+
   final case class NodePat(
       variable: Option[String],
       labels: Seq[String],
-      props: Map[String, Lit])
+      props: Map[String, Lit],
+      labelExpr: Option[LabelExpr] = None,
+      where: Option[Expr] = None)
 
   /** dir: 1 = ->, -1 = <-, 0 = undirected. varLength: (min, max). */
   final case class RelPat(

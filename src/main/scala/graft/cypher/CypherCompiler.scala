@@ -447,6 +447,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         case None =>
           // defer to the first hop's edge when only the id matters
           if (idsOnly && n.labels.isEmpty && n.props.isEmpty &&
+              n.labelExpr.isEmpty && n.where.isEmpty &&
               p.hops.headOption.exists(_._1.varLength.isEmpty)) cur = null
           else cur = nodeDf(v, n)
       }
@@ -460,6 +461,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         lastNodeVar
       }
     }
+    // inline node-pattern WHEREs (`(n:A WHERE n.x > 1)`) — applied
+    // once all of the path's variables are bound, so a predicate may
+    // reference any of them (same scope Neo4j gives it); may itself
+    // embed existence subqueries
+    (p.start +: p.hops.map(_._2)).flatMap(_.where)
+      .foreach(e => cur = filterWithSubqueries(cur, e))
     cur
   }
 
@@ -486,7 +493,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         val farSide = if (rel.dir == -1) s"$rv${SEP}src" else s"$rv${SEP}dst"
         if (joined.columns.contains(s"$nv${SEP}id")) {
           joined.filter(col(farSide) === col(s"$nv${SEP}id"))
-        } else if (idsOnly && node.labels.isEmpty && node.props.isEmpty) {
+        } else if (idsOnly && node.labels.isEmpty && node.props.isEmpty &&
+            node.labelExpr.isEmpty && node.where.isEmpty) {
           joined.withColumn(s"$nv${SEP}id", col(farSide))
         } else {
           val n = nodeDf(nv, node)
@@ -704,9 +712,20 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       else df.filter(lit(false))
   }
 
+  /** Label-expression predicate over the `labels` array column:
+    * Leaf → membership, &/|/! → boolean algebra, % → any label. */
+  private def labelPred(labelsCol: Column, e: LabelExpr): Column = e match {
+    case LabelExpr.Leaf(n)    => array_contains(labelsCol, n)
+    case LabelExpr.LAnd(l, r) => labelPred(labelsCol, l) && labelPred(labelsCol, r)
+    case LabelExpr.LOr(l, r)  => labelPred(labelsCol, l) || labelPred(labelsCol, r)
+    case LabelExpr.LNot(x)    => !labelPred(labelsCol, x)
+    case LabelExpr.Wildcard   => size(labelsCol) > 0
+  }
+
   private def nodeDf(v: String, n: NodePat): DataFrame = {
     var df = graph.nodes
     n.labels.foreach(l => df = df.filter(array_contains(col("labels"), l)))
+    n.labelExpr.foreach(e => df = df.filter(labelPred(col("labels"), e)))
     n.props.foreach { case (k, Lit(value)) => df = propFilter(df, k, value) }
     df.select(df.columns.map(c => col(c).as(s"$v$SEP$c")).toIndexedSeq: _*)
   }
@@ -714,6 +733,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   private def filterBound(df: DataFrame, v: String, n: NodePat): DataFrame = {
     var out = df
     n.labels.foreach(l => out = out.filter(array_contains(col(s"$v${SEP}labels"), l)))
+    n.labelExpr.foreach(e => out = out.filter(labelPred(col(s"$v${SEP}labels"), e)))
     n.props.foreach { case (k, Lit(value)) => out = propFilter(out, s"$v$SEP$k", value) }
     out
   }

@@ -212,9 +212,38 @@ object CypherParser extends RegexParsers {
       _.map { case k ~ v => k -> v }.toMap
     }
 
+  // ---- label expressions (Neo4j 5: `:A|B`, `:A&B`, `:!A`, `:%`) ----
+  // Precedence ! > & > |, parenthesizable. A pure conjunction of plain
+  // names (incl. the legacy `:A:B` form) collapses back into
+  // NodePat.labels so the write paths keep their concrete label list.
+  private def labelLeaf: Parser[LabelExpr] =
+    "!" ~> labelLeaf ^^ (e => LabelExpr.LNot(e)) |
+    "(" ~> labelOrExpr <~ ")" |
+    "%" ^^^ (LabelExpr.Wildcard: LabelExpr) |
+    ident ^^ (n => LabelExpr.Leaf(n): LabelExpr)
+  private def labelAndExpr: Parser[LabelExpr] =
+    rep1sep(labelLeaf, "&") ^^ (_.reduceLeft(LabelExpr.LAnd))
+  private def labelOrExpr: Parser[LabelExpr] =
+    rep1sep(labelAndExpr, "|") ^^ (_.reduceLeft(LabelExpr.LOr))
+
+  private def plainConj(e: LabelExpr): Option[Seq[String]] = e match {
+    case LabelExpr.Leaf(n)    => Some(Seq(n))
+    case LabelExpr.LAnd(l, r) => for (a <- plainConj(l); b <- plainConj(r)) yield a ++ b
+    case _                    => None
+  }
+
   private def nodePat: Parser[NodePat] =
-    "(" ~> opt(ident) ~ rep(":" ~> ident) ~ opt(mapLit) <~ ")" ^^ {
-      case v ~ ls ~ m => NodePat(v, ls, m.getOrElse(Map.empty))
+    "(" ~> opt(not(kw("where")) ~> ident) ~ rep(":" ~> labelOrExpr) ~ opt(mapLit) ~
+      opt(kw("where") ~> expr) <~ ")" ^^ {
+      case v ~ ls ~ m ~ w =>
+        val props = m.getOrElse(Map.empty)
+        ls.reduceOption(LabelExpr.LAnd) match {
+          case None => NodePat(v, Nil, props, None, w)
+          case Some(e) => plainConj(e) match {
+            case Some(names) => NodePat(v, names, props, None, w)
+            case None        => NodePat(v, Nil, props, Some(e), w)
+          }
+        }
     }
 
   private def relDetail: Parser[(Option[String], Seq[String], Map[String, Lit], Option[(Int, Int)])] =

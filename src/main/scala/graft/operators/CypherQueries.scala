@@ -44,6 +44,21 @@ object CypherQueries {
         |WHERE o.o_totalprice > 150000
         |RETURN c.c_name AS c_name, o.o_orderkey AS o_orderkey, o.o_totalprice AS price""".stripMargin),
 
+    // Neo4j 5 label expression + inline pattern WHERE: the `:A|B`
+    // disjunction scans the union node table once with an OR over the
+    // labels array (one predicate, not two scans unioned), and the
+    // inline WHERE is pattern-scoped exactly like a clause WHERE
+    q("cy_label_expr",
+      """WITH e AS (
+        |  SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+        |  UNION ALL
+        |  SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9000)
+        |SELECT n.n_name AS n_name, count(*) AS n_rich
+        |FROM e JOIN nation n ON n.n_nationkey = e.nk
+        |GROUP BY n.n_name""".stripMargin)(
+      """MATCH (e:customer|supplier WHERE e.c_acctbal > 9000 OR e.s_acctbal > 9000)-[:IN]->(n:nation)
+        |RETURN n.n_name AS n_name, count(e) AS n_rich""".stripMargin),
+
     // Same pattern driven through the $parameter surface (the ref
     // driver passes a param map on every session.run — DatabaseIO
     // .java:121-132): inline-prop param + WHERE param + IN-list param.

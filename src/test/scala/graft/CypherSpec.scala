@@ -1455,4 +1455,68 @@ class CypherSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("fortnights"))
   }
+
+  test("label expressions: |, &, !, %, parens, legacy :A:B conjunction") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:dog {name:'Arne'})")
+    s.cypher("CREATE (:cat {name:'Mio'})")
+    s.cypher("CREATE (:dog:guide {name:'Rex'})")
+    s.cypher("CREATE (:bird {name:'Pip'})")
+    def names(q: String): Seq[String] =
+      s.cypher(q).collect().map(_.getString(0)).toSeq.sorted
+    assert(names("MATCH (n:dog|cat) RETURN n.name AS n") == Seq("Arne", "Mio", "Rex"))
+    assert(names("MATCH (n:dog&guide) RETURN n.name AS n") == Seq("Rex"))
+    assert(names("MATCH (n:!dog) RETURN n.name AS n") == Seq("Mio", "Pip"))
+    assert(names("MATCH (n:%) RETURN n.name AS n") == Seq("Arne", "Mio", "Pip", "Rex"))
+    // precedence: & binds tighter than |; parens override
+    assert(names("MATCH (n:cat|dog&guide) RETURN n.name AS n") == Seq("Mio", "Rex"))
+    assert(names("MATCH (n:(cat|dog)&!guide) RETURN n.name AS n") == Seq("Arne", "Mio"))
+    // legacy colon conjunction still collapses to a plain label list
+    assert(names("MATCH (n:dog:guide) RETURN n.name AS n") == Seq("Rex"))
+    // negated conjunct on a one-hop pattern
+    s.cypher("MATCH (a:dog {name:'Arne'}), (b:cat) CREATE (a)-[:SNIFFS]->(b)")
+    s.cypher("MATCH (a:dog {name:'Rex'}), (b:bird) CREATE (a)-[:SNIFFS]->(b)")
+    assert(names("MATCH (a:dog)-[:SNIFFS]->(t:!cat) RETURN t.name AS n") == Seq("Pip"))
+  }
+
+  test("inline pattern WHERE: MATCH, OPTIONAL MATCH, and EXISTS scopes") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:dog {name:'Arne', age: 3})-[:SNIFFS]->(:dog {name:'Bosse', age: 7})")
+    s.cypher("MATCH (b:dog {name:'Bosse'}) CREATE (:dog {name:'Rex', age: 9})-[:SNIFFS]->(b)")
+    val inl = s.cypher("MATCH (n:dog WHERE n.age > 5) RETURN n.name AS name ORDER BY name")
+    assert(inl.collect().map(_.getString(0)).toSeq == Seq("Bosse", "Rex"))
+    // inline WHERE on a hop node may read earlier pattern variables
+    val cross = s.cypher(
+      "MATCH (a:dog)-[:SNIFFS]->(b:dog WHERE b.age > a.age) RETURN a.name AS name")
+    assert(cross.collect().map(_.getString(0)).toSeq == Seq("Arne"))
+    // OPTIONAL MATCH: inline WHERE is part of the pattern, so a miss
+    // yields null instead of dropping the row
+    val opt = s.cypher(
+      """MATCH (a:dog) OPTIONAL MATCH (a)-[:SNIFFS]->(b:dog WHERE b.age < 5)
+        |RETURN a.name AS name, b.name AS sniffed ORDER BY name""".stripMargin)
+    assert(opt.collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq ==
+      Seq("Arne" -> None, "Bosse" -> None, "Rex" -> None))
+    // EXISTS subquery pattern carries an inline WHERE
+    val ex = s.cypher(
+      """MATCH (a:dog) WHERE EXISTS { (a)-[:SNIFFS]->(b:dog WHERE b.age > 8) }
+        |RETURN a.name AS name""".stripMargin)
+    assert(ex.collect().map(_.getString(0)).toSeq.isEmpty)
+    val ex2 = s.cypher(
+      """MATCH (a:dog) WHERE EXISTS { (a)-[:SNIFFS]->(b:dog WHERE b.age > 5) }
+        |RETURN a.name AS name ORDER BY name""".stripMargin)
+    assert(ex2.collect().map(_.getString(0)).toSeq == Seq("Arne", "Rex"))
+  }
+
+  test("label expressions and inline WHERE are refused in write patterns") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:dog {name:'Arne'})")
+    val e1 = intercept[UnsupportedOperationException] {
+      s.cypher("CREATE (n:dog|cat {name:'X'})")
+    }
+    assert(e1.getMessage.contains("label expressions"))
+    val e2 = intercept[UnsupportedOperationException] {
+      s.cypher("MERGE (n:dog WHERE n.name = 'Arne')")
+    }
+    assert(e2.getMessage.contains("inline WHERE"))
+  }
 }
