@@ -114,6 +114,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           var sub = compilePath(None, p)
           w.foreach(e => sub = sub.filter(compileExpr(e, sub)))
           d = addListCol(d, sub, proj, helper)
+        case CollectSub(ps, w, proj) =>
+          d = addListCol(d, compileCollectSub(ps, w), proj, helper)
         case _                  => ()
       }
       rewritten = substSubquery(rewritten, s, Variable(helper))
@@ -135,8 +137,18 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case s: ExistsSub     => Seq(s)
     case c: CountSub      => Seq(c)
     case pc: PatternComp  => Seq(pc)
+    case cs: CollectSub   => Seq(cs)
     case _                => Nil
   }).distinct
+
+  /** COLLECT subquery: full-binding compile of its chained patterns +
+    * inner WHERE (props are read by the projection, so no idsOnly). */
+  private def compileCollectSub(ps: Seq[PathPat], w: Option[Expr]): DataFrame = {
+    var sub: DataFrame = null
+    ps.foreach(p => sub = compilePath(Option(sub), p))
+    w.foreach(e => sub = filterWithSubqueries(sub, e))
+    sub
+  }
 
   private def substSubquery(e: Expr, target: Expr, repl: Expr): Expr = e match {
     case _ if e == target => repl
@@ -846,6 +858,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           var sub = compilePath(None, p)
           w.foreach(e => sub = sub.filter(compileExpr(e, sub)))
           df = addListCol(df, sub, proj, helper)
+        case CollectSub(ps, w, proj) =>
+          df = addListCol(df, compileCollectSub(ps, w), proj, helper)
         case _                => ()
       }
       items = items.map(it => ReturnItem(substSubquery(it.expr, s, Variable(helper)), Some(it.name)))

@@ -87,6 +87,7 @@ object CypherParser extends RegexParsers {
     caseExpr |
     existsSub |
     countSub |
+    collectSub |
     listPred |
     reduceExpr |
     fnCall |
@@ -117,6 +118,15 @@ object CypherParser extends RegexParsers {
   private def countSub: Parser[Expr] =
     kw("count") ~> "{" ~> opt(kw("match")) ~> patternList ~ opt(whereClause) <~ "}" ^^ {
       case ps ~ w => CountSub(ps, w)
+    }
+
+  /** `COLLECT { [MATCH] pattern, … [WHERE expr] RETURN expr }` (Neo4j
+    * 5.6) — tried before fnCall; `collect(` fails the `{` and
+    * backtracks to the aggregate function. */
+  private def collectSub: Parser[Expr] =
+    kw("collect") ~> "{" ~> opt(kw("match")) ~> patternList ~ opt(whereClause) ~
+      (kw("return") ~> expr) <~ "}" ^^ {
+      case ps ~ w ~ p => CollectSub(ps, w, p)
     }
 
   /** `any/all/none/single(x IN list WHERE pred)` — tried before

@@ -711,6 +711,24 @@ object CypherQueries {
         .withColumn("suppliers", array_join(col("suppliers"), ","))
     },
 
+    // COLLECT {} subquery (Neo4j 5.6): the multi-clause sibling of a
+    // pattern comprehension — same grouped-collect + left-join-back
+    // plan (one shuffle, never per-row), WHERE inside the braces
+    sql("cy_collect_subquery",
+      """SELECT n.n_name AS n_name,
+        |  coalesce(string_agg(c.c_name, ',' ORDER BY c.c_name), '') AS rich
+        |FROM nation n LEFT JOIN customer c
+        |  ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9900
+        |GROUP BY n.n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.{array_join, col}
+      session(s, dir).cypher(
+        """MATCH (n:nation)
+          |RETURN n.n_name AS n_name,
+          |  COLLECT { MATCH (c:customer)-[:IN]->(n) WHERE c.c_acctbal > 9900 RETURN c.c_name } AS rich
+          |ORDER BY n_name""".stripMargin)
+        .withColumn("rich", array_join(col("rich"), ","))
+    },
+
     // IS NULL over an optional-match miss: the left-join null is a
     // first-class value the WITH…WHERE can filter on.
     q("cy_is_null",

@@ -1507,6 +1507,26 @@ class CypherSpec extends AnyFunSuite {
     assert(ex2.collect().map(_.getString(0)).toSeq == Seq("Arne", "Rex"))
   }
 
+  test("COLLECT {} subquery: list per outer row, empty list on no match") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:dog {name:'Arne'})-[:SNIFFS]->(:dog {name:'Bosse'})")
+    s.cypher("MATCH (b:dog {name:'Bosse'}) CREATE (:dog {name:'Rex'})-[:SNIFFS]->(b)")
+    s.cypher("MATCH (a:dog {name:'Arne'}), (r:dog {name:'Rex'}) CREATE (a)-[:SNIFFS]->(r)")
+    val r = s.cypher(
+      """MATCH (a:dog)
+        |RETURN a.name AS name,
+        |  COLLECT { MATCH (a)-[:SNIFFS]->(b:dog) RETURN b.name } AS sniffed
+        |ORDER BY name""".stripMargin).collect()
+    assert(r.map(x => (x.getString(0), x.getSeq[String](1))).toSeq == Seq(
+      ("Arne", Seq("Bosse", "Rex")), ("Bosse", Seq.empty), ("Rex", Seq("Bosse"))))
+    // WHERE inside the braces + use in a later expression
+    val sized = s.cypher(
+      """MATCH (a:dog)
+        |WHERE size(COLLECT { MATCH (a)-[:SNIFFS]->(b:dog) WHERE b.name STARTS WITH 'B' RETURN b.name }) = 1
+        |RETURN a.name AS name ORDER BY name""".stripMargin).collect()
+    assert(sized.map(_.getString(0)).toSeq == Seq("Arne", "Rex"))
+  }
+
   test("label expressions and inline WHERE are refused in write patterns") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (:dog {name:'Arne'})")
