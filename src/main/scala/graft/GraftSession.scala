@@ -186,7 +186,15 @@ final class GraftSession(val spark: SparkSession,
   private val ShowConstraintsQ =
     """(?is)\s*SHOW\s+(?:UNIQUE(?:NESS)?\s+|ALL\s+)?CONSTRAINTS\s*""".r
   private val CreateIndexDdl =
-    """(?is)\s*CREATE\s+(?:RANGE\s+|TEXT\s+|POINT\s+)?INDEX\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*(\w+)\s*:\s*(\w+)\s*\)\s*ON\s*\(\s*\w+\.(\w+)\s*\)\s*""".r
+    """(?is)\s*CREATE\s+(?:(RANGE|TEXT|POINT)\s+)?INDEX\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*(\w+)\s*:\s*(\w+)\s*\)\s*ON\s*\(\s*\w+\.(\w+)\s*\)\s*""".r
+  // CREATE VECTOR INDEX name FOR (n:L) ON n.prop [OPTIONS {…}] — the
+  // OPTIONS blob is accepted but checked: a similarity function other
+  // than cosine is refused rather than silently served as cosine
+  private val CreateVectorIndexDdl =
+    """(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*(\w+)\s*:\s*(\w+)\s*\)\s*ON\s*\(?\s*\w+\.(\w+)\s*\)?\s*(?:OPTIONS\s*(\{.*\}))?\s*""".r
+  // CREATE FULLTEXT INDEX name FOR (n:L) ON EACH [n.prop]
+  private val CreateFulltextIndexDdl =
+    """(?is)\s*CREATE\s+FULLTEXT\s+INDEX\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*(\w+)\s*:\s*(\w+)\s*\)\s*ON\s+EACH\s*\[\s*\w+\.(\w+)\s*\]\s*""".r
   private val DropIndexDdl =
     """(?is)\s*DROP\s+INDEX\s+(\w+)\s*(?:(IF)\s+EXISTS\s*)?""".r
   private val ShowIndexesQ = """(?is)\s*SHOW\s+INDEXES\s*""".r
@@ -442,13 +450,24 @@ final class GraftSession(val spark: SparkSession,
     out
   }
 
+  private def createIndexMeta(tx: Option[TxHandle], database: String, name: String,
+      ifNot: String, label: String, prop: String, kind: String): DataFrame = {
+    requireNoTx(tx, "CREATE INDEX")
+    val db0 = catalog.database(database)
+    if (db0.indexes.contains(name) && ifNot == null)
+      throw new IllegalStateException(s"An equivalent index already exists: $name")
+    db0.indexes.putIfAbsent(name, (label, prop, kind)); unit()
+  }
+
   /** SHOW CONSTRAINTS / SHOW INDEXES — reference column shapes. */
   private def showSchemaMeta(db0: GraphDatabase, isIndex: Boolean): DataFrame = {
-    val src = if (isIndex) db0.indexes else db0.constraints
-    val rows = src.toSeq.sortBy(_._1).map { case (name, (label, prop)) =>
-      if (isIndex) Row(name, "ONLINE", "RANGE", label, prop)
-      else Row(name, "UNIQUENESS", "NODE", label, prop)
-    }
+    val rows =
+      if (isIndex) db0.indexes.toSeq.sortBy(_._1).map { case (name, (label, prop, kind)) =>
+        Row(name, "ONLINE", kind, label, prop)
+      }
+      else db0.constraints.toSeq.sortBy(_._1).map { case (name, (label, prop)) =>
+        Row(name, "UNIQUENESS", "NODE", label, prop)
+      }
     val cols =
       if (isIndex) Seq("name", "state", "type", "labelsOrTypes", "properties")
       else Seq("name", "type", "entityType", "labelsOrTypes", "properties")
@@ -498,12 +517,19 @@ final class GraftSession(val spark: SparkSession,
         throw new NoSuchElementException(s"no such constraint: $name")
       unit()
     case ShowConstraintsQ() => showSchemaMeta(catalog.database(database), isIndex = false)
-    case CreateIndexDdl(name, ifNot, _, label, prop) =>
-      requireNoTx(tx, "CREATE INDEX")
-      val db0 = catalog.database(database)
-      if (db0.indexes.contains(name) && ifNot == null)
-        throw new IllegalStateException(s"An equivalent index already exists: $name")
-      db0.indexes.putIfAbsent(name, (label, prop)); unit()
+    case CreateIndexDdl(kind, name, ifNot, _, label, prop) =>
+      createIndexMeta(tx, database, name, ifNot, label, prop,
+        Option(kind).map(_.toUpperCase).getOrElse("RANGE"))
+    case CreateVectorIndexDdl(name, ifNot, _, label, prop, options) =>
+      if (options != null) {
+        val sim = """(?i)similarity_function[`'"]*\s*:\s*['"](\w+)['"]""".r
+          .findFirstMatchIn(options).map(_.group(1).toLowerCase)
+        if (sim.exists(_ != "cosine")) throw new UnsupportedOperationException(
+          s"vector similarity function `${sim.get}` is not supported (cosine only)")
+      }
+      createIndexMeta(tx, database, name, ifNot, label, prop, "VECTOR")
+    case CreateFulltextIndexDdl(name, ifNot, _, label, prop) =>
+      createIndexMeta(tx, database, name, ifNot, label, prop, "FULLTEXT")
     case DropIndexDdl(name, ifExists) =>
       requireNoTx(tx, "DROP INDEX")
       val db0 = catalog.database(database)
@@ -2017,6 +2043,79 @@ final class GraftSession(val spark: SparkSession,
       changePassword(currentPassword, String.valueOf(args.head))
       unit()
     }
+    // Neo4j 5.13 vector index query: scan the indexed label, cosine
+    // against the query vector, top-k. The "index" at Spark scale IS
+    // the label-pruned columnar scan + a codegen'd cosine — a
+    // distributed flat search; an IVF/LSH route exists in
+    // operators/Similarity for the ANN-at-scale path.
+    procedures.register("db.index.vector.queryNodes",
+      "(indexName :: STRING, numberOfNearestNeighbours :: INTEGER, " +
+        "query :: LIST<FLOAT>) :: (nodeId, score)",
+      "Query a vector index for the k nearest nodes by cosine similarity") { args =>
+      import org.apache.spark.sql.functions.{col, array, lit, array_contains}
+      val name = String.valueOf(args.head)
+      val k = args(1) match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(s"k must be a number, got $other")
+      }
+      val q = args(2) match {
+        case s: Seq[_] => s.map {
+          case n: Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(s"non-numeric vector element $other")
+        }
+        case other => throw new IllegalArgumentException(s"query must be a list, got $other")
+      }
+      val (label, prop, kind) = indexOfKind(name, "VECTOR")
+      val g = graph()
+      if (!g.nodes.columns.contains(prop))
+        throw new IllegalArgumentException(
+          s"vector index $name: no node carries property `$prop` yet")
+      val V = graft.functions.VectorFunctions
+      val qCol = array(q.map(lit): _*)
+      g.nodes
+        .filter(array_contains(col("labels"), label) && col(prop).isNotNull)
+        .select(col("id").as("nodeId"),
+          V.cosine(col(prop).cast("array<double>"), qCol).as("score"))
+        .orderBy(col("score").desc, col("nodeId"))
+        .limit(k)
+    }
+    // Neo4j fulltext index query. Lucene's scoring is index-internal;
+    // the documented divergence here is a deterministic term-frequency
+    // score: how many token positions of the indexed property match a
+    // query term (case-insensitive).
+    procedures.register("db.index.fulltext.queryNodes",
+      "(indexName :: STRING, queryString :: STRING) :: (nodeId, score)",
+      "Query a fulltext index; score = matching token positions") { args =>
+      import org.apache.spark.sql.functions.{col, array, lit, lower, split, size,
+        filter, array_contains, trim}
+      val name = String.valueOf(args.head)
+      val terms = String.valueOf(args(1)).toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (terms.isEmpty) throw new IllegalArgumentException("empty fulltext query")
+      val (label, prop, _) = indexOfKind(name, "FULLTEXT")
+      val g = graph()
+      if (!g.nodes.columns.contains(prop))
+        throw new IllegalArgumentException(
+          s"fulltext index $name: no node carries property `$prop` yet")
+      val termArr = array(terms.map(lit): _*)
+      g.nodes
+        .filter(array_contains(col("labels"), label) && col(prop).isNotNull)
+        .select(col("id").as("nodeId"),
+          size(filter(split(lower(trim(col(prop))), "\\s+"),
+            t => array_contains(termArr, t))).cast("long").as("score"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("nodeId"))
+    }
+  }
+
+  /** Resolve an index name that must exist with the given kind (on
+    * the default database — procedures run against `graph()`). */
+  private def indexOfKind(name: String, kind: String): (String, String, String) = {
+    val db0 = catalog.database("neo4j")
+    val idx = db0.indexes.getOrElse(name,
+      throw new NoSuchElementException(s"no such index: $name"))
+    if (idx._3 != kind) throw new IllegalArgumentException(
+      s"index $name is of kind ${idx._3}, not $kind")
+    idx
   }
 }
 

@@ -29,14 +29,18 @@ final class GraphDatabase(val name: String) {
   @volatile var matEdges: org.apache.spark.sql.DataFrame = _
 
   /** Schema metadata, name → (label, property). Uniqueness
-    * constraints are ENFORCED on write (GraftSession); indexes are
-    * metadata-only — Spark's analog of a secondary index is storage
-    * layout (partition/bucket/sort keys), not a runtime structure, so
-    * CREATE INDEX records intent and SHOW INDEXES reports it.
+    * constraints are ENFORCED on write (GraftSession); plain indexes
+    * are metadata-only — Spark's analog of a secondary index is
+    * storage layout (partition/bucket/sort keys), not a runtime
+    * structure, so CREATE INDEX records intent and SHOW INDEXES
+    * reports it. VECTOR/FULLTEXT indexes additionally back the
+    * `db.index.{vector,fulltext}.queryNodes` procedures (the scan +
+    * score IS the runtime structure). Indexes carry a third element:
+    * the kind (RANGE | TEXT | POINT | VECTOR | FULLTEXT).
     * Transaction shadows never carry entries: enforcement always
     * reads the REAL database's map. */
   val constraints = TrieMap.empty[String, (String, String)]
-  val indexes = TrieMap.empty[String, (String, String)]
+  val indexes = TrieMap.empty[String, (String, String, String)]
 
   /** DataFrames persisted by mutations whose cached RDDs the current
     * graph lineage still references (e.g. the numbered binding table

@@ -18,10 +18,12 @@ object SnapshotStore {
 
   /** v0: manifest-less bare `nodes/` + `edges/`; v1: + manifest.json;
     * v2: + schema.json (uniqueness constraints + index metadata —
-    * before v2 a dump/load round-trip silently dropped constraints).
+    * before v2 a dump/load round-trip silently dropped constraints);
+    * v3: index entries gain a kind (RANGE | TEXT | POINT | VECTOR |
+    * FULLTEXT) so vector/fulltext indexes survive dump/load.
     * Older snapshots upgrade IN PLACE on first read, the reference's
     * store-migration-on-startup behavior (ref TestUpgrade.java:54-73). */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
   final case class Manifest(
       formatVersion: Int,
@@ -30,10 +32,11 @@ object SnapshotStore {
       edgeCount: Long,
       nextId: Long)
 
-  /** Schema metadata riding with a snapshot: name -> (label, prop). */
+  /** Schema metadata riding with a snapshot: constraints name ->
+    * (label, prop); indexes name -> (label, prop, kind). */
   final case class SchemaMeta(
       constraints: Map[String, (String, String)],
-      indexes: Map[String, (String, String)])
+      indexes: Map[String, (String, String, String)])
   object SchemaMeta { val empty: SchemaMeta = SchemaMeta(Map.empty, Map.empty) }
 
   /** Write a snapshot of the graph (+ id-allocator state) to `dir`.
@@ -128,6 +131,11 @@ object SnapshotStore {
           if (!Files.exists(Paths.get(s"$dir/schema.json")))
             Files.writeString(Paths.get(s"$dir/schema.json"),
               schemaJson(SchemaMeta.empty))
+        case 2 => // v2→v3: index entries gain a kind (legacy = RANGE).
+          // readSchema tolerates 2-element arrays, so rewriting the
+          // file through schemaJson canonicalizes it to 3 elements.
+          Files.writeString(Paths.get(s"$dir/schema.json"),
+            schemaJson(readSchema(dir)))
         case v => throw new IllegalStateException(
           s"no migration from snapshot format $v at $dir")
       }
@@ -146,23 +154,34 @@ object SnapshotStore {
     val path = Paths.get(s"$dir/schema.json")
     if (!Files.exists(path)) return SchemaMeta.empty
     val text = Files.readString(path)
-    def section(name: String): Map[String, (String, String)] = {
+    def sectionBody(name: String): String = {
       val start = text.indexOf("\"" + name + "\"")
-      if (start < 0) return Map.empty
+      if (start < 0) return ""
       val end = text.indexOf('}', start)
-      val body = text.substring(start, if (end < 0) text.length else end)
-      """"([^"]+)"\s*:\s*\[\s*"([^"]*)"\s*,\s*"([^"]*)"\s*\]""".r
-        .findAllMatchIn(body)
-        .map(m => m.group(1) -> (m.group(2), m.group(3))).toMap
+      text.substring(start, if (end < 0) text.length else end)
     }
-    SchemaMeta(section("constraints"), section("indexes"))
+    def pairs(name: String): Map[String, (String, String)] =
+      """"([^"]+)"\s*:\s*\[\s*"([^"]*)"\s*,\s*"([^"]*)"\s*\]""".r
+        .findAllMatchIn(sectionBody(name))
+        .map(m => m.group(1) -> (m.group(2), m.group(3))).toMap
+    // index arrays are [label, prop, kind] from v3; a 2-element array
+    // (pre-v3 file mid-migration) reads as the legacy RANGE kind
+    def triples(name: String): Map[String, (String, String, String)] =
+      """"([^"]+)"\s*:\s*\[\s*"([^"]*)"\s*,\s*"([^"]*)"\s*(?:,\s*"([^"]*)"\s*)?\]""".r
+        .findAllMatchIn(sectionBody(name))
+        .map(m => m.group(1) ->
+          (m.group(2), m.group(3), Option(m.group(4)).getOrElse("RANGE"))).toMap
+    SchemaMeta(pairs("constraints"), triples("indexes"))
   }
 
   private def schemaJson(s: SchemaMeta): String = {
     def sec(m: Map[String, (String, String)]): String =
       m.toSeq.sortBy(_._1).map { case (n, (l, p)) =>
         s""""$n": ["$l", "$p"]""" }.mkString("{", ", ", "}")
-    s"""{"constraints": ${sec(s.constraints)}, "indexes": ${sec(s.indexes)}}"""
+    def secIdx(m: Map[String, (String, String, String)]): String =
+      m.toSeq.sortBy(_._1).map { case (n, (l, p, k)) =>
+        s""""$n": ["$l", "$p", "$k"]""" }.mkString("{", ", ", "}")
+    s"""{"constraints": ${sec(s.constraints)}, "indexes": ${secIdx(s.indexes)}}"""
   }
 
   def exists(dir: String): Boolean =

@@ -221,6 +221,44 @@ class AdminSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(s"$snap/schema.json")))
   }
 
+  test("v2 -> v3: legacy 2-element index entries migrate to kinded RANGE entries") {
+    import graft.core.SnapshotStore
+    val data = tmp("graft-data")
+    val s = dogsSession()
+    s.cypher("CREATE INDEX legacy_idx FOR (d:dog) ON (d.name)")
+    s.saveDatabase(data)
+    val snap = s"$data/databases/neo4j"
+    // rewind to the v2 layout: strip the kind from the index array
+    val spath = java.nio.file.Paths.get(s"$snap/schema.json")
+    Files.writeString(spath, Files.readString(spath)
+      .replace("""["dog", "name", "RANGE"]""", """["dog", "name"]"""))
+    val mpath = java.nio.file.Paths.get(s"$snap/manifest.json")
+    Files.writeString(mpath, Files.readString(mpath).replace(
+      s""""format_version": ${SnapshotStore.FormatVersion}""",
+      "\"format_version\": 2"))
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(data)
+    assert(SnapshotStore.readManifest(snap).formatVersion == SnapshotStore.FormatVersion)
+    assert(Files.readString(spath).contains("""["dog", "name", "RANGE"]"""))
+    val shown = fresh.cypher("SHOW INDEXES").collect()
+    val row = shown.find(_.getString(0) == "legacy_idx").get
+    assert(row.getString(row.fieldIndex("type")) == "RANGE")
+  }
+
+  test("vector + fulltext index metadata survives dump/load with its kind") {
+    val data = tmp("graft-data")
+    val s = dogsSession()
+    s.cypher("CREATE VECTOR INDEX dog_vec FOR (d:dog) ON d.embedding")
+    s.cypher("CREATE FULLTEXT INDEX dog_txt FOR (d:dog) ON EACH [d.name]")
+    s.saveDatabase(data)
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(data)
+    val shown = fresh.cypher("SHOW INDEXES").collect()
+      .map(r => r.getString(0) -> r.getString(r.fieldIndex("type"))).toMap
+    assert(shown("dog_vec") == "VECTOR")
+    assert(shown("dog_txt") == "FULLTEXT")
+  }
+
   test("uniqueness constraints survive a save -> load round-trip (schema.json)") {
     val data = tmp("graft-data")
     val s = dogsSession()

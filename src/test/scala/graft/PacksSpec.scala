@@ -240,6 +240,64 @@ class PacksSpec extends AnyFunSuite {
     assert(rows == Map((0L, 2L) -> 500000L, (2L, 4L) -> 500000L))
   }
 
+  test("db.index.vector.queryNodes: top-k by cosine against the indexed label") {
+    import org.apache.spark.sql.functions._
+    val s = new GraftSession(spark)
+    val nodes = spark.range(4).select(
+      col("id"),
+      array(lit("doc")).as("labels"),
+      // unit-ish vectors at distinct angles from the +x axis
+      when(col("id") === 0, array(lit(1.0), lit(0.0)))
+        .when(col("id") === 1, array(lit(0.8), lit(0.6)))
+        .when(col("id") === 2, array(lit(0.0), lit(1.0)))
+        .otherwise(array(lit(-1.0), lit(0.0))).as("embedding"))
+    val edges = spark.range(0).select(col("id").as("src"), col("id").as("dst"),
+      lit("T").as("relType"))
+    s.setGraph(graft.core.PropertyGraph(nodes, edges))
+    // index must exist and must be a VECTOR index
+    intercept[NoSuchElementException] {
+      s.cypher("CALL db.index.vector.queryNodes('nope', 2, [1.0, 0.0]) YIELD nodeId, score RETURN nodeId, score").collect()
+    }
+    s.cypher("CREATE VECTOR INDEX doc_vec FOR (d:doc) ON d.embedding " +
+      "OPTIONS {indexConfig: {`vector.similarity_function`: 'cosine'}}")
+    val top = s.cypher(
+      "CALL db.index.vector.queryNodes('doc_vec', 2, [1.0, 0.0]) YIELD nodeId, score RETURN nodeId, score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.map(_._1).toSeq == Seq(0L, 1L))
+    assert(math.abs(top(0)._2 - 1.0) < 1e-9 && math.abs(top(1)._2 - 0.8) < 1e-9)
+    // non-cosine similarity is refused at CREATE, not silently served
+    val err = intercept[UnsupportedOperationException] {
+      s.cypher("CREATE VECTOR INDEX bad_vec FOR (d:doc) ON d.embedding " +
+        "OPTIONS {indexConfig: {`vector.similarity_function`: 'euclidean'}}")
+    }
+    assert(err.getMessage.contains("euclidean"))
+  }
+
+  test("db.index.fulltext.queryNodes: term-frequency scored, ordered, misses dropped") {
+    import org.apache.spark.sql.functions._
+    val s = new GraftSession(spark)
+    val nodes = spark.range(3).select(
+      col("id"),
+      array(lit("doc")).as("labels"),
+      when(col("id") === 0, lit("spark spark graph engine"))
+        .when(col("id") === 1, lit("graph database"))
+        .otherwise(lit("unrelated text")).as("body"))
+    val edges = spark.range(0).select(col("id").as("src"), col("id").as("dst"),
+      lit("T").as("relType"))
+    s.setGraph(graft.core.PropertyGraph(nodes, edges))
+    s.cypher("CREATE FULLTEXT INDEX doc_txt FOR (d:doc) ON EACH [d.body]")
+    val hits = s.cypher(
+      "CALL db.index.fulltext.queryNodes('doc_txt', 'spark graph') YIELD nodeId, score RETURN nodeId, score")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc0: spark×2 + graph×1 = 3; doc1: graph×1 = 1; doc2 dropped
+    assert(hits.toSeq == Seq((0L, 3L), (1L, 1L)))
+    // kind mismatch is a loud error
+    val err = intercept[IllegalArgumentException] {
+      s.cypher("CALL db.index.vector.queryNodes('doc_txt', 1, [1.0]) YIELD nodeId, score RETURN nodeId").collect()
+    }
+    assert(err.getMessage.contains("FULLTEXT"))
+  }
+
   test("genai cosine scalar works in RETURN") {
     val s = sessionWith("genai")
     val res = s.cypher("UNWIND range(1, 1) AS x RETURN genai.vector.similarity.cosine([1.0, 0.0], [1.0, 0.0]) AS c")
