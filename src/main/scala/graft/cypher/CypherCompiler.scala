@@ -782,6 +782,9 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case ListLit(items) =>
       val vs = items.map(constEval)
       if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
+    case MapLit(items) =>
+      val vs = items.map { case (k, v) => constEval(v).map(k -> _) }
+      if (vs.forall(_.isDefined)) Some(vs.flatten.toMap) else None
     case Arith(op, l, r) =>
       (constEval(l), constEval(r)) match {
         case (Some(a: Long), Some(b: Long)) => op match {

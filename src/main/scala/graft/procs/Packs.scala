@@ -92,6 +92,61 @@ object Packs {
       "(text1 :: STRING, text2 :: STRING) :: FLOAT")(a =>
       lit(1.0) - levenshtein(a(0), a(1)).cast("double") /
         greatest(length(a(0)), length(a(1)), lit(1)).cast("double"))
+    // apoc.periodic.iterate — the operational batch driver. The outer
+    // statement streams through the driver batch-by-batch
+    // (toLocalIterator — never a full collect), and each batch is ONE
+    // distributed statement via the engine's `UNWIND $_batch AS row`
+    // bulk path, so the cluster sees batchSize-row bulk writes, not
+    // per-row round trips. Divergence from APOC (documented): the
+    // action references outer columns as `row.<col>` (the implicit
+    // UNWIND alias) instead of bare variables, and `parallel: true` is
+    // unnecessary — each batch statement is already distributed.
+    procs.registerWithParams("apoc.periodic.iterate",
+      Seq(procs.Param("cypherIterate"), procs.Param("cypherAction"),
+        procs.Param("config", Some(Map.empty[String, Any]))),
+      "(cypherIterate :: STRING, cypherAction :: STRING, config :: MAP) :: " +
+        "(batches, total, failedBatches, errorMessages)",
+      "Drive an outer statement in batches; run the action once per batch " +
+        "(action sees each outer row as `row`)") { args =>
+      val outerQ = String.valueOf(args(0))
+      val action = String.valueOf(args(1))
+      val cfg = args(2) match {
+        case m: collection.Map[_, _] => m.asInstanceOf[collection.Map[String, Any]]
+        case _                       => Map.empty[String, Any]
+      }
+      val batchSize = cfg.get("batchSize") match {
+        case Some(n: Number) => n.intValue()
+        case Some(other) => throw new IllegalArgumentException(
+          s"batchSize must be a number, got $other")
+        case None => 1000
+      }
+      if (batchSize <= 0)
+        throw new IllegalArgumentException(s"batchSize must be positive, got $batchSize")
+      val outer = session.cypher(outerQ)
+      var total = 0L; var batches = 0L; var failed = 0L
+      val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Any]]
+      def flush(): Unit = if (buf.nonEmpty) {
+        batches += 1; total += buf.size
+        try session.cypher(s"UNWIND $$_batch AS row $action",
+          Map("_batch" -> buf.toSeq))
+        catch {
+          case e: Exception =>
+            failed += 1
+            errs += s"batch $batches: ${e.getMessage}"
+        }
+        buf.clear()
+      }
+      val it = outer.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        buf += r.schema.fieldNames.zip(r.toSeq).toMap
+        if (buf.size >= batchSize) flush()
+      }
+      flush()
+      procs.oneRow("batches" -> batches, "total" -> total,
+        "failedBatches" -> failed, "errorMessages" -> errs.mkString("; "))
+    }
     procs.register("apoc.help", "(name :: STRING) :: (name, signature, description)",
       "Procedures matching a name fragment") { args =>
       val frag = args.headOption.map(String.valueOf).getOrElse("")

@@ -240,6 +240,33 @@ class PacksSpec extends AnyFunSuite {
     assert(rows == Map((0L, 2L) -> 500000L, (2L, 4L) -> 500000L))
   }
 
+  test("apoc.periodic.iterate: batched drive, bulk statement per batch, failures counted") {
+    val s = sessionWith("apoc")
+    s.cypher("UNWIND range(1, 7) AS i CREATE (:src {k: i})")
+    val r = s.cypher(
+      """CALL apoc.periodic.iterate(
+        |  'MATCH (n:src) RETURN n.k AS k',
+        |  'CREATE (:dst {k: row.k})',
+        |  {batchSize: 3})
+        |YIELD batches, total, failedBatches
+        |RETURN batches, total, failedBatches""".stripMargin).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 7L, 0L)))
+    assert(s.cypher("MATCH (d:dst) RETURN count(d) AS n").collect().head.getLong(0) == 7L)
+    // all 7 distinct keys arrived (batching didn't drop or duplicate)
+    val keys = s.cypher("MATCH (d:dst) RETURN d.k AS k ORDER BY k").collect().map(_.getLong(0))
+    assert(keys.toSeq == (1L to 7L))
+    // a failing action marks the batch failed and keeps driving
+    val bad = s.cypher(
+      """CALL apoc.periodic.iterate(
+        |  'MATCH (n:src) RETURN n.k AS k',
+        |  'SET n.k = 0',
+        |  {batchSize: 4})
+        |YIELD batches, failedBatches, errorMessages
+        |RETURN batches, failedBatches, errorMessages""".stripMargin).collect().head
+    assert(bad.getLong(0) == 2L && bad.getLong(1) == 2L)
+    assert(bad.getString(2).nonEmpty)
+  }
+
   test("db.index.vector.queryNodes: top-k by cosine against the indexed label") {
     import org.apache.spark.sql.functions._
     val s = new GraftSession(spark)
