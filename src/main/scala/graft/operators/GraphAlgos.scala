@@ -252,6 +252,38 @@ object GraphAlgos {
           "WHERE cost <= 15 RETURN node_id, cost")
     },
 
+    // Betweenness (integer stress form) over the co-purchase graph,
+    // sampled sources (id % 97 < 2), 3-hop horizon. The oracle
+    // enumerates simple paths of <= 3 hops from the same sources,
+    // keeps each (s,t)'s minimum length, and counts (shortest path,
+    // interior vertex) incidences — definitionally Σ σ_st(v), the
+    // quantity the engine computes with the two-phase Brandes shape
+    // (forward σ, backward continuation counts), never per-path.
+    sql("gds_betweenness",
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey < 3000),
+        |pair AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+        |         FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |e AS (SELECT pa*10+6 AS src, pb*10+6 AS dst FROM pair
+        |      UNION ALL SELECT pb*10+6, pa*10+6 FROM pair),
+        |paths(s, v, len, pth) AS (
+        |  SELECT src, dst, 1, [src, dst] FROM e WHERE src % 97 < 2
+        |  UNION ALL
+        |  SELECT s, e.dst, len+1, list_append(pth, e.dst)
+        |  FROM paths JOIN e ON e.src = paths.v
+        |  WHERE len < 3 AND NOT list_contains(pth, e.dst)),
+        |mind AS (SELECT s, v AS t, min(len) AS d FROM paths GROUP BY s, v),
+        |sp AS (SELECT p.s, p.v AS t, p.pth FROM paths p
+        |       JOIN mind m ON m.s = p.s AND m.t = p.v AND m.d = p.len),
+        |interior AS (SELECT u.x AS v FROM sp, unnest(pth[2:len(pth)-1]) u(x))
+        |SELECT v AS node_id, CAST(count(*) AS BIGINT) AS stress
+        |FROM interior GROUP BY v""".stripMargin) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.betweenness('CO', 3, 97, 2) YIELD node_id, stress " +
+          "RETURN node_id, stress")
+    },
+
     // PageRank over IN edges, 10 fixed iterations. Rank arithmetic is
     // scaled-Long on both engines (Gds.pageRank), so the hash gate
     // holds: the oracle replays the same integer recurrence as chained

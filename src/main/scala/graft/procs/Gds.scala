@@ -286,6 +286,88 @@ object Gds {
       .agg(sum(intDiv(lit(1000000L), col("dist"))).as("hscore"))
   }
 
+  /** gds.betweenness — bounded-horizon betweenness in its integer
+    * STRESS form (Shimbel): stress(v) = Σ_{s,t} σ_st(v), the number of
+    * (shortest path, interior vertex) incidences, over sampled sources
+    * and paths of ≤ maxIter hops. The 1/σ_st-weighted variant sums
+    * floats whose accumulation order differs per engine; the stress
+    * form is all-Long, so the hash gate holds exactly. Brandes-style
+    * two-phase computation, never per-path:
+    *   forward  — level-synchronous BFS carrying σ (shortest-path
+    *              counts; a node first reached at level l gets the sum
+    *              of its level-(l-1) predecessors' σ),
+    *   backward — continuation counts f(v) = Σ_{w ∈ DAG-succ(v)}
+    *              (f(w) + 1), one keyed join per level, deepest first;
+    *              the per-source contribution is σ(v)·f(v).
+    * Each phase is ≤ maxIter keyed equi-joins + aggregates — the same
+    * shuffle shape closeness has, so the 100 TB story is identical
+    * (sampled sources bound total work, Eppstein-Wang style). */
+  def betweenness(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      maxIter: Int = 6, sampleMod: Long = 1L, sampleK: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = relType.map(g.edgesOfType).getOrElse(g.edges).select("src", "dst")
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().select(col("src").as("a"), col("dst").as("b"))
+      .localCheckpoint()
+    val roots = und.select(col("a").as("id")).distinct()
+      .filter(pmod(col("id"), lit(sampleMod)) < lit(sampleK))
+    var settled = roots
+      .select(col("id").as("node"), col("id").as("root"),
+        lit(0L).as("dist"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    // per-level frames kept for the backward pass (≤ maxIter frames)
+    val frames = scala.collection.mutable.ArrayBuffer(settled)
+    var frontier = settled
+    var lvl = 0
+    var converged = false
+    while (lvl < maxIter && !converged) {
+      val cand = frontier.join(und, frontier("node") === und("a"))
+        .select(col("b").as("node"), col("root"), col("sigma"))
+        .groupBy("node", "root").agg(sum("sigma").as("sigma"))
+      val fresh = cand
+        .join(settled.select("node", "root"), Seq("node", "root"), "left_anti")
+        .withColumn("dist", lit(lvl + 1L))
+        .select("node", "root", "dist", "sigma")
+        .localCheckpoint()
+      if (fresh.isEmpty) converged = true
+      else {
+        settled = settled.union(fresh)
+        frames += fresh
+        frontier = fresh
+      }
+      lvl += 1
+    }
+    // backward: f starts at 0 on the deepest level; each shallower
+    // level sums (f(w) + 1) over its DAG successors
+    var stress: DataFrame = null
+    var fNext: DataFrame = null // (root, node, f) for level l+1
+    (frames.size - 2) to 0 by -1 foreach { l =>
+      val deeper = frames(l + 1).select(col("root"), col("node").as("b2"))
+      val fN = Option(fNext).getOrElse(
+        deeper.limit(0).select(col("root"), col("b2"), lit(0L).as("f")))
+      val succ = frames(l).select(col("root"), col("node"))
+        .join(und, col("node") === col("a"))
+        .join(deeper.withColumnRenamed("root", "root2"),
+          col("b") === col("b2") && col("root") === col("root2"))
+        .join(fN.toDF("root3", "b3", "f"),
+          col("b2") === col("b3") && col("root") === col("root3"), "left_outer")
+        .groupBy("root", "node")
+        .agg(sum(coalesce(col("f"), lit(0L)) + lit(1L)).as("f"))
+      fNext = succ.select(col("root"), col("node").as("b2"), col("f")).localCheckpoint()
+      val contrib = frames(l).join(
+          fNext.toDF("rootf", "nodef", "f"),
+          col("root") === col("rootf") && col("node") === col("nodef"))
+        .filter(col("dist") > 0)
+        .select(col("node"), (col("sigma") * col("f")).as("c"))
+      stress = if (stress == null) contrib else stress.union(contrib)
+    }
+    if (stress == null)
+      return spark.emptyDataFrame.select(lit(0L).as("node_id"), lit(0L).as("stress")).limit(0)
+    stress.groupBy(col("node").as("node_id"))
+      .agg(sum("c").as("stress"))
+      .filter(col("stress") > 0)
+  }
+
   /** Per-node triangle count (undirected; GraphX canonicalizes). */
   def triangleCount(spark: SparkSession, g: PropertyGraph, relType: Option[String]): DataFrame = {
     val base = toGraphX(g, relType)

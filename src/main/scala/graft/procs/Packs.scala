@@ -229,6 +229,14 @@ object Packs {
       val sk = args.lift(3).map(String.valueOf(_).toLong).getOrElse(1L)
       Gds.closeness(spark, session.graph(), relTypeArg(args, 0), iters, sm, sk)
     }
+    procs.register("gds.betweenness",
+      "(relType :: STRING?, maxIter :: INTEGER?, sampleMod :: INTEGER?, sampleK :: INTEGER?) :: (node_id, stress)",
+      "Bounded-horizon betweenness (integer stress form) over sampled sources") { args =>
+      val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(6)
+      val sm = args.lift(2).map(String.valueOf(_).toLong).getOrElse(1L)
+      val sk = args.lift(3).map(String.valueOf(_).toLong).getOrElse(1L)
+      Gds.betweenness(spark, session.graph(), relTypeArg(args, 0), iters, sm, sk)
+    }
     procs.register("gds.harmonic",
       "(relType :: STRING?, maxIter :: INTEGER?, sampleMod :: INTEGER?, sampleK :: INTEGER?) :: (node_id, hscore)",
       "Harmonic centrality (iterative BFS, per-pair 1e6 div d)") { args =>

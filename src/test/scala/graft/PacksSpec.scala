@@ -325,6 +325,26 @@ class PacksSpec extends AnyFunSuite {
     assert(err.getMessage.contains("FULLTEXT"))
   }
 
+  test("gds.betweenness: stress counts on diamond and chain match hand computation") {
+    val s = sessionWith("graph-data-science")
+    // diamond: 0-1, 0-2, 1-3, 2-3 (+ an attached chain 3-4-5)
+    s.cypher("CREATE (a:n {k:0})-[:T]->(b:n {k:1})")
+    s.cypher("MATCH (a:n {k:0}) CREATE (a)-[:T]->(c:n {k:2})")
+    s.cypher("MATCH (b:n {k:1}) CREATE (b)-[:T]->(d:n {k:3})")
+    s.cypher("MATCH (c:n {k:2}), (d:n {k:3}) CREATE (c)-[:T]->(d)")
+    s.cypher("MATCH (d:n {k:3}) CREATE (d)-[:T]->(e:n {k:4})")
+    s.cypher("MATCH (e:n {k:4}) CREATE (e)-[:T]->(f:n {k:5})")
+    val stress = s.cypher(
+      "CALL gds.betweenness('T', 6) YIELD node_id, stress RETURN node_id, stress")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand count of Σ_s |{(shortest s->t path, interior v)}| per v:
+    //   node 3 sits on every path between {0,1,2} and {4,5} (both
+    //   0-side shortest routes where both exist), node 4 on every
+    //   path to/from 5, nodes 1 and 2 split the 0<->3-side traffic
+    assert(stress == Map(0L -> 2L, 1L -> 6L, 2L -> 6L, 3L -> 18L, 4L -> 10L))
+    assert(!stress.contains(5L)) // the degree-1 leaf is never interior
+  }
+
   test("genai cosine scalar works in RETURN") {
     val s = sessionWith("genai")
     val res = s.cypher("UNWIND range(1, 1) AS x RETURN genai.vector.similarity.cosine([1.0, 0.0], [1.0, 0.0]) AS c")
