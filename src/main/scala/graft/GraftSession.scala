@@ -730,7 +730,7 @@ final class GraftSession(val spark: SparkSession,
   // CREATE (C1/C2/C5) — append + atomic snapshot swap
   // ----------------------------------------------------------------
 
-  private def refuseReadOnlyPatternSyntax(p: ast.PathPat, clause: String): Unit =
+  private def refuseReadOnlyPatternSyntax(p: ast.PathPat, clause: String): Unit = {
     (p.start +: p.hops.map(_._2)).foreach { n =>
       if (n.labelExpr.nonEmpty)
         throw new UnsupportedOperationException(
@@ -739,6 +739,12 @@ final class GraftSession(val spark: SparkSession,
         throw new UnsupportedOperationException(
           s"inline WHERE is not allowed in a $clause pattern")
     }
+    p.hops.map(_._1).foreach { r =>
+      if (r.where.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"inline WHERE is not allowed in a $clause pattern")
+    }
+  }
 
   private def mutate(db: GraphDatabase, q: ast.Query): DataFrame = {
     // FOREACH (x IN list | CREATE …) desugars to the batched

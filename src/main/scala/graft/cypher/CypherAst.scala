@@ -124,7 +124,8 @@ object ast {
       types: Seq[String],
       props: Map[String, Lit],
       dir: Int,
-      varLength: Option[(Int, Int)])
+      varLength: Option[(Int, Int)],
+      where: Option[Expr] = None)
 
   final case class PathPat(start: NodePat, hops: Seq[(RelPat, NodePat)])
 

@@ -473,11 +473,15 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         lastNodeVar
       }
     }
-    // inline node-pattern WHEREs (`(n:A WHERE n.x > 1)`) — applied
-    // once all of the path's variables are bound, so a predicate may
-    // reference any of them (same scope Neo4j gives it); may itself
-    // embed existence subqueries
+    // inline node/relationship-pattern WHEREs (`(n:A WHERE n.x > 1)`,
+    // `-[r:T WHERE r.w > 1]->`) — applied once all of the path's
+    // variables are bound, so a predicate may reference any of them
+    // (same scope Neo4j gives it); may itself embed existence
+    // subqueries. Var-length rel patterns have no single relationship
+    // row to predicate over — refused at compileVarHop.
     (p.start +: p.hops.map(_._2)).flatMap(_.where)
+      .foreach(e => cur = filterWithSubqueries(cur, e))
+    p.hops.map(_._1).flatMap(_.where)
       .foreach(e => cur = filterWithSubqueries(cur, e))
     cur
   }
@@ -489,7 +493,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val nv = node.variable.getOrElse(fresh("n"))
     lastNodeVar = nv
     rel.varLength match {
-      case Some((lo, hi)) => compileVarHop(cur, prevVar, rel, node, nv, lo, hi)
+      case Some((lo, hi)) =>
+        if (rel.where.nonEmpty) throw new UnsupportedOperationException(
+          "inline WHERE is not supported on a var-length relationship pattern")
+        compileVarHop(cur, prevVar, rel, node, nv, lo, hi)
       case None =>
         val rv = rel.variable.getOrElse(fresh("e"))
         val e = edgeDf(rv, rel)

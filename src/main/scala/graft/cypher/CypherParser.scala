@@ -256,9 +256,10 @@ object CypherParser extends RegexParsers {
         }
     }
 
-  private def relDetail: Parser[(Option[String], Seq[String], Map[String, Lit], Option[(Int, Int)])] =
-    "[" ~> opt(ident) ~ opt(":" ~> rep1sep(ident, "|")) ~ opt(varLen) ~ opt(mapLit) <~ "]" ^^ {
-      case v ~ ts ~ vl ~ m => (v, ts.getOrElse(Nil), m.getOrElse(Map.empty), vl)
+  private def relDetail: Parser[(Option[String], Seq[String], Map[String, Lit], Option[(Int, Int)], Option[Expr])] =
+    "[" ~> opt(not(kw("where")) ~> ident) ~ opt(":" ~> rep1sep(ident, "|")) ~ opt(varLen) ~
+      opt(mapLit) ~ opt(kw("where") ~> expr) <~ "]" ^^ {
+      case v ~ ts ~ vl ~ m ~ w => (v, ts.getOrElse(Nil), m.getOrElse(Map.empty), vl, w)
     }
 
   private def varLen: Parser[(Int, Int)] =
@@ -284,10 +285,10 @@ object CypherParser extends RegexParsers {
       case r ~ n => (mkRel(r, 0), n)
     }
 
-  private def mkRel(r: Option[(Option[String], Seq[String], Map[String, Lit], Option[(Int, Int)])], dir: Int): RelPat =
+  private def mkRel(r: Option[(Option[String], Seq[String], Map[String, Lit], Option[(Int, Int)], Option[Expr])], dir: Int): RelPat =
     r match {
-      case Some((v, ts, m, vl)) => RelPat(v, ts, m, dir, vl)
-      case None                 => RelPat(None, Nil, Map.empty, dir, None)
+      case Some((v, ts, m, vl, w)) => RelPat(v, ts, m, dir, vl, w)
+      case None                    => RelPat(None, Nil, Map.empty, dir, None)
     }
 
   private def pathPat: Parser[PathPat] =

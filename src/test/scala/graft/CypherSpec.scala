@@ -1507,6 +1507,25 @@ class CypherSpec extends AnyFunSuite {
     assert(ex2.collect().map(_.getString(0)).toSeq == Seq("Arne", "Rex"))
   }
 
+  test("inline WHERE on relationship patterns; refused on var-length") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:dog {name:'Arne'})-[:SNIFFS {trust: 9}]->(:dog {name:'Bosse'})")
+    s.cypher("MATCH (b:dog {name:'Bosse'}) CREATE (:dog {name:'Rex'})-[:SNIFFS {trust: 2}]->(b)")
+    val r = s.cypher(
+      "MATCH (a:dog)-[r:SNIFFS WHERE r.trust > 5]->(b:dog) RETURN a.name AS name")
+    assert(r.collect().map(_.getString(0)).toSeq == Seq("Arne"))
+    val err = intercept[UnsupportedOperationException] {
+      s.cypher("MATCH (a:dog)-[r:SNIFFS*1..2 WHERE r.trust > 5]->(b:dog) RETURN a.name AS n")
+        .collect()
+    }
+    assert(err.getMessage.contains("var-length"))
+    val wr = intercept[UnsupportedOperationException] {
+      s.cypher("MATCH (a:dog {name:'Arne'}), (b:dog {name:'Rex'}) " +
+        "CREATE (a)-[r:LIKES WHERE r.x = 1]->(b)")
+    }
+    assert(wr.getMessage.contains("inline WHERE"))
+  }
+
   test("COLLECT {} subquery: list per outer row, empty list on no match") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (:dog {name:'Arne'})-[:SNIFFS]->(:dog {name:'Bosse'})")
