@@ -274,15 +274,36 @@ object CypherParser extends RegexParsers {
         (min, max)
     }
 
+  /** GQL / Neo4j 5 postfix quantifier on a relationship: `{m,n}`,
+    * `{n}`, `{m,}`, `+`. Desugars onto the var-length machinery (the
+    * engine's var-length expand already implements the trail
+    * semantics GQL quantifiers specify). `*` (zero-or-more) has
+    * zero-length-path semantics var-length expand does not model —
+    * refused by omission here (it fails to parse as a quantifier). */
+  private def quant: Parser[(Int, Int)] =
+    "{" ~> """\d+""".r ~ opt("," ~> opt("""\d+""".r)) <~ "}" ^^ {
+      case lo ~ None            => (lo.toInt, lo.toInt)
+      case lo ~ Some(hi)        => (lo.toInt, hi.map(_.toInt).getOrElse(15))
+    } |
+    "+" ^^^ ((1, 15))
+
+  private def quantified(r: RelPat, q: Option[(Int, Int)]): RelPat = q match {
+    case None => r
+    case Some(b) =>
+      if (r.varLength.nonEmpty) throw new IllegalArgumentException(
+        "a relationship pattern cannot combine `*` var-length and a `{m,n}` quantifier")
+      r.copy(varLength = Some(b))
+  }
+
   private def hop: Parser[(RelPat, NodePat)] =
-    ("<-" ~> opt(relDetail) <~ "-") ~ nodePat ^^ {
-      case r ~ n => (mkRel(r, -1), n)
+    ("<-" ~> opt(relDetail) <~ "-") ~ opt(quant) ~ nodePat ^^ {
+      case r ~ q ~ n => (quantified(mkRel(r, -1), q), n)
     } |
-    ("-" ~> opt(relDetail) <~ "->") ~ nodePat ^^ {
-      case r ~ n => (mkRel(r, 1), n)
+    ("-" ~> opt(relDetail) <~ "->") ~ opt(quant) ~ nodePat ^^ {
+      case r ~ q ~ n => (quantified(mkRel(r, 1), q), n)
     } |
-    ("-" ~> opt(relDetail) <~ "-") ~ nodePat ^^ {
-      case r ~ n => (mkRel(r, 0), n)
+    ("-" ~> opt(relDetail) <~ "-") ~ opt(quant) ~ nodePat ^^ {
+      case r ~ q ~ n => (quantified(mkRel(r, 0), q), n)
     }
 
   private def mkRel(r: Option[(Option[String], Seq[String], Map[String, Lit], Option[(Int, Int)], Option[Expr])], dir: Int): RelPat =

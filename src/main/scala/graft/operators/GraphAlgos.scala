@@ -46,6 +46,30 @@ object GraphAlgos {
     * which equals Long division for the always-positive ranks, and
     * BIGINT sums are order-independent — so the hash gate holds.
     */
+  /** Chained-CTE k-core oracle: e0 = symmetrized co-purchase edges;
+    * round i keeps nodes whose degree in e(i-1) is >= k and restricts
+    * the edge set to both-endpoints-kept. Mirrors Gds.kcore exactly. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    // MATERIALIZED: each ki/ei is referenced 2-3 times; DuckDB inlines
+    // plain CTEs per reference, which compounds to 2^rounds re-scans
+    // (manifests as "Too many open files" on the parquet source)
+    val prefix =
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |pair AS MATERIALIZED (SELECT DISTINCT a.p AS pa, b.p AS pb
+        |         FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |e0 AS MATERIALIZED (SELECT pa*10+6 AS a, pb*10+6 AS b FROM pair
+        |       UNION ALL SELECT pb*10+6, pa*10+6 FROM pair)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT a FROM e${i - 1} GROUP BY a HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |        JOIN k$i x ON x.a = e.a JOIN k$i y ON y.a = e.b)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    prefix + steps +
+      s"\nSELECT a AS node_id, CAST(count(*) AS BIGINT) AS deg " +
+      s"FROM e$rounds GROUP BY a HAVING count(*) >= $k"
+  }
+
   private def pagerankOracleSql(iterations: Int): String = {
     val base =
       """WITH nodes AS (
@@ -250,6 +274,16 @@ object GraphAlgos {
       coSession(s, dir).cypher(
         s"CALL gds.dijkstra($src, 'CO') YIELD node_id, cost " +
           "WHERE cost <= 15 RETURN node_id, cost")
+    },
+
+    // k-core of the co-purchase graph: both engines peel synchronously
+    // for the same fixed round budget (engine early-exits only on a
+    // converged graph, where further rounds are no-ops — identical
+    // output either way); the oracle replays the rounds as chained
+    // CTEs, the same generate-N-rounds idiom the pagerank oracle uses.
+    sql("gds_kcore", kcoreOracleSql(k = 14, rounds = 8)) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.kcore('CO', 14, 8) YIELD node_id, deg RETURN node_id, deg")
     },
 
     // Betweenness (integer stress form) over the co-purchase graph,

@@ -368,6 +368,39 @@ object Gds {
       .filter(col("stress") > 0)
   }
 
+  /** gds.kcore: the k-core of the undirected projection by synchronous
+    * peeling — each round drops every node whose surviving degree is
+    * < k, exactly `rounds` times on both engines (a converged graph
+    * makes later rounds no-ops, so fixed-round and run-to-fixpoint
+    * agree whenever the peel settles within the budget; the oracle
+    * replays the identical rounds as chained CTEs). Per round: one
+    * degree aggregate + two semi equi-joins — linear in surviving
+    * edges, the textbook distributed k-core shape. */
+  def kcore(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      k: Long, rounds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = relType.map(g.edgesOfType).getOrElse(g.edges).select("src", "dst")
+    var alive = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().select(col("src").as("a"), col("dst").as("b"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < rounds && !converged) {
+      val keep = alive.groupBy("a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("a")
+      val pruned = alive
+        .join(keep, Seq("a"), "left_semi")
+        .join(keep.toDF("b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      if (pruned.count() == alive.count()) converged = true
+      alive = pruned
+      i += 1
+    }
+    alive.groupBy(col("a").as("node_id")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+  }
+
   /** Per-node triangle count (undirected; GraphX canonicalizes). */
   def triangleCount(spark: SparkSession, g: PropertyGraph, relType: Option[String]): DataFrame = {
     val base = toGraphX(g, relType)

@@ -237,6 +237,14 @@ object Packs {
       val sk = args.lift(3).map(String.valueOf(_).toLong).getOrElse(1L)
       Gds.betweenness(spark, session.graph(), relTypeArg(args, 0), iters, sm, sk)
     }
+    procs.register("gds.kcore",
+      "(relType :: STRING?, k :: INTEGER, rounds :: INTEGER?) :: (node_id, deg)",
+      "k-core by synchronous peeling (fixed round budget)") { args =>
+      val k = args.lift(1).map(String.valueOf(_).toLong).getOrElse(
+        throw new IllegalArgumentException("gds.kcore: k is required"))
+      val rounds = args.lift(2).map(String.valueOf(_).toInt).getOrElse(8)
+      Gds.kcore(spark, session.graph(), relTypeArg(args, 0), k, rounds)
+    }
     procs.register("gds.harmonic",
       "(relType :: STRING?, maxIter :: INTEGER?, sampleMod :: INTEGER?, sampleK :: INTEGER?) :: (node_id, hscore)",
       "Harmonic centrality (iterative BFS, per-pair 1e6 div d)") { args =>

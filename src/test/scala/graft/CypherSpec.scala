@@ -1526,6 +1526,27 @@ class CypherSpec extends AnyFunSuite {
     assert(wr.getMessage.contains("inline WHERE"))
   }
 
+  test("GQL quantified relationships desugar to var-length trail expansion") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:dog {name:'Arne'})-[:SNIFFS]->(:dog {name:'Bosse'})")
+    s.cypher("MATCH (b:dog {name:'Bosse'}) CREATE (b)-[:SNIFFS]->(:dog {name:'Rex'})")
+    def names(q: String): Seq[String] =
+      s.cypher(q).collect().map(_.getString(0)).toSeq.sorted
+    assert(names("MATCH (a:dog {name:'Arne'})-[:SNIFFS]->{1,2}(b) RETURN b.name AS n") ==
+      Seq("Bosse", "Rex"))
+    assert(names("MATCH (a:dog {name:'Arne'})-[:SNIFFS]->+(b) RETURN b.name AS n") ==
+      Seq("Bosse", "Rex"))
+    assert(names("MATCH (a:dog {name:'Arne'})-[:SNIFFS]->{2}(b) RETURN b.name AS n") ==
+      Seq("Rex"))
+    // matches the classic var-length spelling exactly
+    assert(names("MATCH (a:dog {name:'Arne'})-[:SNIFFS*1..2]->(b) RETURN b.name AS n") ==
+      names("MATCH (a:dog {name:'Arne'})-[:SNIFFS]->{1,2}(b) RETURN b.name AS n"))
+    // combining both spellings is refused
+    intercept[Exception] {
+      s.cypher("MATCH (a)-[:SNIFFS*1..2]->{1,2}(b) RETURN b")
+    }
+  }
+
   test("COLLECT {} subquery: list per outer row, empty list on no match") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (:dog {name:'Arne'})-[:SNIFFS]->(:dog {name:'Bosse'})")

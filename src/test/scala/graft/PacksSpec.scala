@@ -345,6 +345,21 @@ class PacksSpec extends AnyFunSuite {
     assert(!stress.contains(5L)) // the degree-1 leaf is never interior
   }
 
+  test("gds.kcore: pendant peeled, triangle survives, cascade empties") {
+    val s = sessionWith("graph-data-science")
+    // triangle 0-1-2 with pendant 3 hanging off 0
+    s.cypher("CREATE (a:n {k:0})-[:T]->(b:n {k:1})")
+    s.cypher("MATCH (b:n {k:1}) CREATE (b)-[:T]->(c:n {k:2})")
+    s.cypher("MATCH (a:n {k:0}), (c:n {k:2}) CREATE (c)-[:T]->(a)")
+    s.cypher("MATCH (a:n {k:0}) CREATE (a)-[:T]->(d:n {k:3})")
+    val core2 = s.cypher("CALL gds.kcore('T', 2) YIELD node_id, deg RETURN node_id, deg")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(0L -> 2L, 1L -> 2L, 2L -> 2L)) // pendant gone, triangle intact
+    val core3 = s.cypher("CALL gds.kcore('T', 3) YIELD node_id, deg RETURN node_id, deg")
+      .collect()
+    assert(core3.isEmpty) // peel cascades to nothing
+  }
+
   test("genai cosine scalar works in RETURN") {
     val s = sessionWith("genai")
     val res = s.cypher("UNWIND range(1, 1) AS x RETURN genai.vector.similarity.cosine([1.0, 0.0], [1.0, 0.0]) AS c")
