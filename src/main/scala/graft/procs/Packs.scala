@@ -147,6 +147,34 @@ object Packs {
       procs.oneRow("batches" -> batches, "total" -> total,
         "failedBatches" -> failed, "errorMessages" -> errs.mkString("; "))
     }
+    // file imports, gated like exports (apoc.import.file.enabled)
+    def requireImportEnabled(): Unit = {
+      val enabled = session.config.flatMap(_.setting("apoc.import.file.enabled"))
+        .orElse(session.settings.get("apoc.import.file.enabled"))
+        .contains("true")
+      if (!enabled) throw new IllegalStateException(
+        "Import from files not enabled, please set apoc.import.file.enabled=true in your apoc.conf")
+    }
+    procs.register("apoc.load.json", "(file :: STRING) :: (value)",
+      "One row per JSON object (JSON-lines or array file); the object as `value`") { args =>
+      requireImportEnabled()
+      val df = session.spark.read.option("multiLine", "true").json(String.valueOf(args.head))
+      df.select(struct(df.columns.map(col).toIndexedSeq: _*).as("value"))
+    }
+    procs.register("apoc.load.csv",
+      "(file :: STRING) :: (lineNo, list, map)",
+      "Header-driven CSV rows as positional list + header-keyed map") { args =>
+      requireImportEnabled()
+      val df = session.spark.read.option("header", "true").csv(String.valueOf(args.head))
+      val cols = df.columns.toIndexedSeq
+      // lineNo rides the scan order of the single import file — this
+      // is the operational config-import surface, not a bulk path
+      val w = org.apache.spark.sql.expressions.Window.orderBy(monotonically_increasing_id())
+      df.select(
+        (row_number().over(w) - 1).cast("long").as("lineNo"),
+        array(cols.map(c => col(c).cast("string")): _*).as("list"),
+        map(cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*).as("map"))
+    }
     procs.register("apoc.help", "(name :: STRING) :: (name, signature, description)",
       "Procedures matching a name fragment") { args =>
       val frag = args.headOption.map(String.valueOf).getOrElse("")

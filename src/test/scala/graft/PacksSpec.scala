@@ -240,6 +240,31 @@ class PacksSpec extends AnyFunSuite {
     assert(rows == Map((0L, 2L) -> 500000L, (2L, 4L) -> 500000L))
   }
 
+  test("apoc.load.json/csv: gated imports yield value structs and header maps") {
+    val gated = sessionWith("apoc")
+    val e = intercept[IllegalStateException] {
+      gated.cypher("CALL apoc.load.json('/tmp/nope.json')").collect()
+    }
+    assert(e.getMessage.contains("apoc.import.file.enabled"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-load").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
+      """[{"name": "Arne", "age": 3}, {"name": "Bosse", "age": 7}]""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"),
+      "name,team\nEva,core\nFrank,infra\n")
+    val s = new GraftSession(spark, Map("apoc.import.file.enabled" -> "true"))
+    Packs.install(s, Seq("apoc"))
+    val js = s.cypher(s"CALL apoc.load.json('$dir/a.json') YIELD value RETURN value")
+      .collect().map(_.getStruct(0)).sortBy(_.getAs[String]("name"))
+    assert(js.map(r => (r.getAs[String]("name"), r.getAs[Long]("age"))).toSeq ==
+      Seq(("Arne", 3L), ("Bosse", 7L)))
+    val cs = s.cypher(s"CALL apoc.load.csv('$dir/a.csv') YIELD lineNo, list, map " +
+      "RETURN lineNo, list, map").collect().sortBy(_.getLong(0))
+    assert(cs.map(_.getSeq[String](1)).toSeq == Seq(Seq("Eva", "core"), Seq("Frank", "infra")))
+    assert(cs.head.getMap[String, String](2)("team") == "core")
+    assert(cs.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+  }
+
   test("apoc.periodic.iterate: batched drive, bulk statement per batch, failures counted") {
     val s = sessionWith("apoc")
     s.cypher("UNWIND range(1, 7) AS i CREATE (:src {k: i})")
