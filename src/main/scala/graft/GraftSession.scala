@@ -172,6 +172,13 @@ final class GraftSession(val spark: SparkSession,
   // `USE db <query>` — per-statement database routing (cypher-shell's
   // `:use` and the driver's session database both reduce to this)
   private val UseDb = """(?is)\s*USE\s+(\w+)\s+(.+)""".r
+  // LOAD CSV [WITH HEADERS] FROM '<file>' AS row <clauses> — the
+  // classic Cypher ingest clause. Deliberately batched like `UNWIND
+  // $batch`: the file rows become the batch parameter and the tail
+  // clauses run through the engine's bulk paths (ONE append per
+  // statement, not per row). `file:///` URLs and plain paths accepted.
+  private val LoadCsvQ =
+    """(?is)\s*LOAD\s+CSV\s+(?:(WITH\s+HEADERS)\s+)?FROM\s+'([^']+)'\s+AS\s+(\w+)\s+(.+)""".r
   private val TerminateTxs = """(?is)\s*TERMINATE\s+TRANSACTIONS\s+(.+?)\s*""".r
   // schema DDL. Uniqueness constraints are REAL (enforced on every
   // write, duplicates refuse the statement); indexes are metadata-only
@@ -603,6 +610,19 @@ final class GraftSession(val spark: SparkSession,
         case Some(h) => threadTx.set(None); if (h.open) discardTx(h); unit()
       }
     case UseDb(name, rest) => cypherLocked(rest, params, name, tx, wire)
+    case LoadCsvQ(headers, file, alias, rest) =>
+      val path = file.stripPrefix("file://")
+      val df = spark.read.option("header", (headers != null).toString).csv(path)
+      // header mode: one map per row (row.col); headerless: a string
+      // list per row (row[i] is unsupported in the batch path, so the
+      // headerless form only feeds actions that take the whole value)
+      val batch: Seq[Any] =
+        if (headers != null) {
+          val cols = df.columns.toSeq
+          df.collect().toSeq.map(r => cols.zip(r.toSeq.map(v => if (v == null) null else String.valueOf(v))).toMap)
+        } else df.collect().toSeq.map(_.toSeq.map(v => if (v == null) null else String.valueOf(v)))
+      cypherLocked(s"UNWIND $$__loadcsv AS $alias $rest",
+        params + ("__loadcsv" -> batch), database, tx, wire)
     case ShowDbs() => showDatabases()
     case ShowTxs() => showTransactions()
     case TerminateTxs(rest) =>

@@ -1567,6 +1567,20 @@ class CypherSpec extends AnyFunSuite {
     assert(sized.map(_.getString(0)).toSeq == Seq("Arne", "Rex"))
   }
 
+  test("LOAD CSV WITH HEADERS feeds the batched UNWIND ingest path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-loadcsv").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/dogs.csv"),
+      "name,age\nArne,3\nBosse,7\nRex,9\n")
+    val s = new GraftSession(spark)
+    s.cypher(s"LOAD CSV WITH HEADERS FROM 'file://$dir/dogs.csv' AS row " +
+      "CREATE (:dog {name: row.name, age: row.age})")
+    val back = s.cypher("MATCH (d:dog) RETURN d.name AS name ORDER BY name").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("Arne", "Bosse", "Rex"))
+    // csv values arrive as strings (Neo4j semantics: LOAD CSV is untyped)
+    val ages = s.cypher("MATCH (d:dog {name:'Rex'}) RETURN d.age AS age").collect()
+    assert(ages.head.getString(0) == "9")
+  }
+
   test("label expressions and inline WHERE are refused in write patterns") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (:dog {name:'Arne'})")
