@@ -79,4 +79,27 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNL join")
     }
   }
+
+  test("substring dedup: gram match is an equi (semi) join, never all-pairs") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("CartesianProduct"), "dedup_substring plans a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "dedup_substring plans a BNL join")
+  }
+
+  test("betweenness and k-core stay keyed joins at every round") {
+    Seq("gds_betweenness", "gds_kcore").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNL join")
+    }
+  }
+
+  test("label-expression scan is one predicate over the node table, not a union of scans") {
+    val p = plan("cy_label_expr")
+    assert(!p.contains("CartesianProduct"))
+    // the :customer|supplier disjunction must not clone the node scan:
+    // one array_contains-OR filter, so the union source appears once
+    assert("array_contains".r.findAllIn(p).size <= 2,
+      "label disjunction expanded into per-label scans")
+  }
 }
