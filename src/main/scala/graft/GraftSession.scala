@@ -165,6 +165,7 @@ final class GraftSession(val spark: SparkSession,
   private val StopDb  = """(?is)\s*STOP\s+DATABASE\s+(\w+)\s*""".r
   private val StartDb = """(?is)\s*START\s+DATABASE\s+(\w+)\s*""".r
   private val ShowProcs = """(?is)\s*SHOW\s+PROCEDURES\b(.*)""".r
+  private val ShowFuncs = """(?is)\s*SHOW\s+FUNCTIONS\b(.*)""".r
   private val CreateDb = """(?is)\s*CREATE\s+DATABASE\s+(\w+)\s*""".r
   private val DropDb = """(?is)\s*DROP\s+DATABASE\s+(\w+)(\s+IF\s+EXISTS)?\s*""".r
   private val ShowDbs = """(?is)\s*SHOW\s+DATABASES\s*""".r
@@ -643,6 +644,7 @@ final class GraftSession(val spark: SparkSession,
         StructField("transactionId", StringType),
         StructField("message", StringType))))
     case ShowProcs(rest) => showProcedures(rest)
+    case ShowFuncs(rest) => applyYield(procedures.functionsDataFrame, rest)
     case _ =>
       // inside a transaction every statement targets the handle's
       // private shadow (read-your-writes; invisible elsewhere until
@@ -733,10 +735,13 @@ final class GraftSession(val spark: SparkSession,
     spark.createDataFrame(javaList(rows), schema)
   }
 
-  private def showProcedures(rest: String): DataFrame = {
-    // supports: SHOW PROCEDURES [YIELD a, b[, …] [RETURN …]] — the shape
-    // the reference tests issue (ref TestPluginInstallation.java:184,215)
-    val df = procedures.asDataFrame
+  private def showProcedures(rest: String): DataFrame =
+    applyYield(procedures.asDataFrame, rest)
+
+  /** `SHOW … [YIELD a, b[, …] [RETURN …]]` column projection — the
+    * shape the reference tests issue (ref TestPluginInstallation
+    * .java:184,215). */
+  private def applyYield(df: DataFrame, rest: String): DataFrame = {
     val yieldRe = """(?is)\s*YIELD\s+([\w,\s]+?)(\s+RETURN\s+.*)?$""".r
     rest match {
       case yieldRe(cols, _) =>

@@ -53,6 +53,17 @@ final class ProcedureRegistry(spark: SparkSession) {
   def scalar(name: String): Option[Seq[Column] => Column] = scalars.get(name).map(_._2)
   def names: Seq[String] = procs.keys.toSeq
 
+  /** `SHOW FUNCTIONS YIELD name, signature` — the scalar registry. */
+  def functionsDataFrame: DataFrame = {
+    val rows = scalars.toSeq.sortBy(_._1).map { case (n, (sig, _)) =>
+      Row(n, s"$n$sig", "BUILT-IN")
+    }
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("signature", StringType),
+      StructField("category", StringType)))
+    spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
+  }
+
   /** `SHOW PROCEDURES YIELD name, signature` (C9 —
     * ref StubPluginHelper.java:113). */
   def asDataFrame: DataFrame = {

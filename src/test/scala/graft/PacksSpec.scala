@@ -240,6 +240,16 @@ class PacksSpec extends AnyFunSuite {
     assert(rows == Map((0L, 2L) -> 500000L, (2L, 4L) -> 500000L))
   }
 
+  test("SHOW FUNCTIONS lists the scalar registry with YIELD projection") {
+    val s = sessionWith("apoc")
+    val names = s.cypher("SHOW FUNCTIONS YIELD name").collect().map(_.getString(0))
+    assert(names.contains("apoc.version"))
+    assert(names.contains("apoc.text.join"))
+    assert(names.sorted.toSeq == names.toSeq) // name-sorted for determinism
+    val full = s.cypher("SHOW FUNCTIONS").collect().head
+    assert(full.schema.fieldNames.toSeq == Seq("name", "signature", "category"))
+  }
+
   test("apoc.load.json/csv: gated imports yield value structs and header maps") {
     val gated = sessionWith("apoc")
     val e = intercept[IllegalStateException] {
