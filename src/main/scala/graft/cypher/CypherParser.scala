@@ -423,20 +423,33 @@ object CypherParser extends RegexParsers {
   private def unwindClause: Parser[Unwind] =
     (kw("unwind") ~> expr) ~ (kw("as") ~> ident) ^^ { case e ~ a => Unwind(e, a) }
 
-  /** `CALL { [WITH imports] … }` — tried before callClause; a plain
-    * procedure CALL fails the `{` and backtracks. */
-  private def callSubClause: Parser[CallSub] =
-    ((kw("call") ~> "{" ~> opt(kw("with") ~> rep1sep(ident, ",")) ~ rep1(clause) <~ "}") ~
+  /** `CALL { [WITH imports] … }` and the Neo4j 5.23 scope form
+    * `CALL (x, y) { … }` / `CALL () { … }` — tried before callClause;
+    * a plain procedure CALL fails the `{` and backtracks. The
+    * parenthesized scope desugars to the legacy WITH-import list
+    * (`()` = no imports = uncorrelated, same as bare `CALL { … }`).
+    * `CALL (*) { … }` would need the full outer variable list at
+    * parse time — refused loudly rather than silently uncorrelated. */
+  private def callSubClause: Parser[CallSub] = {
+    val scopeImports: Parser[Seq[String]] =
+      "(" ~> "*" <~ ")" ^^ (_ => throw new UnsupportedOperationException(
+        "CALL (*) { … } is not supported — list the imported variables explicitly")) |
+      "(" ~> repsep(ident, ",") <~ ")"
+    ((kw("call") ~> opt(scopeImports)) ~ ("{" ~> opt(kw("with") ~> rep1sep(ident, ",")) ~
+      rep1(clause) <~ "}") ~
       opt(kw("in") ~> kw("transactions") ~>
         opt(kw("of") ~> numberLit <~ kw("rows")))) ^^ {
-      case imp ~ cls ~ itx =>
-        CallSub(imp.getOrElse(Nil), cls, itx.isDefined,
+      case scope ~ (imp ~ cls) ~ itx =>
+        if (scope.nonEmpty && imp.nonEmpty) throw new IllegalArgumentException(
+          "CALL (scope) { … } cannot also declare a WITH import list")
+        CallSub(scope.getOrElse(imp.getOrElse(Nil)), cls, itx.isDefined,
           itx.flatten.map {
             case Lit(n: Long) => n
             case Lit(other) => throw new IllegalArgumentException(
               s"IN TRANSACTIONS OF n ROWS needs an integer, got $other")
           })
     }
+  }
 
   private def foreachClause: Parser[Foreach] =
     (kw("foreach") ~> "(" ~> ident <~ kw("in")) ~ expr ~ ("|" ~> rep1(clause)) <~ ")" ^^ {

@@ -1567,6 +1567,24 @@ class CypherSpec extends AnyFunSuite {
     assert(sized.map(_.getString(0)).toSeq == Seq("Arne", "Rex"))
   }
 
+  test("CALL (x) { } scope syntax desugars to the WITH-import form; (*) refused") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:dog {name:'Arne', age: 3})-[:SNIFFS]->(:dog {name:'Bosse', age: 7})")
+    val r = s.cypher(
+      """MATCH (a:dog)
+        |CALL (a) { MATCH (a)-[:SNIFFS]->(b:dog) RETURN b.name AS sniffed }
+        |RETURN a.name AS name, sniffed""".stripMargin).collect()
+    assert(r.map(x => (x.getString(0), x.getString(1))).toSeq == Seq("Arne" -> "Bosse"))
+    val err = intercept[UnsupportedOperationException] {
+      s.cypher("MATCH (a:dog) CALL (*) { RETURN 1 AS one } RETURN one")
+    }
+    assert(err.getMessage.contains("CALL (*)"))
+    // () = uncorrelated, same as the bare form
+    val u = s.cypher(
+      "MATCH (a:dog) CALL () { RETURN 1 AS one } RETURN a.name AS name, one").collect()
+    assert(u.length == 2 && u.forall(_.getLong(1) == 1L))
+  }
+
   test("LOAD CSV WITH HEADERS feeds the batched UNWIND ingest path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-loadcsv").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/dogs.csv"),
