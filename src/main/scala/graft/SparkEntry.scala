@@ -13,6 +13,7 @@ object SparkEntry {
   /** Every registered operator demo, in registration order. */
   def catalog: Seq[QueryDef] =
     graft.operators.Relational.all ++
+    graft.operators.TpchQueries.all ++
     graft.operators.CypherQueries.all ++
     graft.operators.Dedup.all ++
     graft.operators.TextAnalysis.all ++

@@ -85,4 +85,27 @@ object GraphViews {
         ((col("p") + col("p2")) % 9 + 1).cast("long").as("weight")).distinct()
     PropertyGraph(nodes, edges)
   }
+
+  /** Bounded DIRECTED part-flow graph: within each order (bounded by
+    * `maxOrderKey`) an edge runs from the earlier-line part to each
+    * later-line part (`min(l_linenumber)` per (order, part) makes the
+    * ordering deterministic when a part repeats). Unlike the CO view
+    * this digraph has genuine cycles — part A before B in one order
+    * and B before A in another — which is what SCC needs to be a real
+    * test. Same blocking discipline as `copurchase`: the orderkey
+    * bound prunes the lineitem scan before the per-order pair join. */
+  def partflow(spark: SparkSession, dir: String, maxOrderKey: Long = 600L): PropertyGraph = {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < maxOrderKey)
+      .groupBy(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .agg(min(col("l_linenumber")).as("ln"))
+    val nodes = li.select(nodeId(col("p"), TAG_PART).as("id"))
+      .distinct().withColumn("labels", array(lit("part")))
+    val b = li.select(col("o").as("o2"), col("p").as("p2"), col("ln").as("ln2"))
+    val edges = li.join(b, col("o") === col("o2") && col("ln") < col("ln2"))
+      .select(nodeId(col("p"), TAG_PART).as("src"),
+        nodeId(col("p2"), TAG_PART).as("dst"),
+        lit("FLOW").as("relType")).distinct()
+    PropertyGraph(nodes, edges)
+  }
 }

@@ -520,6 +520,54 @@ object Events {
       log.filter(col("rn") === 1 && col("op") =!= "D")
         .select(col("user_id"), col("cents").as("last_cents"),
           col("event_id").as("last_event"), col("n").cast(LongType).as("n_changes"))
+    },
+
+    // ---- last-touch attribution: each purchase credits the most
+    // recent prior view/click of the same user within a 7-day
+    // lookback, else 'direct'. The "which touch, and when" pair rides
+    // ONE integer window max — the touch time and channel pack into
+    // tsus*10+code (code 2=click beats 1=view on an exact-tie
+    // timestamp, deterministically on both engines), so the whole
+    // attribution is a single user-keyed window shuffle: no
+    // self-join, no per-purchase subquery. The 100 TB shape is the
+    // same one exchange keyed by user.
+    sql("events_attribution",
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, event_type, value,
+         |         epoch_ns(ts) // 1000 AS tsus
+         |  FROM events),
+         |marked AS (
+         |  SELECT *,
+         |    max(CASE WHEN event_type = 'view'  THEN tsus * 10 + 1
+         |             WHEN event_type = 'click' THEN tsus * 10 + 2 END)
+         |      OVER (PARTITION BY user_id ORDER BY tsus, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_code
+         |  FROM base)
+         |SELECT CASE WHEN touch_code IS NULL
+         |              OR tsus - touch_code // 10 > ${7L * 86400 * 1000000}
+         |            THEN 'direct'
+         |            WHEN touch_code % 10 = 2 THEN 'click' ELSE 'view' END AS channel,
+         |  CAST(count(*) AS BIGINT) AS n_purchases,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM marked WHERE event_type = 'purchase'
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val lookbackUs = 7L * 86400 * 1000000
+      val w = Window.partitionBy("user_id").orderBy("tsus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("tsus"))
+        .withColumn("touch_code",
+          max(when(col("event_type") === "view", col("tsus") * 10 + 1)
+            .when(col("event_type") === "click", col("tsus") * 10 + 2)).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(
+          when(col("touch_code").isNull ||
+              col("tsus") - expr("touch_code div 10") > lookbackUs, "direct")
+            .when(col("touch_code") % 10 === 2, "click")
+            .otherwise("view").as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(D2)).cast(DoubleType).as("sum_value"))
     }
   )
 }

@@ -38,6 +38,16 @@ object GraphAlgos {
       gs
     })
 
+  /** Directed part-flow session (SCC needs a digraph with real cycles;
+    * both tpch and CO views are acyclic/undirected by construction). */
+  private def flowSession(s: SparkSession, dir: String): GraftSession =
+    cache.computeIfAbsent(dir + "#flow", _ => {
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.partflow(s, dir))
+      Packs.install(gs, Seq("graph-data-science"))
+      gs
+    })
+
   /** DuckDB oracle replaying Gds.pageRank's integer recurrence over the
     * IN-edge view: nodes are ALL tpch graph nodes (GraphViews ids
     * key*10+tag), edges customer/supplier->nation and nation->region.
@@ -284,6 +294,35 @@ object GraphAlgos {
     sql("gds_kcore", kcoreOracleSql(k = 14, rounds = 8)) { (s, dir) =>
       coSession(s, dir).cypher(
         "CALL gds.kcore('CO', 14, 8) YIELD node_id, deg RETURN node_id, deg")
+    },
+
+    // SCC over the directed part-flow graph (the one graded view with
+    // real cycles — sf0.01 has a 432-node giant SCC plus singletons).
+    // Engine: GraphX SCC (iterative peel, min-id labels). Oracle:
+    // DuckDB builds the transitive closure of the SAME bounded edge
+    // set and labels each node with the min id among mutually
+    // reachable nodes — definitionally the SCC, computed a way only a
+    // bounded probe can afford (closure is O(V·E); the engine's peel
+    // is the scale path).
+    sql("gds_scc",
+      """WITH RECURSIVE li AS MATERIALIZED (
+        |  SELECT l_orderkey AS o, l_partkey AS p, min(l_linenumber) AS ln
+        |  FROM lineitem WHERE l_orderkey < 600 GROUP BY 1, 2),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
+        |  FROM li a JOIN li b ON a.o = b.o AND a.ln < b.ln),
+        |pnodes AS MATERIALIZED (SELECT DISTINCT p FROM li),
+        |reach(s, t) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.t),
+        |mutual AS (SELECT a.s AS a, a.t AS b
+        |  FROM reach a JOIN reach b ON a.s = b.t AND a.t = b.s),
+        |scc AS (SELECT n.p AS node, least(n.p, coalesce(min(m.b), n.p)) AS cmin
+        |        FROM pnodes n LEFT JOIN mutual m ON m.a = n.p GROUP BY n.p)
+        |SELECT CAST(node*10+6 AS BIGINT) AS node_id,
+        |       CAST(cmin*10+6 AS BIGINT) AS component FROM scc""".stripMargin) { (s, dir) =>
+      flowSession(s, dir).cypher(
+        "CALL gds.scc('FLOW', 30) YIELD node_id, component RETURN node_id, component")
     },
 
     // Betweenness (integer stress form) over the co-purchase graph,

@@ -315,6 +315,44 @@ object Pipeline {
           sum(when(col("tok") > 0 &&
             intDiv(col("start"), budget) =!= intDiv(col("start") + col("tok") - 1, budget),
             1L).otherwise(0L)).as("n_straddle"))
+    },
+
+    // Deterministic source interleaving — the training-order op: a
+    // reproducible global read order that round-robins across the 20
+    // sources so no training window sees one source's docs clumped
+    // together. position = rn * S + source_index is a pure function
+    // of (source, per-source rank), so the order is identical on any
+    // engine and any partitioning — the "deterministic shuffle" every
+    // reproducible training run needs. One per-source window shuffle
+    // (partitioned by source, never a global sort); the top-k head is
+    // what grades, with a total tiebreak.
+    sql("pipeline_interleave",
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+        |si AS (SELECT source,
+        |         CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx,
+        |         CAST((SELECT count(*) FROM s) AS BIGINT) AS n_src
+        |       FROM s),
+        |ranked AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) - 1 AS BIGINT) AS rn
+        |  FROM documents d)
+        |SELECT r.doc_id, r.source, r.rn * si.n_src + si.sidx AS position
+        |FROM ranked r JOIN si USING (source)
+        |ORDER BY position LIMIT 100""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // source index table: tiny (|sources| rows), broadcast — its
+      // own window is over a dimension, not the corpus
+      val si = docs.select("source").distinct()
+        .withColumn("sidx", (row_number().over(Window.orderBy("source")) - 1).cast("long"))
+      val nSrc = si.groupBy().agg(count(lit(1)).cast("long").as("n_src"))
+      val ranked = docs.select(col("doc_id"), col("source"))
+        .withColumn("rn", (row_number().over(
+          Window.partitionBy("source").orderBy("doc_id")) - 1).cast("long"))
+      ranked.join(broadcast(si), Seq("source"))
+        .join(broadcast(nSrc))
+        .select(col("doc_id"), col("source"),
+          (col("rn") * col("n_src") + col("sidx")).as("position"))
+        .orderBy("position").limit(100)
     }
   )
 }

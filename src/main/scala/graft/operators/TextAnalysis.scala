@@ -314,6 +314,44 @@ object TextAnalysis {
           when(col("n_overlap") >= 5, 1L).otherwise(0L).as("contaminated"))
         .orderBy(col("n_overlap").desc, col("doc_id"))
         .limit(50)
+    },
+
+    // In-corpus bigram language-model score — the integer-exact proxy
+    // for the CCNet/Gopher "LM perplexity" quality filter: a document
+    // whose bigrams are common in the corpus scores high (typical
+    // phrasing), boilerplate-free rare text scores low. iscore =
+    // mean corpus frequency of the doc's bigram occurrences, in ppm-
+    // scaled integer division so the hash gate holds. Two shuffles at
+    // any scale: one bigram-keyed count, one bigram-keyed join back
+    // (the count side is vocabulary-sized, not corpus-sized); the
+    // per-doc mean is a doc-keyed aggregate. Frequent-bigram skew at
+    // 100 TB would salt the join key the same way events_salted_agg
+    // demonstrates.
+    sql("text_lm_score",
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, u.x AS bigram FROM (
+         |    SELECT doc_id, CASE WHEN len(t) >= 2
+         |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END AS bgs
+         |    FROM toks), unnest(bgs) u(x)),
+         |corpus AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cf
+         |           FROM bg GROUP BY bigram)
+         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(corpus.cf) * 1000000 // count(*) AS BIGINT) AS iscore
+         |FROM bg JOIN corpus USING (bigram)
+         |GROUP BY bg.doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val idx = when(size(col("t")) >= 2, sequence(lit(1), size(col("t")) - 1))
+        .otherwise(array().cast("array<int>"))
+      val bg = t.select(col("doc_id"), explode(transform(idx,
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))).as("bigram"))
+      val corpus = bg.groupBy("bigram").agg(count(lit(1)).as("cf"))
+      bg.join(corpus, Seq("bigram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(cf) * 1000000 div count(*)").as("iscore"))
     }
   )
 }

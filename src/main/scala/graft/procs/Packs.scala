@@ -218,6 +218,11 @@ object Packs {
       "Weakly connected components (GraphX)") { args =>
       Gds.wcc(spark, session.graph(), relTypeArg(args, 0))
     }
+    procs.register("gds.scc", "(relType :: STRING?, iterations :: INTEGER?) :: (node_id, component)",
+      "Strongly connected components over the directed edges (GraphX)") { args =>
+      val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(30)
+      Gds.scc(spark, session.graph(), relTypeArg(args, 0), iters)
+    }
     procs.register("gds.shortestPath", "(landmark :: INTEGER, relType :: STRING?) :: (node_id, distance)",
       "Hop-distance to the landmark node (GraphX ShortestPaths)") { args =>
       val landmark = String.valueOf(args.head).toLong
