@@ -108,6 +108,34 @@ object GraphAlgos {
       s"\nSELECT id AS node_id, CAST(rank AS BIGINT) AS iscore FROM r$iterations ORDER BY node_id"
   }
 
+  /** Chained-CTE oracle for Gds.articleRank over the CO graph:
+    * r' = 150000 + (Σ_in r // (outdeg + davg)) * 85 // 100 with
+    * davg = |E| // |V| — pure BIGINT floor division on both engines. */
+  private def articleRankOracleSql(iterations: Int): String = {
+    val base =
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p*10+6 AS src, b.p*10+6 AS dst
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |pnodes AS MATERIALIZED (SELECT DISTINCT p*10+6 AS id FROM li),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |davg AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM e) // (SELECT count(*) FROM pnodes) AS d),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM pnodes)""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id, 150000 + COALESCE(m.msg, 0) * 85 // 100 AS rank
+         |  FROM pnodes n LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |           SUM(r.rank // (d.outdeg + (SELECT d FROM davg))) AS msg
+         |    FROM e JOIN r${i - 1} r ON r.id = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) m ON m.id = n.id)""".stripMargin
+    }
+    (Seq(base) ++ steps).mkString(",\n") +
+      s"\nSELECT id AS node_id, CAST(rank AS BIGINT) AS iscore FROM r$iterations"
+  }
+
   /** DuckDB oracle replaying Gds.labelPropagation's deterministic
     * recurrence over the part co-purchase graph: per iteration each
     * node adopts the (count DESC, label ASC)-first label among its
@@ -294,6 +322,16 @@ object GraphAlgos {
     sql("gds_kcore", kcoreOracleSql(k = 14, rounds = 8)) { (s, dir) =>
       coSession(s, dir).cypher(
         "CALL gds.kcore('CO', 14, 8) YIELD node_id, deg RETURN node_id, deg")
+    },
+
+    // ArticleRank over the directed CO graph (canonical src<dst) —
+    // the avg-degree-damped PageRank variant; on this view avgdeg is
+    // genuinely nonzero so the recurrence differs from pageRank's.
+    // Both engines run the identical scaled-Long recurrence with
+    // davg = |E| // |V|; 10 chained-CTE iterations replay it exactly.
+    sql("gds_articlerank", articleRankOracleSql(iterations = 10)) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.articleRank('CO', 10) YIELD node_id, iscore RETURN node_id, iscore")
     },
 
     // SCC over the directed part-flow graph (the one graded view with

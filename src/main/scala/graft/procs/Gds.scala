@@ -78,6 +78,36 @@ object Gds {
     out
   }
 
+  /** ArticleRank — the GDS PageRank variant that damps the influence
+    * of low-degree hubs by adding the graph's average out-degree to
+    * every divisor: msg = Σ rank_src // (outdeg_src + avgdeg),
+    * rank' = 0.15·S + msg·85//100. Same scaled-Long arithmetic as
+    * pageRank (exact, associative, hash-gradeable); avgdeg is the
+    * integer |E| // |V| so both engines derive it identically. */
+  def articleRank(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      iterations: Int = 20): DataFrame = {
+    val graph = toGraphX(g, relType)
+    val nV = graph.numVertices
+    val avgDeg = if (nV == 0) 0L else graph.numEdges / nV
+    var ranked = graph.outerJoinVertices(graph.outDegrees) {
+      (_, _, d) => (d.getOrElse(0), RANK_SCALE)
+    }.cache()
+    for (_ <- 1 to iterations) {
+      val msgs = ranked.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr._2 / (ctx.srcAttr._1 + avgDeg)), _ + _)
+      val prev = ranked
+      ranked = ranked.outerJoinVertices(msgs) {
+        (_, attr, m) => (attr._1, RANK_SCALE * 15 / 100 + m.getOrElse(0L) * 85 / 100)
+      }.cache()
+      ranked.edges.foreachPartition(_ => ())
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+    }
+    import spark.implicits._
+    ranked.vertices.map { case (id, (_, r)) => (id, r) }
+      .toDF("node_id", "iscore")
+  }
+
   /** gds.degree: in/out degree centrality per node. Pure DataFrame
     * aggregation — two map-side-combined hash aggs over the edge set
     * plus left joins back to the node set; no GraphX materialization,

@@ -85,6 +85,71 @@ object Packs {
       reverse(a(0)))
     procs.registerScalar("apoc.text.capitalize", "(text :: STRING) :: STRING")(a =>
       initcap(a(0)))
+    procs.registerScalar("apoc.text.indexOf",
+      "(text :: STRING, lookup :: STRING) :: INTEGER")(a =>
+      // APOC is 0-based with -1 absent; instr is 1-based with 0 absent
+      (instr(a(0), a(1)) - 1).cast("long"))
+    procs.registerScalar("apoc.text.replace",
+      "(text :: STRING, regex :: STRING, replacement :: STRING) :: STRING")(a =>
+      regexp_replace(a(0), a(1), a(2)))
+    procs.registerScalar("apoc.text.repeat",
+      "(item :: STRING, count :: INTEGER) :: STRING")(a =>
+      call_function("repeat", a(0), a(1)))
+    procs.registerScalar("apoc.text.slug",
+      "(text :: STRING, delim :: STRING?) :: STRING")(a =>
+      // strip non-alnum edges BEFORE replacing runs, so punctuation at
+      // either end never becomes a leading/trailing delimiter
+      regexp_replace(
+        regexp_replace(a(0), "^[^A-Za-z0-9]+|[^A-Za-z0-9]+$", ""),
+        lit("[^A-Za-z0-9]+"), if (a.length > 1) a(1) else lit("-")))
+    // digests — Catalyst's codegen'd hash expressions, no UDFs
+    procs.registerScalar("apoc.util.md5",
+      "(values :: LIST<STRING>) :: STRING")(a => md5(concat_ws("", a(0))))
+    procs.registerScalar("apoc.util.sha1",
+      "(values :: LIST<STRING>) :: STRING")(a => sha1(concat_ws("", a(0))))
+    procs.registerScalar("apoc.util.sha256",
+      "(values :: LIST<STRING>) :: STRING")(a => sha2(concat_ws("", a(0)), 256))
+    // date bridge: epoch <-> formatted string, unit 's' or 'ms'.
+    // call_function routes the non-literal format column through the
+    // SQL-layer to_timestamp/date_format (their Scala wrappers demand
+    // literal patterns; the SQL functions never did).
+    procs.registerScalar("apoc.date.parse",
+      "(time :: STRING, unit :: STRING, format :: STRING) :: INTEGER") { a =>
+      val ms = unix_millis(call_function("to_timestamp", a(0), a(2)))
+      when(lower(a(1)) === "s", (ms / 1000).cast("long")).otherwise(ms)
+    }
+    procs.registerScalar("apoc.date.format",
+      "(time :: INTEGER, unit :: STRING, format :: STRING) :: STRING") { a =>
+      val ms = when(lower(a(1)) === "s", a(0).cast("long") * 1000)
+        .otherwise(a(0).cast("long"))
+      call_function("date_format", timestamp_millis(ms), a(2))
+    }
+    // (no apoc.map.* scalars: this engine compiles Cypher map literals
+    // and projections to named STRUCTs — see CypherCompiler MapLit —
+    // so a MapType-column helper would never receive its input type)
+    procs.registerScalar("apoc.coll.flatten",
+      "(coll :: LIST<LIST<ANY>>) :: LIST<ANY>")(a => flatten(a(0)))
+    procs.registerScalar("apoc.coll.zip",
+      "(first :: LIST<ANY>, second :: LIST<ANY>) :: LIST<LIST<ANY>>")(a =>
+      zip_with(a(0), a(1), (x, y) => array(x, y)))
+    procs.registerScalar("apoc.coll.pairsMin",
+      "(coll :: LIST<ANY>) :: LIST<LIST<ANY>>")(a =>
+      // index list is filtered BEFORE element_at so no branch ever
+      // reads out of bounds (ANSI-safe), and the <2-element case
+      // yields a correctly-typed empty without a second cast branch:
+      // sequence's bound is clamped ascending, then over-indexes drop
+      transform(
+        filter(sequence(lit(1), greatest(size(a(0)), lit(2)) - 1),
+          i => i < size(a(0))),
+        i => array(element_at(a(0), i), element_at(a(0), i + 1))))
+    procs.registerScalar("apoc.coll.indexOf",
+      "(coll :: LIST<ANY>, value :: ANY) :: INTEGER")(a =>
+      (array_position(a(0), a(1)) - 1).cast("long"))
+    procs.registerScalar("apoc.coll.avg",
+      "(coll :: LIST<FLOAT>) :: FLOAT")(a =>
+      when(size(a(0)) === 0, lit(null).cast("double")).otherwise(
+        aggregate(a(0), lit(0.0), (acc, x) => acc + x.cast("double")) /
+          size(a(0)).cast("double")))
     procs.registerScalar("apoc.text.levenshteinDistance",
       "(text1 :: STRING, text2 :: STRING) :: INTEGER")(a =>
       levenshtein(a(0), a(1)).cast("long"))
@@ -217,6 +282,12 @@ object Packs {
     procs.register("gds.wcc", "(relType :: STRING?) :: (node_id, component)",
       "Weakly connected components (GraphX)") { args =>
       Gds.wcc(spark, session.graph(), relTypeArg(args, 0))
+    }
+    procs.register("gds.articleRank",
+      "(relType :: STRING?, iterations :: INTEGER?) :: (node_id, iscore)",
+      "ArticleRank (PageRank with average-degree damping), scaled-Long exact") { args =>
+      val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(20)
+      Gds.articleRank(spark, session.graph(), relTypeArg(args, 0), iters)
     }
     procs.register("gds.scc", "(relType :: STRING?, iterations :: INTEGER?) :: (node_id, component)",
       "Strongly connected components over the directed edges (GraphX)") { args =>

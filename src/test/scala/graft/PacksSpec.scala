@@ -58,6 +58,41 @@ class PacksSpec extends AnyFunSuite {
     assert(r2.getString(2) == "Hello")
     assert(r2.getLong(3) == 3L)
     assert(r2.getDouble(4) == 1.0)
+    val r3 = s.cypher(
+      """UNWIND range(1, 1) AS x
+        |RETURN apoc.text.indexOf('abcd', 'cd') AS idx,
+        |       apoc.text.indexOf('abcd', 'zz') AS missing,
+        |       apoc.text.replace('a-b-c', '-', '.') AS repl,
+        |       apoc.text.repeat('ab', 3) AS rep,
+        |       apoc.text.slug('Hello, World!') AS slug,
+        |       apoc.util.md5(['a', 'b']) AS h5,
+        |       apoc.util.sha256(['a', 'b']) AS h256""".stripMargin).collect().head
+    assert(r3.getLong(0) == 2L)
+    assert(r3.getLong(1) == -1L)
+    assert(r3.getString(2) == "a.b.c")
+    assert(r3.getString(3) == "ababab")
+    assert(r3.getString(4) == "Hello-World")
+    // digests of "ab" — standard test vectors
+    assert(r3.getString(5) == "187ef4436122d1cc2f40dc2b92f0eba0")
+    assert(r3.getString(6) ==
+      "fb8e20fc2e4c3f248c60c39bd652f3c1347298bb977b8b4d5903b85055620603")
+    val r4 = s.cypher(
+      """UNWIND range(1, 1) AS x
+        |RETURN apoc.date.parse('2020-03-25 10:00:00', 's', 'yyyy-MM-dd HH:mm:ss') AS secs,
+        |       apoc.date.format(1585130400, 's', 'yyyy-MM-dd') AS day,
+        |       apoc.coll.flatten([[1, 2], [3]]) AS flat,
+        |       apoc.coll.zip([1, 2], [3, 4]) AS zipped,
+        |       apoc.coll.pairsMin([1, 2, 3]) AS pairs,
+        |       apoc.coll.indexOf([5, 6, 7], 6) AS ci,
+        |       apoc.coll.avg([1.0, 2.0]) AS cavg""".stripMargin).collect().head
+    // 2020-03-25T10:00Z (session timezone is pinned UTC)
+    assert(r4.getLong(0) == 1585130400L)
+    assert(r4.getString(1) == "2020-03-25")
+    assert(r4.getSeq[Long](2) == Seq(1L, 2L, 3L))
+    assert(r4.getSeq[Seq[Long]](3) == Seq(Seq(1L, 3L), Seq(2L, 4L)))
+    assert(r4.getSeq[Seq[Long]](4) == Seq(Seq(1L, 2L), Seq(2L, 3L)))
+    assert(r4.getLong(5) == 1L)
+    assert(r4.getDouble(6) == 1.5)
   }
 
   test("apoc export is gated by apoc.export.file.enabled (Configuration.java:13)") {
