@@ -102,4 +102,44 @@ class PlanSpec extends AnyFunSuite {
     assert("array_contains".r.findAllIn(p).size <= 2,
       "label disjunction expanded into per-label scans")
   }
+
+  test("q6 scan-agg: range + equality predicates reach the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    val scanLine = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(scanLine.contains("l_shipdate") && scanLine.contains("l_discount"),
+      "q6 predicates did not push to the lineitem scan:\n" + p)
+    // 4-column projection must prune the 11-column table at the scan
+    val readLine = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readLine.contains("l_returnflag"),
+      "q6 reads columns the query never touches:\n" + readLine)
+  }
+
+  test("q19 disjunctive OR-envelope pushes per side; join stays equi") {
+    val p = plan("q19_disjunctive_pred")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q19 lost its equi join")
+    // the brand/size disjunction references only part columns, so its
+    // OR envelope must land in the part scan's PushedFilters
+    val partScan = p.linesIterator
+      .filter(l => l.contains("PushedFilters") && l.contains("p_brand")).mkString
+    assert(partScan.contains("Or("),
+      "q19's OR envelope did not reach the part scan:\n" + p)
+  }
+
+  test("attribution / lm-score / interleave stay keyed (no cartesian, no global window)") {
+    Seq("events_attribution", "text_lm_score").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNL join")
+    }
+    // interleave's corpus-sized window MUST be partitioned by source;
+    // only the |sources|-row dim table may see a single-partition sort
+    val p = plan("pipeline_interleave")
+    val corpusWindows = p.linesIterator.filter(l =>
+      l.trim.startsWith("Window") && l.contains("doc_id") &&
+        !l.contains("partitionBy")).toSeq
+    assert(!p.contains("CartesianProduct"))
+    assert(corpusWindows.forall(_.contains("source")),
+      "pipeline_interleave windows the corpus without partitioning:\n" + p)
+  }
 }
