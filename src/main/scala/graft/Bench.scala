@@ -53,12 +53,17 @@ object Bench {
       try materialize(q.fn(spark, sfDir)) catch { case _: Throwable => () }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // field order matters: the driver's log capture keeps only the
+    // LAST ~4k chars of the line, so the headline metric, the scaling
+    // slopes, and the slowest queries go at the END (queries ascending
+    // by time ⇒ the tail window always contains the expensive ones);
+    // 3-decimal values keep more of the catalog inside the window
+    val qs = results.sortBy(_._2).map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val scaling = scalingSlopes(spark, sfDir, results.toMap)
       .map(s => s""","scaling":$s""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$scaling,"sf":"$sfDir"}""")
+    println(f"""{"queries":$qs,"sf":"$sfDir"$scaling,"metric":"total","unit":"sec","n_queries":${results.size},"value":$total%.3f}""")
     spark.stop()
   }
 

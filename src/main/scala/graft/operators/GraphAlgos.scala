@@ -136,6 +136,52 @@ object GraphAlgos {
       s"\nSELECT id AS node_id, CAST(rank AS BIGINT) AS iscore FROM r$iterations"
   }
 
+  /** Chained-CTE oracle replaying Gds.louvain's synchronous
+    * integer-scaled modularity moves over the CO graph: per round,
+    * community degree masses, node→community edge counts, candidate
+    * gains 2m·e_iC − deg_i·(Σtot_C − [own]·deg_i), argmax with
+    * (gain DESC, community ASC) tiebreak. All BIGINT. */
+  private def louvainOracleSql(rounds: Int): String = {
+    val base =
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |pair AS MATERIALIZED (SELECT DISTINCT a.p*10+6 AS src, b.p*10+6 AS dst
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT src, dst FROM pair
+        |       UNION SELECT dst, src FROM pair),
+        |pnodes AS MATERIALIZED (SELECT DISTINCT CAST(p*10+6 AS BIGINT) AS id FROM li),
+        |deg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |       FROM und GROUP BY src),
+        |tm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und),
+        |c0 AS MATERIALIZED (SELECT id AS cid, id AS cc FROM pnodes)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""tot$r AS MATERIALIZED (
+         |  SELECT c.cc AS tc, SUM(d.deg) AS tot
+         |  FROM deg d JOIN c${r - 1} c ON c.cid = d.id GROUP BY c.cc),
+         |cand$r AS MATERIALIZED (
+         |  SELECT i, cand, max(eic) AS eic FROM (
+         |    SELECT u.src AS i, c.cc AS cand, CAST(count(*) AS BIGINT) AS eic
+         |    FROM und u JOIN c${r - 1} c ON c.cid = u.dst GROUP BY 1, 2
+         |    UNION ALL SELECT cid, cc, CAST(0 AS BIGINT) FROM c${r - 1})
+         |  GROUP BY i, cand),
+         |sc$r AS MATERIALIZED (
+         |  SELECT x.i, x.cand,
+         |    (SELECT m2 FROM tm) * x.eic - COALESCE(d.deg, 0) *
+         |      (COALESCE(t.tot, 0) -
+         |       CASE WHEN x.cand = o.cc THEN COALESCE(d.deg, 0) ELSE 0 END) AS gain
+         |  FROM cand$r x LEFT JOIN tot$r t ON t.tc = x.cand
+         |  LEFT JOIN deg d ON d.id = x.i
+         |  JOIN c${r - 1} o ON o.cid = x.i),
+         |c$r AS MATERIALIZED (
+         |  SELECT i AS cid, cand AS cc FROM (
+         |    SELECT i, cand,
+         |      row_number() OVER (PARTITION BY i ORDER BY gain DESC, cand ASC) AS rn
+         |    FROM sc$r) WHERE rn = 1)""".stripMargin
+    }
+    (Seq(base) ++ steps).mkString(",\n") +
+      s"\nSELECT cid AS node_id, CAST(cc AS BIGINT) AS community FROM c$rounds"
+  }
+
   /** DuckDB oracle replaying Gds.labelPropagation's deterministic
     * recurrence over the part co-purchase graph: per iteration each
     * node adopts the (count DESC, label ASC)-first label among its
@@ -322,6 +368,13 @@ object GraphAlgos {
     sql("gds_kcore", kcoreOracleSql(k = 14, rounds = 8)) { (s, dir) =>
       coSession(s, dir).cypher(
         "CALL gds.kcore('CO', 14, 8) YIELD node_id, deg RETURN node_id, deg")
+    },
+
+    // Louvain-style synchronous modularity moves over the CO graph:
+    // 3 rounds, integer-exact gains, argmax tiebroken by community id.
+    sql("gds_louvain", louvainOracleSql(rounds = 3)) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.louvain('CO', 3) YIELD node_id, community RETURN node_id, community")
     },
 
     // ArticleRank over the directed CO graph (canonical src<dst) —

@@ -243,6 +243,66 @@ object Gds {
     labels.select(col("id").as("node_id"), col("label"))
   }
 
+  /** Deterministic synchronous Louvain-style community detection:
+    * each round every node moves to the candidate community (its own
+    * or a neighbor's) with the best INTEGER-scaled modularity gain
+    *   gain(i→C) = 2m·e_iC − deg_i·(Σtot_C − [C = c_i]·deg_i)
+    * (the standard ΔQ with the i-independent terms dropped and the
+    * whole expression multiplied through by (2m)² — argmax-equivalent
+    * and exact in Long), ties → smallest community id. Divergence from
+    * GDS's Louvain is documented: GDS moves nodes sequentially with
+    * float ΔQ and multi-level coarsening; a sequential visit order is
+    * unreproducible across partitionings, so this engine runs the
+    * synchronous variant for a fixed round budget — same discipline as
+    * labelPropagation/kcore — which a SQL oracle can replay exactly.
+    * Each round: one node-community join, two hash aggregates, one
+    * argmax window — all keyed, nothing all-pairs; localCheckpoint
+    * per round pins plan depth. 2m is a scalar COUNT (an aggregate,
+    * not a data collect). */
+  def louvain(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e0 = relType.map(g.edgesOfType).getOrElse(g.edges)
+      .select("src", "dst").distinct()
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val twoM = und.count() // = 2m: each undirected edge appears twice
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var comm = g.nodes.select(col("id"), col("id").as("c")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cOf = comm.select(col("id").as("cid"), col("c").as("cc"))
+      // Σtot per community (degree mass; isolated nodes add nothing)
+      val tot = deg.join(cOf, col("id") === col("cid"))
+        .groupBy(col("cc").as("tc")).agg(sum("deg").as("tot"))
+      // e_iC: edges from i into each neighbor community
+      val eIC = und.join(cOf, col("dst") === col("cid"))
+        .groupBy(col("src").as("i"), col("cc").as("cand"))
+        .agg(count(lit(1)).as("eic"))
+      // candidate set = neighbor communities ∪ own (eic 0 if no edge)
+      val own = comm.select(col("id").as("i"), col("c").as("cand"),
+        lit(0L).as("eic"))
+      val cands = eIC.unionByName(own)
+        .groupBy("i", "cand").agg(max("eic").as("eic"))
+      val scored = cands
+        .join(tot, col("cand") === col("tc"), "left_outer")
+        .join(deg.select(col("id").as("di"), col("deg")), col("i") === col("di"), "left_outer")
+        .join(comm.select(col("id").as("oi"), col("c").as("oc")), col("i") === col("oi"))
+        .select(col("i"), col("cand"),
+          (lit(twoM) * col("eic") -
+            coalesce(col("deg"), lit(0L)) *
+              (coalesce(col("tot"), lit(0L)) -
+                when(col("cand") === col("oc"), coalesce(col("deg"), lit(0L)))
+                  .otherwise(lit(0L)))).as("gain"))
+      val w = Window.partitionBy("i").orderBy(col("gain").desc, col("cand").asc)
+      comm = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("i").as("id"), col("cand").as("c"))
+        .localCheckpoint()
+    }
+    comm.select(col("id").as("node_id"), col("c").as("community"))
+  }
+
   /** All-pairs hop distances on the undirected projection of the
     * chosen edge type, as iterative DataFrame frontier expansion:
     * dists holds (node, root, dist) rows; each round the frontier

@@ -283,6 +283,13 @@ object Packs {
       "Weakly connected components (GraphX)") { args =>
       Gds.wcc(spark, session.graph(), relTypeArg(args, 0))
     }
+    procs.register("gds.louvain",
+      "(relType :: STRING?, rounds :: INTEGER?) :: (node_id, community)",
+      "Synchronous modularity-gain community moves (integer-exact ΔQ, " +
+        "fixed rounds; documented divergence from sequential float Louvain)") { args =>
+      val rounds = args.lift(1).map(String.valueOf(_).toInt).getOrElse(3)
+      Gds.louvain(spark, session.graph(), relTypeArg(args, 0), rounds)
+    }
     procs.register("gds.articleRank",
       "(relType :: STRING?, iterations :: INTEGER?) :: (node_id, iscore)",
       "ArticleRank (PageRank with average-degree damping), scaled-Long exact") { args =>
