@@ -37,6 +37,9 @@ object Similarity {
   private val K = 5
   private val NQ = 8 // query vectors: vec_id < NQ
   private val NLIST = 16 // IVF centroid count (vec_id < NLIST)
+  private val PQ_M = 8 // PQ subspaces
+  private val PQ_SUB = DIM / PQ_M // dims per subspace
+  private val PQ_KC = 16 // codewords per subspace (vec_id < PQ_KC "train")
 
   private def topkSql(scoredCte: String) =
     s"""SELECT q_id, neighbor, icos, rnk FROM (
@@ -300,6 +303,78 @@ object Similarity {
       assign.select(col("cell"), posexplode(col("q")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
         .agg(expr("CAST(sum(x) div count(1) AS BIGINT)").as("icentroid"))
+    },
+
+    // Product quantization + ADC — THE 100 TB ANN memory play: each
+    // 64-dim vector compresses to M=8 one-byte codes (argmin-L2
+    // codeword per 8-dim subspace), and a query scores a candidate by
+    // summing 8 LUT entries instead of folding 64 dims. The LUT
+    // (query × subspace × codeword inner products, NQ·M·KC = 1024
+    // rows) broadcasts; the scored join is keyed on (m, code) and the
+    // per-pair work is ONE add per subspace. Codebook "training" is
+    // the same deterministic first-KC-vectors discipline the IVF
+    // coarse quantizer documents; argmins and dot products are exact
+    // integer math end to end, so the ADC scores hash-match. L2² uses
+    // ‖a‖² + ‖c‖² − 2⟨a,c⟩ — three integer dots, norms precomputed.
+    sql("ann_pq_adc", {
+      val mList = (0 until PQ_M).mkString("[", ", ", "]")
+      s"""WITH qv AS (SELECT vec_id, ${V.quantizeSql("embedding")} AS q FROM embeddings),
+         |subs AS (
+         |  SELECT vec_id, u.m,
+         |    list_slice(q, u.m * $PQ_SUB + 1, u.m * $PQ_SUB + $PQ_SUB) AS sub
+         |  FROM qv, (SELECT unnest($mList) AS m) u),
+         |subn AS (SELECT vec_id, m, sub, list_dot_product(sub, sub) AS sn FROM subs),
+         |cent AS (SELECT m, vec_id AS k, sub AS csub, sn AS cn
+         |         FROM subn WHERE vec_id < $PQ_KC),
+         |enc AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT s.vec_id, s.m, c.k,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY s.sn + c.cn - 2 * list_dot_product(s.sub, c.csub) ASC, c.k)
+         |        AS rn
+         |    FROM subn s JOIN cent c ON c.m = s.m)
+         |  WHERE rn = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS q_id, s.m, c.k,
+         |    CAST(list_dot_product(s.sub, c.csub) AS BIGINT) AS pdot
+         |  FROM subn s JOIN cent c ON c.m = s.m WHERE s.vec_id < $NQ),
+         |scored AS (
+         |  SELECT l.q_id, e.vec_id AS neighbor, CAST(SUM(l.pdot) AS BIGINT) AS iadc
+         |  FROM enc e JOIN lut l ON l.m = e.m AND l.k = e.code
+         |  WHERE e.vec_id <> l.q_id GROUP BY 1, 2)
+         |SELECT q_id, neighbor, iadc, rnk FROM (
+         |  SELECT q_id, neighbor, iadc,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY iadc DESC, neighbor) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $K""".stripMargin
+    }) { (s, d) =>
+      val qv = Tables.embeddings(s, d)
+        .select(col("vec_id"), V.quantize(col("embedding")).as("q"))
+      val subArr = array((0 until PQ_M).map(m => struct(lit(m).as("m"),
+        slice(col("q"), m * PQ_SUB + 1, PQ_SUB).as("sub"))): _*)
+      val subs = qv.select(col("vec_id"), explode(subArr).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+        .withColumn("sn", V.intDot(col("sub"), col("sub")))
+      val cent = subs.filter(col("vec_id") < PQ_KC)
+        .select(col("m").as("cm"), col("vec_id").as("k"),
+          col("sub").as("csub"), col("sn").as("cn"))
+      val we = Window.partitionBy("vec_id", "m").orderBy(
+        (col("sn") + col("cn") - lit(2) * V.intDot(col("sub"), col("csub"))).asc,
+        col("k").asc)
+      val enc = subs.join(broadcast(cent), col("cm") === col("m"))
+        .withColumn("rn", row_number().over(we)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("k").as("code"))
+      val lut = subs.filter(col("vec_id") < NQ)
+        .join(broadcast(cent), col("cm") === col("m"))
+        .select(col("vec_id").as("q_id"), col("m").as("lm"), col("k").as("lk"),
+          V.intDot(col("sub"), col("csub")).as("pdot"))
+      val scored = enc.join(broadcast(lut),
+          col("lm") === col("m") && col("lk") === col("code") &&
+            col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id").as("neighbor"))
+        .agg(sum("pdot").as("iadc"))
+      val w = Window.partitionBy("q_id").orderBy(col("iadc").desc, col("neighbor"))
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
     }
   )
 }

@@ -126,6 +126,13 @@ class PlanSpec extends AnyFunSuite {
       "q19's OR envelope did not reach the part scan:\n" + p)
   }
 
+  test("PQ-ADC encode and score are keyed joins over broadcast codebooks") {
+    val p = plan("ann_pq_adc")
+    assert(!p.contains("CartesianProduct"), "ann_pq_adc plans a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "ann_pq_adc plans a BNL join")
+    assert(p.contains("BroadcastHashJoin"), "PQ codebook/LUT side is not broadcast")
+  }
+
   test("attribution / lm-score / interleave stay keyed (no cartesian, no global window)") {
     Seq("events_attribution", "text_lm_score").foreach { q =>
       val p = plan(q)
