@@ -120,6 +120,8 @@ object Bench {
         Seq("event_id", "user_id")), "events")
       write(rep(spark.read.parquet(s"$sfDir/documents.parquet"),
         Seq("doc_id")), "documents")
+      write(rep(spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        Seq("vec_id")), "embeddings")
       // consistent FK re-keying keeps each replica a disconnected copy
       val shifts = Seq(
         "region"   -> Seq("r_regionkey"),
@@ -138,8 +140,11 @@ object Bench {
       // (clones share signatures, so every LSH bucket gets ×10 members
       // and candidate pairs grow ~quadratically BY CONSTRUCTION; the
       // slope is an upper bound on organic near-duplicate data)
+      // ann_pq_adc: ×10 corpus → ×10 encode rows, LUT constant (the
+      // point of ADC); text_lm_score: ×10 docs → ×10 occurrences but
+      // clone-shared bigrams keep the count side vocabulary-sized
       val probed = Seq("dedup_clusters", "dedup_minhash_lsh",
-        "stream_stream_join", "gds_degree")
+        "stream_stream_join", "gds_degree", "ann_pq_adc", "text_lm_score")
       val byName = SparkEntry.catalog.map(q => q.name -> q).toMap
       def timeAt(name: String, dir: String): Option[String] =
         byName.get(name).map { q =>

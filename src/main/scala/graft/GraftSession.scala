@@ -25,6 +25,14 @@ final class GraftSession(val spark: SparkSession,
   val catalog = new GraphCatalog(spark)
   val procedures = new ProcedureRegistry(spark)
 
+  /** GDS projected-graph catalog (`gds.graph.project/list/drop`) —
+    * named label/relType-filtered views over the session graph. Lazy
+    * DataFrames, not materialized copies: at 100 TB a projection is a
+    * predicate the next algorithm's scan pushes down, never a second
+    * dataset. */
+  val projectedGraphs =
+    scala.collection.concurrent.TrieMap.empty[String, graft.core.PropertyGraph]
+
   /** Credential store + current principal (SURVEY §2.7). `None` =
     * auth disabled (`NEO4J_AUTH=none` or never bootstrapped). */
   @volatile var authStore: Option[AuthStore] = None

@@ -270,64 +270,110 @@ object Packs {
     val spark = session.spark
     def relTypeArg(args: Seq[Any], i: Int): Option[String] =
       args.lift(i).map(String.valueOf).filter(s => s.nonEmpty && s != "*")
+    // GDS workflow fidelity: the first argument may name a PROJECTED
+    // graph (gds.graph.project) instead of a relType over the session
+    // default — the projected view is already filtered, so algorithms
+    // see relType=None. Unknown strings keep the legacy relType
+    // meaning, so every existing CALL is unchanged.
+    def graphArg(args: Seq[Any], i: Int): (graft.core.PropertyGraph, Option[String]) =
+      args.lift(i).map(String.valueOf).filter(_.nonEmpty) match {
+        case Some(name) if session.projectedGraphs.contains(name) =>
+          (session.projectedGraphs(name), None)
+        case other => (session.graph(), other.filter(_ != "*"))
+      }
+    procs.register("gds.graph.project",
+      "(graphName :: STRING, nodeLabel :: STRING?, relType :: STRING?) :: " +
+        "(graphName, nodeCount, relationshipCount)",
+      "Project a named label/relType-filtered graph view ('*' = all)") { args =>
+      val name = String.valueOf(args.head)
+      val label = relTypeArg(args, 1)
+      val rel = relTypeArg(args, 2)
+      val base = session.graph()
+      val nodes = label.map(base.nodesWithLabel).getOrElse(base.nodes)
+      val ids = nodes.select(org.apache.spark.sql.functions.col("id"))
+      val typed = rel.map(base.edgesOfType).getOrElse(base.edges)
+      // projection keeps only edges whose BOTH endpoints survive the
+      // node filter — two keyed semi joins, the GDS contract
+      val edges = typed
+        .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      val g = graft.core.PropertyGraph(nodes, edges)
+      session.projectedGraphs(name) = g
+      procs.oneRow("graphName" -> name, "nodeCount" -> nodes.count(),
+        "relationshipCount" -> edges.count())
+    }
+    procs.register("gds.graph.list", "() :: (graphName, nodeCount, relationshipCount)",
+      "List projected graphs") { _ =>
+      import spark.implicits._
+      session.projectedGraphs.toSeq.sortBy(_._1)
+        .map { case (n, g) => (n, g.nodes.count(), g.edges.count()) }
+        .toDF("graphName", "nodeCount", "relationshipCount")
+    }
+    procs.register("gds.graph.drop", "(graphName :: STRING) :: (graphName)",
+      "Drop a projected graph") { args =>
+      val name = String.valueOf(args.head)
+      if (session.projectedGraphs.remove(name).isEmpty)
+        throw new NoSuchElementException(s"Graph with name `$name` does not exist")
+      procs.oneRow("graphName" -> name)
+    }
     procs.register("gds.pageRank", "(relType :: STRING?, iterations :: INTEGER?) :: (node_id, iscore)",
       "PageRank over the property graph (GraphX static PageRank)") { args =>
       val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(20)
-      Gds.pageRank(spark, session.graph(), relTypeArg(args, 0), iters)
+      Gds.pageRank(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters)
     }
     procs.register("gds.degree", "(relType :: STRING?) :: (node_id, out_degree, in_degree)",
       "In/out degree centrality per node (DataFrame hash aggregation)") { args =>
-      Gds.degree(spark, session.graph(), relTypeArg(args, 0))
+      Gds.degree(spark, graphArg(args, 0)._1, graphArg(args, 0)._2)
     }
     procs.register("gds.wcc", "(relType :: STRING?) :: (node_id, component)",
       "Weakly connected components (GraphX)") { args =>
-      Gds.wcc(spark, session.graph(), relTypeArg(args, 0))
+      Gds.wcc(spark, graphArg(args, 0)._1, graphArg(args, 0)._2)
     }
     procs.register("gds.louvain",
       "(relType :: STRING?, rounds :: INTEGER?) :: (node_id, community)",
       "Synchronous modularity-gain community moves (integer-exact ΔQ, " +
         "fixed rounds; documented divergence from sequential float Louvain)") { args =>
       val rounds = args.lift(1).map(String.valueOf(_).toInt).getOrElse(3)
-      Gds.louvain(spark, session.graph(), relTypeArg(args, 0), rounds)
+      Gds.louvain(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, rounds)
     }
     procs.register("gds.articleRank",
       "(relType :: STRING?, iterations :: INTEGER?) :: (node_id, iscore)",
       "ArticleRank (PageRank with average-degree damping), scaled-Long exact") { args =>
       val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(20)
-      Gds.articleRank(spark, session.graph(), relTypeArg(args, 0), iters)
+      Gds.articleRank(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters)
     }
     procs.register("gds.scc", "(relType :: STRING?, iterations :: INTEGER?) :: (node_id, component)",
       "Strongly connected components over the directed edges (GraphX)") { args =>
       val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(30)
-      Gds.scc(spark, session.graph(), relTypeArg(args, 0), iters)
+      Gds.scc(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters)
     }
     procs.register("gds.shortestPath", "(landmark :: INTEGER, relType :: STRING?) :: (node_id, distance)",
       "Hop-distance to the landmark node (GraphX ShortestPaths)") { args =>
       val landmark = String.valueOf(args.head).toLong
-      Gds.shortestPath(spark, session.graph(), relTypeArg(args, 1), landmark)
+      Gds.shortestPath(spark, graphArg(args, 1)._1, graphArg(args, 1)._2, landmark)
     }
     procs.register("gds.dijkstra",
       "(source :: INTEGER, relType :: STRING?) :: (node_id, cost)",
       "Weighted single-source shortest path over the undirected " +
         "projection, Long `weight` edge property (GraphX Pregel)") { args =>
       val source = String.valueOf(args.head).toLong
-      Gds.dijkstra(spark, session.graph(), relTypeArg(args, 1), source)
+      Gds.dijkstra(spark, graphArg(args, 1)._1, graphArg(args, 1)._2, source)
     }
     procs.register("gds.triangleCount", "(relType :: STRING?) :: (node_id, triangles)",
       "Per-node triangle count (GraphX)") { args =>
-      Gds.triangleCount(spark, session.graph(), relTypeArg(args, 0))
+      Gds.triangleCount(spark, graphArg(args, 0)._1, graphArg(args, 0)._2)
     }
     procs.register("gds.labelPropagation",
       "(relType :: STRING?, iterations :: INTEGER?) :: (node_id, label)",
       "Synchronous label propagation, smallest-label tie-break") { args =>
       val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(5)
-      Gds.labelPropagation(spark, session.graph(), relTypeArg(args, 0), iters)
+      Gds.labelPropagation(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters)
     }
     procs.register("gds.nodeSimilarity",
       "(relType :: STRING?, minScore :: INTEGER?) :: (node1, node2, ijac)",
       "Jaccard similarity of out-neighbor sets (scaled to 1e6)") { args =>
       val minScore = args.lift(1).map(String.valueOf(_).toLong).getOrElse(1L)
-      Gds.nodeSimilarity(spark, session.graph(), relTypeArg(args, 0), minScore)
+      Gds.nodeSimilarity(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, minScore)
     }
     // sampleMod/sampleK: deterministic source sampling (roots with
     // id % sampleMod < sampleK) — the Eppstein-Wang-style knob that
@@ -338,7 +384,7 @@ object Packs {
       val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(10)
       val sm = args.lift(2).map(String.valueOf(_).toLong).getOrElse(1L)
       val sk = args.lift(3).map(String.valueOf(_).toLong).getOrElse(1L)
-      Gds.closeness(spark, session.graph(), relTypeArg(args, 0), iters, sm, sk)
+      Gds.closeness(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters, sm, sk)
     }
     procs.register("gds.betweenness",
       "(relType :: STRING?, maxIter :: INTEGER?, sampleMod :: INTEGER?, sampleK :: INTEGER?) :: (node_id, stress)",
@@ -346,7 +392,7 @@ object Packs {
       val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(6)
       val sm = args.lift(2).map(String.valueOf(_).toLong).getOrElse(1L)
       val sk = args.lift(3).map(String.valueOf(_).toLong).getOrElse(1L)
-      Gds.betweenness(spark, session.graph(), relTypeArg(args, 0), iters, sm, sk)
+      Gds.betweenness(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters, sm, sk)
     }
     procs.register("gds.kcore",
       "(relType :: STRING?, k :: INTEGER, rounds :: INTEGER?) :: (node_id, deg)",
@@ -354,7 +400,7 @@ object Packs {
       val k = args.lift(1).map(String.valueOf(_).toLong).getOrElse(
         throw new IllegalArgumentException("gds.kcore: k is required"))
       val rounds = args.lift(2).map(String.valueOf(_).toInt).getOrElse(8)
-      Gds.kcore(spark, session.graph(), relTypeArg(args, 0), k, rounds)
+      Gds.kcore(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, k, rounds)
     }
     procs.register("gds.harmonic",
       "(relType :: STRING?, maxIter :: INTEGER?, sampleMod :: INTEGER?, sampleK :: INTEGER?) :: (node_id, hscore)",
@@ -362,7 +408,7 @@ object Packs {
       val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(10)
       val sm = args.lift(2).map(String.valueOf(_).toLong).getOrElse(1L)
       val sk = args.lift(3).map(String.valueOf(_).toLong).getOrElse(1L)
-      Gds.harmonic(spark, session.graph(), relTypeArg(args, 0), iters, sm, sk)
+      Gds.harmonic(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters, sm, sk)
     }
   }
 

@@ -136,6 +136,34 @@ class PacksSpec extends AnyFunSuite {
     assert(rows == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("gds.graph.project/list/drop: named projections feed algorithms") {
+    val s = sessionWith("graph-data-science")
+    s.cypher("CREATE (a:n {name:'a'})-[:T]->(b:n {name:'b'})-[:T]->(c:n {name:'c'})")
+    s.cypher("CREATE (d:m {name:'d'})-[:U]->(e:m {name:'e'})")
+    val proj = s.cypher(
+      "CALL gds.graph.project('g1', 'n', 'T') YIELD graphName, nodeCount, relationshipCount")
+      .collect().head
+    assert(proj.getString(0) == "g1")
+    assert(proj.getLong(1) == 3L && proj.getLong(2) == 2L)
+    // algorithms resolve the projected name; d/e are outside g1
+    val wcc = s.cypher("CALL gds.wcc('g1') YIELD node_id, component")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wcc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    val listed = s.cypher("CALL gds.graph.list() YIELD graphName, nodeCount")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(listed == Map("g1" -> 3L))
+    s.cypher("CALL gds.graph.drop('g1') YIELD graphName")
+    assert(s.projectedGraphs.isEmpty)
+    val err = intercept[Exception](s.cypher("CALL gds.graph.drop('g1') YIELD graphName"))
+    assert(err.getMessage.contains("does not exist"))
+    // label filter drops cross-label edges: project only :m nodes over
+    // ALL relTypes — the a->b->c edges vanish with their endpoints
+    val pm = s.cypher(
+      "CALL gds.graph.project('g2', 'm', '*') YIELD nodeCount, relationshipCount")
+      .collect().head
+    assert(pm.getLong(0) == 2L && pm.getLong(1) == 1L)
+  }
+
   test("gds.shortestPath: hop distance to landmark along edges") {
     val s = chainSession
     val rows = s.cypher("CALL gds.shortestPath(2) YIELD node_id, distance")
