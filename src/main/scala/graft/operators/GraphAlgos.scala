@@ -370,6 +370,41 @@ object GraphAlgos {
         "CALL gds.kcore('CO', 14, 8) YIELD node_id, deg RETURN node_id, deg")
     },
 
+    // FastRP-style integer embeddings over the CO graph: 8 dims, 2
+    // neighbor-sum rounds from the deterministic sparse ±1/0 init.
+    // The oracle replays init + both rounds dim-by-dim in SQL.
+    sql("gds_fastrp",
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |pair AS MATERIALIZED (SELECT DISTINCT a.p*10+6 AS src, b.p*10+6 AS dst
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT src, dst FROM pair
+        |       UNION SELECT dst, src FROM pair),
+        |pnodes AS MATERIALIZED (SELECT DISTINCT CAST(p*10+6 AS BIGINT) AS id FROM li),
+        |dims AS MATERIALIZED (SELECT unnest(range(0, 8)) AS d),
+        |v0 AS MATERIALIZED (
+        |  SELECT n.id, d.d, (n.id * 1000003 + d.d * 7919) % 97 % 3 - 1 AS val
+        |  FROM pnodes n, dims d),
+        |a1 AS MATERIALIZED (
+        |  SELECT u.src AS id, v.d, SUM(v.val) AS val
+        |  FROM und u JOIN v0 v ON v.id = u.dst GROUP BY 1, 2),
+        |v1 AS MATERIALIZED (
+        |  SELECT nd.id, nd.d, COALESCE(a.val, 0) AS val
+        |  FROM (SELECT n.id, d.d FROM pnodes n, dims d) nd
+        |  LEFT JOIN a1 a ON a.id = nd.id AND a.d = nd.d),
+        |a2 AS MATERIALIZED (
+        |  SELECT u.src AS id, v.d, SUM(v.val) AS val
+        |  FROM und u JOIN v1 v ON v.id = u.dst GROUP BY 1, 2),
+        |v2 AS (
+        |  SELECT nd.id, nd.d, COALESCE(a.val, 0) AS val
+        |  FROM (SELECT n.id, d.d FROM pnodes n, dims d) nd
+        |  LEFT JOIN a2 a ON a.id = nd.id AND a.d = nd.d)
+        |SELECT id AS node_id, CAST(d AS BIGINT) AS dim, CAST(val AS BIGINT) AS ival
+        |FROM v2""".stripMargin) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.fastRP('CO', 8, 2) YIELD node_id, dim, ival RETURN node_id, dim, ival")
+    },
+
     // Louvain-style synchronous modularity moves over the CO graph:
     // 3 rounds, integer-exact gains, argmax tiebroken by community id.
     sql("gds_louvain", louvainOracleSql(rounds = 3)) { (s, dir) =>

@@ -303,6 +303,47 @@ object Gds {
     comm.select(col("id").as("node_id"), col("c").as("community"))
   }
 
+  /** FastRP-family node embeddings, integer-exact: start from a
+    * DETERMINISTIC sparse ±1/0 vector per node (a pure arithmetic
+    * hash of (id, dim) — the "very sparse random projection" of
+    * Achlioptas/FastRP, made engine-replayable) and run `rounds` of
+    * undirected neighbor-sum aggregation. Divergence from GDS FastRP
+    * is documented: no float normalization or iteration weights (a
+    * norm is a global float; the integer sum keeps the embedding
+    * hash-gradeable) — downstream consumers that need unit vectors
+    * normalize at read time. Each round is ONE keyed join + hash
+    * aggregate per (node, dim); dims stay a constant fan-out, so the
+    * whole embedding is O(rounds · E · dims) with no shuffle wider
+    * than the edge list. Output: (node_id, dim, ival). */
+  def fastRP(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      dims: Int = 8, rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e0 = relType.map(g.edgesOfType).getOrElse(g.edges)
+      .select("src", "dst").distinct()
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = g.nodes.select(col("id"))
+    var v = nodes
+      .select(col("id"), explode(sequence(lit(0), lit(dims - 1))).as("d"))
+      .withColumn("val",
+        (col("id") * 1000003L + col("d") * 7919L) % 97 % 3 - 1)
+    for (_ <- 1 to rounds) {
+      val agg = und.join(v.select(col("id").as("vid"), col("d"), col("val")),
+          col("dst") === col("vid"))
+        .groupBy(col("src").as("nid"), col("d"))
+        .agg(sum("val").as("nval"))
+      // isolated nodes keep a zero embedding rather than dropping out
+      val base = nodes
+        .select(col("id"), explode(sequence(lit(0), lit(dims - 1))).as("d"))
+      v = base.join(agg,
+          base("id") === agg("nid") && base("d") === agg("d"), "left_outer")
+        .select(base("id"), base("d"),
+          coalesce(agg("nval"), lit(0L)).as("val"))
+        .localCheckpoint()
+    }
+    v.select(col("id").as("node_id"), col("d").as("dim"), col("val").cast("long").as("ival"))
+  }
+
   /** All-pairs hop distances on the undirected projection of the
     * chosen edge type, as iterative DataFrame frontier expansion:
     * dists holds (node, root, dist) rows; each round the frontier

@@ -342,6 +342,15 @@ object Packs {
       val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(20)
       Gds.articleRank(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters)
     }
+    procs.register("gds.fastRP",
+      "(relType :: STRING?, dims :: INTEGER?, rounds :: INTEGER?) :: (node_id, dim, ival)",
+      "Integer FastRP-style node embeddings: deterministic sparse init, " +
+        "neighbor-sum rounds (documented divergence: no float normalization)") { args =>
+      val (g, rt) = graphArg(args, 0)
+      val dims = args.lift(1).map(String.valueOf(_).toInt).getOrElse(8)
+      val rounds = args.lift(2).map(String.valueOf(_).toInt).getOrElse(2)
+      Gds.fastRP(spark, g, rt, dims, rounds)
+    }
     procs.register("gds.scc", "(relType :: STRING?, iterations :: INTEGER?) :: (node_id, component)",
       "Strongly connected components over the directed edges (GraphX)") { args =>
       val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(30)
