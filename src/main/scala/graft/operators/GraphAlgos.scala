@@ -136,11 +136,12 @@ object GraphAlgos {
       s"\nSELECT id AS node_id, CAST(rank AS BIGINT) AS iscore FROM r$iterations"
   }
 
-  /** Chained-CTE oracle replaying Gds.louvain's synchronous
+  /** Chained-CTE oracle replaying Gds.louvain's monotone synchronous
     * integer-scaled modularity moves over the CO graph: per round,
     * community degree masses, node→community edge counts, candidate
-    * gains 2m·e_iC − deg_i·(Σtot_C − [own]·deg_i), argmax with
-    * (gain DESC, community ASC) tiebreak. All BIGINT. */
+    * gains 2m·e_iC − deg_i·(Σtot_C − [own]·deg_i) over candidates
+    * with id <= the current community, argmax with (gain DESC,
+    * community ASC) tiebreak. All BIGINT. */
   private def louvainOracleSql(rounds: Int): String = {
     val base =
       """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
@@ -171,7 +172,8 @@ object GraphAlgos {
          |       CASE WHEN x.cand = o.cc THEN COALESCE(d.deg, 0) ELSE 0 END) AS gain
          |  FROM cand$r x LEFT JOIN tot$r t ON t.tc = x.cand
          |  LEFT JOIN deg d ON d.id = x.i
-         |  JOIN c${r - 1} o ON o.cid = x.i),
+         |  JOIN c${r - 1} o ON o.cid = x.i
+         |  WHERE x.cand <= o.cc),
          |c$r AS MATERIALIZED (
          |  SELECT i AS cid, cand AS cc FROM (
          |    SELECT i, cand,
@@ -405,11 +407,73 @@ object GraphAlgos {
         "CALL gds.fastRP('CO', 8, 2) YIELD node_id, dim, ival RETURN node_id, dim, ival")
     },
 
-    // Louvain-style synchronous modularity moves over the CO graph:
-    // 3 rounds, integer-exact gains, argmax tiebroken by community id.
-    sql("gds_louvain", louvainOracleSql(rounds = 3)) { (s, dir) =>
+    // Graph-embedding similarity — the full "embed the graph, then
+    // search it" pipeline in one graded query: fastRP integer
+    // embeddings over CO, pivoted to per-node vectors, then exact
+    // top-5 neighbors by integer dot product for a ~2% sampled query
+    // set (brute force over the embedded table — the ann_topk
+    // discipline; at 100 TB the LSH/IVF/PQ routes in Similarity.scala
+    // take over on the same vectors). Ties break on neighbor id.
+    sql("ann_graph_embed",
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |pair AS MATERIALIZED (SELECT DISTINCT a.p*10+6 AS src, b.p*10+6 AS dst
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT src, dst FROM pair
+        |       UNION SELECT dst, src FROM pair),
+        |pnodes AS MATERIALIZED (SELECT DISTINCT CAST(p*10+6 AS BIGINT) AS id FROM li),
+        |dims AS MATERIALIZED (SELECT unnest(range(0, 8)) AS d),
+        |v0 AS MATERIALIZED (
+        |  SELECT n.id, d.d, (n.id * 1000003 + d.d * 7919) % 97 % 3 - 1 AS val
+        |  FROM pnodes n, dims d),
+        |a1 AS MATERIALIZED (
+        |  SELECT u.src AS id, v.d, SUM(v.val) AS val
+        |  FROM und u JOIN v0 v ON v.id = u.dst GROUP BY 1, 2),
+        |v1 AS MATERIALIZED (
+        |  SELECT nd.id, nd.d, COALESCE(a.val, 0) AS val
+        |  FROM (SELECT n.id, d.d FROM pnodes n, dims d) nd
+        |  LEFT JOIN a1 a ON a.id = nd.id AND a.d = nd.d),
+        |a2 AS MATERIALIZED (
+        |  SELECT u.src AS id, v.d, SUM(v.val) AS val
+        |  FROM und u JOIN v1 v ON v.id = u.dst GROUP BY 1, 2),
+        |v2 AS MATERIALIZED (
+        |  SELECT nd.id, nd.d, COALESCE(a.val, 0) AS val
+        |  FROM (SELECT n.id, d.d FROM pnodes n, dims d) nd
+        |  LEFT JOIN a2 a ON a.id = nd.id AND a.d = nd.d),
+        |scored AS (
+        |  SELECT a.id AS q_id, b.id AS neighbor,
+        |    CAST(SUM(a.val * b.val) AS BIGINT) AS idot
+        |  FROM v2 a JOIN v2 b ON a.d = b.d AND b.id <> a.id
+        |  WHERE (a.id // 10) % 50 = 0
+        |  GROUP BY 1, 2)
+        |SELECT q_id, neighbor, idot, rnk FROM (
+        |  SELECT q_id, neighbor, idot,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY idot DESC, neighbor) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val emb = coSession(s, dir).cypher(
+        "CALL gds.fastRP('CO', 8, 2) YIELD node_id, dim, ival RETURN node_id, dim, ival")
+        .groupBy("node_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("ival")))),
+          x => x.getField("ival")).as("vec"))
+      val qs = emb.filter(expr("(node_id div 10) % 50 = 0"))
+        .select(col("node_id").as("q_id"), col("vec").as("qv"))
+      val scored = emb.crossJoin(broadcast(qs))
+        .filter(col("node_id") =!= col("q_id"))
+        .select(col("q_id"), col("node_id").as("neighbor"),
+          graft.functions.VectorFunctions.intDot(col("qv"), col("vec")).as("idot"))
+      val w = Window.partitionBy("q_id").orderBy(col("idot").desc, col("neighbor"))
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+    },
+
+    // Louvain-style modularity moves over the CO graph: 4 rounds of
+    // monotone (label-non-increasing — see Gds.louvain) integer-exact
+    // gain argmax, tiebroken by community id.
+    sql("gds_louvain", louvainOracleSql(rounds = 4)) { (s, dir) =>
       coSession(s, dir).cypher(
-        "CALL gds.louvain('CO', 3) YIELD node_id, community RETURN node_id, community")
+        "CALL gds.louvain('CO', 4) YIELD node_id, community RETURN node_id, community")
     },
 
     // ArticleRank over the directed CO graph (canonical src<dst) —

@@ -252,9 +252,11 @@ object Gds {
     * and exact in Long), ties → smallest community id. Divergence from
     * GDS's Louvain is documented: GDS moves nodes sequentially with
     * float ΔQ and multi-level coarsening; a sequential visit order is
-    * unreproducible across partitionings, so this engine runs the
+    * unreproducible across partitionings, so this engine runs a
     * synchronous variant for a fixed round budget — same discipline as
-    * labelPropagation/kcore — which a SQL oracle can replay exactly.
+    * labelPropagation/kcore — which a SQL oracle can replay exactly,
+    * with moves restricted to non-increasing labels (see the loop
+    * comment) so simultaneous updates cannot oscillate.
     * Each round: one node-community join, two hash aggregates, one
     * argmax window — all keyed, nothing all-pairs; localCheckpoint
     * per round pins plan depth. 2m is a scalar COUNT (an aggregate,
@@ -271,6 +273,13 @@ object Gds {
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     var comm = g.nodes.select(col("id"), col("id").as("c")).localCheckpoint()
+    // monotone moves: a node may only adopt a community id <= its
+    // current one. A fully synchronous unconstrained update ping-pongs
+    // on symmetric structures (two adjacent nodes swap into each
+    // other's community forever); making labels non-increasing kills
+    // every cycle (a swap needs one label to rise), so the fixed
+    // round budget converges — the same min-label discipline the LPA
+    // tie-break uses, here weighted by modularity gain.
     for (_ <- 1 to rounds) {
       val cOf = comm.select(col("id").as("cid"), col("c").as("cc"))
       // Σtot per community (degree mass; isolated nodes add nothing)
@@ -289,6 +298,7 @@ object Gds {
         .join(tot, col("cand") === col("tc"), "left_outer")
         .join(deg.select(col("id").as("di"), col("deg")), col("i") === col("di"), "left_outer")
         .join(comm.select(col("id").as("oi"), col("c").as("oc")), col("i") === col("oi"))
+        .filter(col("cand") <= col("oc"))
         .select(col("i"), col("cand"),
           (lit(twoM) * col("eic") -
             coalesce(col("deg"), lit(0L)) *
@@ -296,7 +306,8 @@ object Gds {
                 when(col("cand") === col("oc"), coalesce(col("deg"), lit(0L)))
                   .otherwise(lit(0L)))).as("gain"))
       val w = Window.partitionBy("i").orderBy(col("gain").desc, col("cand").asc)
-      comm = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      comm = scored
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("i").as("id"), col("cand").as("c"))
         .localCheckpoint()
     }
@@ -341,7 +352,8 @@ object Gds {
           coalesce(agg("nval"), lit(0L)).as("val"))
         .localCheckpoint()
     }
-    v.select(col("id").as("node_id"), col("d").as("dim"), col("val").cast("long").as("ival"))
+    v.select(col("id").as("node_id"), col("d").cast("long").as("dim"),
+      col("val").cast("long").as("ival"))
   }
 
   /** All-pairs hop distances on the undirected projection of the

@@ -261,6 +261,25 @@ object Packs {
       flat.write.mode("overwrite").option("header", "true").csv(file)
       procs.oneRow("file" -> file, "rows" -> nodes.count())
     }
+    procs.register("apoc.export.json.all", "(file :: STRING) :: (file, nodes, relationships)",
+      "Export nodes and relationships as JSON lines (requires apoc.export.file.enabled)") { args =>
+      val enabled = session.config.flatMap(_.setting("apoc.export.file.enabled"))
+        .orElse(session.settings.get("apoc.export.file.enabled"))
+        .contains("true")
+      if (!enabled) throw new IllegalStateException(
+        "Export to files not enabled, please set apoc.export.file.enabled=true in your apoc.conf")
+      val file = String.valueOf(args.head)
+      val g = session.graph()
+      // apoc's jsonl shape: one object per line, type-discriminated —
+      // node/relationship sections side by side; a distributed write
+      // per section (JSON keeps arrays, unlike the CSV flattening)
+      g.nodes.withColumn("type", lit("node"))
+        .write.mode("overwrite").json(s"$file/nodes")
+      g.edges.withColumn("type", lit("relationship"))
+        .write.mode("overwrite").json(s"$file/relationships")
+      procs.oneRow("file" -> file, "nodes" -> g.nodes.count(),
+        "relationships" -> g.edges.count())
+    }
   }
 
   // ---- graph-data-science (GraphX; SURVEY §2.5) ----

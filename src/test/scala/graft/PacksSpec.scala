@@ -109,6 +109,19 @@ class PacksSpec extends AnyFunSuite {
       .collect().head
     assert(out.getString(0) == "/tmp/graft-test-export")
     assert(out.getLong(1) == 1L)
+
+    // JSON export: same gate, node + relationship sections
+    intercept[IllegalStateException] {
+      gated.cypher("CALL apoc.export.json.all('/tmp/graft-test-json')").collect()
+    }
+    enabled.cypher("CREATE (b:dog {name:'Bo'})-[:KNOWS]->(c:dog {name:'Cy'})")
+    val j = enabled.cypher(
+      "CALL apoc.export.json.all('/tmp/graft-test-json') YIELD file, nodes, relationships")
+      .collect().head
+    assert(j.getLong(1) == 3L && j.getLong(2) == 1L)
+    val back = spark.read.json("/tmp/graft-test-json/nodes")
+    assert(back.count() == 3L)
+    assert(back.columns.contains("labels") && back.columns.contains("type"))
   }
 
   test("unknown plugin error lists options hiding _testing (docker-entrypoint.sh:220-224)") {
@@ -134,6 +147,45 @@ class PacksSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // nodes 0,1,2 form one component; 3,4 the other
     assert(rows == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("gds.scc: a directed cycle is one component, the tail stays out") {
+    val s = sessionWith("graph-data-science")
+    // cycle a->b->c->a plus a dangling d->e
+    s.cypher("CREATE (a:n {name:'a'})-[:T]->(b:n {name:'b'})-[:T]->(c:n {name:'c'})")
+    s.cypher("MATCH (a:n {name:'a'}), (c:n {name:'c'}) CREATE (c)-[:T]->(a)")
+    s.cypher("CREATE (d:n {name:'d'})-[:T]->(e:n {name:'e'})")
+    val comp = s.cypher("CALL gds.scc() YIELD node_id, component")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("gds.louvain: two triangles joined by a bridge split into two communities") {
+    val s = sessionWith("graph-data-science")
+    s.cypher("CREATE (a:n)-[:T]->(b:n), (b)-[:T]->(c:n), (a)-[:T]->(c)")
+    s.cypher("CREATE (d:n)-[:T]->(e:n), (e)-[:T]->(f:n), (d)-[:T]->(f)")
+    s.cypher("MATCH (c:n), (f:n) WHERE id(c) = 2 AND id(f) = 5 CREATE (c)-[:T]->(f)")
+    val com = s.cypher("CALL gds.louvain('T', 4) YIELD node_id, community")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(com(0L) == com(1L) && com(1L) == com(2L), s"triangle 1 split: $com")
+    assert(com(3L) == com(4L) && com(4L) == com(5L), s"triangle 2 split: $com")
+    assert(com(0L) != com(3L), s"bridge merged the triangles: $com")
+  }
+
+  test("gds.fastRP: deterministic init, neighbor sums, zero for isolated nodes") {
+    val s = sessionWith("graph-data-science")
+    s.cypher("CREATE (a:n)-[:T]->(b:n)")
+    s.cypher("CREATE (z:n {name:'lone'})")
+    val emb = s.cypher("CALL gds.fastRP('T', 4, 1) YIELD node_id, dim, ival")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def init(id: Long, d: Long) = (id * 1000003L + d * 7919L) % 97 % 3 - 1
+    // one round of undirected neighbor-sum: a's embedding = b's init
+    // (and vice versa); the isolated node is all zeros
+    (0L until 4L).foreach { d =>
+      assert(emb((0L, d)) == init(1L, d))
+      assert(emb((1L, d)) == init(0L, d))
+      assert(emb((2L, d)) == 0L)
+    }
   }
 
   test("gds.graph.project/list/drop: named projections feed algorithms") {
