@@ -49,6 +49,12 @@ object Streaming {
   final case class UserSess(user_id: Long, n_sessions: Long, n_events: Long)
   final case class SessSt(lastTsUs: Long, sessions: Long, events: Long)
 
+  /** CDC fold state: the materialized row a changelog key converges
+    * to (latest op by event_id) plus the change count. */
+  final case class CdcEv(event_id: Long, user_id: Long, isDelete: Boolean, cents: Long)
+  final case class CdcSt(lastEvent: Long, lastCents: Long, deleted: Boolean, n: Long)
+  final case class CdcOut(user_id: Long, last_cents: Long, last_event: Long, n_changes: Long)
+
   private val GAP_US = 30L * 60 * 1000000
 
   def all: Seq[QueryDef] = Seq(
@@ -186,6 +192,67 @@ object Streaming {
       s.read.parquet(sink)
         .groupBy(col("v_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // Streaming CDC apply: the changelog replayed as a stream, each
+    // key's state folded with latest-wins by commit LSN (event_id) and
+    // delete tombstones — the stateful-streaming twin of the batch
+    // events_cdc_apply (same DuckDB oracle). One state object per key
+    // in the store; emission in Update mode after the bounded replay
+    // carries each surviving key's materialized row. A long-running
+    // deployment would merge per-batch updates into a keyed sink; the
+    // state never holds more than (lastEvent, cents, deleted, count).
+    sql("stream_cdc_apply",
+      """WITH log AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM log)
+        |SELECT user_id, cents AS last_cents, event_id AS last_event,
+        |  CAST(n AS BIGINT) AS n_changes
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+      val sink = s"$tmp/sink"
+      val src = eventStream(s, d)
+        .select(col("event_id"), col("user_id"),
+          (col("event_type") === "error").as("isDelete"),
+          floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+        .as[CdcEv]
+      val folded = src.groupByKey(_.user_id)
+        .flatMapGroupsWithState[CdcSt, CdcOut](
+          OutputMode.Update(), org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+          (user: Long, evs: Iterator[CdcEv],
+              state: org.apache.spark.sql.streaming.GroupState[CdcSt]) =>
+            var st = state.getOption.getOrElse(CdcSt(Long.MinValue, 0L, false, 0L))
+            evs.foreach { e =>
+              val newer = e.event_id > st.lastEvent
+              st = CdcSt(
+                if (newer) e.event_id else st.lastEvent,
+                if (newer) e.cents else st.lastCents,
+                if (newer) e.isDelete else st.deleted,
+                st.n + 1L)
+            }
+            state.update(st)
+            if (st.deleted) Iterator.empty
+            else Iterator.single(CdcOut(user, st.lastCents, st.lastEvent, st.n))
+        }
+      val q = folded.toDF().writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(sink)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)
     },
 
     // Streaming exact dedup on ingest: the training-pipeline shape
