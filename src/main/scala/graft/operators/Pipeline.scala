@@ -353,6 +353,52 @@ object Pipeline {
         .select(col("doc_id"), col("source"),
           (col("rn") * col("n_src") + col("sidx")).as("position"))
         .orderBy("position").limit(100)
+    },
+
+    // Curriculum binning: quartile stages by document length, EXACT —
+    // stage = floor(rank·4/n)+1 over the unique (n_chars, doc_id)
+    // composite key. The rank is a two-level distributed prefix sum
+    // (the pipeline_pack_sequences discipline): per-bucket window
+    // rank + a 64-row broadcast cumsum of bucket counts — never a
+    // single-partition global window over the corpus. The oracle uses
+    // DuckDB's global row_number, which must agree because the key is
+    // unique and both engines rank the same total order.
+    sql("pipeline_curriculum",
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars * 1000000 + doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT CAST((rn - 1) * 4 // n + 1 AS BIGINT) AS stage,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM r GROUP BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars") * 1000000L + col("doc_id")).as("key"))
+      val stats = docs.agg(min("key").as("kmin"), max("key").as("kmax"),
+        count(lit(1)).as("n"))
+      val bucketed = docs.crossJoin(broadcast(stats))
+        .withColumn("bucket",
+          intDiv(col("key") - col("kmin"),
+            intDiv(col("kmax") - col("kmin"), lit(64L)) + 1))
+      val local = bucketed.withColumn("lrn",
+        row_number().over(Window.partitionBy("bucket").orderBy("key")).cast("long"))
+      val offsets = bucketed.groupBy("bucket")
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("off",
+          coalesce(sum("bn").over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "off")
+      local.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("rank", col("off") + col("lrn"))
+        .groupBy((intDiv((col("rank") - 1) * 4, col("n")) + 1).as("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
     }
   )
 }

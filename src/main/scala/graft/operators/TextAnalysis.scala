@@ -352,6 +352,62 @@ object TextAnalysis {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           expr("sum(cf) * 1000000 div count(*)").as("iscore"))
+    },
+
+    // Gopher-style rule filter (Rae et al. 2021 §A1.1 adapted to this
+    // corpus): per-document boolean quality rules — word count band,
+    // mean word length band, alphabetic-word fraction, minimum
+    // distinct-stopword presence — plus the conjunction. Integer ppm
+    // arithmetic throughout (the repo determinism rule); one narrow
+    // scan, one final aggregate-free projection: the filter is a map
+    // at any scale.
+    sql("text_gopher_rules",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+         |      * 1000000 // greatest(CAST(len(toks) AS BIGINT), 1) AS mwl_ppm,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+         |      AS BIGINT) * 1000000
+         |      // greatest(CAST(len(toks) AS BIGINT), 1) AS alpha_ppm,
+         |    CAST(list_contains(toks, 'the') AS BIGINT)
+         |      + CAST(list_contains(toks, 'and') AS BIGINT)
+         |      + CAST(list_contains(toks, 'of') AS BIGINT)
+         |      + CAST(list_contains(toks, 'to') AS BIGINT)
+         |      + CAST(list_contains(toks, 'a') AS BIGINT) AS n_stops
+         |  FROM t)
+         |SELECT doc_id, n_words, mwl_ppm, alpha_ppm, n_stops,
+         |  CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS rule_wc,
+         |  CAST(mwl_ppm BETWEEN 3000000 AND 10000000 AS BIGINT) AS rule_mwl,
+         |  CAST(alpha_ppm >= 800000 AS BIGINT) AS rule_alpha,
+         |  CAST(n_stops >= 2 AS BIGINT) AS rule_stops,
+         |  CAST(n_words BETWEEN 50 AND 100000
+         |    AND mwl_ppm BETWEEN 3000000 AND 10000000
+         |    AND alpha_ppm >= 800000 AND n_stops >= 2 AS BIGINT) AS keep
+         |FROM m""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val nWords = size(col("toks")).cast("long")
+      val m = t.select(col("doc_id"), nWords.as("n_words"),
+        (aggregate(transform(col("toks"), x => length(x).cast("long")),
+          lit(0L), (acc, x) => acc + x) * 1000000L /
+          greatest(nWords, lit(1L))).cast("long").as("mwl_ppm"),
+        (size(filter(col("toks"), x => x.rlike("[a-zA-Z]"))).cast("long") * 1000000L /
+          greatest(nWords, lit(1L))).cast("long").as("alpha_ppm"),
+        (Seq("the", "and", "of", "to", "a")
+          .map(w => array_contains(col("toks"), w).cast("long"))
+          .reduce(_ + _)).as("n_stops"))
+      val ruleWc = col("n_words").between(50, 100000)
+      val ruleMwl = col("mwl_ppm").between(3000000, 10000000)
+      val ruleAlpha = col("alpha_ppm") >= 800000
+      val ruleStops = col("n_stops") >= 2
+      m.select(col("doc_id"), col("n_words"), col("mwl_ppm"), col("alpha_ppm"),
+        col("n_stops"),
+        ruleWc.cast("long").as("rule_wc"),
+        ruleMwl.cast("long").as("rule_mwl"),
+        ruleAlpha.cast("long").as("rule_alpha"),
+        ruleStops.cast("long").as("rule_stops"),
+        (ruleWc && ruleMwl && ruleAlpha && ruleStops).cast("long").as("keep"))
     }
   )
 }
