@@ -126,6 +126,19 @@ class PlanSpec extends AnyFunSuite {
       "q19's OR envelope did not reach the part scan:\n" + p)
   }
 
+  test("rank<=k window filters plan as WindowGroupLimit (bounded per-key state)") {
+    // Spark 4 rewrites row_number()<=k into WindowGroupLimit — a
+    // per-partition bounded heap instead of a full per-key sort. This
+    // is why the repo has no custom top-k SparkPlan (SURVEY §7.3):
+    // the built-in physical operator already is the optimization, and
+    // this guard fails if a refactor breaks the pattern it matches.
+    Seq("ann_topk", "ann_pq_adc", "ann_graph_embed").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q top-k lost the WindowGroupLimit rewrite:\n" + p)
+    }
+  }
+
   test("PQ-ADC encode and score are keyed joins over broadcast codebooks") {
     val p = plan("ann_pq_adc")
     assert(!p.contains("CartesianProduct"), "ann_pq_adc plans a cartesian")
