@@ -25,6 +25,25 @@ final class GraftSession(val spark: SparkSession,
   val catalog = new GraphCatalog(spark)
   val procedures = new ProcedureRegistry(spark)
 
+  /** Frame-free scalar functions allowed on a SET right-hand side
+    * (args already compiled against the entity's own columns). */
+  private val SetRhsFns: Map[String, Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    Map(
+      "toupper" -> (a => upper(a(0))), "tolower" -> (a => lower(a(0))),
+      "trim" -> (a => trim(a(0))), "abs" -> (a => abs(a(0))),
+      "ceil" -> (a => ceil(a(0))), "floor" -> (a => floor(a(0))),
+      "round" -> (a => round(a(0))), "sqrt" -> (a => sqrt(a(0))),
+      "coalesce" -> (a => coalesce(a: _*)),
+      "tostring" -> (a => a(0).cast("string")),
+      "tointeger" -> (a => a(0).cast("long")),
+      "tofloat" -> (a => a(0).cast("double")),
+      "size" -> (a => size(a(0)).cast("long")),
+      "replace" -> (a => call_function("replace", a: _*)),
+      "left" -> (a => call_function("left", a: _*)),
+      "right" -> (a => call_function("right", a: _*)))
+  }
+
   /** GDS projected-graph catalog (`gds.graph.project/list/drop`) —
     * named label/relType-filtered views over the session graph. Lazy
     * DataFrames, not materialized copies: at 100 TB a projection is a
@@ -1019,6 +1038,24 @@ final class GraftSession(val spark: SparkSession,
         s"SET value may reference only $v's own properties, got $v2.$k")
       case ast.FnCall(fn, Seq(ast.Variable(`v`)), _) if fn.equalsIgnoreCase("id") && !isRel =>
         col("id")
+      // point({x,y} | {latitude,longitude}) over literals/own props —
+      // same struct encoding as the read path (accessors/wire share it)
+      case ast.FnCall(fn, Seq(ast.MapLit(items)), _) if fn.equalsIgnoreCase("point") =>
+        val m = items.toMap
+        def g(k: String) = m.get(k).map(e0 => exprCol(e0).cast("double"))
+        (g("x"), g("y"), g("latitude"), g("longitude")) match {
+          case (Some(x), Some(y), None, None) =>
+            struct(lit(7203).as("__point_srid"), x.as("x"), y.as("y"))
+          case (None, None, Some(la), Some(lo)) =>
+            struct(lit(4326).as("__point_srid"), lo.as("x"), la.as("y"))
+          case _ => throw new UnsupportedOperationException(
+            "point() needs {x, y} or {latitude, longitude}")
+        }
+      // common scalar functions over the entity's own values: the SET
+      // RHS shares the read path's semantics for this whitelist (a
+      // full compileExpr needs a frame; these are frame-free)
+      case ast.FnCall(fn, args, _) if SetRhsFns.contains(fn.toLowerCase) =>
+        SetRhsFns(fn.toLowerCase)(args.map(exprCol))
       case ast.Arith("+", l, r0) =>
         typedPlus(base, exprCol(l), exprCol(r0), l, r0)
       case ast.Arith(op, l, r0) =>

@@ -140,7 +140,8 @@ object ast {
     * breadth-first expansion with first-hit distances; `length(p)`
     * reads the hop count. The pattern must be a single var-length
     * relationship. */
-  final case class MatchShortest(pathVar: String, pat: PathPat, where: Option[Expr]) extends Clause
+  final case class MatchShortest(pathVar: String, pat: PathPat, where: Option[Expr],
+      all: Boolean = false) extends Clause
   final case class Create(patterns: Seq[PathPat]) extends Clause
   /** SET n.key = <literal expr>, … */
   final case class SetProps(items: Seq[(Prop, Expr)]) extends Clause

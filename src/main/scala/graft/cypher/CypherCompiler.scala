@@ -290,8 +290,24 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case other => throw new UnsupportedOperationException(
         s"unsupported clause inside CALL { }: $other")
     }
-    val subDf = sub.getOrElse(throw new UnsupportedOperationException(
-      "CALL { WITH … } needs an inner MATCH"))
+    if (sub.isEmpty) {
+      // pure projection body (`CALL { WITH n RETURN expr }`): one
+      // inner row per outer row — compile the RETURN items against
+      // the outer frame directly. (Scoping is a documented superset:
+      // Neo4j hides non-imported outer variables; accepting them
+      // cannot change the result of a valid query.)
+      if (ret.orderBy.nonEmpty || ret.limit.isDefined || ret.skip.isDefined || ret.distinct)
+        throw new UnsupportedOperationException(
+          "ORDER BY/SKIP/LIMIT/DISTINCT in a projection-only CALL { WITH … } " +
+            "is per-row and therefore a no-op — remove it or add an inner MATCH")
+      if (ret.items.exists(i => containsAggregate(i.expr)))
+        throw new UnsupportedOperationException(
+          "aggregates in a projection-only CALL { WITH … } need an inner MATCH/UNWIND")
+      var out = outer
+      ret.items.foreach(i => out = out.withColumn(i.name, compileExpr(i.expr, outer)))
+      return out
+    }
+    val subDf = sub.get
     val keys = cs.imports.map { v =>
       val k = s"$v${SEP}id"
       if (!outer.columns.contains(k) || !subDf.columns.contains(k))
@@ -651,12 +667,21 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     var exhausted = false
     while (step < hi && !exhausted) {
       step += 1
-      val next = frontier.drop("_d")
+      val ext = frontier.drop("_d")
         .join(base.withColumnRenamed("_s", "_m").withColumnRenamed("_t", "_u"),
           col("_t") === col("_m"))
         .select(col("_s"), col("_u").as("_t"), concat(col("_p"), array(col("_u"))).as("_p"))
-        .groupBy(col("_s"), col("_t")).agg(min(col("_p")).as("_p"))
-        .join(reached.select("_s", "_t"), Seq("_s", "_t"), "left_anti")
+      // allShortestPaths keeps EVERY first-hit path (one row per
+      // path); the witness form keeps the lexicographically smallest.
+      // Extending only shortest paths is complete either way: every
+      // shortest path's prefix is itself a shortest path, and a walk
+      // revisiting a node reaches its target strictly later than some
+      // shorter walk, so the pair-level anti-join kills it.
+      val agged =
+        if (m.all) ext.distinct()
+        else ext.groupBy(col("_s"), col("_t")).agg(min(col("_p")).as("_p"))
+      val next = agged
+        .join(reached.select("_s", "_t").distinct(), Seq("_s", "_t"), "left_anti")
         .withColumn("_d", lit(step.toLong))
       if (next.isEmpty) exhausted = true
       else { reached = reached.union(next.select(reached.columns.map(col): _*)); frontier = next }
@@ -1018,7 +1043,11 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
 
     if (sortRefs.nonEmpty)
       out = out.orderBy(sortRefs.map { case (n, asc) =>
-        if (asc) col(n).asc else col(n).desc }: _*)
+        // backtick-quote: an unaliased `ORDER BY n.prop` resolves to
+        // the output column literally named "n.prop" — without quoting
+        // Spark would parse the dot as struct access
+        val c = col(s"`$n`")
+        if (asc) c.asc else c.desc }: _*)
     skip.foreach(n => out = out.offset(n.toInt))
     limit.foreach(n => out = out.limit(n.toInt))
     if (hiddenSorts.nonEmpty) out = out.drop(hiddenSorts.map(_._1).toSeq: _*)
@@ -1402,6 +1431,9 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case Arith("*", l, r) => compileExpr(l, df) * compileExpr(r, df)
     case Arith("/", l, r) => compileExpr(l, df) / compileExpr(r, df)
     case Arith("%", l, r) => compileExpr(l, df) % compileExpr(r, df)
+    // Cypher `^` always yields a float (openCypher: exponentiation is
+    // double-valued even on integer operands) — matches Neo4j 5
+    case Arith("^", l, r) => pow(compileExpr(l, df), compileExpr(r, df))
     case Arith(op, _, _)  => throw new UnsupportedOperationException(op)
     case ListLit(items)   => array(items.map(compileExpr(_, df)): _*)
     case CaseExpr(whens, other) =>
@@ -1491,7 +1523,11 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       // temporal constructors (openCypher temporal subset)
       case "date"               => to_date(a(0))
       case "datetime" | "localdatetime" => to_timestamp(a(0))
-      case "duration.between"   => a(1).cast("long") - a(0).cast("long")
+      // long seconds (documented divergence: a Duration value on the
+      // wire is epoch-second difference); DATE inputs route through a
+      // timestamp cast first — date→long is not a valid Spark cast
+      case "duration.between" =>
+        a(1).cast("timestamp").cast("long") - a(0).cast("timestamp").cast("long")
       // datetime.truncate('month', d) — unit names shared with Spark's
       // date_trunc (year/quarter/month/week/day/hour/minute/second)
       case "date.truncate"      => to_date(date_trunc(litStr(f.args(0)), a(1)))
@@ -1516,8 +1552,22 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
             comp("days"), comp("hours"), comp("minutes"),
             (comp("seconds") + comp("milliseconds") / lit(1000.0))
               .cast("decimal(18,6)"))
+        // ISO-8601 literal: P[nY][nM][nW][nD][T[nH][nM][nS]] — parsed
+        // at compile time into the same make_interval the map form
+        // uses, so `date ± duration('P1D')` resolves identically
+        case Lit(s: String) =>
+          val re = ("""(?i)^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?""" +
+            """(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$""").r
+          s match {
+            case re(y, mo, w, d, h, mi, sec) if Seq(y, mo, w, d, h, mi, sec).exists(_ != null) =>
+              def n(x: String): Column = lit(if (x == null) 0 else x.toInt)
+              make_interval(n(y), n(mo), n(w), n(d), n(h), n(mi),
+                lit(if (sec == null) BigDecimal(0) else BigDecimal(sec)).cast("decimal(18,6)"))
+            case _ => throw new UnsupportedOperationException(
+              s"duration('$s') is not a valid ISO-8601 duration literal")
+          }
         case other => throw new UnsupportedOperationException(
-          s"duration() takes a {components} map, got $other")
+          s"duration() takes a {components} map or an ISO-8601 string literal, got $other")
       }
       // spatial point: {x, y} → cartesian (SRID 7203), {latitude,
       // longitude} → WGS84 (SRID 4326); encoded as a named struct the

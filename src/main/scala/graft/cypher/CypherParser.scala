@@ -66,8 +66,12 @@ object CypherParser extends RegexParsers {
     mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ { case h ~ t =>
       t.foldLeft(h) { case (l, op ~ r) => Arith(op, l, r) } }
   private def mulExpr: Parser[Expr] =
-    unaryExpr ~ rep(("*" | "/" | "%") ~ unaryExpr) ^^ { case h ~ t =>
+    powExpr ~ rep(("*" | "/" | "%") ~ powExpr) ^^ { case h ~ t =>
       t.foldLeft(h) { case (l, op ~ r) => Arith(op, l, r) } }
+  // `^` binds tighter than * and is right-associative (2^3^2 = 512)
+  private def powExpr: Parser[Expr] =
+    rep(unaryExpr <~ "^") ~ unaryExpr ^^ { case hs ~ last =>
+      hs.foldRight(last)((l, r) => Arith("^", l, r)) }
   private val param: Parser[Param] = "$" ~> ident ^^ Param.apply
 
   private def unaryExpr: Parser[Expr] =
@@ -329,8 +333,11 @@ object CypherParser extends RegexParsers {
     * before matchClause; a plain MATCH starts with `(` and fails the
     * `ident =`. */
   private def shortestMatch: Parser[MatchShortest] =
-    (kw("match") ~> ident <~ "=") ~ (kw("shortestPath") ~> "(" ~> pathPat <~ ")") ~
-      opt(whereClause) ^^ { case v ~ p ~ w => MatchShortest(v, p, w) }
+    (kw("match") ~> ident <~ "=") ~ (kw("allShortestPaths") | kw("shortestPath")) ~
+      ("(" ~> pathPat <~ ")") ~ opt(whereClause) ^^ {
+        case v ~ fn ~ p ~ w =>
+          MatchShortest(v, p, w, all = fn.equalsIgnoreCase("allShortestPaths"))
+      }
 
   private def createClause: Parser[Create] =
     kw("create") ~> patternList ^^ Create.apply

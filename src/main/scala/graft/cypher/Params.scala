@@ -21,8 +21,8 @@ object Params {
 
   private def clause(c: Clause, ps: Map[String, Any]): Clause = c match {
     case Match(pats, opt, where) => Match(pats.map(path(_, ps)), opt, where.map(expr(_, ps)))
-    case MatchShortest(v, pat, where) =>
-      MatchShortest(v, path(pat, ps), where.map(expr(_, ps)))
+    case MatchShortest(v, pat, where, all) =>
+      MatchShortest(v, path(pat, ps), where.map(expr(_, ps)), all)
     case Create(pats)            => Create(pats.map(path(_, ps)))
     case SetProps(items)         => SetProps(items.map { case (p, e) => (p, expr(e, ps)) })
     case Merge(pat, oc, om) =>

@@ -216,6 +216,19 @@ object CypherQueries {
       """MATCH p = shortestPath((c:customer)-[:IN*1..4]->(x)) WHERE c.c_custkey <= 500
         |RETURN c.c_custkey AS c_custkey, id(x) AS node_id, length(p) AS dist""".stripMargin),
 
+    // allShortestPaths: one row per shortest path — customers reach
+    // every part of their orders at distance 2 (PLACED then CONTAINS),
+    // and the path count per part is the number of distinct orders
+    // containing it. The BFS keeps per-path rows (not the single
+    // lexicographic witness), so count(*) IS the σ path count.
+    q("cy_all_shortest",
+      """SELECT l.l_partkey AS pk, CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_paths
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_custkey = 1
+        |GROUP BY 1""".stripMargin)(
+      """MATCH p = allShortestPaths((c:customer {c_custkey: 1})-[:PLACED|CONTAINS*..2]->(pt:part))
+        |RETURN pt.p_partkey AS pk, count(*) AS n_paths""".stripMargin),
+
     // C8 introspection through the graded path: CALL … YIELD over the
     // graph view's label set (derived from data, constant per view).
     q("cy_call_labels",

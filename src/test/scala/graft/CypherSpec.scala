@@ -1016,6 +1016,30 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("allShortestPaths: one row per shortest path, witness form keeps one") {
+    val s = new GraftSession(spark)
+    // diamond: a->b->d and a->c->d (two 2-hop shortest paths), plus a
+    // longer a->b->e->d that must not appear
+    s.cypher("CREATE (a:asp {name:'a'})-[:T]->(b:asp {name:'b'})-[:T]->(d:asp {name:'d'})")
+    s.cypher(
+      """MATCH (a:asp {name:'a'}), (d:asp {name:'d'})
+        |CREATE (a)-[:T]->(c:asp {name:'c'})-[:T]->(d)""".stripMargin)
+    s.cypher(
+      """MATCH (b:asp {name:'b'}), (d:asp {name:'d'})
+        |CREATE (b)-[:T]->(e:asp {name:'e'})-[:T]->(d)""".stripMargin)
+    val all = s.cypher(
+      """MATCH p = allShortestPaths((a:asp {name:'a'})-[:T*..4]->(d:asp {name:'d'}))
+        |RETURN length(p) AS len, [x IN nodes(p) | x.name] AS names""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).mkString(">"))
+    assert(all.length == 2, s"expected both shortest paths, got ${all.toSeq}")
+    assert(all.forall(_._1 == 2L))
+    assert(all.map(_._2).sorted.toSeq == Seq("a>b>d", "a>c>d"))
+    val one = s.cypher(
+      """MATCH p = shortestPath((a:asp {name:'a'})-[:T*..4]->(d:asp {name:'d'}))
+        |RETURN length(p) AS len""".stripMargin).collect()
+    assert(one.length == 1 && one.head.getLong(0) == 2L)
+  }
+
   test("shortestPath: nodes(p)/relationships(p) project the witness path") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:hop {name:'a'})-[:N]->(b:hop {name:'b'})-[:N]->(c:hop {name:'c'})")
