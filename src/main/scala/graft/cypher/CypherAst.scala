@@ -192,7 +192,7 @@ object ast {
   }
 
   val aggregateFns: Set[String] =
-    Set("count", "sum", "min", "max", "avg", "collect", "stdev",
+    Set("count", "sum", "min", "max", "avg", "collect", "stdev", "stdevp",
       "percentilecont", "percentiledisc")
 
   def containsAggregate(e: Expr): Boolean = e match {

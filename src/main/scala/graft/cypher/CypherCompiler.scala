@@ -965,7 +965,9 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       val byName = e match {
         case Variable(n) if itemNames.contains(n) => Some(n)
         case _ if itemNames.contains(defaultName(e)) => Some(defaultName(e))
-        case _ => None
+        // `RETURN x, count(*) AS c ORDER BY count(*)`: the sort expr
+        // matches an aliased item structurally — sort by its alias
+        case _ => items.find(_.expr == e).map(_.name)
       }
       byName match {
         case Some(n) => (n, asc)
@@ -983,9 +985,30 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         val keys = items.filterNot(i => containsAggregate(i.expr))
         val aggs = items.filter(i => containsAggregate(i.expr))
           .map(i => compileExpr(i.expr, df).as(i.name))
+        // `WITH n, collect(x)`: grouping by a bare entity variable
+        // must keep ALL the entity's columns (grouped by id — one
+        // group per entity, the other columns are functionally
+        // dependent and ride along via first()) so `n.prop` still
+        // resolves after the aggregation
+        val keyCols = keys.flatMap { i =>
+          i.expr match {
+            case Variable(v) if keepVarCols && i.name == v &&
+                df.columns.contains(s"$v${SEP}id") =>
+              Seq(col(s"$v${SEP}id"))
+            case _ => Seq(compileExpr(i.expr, df).as(i.name))
+          }
+        }
+        val rideAlong = keys.flatMap { i =>
+          i.expr match {
+            case Variable(v) if keepVarCols && i.name == v &&
+                df.columns.contains(s"$v${SEP}id") =>
+              df.columns.filter(c => c.startsWith(s"$v$SEP") && c != s"$v${SEP}id")
+                .toSeq.map(c => first(col(c)).as(c))
+            case _ => Nil
+          }
+        }
         if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-        else df.groupBy(keys.map(i => compileExpr(i.expr, df).as(i.name)): _*)
-          .agg(aggs.head, aggs.tail: _*)
+        else df.groupBy(keyCols: _*).agg((rideAlong ++ aggs).head, (rideAlong ++ aggs).tail: _*)
       } else {
         val cols = items.flatMap { i =>
           i.expr match {
@@ -1327,6 +1350,20 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         case (acc, (k, c)) => acc.filterNot(_._1 == k) :+ (k -> c)
       }
       struct(deduped.map { case (k, c) => c.as(k) }: _*)
+    // dynamic property access on a bound entity: n['key'] with a
+    // literal key reads the property column (openCypher's map-like
+    // entity access); a computed key cannot resolve to a typed column
+    // in a fixed schema and refuses loudly
+    case Subscript(Variable(v), i) if df.columns.contains(s"$v${SEP}id") ||
+        df.columns.contains(s"$v${SEP}relType") =>
+      i match {
+        case Lit(k: String) =>
+          if (df.columns.contains(s"$v$SEP$k")) col(s"$v$SEP$k")
+          else lit(null) // absent property reads as null
+        case _ => throw new UnsupportedOperationException(
+          s"$v[expr]: dynamic property keys on entities must be string literals " +
+            "(a computed key has no typed column in the schema)")
+      }
     case Subscript(e, i) =>
       val c = compileExpr(e, df)
       val ci = compileExpr(i, df)
@@ -1468,6 +1505,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "collect" if f.distinct   => sort_array(collect_set(a(0)))
       case "collect"                 => sort_array(collect_list(a(0)))
       case "stdev"                   => stddev_samp(a(0))
+      case "stdevp"                  => stddev_pop(a(0))
       case "percentilecont"          => call_function("percentile", a(0), a(1))
       case "percentiledisc"          => call_function("percentile_approx", a(0), a(1), lit(10000))
       // graph accessors
@@ -1520,9 +1558,27 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "trim"               => trim(a(0))
       case "ltrim"              => ltrim(a(0))
       case "rtrim"              => rtrim(a(0))
-      // temporal constructors (openCypher temporal subset)
-      case "date"               => to_date(a(0))
-      case "datetime" | "localdatetime" => to_timestamp(a(0))
+      // temporal constructors (openCypher temporal subset); the
+      // {year, month, day[, hour, minute, second]} map forms build
+      // through make_date/make_timestamp (month/day default 1,
+      // time-of-day components default 0)
+      case "date" => f.args.head match {
+        case MapLit(items) =>
+          val m = items.toMap
+          def c(k: String, dflt: Int): Column =
+            m.get(k).map(e0 => compileExpr(e0, df).cast("int")).getOrElse(lit(dflt))
+          make_date(c("year", 0), c("month", 1), c("day", 1))
+        case _ => to_date(a(0))
+      }
+      case "datetime" | "localdatetime" => f.args.head match {
+        case MapLit(items) =>
+          val m = items.toMap
+          def c(k: String, dflt: Int): Column =
+            m.get(k).map(e0 => compileExpr(e0, df).cast("int")).getOrElse(lit(dflt))
+          make_timestamp(c("year", 0), c("month", 1), c("day", 1),
+            c("hour", 0), c("minute", 0), c("second", 0).cast("decimal(18,6)"))
+        case _ => to_timestamp(a(0))
+      }
       // long seconds (documented divergence: a Duration value on the
       // wire is epoch-second difference); DATE inputs route through a
       // timestamp cast first — date→long is not a valid Spark cast
@@ -1665,6 +1721,11 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "randomuuid" if f.args.isEmpty => expr("uuid()")
       case "timestamp" if f.args.isEmpty => unix_millis(current_timestamp())
       case "toboolean"          => a(0).cast("boolean")
+      // *OrNull variants: non-ANSI try_cast semantics — unparseable
+      // input yields null instead of an error (Cypher 5 functions)
+      case "tointegerornull"    => a(0).try_cast("long")
+      case "tofloatornull"      => a(0).try_cast("double")
+      case "tobooleanornull"    => a(0).try_cast("boolean")
       case "charlength" | "characterlength" => length(a(0))
       case "isempty"            =>
         if (f.args.nonEmpty && isArrayCol(a(0), df)) size(a(0)) === 0

@@ -52,9 +52,21 @@ object CypherParser extends RegexParsers {
     kw("not") ~> notExpr ^^ Not.apply | cmpExpr
   private def cmpExpr: Parser[Expr] =
     addExpr ~ opt(cmpTail) ^^ { case l ~ t => t.map(_(l)).getOrElse(l) }
+  /** Chained comparisons (`1 < x < 10`) desugar to a conjunction of
+    * adjacent pairs, each operand evaluated once syntactically
+    * (openCypher comparison chaining). */
+  private def cmpChain: Parser[Expr => Expr] =
+    rep1(("<=" | ">=" | "<>" | "=" | "<" | ">") ~ addExpr) ^^ { pairs => (l: Expr) =>
+      val (conj, _) = pairs.foldLeft((Option.empty[Expr], l)) {
+        case ((acc, prev), op ~ r) =>
+          val c = Cmp(op, prev, r)
+          (Some(acc.map(And(_, c)).getOrElse(c)), r)
+      }
+      conj.get
+    }
   private def cmpTail: Parser[Expr => Expr] =
     "=~" ~> addExpr ^^ { r => (l: Expr) => StringPred("regex", l, r) } |
-    ("<=" | ">=" | "<>" | "=" | "<" | ">") ~ addExpr ^^ { case op ~ r => (l: Expr) => Cmp(op, l, r) } |
+    cmpChain |
     kw("in") ~> "[" ~> repsep(expr, ",") <~ "]" ^^ { list => (l: Expr) => In(l, list) } |
     kw("in") ~> param ^^ { p => (l: Expr) => In(l, Seq(p)) } |
     kw("starts") ~> kw("with") ~> addExpr ^^ { r => (l: Expr) => StringPred("starts", l, r) } |

@@ -1016,6 +1016,49 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("probe batch: entity grouping in WITH, chained cmp, ORDER BY forms, temporal maps") {
+    val s = new GraftSession(spark)
+    s.setGraph(graft.core.GraphViews.tpch(spark, "/root/testdata/sf0.001"))
+    // WITH groups by a bare node variable; its properties stay readable
+    val g = s.cypher(
+      """MATCH (a:nation)-[:IN]->(r:region)
+        |WITH r, collect(a.n_name) AS ns
+        |RETURN r.r_name AS rn, size(ns) AS k ORDER BY rn LIMIT 2""".stripMargin).collect()
+    assert(g.length == 2 && g.forall(_.getAs[Number](1).longValue > 0))
+    // ORDER BY an aggregate matching an aliased item structurally
+    val o = s.cypher(
+      """MATCH (n:nation) RETURN n.n_regionkey AS rk, count(*) AS c
+        |ORDER BY count(*) DESC, rk LIMIT 1""".stripMargin).collect().head
+    assert(o.getLong(1) >= 5L)
+    // ORDER BY an unaliased property / an expression over match vars
+    assert(s.cypher(
+      "MATCH (n:region) RETURN n.r_name ORDER BY n.r_name LIMIT 2").collect().length == 2)
+    val r6 = s.cypher("WITH 5 AS x RETURN 1 < x < 10 AS chained, 2^3^2 AS p").collect().head
+    assert(r6.getBoolean(0))
+    assert(r6.getDouble(1) == 512.0)
+    // temporal map constructors + ISO duration + date arithmetic
+    val t = s.cypher(
+      """RETURN date({year: 2020, month: 2, day: 3}) AS d,
+        |  datetime({year: 2020, month: 2, day: 3, hour: 4}) AS dt,
+        |  date('2020-01-30') + duration('P1D') AS nxt""".stripMargin).collect().head
+    assert(t.getDate(0).toString == "2020-02-03")
+    assert(t.getTimestamp(1).toString.startsWith("2020-02-03 04:00"))
+    assert(t.getDate(2).toString == "2020-01-31")
+    // dynamic (literal) property access on entities; absent key is null
+    val d = s.cypher(
+      "MATCH (n:nation {n_nationkey: 1}) RETURN n['n_name'] AS x, n['nope'] AS miss")
+      .collect().head
+    assert(d.getString(0).startsWith("NATION_"))
+    assert(d.isNullAt(1))
+    // stDevP aggregates; OrNull casts are lenient
+    val v = s.cypher(
+      """MATCH (c:customer) RETURN stDevP(c.c_acctbal) >= 0.0 AS ok""").collect().head
+    assert(v.getBoolean(0))
+    val nn = s.cypher(
+      "RETURN toIntegerOrNull('zz') AS a, toBooleanOrNull('true') AS b").collect().head
+    assert(nn.isNullAt(0) && nn.getBoolean(1))
+  }
+
   test("allShortestPaths: one row per shortest path, witness form keeps one") {
     val s = new GraftSession(spark)
     // diamond: a->b->d and a->c->d (two 2-hop shortest paths), plus a
