@@ -305,6 +305,62 @@ object Similarity {
         .agg(expr("CAST(sum(x) div count(1) AS BIGINT)").as("icentroid"))
     },
 
+    // Hybrid retrieval — the RAG-retriever shape: a cheap term-match
+    // stage prunes the corpus (top-20 docs by query-term occurrence
+    // count), then a vector stage reranks only those candidates by
+    // exact integer cosine against the query document's embedding.
+    // At 100 TB the term stage is an inverted-index/semi-join prune
+    // and the rerank touches k docs, never the corpus — the join to
+    // embeddings is keyed on doc id, candidates broadcast.
+    sql("ann_hybrid_rerank", {
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, CAST(len(list_filter(t,
+         |    x -> list_contains(['spark', 'join', 'window'], x))) AS BIGINT) AS tf
+         |  FROM toks),
+         |cands AS (
+         |  SELECT doc_id, tf FROM (
+         |    SELECT doc_id, tf,
+         |      row_number() OVER (ORDER BY tf DESC, doc_id) AS rc
+         |    FROM tf WHERE tf > 0 AND doc_id <> 0)
+         |  WHERE rc <= 20),
+         |qe AS (SELECT vec_id, q, ${V.qNormSql("q")} AS nrm FROM
+         |  (SELECT vec_id, ${V.quantizeSql("embedding")} AS q FROM embeddings)),
+         |qv AS (SELECT q AS qq, nrm AS qn FROM qe WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT c.doc_id, c.tf,
+         |    ${V.icosNSql("qv.qq", "e.q", "qv.qn", "e.nrm")} AS icos
+         |  FROM cands c JOIN qe e ON e.vec_id = c.doc_id, qv)
+         |SELECT doc_id, tf, icos, rnk FROM (
+         |  SELECT doc_id, tf, icos,
+         |    row_number() OVER (ORDER BY icos DESC, doc_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $K""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.TextFunctions.tokens
+      val terms = Seq("spark", "join", "window")
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          size(filter(col("t"), x => x.isin(terms.map(lit(_)): _*))).cast("long").as("tf"))
+      val wc = Window.orderBy(col("tf").desc, col("doc_id"))
+      val cands = tf.filter(col("tf") > 0 && col("doc_id") =!= 0)
+        .withColumn("rc", row_number().over(wc)).filter(col("rc") <= 20)
+        .select("doc_id", "tf")
+      val e = qe(s, d)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("q").as("qq"), col("nrm").as("qn"))
+      val scored = broadcast(cands)
+        .join(e, e("vec_id") === col("doc_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("doc_id"), col("tf"),
+          V.icosN(col("qq"), col("q"), col("qn"), col("nrm")).as("icos"))
+      val w = Window.orderBy(col("icos").desc, col("doc_id"))
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+    },
+
     // Product quantization + ADC — THE 100 TB ANN memory play: each
     // 64-dim vector compresses to M=8 one-byte codes (argmin-L2
     // codeword per 8-dim subspace), and a query scores a candidate by
