@@ -63,7 +63,15 @@ object Bench {
     val total = results.map(_._2).sum
     val scaling = scalingSlopes(spark, sfDir, results.toMap)
       .map(s => s""","scaling":$s""").getOrElse("")
-    println(f"""{"queries":$qs,"sf":"$sfDir"$scaling,"metric":"total","unit":"sec","n_queries":${results.size},"value":$total%.3f}""")
+    val line =
+      f"""{"queries":$qs,"sf":"$sfDir"$scaling,"metric":"total","unit":"sec","n_queries":${results.size},"value":$total%.3f}"""
+    println(line)
+    // the stdout capture that archives this line keeps only a ~4k tail
+    // (r9's line was truncated to unparseable); mirror the full JSON
+    // to a repo-local file so complete per-query numbers survive
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 
