@@ -111,4 +111,29 @@ class ParserSpec extends AnyFunSuite {
     assert(ms.pat.hops.head._1.varLength.contains((1, 4)))
     assert(ms.where.isDefined)
   }
+
+  test("fuzz: arbitrary garbage fails fast with a parse error, never hangs") {
+    // deterministic pseudo-random byte soup + structured-ish fragments:
+    // the combinator grammar must reject (or accept) every input in
+    // bounded time — catastrophic regex backtracking or infinite
+    // recursion in a rule would hang here
+    val rng = new scala.util.Random(42)
+    val fragments = Seq("MATCH", "(", ")", "[", "]", "{", "}", "RETURN",
+      "WHERE", "'", "\"", "-", ">", "<", ":", "|", "*", "..", ",", "=",
+      "a", "1", "$", "^", "%", ".", "AND", "NOT", "NULL", "//", ";")
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    (1 to 300).foreach { i =>
+      val garbage =
+        if (i % 3 == 0) (1 to rng.nextInt(40) + 1).map(_ =>
+          fragments(rng.nextInt(fragments.length))).mkString(" ")
+        else rng.nextString(rng.nextInt(80))
+      try { CypherParser.parse(garbage); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case _: UnsupportedOperationException => ()
+      }
+      assert(System.nanoTime() < deadline,
+        s"parser spent >30s cumulative by input #$i: ${garbage.take(60)}")
+    }
+  }
 }
