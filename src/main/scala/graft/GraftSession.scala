@@ -804,9 +804,36 @@ final class GraftSession(val spark: SparkSession,
     // append + ONE snapshot swap. Other body clauses (SET/MERGE per
     // element) are refused loudly rather than run once.
     q.clauses.collectFirst { case f: ast.Foreach => f }.foreach { f =>
+      // MATCH … FOREACH (x IN list | SET …): the conditional-SET idiom
+      // (`FOREACH (_ IN CASE WHEN cond THEN [1] ELSE [] END | SET …)`).
+      // Desugars to gating the SET on a non-empty list — exact when
+      // the RHS doesn't read the loop variable (then every iteration
+      // writes the same value), refused loudly when it does.
+      val others = q.clauses.filterNot(_ eq f)
+      if (others.nonEmpty && others.forall(_.isInstanceOf[ast.Match]) &&
+          f.body.nonEmpty && f.body.forall(_.isInstanceOf[ast.SetProps])) {
+        def mentionsLoopVar(x: Any): Boolean = x match {
+          case ast.Variable(n)  => n == f.variable
+          case s: Seq[_]        => s.exists(mentionsLoopVar)
+          case o: Option[_]     => o.exists(mentionsLoopVar)
+          case p: Product       => p.productIterator.exists(mentionsLoopVar)
+          case _                => false
+        }
+        if (f.body.exists(mentionsLoopVar))
+          throw new UnsupportedOperationException(
+            s"FOREACH body reading the loop variable `${f.variable}` is not " +
+              "supported after MATCH (only the gating idiom, whose SET value " +
+              "is iteration-independent)")
+        val ms = others.collect { case m: ast.Match => m }
+        val gate = ast.Cmp(">", ast.FnCall("size", Seq(f.list)), ast.Lit(0L))
+        val gated = ms.last.copy(where =
+          Some(ms.last.where.map(w => ast.And(w, gate)).getOrElse(gate)))
+        return mutate(db, ast.Query((ms.init :+ gated) ++ f.body))
+      }
       if (q.clauses.size != 1)
         throw new UnsupportedOperationException(
-          "FOREACH is supported as a standalone statement")
+          "FOREACH after MATCH supports a SET-only body; otherwise FOREACH " +
+            "is a standalone statement")
       if (!f.body.forall(_.isInstanceOf[ast.Create]))
         throw new UnsupportedOperationException("FOREACH body supports CREATE only")
       return mutate(db, ast.Query(ast.Unwind(f.list, f.variable) +: f.body))

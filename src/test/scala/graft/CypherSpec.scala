@@ -1059,6 +1059,22 @@ class CypherSpec extends AnyFunSuite {
     assert(nn.isNullAt(0) && nn.getBoolean(1))
   }
 
+  test("MATCH + FOREACH gating idiom: conditional SET applies per row") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:fe {k: 1})")
+    s.cypher("CREATE (:fe {k: 2})")
+    s.cypher(
+      """MATCH (n:fe)
+        |FOREACH (i IN CASE WHEN n.k = 1 THEN [1] ELSE [] END | SET n.hit = 'y')""".stripMargin)
+    val rows = s.cypher("MATCH (n:fe) RETURN n.k AS k, n.hit AS hit")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(1L -> Some("y"), 2L -> None))
+    // loop-variable-dependent bodies refuse loudly
+    val e = intercept[UnsupportedOperationException](s.cypher(
+      "MATCH (n:fe) FOREACH (i IN [1, 2] | SET n.v = i)"))
+    assert(e.getMessage.contains("loop variable"))
+  }
+
   test("allShortestPaths: one row per shortest path, witness form keeps one") {
     val s = new GraftSession(spark)
     // diamond: a->b->d and a->c->d (two 2-hop shortest paths), plus a
