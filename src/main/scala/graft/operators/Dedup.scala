@@ -119,6 +119,36 @@ object Dedup {
         (count(lit(1)) - countDistinct(col("text"))).as("n_dups"))
     },
 
+    // Incremental ingest dedup — the continuous-pipeline shape: a NEW
+    // batch (doc_id % 5 = 0 plays the fresh crawl) anti-joins the
+    // EXISTING corpus on a prefix fingerprint (first-3-token md5, the
+    // same derived key the exact-group dedup uses, since the corpus
+    // has no full-text dups), so only first-seen content flows
+    // downstream. ONE keyed anti join at any scale; the corpus side
+    // is the pre-computed fingerprint table a real deployment keeps
+    // as its dedup index (the batch analog of stream_dedup's state).
+    sql("dedup_incremental",
+      """WITH fp AS (
+        |  SELECT doc_id, md5(concat_ws(' ', t[1], t[2], t[3])) AS grp FROM
+        |    (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+        |batch AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+        |corpus AS (SELECT DISTINCT grp FROM fp WHERE doc_id % 5 <> 0)
+        |SELECT CAST(count(*) AS BIGINT) AS batch_docs,
+        |  CAST(count(*) FILTER (WHERE grp NOT IN (SELECT grp FROM corpus))
+        |    AS BIGINT) AS fresh_docs
+        |FROM batch""".stripMargin) { (s, d) =>
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", element_at(tokens(col("text")), 1),
+            element_at(tokens(col("text")), 2),
+            element_at(tokens(col("text")), 3))).as("grp"))
+      val batch = fp.filter(col("doc_id") % 5 === 0)
+      val corpus = fp.filter(col("doc_id") % 5 =!= 0).select("grp").distinct()
+      val fresh = batch.join(corpus, Seq("grp"), "left_anti")
+        .agg(count(lit(1)).as("fresh_docs"))
+      batch.agg(count(lit(1)).as("batch_docs")).crossJoin(fresh)
+    },
+
     // Exact dedup on a derived key: the testdata has zero full-text
     // duplicates (an md5(text) grouping returns 0 rows = vacuous), so
     // the group key is the md5 of the first 3 tokens — boilerplate-
