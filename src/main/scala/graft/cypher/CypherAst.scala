@@ -160,7 +160,9 @@ object ast {
       orderBy: Seq[(Expr, Boolean)], skip: Option[Long], limit: Option[Long]) extends Clause
   final case class Return(items: Seq[ReturnItem], distinct: Boolean,
       orderBy: Seq[(Expr, Boolean)], skip: Option[Long], limit: Option[Long]) extends Clause
-  final case class CallProc(name: String, args: Seq[Expr], yields: Seq[String],
+  /** yields: (procedure column, output name) — `YIELD x` keeps the
+    * name, `YIELD x AS y` renames. */
+  final case class CallProc(name: String, args: Seq[Expr], yields: Seq[(String, String)],
       where: Option[Expr]) extends Clause
   final case class Unwind(expr: Expr, alias: String) extends Clause
 

@@ -844,7 +844,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       throw new UnsupportedOperationException(
         s"procedure arg must be a constant expression: $a")))
     var out = fn(args)
-    if (c.yields.nonEmpty) out = out.select(c.yields.map(col).toIndexedSeq: _*)
+    if (c.yields.nonEmpty)
+      out = out.select(c.yields.map { case (n, a) => col(n).as(a) }.toIndexedSeq: _*)
     c.where.foreach(e => out = out.filter(compileExpr(e, out)))
     ctx match {
       case Some(df) => df.crossJoin(out)

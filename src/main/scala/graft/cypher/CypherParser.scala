@@ -435,9 +435,12 @@ object CypherParser extends RegexParsers {
 
   private def callClause: Parser[CallProc] =
     (kw("call") ~> qualIdent) ~ opt("(" ~> repsep(expr, ",") <~ ")") ~
-      opt(kw("yield") ~> rep1sep(ident, ",")) ~ opt(whereClause) ^^ {
+      opt(kw("yield") ~> rep1sep(yieldItem, ",")) ~ opt(whereClause) ^^ {
       case n ~ args ~ ys ~ w => CallProc(n, args.getOrElse(Nil), ys.getOrElse(Nil), w)
     }
+
+  private def yieldItem: Parser[(String, String)] =
+    ident ~ opt(kw("as") ~> ident) ^^ { case n ~ a => (n, a.getOrElse(n)) }
 
   private def unwindClause: Parser[Unwind] =
     (kw("unwind") ~> expr) ~ (kw("as") ~> ident) ^^ { case e ~ a => Unwind(e, a) }

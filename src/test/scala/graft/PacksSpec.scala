@@ -149,6 +149,14 @@ class PacksSpec extends AnyFunSuite {
     assert(rows == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("CALL ... YIELD col AS alias renames the projected column") {
+    val s = sessionWith("apoc")
+    s.cypher("CREATE (:yt {name: 'x'})")
+    val r = s.cypher("CALL db.labels() YIELD label AS l RETURN l")
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq("yt"))
+  }
+
   test("gds.scc: a directed cycle is one component, the tail stays out") {
     val s = sessionWith("graph-data-science")
     // cycle a->b->c->a plus a dangling d->e
