@@ -117,6 +117,45 @@ object TpchQueries {
         .agg(sum(revenue).cast(DoubleType).as("revenue"))
     },
 
+    // -- q8: national market share — the target nation's revenue share
+    // of its region's market by order year. Emits numerator and
+    // denominator per year (no float division at a compared column);
+    // the share is numerator/denominator at read time.
+    sql("q8_market_share",
+      """SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_8'
+        |       THEN CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6))
+        |       ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS nation_volume,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_volume
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n1.n_regionkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("n1k"), col("n_regionkey").as("n1r"))
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val su = Tables.supplier(s, d)
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("n2k"), col("n_name").as("supp_nation"))
+      l.join(o, o("o_orderkey") === l("l_orderkey"))
+        .join(c, c("c_custkey") === o("o_custkey"))
+        .join(broadcast(n1), col("n1k") === c("c_nationkey"))
+        .join(broadcast(r), r("r_regionkey") === col("n1r"))
+        .join(su, su("s_suppkey") === l("l_suppkey"))
+        .join(broadcast(n2), col("n2k") === su("s_nationkey"))
+        .groupBy(year(o("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_8", revenue)
+            .otherwise(lit(0).cast(D6))).cast(DoubleType).as("nation_volume"),
+          sum(revenue).cast(DoubleType).as("total_volume"))
+    },
+
     // -- q10: returned-item reporting — who returned the most revenue
     // in a quarter. 3 fact joins + broadcast nation, top-20 with a
     // total tiebreak.
