@@ -680,8 +680,13 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       val agged =
         if (m.all) ext.distinct()
         else ext.groupBy(col("_s"), col("_t")).agg(min(col("_p")).as("_p"))
+      // witness mode keeps (s,t) unique in `reached`, so the distinct
+      // (an extra exchange per step) is only needed for per-path rows
+      val reachedPairs =
+        if (m.all) reached.select("_s", "_t").distinct()
+        else reached.select("_s", "_t")
       val next = agged
-        .join(reached.select("_s", "_t").distinct(), Seq("_s", "_t"), "left_anti")
+        .join(reachedPairs, Seq("_s", "_t"), "left_anti")
         .withColumn("_d", lit(step.toLong))
       if (next.isEmpty) exhausted = true
       else { reached = reached.union(next.select(reached.columns.map(col): _*)); frontier = next }
