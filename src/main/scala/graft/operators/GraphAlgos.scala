@@ -372,6 +372,42 @@ object GraphAlgos {
         "CALL gds.kcore('CO', 14, 8) YIELD node_id, deg RETURN node_id, deg")
     },
 
+    // Hash-determinized random walks over the CO graph (node2vec
+    // corpus prep): 5 steps from the ~2% start sample, step choice =
+    // (start + (s+1)·7919) mod deg over rank-sorted neighbors. The
+    // oracle replays every step as a chained join on the same ranked
+    // neighbor table.
+    sql("gds_randomwalk", {
+      val base =
+        """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |            FROM lineitem WHERE l_orderkey < 3000),
+          |pair AS MATERIALIZED (SELECT DISTINCT a.p*10+6 AS src, b.p*10+6 AS dst
+          |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+          |und AS MATERIALIZED (SELECT src, dst FROM pair
+          |       UNION SELECT dst, src FROM pair),
+          |pnodes AS MATERIALIZED (SELECT DISTINCT CAST(p*10+6 AS BIGINT) AS id FROM li),
+          |rk AS MATERIALIZED (
+          |  SELECT src, dst,
+          |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rnk,
+          |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+          |  FROM und),
+          |w0 AS MATERIALIZED (
+          |  SELECT id AS start, CAST(0 AS BIGINT) AS step, id AS node
+          |  FROM pnodes WHERE (id // 10) % 50 = 0)""".stripMargin
+      val steps = (1 to 5).map { s =>
+        s"""w$s AS MATERIALIZED (
+           |  SELECT c.start, CAST($s AS BIGINT) AS step, r.dst AS node
+           |  FROM w${s - 1} c JOIN rk r ON r.src = c.node
+           |   AND r.rnk = (c.start + ${s * 7919}) % r.deg)""".stripMargin
+      }
+      (Seq(base) ++ steps).mkString(",\n") +
+        "\nSELECT start, step, node FROM (" +
+        (0 to 5).map(s => s"SELECT * FROM w$s").mkString(" UNION ALL ") + ")"
+    }) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.randomWalk('CO', 5, 50) YIELD start, step, node RETURN start, step, node")
+    },
+
     // FastRP-style integer embeddings over the CO graph: 8 dims, 2
     // neighbor-sum rounds from the deterministic sparse ±1/0 init.
     // The oracle replays init + both rounds dim-by-dim in SQL.

@@ -356,6 +356,46 @@ object Gds {
       col("val").cast("long").as("ival"))
   }
 
+  /** Hash-determinized random walks — the node2vec/DeepWalk corpus-
+    * prep step made engine-replayable: at node v on step s the walk
+    * takes the neighbor with sorted-rank (start + (s+1)·7919) mod
+    * deg(v) instead of a PRNG draw. A real PRNG is irreproducible
+    * across partitionings (and unverifiable against an oracle); the
+    * arithmetic mix keeps the walk distribution well-spread while
+    * every engine lands on identical walks. Starts are the
+    * deterministic (id/10) % sampleMod == 0 sample; walks stop early
+    * at sinks. Each step is ONE keyed join against the ranked
+    * neighbor table (built once, reused every step). Output:
+    * (start, step, node) — step 0 is the start itself. */
+  def randomWalk(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      steps: Int = 5, sampleMod: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e0 = relType.map(g.edgesOfType).getOrElse(g.edges)
+      .select("src", "dst").distinct()
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val ranked = und
+      .withColumn("rank",
+        (row_number().over(Window.partitionBy("src").orderBy("dst")) - 1).cast("long"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .localCheckpoint()
+    var cur = g.nodes.select(col("id"))
+      .filter(pmod((col("id") / 10).cast("long"), lit(sampleMod)) === 0)
+      .select(col("id").as("start"), lit(0L).as("step"), col("id").as("node"))
+      .localCheckpoint()
+    var all = cur
+    for (s <- 0 until steps) {
+      cur = cur
+        .join(ranked, col("node") === col("src"))
+        .filter(col("rank") === pmod(col("start") + lit((s + 1) * 7919L), col("deg")))
+        .select(col("start"), lit(s + 1L).as("step"), col("dst").as("node"))
+        .localCheckpoint()
+      all = all.unionByName(cur)
+    }
+    all
+  }
+
   /** All-pairs hop distances on the undirected projection of the
     * chosen edge type, as iterative DataFrame frontier expansion:
     * dists holds (node, root, dist) rows; each round the frontier

@@ -361,6 +361,15 @@ object Packs {
       val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(20)
       Gds.articleRank(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters)
     }
+    procs.register("gds.randomWalk",
+      "(relType :: STRING?, steps :: INTEGER?, sampleMod :: INTEGER?) :: (start, step, node)",
+      "Hash-determinized random walks from a sampled start set " +
+        "(node2vec corpus prep; arithmetic step choice, no PRNG)") { args =>
+      val (g, rt) = graphArg(args, 0)
+      val steps = args.lift(1).map(String.valueOf(_).toInt).getOrElse(5)
+      val mod = args.lift(2).map(String.valueOf(_).toLong).getOrElse(50L)
+      Gds.randomWalk(spark, g, rt, steps, mod)
+    }
     procs.register("gds.fastRP",
       "(relType :: STRING?, dims :: INTEGER?, rounds :: INTEGER?) :: (node_id, dim, ival)",
       "Integer FastRP-style node embeddings: deterministic sparse init, " +
