@@ -94,6 +94,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("louvain / fastRP / random walks stay keyed joins at every round") {
+    Seq("gds_louvain", "gds_fastrp", "gds_randomwalk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNL join")
+    }
+  }
+
   test("label-expression scan is one predicate over the node table, not a union of scans") {
     val p = plan("cy_label_expr")
     assert(!p.contains("CartesianProduct"))
