@@ -179,6 +179,43 @@ object Multimodal {
           intDiv(sum("n_bytes").over(w) - col("n_bytes"), lit(2048L)))
         .groupBy("source", "shard_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("shard_bytes"))
+    },
+
+    // ---- shard manifest: the index file a webdataset-style layout
+    // ships next to its shards — per (source, shard): member count,
+    // byte size, and a content checksum (md5 of the ordered member
+    // sha256es, so any member change flips the shard digest). Same
+    // single window pass as the pack; the digest concat is per-shard
+    // after the keyed aggregation.
+    sql("mm_shard_manifest",
+      """WITH sized AS (
+        |  SELECT source, doc_id, octet_length(encode(text)) AS n_bytes,
+        |         sha256(text) AS sha
+        |  FROM documents),
+        |placed AS (
+        |  SELECT source, doc_id, sha, n_bytes,
+        |    (CAST(sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+        |      - n_bytes) // 2048 AS shard_id
+        |  FROM sized)
+        |SELECT source, shard_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+        |  md5(string_agg(sha, '' ORDER BY doc_id)) AS shard_digest
+        |FROM placed GROUP BY source, shard_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions.intDiv
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      withPayload(s, d)
+        .select(col("source"), col("doc_id"),
+          length(col("payload")).cast(LongType).as("n_bytes"),
+          sha2(col("text"), 256).as("sha"))
+        .withColumn("shard_id",
+          intDiv(sum("n_bytes").over(w) - col("n_bytes"), lit(2048L)))
+        .groupBy("source", "shard_id")
+        .agg(count(lit(1)).as("n_members"),
+          sum("n_bytes").as("shard_bytes"),
+          md5(concat_ws("",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("sha")))),
+              x => x.getField("sha")))).as("shard_digest"))
     }
   )
 }
