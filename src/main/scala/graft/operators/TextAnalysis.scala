@@ -354,6 +354,40 @@ object TextAnalysis {
           expr("sum(cf) * 1000000 div count(*)").as("iscore"))
     },
 
+    // First-occurrence novelty: per doc, the fraction of its distinct
+    // 4-grams that appear for the FIRST time in corpus doc_id order —
+    // the dedup-aware sampling signal ("how much genuinely new text
+    // does this doc add"). One gram-keyed min aggregate (the global
+    // first-seen index) + one join back; integer ppm.
+    sql("text_novelty",
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |gs AS (
+         |  SELECT doc_id, u.x AS gram FROM (
+         |    SELECT doc_id, list_distinct(CASE WHEN len(t) >= 4
+         |      THEN list_transform(range(1, len(t) - 2),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS grams
+         |    FROM toks), unnest(grams) u(x)),
+         |fo AS (SELECT gram, min(doc_id) AS first_doc FROM gs GROUP BY gram)
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS novel_grams,
+         |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS novelty_ppm
+         |FROM gs g JOIN fo f USING (gram)
+         |GROUP BY g.doc_id""".stripMargin) { (s, d) =>
+      val gs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), explode(shinglesOfTokens(col("t"), 4)).as("gram"))
+      val fo = gs.groupBy("gram").agg(min("doc_id").as("first_doc"))
+      gs.join(fo, Seq("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel_grams"),
+          expr("sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000 div count(*)")
+            .as("novelty_ppm"))
+    },
+
     // Gopher-style rule filter (Rae et al. 2021 §A1.1 adapted to this
     // corpus): per-document boolean quality rules — word count band,
     // mean word length band, alphabetic-word fraction, minimum
