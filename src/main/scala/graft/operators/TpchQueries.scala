@@ -13,10 +13,12 @@ import graft.core.Tables
   * cover: pure scan-agg (q6), EXISTS with a correlated non-equi
   * predicate (q4), two-sided nation-pair OR join (q7), CASE-pivot over
   * a join (q12), group-filter-by-scalar-max (q15), disjunctive
-  * pushdown ORs (q19), and NOT-EXISTS anti join against a scalar
-  * average (q22). The testdata schema omits partsupp and the
-  * commit/receipt dates, so q2/q11/q16/q20/q21 have no faithful
-  * adaptation and the date predicates here use l_shipdate/o_orderdate.
+  * pushdown ORs (q19), NOT-EXISTS anti join against a scalar
+  * average (q22), filtered-outer-join two-level aggregation (q13),
+  * and a decorrelated per-group average comparison (q17). The
+  * testdata schema omits partsupp and the commit/receipt dates, so
+  * q2/q11/q16/q20/q21 have no faithful adaptation and the date
+  * predicates here use l_shipdate/o_orderdate.
   *
   * Determinism: money sums go through DECIMAL (associative) before the
   * final DOUBLE cast; ratio queries emit numerator/denominator instead
@@ -311,6 +313,64 @@ object TpchQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("numcust"),
           sum(col("c_acctbal").cast(D2)).cast(DoubleType).as("totacctbal"))
+    },
+
+    // -- q13: customer order-count distribution — the two-level
+    // aggregation: LEFT JOIN so zero-order customers survive into the
+    // c_count=0 bucket, count(o_orderkey) so NULLs from the outer side
+    // don't count, then a second agg over the first's output. The
+    // faithful query filters o_comment; testdata has no comment column,
+    // so the join-side predicate keeps the same filtered-outer-join
+    // shape on o_orderpriority. At scale: the first agg shuffles on
+    // c_custkey (same key as the join, so AQE coalesces into one
+    // exchange); the second agg's domain is tiny (distinct counts).
+    sql("q13_order_distribution",
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |      FROM customer c
+        |      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |        AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY c.c_custkey) t
+        |GROUP BY c_count""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select("c_custkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, o("o_custkey") === c("c_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // -- q17: small-quantity-order revenue — the correlated per-part
+    // average subquery (l_quantity < 0.2 * avg over the same part),
+    // decorrelated into one per-part aggregate joined back. The
+    // comparison cross-multiplies into DECIMAL space
+    // (qty * 5 * n < sum_qty ⟺ qty < 0.2 * sum/n for n > 0) so no
+    // float division exists in either engine. The brand filter makes
+    // the part side small: it broadcasts into the lineitem semi pass,
+    // and the per-part stats frame (≤ #filtered parts rows) broadcasts
+    // into the final join — zero shuffles on the fact table at scale.
+    sql("q17_small_quantity",
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        |st AS (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |              COUNT(*) AS n
+        |       FROM lineitem JOIN pp ON pp.p_partkey = l_partkey
+        |       GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_extprice,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem l JOIN st ON st.l_partkey = l.l_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * st.n < st.sum_qty""".stripMargin) { (s, d) =>
+      val pp = Tables.part(s, d).filter(col("p_brand") === "Brand#23").select("p_partkey")
+      val l = Tables.lineitem(s, d)
+      val stats = l.join(broadcast(pp), pp("p_partkey") === l("l_partkey"), "left_semi")
+        .groupBy(col("l_partkey").as("st_partkey"))
+        .agg(sum(col("l_quantity").cast(D2)).as("sum_qty"), count(lit(1)).as("n"))
+      l.join(broadcast(stats), col("st_partkey") === l("l_partkey"))
+        .filter(col("l_quantity").cast(D2) * 5 * col("n") < col("sum_qty"))
+        .agg(sum(col("l_extendedprice").cast(D2)).cast(DoubleType).as("total_extprice"),
+          count(lit(1)).as("n_lines"))
     }
   )
 }
