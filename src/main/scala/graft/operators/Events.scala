@@ -568,6 +568,37 @@ object Events {
             .otherwise("view").as("channel"))
         .agg(count(lit(1)).as("n_purchases"),
           sum(col("value").cast(D2)).cast(DoubleType).as("sum_value"))
+    },
+
+    // ---- dwell time: per-user inter-event gap statistics — the
+    // engagement metric behind session-quality scoring. One window
+    // shuffle on user_id computes the lag; the per-user aggregate
+    // reuses the same partitioning (no second exchange). All outputs
+    // are integer microseconds, so the hash gate is exact — the
+    // consumer divides total/n for the mean, not the engine.
+    sql("events_dwell_time",
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsus FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    tsus - lag(tsus) OVER (PARTITION BY user_id
+        |                           ORDER BY tsus, event_id) AS gap
+        |  FROM base)
+        |SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+        |  CAST(sum(gap) AS BIGINT) AS total_gap_us,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+        |  CAST(min(gap) AS BIGINT) AS min_gap_us
+        |FROM g WHERE gap IS NOT NULL GROUP BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("tsus", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsus"))
+        .withColumn("gap", col("tsus") - lag(col("tsus"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(col("gap")).as("n_gaps"),
+          sum(col("gap")).as("total_gap_us"),
+          max(col("gap")).as("max_gap_us"),
+          min(col("gap")).as("min_gap_us"))
     }
   )
 }

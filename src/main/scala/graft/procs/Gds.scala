@@ -211,6 +211,36 @@ object Gds {
       .filter(col("ijac") >= minScore)
   }
 
+  /** gds.resourceAllocation: the Zhou-Lü-Zhang link-prediction index —
+    * for each non-ordered candidate pair (a,b) with at least one common
+    * neighbor z in the UNDIRECTED graph, RA(a,b) = Σ_z 1/deg(z).
+    * Integerized as Σ floor(1e6/deg(z)) (integer division, identical
+    * in DuckDB as `1000000 // deg`), so the hash gate is exact.
+    * Shape: symmetrize → one window for deg(z) riding on the adjacency
+    * rows → self-join blocked on the SHARED neighbor (work ∝ Σ_z
+    * deg(z)², the collision volume — never all pairs) → one hash agg.
+    * At 100 TB the deg(z)² term is the skew hazard: a celebrity node
+    * makes its block quadratic, so real deployments cap or sample
+    * high-degree middles — the `maxDeg` knob drops hubs above the cap
+    * (the standard LP practice; hubs contribute ≈0 to RA anyway since
+    * the 1/deg weight vanishes). */
+  def resourceAllocation(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      minScore: Long = 1, maxDeg: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e = relType.map(g.edgesOfType).getOrElse(g.edges).select("src", "dst").distinct()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val adj = sym.withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .filter(col("deg") <= maxDeg)
+    val a = adj.toDF("z", "n1", "degz")
+    val b = adj.select("src", "dst").toDF("z2", "n2")
+    a.join(b, col("z") === col("z2") && col("n1") < col("n2"))
+      .select(col("n1").as("node1"), col("n2").as("node2"),
+        expr("1000000 div degz").as("c"))
+      .groupBy("node1", "node2").agg(sum(col("c")).cast("long").as("ira"))
+      .filter(col("ira") >= minScore)
+  }
+
   /** Synchronous label propagation, fixed iteration count,
     * deterministic tie-break: each node adopts the most frequent label
     * among its undirected neighbors, ties broken toward the SMALLEST

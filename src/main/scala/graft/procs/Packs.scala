@@ -412,6 +412,13 @@ object Packs {
       val minScore = args.lift(1).map(String.valueOf(_).toLong).getOrElse(1L)
       Gds.nodeSimilarity(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, minScore)
     }
+    procs.register("gds.resourceAllocation",
+      "(relType :: STRING?, minScore :: INTEGER?, maxDeg :: INTEGER?) :: (node1, node2, ira)",
+      "Resource-allocation link prediction over common neighbors (scaled to 1e6)") { args =>
+      val minScore = args.lift(1).map(String.valueOf(_).toLong).getOrElse(1L)
+      val maxDeg = args.lift(2).map(String.valueOf(_).toLong).getOrElse(Long.MaxValue)
+      Gds.resourceAllocation(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, minScore, maxDeg)
+    }
     // sampleMod/sampleK: deterministic source sampling (roots with
     // id % sampleMod < sampleK) — the Eppstein-Wang-style knob that
     // keeps centrality tractable on big graphs; defaults = exact.
