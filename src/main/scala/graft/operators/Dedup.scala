@@ -25,6 +25,7 @@ object Dedup {
   private val params = minhashParams(K)
   private val P = MINHASH_P
   private val DF_CAP = 50 // max document frequency for blocking shingles
+  private val BUCKET_CAP = 64 // LSH bucket size before overflow re-banding kicks in
   private val LSH_BITS = 4 // sign-LSH signature bits (grows with log n)
   private val DIM = 64 // testdata embedding dimension
   private val V = graft.functions.VectorFunctions
@@ -342,12 +343,24 @@ object Dedup {
     },
 
     // ---- MinHash + LSH banding: the scale path ----
+    // Bucket-growth bound (r10 organic slope was 1.16): with FIXED
+    // band width, LSH buckets densify as the corpus grows and the
+    // bucket self-join trends quadratic. Overflow re-banding caps it:
+    // any (band, sig) bucket larger than BUCKET_CAP is subdivided by
+    // the NEXT band's signature (a deterministic refinement both
+    // engines replay — one window count + a CASE, no new shuffle key).
+    // True near-dups agree on other bands with high probability, so
+    // recall loss concentrates on the hash-collision mass that caused
+    // the densification; at correctness scale every bucket is under
+    // the cap and the refinement is the identity.
     sql("dedup_minhash_lsh", {
       val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
         s"min(($a * $hSql + $b) % $P) AS m$i" }.mkString(",\n    ")
+      def bandCols(bnd: Int) =
+        (0 until K / BANDS).map(r => s"m${bnd * (K / BANDS) + r}").mkString(", ")
       val bandSigs = (0 until BANDS).map { bnd =>
-        val cols = (0 until K / BANDS).map(r => s"m${bnd * (K / BANDS) + r}").mkString(", ")
-        s"SELECT doc_id, $bnd AS band, md5(concat_ws(',', $cols)) AS sig FROM sigs"
+        s"SELECT doc_id, $bnd AS band, md5(concat_ws(',', ${bandCols(bnd)})) AS sig, " +
+          s"md5(concat_ws(',', ${bandCols((bnd + 1) % BANDS)})) AS rsig FROM sigs"
       }.mkString("\n  UNION ALL ")
       s"""WITH $shSql,
          |sigs AS (
@@ -356,10 +369,17 @@ object Dedup {
          |  FROM sh GROUP BY doc_id),
          |bands AS (
          |  $bandSigs),
+         |sized AS (
+         |  SELECT doc_id, band, sig, rsig,
+         |         count(*) OVER (PARTITION BY band, sig) AS bn FROM bands),
+         |keyed AS (
+         |  SELECT doc_id, band, sig,
+         |         CASE WHEN bn > $BUCKET_CAP THEN rsig ELSE '' END AS sub FROM sized),
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |  FROM keyed a JOIN keyed b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.sub = b.sub
+         |   AND a.doc_id < b.doc_id),
          |${verifySql("cands")}
          |WHERE ijac >= 700000""".stripMargin
     }) { (s, d) =>
@@ -368,14 +388,21 @@ object Dedup {
       val aggs = params.zipWithIndex.map { case ((a, b), i) =>
         min(permHash(col("h"), a, b)).as(s"m$i") }
       val sigs = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      def bandCols(bnd: Int) =
+        (0 until K / BANDS).map(r => s"m${bnd * (K / BANDS) + r}").mkString(", ")
       val stackExpr = (0 until BANDS).map { bnd =>
-        val cols = (0 until K / BANDS).map(r => s"m${bnd * (K / BANDS) + r}").mkString(", ")
-        s"$bnd, md5(concat_ws(',', $cols))"
-      }.mkString(s"stack($BANDS, ", ", ", ") AS (band, sig)")
+        s"$bnd, md5(concat_ws(',', ${bandCols(bnd)})), " +
+          s"md5(concat_ws(',', ${bandCols((bnd + 1) % BANDS)}))"
+      }.mkString(s"stack($BANDS, ", ", ", ") AS (band, sig, rsig)")
       val bands = sigs.select(col("doc_id"), expr(stackExpr))
-      val cands = bands.toDF("d1", "band", "sig")
-        .join(bands.toDF("d2", "band2", "sig2"),
-          col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
+      val keyed = bands
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "sig")))
+        .select(col("doc_id"), col("band"), col("sig"),
+          when(col("bn") > BUCKET_CAP, col("rsig")).otherwise(lit("")).as("sub"))
+      val cands = keyed.toDF("d1", "band", "sig", "sub")
+        .join(keyed.toDF("d2", "band2", "sig2", "sub2"),
+          col("band") === col("band2") && col("sig") === col("sig2") &&
+            col("sub") === col("sub2") && col("d1") < col("d2"))
         .select("d1", "d2").distinct()
       verifyJaccard(sh, cands).filter(col("ijac") >= 700000)
     },

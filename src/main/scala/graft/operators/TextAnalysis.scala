@@ -347,11 +347,21 @@ object TextAnalysis {
         .otherwise(array().cast("array<int>"))
       val bg = t.select(col("doc_id"), explode(transform(idx,
         i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))).as("bigram"))
-      val corpus = bg.groupBy("bigram").agg(count(lit(1)).as("cf"))
-      bg.join(corpus, Seq("bigram"))
+      // Skew discipline (r10 slope was 1.26 — natural-language bigrams
+      // are Zipfian, so joining one row per OCCURRENCE on the raw
+      // bigram drowns the "of the" reducer as the corpus grows):
+      // collapse to one row per (doc, bigram) FIRST — the map-side-
+      // combined pre-aggregate bounds the join's left side at distinct
+      // bigrams per doc, and Σ cf·n replays the per-occurrence sum
+      // exactly. corpus derives from the same pre-aggregate, so the
+      // (doc_id, bigram) exchange is planned once and reused; residual
+      // hot-key partitions split under AQE's skew-join handling.
+      val perDoc = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+      val corpus = perDoc.groupBy("bigram").agg(sum(col("n")).as("cf"))
+      perDoc.join(corpus, Seq("bigram"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          expr("sum(cf) * 1000000 div count(*)").as("iscore"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          expr("sum(cf * n) * 1000000 div sum(n)").as("iscore"))
     },
 
     // First-occurrence novelty: per doc, the fraction of its distinct

