@@ -47,7 +47,22 @@ object Bench {
       try materialize(q.fn(spark, warmDir))
       catch { case _: Throwable => () }
     }
+    // The sf0.001 pass warms JIT/codegen but not the TARGET dir's
+    // parquet footers and first-read page cache — r10 charged ~3 s of
+    // first-big-scan cost to whichever catalog row ran first (q1_agg,
+    // 4.07 s vs its ~1 s steady state). Touch every sfDir table once
+    // untimed, then let a full GC absorb the warmup debris so neither
+    // lands on a timed row.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      try materialize(spark.read.parquet(s"$sfDir/$t.parquet"))
+      catch { case _: Throwable => () }
+    }
+    // events needs the type-adaptive reader (nanos-vs-micros footers)
+    try materialize(graft.core.Tables.events(spark, sfDir))
+    catch { case _: Throwable => () }
     spark.catalog.clearCache()
+    System.gc()
     val results = SparkEntry.catalog.map { q =>
       val t0 = System.nanoTime()
       try materialize(q.fn(spark, sfDir)) catch { case _: Throwable => () }

@@ -104,7 +104,7 @@ final class GraftSession(val spark: SparkSession,
   def saveDatabase(dataDir: String, db: String = "neo4j"): Unit = {
     val dir = s"$dataDir/databases/$db"
     SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), dir, db,
-      schemaMeta(db))
+      schemaMeta(db), catalog.database(db).nextRelId.get())
     setGraph(PropertyGraph(spark.read.parquet(s"$dir/nodes"),
       spark.read.parquet(s"$dir/edges")), db)
     // the durable snapshot replaced the append-log lineage: any
@@ -119,6 +119,7 @@ final class GraftSession(val spark: SparkSession,
     catalog.createDatabase(db)
     setGraph(g, db)
     catalog.database(db).nextId.set(m.nextId)
+    catalog.database(db).nextRelId.set(m.nextRelId)
     applySchemaMeta(db, SnapshotStore.readSchema(dir))
     catalog.database(db).releasePinned()
   }
@@ -131,14 +132,14 @@ final class GraftSession(val spark: SparkSession,
       throw new IllegalStateException(
         s"database $db is started; STOP DATABASE $db before dumping")
     SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), s"$toPath/$db.dump", db,
-      schemaMeta(db))
+      schemaMeta(db), catalog.database(db).nextRelId.get())
   }
 
   /** Online backup: the immutable snapshot makes this safe while the
     * database serves reads (ref TestBackupRestore.java:117-127). */
   def backupDatabase(toPath: String, db: String = "neo4j"): Unit =
     SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), s"$toPath/$db.backup", db,
-      schemaMeta(db))
+      schemaMeta(db), catalog.database(db).nextRelId.get())
 
   /** Cluster-availability/readiness probe (SURVEY §2.9 — ref
     * WaitStrategies.java:24-28 polls /db/<db>/cluster/available):
@@ -182,6 +183,7 @@ final class GraftSession(val spark: SparkSession,
     val (g, m) = SnapshotStore.read(spark, s"$fromPath/$db.backup")
     setGraph(g, db)
     catalog.database(db).nextId.set(m.nextId)
+    catalog.database(db).nextRelId.set(m.nextRelId)
     applySchemaMeta(db, SnapshotStore.readSchema(s"$fromPath/$db.backup"))
   }
 
@@ -390,6 +392,7 @@ final class GraftSession(val spark: SparkSession,
         // never move the id counter backwards: another committed
         // transaction may have allocated past this one's snapshot
         d.nextId.set(math.max(d.nextId.get(), sh.nextId.get()))
+        d.nextRelId.set(math.max(d.nextRelId.get(), sh.nextRelId.get()))
         d.matNodes = sh.matNodes
         d.matEdges = sh.matEdges
         d.pendingMutations = sh.pendingMutations
@@ -602,6 +605,7 @@ final class GraftSession(val spark: SparkSession,
         val shadow = new GraphDatabase(db.name)
         shadow.graph = db.graph
         shadow.nextId.set(db.nextId.get())
+        shadow.nextRelId.set(db.nextRelId.get())
         try {
           mutate(shadow, parsed)
           val lines =
@@ -965,7 +969,8 @@ final class GraftSession(val spark: SparkSession,
   private def appendLiteralCreates(db: GraphDatabase, groups: Seq[Seq[ast.Create]])
       : (Map[String, Map[String, Any]], Map[String, Long]) = {
     val newNodes = collection.mutable.ArrayBuffer.empty[(Long, Seq[String], Map[String, Any])]
-    val newEdges = collection.mutable.ArrayBuffer.empty[(Long, Long, String, Map[String, Any])]
+    // (src, dst, relType, eid, props) — eid from the shared allocator
+    val newEdges = collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long, Map[String, Any])]
     var firstProps = Map.empty[String, Map[String, Any]]
     var firstIds = Map.empty[String, Long]
 
@@ -991,8 +996,9 @@ final class GraftSession(val spark: SparkSession,
             val relType = rel.types.headOption.getOrElse(
               throw new IllegalArgumentException("CREATE relationship requires a type"))
             val props = rel.props.map { case (k, ast.Lit(value)) => k -> value }
-            if (rel.dir == -1) newEdges += ((next, prev, relType, props))
-            else newEdges += ((prev, next, relType, props))
+            val eid = db.allocateRel(1L)
+            if (rel.dir == -1) newEdges += ((next, prev, relType, eid, props))
+            else newEdges += ((prev, next, relType, eid, props))
             prev = next
           }
         }
@@ -1017,14 +1023,14 @@ final class GraftSession(val spark: SparkSession,
       PropertyGraph.appendByName(g.nodes, spark.createDataFrame(javaList(rows), schema))
     }
     val edgesDf = if (newEdges.isEmpty) g.edges else {
-      val propKeys = newEdges.flatMap(_._4.keys).distinct.sorted
+      val propKeys = newEdges.flatMap(_._5.keys).distinct.sorted
       val schema = StructType(
         PropertyGraph.edgeBaseSchema.fields.toSeq ++
         propKeys.map(k => StructField(k,
-          newEdges.flatMap(_._4.get(k)).find(_ != null)
+          newEdges.flatMap(_._5.get(k)).find(_ != null)
             .map(v => PropertyGraph.literalType(norm(v))).getOrElse(StringType))))
-      val rows = newEdges.toSeq.map { case (s0, d0, t, props) =>
-        Row.fromSeq(Seq(s0, d0, t) ++ propKeys.map(k => props.get(k).map(norm).orNull))
+      val rows = newEdges.toSeq.map { case (s0, d0, t, eid, props) =>
+        Row.fromSeq(Seq(s0, d0, t, eid) ++ propKeys.map(k => props.get(k).map(norm).orNull))
       }
       PropertyGraph.appendByName(g.edges, spark.createDataFrame(javaList(rows), schema))
     }
@@ -1144,16 +1150,28 @@ final class GraftSession(val spark: SparkSession,
       throw new UnsupportedOperationException("SET/DELETE requires a MATCH part")
     lazy val bindings = matchedIds(db, matches)._1
     // relationship variables get SET/DELETE too: a matched rel is
-    // identified by its (src, dst, relType) key (edges carry no
-    // surrogate id; indistinguishable duplicate edges update together)
+    // identified by its surrogate `eid` (parallel same-type edges
+    // between one endpoint pair are distinct targets). Edge sets
+    // without the column — pre-eid snapshots, ad-hoc projections —
+    // fall back to (src, dst, relType) granularity, the documented
+    // pre-eid deviation.
     val relVars = matches.flatMap(_.patterns.flatMap(_.hops.flatMap(_._1.variable))).toSet
-    def relKeys(rv: String): DataFrame =
-      new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
-        .compile(ast.Query(matches ++ Seq(ast.Return(Seq(
+    val hasEid = db.graph.edges.columns.contains("eid")
+    def relKeys(rv: String): DataFrame = {
+      val items =
+        if (hasEid) Seq(ast.ReturnItem(ast.Prop(rv, "eid"), Some("_re")))
+        else Seq(
           ast.ReturnItem(ast.Prop(rv, "src"), Some("_rs")),
           ast.ReturnItem(ast.Prop(rv, "dst"), Some("_rd")),
-          ast.ReturnItem(ast.Prop(rv, "relType"), Some("_rt"))),
+          ast.ReturnItem(ast.Prop(rv, "relType"), Some("_rt")))
+      new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
+        .compile(ast.Query(matches ++ Seq(ast.Return(items,
           distinct = true, Nil, None, None))))
+    }
+    def relKeyCond(base: DataFrame, keys: DataFrame): org.apache.spark.sql.Column =
+      if (hasEid) base("eid") === keys("_re")
+      else base("src") === keys("_rs") && base("dst") === keys("_rd") &&
+        base("relType") === keys("_rt")
     var g = db.graph
 
     sets.foreach(_.items.foreach { case (ast.Prop(v, key), rhs) =>
@@ -1163,16 +1181,14 @@ final class GraftSession(val spark: SparkSession,
       val (joined, mark) =
         if (isRel) {
           val keys = relKeys(v)
-          (base.join(keys,
-            base("src") === col("_rs") && base("dst") === col("_rd") &&
-              base("relType") === col("_rt"), "left_outer"),
-            col("_rs").isNotNull)
+          (base.join(keys, relKeyCond(base, keys), "left_outer"),
+            (if (hasEid) col("_re") else col("_rs")).isNotNull)
         } else {
           val ids = bindings.select(col(v).as("_mid")).distinct()
           (base.join(ids, base("id") === col("_mid"), "left_outer"), col("_mid").isNotNull)
         }
       def swapIn(updated: DataFrame): Unit = {
-        val cleaned = updated.drop("_mid", "_rs", "_rd", "_rt")
+        val cleaned = updated.drop("_mid", "_rs", "_rd", "_rt", "_re")
         g = if (isRel) PropertyGraph(g.nodes, cleaned) else PropertyGraph(cleaned, g.edges)
       }
       rhs match {
@@ -1215,9 +1231,7 @@ final class GraftSession(val spark: SparkSession,
         if (relVars.contains(v)) {
           // DELETE r: anti-join the matched rel keys out of the edge set
           val keys = relKeys(v)
-          val edges = g.edges.join(keys,
-            g.edges("src") === col("_rs") && g.edges("dst") === col("_rd") &&
-              g.edges("relType") === col("_rt"), "left_anti")
+          val edges = g.edges.join(keys, relKeyCond(g.edges, keys), "left_anti")
           g = PropertyGraph(g.nodes, edges)
         } else {
           val ids = bindings.select(col(v).as("_mid")).distinct()
@@ -1327,7 +1341,8 @@ final class GraftSession(val spark: SparkSession,
         throw new IllegalArgumentException("MERGE relationship requires a type"))
       val propKeys = rel.props.keys.toSeq.sorted
       var row = spark.range(1).select(
-        (Seq(lit(s0).as("src"), lit(d0).as("dst"), lit(relType).as("relType")) ++
+        (Seq(lit(s0).as("src"), lit(d0).as("dst"), lit(relType).as("relType"),
+          lit(db.allocateRel(1L)).as("eid")) ++
           propKeys.map(k => lit(norm(rel.props(k).v)).as(k))): _*)
       onCreateByVar.getOrElse(rv, Nil).foreach { case (p, rhs) =>
         row = row.withColumn(p.key, setValueColumn(row, rv, isRel = true, rhs))
@@ -1898,10 +1913,26 @@ final class GraftSession(val spark: SparkSession,
 
       // append the whole pattern for each full-pattern miss; per-hop
       // pairs dedupe (two path tuples sharing a hop pair append that
-      // edge once — parallel duplicates collapse, README deviations)
+      // edge once — MERGE's match-or-create contract makes that the
+      // correct semantics: identical patterns merge to one edge)
       val appended = hopDefs.zipWithIndex.map { case ((sv, dv, rel), i) =>
-        val pairs = missing.select(col(sv).as("src"), col(dv).as("dst")).distinct()
+        val pairs0 = missing.select(col(sv).as("src"), col(dv).as("dst")).distinct()
           .withColumn("relType", lit(relTypeOf(rel)))
+        // surrogate eids: same deterministic distributed numbering as
+        // mutateMatched (range partitions ordered, sorted within, each
+        // task numbers its slice); persist+count once so the missing
+        // subtree isn't recomputed per action
+        val sortedP = pairs0.repartitionByRange(col("src"), col("dst"))
+          .sortWithinPartitions(col("src"), col("dst"))
+        val rnSchema = org.apache.spark.sql.types.StructType(sortedP.schema.fields :+
+          org.apache.spark.sql.types.StructField("_rn",
+            org.apache.spark.sql.types.LongType, nullable = false))
+        val numberedP = spark.createDataFrame(
+          sortedP.rdd.zipWithIndex.map { case (r, ix) => Row.fromSeq(r.toSeq :+ ix) }, rnSchema)
+          .persist()
+        db.pin(numberedP)
+        val eidBase = db.allocateRel(numberedP.count())
+        val pairs = numberedP.withColumn("eid", lit(eidBase) + col("_rn")).drop("_rn")
         val createCols = (rel.props.view.mapValues(l => ast.Lit(l.v): ast.Expr).toSeq ++
           onCreate.collect { case (`i`, k, e) => k -> e })
         createCols.sortBy(_._1).foldLeft(pairs) { case (d, (k, e)) =>
@@ -1991,8 +2022,13 @@ final class GraftSession(val spark: SparkSession,
           throw new IllegalArgumentException("CREATE relationship requires a type"))
         val propKeys = rel.props.keys.toSeq.sorted
         val (s0, d0) = if (rel.dir == -1) (next, prev) else (prev, next)
+        // per-hop eid block: same deterministic `base + _rn` numbering
+        // as fresh node ids — each matched binding's edge gets its own
+        // surrogate id, distributed
+        val eidBase = db.allocateRel(n)
         numbered.select(
-          (Seq(idCol(s0).as("src"), idCol(d0).as("dst"), lit(relType).as("relType")) ++
+          (Seq(idCol(s0).as("src"), idCol(d0).as("dst"), lit(relType).as("relType"),
+            (lit(eidBase) + col("_rn")).as("eid")) ++
             propKeys.map(k => litCol(rel.props(k).v).as(k))): _*)
       }
     }
@@ -2122,7 +2158,7 @@ final class GraftSession(val spark: SparkSession,
     }
     procedures.register("db.propertyKeys", "() :: (propertyKey)", "All property keys") { _ =>
       import org.apache.spark.sql.functions.{col, explode, lit, array}
-      val meta = Set("id", "labels", "src", "dst", "relType")
+      val meta = Set("id", "labels", "src", "dst", "relType", "eid")
       val g = graph()
       val keys = (g.nodes.columns ++ g.edges.columns).distinct
         .filterNot(meta.contains).sorted
@@ -2314,6 +2350,7 @@ final class TxHandle private[graft] (catalog: GraphCatalog,
       val sh = new GraphDatabase(name)
       sh.graph = real.graph
       sh.nextId.set(real.nextId.get())
+      sh.nextRelId.set(real.nextRelId.get())
       sh.matNodes = real.matNodes
       sh.matEdges = real.matEdges
       sh.pendingMutations = real.pendingMutations

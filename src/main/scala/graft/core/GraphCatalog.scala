@@ -17,6 +17,7 @@ final class GraphDatabase(val name: String) {
   @volatile var graph: PropertyGraph = _
   @volatile var stopped: Boolean = false
   val nextId = new AtomicLong(0L)
+  val nextRelId = new AtomicLong(0L)
   /** Mutating statements applied since the graph lineage last
     * materialized — reads compact the plan-on-plan chain once it
     * grows (GraftSession.compactIfNeeded). The mat* references mark
@@ -73,6 +74,12 @@ final class GraphDatabase(val name: String) {
     * end-to-end — a MATCH over 2³¹+ rows must not truncate the
     * reservation (id collisions would silently corrupt the graph). */
   def allocate(n: Long): Long = nextId.getAndAdd(n)
+
+  /** Relationship ids live in their OWN id space (the reference keeps
+    * separate node/relationship id stores): minting an edge never
+    * perturbs node numbering, so node ids stay deterministic
+    * regardless of how many relationships a statement creates. */
+  def allocateRel(n: Long): Long = nextRelId.getAndAdd(n)
   def requireStarted(): Unit =
     if (stopped) throw new IllegalStateException(
       s"database $name is stopped; START DATABASE $name first")

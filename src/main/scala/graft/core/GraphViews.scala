@@ -25,6 +25,15 @@ object GraphViews {
   def nodeId(key: org.apache.spark.sql.Column, tag: Long) =
     key.cast("long") * 10L + lit(tag)
 
+  /** Deterministic surrogate edge id for the analytic views: the
+    * views build DISTINCT (src, dst, relType) triples — no parallel
+    * edges by construction — so a hash of the triple is a stable,
+    * recomputable identity (same derivation on every run and
+    * partitioning; no zipWithIndex nondeterminism). Mutable session
+    * graphs mint allocator eids instead (GraftSession append paths). */
+  def viewEid: org.apache.spark.sql.Column =
+    xxhash64(col("src"), col("dst"), col("relType"))
+
   def tpch(spark: SparkSession, dir: String): PropertyGraph = {
     def t(n: String) = Tables(spark, dir, n)
 
@@ -48,6 +57,7 @@ object GraphViews {
         (Seq(nodeId(col(srcKey), srcTag).as("src"),
           nodeId(col(dstKey), dstTag).as("dst"),
           lit(relType).as("relType")) ++ props.map(col)): _*)
+        .withColumn("eid", viewEid)
 
     val li = t("lineitem")
     val edges = Seq(
@@ -83,6 +93,7 @@ object GraphViews {
       .select(nodeId(col("p"), TAG_PART).as("src"), nodeId(col("p2"), TAG_PART).as("dst"),
         lit("CO").as("relType"),
         ((col("p") + col("p2")) % 9 + 1).cast("long").as("weight")).distinct()
+      .withColumn("eid", viewEid)
     PropertyGraph(nodes, edges)
   }
 
@@ -106,6 +117,7 @@ object GraphViews {
       .select(nodeId(col("p"), TAG_PART).as("src"),
         nodeId(col("p2"), TAG_PART).as("dst"),
         lit("FLOW").as("relType")).distinct()
+      .withColumn("eid", viewEid)
     PropertyGraph(nodes, edges)
   }
 }

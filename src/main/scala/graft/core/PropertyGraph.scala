@@ -7,7 +7,18 @@ import org.apache.spark.sql.types._
 /** Labeled property graph as a pair of DataFrames (SURVEY.md §1.2).
   *
   * nodes: `id LONG, labels ARRAY<STRING>, <typed property columns…>`
-  * edges: `src LONG, dst LONG, relType STRING, <typed property columns…>`
+  * edges: `src LONG, dst LONG, relType STRING, eid LONG,
+  *         <typed property columns…>`
+  *
+  * `eid` is the relationship's surrogate identity (the reference gives
+  * every relationship a stable id — driver entity round-trips, ref
+  * DatabaseIO.java:121-132): minted from the same allocator as node
+  * ids at append, it distinguishes parallel same-type edges between
+  * one endpoint pair for SET/DELETE targeting, var-length trail
+  * uniqueness, and Bolt Relationship ids. Analytic views derive a
+  * deterministic eid; ad-hoc projection graphs MAY omit the column,
+  * and every consumer falls back to (src, dst, relType) granularity
+  * when it is absent (the pre-eid documented deviation).
   *
   * Schema-optional: property columns appear on first CREATE
   * (`unionByName(allowMissingColumns = true)`), mirroring the
@@ -48,7 +59,8 @@ object PropertyGraph {
   def edgeBaseSchema: StructType = StructType(Seq(
     StructField("src", LongType, nullable = false),
     StructField("dst", LongType, nullable = false),
-    StructField("relType", StringType, nullable = false)))
+    StructField("relType", StringType, nullable = false),
+    StructField("eid", LongType, nullable = false)))
 
   def empty(spark: SparkSession): PropertyGraph = PropertyGraph(
     spark.createDataFrame(new java.util.ArrayList[Row](), nodeBaseSchema),

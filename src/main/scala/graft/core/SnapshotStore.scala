@@ -20,17 +20,21 @@ object SnapshotStore {
     * v2: + schema.json (uniqueness constraints + index metadata —
     * before v2 a dump/load round-trip silently dropped constraints);
     * v3: index entries gain a kind (RANGE | TEXT | POINT | VECTOR |
-    * FULLTEXT) so vector/fulltext indexes survive dump/load.
+    * FULLTEXT) so vector/fulltext indexes survive dump/load;
+    * v4: edges gain a surrogate `eid` column (relationship identity —
+    * pre-v4 snapshots get deterministic ids assigned in the separate
+    * relationship-id space on migration, recorded as next_rel_id).
     * Older snapshots upgrade IN PLACE on first read, the reference's
     * store-migration-on-startup behavior (ref TestUpgrade.java:54-73). */
-  val FormatVersion = 3
+  val FormatVersion = 4
 
   final case class Manifest(
       formatVersion: Int,
       database: String,
       nodeCount: Long,
       edgeCount: Long,
-      nextId: Long)
+      nextId: Long,
+      nextRelId: Long)
 
   /** Schema metadata riding with a snapshot: constraints name ->
     * (label, prop); indexes name -> (label, prop, kind). */
@@ -47,7 +51,7 @@ object SnapshotStore {
     * direct overwrite would delete the write job's own input files
     * mid-read. */
   def write(graph: PropertyGraph, nextId: Long, dir: String, database: String,
-      schema: SchemaMeta = SchemaMeta.empty): Manifest = {
+      schema: SchemaMeta = SchemaMeta.empty, nextRelId: Long = 0L): Manifest = {
     val tmp = s"$dir/.tmp-write"
     deleteDir(tmp)
     graph.nodes.write.mode("overwrite").parquet(s"$tmp/nodes")
@@ -68,10 +72,11 @@ object SnapshotStore {
     val spark = graph.nodes.sparkSession
     val nodeCount = spark.read.parquet(s"$tmp/nodes").count()
     val edgeCount = spark.read.parquet(s"$tmp/edges").count()
-    val m = Manifest(FormatVersion, database, nodeCount, edgeCount, nextId)
+    val m = Manifest(FormatVersion, database, nodeCount, edgeCount, nextId, nextRelId)
     Files.writeString(Paths.get(s"$tmp/manifest.json"),
       s"""{"format_version": ${m.formatVersion}, "database": "${m.database}", """ +
-        s""""node_count": ${m.nodeCount}, "edge_count": ${m.edgeCount}, "next_id": ${m.nextId}}""")
+        s""""node_count": ${m.nodeCount}, "edge_count": ${m.edgeCount}, """ +
+        s""""next_id": ${m.nextId}, "next_rel_id": ${m.nextRelId}}""")
     Files.writeString(Paths.get(s"$tmp/schema.json"), schemaJson(schema))
     Files.createDirectories(Paths.get(dir))
     Files.deleteIfExists(Paths.get(s"$dir/manifest.json")) // invalidate before touching data
@@ -101,14 +106,14 @@ object SnapshotStore {
         val nodes = spark.read.parquet(s"$dir/nodes")
         val maxId = nodes.agg(org.apache.spark.sql.functions.max("id")).collect()
           .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(-1L)
-        Manifest(0, dir.split('/').last, nodes.count(),
-          spark.read.parquet(s"$dir/edges").count(), maxId + 1)
+        val edgeCount = spark.read.parquet(s"$dir/edges").count()
+        Manifest(0, dir.split('/').last, nodes.count(), edgeCount, maxId + 1, edgeCount)
       } else throw new java.io.FileNotFoundException(s"no snapshot at $dir")
     if (m0.formatVersion > FormatVersion)
       throw new IllegalStateException(
         s"snapshot at $dir has format version ${m0.formatVersion}, " +
           s"but this engine supports at most $FormatVersion")
-    val m = if (m0.formatVersion < FormatVersion) migrateInPlace(dir, m0) else m0
+    val m = if (m0.formatVersion < FormatVersion) migrateInPlace(spark, dir, m0) else m0
     val g = PropertyGraph(
       spark.read.parquet(s"$dir/nodes"),
       spark.read.parquet(s"$dir/edges"))
@@ -121,7 +126,7 @@ object SnapshotStore {
     * ref TestUpgrade.java:54-73). Each step ends by rewriting the
     * manifest at its target version — the commit point — so a crash
     * mid-upgrade re-runs only the remaining idempotent steps. */
-  private def migrateInPlace(dir: String, m: Manifest): Manifest = {
+  private def migrateInPlace(spark: SparkSession, dir: String, m: Manifest): Manifest = {
     var cur = m
     while (cur.formatVersion < FormatVersion) {
       cur.formatVersion match {
@@ -136,13 +141,44 @@ object SnapshotStore {
           // file through schemaJson canonicalizes it to 3 elements.
           Files.writeString(Paths.get(s"$dir/schema.json"),
             schemaJson(readSchema(dir)))
+        case 3 => // v3→v4: edges gain surrogate eids. Deterministic
+          // distributed numbering (range-partitioned total order on
+          // the full row, zipWithIndex per partition — no one-task
+          // global sort) from the fresh relationship-id space; next_rel_id then
+          // advances past the block so future allocations never
+          // collide. Idempotent: an edge set already carrying eid
+          // (crash after data swap, before manifest bump) is left as
+          // is. The rewrite stages in a temp sibling and swaps, same
+          // discipline as write().
+          val e = spark.read.parquet(s"$dir/edges")
+          if (!e.columns.contains("eid")) {
+            import org.apache.spark.sql.functions.col
+            import org.apache.spark.sql.types.{LongType, StructField, StructType}
+            val keyCols = Seq("src", "dst", "relType").map(col)
+            val sorted = e.repartitionByRange(keyCols: _*)
+              .sortWithinPartitions(keyCols: _*)
+            val rnSchema = StructType(sorted.schema.fields :+
+              StructField("eid", LongType, nullable = false))
+            val base = cur.nextRelId
+            val withEid = spark.createDataFrame(
+              sorted.rdd.zipWithIndex.map { case (r, i) =>
+                org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + i)) }, rnSchema)
+            val tmp = s"$dir/.tmp-migrate-edges"
+            deleteDir(tmp)
+            if (withEid.take(1).isEmpty) withEid.write.mode("overwrite").parquet(tmp)
+            else withEid.write.mode("overwrite").partitionBy("relType").parquet(tmp)
+            deleteDir(s"$dir/edges")
+            Files.move(Paths.get(tmp), Paths.get(s"$dir/edges"))
+            cur = cur.copy(nextRelId = base + cur.edgeCount)
+          }
         case v => throw new IllegalStateException(
           s"no migration from snapshot format $v at $dir")
       }
       cur = cur.copy(formatVersion = cur.formatVersion + 1)
       Files.writeString(Paths.get(s"$dir/manifest.json"),
         s"""{"format_version": ${cur.formatVersion}, "database": "${cur.database}", """ +
-          s""""node_count": ${cur.nodeCount}, "edge_count": ${cur.edgeCount}, "next_id": ${cur.nextId}}""")
+          s""""node_count": ${cur.nodeCount}, "edge_count": ${cur.edgeCount}, """ +
+          s""""next_id": ${cur.nextId}, "next_rel_id": ${cur.nextRelId}}""")
     }
     cur
   }
@@ -197,8 +233,16 @@ object SnapshotStore {
       s""""$name"\\s*:\\s*("([^"]*)"|[-0-9]+)""".r.findFirstMatchIn(text)
         .map(m => Option(m.group(2)).getOrElse(m.group(1)))
         .getOrElse(throw new IllegalStateException(s"manifest at $dir missing $name"))
+    // next_rel_id appears from v4; an older manifest defaults to its
+    // edge count — the v3→v4 migration numbers eids 0..edgeCount-1,
+    // so edgeCount is exactly the next free relationship id
+    def optField(name: String, default: Long): Long =
+      s""""$name"\\s*:\\s*([-0-9]+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong).getOrElse(default)
+    val edgeCount = field("edge_count").toLong
     Manifest(field("format_version").toInt, field("database"),
-      field("node_count").toLong, field("edge_count").toLong, field("next_id").toLong)
+      field("node_count").toLong, edgeCount, field("next_id").toLong,
+      optField("next_rel_id", edgeCount))
   }
 
   /** Recursive copy used by dump/load/backup/restore verbs (a snapshot

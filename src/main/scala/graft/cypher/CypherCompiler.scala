@@ -563,18 +563,28 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * (`isEmpty`) is one bounded driver action per hop past `lo`. */
   private def compileVarHop(cur: DataFrame, prevVar: String, rel: RelPat,
       node: NodePat, nv: String, lo: Int, hi: Int): DataFrame = {
+    val hasEid = graph.edges.columns.contains("eid")
+    def oriented(s: String, t: String)(e: DataFrame) =
+      if (hasEid) e.select(col(s).as("_s"), col(t).as("_t"), col("eid"))
+      else e.select(col(s).as("_s"), col(t).as("_t"))
     val base0 = rel.dir match {
-      case 1  => typedEdges(rel).select(col("src").as("_s"), col("dst").as("_t"))
-      case -1 => typedEdges(rel).select(col("dst").as("_s"), col("src").as("_t"))
-      case 0  => symmetrized(typedEdges(rel)).select(col("src").as("_s"), col("dst").as("_t"))
+      case 1  => oriented("src", "dst")(typedEdges(rel))
+      case -1 => oriented("dst", "src")(typedEdges(rel))
+      case 0  => oriented("src", "dst")(symmetrized(typedEdges(rel)))
     }
-    // canonical edge key: traversal orientation for directed patterns
-    // (a bijection of the stored edge), order-free (min, max) when
-    // undirected so both traversal directions of one edge share a key
+    // edge key for trail uniqueness: the surrogate eid when the edge
+    // set carries one — orientation-free by construction (both
+    // traversal directions of one edge share it), and parallel
+    // same-type edges between one endpoint pair stay DISTINCT
+    // traversable relationships, the openCypher semantics. Edge sets
+    // without eid fall back to endpoint-pair granularity (canonical
+    // (min, max) when undirected) — the documented pre-eid deviation.
     val edgeKey =
-      if (rel.dir == 0) struct(least(col("_s"), col("_t")), greatest(col("_s"), col("_t")))
+      if (hasEid) col("eid")
+      else if (rel.dir == 0) struct(least(col("_s"), col("_t")), greatest(col("_s"), col("_t")))
       else struct(col("_s"), col("_t"))
     val base = base0.distinct().withColumn("_k", edgeKey)
+      .select(col("_s"), col("_t"), col("_k"))
     val startIds = cur.select(cur(s"$prevVar${SEP}id").as("_s")).distinct()
     var frontier = base.join(startIds, Seq("_s"), "left_semi")
       .select(col("_s"), col("_t"), array(col("_k")).as("_e"))
@@ -1043,17 +1053,21 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
             case Variable(v) if entityStructs && !keepVarCols &&
                 df.columns.contains(s"$v${SEP}relType") =>
               val propCols = df.columns.filter(_.startsWith(s"$v$SEP"))
-                .filterNot(c => Set("src", "dst", "relType")
+                .filterNot(c => Set("src", "dst", "relType", "eid")
                   .contains(c.stripPrefix(s"$v$SEP"))).toSeq
               val props =
                 if (propCols.isEmpty) lit(null).cast("string")
                 else struct(propCols.map(c => col(c).as(c.stripPrefix(s"$v$SEP"))): _*)
-              // edges carry no surrogate id (README deviations): the
-              // wire id is a deterministic hash of the (src, dst, type)
-              // identity key, stable across runs and partitions
+              // wire id = the relationship's surrogate eid (stable
+              // across queries and runs); edge sets without the column
+              // (ad-hoc projections) fall back to the deterministic
+              // (src, dst, type) hash — the pre-eid identity
+              val wireId =
+                if (df.columns.contains(s"$v${SEP}eid")) col(s"$v${SEP}eid")
+                else xxhash64(col(s"$v${SEP}src"), col(s"$v${SEP}dst"),
+                  col(s"$v${SEP}relType"))
               Seq(struct(
-                xxhash64(col(s"$v${SEP}src"), col(s"$v${SEP}dst"),
-                  col(s"$v${SEP}relType")).as("__rel_id"),
+                wireId.as("__rel_id"),
                 col(s"$v${SEP}src").as("__rel_src"),
                 col(s"$v${SEP}dst").as("__rel_dst"),
                 col(s"$v${SEP}relType").as("__rel_type"),
@@ -1327,7 +1341,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     // Subscript accepts literal string keys on structs below.
     case MapProj(v, items) =>
       val prefix = s"$v$SEP"
-      val entityInternal = Set("id", "labels", "src", "dst", "relType")
+      val entityInternal = Set("id", "labels", "src", "dst", "relType", "eid")
       val isEntity = df.columns.exists(_.startsWith(prefix))
       def propCol(k: String): Column =
         if (isEntity) {
@@ -1789,7 +1803,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   /** The property columns of a bound entity variable: its prefixed
     * columns minus the structural meta columns. */
   private def entityPropCols(df: DataFrame, v: String): Seq[String] = {
-    val meta = Set("id", "labels", "src", "dst", "relType")
+    val meta = Set("id", "labels", "src", "dst", "relType", "eid")
     df.columns.toIndexedSeq.filter(c =>
       c.startsWith(s"$v$SEP") && !meta.contains(c.stripPrefix(s"$v$SEP")))
   }

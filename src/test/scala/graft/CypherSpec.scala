@@ -1694,4 +1694,71 @@ class CypherSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("inline WHERE"))
   }
+
+  // ---- relationship surrogate identity (eid) ----------------------
+  // The reference gives every relationship a stable id (driver entity
+  // round-trips, ref DatabaseIO.java:121-132). Parallel same-type
+  // edges between one endpoint pair must be independently targetable
+  // and independently traversable.
+
+  test("eid: parallel edges SET/DELETE independently and ids are stable") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:pp {name:'a'})-[:T {tag:1}]->(b:pp {name:'b'})")
+    s.cypher("MATCH (a:pp {name:'a'}), (b:pp {name:'b'}) CREATE (a)-[:T {tag:2}]->(b)")
+    val edges0 = s.graph().edges
+    assert(edges0.count() == 2)
+    // distinct surrogate ids in their own id space
+    val eids = edges0.select("eid").collect().map(_.getLong(0)).toSeq
+    assert(eids.distinct.size == 2)
+    // stable across reads: a second scan yields the same ids
+    assert(s.graph().edges.select("eid").collect().map(_.getLong(0)).toSeq.sorted
+      == eids.sorted)
+    // SET targets exactly the matched parallel edge
+    s.cypher("MATCH ()-[r:T {tag:1}]->() SET r.w = 5")
+    val w = s.graph().edges.select("tag", "w").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(w == Map(1L -> Some(5L), 2L -> None))
+    // DELETE removes only the matched parallel edge
+    s.cypher("MATCH ()-[r:T {tag:2}]->() DELETE r")
+    val left = s.graph().edges.select("tag", "eid").collect()
+    assert(left.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(eids.contains(left.head.getLong(1))) // survivor keeps its id
+  }
+
+  test("eid: var-length trail traverses two parallel edges as distinct relationships") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:pq {name:'a'})-[:T {tag:1}]->(b:pq {name:'b'})")
+    s.cypher("MATCH (a:pq {name:'a'}), (b:pq {name:'b'}) CREATE (a)-[:T {tag:2}]->(b)")
+    // a 2-hop undirected trail a -e1- b -e2- a needs TWO distinct
+    // relationships between the same endpoint pair; with endpoint-pair
+    // edge keys (pre-eid) this bounce-back was impossible
+    val res = s.cypher(
+      "MATCH (x:pq {name:'a'})-[:T*2..2]-(y) RETURN DISTINCT y.name AS name")
+    assert(res.collect().map(_.getString(0)).toSeq == Seq("a"))
+    // and a single edge alone still cannot be re-traversed
+    val s2 = new GraftSession(spark)
+    s2.cypher("CREATE (a:pq {name:'a'})-[:T {tag:1}]->(b:pq {name:'b'})")
+    val res2 = s2.cypher(
+      "MATCH (x:pq {name:'a'})-[:T*2..2]-(y) RETURN DISTINCT y.name AS name")
+    assert(res2.collect().isEmpty)
+  }
+
+  test("eid: relationship ids survive a dump/load round-trip and MERGE reuses them") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:pr {name:'a'})-[:T {tag:1}]->(b:pr {name:'b'})")
+    val eid0 = s.graph().edges.select("eid").collect().head.getLong(0)
+    // MERGE of the existing pattern must not mint a new edge
+    s.cypher("MERGE (a:pr {name:'a'})-[:T {tag:1}]->(b:pr {name:'b'})")
+    assert(s.graph().edges.count() == 1)
+    assert(s.graph().edges.select("eid").collect().head.getLong(0) == eid0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_eid_rt_").toString
+    s.saveDatabase(dir)
+    val s2 = new GraftSession(spark)
+    s2.loadDatabase(dir)
+    assert(s2.graph().edges.select("eid").collect().head.getLong(0) == eid0)
+    // new edges in the loaded session allocate PAST the loaded ids
+    s2.cypher("MATCH (a:pr {name:'a'}), (b:pr {name:'b'}) CREATE (a)-[:T {tag:9}]->(b)")
+    val ids = s2.graph().edges.select("eid").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == 2 && ids.contains(eid0))
+  }
 }
