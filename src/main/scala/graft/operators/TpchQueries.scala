@@ -348,7 +348,14 @@ object TpchQueries {
     // decorrelated into one per-part aggregate joined back. The
     // comparison cross-multiplies into DECIMAL space
     // (qty * 5 * n < sum_qty ⟺ qty < 0.2 * sum/n for n > 0) so no
-    // float division exists in either engine. The brand filter makes
+    // float division exists in either engine. Width discipline: the
+    // product side uses DECIMAL(12,2) × 5 × DECIMAL(8,0) so both
+    // engines stay ≤ width 38 and EXACT — a DECIMAL(18,2) × BIGINT
+    // product overflows DuckDB's 38-digit width and silently falls
+    // back to DOUBLE comparison (decimal widths ADD under ×). The
+    // shrunk widths are sound: quantity ≤ 10 digits of units and
+    // per-part line counts ≤ 1e8 hold at any TPC-H scale (600B-row
+    // lineitem spreads over 20B parts ≈ 30 lines/part). The brand filter makes
     // the part side small: it broadcasts into the lineitem semi pass,
     // and the per-part stats frame (≤ #filtered parts rows) broadcasts
     // into the final join — zero shuffles on the fact table at scale.
@@ -361,14 +368,15 @@ object TpchQueries {
         |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_extprice,
         |       COUNT(*) AS n_lines
         |FROM lineitem l JOIN st ON st.l_partkey = l.l_partkey
-        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * st.n < st.sum_qty""".stripMargin) { (s, d) =>
+        |WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * CAST(st.n AS DECIMAL(8,0)) < st.sum_qty""".stripMargin) { (s, d) =>
       val pp = Tables.part(s, d).filter(col("p_brand") === "Brand#23").select("p_partkey")
       val l = Tables.lineitem(s, d)
       val stats = l.join(broadcast(pp), pp("p_partkey") === l("l_partkey"), "left_semi")
         .groupBy(col("l_partkey").as("st_partkey"))
         .agg(sum(col("l_quantity").cast(D2)).as("sum_qty"), count(lit(1)).as("n"))
       l.join(broadcast(stats), col("st_partkey") === l("l_partkey"))
-        .filter(col("l_quantity").cast(D2) * 5 * col("n") < col("sum_qty"))
+        .filter(col("l_quantity").cast("decimal(12,2)") * 5 *
+          col("n").cast("decimal(8,0)") < col("sum_qty"))
         .agg(sum(col("l_extendedprice").cast(D2)).cast(DoubleType).as("total_extprice"),
           count(lit(1)).as("n_lines"))
     }

@@ -220,7 +220,7 @@ object Gds {
     * window so the neighbor sets are never re-joined. Integer score
     * ijac = floor(jac*1e6+0.5) for engine-stable output. */
   def nodeSimilarity(spark: SparkSession, g: PropertyGraph, relType: Option[String],
-      minScore: Long = 1): DataFrame = {
+      minScore: Long = 1, topK: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val edgesDf = relType.map(g.edgesOfType).getOrElse(g.edges)
@@ -229,12 +229,22 @@ object Gds {
       count(lit(1)).over(Window.partitionBy("src")))
     val a = withDeg.toDF("n1", "shared", "d1")
     val b = withDeg.toDF("n2", "shared2", "d2")
-    a.join(b, col("shared") === col("shared2") && col("n1") < col("n2"))
+    val scored = a.join(b, col("shared") === col("shared2") && col("n1") < col("n2"))
       .groupBy("n1", "n2", "d1", "d2").agg(count(lit(1)).as("inter"))
       .select(col("n1").as("node1"), col("n2").as("node2"),
         floor(col("inter") * lit(1000000.0) / (col("d1") + col("d2") - col("inter")) + lit(0.5))
           .cast("long").as("ijac"))
       .filter(col("ijac") >= minScore)
+    // GDS's topK knob (default 10 there): keep each node's K best
+    // neighbors — here per canonical pair owner node1, deterministic
+    // (ijac DESC, node2 ASC) order so both engines rank identically.
+    // This is what bounds output (and downstream shuffle) on dense
+    // graphs: without it a near-clique emits O(n²) pairs.
+    if (topK == Long.MaxValue) scored
+    else scored
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("node1").orderBy(col("ijac").desc, col("node2").asc)))
+      .filter(col("_rn") <= topK).drop("_rn")
   }
 
   /** gds.resourceAllocation: the Zhou-Lü-Zhang link-prediction index —

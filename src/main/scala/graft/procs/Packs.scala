@@ -57,6 +57,48 @@ object Packs {
     }
   }
 
+  /** File-shaped plugin registry: the reference resolves every plugin
+    * through a versions.json — a JSON array of {"neo4j": <semver
+    * spec>, "jar": <artifact ref>} entries — fetched per plugin,
+    * matched against the engine version with jq min_by semantics, and
+    * degraded gracefully: a missing/unreadable registry or an entry
+    * set with no compatible version logs an ERROR and startup
+    * CONTINUES without the plugin (docker-entrypoint.sh:155-180;
+    * tests TestPluginInstallation.java:170-227). Here the registry
+    * dir holds `<plugin>/versions.json` fixtures and the resolved
+    * "jar" names the compiled-in pack to activate — the resolution
+    * protocol is the reference's; only the artifact transport
+    * (download vs compiled-in) differs, as documented in SURVEY §2.4. */
+  def installFromRegistry(session: GraftSession, registryDir: String,
+      plugins: Seq[String], log: String => Unit = _ => ()): Unit = {
+    plugins.foreach { p =>
+      val path = java.nio.file.Paths.get(registryDir, p, "versions.json")
+      if (!java.nio.file.Files.isReadable(path)) {
+        log(s"ERROR: could not query $path for plugin compatibility information. " +
+          "This could indicate a problem with your network or this container's " +
+          s"""network settings. Neo4j will continue to start, but "$p" will not be loaded.""")
+      } else {
+        val text = java.nio.file.Files.readString(path)
+        val entries = """\{[^}]*\}""".r.findAllIn(text).toSeq.flatMap { obj =>
+          def f(k: String) =
+            ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(obj).map(_.group(1))
+          for (n <- f("neo4j"); j <- f("jar")) yield (n, j)
+        }
+        SemVer.selectBest(entries.map(_._1), EngineVersion)
+          .flatMap(spec => entries.find(_._1 == spec)) match {
+          case None =>
+            log(s"""ERROR: No compatible "$p" plugin found for Neo4j $EngineVersion. """ +
+              "This can happen with the newest Neo4j versions when a compatible plugin " +
+              s"has not yet been released. You can either use an older version of Neo4j, " +
+              s"""or continue without $p. Neo4j will continue to start, but "$p" will not be loaded.""")
+          case Some((_, jar)) =>
+            log(s"Installing Plugin '$p' from registry entry '$jar'")
+            install(session, Seq(jar), log)
+        }
+      }
+    }
+  }
+
   // ---- apoc (ref TestConfSettings.java:411 `RETURN apoc.version()`) ----
 
   private def installApoc(session: GraftSession): Unit = {
@@ -407,10 +449,11 @@ object Packs {
       Gds.labelPropagation(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters)
     }
     procs.register("gds.nodeSimilarity",
-      "(relType :: STRING?, minScore :: INTEGER?) :: (node1, node2, ijac)",
+      "(relType :: STRING?, minScore :: INTEGER?, topK :: INTEGER?) :: (node1, node2, ijac)",
       "Jaccard similarity of out-neighbor sets (scaled to 1e6)") { args =>
       val minScore = args.lift(1).map(String.valueOf(_).toLong).getOrElse(1L)
-      Gds.nodeSimilarity(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, minScore)
+      val topK = args.lift(2).map(String.valueOf(_).toLong).getOrElse(Long.MaxValue)
+      Gds.nodeSimilarity(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, minScore, topK)
     }
     procs.register("gds.resourceAllocation",
       "(relType :: STRING?, minScore :: INTEGER?, maxDeg :: INTEGER?) :: (node1, node2, ira)",

@@ -550,4 +550,64 @@ class PacksSpec extends AnyFunSuite {
     assert(conf.collect().head.getString(0) == "42M")
     assert(s.config.get.resolved()("dbms.security.procedures.unrestricted") == "apoc.*")
   }
+
+  // ---- file-shaped plugin registry (versions.json resolution) ------
+  // The reference resolves plugins via a per-plugin versions.json and
+  // degrades gracefully on missing/incompatible registries
+  // (docker-entrypoint.sh:155-180, TestPluginInstallation.java:170-227).
+
+  private def writeRegistry(plugin: String, json: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_registry_").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, plugin))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, plugin, "versions.json"), json)
+    dir
+  }
+
+  test("registry: a compatible versions.json entry resolves min_by and installs the pack") {
+    val s = new GraftSession(spark)
+    // two matching entries: exact version must win over the wildcard
+    // (jq min_by — digits sort before x), and the resolved jar ref
+    // names the pack that actually gets activated
+    val dir = writeRegistry("graph-data-science",
+      s"""[
+         |  {"neo4j": "5.x.x", "jar": "apoc"},
+         |  {"neo4j": "${graft.procs.Packs.EngineVersion}", "jar": "graph-data-science"},
+         |  {"neo4j": "4.4.0", "jar": "bloom"}
+         |]""".stripMargin)
+    val logs = collection.mutable.Buffer.empty[String]
+    graft.procs.Packs.installFromRegistry(s, dir, Seq("graph-data-science"), logs += _)
+    assert(logs.exists(_.contains("Installing Plugin 'graph-data-science' from registry entry 'graph-data-science'")))
+    // the gds pack is actually live: its procedure surface registered
+    val procs = s.cypher("SHOW PROCEDURES").collect().map(_.getString(0))
+    assert(procs.contains("gds.pageRank"))
+  }
+
+  test("registry: missing versions.json warns could-not-query and startup continues") {
+    val s = new GraftSession(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_registry_empty_").toString
+    val logs = collection.mutable.Buffer.empty[String]
+    graft.procs.Packs.installFromRegistry(s, dir, Seq("apoc"), logs += _)
+    val err = logs.mkString("\n")
+    assert(err.contains("ERROR: could not query"))
+    assert(err.contains("plugin compatibility information"))
+    assert(err.contains("Neo4j will continue to start, but \"apoc\" will not be loaded"))
+    // degrade means degrade: the session still works, the pack just is not there
+    assert(s.cypher("RETURN 1 AS one").collect().head.getLong(0) == 1L)
+    val procs = s.cypher("SHOW PROCEDURES").collect().map(_.getString(0))
+    assert(!procs.contains("apoc.version"))
+  }
+
+  test("registry: no compatible entry warns no-compatible and startup continues") {
+    val s = new GraftSession(spark)
+    val dir = writeRegistry("apoc",
+      """[ {"neo4j": "4.x.x", "jar": "apoc"}, {"neo4j": "3.5.0", "jar": "apoc"} ]""")
+    val logs = collection.mutable.Buffer.empty[String]
+    graft.procs.Packs.installFromRegistry(s, dir, Seq("apoc"), logs += _)
+    val err = logs.mkString("\n")
+    assert(err.contains("ERROR: No compatible \"apoc\" plugin found for Neo4j " +
+      graft.procs.Packs.EngineVersion))
+    assert(err.contains("Neo4j will continue to start, but \"apoc\" will not be loaded"))
+    assert(s.cypher("RETURN 1 AS one").collect().head.getLong(0) == 1L)
+  }
 }
