@@ -586,9 +586,21 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val base = base0.distinct().withColumn("_k", edgeKey)
       .select(col("_s"), col("_t"), col("_k"))
     val startIds = cur.select(cur(s"$prevVar${SEP}id").as("_s")).distinct()
+    // σ path counting (openCypher row-per-path multiplicity, the
+    // cy_all_shortest trick generalized): a frontier row is a distinct
+    // (start, end, edge-SET) and `_c` counts the trail SEQUENCES that
+    // realize it — two parents {1,2}+3 and {1,3}+2 land on the same
+    // set {1,2,3} as distinct orderings, and the groupBy SUM keeps
+    // them counted. Frontier cardinality is identical to the old
+    // distinct() plan (the count rides along; the groupBy is the same
+    // shuffle), so the combinatorial blowup of literal path
+    // enumeration never materializes mid-expansion — rows multiply
+    // out only at the end, where they ARE the requested output.
+    // Counts are Long: exact to ~9e18 paths per (pair, edge-set),
+    // beyond which the query output could not be enumerated anyway.
     var frontier = base.join(startIds, Seq("_s"), "left_semi")
-      .select(col("_s"), col("_t"), array(col("_k")).as("_e"))
-    def endpoints(df: DataFrame) = df.select(col("_s"), col("_t"))
+      .select(col("_s"), col("_t"), array(col("_k")).as("_e"), lit(1L).as("_c"))
+    def endpoints(df: DataFrame) = df.select(col("_s"), col("_t"), col("_c"))
     var pairs = if (lo <= 1) endpoints(frontier) else null
     var step = 1
     var exhausted = false
@@ -599,14 +611,14 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           col("_t") === col("_m"))
         .filter(!array_contains(col("_e"), col("_k")))
         .select(col("_s"), col("_u").as("_t"),
-          sort_array(array_union(col("_e"), array(col("_k")))).as("_e"))
-        .distinct()
+          sort_array(array_union(col("_e"), array(col("_k")))).as("_e"), col("_c"))
+        .groupBy("_s", "_t", "_e").agg(sum(col("_c")).as("_c"))
       if (frontier.isEmpty) exhausted = true
       else if (step >= lo) pairs = if (pairs == null) endpoints(frontier)
         else pairs.union(endpoints(frontier))
     }
     if (pairs == null) pairs = endpoints(frontier).limit(0)
-    val reach = pairs.distinct()
+    val reach = pairs.groupBy("_s", "_t").agg(sum(col("_c")).as(s"_vl${SEP}c"))
       .withColumnRenamed("_s", s"_vl${SEP}s").withColumnRenamed("_t", s"_vl${SEP}t")
     val joined = cur.join(reach, cur(s"$prevVar${SEP}id") === col(s"_vl${SEP}s"))
     val out =
@@ -616,7 +628,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         val n = nodeDf(nv, node)
         joined.join(n, col(s"_vl${SEP}t") === n(s"$nv${SEP}id"))
       }
-    out.drop(s"_vl${SEP}s", s"_vl${SEP}t")
+    // one row per path: multiply each binding by its σ count (a no-op
+    // explode when every count is 1). RETURN DISTINCT collapses right
+    // back downstream — the two semantics agree there, and queries
+    // without DISTINCT now see openCypher's per-path multiplicity.
+    out.withColumn("_vl_dup", explode(sequence(lit(1L), col(s"_vl${SEP}c"))))
+      .drop(s"_vl${SEP}s", s"_vl${SEP}t", s"_vl${SEP}c", "_vl_dup")
   }
 
   /** `MATCH p = shortestPath((a)-[:T*lo..hi]->(b)) [WHERE …]`:

@@ -149,6 +149,24 @@ object CypherQueries {
       """MATCH (r:region)-[:IN*1..2]-(x) WHERE r.r_regionkey = 0
         |RETURN DISTINCT id(x) AS x_id ORDER BY x_id""".stripMargin),
 
+    // PER-PATH multiplicity (openCypher row-per-path, no DISTINCT):
+    // each customer→order→part trail is its own row, so the count per
+    // (customer, part) equals the number of distinct orders carrying
+    // that part — σ path counting in compileVarHop, graded against a
+    // plain relational replay. (CONTAINS duplicates from repeated
+    // (order, part) lineitems share a view eid and collapse to one
+    // relationship, hence the DISTINCT projection in the oracle.)
+    q("cy_varlen_paths",
+      """SELECT c.c_custkey AS ck, l.l_partkey * 10 + 6 AS pid,
+        |       CAST(count(*) AS BIGINT) AS n_paths
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+        |  ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_custkey <= 100
+        |GROUP BY 1, 2""".stripMargin)(
+      """MATCH (c:customer)-[:PLACED|CONTAINS*2..2]->(pt:part) WHERE c.c_custkey <= 100
+        |RETURN c.c_custkey AS ck, id(pt) AS pid, count(*) AS n_paths""".stripMargin),
+
     // two-hop chained pattern across three node sets
     q("cy_two_hop",
       """SELECT n.n_name AS n_name, r.r_name AS r_name, count(*) AS n_supp
