@@ -1545,10 +1545,23 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "stdevp"                  => stddev_pop(a(0))
       case "percentilecont"          => call_function("percentile", a(0), a(1))
       case "percentiledisc"          => call_function("percentile_approx", a(0), a(1), lit(10000))
-      // graph accessors
+      // graph accessors. id(r) on a relationship variable reads the
+      // surrogate eid (its own id space — the reference's separate
+      // node/relationship stores); elementId() is the Bolt 5 string
+      // form of the same ids (BoltEndpoint emits element ids as the
+      // numeric id rendered as a string — one consistent surface).
       case "id"     => f.args.head match {
+        case Variable(v) if df.columns.contains(s"$v${SEP}id") => col(s"$v${SEP}id")
+        case Variable(v) if df.columns.contains(s"$v${SEP}eid") => col(s"$v${SEP}eid")
         case Variable(v) => col(s"$v${SEP}id")
         case other       => compileExpr(other, df)
+      }
+      case "elementid" => f.args.head match {
+        case Variable(v) if df.columns.contains(s"$v${SEP}id") =>
+          col(s"$v${SEP}id").cast("string")
+        case Variable(v) if df.columns.contains(s"$v${SEP}eid") =>
+          col(s"$v${SEP}eid").cast("string")
+        case other => compileExpr(other, df).cast("string")
       }
       case "labels" => f.args.head match {
         case Variable(v) => col(s"$v${SEP}labels")

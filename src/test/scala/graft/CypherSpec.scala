@@ -1761,4 +1761,17 @@ class CypherSpec extends AnyFunSuite {
     val ids = s2.graph().edges.select("eid").collect().map(_.getLong(0)).toSeq
     assert(ids.distinct.size == 2 && ids.contains(eid0))
   }
+
+  test("eid: id(r) and elementId() read the surrogate ids") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:ei {name:'a'})-[:T {tag:1}]->(b:ei {name:'b'})")
+    val eid = s.graph().edges.select("eid").collect().head.getLong(0)
+    val row = s.cypher(
+      "MATCH (a:ei {name:'a'})-[r:T]->(b:ei) " +
+        "RETURN id(r) AS rid, elementId(r) AS reid, id(a) AS nid, elementId(a) AS neid")
+      .collect().head
+    assert(row.getLong(0) == eid)
+    assert(row.getString(1) == eid.toString)
+    assert(row.getString(3) == row.getLong(2).toString)
+  }
 }
