@@ -1920,9 +1920,13 @@ final class GraftSession(val spark: SparkSession,
           .withColumn("relType", lit(relTypeOf(rel)))
         // surrogate eids: same deterministic distributed numbering as
         // mutateMatched (range partitions ordered, sorted within, each
-        // task numbers its slice); persist+count once so the missing
-        // subtree isn't recomputed per action
-        val sortedP = pairs0.repartitionByRange(col("src"), col("dst"))
+        // task numbers its slice). The numbering machinery runs THREE
+        // passes over its input (range-boundary sampling, zipWithIndex
+        // partition sizing, the count) — materialize the miss set ONCE
+        // first so those passes read a checkpointed frame, not the
+        // anti-join subtree three times.
+        val pairsMat = pairs0.localCheckpoint()
+        val sortedP = pairsMat.repartitionByRange(col("src"), col("dst"))
           .sortWithinPartitions(col("src"), col("dst"))
         val rnSchema = org.apache.spark.sql.types.StructType(sortedP.schema.fields :+
           org.apache.spark.sql.types.StructField("_rn",
@@ -1969,9 +1973,13 @@ final class GraftSession(val spark: SparkSession,
     // Deterministic distributed numbering: same total order as a global
     // sort (range partitions are ordered, partitions sorted within),
     // but each task numbers its own slice — the whole match never
-    // funnels through one executor.
+    // funnels through one executor. The match result is materialized
+    // ONCE up front (localCheckpoint): the numbering machinery makes
+    // three passes over its input (range sampling, zipWithIndex
+    // sizing, the count) and must not re-run the match plan each time.
     val boundCols = boundVars.map(col)
-    val sorted = matchedDf.repartitionByRange(boundCols: _*).sortWithinPartitions(boundCols: _*)
+    val matchedMat = matchedDf.localCheckpoint()
+    val sorted = matchedMat.repartitionByRange(boundCols: _*).sortWithinPartitions(boundCols: _*)
     val rnSchema = StructType(sorted.schema.fields :+ StructField("_rn", LongType, nullable = false))
     val numbered = spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, rnSchema)

@@ -330,6 +330,20 @@ class BoltSpec extends AnyFunSuite {
       assert(rel.fields(3) == "SNIFFS")
       assert(rel.fields(4) == Map("since" -> 2020L))
       assert(c.recv()._1 == SUCCESS)
+      // the wire id IS the relationship's surrogate eid, stable
+      // across queries (ref driver entity round-trips,
+      // DatabaseIO.java:121-132)
+      val storedEid = session.graph().edges
+        .select("eid").collect().head.getLong(0)
+      assert(rel.fields.head == storedEid)
+      c.send(0x10, "MATCH (a:dog)-[r:SNIFFS]->(b:dog) RETURN r",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x3F, Map("n" -> -1L))
+      val rel2 = c.recv()._2.head.asInstanceOf[Seq[Any]].head
+        .asInstanceOf[PackStream.Struct]
+      assert(rel2.fields.head == storedEid)
+      assert(c.recv()._1 == SUCCESS)
       c.send(0x02); c.close()
 
       // a 5.x-only handshake (5.4 with range back to 5.0) negotiates
