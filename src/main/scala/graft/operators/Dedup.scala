@@ -395,10 +395,15 @@ object Dedup {
           s"md5(concat_ws(',', ${bandCols((bnd + 1) % BANDS)}))"
       }.mkString(s"stack($BANDS, ", ", ", ") AS (band, sig, rsig)")
       val bands = sigs.select(col("doc_id"), expr(stackExpr))
-      val keyed = bands
-        .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "sig")))
+      // bucket sizing via a map-side-combinable aggregate + join back
+      // of ONLY the oversized buckets (≤ n/CAP rows — AQE broadcasts
+      // it), not a window: the window's per-(band, sig) sort is pure
+      // overhead when all we need is membership in the hot set
+      val big = bands.groupBy("band", "sig").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > BUCKET_CAP).select(col("band"), col("sig"), lit(1).as("_hot"))
+      val keyed = bands.join(big, Seq("band", "sig"), "left_outer")
         .select(col("doc_id"), col("band"), col("sig"),
-          when(col("bn") > BUCKET_CAP, col("rsig")).otherwise(lit("")).as("sub"))
+          when(col("_hot").isNotNull, col("rsig")).otherwise(lit("")).as("sub"))
       val cands = keyed.toDF("d1", "band", "sig", "sub")
         .join(keyed.toDF("d2", "band2", "sig2", "sub2"),
           col("band") === col("band2") && col("sig") === col("sig2") &&

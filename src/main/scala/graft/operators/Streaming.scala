@@ -57,6 +57,15 @@ object Streaming {
 
   private val GAP_US = 30L * 60 * 1000000
 
+  // Bench-cost note (r10 drift disposition): stream_window/stream_dedup
+  // moved 1.2-1.3 s → 1.7-1.8 s in the r10 bench with UNCHANGED code and
+  // plans. The cause was workload-mix memory pressure — r10's GraphX
+  // algorithms left every projected graph cached (vertex+edge RDDs,
+  // MEMORY_ONLY), so the streaming micro-batches ran against an
+  // LRU-thrashing block manager. Gds.finish() (release-on-return) fixed
+  // the leak; both rows are back in the ~1.3-1.4 s band. The residual
+  // floor is micro-batch machinery (per-batch file listing + planning
+  // of the file source), not plan cost — it does not scale with input.
   def all: Seq[QueryDef] = Seq(
     sql("stream_window",
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type, count(*) AS n,
