@@ -142,6 +142,12 @@ object ast {
     * relationship. */
   final case class MatchShortest(pathVar: String, pat: PathPat, where: Option[Expr],
       all: Boolean = false) extends Clause
+  /** `MATCH p = (a)-[:T]->(b)-…` — plain (non-shortestPath) path
+    * assignment over a FIXED-length pattern: the path's nodes,
+    * relationships, and length are all derivable from the bound
+    * pattern columns, no search needed. Var-length hops refuse
+    * (enumerate through shortestPath/allShortestPaths instead). */
+  final case class MatchPath(pathVar: String, pat: PathPat, where: Option[Expr]) extends Clause
   final case class Create(patterns: Seq[PathPat]) extends Clause
   /** SET n.key = <literal expr>, … */
   final case class SetProps(items: Seq[(Prop, Expr)]) extends Clause

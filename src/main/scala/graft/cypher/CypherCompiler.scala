@@ -49,6 +49,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     q.clauses.foreach {
       case m: Match    => ctx = Some(compileMatch(ctx, m))
       case s: MatchShortest => ctx = Some(compileShortest(ctx, s))
+      case p: MatchPath => ctx = Some(compilePlainPath(ctx, p))
       case r: Return   => return compileProjection(ctx, r.items, r.distinct, r.orderBy, r.skip, r.limit, keepVarCols = false)
       case w: With     =>
         var df = compileProjection(ctx, w.items, w.distinct, w.orderBy, w.skip, w.limit, keepVarCols = true)
@@ -634,6 +635,45 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     // without DISTINCT now see openCypher's per-path multiplicity.
     out.withColumn("_vl_dup", explode(sequence(lit(1L), col(s"_vl${SEP}c"))))
       .drop(s"_vl${SEP}s", s"_vl${SEP}t", s"_vl${SEP}c", "_vl_dup")
+  }
+
+  /** Plain (non-shortestPath) path assignment over a FIXED-length
+    * pattern: `MATCH p = (a)-[:T]->(b)-[:U]->(c)`. No search runs —
+    * every path accessor is a projection of the bound pattern's
+    * columns: nodes(p) = the node-id array in pattern order,
+    * relationships(p) = the per-hop (src, dst, relType) structs read
+    * straight off the matched edge rows (STORED orientation, so
+    * undirected and multi-type hops work — unlike the shortestPath
+    * witness reconstruction, which must refuse them), length(p) = the
+    * hop count. Var-length hops refuse: plain var-length path
+    * enumeration is the combinatorial blowup; shortestPath /
+    * allShortestPaths are the searched forms. */
+  private def compilePlainPath(ctx: Option[DataFrame], m: MatchPath): DataFrame = {
+    if (m.pat.hops.exists(_._1.varLength.isDefined))
+      throw new UnsupportedOperationException(
+        s"path variable `${m.pathVar}` over a var-length pattern: use " +
+          "shortestPath/allShortestPaths (plain var-length path enumeration is refused)")
+    var i = 0
+    def freshName(kind: String): String = { i += 1; s"_${m.pathVar}$kind$i" }
+    val start = m.pat.start.variable.getOrElse(freshName("n"))
+    val startPat = m.pat.start.copy(variable = Some(start))
+    val hops = m.pat.hops.map { case (rel, node) =>
+      (rel.copy(variable = Some(rel.variable.getOrElse(freshName("r")))),
+        node.copy(variable = Some(node.variable.getOrElse(freshName("n")))))
+    }
+    val df = compileMatch(ctx, Match(Seq(PathPat(startPat, hops)), optional = false, m.where))
+    val nodeVars = start +: hops.map(_._2.variable.get)
+    val relVars = hops.map(_._1.variable.get)
+    val relsCol =
+      if (relVars.isEmpty)
+        array().cast("array<struct<src:bigint,dst:bigint,relType:string>>")
+      else array(relVars.map(rv =>
+        struct(col(s"$rv${SEP}src").as("src"), col(s"$rv${SEP}dst").as("dst"),
+          col(s"$rv${SEP}relType").as("relType"))): _*)
+    df.withColumn(s"${m.pathVar}${SEP}nodes",
+        array(nodeVars.map(v => col(s"$v${SEP}id")): _*))
+      .withColumn(s"${m.pathVar}${SEP}len", lit(hops.size.toLong))
+      .withColumn(s"${m.pathVar}${SEP}rels", relsCol)
   }
 
   /** `MATCH p = shortestPath((a)-[:T*lo..hi]->(b)) [WHERE …]`:
@@ -1581,6 +1621,9 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           s"nodes() takes a bound path variable, got $other")
       }
       case "relationships" => f.args.head match {
+        // plain path assignment carries the ready-made per-hop structs
+        // (stored orientation read off the matched edge rows)
+        case Variable(v) if df.columns.contains(s"$v${SEP}rels") => col(s"$v${SEP}rels")
         case Variable(v) if df.columns.contains(s"$v${SEP}nodes") =>
           // The witness array is in TRAVERSAL order; stored edges are
           // oriented src->dst, so a left-directed pattern's hop i is the

@@ -351,6 +351,14 @@ object CypherParser extends RegexParsers {
           MatchShortest(v, p, w, all = fn.equalsIgnoreCase("allShortestPaths"))
       }
 
+  /** `MATCH p = (a)-[:T]->(b)…` — plain path assignment; tried after
+    * shortestMatch (whose RHS starts with the shortestPath keyword,
+    * not `(`). */
+  private def plainPathMatch: Parser[MatchPath] =
+    (kw("match") ~> ident <~ "=") ~ pathPat ~ opt(whereClause) ^^ {
+      case v ~ p ~ w => MatchPath(v, p, w)
+    }
+
   private def createClause: Parser[Create] =
     kw("create") ~> patternList ^^ Create.apply
 
@@ -479,7 +487,7 @@ object CypherParser extends RegexParsers {
     }
 
   private def clause: Parser[Clause] =
-    shortestMatch | matchClause | createClause | mergeClause | setClause | removeClause |
+    shortestMatch | plainPathMatch | matchClause | createClause | mergeClause | setClause | removeClause |
       deleteClause | withClause | returnClause | callSubClause | callClause |
       unwindClause | foreachClause
 

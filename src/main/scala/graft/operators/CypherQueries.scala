@@ -167,6 +167,19 @@ object CypherQueries {
       """MATCH (c:customer)-[:PLACED|CONTAINS*2..2]->(pt:part) WHERE c.c_custkey <= 100
         |RETURN c.c_custkey AS ck, id(pt) AS pid, count(*) AS n_paths""".stripMargin),
 
+    // plain path assignment (no shortestPath): accessors are pure
+    // projections of the bound fixed-length pattern — length(p) is the
+    // hop count, nodes(p)[2] the terminal region id via the 0-based
+    // Cypher subscript
+    q("cy_path_assign",
+      """SELECT c.c_custkey * 10 + 3 AS cid, CAST(2 AS BIGINT) AS len,
+        |       n.n_regionkey * 10 + 1 AS rid
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE c.c_custkey <= 1000""".stripMargin)(
+      """MATCH p = (c:customer)-[:IN]->(n:nation)-[:IN]->(r:region)
+        |WHERE c.c_custkey <= 1000
+        |RETURN id(c) AS cid, length(p) AS len, nodes(p)[2] AS rid""".stripMargin),
+
     // two-hop chained pattern across three node sets
     q("cy_two_hop",
       """SELECT n.n_name AS n_name, r.r_name AS r_name, count(*) AS n_supp

@@ -1827,4 +1827,32 @@ class CypherSpec extends AnyFunSuite {
       assert(r1 == r2)
     }
   }
+
+  test("plain path assignment: nodes/relationships/length over fixed-length patterns") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:pv {name:'a'})-[:X {w:1}]->(b:pv {name:'b'})<-[:Y {w:2}]-(c:pv {name:'c'})")
+    // mixed-orientation two-hop path: relationships(p) reads STORED
+    // orientation per hop (the <- hop's struct is (c, b)), which the
+    // shortestPath witness reconstruction cannot do
+    val r = s.cypher(
+      """MATCH p = (a:pv {name:'a'})-[:X]->(b:pv)<-[:Y]-(c:pv)
+        |RETURN length(p) AS l, nodes(p) AS ns, relationships(p) AS rs""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 2L)
+    val ids = s.cypher("MATCH (n:pv) RETURN n.name AS nm, id(n) AS i").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.getSeq[Long](1) == Seq(ids("a"), ids("b"), ids("c")))
+    val rels = r.getSeq[org.apache.spark.sql.Row](2)
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(rels == Seq((ids("a"), ids("b"), "X"), (ids("c"), ids("b"), "Y")))
+    // a path variable over a var-length pattern refuses loudly
+    val e = intercept[UnsupportedOperationException](
+      s.cypher("MATCH p = (a:pv)-[:X*1..2]->(b) RETURN length(p) AS l"))
+    assert(e.getMessage.contains("shortestPath"))
+    // zero-hop path: single node, empty rel list
+    val z = s.cypher(
+      "MATCH p = (a:pv {name:'a'}) RETURN length(p) AS l, size(relationships(p)) AS nr")
+      .collect().head
+    assert(z.getLong(0) == 0L && z.getInt(1) == 0)
+  }
 }
