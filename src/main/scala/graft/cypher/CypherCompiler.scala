@@ -584,8 +584,16 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       if (hasEid) col("eid")
       else if (rel.dir == 0) struct(least(col("_s"), col("_t")), greatest(col("_s"), col("_t")))
       else struct(col("_s"), col("_t"))
+    // The typed edge set is referenced by EVERY expansion step, every
+    // fixpoint probe, and the final pairs evaluation — materialize it
+    // once (localCheckpoint: executor-local, GC-reclaimed, no cache
+    // entry leaked across catalog invocations) instead of re-running
+    // the scan+distinct subtree per reference. Frontiers stay lazy:
+    // they are seeded-small and their joins now read the materialized
+    // base.
     val base = base0.distinct().withColumn("_k", edgeKey)
       .select(col("_s"), col("_t"), col("_k"))
+      .localCheckpoint()
     val startIds = cur.select(cur(s"$prevVar${SEP}id").as("_s")).distinct()
     // σ path counting (openCypher row-per-path multiplicity, the
     // cy_all_shortest trick generalized): a frontier row is a distinct
