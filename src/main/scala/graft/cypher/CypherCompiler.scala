@@ -723,11 +723,14 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     }
     startOnlyWhere.foreach(e => cur = cur.filter(compileExpr(e, cur)))
 
+    // materialized once: every BFS step, fixpoint probe, and the final
+    // join re-reference the typed edge set (same discipline as
+    // compileVarHop — localCheckpoint is executor-local, GC-reclaimed)
     val base = (rel.dir match {
       case 1  => typedEdges(rel).select(col("src").as("_s"), col("dst").as("_t"))
       case -1 => typedEdges(rel).select(col("dst").as("_s"), col("src").as("_t"))
       case 0  => symmetrized(typedEdges(rel)).select(col("src").as("_s"), col("dst").as("_t"))
-    }).distinct()
+    }).distinct().localCheckpoint()
     val seeds = cur.select(cur(s"$av${SEP}id").as("_s")).distinct()
     // `_p` carries the witness path (node-id array) per (start, end):
     // the first-hit level IS the shortest distance, and the groupBy
@@ -760,9 +763,14 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       val reachedPairs =
         if (m.all) reached.select("_s", "_t").distinct()
         else reached.select("_s", "_t")
+      // per-step materialization: `reached` is a growing union and the
+      // fixpoint probe would otherwise recompute EVERY prior step's
+      // join chain from scratch (quadratic in the hop budget); the
+      // checkpointed frontier is bounded by the step's first-hit pairs
       val next = agged
         .join(reachedPairs, Seq("_s", "_t"), "left_anti")
         .withColumn("_d", lit(step.toLong))
+        .localCheckpoint()
       if (next.isEmpty) exhausted = true
       else { reached = reached.union(next.select(reached.columns.map(col): _*)); frontier = next }
     }
