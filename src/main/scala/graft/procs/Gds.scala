@@ -293,7 +293,11 @@ object Gds {
     import org.apache.spark.sql.expressions.Window
     val e0 = relType.map(g.edgesOfType).getOrElse(g.edges)
       .select("src", "dst").distinct()
+    // materialized once: each of the N iterations joins the
+    // symmetrized edge set — left lazy it re-runs the scan+distinct
+    // per iteration inside one deep plan
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .localCheckpoint()
     var labels = g.nodes.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iterations) {
       val nbr = und.join(labels.select(col("id").as("nid"), col("label")),
