@@ -1372,9 +1372,19 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case Variable(n)    =>
       if (df.columns.contains(n)) col(n)
       else if (df.columns.contains(s"$n${SEP}id")) col(s"$n${SEP}id")
-      // a bound relationship variable has no id (README deviations);
-      // its always-set relType column stands in for row-wise uses
-      // like count(x)
+      // a bound relationship variable's row-wise value is its
+      // surrogate eid (count(r), DISTINCT r, comparisons)
+      else if (df.columns.contains(s"$n${SEP}eid")) col(s"$n${SEP}eid")
+      // a bound path variable renders as a struct of its parts — the
+      // Path value shape (nodes, length[, relationships])
+      else if (df.columns.contains(s"$n${SEP}nodes")) {
+        val parts = Seq(col(s"$n${SEP}nodes").as("nodes"),
+          col(s"$n${SEP}len").as("length")) ++
+          (if (df.columns.contains(s"$n${SEP}rels"))
+            Seq(col(s"$n${SEP}rels").as("relationships")) else Nil)
+        struct(parts: _*)
+      }
+      // eid-less edge sets (ad-hoc projections): relType stands in
       else if (df.columns.contains(s"$n${SEP}relType")) col(s"$n${SEP}relType")
       else throw new NoSuchElementException(s"Variable `$n` not defined")
     case ListComp(v, l, w, p) =>

@@ -1855,4 +1855,20 @@ class CypherSpec extends AnyFunSuite {
       .collect().head
     assert(z.getLong(0) == 0L && z.getInt(1) == 0)
   }
+
+  test("RETURN p renders the path value; count(r)/DISTINCT r use relationship identity") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:pw {name:'a'})-[:T {tag:1}]->(b:pw {name:'b'})")
+    s.cypher("MATCH (a:pw {name:'a'}), (b:pw {name:'b'}) CREATE (a)-[:T {tag:2}]->(b)")
+    // RETURN p: struct of (nodes, length, relationships)
+    val r = s.cypher("MATCH p = (a:pw {name:'a'})-[:T {tag:1}]->(b:pw) RETURN p")
+      .collect().head.getStruct(0)
+    assert(r.getLong(1) == 1L)
+    assert(r.getSeq[Long](0).size == 2)
+    // two parallel edges are DISTINCT relationship values (pre-eid the
+    // row-wise stand-in was relType, which collapsed them)
+    val n = s.cypher("MATCH (:pw)-[r:T]->(:pw) RETURN count(DISTINCT r) AS n")
+      .collect().head.getLong(0)
+    assert(n == 2L)
+  }
 }
