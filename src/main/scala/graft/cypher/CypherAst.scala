@@ -147,7 +147,8 @@ object ast {
     * relationships, and length are all derivable from the bound
     * pattern columns, no search needed. Var-length hops refuse
     * (enumerate through shortestPath/allShortestPaths instead). */
-  final case class MatchPath(pathVar: String, pat: PathPat, where: Option[Expr]) extends Clause
+  final case class MatchPath(pathVar: String, pat: PathPat, where: Option[Expr],
+      optional: Boolean = false) extends Clause
   final case class Create(patterns: Seq[PathPat]) extends Clause
   /** SET n.key = <literal expr>, … */
   final case class SetProps(items: Seq[(Prop, Expr)]) extends Clause

@@ -669,7 +669,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       (rel.copy(variable = Some(rel.variable.getOrElse(freshName("r")))),
         node.copy(variable = Some(node.variable.getOrElse(freshName("n")))))
     }
-    val df = compileMatch(ctx, Match(Seq(PathPat(startPat, hops)), optional = false, m.where))
+    val df = compileMatch(ctx, Match(Seq(PathPat(startPat, hops)), m.optional, m.where))
     val nodeVars = start +: hops.map(_._2.variable.get)
     val relVars = hops.map(_._1.variable.get)
     val relsCol =
@@ -678,10 +678,14 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       else array(relVars.map(rv =>
         struct(col(s"$rv${SEP}src").as("src"), col(s"$rv${SEP}dst").as("dst"),
           col(s"$rv${SEP}relType").as("relType"))): _*)
+    // OPTIONAL MATCH miss rows carry null node ids — the path value
+    // itself must be null there (openCypher), not an array of nulls
+    val hit = nodeVars.map(v => col(s"$v${SEP}id").isNotNull).reduce(_ && _)
+    def gated(c: Column) = if (m.optional) when(hit, c) else c
     df.withColumn(s"${m.pathVar}${SEP}nodes",
-        array(nodeVars.map(v => col(s"$v${SEP}id")): _*))
-      .withColumn(s"${m.pathVar}${SEP}len", lit(hops.size.toLong))
-      .withColumn(s"${m.pathVar}${SEP}rels", relsCol)
+        gated(array(nodeVars.map(v => col(s"$v${SEP}id")): _*)))
+      .withColumn(s"${m.pathVar}${SEP}len", gated(lit(hops.size.toLong)))
+      .withColumn(s"${m.pathVar}${SEP}rels", gated(relsCol))
   }
 
   /** `MATCH p = shortestPath((a)-[:T*lo..hi]->(b)) [WHERE …]`:

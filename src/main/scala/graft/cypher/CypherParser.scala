@@ -355,8 +355,8 @@ object CypherParser extends RegexParsers {
     * shortestMatch (whose RHS starts with the shortestPath keyword,
     * not `(`). */
   private def plainPathMatch: Parser[MatchPath] =
-    (kw("match") ~> ident <~ "=") ~ pathPat ~ opt(whereClause) ^^ {
-      case v ~ p ~ w => MatchPath(v, p, w)
+    opt(kw("optional")) ~ (kw("match") ~> ident <~ "=") ~ pathPat ~ opt(whereClause) ^^ {
+      case o ~ v ~ p ~ w => MatchPath(v, p, w, optional = o.isDefined)
     }
 
   private def createClause: Parser[Create] =
