@@ -170,4 +170,44 @@ class PlanSpec extends AnyFunSuite {
     assert(corpusWindows.forall(_.contains("source")),
       "pipeline_interleave windows the corpus without partitioning:\n" + p)
   }
+
+  test("text_lm_score joins the per-doc pre-aggregate, not raw occurrences (skew fix)") {
+    // r10 slope was 1.26: the corpus join shipped one row per bigram
+    // OCCURRENCE on a Zipfian key. The fix pre-aggregates
+    // (doc_id, bigram) counts; regressing to the raw explode on the
+    // join's probe side would re-open the hot-key scale hazard.
+    val p = plan("text_lm_score")
+    assert(p.contains("hashpartitioning(doc_id"),
+      "expected a (doc_id, bigram) pre-aggregate exchange before the corpus join")
+    // the per-doc score is a sum over pre-agg rows, not a plain count
+    assert(p.toLowerCase.contains("sum"), "expected sum(cf*n) aggregation")
+  }
+
+  test("minhash LSH overflow re-banding sizes buckets without a window sort") {
+    // bucket sizing is a map-side-combinable aggregate joined back for
+    // the (tiny) hot set — a Window over every band row re-introduces
+    // a per-bucket sort that is pure overhead at scale
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("Window"), "bucket sizing must not plan a WindowExec")
+  }
+
+  test("GDS GraphX algorithms release their cached graphs on return") {
+    // the r10 gds_pagerank 5x regression was unreleased vertex/edge
+    // RDDs from prior algorithms thrashing the block manager; finish()
+    // must keep residual persisted RDD growth bounded (one
+    // localCheckpointed result per call, not 2+ cached RDDs per graph
+    // per iteration)
+    import graft.core.{GraphViews, PropertyGraph}
+    val g = GraphViews.tpch(spark, sf)
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    // warm one call so lazy machinery is loaded before measuring
+    graft.procs.Gds.pageRank(spark, g, Some("IN"), iterations = 3).count()
+    val base = persisted
+    graft.procs.Gds.pageRank(spark, g, Some("IN"), iterations = 3).count()
+    graft.procs.Gds.wcc(spark, g, Some("IN")).count()
+    graft.procs.Gds.shortestPath(spark, g, Some("IN"), landmark = 1L).count()
+    val growth = persisted - base
+    assert(growth <= 6,
+      s"persisted-RDD growth $growth after three GraphX algorithms — graphs not released")
+  }
 }
