@@ -221,6 +221,47 @@ class AdminSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(s"$snap/schema.json")))
   }
 
+  test("v3 -> v4: an eid-less snapshot gains surrogate relationship ids on first read") {
+    import graft.core.SnapshotStore
+    val data = tmp("graft-data")
+    val s = dogsSession()
+    s.cypher("MATCH (a:dog {name:'Arne'}), (b:dog {name:'Bosse'}) CREATE (a)-[:KNOWS]->(b)")
+    s.saveDatabase(data)
+    val snap = s"$data/databases/neo4j"
+    // rewind to the v3 layout: strip the eid column from the edge
+    // parquet and the v4 fields from the manifest
+    val eidless = spark.read.parquet(s"$snap/edges").drop("eid")
+    val stage = s"$snap/.edges-v3"
+    eidless.write.mode("overwrite").partitionBy("relType").parquet(stage)
+    def rmdir(d: String): Unit = {
+      val p0 = java.nio.file.Paths.get(d)
+      if (Files.exists(p0))
+        Files.walk(p0).sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => Files.delete(x))
+    }
+    rmdir(s"$snap/edges")
+    Files.move(java.nio.file.Paths.get(stage), java.nio.file.Paths.get(s"$snap/edges"))
+    val mpath = java.nio.file.Paths.get(s"$snap/manifest.json")
+    Files.writeString(mpath, Files.readString(mpath)
+      .replace(s""""format_version": ${SnapshotStore.FormatVersion}""",
+        "\"format_version\": 3")
+      .replaceAll(""", "next_rel_id": [0-9]+""", ""))
+    assert(SnapshotStore.readManifest(snap).formatVersion == 3)
+    // first read runs the v3->v4 step: deterministic eids assigned,
+    // manifest records next_rel_id past them
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(data)
+    val m = SnapshotStore.readManifest(snap)
+    assert(m.formatVersion == SnapshotStore.FormatVersion)
+    assert(m.edgeCount == 2 && m.nextRelId >= m.edgeCount)
+    val eids = fresh.graph().edges.select("eid").collect().map(_.getLong(0)).toSeq
+    assert(eids.size == 2 && eids.distinct.size == 2)
+    // and new relationships allocate PAST the migrated block
+    fresh.cypher("MATCH (a:dog {name:'Arne'}), (b:dog {name:'Bosse'}) CREATE (a)-[:ALSO]->(b)")
+    val all = fresh.graph().edges.select("eid").collect().map(_.getLong(0)).toSeq
+    assert(all.size == 3 && all.distinct.size == 3)
+  }
+
   test("v2 -> v3: legacy 2-element index entries migrate to kinded RANGE entries") {
     import graft.core.SnapshotStore
     val data = tmp("graft-data")
