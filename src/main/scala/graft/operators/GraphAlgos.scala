@@ -504,6 +504,87 @@ object GraphAlgos {
       scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
     },
 
+    // The 100 TB route for graph-embedding search, graded end to end:
+    // fastRP embeddings → sign-LSH bucketing (4 deterministic ±1
+    // hyperplanes over the 8 integer dims, bit = dot ≥ 0) → candidates
+    // from a bucket EQUI join (work ∝ bucket collision volume, never
+    // all-pairs) → exact integer-dot rerank, top-5 per query. The
+    // oracle replays the identical pipeline (same hyperplane formula,
+    // same tie rules), so recall differences vs brute force cannot
+    // hide — both engines see the same buckets.
+    sql("ann_graph_embed_lsh",
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |pair AS MATERIALIZED (SELECT DISTINCT a.p*10+6 AS src, b.p*10+6 AS dst
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT src, dst FROM pair
+        |       UNION SELECT dst, src FROM pair),
+        |pnodes AS MATERIALIZED (SELECT DISTINCT CAST(p*10+6 AS BIGINT) AS id FROM li),
+        |dims AS MATERIALIZED (SELECT unnest(range(0, 8)) AS d),
+        |v0 AS MATERIALIZED (
+        |  SELECT n.id, d.d, (n.id * 1000003 + d.d * 7919) % 97 % 3 - 1 AS val
+        |  FROM pnodes n, dims d),
+        |a1 AS MATERIALIZED (
+        |  SELECT u.src AS id, v.d, SUM(v.val) AS val
+        |  FROM und u JOIN v0 v ON v.id = u.dst GROUP BY 1, 2),
+        |v1 AS MATERIALIZED (
+        |  SELECT nd.id, nd.d, COALESCE(a.val, 0) AS val
+        |  FROM (SELECT n.id, d.d FROM pnodes n, dims d) nd
+        |  LEFT JOIN a1 a ON a.id = nd.id AND a.d = nd.d),
+        |a2 AS MATERIALIZED (
+        |  SELECT u.src AS id, v.d, SUM(v.val) AS val
+        |  FROM und u JOIN v1 v ON v.id = u.dst GROUP BY 1, 2),
+        |v2 AS MATERIALIZED (
+        |  SELECT nd.id, nd.d, COALESCE(a.val, 0) AS val
+        |  FROM (SELECT n.id, d.d FROM pnodes n, dims d) nd
+        |  LEFT JOIN a2 a ON a.id = nd.id AND a.d = nd.d),
+        |sig AS MATERIALIZED (
+        |  SELECT v.id, j.j,
+        |    CASE WHEN SUM(v.val * (((j.j*31 + v.d*17) % 7) % 2 * 2 - 1)) >= 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM v2 v, (SELECT unnest(range(0, 4)) AS j) j
+        |  GROUP BY v.id, j.j),
+        |bkt AS MATERIALIZED (
+        |  SELECT id, CAST(SUM(bit << j) AS BIGINT) AS bucket FROM sig GROUP BY id),
+        |cand AS (
+        |  SELECT q.id AS q_id, c.id AS neighbor
+        |  FROM bkt q JOIN bkt c ON c.bucket = q.bucket AND c.id <> q.id
+        |  WHERE (q.id // 10) % 50 = 0),
+        |scored AS (
+        |  SELECT cd.q_id, cd.neighbor, CAST(SUM(a.val * b.val) AS BIGINT) AS idot
+        |  FROM cand cd JOIN v2 a ON a.id = cd.q_id
+        |  JOIN v2 b ON b.id = cd.neighbor AND b.d = a.d
+        |  GROUP BY 1, 2)
+        |SELECT q_id, neighbor, idot, rnk FROM (
+        |  SELECT q_id, neighbor, idot,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY idot DESC, neighbor) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val emb = coSession(s, dir).cypher(
+        "CALL gds.fastRP('CO', 8, 2) YIELD node_id, dim, ival RETURN node_id, dim, ival")
+        .groupBy("node_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("ival")))),
+          x => x.getField("ival")).as("vec"))
+      // sign-LSH bucket: 4 deterministic ±1 hyperplanes over 8 dims
+      val bucketCol = (0 until 4).map { j =>
+        val dot = (0 until 8).map { d =>
+          element_at(col("vec"), d + 1) * lit(((j * 31 + d * 17) % 7) % 2 * 2 - 1)
+        }.reduce(_ + _)
+        when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val bucketed = emb.withColumn("bucket", bucketCol)
+      val qs = bucketed.filter(expr("(node_id div 10) % 50 = 0"))
+        .select(col("node_id").as("q_id"), col("vec").as("qv"), col("bucket").as("qb"))
+      val scored = bucketed.join(qs,
+          col("bucket") === col("qb") && col("node_id") =!= col("q_id"))
+        .select(col("q_id"), col("node_id").as("neighbor"),
+          graft.functions.VectorFunctions.intDot(col("qv"), col("vec")).as("idot"))
+      val w = Window.partitionBy("q_id").orderBy(col("idot").desc, col("neighbor"))
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+    },
+
     // Louvain-style modularity moves over the CO graph: 4 rounds of
     // monotone (label-non-increasing — see Gds.louvain) integer-exact
     // gain argmax, tiebroken by community id.
