@@ -562,7 +562,12 @@ private[graft] object PackStream {
       else if (m.size <= 0xFFFF) { out.writeByte(0xD9); out.writeShort(m.size) }
       else { out.writeByte(0xDA); out.writeInt(m.size) }
       m.foreach { case (k, x) => writeValue(out, String.valueOf(k), v5); writeValue(out, x, v5) }
-    case r: org.apache.spark.sql.Row => // struct column → map by field name
+    // struct column → map by field name. This is also how a path
+    // value (`RETURN p` — {nodes, length, relationships}) goes over
+    // the wire: a readable map rather than a PackStream Path (0x50),
+    // which would require full Node entities where the engine carries
+    // node ids (emitting skeleton Nodes would misreport labels/props).
+    case r: org.apache.spark.sql.Row =>
       val names = Option(r.schema).map(_.fieldNames)
         .getOrElse(Array.tabulate(r.length)(i => s"_$i"))
       writeValue(out, names.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap, v5)

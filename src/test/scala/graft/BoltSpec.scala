@@ -330,6 +330,19 @@ class BoltSpec extends AnyFunSuite {
       assert(rel.fields(3) == "SNIFFS")
       assert(rel.fields(4) == Map("since" -> 2020L))
       assert(c.recv()._1 == SUCCESS)
+      // RETURN p (a path value) goes over the wire as a readable map
+      // {nodes, length, relationships} — generic-struct fallback, no
+      // protocol crash (a 0x50 Path would need full node entities)
+      c.send(0x10, "MATCH p = (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog) RETURN p",
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x3F, Map("n" -> -1L))
+      val (tp, fp) = c.recv()
+      assert(tp == RECORD)
+      val pmap = fp.head.asInstanceOf[Seq[Any]].head.asInstanceOf[Map[String, Any]]
+      assert(pmap("length") == 1L)
+      assert(pmap("nodes").asInstanceOf[Seq[Any]].size == 2)
+      assert(c.recv()._1 == SUCCESS)
       // the wire id IS the relationship's surrogate eid, stable
       // across queries (ref driver entity round-trips,
       // DatabaseIO.java:121-132)
