@@ -295,6 +295,37 @@ object GraphAlgos {
         "CALL gds.degree() YIELD node_id, out_degree, in_degree RETURN node_id, out_degree, in_degree")
     },
 
+    // Degree through a NAMED projection (gds.graph.project → the
+    // algorithm resolves the projection name): the projected view
+    // keeps all nodes and only PLACED edges (both endpoints survive),
+    // so out-degree = orders per customer, in-degree = 1 per order,
+    // 0 elsewhere — the projection surface graded end to end, not
+    // just PacksSpec-tested.
+    sql("gds_degree_projected",
+      """WITH nodes AS (
+        |  SELECT r_regionkey*10+1 AS id FROM region
+        |  UNION ALL SELECT n_nationkey*10+2 FROM nation
+        |  UNION ALL SELECT c_custkey*10+3 FROM customer
+        |  UNION ALL SELECT s_suppkey*10+5 FROM supplier
+        |  UNION ALL SELECT p_partkey*10+6 FROM part
+        |  UNION ALL SELECT o_orderkey*10+4 FROM orders),
+        |outd AS (SELECT o_custkey*10+3 AS id, CAST(count(*) AS BIGINT) AS c
+        |         FROM orders GROUP BY 1),
+        |ind AS (SELECT o_orderkey*10+4 AS id, CAST(count(*) AS BIGINT) AS c
+        |        FROM orders GROUP BY 1)
+        |SELECT n.id AS node_id, coalesce(o.c, 0) AS out_degree,
+        |       coalesce(i.c, 0) AS in_degree
+        |FROM nodes n LEFT JOIN outd o ON o.id = n.id
+        |LEFT JOIN ind i ON i.id = n.id""".stripMargin) { (s, dir) =>
+      val gs = session(s, dir)
+      gs.cypher(
+        "CALL gds.graph.project('placed_proj', '*', 'PLACED') YIELD graphName RETURN graphName")
+        .collect()
+      gs.cypher(
+        "CALL gds.degree('placed_proj') YIELD node_id, out_degree, in_degree " +
+          "RETURN node_id, out_degree, in_degree")
+    },
+
     sql("gds_wcc",
       """WITH m AS (
         |  SELECT rk, min(id) AS component FROM (
