@@ -502,6 +502,28 @@ object CypherQueries {
       v.crossJoin(b)
     },
 
+    // apoc.periodic.iterate graded end to end (previously PacksSpec
+    // only): the batch driver streams nation rows through 10-row
+    // batches, each batch ONE distributed `UNWIND $_batch … MERGE`
+    // bulk statement minting BELONGS edges; the read-back counts per
+    // region and the oracle recomputes from the raw nation table.
+    sql("apoc_periodic_iterate",
+      """SELECT n_regionkey * 10 + 1 AS rid, CAST(count(*) AS BIGINT) AS n
+        |FROM nation GROUP BY 1""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      graft.procs.Packs.install(gs, Seq("apoc"))
+      gs.cypher(
+        """CALL apoc.periodic.iterate(
+          |  'MATCH (n:nation) RETURN n.n_nationkey AS nk, n.n_regionkey AS rk',
+          |  'MATCH (a:nation {n_nationkey: row.nk}), (r:region {r_regionkey: row.rk})
+          |   MERGE (a)-[:BELONGS]->(r)',
+          |  {batchSize: 10}) YIELD batches, total RETURN batches, total""".stripMargin)
+        .collect()
+      gs.cypher(
+        "MATCH (:nation)-[b:BELONGS]->(r:region) RETURN id(r) AS rid, count(b) AS n")
+    },
+
     // Real transactions over snapshot pointers (BEGIN/COMMIT/ROLLBACK —
     // the reference's cypher-shell drives `:begin` blocks, ref
     // TestBasic.java:146-156): tx1 flags customers ≤ 200 and COMMITs
