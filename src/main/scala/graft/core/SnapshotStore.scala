@@ -116,8 +116,24 @@ object SnapshotStore {
     val m = if (m0.formatVersion < FormatVersion) migrateInPlace(spark, dir, m0) else m0
     val g = PropertyGraph(
       spark.read.parquet(s"$dir/nodes"),
-      spark.read.parquet(s"$dir/edges"))
+      normalizeRelType(spark.read.parquet(s"$dir/edges")))
     (g, m)
+  }
+
+  /** Snapshots store edges hive-partitioned by relType, and partition
+    * -column type inference can retype an all-numeric relType to INT
+    * (and an empty-string relType reads back as null) — diverging from
+    * edgeBaseSchema's non-null STRING relType. Re-assert the contract
+    * on every read-back; a cheap projection, no shuffle. */
+  private def normalizeRelType(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import org.apache.spark.sql.types.StringType
+    if (!edges.columns.contains("relType")) edges
+    else if (edges.schema("relType").dataType == StringType &&
+      !edges.schema("relType").nullable) edges
+    else edges.withColumn("relType",
+      coalesce(col("relType").cast(StringType), lit("")))
   }
 
   /** Upgrade an older-format snapshot directory to the current layout,
@@ -144,13 +160,18 @@ object SnapshotStore {
         case 3 => // v3→v4: edges gain surrogate eids. Deterministic
           // distributed numbering (range-partitioned total order on
           // the full row, zipWithIndex per partition — no one-task
-          // global sort) from the fresh relationship-id space; next_rel_id then
-          // advances past the block so future allocations never
-          // collide. Idempotent: an edge set already carrying eid
-          // (crash after data swap, before manifest bump) is left as
-          // is. The rewrite stages in a temp sibling and swaps, same
-          // discipline as write().
-          val e = spark.read.parquet(s"$dir/edges")
+          // global sort) from BASE 0 of the fresh relationship-id
+          // space — matching readManifest's pre-v4 default of
+          // next_rel_id = edge_count, so a crash between the edge swap
+          // and the manifest bump re-runs against consistent numbers.
+          // Idempotent: an edge set already carrying eid (that crash
+          // window) is left as is, but next_rel_id is recomputed from
+          // the data (max eid + 1) rather than trusted from the stale
+          // pre-v4 default — a historical snapshot migrated by an
+          // older engine that numbered from edge_count would otherwise
+          // mint colliding eids. The rewrite stages in a temp sibling
+          // and swaps, same discipline as write().
+          val e = normalizeRelType(spark.read.parquet(s"$dir/edges"))
           if (!e.columns.contains("eid")) {
             import org.apache.spark.sql.functions.col
             import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -159,17 +180,21 @@ object SnapshotStore {
               .sortWithinPartitions(keyCols: _*)
             val rnSchema = StructType(sorted.schema.fields :+
               StructField("eid", LongType, nullable = false))
-            val base = cur.nextRelId
             val withEid = spark.createDataFrame(
               sorted.rdd.zipWithIndex.map { case (r, i) =>
-                org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + i)) }, rnSchema)
+                org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, rnSchema)
             val tmp = s"$dir/.tmp-migrate-edges"
             deleteDir(tmp)
             if (withEid.take(1).isEmpty) withEid.write.mode("overwrite").parquet(tmp)
             else withEid.write.mode("overwrite").partitionBy("relType").parquet(tmp)
             deleteDir(s"$dir/edges")
             Files.move(Paths.get(tmp), Paths.get(s"$dir/edges"))
-            cur = cur.copy(nextRelId = base + cur.edgeCount)
+            cur = cur.copy(nextRelId = cur.edgeCount)
+          } else {
+            import org.apache.spark.sql.functions.{max => smax}
+            val maxEid = e.agg(smax("eid")).collect().headOption
+              .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(-1L)
+            cur = cur.copy(nextRelId = math.max(cur.nextRelId, maxEid + 1))
           }
         case v => throw new IllegalStateException(
           s"no migration from snapshot format $v at $dir")

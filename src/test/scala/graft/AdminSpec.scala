@@ -262,6 +262,55 @@ class AdminSpec extends AnyFunSuite {
     assert(all.size == 3 && all.distinct.size == 3)
   }
 
+  test("v3 -> v4 crash recovery: pre-numbered eids advance next_rel_id past max(eid)") {
+    import graft.core.SnapshotStore
+    // Simulates the crash window: the edge swap landed (edges already
+    // carry eids — here a legacy HIGH block [edgeCount, 2*edgeCount),
+    // as an older engine numbered them) but the manifest bump didn't.
+    // The rerun's skip branch must recompute next_rel_id from max(eid)
+    // + 1, not trust the pre-v4 edgeCount default — otherwise future
+    // CREATEs mint colliding eids and SET/DELETE by eid targets the
+    // wrong relationships.
+    val data = tmp("graft-data")
+    val s = dogsSession()
+    s.cypher("MATCH (a:dog {name:'Arne'}), (b:dog {name:'Bosse'}) CREATE (a)-[:KNOWS]->(b)")
+    s.saveDatabase(data)
+    val snap = s"$data/databases/neo4j"
+    val edgeCount = spark.read.parquet(s"$snap/edges").count()
+    // rewrite eids into the legacy high block, then rewind the manifest to v3
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val shifted = spark.read.parquet(s"$snap/edges").drop("eid")
+      .withColumn("eid",
+        row_number().over(Window.orderBy(col("src"), col("dst"))).cast("long")
+          + lit(edgeCount - 1))
+    val stage = s"$snap/.edges-crash"
+    shifted.write.mode("overwrite").partitionBy("relType").parquet(stage)
+    def rmdir(d: String): Unit = {
+      val p0 = java.nio.file.Paths.get(d)
+      if (Files.exists(p0))
+        Files.walk(p0).sorted(java.util.Comparator.reverseOrder())
+          .forEach(x => Files.delete(x))
+    }
+    rmdir(s"$snap/edges")
+    Files.move(java.nio.file.Paths.get(stage), java.nio.file.Paths.get(s"$snap/edges"))
+    val mpath = java.nio.file.Paths.get(s"$snap/manifest.json")
+    Files.writeString(mpath, Files.readString(mpath)
+      .replace(s""""format_version": ${SnapshotStore.FormatVersion}""",
+        "\"format_version\": 3")
+      .replaceAll(""", "next_rel_id": [0-9]+""", ""))
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(data)
+    val m = SnapshotStore.readManifest(snap)
+    assert(m.formatVersion == SnapshotStore.FormatVersion)
+    // the high block is [edgeCount, 2*edgeCount) -> next must clear it
+    assert(m.nextRelId >= 2 * edgeCount,
+      s"next_rel_id ${m.nextRelId} collides with migrated eid block")
+    fresh.cypher("MATCH (a:dog {name:'Arne'}), (b:dog {name:'Bosse'}) CREATE (a)-[:ALSO]->(b)")
+    val all = fresh.graph().edges.select("eid").collect().map(_.getLong(0)).toSeq
+    assert(all.size == 3 && all.distinct.size == 3, s"eid collision: $all")
+  }
+
   test("v2 -> v3: legacy 2-element index entries migrate to kinded RANGE entries") {
     import graft.core.SnapshotStore
     val data = tmp("graft-data")
