@@ -10,6 +10,20 @@ import org.apache.spark.sql.SparkSession
   * materialize through the noop sink — all columns are produced, so
   * Catalyst can't prune the projection the way a bare count() allows.
   *
+  * Round-12 interference fix: the r11 artifact showed up to 5.6×
+  * phantom regressions (dedup_substring 13.2 s vs 1.7 s TimeOne
+  * steady state) — cross-query interference inside the one-JVM
+  * catalog run (localCheckpoint debris + cached state from neighbors
+  * charged to whoever runs next), not operator cost. Each row now (a)
+  * starts from a quiesced JVM — clearCache + System.gc(), which lets
+  * ContextCleaner reap dead localCheckpoint blocks (force-unpersisting
+  * them instead would BREAK later rows: localCheckpoint truncates
+  * lineage, so an unpersisted block can't recompute) — and (b) runs
+  * TWICE: the first (cold, catalog-order) timings keep the historical
+  * "queries"/"value" semantics, the second-run map ships as "steady"
+  * — the per-operator cost signal that bench-driven verdicts should
+  * read. Scaling probes likewise time the second run.
+  *
   * Noise floor: the driver's testdata parquet files are ONE row group
   * each, so every scan is a single task and sub-second per-query
   * deltas are scheduling jitter, not plan changes. Round-6
@@ -61,25 +75,46 @@ object Bench {
     // events needs the type-adaptive reader (nanos-vs-micros footers)
     try materialize(graft.core.Tables.events(spark, sfDir))
     catch { case _: Throwable => () }
-    spark.catalog.clearCache()
-    System.gc()
+    // Quiesce between rows: drop CacheManager entries (recompute-safe)
+    // and give ContextCleaner a GC to reap the previous row's dead
+    // localCheckpoint blocks, so no row is charged its neighbor's
+    // executor-memory debris. NEVER force-unpersist persistent RDDs
+    // here — live localCheckpointed lineage (cached graph sessions)
+    // cannot recompute once its blocks are gone.
+    def quiesce(): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      System.gc()
+      Thread.sleep(50) // ContextCleaner unpersists asynchronously
+    }
+    quiesce()
     val results = SparkEntry.catalog.map { q =>
+      quiesce()
       val t0 = System.nanoTime()
       try materialize(q.fn(spark, sfDir)) catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val cold = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      try materialize(q.fn(spark, sfDir)) catch { case _: Throwable => () }
+      val steady = (System.nanoTime() - t1) / 1e9
+      (q.name, cold, steady)
     }
     // field order matters: the driver's log capture keeps only the
     // LAST ~4k chars of the line, so the headline metric, the scaling
-    // slopes, and the slowest queries go at the END (queries ascending
-    // by time ⇒ the tail window always contains the expensive ones);
-    // 3-decimal values keep more of the catalog inside the window
-    val qs = results.sortBy(_._2).map { case (k, v) => f""""$k":$v%.3f""" }
+    // slopes, the steady-state map, and the slowest queries go at the
+    // END (both maps ascending by time ⇒ the tail window always
+    // contains the expensive ones); 3-decimal values keep more of the
+    // catalog inside the window. The full line lands in
+    // BENCH_LOCAL.json regardless.
+    val qs = results.sortBy(_._2).map { case (k, v, _) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val steadyQs = results.sortBy(_._3).map { case (k, _, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val scaling = scalingSlopes(spark, sfDir, results.toMap)
+    val steadyTotal = results.map(_._3).sum
+    val steadyMap = results.map { case (k, _, v) => k -> v }.toMap
+    val scaling = scalingSlopes(spark, sfDir, steadyMap)
       .map(s => s""","scaling":$s""").getOrElse("")
     val line =
-      f"""{"queries":$qs,"sf":"$sfDir"$scaling,"metric":"total","unit":"sec","n_queries":${results.size},"value":$total%.3f}"""
+      f"""{"queries":$qs,"sf":"$sfDir"$scaling,"steady":$steadyQs,"steady_total":$steadyTotal%.3f,"metric":"total","unit":"sec","n_queries":${results.size},"value":$total%.3f}"""
     println(line)
     // the stdout capture that archives this line keeps only a ~4k tail
     // (r9's line was truncated to unparseable); mirror the full JSON
@@ -173,8 +208,18 @@ object Bench {
         "stream_stream_join", "gds_degree", "gds_pagerank",
         "ann_pq_adc", "text_lm_score")
       val byName = SparkEntry.catalog.map(q => q.name -> q).toMap
+      // STEADY-STATE probe (r11 verdict #2): the replica dir is built
+      // once; the query runs twice and the SECOND run is the reported
+      // t10 — the first run absorbs the replica dir's footer/page-cache
+      // warmup and any neighbor debris, which r11's single-shot probe
+      // charged to the slope (minhash clone read 1.41 on a noisy run
+      // vs 0.91 the round before, on equivalent code). t1 comes from
+      // the catalog's steady map, so both ends of the ratio measure
+      // operator cost under the same protocol.
       def timeAt(name: String, dir: String): Option[String] =
         byName.get(name).map { q =>
+          q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+          System.gc()
           val t0 = System.nanoTime()
           q.fn(spark, dir).write.format("noop").mode("overwrite").save()
           val t10 = (System.nanoTime() - t0) / 1e9
