@@ -33,7 +33,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    PackStream Node (0x4E) / Relationship (0x52) structs — typed
   *    entities with identity, labels and property maps, the shape a
   *    stock driver expects (4-field/8-field forms incl. element_id
-  *    when 5.0 was negotiated);
+  *    when 5.0 was negotiated); `RETURN p` over a plain-pattern path
+  *    emits the Path structure (0x50: unique Nodes,
+  *    UnboundRelationships 0x72, signed segment indices) — searched
+  *    paths (shortestPath) still travel as a readable map, the
+  *    remaining documented deviation;
   *  - `BEGIN {db}` / `COMMIT` / `ROLLBACK` → a per-connection
   *    [[TxHandle]]: every statement inside the transaction targets
   *    the handle's private shadow snapshot, so NO lock is held across
@@ -436,6 +440,13 @@ private[graft] object PackStream {
     out.writeByte(0xB0 + size); out.writeByte(tag)
   }
 
+  def writeListHeader(out: DataOutputStream, n: Int): Unit = {
+    if (n <= 15) out.writeByte(0x90 + n)
+    else if (n <= 0xFF) { out.writeByte(0xD4); out.writeByte(n) }
+    else if (n <= 0xFFFF) { out.writeByte(0xD5); out.writeShort(n) }
+    else { out.writeByte(0xD6); out.writeInt(n) }
+  }
+
   /** Non-null property fields of a props struct Row (an absent
     * property is ABSENT from the entity's map, not null — reference
     * driver semantics). */
@@ -482,6 +493,49 @@ private[graft] object PackStream {
             writeValue(out, id.toString, v5)
             writeValue(out, src.toString, v5); writeValue(out, dst.toString, v5)
           }
+        }
+      // wire-mode path rows (CypherCompiler __path_* markers): the
+      // published PackStream Path structure (0x50) — nodes = UNIQUE
+      // Node structs in first-appearance order (nodes[0] is the path
+      // start), rels = UNIQUE UnboundRelationship structs (0x72: id,
+      // type, props — no endpoints; 5.x adds element_id), indices =
+      // two ints per segment: a SIGNED 1-based index into rels
+      // (negative when the segment traverses the relationship against
+      // its stored orientation) then the 0-based index of the segment's
+      // target node. Ref parity: driver path round-trips
+      // (DatabaseIO.java:121-132).
+      case r: org.apache.spark.sql.Row if r.schema != null &&
+          r.schema.fieldNames.headOption.contains("__path_nodes") =>
+        if (r.isNullAt(0)) out.writeByte(0xC0) // OPTIONAL MATCH miss
+        else {
+          val nodeRows = r.getSeq[org.apache.spark.sql.Row](0)
+          val relRows =
+            if (r.length < 3 || r.isNullAt(2)) Seq.empty[org.apache.spark.sql.Row]
+            else r.getSeq[org.apache.spark.sql.Row](2)
+          val pathIds = nodeRows.map(_.getLong(0))
+          val uniqNodes = scala.collection.mutable.LinkedHashMap.empty[Long, org.apache.spark.sql.Row]
+          nodeRows.foreach(n => uniqNodes.getOrElseUpdate(n.getLong(0), n))
+          val nodeIdx = uniqNodes.keys.zipWithIndex.toMap
+          val uniqRels = scala.collection.mutable.LinkedHashMap.empty[Long, org.apache.spark.sql.Row]
+          relRows.foreach(e => uniqRels.getOrElseUpdate(e.getLong(0), e))
+          val relIdx = uniqRels.keys.zipWithIndex.toMap
+          writeStructHeader(out, 0x50, 3)
+          writeValue(out, uniqNodes.values.map(WireValue(_)).toList, v5)
+          writeListHeader(out, uniqRels.size)
+          uniqRels.values.foreach { e =>
+            val id = e.getLong(0)
+            writeStructHeader(out, 0x72, if (v5) 4 else 3)
+            writeValue(out, id, v5)
+            writeValue(out, e.getString(3), v5)
+            writeValue(out, propsOf(e.get(4)), v5)
+            if (v5) writeValue(out, id.toString, v5)
+          }
+          val indices = relRows.zipWithIndex.flatMap { case (e, j) =>
+            val forward = e.getLong(1) == pathIds(j) // __rel_src vs segment source
+            val signed = (relIdx(e.getLong(0)) + 1).toLong * (if (forward) 1L else -1L)
+            Seq(signed, nodeIdx(pathIds(j + 1)).toLong)
+          }
+          writeValue(out, indices, v5)
         }
       case other => writeValue(out, other, v5)
     }
@@ -550,10 +604,7 @@ private[graft] object PackStream {
       else { out.writeByte(0xD2); out.writeInt(b.length) }
       out.write(b)
     case seq: scala.collection.Seq[_] =>
-      if (seq.size <= 15) out.writeByte(0x90 + seq.size)
-      else if (seq.size <= 0xFF) { out.writeByte(0xD4); out.writeByte(seq.size) }
-      else if (seq.size <= 0xFFFF) { out.writeByte(0xD5); out.writeShort(seq.size) }
-      else { out.writeByte(0xD6); out.writeInt(seq.size) }
+      writeListHeader(out, seq.size)
       seq.foreach(writeValue(out, _, v5))
     case arr: Array[_] => writeValue(out, arr.toSeq, v5)
     case m: scala.collection.Map[_, _] =>
@@ -562,11 +613,12 @@ private[graft] object PackStream {
       else if (m.size <= 0xFFFF) { out.writeByte(0xD9); out.writeShort(m.size) }
       else { out.writeByte(0xDA); out.writeInt(m.size) }
       m.foreach { case (k, x) => writeValue(out, String.valueOf(k), v5); writeValue(out, x, v5) }
-    // struct column → map by field name. This is also how a path
-    // value (`RETURN p` — {nodes, length, relationships}) goes over
-    // the wire: a readable map rather than a PackStream Path (0x50),
-    // which would require full Node entities where the engine carries
-    // node ids (emitting skeleton Nodes would misreport labels/props).
+    // struct column → map by field name. Plain-pattern paths now
+    // travel as real Path structures (0x50, the WireValue branch
+    // above); only SEARCHED paths (shortestPath/allShortestPaths,
+    // whose BFS carries node ids, not entities) still use this
+    // readable {nodes, length, relationships} map — the remaining
+    // documented deviation.
     case r: org.apache.spark.sql.Row =>
       val names = Option(r.schema).map(_.fieldNames)
         .getOrElse(Array.tabulate(r.length)(i => s"_$i"))

@@ -657,10 +657,18 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * enumeration is the combinatorial blowup; shortestPath /
     * allShortestPaths are the searched forms. */
   private def compilePlainPath(ctx: Option[DataFrame], m: MatchPath): DataFrame = {
-    if (m.pat.hops.exists(_._1.varLength.isDefined))
-      throw new UnsupportedOperationException(
-        s"path variable `${m.pathVar}` over a var-length pattern: use " +
-          "shortestPath/allShortestPaths (plain var-length path enumeration is refused)")
+    if (m.pat.hops.exists(_._1.varLength.isDefined)) {
+      // single bounded var-length hop: enumerate paths (compileVarPath);
+      // anything wider keeps the refusal
+      m.pat.hops match {
+        case Seq((rel, _)) if rel.varLength.isDefined =>
+          return compileVarPath(ctx, m)
+        case _ =>
+          throw new UnsupportedOperationException(
+            s"path variable `${m.pathVar}` over a mixed fixed/var-length pattern: " +
+              "use shortestPath/allShortestPaths, or bind the var-length hop alone")
+      }
+    }
     var i = 0
     def freshName(kind: String): String = { i += 1; s"_${m.pathVar}$kind$i" }
     val start = m.pat.start.variable.getOrElse(freshName("n"))
@@ -682,10 +690,172 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     // itself must be null there (openCypher), not an array of nulls
     val hit = nodeVars.map(v => col(s"$v${SEP}id").isNotNull).reduce(_ && _)
     def gated(c: Column) = if (m.optional) when(hit, c) else c
-    df.withColumn(s"${m.pathVar}${SEP}nodes",
+    val base = df.withColumn(s"${m.pathVar}${SEP}nodes",
         gated(array(nodeVars.map(v => col(s"$v${SEP}id")): _*)))
       .withColumn(s"${m.pathVar}${SEP}len", gated(lit(hops.size.toLong)))
       .withColumn(s"${m.pathVar}${SEP}rels", gated(relsCol))
+    // Wire mode additionally carries FULL entity arrays so the Bolt
+    // layer can emit a real PackStream Path structure (0x50) — Node
+    // structs need labels + props and UnboundRelationship structs need
+    // type + props, which the id arrays above don't have. Each array
+    // element uses the UNION of the hop variables' property columns
+    // (null where a hop lacks one — PackStream's propsOf drops nulls,
+    // so absent properties stay absent per entity), which keeps every
+    // array element the same Spark struct type. Grading mode skips the
+    // extra width.
+    if (!entityStructs) base
+    else {
+      val nodeEnts = array(nodeVars.map { v =>
+        struct(col(s"$v${SEP}id").as("__node_id"),
+          col(s"$v${SEP}labels").as("__node_labels"),
+          unionProps(df, nodeVars, v, Set("id", "labels", "nodes")).as("__node_props"))
+      }: _*)
+      val relEnts =
+        if (relVars.isEmpty)
+          array().cast("array<struct<__rel_id:bigint,__rel_src:bigint," +
+            "__rel_dst:bigint,__rel_type:string,__rel_props:string>>")
+        else array(relVars.map { rv =>
+          val wireId =
+            if (df.columns.contains(s"$rv${SEP}eid")) col(s"$rv${SEP}eid")
+            else xxhash64(col(s"$rv${SEP}src"), col(s"$rv${SEP}dst"),
+              col(s"$rv${SEP}relType"))
+          struct(wireId.as("__rel_id"),
+            col(s"$rv${SEP}src").as("__rel_src"),
+            col(s"$rv${SEP}dst").as("__rel_dst"),
+            col(s"$rv${SEP}relType").as("__rel_type"),
+            unionProps(df, relVars, rv, Set("src", "dst", "relType", "eid"))
+              .as("__rel_props"))
+        }: _*)
+      base.withColumn(s"${m.pathVar}${SEP}nodeEnts", gated(nodeEnts))
+        .withColumn(s"${m.pathVar}${SEP}relEnts", gated(relEnts))
+    }
+  }
+
+  /** `MATCH p = (a)-[:T*lo..hi]->(b)`: bounded var-length path BINDING
+    * (openCypher one-row-per-path) — unlike compileVarHop's σ-counted
+    * reachability, the path variable needs each trail's ORDERED node
+    * and relationship sequences, so this enumerates: a seeded frontier
+    * where every row IS a partial path carrying its node-id array, its
+    * (src, dst, relType) structs in stored orientation, and the edge
+    * ids already traversed (trail uniqueness = one array_contains per
+    * expand). Row count grows with the number of paths — which is the
+    * requested OUTPUT, so the work is output-proportional, the only
+    * honest cost model for enumeration; each step is one keyed equi
+    * join against the localCheckpointed typed edge base. Parallel
+    * same-id edge rows (analytic-view duplicates, GraphViews.viewEid
+    * deviation) dedup to one logical relationship before expansion.
+    * Unbounded patterns (`*`, parsed as hi=15) stay refused via the
+    * hop cap — enumerating an unbounded trail set is the
+    * combinatorial blowup the old refusal guarded against. */
+  private val VarPathMaxHops = 10
+  private def compileVarPath(ctx: Option[DataFrame], m: MatchPath): DataFrame = {
+    if (m.optional) throw new UnsupportedOperationException(
+      s"OPTIONAL MATCH with a var-length bound path `${m.pathVar}` is not supported")
+    val (rel, endPat) = m.pat.hops.head
+    val (lo, hi) = rel.varLength.get
+    if (hi > VarPathMaxHops) throw new UnsupportedOperationException(
+      s"path variable `${m.pathVar}` over an unbounded/too-deep var-length pattern " +
+        s"(max $VarPathMaxHops hops): bind an explicit bound, or use shortestPath")
+    val av = m.pat.start.variable.getOrElse(fresh("n"))
+    val bv = endPat.variable.getOrElse(fresh("n"))
+
+    // start side mirrors compileShortest: bound context or fresh scan,
+    // start-only WHERE pushed before seeding
+    var cur = ctx match {
+      case Some(df) if df.columns.contains(s"$av${SEP}id") => filterBound(df, av, m.pat.start)
+      case Some(df) => df.crossJoin(nodeDf(av, m.pat.start))
+      case None     => nodeDf(av, m.pat.start)
+    }
+    val (startOnlyWhere, restWhere) = m.where match {
+      case Some(w) =>
+        val (conj, rest) = splitConjuncts(w)
+        if (conj.nonEmpty) throw new UnsupportedOperationException(
+          "existence subqueries are not supported in a bound-path WHERE")
+        rest.partition(e => referencedVars(e).subsetOf(Set(av)))
+      case None => (Nil, Nil)
+    }
+    startOnlyWhere.foreach(e => cur = cur.filter(compileExpr(e, cur)))
+
+    val te = typedEdges(rel)
+    val idCol =
+      if (te.columns.contains("eid")) col("eid")
+      else xxhash64(col("src"), col("dst"), col("relType"))
+    def orient(s: String, t: String) = te.select(col(s).as("_f"), col(t).as("_g"),
+      idCol.as("_id"),
+      struct(col("src"), col("dst"), col("relType")).as("_rel"))
+    val base0 = rel.dir match {
+      case 1  => orient("src", "dst")
+      case -1 => orient("dst", "src")
+      case 0  => orient("src", "dst").unionByName(orient("dst", "src"))
+    }
+    // identity-level dedup + one materialization: the base feeds every
+    // expansion step and fixpoint probe
+    val base = base0.dropDuplicates("_f", "_g", "_id").localCheckpoint()
+
+    val relArrType = "array<struct<src:bigint,dst:bigint,relType:string>>"
+    val seeds = cur.select(cur(s"$av${SEP}id").as("_s")).distinct()
+    var frontier = seeds.select(col("_s"), col("_s").as("_t"),
+      array(col("_s")).as("_ns"),
+      array().cast(relArrType).as("_rs"),
+      array().cast("array<bigint>").as("_ids"))
+    val kept = collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (lo <= 0) kept += frontier // `*0..` zero-length paths
+    var step = 0
+    var exhausted = false
+    while (step < hi && !exhausted) {
+      step += 1
+      frontier = frontier
+        .join(base, col("_t") === col("_f"))
+        .filter(!array_contains(col("_ids"), col("_id")))
+        .select(col("_s"), col("_g").as("_t"),
+          concat(col("_ns"), array(col("_g"))).as("_ns"),
+          concat(col("_rs"), array(col("_rel"))).as("_rs"),
+          concat(col("_ids"), array(col("_id"))).as("_ids"))
+        .localCheckpoint() // reused by the next step, kept-union, and the probe
+      if (frontier.isEmpty) exhausted = true
+      else if (step >= lo) kept += frontier
+    }
+    val paths0 = kept.reduceOption(_ unionByName _).getOrElse(frontier.limit(0))
+    val paths = paths0
+      .withColumnRenamed("_s", s"_vp${SEP}s").withColumnRenamed("_t", s"_vp${SEP}t")
+    var out = cur.join(paths, cur(s"$av${SEP}id") === col(s"_vp${SEP}s"))
+    out =
+      if (out.columns.contains(s"$bv${SEP}id"))
+        out.filter(col(s"_vp${SEP}t") === col(s"$bv${SEP}id"))
+      else {
+        val n = nodeDf(bv, endPat)
+        out.join(n, col(s"_vp${SEP}t") === n(s"$bv${SEP}id"))
+      }
+    out = out
+      .withColumn(s"${m.pathVar}${SEP}nodes", col("_ns"))
+      .withColumn(s"${m.pathVar}${SEP}len",
+        size(col("_rs")).cast("long"))
+      .withColumn(s"${m.pathVar}${SEP}rels", col("_rs"))
+      .drop(s"_vp${SEP}s", s"_vp${SEP}t", "_ns", "_rs", "_ids")
+    restWhere.foreach(e => out = out.filter(compileExpr(e, out)))
+    out
+  }
+
+  /** Property struct for entity `v` over the union of all `vars`'
+    * property columns (null-filled with the owning variable's type
+    * where `v` lacks one) — every element of an entity array gets the
+    * same struct type. */
+  private def unionProps(df: DataFrame, vars: Seq[String], v: String,
+      reserved: Set[String]): Column = {
+    val names = vars.flatMap(u => df.columns.filter(_.startsWith(s"$u$SEP"))
+      .map(_.stripPrefix(s"$u$SEP")).filterNot(reserved)).distinct.sorted
+    if (names.isEmpty) lit(null).cast("string")
+    else struct(names.map { n =>
+      val c =
+        if (df.columns.contains(s"$v$SEP$n")) col(s"$v$SEP$n")
+        else {
+          val dt = vars.collectFirst {
+            case u if df.columns.contains(s"$u$SEP$n") => df.schema(s"$u$SEP$n").dataType
+          }.get
+          lit(null).cast(dt)
+        }
+      c.as(n)
+    }: _*)
   }
 
   /** `MATCH p = shortestPath((a)-[:T*lo..hi]->(b)) [WHERE …]`:
@@ -1127,6 +1297,15 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
                 col(s"$v${SEP}id").as("__node_id"),
                 col(s"$v${SEP}labels").as("__node_labels"),
                 props.as("__node_props")).as(i.name))
+            // bound path in wire mode: marker field names route it to
+            // the PackStream Path (0x50) assembler; non-wire surfaces
+            // keep the readable {nodes, length, relationships} map
+            case Variable(v) if entityStructs && !keepVarCols &&
+                df.columns.contains(s"$v${SEP}nodeEnts") =>
+              Seq(struct(
+                col(s"$v${SEP}nodeEnts").as("__path_nodes"),
+                col(s"$v${SEP}len").as("__path_len"),
+                col(s"$v${SEP}relEnts").as("__path_rels")).as(i.name))
             case Variable(v) if entityStructs && !keepVarCols &&
                 df.columns.contains(s"$v${SEP}relType") =>
               val propCols = df.columns.filter(_.startsWith(s"$v$SEP"))

@@ -330,18 +330,29 @@ class BoltSpec extends AnyFunSuite {
       assert(rel.fields(3) == "SNIFFS")
       assert(rel.fields(4) == Map("since" -> 2020L))
       assert(c.recv()._1 == SUCCESS)
-      // RETURN p (a path value) goes over the wire as a readable map
-      // {nodes, length, relationships} — generic-struct fallback, no
-      // protocol crash (a 0x50 Path would need full node entities)
+      // RETURN p (a plain-pattern path) goes over the wire as the
+      // PackStream Path structure 0x50: [Nodes], [UnboundRels 0x72],
+      // [signed segment indices]
       c.send(0x10, "MATCH p = (a:dog {name:'Arne'})-[:SNIFFS]->(b:dog) RETURN p",
         Map.empty[String, Any], Map.empty[String, Any])
       assert(c.recv()._1 == SUCCESS)
       c.send(0x3F, Map("n" -> -1L))
       val (tp, fp) = c.recv()
       assert(tp == RECORD)
-      val pmap = fp.head.asInstanceOf[Seq[Any]].head.asInstanceOf[Map[String, Any]]
-      assert(pmap("length") == 1L)
-      assert(pmap("nodes").asInstanceOf[Seq[Any]].size == 2)
+      val path = fp.head.asInstanceOf[Seq[Any]].head.asInstanceOf[PackStream.Struct]
+      assert(path.tag == 0x50 && path.fields.size == 3)
+      val pNodes = path.fields(0).asInstanceOf[Seq[Any]]
+      assert(pNodes.size == 2)
+      assert(pNodes.head.asInstanceOf[PackStream.Struct].tag == 0x4E)
+      assert(pNodes.head.asInstanceOf[PackStream.Struct].fields(2) ==
+        Map("name" -> "Arne")) // nodes[0] is the path start, full entity
+      val pRels = path.fields(1).asInstanceOf[Seq[Any]]
+      assert(pRels.size == 1)
+      val ur = pRels.head.asInstanceOf[PackStream.Struct]
+      assert(ur.tag == 0x72 && ur.fields.size == 3) // 4.4: id, type, props
+      assert(ur.fields(1) == "SNIFFS")
+      assert(ur.fields(2) == Map("since" -> 2020L))
+      assert(path.fields(2) == Seq(1L, 1L)) // forward rel #1 to nodes[1]
       assert(c.recv()._1 == SUCCESS)
       // the wire id IS the relationship's surrogate eid, stable
       // across queries (ref driver entity round-trips,
@@ -379,6 +390,67 @@ class BoltSpec extends AnyFunSuite {
       assert(node5.fields.size == 4)
       assert(node5.fields(3) == node5.fields.head.toString) // element_id
       assert(c5.recv()._1 == SUCCESS)
+      c5.send(0x02); c5.close()
+    } finally ep.stop()
+  }
+
+  test("Path struct 0x50: 2-hop mixed-direction indices; element_id fields per version") {
+    val session = new GraftSession(spark)
+    // a -SNIFFS-> b <-BITES- c : segment 2 traverses BITES against its
+    // stored orientation, so its index must come out NEGATIVE
+    session.cypher(
+      "CREATE (a:dog {name:'Arne'})-[:SNIFFS {since: 2020}]->(b:dog {name:'Bosse'})")
+    session.cypher(
+      "MATCH (b:dog {name:'Bosse'}) CREATE (c:dog {name:'Chip'})-[:BITES]->(b)")
+    val ep = new BoltEndpoint(session, 0, "127.0.0.1")
+    val port = ep.start()
+    val query =
+      "MATCH p = (a:dog {name:'Arne'})-[:SNIFFS]->(b)<-[:BITES]-(c) RETURN p"
+    def fetchPath(c: Client): PackStream.Struct = {
+      c.send(0x10, query, Map.empty[String, Any], Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x3F, Map("n" -> -1L))
+      val (t, f) = c.recv()
+      assert(t == RECORD)
+      val p = f.head.asInstanceOf[Seq[Any]].head.asInstanceOf[PackStream.Struct]
+      assert(c.recv()._1 == SUCCESS)
+      p
+    }
+    try {
+      // ---- negotiated 4.4: 3-field Nodes, 3-field UnboundRels ----
+      val c4 = new Client(port)
+      assert(c4.handshake() == 0x00000404)
+      c4.send(0x01, Map("user_agent" -> "graft-test/1.0"))
+      assert(c4.recv()._1 == SUCCESS)
+      val p4 = fetchPath(c4)
+      assert(p4.tag == 0x50 && p4.fields.size == 3)
+      val nodes4 = p4.fields(0).asInstanceOf[Seq[Any]].map(_.asInstanceOf[PackStream.Struct])
+      val rels4 = p4.fields(1).asInstanceOf[Seq[Any]].map(_.asInstanceOf[PackStream.Struct])
+      assert(nodes4.size == 3 && nodes4.forall(n => n.tag == 0x4E && n.fields.size == 3))
+      assert(nodes4.map(_.fields(2).asInstanceOf[Map[String, Any]]("name")) ==
+        Seq("Arne", "Bosse", "Chip")) // first-appearance order, start first
+      assert(rels4.size == 2 && rels4.forall(r => r.tag == 0x72 && r.fields.size == 3))
+      assert(rels4.map(_.fields(1)) == Seq("SNIFFS", "BITES"))
+      // segment 1: rel +1 forward to nodes[1]; segment 2: rel 2
+      // REVERSED (stored c->b, traversed b->c) to nodes[2]
+      assert(p4.fields(2) == Seq(1L, 1L, -2L, 2L))
+      c4.send(0x02); c4.close()
+      // ---- negotiated 5.x: element_id joins every entity ----
+      val c5 = new Client(port)
+      assert(c5.handshake(0x00040405) == 0x00000405)
+      c5.send(0x01, Map("user_agent" -> "graft-test/1.0"))
+      assert(c5.recv()._1 == SUCCESS)
+      c5.send(0x6A, Map("scheme" -> "none"))
+      assert(c5.recv()._1 == SUCCESS)
+      val p5 = fetchPath(c5)
+      assert(p5.tag == 0x50 && p5.fields.size == 3)
+      val nodes5 = p5.fields(0).asInstanceOf[Seq[Any]].map(_.asInstanceOf[PackStream.Struct])
+      val rels5 = p5.fields(1).asInstanceOf[Seq[Any]].map(_.asInstanceOf[PackStream.Struct])
+      assert(nodes5.forall(n => n.fields.size == 4 &&
+        n.fields(3) == n.fields.head.toString)) // element_id = string id
+      assert(rels5.forall(r => r.fields.size == 4 &&
+        r.fields(3) == r.fields.head.toString))
+      assert(p5.fields(2) == Seq(1L, 1L, -2L, 2L)) // indices are version-stable
       c5.send(0x02); c5.close()
     } finally ep.stop()
   }
