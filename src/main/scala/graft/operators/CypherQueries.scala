@@ -180,6 +180,32 @@ object CypherQueries {
         |WHERE c.c_custkey <= 1000
         |RETURN id(c) AS cid, length(p) AS len, nodes(p)[2] AS rid""".stripMargin),
 
+    // VAR-LENGTH path assignment (r11 verdict #4): `p = (c)-[*1..2]->`
+    // binds each bounded trail as its own row with ORDERED accessors —
+    // nodes(p)[1] is the interior node, so the oracle can distinguish
+    // two same-endpoint paths through different orders. compileVarPath
+    // enumerates (output-proportional), the oracle replays hop-1 and
+    // hop-2 as a UNION ALL (the bounded recursive-CTE expansion,
+    // unrolled) with DISTINCT (order, part) because parallel lineitem
+    // rows share a view eid and collapse to one logical relationship.
+    q("cy_varlen_path_assign",
+      """SELECT ck, len, xid, mid, CAST(count(*) AS BIGINT) AS n_paths FROM (
+        |  SELECT c.c_custkey AS ck, CAST(1 AS BIGINT) AS len,
+        |         o.o_orderkey * 10 + 4 AS xid, o.o_orderkey * 10 + 4 AS mid
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey <= 20
+        |  UNION ALL
+        |  SELECT c.c_custkey, CAST(2 AS BIGINT), l.l_partkey * 10 + 6,
+        |         o.o_orderkey * 10 + 4
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE c.c_custkey <= 20) t
+        |GROUP BY 1, 2, 3, 4""".stripMargin)(
+      """MATCH p = (c:customer)-[:PLACED|CONTAINS*1..2]->(x) WHERE c.c_custkey <= 20
+        |RETURN c.c_custkey AS ck, length(p) AS len, id(x) AS xid,
+        |       nodes(p)[1] AS mid, count(*) AS n_paths""".stripMargin),
+
     // two-hop chained pattern across three node sets
     q("cy_two_hop",
       """SELECT n.n_name AS n_name, r.r_name AS r_name, count(*) AS n_supp

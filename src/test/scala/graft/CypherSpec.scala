@@ -1845,15 +1845,60 @@ class CypherSpec extends AnyFunSuite {
     val rels = r.getSeq[org.apache.spark.sql.Row](2)
       .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
     assert(rels == Seq((ids("a"), ids("b"), "X"), (ids("c"), ids("b"), "Y")))
-    // a path variable over a var-length pattern refuses loudly
+    // a path variable over a SINGLE bounded var-length hop now
+    // enumerates (compileVarPath); mixed fixed+var patterns refuse
+    val vl = s.cypher("MATCH p = (a:pv {name:'a'})-[:X*1..2]->(b) RETURN length(p) AS l")
+      .collect()
+    assert(vl.map(_.getLong(0)).toSeq == Seq(1L))
     val e = intercept[UnsupportedOperationException](
-      s.cypher("MATCH p = (a:pv)-[:X*1..2]->(b) RETURN length(p) AS l"))
-    assert(e.getMessage.contains("shortestPath"))
+      s.cypher("MATCH p = (a:pv)-[:X]->(b)-[:Y*1..2]->(c) RETURN length(p) AS l"))
+    assert(e.getMessage.contains("mixed"))
     // zero-hop path: single node, empty rel list
     val z = s.cypher(
       "MATCH p = (a:pv {name:'a'}) RETURN length(p) AS l, size(relationships(p)) AS nr")
       .collect().head
     assert(z.getLong(0) == 0L && z.getInt(1) == 0)
+  }
+
+  test("var-length path binding: one row per bounded trail with ordered accessors") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:vp {name:'a'})-[:T]->(b:vp {name:'b'})-[:T]->(c:vp {name:'c'})")
+    s.cypher("MATCH (b:vp {name:'b'}) CREATE (b)-[:T]->(d:vp {name:'d'})")
+    // directed *1..2 from a: (a,b) len 1, (a,b,c) and (a,b,d) len 2 —
+    // one ROW per path (openCypher multiplicity), ordered node arrays
+    val rows = s.cypher(
+      """MATCH p = (x:vp {name:'a'})-[:T*1..2]->(y)
+        |RETURN length(p) AS l, nodes(p) AS ns, y.name AS yn ORDER BY l, yn""".stripMargin)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "b"), (2L, "c"), (2L, "d")))
+    val ids = s.cypher("MATCH (n:vp) RETURN n.name AS nm, id(n) AS i").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(rows(1).getSeq[Long](1) == Seq(ids("a"), ids("b"), ids("c")))
+    // UNDIRECTED *1..2 from a: trail semantics — the hop-2 frontier
+    // may not bounce back over hop 1's relationship, so `a` never
+    // reappears; c and d are reached THROUGH b
+    val und = s.cypher(
+      "MATCH p = (x:vp {name:'a'})-[:T*1..2]-(y) RETURN y.name AS yn ORDER BY yn")
+      .collect().map(_.getString(0))
+    assert(und.toSeq == Seq("b", "c", "d"))
+    // *0..1 includes the zero-length path (the start node itself)
+    val z = s.cypher(
+      """MATCH p = (x:vp {name:'c'})-[:T*0..1]-(y)
+        |RETURN length(p) AS l, y.name AS yn ORDER BY l""".stripMargin).collect()
+    assert(z.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "c"), (1L, "b")))
+    // relationships(p) carries STORED orientation structs per hop
+    val rs = s.cypher(
+      """MATCH p = (x:vp {name:'a'})-[:T*2..2]->(y:vp {name:'c'})
+        |RETURN relationships(p) AS rs""".stripMargin)
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(rs == Seq((ids("a"), ids("b"), "T"), (ids("b"), ids("c"), "T")))
+    // unbounded `*` (parsed hi=15) stays refused via the hop cap
+    val e = intercept[UnsupportedOperationException](
+      s.cypher("MATCH p = (x:vp)-[:T*]->(y) RETURN length(p) AS l"))
+    assert(e.getMessage.contains("unbounded"))
   }
 
   test("RETURN p renders the path value; count(r)/DISTINCT r use relationship identity") {
