@@ -70,6 +70,17 @@ final class GraftSession(val spark: SparkSession,
     d.matNodes = g.nodes
     d.matEdges = g.edges
     d.pendingMutations = 0
+    d.nodeDeltaState = None
+    // Seed the node-id allocator PAST the view's ids: nodes created by
+    // later upserts must never collide with existing ones — id
+    // identity keys the delta overlay, Bolt wire entities, and
+    // SET/DELETE targeting. (Before this, a fresh view-backed session
+    // minted ids from 0 and a MERGE-create could silently shadow a
+    // view node.) One column-pruned max scan, once per setGraph.
+    import org.apache.spark.sql.functions.{max => smax}
+    val maxId = g.nodes.agg(smax("id")).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(-1L)
+    d.nextId.set(math.max(d.nextId.get(), maxId + 1))
   }
 
   /** Authenticate against the store (the Bolt-session-open analog).
@@ -396,6 +407,9 @@ final class GraftSession(val spark: SparkSession,
         d.matNodes = sh.matNodes
         d.matEdges = sh.matEdges
         d.pendingMutations = sh.pendingMutations
+        // the delta overlay rides along: its validity check is by
+        // reference against the graph pointer just published
+        d.nodeDeltaState = sh.nodeDeltaState
         d.adoptPinnedFrom(sh)
       } else sh.releasePinned()
     }
@@ -732,11 +746,30 @@ final class GraftSession(val spark: SparkSession,
   private def compactIfNeeded(db: GraphDatabase): Unit =
     if (db.pendingMutations >= 2) {
       val g = db.graph
-      val nodes = if (g.nodes eq db.matNodes) g.nodes else g.nodes.localCheckpoint()
-      val edges = if (g.edges eq db.matEdges) g.edges else g.edges.localCheckpoint()
-      db.graph = PropertyGraph(nodes, edges)
-      db.matNodes = nodes
-      db.matEdges = edges
+      db.validNodeDelta match {
+        case Some(s) =>
+          // Delta-shaped write burst: the delta is ALREADY materialized
+          // (it checkpoints at each commit), so node-side compaction
+          // only needs to materialize a base that is itself an
+          // unmaterialized chain (a non-delta mutation ran before the
+          // burst) — exactly once; the full table is never rewritten
+          // for delta-shaped commits. This is what makes a 30-row
+          // batch commit O(batch + delta), not O(table).
+          val base = if (s.base eq db.matNodes) s.base else s.base.localCheckpoint()
+          val resolved = if (base eq s.base) g.nodes else overlayNodes(base, s.delta)
+          val edges = if (g.edges eq db.matEdges) g.edges else g.edges.localCheckpoint()
+          db.graph = PropertyGraph(resolved, edges)
+          db.matNodes = base
+          db.matEdges = edges
+          db.nodeDeltaState = Some(graft.core.NodeDeltaState(base, s.delta, resolved, s.buf))
+        case None =>
+          val nodes = if (g.nodes eq db.matNodes) g.nodes else g.nodes.localCheckpoint()
+          val edges = if (g.edges eq db.matEdges) g.edges else g.edges.localCheckpoint()
+          db.graph = PropertyGraph(nodes, edges)
+          db.matNodes = nodes
+          db.matEdges = edges
+          db.nodeDeltaState = None // stale overlay state, if any
+      }
       db.releasePinned()
       db.pendingMutations = 0
     }
@@ -1550,15 +1583,20 @@ final class GraftSession(val spark: SparkSession,
           o.exists(refsMergeVar)
       case _ => false
     }
-    // driver-side evaluation for row-only values (the create branch)
-    def evalLocal(e: ast.Expr, elem: Any): Any = e match {
+    // driver-side evaluation for row-only values (the create branch,
+    // and — given a matched node's current values via `nodeVal` — the
+    // driver-buffered ON MATCH path)
+    def evalLocal(e: ast.Expr, elem: Any,
+        nodeVal: String => Option[Any] = _ => None): Any = e match {
       case ast.Lit(v)            => norm(v)
       case ast.Prop(`alias`, k)  => field(elem, k)
       case ast.Variable(`alias`) => norm(elem)
+      case ast.Prop(`mergeVar`, k) if nodeVal(k).isDefined => nodeVal(k).get
       case ast.Prop(`mergeVar`, k) if keyNames.contains(k) =>
         keyOf(elem)(keyNames.indexOf(k)) // pattern prop of the node being created
       case ast.Arith(op, l, r) =>
-        (evalLocal(l, elem), evalLocal(r, elem)) match {
+        (evalLocal(l, elem, nodeVal), evalLocal(r, elem, nodeVal)) match {
+          case (null, _) | (_, null) => null // SQL null propagation
           case (x: Long, y: Long) => op match {
             case "+" => x + y; case "-" => x - y; case "*" => x * y
             case "/" => x / y; case "%" => x % y
@@ -1602,9 +1640,229 @@ final class GraftSession(val spark: SparkSession,
     def labelCond(nodesDf: DataFrame): org.apache.spark.sql.Column =
       np.labels.foldLeft(lit(true))((c, l) => c && array_contains(nodesDf("labels"), l))
     val keyColsPresent = keyNames.forall(g.nodes.columns.contains)
+    // isin-pushdown pruning: the batch's LITERAL keys are known on the
+    // driver, so the matched-row lookup and the existing-key probe both
+    // filter the node side per key column BEFORE joining — the
+    // predicate reaches the parquet scan (row-group skip), so a 30-row
+    // batch commit reads row groups containing those keys, not the
+    // table. Conjunction over key columns is a superset filter (safe
+    // for any key arity); skipped for huge batches where an isin list
+    // would bloat the plan.
+    val keyLits: Map[String, Seq[Any]] = keyNames.zipWithIndex.map { case (kn, i) =>
+      kn -> byKey.keysIterator.map(_(i)).toSeq.distinct }.toMap
+    def pruneByKeys(df: DataFrame): DataFrame =
+      if (byKey.size > 10000 || !keyColsPresent) df
+      else keyNames.foldLeft(df)((d, kn) => d.filter(col(kn).isin(keyLits(kn): _*)))
 
-    // ---- ON MATCH: one update-by-join over the pre-statement nodes ---
-    var nodes = g.nodes
+    // ---- create candidates: ids minted per distinct key up front ----
+    // (run-deterministic); keys that turn out to exist just skip their
+    // candidate row. A key that repeats in the batch applies the last
+    // occurrence's ON MATCH to its own created row (row-only values —
+    // the n-reading case was refused above).
+    val createBase = db.allocate(byKey.size.toLong)
+    val candProps = byKey.toSeq.zipWithIndex.map { case ((k, (first, last, cnt)), i) =>
+      val props = collection.mutable.LinkedHashMap.empty[String, Any]
+      keyNames.zip(k).foreach { case (kn, kv) => props(kn) = kv }
+      m.onCreate.foreach { case (p, e) => props(p.key) = evalLocal(e, first) }
+      if (cnt > 1) m.onMatch.foreach { case (p, e) => props(p.key) = evalLocal(e, last) }
+      (createBase + i, k, props)
+    }
+
+    // ---- driver-buffered delta (the fast path, r11 verdict #5) -------
+    // A literal batch with driver-evaluable SET values commits with ONE
+    // distributed action: an isin-pruned lookup of the matched rows
+    // (collect — bounded by the batch size). Replacement and created
+    // rows are assembled on the driver into an immutable, insertion-
+    // ordered write buffer whose DataFrame is a LocalRelation — so the
+    // commit itself runs no checkpoint job, and the read-side overlay
+    // plans against local rows. Falls back to the distributed
+    // replacement-row path for huge batches, an oversized buffer, SET
+    // shapes evalLocal can't run, or when a distributed delta is
+    // already in flight.
+    import scala.collection.immutable.VectorMap
+    def driverEvaluable(e: ast.Expr): Boolean = e match {
+      case ast.Lit(_) | ast.Prop(`alias`, _) | ast.Variable(`alias`) |
+           ast.Prop(`mergeVar`, _) => true
+      case ast.Arith(_, l, r) => driverEvaluable(l) && driverEvaluable(r)
+      case _ => false
+    }
+    def fits(v: Any, t: DataType): Option[Any] = (v, t) match {
+      case (null, _)                       => Some(null)
+      case (x: Long, LongType)             => Some(x)
+      case (x: Long, DoubleType)           => Some(x.toDouble)
+      case (x: Double, DoubleType)         => Some(x)
+      case (x: String, StringType)         => Some(x)
+      case (x: Boolean, BooleanType)       => Some(x)
+      case _                               => None
+    }
+    val oldState = db.validNodeDelta
+    val nodeSchema = g.nodes.schema
+    val idx = nodeSchema.fieldNames.zipWithIndex.toMap
+    // driver-side key comparison is by canonical Scala value (ints
+    // widen to Long) — key columns in types it can't canonicalize
+    // (decimal, date) keep the distributed path's cast semantics
+    def canon(v: Any): Any = v match {
+      case i: java.lang.Integer => i.longValue
+      case s: java.lang.Short   => s.longValue
+      case b: java.lang.Byte    => b.longValue
+      case f: java.lang.Float   => f.doubleValue
+      case other                => other
+    }
+    val keyTypesCanonical = keyNames.forall { kn =>
+      !idx.contains(kn) || (nodeSchema(idx(kn)).dataType match {
+        case LongType | org.apache.spark.sql.types.IntegerType |
+             StringType | BooleanType | DoubleType => true
+        case _ => false
+      })
+    }
+    val driverEligible = byKey.size <= 10000 && keyTypesCanonical &&
+      m.onMatch.forall { case (_, e) => driverEvaluable(e) } &&
+      oldState.forall(_.buf.isDefined) &&
+      oldState.flatMap(_.buf).forall(_.rows.size <= 100000)
+    if (driverEligible) {
+      val bufColTypes = oldState.flatMap(_.buf).map(_.colTypes)
+        .getOrElse(VectorMap.empty[String, DataType])
+      val bufRows = oldState.flatMap(_.buf).map(_.rows)
+        .getOrElse(VectorMap.empty[Long, Map[String, Any]])
+      def labelsOk(v: Any): Boolean = np.labels.forall(l => v match {
+        case s: scala.collection.Seq[_] => s.contains(l)
+        case _ => false
+      })
+      // 1. satisfy matches from the DRIVER buffer first (zero Spark):
+      // a key already written this burst has its LATEST row right here
+      val bufMatched: Seq[(Long, Map[String, Any])] =
+        if (!keyColsPresent) Nil
+        else bufRows.toSeq.collect {
+          case (id, mrow) if keyNames.forall(mrow.contains) &&
+              labelsOk(mrow.getOrElse("labels", null)) &&
+              byKey.contains(keyNames.map(kn => canon(mrow(kn)))) =>
+            (id, mrow)
+        }
+      val bufMatchedKeys = bufMatched.map { case (_, mrow) =>
+        keyNames.map(kn => canon(mrow(kn))) }.toSet
+      // 2. only keys the base hasn't answered THIS BURST scan the BASE
+      // — a plain isin-pruned scan with no overlay anti-join; the base
+      // is immutable while the overlay is valid, so an answered
+      // ("settled") key never re-scans, and a rerun whose keys are all
+      // settled commits with NO Spark action at all. Base rows
+      // superseded by a buffer row are skipped.
+      val shape = (np.labels, keyNames)
+      val settled0 = oldState.flatMap(_.buf)
+        .filter(_.shape == shape).map(_.settled).getOrElse(Set.empty[Seq[Any]])
+      val baseDf = oldState.map(_.base).getOrElse(g.nodes)
+      val baseSchema = baseDf.schema
+      val baseIdx = baseSchema.fieldNames.zipWithIndex.toMap
+      val baseKeyColsPresent = keyNames.forall(baseIdx.contains)
+      val scanKeys = if (!keyColsPresent || !baseKeyColsPresent) Set.empty[Seq[Any]]
+        else byKey.keySet.toSet.diff(settled0)
+      val baseMatched: Seq[(Long, Map[String, Any])] =
+        if (scanKeys.isEmpty) Nil
+        else {
+          val scanLits = keyNames.zipWithIndex.map { case (kn, i) =>
+            kn -> scanKeys.map(_(i)).toSeq }.toMap
+          val p = keyNames.foldLeft(baseDf)((d, kn) =>
+            d.filter(col(kn).isin(scanLits(kn): _*)))
+          p.filter(labelCond(p)).collect().toSeq.flatMap { r =>
+            // exact key-tuple membership re-checked on the driver: the
+            // per-column isin conjunction is a superset for multi-key
+            val kt = keyNames.map(kn => canon(r.get(baseIdx(kn))))
+            val id = r.get(baseIdx("id")).asInstanceOf[Long]
+            if (!scanKeys.contains(kt) || bufRows.contains(id)) None
+            else {
+              val cur = collection.mutable.LinkedHashMap.empty[String, Any]
+              baseSchema.fieldNames.zipWithIndex.foreach { case (n, i) =>
+                cur(n) = r.get(i) }
+              Some((id, cur.toMap))
+            }
+          }
+        }
+      val baseFoundKeys = baseMatched.map { case (_, mrow) =>
+        keyNames.map(kn => canon(mrow(kn))) }.toSet
+      // a scanned key settles when its base rows fold into the buffer
+      // (ON MATCH ran) or when the base proved it absent
+      val settled = settled0 ++
+        (if (m.onMatch.nonEmpty) scanKeys
+         else scanKeys.diff(baseFoundKeys))
+      // replacement rows: current values + SET columns, evaluated here
+      var typeOk = true
+      def colType(name: String, v: Any): DataType =
+        idx.get(name).map(i => nodeSchema(i).dataType)
+          .orElse(bufColTypes.get(name))
+          .getOrElse(PropertyGraph.literalType(v))
+      def knownCol(k: String): Boolean = idx.contains(k) || bufColTypes.contains(k)
+      val replacements = (bufMatched ++ baseMatched).map { case (id, mrow) =>
+        val cur = collection.mutable.LinkedHashMap.empty[String, Any]
+        mrow.foreach { case (n, v) => cur(n) = v }
+        val kt = keyNames.map(kn => canon(mrow(kn)))
+        val (_, last, _) = byKey(kt)
+        m.onMatch.foreach { case (p, e) =>
+          val v = evalLocal(e, last,
+            // a schema-known column absent from this row reads null
+            k => if (cur.contains(k)) Some(cur(k))
+                 else if (knownCol(k)) Some(null) else None)
+          fits(v, colType(p.key, v)) match {
+            case Some(cv) => cur(p.key) = cv
+            case None     => typeOk = false
+          }
+        }
+        (id, cur)
+      }
+      val matchedKeys = bufMatchedKeys ++ baseMatched.map { case (_, mrow) =>
+        keyNames.map(kn => canon(mrow(kn))) }
+      val created = candProps.collect {
+        case (id, k, props) if !keyColsPresent || !matchedKeys.contains(k) =>
+          val cur = collection.mutable.LinkedHashMap.empty[String, Any]
+          cur("id") = id
+          cur("labels") = np.labels
+          props.foreach { case (n, v) =>
+            fits(v, colType(n, v)) match {
+              case Some(cv) => cur(n) = cv
+              case None     => typeOk = false
+            }
+          }
+          (id, cur)
+      }
+      if (typeOk) {
+        // merge into the copy-on-write buffer (latest-wins by id);
+        // column types evolve by name, first writer wins
+        val buf0 = oldState.flatMap(_.buf).getOrElse(
+          graft.core.NodeDeltaBuffer(VectorMap.empty, VectorMap.empty))
+        var colTypes = buf0.colTypes
+        if (!colTypes.contains("id")) colTypes += ("id" -> LongType)
+        if (!colTypes.contains("labels"))
+          colTypes += ("labels" -> org.apache.spark.sql.types.ArrayType(StringType))
+        (replacements ++ created).foreach { case (_, cur) =>
+          cur.foreach { case (n, v) =>
+            if (!colTypes.contains(n)) colTypes += (n -> colType(n, v))
+          }
+        }
+        var rows = buf0.rows
+        (replacements ++ created).foreach { case (id, cur) =>
+          rows += (id -> cur.toMap)
+        }
+        val buf = graft.core.NodeDeltaBuffer(colTypes, rows, settled, shape)
+        val deltaSchema = StructType(colTypes.toSeq.map { case (n, t) =>
+          StructField(n, t, nullable = n != "id") })
+        val deltaRows = rows.valuesIterator.map { mrow =>
+          Row.fromSeq(colTypes.keysIterator.map(n => mrow.getOrElse(n, null)).toSeq)
+        }.toSeq
+        val delta = spark.createDataFrame(javaList(deltaRows), deltaSchema)
+        val base = oldState.map(_.base).getOrElse(g.nodes)
+        val resolved = overlayNodes(base, delta)
+        db.graph = PropertyGraph(resolved, g.edges)
+        db.nodeDeltaState =
+          Some(graft.core.NodeDeltaState(base, delta, resolved, Some(buf)))
+        return unit()
+      }
+    }
+
+    // ---- ON MATCH: O(batch) REPLACEMENT rows for the delta overlay --
+    // (distributed fallback): instead of rewriting the whole node
+    // table per batch, compute only the matched rows (inner broadcast-
+    // batch join — the table side is a pruned scan, never a rewrite)
+    // with the SET columns applied; they join the created rows in a
+    // keyed delta that overlays the unchanged base.
+    var updRows: Option[DataFrame] = None
     if (m.onMatch.nonEmpty && keyColsPresent) {
       val fields = m.onMatch.flatMap { case (_, e) => rowFields(e) }.distinct
       val rows = byKey.toSeq.map { case (k, (_, last, _)) =>
@@ -1616,9 +1874,12 @@ final class GraftSession(val spark: SparkSession,
         fields.map { f =>
           StructField(s"_bf_$f", firstType(byKey.valuesIterator.map(v => field(v._2, f)).toSeq)) })
       val batchDf = spark.createDataFrame(javaList(rows), schema)
-      val cond = keyNames.map(kn => g.nodes(kn) === col(s"_bk_$kn")).reduce(_ && _)
-      var upd = g.nodes.join(broadcast(batchDf), cond, "left_outer")
-      val mark = col(s"_bk_${keyNames.head}").isNotNull && labelCond(g.nodes)
+      val pruned = pruneByKeys(g.nodes)
+      val cond = keyNames.map(kn => pruned(kn) === col(s"_bk_$kn")).reduce(_ && _)
+      // rows matching the key but failing the label are NOT updated —
+      // they simply stay in the base untouched
+      var upd = pruned.join(broadcast(batchDf), cond, "inner")
+        .filter(labelCond(pruned))
       def colExpr(e: ast.Expr): org.apache.spark.sql.Column = e match {
         case ast.Lit(v)            => lit(norm(v))
         case ast.Prop(`alias`, f)  => col(s"_bf_$f")
@@ -1638,48 +1899,78 @@ final class GraftSession(val spark: SparkSession,
             s"arithmetic and $mergeVar's own properties, got $other")
       }
       m.onMatch.foreach { case (p, e) =>
-        val vcol = colExpr(e)
-        upd = if (upd.columns.contains(p.key))
-          upd.withColumn(p.key, when(mark, vcol).otherwise(col(p.key)))
-        else upd.withColumn(p.key, when(mark, vcol))
+        upd = upd.withColumn(p.key, colExpr(e)) // every joined row matched
       }
-      nodes = upd.drop(schema.fieldNames.toIndexedSeq: _*)
+      updRows = Some(upd.drop(schema.fieldNames.toIndexedSeq: _*))
     }
 
-    // ---- create branch: candidates anti-joined against existing keys -
-    // ids minted per distinct key up front (run-deterministic); keys
-    // that turn out to exist just skip their candidate row. A key that
-    // repeats in the batch applies the last occurrence's ON MATCH to
-    // its own created row (row-only values — the n-reading case was
-    // refused above).
-    val createBase = db.allocate(byKey.size.toLong)
-    val candProps = byKey.toSeq.zipWithIndex.map { case ((k, (first, last, cnt)), i) =>
-      val props = collection.mutable.LinkedHashMap.empty[String, Any]
-      keyNames.zip(k).foreach { case (kn, kv) => props(kn) = kv }
-      m.onCreate.foreach { case (p, e) => props(p.key) = evalLocal(e, first) }
-      if (cnt > 1) m.onMatch.foreach { case (p, e) => props(p.key) = evalLocal(e, last) }
-      (createBase + i, props)
-    }
-    val propKeys = candProps.flatMap(_._2.keys).distinct.sorted
+    // ---- create branch (distributed): candidates anti-joined against
+    // existing keys
+    val propKeys = candProps.flatMap(_._3.keys).distinct.sorted
     val candSchema = StructType(
       PropertyGraph.nodeBaseSchema.fields.toSeq ++
       propKeys.map(k => StructField(k,
-        firstType(candProps.flatMap(_._2.get(k))))))
-    val candRows = candProps.map { case (id, props) =>
+        firstType(candProps.flatMap(_._3.get(k))))))
+    val candRows = candProps.map { case (id, _, props) =>
       Row.fromSeq(Seq(id, np.labels) ++ propKeys.map(k => props.getOrElse(k, null)))
     }
     val cand = spark.createDataFrame(javaList(candRows), candSchema)
     val missing =
       if (!keyColsPresent) cand // no such property column: nothing can match
       else {
-        val existingKeys = g.nodes.filter(labelCond(g.nodes))
+        // only keys IN the candidate set matter — same isin pruning
+        val prunedEx = pruneByKeys(g.nodes)
+        val existingKeys = prunedEx.filter(labelCond(prunedEx))
           .select(keyNames.map(kn => col(kn).as(s"_ek_$kn")): _*).distinct()
         cand.join(existingKeys,
           keyNames.map(kn => cand(kn) === col(s"_ek_$kn")).reduce(_ && _), "left_anti")
       }
-    db.graph = PropertyGraph(PropertyGraph.appendByName(nodes, missing), g.edges)
+    // ---- delta-log commit: O(batch), never O(table) ------------------
+    // New rows = replacement rows for matched keys + created rows.
+    // They extend (latest-wins) the database's node delta when the
+    // overlay is still valid; otherwise the CURRENT node lineage
+    // becomes the overlay base (the next compaction materializes a
+    // dirty base exactly once — see compactIfNeeded). The swapped-in
+    // node frame is base ⟵anti⟶ delta ∪ delta, so reads-after-write
+    // resolve through the delta without any table rewrite.
+    val newRows = updRows match {
+      case Some(u) => PropertyGraph.appendByName(u, missing)
+      case None    => missing
+    }
+    val (base, delta0) = db.validNodeDelta match {
+      case Some(s) =>
+        val kept = s.delta.join(newRows.select(col("id").as("_nk")),
+          s.delta("id") === col("_nk"), "left_anti")
+        (s.base, PropertyGraph.appendByName(kept, newRows))
+      case None => (g.nodes, newRows)
+    }
+    // The delta materializes EAGERLY at every commit — this IS the
+    // O(batch + delta) commit cost, and it is load-bearing: newRows
+    // reads the previous RESOLVED frame and the extension anti-joins
+    // the previous delta, so an unmaterialized chain roughly DOUBLES
+    // in plan size per commit (exponential — a 60-commit burst OOMed
+    // the driver stringifying one AQE plan before this checkpoint;
+    // deferring the checkpoint by even one commit measured 5× SLOWER
+    // at sf0.1 — the deferred job re-scans the base once per embedded
+    // copy, so eager-and-tiny beats lazy-and-compounded).
+    val delta = delta0.localCheckpoint()
+    val resolved = overlayNodes(base, delta)
+    db.graph = PropertyGraph(resolved, g.edges)
+    db.nodeDeltaState = Some(graft.core.NodeDeltaState(base, delta, resolved))
     unit()
   }
+
+  /** Resolve a node delta overlay: base rows whose id the delta
+    * doesn't replace, plus the delta's replacement/created rows
+    * (schema widens by name — new property columns null-fill the
+    * base side). One anti join + one union; the base is never
+    * rewritten. */
+  private def overlayNodes(base: DataFrame, delta: DataFrame): DataFrame =
+    PropertyGraph.appendByName(
+      base.join(delta.select(org.apache.spark.sql.functions.col("id")
+        .as("_ov_k")), base("id") ===
+        org.apache.spark.sql.functions.col("_ov_k"), "left_anti"),
+      delta)
 
   /** Batched relationship upsert — `UNWIND $batch AS row
     * MATCH (a:L {k: row.src}), (b:M {k: row.dst}) MERGE (a)-[r:T]->(b)
@@ -2362,6 +2653,7 @@ final class TxHandle private[graft] (catalog: GraphCatalog,
       sh.matNodes = real.matNodes
       sh.matEdges = real.matEdges
       sh.pendingMutations = real.pendingMutations
+      sh.nodeDeltaState = real.nodeDeltaState
       sh
     })
   }

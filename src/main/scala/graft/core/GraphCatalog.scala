@@ -13,6 +13,33 @@ import scala.collection.concurrent.TrieMap
   * allocation is a deterministic per-db counter so t2 hashes are
   * stable across runs.
   */
+/** See [[GraphDatabase.nodeDeltaState]]. `buf` is present when the
+  * delta lives as a DRIVER-LOCAL write buffer (batched upserts whose
+  * SET values are driver-evaluable): immutable, insertion-ordered —
+  * transaction shadows share it safely by reference and extend it
+  * copy-on-write. `delta` is then a LocalRelation over `buf`, so a
+  * commit runs ZERO distributed jobs beyond the one matched-row
+  * lookup. Distributed deltas (huge batches, cluster-computed SET
+  * values) carry buf = None. */
+/** `settled` caches merge keys whose BASE lookup is already answered
+  * for this burst (base rows folded into `rows`, or proven absent) —
+  * the base is immutable while the overlay is valid, so a settled key
+  * never needs another base scan; a rerun whose keys are all settled
+  * commits with ZERO Spark actions. The cache is only valid for the
+  * (labels, keyNames) `shape` that built it. */
+final case class NodeDeltaBuffer(
+    colTypes: scala.collection.immutable.VectorMap[String, org.apache.spark.sql.types.DataType],
+    rows: scala.collection.immutable.VectorMap[Long, Map[String, Any]],
+    settled: Set[Seq[Any]] = Set.empty,
+    shape: (Seq[String], Seq[String]) = (Nil, Nil))
+
+/** See [[GraphDatabase.nodeDeltaState]]. */
+final case class NodeDeltaState(
+    base: org.apache.spark.sql.DataFrame,
+    delta: org.apache.spark.sql.DataFrame,
+    resolved: org.apache.spark.sql.DataFrame,
+    buf: Option[NodeDeltaBuffer] = None)
+
 final class GraphDatabase(val name: String) {
   @volatile var graph: PropertyGraph = _
   @volatile var stopped: Boolean = false
@@ -28,6 +55,23 @@ final class GraphDatabase(val name: String) {
   @volatile var pendingMutations: Int = 0
   @volatile var matNodes: org.apache.spark.sql.DataFrame = _
   @volatile var matEdges: org.apache.spark.sql.DataFrame = _
+
+  /** Node DELTA overlay (mutation log): when set, and `graph.nodes eq
+    * resolved` still holds, the node side is exactly
+    * `base ⟵anti-join⟶ delta ∪ delta` — `delta` carries one full
+    * REPLACEMENT row per touched/created node id, so a batched-upsert
+    * commit costs O(batch), never O(table): compaction checkpoints
+    * only the delta and snapshot writes fold it into the base. The
+    * reference analog is its transaction log under /data/transactions
+    * (docker-entrypoint.sh:521-532) replayed against the store.
+    *
+    * SELF-VALIDATING by reference identity: any code path that
+    * assigns `graph` without maintaining the overlay silently breaks
+    * the `graph.nodes eq resolved` check and the state is ignored —
+    * correctness never depends on remembering to invalidate. */
+  @volatile var nodeDeltaState: Option[NodeDeltaState] = None
+  def validNodeDelta: Option[NodeDeltaState] =
+    nodeDeltaState.filter(s => graph != null && (graph.nodes eq s.resolved))
 
   /** Schema metadata, name → (label, property). Uniqueness
     * constraints are ENFORCED on write (GraftSession); plain indexes

@@ -1901,6 +1901,68 @@ class CypherSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unbounded"))
   }
 
+  test("delta-log: batched upserts commit O(batch) and read-your-writes across the uncompacted delta") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:acct {k: 1, bal: 10})")
+    s.cypher("CREATE (a:acct {k: 2, bal: 20})")
+    // a read compacts the CREATE chain into the materialized base
+    assert(s.cypher("MATCH (a:acct) RETURN count(a) AS n").collect().head.getLong(0) == 2L)
+    val db = s.catalog.database("neo4j")
+    val baseRef = db.graph.nodes
+    // ONE delta-shaped commit (batched upsert): updates k=1,2; creates k=3
+    s.cypher(
+      """UNWIND [1, 2, 3] AS x MERGE (a:acct {k: x})
+        |ON MATCH SET a.bal = a.bal + 100 ON CREATE SET a.bal = 0""".stripMargin)
+    // the overlay is live and UNCOMPACTED (pendingMutations == 1 —
+    // compactIfNeeded needs >= 2), and the base was NOT rewritten
+    val st = db.validNodeDelta
+    assert(st.isDefined, "delta overlay not installed by the batched upsert")
+    assert(st.get.base eq baseRef, "delta commit rewrote the base")
+    assert(db.pendingMutations == 1)
+    // read-your-writes resolves THROUGH the delta
+    val got = s.cypher("MATCH (a:acct) RETURN a.k AS k, a.bal AS bal ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 110L), (2L, 120L), (3L, 0L)))
+    // a second burst extends the delta latest-wins; the base STILL
+    // never rewrites, and compaction (triggered by this read at
+    // pending >= 2) keeps the overlay installed over the same base
+    s.cypher(
+      """UNWIND [2, 3] AS x MERGE (a:acct {k: x})
+        |ON MATCH SET a.bal = a.bal + 1 ON CREATE SET a.bal = 0""".stripMargin)
+    val got2 = s.cypher("MATCH (a:acct) RETURN a.k AS k, a.bal AS bal ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((1L, 110L), (2L, 121L), (3L, 1L)))
+    assert(db.validNodeDelta.exists(_.base eq baseRef),
+      "compaction rewrote the base under a delta-shaped burst")
+    // dump/load on the delta-bearing database: the snapshot writes the
+    // RESOLVED view, a fresh session reads identical rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta-dump").toString
+    s.saveDatabase(dir)
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(dir)
+    val reloaded = fresh.cypher("MATCH (a:acct) RETURN a.k AS k, a.bal AS bal ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(reloaded == got2)
+  }
+
+  test("setGraph seeds the id allocator past the view: upsert-created nodes never shadow view nodes") {
+    val s = new GraftSession(spark)
+    // a tiny hand-built view whose node ids deliberately start at 0
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val nodes = spark.range(0, 5).select(col("id"),
+      array(lit("v")).as("labels"), (col("id") * 100).as("k"))
+    val edges = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      graft.core.PropertyGraph.edgeBaseSchema)
+    s.setGraph(graft.core.PropertyGraph(nodes, edges))
+    // MERGE-create two unseen keys: their ids must mint PAST the view
+    s.cypher("UNWIND [777, 888] AS x MERGE (n:v {k: x}) ON CREATE SET n.fresh = 1")
+    val all = s.cypher("MATCH (n:v) RETURN id(n) AS i, n.k AS k ORDER BY i").collect()
+    assert(all.length == 7, s"created rows must not replace view rows: ${all.toSeq}")
+    val created = all.filter(r => r.getLong(1) == 777L || r.getLong(1) == 888L)
+    assert(created.forall(_.getLong(0) >= 5L),
+      s"created ids collide with view ids: ${created.toSeq}")
+  }
+
   test("RETURN p renders the path value; count(r)/DISTINCT r use relationship identity") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:pw {name:'a'})-[:T {tag:1}]->(b:pw {name:'b'})")
