@@ -393,6 +393,42 @@ object GraphAlgos {
           "WHERE cost <= 15 RETURN node_id, cost")
     },
 
+    // Same recurrence over a WEIGHTED NAMED PROJECTION (r11 verdict
+    // #6, the GDS calling convention): gds.graph.project declares
+    // relationshipProperties='weight', and dijkstra names it via
+    // relationshipWeightProperty — the projected edge set carries
+    // ONLY topology + the declared property. Identical subgraph, so
+    // the row hash-matches the same recursive-CTE oracle.
+    sql("gds_dijkstra_projected",
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey < 3000),
+        |pair AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+        |         FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |e AS (SELECT pa*10+6 AS src, pb*10+6 AS dst, (pa + pb) % 9 + 1 AS w FROM pair
+        |      UNION ALL
+        |      SELECT pb*10+6, pa*10+6, (pa + pb) % 9 + 1 FROM pair),
+        |walk(node, cost) AS (
+        |  SELECT CAST(min(p)*10+6 AS BIGINT), CAST(0 AS BIGINT) FROM li
+        |  UNION
+        |  SELECT e.dst, walk.cost + e.w
+        |  FROM walk JOIN e ON e.src = walk.node
+        |  WHERE walk.cost + e.w <= 15)
+        |SELECT node AS node_id, CAST(min(cost) AS BIGINT) AS cost
+        |FROM walk GROUP BY node""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, min}
+      val src = graft.core.Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 3000)
+        .agg(min("l_partkey")).collect().head.getLong(0) * 10 + 6
+      val gs = coSession(s, dir)
+      gs.cypher(
+        "CALL gds.graph.project('wco', 'part', 'CO', 'weight') YIELD graphName RETURN graphName")
+        .collect()
+      gs.cypher(
+        s"CALL gds.dijkstra($src, 'wco', 'weight') YIELD node_id, cost " +
+          "WHERE cost <= 15 RETURN node_id, cost")
+    },
+
     // k-core of the co-purchase graph: both engines peel synchronously
     // for the same fixed round budget (engine early-exits only on a
     // converged graph, where further rounds are no-ops — identical

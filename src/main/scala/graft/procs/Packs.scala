@@ -343,21 +343,42 @@ object Packs {
         case other => (session.graph(), other.filter(_ != "*"))
       }
     procs.register("gds.graph.project",
-      "(graphName :: STRING, nodeLabel :: STRING?, relType :: STRING?) :: " +
+      "(graphName :: STRING, nodeLabel :: STRING?, relType :: STRING?, " +
+        "relationshipProperties :: STRING?) :: " +
         "(graphName, nodeCount, relationshipCount)",
-      "Project a named label/relType-filtered graph view ('*' = all)") { args =>
+      "Project a named label/relType-filtered graph view ('*' = all); " +
+        "relationshipProperties (comma-separated) declares the edge " +
+        "properties weighted algorithms may read") { args =>
+      import org.apache.spark.sql.functions.col
       val name = String.valueOf(args.head)
       val label = relTypeArg(args, 1)
       val rel = relTypeArg(args, 2)
       val base = session.graph()
       val nodes = label.map(base.nodesWithLabel).getOrElse(base.nodes)
-      val ids = nodes.select(org.apache.spark.sql.functions.col("id"))
+      val ids = nodes.select(col("id"))
       val typed = rel.map(base.edgesOfType).getOrElse(base.edges)
       // projection keeps only edges whose BOTH endpoints survive the
       // node filter — two keyed semi joins, the GDS contract
-      val edges = typed
+      val edges0 = typed
         .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      // relationshipProperties declared (GDS calling convention): the
+      // projected edge set keeps ONLY topology + the declared
+      // properties — at scale that is a narrower shuffle/cache
+      // footprint AND the contract that weighted algorithms read only
+      // what was projected. Undeclared names refuse loudly.
+      val edges = relTypeArg(args, 3) match {
+        case Some(propList) =>
+          val ps = propList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val missing = ps.filterNot(edges0.columns.contains)
+          if (missing.nonEmpty) throw new IllegalArgumentException(
+            s"relationshipProperties ${missing.mkString(", ")} not found " +
+              "on the relationship set")
+          val keep = (graft.core.PropertyGraph.edgeBaseSchema.fieldNames.toSeq
+            .filter(edges0.columns.contains) ++ ps).distinct
+          edges0.select(keep.map(col): _*)
+        case None => edges0
+      }
       val g = graft.core.PropertyGraph(nodes, edges)
       session.projectedGraphs(name) = g
       procs.oneRow("graphName" -> name, "nodeCount" -> nodes.count(),
@@ -432,11 +453,18 @@ object Packs {
       Gds.shortestPath(spark, graphArg(args, 1)._1, graphArg(args, 1)._2, landmark)
     }
     procs.register("gds.dijkstra",
-      "(source :: INTEGER, relType :: STRING?) :: (node_id, cost)",
+      "(source :: INTEGER, relType :: STRING?, relationshipWeightProperty :: STRING?) " +
+        ":: (node_id, cost)",
       "Weighted single-source shortest path over the undirected " +
-        "projection, Long `weight` edge property (GraphX Pregel)") { args =>
+        "projection (GraphX Pregel); the weight property defaults to " +
+        "`weight` and must exist on the (projected) relationship set") { args =>
       val source = String.valueOf(args.head).toLong
-      Gds.dijkstra(spark, graphArg(args, 1)._1, graphArg(args, 1)._2, source)
+      val (g, rel) = graphArg(args, 1)
+      val wp = relTypeArg(args, 2).getOrElse("weight")
+      if (!g.edges.columns.contains(wp)) throw new IllegalArgumentException(
+        s"relationship weight property `$wp` is not present on the graph " +
+          "(declare it via gds.graph.project relationshipProperties)")
+      Gds.dijkstra(spark, g, rel, source, wp)
     }
     procs.register("gds.triangleCount", "(relType :: STRING?) :: (node_id, triangles)",
       "Per-node triangle count (GraphX)") { args =>

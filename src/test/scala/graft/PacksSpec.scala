@@ -518,6 +518,34 @@ class PacksSpec extends AnyFunSuite {
     assert(core3.isEmpty) // peel cascades to nothing
   }
 
+  test("weighted projection: relationshipProperties prunes columns; dijkstra names its weight") {
+    val s = sessionWith("graph-data-science")
+    s.cypher("CREATE (a:w {k:1})-[:R {weight: 2, extra: 9}]->(b:w {k:2})")
+    s.cypher("MATCH (b:w {k:2}) CREATE (b)-[:R {weight: 3, extra: 9}]->(c:w {k:3})")
+    // declared property survives, undeclared is pruned from the view
+    s.cypher("CALL gds.graph.project('wg', 'w', 'R', 'weight') YIELD graphName RETURN graphName")
+      .collect()
+    val proj = s.projectedGraphs("wg")
+    assert(proj.edges.columns.contains("weight"))
+    assert(!proj.edges.columns.contains("extra"))
+    // weighted dijkstra over the named projection
+    val ids = s.cypher("MATCH (n:w) RETURN n.k AS k, id(n) AS i").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val costs = s.cypher(
+      s"CALL gds.dijkstra(${ids(1L)}, 'wg', 'weight') YIELD node_id, cost RETURN node_id, cost")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(costs(ids(1L)) == 0L && costs(ids(2L)) == 2L && costs(ids(3L)) == 5L)
+    // an undeclared weight property refuses loudly
+    val e = intercept[IllegalArgumentException](
+      s.cypher(s"CALL gds.dijkstra(${ids(1L)}, 'wg', 'extra') YIELD node_id, cost RETURN node_id"))
+    assert(e.getMessage.contains("relationshipProperties"))
+    // a nonexistent declared property refuses at projection time
+    val e2 = intercept[IllegalArgumentException](
+      s.cypher("CALL gds.graph.project('wg2', 'w', 'R', 'nope') YIELD graphName RETURN graphName")
+        .collect())
+    assert(e2.getMessage.contains("not found"))
+  }
+
   test("genai.vector.encode stub: deterministic unit-scale vectors compose with cosine") {
     val s = sessionWith("genai")
     val r = s.cypher(
