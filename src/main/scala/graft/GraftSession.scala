@@ -114,13 +114,35 @@ final class GraftSession(val spark: SparkSession,
 
   def saveDatabase(dataDir: String, db: String = "neo4j"): Unit = {
     val dir = s"$dataDir/databases/$db"
-    SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), dir, db,
-      schemaMeta(db), catalog.database(db).nextRelId.get())
-    setGraph(PropertyGraph(spark.read.parquet(s"$dir/nodes"),
+    val d = catalog.database(db)
+    // INCREMENTAL save (v5 nodes_delta, the stretch of r11 verdict #8):
+    // when the session's mutations are a pure node delta over the
+    // exact base this snapshot dir already holds (provenance manifest
+    // equality — anyone else touching the dir falls back to a full
+    // write), persist ONLY the delta: an unchanged 100 TB base is
+    // never rewritten for a 30-row commit.
+    val incremental = d.validNodeDelta.filter { s =>
+      (s.base eq d.matNodes) && (graph(db).edges eq d.matEdges) &&
+        d.snapshotProvenance.exists { case (pdir, pm) =>
+          pdir == dir && SnapshotStore.exists(dir) &&
+            (try SnapshotStore.readManifest(dir) == pm
+             catch { case _: Exception => false })
+        }
+    }
+    val m = incremental match {
+      case Some(s) =>
+        SnapshotStore.writeDelta(spark, s.delta, dir, db,
+          d.nextId.get(), d.nextRelId.get(), schemaMeta(db))
+      case None =>
+        SnapshotStore.write(graph(db), d.nextId.get(), dir, db,
+          schemaMeta(db), d.nextRelId.get())
+    }
+    setGraph(PropertyGraph(SnapshotStore.readNodes(spark, dir),
       spark.read.parquet(s"$dir/edges")), db)
+    d.snapshotProvenance = Some((dir, m))
     // the durable snapshot replaced the append-log lineage: any
     // mutation-pinned caches it referenced can be freed now
-    catalog.database(db).releasePinned()
+    d.releasePinned()
   }
 
   /** Load a database from the data-dir snapshot. */
@@ -131,6 +153,7 @@ final class GraftSession(val spark: SparkSession,
     setGraph(g, db)
     catalog.database(db).nextId.set(m.nextId)
     catalog.database(db).nextRelId.set(m.nextRelId)
+    catalog.database(db).snapshotProvenance = Some((dir, m))
     applySchemaMeta(db, SnapshotStore.readSchema(dir))
     catalog.database(db).releasePinned()
   }
@@ -1960,17 +1983,9 @@ final class GraftSession(val spark: SparkSession,
     unit()
   }
 
-  /** Resolve a node delta overlay: base rows whose id the delta
-    * doesn't replace, plus the delta's replacement/created rows
-    * (schema widens by name — new property columns null-fill the
-    * base side). One anti join + one union; the base is never
-    * rewritten. */
+  /** Resolve a node delta overlay — see PropertyGraph.overlayById. */
   private def overlayNodes(base: DataFrame, delta: DataFrame): DataFrame =
-    PropertyGraph.appendByName(
-      base.join(delta.select(org.apache.spark.sql.functions.col("id")
-        .as("_ov_k")), base("id") ===
-        org.apache.spark.sql.functions.col("_ov_k"), "left_anti"),
-      delta)
+    PropertyGraph.overlayById(base, delta)
 
   /** Batched relationship upsert — `UNWIND $batch AS row
     * MATCH (a:L {k: row.src}), (b:M {k: row.dst}) MERGE (a)-[r:T]->(b)

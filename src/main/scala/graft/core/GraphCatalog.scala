@@ -73,6 +73,13 @@ final class GraphDatabase(val name: String) {
   def validNodeDelta: Option[NodeDeltaState] =
     nodeDeltaState.filter(s => graph != null && (graph.nodes eq s.resolved))
 
+  /** Where the materialized base came from on disk: (snapshot dir, the
+    * manifest as loaded/written). An incremental save may skip
+    * rewriting the base ONLY while the target dir's manifest still
+    * equals this one — anyone else touching the snapshot invalidates
+    * the shortcut, never correctness. */
+  @volatile var snapshotProvenance: Option[(String, SnapshotStore.Manifest)] = None
+
   /** Schema metadata, name → (label, property). Uniqueness
     * constraints are ENFORCED on write (GraftSession); plain indexes
     * are metadata-only — Spark's analog of a secondary index is

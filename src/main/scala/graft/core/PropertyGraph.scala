@@ -85,4 +85,15 @@ object PropertyGraph {
     * writes): missing columns null-fill on both sides. */
   def appendByName(base: DataFrame, extra: DataFrame): DataFrame =
     base.unionByName(extra, allowMissingColumns = true)
+
+  /** Latest-wins overlay by id: base rows whose id the delta doesn't
+    * replace, plus the delta's replacement/created rows (schema widens
+    * by name). One anti join + one union; the base is never
+    * rewritten — the resolution step of the mutation delta-log and of
+    * v5 snapshot `nodes_delta` overlays. */
+  def overlayById(base: DataFrame, delta: DataFrame): DataFrame =
+    appendByName(
+      base.join(delta.select(col("id").as("_ov_k")),
+        base("id") === col("_ov_k"), "left_anti"),
+      delta)
 }

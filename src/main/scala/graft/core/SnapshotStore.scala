@@ -23,10 +23,15 @@ object SnapshotStore {
     * FULLTEXT) so vector/fulltext indexes survive dump/load;
     * v4: edges gain a surrogate `eid` column (relationship identity —
     * pre-v4 snapshots get deterministic ids assigned in the separate
-    * relationship-id space on migration, recorded as next_rel_id).
+    * relationship-id space on migration, recorded as next_rel_id);
+    * v5: snapshots MAY carry a `nodes_delta/` overlay — latest-wins
+    * replacement rows by node id written by INCREMENTAL saves (the
+    * delta-log analog of the reference's transaction logs under
+    * /data/transactions, docker-entrypoint.sh:521-532): an unchanged
+    * base is never rewritten; readers fold base ⟵anti⟶ delta ∪ delta.
     * Older snapshots upgrade IN PLACE on first read, the reference's
     * store-migration-on-startup behavior (ref TestUpgrade.java:54-73). */
-  val FormatVersion = 4
+  val FormatVersion = 5
 
   final case class Manifest(
       formatVersion: Int,
@@ -81,6 +86,7 @@ object SnapshotStore {
     Files.createDirectories(Paths.get(dir))
     Files.deleteIfExists(Paths.get(s"$dir/manifest.json")) // invalidate before touching data
     deleteDir(s"$dir/nodes")
+    deleteDir(s"$dir/nodes_delta") // a full write supersedes any overlay
     deleteDir(s"$dir/edges")
     Files.deleteIfExists(Paths.get(s"$dir/schema.json"))
     Files.move(Paths.get(s"$tmp/nodes"), Paths.get(s"$dir/nodes"))
@@ -115,9 +121,56 @@ object SnapshotStore {
           s"but this engine supports at most $FormatVersion")
     val m = if (m0.formatVersion < FormatVersion) migrateInPlace(spark, dir, m0) else m0
     val g = PropertyGraph(
-      spark.read.parquet(s"$dir/nodes"),
+      readNodes(spark, dir),
       normalizeRelType(spark.read.parquet(s"$dir/edges")))
     (g, m)
+  }
+
+  /** The snapshot's node side with any `nodes_delta/` overlay folded
+    * in lazily (one anti join + one union — the base files are read,
+    * never rewritten). */
+  def readNodes(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val base = spark.read.parquet(s"$dir/nodes")
+    if (!Files.exists(Paths.get(s"$dir/nodes_delta"))) base
+    else PropertyGraph.overlayById(base, spark.read.parquet(s"$dir/nodes_delta"))
+  }
+
+  /** INCREMENTAL snapshot write (v5): persist only the node DELTA —
+    * latest-wins replacement rows by id — merging it into any delta
+    * already on disk; the base parquet is untouched. The manifest (the
+    * commit point) rewrites LAST with the folded node count and the
+    * current allocator state, same crash discipline as write(). The
+    * caller is responsible for provenance: the on-disk base must be
+    * the exact base the delta was built against. */
+  def writeDelta(spark: SparkSession, delta: org.apache.spark.sql.DataFrame,
+      dir: String, database: String, nextId: Long, nextRelId: Long,
+      schema: SchemaMeta = SchemaMeta.empty): Manifest = {
+    import org.apache.spark.sql.functions.col
+    val old = readManifest(dir)
+    val merged =
+      if (!Files.exists(Paths.get(s"$dir/nodes_delta"))) delta
+      else {
+        val disk = spark.read.parquet(s"$dir/nodes_delta")
+        PropertyGraph.appendByName(
+          disk.join(delta.select(col("id").as("_nk")),
+            disk("id") === col("_nk"), "left_anti"),
+          delta)
+      }
+    val tmp = s"$dir/.tmp-delta"
+    deleteDir(tmp)
+    merged.write.mode("overwrite").parquet(tmp)
+    val nodeCount = PropertyGraph.overlayById(
+      spark.read.parquet(s"$dir/nodes"), spark.read.parquet(tmp)).count()
+    Files.deleteIfExists(Paths.get(s"$dir/manifest.json")) // invalidate first
+    deleteDir(s"$dir/nodes_delta")
+    Files.move(Paths.get(tmp), Paths.get(s"$dir/nodes_delta"))
+    Files.writeString(Paths.get(s"$dir/schema.json"), schemaJson(schema))
+    val m = Manifest(FormatVersion, database, nodeCount, old.edgeCount, nextId, nextRelId)
+    Files.writeString(Paths.get(s"$dir/manifest.json"),
+      s"""{"format_version": ${m.formatVersion}, "database": "${m.database}", """ +
+        s""""node_count": ${m.nodeCount}, "edge_count": ${m.edgeCount}, """ +
+        s""""next_id": ${m.nextId}, "next_rel_id": ${m.nextRelId}}""")
+    m
   }
 
   /** Snapshots store edges hive-partitioned by relType, and partition
@@ -196,6 +249,9 @@ object SnapshotStore {
               .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(-1L)
             cur = cur.copy(nextRelId = math.max(cur.nextRelId, maxEid + 1))
           }
+        case 4 => // v4→v5: nodes_delta is OPTIONAL — absence means an
+          // all-in-base snapshot, so nothing rewrites
+          ()
         case v => throw new IllegalStateException(
           s"no migration from snapshot format $v at $dir")
       }

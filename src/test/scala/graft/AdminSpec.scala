@@ -311,6 +311,63 @@ class AdminSpec extends AnyFunSuite {
     assert(all.size == 3 && all.distinct.size == 3, s"eid collision: $all")
   }
 
+  test("incremental save (v5): a delta-bearing database writes nodes_delta, never the base") {
+    import graft.core.SnapshotStore
+    val data = tmp("graft-incr")
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:acct {k: 1, bal: 10})")
+    s.cypher("CREATE (a:acct {k: 2, bal: 20})")
+    s.saveDatabase(data) // full write; provenance recorded
+    val snap = s"$data/databases/neo4j"
+    def baseFiles() = {
+      val d = new java.io.File(s"$snap/nodes")
+      d.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = baseFiles()
+    // a delta-shaped burst (batched upsert): update k=1, create k=3
+    s.cypher(
+      """UNWIND [1, 3] AS x MERGE (a:acct {k: x})
+        |ON MATCH SET a.bal = 99 ON CREATE SET a.bal = 0""".stripMargin)
+    s.saveDatabase(data) // INCREMENTAL: only nodes_delta lands
+    assert(baseFiles() == before, "incremental save rewrote the base parquet")
+    assert(Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")))
+    val m1 = SnapshotStore.readManifest(snap)
+    assert(m1.formatVersion == SnapshotStore.FormatVersion && m1.nodeCount == 3)
+    // a fresh session folds the overlay on load
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(data)
+    val got = fresh.cypher("MATCH (a:acct) RETURN a.k AS k, a.bal AS bal ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 99L), (2L, 20L), (3L, 0L)))
+    // a SECOND incremental burst merges into the existing delta
+    s.cypher(
+      """UNWIND [2, 3] AS x MERGE (a:acct {k: x})
+        |ON MATCH SET a.bal = a.bal + 1 ON CREATE SET a.bal = 0""".stripMargin)
+    s.saveDatabase(data)
+    assert(baseFiles() == before, "second incremental save rewrote the base")
+    val fresh2 = new GraftSession(spark)
+    fresh2.loadDatabase(data)
+    val got2 = fresh2.cypher("MATCH (a:acct) RETURN a.k AS k, a.bal AS bal ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((1L, 99L), (2L, 21L), (3L, 1L)))
+    // dump (dir copy) round-trips the delta-bearing snapshot byte-stably
+    val copy = tmp("graft-incr-copy")
+    SnapshotStore.copyDir(snap, s"$copy/databases/neo4j")
+    val fresh3 = new GraftSession(spark)
+    fresh3.loadDatabase(copy)
+    assert(fresh3.cypher("MATCH (a:acct) RETURN a.k AS k, a.bal AS bal ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == got2)
+    // a NON-delta mutation falls back to a full write and clears the overlay
+    s.cypher("MATCH (a:acct {k: 2}) SET a.bal = 500")
+    s.saveDatabase(data)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")),
+      "full write must supersede the overlay")
+    val fresh4 = new GraftSession(spark)
+    fresh4.loadDatabase(data)
+    assert(fresh4.cypher("MATCH (a:acct {k: 2}) RETURN a.bal AS b")
+      .collect().head.getLong(0) == 500L)
+  }
+
   test("v2 -> v3: legacy 2-element index entries migrate to kinded RANGE entries") {
     import graft.core.SnapshotStore
     val data = tmp("graft-data")
