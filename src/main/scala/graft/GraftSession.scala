@@ -71,6 +71,7 @@ final class GraftSession(val spark: SparkSession,
     d.matEdges = g.edges
     d.pendingMutations = 0
     d.nodeDeltaState = None
+    d.edgeDeltaState = None
     // Seed the node-id allocator PAST the view's ids: nodes created by
     // later upserts must never collide with existing ones — id
     // identity keys the delta overlay, Bolt wire entities, and
@@ -430,9 +431,10 @@ final class GraftSession(val spark: SparkSession,
         d.matNodes = sh.matNodes
         d.matEdges = sh.matEdges
         d.pendingMutations = sh.pendingMutations
-        // the delta overlay rides along: its validity check is by
+        // the delta overlays ride along: their validity check is by
         // reference against the graph pointer just published
         d.nodeDeltaState = sh.nodeDeltaState
+        d.edgeDeltaState = sh.edgeDeltaState
         d.adoptPinnedFrom(sh)
       } else sh.releasePinned()
     }
@@ -769,30 +771,38 @@ final class GraftSession(val spark: SparkSession,
   private def compactIfNeeded(db: GraphDatabase): Unit =
     if (db.pendingMutations >= 2) {
       val g = db.graph
-      db.validNodeDelta match {
+      // Each side resolves independently (node and edge deltas can be
+      // live at once — a tx that upserts nodes then MERGEs edges).
+      // Delta-shaped write burst: the delta is ALREADY materialized
+      // (it checkpoints at each commit), so compaction only needs to
+      // materialize a base that is itself an unmaterialized chain (a
+      // non-delta mutation ran before the burst) — exactly once; the
+      // full table is never rewritten for delta-shaped commits. This
+      // is what makes a 30-row batch commit O(batch + delta), not
+      // O(table).
+      val (nodesOut, matN, ndState) = db.validNodeDelta match {
         case Some(s) =>
-          // Delta-shaped write burst: the delta is ALREADY materialized
-          // (it checkpoints at each commit), so node-side compaction
-          // only needs to materialize a base that is itself an
-          // unmaterialized chain (a non-delta mutation ran before the
-          // burst) — exactly once; the full table is never rewritten
-          // for delta-shaped commits. This is what makes a 30-row
-          // batch commit O(batch + delta), not O(table).
           val base = if (s.base eq db.matNodes) s.base else s.base.localCheckpoint()
           val resolved = if (base eq s.base) g.nodes else overlayNodes(base, s.delta)
-          val edges = if (g.edges eq db.matEdges) g.edges else g.edges.localCheckpoint()
-          db.graph = PropertyGraph(resolved, edges)
-          db.matNodes = base
-          db.matEdges = edges
-          db.nodeDeltaState = Some(graft.core.NodeDeltaState(base, s.delta, resolved, s.buf))
+          (resolved, base, Some(graft.core.NodeDeltaState(base, s.delta, resolved, s.buf)))
         case None =>
           val nodes = if (g.nodes eq db.matNodes) g.nodes else g.nodes.localCheckpoint()
-          val edges = if (g.edges eq db.matEdges) g.edges else g.edges.localCheckpoint()
-          db.graph = PropertyGraph(nodes, edges)
-          db.matNodes = nodes
-          db.matEdges = edges
-          db.nodeDeltaState = None // stale overlay state, if any
+          (nodes, nodes, None)
       }
+      val (edgesOut, matE, edState) = db.validEdgeDelta match {
+        case Some(s) =>
+          val base = if (s.base eq db.matEdges) s.base else s.base.localCheckpoint()
+          val resolved = if (base eq s.base) g.edges else overlayEdges(base, s.delta)
+          (resolved, base, Some(graft.core.EdgeDeltaState(base, s.delta, resolved)))
+        case None =>
+          val edges = if (g.edges eq db.matEdges) g.edges else g.edges.localCheckpoint()
+          (edges, edges, None)
+      }
+      db.graph = PropertyGraph(nodesOut, edgesOut)
+      db.matNodes = matN
+      db.matEdges = matE
+      db.nodeDeltaState = ndState // stale overlay state drops (None case)
+      db.edgeDeltaState = edState
       db.releasePinned()
       db.pendingMutations = 0
     }
@@ -1987,6 +1997,10 @@ final class GraftSession(val spark: SparkSession,
   private def overlayNodes(base: DataFrame, delta: DataFrame): DataFrame =
     PropertyGraph.overlayById(base, delta)
 
+  /** Resolve an edge delta overlay (latest-wins by surrogate eid). */
+  private def overlayEdges(base: DataFrame, delta: DataFrame): DataFrame =
+    PropertyGraph.overlayByKey(base, delta, "eid")
+
   /** Batched relationship upsert — `UNWIND $batch AS row
     * MATCH (a:L {k: row.src}), (b:M {k: row.dst}) MERGE (a)-[r:T]->(b)
     * [ON CREATE SET …] [ON MATCH SET …]` — the second half of the Bolt
@@ -2177,51 +2191,78 @@ final class GraftSession(val spark: SparkSession,
       // if EVERY hop exists; otherwise the ENTIRE pattern is created —
       // including hops that individually pre-exist (Neo4j does the
       // same: a half-present path is a full-pattern miss)
-      val candidates = bindings.select(pathVars.map(col): _*).distinct()
+      // candidates/hits/missing each feed MULTIPLE downstream actions
+      // (the per-hop miss checkpoints, the ON MATCH hit lookup, the
+      // delta checkpoint) — materialize each ONCE so the binding joins
+      // and the per-hop existence probes never re-execute. All three
+      // are O(bindings) rows, which the commit must touch anyway.
+      val candidates =
+        bindings.select(pathVars.map(col): _*).distinct().localCheckpoint()
       val hits = hopDefs.foldLeft(candidates) { case (df, (sv, dv, rel)) =>
         df.join(existingEither(rel).select(col("src").as("_hs"), col("dst").as("_hd")),
           col(sv) === col("_hs") && col(dv) === col("_hd"), "left_semi")
-      }
-      val missing = candidates.join(hits, pathVars, "left_anti")
+      }.localCheckpoint()
+      val missing = candidates.join(hits, pathVars, "left_anti").localCheckpoint()
+      val missCnt = missing.count()
 
-      // ON MATCH: update the pre-existing hit edges (both orientations
-      // of an undirected hit) before the append, so created rows never
-      // see ON MATCH values
-      var edges = g.edges
+      // ON MATCH: DELTA-shaped update of the pre-existing hit edges
+      // (both orientations of an undirected hit), applied before the
+      // append so created rows never see ON MATCH values. The hit ROWS
+      // are looked up (bounded by hits × parallel edges), SET applies
+      // to those rows only, and the replacements land in the eid-keyed
+      // edge delta overlay — the full edge table is never rewritten,
+      // so a MERGE ON MATCH commit costs O(hits + delta), not
+      // O(table). This is the edge half of the mutation delta-log
+      // (node half: NodeDeltaState; ref analog: txn logs under
+      // /data/transactions, docker-entrypoint.sh:521-532).
+      //
+      // `working` threads earlier hops' updates into later hops'
+      // lookups (a later hop hitting the same edge row composes, as
+      // the old whole-table rewrite did); `foldDelta` keeps the delta
+      // one-row-per-eid, latest wins.
+      var working = g.edges
+      var deltaAcc: Option[DataFrame] = None
+      def foldDelta(extra: DataFrame): Unit = deltaAcc = Some(deltaAcc match {
+        case None => extra
+        case Some(d0) => PropertyGraph.appendByName(
+          d0.join(extra.select(col("eid").as("_ek")), d0("eid") === col("_ek"), "left_anti"),
+          extra)
+      })
       hopDefs.zipWithIndex.foreach { case ((sv, dv, rel), i) =>
         val items = onMatch.collect { case (`i`, k, e) => k -> e }
         if (items.nonEmpty) {
-          val hitPairs = hits.select(col(sv).as("src"), col(dv).as("dst"))
+          val hitPairs = hits.select(col(sv).as("_ms"), col(dv).as("_md"))
           val hitKeys = (if (rel.dir == 0)
-              hitPairs.union(hitPairs.select(col("dst").as("src"), col("src").as("dst")))
-            else hitPairs)
-            .select(col("src").as("_ms"), col("dst").as("_md")).distinct()
-          val joined = edges.join(hitKeys,
-            edges("src") === col("_ms") && edges("dst") === col("_md"), "left_outer")
+              hitPairs.union(hitPairs.select(col("_md").as("_ms"), col("_ms").as("_md")))
+            else hitPairs).distinct()
           // the update must be scoped exactly like the existence check:
           // type AND the pattern's literal props — otherwise a parallel
           // edge between the same endpoints with different props would be
           // mutated by a pattern that never matched it
-          val mark = rel.props.toSeq.sortBy(_._1)
-            .foldLeft(col("_ms").isNotNull && col("relType") === relTypeOf(rel)) {
-              case (c, (k, l)) =>
-                if (g.edges.columns.contains(k)) c && col(k) <=> lit(norm(l.v))
-                else c && lit(false)
+          val scoped = rel.props.toSeq.sortBy(_._1)
+            .foldLeft(working.filter(col("relType") === relTypeOf(rel))) {
+              case (df, (k, l)) =>
+                if (working.columns.contains(k)) df.filter(col(k) <=> lit(norm(l.v)))
+                else df.filter(lit(false))
             }
-          edges = items.foldLeft(joined) { case (df, (k, e)) =>
-            val valueCol = setValueColumn(g.edges, rel.variable.getOrElse("r"), isRel = true, e)
-            if (g.edges.columns.contains(k))
-              df.withColumn(k, when(mark, valueCol).otherwise(col(k)))
-            else df.withColumn(k, when(mark, valueCol))
-          }.drop("_ms", "_md")
+          val hitRows = scoped.join(hitKeys,
+            scoped("src") === col("_ms") && scoped("dst") === col("_md"), "left_semi")
+          val updated = items.foldLeft(hitRows) { case (df, (k, e)) =>
+            df.withColumn(k, setValueColumn(df, rel.variable.getOrElse("r"), isRel = true, e))
+          }
+          foldDelta(updated)
+          working = PropertyGraph.overlayByKey(working, updated, "eid")
         }
       }
 
       // append the whole pattern for each full-pattern miss; per-hop
       // pairs dedupe (two path tuples sharing a hop pair append that
       // edge once — MERGE's match-or-create contract makes that the
-      // correct semantics: identical patterns merge to one edge)
-      val appended = hopDefs.zipWithIndex.map { case ((sv, dv, rel), i) =>
+      // correct semantics: identical patterns merge to one edge).
+      // Zero misses (a pure ON MATCH rerun) skips the per-hop
+      // numbering machinery entirely — no empty checkpoint/count jobs.
+      val appended = if (missCnt == 0) Nil
+      else hopDefs.zipWithIndex.map { case ((sv, dv, rel), i) =>
         val pairs0 = missing.select(col(sv).as("src"), col(dv).as("dst")).distinct()
           .withColumn("relType", lit(relTypeOf(rel)))
         // surrogate eids: same deterministic distributed numbering as
@@ -2249,8 +2290,28 @@ final class GraftSession(val spark: SparkSession,
           d.withColumn(k, setValueColumn(d, rel.variable.getOrElse("r"), isRel = true, e))
         }
       }
-      db.graph = PropertyGraph(g.nodes,
-        appended.foldLeft(edges)(PropertyGraph.appendByName))
+      appended.foreach(foldDelta)
+
+      // Commit: fold the new replacement/created rows into the edge
+      // delta (latest-wins per eid across commits), checkpoint the
+      // delta EAGERLY — same load-bearing reasoning as the node path:
+      // the next commit's lookups read the resolved frame and the
+      // extension anti-joins the previous delta, so an unmaterialized
+      // chain doubles in plan size per commit — and publish the
+      // overlay. The base edge table is never rewritten.
+      deltaAcc.foreach { nd =>
+        val (base, delta0) = db.validEdgeDelta match {
+          case Some(s) =>
+            val kept = s.delta.join(nd.select(col("eid").as("_ek2")),
+              s.delta("eid") === col("_ek2"), "left_anti")
+            (s.base, PropertyGraph.appendByName(kept, nd))
+          case None => (g.edges, nd)
+        }
+        val delta = delta0.localCheckpoint()
+        val resolved = overlayEdges(base, delta)
+        db.graph = PropertyGraph(g.nodes, resolved)
+        db.edgeDeltaState = Some(graft.core.EdgeDeltaState(base, delta, resolved))
+      }
     }
     unit()
   }
@@ -2669,6 +2730,7 @@ final class TxHandle private[graft] (catalog: GraphCatalog,
       sh.matEdges = real.matEdges
       sh.pendingMutations = real.pendingMutations
       sh.nodeDeltaState = real.nodeDeltaState
+      sh.edgeDeltaState = real.edgeDeltaState
       sh
     })
   }

@@ -40,6 +40,12 @@ final case class NodeDeltaState(
     resolved: org.apache.spark.sql.DataFrame,
     buf: Option[NodeDeltaBuffer] = None)
 
+/** See [[GraphDatabase.edgeDeltaState]]. */
+final case class EdgeDeltaState(
+    base: org.apache.spark.sql.DataFrame,
+    delta: org.apache.spark.sql.DataFrame,
+    resolved: org.apache.spark.sql.DataFrame)
+
 final class GraphDatabase(val name: String) {
   @volatile var graph: PropertyGraph = _
   @volatile var stopped: Boolean = false
@@ -72,6 +78,18 @@ final class GraphDatabase(val name: String) {
   @volatile var nodeDeltaState: Option[NodeDeltaState] = None
   def validNodeDelta: Option[NodeDeltaState] =
     nodeDeltaState.filter(s => graph != null && (graph.nodes eq s.resolved))
+
+  /** Edge DELTA overlay — the eid-keyed mirror of [[nodeDeltaState]]:
+    * when set, and `graph.edges eq resolved` still holds, the edge
+    * side is exactly `base ⟵anti-join(eid)⟶ delta ∪ delta`, one full
+    * REPLACEMENT row per touched/created relationship eid. A
+    * relationship MERGE ON MATCH or batched edge append then commits
+    * O(batch + delta), never O(edge table). Same self-validation by
+    * reference identity as the node side: any path that assigns
+    * `graph` without maintaining this overlay silently invalidates it. */
+  @volatile var edgeDeltaState: Option[EdgeDeltaState] = None
+  def validEdgeDelta: Option[EdgeDeltaState] =
+    edgeDeltaState.filter(s => graph != null && (graph.edges eq s.resolved))
 
   /** Where the materialized base came from on disk: (snapshot dir, the
     * manifest as loaded/written). An incremental save may skip

@@ -92,8 +92,13 @@ object PropertyGraph {
     * rewritten — the resolution step of the mutation delta-log and of
     * v5 snapshot `nodes_delta` overlays. */
   def overlayById(base: DataFrame, delta: DataFrame): DataFrame =
+    overlayByKey(base, delta, "id")
+
+  /** [[overlayById]] generalized over the key column — nodes overlay
+    * on `id`, relationships on their surrogate `eid`. */
+  def overlayByKey(base: DataFrame, delta: DataFrame, key: String): DataFrame =
     appendByName(
-      base.join(delta.select(col("id").as("_ov_k")),
-        base("id") === col("_ov_k"), "left_anti"),
+      base.join(delta.select(col(key).as("_ov_k")),
+        base(key) === col("_ov_k"), "left_anti"),
       delta)
 }

@@ -1945,6 +1945,60 @@ class CypherSpec extends AnyFunSuite {
     assert(reloaded == got2)
   }
 
+  test("edge delta-log: relationship MERGE commits O(batch) and read-your-writes across the uncompacted edge delta") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:edl {k: 1})")
+    s.cypher("CREATE (a:edl {k: 2})")
+    s.cypher("CREATE (a:edl {k: 3})")
+    // a read compacts the CREATE chain into the materialized base
+    assert(s.cypher("MATCH (a:edl) RETURN count(a) AS n").collect().head.getLong(0) == 3L)
+    val db = s.catalog.database("neo4j")
+    val edgeBaseRef = db.graph.edges
+    val merge =
+      """MATCH (a:edl {k: 1}), (b:edl {k: 2}), (c:edl {k: 3})
+        |MERGE (a)-[x:EV]->(b)-[y:EB]->(c)""".stripMargin
+    // first MERGE creates both hops — an edge-delta-shaped commit:
+    // the overlay is live and UNCOMPACTED, the base was NOT rewritten
+    s.cypher(s"$merge ON CREATE SET x.f = 1")
+    val st = db.validEdgeDelta
+    assert(st.isDefined, "edge delta overlay not installed by the relationship MERGE")
+    assert(st.get.base eq edgeBaseRef, "edge delta commit rewrote the base")
+    // read-your-writes resolves THROUGH the overlay
+    val got = s.cypher(
+      """MATCH (:edl)-[r]->(:edl)
+        |RETURN type(r) AS t, r.f AS f ORDER BY t""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toSeq
+    assert(got == Seq(("EB", None), ("EV", Some(1L))))
+    // rerun hits the whole pattern: ON MATCH marks only y, latest-wins
+    // in the delta; the base STILL never rewrites — compaction
+    // (triggered by this read at pending >= 2) keeps the overlay
+    // installed over the same base reference
+    s.cypher(s"$merge ON MATCH SET y.m = 5")
+    val got2 = s.cypher(
+      """MATCH (:edl)-[r]->(:edl)
+        |RETURN type(r) AS t, r.f AS f, r.m AS m ORDER BY t""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(got2 == Seq(("EB", None, Some(5L)), ("EV", Some(1L), None)))
+    assert(db.validEdgeDelta.exists(_.base eq edgeBaseRef),
+      "compaction rewrote the edge base under a delta-shaped burst")
+    // rerun with no SET: pure hit, zero misses — still a no-surprise
+    // no-op (the miss-append machinery is skipped entirely)
+    s.cypher(merge)
+    assert(s.cypher("MATCH (:edl)-[r]->(:edl) RETURN count(r) AS n")
+      .collect().head.getLong(0) == 2L)
+    // dump/load on the delta-bearing database: the snapshot writes the
+    // RESOLVED view, a fresh session reads identical rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-delta-dump").toString
+    s.saveDatabase(dir)
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(dir)
+    val reloaded = fresh.cypher(
+      """MATCH (:edl)-[r]->(:edl)
+        |RETURN type(r) AS t, r.f AS f, r.m AS m ORDER BY t""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(reloaded == got2)
+  }
+
   test("setGraph seeds the id allocator past the view: upsert-created nodes never shadow view nodes") {
     val s = new GraftSession(spark)
     // a tiny hand-built view whose node ids deliberately start at 0
