@@ -2198,8 +2198,25 @@ final class GraftSession(val spark: SparkSession,
       // are O(bindings) rows, which the commit must touch anyway.
       val candidates =
         bindings.select(pathVars.map(col): _*).distinct().localCheckpoint()
+      // Existence probe shape: the natural `candidates LEFT SEMI
+      // edges` puts the big edge set on the build side (BuildLeft is
+      // unsupported for semi), forcing a full shuffle+sort of every
+      // typed edge. For a bounded candidate set, probe the other way
+      // round — one broadcast-semi SCAN of the typed edges against the
+      // candidate pairs (no shuffle), then semi-join the tiny present
+      // set back. Falls back to the plain form for unbounded MATCH
+      // bindings where a broadcast could not be sized.
+      val candCnt = candidates.count()
+      val broadcastProbe = candCnt <= 500000
       val hits = hopDefs.foldLeft(candidates) { case (df, (sv, dv, rel)) =>
-        df.join(existingEither(rel).select(col("src").as("_hs"), col("dst").as("_hd")),
+        val present0 = existingEither(rel).select(col("src").as("_hs"), col("dst").as("_hd"))
+        val present =
+          if (broadcastProbe)
+            present0.join(
+              broadcast(candidates.select(col(sv).as("_hs"), col(dv).as("_hd")).distinct()),
+              Seq("_hs", "_hd"), "left_semi")
+          else present0
+        df.join(if (broadcastProbe) broadcast(present) else present,
           col(sv) === col("_hs") && col(dv) === col("_hd"), "left_semi")
       }.localCheckpoint()
       val missing = candidates.join(hits, pathVars, "left_anti").localCheckpoint()
@@ -2307,6 +2324,11 @@ final class GraftSession(val spark: SparkSession,
             (s.base, PropertyGraph.appendByName(kept, nd))
           case None => (g.edges, nd)
         }
+        // The delta checkpoints EAGERLY at every commit — the node
+        // path's doubling argument, plus one specific to the overlay
+        // shape: resolution consumes the delta TWICE (the anti-join
+        // probe and the union arm), so a lazy delta would re-execute
+        // its whole lookup lineage twice per read.
         val delta = delta0.localCheckpoint()
         val resolved = overlayEdges(base, delta)
         db.graph = PropertyGraph(g.nodes, resolved)
