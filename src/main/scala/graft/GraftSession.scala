@@ -116,30 +116,31 @@ final class GraftSession(val spark: SparkSession,
   def saveDatabase(dataDir: String, db: String = "neo4j"): Unit = {
     val dir = s"$dataDir/databases/$db"
     val d = catalog.database(db)
-    // INCREMENTAL save (v5 nodes_delta, the stretch of r11 verdict #8):
-    // when the session's mutations are a pure node delta over the
-    // exact base this snapshot dir already holds (provenance manifest
-    // equality — anyone else touching the dir falls back to a full
-    // write), persist ONLY the delta: an unchanged 100 TB base is
-    // never rewritten for a 30-row commit.
-    val incremental = d.validNodeDelta.filter { s =>
-      (s.base eq d.matNodes) && (graph(db).edges eq d.matEdges) &&
-        d.snapshotProvenance.exists { case (pdir, pm) =>
-          pdir == dir && SnapshotStore.exists(dir) &&
-            (try SnapshotStore.readManifest(dir) == pm
-             catch { case _: Exception => false })
-        }
+    // INCREMENTAL save (v5 nodes_delta/edges_delta, the stretch of
+    // r11 verdict #8): when the session's mutations are pure deltas —
+    // each mutated side a valid overlay over the exact base this
+    // snapshot dir already holds (provenance manifest equality —
+    // anyone else touching the dir falls back to a full write), the
+    // other side untouched — persist ONLY the deltas: an unchanged
+    // 100 TB base is never rewritten for a 30-row commit.
+    val nd = d.validNodeDelta.filter(_.base eq d.matNodes)
+    val ed = d.validEdgeDelta.filter(_.base eq d.matEdges)
+    val nodesClean = nd.isDefined || (graph(db).nodes eq d.matNodes)
+    val edgesClean = ed.isDefined || (graph(db).edges eq d.matEdges)
+    val provOk = d.snapshotProvenance.exists { case (pdir, pm) =>
+      pdir == dir && SnapshotStore.exists(dir) &&
+        (try SnapshotStore.readManifest(dir) == pm
+         catch { case _: Exception => false })
     }
-    val m = incremental match {
-      case Some(s) =>
-        SnapshotStore.writeDelta(spark, s.delta, dir, db,
+    val m =
+      if (provOk && nodesClean && edgesClean && (nd.isDefined || ed.isDefined))
+        SnapshotStore.writeDelta(spark, nd.map(_.delta), ed.map(_.delta), dir, db,
           d.nextId.get(), d.nextRelId.get(), schemaMeta(db))
-      case None =>
+      else
         SnapshotStore.write(graph(db), d.nextId.get(), dir, db,
           schemaMeta(db), d.nextRelId.get())
-    }
     setGraph(PropertyGraph(SnapshotStore.readNodes(spark, dir),
-      spark.read.parquet(s"$dir/edges")), db)
+      SnapshotStore.readEdges(spark, dir)), db)
     d.snapshotProvenance = Some((dir, m))
     // the durable snapshot replaced the append-log lineage: any
     // mutation-pinned caches it referenced can be freed now

@@ -24,9 +24,10 @@ object SnapshotStore {
     * v4: edges gain a surrogate `eid` column (relationship identity —
     * pre-v4 snapshots get deterministic ids assigned in the separate
     * relationship-id space on migration, recorded as next_rel_id);
-    * v5: snapshots MAY carry a `nodes_delta/` overlay — latest-wins
-    * replacement rows by node id written by INCREMENTAL saves (the
-    * delta-log analog of the reference's transaction logs under
+    * v5: snapshots MAY carry `nodes_delta/` and/or `edges_delta/`
+    * overlays — latest-wins replacement rows by node id / by
+    * relationship eid written by INCREMENTAL saves (the delta-log
+    * analog of the reference's transaction logs under
     * /data/transactions, docker-entrypoint.sh:521-532): an unchanged
     * base is never rewritten; readers fold base ⟵anti⟶ delta ∪ delta.
     * Older snapshots upgrade IN PLACE on first read, the reference's
@@ -87,6 +88,7 @@ object SnapshotStore {
     Files.deleteIfExists(Paths.get(s"$dir/manifest.json")) // invalidate before touching data
     deleteDir(s"$dir/nodes")
     deleteDir(s"$dir/nodes_delta") // a full write supersedes any overlay
+    deleteDir(s"$dir/edges_delta")
     deleteDir(s"$dir/edges")
     Files.deleteIfExists(Paths.get(s"$dir/schema.json"))
     Files.move(Paths.get(s"$tmp/nodes"), Paths.get(s"$dir/nodes"))
@@ -109,20 +111,29 @@ object SnapshotStore {
     val m0 =
       if (Files.exists(Paths.get(s"$dir/manifest.json"))) readManifest(dir)
       else if (Files.exists(Paths.get(s"$dir/nodes"))) {
-        val nodes = spark.read.parquet(s"$dir/nodes")
+        // synthesize from the FOLDED views (delta overlays included):
+        // a crash between a writeDelta's manifest invalidation and its
+        // rewrite must not resurrect node ids / relationship eids the
+        // on-disk delta already minted
+        val nodes = readNodes(spark, dir)
         val maxId = nodes.agg(org.apache.spark.sql.functions.max("id")).collect()
           .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(-1L)
-        val edgeCount = spark.read.parquet(s"$dir/edges").count()
-        Manifest(0, dir.split('/').last, nodes.count(), edgeCount, maxId + 1, edgeCount)
+        val edges = readEdges(spark, dir)
+        val edgeCount = edges.count()
+        val nextRel =
+          if (!edges.columns.contains("eid")) edgeCount
+          else math.max(edgeCount,
+            edges.agg(org.apache.spark.sql.functions.max("eid")).collect()
+              .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+              .getOrElse(-1L) + 1)
+        Manifest(0, dir.split('/').last, nodes.count(), edgeCount, maxId + 1, nextRel)
       } else throw new java.io.FileNotFoundException(s"no snapshot at $dir")
     if (m0.formatVersion > FormatVersion)
       throw new IllegalStateException(
         s"snapshot at $dir has format version ${m0.formatVersion}, " +
           s"but this engine supports at most $FormatVersion")
     val m = if (m0.formatVersion < FormatVersion) migrateInPlace(spark, dir, m0) else m0
-    val g = PropertyGraph(
-      readNodes(spark, dir),
-      normalizeRelType(spark.read.parquet(s"$dir/edges")))
+    val g = PropertyGraph(readNodes(spark, dir), readEdges(spark, dir))
     (g, m)
   }
 
@@ -135,37 +146,66 @@ object SnapshotStore {
     else PropertyGraph.overlayById(base, spark.read.parquet(s"$dir/nodes_delta"))
   }
 
-  /** INCREMENTAL snapshot write (v5): persist only the node DELTA —
-    * latest-wins replacement rows by id — merging it into any delta
-    * already on disk; the base parquet is untouched. The manifest (the
-    * commit point) rewrites LAST with the folded node count and the
-    * current allocator state, same crash discipline as write(). The
-    * caller is responsible for provenance: the on-disk base must be
-    * the exact base the delta was built against. */
-  def writeDelta(spark: SparkSession, delta: org.apache.spark.sql.DataFrame,
+  /** The snapshot's edge side with any `edges_delta/` overlay folded
+    * in lazily by eid (relType re-normalized first — the base is
+    * hive-partitioned by relType, the delta is written flat). */
+  def readEdges(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val base = normalizeRelType(spark.read.parquet(s"$dir/edges"))
+    if (!Files.exists(Paths.get(s"$dir/edges_delta"))) base
+    else PropertyGraph.overlayByKey(base, spark.read.parquet(s"$dir/edges_delta"), "eid")
+  }
+
+  /** INCREMENTAL snapshot write (v5): persist only the DELTAS —
+    * latest-wins replacement rows by node id (`nodeDelta`) and/or by
+    * relationship eid (`edgeDelta`) — merging each into any delta
+    * already on disk; the base parquet is untouched on both sides.
+    * The manifest (the commit point) rewrites LAST with the folded
+    * counts and the current allocator state, same crash discipline as
+    * write(). The caller is responsible for provenance: the on-disk
+    * bases must be the exact bases the deltas were built against. */
+  def writeDelta(spark: SparkSession,
+      nodeDelta: Option[org.apache.spark.sql.DataFrame],
+      edgeDelta: Option[org.apache.spark.sql.DataFrame],
       dir: String, database: String, nextId: Long, nextRelId: Long,
       schema: SchemaMeta = SchemaMeta.empty): Manifest = {
     import org.apache.spark.sql.functions.col
     val old = readManifest(dir)
-    val merged =
-      if (!Files.exists(Paths.get(s"$dir/nodes_delta"))) delta
-      else {
-        val disk = spark.read.parquet(s"$dir/nodes_delta")
-        PropertyGraph.appendByName(
-          disk.join(delta.select(col("id").as("_nk")),
-            disk("id") === col("_nk"), "left_anti"),
-          delta)
-      }
-    val tmp = s"$dir/.tmp-delta"
-    deleteDir(tmp)
-    merged.write.mode("overwrite").parquet(tmp)
-    val nodeCount = PropertyGraph.overlayById(
-      spark.read.parquet(s"$dir/nodes"), spark.read.parquet(tmp)).count()
+    // stage each side's merged delta in a tmp sibling first; the
+    // on-disk swap happens after the manifest invalidates
+    def stage(delta: org.apache.spark.sql.DataFrame, name: String,
+        key: String): String = {
+      val merged =
+        if (!Files.exists(Paths.get(s"$dir/$name"))) delta
+        else {
+          val disk = spark.read.parquet(s"$dir/$name")
+          PropertyGraph.appendByName(
+            disk.join(delta.select(col(key).as("_dk")),
+              disk(key) === col("_dk"), "left_anti"),
+            delta)
+        }
+      val tmp = s"$dir/.tmp-$name"
+      deleteDir(tmp)
+      merged.write.mode("overwrite").parquet(tmp)
+      tmp
+    }
+    val nodeTmp = nodeDelta.map(stage(_, "nodes_delta", "id"))
+    val edgeTmp = edgeDelta.map(stage(_, "edges_delta", "eid"))
+    val nodeCount = nodeTmp.map(t => PropertyGraph.overlayById(
+      spark.read.parquet(s"$dir/nodes"), spark.read.parquet(t)).count())
+      .getOrElse(old.nodeCount)
+    val edgeCount = edgeTmp.map(t => PropertyGraph.overlayByKey(
+      normalizeRelType(spark.read.parquet(s"$dir/edges")),
+      spark.read.parquet(t), "eid").count())
+      .getOrElse(old.edgeCount)
     Files.deleteIfExists(Paths.get(s"$dir/manifest.json")) // invalidate first
-    deleteDir(s"$dir/nodes_delta")
-    Files.move(Paths.get(tmp), Paths.get(s"$dir/nodes_delta"))
+    nodeTmp.foreach { t =>
+      deleteDir(s"$dir/nodes_delta"); Files.move(Paths.get(t), Paths.get(s"$dir/nodes_delta"))
+    }
+    edgeTmp.foreach { t =>
+      deleteDir(s"$dir/edges_delta"); Files.move(Paths.get(t), Paths.get(s"$dir/edges_delta"))
+    }
     Files.writeString(Paths.get(s"$dir/schema.json"), schemaJson(schema))
-    val m = Manifest(FormatVersion, database, nodeCount, old.edgeCount, nextId, nextRelId)
+    val m = Manifest(FormatVersion, database, nodeCount, edgeCount, nextId, nextRelId)
     Files.writeString(Paths.get(s"$dir/manifest.json"),
       s"""{"format_version": ${m.formatVersion}, "database": "${m.database}", """ +
         s""""node_count": ${m.nodeCount}, "edge_count": ${m.edgeCount}, """ +
@@ -249,8 +289,8 @@ object SnapshotStore {
               .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(-1L)
             cur = cur.copy(nextRelId = math.max(cur.nextRelId, maxEid + 1))
           }
-        case 4 => // v4→v5: nodes_delta is OPTIONAL — absence means an
-          // all-in-base snapshot, so nothing rewrites
+        case 4 => // v4→v5: nodes_delta/edges_delta are OPTIONAL —
+          // absence means an all-in-base snapshot, so nothing rewrites
           ()
         case v => throw new IllegalStateException(
           s"no migration from snapshot format $v at $dir")

@@ -368,6 +368,70 @@ class AdminSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 500L)
   }
 
+  test("incremental save (v5): an edge-delta-bearing database writes edges_delta, never the edge base") {
+    import graft.core.SnapshotStore
+    val data = tmp("graft-incr-edge")
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:ste {k: 1})")
+    s.cypher("CREATE (a:ste {k: 2})")
+    s.cypher("CREATE (a:ste {k: 3})")
+    s.saveDatabase(data) // full write; provenance recorded
+    val snap = s"$data/databases/neo4j"
+    def filesUnder(sub: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$snap/$sub")).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val edgesBefore = filesUnder("edges")
+    val nodesBefore = filesUnder("nodes")
+    // an edge-delta-shaped burst: MERGE creates a relationship
+    s.cypher(
+      """MATCH (a:ste {k: 1}), (b:ste {k: 2})
+        |MERGE (a)-[x:EW]->(b) ON CREATE SET x.f = 1""".stripMargin)
+    s.saveDatabase(data) // INCREMENTAL: only edges_delta lands
+    assert(filesUnder("edges") == edgesBefore, "incremental save rewrote the edge base")
+    assert(filesUnder("nodes") == nodesBefore, "edge-only burst rewrote the node base")
+    assert(Files.exists(java.nio.file.Paths.get(s"$snap/edges_delta")))
+    val m1 = SnapshotStore.readManifest(snap)
+    assert(m1.formatVersion == SnapshotStore.FormatVersion && m1.edgeCount == 1)
+    // a fresh session folds the overlay on load
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(data)
+    assert(fresh.cypher("MATCH (:ste)-[r:EW]->(:ste) RETURN r.f AS f")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a second burst (ON MATCH) merges latest-wins into the same delta
+    s.cypher(
+      """MATCH (a:ste {k: 1}), (b:ste {k: 2})
+        |MERGE (a)-[x:EW]->(b) ON MATCH SET x.m = 2""".stripMargin)
+    s.saveDatabase(data)
+    assert(filesUnder("edges") == edgesBefore, "second incremental save rewrote the edge base")
+    val fresh2 = new GraftSession(spark)
+    fresh2.loadDatabase(data)
+    assert(fresh2.cypher("MATCH (:ste)-[r:EW]->(:ste) RETURN r.f AS f, r.m AS m")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // a MIXED burst (node upsert + edge merge) persists BOTH deltas,
+    // still never a base
+    s.cypher("UNWIND [3] AS x MERGE (a:ste {k: x}) ON MATCH SET a.tag = 7")
+    s.cypher(
+      """MATCH (a:ste {k: 2}), (b:ste {k: 3})
+        |MERGE (a)-[x:EW]->(b) ON CREATE SET x.f = 9""".stripMargin)
+    s.saveDatabase(data)
+    assert(filesUnder("edges") == edgesBefore && filesUnder("nodes") == nodesBefore,
+      "mixed delta burst must not rewrite either base")
+    assert(Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")))
+    val m2 = SnapshotStore.readManifest(snap)
+    assert(m2.edgeCount == 2 && m2.nodeCount == 3)
+    val fresh3 = new GraftSession(spark)
+    fresh3.loadDatabase(data)
+    assert(fresh3.cypher(
+      """MATCH (a:ste)-[r:EW]->(b:ste)
+        |RETURN a.k AS ak, b.k AS bk, r.f AS f ORDER BY ak""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 1L), (2L, 3L, 9L)))
+    assert(fresh3.cypher("MATCH (a:ste {k: 3}) RETURN a.tag AS t")
+      .collect().head.getLong(0) == 7L)
+  }
+
   test("v2 -> v3: legacy 2-element index entries migrate to kinded RANGE entries") {
     import graft.core.SnapshotStore
     val data = tmp("graft-data")
