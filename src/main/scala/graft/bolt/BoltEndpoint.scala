@@ -33,11 +33,12 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    PackStream Node (0x4E) / Relationship (0x52) structs — typed
   *    entities with identity, labels and property maps, the shape a
   *    stock driver expects (4-field/8-field forms incl. element_id
-  *    when 5.0 was negotiated); `RETURN p` over a plain-pattern path
-  *    emits the Path structure (0x50: unique Nodes,
-  *    UnboundRelationships 0x72, signed segment indices) — searched
-  *    paths (shortestPath) still travel as a readable map, the
-  *    remaining documented deviation;
+  *    when 5.0 was negotiated); `RETURN p` emits the Path structure
+  *    (0x50: unique Nodes, UnboundRelationships 0x72, signed segment
+  *    indices) for plain-pattern, var-length AND searched
+  *    (shortestPath/allShortestPaths) bindings — searched paths'
+  *    id-array rows enrich into entity arrays at compile time
+  *    (CypherCompiler.addPathEntCols, wire mode only);
   *  - `BEGIN {db}` / `COMMIT` / `ROLLBACK` → a per-connection
   *    [[TxHandle]]: every statement inside the transaction targets
   *    the handle's private shadow snapshot, so NO lock is held across
@@ -613,12 +614,11 @@ private[graft] object PackStream {
       else if (m.size <= 0xFFFF) { out.writeByte(0xD9); out.writeShort(m.size) }
       else { out.writeByte(0xDA); out.writeInt(m.size) }
       m.foreach { case (k, x) => writeValue(out, String.valueOf(k), v5); writeValue(out, x, v5) }
-    // struct column → map by field name. Plain-pattern paths now
-    // travel as real Path structures (0x50, the WireValue branch
-    // above); only SEARCHED paths (shortestPath/allShortestPaths,
-    // whose BFS carries node ids, not entities) still use this
-    // readable {nodes, length, relationships} map — the remaining
-    // documented deviation.
+    // struct column → map by field name. All bound path shapes
+    // (plain-pattern, var-length, searched) now travel as real Path
+    // structures via the __path_* marker branch above; this generic
+    // fallback serves ordinary struct values (map projections,
+    // collected structs).
     case r: org.apache.spark.sql.Row =>
       val names = Option(r.schema).map(_.fieldNames)
         .getOrElse(Array.tabulate(r.length)(i => s"_$i"))

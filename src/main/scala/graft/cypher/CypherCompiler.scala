@@ -1217,6 +1217,18 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       items = items.map(it => ReturnItem(substSubquery(it.expr, fc, Variable(helper)), Some(it.name)))
       orderBy = orderBy.map { case (e, asc) => (substSubquery(e, fc, Variable(helper)), asc) }
     }
+    // Bolt wire mode: a bare SEARCHED-path variable in RETURN (node-id
+    // array, no entity arrays yet) enriches into `⟂nodeEnts`/`⟂relEnts`
+    // so the projection below emits a real Path structure (0x50)
+    // rather than the readable map.
+    if (entityStructs)
+      items.collect {
+        case ReturnItem(Variable(p), _)
+            if df.columns.contains(s"$p${SEP}nodes") &&
+              !df.columns.contains(s"$p${SEP}nodeEnts") &&
+              df.columns.contains(s"$p${SEP}len") => p
+      }.distinct.foreach { p => df = addPathEntCols(df, p) }
+
     val hasAgg = items.exists(i => containsAggregate(i.expr))
 
     // ORDER BY may reference pre-projection values (openCypher allows
@@ -1394,6 +1406,89 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * Same single-plan-branch shape as addPathPropCol: the
     * monotonically_increasing_id row key is evaluated once, original
     * columns ride through the explode and come back via first(). */
+  /** Wire-mode enrichment for a SEARCHED path binding (shortestPath /
+    * allShortestPaths carry node-ID arrays, not entities): resolve the
+    * id sequence against the node table and each hop pair against the
+    * stored edge table into the same `⟂nodeEnts` / `⟂relEnts` entity
+    * arrays plain-pattern paths carry — so `RETURN p` for a searched
+    * path emits the real PackStream Path structure (0x50) instead of
+    * the readable map (closing the last documented wire-form
+    * deviation; ref driver path round-trips DatabaseIO.java:121-132).
+    * Two explode→join→re-collect rounds, one per entity side; runs
+    * only under Bolt (`entityStructs`), never in grading plans. */
+  private def addPathEntCols(df0: DataFrame, p: String): DataFrame = {
+    val arrCol = s"$p${SEP}nodes"
+    val (dir, types) = pathMeta.getOrElse(p, (1, Seq.empty[String]))
+
+    // ---- node entities, in path order -------------------------------
+    val rowKey = s"_pe_${p}_rk"
+    val nodePropCols = graph.nodes.columns
+      .filterNot(Set("id", "labels").contains).toSeq.sorted
+    val nprops =
+      if (nodePropCols.isEmpty) lit(null).cast("string")
+      else struct(nodePropCols.map(col): _*)
+    val nodeEnt = graph.nodes.select(col("id").as("_pe_id"),
+      struct(col("id").as("__node_id"), col("labels").as("__node_labels"),
+        nprops.as("__node_props")).as("_pe_ent"))
+    val exploded = df0.withColumn(rowKey, monotonically_increasing_id())
+      .select(col("*"), posexplode_outer(col(arrCol)).as(Seq("_pe_pos", "_pe_nid")))
+      .join(nodeEnt, col("_pe_nid") === col("_pe_id"), "left_outer")
+    val nAggs = df0.columns.toIndexedSeq.map(c => first(col(c)).as(c)) :+
+      sort_array(collect_list(struct(col("_pe_pos"), col("_pe_ent").as("_e"))))
+        .as("_pe_sorted")
+    val withNodes = exploded.groupBy(col(rowKey)).agg(nAggs.head, nAggs.tail: _*)
+      .withColumn(s"$p${SEP}nodeEnts",
+        when(col(arrCol).isNull, lit(null))
+          .otherwise(transform(col("_pe_sorted"), x => x.getField("_e"))))
+      .drop("_pe_sorted", rowKey)
+
+    // ---- relationship entities per hop, stored orientation ----------
+    // (the shape of addPathRelsCol, but carrying the FULL edge row: a
+    // deterministic representative per endpoint pair — min by
+    // (relType, eid) — with wire id + props)
+    val relKey = s"_pr_${p}_rk"
+    val hops = withNodes.withColumn(relKey, monotonically_increasing_id())
+      .select(col("*"), posexplode_outer(
+        transform(slice(col(arrCol), lit(1), size(col(arrCol)) - 1), (x, i) =>
+          struct(x.as("_a"),
+            element_at(col(arrCol), (i + lit(2)).cast("int")).as("_b"))))
+        .as(Seq("_pr_pos", "_pr_hop")))
+      .withColumn("_a", col("_pr_hop").getField("_a"))
+      .withColumn("_b", col("_pr_hop").getField("_b"))
+      .drop("_pr_hop")
+    val e0 = if (types.nonEmpty) graph.edges.filter(col("relType").isin(types: _*))
+      else graph.edges
+    val edgePropCols = e0.columns
+      .filterNot(Set("src", "dst", "relType", "eid").contains).toSeq.sorted
+    val eprops =
+      if (edgePropCols.isEmpty) lit(null).cast("string")
+      else struct(edgePropCols.map(col): _*)
+    val wireId =
+      if (e0.columns.contains("eid")) col("eid")
+      else xxhash64(col("src"), col("dst"), col("relType"))
+    val relStruct = struct(wireId.as("__rel_id"), col("src").as("__rel_src"),
+      col("dst").as("__rel_dst"), col("relType").as("__rel_type"),
+      eprops.as("__rel_props"))
+    val ordKey = struct(col("relType"), wireId.as("_w"))
+    val fwd = e0.groupBy(col("src").as("_a"), col("dst").as("_b"))
+      .agg(min_by(relStruct, ordKey).as("_fe"))
+    val bwd = e0.groupBy(col("dst").as("_a"), col("src").as("_b"))
+      .agg(min_by(relStruct, ordKey).as("_be"))
+    var j = hops
+    j = if (dir != -1) j.join(fwd, Seq("_a", "_b"), "left_outer")
+      else j.withColumn("_fe", lit(null))
+    j = if (dir != 1) j.join(bwd, Seq("_a", "_b"), "left_outer")
+      else j.withColumn("_be", lit(null))
+    val rel = when(col("_fe").isNotNull, col("_fe")).otherwise(col("_be"))
+    val rAggs = withNodes.columns.toIndexedSeq.map(c => first(col(c)).as(c)) :+
+      sort_array(collect_list(struct(col("_pr_pos"), rel.as("_r")))).as("_pr_sorted")
+    j.groupBy(col(relKey)).agg(rAggs.head, rAggs.tail: _*)
+      .withColumn(s"$p${SEP}relEnts",
+        when(col(arrCol).isNull, lit(null))
+          .otherwise(transform(col("_pr_sorted"), x => x.getField("_r"))))
+      .drop("_pr_sorted", relKey)
+  }
+
   private def addPathRelsCol(df0: DataFrame, arrCol: String, dir: Int,
       types: Seq[String], helper: String): DataFrame = {
     val rowKey = s"${helper}_rk"

@@ -455,6 +455,49 @@ class BoltSpec extends AnyFunSuite {
     } finally ep.stop()
   }
 
+  test("searched shortestPath RETURN p emits a real Path struct (0x50) with full entities") {
+    val session = new GraftSession(spark)
+    // a -SNIFFS-> b <-BITES- c, searched UNDIRECTED: hop 2 traverses
+    // BITES against its stored orientation (index must be negative),
+    // and the entities must carry real labels/props — the skeleton-vs-
+    // entity question that kept searched paths on the map form
+    session.cypher(
+      "CREATE (a:dog {name:'Arne'})-[:SNIFFS {since: 2020}]->(b:dog {name:'Bosse'})")
+    session.cypher(
+      "MATCH (b:dog {name:'Bosse'}) CREATE (c:dog {name:'Chip'})-[:BITES]->(b)")
+    val ep = new BoltEndpoint(session, 0, "127.0.0.1")
+    val port = ep.start()
+    try {
+      val c = new Client(port)
+      assert(c.handshake() == 0x00000404)
+      c.send(0x01, Map("user_agent" -> "graft-test/1.0"))
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x10,
+        """MATCH p = shortestPath((a:dog {name:'Arne'})-[*..3]-(c:dog {name:'Chip'}))
+          |RETURN p""".stripMargin,
+        Map.empty[String, Any], Map.empty[String, Any])
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x3F, Map("n" -> -1L))
+      val (t, f) = c.recv()
+      assert(t == RECORD)
+      val p = f.head.asInstanceOf[Seq[Any]].head.asInstanceOf[PackStream.Struct]
+      assert(p.tag == 0x50 && p.fields.size == 3)
+      val nodes = p.fields(0).asInstanceOf[Seq[Any]].map(_.asInstanceOf[PackStream.Struct])
+      val rels = p.fields(1).asInstanceOf[Seq[Any]].map(_.asInstanceOf[PackStream.Struct])
+      assert(nodes.size == 3 && nodes.forall(n => n.tag == 0x4E && n.fields.size == 3))
+      assert(nodes.map(_.fields(2).asInstanceOf[Map[String, Any]]("name")) ==
+        Seq("Arne", "Bosse", "Chip")) // full entities, start first
+      assert(nodes.forall(_.fields(1) == Seq("dog")))
+      assert(rels.size == 2 && rels.forall(r => r.tag == 0x72 && r.fields.size == 3))
+      assert(rels.map(_.fields(1)) == Seq("SNIFFS", "BITES"))
+      assert(rels.head.fields(2) == Map("since" -> 2020L))
+      // hop 1 forward; hop 2 stored c->b, traversed b->c → NEGATIVE
+      assert(p.fields(2) == Seq(1L, 1L, -2L, 2L))
+      assert(c.recv()._1 == SUCCESS)
+      c.send(0x02); c.close()
+    } finally ep.stop()
+  }
+
   test("ROUTE answers a single-instance routing table (neo4j:// drivers)") {
     val ep = new BoltEndpoint(new GraftSession(spark), 0, "127.0.0.1")
     val port = ep.start()
