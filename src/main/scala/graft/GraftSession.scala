@@ -794,7 +794,7 @@ final class GraftSession(val spark: SparkSession,
         case Some(s) =>
           val base = if (s.base eq db.matEdges) s.base else s.base.localCheckpoint()
           val resolved = if (base eq s.base) g.edges else overlayEdges(base, s.delta)
-          (resolved, base, Some(graft.core.EdgeDeltaState(base, s.delta, resolved)))
+          (resolved, base, Some(graft.core.EdgeDeltaState(base, s.delta, resolved, s.buf)))
         case None =>
           val edges = if (g.edges eq db.matEdges) g.edges else g.edges.localCheckpoint()
           (edges, edges, None)
@@ -2021,6 +2021,252 @@ final class GraftSession(val spark: SparkSession,
     * relationship's own properties (row fields inside SET would need
     * per-pair value carriage through the distinct — refused loudly;
     * batch edge payloads belong in the node/edge CREATE paths). */
+  /** Driver-buffered single-hop relationship upsert (see the call
+    * site in [[mutateUnwindMatchMerge]]). Returns None when an
+    * eligibility detail only visible here fails (undirected/multi-type
+    * hop, literal rel props, non-driver-evaluable SET, ambiguous
+    * endpoint keys, non-canonical key types, value/type mismatch) —
+    * the caller then runs the distributed path. Pure until the final
+    * state assignment: a None bail leaves nothing half-committed. */
+  private def mutateRelUpsertBuffered(db: GraphDatabase, elems: Seq[Any],
+      nodePats: Seq[ast.NodePat], vars: Seq[String],
+      keyCols: Seq[(String, String, Any => Any)], m: ast.Merge): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    import scala.collection.immutable.VectorMap
+    val g = db.graph
+    val (rel, endPat) = m.pattern.hops.head
+    if (rel.dir == 0 || rel.types.size != 1 || rel.props.nonEmpty) return None
+    val relType = rel.types.head
+    val startVar = m.pattern.start.variable.getOrElse(return None)
+    val endVar = endPat.variable.getOrElse(return None)
+    if (!vars.contains(startVar) || !vars.contains(endVar)) return None
+    val (srcVar, dstVar) = if (rel.dir == -1) (endVar, startVar) else (startVar, endVar)
+    if (srcVar == dstVar) return None // self-pair binding needs the general path
+    val relVar = rel.variable.getOrElse("r")
+    if (!g.edges.columns.contains("eid")) return None
+
+    def evaluable(e: ast.Expr): Boolean = e match {
+      case ast.Lit(_)            => true
+      case ast.Prop(`relVar`, _) => true
+      case ast.Arith(_, l, r)    => evaluable(l) && evaluable(r)
+      case _                     => false
+    }
+    if (!(m.onCreate ++ m.onMatch).forall { case (_, e) => evaluable(e) }) return None
+
+    def canon(v: Any): Any = v match {
+      case i: java.lang.Integer => i.longValue
+      case s: java.lang.Short   => s.longValue
+      case b: java.lang.Byte    => b.longValue
+      case f: java.lang.Float   => f.doubleValue
+      case other                => other
+    }
+    val nodeIdx = g.nodes.schema.fieldNames.zipWithIndex.toMap
+    val perVar: Map[String, (Seq[String], Seq[(String, Any => Any)])] =
+      nodePats.zip(vars).map { case (np, v) =>
+        v -> (np.labels, keyCols.collect { case (`v`, k, get) => (k, get) })
+      }.toMap
+    // all key columns present and driver-canonicalizable, like the
+    // node buffer path
+    val bindVars = Seq(srcVar, dstVar)
+    for (v <- bindVars; (k, _) <- perVar(v)._2) {
+      if (!nodeIdx.contains(k)) return Some(unit()) // unbindable key → MATCH drops all
+      g.nodes.schema(nodeIdx(k)).dataType match {
+        case LongType | org.apache.spark.sql.types.IntegerType |
+             StringType | BooleanType | DoubleType => ()
+        case _ => return None
+      }
+    }
+
+    val oldState = db.validEdgeDelta
+    val buf0 = oldState.flatMap(_.buf)
+      .getOrElse(graft.core.EdgeDeltaBuffer(VectorMap.empty, VectorMap.empty))
+    val base = oldState.map(_.base).getOrElse(g.edges)
+    if (!base.columns.contains("eid")) return None
+
+    // ---- 1. bind endpoints (cached while the node frame is stable) --
+    var bindCache: Map[(Seq[String], Seq[String], Seq[Any]), Option[Long]] =
+      if (buf0.nodeBindRef.exists(_ eq g.nodes)) buf0.nodeBind else Map.empty
+    def tupleOf(v: String, e: Any): Seq[Any] = perVar(v)._2.map { case (_, get) => canon(get(e)) }
+    for (v <- bindVars) {
+      val (labels, keys) = perVar(v)
+      val keyNames = keys.map(_._1)
+      val cacheKey = (t: Seq[Any]) => (labels, keyNames, t)
+      val need = elems.map(e => tupleOf(v, e)).distinct
+        .filterNot(t => bindCache.contains(cacheKey(t)))
+      if (need.nonEmpty) {
+        val labeled = labels.foldLeft(g.nodes)((d, l) =>
+          d.filter(array_contains(col("labels"), l)))
+        val lits = keyNames.zipWithIndex.map { case (kn, i) =>
+          kn -> need.map(_(i)).filter(_ != null).distinct }.toMap
+        val pruned = keyNames.foldLeft(labeled)((d, kn) =>
+          d.filter(col(kn).isin(lits(kn): _*)))
+        val found = pruned.select((keyNames.map(col) :+ col("id")): _*).collect()
+        if (found.length > 100000) return None
+        val byTuple = found.groupBy(r =>
+          keyNames.indices.map(i => canon(r.get(i))): Seq[Any])
+        if (byTuple.valuesIterator.exists(_.length > 1)) return None // ambiguous key
+        need.foreach { t =>
+          bindCache += (cacheKey(t) ->
+            byTuple.get(t).map(_.head.getLong(keyNames.size)))
+        }
+      }
+    }
+
+    // ---- 2. candidate pairs, batch order, deduped (MERGE contract) --
+    val pairs = collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    elems.foreach { e =>
+      val s = bindCache((perVar(srcVar)._1, perVar(srcVar)._2.map(_._1), tupleOf(srcVar, e)))
+      val d = bindCache((perVar(dstVar)._1, perVar(dstVar)._2.map(_._1), tupleOf(dstVar, e)))
+      (s, d) match {
+        case (Some(si), Some(di)) => pairs += ((si, di))
+        case _                    => () // MATCH semantics: unbound endpoint drops the row
+      }
+    }
+
+    // ---- 3. existence: buffer first, base only for unsettled pairs --
+    val bufPairRows: Map[(Long, Long), Seq[(Long, Map[String, Any])]] =
+      buf0.rows.toSeq.collect {
+        case (eid, row) if row.get("relType").contains(relType) &&
+            pairs.contains((row("src").asInstanceOf[Long], row("dst").asInstanceOf[Long])) =>
+          ((row("src").asInstanceOf[Long], row("dst").asInstanceOf[Long]), (eid, row))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val unsettled = pairs.toSeq.filterNot(p => buf0.settled.contains((relType, p._1, p._2)))
+    val baseSchema = base.schema
+    val baseIdx = baseSchema.fieldNames.zipWithIndex.toMap
+    val basePairRows: Map[(Long, Long), Seq[(Long, Map[String, Any])]] =
+      if (unsettled.isEmpty) Map.empty
+      else {
+        val probe = base.filter(col("relType") === relType)
+          .filter(col("src").isin(unsettled.map(_._1).distinct: _*))
+          .filter(col("dst").isin(unsettled.map(_._2).distinct: _*))
+        val collected = probe.collect()
+        if (collected.length > 100000) return None
+        val unsettledSet = unsettled.toSet
+        collected.iterator.flatMap { r =>
+          val pair = (r.getLong(baseIdx("src")), r.getLong(baseIdx("dst")))
+          val eid = r.getLong(baseIdx("eid"))
+          if (!unsettledSet.contains(pair) || buf0.rows.contains(eid)) None
+          else {
+            val cur = collection.mutable.LinkedHashMap.empty[String, Any]
+            baseSchema.fieldNames.zipWithIndex.foreach { case (n, i) => cur(n) = r.get(i) }
+            Some(pair -> (eid, cur.toMap))
+          }
+        }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      }
+    val baseFound = basePairRows.keySet
+    val settled = buf0.settled ++
+      (if (m.onMatch.nonEmpty) unsettled.map(p => (relType, p._1, p._2))
+       else unsettled.filterNot(baseFound).map(p => (relType, p._1, p._2)))
+
+    // ---- 4. evaluate SET driver-side (exact node-path discipline) ---
+    var colTypes = buf0.colTypes
+    def colType(name: String, v: Any): DataType =
+      baseIdx.get(name).map(i => baseSchema(i).dataType)
+        .orElse(colTypes.get(name))
+        .getOrElse(PropertyGraph.literalType(v))
+    def knownCol(k: String): Boolean = baseIdx.contains(k) || colTypes.contains(k)
+    def fits(v: Any, t: DataType): Option[Any] = (v, t) match {
+      case (null, _)                 => Some(null)
+      case (x: Long, LongType)       => Some(x)
+      case (x: Long, DoubleType)     => Some(x.toDouble)
+      case (x: Double, DoubleType)   => Some(x)
+      case (x: String, StringType)   => Some(x)
+      case (x: Boolean, BooleanType) => Some(x)
+      case _                         => None
+    }
+    def evalRel(e: ast.Expr, cur: collection.Map[String, Any]): Any = e match {
+      case ast.Lit(v) => norm(v)
+      case ast.Prop(`relVar`, k) =>
+        if (cur.contains(k)) cur(k) else if (knownCol(k)) null
+        else null // absent property reads null, openCypher
+      case ast.Arith(op, l, r) =>
+        (evalRel(l, cur), evalRel(r, cur)) match {
+          case (null, _) | (_, null) => null
+          case (x: Long, y: Long) => op match {
+            case "+" => x + y; case "-" => x - y; case "*" => x * y
+            case "/" => x / y; case "%" => x % y
+          }
+          case (x: String, y: String) if op == "+" => x + y
+          case (a, b) =>
+            def toD(v: Any): Option[Double] = v match {
+              case l0: Long => Some(l0.toDouble); case d0: Double => Some(d0)
+              case _        => None
+            }
+            (toD(a), toD(b)) match {
+              case (Some(x), Some(y)) => op match {
+                case "+" => x + y; case "-" => x - y; case "*" => x * y
+                case "/" => x / y; case "%" => x % y
+              }
+              case _ => null
+            }
+        }
+      case _ => null // unreachable: evaluable() pre-checked
+    }
+    var typeOk = true
+    val matched: Seq[(Long, Map[String, Any])] = pairs.toSeq.flatMap { p =>
+      bufPairRows.getOrElse(p, Nil) ++ basePairRows.getOrElse(p, Nil)
+    }
+    val replacements =
+      if (m.onMatch.isEmpty) Nil
+      else matched.map { case (eid, row) =>
+        val cur = collection.mutable.LinkedHashMap.empty[String, Any]
+        row.foreach { case (n, v) => cur(n) = v }
+        m.onMatch.foreach { case (p, e) =>
+          val v = evalRel(e, cur)
+          fits(v, colType(p.key, v)) match {
+            case Some(cv) => cur(p.key) = cv
+            case None     => typeOk = false
+          }
+        }
+        (eid, cur.toMap)
+      }
+    val matchedPairs: Set[(Long, Long)] =
+      bufPairRows.keySet ++ baseFound
+    val toCreate = pairs.toSeq.filterNot(matchedPairs)
+    val eidBase = if (toCreate.isEmpty) 0L else db.allocateRel(toCreate.size.toLong)
+    val created = toCreate.zipWithIndex.map { case ((s, d), i) =>
+      val cur = collection.mutable.LinkedHashMap.empty[String, Any]
+      cur("src") = s; cur("dst") = d; cur("relType") = relType
+      cur("eid") = eidBase + i
+      m.onCreate.foreach { case (p, e) =>
+        val v = evalRel(e, cur)
+        fits(v, colType(p.key, v)) match {
+          case Some(cv) => cur(p.key) = cv
+          case None     => typeOk = false
+        }
+      }
+      (eidBase + i, cur.toMap)
+    }
+    if (!typeOk) return None
+
+    // ---- 5. commit: copy-on-write buffer → LocalRelation delta ------
+    Seq("src" -> LongType, "dst" -> LongType,
+      "relType" -> (StringType: DataType), "eid" -> LongType).foreach {
+      case (n, t) => if (!colTypes.contains(n)) colTypes += (n -> t)
+    }
+    (replacements ++ created).foreach { case (_, cur) =>
+      cur.foreach { case (n, v) =>
+        if (!colTypes.contains(n)) colTypes += (n -> colType(n, v))
+      }
+    }
+    var rows = buf0.rows
+    (replacements ++ created).foreach { case (eid, cur) => rows += (eid -> cur) }
+    val buf = graft.core.EdgeDeltaBuffer(colTypes, rows, settled,
+      bindCache, Some(g.nodes))
+    val deltaSchema = StructType(colTypes.toSeq.map { case (n, t) =>
+      StructField(n, t,
+        nullable = !Set("src", "dst", "relType", "eid").contains(n))
+    })
+    val deltaRows = rows.valuesIterator.map { row =>
+      Row.fromSeq(colTypes.keysIterator.map(n => row.getOrElse(n, null)).toSeq)
+    }.toSeq
+    val delta = spark.createDataFrame(javaList(deltaRows), deltaSchema)
+    val resolved = overlayEdges(base, delta)
+    db.graph = PropertyGraph(g.nodes, resolved)
+    db.edgeDeltaState = Some(graft.core.EdgeDeltaState(base, delta, resolved, Some(buf)))
+    Some(unit())
+  }
+
   private def mutateUnwindMatchMerge(db: GraphDatabase, u: ast.Unwind,
       matches: Seq[ast.Match], merges: Seq[ast.Merge]): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -2084,6 +2330,24 @@ final class GraftSession(val spark: SparkSession,
           (v, k, get)
         }
     }
+    // ---- driver-buffered edge delta (fast path) ----------------------
+    // The relationship mirror of mutateUnwindMerge's write buffer: a
+    // bounded literal batch upserting ONE directed typed hop, with
+    // driver-evaluable SET values, commits via a LocalRelation edge
+    // delta — endpoint binding, existence and SET all resolve on the
+    // driver against the buffer + settled-pair cache, so a burst costs
+    // at most a couple of isin-pruned lookups per call and a rerun
+    // whose pairs are all settled runs ZERO Spark actions.
+    if (merges.size == 1 && merges.head.pattern.hops.size == 1 &&
+        elems.size <= 10000 &&
+        db.validEdgeDelta.forall(_.buf.isDefined) &&
+        db.validEdgeDelta.flatMap(_.buf).forall(_.rows.size <= 100000)) {
+      mutateRelUpsertBuffered(db, elems, nodePats, vars, keyCols, merges.head) match {
+        case Some(out) => return out
+        case None      => () // ineligible detail → distributed path below
+      }
+    }
+
     val rows = elems.map(e => Row.fromSeq(keyCols.map { case (_, _, get) => get(e) }))
     val schema = StructType(keyCols.zipWithIndex.map { case ((v, k, get), i) =>
       StructField(s"_bm_${v}_$k",

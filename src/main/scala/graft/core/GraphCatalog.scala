@@ -40,11 +40,36 @@ final case class NodeDeltaState(
     resolved: org.apache.spark.sql.DataFrame,
     buf: Option[NodeDeltaBuffer] = None)
 
+/** Driver-local write buffer for the edge delta — the relationship
+  * mirror of [[NodeDeltaBuffer]], present when the delta lives as a
+  * LocalRelation over `rows` (batched single-hop rel upserts whose
+  * SET values are driver-evaluable). Immutable, insertion-ordered,
+  * keyed by eid; transaction shadows share it by reference and
+  * extend it copy-on-write.
+  *
+  * `settled` caches (relType, srcId, dstId) pairs whose BASE lookup
+  * is already answered this burst (base rows folded into `rows` by an
+  * ON MATCH, or proven absent) — the base is immutable while the
+  * overlay is valid, so a settled pair never re-scans; a rerun whose
+  * pairs are all settled commits with ZERO Spark actions.
+  *
+  * `nodeBind` caches endpoint-key → node-id bindings, valid only
+  * while `graph.nodes eq nodeBindRef` (an interleaved node mutation
+  * silently drops it — reference identity again, never a manual
+  * invalidation). `None` records a key proven absent. */
+final case class EdgeDeltaBuffer(
+    colTypes: scala.collection.immutable.VectorMap[String, org.apache.spark.sql.types.DataType],
+    rows: scala.collection.immutable.VectorMap[Long, Map[String, Any]],
+    settled: Set[(String, Long, Long)] = Set.empty,
+    nodeBind: Map[(Seq[String], Seq[String], Seq[Any]), Option[Long]] = Map.empty,
+    nodeBindRef: Option[AnyRef] = None)
+
 /** See [[GraphDatabase.edgeDeltaState]]. */
 final case class EdgeDeltaState(
     base: org.apache.spark.sql.DataFrame,
     delta: org.apache.spark.sql.DataFrame,
-    resolved: org.apache.spark.sql.DataFrame)
+    resolved: org.apache.spark.sql.DataFrame,
+    buf: Option[EdgeDeltaBuffer] = None)
 
 final class GraphDatabase(val name: String) {
   @volatile var graph: PropertyGraph = _

@@ -531,6 +531,39 @@ object CypherQueries {
     // apoc.periodic.iterate graded end to end (previously PacksSpec
     // only): the batch driver streams nation rows through 10-row
     // batches, each batch ONE distributed `UNWIND $_batch … MERGE`
+    // Edge delta-log burst — FIVE successive batched relationship
+    // MERGEs with growing, overlapping batches: call i upserts keys
+    // 1..20+10i, so early keys hit every later call and ON MATCH
+    // increments their counter through the eid-keyed delta overlay
+    // (latest-wins fold per commit, base never rewritten —
+    // GraftSession.mergeRelFromBindings). The read-back sums the
+    // counters; the oracle computes each key's expected count = the
+    // number of calls whose range covered it.
+    sql("cy_rel_upsert_burst",
+      """WITH calls AS (SELECT range AS i FROM range(0, 5)),
+        |keys AS (SELECT range AS a FROM range(1, 61)),
+        |m AS (SELECT k.a, count(*) AS c
+        |      FROM keys k JOIN calls i ON k.a <= 20 + 10 * i.i
+        |      JOIN supplier s ON s.s_suppkey = k.a GROUP BY k.a)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(sum(c) AS BIGINT) AS total_c,
+        |  CAST(max(c) AS BIGINT) AS max_c
+        |FROM m""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      (0 to 4).foreach { i =>
+        val batch = (1L to (20L + 10L * i)).map(k => Map("a" -> k, "b" -> (k % 25)))
+        gs.cypher(
+          """UNWIND $batch AS row
+            |MATCH (v:supplier {s_suppkey: row.a}), (n:nation {n_nationkey: row.b})
+            |MERGE (v)-[x:VB]->(n) ON CREATE SET x.c = 1 ON MATCH SET x.c = x.c + 1""".stripMargin,
+          Map("batch" -> batch))
+      }
+      gs.cypher(
+        """MATCH (:supplier)-[x:VB]->(:nation)
+          |RETURN count(x) AS n_edges, sum(x.c) AS total_c, max(x.c) AS max_c""".stripMargin)
+    },
+
     // bulk statement minting BELONGS edges; the read-back counts per
     // region and the oracle recomputes from the raw nation table.
     sql("apoc_periodic_iterate",

@@ -1999,6 +1999,59 @@ class CypherSpec extends AnyFunSuite {
     assert(reloaded == got2)
   }
 
+  test("driver-buffered edge upsert: burst increments through the buffer, ON MATCH folds base rows, interleaved node writes stay visible") {
+    val s = new GraftSession(spark)
+    (1 to 3).foreach(k => s.cypher(s"CREATE (a:beu {k: $k})"))
+    assert(s.cypher("MATCH (a:beu) RETURN count(a) AS n").collect().head.getLong(0) == 3L)
+    val db = s.catalog.database("neo4j")
+    val merge =
+      """UNWIND $b AS row
+        |MATCH (a:beu {k: row.s}), (c:beu {k: row.d})
+        |MERGE (a)-[x:BU]->(c) ON CREATE SET x.c = 1 ON MATCH SET x.c = x.c + 1""".stripMargin
+    // call 1 creates (1→2); calls 2–3 grow the batch so early pairs
+    // re-match THROUGH THE BUFFER and increment
+    s.cypher(merge, Map("b" -> Seq(Map("s" -> 1L, "d" -> 2L))))
+    assert(db.validEdgeDelta.exists(_.buf.isDefined),
+      "single-hop literal batch must take the driver-buffered path")
+    s.cypher(merge, Map("b" -> Seq(Map("s" -> 1L, "d" -> 2L), Map("s" -> 2L, "d" -> 3L))))
+    s.cypher(merge, Map("b" -> Seq(Map("s" -> 1L, "d" -> 2L), Map("s" -> 2L, "d" -> 3L))))
+    val got = s.cypher(
+      """MATCH (a:beu)-[x:BU]->(c:beu)
+        |RETURN a.k AS ak, c.k AS ck, x.c AS n ORDER BY ak""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 3L), (2L, 3L, 2L)))
+    // the buffer survives compaction (reads above crossed pending >= 2)
+    assert(db.validEdgeDelta.exists(_.buf.isDefined), "compaction dropped the buffer")
+    // an interleaved NODE mutation moves the node frame: the bind
+    // cache invalidates by reference, but edge state stays correct
+    s.cypher("UNWIND [4] AS x MERGE (a:beu {k: x}) ON CREATE SET a.fresh = 1")
+    s.cypher(merge, Map("b" -> Seq(Map("s" -> 3L, "d" -> 4L))))
+    val got2 = s.cypher(
+      """MATCH (a:beu)-[x:BU]->(c:beu)
+        |RETURN a.k AS ak, c.k AS ck, x.c AS n ORDER BY ak""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got2 == Seq((1L, 2L, 3L), (2L, 3L, 2L), (3L, 4L, 1L)))
+    // a distributed-shape merge (rel PROPS in the pattern) after the
+    // buffered burst composes: the delta folds, values survive
+    s.cypher(
+      """MATCH (a:beu {k: 4}), (c:beu {k: 1})
+        |MERGE (a)-[x:BU {w: 9}]->(c)""".stripMargin)
+    val got3 = s.cypher(
+      """MATCH (a:beu)-[x:BU]->(c:beu)
+        |RETURN a.k AS ak, x.c AS n, x.w AS w ORDER BY ak""".stripMargin)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(got3 == Seq(
+      (1L, Some(3L), None), (2L, Some(2L), None),
+      (3L, Some(1L), None), (4L, None, Some(9L))))
+    // dump/load round-trips the folded state
+    val dir = java.nio.file.Files.createTempDirectory("graft-beu-dump").toString
+    s.saveDatabase(dir)
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(dir)
+    assert(fresh.cypher("MATCH (:beu)-[x:BU]->(:beu) RETURN sum(x.c) AS t")
+      .collect().head.getLong(0) == 6L)
+  }
+
   test("setGraph seeds the id allocator past the view: upsert-created nodes never shadow view nodes") {
     val s = new GraftSession(spark)
     // a tiny hand-built view whose node ids deliberately start at 0
