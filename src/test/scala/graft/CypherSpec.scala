@@ -2052,6 +2052,32 @@ class CypherSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 6L)
   }
 
+  test("edge buffer under transactions: ROLLBACK discards buffered merges, COMMIT publishes them") {
+    val s = new GraftSession(spark)
+    (1 to 2).foreach(k => s.cypher(s"CREATE (a:ebt {k: $k})"))
+    assert(s.cypher("MATCH (a:ebt) RETURN count(a) AS n").collect().head.getLong(0) == 2L)
+    val merge =
+      """UNWIND $b AS row
+        |MATCH (a:ebt {k: row.s}), (c:ebt {k: row.d})
+        |MERGE (a)-[x:TB]->(c) ON CREATE SET x.c = 1 ON MATCH SET x.c = x.c + 1""".stripMargin
+    // rolled-back buffered merge leaves nothing
+    s.cypher("BEGIN")
+    s.cypher(merge, Map("b" -> Seq(Map("s" -> 1L, "d" -> 2L))))
+    assert(s.cypher("MATCH (:ebt)-[x:TB]->(:ebt) RETURN count(x) AS n")
+      .collect().head.getLong(0) == 1L) // read-your-writes inside the tx
+    s.cypher("ROLLBACK")
+    assert(s.cypher("MATCH (:ebt)-[x:TB]->(:ebt) RETURN count(x) AS n")
+      .collect().head.getLong(0) == 0L)
+    // committed buffered merge publishes, and a post-commit merge
+    // re-matches it through the published overlay
+    s.cypher("BEGIN")
+    s.cypher(merge, Map("b" -> Seq(Map("s" -> 1L, "d" -> 2L))))
+    s.cypher("COMMIT")
+    s.cypher(merge, Map("b" -> Seq(Map("s" -> 1L, "d" -> 2L))))
+    assert(s.cypher("MATCH (:ebt)-[x:TB]->(:ebt) RETURN sum(x.c) AS n")
+      .collect().head.getLong(0) == 2L)
+  }
+
   test("setGraph seeds the id allocator past the view: upsert-created nodes never shadow view nodes") {
     val s = new GraftSession(spark)
     // a tiny hand-built view whose node ids deliberately start at 0
