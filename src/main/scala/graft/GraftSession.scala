@@ -2021,37 +2021,65 @@ final class GraftSession(val spark: SparkSession,
     * relationship's own properties (row fields inside SET would need
     * per-pair value carriage through the distinct — refused loudly;
     * batch edge payloads belong in the node/edge CREATE paths). */
-  /** Driver-buffered single-hop relationship upsert (see the call
-    * site in [[mutateUnwindMatchMerge]]). Returns None when an
-    * eligibility detail only visible here fails (undirected/multi-type
-    * hop, literal rel props, non-driver-evaluable SET, ambiguous
-    * endpoint keys, non-canonical key types, value/type mismatch) —
-    * the caller then runs the distributed path. Pure until the final
-    * state assignment: a None bail leaves nothing half-committed. */
+  /** Driver-buffered relationship upsert over a whole MERGE pattern
+    * (see the call site in [[mutateUnwindMatchMerge]]) — one or more
+    * directed typed prop-free hops, every endpoint a distinct bound
+    * variable. Whole-pattern semantics mirror the distributed path
+    * exactly: a candidate binding is a hit only if EVERY hop exists;
+    * a miss creates every hop (per-hop pairs dedupe, hops that
+    * individually pre-exist gain a parallel edge); ON MATCH applies
+    * to the pre-existing edges of hit bindings only, composing across
+    * hops when two hops touch the same edge row.
+    *
+    * Returns None when an eligibility detail only visible here fails
+    * (undirected/multi-type hop, literal rel props, non-driver-
+    * evaluable SET, ambiguous endpoint keys, non-canonical key types,
+    * value/type mismatch) — the caller then runs the distributed
+    * path. Pure until the final state assignment: a None bail leaves
+    * nothing half-committed. */
   private def mutateRelUpsertBuffered(db: GraphDatabase, elems: Seq[Any],
       nodePats: Seq[ast.NodePat], vars: Seq[String],
       keyCols: Seq[(String, String, Any => Any)], m: ast.Merge): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
     import scala.collection.immutable.VectorMap
     val g = db.graph
-    val (rel, endPat) = m.pattern.hops.head
-    if (rel.dir == 0 || rel.types.size != 1 || rel.props.nonEmpty) return None
-    val relType = rel.types.head
-    val startVar = m.pattern.start.variable.getOrElse(return None)
-    val endVar = endPat.variable.getOrElse(return None)
-    if (!vars.contains(startVar) || !vars.contains(endVar)) return None
-    val (srcVar, dstVar) = if (rel.dir == -1) (endVar, startVar) else (startVar, endVar)
-    if (srcVar == dstVar) return None // self-pair binding needs the general path
-    val relVar = rel.variable.getOrElse("r")
     if (!g.edges.columns.contains("eid")) return None
 
-    def evaluable(e: ast.Expr): Boolean = e match {
-      case ast.Lit(_)            => true
-      case ast.Prop(`relVar`, _) => true
-      case ast.Arith(_, l, r)    => evaluable(l) && evaluable(r)
-      case _                     => false
+    // ---- hop parsing: (srcVar, dstVar, relType, relVar) per hop -----
+    case class Hop(srcVar: String, dstVar: String, relType: String, relVar: String)
+    val hops: Seq[Hop] = {
+      var prev = m.pattern.start
+      m.pattern.hops.zipWithIndex.map { case ((rel, end), i) =>
+        if (rel.dir == 0 || rel.types.size != 1 || rel.props.nonEmpty) return None
+        val a = prev.variable.getOrElse(return None)
+        val b = end.variable.getOrElse(return None)
+        if (!vars.contains(a) || !vars.contains(b)) return None
+        prev = end
+        val (s, d) = if (rel.dir == -1) (b, a) else (a, b)
+        if (s == d) return None // self-pair binding needs the general path
+        Hop(s, d, rel.types.head, rel.variable.getOrElse(s"_anon$i"))
+      }
     }
-    if (!(m.onCreate ++ m.onMatch).forall { case (_, e) => evaluable(e) }) return None
+    val relVarHop: Map[String, Int] = m.pattern.hops.zipWithIndex
+      .flatMap { case ((rel, _), i) => rel.variable.map(_ -> i) }.toMap
+    // SET items must target a merged rel var; values driver-evaluable
+    // (literals, that rel's own properties, arithmetic thereof)
+    def evaluable(rv: String)(e: ast.Expr): Boolean = e match {
+      case ast.Lit(_)          => true
+      case ast.Prop(`rv`, _)   => true
+      case ast.Arith(_, l, r)  => evaluable(rv)(l) && evaluable(rv)(r)
+      case _                   => false
+    }
+    def itemsOf(items: Seq[(ast.Prop, ast.Expr)]): Option[Seq[(Int, String, ast.Expr)]] = {
+      val mapped = items.map {
+        case (ast.Prop(v, k), e) if relVarHop.contains(v) && evaluable(v)(e) =>
+          (relVarHop(v), k, e)
+        case _ => return None
+      }
+      Some(mapped)
+    }
+    val onCreate = itemsOf(m.onCreate).getOrElse(return None)
+    val onMatch = itemsOf(m.onMatch).getOrElse(return None)
 
     def canon(v: Any): Any = v match {
       case i: java.lang.Integer => i.longValue
@@ -2065,9 +2093,9 @@ final class GraftSession(val spark: SparkSession,
       nodePats.zip(vars).map { case (np, v) =>
         v -> (np.labels, keyCols.collect { case (`v`, k, get) => (k, get) })
       }.toMap
+    val bindVars = (hops.map(_.srcVar) ++ hops.map(_.dstVar)).distinct
     // all key columns present and driver-canonicalizable, like the
     // node buffer path
-    val bindVars = Seq(srcVar, dstVar)
     for (v <- bindVars; (k, _) <- perVar(v)._2) {
       if (!nodeIdx.contains(k)) return Some(unit()) // unbindable key → MATCH drops all
       g.nodes.schema(nodeIdx(k)).dataType match {
@@ -2111,52 +2139,72 @@ final class GraftSession(val spark: SparkSession,
         }
       }
     }
+    def bindOf(v: String, e: Any): Option[Long] =
+      bindCache((perVar(v)._1, perVar(v)._2.map(_._1), tupleOf(v, e)))
 
-    // ---- 2. candidate pairs, batch order, deduped (MERGE contract) --
-    val pairs = collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    // ---- 2. candidate bindings, batch order, deduped ----------------
+    // (one candidate = the tuple of endpoint ids; per-hop pairs derive
+    // from it — the MERGE pair-dedupe contract of the distributed path)
+    val candidates = collection.mutable.LinkedHashSet.empty[Seq[Long]]
     elems.foreach { e =>
-      val s = bindCache((perVar(srcVar)._1, perVar(srcVar)._2.map(_._1), tupleOf(srcVar, e)))
-      val d = bindCache((perVar(dstVar)._1, perVar(dstVar)._2.map(_._1), tupleOf(dstVar, e)))
-      (s, d) match {
-        case (Some(si), Some(di)) => pairs += ((si, di))
-        case _                    => () // MATCH semantics: unbound endpoint drops the row
-      }
+      val bound = bindVars.map(v => bindOf(v, e))
+      if (bound.forall(_.isDefined)) candidates += bound.map(_.get)
     }
+    val varPos = bindVars.zipWithIndex.toMap
+    def pairOf(c: Seq[Long], h: Hop): (Long, Long) =
+      (c(varPos(h.srcVar)), c(varPos(h.dstVar)))
 
-    // ---- 3. existence: buffer first, base only for unsettled pairs --
-    val bufPairRows: Map[(Long, Long), Seq[(Long, Map[String, Any])]] =
-      buf0.rows.toSeq.collect {
-        case (eid, row) if row.get("relType").contains(relType) &&
-            pairs.contains((row("src").asInstanceOf[Long], row("dst").asInstanceOf[Long])) =>
-          ((row("src").asInstanceOf[Long], row("dst").asInstanceOf[Long]), (eid, row))
-      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val unsettled = pairs.toSeq.filterNot(p => buf0.settled.contains((relType, p._1, p._2)))
+    // ---- 3. existence per hop: buffer first, base for unsettled -----
+    // pairRows(hop)(pair) = the pre-statement edge rows of that pair
+    // (buffer latest-wins over base, superseded base eids skipped)
+    val hopPairs: Seq[Set[(Long, Long)]] =
+      hops.map(h => candidates.toSeq.map(c => pairOf(c, h)).toSet)
     val baseSchema = base.schema
     val baseIdx = baseSchema.fieldNames.zipWithIndex.toMap
-    val basePairRows: Map[(Long, Long), Seq[(Long, Map[String, Any])]] =
-      if (unsettled.isEmpty) Map.empty
-      else {
-        val probe = base.filter(col("relType") === relType)
-          .filter(col("src").isin(unsettled.map(_._1).distinct: _*))
-          .filter(col("dst").isin(unsettled.map(_._2).distinct: _*))
-        val collected = probe.collect()
-        if (collected.length > 100000) return None
-        val unsettledSet = unsettled.toSet
-        collected.iterator.flatMap { r =>
-          val pair = (r.getLong(baseIdx("src")), r.getLong(baseIdx("dst")))
-          val eid = r.getLong(baseIdx("eid"))
-          if (!unsettledSet.contains(pair) || buf0.rows.contains(eid)) None
+    val pairRows: Seq[Map[(Long, Long), Seq[(Long, Map[String, Any])]]] =
+      hops.zipWithIndex.map { case (h, i) =>
+        val pairs = hopPairs(i)
+        val fromBuf = buf0.rows.toSeq.collect {
+          case (eid, row) if row.get("relType").contains(h.relType) &&
+              pairs.contains((row("src").asInstanceOf[Long], row("dst").asInstanceOf[Long])) =>
+            ((row("src").asInstanceOf[Long], row("dst").asInstanceOf[Long]), (eid, row))
+        }
+        val unsettled = pairs.toSeq.filterNot(p => buf0.settled.contains((h.relType, p._1, p._2)))
+        val fromBase =
+          if (unsettled.isEmpty) Nil
           else {
-            val cur = collection.mutable.LinkedHashMap.empty[String, Any]
-            baseSchema.fieldNames.zipWithIndex.foreach { case (n, i) => cur(n) = r.get(i) }
-            Some(pair -> (eid, cur.toMap))
+            val probe = base.filter(col("relType") === h.relType)
+              .filter(col("src").isin(unsettled.map(_._1).distinct: _*))
+              .filter(col("dst").isin(unsettled.map(_._2).distinct: _*))
+            val collected = probe.collect()
+            if (collected.length > 100000) return None
+            val unsettledSet = unsettled.toSet
+            collected.toSeq.flatMap { r =>
+              val pair = (r.getLong(baseIdx("src")), r.getLong(baseIdx("dst")))
+              val eid = r.getLong(baseIdx("eid"))
+              if (!unsettledSet.contains(pair) || buf0.rows.contains(eid)) None
+              else {
+                val cur = collection.mutable.LinkedHashMap.empty[String, Any]
+                baseSchema.fieldNames.zipWithIndex.foreach { case (n, j) => cur(n) = r.get(j) }
+                Some(pair -> (eid, cur.toMap))
+              }
+            }
           }
-        }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        (fromBuf ++ fromBase).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       }
-    val baseFound = basePairRows.keySet
-    val settled = buf0.settled ++
-      (if (m.onMatch.nonEmpty) unsettled.map(p => (relType, p._1, p._2))
-       else unsettled.filterNot(baseFound).map(p => (relType, p._1, p._2)))
+    // probed pairs proven ABSENT settle immediately (the base cannot
+    // gain rows while the overlay is valid); pairs whose base rows
+    // FOLD into the buffer (ON MATCH below) settle then
+    var settled = buf0.settled
+    hops.zipWithIndex.foreach { case (h, i) =>
+      val probed = hopPairs(i).filterNot(p => buf0.settled.contains((h.relType, p._1, p._2)))
+      settled ++= probed.filterNot(pairRows(i).contains).map(p => (h.relType, p._1, p._2))
+    }
+
+    // whole-pattern hit: EVERY hop's pair pre-exists
+    val (hitCands, missCands) = candidates.toSeq.partition { c =>
+      hops.zipWithIndex.forall { case (h, i) => pairRows(i).contains(pairOf(c, h)) }
+    }
 
     // ---- 4. evaluate SET driver-side (exact node-path discipline) ---
     var colTypes = buf0.colTypes
@@ -2174,13 +2222,12 @@ final class GraftSession(val spark: SparkSession,
       case (x: Boolean, BooleanType) => Some(x)
       case _                         => None
     }
-    def evalRel(e: ast.Expr, cur: collection.Map[String, Any]): Any = e match {
+    def evalRel(e: ast.Expr, rv: String, cur: collection.Map[String, Any]): Any = e match {
       case ast.Lit(v) => norm(v)
-      case ast.Prop(`relVar`, k) =>
-        if (cur.contains(k)) cur(k) else if (knownCol(k)) null
-        else null // absent property reads null, openCypher
+      case ast.Prop(`rv`, k) =>
+        if (cur.contains(k)) cur(k) else null // absent property reads null
       case ast.Arith(op, l, r) =>
-        (evalRel(l, cur), evalRel(r, cur)) match {
+        (evalRel(l, rv, cur), evalRel(r, rv, cur)) match {
           case (null, _) | (_, null) => null
           case (x: Long, y: Long) => op match {
             case "+" => x + y; case "-" => x - y; case "*" => x * y
@@ -2203,39 +2250,55 @@ final class GraftSession(val spark: SparkSession,
       case _ => null // unreachable: evaluable() pre-checked
     }
     var typeOk = true
-    val matched: Seq[(Long, Map[String, Any])] = pairs.toSeq.flatMap { p =>
-      bufPairRows.getOrElse(p, Nil) ++ basePairRows.getOrElse(p, Nil)
-    }
-    val replacements =
-      if (m.onMatch.isEmpty) Nil
-      else matched.map { case (eid, row) =>
-        val cur = collection.mutable.LinkedHashMap.empty[String, Any]
-        row.foreach { case (n, v) => cur(n) = v }
-        m.onMatch.foreach { case (p, e) =>
-          val v = evalRel(e, cur)
-          fits(v, colType(p.key, v)) match {
-            case Some(cv) => cur(p.key) = cv
-            case None     => typeOk = false
+    // ON MATCH per hop, applied to the pre-existing edges of HIT
+    // bindings; `updatedAcc` threads earlier hops' updates into later
+    // hops touching the same edge row (the distributed path's
+    // `working` overlay, driver form). Folded base pairs settle.
+    val updatedAcc = collection.mutable.LinkedHashMap.empty[Long, Map[String, Any]]
+    hops.zipWithIndex.foreach { case (h, i) =>
+      val items = onMatch.collect { case (`i`, k, e) => (k, e) }
+      if (items.nonEmpty) {
+        val hitPairs = hitCands.map(c => pairOf(c, h)).distinct
+        hitPairs.foreach { p =>
+          pairRows(i).getOrElse(p, Nil).foreach { case (eid, row0) =>
+            val cur = collection.mutable.LinkedHashMap.empty[String, Any]
+            updatedAcc.getOrElse(eid, row0).foreach { case (n, v) => cur(n) = v }
+            items.foreach { case (k, e) =>
+              val v = evalRel(e, h.relVar, cur)
+              fits(v, colType(k, v)) match {
+                case Some(cv) => cur(k) = cv
+                case None     => typeOk = false
+              }
+            }
+            updatedAcc(eid) = cur.toMap
           }
-        }
-        (eid, cur.toMap)
-      }
-    val matchedPairs: Set[(Long, Long)] =
-      bufPairRows.keySet ++ baseFound
-    val toCreate = pairs.toSeq.filterNot(matchedPairs)
-    val eidBase = if (toCreate.isEmpty) 0L else db.allocateRel(toCreate.size.toLong)
-    val created = toCreate.zipWithIndex.map { case ((s, d), i) =>
-      val cur = collection.mutable.LinkedHashMap.empty[String, Any]
-      cur("src") = s; cur("dst") = d; cur("relType") = relType
-      cur("eid") = eidBase + i
-      m.onCreate.foreach { case (p, e) =>
-        val v = evalRel(e, cur)
-        fits(v, colType(p.key, v)) match {
-          case Some(cv) => cur(p.key) = cv
-          case None     => typeOk = false
+          settled += ((h.relType, p._1, p._2))
         }
       }
-      (eidBase + i, cur.toMap)
+    }
+    val replacements = updatedAcc.toSeq
+    // misses create EVERY hop (whole-pattern create), per-hop pairs
+    // deduped in batch order; eids mint contiguously per hop
+    val created = collection.mutable.ArrayBuffer.empty[(Long, Map[String, Any])]
+    hops.zipWithIndex.foreach { case (h, i) =>
+      val createPairs = collection.mutable.LinkedHashSet.empty[(Long, Long)]
+      missCands.foreach(c => createPairs += pairOf(c, h))
+      if (createPairs.nonEmpty) {
+        val eidBase = db.allocateRel(createPairs.size.toLong)
+        createPairs.toSeq.zipWithIndex.foreach { case ((s, d), j) =>
+          val cur = collection.mutable.LinkedHashMap.empty[String, Any]
+          cur("src") = s; cur("dst") = d; cur("relType") = h.relType
+          cur("eid") = eidBase + j
+          onCreate.collect { case (`i`, k, e) => (k, e) }.foreach { case (k, e) =>
+            val v = evalRel(e, h.relVar, cur)
+            fits(v, colType(k, v)) match {
+              case Some(cv) => cur(k) = cv
+              case None     => typeOk = false
+            }
+          }
+          created += ((eidBase + j, cur.toMap))
+        }
+      }
     }
     if (!typeOk) return None
 
@@ -2338,7 +2401,8 @@ final class GraftSession(val spark: SparkSession,
     // driver against the buffer + settled-pair cache, so a burst costs
     // at most a couple of isin-pruned lookups per call and a rerun
     // whose pairs are all settled runs ZERO Spark actions.
-    if (merges.size == 1 && merges.head.pattern.hops.size == 1 &&
+    if (merges.size == 1 && merges.head.pattern.hops.nonEmpty &&
+        merges.head.pattern.hops.size <= 4 &&
         elems.size <= 10000 &&
         db.validEdgeDelta.forall(_.buf.isDefined) &&
         db.validEdgeDelta.flatMap(_.buf).forall(_.rows.size <= 100000)) {
