@@ -204,9 +204,16 @@ object Bench {
       // gds_pagerank runs AFTER gds_degree on purpose: degree builds
       // (and caches) the replica dir's GraftSession + tpch view, so
       // the pagerank slope measures the algorithm, not session setup
+      // cy_call_in_tx / cy_rel_upsert_burst probe the MUTATION
+      // delta-log claim directly: a batched commit is O(batch + delta)
+      // — endpoint/matched-row lookups are isin-pruned scans, the
+      // delta a LocalRelation — so ×10 table volume should move them
+      // far less than linearly (what remains is the per-session view
+      // setup and the pruned probes' footer costs)
       val probed = Seq("dedup_clusters", "dedup_minhash_lsh",
         "stream_stream_join", "gds_degree", "gds_pagerank",
-        "ann_pq_adc", "text_lm_score")
+        "ann_pq_adc", "text_lm_score", "cy_call_in_tx",
+        "cy_rel_upsert_burst")
       val byName = SparkEntry.catalog.map(q => q.name -> q).toMap
       // STEADY-STATE probe (r11 verdict #2): the replica dir is built
       // once; the query runs twice and the SECOND run is the reported

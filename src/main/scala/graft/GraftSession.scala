@@ -77,10 +77,14 @@ final class GraftSession(val spark: SparkSession,
     // identity keys the delta overlay, Bolt wire entities, and
     // SET/DELETE targeting. (Before this, a fresh view-backed session
     // minted ids from 0 and a MERGE-create could silently shadow a
-    // view node.) One column-pruned max scan, once per setGraph.
-    import org.apache.spark.sql.functions.{max => smax}
-    val maxId = g.nodes.agg(smax("id")).collect().headOption
-      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(-1L)
+    // view node.) Views that know their ceiling supply it
+    // (PropertyGraph.knownMaxNodeId — GraphViews memoizes one per
+    // dir); otherwise one column-pruned max scan, once per setGraph.
+    val maxId = g.knownMaxNodeId.getOrElse {
+      import org.apache.spark.sql.functions.{max => smax}
+      g.nodes.agg(smax("id")).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(-1L)
+    }
     d.nextId.set(math.max(d.nextId.get(), maxId + 1))
   }
 

@@ -79,8 +79,33 @@ object GraphViews {
       edge(li, "l_suppkey", TAG_SUPPLIER, "l_partkey", TAG_PART, "SUPPLIED"))
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
-    PropertyGraph(nodes, edges)
+    PropertyGraph(nodes, edges, knownMaxNodeId = Some(tpchMaxId(spark, dir)))
   }
+
+  // Memoized id ceiling per test-data dir: max over the six key
+  // columns, derived ONCE — every later view-backed session seeds its
+  // id allocator without re-scanning (GraftSession.setGraph would
+  // otherwise pay a full key-column pass per session open; at sf0.1
+  // that was the dominant cost of every mutation catalog row's setup,
+  // and at 100 TB it would be a full pass over six tables).
+  private val maxIdCache = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private def tpchMaxId(spark: SparkSession, dir: String): Long =
+    maxIdCache.computeIfAbsent(dir, _ => {
+      val keys = Seq(
+        "region" -> "r_regionkey", "nation" -> "n_nationkey",
+        "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+        "part" -> "p_partkey", "orders" -> "o_orderkey")
+      keys.map { case (tbl, k) =>
+        val tag = tbl match {
+          case "region" => TAG_REGION; case "nation" => TAG_NATION
+          case "customer" => TAG_CUSTOMER; case "supplier" => TAG_SUPPLIER
+          case "part" => TAG_PART; case "orders" => TAG_ORDER
+        }
+        Tables(spark, dir, tbl).agg(max(col(k).cast("long"))).collect()
+          .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+          .getOrElse(-1L) * 10L + tag
+      }.max
+    })
 
   /** Bounded part co-purchase graph: nodes = parts appearing in orders
     * with `l_orderkey < maxOrderKey`, one CO edge per part pair sharing

@@ -39,8 +39,16 @@ import org.apache.spark.sql.types._
   * (the reference asserts exactly four property value types,
   * StubPluginHelper.java:131-134). A corpus with genuinely unbounded
   * dynamic keys would want the map-overflow design instead.
+  *
+  * `knownMaxNodeId`: a view that can derive its id ceiling without a
+  * data scan (GraphViews memoizes one per test-data dir) attaches it
+  * so `GraftSession.setGraph` seeds the id allocator without the
+  * column scan — at 100 TB that scan is a full pass over every key
+  * column just to open a session. Purely an optimization hint:
+  * absent → setGraph falls back to the max scan.
   */
-final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
+    knownMaxNodeId: Option[Long] = None) {
 
   def nodesWithLabel(label: String): DataFrame =
     nodes.filter(array_contains(col("labels"), label))
@@ -49,7 +57,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     edges.filter(col("relType") === relType)
 
   def persist(): PropertyGraph =
-    PropertyGraph(nodes.persist(), edges.persist())
+    PropertyGraph(nodes.persist(), edges.persist(), knownMaxNodeId)
 }
 
 object PropertyGraph {
