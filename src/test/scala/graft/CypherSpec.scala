@@ -2078,6 +2078,87 @@ class CypherSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 2L)
   }
 
+  test("edge upsert model check: random batched merges match an in-memory model across buffered/distributed paths") {
+    // Model-based invariant for the relationship MERGE machinery: a
+    // driver-side model applies the documented semantics (whole-
+    // pattern existence, per-statement pair dedupe, ON CREATE on
+    // misses, ON MATCH on every pre-existing edge of a hit pair) and
+    // the engine must agree after every few statements. The op mix
+    // forces BOTH commit paths — prop-free batches ride the driver
+    // buffer, prop-bearing merges the distributed delta — plus
+    // interleaved node writes that invalidate the bind cache, so the
+    // paths must compose on one overlay.
+    val s = new GraftSession(spark)
+    (1 to 6).foreach(k => s.cypher(s"CREATE (a:mbu {k: $k})"))
+    // model: (src, dst, relType) -> list of c-values (one per parallel edge)
+    val model = collection.mutable.Map.empty[(Long, Long, String), List[Option[Long]]]
+    val rnd = new scala.util.Random(4242)
+    def applyModel(pairs: Seq[(Long, Long)], t: String, onC: Boolean, onM: Boolean): Unit =
+      pairs.distinct.foreach { case (a, b) =>
+        val key = (a, b, t)
+        model.get(key) match {
+          case Some(cs) if cs.nonEmpty =>
+            // SQL null propagation: `SET x.c = x.c + 1` on an edge
+            // whose c is absent stays null (openCypher)
+            if (onM) model(key) = cs.map(c => c.map(_ + 1L))
+          case _ =>
+            model(key) = model.getOrElse(key, Nil) :+ (if (onC) Some(1L) else None)
+        }
+      }
+    def check(tag: String): Unit = {
+      val got = s.cypher(
+        """MATCH (a:mbu)-[r]->(b:mbu)
+          |RETURN a.k AS ak, b.k AS bk, type(r) AS t, r.c AS c""".stripMargin)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getString(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.getOrElse(-1L)).toList).toMap
+      val want = model.filter(_._2.nonEmpty).view
+        .mapValues(_.sortBy(_.getOrElse(-1L))).toMap
+      assert(got == want, s"[$tag]\n got=$got\nwant=$want")
+    }
+    (1 to 24).foreach { step =>
+      val t = if (rnd.nextBoolean()) "MA" else "MB"
+      val n = 1 + rnd.nextInt(4)
+      val pairs = Seq.fill(n) {
+        val a = 1L + rnd.nextInt(6); var b = 1L + rnd.nextInt(6)
+        while (b == a) b = 1L + rnd.nextInt(6)
+        (a, b)
+      }
+      val (onC, onM) = (rnd.nextBoolean(), rnd.nextBoolean())
+      val handlers = (if (onC) " ON CREATE SET x.c = 1" else "") +
+        (if (onM) " ON MATCH SET x.c = x.c + 1" else "")
+      rnd.nextInt(4) match {
+        case 0 =>
+          // distributed shape: a literal prop on the relationship makes
+          // the pattern identity (type + prop); keep the model simple
+          // by reserving a DISTINCT type for prop-bearing merges
+          val batch = pairs.map { case (a, b) => Map("s" -> a, "d" -> b) }
+          s.cypher(
+            s"""UNWIND $$b AS row
+               |MATCH (a:mbu {k: row.s}), (c:mbu {k: row.d})
+               |MERGE (a)-[x:${t}P {w: 7}]->(c)$handlers""".stripMargin,
+            Map("b" -> batch))
+          applyModel(pairs, s"${t}P", onC, onM)
+        case _ =>
+          val batch = pairs.map { case (a, b) => Map("s" -> a, "d" -> b) }
+          s.cypher(
+            s"""UNWIND $$b AS row
+               |MATCH (a:mbu {k: row.s}), (c:mbu {k: row.d})
+               |MERGE (a)-[x:$t]->(c)$handlers""".stripMargin,
+            Map("b" -> batch))
+          applyModel(pairs, t, onC, onM)
+      }
+      if (step % 6 == 0) {
+        // interleaved node write: moves the node frame, invalidating
+        // the endpoint bind cache mid-burst
+        s.cypher(s"UNWIND [${rnd.nextInt(6) + 1}] AS x MERGE (a:mbu {k: x}) ON MATCH SET a.touched = $step")
+        check(s"step $step")
+      }
+    }
+    check("final")
+  }
+
   test("setGraph seeds the id allocator past the view: upsert-created nodes never shadow view nodes") {
     val s = new GraftSession(spark)
     // a tiny hand-built view whose node ids deliberately start at 0
