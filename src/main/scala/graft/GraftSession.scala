@@ -2097,7 +2097,10 @@ final class GraftSession(val spark: SparkSession,
       nodePats.zip(vars).map { case (np, v) =>
         v -> (np.labels, keyCols.collect { case (`v`, k, get) => (k, get) })
       }.toMap
-    val bindVars = (hops.map(_.srcVar) ++ hops.map(_.dstVar)).distinct
+    // Bind EVERY matched variable, not just the merge pattern's
+    // endpoints: MATCH is an inner join, so a batch row whose extra
+    // bound variable resolves to nothing must drop the whole row
+    val bindVars = vars.distinct
     // all key columns present and driver-canonicalizable, like the
     // node buffer path
     for (v <- bindVars; (k, _) <- perVar(v)._2) {

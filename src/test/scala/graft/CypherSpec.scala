@@ -2078,6 +2078,25 @@ class CypherSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 2L)
   }
 
+  test("buffered edge upsert: an unbindable EXTRA matched variable drops the row (MATCH inner-join semantics)") {
+    val s = new GraftSession(spark)
+    (1 to 2).foreach(k => s.cypher(s"CREATE (a:xv {k: $k})"))
+    s.cypher("CREATE (g:gate {name: 'open'})")
+    // row 1 binds all three vars; row 2's gate name matches nothing →
+    // the whole row drops even though (a, c) both bind
+    s.cypher(
+      """UNWIND $b AS row
+        |MATCH (a:xv {k: row.s}), (c:xv {k: row.d}), (g:gate {name: row.g})
+        |MERGE (a)-[x:XV]->(c) ON CREATE SET x.c = 1""".stripMargin,
+      Map("b" -> Seq(
+        Map("s" -> 1L, "d" -> 2L, "g" -> "open"),
+        Map("s" -> 2L, "d" -> 1L, "g" -> "closed"))))
+    val got = s.cypher(
+      "MATCH (a:xv)-[x:XV]->(c:xv) RETURN a.k AS ak, c.k AS ck")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L)), s"row with unbound gate must drop: $got")
+  }
+
   test("edge upsert model check: random batched merges match an in-memory model across buffered/distributed paths") {
     // Model-based invariant for the relationship MERGE machinery: a
     // driver-side model applies the documented semantics (whole-
