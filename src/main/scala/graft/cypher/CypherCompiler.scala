@@ -76,17 +76,43 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   private def compileMatch(ctx: Option[DataFrame], m: Match): DataFrame = {
     if (m.optional) return compileOptional(ctx, m)
     var df = ctx.orNull
-    m.patterns.foreach { p => df = compilePath(Option(df), p) }
-    m.where.foreach { e =>
-      // top-level conjuncts split: pattern/EXISTS-existence predicates
-      // become semi/anti joins (plan-shaping — they cannot be a
-      // Column); everything else stays an ordinary filter
-      val (existencePreds, rest) = splitConjuncts(e)
-      existencePreds.foreach { case (pats, w, negated) =>
-        df = applyExists(df, pats, w, negated) }
-      rest.foreach(r => df = filterWithSubqueries(df, r))
-    }
+    // Top-level conjuncts split ONCE up front: pattern/EXISTS-existence
+    // predicates become semi/anti joins after composition (plan-shaping
+    // — they cannot be a Column); PLAIN conjuncts travel into the path
+    // compiler as pending filters so a var-length expansion can apply
+    // any whose variables are already bound BEFORE seeding — the
+    // expansion's checkpointed frontiers are opaque to Catalyst, so a
+    // start filter applied after composition cannot push back through
+    // it and the frontier would seed from the whole label instead of
+    // the filtered rows. Unconsumed conjuncts apply at the end,
+    // exactly as before.
+    val (existencePreds, rest) = m.where.map(splitConjuncts)
+      .getOrElse((Nil, Nil))
+    val pending = collection.mutable.ArrayBuffer.empty[Expr]
+    pending ++= rest
+    m.patterns.foreach { p => df = compilePath(Option(df), p, pending = pending) }
+    existencePreds.foreach { case (pats, w, negated) =>
+      df = applyExists(df, pats, w, negated) }
+    pending.foreach(r => df = filterWithSubqueries(df, r))
     df
+  }
+
+  /** Conjuncts safe to apply EARLY (before a var-length expansion
+    * seeds): plain column-computable predicates — no pattern/exists
+    * subqueries, no aggregation. Conservative whitelist. */
+  private def pushableEarly(e: Expr): Boolean = e match {
+    case _: Lit | _: Prop | _: Variable => true
+    case Cmp(_, l, r)        => pushableEarly(l) && pushableEarly(r)
+    case And(l, r)           => pushableEarly(l) && pushableEarly(r)
+    case Or(l, r)            => pushableEarly(l) && pushableEarly(r)
+    case Not(x)              => pushableEarly(x)
+    case In(x, list)         => pushableEarly(x) && list.forall(pushableEarly)
+    case IsNull(x, _)        => pushableEarly(x)
+    case Arith(_, l, r)      => pushableEarly(l) && pushableEarly(r)
+    case StringPred(_, l, r) => pushableEarly(l) && pushableEarly(r)
+    case FnCall(fn, args, _) if Set("id", "tolower", "toupper", "abs",
+      "size", "coalesce").contains(fn.toLowerCase) => args.forall(pushableEarly)
+    case _ => false
   }
 
   /** Residual conjunct filter that may still embed existence/count
@@ -461,7 +487,9 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * an edge's src/dst reference existing nodes by construction, so the
     * union-of-entity-tables scan is pure overhead there. */
   private def compilePath(ctx: Option[DataFrame], p: PathPat,
-      idsOnly: Boolean = false): DataFrame = {
+      idsOnly: Boolean = false,
+      pending: collection.mutable.ArrayBuffer[Expr] =
+        collection.mutable.ArrayBuffer.empty): DataFrame = {
     var cur: DataFrame = null
     var prevVar: String = null
 
@@ -484,6 +512,23 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
 
     bindStart(p.start)
     p.hops.foreach { case (rel, node) =>
+      // seed a var-length expansion from FILTERED starts: consume any
+      // pending plain conjunct whose variables are all bound already
+      // (see compileMatch — the expansion is opaque to Catalyst)
+      if (rel.varLength.isDefined && cur != null && pending.nonEmpty) {
+        val bound = cur.columns.collect {
+          case c if c.endsWith(s"${SEP}id") => c.stripSuffix(s"${SEP}id")
+        }.toSet
+        val keep = collection.mutable.ArrayBuffer.empty[Expr]
+        pending.foreach { e =>
+          val rv = referencedVars(e)
+          if (pushableEarly(e) && rv.nonEmpty && rv.subsetOf(bound)) {
+            try cur = cur.filter(compileExpr(e, cur))
+            catch { case _: Exception => keep += e } // unresolvable → late
+          } else keep += e
+        }
+        pending.clear(); pending ++= keep
+      }
       cur = compileHop(cur, prevVar, rel, node, idsOnly)
       prevVar = node.variable.getOrElse {
         // compileHop bound it under a fresh name recorded on the node pat
