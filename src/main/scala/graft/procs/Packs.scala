@@ -379,10 +379,17 @@ object Packs {
           edges0.select(keep.map(col): _*)
         case None => edges0
       }
-      val g = graft.core.PropertyGraph(nodes, edges)
+      // MATERIALIZE at project time — the GDS contract (a named
+      // projection IS an in-memory graph): iterative algorithms then
+      // read checkpointed rows instead of re-running the two semi
+      // joins per iteration, and the counts below come free. Dropped
+      // projections release with GC (localCheckpoint, no cache entry).
+      val matNodes = nodes.localCheckpoint()
+      val matEdges = edges.localCheckpoint()
+      val g = graft.core.PropertyGraph(matNodes, matEdges)
       session.projectedGraphs(name) = g
-      procs.oneRow("graphName" -> name, "nodeCount" -> nodes.count(),
-        "relationshipCount" -> edges.count())
+      procs.oneRow("graphName" -> name, "nodeCount" -> matNodes.count(),
+        "relationshipCount" -> matEdges.count())
     }
     procs.register("gds.graph.list", "() :: (graphName, nodeCount, relationshipCount)",
       "List projected graphs") { _ =>
