@@ -561,6 +561,9 @@ object GraphAlgos {
         .groupBy("node_id")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("ival")))),
           x => x.getField("ival")).as("vec"))
+        // both the query side and the corpus side read this frame —
+        // materialize once or the whole fastRP pipeline runs twice
+        .localCheckpoint()
       val qs = emb.filter(expr("(node_id div 10) % 50 = 0"))
         .select(col("node_id").as("q_id"), col("vec").as("qv"))
       val scored = emb.crossJoin(broadcast(qs))
