@@ -128,7 +128,11 @@ object GraphViews {
         lit("CO").as("relType"),
         ((col("p") + col("p2")) % 9 + 1).cast("long").as("weight")).distinct()
       .withColumn("eid", viewEid)
-    PropertyGraph(nodes, edges)
+    // the pair self-join is the expensive part and EVERY algorithm
+    // call over the (session-cached) view would otherwise re-run it —
+    // the derived graph is bounded by construction, so materialize it
+    // once per view build (narrow columns; executor-local checkpoint)
+    PropertyGraph(nodes.localCheckpoint(), edges.localCheckpoint())
   }
 
   /** Bounded DIRECTED part-flow graph: within each order (bounded by
@@ -152,6 +156,7 @@ object GraphViews {
         nodeId(col("p2"), TAG_PART).as("dst"),
         lit("FLOW").as("relType")).distinct()
       .withColumn("eid", viewEid)
-    PropertyGraph(nodes, edges)
+    // same once-per-build materialization rationale as `copurchase`
+    PropertyGraph(nodes.localCheckpoint(), edges.localCheckpoint())
   }
 }
