@@ -2050,20 +2050,39 @@ final class GraftSession(val spark: SparkSession,
     if (!g.edges.columns.contains("eid")) return None
 
     // ---- hop parsing: (srcVar, dstVar, relType, relVar) per hop -----
-    case class Hop(srcVar: String, dstVar: String, relType: String, relVar: String)
+    case class Hop(srcVar: String, dstVar: String, relType: String,
+        relVar: String, props: Seq[(String, Any)])
     val hops: Seq[Hop] = {
       var prev = m.pattern.start
       m.pattern.hops.zipWithIndex.map { case ((rel, end), i) =>
-        if (rel.dir == 0 || rel.types.size != 1 || rel.props.nonEmpty) return None
+        if (rel.dir == 0 || rel.types.size != 1) return None
         val a = prev.variable.getOrElse(return None)
         val b = end.variable.getOrElse(return None)
         if (!vars.contains(a) || !vars.contains(b)) return None
         prev = end
         val (s, d) = if (rel.dir == -1) (b, a) else (a, b)
         if (s == d) return None // self-pair binding needs the general path
-        Hop(s, d, rel.types.head, rel.variable.getOrElse(s"_anon$i"))
+        // literal relationship props join the merge IDENTITY (type AND
+        // props, the distributed existingEither contract); row-field
+        // or null-literal props need the general path
+        val props = rel.props.toSeq.sortBy(_._1).map { case (k, l) =>
+          l.v match {
+            case ast.VarRefValue(_) | ast.PropRefValue(_, _) => return None
+            case v =>
+              val nv = norm(v)
+              if (nv == null) return None
+              (k, nv)
+          }
+        }
+        Hop(s, d, rel.types.head, rel.variable.getOrElse(s"_anon$i"), props)
       }
     }
+    // identity signature per hop: relType + the literal prop set —
+    // settled-pair entries key on it so differently-propped merges over
+    // one endpoint pair never answer each other's existence probes
+    def idSig(h: Hop): String =
+      h.relType + "|" + h.props.map { case (k, v) =>
+        s"$k=${v.getClass.getSimpleName}:$v" }.mkString(",")
     val relVarHop: Map[String, Int] = m.pattern.hops.zipWithIndex
       .flatMap { case ((rel, _), i) => rel.variable.map(_ -> i) }.toMap
     // SET items must target a merged rel var; values driver-evaluable
@@ -2168,21 +2187,32 @@ final class GraftSession(val spark: SparkSession,
       hops.map(h => candidates.toSeq.map(c => pairOf(c, h)).toSet)
     val baseSchema = base.schema
     val baseIdx = baseSchema.fieldNames.zipWithIndex.toMap
+    // canonical scalar compare for prop-identity matching (the driver
+    // form of the distributed path's `col(k) <=> lit(v)`)
+    def propMatches(value: Any, want: Any): Boolean = canon(value) == canon(want)
     val pairRows: Seq[Map[(Long, Long), Seq[(Long, Map[String, Any])]]] =
       hops.zipWithIndex.map { case (h, i) =>
         val pairs = hopPairs(i)
         val fromBuf = buf0.rows.toSeq.collect {
           case (eid, row) if row.get("relType").contains(h.relType) &&
-              pairs.contains((row("src").asInstanceOf[Long], row("dst").asInstanceOf[Long])) =>
+              pairs.contains((row("src").asInstanceOf[Long], row("dst").asInstanceOf[Long])) &&
+              h.props.forall { case (k, v) => propMatches(row.getOrElse(k, null), v) } =>
             ((row("src").asInstanceOf[Long], row("dst").asInstanceOf[Long]), (eid, row))
         }
-        val unsettled = pairs.toSeq.filterNot(p => buf0.settled.contains((h.relType, p._1, p._2)))
+        val unsettled = pairs.toSeq.filterNot(p => buf0.settled.contains((idSig(h), p._1, p._2)))
+        // a pattern prop whose column exists nowhere can match nothing —
+        // the base probe is skipped outright (the distributed
+        // `filter(lit(false))` shortcut)
+        val basePropsPresent = h.props.forall { case (k, _) => baseIdx.contains(k) }
         val fromBase =
-          if (unsettled.isEmpty) Nil
+          if (unsettled.isEmpty || !basePropsPresent) Nil
           else {
-            val probe = base.filter(col("relType") === h.relType)
-              .filter(col("src").isin(unsettled.map(_._1).distinct: _*))
-              .filter(col("dst").isin(unsettled.map(_._2).distinct: _*))
+            val probe = h.props.foldLeft(
+                base.filter(col("relType") === h.relType)
+                  .filter(col("src").isin(unsettled.map(_._1).distinct: _*))
+                  .filter(col("dst").isin(unsettled.map(_._2).distinct: _*))) {
+              case (df, (k, v)) => df.filter(col(k) <=> lit(v))
+            }
             val collected = probe.collect()
             if (collected.length > 100000) return None
             val unsettledSet = unsettled.toSet
@@ -2200,12 +2230,13 @@ final class GraftSession(val spark: SparkSession,
         (fromBuf ++ fromBase).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       }
     // probed pairs proven ABSENT settle immediately (the base cannot
-    // gain rows while the overlay is valid); pairs whose base rows
-    // FOLD into the buffer (ON MATCH below) settle then
+    // gain rows while the overlay is valid — and a base lacking a
+    // pattern-prop column proves absence without any scan); pairs
+    // whose base rows FOLD into the buffer (ON MATCH below) settle then
     var settled = buf0.settled
     hops.zipWithIndex.foreach { case (h, i) =>
-      val probed = hopPairs(i).filterNot(p => buf0.settled.contains((h.relType, p._1, p._2)))
-      settled ++= probed.filterNot(pairRows(i).contains).map(p => (h.relType, p._1, p._2))
+      val probed = hopPairs(i).filterNot(p => buf0.settled.contains((idSig(h), p._1, p._2)))
+      settled ++= probed.filterNot(pairRows(i).contains).map(p => (idSig(h), p._1, p._2))
     }
 
     // whole-pattern hit: EVERY hop's pair pre-exists
@@ -2279,7 +2310,7 @@ final class GraftSession(val spark: SparkSession,
             }
             updatedAcc(eid) = cur.toMap
           }
-          settled += ((h.relType, p._1, p._2))
+          settled += ((idSig(h), p._1, p._2))
         }
       }
     }
@@ -2296,6 +2327,14 @@ final class GraftSession(val spark: SparkSession,
           val cur = collection.mutable.LinkedHashMap.empty[String, Any]
           cur("src") = s; cur("dst") = d; cur("relType") = h.relType
           cur("eid") = eidBase + j
+          // pattern props land first; ON CREATE may overwrite them
+          // (the distributed createCols fold order)
+          h.props.foreach { case (k, v) =>
+            fits(v, colType(k, v)) match {
+              case Some(cv) => cur(k) = cv
+              case None     => typeOk = false
+            }
+          }
           onCreate.collect { case (`i`, k, e) => (k, e) }.foreach { case (k, e) =>
             val v = evalRel(e, h.relVar, cur)
             fits(v, colType(k, v)) match {

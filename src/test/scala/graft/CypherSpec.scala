@@ -2149,9 +2149,21 @@ class CypherSpec extends AnyFunSuite {
         (if (onM) " ON MATCH SET x.c = x.c + 1" else "")
       rnd.nextInt(4) match {
         case 0 =>
-          // distributed shape: a literal prop on the relationship makes
-          // the pattern identity (type + prop); keep the model simple
-          // by reserving a DISTINCT type for prop-bearing merges
+          // DISTRIBUTED shape: an undirected hop bails out of the
+          // driver buffer. Pairs are canonicalized (a < b) so the
+          // either-orientation existence check reduces to the directed
+          // model on one stored orientation; reserved type per case.
+          val cpairs = pairs.map(p => if (p._1 < p._2) p else p.swap)
+          val batch = cpairs.map { case (a, b) => Map("s" -> a, "d" -> b) }
+          s.cypher(
+            s"""UNWIND $$b AS row
+               |MATCH (a:mbu {k: row.s}), (c:mbu {k: row.d})
+               |MERGE (a)-[x:${t}U]-(c)$handlers""".stripMargin,
+            Map("b" -> batch))
+          applyModel(cpairs, s"${t}U", onC, onM)
+        case 1 =>
+          // buffered WITH literal pattern props: the prop joins the
+          // merge identity (reserved type keeps the model one-key)
           val batch = pairs.map { case (a, b) => Map("s" -> a, "d" -> b) }
           s.cypher(
             s"""UNWIND $$b AS row
