@@ -1213,13 +1213,28 @@ final class GraftSession(val spark: SparkSession,
     }
   }
 
+  /** `lazyRewrite`: the declarative whole-pattern MERGE path promises
+    * ZERO driver actions at build (EXPLAIN of a mutation must not
+    * execute; CypherSpec pins it) — it opts out of the eager delta
+    * fold and keeps the lazy update-by-join. */
   private def mutateSetDelete(db: GraphDatabase, matches: Seq[ast.Match],
       sets: Seq[ast.SetProps], deletes: Seq[ast.Delete],
-      labelSets: Seq[ast.SetLabels] = Nil): DataFrame = {
+      labelSets: Seq[ast.SetLabels] = Nil, lazyRewrite: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     if (matches.isEmpty)
       throw new UnsupportedOperationException("SET/DELETE requires a MATCH part")
-    lazy val bindings = matchedIds(db, matches)._1
+    // matches evaluate against the ENTRY state (openCypher: the match
+    // binds once, then writes apply) — pin the compiler frame so a
+    // committed item cannot shift a later item's match
+    val entry = db.graph
+    lazy val bindings = {
+      val boundVars = matches.flatMap(_.patterns.flatMap(p =>
+        (p.start.variable ++ p.hops.flatMap(_._2.variable)).toSeq)).distinct
+      new CypherCompiler(spark, entry, procedures.procedure, procedures.scalar)
+        .compile(ast.Query(matches ++ Seq(ast.Return(
+          boundVars.map(v => ast.ReturnItem(ast.FnCall("id", Seq(ast.Variable(v))), Some(v))),
+          distinct = false, Nil, None, None))))
+    }
     // relationship variables get SET/DELETE too: a matched rel is
     // identified by its surrogate `eid` (parallel same-type edges
     // between one endpoint pair are distinct targets). Edge sets
@@ -1227,7 +1242,7 @@ final class GraftSession(val spark: SparkSession,
     // fall back to (src, dst, relType) granularity, the documented
     // pre-eid deviation.
     val relVars = matches.flatMap(_.patterns.flatMap(_.hops.flatMap(_._1.variable))).toSet
-    val hasEid = db.graph.edges.columns.contains("eid")
+    val hasEid = entry.edges.columns.contains("eid")
     def relKeys(rv: String): DataFrame = {
       val items =
         if (hasEid) Seq(ast.ReturnItem(ast.Prop(rv, "eid"), Some("_re")))
@@ -1235,7 +1250,7 @@ final class GraftSession(val spark: SparkSession,
           ast.ReturnItem(ast.Prop(rv, "src"), Some("_rs")),
           ast.ReturnItem(ast.Prop(rv, "dst"), Some("_rd")),
           ast.ReturnItem(ast.Prop(rv, "relType"), Some("_rt")))
-      new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
+      new CypherCompiler(spark, entry, procedures.procedure, procedures.scalar)
         .compile(ast.Query(matches ++ Seq(ast.Return(items,
           distinct = true, Nil, None, None))))
     }
@@ -1243,67 +1258,102 @@ final class GraftSession(val spark: SparkSession,
       if (hasEid) base("eid") === keys("_re")
       else base("src") === keys("_rs") && base("dst") === keys("_rd") &&
         base("relType") === keys("_rt")
-    var g = db.graph
 
+    // SET is DELTA-shaped (never a table rewrite): look up only the
+    // HIT rows on the current resolved view (sequential visibility —
+    // a later item reads an earlier item's values through the
+    // overlay), apply the value column, and fold the replacements into
+    // the id/eid-keyed overlay. The legacy whole-table update-by-join
+    // survives only for eid-less edge sets, which have no row identity
+    // to key a delta on.
     sets.foreach(_.items.foreach { case (ast.Prop(v, key), rhs) =>
       val isRel = relVars.contains(v)
-      val base = if (isRel) g.edges else g.nodes
+      val cur = db.graph
+      val base = if (isRel) cur.edges else cur.nodes
       def exprCol(e: ast.Expr) = setValueColumn(base, v, isRel, e)
-      val (joined, mark) =
-        if (isRel) {
-          val keys = relKeys(v)
-          (base.join(keys, relKeyCond(base, keys), "left_outer"),
-            (if (hasEid) col("_re") else col("_rs")).isNotNull)
-        } else {
-          val ids = bindings.select(col(v).as("_mid")).distinct()
-          (base.join(ids, base("id") === col("_mid"), "left_outer"), col("_mid").isNotNull)
-        }
-      def swapIn(updated: DataFrame): Unit = {
-        val cleaned = updated.drop("_mid", "_rs", "_rd", "_rt", "_re")
-        g = if (isRel) PropertyGraph(g.nodes, cleaned) else PropertyGraph(cleaned, g.edges)
-      }
-      rhs match {
+      val keyPresent = base.columns.contains(key)
+      val valueCol: Option[org.apache.spark.sql.Column] = rhs match {
         case ast.Lit(value0) =>
           val value = norm(value0)
-          if (value != null || base.columns.contains(key)) { // REMOVE of an absent key is a no-op
-            swapIn(
-              if (base.columns.contains(key))
-                joined.withColumn(key, when(mark, lit(value)).otherwise(col(key)))
-              else
-                joined.withColumn(key,
-                  when(mark, lit(value)).otherwise(lit(null).cast(PropertyGraph.literalType(value)))))
+          if (value == null && !keyPresent) None // REMOVE of an absent key is a no-op
+          else Some(
+            if (keyPresent) lit(value)
+            else lit(value).cast(PropertyGraph.literalType(value)))
+        case expr => Some(exprCol(expr))
+      }
+      valueCol.foreach { vc0 =>
+        // legacy whole-table update-by-join — kept for eid-less edge
+        // sets (no row identity to key a delta) and for the rare SET
+        // that RETYPES an existing column (the delta's union-by-name
+        // cannot reconcile long vs string; the when/otherwise rewrite
+        // widens the whole column, the historical semantics)
+        def legacyNode(): Unit = {
+          val ids = bindings.select(col(v).as("_mid")).distinct()
+          val joined = base.join(ids, base("id") === col("_mid"), "left_outer")
+          val mark = col("_mid").isNotNull
+          val updated =
+            if (keyPresent) joined.withColumn(key, when(mark, vc0).otherwise(col(key)))
+            else joined.withColumn(key, when(mark, vc0))
+          db.graph = PropertyGraph(updated.drop("_mid"), cur.edges)
+        }
+        def legacyRel(): Unit = {
+          val keys = relKeys(v)
+          val joined = base.join(keys, relKeyCond(base, keys), "left_outer")
+          val mark = (if (hasEid) col("_re") else col("_rs")).isNotNull
+          val updated =
+            if (keyPresent) joined.withColumn(key, when(mark, vc0).otherwise(col(key)))
+            else joined.withColumn(key, when(mark, vc0))
+          db.graph = PropertyGraph(cur.nodes, updated.drop("_rs", "_rd", "_rt", "_re"))
+        }
+        if (lazyRewrite) { if (isRel) legacyRel() else legacyNode() }
+        else if (isRel && !hasEid) legacyRel()
+        else {
+          val vc = rhs match {
+            case ast.Lit(value0) if norm(value0) == null && keyPresent =>
+              lit(null).cast(base.schema(base.schema.fieldIndex(key)).dataType)
+            case _ => vc0
           }
-        case expr =>
-          val valueCol = exprCol(expr)
-          swapIn(
-            if (base.columns.contains(key))
-              joined.withColumn(key, when(mark, valueCol).otherwise(col(key)))
-            else joined.withColumn(key, when(mark, valueCol)))
+          val hit =
+            if (isRel) {
+              val keys = relKeys(v)
+              base.join(keys, relKeyCond(base, keys), "left_semi")
+            } else {
+              val ids = bindings.select(col(v).as("_mid")).distinct()
+              base.join(ids, base("id") === col("_mid"), "left_semi")
+            }
+          val updated = hit.withColumn(key, vc)
+          val typeStable = !keyPresent ||
+            updated.schema(updated.schema.fieldIndex(key)).dataType ==
+              base.schema(base.schema.fieldIndex(key)).dataType
+          if (!typeStable) { if (isRel) legacyRel() else legacyNode() }
+          else if (isRel) foldEdgeDeltaRows(db, updated)
+          else foldNodeDeltaRows(db, updated)
+        }
       }
     })
 
     // SET n:Label / REMOVE n:Label — the labels array updates through
-    // the same update-by-join; append preserves existing order.
+    // the same delta fold; append preserves existing order.
     labelSets.foreach { ls =>
       ls.items.foreach { case (v, labels) =>
+        val cur = db.graph
         val ids = bindings.select(col(v).as("_mid")).distinct()
-        val joined = g.nodes.join(ids, g.nodes("id") === col("_mid"), "left_outer")
+        val hit = cur.nodes.join(ids, cur.nodes("id") === col("_mid"), "left_semi")
         val newLabels =
           if (ls.remove) array_except(col("labels"), typedlit(labels))
           else array_union(col("labels"), typedlit(labels))
-        val updated = joined.withColumn("labels",
-          when(col("_mid").isNotNull, newLabels).otherwise(col("labels")))
-        g = PropertyGraph(updated.drop("_mid"), g.edges)
+        foldNodeDeltaRows(db, hit.withColumn("labels", newLabels))
       }
     }
 
     deletes.foreach { d =>
       d.vars.foreach { v =>
+        val g = db.graph
         if (relVars.contains(v)) {
           // DELETE r: anti-join the matched rel keys out of the edge set
           val keys = relKeys(v)
           val edges = g.edges.join(keys, relKeyCond(g.edges, keys), "left_anti")
-          g = PropertyGraph(g.nodes, edges)
+          db.graph = PropertyGraph(g.nodes, edges)
         } else {
           val ids = bindings.select(col(v).as("_mid")).distinct()
           if (!d.detach) {
@@ -1320,12 +1370,11 @@ final class GraftSession(val spark: SparkSession,
                 .join(ids, col("dst") === col("_mid"), "left_anti")
             else g.edges
           val nodes = g.nodes.join(ids, g.nodes("id") === col("_mid"), "left_anti")
-          g = PropertyGraph(nodes, edges)
+          db.graph = PropertyGraph(nodes, edges)
         }
       }
     }
 
-    db.graph = g
     unit()
   }
 
@@ -1369,7 +1418,7 @@ final class GraftSession(val spark: SparkSession,
     // match marks nothing — the join is a no-op on the data)
     if (m.onMatch.nonEmpty)
       mutateSetDelete(db, Seq(ast.Match(Seq(m.pattern), optional = false, None)),
-        Seq(ast.SetProps(m.onMatch)), Nil)
+        Seq(ast.SetProps(m.onMatch)), Nil, lazyRewrite = true)
 
     // instantiate the literal pattern
     val bound = collection.mutable.LinkedHashMap.empty[String, (Long, ast.NodePat)]
@@ -2005,6 +2054,45 @@ final class GraftSession(val spark: SparkSession,
   /** Resolve an edge delta overlay (latest-wins by surrogate eid). */
   private def overlayEdges(base: DataFrame, delta: DataFrame): DataFrame =
     PropertyGraph.overlayByKey(base, delta, "eid")
+
+  /** Fold full REPLACEMENT node rows (keyed by id) into the node delta
+    * overlay — the general MATCH…SET commit shape: O(matched + delta),
+    * never a table rewrite. Any driver write buffer drops (its
+    * rows/settled caches no longer reflect latest values); the delta
+    * checkpoints eagerly, the standing delta discipline. */
+  private def foldNodeDeltaRows(db: GraphDatabase, updated: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val g = db.graph
+    val (base, delta0) = db.validNodeDelta match {
+      case Some(s) =>
+        val kept = s.delta.join(updated.select(col("id").as("_dk")),
+          s.delta("id") === col("_dk"), "left_anti")
+        (s.base, PropertyGraph.appendByName(kept, updated))
+      case None => (g.nodes, updated)
+    }
+    val delta = delta0.localCheckpoint()
+    val resolved = overlayNodes(base, delta)
+    db.graph = PropertyGraph(resolved, g.edges)
+    db.nodeDeltaState = Some(graft.core.NodeDeltaState(base, delta, resolved))
+  }
+
+  /** Edge mirror of [[foldNodeDeltaRows]] (replacement rows keyed by
+    * surrogate eid). */
+  private def foldEdgeDeltaRows(db: GraphDatabase, updated: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val g = db.graph
+    val (base, delta0) = db.validEdgeDelta match {
+      case Some(s) =>
+        val kept = s.delta.join(updated.select(col("eid").as("_dk")),
+          s.delta("eid") === col("_dk"), "left_anti")
+        (s.base, PropertyGraph.appendByName(kept, updated))
+      case None => (g.edges, updated)
+    }
+    val delta = delta0.localCheckpoint()
+    val resolved = overlayEdges(base, delta)
+    db.graph = PropertyGraph(g.nodes, resolved)
+    db.edgeDeltaState = Some(graft.core.EdgeDeltaState(base, delta, resolved))
+  }
 
   /** Batched relationship upsert — `UNWIND $batch AS row
     * MATCH (a:L {k: row.src}), (b:M {k: row.dst}) MERGE (a)-[r:T]->(b)

@@ -357,14 +357,27 @@ class AdminSpec extends AnyFunSuite {
     fresh3.loadDatabase(copy)
     assert(fresh3.cypher("MATCH (a:acct) RETURN a.k AS k, a.bal AS bal ORDER BY k")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == got2)
-    // a NON-delta mutation falls back to a full write and clears the overlay
+    // plain MATCH…SET is ALSO delta-shaped now (r12): the save stays
+    // incremental and the base still never rewrites
     s.cypher("MATCH (a:acct {k: 2}) SET a.bal = 500")
     s.saveDatabase(data)
-    assert(!Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")),
-      "full write must supersede the overlay")
+    assert(baseFiles() == before, "delta-shaped SET must not rewrite the base")
+    assert(Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")))
     val fresh4 = new GraftSession(spark)
     fresh4.loadDatabase(data)
     assert(fresh4.cypher("MATCH (a:acct {k: 2}) RETURN a.bal AS b")
+      .collect().head.getLong(0) == 500L)
+    // a genuinely NON-delta mutation (DELETE anti-joins the table)
+    // falls back to a full write and clears the overlay
+    s.cypher("MATCH (a:acct {k: 3}) DETACH DELETE a")
+    s.saveDatabase(data)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")),
+      "full write must supersede the overlay")
+    val fresh5 = new GraftSession(spark)
+    fresh5.loadDatabase(data)
+    assert(fresh5.cypher("MATCH (a:acct) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 2L)
+    assert(fresh5.cypher("MATCH (a:acct {k: 2}) RETURN a.bal AS b")
       .collect().head.getLong(0) == 500L)
   }
 
