@@ -427,6 +427,7 @@ final class GraftSession(val spark: SparkSession,
       // only databases the transaction MUTATED publish — a read-only
       // shadow must not roll the live pointer back to its entry state
       if (h.mutated.contains(name) && catalog.listDatabases.contains(name)) {
+        materializeDeltas(sh) // lazy in-tx folds checkpoint at COMMIT
         val d = catalog.database(name)
         d.graph = sh.graph
         // never move the id counter backwards: another committed
@@ -788,8 +789,10 @@ final class GraftSession(val spark: SparkSession,
       val (nodesOut, matN, ndState) = db.validNodeDelta match {
         case Some(s) =>
           val base = if (s.base eq db.matNodes) s.base else s.base.localCheckpoint()
-          val resolved = if (base eq s.base) g.nodes else overlayNodes(base, s.delta)
-          (resolved, base, Some(graft.core.NodeDeltaState(base, s.delta, resolved, s.buf)))
+          val delta = if (s.materialized) s.delta else s.delta.localCheckpoint()
+          val resolved = if ((base eq s.base) && (delta eq s.delta)) g.nodes
+            else overlayNodes(base, delta)
+          (resolved, base, Some(graft.core.NodeDeltaState(base, delta, resolved, s.buf)))
         case None =>
           val nodes = if (g.nodes eq db.matNodes) g.nodes else g.nodes.localCheckpoint()
           (nodes, nodes, None)
@@ -797,8 +800,10 @@ final class GraftSession(val spark: SparkSession,
       val (edgesOut, matE, edState) = db.validEdgeDelta match {
         case Some(s) =>
           val base = if (s.base eq db.matEdges) s.base else s.base.localCheckpoint()
-          val resolved = if (base eq s.base) g.edges else overlayEdges(base, s.delta)
-          (resolved, base, Some(graft.core.EdgeDeltaState(base, s.delta, resolved, s.buf)))
+          val delta = if (s.materialized) s.delta else s.delta.localCheckpoint()
+          val resolved = if ((base eq s.base) && (delta eq s.delta)) g.edges
+            else overlayEdges(base, delta)
+          (resolved, base, Some(graft.core.EdgeDeltaState(base, delta, resolved, s.buf)))
         case None =>
           val edges = if (g.edges eq db.matEdges) g.edges else g.edges.localCheckpoint()
           (edges, edges, None)
@@ -2060,6 +2065,14 @@ final class GraftSession(val spark: SparkSession,
     * never a table rewrite. Any driver write buffer drops (its
     * rows/settled caches no longer reflect latest values); the delta
     * checkpoints eagerly, the standing delta discipline. */
+  /** A GraphDatabase that is NOT the catalog's live instance — i.e. a
+    * transaction shadow. Shadow folds stay LAZY (a rolled-back
+    * transaction's writes then cost nothing); COMMIT materializes
+    * ([[materializeDeltas]]), and compactIfNeeded is the in-tx safety
+    * net for long statement chains. */
+  private def isShadow(db: GraphDatabase): Boolean =
+    !(catalog.listDatabases.contains(db.name) && (catalog.database(db.name) eq db))
+
   private def foldNodeDeltaRows(db: GraphDatabase, updated: DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
     val g = db.graph
@@ -2070,10 +2083,32 @@ final class GraftSession(val spark: SparkSession,
         (s.base, PropertyGraph.appendByName(kept, updated))
       case None => (g.nodes, updated)
     }
-    val delta = delta0.localCheckpoint()
+    val defer = isShadow(db)
+    val delta = if (defer) delta0 else delta0.localCheckpoint()
     val resolved = overlayNodes(base, delta)
     db.graph = PropertyGraph(resolved, g.edges)
-    db.nodeDeltaState = Some(graft.core.NodeDeltaState(base, delta, resolved))
+    db.nodeDeltaState =
+      Some(graft.core.NodeDeltaState(base, delta, resolved, materialized = !defer))
+  }
+
+  /** Materialize any LAZY delta a transaction shadow accumulated —
+    * called at COMMIT, so published overlays are always checkpointed
+    * (the read side may consume a delta twice per resolution). */
+  private def materializeDeltas(sh: GraphDatabase): Unit = {
+    sh.validNodeDelta.filterNot(_.materialized).foreach { s =>
+      val delta = s.delta.localCheckpoint()
+      val resolved = overlayNodes(s.base, delta)
+      sh.graph = PropertyGraph(resolved, sh.graph.edges)
+      sh.nodeDeltaState =
+        Some(graft.core.NodeDeltaState(s.base, delta, resolved, s.buf))
+    }
+    sh.validEdgeDelta.filterNot(_.materialized).foreach { s =>
+      val delta = s.delta.localCheckpoint()
+      val resolved = overlayEdges(s.base, delta)
+      sh.graph = PropertyGraph(sh.graph.nodes, resolved)
+      sh.edgeDeltaState =
+        Some(graft.core.EdgeDeltaState(s.base, delta, resolved, s.buf))
+    }
   }
 
   /** Edge mirror of [[foldNodeDeltaRows]] (replacement rows keyed by
@@ -2088,10 +2123,12 @@ final class GraftSession(val spark: SparkSession,
         (s.base, PropertyGraph.appendByName(kept, updated))
       case None => (g.edges, updated)
     }
-    val delta = delta0.localCheckpoint()
+    val defer = isShadow(db)
+    val delta = if (defer) delta0 else delta0.localCheckpoint()
     val resolved = overlayEdges(base, delta)
     db.graph = PropertyGraph(g.nodes, resolved)
-    db.edgeDeltaState = Some(graft.core.EdgeDeltaState(base, delta, resolved))
+    db.edgeDeltaState =
+      Some(graft.core.EdgeDeltaState(base, delta, resolved, materialized = !defer))
   }
 
   /** Batched relationship upsert — `UNWIND $batch AS row

@@ -33,12 +33,18 @@ final case class NodeDeltaBuffer(
     settled: Set[Seq[Any]] = Set.empty,
     shape: (Seq[String], Seq[String]) = (Nil, Nil))
 
-/** See [[GraphDatabase.nodeDeltaState]]. */
+/** See [[GraphDatabase.nodeDeltaState]]. `materialized` is false only
+  * while the delta is a LAZY plan — the FIRST general-SET fold over a
+  * base defers its checkpoint so a statement inside a rolled-back
+  * transaction costs nothing; any extension, and compaction,
+  * checkpoint the folded chain (plan depth stays bounded — the
+  * doubling argument). Batched-upsert deltas are born materialized. */
 final case class NodeDeltaState(
     base: org.apache.spark.sql.DataFrame,
     delta: org.apache.spark.sql.DataFrame,
     resolved: org.apache.spark.sql.DataFrame,
-    buf: Option[NodeDeltaBuffer] = None)
+    buf: Option[NodeDeltaBuffer] = None,
+    materialized: Boolean = true)
 
 /** Driver-local write buffer for the edge delta — the relationship
   * mirror of [[NodeDeltaBuffer]], present when the delta lives as a
@@ -64,12 +70,14 @@ final case class EdgeDeltaBuffer(
     nodeBind: Map[(Seq[String], Seq[String], Seq[Any]), Option[Long]] = Map.empty,
     nodeBindRef: Option[AnyRef] = None)
 
-/** See [[GraphDatabase.edgeDeltaState]]. */
+/** See [[GraphDatabase.edgeDeltaState]]. `materialized` as on
+  * [[NodeDeltaState]]. */
 final case class EdgeDeltaState(
     base: org.apache.spark.sql.DataFrame,
     delta: org.apache.spark.sql.DataFrame,
     resolved: org.apache.spark.sql.DataFrame,
-    buf: Option[EdgeDeltaBuffer] = None)
+    buf: Option[EdgeDeltaBuffer] = None,
+    materialized: Boolean = true)
 
 final class GraphDatabase(val name: String) {
   @volatile var graph: PropertyGraph = _
