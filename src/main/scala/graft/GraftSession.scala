@@ -1351,15 +1351,28 @@ final class GraftSession(val spark: SparkSession,
       }
     }
 
+    // DELETE is delta-shaped too — TOMBSTONES: the hit rows fold into
+    // the overlay flagged deleted (full row + flag; resolution
+    // suppresses them), so a targeted delete commits and incrementally
+    // snapshots O(matched + delta), never rewriting the base — the
+    // right-to-be-forgotten shape at corpus scale. eid-less edge sets
+    // keep the legacy anti-join (no row identity to tombstone).
+    val tomb = graft.core.PropertyGraph.TombstoneCol
     deletes.foreach { d =>
       d.vars.foreach { v =>
-        val g = db.graph
         if (relVars.contains(v)) {
-          // DELETE r: anti-join the matched rel keys out of the edge set
-          val keys = relKeys(v)
-          val edges = g.edges.join(keys, relKeyCond(g.edges, keys), "left_anti")
-          db.graph = PropertyGraph(g.nodes, edges)
+          val g = db.graph
+          if (hasEid) {
+            val keys = relKeys(v)
+            val hit = g.edges.join(keys, relKeyCond(g.edges, keys), "left_semi")
+            foldEdgeDeltaRows(db, hit.withColumn(tomb, lit(true)))
+          } else {
+            val keys = relKeys(v)
+            val edges = g.edges.join(keys, relKeyCond(g.edges, keys), "left_anti")
+            db.graph = PropertyGraph(g.nodes, edges)
+          }
         } else {
+          val g = db.graph
           val ids = bindings.select(col(v).as("_mid")).distinct()
           if (!d.detach) {
             val incident = g.edges.join(ids,
@@ -1369,13 +1382,23 @@ final class GraftSession(val spark: SparkSession,
                 "Cannot delete nodes, because they still have relationships. " +
                   "To delete them, use DETACH DELETE.")
           }
-          val edges =
-            if (d.detach)
-              g.edges.join(ids, g.edges("src") === col("_mid"), "left_anti")
+          if (d.detach) {
+            if (hasEid) {
+              // incident edges tombstone by eid: two hashable semi
+              // joins (an OR-condition semi would nested-loop)
+              val e1 = g.edges.join(ids, g.edges("src") === col("_mid"), "left_semi")
+              val e2 = g.edges.join(ids, g.edges("dst") === col("_mid"), "left_semi")
+              val hitE = e1.unionByName(e2).dropDuplicates("eid")
+              foldEdgeDeltaRows(db, hitE.withColumn(tomb, lit(true)))
+            } else {
+              val edges = g.edges.join(ids, g.edges("src") === col("_mid"), "left_anti")
                 .join(ids, col("dst") === col("_mid"), "left_anti")
-            else g.edges
-          val nodes = g.nodes.join(ids, g.nodes("id") === col("_mid"), "left_anti")
-          db.graph = PropertyGraph(nodes, edges)
+              db.graph = PropertyGraph(g.nodes, edges)
+            }
+          }
+          val g2 = db.graph
+          val hitN = g2.nodes.join(ids, g2.nodes("id") === col("_mid"), "left_semi")
+          foldNodeDeltaRows(db, hitN.withColumn(tomb, lit(true)))
         }
       }
     }

@@ -102,11 +102,25 @@ object PropertyGraph {
   def overlayById(base: DataFrame, delta: DataFrame): DataFrame =
     overlayByKey(base, delta, "id")
 
+  /** Rows in a delta flagged with this TRUE column are TOMBSTONES:
+    * they suppress their base row and emit nothing — DELETE expressed
+    * in the same latest-wins overlay as SET/MERGE, so a 30-row delete
+    * commits (and incrementally snapshots) O(batch), never rewriting
+    * the base. A tombstone row carries the full deleted row plus the
+    * flag; resolution filters it out and the column never reaches a
+    * resolved frame. */
+  val TombstoneCol = "__tombstone"
+
   /** [[overlayById]] generalized over the key column — nodes overlay
-    * on `id`, relationships on their surrogate `eid`. */
-  def overlayByKey(base: DataFrame, delta: DataFrame, key: String): DataFrame =
-    appendByName(
-      base.join(delta.select(col(key).as("_ov_k")),
-        base(key) === col("_ov_k"), "left_anti"),
-      delta)
+    * on `id`, relationships on their surrogate `eid`. Tombstone-aware:
+    * flagged delta rows suppress without re-emitting. */
+  def overlayByKey(base: DataFrame, delta: DataFrame, key: String): DataFrame = {
+    val kept = base.join(delta.select(col(key).as("_ov_k")),
+      base(key) === col("_ov_k"), "left_anti")
+    val live =
+      if (delta.columns.contains(TombstoneCol))
+        delta.filter(!coalesce(col(TombstoneCol), lit(false))).drop(TombstoneCol)
+      else delta
+    appendByName(kept, live)
+  }
 }

@@ -367,18 +367,31 @@ class AdminSpec extends AnyFunSuite {
     fresh4.loadDatabase(data)
     assert(fresh4.cypher("MATCH (a:acct {k: 2}) RETURN a.bal AS b")
       .collect().head.getLong(0) == 500L)
-    // a genuinely NON-delta mutation (DELETE anti-joins the table)
-    // falls back to a full write and clears the overlay
+    // DELETE is delta-shaped too (r12 tombstones): the save stays
+    // incremental, the base untouched, and a fresh load excludes the
+    // tombstoned row
     s.cypher("MATCH (a:acct {k: 3}) DETACH DELETE a")
     s.saveDatabase(data)
-    assert(!Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")),
-      "full write must supersede the overlay")
+    assert(baseFiles() == before, "tombstone delete must not rewrite the base")
+    assert(Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")))
     val fresh5 = new GraftSession(spark)
     fresh5.loadDatabase(data)
     assert(fresh5.cypher("MATCH (a:acct) RETURN count(a) AS n")
       .collect().head.getLong(0) == 2L)
     assert(fresh5.cypher("MATCH (a:acct {k: 2}) RETURN a.bal AS b")
       .collect().head.getLong(0) == 500L)
+    // a genuinely NON-delta mutation (plain CREATE appends by union)
+    // falls back to a full write and clears the overlay
+    s.cypher("CREATE (a:acct {k: 9, bal: 1})")
+    s.saveDatabase(data)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")),
+      "full write must supersede the overlay")
+    val fresh6 = new GraftSession(spark)
+    fresh6.loadDatabase(data)
+    assert(fresh6.cypher("MATCH (a:acct) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 3L)
+    assert(fresh6.cypher("MATCH (a:acct {k: 3}) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 0L, "tombstoned row resurrected by the full write")
   }
 
   test("incremental save (v5): an edge-delta-bearing database writes edges_delta, never the edge base") {

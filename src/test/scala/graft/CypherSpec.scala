@@ -2190,6 +2190,45 @@ class CypherSpec extends AnyFunSuite {
     check("final")
   }
 
+  test("delta tombstones: DELETE folds into the overlay, hides rows, and a re-MERGE resurrects fresh") {
+    val s = new GraftSession(spark)
+    (1 to 3).foreach(k => s.cypher(s"CREATE (a:tdel {k: $k})"))
+    assert(s.cypher("MATCH (a:tdel) RETURN count(a) AS n").collect().head.getLong(0) == 3L)
+    val db = s.catalog.database("neo4j")
+    s.cypher(
+      """MATCH (a:tdel {k: 1}), (b:tdel {k: 2})
+        |MERGE (a)-[x:TD]->(b) ON CREATE SET x.c = 1""".stripMargin)
+    val oldEid = s.graph().edges.filter("relType = 'TD'")
+      .select("eid").collect().head.getLong(0)
+    val nodeBase = db.validNodeDelta.map(_.base)
+    // DELETE the relationship: edge overlay live, base untouched,
+    // read-your-writes hides it
+    s.cypher("MATCH (:tdel)-[x:TD]->(:tdel) DELETE x")
+    assert(db.validEdgeDelta.isDefined, "relationship DELETE must fold as a tombstone")
+    assert(s.cypher("MATCH (:tdel)-[x:TD]->(:tdel) RETURN count(x) AS n")
+      .collect().head.getLong(0) == 0L)
+    // re-MERGE resurrects as a FRESH relationship (new eid, no stale props)
+    s.cypher(
+      """MATCH (a:tdel {k: 1}), (b:tdel {k: 2})
+        |MERGE (a)-[x:TD]->(b) ON CREATE SET x.c = 7""".stripMargin)
+    val rows = s.graph().edges.filter("relType = 'TD'")
+      .select("eid", "c").collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 7L)
+    assert(rows.head.getLong(0) != oldEid, "resurrected relationship must mint a fresh eid")
+    // DETACH DELETE a node: node tombstone + incident-edge tombstones,
+    // node base still never rewritten across the whole sequence
+    s.cypher("MATCH (a:tdel {k: 1}) DETACH DELETE a")
+    assert(s.cypher("MATCH (a:tdel) RETURN count(a) AS n").collect().head.getLong(0) == 2L)
+    assert(s.cypher("MATCH (:tdel)-[x]->(:tdel) RETURN count(x) AS n")
+      .collect().head.getLong(0) == 0L)
+    nodeBase.foreach(b => assert(db.validNodeDelta.exists(_.base eq b),
+      "tombstone deletes must extend the overlay, not rewrite the node base"))
+    // plain (non-DETACH) DELETE still refuses while relationships remain
+    s.cypher("MATCH (a:tdel {k: 2}), (b:tdel {k: 3}) MERGE (a)-[:TD2]->(b)")
+    val e = intercept[IllegalStateException](s.cypher("MATCH (a:tdel {k: 2}) DELETE a"))
+    assert(e.getMessage.contains("DETACH"))
+  }
+
   test("setGraph seeds the id allocator past the view: upsert-created nodes never shadow view nodes") {
     val s = new GraftSession(spark)
     // a tiny hand-built view whose node ids deliberately start at 0
