@@ -564,6 +564,38 @@ object CypherQueries {
           |RETURN count(x) AS n_edges, sum(x.c) AS total_c, max(x.c) AS max_c""".stripMargin)
     },
 
+    // Tombstone DELETE burst — the right-to-be-forgotten shape: mint
+    // VD edges for suppliers 1..60, then two targeted DELETE passes
+    // (every 3rd supplier's edge, then every 5th's — overlapping)
+    // fold as tombstones into the edge delta (base never rewritten,
+    // GraftSession.mutateSetDelete), and one node DETACH DELETE
+    // (supplier 7) tombstones the node plus its surviving edge. The
+    // read-back counts what remains; the oracle replays the set
+    // arithmetic on the raw tables.
+    sql("cy_delete_burst",
+      """WITH keys AS (SELECT range AS a FROM range(1, 61)),
+        |m AS (SELECT k.a FROM keys k JOIN supplier s ON s.s_suppkey = k.a),
+        |kept AS (SELECT a FROM m WHERE a % 3 <> 0 AND a % 5 <> 0 AND a <> 7)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST((SELECT count(*) FROM m WHERE a <> 7) AS BIGINT) AS n_sup
+        |FROM kept""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      val batch = (1L to 60L).map(k => Map("a" -> k, "b" -> (k % 25)))
+      gs.cypher(
+        """UNWIND $batch AS row
+          |MATCH (v:supplier {s_suppkey: row.a}), (n:nation {n_nationkey: row.b})
+          |MERGE (v)-[x:VD]->(n)""".stripMargin, Map("batch" -> batch))
+      gs.cypher("MATCH (v:supplier)-[x:VD]->() WHERE v.s_suppkey % 3 = 0 DELETE x")
+      gs.cypher("MATCH (v:supplier)-[x:VD]->() WHERE v.s_suppkey % 5 = 0 DELETE x")
+      gs.cypher("MATCH (v:supplier {s_suppkey: 7}) DETACH DELETE v")
+      val e = gs.cypher("MATCH (:supplier)-[x:VD]->(:nation) RETURN count(x) AS n_edges")
+      val v = gs.cypher(
+        "MATCH (v:supplier) WHERE v.s_suppkey >= 1 AND v.s_suppkey <= 60 " +
+          "RETURN count(v) AS n_sup")
+      e.crossJoin(v)
+    },
+
     // bulk statement minting BELONGS edges; the read-back counts per
     // region and the oracle recomputes from the raw nation table.
     sql("apoc_periodic_iterate",
