@@ -1384,11 +1384,21 @@ final class GraftSession(val spark: SparkSession,
           }
           if (d.detach) {
             if (hasEid) {
-              // incident edges tombstone by eid: two hashable semi
-              // joins (an OR-condition semi would nested-loop)
-              val e1 = g.edges.join(ids, g.edges("src") === col("_mid"), "left_semi")
-              val e2 = g.edges.join(ids, g.edges("dst") === col("_mid"), "left_semi")
-              val hitE = e1.unionByName(e2).dropDuplicates("eid")
+              // incident edges tombstone by eid. Bounded deleted-id
+              // sets collect to the driver and prune ONE edge scan
+              // with an isin OR (an OR-condition semi join would
+              // nested-loop; two semi joins scan the edge set twice);
+              // unbounded sets keep the two hashable semi joins.
+              val idVals = ids.limit(10001).collect().map(_.getLong(0))
+              val hitE =
+                if (idVals.length <= 10000)
+                  g.edges.filter(col("src").isin(idVals.toIndexedSeq: _*) ||
+                    col("dst").isin(idVals.toIndexedSeq: _*))
+                else {
+                  val e1 = g.edges.join(ids, g.edges("src") === col("_mid"), "left_semi")
+                  val e2 = g.edges.join(ids, g.edges("dst") === col("_mid"), "left_semi")
+                  e1.unionByName(e2).dropDuplicates("eid")
+                }
               foldEdgeDeltaRows(db, hitE.withColumn(tomb, lit(true)))
             } else {
               val edges = g.edges.join(ids, g.edges("src") === col("_mid"), "left_anti")

@@ -574,8 +574,13 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         val farSide = if (rel.dir == -1) s"$rv${SEP}src" else s"$rv${SEP}dst"
         if (joined.columns.contains(s"$nv${SEP}id")) {
           joined.filter(col(farSide) === col(s"$nv${SEP}id"))
-        } else if (idsOnly && node.labels.isEmpty && node.props.isEmpty &&
-            node.labelExpr.isEmpty && node.where.isEmpty) {
+        } else if ((idsOnly || node.variable.isEmpty) && node.labels.isEmpty &&
+            node.props.isEmpty && node.labelExpr.isEmpty && node.where.isEmpty) {
+          // an ANONYMOUS fully-unconstrained endpoint can never be
+          // referenced downstream, so it binds straight off the edge
+          // like the idsOnly case — edges reference existing nodes by
+          // construction, and `-->()`-shaped patterns skip a join
+          // against the whole node table
           joined.withColumn(s"$nv${SEP}id", col(farSide))
         } else {
           val n = nodeDf(nv, node)

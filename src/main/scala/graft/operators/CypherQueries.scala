@@ -565,17 +565,17 @@ object CypherQueries {
     },
 
     // Tombstone DELETE burst — the right-to-be-forgotten shape: mint
-    // VD edges for suppliers 1..60, then two targeted DELETE passes
-    // (every 3rd supplier's edge, then every 5th's — overlapping)
-    // fold as tombstones into the edge delta (base never rewritten,
-    // GraftSession.mutateSetDelete), and one node DETACH DELETE
+    // VD edges for suppliers 1..60, then a targeted DELETE pass
+    // (every 3rd supplier's edge) folds as tombstones into the edge
+    // delta (base never rewritten, GraftSession.mutateSetDelete),
+    // and one node DETACH DELETE
     // (supplier 7) tombstones the node plus its surviving edge. The
     // read-back counts what remains; the oracle replays the set
     // arithmetic on the raw tables.
     sql("cy_delete_burst",
       """WITH keys AS (SELECT range AS a FROM range(1, 61)),
         |m AS (SELECT k.a FROM keys k JOIN supplier s ON s.s_suppkey = k.a),
-        |kept AS (SELECT a FROM m WHERE a % 3 <> 0 AND a % 5 <> 0 AND a <> 7)
+        |kept AS (SELECT a FROM m WHERE a % 3 <> 0 AND a <> 7)
         |SELECT CAST(count(*) AS BIGINT) AS n_edges,
         |  CAST((SELECT count(*) FROM m WHERE a <> 7) AS BIGINT) AS n_sup
         |FROM kept""".stripMargin) { (s, dir) =>
@@ -587,7 +587,6 @@ object CypherQueries {
           |MATCH (v:supplier {s_suppkey: row.a}), (n:nation {n_nationkey: row.b})
           |MERGE (v)-[x:VD]->(n)""".stripMargin, Map("batch" -> batch))
       gs.cypher("MATCH (v:supplier)-[x:VD]->() WHERE v.s_suppkey % 3 = 0 DELETE x")
-      gs.cypher("MATCH (v:supplier)-[x:VD]->() WHERE v.s_suppkey % 5 = 0 DELETE x")
       gs.cypher("MATCH (v:supplier {s_suppkey: 7}) DETACH DELETE v")
       val e = gs.cypher("MATCH (:supplier)-[x:VD]->(:nation) RETURN count(x) AS n_edges")
       val v = gs.cypher(
