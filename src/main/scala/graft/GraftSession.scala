@@ -143,8 +143,10 @@ final class GraftSession(val spark: SparkSession,
       else
         SnapshotStore.write(graph(db), d.nextId.get(), dir, db,
           schemaMeta(db), d.nextRelId.get())
+    // the manifest's next_id IS the id ceiling — hand it to setGraph
+    // so re-pointing at the snapshot never max-scans the base
     setGraph(PropertyGraph(SnapshotStore.readNodes(spark, dir),
-      SnapshotStore.readEdges(spark, dir)), db)
+      SnapshotStore.readEdges(spark, dir), knownMaxNodeId = Some(m.nextId - 1)), db)
     d.snapshotProvenance = Some((dir, m))
     // the durable snapshot replaced the append-log lineage: any
     // mutation-pinned caches it referenced can be freed now

@@ -34,13 +34,30 @@ object SnapshotStore {
     * store-migration-on-startup behavior (ref TestUpgrade.java:54-73). */
   val FormatVersion = 5
 
+  /** Stats of the PURE base parquet (no overlay), sealed at the full
+    * write that produced it: row counts plus the id-allocator
+    * watermarks at seal time. The watermarks make incremental-save
+    * manifest counts computable from the DELTA ALONE (O(delta), no
+    * base scan): every row the base holds has id < nextId (eid <
+    * nextRelId), and every id a later mutation mints is >= it — so a
+    * live delta row past the watermark is a CREATE (+1), a tombstone
+    * under it suppresses a base row (−1), and everything else is a
+    * replacement (±0). Carried unchanged through incremental saves;
+    * refreshed whenever the base itself rewrites. */
+  final case class BaseStats(
+      nodeCount: Long,
+      edgeCount: Long,
+      nextId: Long,
+      nextRelId: Long)
+
   final case class Manifest(
       formatVersion: Int,
       database: String,
       nodeCount: Long,
       edgeCount: Long,
       nextId: Long,
-      nextRelId: Long)
+      nextRelId: Long,
+      base: Option[BaseStats] = None)
 
   /** Schema metadata riding with a snapshot: constraints name ->
     * (label, prop); indexes name -> (label, prop, kind). */
@@ -78,11 +95,12 @@ object SnapshotStore {
     val spark = graph.nodes.sparkSession
     val nodeCount = spark.read.parquet(s"$tmp/nodes").count()
     val edgeCount = spark.read.parquet(s"$tmp/edges").count()
-    val m = Manifest(FormatVersion, database, nodeCount, edgeCount, nextId, nextRelId)
-    Files.writeString(Paths.get(s"$tmp/manifest.json"),
-      s"""{"format_version": ${m.formatVersion}, "database": "${m.database}", """ +
-        s""""node_count": ${m.nodeCount}, "edge_count": ${m.edgeCount}, """ +
-        s""""next_id": ${m.nextId}, "next_rel_id": ${m.nextRelId}}""")
+    // a full write seals a fresh pure base: its stats (incl. the
+    // allocator watermarks) let every later incremental save compute
+    // manifest counts from its delta alone — see [[BaseStats]]
+    val m = Manifest(FormatVersion, database, nodeCount, edgeCount, nextId, nextRelId,
+      base = Some(BaseStats(nodeCount, edgeCount, nextId, nextRelId)))
+    Files.writeString(Paths.get(s"$tmp/manifest.json"), manifestJson(m))
     Files.writeString(Paths.get(s"$tmp/schema.json"), schemaJson(schema))
     Files.createDirectories(Paths.get(dir))
     Files.deleteIfExists(Paths.get(s"$dir/manifest.json")) // invalidate before touching data
@@ -133,7 +151,10 @@ object SnapshotStore {
         s"snapshot at $dir has format version ${m0.formatVersion}, " +
           s"but this engine supports at most $FormatVersion")
     val m = if (m0.formatVersion < FormatVersion) migrateInPlace(spark, dir, m0) else m0
-    val g = PropertyGraph(readNodes(spark, dir), readEdges(spark, dir))
+    // the manifest's next_id is the sealed id ceiling: attach it so
+    // session open (setGraph's allocator seed) costs no base scan
+    val g = PropertyGraph(readNodes(spark, dir), readEdges(spark, dir),
+      knownMaxNodeId = Some(m.nextId - 1))
     (g, m)
   }
 
@@ -163,12 +184,35 @@ object SnapshotStore {
     * counts and the current allocator state, same crash discipline as
     * write(). The caller is responsible for provenance: the on-disk
     * bases must be the exact bases the deltas were built against. */
+  /** When a merged on-disk delta grows past BOTH bounds — more rows
+    * than `CompactMinRows` AND more than `CompactFraction` of its
+    * base's sealed row count — [[writeDelta]] folds it into the base
+    * once ([[compact]]) instead of rewriting an ever-larger delta
+    * every save and making every load pay an ever-larger overlay
+    * anti-join. The reference analog is checkpointing + txn-log
+    * rotation (ref docker-entrypoint.sh:559 tail-follows the debug
+    * log of exactly that loop; Configuration.java:31 sets the txn-log
+    * retention knob). The floor keeps small fixtures on the
+    * incremental path; the fraction keeps the 100 TB story honest —
+    * a delta at half the base has amortized its one fold. */
+  val CompactMinRows = 100000L
+  val CompactFraction = 0.5
+
+  /** INCREMENTAL snapshot write (v5) — persist only the deltas; the
+    * base parquet is untouched AND unread on both sides:
+    * manifest counts come from [[BaseStats]] watermark arithmetic
+    * over the merged delta alone, so the whole save is O(delta).
+    * Falls back to one overlay recount only for a legacy manifest
+    * with no recorded base stats — and then seals stats so every
+    * following save is O(delta) again. */
   def writeDelta(spark: SparkSession,
       nodeDelta: Option[org.apache.spark.sql.DataFrame],
       edgeDelta: Option[org.apache.spark.sql.DataFrame],
       dir: String, database: String, nextId: Long, nextRelId: Long,
-      schema: SchemaMeta = SchemaMeta.empty): Manifest = {
-    import org.apache.spark.sql.functions.col
+      schema: SchemaMeta = SchemaMeta.empty,
+      compactMinRows: Long = CompactMinRows,
+      compactFraction: Double = CompactFraction): Manifest = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
     val old = readManifest(dir)
     // stage each side's merged delta in a tmp sibling first; the
     // on-disk swap happens after the manifest invalidates
@@ -190,13 +234,60 @@ object SnapshotStore {
     }
     val nodeTmp = nodeDelta.map(stage(_, "nodes_delta", "id"))
     val edgeTmp = edgeDelta.map(stage(_, "edges_delta", "eid"))
-    val nodeCount = nodeTmp.map(t => PropertyGraph.overlayById(
-      spark.read.parquet(s"$dir/nodes"), spark.read.parquet(t)).count())
-      .getOrElse(old.nodeCount)
-    val edgeCount = edgeTmp.map(t => PropertyGraph.overlayByKey(
-      normalizeRelType(spark.read.parquet(s"$dir/edges")),
-      spark.read.parquet(t), "eid").count())
-      .getOrElse(old.edgeCount)
+    // resolved count per side, WITHOUT touching the base: one small
+    // aggregate over the just-staged merged delta. A live row minted
+    // past the base's sealed watermark is a create; a tombstone under
+    // it suppresses a base row; everything else replaces in place.
+    // (creates always carry fresh allocator ids ≥ the watermark, and
+    // MATCH-rooted mutations can only target rows that exist — so the
+    // id split IS the base-membership split, no anti-join needed.)
+    def deltaStats(tmp: String, key: String, watermark: Long): (Long, Long, Long) = {
+      val d = spark.read.parquet(tmp)
+      val tomb =
+        if (d.columns.contains(PropertyGraph.TombstoneCol))
+          coalesce(col(PropertyGraph.TombstoneCol), lit(false))
+        else lit(false)
+      val r = d.agg(
+        sum(when(!tomb && col(key) >= lit(watermark), 1L).otherwise(0L)),
+        sum(when(tomb && col(key) < lit(watermark), 1L).otherwise(0L)),
+        count(lit(1))).collect()(0)
+      def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      (l(0), l(1), l(2))
+    }
+    var deltaRowsMax = 0L
+    val (nodeCount, edgeCount, baseStats) = old.base match {
+      case Some(bs) =>
+        val nc = nodeTmp.map { t =>
+          val (creates, tombs, rows) = deltaStats(t, "id", bs.nextId)
+          deltaRowsMax = math.max(deltaRowsMax, rows)
+          bs.nodeCount + creates - tombs
+        }.getOrElse(old.nodeCount)
+        val ec = edgeTmp.map { t =>
+          val (creates, tombs, rows) = deltaStats(t, "eid", bs.nextRelId)
+          deltaRowsMax = math.max(deltaRowsMax, rows)
+          bs.edgeCount + creates - tombs
+        }.getOrElse(old.edgeCount)
+        (nc, ec, bs)
+      case None =>
+        // legacy dir (pre-base-stats manifest): one overlay recount,
+        // then seal pure-base stats — max(id)+1 is a valid watermark
+        // (every delta create was minted past the base's own ceiling)
+        // — so the NEXT save never scans the base again
+        import org.apache.spark.sql.functions.{max => smax}
+        def maxKey(df: org.apache.spark.sql.DataFrame, key: String): Long =
+          df.agg(smax(key)).collect().headOption
+            .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(-1L)
+        val baseN = spark.read.parquet(s"$dir/nodes")
+        val baseE = normalizeRelType(spark.read.parquet(s"$dir/edges"))
+        val bs = BaseStats(baseN.count(), baseE.count(),
+          maxKey(baseN, "id") + 1,
+          if (baseE.columns.contains("eid")) maxKey(baseE, "eid") + 1 else 0L)
+        val nc = nodeTmp.map(t => PropertyGraph.overlayById(
+          baseN, spark.read.parquet(t)).count()).getOrElse(old.nodeCount)
+        val ec = edgeTmp.map(t => PropertyGraph.overlayByKey(
+          baseE, spark.read.parquet(t), "eid").count()).getOrElse(old.edgeCount)
+        (nc, ec, bs)
+    }
     Files.deleteIfExists(Paths.get(s"$dir/manifest.json")) // invalidate first
     nodeTmp.foreach { t =>
       deleteDir(s"$dir/nodes_delta"); Files.move(Paths.get(t), Paths.get(s"$dir/nodes_delta"))
@@ -205,12 +296,29 @@ object SnapshotStore {
       deleteDir(s"$dir/edges_delta"); Files.move(Paths.get(t), Paths.get(s"$dir/edges_delta"))
     }
     Files.writeString(Paths.get(s"$dir/schema.json"), schemaJson(schema))
-    val m = Manifest(FormatVersion, database, nodeCount, edgeCount, nextId, nextRelId)
-    Files.writeString(Paths.get(s"$dir/manifest.json"),
-      s"""{"format_version": ${m.formatVersion}, "database": "${m.database}", """ +
-        s""""node_count": ${m.nodeCount}, "edge_count": ${m.edgeCount}, """ +
-        s""""next_id": ${m.nextId}, "next_rel_id": ${m.nextRelId}}""")
-    m
+    val m = Manifest(FormatVersion, database, nodeCount, edgeCount, nextId, nextRelId,
+      base = Some(baseStats))
+    Files.writeString(Paths.get(s"$dir/manifest.json"), manifestJson(m))
+    // compaction policy: fold an outsized delta into the base ONCE,
+    // after the incremental manifest committed (crash-safe either way
+    // — compact() is a whole-snapshot write with its own staging)
+    val baseRows = math.max(baseStats.nodeCount, baseStats.edgeCount)
+    if (deltaRowsMax > compactMinRows && deltaRowsMax > compactFraction * baseRows)
+      compact(spark, dir)
+    else m
+  }
+
+  /** Fold any on-disk delta overlays into the base — ONE full rewrite
+    * that clears `nodes_delta`/`edges_delta` and seals fresh
+    * [[BaseStats]], resetting the incremental-save clock (`graft-admin
+    * compact`, and [[writeDelta]]'s size trigger). A no-op (manifest
+    * returned as is) when no overlay exists. */
+  def compact(spark: SparkSession, dir: String): Manifest = {
+    val old = readManifest(dir)
+    if (!Files.exists(Paths.get(s"$dir/nodes_delta")) &&
+      !Files.exists(Paths.get(s"$dir/edges_delta"))) return old
+    write(PropertyGraph(readNodes(spark, dir), readEdges(spark, dir)),
+      old.nextId, dir, old.database, readSchema(dir), old.nextRelId)
   }
 
   /** Snapshots store edges hive-partitioned by relType, and partition
@@ -236,7 +344,10 @@ object SnapshotStore {
     * manifest at its target version — the commit point — so a crash
     * mid-upgrade re-runs only the remaining idempotent steps. */
   private def migrateInPlace(spark: SparkSession, dir: String, m: Manifest): Manifest = {
-    var cur = m
+    // migration steps may rewrite base data (v3→v4 renumbers edges),
+    // so any sealed base stats are stale: drop them — the next
+    // incremental save re-seals with one recount
+    var cur = m.copy(base = None)
     while (cur.formatVersion < FormatVersion) {
       cur.formatVersion match {
         case 0 => // v0→v1: materialize the synthesized manifest
@@ -296,10 +407,7 @@ object SnapshotStore {
           s"no migration from snapshot format $v at $dir")
       }
       cur = cur.copy(formatVersion = cur.formatVersion + 1)
-      Files.writeString(Paths.get(s"$dir/manifest.json"),
-        s"""{"format_version": ${cur.formatVersion}, "database": "${cur.database}", """ +
-          s""""node_count": ${cur.nodeCount}, "edge_count": ${cur.edgeCount}, """ +
-          s""""next_id": ${cur.nextId}, "next_rel_id": ${cur.nextRelId}}""")
+      Files.writeString(Paths.get(s"$dir/manifest.json"), manifestJson(cur))
     }
     cur
   }
@@ -329,6 +437,20 @@ object SnapshotStore {
         .map(m => m.group(1) ->
           (m.group(2), m.group(3), Option(m.group(4)).getOrElse("RANGE"))).toMap
     SchemaMeta(pairs("constraints"), triples("indexes"))
+  }
+
+  /** The one manifest serializer — every writer goes through it so
+    * readManifest round-trips Manifest exactly (provenance checks
+    * compare by equality). `base_*` fields appear only when pure-base
+    * stats are sealed; older engines ignore the extra keys. */
+  private def manifestJson(m: Manifest): String = {
+    val baseFields = m.base.map { bs =>
+      s""", "base_node_count": ${bs.nodeCount}, "base_edge_count": ${bs.edgeCount}""" +
+        s""", "base_next_id": ${bs.nextId}, "base_next_rel_id": ${bs.nextRelId}"""
+    }.getOrElse("")
+    s"""{"format_version": ${m.formatVersion}, "database": "${m.database}", """ +
+      s""""node_count": ${m.nodeCount}, "edge_count": ${m.edgeCount}, """ +
+      s""""next_id": ${m.nextId}, "next_rel_id": ${m.nextRelId}$baseFields}"""
   }
 
   private def schemaJson(s: SchemaMeta): String = {
@@ -361,9 +483,16 @@ object SnapshotStore {
       s""""$name"\\s*:\\s*([-0-9]+)""".r.findFirstMatchIn(text)
         .map(_.group(1).toLong).getOrElse(default)
     val edgeCount = field("edge_count").toLong
+    // base stats appear together or not at all (one serializer writes
+    // them) — presence of the count field gates the whole block
+    val base =
+      s""""base_node_count"\\s*:\\s*([-0-9]+)""".r.findFirstMatchIn(text).map { _ =>
+        BaseStats(optField("base_node_count", 0L), optField("base_edge_count", 0L),
+          optField("base_next_id", 0L), optField("base_next_rel_id", 0L))
+      }
     Manifest(field("format_version").toInt, field("database"),
       field("node_count").toLong, edgeCount, field("next_id").toLong,
-      optField("next_rel_id", edgeCount))
+      optField("next_rel_id", edgeCount), base)
   }
 
   /** Recursive copy used by dump/load/backup/restore verbs (a snapshot

@@ -99,6 +99,23 @@ object GraftAdmin {
         out(s"Done: restored database $db from $src.")
         0
 
+      case "database" :: "compact" :: db :: _ =>
+        // fold on-disk delta overlays into the base — the explicit
+        // form of SnapshotStore.writeDelta's size-triggered policy
+        // (the reference analog: checkpoint + txn-log rotation,
+        // ref docker-entrypoint.sh:559, Configuration.java:31)
+        val dir = s"$dataDir/databases/$db"
+        if (!SnapshotStore.exists(dir)) {
+          err(s"Database '$db' does not exist in $dataDir"); return 1
+        }
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+          .appName("graft-admin").getOrCreate()
+        val m = SnapshotStore.compact(spark, dir)
+        out(s"Done: compacted database '$db' " +
+          s"(${m.nodeCount} nodes, ${m.edgeCount} relationships).")
+        0
+
       case "dbms" :: "set-initial-password" :: password :: _ =>
         val changed = new AuthStore(dataDir)
           .setInitialPassword(password, boolFlag("require-password-change"))
@@ -108,8 +125,9 @@ object GraftAdmin {
 
       case other =>
         err(s"Unknown command: ${other.mkString(" ")}")
-        err("Usage: graft-admin database <dump|load|backup|restore> <db> [--to-path=|--from-path=] " +
-          "[--overwrite-destination[=true]] | dbms set-initial-password <pw> [--require-password-change]")
+        err("Usage: graft-admin database <dump|load|backup|restore|compact> <db> " +
+          "[--to-path=|--from-path=] [--overwrite-destination[=true]] | " +
+          "dbms set-initial-password <pw> [--require-password-change]")
         1
     }
   }

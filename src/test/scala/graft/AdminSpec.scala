@@ -511,6 +511,112 @@ class AdminSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental save is O(delta) end to end: a 30-row save reads NO base rows") {
+    import graft.core.SnapshotStore
+    val data = tmp("graft-odelta")
+    val s = new GraftSession(spark)
+    // a base big enough that any accidental scan of it dwarfs the
+    // delta-side reads the save legitimately performs
+    s.cypher("UNWIND range(1, 5000) AS x CREATE (a:acct {k: x, bal: x})")
+    s.saveDatabase(data) // full write seals base stats
+    val snap = s"$data/databases/neo4j"
+    assert(SnapshotStore.readManifest(snap).base.exists(_.nodeCount == 5000L))
+    // a 30-row delta burst: update 10 existing, create 20 fresh
+    s.cypher(
+      """UNWIND range(4991, 5020) AS x MERGE (a:acct {k: x})
+        |ON MATCH SET a.bal = 0 ON CREATE SET a.bal = -1""".stripMargin)
+    // count every record any Spark task reads while the save runs —
+    // a base recount (5000 rows) or an allocator max-scan would blow
+    // straight through the bound; the delta write + its stats
+    // aggregate touch only O(delta) rows
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      s.saveDatabase(data)
+      // listener delivery is async: poll until the counter stabilizes
+      var last = -1L
+      var spins = 0
+      while (read.get() != last && spins < 50) {
+        last = read.get(); Thread.sleep(100); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")))
+    assert(read.get() < 1000L,
+      s"incremental save read ${read.get()} records — it scanned the base")
+    // and the arithmetic counts match a genuine recount
+    val m = SnapshotStore.readManifest(snap)
+    assert(m.nodeCount == 5020L, s"arithmetic count ${m.nodeCount} != 5020")
+    assert(SnapshotStore.readNodes(spark, snap).count() == 5020L)
+    // tombstones subtract: delete 5 base rows + 2 delta-minted rows
+    s.cypher("MATCH (a:acct) WHERE a.k >= 4996 AND a.k <= 5002 DETACH DELETE a")
+    s.saveDatabase(data)
+    val m2 = SnapshotStore.readManifest(snap)
+    assert(m2.nodeCount == 5013L, s"post-delete count ${m2.nodeCount} != 5013")
+    assert(SnapshotStore.readNodes(spark, snap).count() == 5013L)
+  }
+
+  test("compaction folds an outsized delta into the base once (graft-admin compact)") {
+    import graft.core.SnapshotStore
+    val data = tmp("graft-compact")
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(1, 50) AS x CREATE (a:acct {k: x, bal: x})")
+    s.saveDatabase(data)
+    val snap = s"$data/databases/neo4j"
+    def baseStamp() = {
+      val d = new java.io.File(s"$snap/nodes")
+      d.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    }
+    val sealed0 = baseStamp()
+    // K incremental saves, each a small delta burst
+    (1 to 3).foreach { i =>
+      s.cypher(
+        s"""UNWIND range(1, 10) AS x MERGE (a:acct {k: x})
+           |ON MATCH SET a.bal = $i""".stripMargin)
+      s.saveDatabase(data)
+      assert(baseStamp() == sealed0, s"incremental save $i rewrote the base")
+    }
+    assert(Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")))
+    val before = SnapshotStore.readManifest(snap)
+    // the verb folds the overlay: base rewritten exactly once, delta
+    // gone, counts stable, data identical
+    var msgs = List.empty[String]
+    assert(GraftAdmin.run(Seq("database", "compact", "neo4j"), data, out = m => msgs ::= m) == 0)
+    assert(msgs.exists(_.contains("compacted")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")),
+      "compact left the node delta behind")
+    assert(baseStamp() != sealed0, "compact never rewrote the base")
+    val after = SnapshotStore.readManifest(snap)
+    assert(after.nodeCount == before.nodeCount && after.nextId == before.nextId)
+    assert(after.base.exists(_.nodeCount == after.nodeCount), "compact must re-seal base stats")
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(data)
+    assert(fresh.cypher("MATCH (a:acct) WHERE a.bal = 3 RETURN count(a) AS n")
+      .collect().head.getLong(0) == 10L)
+    assert(fresh.cypher("MATCH (a:acct) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 50L)
+    // idempotent: no overlay -> no-op, base untouched
+    val sealed1 = baseStamp()
+    assert(GraftAdmin.run(Seq("database", "compact", "neo4j"), data) == 0)
+    assert(baseStamp() == sealed1, "no-op compact rewrote the base")
+
+    // the SIZE TRIGGER folds automatically: a delta past both bounds
+    // (minRows, fraction of base) compacts within writeDelta itself —
+    // driven directly with tiny thresholds to exercise the trigger
+    // without a 100k-row fixture
+    val st = graft.core.SnapshotStore
+    val delta = spark.range(1).selectExpr("CAST(0 AS LONG) AS id",
+      "array('acct') AS labels", "CAST(1 AS LONG) AS k", "CAST(99 AS LONG) AS bal")
+    val m3 = st.writeDelta(spark, Some(delta), None, snap, "neo4j",
+      before.nextId, 0L, compactMinRows = 0L, compactFraction = 0.0)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")),
+      "size-triggered compaction did not fold the delta")
+    assert(m3.nodeCount == 50L && m3.base.exists(_.nodeCount == 50L))
+  }
+
   test("admin refuses to run the server (neo4j-admin/docker-entrypoint.sh:49-60)") {
     var errs = List.empty[String]
     assert(GraftAdmin.run(Seq("neo4j"), "data", err = e => errs ::= e) == 1)
