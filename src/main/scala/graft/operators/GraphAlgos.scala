@@ -562,8 +562,11 @@ object GraphAlgos {
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("ival")))),
           x => x.getField("ival")).as("vec"))
         // both the query side and the corpus side read this frame —
-        // materialize once or the whole fastRP pipeline runs twice
-        .localCheckpoint()
+        // cache so the fastRP pipeline runs once, and RELEASE it once
+        // the (tiny) result materializes: the Gds.finish discipline —
+        // without it a rerun carries the prior run's blocks in
+        // executor memory and re-executes the pipeline on top
+        .persist()
       val qs = emb.filter(expr("(node_id div 10) % 50 = 0"))
         .select(col("node_id").as("q_id"), col("vec").as("qv"))
       val scored = emb.crossJoin(broadcast(qs))
@@ -571,7 +574,10 @@ object GraphAlgos {
         .select(col("q_id"), col("node_id").as("neighbor"),
           graft.functions.VectorFunctions.intDot(col("qv"), col("vec")).as("idot"))
       val w = Window.partitionBy("q_id").orderBy(col("idot").desc, col("neighbor"))
-      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      val out = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .localCheckpoint(true)
+      emb.unpersist(blocking = false)
+      out
     },
 
     // The 100 TB route for graph-embedding search, graded end to end:
