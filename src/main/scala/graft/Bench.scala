@@ -210,10 +210,14 @@ object Bench {
       // delta a LocalRelation — so ×10 table volume should move them
       // far less than linearly (what remains is the per-session view
       // setup and the pruned probes' footer costs)
+      // cy_delete_burst probes the BUFFERED batch-delete shape the
+      // same way: matched keys collect bounded, tombstones land as a
+      // LocalRelation delta — ×10 volume should only move the pruned
+      // key lookups
       val probed = Seq("dedup_clusters", "dedup_minhash_lsh",
         "stream_stream_join", "gds_degree", "gds_pagerank",
         "ann_pq_adc", "text_lm_score", "cy_call_in_tx",
-        "cy_rel_upsert_burst")
+        "cy_rel_upsert_burst", "cy_delete_burst")
       val byName = SparkEntry.catalog.map(q => q.name -> q).toMap
       // STEADY-STATE probe (r11 verdict #2): the replica dir is built
       // once; the query runs twice and the SECOND run is the reported
@@ -262,7 +266,41 @@ object Bench {
       val orgParts = timeAt("dedup_minhash_lsh", orgDir)
         .map(j => s""""dedup_minhash_lsh_organic":$j""").toSeq
 
-      val allParts = parts ++ orgParts :+
+      // v5 incremental-save probe — the O(delta) claim measured
+      // directly: a synthetic base of N rows full-writes once
+      // (untimed), 30-row buffered bursts land, and the INCREMENTAL
+      // saveDatabase is timed steady (first incremental save warms the
+      // path). At ×10 base volume the save should not move (slope ~0):
+      // writeDelta neither reads nor rewrites the base, and manifest
+      // counts come from watermark arithmetic over the delta alone.
+      def saveProbe(n: Long, sub: String): Double = {
+        val data = s"$tmp/$sub"
+        val gs = new GraftSession(spark)
+        gs.setGraph(graft.core.PropertyGraph(
+          spark.range(n).selectExpr("id", "array('acct') AS labels",
+            "id AS k", "CAST(id % 997 AS LONG) AS bal"),
+          graft.core.PropertyGraph.empty(spark).edges))
+        gs.saveDatabase(data) // full write, untimed
+        def burst(lo: Long): Unit = gs.cypher(
+          s"UNWIND range($lo, ${lo + 29}) AS x MERGE (a:acct {k: x}) " +
+            "ON MATCH SET a.bal = 0 ON CREATE SET a.bal = -1")
+        burst(n - 10) // 10 updates + 20 creates
+        gs.saveDatabase(data) // warm the incremental path, untimed
+        burst(n - 50) // 30 updates
+        System.gc()
+        val t0 = System.nanoTime()
+        gs.saveDatabase(data)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val saveParts =
+        try {
+          val s1 = saveProbe(1000000L, "_save1")
+          val s10 = saveProbe(10000000L, "_save10")
+          val slope = math.log10(s10 / s1)
+          Seq(f""""save_incremental":{"t1":$s1%.3f,"t10":$s10%.3f,"slope":$slope%.2f}""")
+        } catch { case _: Throwable => Nil }
+
+      val allParts = parts ++ orgParts ++ saveParts :+
         """"gds_label_propagation":"constant-input (bounded CO probe, l_orderkey<3000)""""
       Some(allParts.mkString(s"""{"factor":$factor,""", ",", "}"))
     } catch { case _: Throwable => None }

@@ -1251,8 +1251,15 @@ final class GraftSession(val spark: SparkSession,
     val relVars = matches.flatMap(_.patterns.flatMap(_.hops.flatMap(_._1.variable))).toSet
     val hasEid = entry.edges.columns.contains("eid")
     def relKeys(rv: String): DataFrame = {
+      // with eids the join key is `_re` alone; src/dst/relType ride
+      // along so the buffered DELETE can materialize full tombstone
+      // rows from one bounded collect (joins ignore the extras)
       val items =
-        if (hasEid) Seq(ast.ReturnItem(ast.Prop(rv, "eid"), Some("_re")))
+        if (hasEid) Seq(
+          ast.ReturnItem(ast.Prop(rv, "eid"), Some("_re")),
+          ast.ReturnItem(ast.Prop(rv, "src"), Some("_rs")),
+          ast.ReturnItem(ast.Prop(rv, "dst"), Some("_rd")),
+          ast.ReturnItem(ast.Prop(rv, "relType"), Some("_rt")))
         else Seq(
           ast.ReturnItem(ast.Prop(rv, "src"), Some("_rs")),
           ast.ReturnItem(ast.Prop(rv, "dst"), Some("_rd")),
@@ -1365,9 +1372,30 @@ final class GraftSession(val spark: SparkSession,
         if (relVars.contains(v)) {
           val g = db.graph
           if (hasEid) {
+            // BUFFERED first (the batch-delete / right-to-be-forgotten
+            // shape): a bounded matched-key set collects once and
+            // folds as driver tombstone rows into the edge write
+            // buffer — LocalRelation delta, zero distributed fold
+            // jobs. Unbounded matches, or a delta that lives
+            // distributed (no buffer to merge into), keep the
+            // distributed tombstone fold.
+            val bufferedOk = db.validEdgeDelta.forall(_.buf.isDefined) &&
+              db.validEdgeDelta.flatMap(_.buf).forall(_.rows.size <= 100000)
             val keys = relKeys(v)
-            val hit = g.edges.join(keys, relKeyCond(g.edges, keys), "left_semi")
-            foldEdgeDeltaRows(db, hit.withColumn(tomb, lit(true)))
+            val hits: Option[Seq[(Long, Long, Long, String)]] =
+              if (!bufferedOk) None
+              else {
+                val keyRows = keys.limit(10001).collect()
+                if (keyRows.length > 10000) None
+                else Some(keyRows.toSeq.map(r =>
+                  (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))))
+              }
+            hits match {
+              case Some(hs) => tombstoneEdgesBuffered(db, hs)
+              case None =>
+                val hit = g.edges.join(keys, relKeyCond(g.edges, keys), "left_semi")
+                foldEdgeDeltaRows(db, hit.withColumn(tomb, lit(true)))
+            }
           } else {
             val keys = relKeys(v)
             val edges = g.edges.join(keys, relKeyCond(g.edges, keys), "left_anti")
@@ -1376,9 +1404,19 @@ final class GraftSession(val spark: SparkSession,
         } else {
           val g = db.graph
           val ids = bindings.select(col(v).as("_mid")).distinct()
+          // bounded matched-id sets collect ONCE and drive the
+          // incident-edge check/scan (isin-pruned — an OR-condition
+          // semi join would nested-loop) and the buffered node
+          // tombstones below; unbounded sets stay fully distributed
+          val idVals = ids.limit(10001).collect().map(_.getLong(0))
+          val bounded = idVals.length <= 10000
           if (!d.detach) {
-            val incident = g.edges.join(ids,
-              g.edges("src") === col("_mid") || g.edges("dst") === col("_mid"), "left_semi")
+            val incident =
+              if (bounded)
+                g.edges.filter(col("src").isin(idVals.toIndexedSeq: _*) ||
+                  col("dst").isin(idVals.toIndexedSeq: _*))
+              else g.edges.join(ids,
+                g.edges("src") === col("_mid") || g.edges("dst") === col("_mid"), "left_semi")
             if (incident.take(1).nonEmpty)
               throw new IllegalStateException(
                 "Cannot delete nodes, because they still have relationships. " +
@@ -1386,31 +1424,42 @@ final class GraftSession(val spark: SparkSession,
           }
           if (d.detach) {
             if (hasEid) {
-              // incident edges tombstone by eid. Bounded deleted-id
-              // sets collect to the driver and prune ONE edge scan
-              // with an isin OR (an OR-condition semi join would
-              // nested-loop; two semi joins scan the edge set twice);
-              // unbounded sets keep the two hashable semi joins.
-              val idVals = ids.limit(10001).collect().map(_.getLong(0))
-              val hitE =
-                if (idVals.length <= 10000)
-                  g.edges.filter(col("src").isin(idVals.toIndexedSeq: _*) ||
-                    col("dst").isin(idVals.toIndexedSeq: _*))
-                else {
-                  val e1 = g.edges.join(ids, g.edges("src") === col("_mid"), "left_semi")
-                  val e2 = g.edges.join(ids, g.edges("dst") === col("_mid"), "left_semi")
-                  e1.unionByName(e2).dropDuplicates("eid")
+              val edgeBufOk = db.validEdgeDelta.forall(_.buf.isDefined) &&
+                db.validEdgeDelta.flatMap(_.buf).forall(_.rows.size <= 100000)
+              if (bounded) {
+                val pruned = g.edges.filter(col("src").isin(idVals.toIndexedSeq: _*) ||
+                  col("dst").isin(idVals.toIndexedSeq: _*))
+                // buffered when the incident set is bounded too:
+                // collect the hit keys, tombstone driver-side
+                val hitRows =
+                  if (!edgeBufOk) None
+                  else Some(pruned.select("eid", "src", "dst", "relType")
+                    .limit(10001).collect()).filter(_.length <= 10000)
+                hitRows match {
+                  case Some(rs) => tombstoneEdgesBuffered(db, rs.toSeq.map(r =>
+                    (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))))
+                  case None => foldEdgeDeltaRows(db, pruned.withColumn(tomb, lit(true)))
                 }
-              foldEdgeDeltaRows(db, hitE.withColumn(tomb, lit(true)))
+              } else {
+                val e1 = g.edges.join(ids, g.edges("src") === col("_mid"), "left_semi")
+                val e2 = g.edges.join(ids, g.edges("dst") === col("_mid"), "left_semi")
+                foldEdgeDeltaRows(db,
+                  e1.unionByName(e2).dropDuplicates("eid").withColumn(tomb, lit(true)))
+              }
             } else {
               val edges = g.edges.join(ids, g.edges("src") === col("_mid"), "left_anti")
                 .join(ids, col("dst") === col("_mid"), "left_anti")
               db.graph = PropertyGraph(g.nodes, edges)
             }
           }
-          val g2 = db.graph
-          val hitN = g2.nodes.join(ids, g2.nodes("id") === col("_mid"), "left_semi")
-          foldNodeDeltaRows(db, hitN.withColumn(tomb, lit(true)))
+          val nodeBufOk = db.validNodeDelta.forall(_.buf.isDefined) &&
+            db.validNodeDelta.flatMap(_.buf).forall(_.rows.size <= 100000)
+          if (bounded && nodeBufOk) tombstoneNodesBuffered(db, idVals.toSeq)
+          else {
+            val g2 = db.graph
+            val hitN = g2.nodes.join(ids, g2.nodes("id") === col("_mid"), "left_semi")
+            foldNodeDeltaRows(db, hitN.withColumn(tomb, lit(true)))
+          }
         }
       }
     }
@@ -1860,7 +1909,10 @@ final class GraftSession(val spark: SparkSession,
       val bufMatched: Seq[(Long, Map[String, Any])] =
         if (!keyColsPresent) Nil
         else bufRows.toSeq.collect {
-          case (id, mrow) if keyNames.forall(mrow.contains) &&
+          // tombstoned rows (buffered DELETE) read as absent: the key
+          // may later MERGE-create fresh, never resurrect this row
+          case (id, mrow) if !mrow.get(PropertyGraph.TombstoneCol).contains(true) &&
+              keyNames.forall(mrow.contains) &&
               labelsOk(mrow.getOrElse("labels", null)) &&
               byKey.contains(keyNames.map(kn => canon(mrow(kn)))) =>
             (id, mrow)
@@ -2166,6 +2218,86 @@ final class GraftSession(val spark: SparkSession,
       Some(graft.core.EdgeDeltaState(base, delta, resolved, materialized = !defer))
   }
 
+  /** Buffered batch DELETE, node side: fold driver-collected ids into
+    * the node write buffer as minimal tombstone rows ({id, flag}) —
+    * a LocalRelation delta, ZERO distributed fold jobs (the delete
+    * mirror of the buffered upsert; the right-to-be-forgotten
+    * key-list workload). Tombstones are written for EVERY matched id
+    * regardless of origin: a tombstone over a buffer-created row
+    * latest-wins-replaces it (net zero at snapshot time), one over a
+    * base row suppresses it — so no base-membership knowledge is
+    * needed. Settled-key caches stay valid: a tombstoned row reads as
+    * absent in the merge paths, so a later MERGE on its key creates
+    * fresh (resurrection with a fresh id, never this row). */
+  private def tombstoneNodesBuffered(db: GraphDatabase, ids: Seq[Long]): Unit = {
+    import scala.collection.immutable.VectorMap
+    val g = db.graph
+    val oldState = db.validNodeDelta
+    val buf0 = oldState.flatMap(_.buf).getOrElse(
+      graft.core.NodeDeltaBuffer(VectorMap.empty, VectorMap.empty))
+    var colTypes = buf0.colTypes
+    if (!colTypes.contains("id")) colTypes += ("id" -> LongType)
+    if (!colTypes.contains("labels"))
+      colTypes += ("labels" -> org.apache.spark.sql.types.ArrayType(StringType))
+    if (!colTypes.contains(PropertyGraph.TombstoneCol))
+      colTypes += (PropertyGraph.TombstoneCol -> BooleanType)
+    var rows = buf0.rows
+    ids.foreach { id =>
+      rows += (id -> Map[String, Any]("id" -> id, PropertyGraph.TombstoneCol -> true))
+    }
+    val buf = graft.core.NodeDeltaBuffer(colTypes, rows, buf0.settled, buf0.shape)
+    val deltaSchema = StructType(colTypes.toSeq.map { case (n, t) =>
+      StructField(n, t, nullable = n != "id") })
+    val deltaRows = rows.valuesIterator.map { mrow =>
+      Row.fromSeq(colTypes.keysIterator.map(n => mrow.getOrElse(n, null)).toSeq)
+    }.toSeq
+    val delta = spark.createDataFrame(javaList(deltaRows), deltaSchema)
+    val base = oldState.map(_.base).getOrElse(g.nodes)
+    val resolved = overlayNodes(base, delta)
+    db.graph = PropertyGraph(resolved, g.edges)
+    db.nodeDeltaState =
+      Some(graft.core.NodeDeltaState(base, delta, resolved, Some(buf)))
+  }
+
+  /** Buffered batch DELETE, relationship side — the eid-keyed mirror
+    * of [[tombstoneNodesBuffered]]. Tombstone rows carry their real
+    * (src, dst, relType) so the delta schema keeps those columns
+    * non-null; the merge paths skip flagged rows explicitly. */
+  private def tombstoneEdgesBuffered(db: GraphDatabase,
+      hits: Seq[(Long, Long, Long, String)]): Unit = {
+    import scala.collection.immutable.VectorMap
+    val g = db.graph
+    val oldState = db.validEdgeDelta
+    val buf0 = oldState.flatMap(_.buf).getOrElse(
+      graft.core.EdgeDeltaBuffer(VectorMap.empty, VectorMap.empty))
+    var colTypes = buf0.colTypes
+    Seq("src" -> LongType, "dst" -> LongType,
+      "relType" -> (StringType: DataType), "eid" -> LongType,
+      PropertyGraph.TombstoneCol -> BooleanType).foreach { case (n, t) =>
+      if (!colTypes.contains(n)) colTypes += (n -> t)
+    }
+    var rows = buf0.rows
+    hits.foreach { case (eid, s, d, rt) =>
+      rows += (eid -> Map[String, Any]("eid" -> eid, "src" -> s, "dst" -> d,
+        "relType" -> rt, PropertyGraph.TombstoneCol -> true))
+    }
+    val buf = graft.core.EdgeDeltaBuffer(colTypes, rows, buf0.settled,
+      buf0.nodeBind, buf0.nodeBindRef)
+    val deltaSchema = StructType(colTypes.toSeq.map { case (n, t) =>
+      StructField(n, t,
+        nullable = !Set("src", "dst", "relType", "eid").contains(n))
+    })
+    val deltaRows = rows.valuesIterator.map { row =>
+      Row.fromSeq(colTypes.keysIterator.map(n => row.getOrElse(n, null)).toSeq)
+    }.toSeq
+    val delta = spark.createDataFrame(javaList(deltaRows), deltaSchema)
+    val base = oldState.map(_.base).getOrElse(g.edges)
+    val resolved = overlayEdges(base, delta)
+    db.graph = PropertyGraph(g.nodes, resolved)
+    db.edgeDeltaState =
+      Some(graft.core.EdgeDeltaState(base, delta, resolved, Some(buf)))
+  }
+
   /** Batched relationship upsert — `UNWIND $batch AS row
     * MATCH (a:L {k: row.src}), (b:M {k: row.dst}) MERGE (a)-[r:T]->(b)
     * [ON CREATE SET …] [ON MATCH SET …]` — the second half of the Bolt
@@ -2354,7 +2486,10 @@ final class GraftSession(val spark: SparkSession,
       hops.zipWithIndex.map { case (h, i) =>
         val pairs = hopPairs(i)
         val fromBuf = buf0.rows.toSeq.collect {
-          case (eid, row) if row.get("relType").contains(h.relType) &&
+          // tombstoned rows (buffered DELETE) read as absent — the
+          // pair may merge-create a fresh eid, never resurrect
+          case (eid, row) if !row.get(PropertyGraph.TombstoneCol).contains(true) &&
+              row.get("relType").contains(h.relType) &&
               pairs.contains((row("src").asInstanceOf[Long], row("dst").asInstanceOf[Long])) &&
               h.props.forall { case (k, v) => propMatches(row.getOrElse(k, null), v) } =>
             ((row("src").asInstanceOf[Long], row("dst").asInstanceOf[Long]), (eid, row))
