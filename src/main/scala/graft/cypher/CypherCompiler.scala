@@ -799,8 +799,6 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * combinatorial blowup the old refusal guarded against. */
   private val VarPathMaxHops = 10
   private def compileVarPath(ctx: Option[DataFrame], m: MatchPath): DataFrame = {
-    if (m.optional) throw new UnsupportedOperationException(
-      s"OPTIONAL MATCH with a var-length bound path `${m.pathVar}` is not supported")
     val (rel, endPat) = m.pat.hops.head
     val (lo, hi) = rel.varLength.get
     if (hi > VarPathMaxHops) throw new UnsupportedOperationException(
@@ -809,6 +807,33 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val av = m.pat.start.variable.getOrElse(fresh("n"))
     val bv = endPat.variable.getOrElse(fresh("n"))
 
+    // OPTIONAL MATCH over a bound var-length path = the fixed-length
+    // discipline (compileOptional): compile the whole pattern
+    // NON-optional seeded by the left's shared rows, then left-outer
+    // join back — an unmatched start emits ONE row with null path and
+    // accessors, matched starts keep per-path multiplicity.
+    if (m.optional) {
+      val left = ctx.getOrElse(
+        return compileVarPath(None, m.copy(optional = false)))
+      val sharedVars = Seq(av, bv)
+        .filter(v => left.columns.contains(s"$v${SEP}id"))
+      if (sharedVars.isEmpty) throw new UnsupportedOperationException(
+        "OPTIONAL MATCH with no shared variable")
+      val shared = sharedVars.map(v => s"$v${SEP}id")
+      // seed with the left's distinct rows for the shared variables
+      // (all their columns, so start-pattern label/prop re-checks
+      // still see labels/props) — the trail walks only relevant ids
+      val seedCols = left.columns
+        .filter(c => sharedVars.exists(v => c.startsWith(s"$v$SEP"))).toSeq
+      val seed = left.select(seedCols.map(col): _*).distinct()
+      val right = compileVarPath(Some(seed), m.copy(optional = false))
+      val dupNonKey = left.columns.toSet.intersect(right.columns.toSet) -- shared
+      val r2 = dupNonKey.foldLeft(right)((d, c) => d.drop(c))
+      val cond = shared.map(c => left(c) === r2(c)).reduce(_ && _)
+      val joined = left.join(r2, cond, "left_outer")
+      return shared.foldLeft(joined)((d, c) => d.drop(r2(c)))
+    }
+
     // start side mirrors compileShortest: bound context or fresh scan,
     // start-only WHERE pushed before seeding
     var cur = ctx match {
@@ -816,13 +841,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case Some(df) => df.crossJoin(nodeDf(av, m.pat.start))
       case None     => nodeDf(av, m.pat.start)
     }
-    val (startOnlyWhere, restWhere) = m.where match {
+    val (existsPreds, startOnlyWhere, restWhere) = m.where match {
       case Some(w) =>
         val (conj, rest) = splitConjuncts(w)
-        if (conj.nonEmpty) throw new UnsupportedOperationException(
-          "existence subqueries are not supported in a bound-path WHERE")
-        rest.partition(e => referencedVars(e).subsetOf(Set(av)))
-      case None => (Nil, Nil)
+        val (so, rw) = rest.partition(e => referencedVars(e).subsetOf(Set(av)))
+        (conj, so, rw)
+      case None => (Nil, Nil, Nil)
     }
     startOnlyWhere.foreach(e => cur = cur.filter(compileExpr(e, cur)))
 
@@ -883,6 +907,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       .withColumn(s"${m.pathVar}${SEP}rels", col("_rs"))
       .drop(s"_vp${SEP}s", s"_vp${SEP}t", "_ns", "_rs", "_ids")
     restWhere.foreach(e => out = out.filter(compileExpr(e, out)))
+    // existence subqueries apply AFTER the trail join, the plain-MATCH
+    // semi/anti machinery: `WHERE EXISTS { (b)-[:X]->() }` keeps only
+    // paths whose bound endpoints satisfy the subpattern
+    existsPreds.foreach { case (ps, w, neg) => out = applyExists(out, ps, w, neg) }
     out
   }
 
@@ -937,13 +965,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case Some(df) => df.crossJoin(nodeDf(av, p.start))
       case None     => nodeDf(av, p.start)
     }
-    val (startOnlyWhere, restWhere) = m.where match {
+    val (existsPreds, startOnlyWhere, restWhere) = m.where match {
       case Some(w) =>
         val (conj, rest) = splitConjuncts(w)
-        if (conj.nonEmpty) throw new UnsupportedOperationException(
-          "existence subqueries are not supported in shortestPath WHERE")
-        rest.partition(e => referencedVars(e).subsetOf(Set(av)))
-      case None => (Nil, Nil)
+        val (so, rw) = rest.partition(e => referencedVars(e).subsetOf(Set(av)))
+        (conj, so, rw)
+      case None => (Nil, Nil, Nil)
     }
     startOnlyWhere.foreach(e => cur = cur.filter(compileExpr(e, cur)))
 
@@ -1015,6 +1042,9 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         lit(rel.types.headOption.orNull).cast("string"))
       .drop(s"_sp${SEP}s", s"_sp${SEP}t", "_d", "_p")
     restWhere.foreach(e => out = filterWithSubqueries(out, e))
+    // existence subqueries: post-search semi/anti join, as on bound
+    // var-length paths
+    existsPreds.foreach { case (ps, w, neg) => out = applyExists(out, ps, w, neg) }
     out
   }
 

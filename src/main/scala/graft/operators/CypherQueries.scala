@@ -206,6 +206,52 @@ object CypherQueries {
         |RETURN c.c_custkey AS ck, length(p) AS len, id(x) AS xid,
         |       nodes(p)[1] AS mid, count(*) AS n_paths""".stripMargin),
 
+    // OPTIONAL MATCH over a var-length BOUND path (r12 verdict #5):
+    // customers with no orders are the natural miss partition (~1/3 of
+    // TPC-H customers) — they emit exactly ONE row with a null path
+    // (null length/endpoint), while matched customers keep openCypher
+    // per-path multiplicity. Left-outer of the enumerated trail set,
+    // seeded only by the bound starts (compileVarPath optional arm).
+    q("cy_varlen_path_optional",
+      """SELECT ck, len, xid, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT c.c_custkey AS ck, CAST(2 AS BIGINT) AS len,
+        |         l.l_partkey * 10 + 6 AS xid
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE c.c_custkey <= 30
+        |  UNION ALL
+        |  SELECT c.c_custkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM customer c
+        |  WHERE c.c_custkey <= 30 AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+        |      ON l.l_orderkey = o.o_orderkey
+        |    WHERE o.o_custkey = c.c_custkey)) t
+        |GROUP BY 1, 2, 3""".stripMargin)(
+      """MATCH (c:customer) WHERE c.c_custkey <= 30
+        |OPTIONAL MATCH p = (c)-[:PLACED|CONTAINS*2..2]->(x)
+        |RETURN c.c_custkey AS ck, length(p) AS len, id(x) AS xid,
+        |       count(*) AS n""".stripMargin),
+
+    // Existence subquery in a bound-path WHERE (r12 verdict #7): the
+    // EXISTS applies AFTER the trail join as the plain-MATCH semi
+    // join. `(x)-[:CONTAINS]->(:part)` holds only for order endpoints
+    // (every order carries lineitems), so it keeps every 1-hop path
+    // and kills the whole 2-hop (part-endpoint) partition — a broken
+    // or ignored EXISTS shows up as extra len-2 rows.
+    q("cy_varlen_exists_where",
+      """SELECT c.c_custkey AS ck, CAST(1 AS BIGINT) AS len,
+        |       o.o_orderkey * 10 + 4 AS xid, CAST(count(*) AS BIGINT) AS n_paths
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey <= 20
+        |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |GROUP BY 1, 2, 3""".stripMargin)(
+      """MATCH p = (c:customer)-[:PLACED|CONTAINS*1..2]->(x)
+        |WHERE c.c_custkey <= 20 AND EXISTS { (x)-[:CONTAINS]->(:part) }
+        |RETURN c.c_custkey AS ck, length(p) AS len, id(x) AS xid,
+        |       count(*) AS n_paths""".stripMargin),
+
     // two-hop chained pattern across three node sets
     q("cy_two_hop",
       """SELECT n.n_name AS n_name, r.r_name AS r_name, count(*) AS n_supp

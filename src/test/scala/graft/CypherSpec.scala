@@ -1901,6 +1901,54 @@ class CypherSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unbounded"))
   }
 
+  test("OPTIONAL MATCH over a var-length bound path: null path on miss, multiplicity on hit") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:ov {name:'a'})-[:T]->(b:ov {name:'b'})-[:T]->(c:ov {name:'c'})")
+    s.cypher("MATCH (b:ov {name:'b'}) CREATE (b)-[:T]->(d:ov {name:'d'})")
+    s.cypher("CREATE (z:ov {name:'z'})") // isolated: the miss partition
+    // a reaches b (len 1), c and d (len 2) — 3 rows; z emits ONE row
+    // with a null path and null accessors (openCypher left-outer)
+    val rows = s.cypher(
+      """MATCH (x:ov) WHERE x.name IN ['a', 'z']
+        |OPTIONAL MATCH p = (x)-[:T*1..2]->(y)
+        |RETURN x.name AS xn, length(p) AS l, y.name AS yn ORDER BY xn, l, yn""".stripMargin)
+      .collect()
+    assert(rows.map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq ==
+      Seq(("a", 1L, "b"), ("a", 2L, "c"), ("a", 2L, "d"), ("z", -1L, null)))
+    // nodes(p) is null (not an array of nulls) on the miss row
+    val miss = s.cypher(
+      """MATCH (x:ov {name:'z'}) OPTIONAL MATCH p = (x)-[:T*1..2]->(y)
+        |RETURN nodes(p) AS ns""".stripMargin).collect().head
+    assert(miss.isNullAt(0))
+  }
+
+  test("existence subqueries in bound-path and shortestPath WHERE apply after the trail join") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:ev {name:'a'})-[:T]->(b:ev {name:'b'})-[:T]->(c:ev {name:'c'})")
+    s.cypher("MATCH (b:ev {name:'b'}) CREATE (b)-[:T]->(d:ev {name:'d'})")
+    s.cypher("MATCH (c:ev {name:'c'}) CREATE (c)-[:X]->(:evm {name:'m'})")
+    // endpoints with an outgoing :X — only c qualifies, so of a's three
+    // trails exactly (a,b,c) survives; NOT EXISTS keeps b and d
+    val hit = s.cypher(
+      """MATCH p = (x:ev {name:'a'})-[:T*1..2]->(y)
+        |WHERE EXISTS { (y)-[:X]->() } RETURN y.name AS yn, length(p) AS l""".stripMargin)
+      .collect()
+    assert(hit.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("c", 2L)))
+    val neg = s.cypher(
+      """MATCH p = (x:ev {name:'a'})-[:T*1..2]->(y)
+        |WHERE NOT EXISTS { (y)-[:X]->() } RETURN y.name AS yn ORDER BY yn""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(neg.toSeq == Seq("b", "d"))
+    // shortestPath WHERE gains the same machinery
+    val sp = s.cypher(
+      """MATCH p = shortestPath((x:ev {name:'a'})-[:T*1..3]->(y:ev))
+        |WHERE EXISTS { (y)-[:X]->() } RETURN y.name AS yn, length(p) AS l""".stripMargin)
+      .collect()
+    assert(sp.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("c", 2L)))
+  }
+
   test("delta-log: batched upserts commit O(batch) and read-your-writes across the uncompacted delta") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:acct {k: 1, bal: 10})")
