@@ -617,6 +617,96 @@ class AdminSpec extends AnyFunSuite {
     assert(m3.nodeCount == 50L && m3.base.exists(_.nodeCount == 50L))
   }
 
+  test("delete-heavy ingest end to end: buffer x tombstone x v5 merge x resurrection over two save/load cycles") {
+    import graft.core.SnapshotStore
+    val data = tmp("graft-ingest")
+    // ---- base: 40 account nodes + a hub, sealed by a full write ----
+    val s0 = new GraftSession(spark)
+    s0.cypher("UNWIND range(1, 40) AS x CREATE (a:nd {k: x})")
+    s0.cypher("CREATE (h:hub {k: 0})")
+    s0.saveDatabase(data)
+    val snap = s"$data/databases/neo4j"
+    def files(sub: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$snap/$sub")).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val nodesSealed = files("nodes")
+    val edgesSealed = files("edges")
+    def eids(s: GraftSession): Set[Long] =
+      s.cypher("MATCH (:nd)-[x:E]->(:hub) RETURN id(x) AS e").collect()
+        .map(_.getLong(0)).toSet
+
+    // ---- cycle 1: load, MERGE a batch, DELETE subsets, save --------
+    val s1 = new GraftSession(spark)
+    s1.loadDatabase(data)
+    val batch = (1L to 20L).map(k => Map("a" -> k))
+    val merge =
+      """UNWIND $batch AS row MATCH (a:nd {k: row.a}), (h:hub {k: 0})
+        |MERGE (a)-[x:E]->(h) ON CREATE SET x.c = 1 ON MATCH SET x.c = x.c + 1""".stripMargin
+    s1.cypher(merge, Map("batch" -> batch))
+    val cycle1Eids = eids(s1)
+    assert(cycle1Eids.size == 20)
+    // targeted DELETE (k % 4 = 0: five edges) + one DETACH DELETE that
+    // takes a node AND its surviving edge
+    s1.cypher("MATCH (a:nd)-[x:E]->() WHERE a.k % 4 = 0 DELETE x")
+    s1.cypher("MATCH (a:nd {k: 19}) DETACH DELETE a")
+    s1.saveDatabase(data)
+    assert(files("nodes") == nodesSealed && files("edges") == edgesSealed,
+      "cycle-1 save must be incremental on both sides")
+    val m1 = SnapshotStore.readManifest(snap)
+    assert(m1.nodeCount == 40L, s"cycle-1 node count ${m1.nodeCount}") // 41 - 1
+    assert(m1.edgeCount == 14L, s"cycle-1 edge count ${m1.edgeCount}") // 20 - 5 - 1
+    assert(SnapshotStore.readNodes(spark, snap).count() == 40L)
+    assert(SnapshotStore.readEdges(spark, snap).count() == 14L)
+
+    // ---- cycle 2: fresh load, re-MERGE (resurrection), delete, save -
+    val s2 = new GraftSession(spark)
+    s2.loadDatabase(data)
+    assert(eids(s2).size == 14)
+    s2.cypher(merge, Map("batch" -> batch))
+    // k=19's node is gone -> its row drops from the MATCH; the five
+    // deleted keys re-create with FRESH eids (never the tombstoned
+    // ones); the 14 survivors ON MATCH-increment
+    val cycle2Eids = eids(s2)
+    assert(cycle2Eids.size == 19, s"expected 19 edges, got ${cycle2Eids.size}")
+    val resurrected = cycle2Eids -- cycle1Eids
+    assert(resurrected.size == 5, s"expected 5 fresh eids, got $resurrected")
+    assert(resurrected.forall(_ >= m1.nextRelId),
+      s"resurrected eids $resurrected reuse pre-tombstone ids (< ${m1.nextRelId})")
+    val counters = s2.cypher(
+      """MATCH (a:nd)-[x:E]->(:hub)
+        |RETURN sum(CASE WHEN x.c = 2 THEN 1 ELSE 0 END) AS twice,
+        |       sum(CASE WHEN x.c = 1 THEN 1 ELSE 0 END) AS once""".stripMargin)
+      .collect().head
+    assert(counters.getLong(0) == 14L && counters.getLong(1) == 5L,
+      s"ON MATCH/ON CREATE split wrong: ${counters}")
+    // delete one RESURRECTED edge, then incremental-save again
+    s2.cypher("MATCH (a:nd {k: 4})-[x:E]->() DELETE x")
+    s2.saveDatabase(data)
+    assert(files("nodes") == nodesSealed && files("edges") == edgesSealed,
+      "cycle-2 save must be incremental on both sides")
+    val m2 = SnapshotStore.readManifest(snap)
+    assert(m2.nodeCount == 40L && m2.edgeCount == 18L,
+      s"cycle-2 counts ${m2.nodeCount}/${m2.edgeCount}")
+
+    // ---- final read-back state ------------------------------------
+    val s3 = new GraftSession(spark)
+    s3.loadDatabase(data)
+    assert(eids(s3).size == 18)
+    assert(s3.cypher("MATCH (a:nd {k: 4})-[x:E]->() RETURN count(x) AS n")
+      .collect().head.getLong(0) == 0L)
+    assert(s3.cypher("MATCH (a:nd {k: 8})-[x:E]->() RETURN x.c AS c")
+      .collect().head.getLong(0) == 1L) // resurrected fresh, not the old row
+    assert(s3.cypher("MATCH (a:nd {k: 1})-[x:E]->() RETURN x.c AS c")
+      .collect().head.getLong(0) == 2L) // survivor incremented once
+    assert(s3.cypher("MATCH (a:nd {k: 19}) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 0L) // detach-deleted node stays gone
+    // eids remain globally distinct across the whole history
+    val all = s3.graph().edges.select("eid").collect().map(_.getLong(0)).toSeq
+    assert(all.size == all.distinct.size, s"eid collision after resurrection: $all")
+  }
+
   test("admin refuses to run the server (neo4j-admin/docker-entrypoint.sh:49-60)") {
     var errs = List.empty[String]
     assert(GraftAdmin.run(Seq("neo4j"), "data", err = e => errs ::= e) == 1)
