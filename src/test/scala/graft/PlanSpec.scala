@@ -140,7 +140,11 @@ class PlanSpec extends AnyFunSuite {
     // is why the repo has no custom top-k SparkPlan (SURVEY §7.3):
     // the built-in physical operator already is the optimization, and
     // this guard fails if a refactor breaks the pattern it matches.
-    Seq("ann_topk", "ann_pq_adc", "ann_graph_embed").foreach { q =>
+    // ann_graph_embed eagerly materializes (checkpointed result, so
+    // its cached embedding frame can release on return) — its returned
+    // plan is a LogicalRDD; the LSH sibling shares the identical
+    // rank<=k tail and carries the guard for that pipeline
+    Seq("ann_topk", "ann_pq_adc", "ann_graph_embed_lsh").foreach { q =>
       val p = plan(q)
       assert(p.contains("WindowGroupLimit"),
         s"$q top-k lost the WindowGroupLimit rewrite:\n" + p)
