@@ -955,12 +955,81 @@ final class GraftSession(val spark: SparkSession,
       if (unwinds.size == 1 && merges.nonEmpty && matches.nonEmpty && creates.isEmpty &&
           sets.isEmpty && deletes.isEmpty && labelSets.isEmpty && returns.isEmpty)
         return mutateUnwindMatchMerge(db, unwinds.head, matches, merges)
+      // `UNWIND $keys AS k MATCH (a:L {p: k}) [DETACH] DELETE a` — the
+      // key-list batch delete (right-to-be-forgotten). Desugars the
+      // ONE element-keyed pattern prop to a single IN predicate over
+      // the literal list and routes through mutateSetDelete, where the
+      // buffered tombstone path picks it up (isin-pruned lookup, zero
+      // distributed folds). Sound because DELETE is idempotent per
+      // matched entity, so openCypher's per-element bag semantics
+      // collapse to set membership; patterns with MORE than one
+      // element-keyed prop would need per-element pairing and refuse.
+      if (unwinds.size == 1 && deletes.nonEmpty && matches.nonEmpty && creates.isEmpty &&
+          sets.isEmpty && merges.isEmpty && labelSets.isEmpty && returns.isEmpty) {
+        val u = unwinds.head
+        val elems: Seq[Any] = unwindElements(u, "UNWIND … MATCH … DELETE")
+        if (elems.isEmpty) return unit()
+        val alias = u.alias
+        def elemValues(l: ast.Lit): Option[Seq[Any]] = l.v match {
+          case ast.VarRefValue(`alias`) => Some(elems.map(norm))
+          case ast.PropRefValue(`alias`, key) => Some(elems.map {
+            case m: collection.Map[_, _] =>
+              norm(m.asInstanceOf[collection.Map[String, Any]].getOrElse(key, null))
+            case other => throw new UnsupportedOperationException(
+              s"`$alias.$key` needs map elements in UNWIND, got $other")
+          })
+          case ast.VarRefValue(other) =>
+            throw new NoSuchElementException(s"Variable `$other` not defined")
+          case _ => None
+        }
+        var conjuncts = List.empty[ast.Expr]
+        def rewriteNode(n: ast.NodePat): ast.NodePat = {
+          var props = n.props
+          n.props.foreach { case (k, l) =>
+            elemValues(l).foreach { vs =>
+              val v = n.variable.getOrElse(throw new UnsupportedOperationException(
+                "UNWIND … MATCH … DELETE needs a variable on the element-keyed pattern"))
+              conjuncts ::= ast.In(ast.Prop(v, k),
+                vs.distinct.map(x => ast.Lit(x)))
+              props -= k
+            }
+          }
+          n.copy(props = props)
+        }
+        def rewriteRel(r: ast.RelPat): ast.RelPat = {
+          var props = r.props
+          r.props.foreach { case (k, l) =>
+            elemValues(l).foreach { vs =>
+              val v = r.variable.getOrElse(throw new UnsupportedOperationException(
+                "UNWIND … MATCH … DELETE needs a variable on the element-keyed pattern"))
+              conjuncts ::= ast.In(ast.Prop(v, k),
+                vs.distinct.map(x => ast.Lit(x)))
+              props -= k
+            }
+          }
+          r.copy(props = props)
+        }
+        val rewritten = matches.map { m =>
+          m.copy(patterns = m.patterns.map(p => ast.PathPat(rewriteNode(p.start),
+            p.hops.map { case (r, nd) => (rewriteRel(r), rewriteNode(nd)) })))
+        }
+        if (conjuncts.size != 1) throw new UnsupportedOperationException(
+          "UNWIND … MATCH … DELETE supports exactly ONE element-keyed pattern property " +
+            s"(got ${conjuncts.size}): per-element pairing across properties needs the " +
+            "general path")
+        val last = rewritten.last
+        val where = Some(last.where
+          .map(w => ast.And(w, conjuncts.head)).getOrElse(conjuncts.head))
+        return mutateSetDelete(db,
+          rewritten.init :+ last.copy(where = where), Nil, deletes)
+      }
       if (unwinds.size != 1 || creates.isEmpty || matches.nonEmpty || merges.nonEmpty ||
           sets.nonEmpty || deletes.nonEmpty || labelSets.nonEmpty || returns.nonEmpty)
         throw new UnsupportedOperationException(
           "UNWIND composes with mutations only as `UNWIND <list> AS x CREATE …`, " +
-            "`UNWIND <list> AS x MERGE (n:L {key: x.key}) …` " +
-            "or `UNWIND <list> AS x MATCH (a {k: x.s}), (b {k: x.d}) MERGE (a)-[:T]->(b) …`")
+            "`UNWIND <list> AS x MERGE (n:L {key: x.key}) …`, " +
+            "`UNWIND <list> AS x MATCH (a {k: x.s}), (b {k: x.d}) MERGE (a)-[:T]->(b) …` " +
+            "or `UNWIND <list> AS x MATCH (a:L {k: x}) [DETACH] DELETE a`")
       val u = unwinds.head
       val elems: Seq[Any] = unwindElements(u, "UNWIND … CREATE")
       val alias = u.alias

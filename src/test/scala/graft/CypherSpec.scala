@@ -1901,6 +1901,40 @@ class CypherSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unbounded"))
   }
 
+  test("UNWIND key-list DELETE: the batched right-to-be-forgotten shape") {
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(1, 30) AS x CREATE (a:kd {k: x})")
+    s.cypher("MATCH (a:kd {k: 1}), (b:kd {k: 2}) CREATE (a)-[:T {w: 1}]->(b)")
+    s.cypher("MATCH (a:kd {k: 3}), (b:kd {k: 4}) CREATE (a)-[:T {w: 2}]->(b)")
+    // plain key-list delete refuses while relationships remain
+    val e0 = intercept[IllegalStateException](
+      s.cypher("UNWIND $keys AS k MATCH (a:kd {k: k}) DELETE a",
+        Map("keys" -> Seq(1L, 5L))))
+    assert(e0.getMessage.contains("DETACH"))
+    // DETACH form: nodes AND their incident edges tombstone in one
+    // statement; untouched keys keep their rows
+    s.cypher("UNWIND $keys AS k MATCH (a:kd {k: k}) DETACH DELETE a",
+      Map("keys" -> Seq(1L, 5L, 9L, 40L))) // 40 matches nothing: no-op
+    assert(s.cypher("MATCH (a:kd) RETURN count(a) AS n").collect().head.getLong(0) == 27L)
+    assert(s.cypher("MATCH (a:kd {k: 1}) RETURN count(a) AS n").collect().head.getLong(0) == 0L)
+    assert(s.cypher("MATCH (:kd)-[x:T]->() RETURN count(x) AS n").collect().head.getLong(0) == 1L)
+    // relationship key-list form (element-keyed rel prop)
+    s.cypher("UNWIND $ws AS w MATCH (:kd)-[x:T {w: w}]->() DELETE x",
+      Map("ws" -> Seq(2L)))
+    assert(s.cypher("MATCH (:kd)-[x:T]->() RETURN count(x) AS n").collect().head.getLong(0) == 0L)
+    // no-relationship plain DELETE works once edges are gone
+    s.cypher("UNWIND [3, 4] AS k MATCH (a:kd {k: k}) DELETE a")
+    assert(s.cypher("MATCH (a:kd) RETURN count(a) AS n").collect().head.getLong(0) == 25L)
+    // a deleted key can MERGE-create fresh (resurrection, new id)
+    s.cypher("MERGE (a:kd {k: 3}) ON CREATE SET a.fresh = 1")
+    assert(s.cypher("MATCH (a:kd {k: 3}) RETURN a.fresh AS f").collect().head.getLong(0) == 1L)
+    // two element-keyed props would need per-element pairing: refused
+    val e1 = intercept[UnsupportedOperationException](
+      s.cypher("UNWIND $rows AS r MATCH (a:kd {k: r.a}), (b:kd {k: r.b}) DELETE a",
+        Map("rows" -> Seq(Map("a" -> 10L, "b" -> 11L)))))
+    assert(e1.getMessage.contains("exactly ONE element-keyed"))
+  }
+
   test("OPTIONAL MATCH over a var-length bound path: null path on miss, multiplicity on hit") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:ov {name:'a'})-[:T]->(b:ov {name:'b'})-[:T]->(c:ov {name:'c'})")
