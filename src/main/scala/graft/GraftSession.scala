@@ -1023,13 +1023,35 @@ final class GraftSession(val spark: SparkSession,
         return mutateSetDelete(db,
           rewritten.init :+ last.copy(where = where), Nil, deletes)
       }
+      // `UNWIND $rows AS r MATCH (n:L {k: r.k}) SET n.p = r.v` — the
+      // key-list batch UPDATE, third verb of the batch-mutation matrix
+      // (MERGE upserts, DELETE tombstones, SET updates). Routes through
+      // mutateUnwindMerge in MATCH-ONLY mode: same driver write buffer
+      // (isin-pruned lookup, LocalRelation delta, settled-key cache),
+      // no create branch — a key the base can't match is a no-op, and
+      // an element with a null key value matches nothing (openCypher
+      // `{k: null}` semantics) instead of erroring like MERGE must.
+      if (unwinds.size == 1 && sets.nonEmpty && matches.size == 1 && creates.isEmpty &&
+          merges.isEmpty && deletes.isEmpty && labelSets.isEmpty && returns.isEmpty) {
+        val mm = matches.head
+        val routable = !mm.optional && mm.where.isEmpty && mm.patterns.size == 1 &&
+          mm.patterns.head.hops.isEmpty && {
+            val np = mm.patterns.head.start
+            np.props.nonEmpty && np.labelExpr.isEmpty && np.where.isEmpty
+          }
+        if (routable)
+          return mutateUnwindMerge(db, unwinds.head,
+            ast.Merge(mm.patterns.head, onMatch = sets.flatMap(_.items)),
+            matchOnly = true)
+      }
       if (unwinds.size != 1 || creates.isEmpty || matches.nonEmpty || merges.nonEmpty ||
           sets.nonEmpty || deletes.nonEmpty || labelSets.nonEmpty || returns.nonEmpty)
         throw new UnsupportedOperationException(
           "UNWIND composes with mutations only as `UNWIND <list> AS x CREATE …`, " +
             "`UNWIND <list> AS x MERGE (n:L {key: x.key}) …`, " +
-            "`UNWIND <list> AS x MATCH (a {k: x.s}), (b {k: x.d}) MERGE (a)-[:T]->(b) …` " +
-            "or `UNWIND <list> AS x MATCH (a:L {k: x}) [DETACH] DELETE a`")
+            "`UNWIND <list> AS x MATCH (a {k: x.s}), (b {k: x.d}) MERGE (a)-[:T]->(b) …`, " +
+            "`UNWIND <list> AS x MATCH (a:L {k: x}) [DETACH] DELETE a` " +
+            "or `UNWIND <list> AS x MATCH (n:L {k: x.k}) SET n.p = x.v`")
       val u = unwinds.head
       val elems: Seq[Any] = unwindElements(u, "UNWIND … CREATE")
       val alias = u.alias
@@ -1766,22 +1788,30 @@ final class GraftSession(val spark: SparkSession,
     *   ON MATCH reads the merge variable's own properties is refused
     *   (a sequential self-increment cannot collapse into one join).
     */
-  private def mutateUnwindMerge(db: GraphDatabase, u: ast.Unwind, m: ast.Merge): DataFrame = {
+  /** Batched single-node upsert (`UNWIND … MERGE`) and, with
+    * `matchOnly`, the key-list batch UPDATE (`UNWIND … MATCH … SET`):
+    * identical buffered machinery, but match-only mints no create
+    * candidates — an unmatched key is a no-op, and an element whose
+    * key value is null matches nothing (openCypher `{k: null}`)
+    * where MERGE must refuse. */
+  private def mutateUnwindMerge(db: GraphDatabase, u: ast.Unwind, m: ast.Merge,
+      matchOnly: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
+    val verb = if (matchOnly) "UNWIND … MATCH … SET" else "UNWIND … MERGE"
     if (m.pattern.hops.nonEmpty)
       throw new UnsupportedOperationException(
-        "UNWIND … MERGE supports a single-node merge pattern")
+        s"$verb supports a single-node pattern")
     val alias = u.alias
     val np = m.pattern.start
     val mergeVar = np.variable.getOrElse("_m")
-    val elems = unwindElements(u, "UNWIND … MERGE")
+    val elems = unwindElements(u, verb)
     if (elems.isEmpty) return unit()
     val keyNames = np.props.keys.toSeq.sorted
     if (keyNames.isEmpty) throw new UnsupportedOperationException(
-      "UNWIND … MERGE needs at least one merge-key property on the pattern")
+      s"$verb needs at least one key property on the pattern")
     (m.onCreate ++ m.onMatch).foreach { case (p, _) =>
       if (p.variable != mergeVar) throw new UnsupportedOperationException(
-        s"SET on UNWIND … MERGE targets the merged variable only, got ${p.variable}.${p.key}")
+        s"SET on $verb targets the pattern variable only, got ${p.variable}.${p.key}")
     }
 
     // ---- per-element access ------------------------------------------
@@ -1794,8 +1824,8 @@ final class GraftSession(val spark: SparkSession,
         case other => throw new UnsupportedOperationException(
           s"`$alias.$key` needs map elements in the UNWIND batch, got $other")
       }
-    def keyOf(elem: Any): Seq[Any] = keyNames.map { k =>
-      val v = np.props(k).v match {
+    def keyOfRaw(elem: Any): Seq[Any] = keyNames.map { k =>
+      np.props(k).v match {
         case ast.VarRefValue(`alias`)     => norm(elem)
         case ast.PropRefValue(`alias`, f) => field(elem, f)
         case ast.VarRefValue(other) =>
@@ -1804,9 +1834,14 @@ final class GraftSession(val spark: SparkSession,
           throw new NoSuchElementException(s"Variable `$other` not defined (in `$other.$f`)")
         case lit0 => norm(lit0)
       }
-      if (v == null) throw new IllegalArgumentException(
-        s"Cannot merge the following node because of null property value for '$k'")
-      v
+    }
+    def keyOf(elem: Any): Seq[Any] = {
+      val ks = keyOfRaw(elem)
+      keyNames.lazyZip(ks).foreach { (k, v) =>
+        if (v == null) throw new IllegalArgumentException(
+          s"Cannot merge the following node because of null property value for '$k'")
+      }
+      ks
     }
     def rowFields(e: ast.Expr): Set[String] = e match {
       case ast.Prop(`alias`, k)  => Set(k)
@@ -1860,7 +1895,7 @@ final class GraftSession(val spark: SparkSession,
             }
         }
       case other => throw new UnsupportedOperationException(
-        s"UNWIND … MERGE SET value supports row fields, literals and arithmetic, got $other")
+        s"$verb SET value supports row fields, literals and arithmetic, got $other")
     }
     def firstType(vs: Iterable[Any]): DataType =
       vs.find(_ != null).map(PropertyGraph.literalType).getOrElse(StringType)
@@ -1869,17 +1904,19 @@ final class GraftSession(val spark: SparkSession,
     // (first occurrence, last occurrence, count)
     val byKey = collection.mutable.LinkedHashMap.empty[Seq[Any], (Any, Any, Int)]
     elems.foreach { e =>
-      val k = keyOf(e)
-      byKey.get(k) match {
+      val k = if (matchOnly) keyOfRaw(e) else keyOf(e)
+      // match-only: a null key value matches nothing — drop the element
+      if (!(matchOnly && k.contains(null))) byKey.get(k) match {
         case None              => byKey(k) = (e, e, 1)
         case Some((f0, _, c0)) => byKey(k) = (f0, e, c0 + 1)
       }
     }
+    if (byKey.isEmpty) return unit()
     val onMatchReadsNode = m.onMatch.exists { case (_, e) => refsMergeVar(e) }
     if (onMatchReadsNode && byKey.valuesIterator.exists(_._3 > 1))
       throw new UnsupportedOperationException(
-        "duplicate merge keys in one batch cannot compose with an ON MATCH SET " +
-          "that reads the merge variable's own properties")
+        s"duplicate keys in one $verb batch cannot compose with a SET " +
+          "that reads the pattern variable's own properties")
 
     val g = db.graph
     def labelCond(nodesDf: DataFrame): org.apache.spark.sql.Column =
@@ -1904,14 +1941,19 @@ final class GraftSession(val spark: SparkSession,
     // candidate row. A key that repeats in the batch applies the last
     // occurrence's ON MATCH to its own created row (row-only values —
     // the n-reading case was refused above).
-    val createBase = db.allocate(byKey.size.toLong)
-    val candProps = byKey.toSeq.zipWithIndex.map { case ((k, (first, last, cnt)), i) =>
-      val props = collection.mutable.LinkedHashMap.empty[String, Any]
-      keyNames.zip(k).foreach { case (kn, kv) => props(kn) = kv }
-      m.onCreate.foreach { case (p, e) => props(p.key) = evalLocal(e, first) }
-      if (cnt > 1) m.onMatch.foreach { case (p, e) => props(p.key) = evalLocal(e, last) }
-      (createBase + i, k, props)
-    }
+    // match-only mints nothing: a key the graph can't match is a no-op
+    // (and without the key columns NOTHING can match — whole statement
+    // is a no-op, skip even the id allocation)
+    if (matchOnly && !keyColsPresent) return unit()
+    val createBase = if (matchOnly) 0L else db.allocate(byKey.size.toLong)
+    val candProps = if (matchOnly) Nil
+      else byKey.toSeq.zipWithIndex.map { case ((k, (first, last, cnt)), i) =>
+        val props = collection.mutable.LinkedHashMap.empty[String, Any]
+        keyNames.zip(k).foreach { case (kn, kv) => props(kn) = kv }
+        m.onCreate.foreach { case (p, e) => props(p.key) = evalLocal(e, first) }
+        if (cnt > 1) m.onMatch.foreach { case (p, e) => props(p.key) = evalLocal(e, last) }
+        (createBase + i, k, props)
+      }
 
     // ---- driver-buffered delta (the fast path, r11 verdict #5) -------
     // A literal batch with driver-evaluable SET values commits with ONE
@@ -2143,7 +2185,7 @@ final class GraftSession(val spark: SparkSession,
             case "/" => lc / rc; case "%" => lc % rc
           }
         case other => throw new UnsupportedOperationException(
-          s"UNWIND … MERGE ON MATCH SET value supports row fields, literals, " +
+          s"$verb SET value supports row fields, literals, " +
             s"arithmetic and $mergeVar's own properties, got $other")
       }
       m.onMatch.foreach { case (p, e) =>
@@ -2164,7 +2206,8 @@ final class GraftSession(val spark: SparkSession,
     }
     val cand = spark.createDataFrame(javaList(candRows), candSchema)
     val missing =
-      if (!keyColsPresent) cand // no such property column: nothing can match
+      if (matchOnly) cand // empty by construction: match-only creates nothing
+      else if (!keyColsPresent) cand // no such property column: nothing can match
       else {
         // only keys IN the candidate set matter — same isin pruning
         val prunedEx = pruneByKeys(g.nodes)

@@ -641,6 +641,47 @@ object CypherQueries {
       e.crossJoin(v)
     },
 
+    // Key-list batch UPDATE burst — the third verb of the batch-
+    // mutation matrix (`UNWIND $rows … MATCH … SET`, routed through
+    // the match-only write buffer: isin-pruned lookup, LocalRelation
+    // delta, settled keys — GraftSession.mutateUnwindMerge matchOnly).
+    // Init pass zeroes a counter for keys 1..60; five successive
+    // calls with growing, overlapping batches read-modify-write it
+    // (`SET v.hits = v.hits + 1`) and pair a per-element value
+    // (`v.tag = row.t`). Expected hits per key = number of covering
+    // calls — the same arithmetic the oracle replays from the raw
+    // supplier table. Missing keys (beyond the SF's supplier count)
+    // are no-ops, never creates: n_upd counts only real suppliers.
+    sql("cy_set_burst",
+      """WITH calls AS (SELECT range AS i FROM range(0, 5)),
+        |keys AS (SELECT range AS a FROM range(1, 61)),
+        |m AS (SELECT k.a, count(*) AS c
+        |      FROM keys k JOIN calls i ON k.a <= 20 + 10 * i.i
+        |      JOIN supplier s ON s.s_suppkey = k.a GROUP BY k.a)
+        |SELECT CAST(count(*) AS BIGINT) AS n_upd,
+        |  CAST(sum(c) AS BIGINT) AS total_hits,
+        |  CAST(max(c) AS BIGINT) AS max_hits,
+        |  CAST(sum(a * 10) AS BIGINT) AS tag_sum
+        |FROM m""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      gs.cypher(
+        "UNWIND $init AS row MATCH (v:supplier {s_suppkey: row.k}) SET v.hits = 0",
+        Map("init" -> (1L to 60L).map(k => Map("k" -> k))))
+      (0 to 4).foreach { i =>
+        val batch = (1L to (20L + 10L * i)).map(k => Map("k" -> k, "t" -> k * 10))
+        gs.cypher(
+          """UNWIND $batch AS row
+            |MATCH (v:supplier {s_suppkey: row.k})
+            |SET v.hits = v.hits + 1, v.tag = row.t""".stripMargin,
+          Map("batch" -> batch))
+      }
+      gs.cypher(
+        """MATCH (v:supplier) WHERE v.hits IS NOT NULL
+          |RETURN count(v) AS n_upd, sum(v.hits) AS total_hits,
+          |  max(v.hits) AS max_hits, sum(v.tag) AS tag_sum""".stripMargin)
+    },
+
     // bulk statement minting BELONGS edges; the read-back counts per
     // region and the oracle recomputes from the raw nation table.
     sql("apoc_periodic_iterate",

@@ -1935,6 +1935,53 @@ class CypherSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("exactly ONE element-keyed"))
   }
 
+  test("UNWIND key-list SET: the batched property-update shape") {
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(1, 30) AS x CREATE (a:ku {k: x, v: 0})")
+    // per-element values: map batches pair key -> value
+    s.cypher("UNWIND $rows AS r MATCH (n:ku {k: r.k}) SET n.v = r.v, n.seen = true",
+      Map("rows" -> Seq(
+        Map("k" -> 1L, "v" -> 10L),
+        Map("k" -> 2L, "v" -> 20L),
+        Map("k" -> 99L, "v" -> 0L),    // no such key: no-op, NOT created
+        Map("k" -> null, "v" -> 7L)))) // null key matches nothing
+    assert(s.cypher("MATCH (n:ku) RETURN count(n) AS c").collect().head.getLong(0) == 30L)
+    assert(s.cypher("MATCH (n:ku {k: 1}) RETURN n.v AS v").collect().head.getLong(0) == 10L)
+    assert(s.cypher("MATCH (n:ku {k: 2}) RETURN n.v AS v").collect().head.getLong(0) == 20L)
+    assert(s.cypher("MATCH (n:ku) WHERE n.seen RETURN count(n) AS c")
+      .collect().head.getLong(0) == 2L)
+    // untouched keys keep their value
+    assert(s.cypher("MATCH (n:ku {k: 3}) RETURN n.v AS v").collect().head.getLong(0) == 0L)
+    // duplicate keys: last occurrence wins (openCypher sequential apply)
+    s.cypher("UNWIND $rows AS r MATCH (n:ku {k: r.k}) SET n.v = r.v",
+      Map("rows" -> Seq(Map("k" -> 3L, "v" -> 1L), Map("k" -> 3L, "v" -> 2L))))
+    assert(s.cypher("MATCH (n:ku {k: 3}) RETURN n.v AS v").collect().head.getLong(0) == 2L)
+    // SET reading the node's own property works for distinct keys
+    s.cypher("UNWIND [1, 2] AS k MATCH (n:ku {k: k}) SET n.v = n.v + 1")
+    assert(s.cypher("MATCH (n:ku {k: 1}) RETURN n.v AS v").collect().head.getLong(0) == 11L)
+    // …but refuses under duplicate keys (would double-apply)
+    val e0 = intercept[UnsupportedOperationException](
+      s.cypher("UNWIND [4, 4] AS k MATCH (n:ku {k: k}) SET n.v = n.v + 1"))
+    assert(e0.getMessage.contains("duplicate keys"))
+    // REMOVE by key list (SET-null desugar rides the same route)
+    s.cypher("UNWIND [1, 2] AS k MATCH (n:ku {k: k}) REMOVE n.seen")
+    assert(s.cypher("MATCH (n:ku) WHERE n.seen RETURN count(n) AS c")
+      .collect().head.getLong(0) == 0L)
+    // interleaves with the MERGE buffer: an upsert after the SET sees
+    // the updated value; a SET after a buffered create sees the row
+    s.cypher("UNWIND $b AS r MERGE (n:ku {k: r.k}) ON CREATE SET n.v = r.v",
+      Map("b" -> Seq(Map("k" -> 31L, "v" -> 310L))))
+    s.cypher("UNWIND $rows AS r MATCH (n:ku {k: r.k}) SET n.v = r.v",
+      Map("rows" -> Seq(Map("k" -> 31L, "v" -> 311L))))
+    assert(s.cypher("MATCH (n:ku {k: 31}) RETURN n.v AS v").collect().head.getLong(0) == 311L)
+    assert(s.cypher("MATCH (n:ku) RETURN count(n) AS c").collect().head.getLong(0) == 31L)
+    // label-gated: rows matching the key under another label stay put
+    s.cypher("CREATE (a:kuOther {k: 1, v: 5})")
+    s.cypher("UNWIND [1] AS k MATCH (n:kuOther {k: k}) SET n.v = 6")
+    assert(s.cypher("MATCH (n:ku {k: 1}) RETURN n.v AS v").collect().head.getLong(0) == 11L)
+    assert(s.cypher("MATCH (n:kuOther {k: 1}) RETURN n.v AS v").collect().head.getLong(0) == 6L)
+  }
+
   test("OPTIONAL MATCH over a var-length bound path: null path on miss, multiplicity on hit") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:ov {name:'a'})-[:T]->(b:ov {name:'b'})-[:T]->(c:ov {name:'c'})")
