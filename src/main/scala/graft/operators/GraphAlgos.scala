@@ -136,6 +136,67 @@ object GraphAlgos {
       s"\nSELECT id AS node_id, CAST(rank AS BIGINT) AS iscore FROM r$iterations"
   }
 
+  /** Chained-CTE oracle replaying Gds.eigenvector's power iteration
+    * over the symmetrized CO graph: msg_v = Σ_adj r_u, then the whole
+    * vector renormalizes by its max — r' = msg·10⁶ // max(msg). Pure
+    * BIGINT; `//` floors like Long division for the non-negative
+    * ranks, MAX and SUM are order-free, so the hash gate holds. */
+  private def eigenvectorOracleSql(iterations: Int): String = {
+    val base =
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p*10+6 AS src, b.p*10+6 AS dst
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |edges AS MATERIALIZED (SELECT src, dst FROM e0
+        |         UNION ALL SELECT dst, src FROM e0),
+        |pnodes AS MATERIALIZED (SELECT DISTINCT p*10+6 AS id FROM li),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM pnodes)""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |  SELECT e.dst AS id, SUM(r.rank) AS msg
+         |  FROM edges e JOIN r${i - 1} r ON r.id = e.src GROUP BY e.dst),
+         |r$i AS MATERIALIZED (
+         |  SELECT n.id, COALESCE(m.msg, 0) * 1000000 // (SELECT MAX(msg) FROM m$i) AS rank
+         |  FROM pnodes n LEFT JOIN m$i m ON m.id = n.id)""".stripMargin
+    }
+    (Seq(base) ++ steps).mkString(",\n") +
+      s"\nSELECT id AS node_id, CAST(rank AS BIGINT) AS iscore FROM r$iterations"
+  }
+
+  /** Chained-CTE oracle replaying Gds.hits over the FLOW digraph:
+    * per round auth_v = Σ_in hub_u then hub_v = Σ_out auth'_w, each
+    * half max-renormalized to [0, 10⁶]. Same BIGINT discipline as
+    * [[eigenvectorOracleSql]]. */
+  private def hitsOracleSql(iterations: Int): String = {
+    val base =
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey AS o, l_partkey AS p, MIN(l_linenumber) AS ln
+        |  FROM lineitem WHERE l_orderkey < 600 GROUP BY 1, 2),
+        |edges AS MATERIALIZED (SELECT DISTINCT a.p*10+6 AS src, b.p*10+6 AS dst
+        |      FROM li a JOIN li b ON a.o = b.o AND a.ln < b.ln),
+        |pnodes AS MATERIALIZED (SELECT DISTINCT p*10+6 AS id FROM li),
+        |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub,
+        |       CAST(0 AS BIGINT) AS auth FROM pnodes)""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      s"""am$i AS MATERIALIZED (
+         |  SELECT e.dst AS id, SUM(h.hub) AS msg
+         |  FROM edges e JOIN h${i - 1} h ON h.id = e.src GROUP BY e.dst),
+         |a$i AS MATERIALIZED (
+         |  SELECT n.id, COALESCE(m.msg, 0) * 1000000 // (SELECT MAX(msg) FROM am$i) AS auth
+         |  FROM pnodes n LEFT JOIN am$i m ON m.id = n.id),
+         |hm$i AS MATERIALIZED (
+         |  SELECT e.src AS id, SUM(a.auth) AS msg
+         |  FROM edges e JOIN a$i a ON a.id = e.dst GROUP BY e.src),
+         |h$i AS MATERIALIZED (
+         |  SELECT a.id, COALESCE(m.msg, 0) * 1000000 // (SELECT MAX(msg) FROM hm$i) AS hub,
+         |         a.auth
+         |  FROM a$i a LEFT JOIN hm$i m ON m.id = a.id)""".stripMargin
+    }
+    (Seq(base) ++ steps).mkString(",\n") +
+      s"\nSELECT id AS node_id, CAST(hub AS BIGINT) AS ihub, " +
+      s"CAST(auth AS BIGINT) AS iauth FROM h$iterations"
+  }
+
   /** Chained-CTE oracle replaying Gds.louvain's monotone synchronous
     * integer-scaled modularity moves over the CO graph: per round,
     * community degree masses, node→community edge counts, candidate
@@ -748,6 +809,22 @@ object GraphAlgos {
     sql("gds_pagerank", pagerankOracleSql(10)) { (s, dir) =>
       session(s, dir).cypher(
         "CALL gds.pageRank('IN', 10) YIELD node_id, iscore RETURN node_id, iscore")
+    },
+
+    // Eigenvector centrality over the CO graph, 10 power iterations:
+    // neighbor-sum then max-renormalize, all scaled-Long — the oracle
+    // replays the identical integer recurrence (eigenvectorOracleSql).
+    sql("gds_eigenvector", eigenvectorOracleSql(10)) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.eigenvector('CO', 10) YIELD node_id, iscore RETURN node_id, iscore")
+    },
+
+    // HITS hubs & authorities over the FLOW digraph, 8 rounds of the
+    // mutually-recursive update, each half max-renormalized — exact
+    // scaled-Long on both engines (hitsOracleSql).
+    sql("gds_hits", hitsOracleSql(8)) { (s, dir) =>
+      flowSession(s, dir).cypher(
+        "CALL gds.hits('FLOW', 8) YIELD node_id, ihub, iauth RETURN node_id, ihub, iauth")
     },
 
     // nodeSimilarity over a bounded order->part subgraph (CONTAINS

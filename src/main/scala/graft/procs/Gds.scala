@@ -130,6 +130,82 @@ object Gds {
     finish(out, ranked, graph)
   }
 
+  /** Eigenvector centrality by power iteration over the UNDIRECTED
+    * projection (each stored edge carries rank both ways), in exact
+    * scaled-Long arithmetic: msg_v = Σ_adj r_u, then the whole vector
+    * renormalizes by its max — r'_v = msg_v·S // max(msg) — so ranks
+    * stay in [0, S] and the dominant eigenvector emerges without
+    * float drift. Long sums are associative, max is order-free, so
+    * the result is bit-identical across partitionings and engines
+    * (hash-gradeable vs a chained-CTE replay). Headroom: msg·S ≤
+    * maxdeg·S² needs maxdeg < ~9·10⁶ at S = 10⁶ — past any realistic
+    * hub; a wider graph would drop S one decade. The per-iteration
+    * max is one tree-reduce over the message RDD (already
+    * materialized for the join) — no extra shuffle. */
+  def eigenvector(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      iterations: Int = 10): DataFrame = {
+    val graph = toGraphX(g, relType)
+    var ranked = graph.mapVertices((_, _) => RANK_SCALE).cache()
+    for (_ <- 1 to iterations) {
+      val msgs = ranked.aggregateMessages[Long](
+        ctx => { ctx.sendToDst(ctx.srcAttr); ctx.sendToSrc(ctx.dstAttr) }, _ + _)
+      msgs.cache()
+      val mx = if (msgs.isEmpty()) 1L else msgs.map(_._2).max()
+      val prev = ranked
+      ranked = ranked.outerJoinVertices(msgs) {
+        (_, _, m) => m.getOrElse(0L) * RANK_SCALE / mx
+      }.cache()
+      ranked.vertices.foreachPartition(_ => ()) // materialize before dropping parent
+      msgs.unpersist(blocking = false)
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+    }
+    import spark.implicits._
+    finish(ranked.vertices.toDF("node_id", "iscore"), ranked, graph)
+  }
+
+  /** HITS (hubs & authorities) over the DIRECTED edge set, fixed
+    * iteration count, exact scaled-Long arithmetic with the same
+    * max-renormalization discipline as [[eigenvector]]: per round,
+    * auth_v = Σ_in hub_u normalized by max, then hub_v = Σ_out auth'_w
+    * normalized by max — the standard mutually-recursive update, each
+    * half one map-side-combined message pass. Returns
+    * (node_id, ihub, iauth), both in [0, S]. */
+  def hits(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      iterations: Int = 8): DataFrame = {
+    val graph = toGraphX(g, relType)
+    // vertex attr = (hub, auth)
+    var hg = graph.mapVertices((_, _) => (RANK_SCALE, 0L)).cache()
+    for (_ <- 1 to iterations) {
+      val authMsgs = hg.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr._1), _ + _)
+      authMsgs.cache()
+      val am = if (authMsgs.isEmpty()) 1L else authMsgs.map(_._2).max()
+      val withAuth = hg.outerJoinVertices(authMsgs) {
+        (_, attr, m) => (attr._1, m.getOrElse(0L) * RANK_SCALE / am)
+      }.cache()
+      val hubMsgs = withAuth.aggregateMessages[Long](
+        ctx => ctx.sendToSrc(ctx.dstAttr._2), _ + _)
+      hubMsgs.cache()
+      val hm = if (hubMsgs.isEmpty()) 1L else hubMsgs.map(_._2).max()
+      val prev = hg
+      hg = withAuth.outerJoinVertices(hubMsgs) {
+        (_, attr, m) => (m.getOrElse(0L) * RANK_SCALE / hm, attr._2)
+      }.cache()
+      hg.vertices.foreachPartition(_ => ())
+      authMsgs.unpersist(blocking = false)
+      hubMsgs.unpersist(blocking = false)
+      withAuth.unpersistVertices(blocking = false)
+      withAuth.edges.unpersist(blocking = false)
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+    }
+    import spark.implicits._
+    val out = hg.vertices.map { case (id, (h, a)) => (id, h, a) }
+      .toDF("node_id", "ihub", "iauth")
+    finish(out, hg, graph)
+  }
+
   /** gds.degree: in/out degree centrality per node. Pure DataFrame
     * aggregation — two map-side-combined hash aggs over the edge set
     * plus left joins back to the node set; no GraphX materialization,

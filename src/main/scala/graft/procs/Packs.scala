@@ -425,6 +425,20 @@ object Packs {
       val rounds = args.lift(1).map(String.valueOf(_).toInt).getOrElse(3)
       Gds.louvain(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, rounds)
     }
+    procs.register("gds.eigenvector",
+      "(relType :: STRING?, iterations :: INTEGER?) :: (node_id, iscore)",
+      "Eigenvector centrality by power iteration (undirected projection, " +
+        "max-renormalized scaled-Long arithmetic, exact)") { args =>
+      val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(10)
+      Gds.eigenvector(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters)
+    }
+    procs.register("gds.hits",
+      "(relType :: STRING?, iterations :: INTEGER?) :: (node_id, ihub, iauth)",
+      "HITS hubs & authorities over the directed edges " +
+        "(max-renormalized scaled-Long arithmetic, exact)") { args =>
+      val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(8)
+      Gds.hits(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters)
+    }
     procs.register("gds.articleRank",
       "(relType :: STRING?, iterations :: INTEGER?) :: (node_id, iscore)",
       "ArticleRank (PageRank with average-degree damping), scaled-Long exact") { args =>

@@ -290,6 +290,39 @@ class PacksSpec extends AnyFunSuite {
     assert(rows(3L) == rows(0L))
   }
 
+  test("gds.eigenvector: triangle+pendant ranks center highest, symmetric pair ties") {
+    val s = sessionWith("graph-data-science")
+    // triangle a-b-c plus pendant d on a (non-bipartite, so the
+    // power iteration converges instead of oscillating)
+    s.cypher("CREATE (a:n {name:'a'})-[:T]->(b:n {name:'b'})-[:T]->(c:n {name:'c'})-[:T]->(a)")
+    s.cypher("MATCH (a:n {name:'a'}) CREATE (a)-[:T]->(d:n {name:'d'})")
+    val rows = s.cypher("CALL gds.eigenvector('T', 10) YIELD node_id, iscore")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 4)
+    // a (deg 3) beats the symmetric pair b,c (deg 2 each), which beat
+    // the pendant d (deg 1); b and c are exchangeable so they tie
+    assert(rows(1L) == rows(2L))
+    assert(rows(0L) > rows(1L) && rows(1L) > rows(3L) && rows(3L) > 0L)
+    // max-renormalization pins the top rank at the scale
+    assert(rows(0L) == 1000000L)
+  }
+
+  test("gds.hits: chain hubs point at authorities; converged 0/1 pattern") {
+    val s = chainSession // a -> b -> c, d -> e
+    val rows = s.cypher("CALL gds.hits('T', 4) YIELD node_id, ihub, iauth")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.size == 5)
+    val S = 1000000L
+    // hubs: everything with an out-edge (a, b, d); authorities:
+    // everything with an in-edge (b, c, e) — the fixpoint is exact
+    // under max-renormalization on this tiny graph
+    assert(rows(0L) == ((S, 0L)))
+    assert(rows(1L) == ((S, S)))
+    assert(rows(2L) == ((0L, S)))
+    assert(rows(3L) == ((S, 0L)))
+    assert(rows(4L) == ((0L, S)))
+  }
+
   test("gds.labelPropagation: triangle converges to min id, isolated node keeps its own") {
     val s = sessionWith("graph-data-science")
     s.cypher("CREATE (a:n {name:'a'})-[:T]->(b:n {name:'b'})-[:T]->(c:n {name:'c'})-[:T]->(a)")
