@@ -144,24 +144,46 @@ object Gds {
     * materialized for the join) — no extra shuffle. */
   def eigenvector(spark: SparkSession, g: PropertyGraph, relType: Option[String],
       iterations: Int = 10): DataFrame = {
-    val graph = toGraphX(g, relType)
-    var ranked = graph.mapVertices((_, _) => RANK_SCALE).cache()
-    for (_ <- 1 to iterations) {
-      val msgs = ranked.aggregateMessages[Long](
-        ctx => { ctx.sendToDst(ctx.srcAttr); ctx.sendToSrc(ctx.dstAttr) }, _ + _)
-      msgs.cache()
-      val mx = if (msgs.isEmpty()) 1L else msgs.map(_._2).max()
-      val prev = ranked
-      ranked = ranked.outerJoinVertices(msgs) {
-        (_, _, m) => m.getOrElse(0L) * RANK_SCALE / mx
-      }.cache()
-      ranked.vertices.foreachPartition(_ => ()) // materialize before dropping parent
-      msgs.unpersist(blocking = false)
-      prev.unpersistVertices(blocking = false)
-      prev.edges.unpersist(blocking = false)
-    }
+    import org.apache.spark.sql.functions._
     import spark.implicits._
-    finish(ranked.vertices.toDF("node_id", "iscore"), ranked, graph)
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    // Adjacency keyed by sender, hash-partitioned ONCE; rank state
+    // lives on the SAME partitioner, so the per-iteration join is
+    // narrow and the only shuffle is the unavoidable message
+    // re-keying (reduceByKey back onto `part`). Cheaper than GraphX
+    // here: no per-iteration graph construction/unpersist churn.
+    val ed = relType.map(g.edgesOfType).getOrElse(g.edges)
+      .select("src", "dst").rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val und = ed.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+      .partitionBy(part).cache()
+    // initial rank S for every node with an edge (isolated nodes never
+    // send or receive — they re-enter as 0 in the final left join)
+    var rank = und.mapValues(_ => 0L).reduceByKey(part, (a, _) => a)
+      .mapValues(_ => RANK_SCALE).cache()
+    var msg = rank // placeholder for unpersist bookkeeping
+    for (_ <- 1 to iterations) {
+      val m = und.join(rank) // narrow: both sides on `part`
+        .map { case (_, (dst, r)) => (dst, r) }
+        .reduceByKey(part, _ + _).cache()
+      val mx0 = m.values.fold(0L)(math.max)
+      val mx = if (mx0 == 0L) 1L else mx0
+      val prev = rank
+      rank = m.mapValues(_ * RANK_SCALE / mx).cache()
+      rank.foreachPartition(_ => ()) // materialize before dropping parents
+      if (!(msg eq prev)) msg.unpersist(blocking = false)
+      prev.unpersist(blocking = false)
+      msg = m
+    }
+    val ranksDf = rank.toDF("node_id", "iscore")
+    val out = g.nodes.select(col("id").as("node_id"))
+      .join(ranksDf, Seq("node_id"), "left_outer")
+      .select(col("node_id"), coalesce(col("iscore"), lit(0L)).as("iscore"))
+    val res = out.localCheckpoint(true)
+    und.unpersist(blocking = false)
+    rank.unpersist(blocking = false)
+    msg.unpersist(blocking = false)
+    res
   }
 
   /** HITS (hubs & authorities) over the DIRECTED edge set, fixed
@@ -173,37 +195,58 @@ object Gds {
     * (node_id, ihub, iauth), both in [0, S]. */
   def hits(spark: SparkSession, g: PropertyGraph, relType: Option[String],
       iterations: Int = 8): DataFrame = {
-    val graph = toGraphX(g, relType)
-    // vertex attr = (hub, auth)
-    var hg = graph.mapVertices((_, _) => (RANK_SCALE, 0L)).cache()
-    for (_ <- 1 to iterations) {
-      val authMsgs = hg.aggregateMessages[Long](
-        ctx => ctx.sendToDst(ctx.srcAttr._1), _ + _)
-      authMsgs.cache()
-      val am = if (authMsgs.isEmpty()) 1L else authMsgs.map(_._2).max()
-      val withAuth = hg.outerJoinVertices(authMsgs) {
-        (_, attr, m) => (attr._1, m.getOrElse(0L) * RANK_SCALE / am)
-      }.cache()
-      val hubMsgs = withAuth.aggregateMessages[Long](
-        ctx => ctx.sendToSrc(ctx.dstAttr._2), _ + _)
-      hubMsgs.cache()
-      val hm = if (hubMsgs.isEmpty()) 1L else hubMsgs.map(_._2).max()
-      val prev = hg
-      hg = withAuth.outerJoinVertices(hubMsgs) {
-        (_, attr, m) => (m.getOrElse(0L) * RANK_SCALE / hm, attr._2)
-      }.cache()
-      hg.vertices.foreachPartition(_ => ())
-      authMsgs.unpersist(blocking = false)
-      hubMsgs.unpersist(blocking = false)
-      withAuth.unpersistVertices(blocking = false)
-      withAuth.edges.unpersist(blocking = false)
-      prev.unpersistVertices(blocking = false)
-      prev.edges.unpersist(blocking = false)
-    }
+    import org.apache.spark.sql.functions._
     import spark.implicits._
-    val out = hg.vertices.map { case (id, (h, a)) => (id, h, a) }
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    // Same co-partitioned message-passing design as [[eigenvector]]:
+    // the edge list is keyed by each half-round's sender and
+    // partitioned once (forward for hub→auth, reversed for auth→hub);
+    // hub/auth state comes out of reduceByKey already on `part`, so
+    // each half-round is one narrow join + exactly one shuffle.
+    // Nodes that never receive a message hold score 0 and re-enter in
+    // the final left join — dropping them mid-loop is exact because a
+    // 0 score contributes 0 to every downstream sum.
+    val ed = relType.map(g.edgesOfType).getOrElse(g.edges)
+      .select("src", "dst").rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val bySrc = ed.partitionBy(part).cache()
+    val byDst = ed.map(_.swap).partitionBy(part).cache()
+    var hub = bySrc.mapValues(_ => 0L).reduceByKey(part, (a, _) => a)
+      .mapValues(_ => RANK_SCALE).cache()
+    var auth = hub // replaced on the first iteration (iterations >= 1)
+    val retired = collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    for (_ <- 1 to iterations) {
+      val am = bySrc.join(hub)
+        .map { case (_, (dst, h)) => (dst, h) }
+        .reduceByKey(part, _ + _).cache()
+      val amx0 = am.values.fold(0L)(math.max)
+      val amx = if (amx0 == 0L) 1L else amx0
+      val nextAuth = am.mapValues(_ * RANK_SCALE / amx).cache()
+      val hm = byDst.join(nextAuth)
+        .map { case (_, (src, a)) => (src, a) }
+        .reduceByKey(part, _ + _).cache()
+      val hmx0 = hm.values.fold(0L)(math.max)
+      val hmx = if (hmx0 == 0L) 1L else hmx0
+      val nextHub = hm.mapValues(_ * RANK_SCALE / hmx).cache()
+      nextHub.foreachPartition(_ => ()) // materializes hm -> nextAuth -> am chain
+      retired.foreach(_.unpersist(blocking = false))
+      retired.clear()
+      if (!(auth eq hub)) retired += auth
+      retired ++= Seq(hub, am, hm)
+      auth = nextAuth
+      hub = nextHub
+    }
+    val scoresDf = hub.fullOuterJoin(auth)
+      .map { case (id, (h, a)) => (id, h.getOrElse(0L), a.getOrElse(0L)) }
       .toDF("node_id", "ihub", "iauth")
-    finish(out, hg, graph)
+    val out = g.nodes.select(col("id").as("node_id"))
+      .join(scoresDf, Seq("node_id"), "left_outer")
+      .select(col("node_id"),
+        coalesce(col("ihub"), lit(0L)).as("ihub"),
+        coalesce(col("iauth"), lit(0L)).as("iauth"))
+    val res = out.localCheckpoint(true)
+    (retired ++ Seq(bySrc, byDst, hub, auth)).foreach(_.unpersist(blocking = false))
+    res
   }
 
   /** gds.degree: in/out degree centrality per node. Pure DataFrame
