@@ -27,10 +27,31 @@ object TimeOne {
       }
       println(f"warmup ${sel.size} queries: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    // SPARK_GRAFT_JOBS=1: per-run Spark job count + per-job wall time
+    // (where does a multi-statement row spend its actions?)
+    val countJobs = sys.env.get("SPARK_GRAFT_JOBS").contains("1")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobMillis = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    if (countJobs) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); jobMillis.put(s.jobId, -s.time)
+        }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobMillis.computeIfPresent(e.jobId, (_, t0) => t0 + e.time)
+      })
     (1 to n).foreach { i =>
+      jobs.set(0); jobMillis.clear()
       val t0 = System.nanoTime()
       val df = mat(graft.SparkEntry.queries(name)(spark, sf))
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (countJobs) {
+        Thread.sleep(300) // let the listener bus drain
+        import scala.jdk.CollectionConverters._
+        val times = jobMillis.asScala.toSeq.sortBy(_._1)
+        println(s"jobs ${jobs.get()}: " +
+          times.map { case (id, ms) => s"$id=${ms}ms" }.mkString(" "))
+      }
       if (i == n) println(df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("Join") || l.contains("Exchange"))
         .map(_.replaceAll("\\[plan_id=\\d+\\]", "").take(120)).mkString("\n"))
