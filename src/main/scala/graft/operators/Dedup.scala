@@ -579,6 +579,61 @@ object Dedup {
     // per-doc window — never all-pairs, and the gram relation is
     // ~tokens-per-corpus rows, the same cardinality every shingle
     // pass here already handles.
+    // C4-style SPAN-LEVEL dedup as a REWRITE (Raffel et al. 2020 §2.2
+    // "three-sentence span" dedup; RefinedWeb line dedup): the corpus
+    // keeps every document but each globally-duplicated span survives
+    // only at its FIRST occurrence — unlike the doc-level rows above,
+    // the output is the cleaned text itself. Tokens group into
+    // DISJOINT 5-token blocks (disjoint granularity makes the rewrite
+    // exact and order-preserving: kept blocks re-join by position);
+    // first occurrence = min (doc_id, block_idx), a deterministic
+    // total order. Scale shape: one block-keyed hash agg (map-side
+    // combined), one block-keyed join back, one per-doc agg — work is
+    // linear in tokens, never all-pairs, the same cardinality every
+    // shingle pass here already handles.
+    sql("dedup_span_rewrite",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |bl AS MATERIALIZED (
+        |  SELECT doc_id, u.i - 1 AS idx,
+        |    array_to_string(list_slice(t, (u.i-1)*5 + 1, (u.i-1)*5 + 5), ' ') AS blk
+        |  FROM toks, unnest(range(1, (len(t) + 4) // 5 + 1)) u(i)
+        |  WHERE len(t) > 0),
+        |fo AS MATERIALIZED (SELECT blk, min(doc_id) AS fd FROM bl GROUP BY blk),
+        |fo2 AS MATERIALIZED (
+        |  SELECT b.blk, f.fd, min(b.idx) AS fi
+        |  FROM bl b JOIN fo f ON b.blk = f.blk AND b.doc_id = f.fd
+        |  GROUP BY 1, 2)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(CASE WHEN b.doc_id = f.fd AND b.idx = f.fi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS kept_blocks,
+        |  coalesce(array_to_string(list_transform(
+        |    list_sort(list(struct_pack(i := b.idx, b := b.blk))
+        |      FILTER (WHERE b.doc_id = f.fd AND b.idx = f.fi)),
+        |    x -> x.b), ' '), '') AS text_clean
+        |FROM bl b JOIN fo2 f ON b.blk = f.blk
+        |GROUP BY b.doc_id""".stripMargin) { (s, d) =>
+      val k = 5
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val nb = floor((size(col("t")) + lit(k - 1)) / lit(k)).cast("int")
+      val blocksCol = when(size(col("t")) > 0,
+        transform(sequence(lit(1), nb),
+          b => concat_ws(" ", slice(col("t"), (b - lit(1)) * k + 1, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+      val bl = toks.select(col("doc_id"), posexplode(blocksCol).as(Seq("idx", "blk")))
+      val fo = bl.groupBy("blk")
+        .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+      val keep = struct(col("doc_id"), col("idx")) === col("first")
+      bl.join(fo, Seq("blk"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(keep, 1L).otherwise(0L)).as("kept_blocks"),
+          array_join(transform(
+            array_sort(collect_list(when(keep,
+              struct(col("idx").as("i"), col("blk").as("b"))))),
+            x => x.getField("b")), " ").as("text_clean"))
+    },
+
     sql("dedup_substring",
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
         |grams AS (
