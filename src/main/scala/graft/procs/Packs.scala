@@ -322,6 +322,53 @@ object Packs {
       procs.oneRow("file" -> file, "nodes" -> g.nodes.count(),
         "relationships" -> g.edges.count())
     }
+
+    // ---- apoc.path.* — the filtered path-expander family (apoc's
+    // most-used traversal procedures). All three share Gds.filteredBfs
+    // (level-synchronous BFS, NODE_GLOBAL uniqueness); the filter
+    // mini-language subsets and the deterministic min-id spanning
+    // parent are documented there. maxLevel -1 = unbounded (apoc's
+    // default), safe because BFS visits each node once.
+    val spark0 = session.spark
+    def optStr(args: Seq[Any], i: Int): Option[String] =
+      args.lift(i).map(String.valueOf).map(_.trim).filter(_.nonEmpty)
+    def optInt(args: Seq[Any], i: Int, default: Int): Int =
+      args.lift(i).map(String.valueOf(_).toInt).getOrElse(default)
+    procs.register("apoc.path.subgraphNodes",
+      "(start :: INTEGER, relationshipFilter :: STRING?, maxLevel :: INTEGER?, " +
+        "labelFilter :: STRING?) :: (node_id, level)",
+      "Distinct nodes reachable from start within maxLevel filtered hops; " +
+        "level = BFS depth of first discovery") { args =>
+      val start = String.valueOf(args.head).toLong
+      Gds.filteredBfs(spark0, session.graph(), start, optStr(args, 1),
+        optStr(args, 3), optInt(args, 2, -1)).select("node_id", "level")
+    }
+    procs.register("apoc.path.spanningTree",
+      "(start :: INTEGER, relationshipFilter :: STRING?, maxLevel :: INTEGER?, " +
+        "labelFilter :: STRING?) :: (node_id, parent_id, level)",
+      "BFS spanning tree from start: each discovered node with its " +
+        "smallest-id discovering neighbor (deterministic parent choice)") { args =>
+      val start = String.valueOf(args.head).toLong
+      Gds.filteredBfs(spark0, session.graph(), start, optStr(args, 1),
+        optStr(args, 3), optInt(args, 2, -1))
+    }
+    procs.register("apoc.path.expandConfig",
+      "(start :: INTEGER, relationshipFilter :: STRING?, labelFilter :: STRING?, " +
+        "minLevel :: INTEGER?, maxLevel :: INTEGER?, uniqueness :: STRING?) :: (node_id, level)",
+      "Filtered expansion from start under NODE_GLOBAL uniqueness " +
+        "(the one uniqueness mode this engine serves), minLevel..maxLevel") { args =>
+      val start = String.valueOf(args.head).toLong
+      val uniq = optStr(args, 5).getOrElse("NODE_GLOBAL")
+      if (uniq != "NODE_GLOBAL") throw new UnsupportedOperationException(
+        s"apoc.path.expandConfig supports uniqueness NODE_GLOBAL only, got $uniq " +
+          "(RELATIONSHIP_PATH trail semantics are served by MATCH var-length patterns)")
+      val minLevel = optInt(args, 3, 0)
+      import org.apache.spark.sql.functions.{col, lit}
+      Gds.filteredBfs(spark0, session.graph(), start, optStr(args, 1),
+        optStr(args, 2), optInt(args, 4, -1))
+        .filter(col("level") >= lit(minLevel.toLong))
+        .select("node_id", "level")
+    }
   }
 
   // ---- graph-data-science (GraphX; SURVEY §2.5) ----

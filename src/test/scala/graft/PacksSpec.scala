@@ -323,6 +323,64 @@ class PacksSpec extends AnyFunSuite {
     assert(rows(4L) == ((0L, S)))
   }
 
+  test("apoc.path.subgraphNodes: direction/type filters, maxLevel, labelFilter") {
+    val s = sessionWith("apoc")
+    // ids by creation order: a=0 b=1 c=2 d=3 e=4
+    s.cypher("CREATE (a:p {name:'a'})-[:X]->(b:p {name:'b'})-[:X]->(c:q {name:'c'})")
+    s.cypher("MATCH (c:q {name:'c'}) CREATE (c)-[:Y]->(d:p {name:'d'})")
+    s.cypher("MATCH (b:p {name:'b'}) CREATE (b)-[:Y]->(e:q {name:'e'})")
+    def ids(call: String): Map[Long, Long] =
+      s.cypher(call).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // outgoing X only, unbounded: a -> b -> c and stop (c's edge is Y)
+    assert(ids("CALL apoc.path.subgraphNodes(0, 'X>') YIELD node_id, level") ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // incoming X from c walks the chain backwards
+    assert(ids("CALL apoc.path.subgraphNodes(2, '<X') YIELD node_id, level") ==
+      Map(2L -> 0L, 1L -> 1L, 0L -> 2L))
+    // type alternation, outgoing: the whole downstream cone from a
+    assert(ids("CALL apoc.path.subgraphNodes(0, 'X>|Y>') YIELD node_id, level") ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 4L -> 2L, 3L -> 3L))
+    // maxLevel truncates
+    assert(ids("CALL apoc.path.subgraphNodes(0, 'X>', 1) YIELD node_id, level") ==
+      Map(0L -> 0L, 1L -> 1L))
+    // label whitelist: q nodes are never traversed, so only a, b
+    assert(ids("CALL apoc.path.subgraphNodes(0, '', -1, '+p') YIELD node_id, level") ==
+      Map(0L -> 0L, 1L -> 1L))
+    // label blacklist is the same cut here
+    assert(ids("CALL apoc.path.subgraphNodes(0, '', -1, '-q') YIELD node_id, level") ==
+      Map(0L -> 0L, 1L -> 1L))
+    // unsupported apoc label prefixes refuse loudly
+    val e0 = intercept[Exception](
+      s.cypher("CALL apoc.path.subgraphNodes(0, '', -1, '>p') YIELD node_id, level").collect())
+    assert(e0.getMessage.contains("not supported"))
+  }
+
+  test("apoc.path.spanningTree: deterministic min-id parents; expandConfig levels") {
+    val s = sessionWith("apoc")
+    // diamond a=0 -> b=1, a -> c=2, b -> d=3, c -> d
+    s.cypher("CREATE (a:n {name:'a'})-[:T]->(b:n {name:'b'})")
+    s.cypher("MATCH (a:n {name:'a'}) CREATE (a)-[:T]->(c:n {name:'c'})")
+    s.cypher("MATCH (b:n {name:'b'}) CREATE (b)-[:T]->(d:n {name:'d'})")
+    s.cypher("MATCH (c:n {name:'c'}), (d:n {name:'d'}) CREATE (c)-[:T]->(d)")
+    val tree = s.cypher(
+      "CALL apoc.path.spanningTree(0, 'T>') YIELD node_id, parent_id, level")
+      .collect().map(r =>
+        r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2)))).toMap
+    // d is discovered by both b(1) and c(2) at level 2 — min wins
+    assert(tree == Map(0L -> ((-1L, 0L)), 1L -> ((0L, 1L)), 2L -> ((0L, 1L)),
+      3L -> ((1L, 2L))))
+    // expandConfig: minLevel trims the inner rings
+    val ring = s.cypher(
+      "CALL apoc.path.expandConfig(0, 'T>', '', 2, 2) YIELD node_id, level")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ring == Seq(3L))
+    // only NODE_GLOBAL uniqueness is served
+    val e0 = intercept[Exception](s.cypher(
+      "CALL apoc.path.expandConfig(0, 'T>', '', 0, -1, 'RELATIONSHIP_PATH') YIELD node_id, level")
+      .collect())
+    assert(e0.getMessage.contains("NODE_GLOBAL"))
+  }
+
   test("gds.labelPropagation: triangle converges to min id, isolated node keeps its own") {
     val s = sessionWith("graph-data-science")
     s.cypher("CREATE (a:n {name:'a'})-[:T]->(b:n {name:'b'})-[:T]->(c:n {name:'c'})-[:T]->(a)")
