@@ -52,10 +52,14 @@ object ast {
   /** `[(a)-[:T]->(b) WHERE pred | proj]` — pattern comprehension: the
     * list of `proj` values over the pattern's matches, per outer row. */
   final case class PatternComp(pattern: PathPat, where: Option[Expr], proj: Expr) extends Expr
-  /** `COLLECT { MATCH …, … [WHERE w] RETURN proj }` (Neo4j 5.6) — the
-    * subquery's projected values as a list per outer row; the
-    * multi-pattern big sibling of a pattern comprehension. */
-  final case class CollectSub(patterns: Seq[PathPat], where: Option[Expr], proj: Expr) extends Expr
+  /** `COLLECT { MATCH …, … [WHERE w] RETURN proj [ORDER BY e [DESC]]
+    * [LIMIT k] }` (Neo4j 5.6) — the subquery's projected values as a
+    * list per outer row; the multi-pattern big sibling of a pattern
+    * comprehension. `orderBy` fixes the LIST ORDER (absent = sorted by
+    * value, this engine's deterministic default); `limit` truncates
+    * the ordered list per outer row (top-k per group). */
+  final case class CollectSub(patterns: Seq[PathPat], where: Option[Expr], proj: Expr,
+      orderBy: Option[(Expr, Boolean)] = None, limit: Option[Int] = None) extends Expr
 
   final case class ListComp(variable: String, list: Expr,
       where: Option[Expr], projection: Option[Expr]) extends Expr

@@ -141,8 +141,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           var sub = compilePath(None, p)
           w.foreach(e => sub = sub.filter(compileExpr(e, sub)))
           d = addListCol(d, sub, proj, helper)
-        case CollectSub(ps, w, proj) =>
-          d = addListCol(d, compileCollectSub(ps, w), proj, helper)
+        case CollectSub(ps, w, proj, ob, li) =>
+          d = addListCol(d, compileCollectSub(ps, w), proj, helper, ob, li)
         case _                  => ()
       }
       rewritten = substSubquery(rewritten, s, Variable(helper))
@@ -224,10 +224,26 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * collected per shared-id group (sorted for determinism — openCypher
     * leaves comprehension order unspecified), left-joined back; rows
     * with no match get the empty list. */
-  private def addListCol(df: DataFrame, sub: DataFrame, proj: Expr, cname: String): DataFrame = {
+  private def addListCol(df: DataFrame, sub: DataFrame, proj: Expr, cname: String,
+      order: Option[(Expr, Boolean)] = None, limit: Option[Int] = None): DataFrame = {
     val shared = sharedIdCols(df, sub)
+    // ORDER BY: collect (key, value) structs, sort by key (value is
+    // the deterministic tie-break — struct comparison is field-major),
+    // truncate per group if LIMIT, then strip to values. Top-k happens
+    // inside the hash aggregate — no window, no extra shuffle.
+    val listExpr = order match {
+      case None =>
+        val base = sort_array(collect_list(compileExpr(proj, sub)))
+        limit.map(k => slice(base, 1, k)).getOrElse(base)
+      case Some((ob, asc)) =>
+        val sorted = sort_array(
+          collect_list(struct(compileExpr(ob, sub).as("_k"),
+            compileExpr(proj, sub).as("_v"))), asc = asc)
+        val cut = limit.map(k => slice(sorted, 1, k)).getOrElse(sorted)
+        transform(cut, x => x.getField("_v"))
+    }
     val lists = sub.groupBy(shared.map(col): _*)
-      .agg(sort_array(collect_list(compileExpr(proj, sub))).as(s"_lc_$cname"))
+      .agg(listExpr.as(s"_lc_$cname"))
     val emptyTyped = array().cast(lists.schema(s"_lc_$cname").dataType match {
       case org.apache.spark.sql.types.ArrayType(et, _) =>
         org.apache.spark.sql.types.ArrayType(et, containsNull = true)
@@ -1236,8 +1252,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           var sub = compilePath(None, p)
           w.foreach(e => sub = sub.filter(compileExpr(e, sub)))
           df = addListCol(df, sub, proj, helper)
-        case CollectSub(ps, w, proj) =>
-          df = addListCol(df, compileCollectSub(ps, w), proj, helper)
+        case CollectSub(ps, w, proj, ob, li) =>
+          df = addListCol(df, compileCollectSub(ps, w), proj, helper, ob, li)
         case _                => ()
       }
       items = items.map(it => ReturnItem(substSubquery(it.expr, s, Variable(helper)), Some(it.name)))
@@ -2234,7 +2250,16 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
               when(col(c).isNotNull, lit(c.stripPrefix(s"$v$SEP")))
             }: _*)))
           }
-        case _ => map_keys(a(0))
+        case _ =>
+          // map literals compile to STRUCTs (typed columns, not
+          // MapType) — their keys are the field names, known at plan
+          // time. Resolution against df can fail for lambda-bound
+          // args; those fall through to map_keys (a genuine MapType).
+          scala.util.Try(df.select(a(0)).schema.head.dataType).toOption match {
+            case Some(st: org.apache.spark.sql.types.StructType) =>
+              typedLit(st.fieldNames.toSeq)
+            case _ => map_keys(a(0))
+          }
       }
       case "properties" => f.args.head match {
         case Variable(v) if df.columns.exists(_.startsWith(s"$v$SEP")) =>

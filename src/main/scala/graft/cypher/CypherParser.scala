@@ -141,8 +141,9 @@ object CypherParser extends RegexParsers {
     * backtracks to the aggregate function. */
   private def collectSub: Parser[Expr] =
     kw("collect") ~> "{" ~> opt(kw("match")) ~> patternList ~ opt(whereClause) ~
-      (kw("return") ~> expr) <~ "}" ^^ {
-      case ps ~ w ~ p => CollectSub(ps, w, p)
+      (kw("return") ~> expr) ~ opt(kw("order") ~> kw("by") ~> orderItem) ~
+      opt(kw("limit") ~> """\d+""".r) <~ "}" ^^ {
+      case ps ~ w ~ p ~ ob ~ li => CollectSub(ps, w, p, ob, li.map(_.toInt))
     }
 
   /** `any/all/none/single(x IN list WHERE pred)` — tried before

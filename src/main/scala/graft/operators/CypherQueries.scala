@@ -100,6 +100,26 @@ object CypherQueries {
         .withColumn("names", array_join(col("names"), ","))
     },
 
+    // COLLECT subquery with ORDER BY … LIMIT: per-outer-row top-k
+    // lists built INSIDE the hash aggregate (sorted-struct collect +
+    // slice — no window, no extra shuffle). The list is truncated
+    // AFTER the explicit ordering, so the oracle's array_agg(… ORDER
+    // BY) slice replays it exactly; joined to a string because the
+    // driver gate hashes scalar columns.
+    sql("cy_collect_orderby",
+      """SELECT r.r_name AS r_name,
+        |  array_to_string((array_agg(n.n_name ORDER BY n.n_name DESC))[1:3], ',') AS top_nations
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.{array_join, col}
+      session(s, dir).cypher(
+        """MATCH (r:region)
+          |RETURN r.r_name AS r_name,
+          |  COLLECT { MATCH (n:nation)-[:IN]->(r)
+          |            RETURN n.n_name ORDER BY n.n_name DESC LIMIT 3 } AS top_nations""".stripMargin)
+        .withColumn("top_nations", array_join(col("top_nations"), ","))
+    },
+
     // OPTIONAL MATCH = left outer join
     q("cy_optional_match",
       """SELECT c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey

@@ -1982,6 +1982,37 @@ class CypherSpec extends AnyFunSuite {
     assert(s.cypher("MATCH (n:kuOther {k: 1}) RETURN n.v AS v").collect().head.getLong(0) == 6L)
   }
 
+  test("COLLECT subquery ORDER BY / LIMIT: per-row top-k list; keys() on map literals") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:co {name:'a'})")
+    s.cypher("UNWIND [3, 1, 2, 5, 4] AS v CREATE (:cv {v: v})")
+    s.cypher("MATCH (a:co), (x:cv) CREATE (a)-[:T]->(x)")
+    // DESC order, truncated to 3 — order then cut, not cut then order
+    val top = s.cypher(
+      "MATCH (a:co) RETURN COLLECT { MATCH (a)-[:T]->(x) RETURN x.v ORDER BY x.v DESC LIMIT 3 } AS t")
+      .collect().head.getSeq[Long](0)
+    assert(top == Seq(5L, 4L, 3L))
+    // ASC with no limit: full ordered list
+    val asc = s.cypher(
+      "MATCH (a:co) RETURN COLLECT { MATCH (a)-[:T]->(x) RETURN x.v ORDER BY x.v } AS t")
+      .collect().head.getSeq[Long](0)
+    assert(asc == Seq(1L, 2L, 3L, 4L, 5L))
+    // LIMIT without ORDER BY truncates the value-sorted default
+    val lim = s.cypher(
+      "MATCH (a:co) RETURN COLLECT { MATCH (a)-[:T]->(x) RETURN x.v LIMIT 2 } AS t")
+      .collect().head.getSeq[Long](0)
+    assert(lim == Seq(1L, 2L))
+    // ORDER BY one expression, project another
+    val byOther = s.cypher(
+      "MATCH (a:co) RETURN COLLECT { MATCH (a)-[:T]->(x) RETURN x.v * 10 ORDER BY x.v DESC LIMIT 2 } AS t")
+      .collect().head.getSeq[Long](0)
+    assert(byOther == Seq(50L, 40L))
+    // keys() on a map literal (struct-typed): the field names
+    val ks = s.cypher("UNWIND [{b: 1, a: 2}] AS m RETURN keys(m) AS ks")
+      .collect().head.getSeq[String](0)
+    assert(ks == Seq("b", "a"))
+  }
+
   test("OPTIONAL MATCH over a var-length bound path: null path on miss, multiplicity on hit") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:ov {name:'a'})-[:T]->(b:ov {name:'b'})-[:T]->(c:ov {name:'c'})")
