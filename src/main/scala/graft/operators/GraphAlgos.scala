@@ -108,6 +108,35 @@ object GraphAlgos {
       s"\nSELECT id AS node_id, CAST(rank AS BIGINT) AS iscore FROM r$iterations ORDER BY node_id"
   }
 
+  /** Chained-CTE oracle replaying Gds.pageRankWeighted over the
+    * directed canonical CO graph: each edge carries the view's
+    * deterministic weight (p + p2) % 9 + 1; per iteration
+    * msg_v = Σ_in rank_u · w // Σ_out w(u), rank' = 150000 + msg·85//
+    * 100 — pure BIGINT floor division on both engines. */
+  private def weightedPagerankOracleSql(iterations: Int): String = {
+    val base =
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |edges AS MATERIALIZED (SELECT DISTINCT CAST(a.p*10+6 AS BIGINT) AS src,
+        |        CAST(b.p*10+6 AS BIGINT) AS dst,
+        |        CAST((a.p + b.p) % 9 + 1 AS BIGINT) AS w
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |pnodes AS MATERIALIZED (SELECT DISTINCT CAST(p*10+6 AS BIGINT) AS id FROM li),
+        |sw AS MATERIALIZED (SELECT src, SUM(w) AS sw FROM edges GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM pnodes)""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.id, 150000 + COALESCE(m.msg, 0) * 85 // 100 AS rank
+         |  FROM pnodes n LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(r.rank * e.w // s.sw) AS msg
+         |    FROM edges e JOIN r${i - 1} r ON r.id = e.src
+         |    JOIN sw s ON s.src = e.src
+         |    GROUP BY e.dst) m ON m.id = n.id)""".stripMargin
+    }
+    (Seq(base) ++ steps).mkString(",\n") +
+      s"\nSELECT id AS node_id, CAST(rank AS BIGINT) AS iscore FROM r$iterations"
+  }
+
   /** Chained-CTE oracle for Gds.articleRank over the CO graph:
     * r' = 150000 + (Σ_in r // (outdeg + davg)) * 85 // 100 with
     * davg = |E| // |V| — pure BIGINT floor division on both engines. */
@@ -825,6 +854,50 @@ object GraphAlgos {
     sql("gds_hits", hitsOracleSql(8)) { (s, dir) =>
       flowSession(s, dir).cypher(
         "CALL gds.hits('FLOW', 8) YIELD node_id, ihub, iauth RETURN node_id, ihub, iauth")
+    },
+
+    // Weighted PageRank over the directed CO graph: the view's
+    // deterministic weight property splits each node's rank
+    // proportionally — exact scaled-Long on both engines, 10 chained
+    // CTE iterations replay the recurrence.
+    sql("gds_pagerank_weighted", weightedPagerankOracleSql(10)) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.pageRank('CO', 10, 'weight') YIELD node_id, iscore " +
+          "RETURN node_id, iscore")
+    },
+
+    // Local clustering coefficient over the CO graph: triangles from
+    // the GraphX pass, degree from the distinct symmetrized edge set,
+    // ilcc = 2·t·1e6 // (d·(d−1)). The oracle enumerates each node's
+    // connected neighbor pairs directly (u1/u2 fan joined back to the
+    // canonical edge set) — affordable exactly because the probe
+    // graph is bounded; the engine's GraphX pass is the scale path.
+    sql("gds_lcc",
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |e0 AS MATERIALIZED (SELECT DISTINCT CAST(a.p*10+6 AS BIGINT) AS src,
+        |        CAST(b.p*10+6 AS BIGINT) AS dst
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT src, dst FROM e0
+        |       UNION SELECT dst, src FROM e0),
+        |pnodes AS MATERIALIZED (SELECT DISTINCT CAST(p*10+6 AS BIGINT) AS id FROM li),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS degree FROM und GROUP BY src),
+        |tri AS MATERIALIZED (
+        |  SELECT u1.src AS id, count(*) AS t
+        |  FROM und u1 JOIN und u2 ON u2.src = u1.src AND u1.dst < u2.dst
+        |  JOIN e0 e ON e.src = u1.dst AND e.dst = u2.dst
+        |  GROUP BY u1.src)
+        |SELECT n.id AS node_id, CAST(COALESCE(t.t, 0) AS BIGINT) AS triangles,
+        |  CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+        |  CAST(CASE WHEN COALESCE(d.degree, 0) >= 2
+        |       THEN COALESCE(t.t, 0) * 2000000 // (d.degree * (d.degree - 1))
+        |       ELSE 0 END AS BIGINT) AS ilcc
+        |FROM pnodes n LEFT JOIN deg d ON d.src = n.id
+        |LEFT JOIN tri t ON t.id = n.id""".stripMargin) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.localClusteringCoefficient('CO') " +
+          "YIELD node_id, triangles, degree, ilcc " +
+          "RETURN node_id, triangles, degree, ilcc")
     },
 
     // apoc.path.subgraphNodes — filtered BFS from region 0 following

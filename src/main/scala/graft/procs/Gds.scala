@@ -99,6 +99,48 @@ object Gds {
     finish(out, ranked, graph)
   }
 
+  /** Weighted PageRank (GDS `relationshipWeightProperty`): each
+    * neighbor's rank splits proportionally to edge weight instead of
+    * evenly — msg = rank_src · w // Σ_out w(src), rank' = 0.15·S +
+    * msg·85//100, all scaled-Long floor division so the result is
+    * exact and order-independent (hash-gradeable against a chained-CTE
+    * replay). Same shuffle shape as the unweighted form: one
+    * aggregateMessages (keyed reduce) + one vertex join per iteration;
+    * the per-source weight total is one extra keyed reduce up front.
+    * Vertices with out-edges always have Σw > 0 (messages only flow
+    * along edges), so the division is safe by construction. */
+  def pageRankWeighted(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      iterations: Int, weightProp: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val edgesDf = relType.map(g.edgesOfType).getOrElse(g.edges)
+    if (!edgesDf.columns.contains(weightProp)) throw new IllegalArgumentException(
+      s"relationship weight property `$weightProp` is not present on the graph " +
+        "(declare it via gds.graph.project relationshipProperties)")
+    val vertices = g.nodes.select("id").rdd.map(r => (r.getLong(0), r.getLong(0)))
+    val edges = edgesDf.select(col("src"), col("dst"), col(weightProp).cast("long")).rdd
+      .map(r => GXEdge(r.getLong(0), r.getLong(1), r.getLong(2)))
+    val graph = GXGraph(vertices, edges)
+    val sumW = graph.aggregateMessages[Long](ctx => ctx.sendToSrc(ctx.attr), _ + _)
+    var ranked = graph.outerJoinVertices(sumW) {
+      (_, _, s) => (s.getOrElse(0L), RANK_SCALE)
+    }.cache()
+    for (_ <- 1 to iterations) {
+      val msgs = ranked.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr._2 * ctx.attr / ctx.srcAttr._1), _ + _)
+      val prev = ranked
+      ranked = ranked.outerJoinVertices(msgs) {
+        (_, attr, m) => (attr._1, RANK_SCALE * 15 / 100 + m.getOrElse(0L) * 85 / 100)
+      }.cache()
+      ranked.edges.foreachPartition(_ => ())
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+    }
+    import spark.implicits._
+    val out = ranked.vertices.map { case (id, (_, r)) => (id, r) }
+      .toDF("node_id", "iscore")
+    finish(out, ranked, graph)
+  }
+
   /** ArticleRank — the GDS PageRank variant that damps the influence
     * of low-degree hubs by adding the graph's average out-degree to
     * every divisor: msg = Σ rank_src // (outdeg_src + avgdeg),
@@ -881,6 +923,32 @@ object Gds {
       l += 1
     }
     visited
+  }
+
+  /** gds.localClusteringCoefficient: ilcc = 2·triangles·10⁶ //
+    * (deg·(deg−1)) per node — triangle participation relative to the
+    * neighbor-pair maximum, exact integer arithmetic (nodes with
+    * degree < 2 score 0, the GDS convention). Triangles come from the
+    * GraphX pass [[triangleCount]] already has; degree is one hash
+    * aggregate over the distinct symmetrized edge set (the triangle
+    * count's own canonicalized view, so the two sides agree on
+    * parallel edges). One extra keyed join over triangleCount's cost.
+    */
+  def localClusteringCoefficient(spark: SparkSession, g: PropertyGraph,
+      relType: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.intDiv
+    val tri = triangleCount(spark, g, relType)
+    val e = relType.map(g.edgesOfType).getOrElse(g.edges).select("src", "dst")
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().filter(col("src") =!= col("dst"))
+    val deg = und.groupBy(col("src").as("node_id")).agg(count(lit(1)).as("degree"))
+    tri.join(deg, Seq("node_id"), "left_outer")
+      .select(col("node_id"), col("triangles"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        when(col("degree") >= 2,
+          intDiv(col("triangles") * lit(2000000L),
+            col("degree") * (col("degree") - 1))).otherwise(0L).as("ilcc"))
   }
 
   /** Per-node triangle count (undirected; GraphX canonicalizes). */

@@ -452,10 +452,22 @@ object Packs {
         throw new NoSuchElementException(s"Graph with name `$name` does not exist")
       procs.oneRow("graphName" -> name)
     }
-    procs.register("gds.pageRank", "(relType :: STRING?, iterations :: INTEGER?) :: (node_id, iscore)",
-      "PageRank over the property graph (GraphX static PageRank)") { args =>
+    procs.register("gds.localClusteringCoefficient",
+      "(relType :: STRING?) :: (node_id, triangles, degree, ilcc)",
+      "Per-node local clustering coefficient 2·triangles·1e6 // (deg·(deg−1))") { args =>
+      Gds.localClusteringCoefficient(spark, graphArg(args, 0)._1, graphArg(args, 0)._2)
+    }
+    procs.register("gds.pageRank",
+      "(relType :: STRING?, iterations :: INTEGER?, relationshipWeightProperty :: STRING?) " +
+        ":: (node_id, iscore)",
+      "PageRank over the property graph; an optional relationship " +
+        "weight property splits each rank proportionally to edge weight") { args =>
       val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(20)
-      Gds.pageRank(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters)
+      val (g, rel) = graphArg(args, 0)
+      relTypeArg(args, 2) match {
+        case Some(wp) => Gds.pageRankWeighted(spark, g, rel, iters, wp)
+        case None     => Gds.pageRank(spark, g, rel, iters)
+      }
     }
     procs.register("gds.degree", "(relType :: STRING?) :: (node_id, out_degree, in_degree)",
       "In/out degree centrality per node (DataFrame hash aggregation)") { args =>

@@ -307,6 +307,39 @@ class PacksSpec extends AnyFunSuite {
     assert(rows(0L) == 1000000L)
   }
 
+  test("gds.localClusteringCoefficient: triangle members score by degree, pendant 0") {
+    val s = sessionWith("graph-data-science")
+    s.cypher("CREATE (a:n {name:'a'})-[:T]->(b:n {name:'b'})-[:T]->(c:n {name:'c'})-[:T]->(a)")
+    s.cypher("MATCH (a:n {name:'a'}) CREATE (a)-[:T]->(d:n {name:'d'})")
+    val rows = s.cypher(
+      "CALL gds.localClusteringCoefficient('T') YIELD node_id, triangles, degree, ilcc")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.size == 4)
+    // a: 1 triangle over deg 3 -> 2*1e6//6; b, c: their one neighbor
+    // pair IS connected -> 1e6; d: degree 1 -> 0 by convention
+    assert(rows(0L) == ((1L, 3L, 333333L)))
+    assert(rows(1L) == ((1L, 2L, 1000000L)))
+    assert(rows(2L) == ((1L, 2L, 1000000L)))
+    assert(rows(3L) == ((0L, 1L, 0L)))
+  }
+
+  test("gds.pageRank with relationshipWeightProperty: rank splits by weight") {
+    val s = sessionWith("graph-data-science")
+    s.cypher("CREATE (a:n {name:'a'})-[:T {weight: 2}]->(b:n {name:'b'})")
+    s.cypher("MATCH (a:n {name:'a'}) CREATE (a)-[:T {weight: 1}]->(c:n {name:'c'})")
+    val rows = s.cypher("CALL gds.pageRank('T', 1, 'weight') YIELD node_id, iscore")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one iteration from rank 1e6: b gets 1e6*2//3, c gets 1e6*1//3,
+    // a receives nothing — exact floor arithmetic
+    assert(rows(0L) == 150000L)
+    assert(rows(1L) == 150000L + 666666L * 85L / 100L)
+    assert(rows(2L) == 150000L + 333333L * 85L / 100L)
+    // an undeclared weight property refuses loudly
+    val e0 = intercept[Exception](
+      s.cypher("CALL gds.pageRank('T', 1, 'nope') YIELD node_id, iscore").collect())
+    assert(e0.getMessage.contains("not present"))
+  }
+
   test("gds.hits: chain hubs point at authorities; converged 0/1 pattern") {
     val s = chainSession // a -> b -> c, d -> e
     val rows = s.cypher("CALL gds.hits('T', 4) YIELD node_id, ihub, iauth")
