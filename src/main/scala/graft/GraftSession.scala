@@ -1094,7 +1094,7 @@ final class GraftSession(val spark: SparkSession,
     if (sets.nonEmpty || deletes.nonEmpty || labelSets.nonEmpty) {
       if (creates.nonEmpty)
         throw new UnsupportedOperationException("CREATE with SET/DELETE in one statement is not supported")
-      return mutateSetDelete(db, matches, sets, deletes, labelSets)
+      return mutateSetDelete(db, matches, sets, deletes, labelSets, returns = returns)
     }
 
     // MATCH … CREATE appends one instantiation per matched binding —
@@ -1317,10 +1317,50 @@ final class GraftSession(val spark: SparkSession,
     * fold and keeps the lazy update-by-join. */
   private def mutateSetDelete(db: GraphDatabase, matches: Seq[ast.Match],
       sets: Seq[ast.SetProps], deletes: Seq[ast.Delete],
-      labelSets: Seq[ast.SetLabels] = Nil, lazyRewrite: Boolean = false): DataFrame = {
+      labelSets: Seq[ast.SetLabels] = Nil, lazyRewrite: Boolean = false,
+      returns: Seq[ast.Return] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     if (matches.isEmpty)
       throw new UnsupportedOperationException("SET/DELETE requires a MATCH part")
+    // `MATCH … SET/REMOVE/DELETE … RETURN …` — the write-then-read-back
+    // shape. openCypher visibility: the MATCH binds against the ENTRY
+    // state, the RETURN reads the POST-write state. The entry bindings
+    // (ids per match row, multiplicity kept) materialize BEFORE the
+    // mutation (localCheckpoint — lazily re-reading them after a
+    // snapshot swap could observe dead files), the mutation recurses
+    // with no RETURN, and the projection rehydrates each referenced
+    // node variable from the post graph by id.
+    returns.headOption match {
+      case Some(r) =>
+        val nodeVars = matches.flatMap(_.patterns.flatMap(p =>
+          (p.start.variable ++ p.hops.flatMap(_._2.variable)).toSeq)).distinct
+        val relVars0 = matches.flatMap(_.patterns.flatMap(_.hops.flatMap(_._1.variable))).toSet
+        def refVars(e: Any): Set[String] = e match {
+          case ast.Variable(v)  => Set(v)
+          case ast.Prop(v, _)   => Set(v)
+          case o: Option[_]     => o.toSeq.flatMap(refVars).toSet
+          case s: Seq[_]        => s.flatMap(refVars).toSet
+          case m: Map[_, _]     => m.valuesIterator.flatMap(refVars).toSet
+          case p: Product       => p.productIterator.flatMap(refVars).toSet
+          case _                => Set.empty[String]
+        }
+        val used = r.items.flatMap(i => refVars(i.expr)).toSet ++
+          r.orderBy.flatMap { case (e, _) => refVars(e) }
+        val badRel = used.intersect(relVars0)
+        if (badRel.nonEmpty) throw new UnsupportedOperationException(
+          "RETURN after SET/DELETE supports node variables, got relationship " +
+            s"`${badRel.head}`")
+        val entry0 = db.graph
+        val seed = new CypherCompiler(spark, entry0, procedures.procedure, procedures.scalar)
+          .compile(ast.Query(matches ++ Seq(ast.Return(
+            nodeVars.map(v => ast.ReturnItem(ast.FnCall("id", Seq(ast.Variable(v))), Some(v))),
+            distinct = false, Nil, None, None))))
+          .localCheckpoint()
+        mutateSetDelete(db, matches, sets, deletes, labelSets, lazyRewrite)
+        return new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
+          .compileReturnOverIds(seed, nodeVars.filter(used.contains), r)
+      case None => ()
+    }
     // matches evaluate against the ENTRY state (openCypher: the match
     // binds once, then writes apply) — pin the compiler frame so a
     // committed item cannot shift a later item's match

@@ -44,6 +44,26 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     }
   }
 
+  /** Trailing RETURN on a write statement (`MATCH … SET/REMOVE/DELETE
+    * … RETURN …`): the bindings were fixed against the ENTRY state —
+    * `seed` has one row per match binding with a plain Long id column
+    * per node variable — but the projection must read the POST-write
+    * state, so the caller constructs this compiler over the
+    * post-mutation graph and hands the seed here. Each referenced
+    * variable rehydrates with one id-keyed LEFT join against the
+    * current node table (left: a DELETEd binding keeps its row with
+    * null properties, so aggregates still see the match multiplicity —
+    * openCypher's write-clause visibility). */
+  def compileReturnOverIds(seed: DataFrame, vars: Seq[String], r: Return): DataFrame = {
+    var df = seed
+    vars.foreach { v =>
+      val n = nodeDf(v, NodePat(Some(v), Nil, Map.empty))
+      df = df.join(n, df(v) === n(s"$v${SEP}id"), "left_outer").drop(v)
+    }
+    compileProjection(Some(df), r.items, r.distinct, r.orderBy, r.skip, r.limit,
+      keepVarCols = false)
+  }
+
   private def compileSingle(q: Query): DataFrame = {
     var ctx: Option[DataFrame] = None
     q.clauses.foreach {

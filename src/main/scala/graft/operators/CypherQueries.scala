@@ -661,6 +661,21 @@ object CypherQueries {
       e.crossJoin(v)
     },
 
+    // Write-then-read-back: `MATCH … SET … RETURN` binds at entry and
+    // projects the post-write values in one statement (the openCypher
+    // write-clause visibility rule). Fresh session per call so the
+    // mutation never leaks into sibling rows; the oracle recomputes
+    // the written expression from the raw table.
+    sql("cy_set_return",
+      """SELECT n_name, CAST(n_regionkey * 2 + 1 AS BIGINT) AS flag
+        |FROM nation""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      gs.cypher(
+        """MATCH (n:nation) SET n.flag = n.n_regionkey * 2 + 1
+          |RETURN n.n_name AS n_name, n.flag AS flag""".stripMargin)
+    },
+
     // Key-list batch UPDATE burst — the third verb of the batch-
     // mutation matrix (`UNWIND $rows … MATCH … SET`, routed through
     // the match-only write buffer: isin-pruned lookup, LocalRelation

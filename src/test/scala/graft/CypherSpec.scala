@@ -1982,6 +1982,36 @@ class CypherSpec extends AnyFunSuite {
     assert(s.cypher("MATCH (n:kuOther {k: 1}) RETURN n.v AS v").collect().head.getLong(0) == 6L)
   }
 
+  test("MATCH ... SET/DELETE ... RETURN: bindings at entry, reads post-write") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:wr {k: 1, v: 10}), (b:wr {k: 2, v: 20})")
+    // arithmetic over the node's own pre-write value, read back post-write
+    val v = s.cypher("MATCH (a:wr {k:1}) SET a.v = a.v + 5 RETURN a.v AS v")
+      .collect().head.getLong(0)
+    assert(v == 15L)
+    // the match predicate's own property changes: binding fixed at
+    // entry, the RETURN sees the new value
+    val k = s.cypher("MATCH (a:wr {k:1}) SET a.k = 99 RETURN a.k AS k")
+      .collect().head.getLong(0)
+    assert(k == 99L)
+    // multi-row with ORDER BY; REMOVE reads back null
+    val rows = s.cypher("MATCH (a:wr) SET a.seen = true RETURN a.k AS k, a.seen AS seen ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(rows == Seq((2L, true), (99L, true)))
+    val rem = s.cypher("MATCH (a:wr {k:2}) REMOVE a.v RETURN a.v AS v").collect().head
+    assert(rem.isNullAt(0))
+    // DELETE ... RETURN count(*) keeps the match multiplicity
+    val c = s.cypher("MATCH (a:wr) DETACH DELETE a RETURN count(*) AS c")
+      .collect().head.getLong(0)
+    assert(c == 2L)
+    assert(s.cypher("MATCH (a:wr) RETURN count(a) AS c").collect().head.getLong(0) == 0L)
+    // a relationship variable in the RETURN refuses loudly
+    s.cypher("CREATE (x:wr2 {k:1})-[:T {w: 1}]->(y:wr2 {k:2})")
+    val e0 = intercept[UnsupportedOperationException](
+      s.cypher("MATCH (x:wr2)-[r:T]->() SET x.m = 1 RETURN r.w"))
+    assert(e0.getMessage.contains("node variables"))
+  }
+
   test("COLLECT subquery ORDER BY / LIMIT: per-row top-k list; keys() on map literals") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:co {name:'a'})")
