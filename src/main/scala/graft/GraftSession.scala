@@ -1088,8 +1088,37 @@ final class GraftSession(val spark: SparkSession,
     if (merges.nonEmpty) {
       if (creates.nonEmpty || sets.nonEmpty || deletes.nonEmpty || labelSets.nonEmpty)
         throw new UnsupportedOperationException("MERGE composes only with MATCH per statement")
-      if (matches.nonEmpty) return mutateMatchedMerge(db, matches, merges)
-      return mutateMerge(db, merges)
+      if (matches.nonEmpty) {
+        if (returns.nonEmpty) throw new UnsupportedOperationException(
+          "RETURN after MATCH … MERGE is not supported; MERGE alone may RETURN")
+        return mutateMatchedMerge(db, matches, merges)
+      }
+      if (returns.isEmpty) return mutateMerge(db, merges)
+      // MERGE … RETURN: after the upsert the pattern is guaranteed to
+      // exist, and the post-state MATCH of the same pattern IS the
+      // merge's binding bag (all pre-existing matches, or the one
+      // created instantiation) — openCypher semantics by re-match.
+      // The one corner where re-match diverges — an ON CREATE/ON MATCH
+      // SET rewriting a property the pattern itself matches on —
+      // refuses loudly rather than silently missing the row.
+      if (merges.size != 1) throw new UnsupportedOperationException(
+        "RETURN after MERGE supports a single MERGE clause")
+      val m = merges.head
+      val keyProps: Set[(String, String)] = {
+        val nodes = m.pattern.start +: m.pattern.hops.map(_._2)
+        val nk = nodes.flatMap(n => n.variable.toSeq.flatMap(v => n.props.keys.map(v -> _)))
+        val rk = m.pattern.hops.map(_._1).flatMap(r =>
+          r.variable.toSeq.flatMap(v => r.props.keys.map(v -> _)))
+        (nk ++ rk).toSet
+      }
+      (m.onCreate ++ m.onMatch).foreach { case (p, _) =>
+        if (keyProps.contains((p.variable, p.key))) throw new UnsupportedOperationException(
+          s"RETURN after MERGE cannot compose with SET of merge key `${p.variable}.${p.key}`")
+      }
+      mutateMerge(db, Seq(m))
+      return new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
+        .compile(ast.Query(Seq(ast.Match(Seq(m.pattern), optional = false, None),
+          returns.head)))
     }
     if (sets.nonEmpty || deletes.nonEmpty || labelSets.nonEmpty) {
       if (creates.nonEmpty)
@@ -1166,6 +1195,13 @@ final class GraftSession(val spark: SparkSession,
               throw new IllegalArgumentException("CREATE relationship requires a type"))
             val props = rel.props.map { case (k, ast.Lit(value)) => k -> value }
             val eid = db.allocateRel(1L)
+            // a rel variable binds its eid + literal props so a
+            // trailing RETURN can read them (`CREATE ()-[r:T {w}]->()
+            // RETURN r.w`); rel/node names never collide in valid
+            // Cypher, so sharing the maps is safe
+            rel.variable.foreach { rv =>
+              if (!bound.contains(rv)) { bound(rv) = eid; createdProps(rv) = props }
+            }
             if (rel.dir == -1) newEdges += ((next, prev, relType, eid, props))
             else newEdges += ((prev, next, relType, eid, props))
             prev = next

@@ -676,6 +676,17 @@ object CypherQueries {
           |RETURN n.n_name AS n_name, n.flag AS flag""".stripMargin)
     },
 
+    // MERGE … RETURN — the upsert-then-read-back statement: first
+    // call creates (ON CREATE), second matches (ON MATCH increments),
+    // the returned row reflects the post-write state each time.
+    sql("cy_merge_return",
+      "SELECT CAST(1 AS BIGINT) AS k, CAST(2 AS BIGINT) AS c") { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      gs.cypher("MERGE (x:probe {k: 1}) ON CREATE SET x.c = 1 RETURN x.c AS c")
+      gs.cypher("MERGE (x:probe {k: 1}) ON MATCH SET x.c = x.c + 1 RETURN x.k AS k, x.c AS c")
+    },
+
     // Key-list batch UPDATE burst — the third verb of the batch-
     // mutation matrix (`UNWIND $rows … MATCH … SET`, routed through
     // the match-only write buffer: isin-pruned lookup, LocalRelation

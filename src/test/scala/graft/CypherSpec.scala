@@ -2010,6 +2010,19 @@ class CypherSpec extends AnyFunSuite {
     val e0 = intercept[UnsupportedOperationException](
       s.cypher("MATCH (x:wr2)-[r:T]->() SET x.m = 1 RETURN r.w"))
     assert(e0.getMessage.contains("node variables"))
+    // CREATE with a rel variable: the trailing RETURN reads its props
+    val w = s.cypher("CREATE (p:wr3 {k:1})-[r:T {w: 7}]->(q:wr3 {k:2}) RETURN r.w AS w")
+      .collect().head.getLong(0)
+    assert(w == 7L)
+    // MERGE … RETURN: created then matched values read back
+    assert(s.cypher("MERGE (m:wr4 {k:1}) ON CREATE SET m.c = 1 RETURN m.c AS c")
+      .collect().head.getLong(0) == 1L)
+    assert(s.cypher("MERGE (m:wr4 {k:1}) ON MATCH SET m.c = m.c + 1 RETURN m.c AS c")
+      .collect().head.getLong(0) == 2L)
+    // …but a SET rewriting the merge key refuses (re-match would miss)
+    val e1 = intercept[UnsupportedOperationException](
+      s.cypher("MERGE (m:wr4 {k:1}) ON CREATE SET m.k = 2 RETURN m.k"))
+    assert(e1.getMessage.contains("merge key"))
   }
 
   test("COLLECT subquery ORDER BY / LIMIT: per-row top-k list; keys() on map literals") {
