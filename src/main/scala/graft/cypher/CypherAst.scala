@@ -48,6 +48,9 @@ object ast {
     * per-row match count, usable inside WHERE comparisons. Compiles to
     * a grouped count left-joined back on the shared variables. */
   final case class CountSub(patterns: Seq[PathPat], where: Option[Expr]) extends Expr
+  /** Neo4j 5.9 type predicate `x IS :: TYPE` / `x IS NOT :: TYPE`;
+    * tpe is normalized upper-case with whitespace stripped. */
+  final case class TypePred(e: Expr, tpe: String, negated: Boolean) extends Expr
   /** List comprehension `[x IN list WHERE pred | proj]`. */
   /** `[(a)-[:T]->(b) WHERE pred | proj]` — pattern comprehension: the
     * list of `proj` values over the pattern's matches, per outer row. */

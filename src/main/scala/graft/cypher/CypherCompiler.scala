@@ -1930,6 +1930,36 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case StringPred(op, _, _)         => throw new UnsupportedOperationException(op)
     case IsNull(x, false) => compileExpr(x, df).isNull
     case IsNull(x, true)  => compileExpr(x, df).isNotNull
+    // `x IS :: TYPE`: columns are statically typed, so the value's
+    // type IS the resolved column type — a matching type is TRUE for
+    // every row, a mismatch is TRUE only where the value is null
+    // (openCypher: null conforms to every type). Plan-time only, no
+    // per-row type dispatch.
+    case TypePred(x, tpe, neg) =>
+      val c = compileExpr(x, df)
+      val dt = scala.util.Try(df.select(c).schema.head.dataType).getOrElse(
+        throw new UnsupportedOperationException(
+          s"IS :: $tpe needs an operand with a resolvable type"))
+      import org.apache.spark.sql.types._
+      val matches = tpe match {
+        case "INTEGER" | "INT" => dt.isInstanceOf[LongType] || dt.isInstanceOf[IntegerType] ||
+          dt.isInstanceOf[ShortType] || dt.isInstanceOf[ByteType]
+        case "FLOAT" => dt.isInstanceOf[DoubleType] || dt.isInstanceOf[FloatType]
+        case "STRING" => dt.isInstanceOf[StringType]
+        case "BOOLEAN" => dt.isInstanceOf[BooleanType]
+        case t if t.startsWith("LIST") => dt.isInstanceOf[ArrayType]
+        case "MAP" | "POINT" => dt.isInstanceOf[MapType] || dt.isInstanceOf[StructType]
+        case "DATE" => dt.isInstanceOf[DateType]
+        case "DATETIME" | "ZONEDDATETIME" | "LOCALDATETIME" | "TIMESTAMP" =>
+          dt.isInstanceOf[TimestampType] || dt.isInstanceOf[TimestampNTZType]
+        case "DURATION" => dt.isInstanceOf[DayTimeIntervalType] ||
+          dt.isInstanceOf[YearMonthIntervalType] || dt.isInstanceOf[CalendarIntervalType]
+        case "ANY" => true
+        case other => throw new UnsupportedOperationException(
+          s"IS :: $other — unsupported type name")
+      }
+      val base = if (matches) lit(true) else c.isNull
+      if (neg) !base else base
     // openCypher `+` is type-directed: string concatenation when either
     // side is a string (the other coerces), list concatenation on two
     // lists, numeric addition otherwise. Operand types resolve against
@@ -2205,7 +2235,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "floor"              => floor(a(0))
       case "round"              => if (f.args.size > 1) round(a(0), litStr(f.args(1)).toInt) else round(a(0))
       case "sqrt"               => sqrt(a(0))
-      case "sign"               => signum(a(0))
+      case "sign"               => signum(a(0)).cast("long") // Neo4j sign() is INTEGER
       case "exp"                => exp(a(0))
       case "log"                => log(a(0))
       case "log10"              => log10(a(0))

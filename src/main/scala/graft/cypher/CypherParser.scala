@@ -73,7 +73,12 @@ object CypherParser extends RegexParsers {
     kw("ends") ~> kw("with") ~> addExpr ^^ { r => (l: Expr) => StringPred("ends", l, r) } |
     kw("contains") ~> addExpr ^^ { r => (l: Expr) => StringPred("contains", l, r) } |
     kw("is") ~> kw("not") ~> kw("null") ^^ { _ => (l: Expr) => IsNull(l, negated = true) } |
-    kw("is") ~> kw("null") ^^ { _ => (l: Expr) => IsNull(l, negated = false) }
+    kw("is") ~> kw("null") ^^ { _ => (l: Expr) => IsNull(l, negated = false) } |
+    // Neo4j 5.9 type predicate `x IS :: TYPE` / `x IS NOT :: TYPE`
+    kw("is") ~> kw("not") ~> "::" ~> typeName ^^ { t => (l: Expr) => TypePred(l, t, negated = true) } |
+    kw("is") ~> "::" ~> typeName ^^ { t => (l: Expr) => TypePred(l, t, negated = false) }
+  private def typeName: Parser[String] =
+    """(?i)[A-Za-z]+(\s*<\s*[A-Za-z ]+\s*>)?""".r ^^ (_.toUpperCase.replaceAll("\\s", ""))
   private def addExpr: Parser[Expr] =
     mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ { case h ~ t =>
       t.foldLeft(h) { case (l, op ~ r) => Arith(op, l, r) } }

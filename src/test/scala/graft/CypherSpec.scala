@@ -1982,6 +1982,29 @@ class CypherSpec extends AnyFunSuite {
     assert(s.cypher("MATCH (n:kuOther {k: 1}) RETURN n.v AS v").collect().head.getLong(0) == 6L)
   }
 
+  test("IS :: type predicates resolve statically; null conforms to every type") {
+    val s = new GraftSession(spark)
+    val r = s.cypher(
+      """RETURN 5 IS :: INTEGER AS a, 'x' IS :: INTEGER AS b,
+        |  'x' IS NOT :: INTEGER AS c, [1, 2] IS :: LIST<INTEGER> AS d,
+        |  null IS :: STRING AS e, 1.5 IS :: FLOAT AS f,
+        |  {k: 1} IS :: MAP AS g, true IS :: ANY AS h""".stripMargin)
+      .collect().head
+    assert((0 to 7).map(r.getBoolean) == Seq(true, false, true, true, true, true, true, true))
+    // entity property columns resolve through the binding table
+    s.cypher("CREATE (a:tp {name: 'x', n: 1})")
+    assert(s.cypher("MATCH (a:tp) WHERE a.name IS :: STRING RETURN count(a) AS c")
+      .collect().head.getLong(0) == 1L)
+    assert(s.cypher("MATCH (a:tp) WHERE a.name IS :: INTEGER RETURN count(a) AS c")
+      .collect().head.getLong(0) == 0L)
+    // unknown type names refuse loudly
+    val e0 = intercept[UnsupportedOperationException](
+      s.cypher("RETURN 1 IS :: GIZMO AS g").collect())
+    assert(e0.getMessage.contains("unsupported type name"))
+    // Neo4j sign() returns INTEGER
+    assert(s.cypher("RETURN sign(-3) AS s").collect().head.getLong(0) == -1L)
+  }
+
   test("MATCH ... SET/DELETE ... RETURN: bindings at entry, reads post-write") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:wr {k: 1, v: 10}), (b:wr {k: 2, v: 20})")
