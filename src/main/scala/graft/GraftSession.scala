@@ -237,6 +237,7 @@ final class GraftSession(val spark: SparkSession,
   private val StartDb = """(?is)\s*START\s+DATABASE\s+(\w+)\s*""".r
   private val ShowProcs = """(?is)\s*SHOW\s+PROCEDURES\b(.*)""".r
   private val ShowFuncs = """(?is)\s*SHOW\s+FUNCTIONS\b(.*)""".r
+  private val ShowSettings = """(?is)\s*SHOW\s+SETTINGS\b(.*)""".r
   private val CreateDb = """(?is)\s*CREATE\s+DATABASE\s+(\w+)\s*""".r
   private val DropDb = """(?is)\s*DROP\s+DATABASE\s+(\w+)(\s+IF\s+EXISTS)?\s*""".r
   private val ShowDbs = """(?is)\s*SHOW\s+DATABASES\s*""".r
@@ -723,6 +724,10 @@ final class GraftSession(val spark: SparkSession,
         StructField("message", StringType))))
     case ShowProcs(rest) => showProcedures(rest)
     case ShowFuncs(rest) => applyYield(procedures.functionsDataFrame, rest)
+    case ShowSettings(rest) =>
+      // Neo4j 5.8 SHOW SETTINGS — the declarative face of
+      // dbms.listConfig: same resolved (name, value) rows
+      applyYield(procedures.procedure("dbms.listConfig").get(Nil), rest)
     case _ =>
       // inside a transaction every statement targets the handle's
       // private shadow (read-your-writes; invisible elsewhere until

@@ -2269,6 +2269,39 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "tointegerornull"    => a(0).try_cast("long")
       case "tofloatornull"      => a(0).try_cast("double")
       case "tobooleanornull"    => a(0).try_cast("boolean")
+      // toStringOrNull: stringable (atomic) types cast, composite
+      // types yield null — type-resolved at plan time like keys()
+      case "tostringornull" =>
+        import org.apache.spark.sql.types.{ArrayType, MapType, StructType, NullType}
+        scala.util.Try(df.select(a(0)).schema.head.dataType).toOption match {
+          case Some(_: ArrayType) | Some(_: MapType) | Some(_: StructType) =>
+            lit(null).cast("string")
+          case Some(_: NullType) => lit(null).cast("string")
+          case _ => a(0).try_cast("string")
+        }
+      // valueType: the Cypher type name of the operand — static per
+      // column (Spark columns are monomorphic), with Neo4j's NOT NULL
+      // suffix decided per row
+      case "valuetype" =>
+        import org.apache.spark.sql.types._
+        val dt = scala.util.Try(df.select(a(0)).schema.head.dataType).getOrElse(
+          throw new UnsupportedOperationException(
+            "valueType() needs an operand with a resolvable type"))
+        val name = dt match {
+          case _: LongType | _: IntegerType | _: ShortType | _: ByteType => "INTEGER"
+          case _: DoubleType | _: FloatType => "FLOAT"
+          case _: StringType => "STRING"
+          case _: BooleanType => "BOOLEAN"
+          case _: ArrayType => "LIST<ANY>"
+          case _: MapType | _: StructType => "MAP"
+          case _: DateType => "DATE"
+          case _: TimestampType | _: TimestampNTZType => "ZONED DATETIME"
+          case _: DayTimeIntervalType | _: YearMonthIntervalType |
+               _: CalendarIntervalType => "DURATION"
+          case _: NullType => "NULL"
+          case other => other.simpleString.toUpperCase
+        }
+        when(a(0).isNull, lit("NULL")).otherwise(lit(s"$name NOT NULL"))
       case "charlength" | "characterlength" => length(a(0))
       case "isempty"            =>
         if (f.args.nonEmpty && isArrayCol(a(0), df)) size(a(0)) === 0

@@ -2003,6 +2003,18 @@ class CypherSpec extends AnyFunSuite {
     assert(e0.getMessage.contains("unsupported type name"))
     // Neo4j sign() returns INTEGER
     assert(s.cypher("RETURN sign(-3) AS s").collect().head.getLong(0) == -1L)
+    // valueType / toStringOrNull (Cypher 5 functions): static per
+    // column, NOT NULL suffix per row
+    val vt = s.cypher(
+      "RETURN valueType(5) AS a, valueType(null) AS b, toStringOrNull([1]) AS c, toStringOrNull(7) AS d")
+      .collect().head
+    assert(vt.getString(0) == "INTEGER NOT NULL")
+    assert(vt.getString(1) == "NULL")
+    assert(vt.isNullAt(2))
+    assert(vt.getString(3) == "7")
+    // SHOW SETTINGS — the declarative face of dbms.listConfig
+    val cols = s.cypher("SHOW SETTINGS").columns.toSeq
+    assert(cols == Seq("name", "value"))
   }
 
   test("MATCH ... SET/DELETE ... RETURN: bindings at entry, reads post-write") {
