@@ -214,10 +214,14 @@ object Bench {
       // same way: matched keys collect bounded, tombstones land as a
       // LocalRelation delta — ×10 volume should only move the pruned
       // key lookups
+      // apoc_subgraph_nodes probes the filtered-BFS core: the level-2
+      // frontier (customers+suppliers of one region) grows linearly
+      // with table volume, and each level is one keyed join — the
+      // slope should track the frontier, never the pair blow-up
       val probed = Seq("dedup_clusters", "dedup_minhash_lsh",
         "stream_stream_join", "gds_degree", "gds_pagerank",
         "ann_pq_adc", "text_lm_score", "cy_call_in_tx",
-        "cy_rel_upsert_burst", "cy_delete_burst")
+        "cy_rel_upsert_burst", "cy_delete_burst", "apoc_subgraph_nodes")
       val byName = SparkEntry.catalog.map(q => q.name -> q).toMap
       // STEADY-STATE probe (r11 verdict #2): the replica dir is built
       // once; the query runs twice and the SECOND run is the reported
