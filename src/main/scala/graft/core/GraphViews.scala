@@ -117,8 +117,13 @@ object GraphViews {
     val li = Tables(spark, dir, "lineitem")
       .filter(col("l_orderkey") < maxOrderKey)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val nodes = li.select(nodeId(col("p"), TAG_PART).as("id"))
-      .distinct().withColumn("labels", array(lit("part")))
+    // deterministic Long community property (p mod 5) for the
+    // community-quality procedures (gds.modularity/gds.conductance): a
+    // pure function of the part key, so an oracle recomputes it exactly
+    val nodes = li.select(col("p")).distinct()
+      .select(nodeId(col("p"), TAG_PART).as("id"),
+        array(lit("part")).as("labels"),
+        (col("p") % 5).cast("long").as("community"))
     val b = li.select(col("o").as("o2"), col("p").as("p2"))
     // deterministic Long cost property for weighted traversals
     // (gds.dijkstra): a pure function of the canonical (p, p2) pair, so

@@ -473,7 +473,14 @@ object CypherParser extends RegexParsers {
       "(" ~> repsep(ident, ",") <~ ")"
     ((kw("call") ~> opt(scopeImports)) ~ ("{" ~> opt(kw("with") ~> rep1sep(ident, ",")) ~
       rep1(clause) <~ "}") ~
-      opt(kw("in") ~> kw("transactions") ~>
+      opt(kw("in") ~>
+        // `IN [k] CONCURRENT TRANSACTIONS` (Neo4j 5.21+): the
+        // concurrency k is an execution hint — batches run through
+        // the same chunked-commit machinery (Spark parallelizes
+        // inside each batch; sequential batch commits are a valid
+        // serialization of concurrent ones), so the hint parses and
+        // drops
+        (opt(opt(numberLit) <~ kw("concurrent")) ~> kw("transactions")) ~>
         opt(kw("of") ~> numberLit <~ kw("rows")))) ^^ {
       case scope ~ (imp ~ cls) ~ itx =>
         if (scope.nonEmpty && imp.nonEmpty) throw new IllegalArgumentException(

@@ -676,6 +676,25 @@ object CypherQueries {
           |RETURN n.n_name AS n_name, n.flag AS flag""".stripMargin)
     },
 
+    // FOREACH conditional-SET gating idiom — `FOREACH (_ IN CASE WHEN
+    // cond THEN [1] ELSE [] END | SET …)` gates the SET on the
+    // predicate (the documented desugar; ref uses it in init scripts).
+    // Flags high-balance suppliers, reads the flag back; fresh session
+    // so the write never leaks into sibling rows.
+    sql("cy_foreach_gate",
+      """SELECT CAST(count(*) FILTER (WHERE s_acctbal > 5000) AS BIGINT) AS flagged,
+        |  CAST(count(*) AS BIGINT) AS total FROM supplier""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      gs.cypher(
+        "MATCH (s:supplier) FOREACH (_ IN CASE WHEN s.s_acctbal > 5000 " +
+          "THEN [1] ELSE [] END | SET s.flagged = 1)")
+      val f = gs.cypher(
+        "MATCH (s:supplier) WHERE s.flagged = 1 RETURN count(s) AS flagged")
+      val t = gs.cypher("MATCH (s:supplier) RETURN count(s) AS total")
+      f.crossJoin(t)
+    },
+
     // MERGE … RETURN — the upsert-then-read-back statement: first
     // call creates (ON CREATE), second matches (ON MATCH increments),
     // the returned row reflects the post-write state each time.

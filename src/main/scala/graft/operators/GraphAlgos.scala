@@ -900,6 +900,68 @@ object GraphAlgos {
           "RETURN node_id, triangles, degree, ilcc")
     },
 
+    // gds.modularity over the CO graph's stored `community` property
+    // (p mod 5 — a pure function of the part key, so the oracle
+    // recomputes it): per community, internal edges, degree volume,
+    // and the exact scaled (Q_c + 1) term. Both sides floor-divide
+    // a non-negative Long numerator, so the hash gate holds.
+    sql("gds_modularity",
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |pair AS MATERIALIZED (SELECT DISTINCT a.p AS pa, b.p AS pb
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |mm AS (SELECT count(*) AS m FROM pair),
+        |pn AS MATERIALIZED (SELECT DISTINCT p FROM li),
+        |deg AS MATERIALIZED (SELECT x, count(*) AS d FROM
+        |  (SELECT pa AS x FROM pair UNION ALL SELECT pb FROM pair) GROUP BY x),
+        |vol AS MATERIALIZED (
+        |  SELECT pn.p % 5 AS community, sum(COALESCE(deg.d, 0)) AS vol
+        |  FROM pn LEFT JOIN deg ON deg.x = pn.p GROUP BY 1),
+        |ein AS (SELECT pa % 5 AS community, count(*) AS e_in FROM pair
+        |  WHERE pa % 5 = pb % 5 GROUP BY 1)
+        |SELECT CAST(v.community AS BIGINT) AS community,
+        |  CAST(COALESCE(e.e_in, 0) AS BIGINT) AS e_in,
+        |  CAST(v.vol AS BIGINT) AS vol,
+        |  CAST((COALESCE(e.e_in, 0) * 4 * mm.m - v.vol * v.vol + 4 * mm.m * mm.m)
+        |    * 1000000 // (4 * mm.m * mm.m) AS BIGINT) AS iq1m
+        |FROM vol v CROSS JOIN mm
+        |LEFT JOIN ein e ON e.community = v.community""".stripMargin) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.modularity('CO', 'community') YIELD community, e_in, vol, iq1m " +
+          "RETURN community, e_in, vol, iq1m")
+    },
+
+    // gds.conductance over the same stored assignment: cut edges count
+    // toward both endpoint communities; denominator = the smaller
+    // side's degree volume.
+    sql("gds_conductance",
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |pair AS MATERIALIZED (SELECT DISTINCT a.p AS pa, b.p AS pb
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |mm AS (SELECT count(*) AS m FROM pair),
+        |pn AS MATERIALIZED (SELECT DISTINCT p FROM li),
+        |deg AS MATERIALIZED (SELECT x, count(*) AS d FROM
+        |  (SELECT pa AS x FROM pair UNION ALL SELECT pb FROM pair) GROUP BY x),
+        |vol AS MATERIALIZED (
+        |  SELECT pn.p % 5 AS community, sum(COALESCE(deg.d, 0)) AS vol
+        |  FROM pn LEFT JOIN deg ON deg.x = pn.p GROUP BY 1),
+        |cut AS (SELECT c AS community, count(*) AS cut FROM (
+        |  SELECT pa % 5 AS c FROM pair WHERE pa % 5 <> pb % 5
+        |  UNION ALL SELECT pb % 5 FROM pair WHERE pa % 5 <> pb % 5) GROUP BY c)
+        |SELECT CAST(v.community AS BIGINT) AS community,
+        |  CAST(COALESCE(ct.cut, 0) AS BIGINT) AS cut,
+        |  CAST(v.vol AS BIGINT) AS vol,
+        |  CAST(CASE WHEN LEAST(v.vol, 2 * mm.m - v.vol) <= 0 THEN 0
+        |    ELSE COALESCE(ct.cut, 0) * 1000000 // LEAST(v.vol, 2 * mm.m - v.vol)
+        |    END AS BIGINT) AS icond1m
+        |FROM vol v CROSS JOIN mm
+        |LEFT JOIN cut ct ON ct.community = v.community""".stripMargin) { (s, dir) =>
+      coSession(s, dir).cypher(
+        "CALL gds.conductance('CO', 'community') YIELD community, cut, vol, icond1m " +
+          "RETURN community, cut, vol, icond1m")
+    },
+
     // apoc.path.subgraphNodes — filtered BFS from region 0 following
     // INCOMING `IN` edges two levels deep: level 1 = the region's
     // nations, level 2 = their customers and suppliers. The node-id

@@ -951,6 +951,85 @@ object Gds {
             col("degree") * (col("degree") - 1))).otherwise(0L).as("ilcc"))
   }
 
+  /** Shared prep for the community-quality procedures
+    * ([[modularity]]/[[conductance]]): the canonical undirected edge
+    * set (materialized once — both procedures read it 3×), its size m,
+    * the node→community map from a stored Long node property, and the
+    * per-community degree volume (0-degree nodes contribute 0, so
+    * every community with a node reports). All hash aggregates and
+    * key joins over nodes/edges — never all-pairs, shuffle keys are
+    * node ids, so the shape holds at 100 TB. */
+  private def communityPrep(g: PropertyGraph, relType: Option[String],
+      communityProp: String): (DataFrame, Long, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val e = relType.map(g.edgesOfType).getOrElse(g.edges).select("src", "dst")
+    val canon = e.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val m = canon.count()
+    val comm = g.nodes.select(col("id"),
+      col(communityProp).cast("long").as("_comm"))
+      .filter(col("_comm").isNotNull)
+    val deg = canon.select(col("a").as("x"))
+      .unionAll(canon.select(col("b").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("_d"))
+    val vol = comm.join(deg, comm("id") === deg("x"), "left_outer")
+      .groupBy(col("_comm").as("community"))
+      .agg(sum(coalesce(col("_d"), lit(0L))).as("vol"))
+    (canon, m, comm, vol)
+  }
+
+  /** gds.modularity: per-community modularity of a STORED community
+    * assignment (the GDS modularity metric procedure — community
+    * detection quality scoring). Exact integer arithmetic: with m =
+    * |undirected edges|, e_in = intra-community edges and vol = the
+    * community's degree volume, iq1m = floor((4·m·e_in − vol² +
+    * 4·m²)·10⁶ / (4·m²)) — the community's Q term shifted by +1 and
+    * scaled ×10⁶ (Q_c ≥ −1 always, so the shift keeps floor division
+    * exact and order-free on both engines). */
+  def modularity(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      communityProp: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.intDiv
+    val (canon, m, comm, vol) = communityPrep(g, relType, communityProp)
+    val ca = comm.select(col("id").as("a"), col("_comm").as("_ca"))
+    val cb = comm.select(col("id").as("b"), col("_comm").as("_cb"))
+    val ein = canon.join(ca, Seq("a")).join(cb, Seq("b"))
+      .filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("community")).agg(count(lit(1)).as("e_in"))
+    val joined = vol.join(ein, Seq("community"), "left_outer")
+      .select(col("community"), coalesce(col("e_in"), lit(0L)).as("e_in"), col("vol"))
+    if (m == 0) joined.withColumn("iq1m", lit(1000000L))
+    else joined.withColumn("iq1m",
+      intDiv((col("e_in") * lit(4L * m) - col("vol") * col("vol") + lit(4L * m * m))
+        * lit(1000000L), lit(4L * m * m)))
+  }
+
+  /** gds.conductance: per-community conductance of a stored community
+    * assignment — cut edges over the smaller side's degree volume,
+    * icond1m = floor(cut·10⁶ / min(vol, 2m − vol)) (0 when the min is
+    * 0, the GDS convention). A cut edge counts toward BOTH of its
+    * endpoint communities. Same shapes as [[modularity]]. */
+  def conductance(spark: SparkSession, g: PropertyGraph, relType: Option[String],
+      communityProp: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.intDiv
+    val (canon, m, comm, vol) = communityPrep(g, relType, communityProp)
+    val ca = comm.select(col("id").as("a"), col("_comm").as("_ca"))
+    val cb = comm.select(col("id").as("b"), col("_comm").as("_cb"))
+    val cross = canon.join(ca, Seq("a")).join(cb, Seq("b"))
+      .filter(col("_ca") =!= col("_cb"))
+    val cut = cross.select(col("_ca").as("community"))
+      .unionAll(cross.select(col("_cb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("cut"))
+    val minSide = least(col("vol"), lit(2L * m) - col("vol"))
+    vol.join(cut, Seq("community"), "left_outer")
+      .select(col("community"), coalesce(col("cut"), lit(0L)).as("cut"), col("vol"),
+        when(minSide <= 0, lit(0L))
+          .otherwise(intDiv(coalesce(col("cut"), lit(0L)) * lit(1000000L), minSide))
+          .as("icond1m"))
+  }
+
   /** Per-node triangle count (undirected; GraphX canonicalizes). */
   def triangleCount(spark: SparkSession, g: PropertyGraph, relType: Option[String]): DataFrame = {
     val raw = toGraphX(g, relType)

@@ -457,6 +457,23 @@ object Packs {
       "Per-node local clustering coefficient 2·triangles·1e6 // (deg·(deg−1))") { args =>
       Gds.localClusteringCoefficient(spark, graphArg(args, 0)._1, graphArg(args, 0)._2)
     }
+    procs.register("gds.modularity",
+      "(relType :: STRING?, communityProperty :: STRING?) :: " +
+        "(community, e_in, vol, iq1m)",
+      "Per-community modularity of a stored community assignment; " +
+        "iq1m = floor((4·m·e_in − vol² + 4·m²)·1e6 / (4·m²)) — the " +
+        "community's Q term shifted +1, scaled 1e6 (exact Long)") { args =>
+      val prop = args.lift(1).map(String.valueOf).getOrElse("community")
+      Gds.modularity(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, prop)
+    }
+    procs.register("gds.conductance",
+      "(relType :: STRING?, communityProperty :: STRING?) :: " +
+        "(community, cut, vol, icond1m)",
+      "Per-community conductance: icond1m = floor(cut·1e6 / " +
+        "min(vol, 2m − vol)), 0 when the min side is empty") { args =>
+      val prop = args.lift(1).map(String.valueOf).getOrElse("community")
+      Gds.conductance(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, prop)
+    }
     procs.register("gds.pageRank",
       "(relType :: STRING?, iterations :: INTEGER?, relationshipWeightProperty :: STRING?) " +
         ":: (node_id, iscore)",

@@ -868,6 +868,19 @@ class CypherSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] {
       s.cypher("UNWIND range(1, 5) AS x CALL { WITH x MATCH (b:bat) RETURN b.k AS k } IN TRANSACTIONS")
     }
+    // `IN [k] CONCURRENT TRANSACTIONS` (Neo4j 5.21+): the concurrency
+    // hint parses and the batched commits run identically
+    val conc = s.cypher(
+      "UNWIND range(1, 12) AS x CALL { WITH x CREATE (:batc {k: x}) } " +
+        "IN 4 CONCURRENT TRANSACTIONS OF 5 ROWS").collect().head
+    assert(conc.getLong(0) == 12L && conc.getLong(1) == 3L)
+    assert(s.cypher("MATCH (b:batc) RETURN count(b) AS c")
+      .collect().head.getLong(0) == 12L)
+    s.cypher(
+      "UNWIND range(13, 15) AS x CALL { WITH x CREATE (:batc {k: x}) } " +
+        "IN CONCURRENT TRANSACTIONS")
+    assert(s.cypher("MATCH (b:batc) RETURN count(b) AS c")
+      .collect().head.getLong(0) == 15L)
   }
 
   test("two interleaved transaction handles: isolated until COMMIT, serialized commits") {
