@@ -125,6 +125,29 @@ object Packs {
       array_distinct(a(0)))
     procs.registerScalar("apoc.coll.reverse", "(coll :: LIST<ANY>) :: LIST<ANY>")(a =>
       reverse(a(0)))
+    // set-algebra family — apoc's union/intersection/subtract are
+    // DISTINCT (set) semantics, unionAll keeps duplicates
+    procs.registerScalar("apoc.coll.union",
+      "(first :: LIST<ANY>, second :: LIST<ANY>) :: LIST<ANY>")(a =>
+      array_union(a(0), a(1)))
+    procs.registerScalar("apoc.coll.unionAll",
+      "(first :: LIST<ANY>, second :: LIST<ANY>) :: LIST<ANY>")(a =>
+      concat(a(0), a(1)))
+    procs.registerScalar("apoc.coll.intersection",
+      "(first :: LIST<ANY>, second :: LIST<ANY>) :: LIST<ANY>")(a =>
+      array_intersect(a(0), a(1)))
+    procs.registerScalar("apoc.coll.subtract",
+      "(first :: LIST<ANY>, second :: LIST<ANY>) :: LIST<ANY>")(a =>
+      array_except(a(0), a(1)))
+    procs.registerScalar("apoc.coll.duplicates",
+      "(coll :: LIST<ANY>) :: LIST<ANY>")(a =>
+      // distinct elements occurring more than once; per-row quadratic
+      // over a (small) list column, no shuffle
+      filter(array_distinct(a(0)),
+        x => size(filter(a(0), y => y === x)) > 1))
+    procs.registerScalar("apoc.text.split",
+      "(text :: STRING, regex :: STRING) :: LIST<STRING>")(a =>
+      call_function("split", a(0), a(1)))
     procs.registerScalar("apoc.text.capitalize", "(text :: STRING) :: STRING")(a =>
       initcap(a(0)))
     procs.registerScalar("apoc.text.indexOf",

@@ -93,6 +93,21 @@ class PacksSpec extends AnyFunSuite {
     assert(r4.getSeq[Seq[Long]](4) == Seq(Seq(1L, 2L), Seq(2L, 3L)))
     assert(r4.getLong(5) == 1L)
     assert(r4.getDouble(6) == 1.5)
+    val r5 = s.cypher(
+      """UNWIND range(1, 1) AS x
+        |RETURN apoc.coll.union([1, 2], [2, 3]) AS u,
+        |       apoc.coll.unionAll([1, 2], [2, 3]) AS ua,
+        |       apoc.coll.intersection([1, 2, 3], [2, 3, 4]) AS ix,
+        |       apoc.coll.subtract([1, 2, 3], [2]) AS sub,
+        |       apoc.coll.duplicates([1, 2, 2, 3, 3, 3]) AS dups,
+        |       apoc.text.split('a;b;c', ';') AS parts""".stripMargin)
+      .collect().head
+    assert(r5.getSeq[Long](0) == Seq(1L, 2L, 3L))
+    assert(r5.getSeq[Long](1) == Seq(1L, 2L, 2L, 3L))
+    assert(r5.getSeq[Long](2).sorted == Seq(2L, 3L))
+    assert(r5.getSeq[Long](3) == Seq(1L, 3L))
+    assert(r5.getSeq[Long](4) == Seq(2L, 3L))
+    assert(r5.getSeq[String](5) == Seq("a", "b", "c"))
   }
 
   test("apoc export is gated by apoc.export.file.enabled (Configuration.java:13)") {
