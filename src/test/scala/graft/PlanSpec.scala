@@ -102,6 +102,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("modularity / conductance stay keyed joins over the community map") {
+    Seq("gds_modularity", "gds_conductance").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNL join")
+    }
+  }
+
   test("label-expression scan is one predicate over the node table, not a union of scans") {
     val p = plan("cy_label_expr")
     assert(!p.contains("CartesianProduct"))
