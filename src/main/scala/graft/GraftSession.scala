@@ -953,6 +953,36 @@ final class GraftSession(val spark: SparkSession,
     // (UNWIND over a query, UNWIND with SET/DELETE) is refused rather
     // than silently instantiated once.
     val unwinds = q.clauses.collect { case u: ast.Unwind => u }
+    // `MATCH … WITH <vars> [WHERE …] [ORDER BY …] [SKIP/LIMIT …]
+    // SET/DELETE/REMOVE … [RETURN …]` — the work-queue batching shape
+    // (Neo4j's canonical `WITH n LIMIT $k DETACH DELETE n`, and
+    // apoc.periodic.commit's contract). The With rides into the same
+    // read compilation the match prefix uses, so WHERE/ORDER BY/SKIP/
+    // LIMIT bound the binding set BEFORE the write verbs run.
+    // Supported subset: ONE With projecting bare variables, matches
+    // only before it, writes only after. Anything else refuses loudly
+    // — silently dropping a WITH's LIMIT would delete every match.
+    val withs = q.clauses.collect { case w: ast.With => w }
+    if (withs.nonEmpty) {
+      val ok = withs.size == 1 && creates.isEmpty && merges.isEmpty &&
+        unwinds.isEmpty && matches.nonEmpty &&
+        (sets.nonEmpty || deletes.nonEmpty || labelSets.nonEmpty) &&
+        withs.head.items.forall(i => i.expr match {
+          case ast.Variable(v) => i.alias.forall(_ == v)
+          case _               => false
+        }) &&
+        q.clauses.takeWhile(!_.isInstanceOf[ast.With])
+          .forall(_.isInstanceOf[ast.Match]) &&
+        q.clauses.dropWhile(!_.isInstanceOf[ast.With]).tail
+          .forall(c => !c.isInstanceOf[ast.Match])
+      if (!ok) throw new UnsupportedOperationException(
+        "WITH inside a mutating statement supports only `MATCH … WITH <vars> " +
+          "[WHERE …] [ORDER BY …] [SKIP/LIMIT …] SET/DELETE/REMOVE … [RETURN …]` " +
+          "with bare-variable projection — anything else would silently drop " +
+          "the projection; batch through CALL { } IN TRANSACTIONS instead")
+      return mutateSetDelete(db, matches, sets, deletes, labelSets,
+        returns = returns, withClause = Some(withs.head))
+    }
     if (unwinds.nonEmpty) {
       if (unwinds.size == 1 && merges.size == 1 && creates.isEmpty && matches.isEmpty &&
           sets.isEmpty && deletes.isEmpty && labelSets.isEmpty && returns.isEmpty)
@@ -1359,10 +1389,31 @@ final class GraftSession(val spark: SparkSession,
   private def mutateSetDelete(db: GraphDatabase, matches: Seq[ast.Match],
       sets: Seq[ast.SetProps], deletes: Seq[ast.Delete],
       labelSets: Seq[ast.SetLabels] = Nil, lazyRewrite: Boolean = false,
-      returns: Seq[ast.Return] = Nil): DataFrame = {
+      returns: Seq[ast.Return] = Nil,
+      withClause: Option[ast.With] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     if (matches.isEmpty)
       throw new UnsupportedOperationException("SET/DELETE requires a MATCH part")
+    // WITH-bounded writes (`MATCH … WITH n [ORDER BY …] LIMIT k SET/
+    // DELETE …`): the With joins the read prefix, so every binding
+    // compile below honors its WHERE/ORDER BY/SKIP/LIMIT. Node
+    // variables only — the relationship-key compile runs once per rel
+    // var and a LIMIT re-executed across frames could pick different
+    // subsets; the node path derives everything from ONE materialized
+    // binding frame, so it cannot.
+    val readPrefix: Seq[ast.Clause] = matches ++ withClause.toSeq
+    val withProjected: Option[Set[String]] = withClause.map(_.items.flatMap(i =>
+      i.expr match { case ast.Variable(v) => Seq(v); case _ => Nil }).toSet)
+    def inWithScope(v: String): Boolean = withProjected.forall(_.contains(v))
+    withClause.foreach { _ =>
+      val relVarsAll = matches.flatMap(_.patterns.flatMap(
+        _.hops.flatMap(_._1.variable))).toSet
+      val relTargets = (sets.flatMap(_.items.map(_._1.variable)) ++
+        deletes.flatMap(_.vars)).filter(relVarsAll.contains)
+      if (relTargets.nonEmpty) throw new UnsupportedOperationException(
+        "WITH-bounded writes support node variables; got relationship " +
+          s"`${relTargets.head}`")
+    }
     // `MATCH … SET/REMOVE/DELETE … RETURN …` — the write-then-read-back
     // shape. openCypher visibility: the MATCH binds against the ENTRY
     // state, the RETURN reads the POST-write state. The entry bindings
@@ -1374,7 +1425,8 @@ final class GraftSession(val spark: SparkSession,
     returns.headOption match {
       case Some(r) =>
         val nodeVars = matches.flatMap(_.patterns.flatMap(p =>
-          (p.start.variable ++ p.hops.flatMap(_._2.variable)).toSeq)).distinct
+          (p.start.variable ++ p.hops.flatMap(_._2.variable)).toSeq))
+          .distinct.filter(inWithScope)
         val relVars0 = matches.flatMap(_.patterns.flatMap(_.hops.flatMap(_._1.variable))).toSet
         def refVars(e: Any): Set[String] = e match {
           case ast.Variable(v)  => Set(v)
@@ -1393,11 +1445,12 @@ final class GraftSession(val spark: SparkSession,
             s"`${badRel.head}`")
         val entry0 = db.graph
         val seed = new CypherCompiler(spark, entry0, procedures.procedure, procedures.scalar)
-          .compile(ast.Query(matches ++ Seq(ast.Return(
+          .compile(ast.Query(readPrefix ++ Seq(ast.Return(
             nodeVars.map(v => ast.ReturnItem(ast.FnCall("id", Seq(ast.Variable(v))), Some(v))),
             distinct = false, Nil, None, None))))
           .localCheckpoint()
-        mutateSetDelete(db, matches, sets, deletes, labelSets, lazyRewrite)
+        mutateSetDelete(db, matches, sets, deletes, labelSets, lazyRewrite,
+          withClause = withClause)
         return new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar)
           .compileReturnOverIds(seed, nodeVars.filter(used.contains), r)
       case None => ()
@@ -1408,11 +1461,18 @@ final class GraftSession(val spark: SparkSession,
     val entry = db.graph
     lazy val bindings = {
       val boundVars = matches.flatMap(_.patterns.flatMap(p =>
-        (p.start.variable ++ p.hops.flatMap(_._2.variable)).toSeq)).distinct
-      new CypherCompiler(spark, entry, procedures.procedure, procedures.scalar)
-        .compile(ast.Query(matches ++ Seq(ast.Return(
+        (p.start.variable ++ p.hops.flatMap(_._2.variable)).toSeq))
+        .distinct.filter(inWithScope)
+      val b = new CypherCompiler(spark, entry, procedures.procedure, procedures.scalar)
+        .compile(ast.Query(readPrefix ++ Seq(ast.Return(
           boundVars.map(v => ast.ReturnItem(ast.FnCall("id", Seq(ast.Variable(v))), Some(v))),
           distinct = false, Nil, None, None))))
+      // a SKIP/LIMIT-bounded binding set materializes ONCE: every
+      // write verb below must see the SAME arbitrary-k subset even
+      // though each re-reads this frame
+      if (withClause.exists(w => w.limit.isDefined || w.skip.isDefined))
+        b.localCheckpoint()
+      else b
     }
     // relationship variables get SET/DELETE too: a matched rel is
     // identified by its surrogate `eid` (parallel same-type edges
@@ -1437,7 +1497,7 @@ final class GraftSession(val spark: SparkSession,
           ast.ReturnItem(ast.Prop(rv, "dst"), Some("_rd")),
           ast.ReturnItem(ast.Prop(rv, "relType"), Some("_rt")))
       new CypherCompiler(spark, entry, procedures.procedure, procedures.scalar)
-        .compile(ast.Query(matches ++ Seq(ast.Return(items,
+        .compile(ast.Query(readPrefix ++ Seq(ast.Return(items,
           distinct = true, Nil, None, None))))
     }
     def relKeyCond(base: DataFrame, keys: DataFrame): org.apache.spark.sql.Column =

@@ -695,6 +695,24 @@ object CypherQueries {
       f.crossJoin(t)
     },
 
+    // WITH-bounded write — `MATCH … WITH n ORDER BY … LIMIT k SET …`,
+    // the work-queue batching shape (apoc.periodic.commit's contract):
+    // the ORDER BY makes the k-subset deterministic so the oracle can
+    // replay it as a SQL ORDER BY/LIMIT subquery.
+    sql("cy_with_limit_set",
+      """SELECT CAST(count(*) AS BIGINT) AS n_flagged,
+        |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+        |FROM (SELECT s_suppkey FROM supplier ORDER BY s_suppkey LIMIT 20)""".stripMargin) {
+      (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      gs.cypher(
+        "MATCH (n:supplier) WITH n ORDER BY n.s_suppkey LIMIT 20 SET n.wflag = 1")
+      gs.cypher(
+        "MATCH (n:supplier) WHERE n.wflag = 1 " +
+          "RETURN count(n) AS n_flagged, sum(n.s_suppkey) AS key_sum")
+    },
+
     // MERGE … RETURN — the upsert-then-read-back statement: first
     // call creates (ON CREATE), second matches (ON MATCH increments),
     // the returned row reflects the post-write state each time.

@@ -277,6 +277,44 @@ object Packs {
       procs.oneRow("batches" -> batches, "total" -> total,
         "failedBatches" -> failed, "errorMessages" -> errs.mkString("; "))
     }
+    // apoc.periodic.commit — loop a SELF-BOUNDED mutating statement
+    // until it reports no more work (APOC's contract: the statement
+    // bounds itself, canonically `MATCH … WITH n LIMIT $k … DELETE n
+    // RETURN count(*)`, and the loop ends on the first 0). Each pass
+    // is one distributed statement committing its own snapshot swap,
+    // so at scale the statement's LIMIT is the knob bounding per-commit
+    // work. A pass cap refuses loudly on non-decreasing statements
+    // instead of spinning forever.
+    procs.registerWithParams("apoc.periodic.commit",
+      Seq(procs.Param("statement"),
+        procs.Param("params", Some(Map.empty[String, Any]))),
+      "(statement :: STRING, params :: MAP) :: (executions, updates)",
+      "Repeat a LIMIT-bounded mutating statement until it returns 0") { args =>
+      val stmt = String.valueOf(args(0))
+      val params = args(1) match {
+        case m: collection.Map[_, _] =>
+          m.asInstanceOf[collection.Map[String, Any]].toMap
+        case _ => Map.empty[String, Any]
+      }
+      var executions = 0L
+      var updates = 0L
+      var last = -1L
+      val maxPasses = 10000
+      while (last != 0L) {
+        if (executions >= maxPasses) throw new IllegalStateException(
+          s"apoc.periodic.commit did not drain after $maxPasses passes — " +
+            "the statement's RETURN count is not decreasing")
+        val rows = session.cypher(stmt, params).collect()
+        last = rows.headOption.map(_.get(0)).map {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"apoc.periodic.commit statement must RETURN a count, got $other")
+        }.getOrElse(0L)
+        executions += 1
+        updates += last
+      }
+      procs.oneRow("executions" -> executions, "updates" -> updates)
+    }
     // file imports, gated like exports (apoc.import.file.enabled)
     def requireImportEnabled(): Unit = {
       val enabled = session.config.flatMap(_.setting("apoc.import.file.enabled"))

@@ -883,6 +883,56 @@ class CypherSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 15L)
   }
 
+  test("WITH-bounded writes: LIMIT/ORDER BY/WHERE bound the write set; bad shapes refuse") {
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(1, 25) AS x CREATE (:wq {k: x})")
+    // LIMIT bounds the delete to an arbitrary 10 of the 25
+    s.cypher("MATCH (n:wq) WITH n LIMIT 10 DETACH DELETE n")
+    assert(s.cypher("MATCH (n:wq) RETURN count(n) AS c")
+      .collect().head.getLong(0) == 15L)
+    // ORDER BY + LIMIT makes the subset deterministic: smallest 3 ks
+    s.cypher("MATCH (n:wq) WITH n ORDER BY n.k LIMIT 3 SET n.f = 1")
+    val flagged = s.cypher(
+      "MATCH (n:wq) WHERE n.f = 1 RETURN n.k AS k ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    val all = s.cypher("MATCH (n:wq) RETURN n.k AS k ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(flagged == all.take(3))
+    // WHERE on the yielded var composes
+    s.cypher("MATCH (n:wq) WITH n WHERE n.k > 20 DETACH DELETE n")
+    assert(s.cypher("MATCH (n:wq) RETURN count(n) AS c")
+      .collect().head.getLong(0) == all.count(_ <= 20))
+    // write-then-read-back composes with the bound
+    val drained = s.cypher(
+      "MATCH (n:wq) WITH n LIMIT 4 DETACH DELETE n RETURN count(*) AS c")
+      .collect().head.getLong(0)
+    assert(drained == 4L)
+    // non-bare projection refuses loudly (the LIMIT would be dropped)
+    intercept[UnsupportedOperationException] {
+      s.cypher("MATCH (n:wq) WITH n.k AS kk LIMIT 2 SET n.f = kk")
+    }
+    // relationship targets refuse under a WITH bound
+    s.cypher("CREATE (:wqa {k: 1})-[:WQR]->(:wqb {k: 2})")
+    intercept[UnsupportedOperationException] {
+      s.cypher("MATCH (:wqa)-[r:WQR]->(:wqb) WITH r LIMIT 1 DELETE r")
+    }
+  }
+
+  test("apoc.periodic.commit drains a LIMIT-bounded delete loop") {
+    val s = new GraftSession(spark)
+    graft.procs.Packs.install(s, Seq("apoc"))
+    s.cypher("UNWIND range(1, 25) AS x CREATE (:pq {k: x})")
+    val r = s.cypher(
+      """CALL apoc.periodic.commit(
+        |  'MATCH (n:pq) WITH n LIMIT 7 DETACH DELETE n RETURN count(*) AS c')
+        |YIELD executions, updates RETURN executions, updates""".stripMargin)
+      .collect().head
+    // 7+7+7+4 rows over 4 passes, a 5th pass reads 0 and ends the loop
+    assert(r.getLong(0) == 5L && r.getLong(1) == 25L)
+    assert(s.cypher("MATCH (n:pq) RETURN count(n) AS c")
+      .collect().head.getLong(0) == 0L)
+  }
+
   test("two interleaved transaction handles: isolated until COMMIT, serialized commits") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (:acct {aid: 0, bal: 100})")
