@@ -1711,8 +1711,34 @@ final class GraftSession(val spark: SparkSession,
     * depth constant. */
   private def mutateMerge(db: GraphDatabase, merges: Seq[ast.Merge]): DataFrame = {
     merges.foreach { m =>
-      if (m.pattern.hops.isEmpty) mergeNode(db, m)
-      else mergePath(db, m)
+      if (m.pattern.hops.isEmpty) {
+        val np = m.pattern.start
+        def plainLit(e: ast.Expr): Boolean = e match {
+          case ast.Lit(_: ast.VarRefValue) | ast.Lit(_: ast.PropRefValue) => false
+          case ast.Lit(_) => true
+          case _ => false
+        }
+        def simpleRhs(e: ast.Expr): Boolean = e match {
+          case l: ast.Lit         => plainLit(l)
+          case ast.Prop(v2, _)    => np.variable.contains(v2)
+          case ast.Arith(_, l, r) => simpleRhs(l) && simpleRhs(r)
+          case _                  => false
+        }
+        val literalShape = np.props.nonEmpty && np.props.values.forall(plainLit) &&
+          (m.onCreate ++ m.onMatch).forall { case (p, e) =>
+            np.variable.contains(p.variable) && simpleRhs(e) }
+        // a LITERAL single-node MERGE is a one-element batch of the
+        // UNWIND…MERGE upsert path: the same delta-shaped commit
+        // (write buffer → LocalRelation delta) instead of a whole-
+        // table append — an ad-hoc MERGE costs one isin-pruned lookup,
+        // keeps the delta overlay (and db.cdc cursors) valid, and
+        // shares the null-merge-key refusal semantics. Non-literal
+        // shapes keep the declarative mergeNode path.
+        if (literalShape)
+          mutateUnwindMerge(db,
+            ast.Unwind(ast.ListLit(Seq(ast.Lit(Map.empty[String, Any]))), "_mrow1"), m)
+        else mergeNode(db, m)
+      } else mergePath(db, m)
     }
     unit()
   }
@@ -3563,6 +3589,98 @@ final class GraftSession(val spark: SparkSession,
             t => array_contains(termArr, t))).cast("long").as("score"))
         .filter(col("score") > 0)
         .orderBy(col("score").desc, col("nodeId"))
+    }
+    // ---- db.cdc.* — change data capture READ OFF THE DELTA-LOG
+    // (the Neo4j 5 CDC surface: db.cdc.earliest/current/query —
+    // downstream incremental consumers at corpus scale). A cursor
+    // captures the change epoch (the overlay BASE frames, by
+    // reference identity — the house self-validation pattern) plus
+    // the id-allocator watermarks; db.cdc.query reads the CURRENT
+    // overlay deltas directly — O(delta), never a table diff — and
+    // classifies each row: tombstone → 'd' (delete), key minted
+    // inside [cursor watermark, now) → 'c' (create — exact for
+    // session-minted ids; view-hash eids land in the interval with
+    // ~k/2⁶⁴ probability), anything else → 'u' (update). Events are
+    // COALESCED per entity — the overlay keeps latest state per key,
+    // the analog of Neo4j CDC's DIFF enrichment — so an update
+    // committed before the cursor within the same epoch may replay;
+    // consumers are idempotent upserts by contract. A load/save/
+    // compaction replaces the base and invalidates outstanding
+    // cursors: query then refuses loudly (Neo4j errors the same way
+    // when a cursor predates the retained change log), restart from
+    // db.cdc.earliest. Take earliest at epoch start for exact create
+    // classification.
+    def cdcDatabase = catalog.database("neo4j")
+    def cdcBases(d: graft.core.GraphDatabase) = (
+      d.validNodeDelta.map(_.base).getOrElse(d.graph.nodes),
+      d.validEdgeDelta.map(_.base).getOrElse(d.graph.edges))
+    def cdcCursorNow(): String = {
+      val d = cdcDatabase
+      // settle the lineage FIRST: the cursor hashes the SETTLED base
+      // frames, which every later delta fold extends and every later
+      // compaction preserves by reference (compaction only checkpoints
+      // a component whose reference moved) — so cursors survive
+      // housekeeping and invalidate exactly on epoch events: a
+      // load/save re-point, or an append burst that bypasses the log
+      d.pendingMutations = math.max(d.pendingMutations, 2)
+      compactIfNeeded(d)
+      val (nb, eb) = cdcBases(d)
+      s"graft:cdc:${d.nextId.get}:${d.nextRelId.get}:" +
+        s"${System.identityHashCode(nb)}:${System.identityHashCode(eb)}"
+    }
+    procedures.register("db.cdc.earliest", "() :: (id)",
+      "Earliest change-capture cursor of the current change epoch") { _ =>
+      procedures.oneRow("id" -> cdcCursorNow())
+    }
+    procedures.register("db.cdc.current", "() :: (id)",
+      "Change-capture cursor at the current point in time") { _ =>
+      procedures.oneRow("id" -> cdcCursorNow())
+    }
+    procedures.register("db.cdc.query",
+      "(from :: STRING) :: (op, entity, id, detail)",
+      "Changes since the cursor, coalesced per entity, straight off " +
+        "the delta-log: op c|u|d, entity node|relationship, detail = " +
+        "labels or relType") { args =>
+      import org.apache.spark.sql.functions._
+      val cur = String.valueOf(args.headOption.getOrElse(""))
+      val m = """graft:cdc:(-?\d+):(-?\d+):(-?\d+):(-?\d+)""".r
+        .findFirstMatchIn(cur).getOrElse(throw new IllegalArgumentException(
+          s"malformed CDC cursor: $cur"))
+      val d = cdcDatabase
+      val (nb, eb) = cdcBases(d)
+      if (m.group(3).toInt != System.identityHashCode(nb) ||
+          m.group(4).toInt != System.identityHashCode(eb))
+        throw new IllegalStateException(
+          "CDC cursor predates the current change epoch (the base was " +
+            "replaced by a load/save/compaction or a non-delta write) — " +
+            "restart from db.cdc.earliest")
+      val tombC = PropertyGraph.TombstoneCol
+      def side(delta: Option[DataFrame], key: String, lo: Long, hi: Long,
+          entity: String, detail: org.apache.spark.sql.Column): Option[DataFrame] =
+        delta.map { df =>
+          val tomb =
+            if (df.columns.contains(tombC)) coalesce(col(tombC), lit(false))
+            else lit(false)
+          df.select(
+            when(tomb, lit("d"))
+              .when(col(key) >= lit(lo) && col(key) < lit(hi), lit("c"))
+              .otherwise(lit("u")).as("op"),
+            lit(entity).as("entity"),
+            col(key).cast("long").as("id"),
+            detail.cast("string").as("detail"))
+        }
+      val nodeEvents = side(d.validNodeDelta.map(_.delta), "id",
+        m.group(1).toLong, d.nextId.get, "node", concat_ws(":", col("labels")))
+      val edgeEvents = side(d.validEdgeDelta.map(_.delta), "eid",
+        m.group(2).toLong, d.nextRelId.get, "relationship", col("relType"))
+      (nodeEvents, edgeEvents) match {
+        case (Some(n), Some(e)) => n.unionByName(e)
+        case (Some(n), None)    => n
+        case (None, Some(e))    => e
+        case (None, None)       =>
+          spark.range(0).select(lit("").as("op"), lit("").as("entity"),
+            lit(0L).as("id"), lit("").as("detail"))
+      }
     }
   }
 

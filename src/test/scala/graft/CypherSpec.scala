@@ -918,6 +918,46 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("db.cdc: delta-log change feed classifies c/u/d, epoch change invalidates cursors") {
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(1, 5) AS x CREATE (:cd {k: x})")
+    val cursor = s.cypher("CALL db.cdc.earliest() YIELD id RETURN id")
+      .collect().head.getString(0)
+    // update two base rows (delta fold), create one (buffered MERGE),
+    // tombstone one (buffered DELETE)
+    s.cypher("MATCH (n:cd) WHERE n.k <= 2 SET n.flag = 1")
+    s.cypher("MERGE (n:cd {k: 99})")
+    s.cypher("MATCH (n:cd {k: 5}) DELETE n")
+    val events = s.cypher(
+      s"CALL db.cdc.query('$cursor') YIELD op, entity, id, detail " +
+        "RETURN op, entity, id, detail").collect()
+    val byOp = events.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byOp == Map("u" -> 2, "c" -> 1, "d" -> 1), s"got $byOp")
+    assert(events.forall(_.getString(1) == "node"))
+    assert(events.forall(_.getString(3) == "cd"))
+    // a relationship MERGE lands on the edge side of the feed
+    s.cypher("MATCH (a:cd {k: 1}), (b:cd {k: 2}) MERGE (a)-[:CDR]->(b)")
+    val events2 = s.cypher(
+      s"CALL db.cdc.query('$cursor') YIELD op, entity, id, detail " +
+        "RETURN op, entity, id, detail").collect()
+    val rels = events2.filter(_.getString(1) == "relationship")
+    assert(rels.length == 1 && rels.head.getString(0) == "c" &&
+      rels.head.getString(3) == "CDR")
+    // a save folds the overlay into a new base: the old cursor is a
+    // different epoch now and must refuse loudly
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    s.saveDatabase(tmp)
+    intercept[IllegalStateException] {
+      s.cypher(s"CALL db.cdc.query('$cursor') YIELD op RETURN op").collect()
+    }
+    // and a fresh cursor over the new epoch reads an empty feed
+    val c2 = s.cypher("CALL db.cdc.earliest() YIELD id RETURN id")
+      .collect().head.getString(0)
+    assert(s.cypher(s"CALL db.cdc.query('$c2') YIELD op RETURN op")
+      .collect().isEmpty)
+    graft.core.SnapshotStore.deleteDir(tmp)
+  }
+
   test("apoc.periodic.commit drains a LIMIT-bounded delete loop") {
     val s = new GraftSession(spark)
     graft.procs.Packs.install(s, Seq("apoc"))
