@@ -713,6 +713,33 @@ object CypherQueries {
           "RETURN count(n) AS n_flagged, sum(n.s_suppkey) AS key_sum")
     },
 
+    // db.cdc change feed — updates/creates/deletes read O(delta) off
+    // the delta-log overlay and classified against the cursor's
+    // allocator watermark. Node ids are deterministic (key*10+tag for
+    // updates/deletes; creates are excluded from the id sum — their
+    // minted ids depend on the allocator), so the oracle is three
+    // closed-form rows.
+    sql("cy_cdc_feed",
+      """SELECT 'u' AS op,
+        |  CAST((SELECT count(*) FROM supplier WHERE s_suppkey <= 3) AS BIGINT) AS n,
+        |  CAST((SELECT sum(s_suppkey*10+5) FROM supplier WHERE s_suppkey <= 3)
+        |    AS BIGINT) AS id_sum
+        |UNION ALL SELECT 'c', CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+        |UNION ALL SELECT 'd', CAST(1 AS BIGINT), CAST(95 AS BIGINT)""".stripMargin) {
+      (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      val cur = gs.cypher("CALL db.cdc.earliest() YIELD id RETURN id")
+        .collect().head.getString(0)
+      gs.cypher("MATCH (v:supplier) WHERE v.s_suppkey <= 3 SET v.cdcflag = 1")
+      gs.cypher("UNWIND [7001, 7002] AS x MERGE (:cdcnew {k: x})")
+      gs.cypher("MATCH (v:supplier {s_suppkey: 9}) DETACH DELETE v")
+      gs.cypher(
+        s"CALL db.cdc.query('$cur') YIELD op, entity, id WHERE entity = 'node' " +
+          "RETURN op, count(*) AS n, " +
+          "sum(CASE WHEN op <> 'c' THEN id END) AS id_sum")
+    },
+
     // MERGE … RETURN — the upsert-then-read-back statement: first
     // call creates (ON CREATE), second matches (ON MATCH increments),
     // the returned row reflects the post-write state each time.
