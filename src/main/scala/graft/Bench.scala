@@ -218,10 +218,14 @@ object Bench {
       // frontier (customers+suppliers of one region) grows linearly
       // with table volume, and each level is one keyed join — the
       // slope should track the frontier, never the pair blow-up
+      // cy_cdc_feed probes the change-feed claim: the mutation burst
+      // is buffered and the feed reads the delta overlay alone, so
+      // ×10 table volume should move only the pruned lookups
       val probed = Seq("dedup_clusters", "dedup_minhash_lsh",
         "stream_stream_join", "gds_degree", "gds_pagerank",
         "ann_pq_adc", "text_lm_score", "cy_call_in_tx",
-        "cy_rel_upsert_burst", "cy_delete_burst", "apoc_subgraph_nodes")
+        "cy_rel_upsert_burst", "cy_delete_burst", "apoc_subgraph_nodes",
+        "cy_cdc_feed")
       val byName = SparkEntry.catalog.map(q => q.name -> q).toMap
       // STEADY-STATE probe (r11 verdict #2): the replica dir is built
       // once; the query runs twice and the SECOND run is the reported

@@ -260,7 +260,7 @@ final class GraftSession(val spark: SparkSession,
   // forms refuse loudly — a silently-ignored EXISTS constraint would
   // be a silent wrong answer.
   private val CreateConstraintDdl =
-    """(?is)\s*CREATE\s+CONSTRAINT\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*(\w+)\s*:\s*(\w+)\s*\)\s*REQUIRE\s+\w+\.(\w+)\s+IS\s+(?:UNIQUE|NODE\s+KEY)\s*""".r
+    """(?is)\s*CREATE\s+CONSTRAINT\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*(\w+)\s*:\s*(\w+)\s*\)\s*REQUIRE\s+\w+\.(\w+)\s+IS\s+(UNIQUE|NODE\s+KEY|NOT\s+NULL)\s*""".r
   private val DropConstraintDdl =
     """(?is)\s*DROP\s+CONSTRAINT\s+(\w+)\s*(?:(IF)\s+EXISTS\s*)?""".r
   private val ShowConstraintsQ =
@@ -415,14 +415,23 @@ final class GraftSession(val spark: SparkSession,
     h.shadows.foreach { case (name, sh) =>
       if (h.mutated.contains(name) && catalog.listDatabases.contains(name)) {
         val d = catalog.database(name)
-        d.constraints.foreach { case (cname, (label, prop)) =>
-          uniquenessViolation(sh.graph, label, prop).foreach { v =>
-            discardTx(h)
-            throw new IllegalStateException(
-              s"Commit refused: node already exists with label `$label` and " +
-                s"property `$prop` = $v (uniqueness constraint `$cname`); " +
-                "transaction rolled back")
-          }
+        d.constraints.foreach { case (cname, (label, prop, ctype)) =>
+          if (ctype != "NODE_PROPERTY_EXISTENCE")
+            uniquenessViolation(sh.graph, label, prop).foreach { v =>
+              discardTx(h)
+              throw new IllegalStateException(
+                s"Commit refused: node already exists with label `$label` and " +
+                  s"property `$prop` = $v (uniqueness constraint `$cname`); " +
+                  "transaction rolled back")
+            }
+          if (ctype != "UNIQUENESS")
+            existenceViolation(sh.graph, label, prop).foreach { id =>
+              discardTx(h)
+              throw new IllegalStateException(
+                s"Commit refused: Node($id) with label `$label` must have the " +
+                  s"property `$prop` (existence constraint `$cname`); " +
+                  "transaction rolled back")
+            }
         }
       }
     }
@@ -487,17 +496,25 @@ final class GraftSession(val spark: SparkSession,
     * The scan is one hash aggregate over the constrained label only;
     * LIMIT 1 bounds the driver materialization to the witness row. */
   private def createConstraint(db0: GraphDatabase, name: String,
-      ifNotExists: Boolean, label: String, prop: String): DataFrame = {
+      ifNotExists: Boolean, label: String, prop: String,
+      ctype: String): DataFrame = {
     if (db0.constraints.contains(name)) {
       if (ifNotExists) return unit()
       throw new IllegalStateException(s"An equivalent constraint already exists: $name")
     }
-    uniquenessViolation(db0.graph, label, prop).foreach { v =>
-      throw new IllegalStateException(
-        s"Unable to create constraint `$name`: both existing nodes have label " +
-          s"`$label` and property `$prop` = $v")
-    }
-    db0.constraints.putIfAbsent(name, (label, prop))
+    if (ctype != "NODE_PROPERTY_EXISTENCE")
+      uniquenessViolation(db0.graph, label, prop).foreach { v =>
+        throw new IllegalStateException(
+          s"Unable to create constraint `$name`: both existing nodes have label " +
+            s"`$label` and property `$prop` = $v")
+      }
+    if (ctype != "UNIQUENESS")
+      existenceViolation(db0.graph, label, prop).foreach { id =>
+        throw new IllegalStateException(
+          s"Unable to create constraint `$name`: Node($id) with label `$label` " +
+            s"has no property `$prop`")
+      }
+    db0.constraints.putIfAbsent(name, (label, prop, ctype))
     unit()
   }
 
@@ -510,6 +527,19 @@ final class GraftSession(val spark: SparkSession,
     g.nodes.filter(array_contains(col("labels"), lit(label)) && col(prop).isNotNull)
       .groupBy(col(prop)).agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
       .limit(1).collect().headOption.map(_.get(0))
+  }
+
+  /** First `label` node violating property EXISTENCE (prop null or the
+    * column absent altogether), if any — one label-pruned filter,
+    * LIMIT 1 bounds the driver materialization to the witness. */
+  private def existenceViolation(g: PropertyGraph, label: String,
+      prop: String): Option[Long] = {
+    import org.apache.spark.sql.functions.{array_contains, col, lit}
+    val labeled = g.nodes.filter(array_contains(col("labels"), lit(label)))
+    val bad =
+      if (!g.nodes.columns.contains(prop)) labeled
+      else labeled.filter(col(prop).isNull)
+    bad.select(col("id")).limit(1).collect().headOption.map(_.getLong(0))
   }
 
   /** Wrap a mutation with uniqueness enforcement: on violation the
@@ -525,13 +555,21 @@ final class GraftSession(val spark: SparkSession,
     if (meta.constraints.isEmpty) return body
     val pre = target.graph
     val out = body
-    meta.constraints.foreach { case (name, (label, prop)) =>
-      uniquenessViolation(target.graph, label, prop).foreach { v =>
-        target.graph = pre
-        throw new IllegalStateException(
-          s"Node already exists with label `$label` and property `$prop` = $v " +
-            s"(uniqueness constraint `$name`); statement rolled back")
-      }
+    meta.constraints.foreach { case (name, (label, prop, ctype)) =>
+      if (ctype != "NODE_PROPERTY_EXISTENCE")
+        uniquenessViolation(target.graph, label, prop).foreach { v =>
+          target.graph = pre
+          throw new IllegalStateException(
+            s"Node already exists with label `$label` and property `$prop` = $v " +
+              s"(uniqueness constraint `$name`); statement rolled back")
+        }
+      if (ctype != "UNIQUENESS")
+        existenceViolation(target.graph, label, prop).foreach { id =>
+          target.graph = pre
+          throw new IllegalStateException(
+            s"Node($id) with label `$label` must have the property `$prop` " +
+              s"(existence constraint `$name`); statement rolled back")
+        }
     }
     out
   }
@@ -551,8 +589,8 @@ final class GraftSession(val spark: SparkSession,
       if (isIndex) db0.indexes.toSeq.sortBy(_._1).map { case (name, (label, prop, kind)) =>
         Row(name, "ONLINE", kind, label, prop)
       }
-      else db0.constraints.toSeq.sortBy(_._1).map { case (name, (label, prop)) =>
-        Row(name, "UNIQUENESS", "NODE", label, prop)
+      else db0.constraints.toSeq.sortBy(_._1).map { case (name, (label, prop, ctype)) =>
+        Row(name, ctype, "NODE", label, prop)
       }
     val cols =
       if (isIndex) Seq("name", "state", "type", "labelsOrTypes", "properties")
@@ -593,9 +631,15 @@ final class GraftSession(val spark: SparkSession,
         throw new NoSuchElementException(s"no such database: $name")
       unit()
     case AlterPw(from, to) => changePassword(from, to); unit()
-    case CreateConstraintDdl(name, ifNot, _, label, prop) =>
+    case CreateConstraintDdl(name, ifNot, _, label, prop, kind) =>
       requireNoTx(tx, "CREATE CONSTRAINT")
-      createConstraint(catalog.database(database), name, ifNot != null, label, prop)
+      val ctype = kind.toUpperCase.replaceAll("\\s+", " ") match {
+        case "UNIQUE"   => "UNIQUENESS"
+        case "NOT NULL" => "NODE_PROPERTY_EXISTENCE"
+        case _          => "NODE_KEY" // NODE KEY = unique AND existing
+      }
+      createConstraint(catalog.database(database), name, ifNot != null, label, prop,
+        ctype)
     case DropConstraintDdl(name, ifExists) =>
       requireNoTx(tx, "DROP CONSTRAINT")
       val db0 = catalog.database(database)

@@ -142,7 +142,7 @@ final class GraphDatabase(val name: String) {
     * the kind (RANGE | TEXT | POINT | VECTOR | FULLTEXT).
     * Transaction shadows never carry entries: enforcement always
     * reads the REAL database's map. */
-  val constraints = TrieMap.empty[String, (String, String)]
+  val constraints = TrieMap.empty[String, (String, String, String)]
   val indexes = TrieMap.empty[String, (String, String, String)]
 
   /** DataFrames persisted by mutations whose cached RDDs the current

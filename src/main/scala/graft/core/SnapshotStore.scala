@@ -29,10 +29,15 @@ object SnapshotStore {
     * relationship eid written by INCREMENTAL saves (the delta-log
     * analog of the reference's transaction logs under
     * /data/transactions, docker-entrypoint.sh:521-532): an unchanged
-    * base is never rewritten; readers fold base ⟵anti⟶ delta ∪ delta.
+    * base is never rewritten; readers fold base ⟵anti⟶ delta ∪ delta;
+    * v6: constraint entries gain a type (UNIQUENESS |
+    * NODE_PROPERTY_EXISTENCE | NODE_KEY) so existence constraints
+    * survive dump/load — pre-v6 2-element arrays read as the legacy
+    * UNIQUENESS, the same tolerant-then-canonicalize migration the
+    * index kinds got at v3.
     * Older snapshots upgrade IN PLACE on first read, the reference's
     * store-migration-on-startup behavior (ref TestUpgrade.java:54-73). */
-  val FormatVersion = 5
+  val FormatVersion = 6
 
   /** Stats of the PURE base parquet (no overlay), sealed at the full
     * write that produced it: row counts plus the id-allocator
@@ -60,9 +65,9 @@ object SnapshotStore {
       base: Option[BaseStats] = None)
 
   /** Schema metadata riding with a snapshot: constraints name ->
-    * (label, prop); indexes name -> (label, prop, kind). */
+    * (label, prop, type); indexes name -> (label, prop, kind). */
   final case class SchemaMeta(
-      constraints: Map[String, (String, String)],
+      constraints: Map[String, (String, String, String)],
       indexes: Map[String, (String, String, String)])
   object SchemaMeta { val empty: SchemaMeta = SchemaMeta(Map.empty, Map.empty) }
 
@@ -344,10 +349,7 @@ object SnapshotStore {
     * manifest at its target version — the commit point — so a crash
     * mid-upgrade re-runs only the remaining idempotent steps. */
   private def migrateInPlace(spark: SparkSession, dir: String, m: Manifest): Manifest = {
-    // migration steps may rewrite base data (v3→v4 renumbers edges),
-    // so any sealed base stats are stale: drop them — the next
-    // incremental save re-seals with one recount
-    var cur = m.copy(base = None)
+    var cur = m
     while (cur.formatVersion < FormatVersion) {
       cur.formatVersion match {
         case 0 => // v0→v1: materialize the synthesized manifest
@@ -361,48 +363,25 @@ object SnapshotStore {
           // file through schemaJson canonicalizes it to 3 elements.
           Files.writeString(Paths.get(s"$dir/schema.json"),
             schemaJson(readSchema(dir)))
-        case 3 => // v3→v4: edges gain surrogate eids. Deterministic
-          // distributed numbering (range-partitioned total order on
-          // the full row, zipWithIndex per partition — no one-task
-          // global sort) from BASE 0 of the fresh relationship-id
-          // space — matching readManifest's pre-v4 default of
-          // next_rel_id = edge_count, so a crash between the edge swap
-          // and the manifest bump re-runs against consistent numbers.
-          // Idempotent: an edge set already carrying eid (that crash
-          // window) is left as is, but next_rel_id is recomputed from
-          // the data (max eid + 1) rather than trusted from the stale
-          // pre-v4 default — a historical snapshot migrated by an
-          // older engine that numbered from edge_count would otherwise
-          // mint colliding eids. The rewrite stages in a temp sibling
-          // and swaps, same discipline as write().
-          val e = normalizeRelType(spark.read.parquet(s"$dir/edges"))
-          if (!e.columns.contains("eid")) {
-            import org.apache.spark.sql.functions.col
-            import org.apache.spark.sql.types.{LongType, StructField, StructType}
-            val keyCols = Seq("src", "dst", "relType").map(col)
-            val sorted = e.repartitionByRange(keyCols: _*)
-              .sortWithinPartitions(keyCols: _*)
-            val rnSchema = StructType(sorted.schema.fields :+
-              StructField("eid", LongType, nullable = false))
-            val withEid = spark.createDataFrame(
-              sorted.rdd.zipWithIndex.map { case (r, i) =>
-                org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, rnSchema)
-            val tmp = s"$dir/.tmp-migrate-edges"
-            deleteDir(tmp)
-            if (withEid.take(1).isEmpty) withEid.write.mode("overwrite").parquet(tmp)
-            else withEid.write.mode("overwrite").partitionBy("relType").parquet(tmp)
-            deleteDir(s"$dir/edges")
-            Files.move(Paths.get(tmp), Paths.get(s"$dir/edges"))
-            cur = cur.copy(nextRelId = cur.edgeCount)
-          } else {
-            import org.apache.spark.sql.functions.{max => smax}
-            val maxEid = e.agg(smax("eid")).collect().headOption
-              .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(-1L)
-            cur = cur.copy(nextRelId = math.max(cur.nextRelId, maxEid + 1))
+        case 3 => // v3→v4: edges gain surrogate eids — this step
+          // rewrites BASE data, so any sealed base stats are stale:
+          // drop them; the next incremental save re-seals with one
+          // recount. (Schema-only steps keep the stats — a v5→v6
+          // upgrade must not cost the next save an O(base) scan.)
+          cur = cur.copy(base = None)
+          migrateV3EdgeIds(spark, dir, cur) match {
+            case Some(rel) => cur = cur.copy(nextRelId = rel)
+            case None      => ()
           }
         case 4 => // v4→v5: nodes_delta/edges_delta are OPTIONAL —
           // absence means an all-in-base snapshot, so nothing rewrites
           ()
+        case 5 => // v5→v6: constraint entries gain a type (legacy =
+          // UNIQUENESS). readSchema tolerates 2-element arrays, so
+          // rewriting the file canonicalizes them — same idiom as
+          // the v2→v3 index-kind step.
+          Files.writeString(Paths.get(s"$dir/schema.json"),
+            schemaJson(readSchema(dir)))
         case v => throw new IllegalStateException(
           s"no migration from snapshot format $v at $dir")
       }
@@ -410,6 +389,49 @@ object SnapshotStore {
       Files.writeString(Paths.get(s"$dir/manifest.json"), manifestJson(cur))
     }
     cur
+  }
+
+  /** The v3→v4 edge-eid rewrite, factored out of [[migrateInPlace]]:
+    * deterministic distributed numbering (range-partitioned total
+    * order on the full row, zipWithIndex per partition — no one-task
+    * global sort) from BASE 0 of the fresh relationship-id space —
+    * matching readManifest's pre-v4 default of next_rel_id =
+    * edge_count, so a crash between the edge swap and the manifest
+    * bump re-runs against consistent numbers. Idempotent: an edge set
+    * already carrying eid (that crash window) is left as is, but
+    * next_rel_id is recomputed from the data (max eid + 1) rather
+    * than trusted from the stale pre-v4 default — a historical
+    * snapshot migrated by an older engine that numbered from
+    * edge_count would otherwise mint colliding eids. The rewrite
+    * stages in a temp sibling and swaps, same discipline as write().
+    * Returns the migrated next_rel_id. */
+  private def migrateV3EdgeIds(spark: SparkSession, dir: String,
+      cur: Manifest): Option[Long] = {
+    val e = normalizeRelType(spark.read.parquet(s"$dir/edges"))
+    if (!e.columns.contains("eid")) {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val keyCols = Seq("src", "dst", "relType").map(col)
+      val sorted = e.repartitionByRange(keyCols: _*)
+        .sortWithinPartitions(keyCols: _*)
+      val rnSchema = StructType(sorted.schema.fields :+
+        StructField("eid", LongType, nullable = false))
+      val withEid = spark.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, rnSchema)
+      val tmp = s"$dir/.tmp-migrate-edges"
+      deleteDir(tmp)
+      if (withEid.take(1).isEmpty) withEid.write.mode("overwrite").parquet(tmp)
+      else withEid.write.mode("overwrite").partitionBy("relType").parquet(tmp)
+      deleteDir(s"$dir/edges")
+      Files.move(Paths.get(tmp), Paths.get(s"$dir/edges"))
+      Some(cur.edgeCount)
+    } else {
+      import org.apache.spark.sql.functions.{max => smax}
+      val maxEid = e.agg(smax("eid")).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(-1L)
+      Some(math.max(cur.nextRelId, maxEid + 1))
+    }
   }
 
   /** Read the schema metadata of a (current-format) snapshot. Missing
@@ -425,18 +447,15 @@ object SnapshotStore {
       val end = text.indexOf('}', start)
       text.substring(start, if (end < 0) text.length else end)
     }
-    def pairs(name: String): Map[String, (String, String)] =
-      """"([^"]+)"\s*:\s*\[\s*"([^"]*)"\s*,\s*"([^"]*)"\s*\]""".r
-        .findAllMatchIn(sectionBody(name))
-        .map(m => m.group(1) -> (m.group(2), m.group(3))).toMap
-    // index arrays are [label, prop, kind] from v3; a 2-element array
-    // (pre-v3 file mid-migration) reads as the legacy RANGE kind
-    def triples(name: String): Map[String, (String, String, String)] =
+    // index arrays are [label, prop, kind] from v3, constraint arrays
+    // [label, prop, type] from v6; a 2-element array (pre-migration
+    // file) reads as the section's legacy default
+    def triples(name: String, default: String): Map[String, (String, String, String)] =
       """"([^"]+)"\s*:\s*\[\s*"([^"]*)"\s*,\s*"([^"]*)"\s*(?:,\s*"([^"]*)"\s*)?\]""".r
         .findAllMatchIn(sectionBody(name))
         .map(m => m.group(1) ->
-          (m.group(2), m.group(3), Option(m.group(4)).getOrElse("RANGE"))).toMap
-    SchemaMeta(pairs("constraints"), triples("indexes"))
+          (m.group(2), m.group(3), Option(m.group(4)).getOrElse(default))).toMap
+    SchemaMeta(triples("constraints", "UNIQUENESS"), triples("indexes", "RANGE"))
   }
 
   /** The one manifest serializer — every writer goes through it so
@@ -454,13 +473,10 @@ object SnapshotStore {
   }
 
   private def schemaJson(s: SchemaMeta): String = {
-    def sec(m: Map[String, (String, String)]): String =
-      m.toSeq.sortBy(_._1).map { case (n, (l, p)) =>
-        s""""$n": ["$l", "$p"]""" }.mkString("{", ", ", "}")
-    def secIdx(m: Map[String, (String, String, String)]): String =
+    def sec(m: Map[String, (String, String, String)]): String =
       m.toSeq.sortBy(_._1).map { case (n, (l, p, k)) =>
         s""""$n": ["$l", "$p", "$k"]""" }.mkString("{", ", ", "}")
-    s"""{"constraints": ${sec(s.constraints)}, "indexes": ${secIdx(s.indexes)}}"""
+    s"""{"constraints": ${sec(s.constraints)}, "indexes": ${sec(s.indexes)}}"""
   }
 
   def exists(dir: String): Boolean =

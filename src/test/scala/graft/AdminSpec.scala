@@ -511,6 +511,41 @@ class AdminSpec extends AnyFunSuite {
     }
   }
 
+  test("existence constraints round-trip; legacy 2-element schema arrays migrate (v5→v6)") {
+    val data = tmp("graft-data")
+    val s = dogsSession()
+    s.cypher("CREATE CONSTRAINT uniq_v6 FOR (d:dog) REQUIRE d.name IS UNIQUE")
+    s.cypher("CREATE CONSTRAINT exist_v6 FOR (d:dog) REQUIRE d.name IS NOT NULL")
+    s.saveDatabase(data)
+    val snap = s"$data/databases/neo4j"
+    // simulate a v5-era snapshot: strip ONE constraint's type (the
+    // legacy 2-element array shape) and roll the manifest back; the
+    // first read must migrate in place and default it to UNIQUENESS
+    val schemaPath = java.nio.file.Paths.get(s"$snap/schema.json")
+    java.nio.file.Files.writeString(schemaPath,
+      java.nio.file.Files.readString(schemaPath)
+        .replaceFirst("""\"uniq_v6\": \["dog", "name", "UNIQUENESS"\]""",
+          """"uniq_v6": ["dog", "name"]"""))
+    val manPath = java.nio.file.Paths.get(s"$snap/manifest.json")
+    java.nio.file.Files.writeString(manPath,
+      java.nio.file.Files.readString(manPath)
+        .replace(s""""format_version": ${graft.core.SnapshotStore.FormatVersion}""",
+          "\"format_version\": 5"))
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(data)
+    val shown = fresh.cypher("SHOW CONSTRAINTS").collect()
+      .map(r => r.getString(0) -> r.getString(r.fieldIndex("type"))).toMap
+    assert(shown("uniq_v6") == "UNIQUENESS")
+    assert(shown("exist_v6") == "NODE_PROPERTY_EXISTENCE")
+    val m = graft.core.SnapshotStore.readManifest(snap)
+    assert(m.formatVersion == graft.core.SnapshotStore.FormatVersion)
+    // the schema-only migration kept the sealed base stats: later
+    // incremental saves stay O(delta) with no recount
+    assert(m.base.isDefined)
+    // enforcement post-migration: existence refuses a nameless dog
+    intercept[Exception] { fresh.cypher("CREATE (:dog {age: 1})") }
+  }
+
   test("incremental save is O(delta) end to end: a 30-row save reads NO base rows") {
     import graft.core.SnapshotStore
     val data = tmp("graft-odelta")

@@ -238,10 +238,26 @@ class CypherSpec extends AnyFunSuite {
     val bad = intercept[Exception](
       s.cypher("CREATE CONSTRAINT uniq2 FOR (d:dog) REQUIRE d.name IS UNIQUE"))
     assert(bad.getMessage.contains("Unable to create constraint"))
-    // unknown constraint forms refuse loudly instead of no-op
-    val uns = intercept[Exception](
-      s.cypher("CREATE CONSTRAINT c3 FOR (d:dog) REQUIRE d.name IS NOT NULL"))
-    assert(uns.getMessage.contains("unsupported"))
+    // existence constraint (schema v6): creation refuses over
+    // violating data (a dog with no name exists right now)
+    val exBad = intercept[Exception](
+      s.cypher("CREATE CONSTRAINT name_exists FOR (d:dog) REQUIRE d.name IS NOT NULL"))
+    assert(exBad.getMessage.contains("has no property"))
+    s.cypher("MATCH (d:dog) WHERE d.name IS NULL DETACH DELETE d")
+    s.cypher("CREATE CONSTRAINT name_exists FOR (d:dog) REQUIRE d.name IS NOT NULL")
+    // a nameless dog is refused and the statement rolls back
+    val exViol = intercept[Exception](s.cypher("CREATE (:dog {age: 3})"))
+    assert(exViol.getMessage.contains("name_exists"))
+    // other labels stay exempt
+    s.cypher("CREATE (:cat {age: 3})")
+    val shown = s.cypher("SHOW CONSTRAINTS").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("type"))).toMap
+    assert(shown("name_exists") == "NODE_PROPERTY_EXISTENCE")
+    // NODE KEY = unique AND existing: refused over the duplicate Arnes
+    val nk = intercept[Exception](
+      s.cypher("CREATE CONSTRAINT dog_key FOR (d:dog) REQUIRE d.name IS NODE KEY"))
+    assert(nk.getMessage.contains("Unable to create constraint"))
+    s.cypher("DROP CONSTRAINT name_exists")
   }
 
   test("constraints gate transactional writes; schema DDL refuses inside a transaction") {
