@@ -261,6 +261,10 @@ final class GraftSession(val spark: SparkSession,
   // be a silent wrong answer.
   private val CreateConstraintDdl =
     """(?is)\s*CREATE\s+CONSTRAINT\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*(\w+)\s*:\s*(\w+)\s*\)\s*REQUIRE\s+\w+\.(\w+)\s+IS\s+(UNIQUE|NODE\s+KEY|NOT\s+NULL)\s*""".r
+  // relationship property constraints (Neo4j 5.7+):
+  // CREATE CONSTRAINT n FOR ()-[r:T]-() REQUIRE r.p IS UNIQUE|NOT NULL
+  private val CreateRelConstraintDdl =
+    """(?is)\s*CREATE\s+CONSTRAINT\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*\)\s*-\s*\[\s*(\w+)\s*:\s*(\w+)\s*\]\s*-\s*\(\s*\)\s*REQUIRE\s+\w+\.(\w+)\s+IS\s+(UNIQUE|RELATIONSHIP\s+KEY|NOT\s+NULL)\s*""".r
   private val DropConstraintDdl =
     """(?is)\s*DROP\s+CONSTRAINT\s+(\w+)\s*(?:(IF)\s+EXISTS\s*)?""".r
   private val ShowConstraintsQ =
@@ -416,22 +420,11 @@ final class GraftSession(val spark: SparkSession,
       if (h.mutated.contains(name) && catalog.listDatabases.contains(name)) {
         val d = catalog.database(name)
         d.constraints.foreach { case (cname, (label, prop, ctype)) =>
-          if (ctype != "NODE_PROPERTY_EXISTENCE")
-            uniquenessViolation(sh.graph, label, prop).foreach { v =>
-              discardTx(h)
-              throw new IllegalStateException(
-                s"Commit refused: node already exists with label `$label` and " +
-                  s"property `$prop` = $v (uniqueness constraint `$cname`); " +
-                  "transaction rolled back")
-            }
-          if (ctype != "UNIQUENESS")
-            existenceViolation(sh.graph, label, prop).foreach { id =>
-              discardTx(h)
-              throw new IllegalStateException(
-                s"Commit refused: Node($id) with label `$label` must have the " +
-                  s"property `$prop` (existence constraint `$cname`); " +
-                  "transaction rolled back")
-            }
+          constraintViolation(sh.graph, cname, label, prop, ctype).foreach { msg =>
+            discardTx(h)
+            throw new IllegalStateException(
+              s"Commit refused: $msg; transaction rolled back")
+          }
         }
       }
     }
@@ -502,18 +495,10 @@ final class GraftSession(val spark: SparkSession,
       if (ifNotExists) return unit()
       throw new IllegalStateException(s"An equivalent constraint already exists: $name")
     }
-    if (ctype != "NODE_PROPERTY_EXISTENCE")
-      uniquenessViolation(db0.graph, label, prop).foreach { v =>
-        throw new IllegalStateException(
-          s"Unable to create constraint `$name`: both existing nodes have label " +
-            s"`$label` and property `$prop` = $v")
-      }
-    if (ctype != "UNIQUENESS")
-      existenceViolation(db0.graph, label, prop).foreach { id =>
-        throw new IllegalStateException(
-          s"Unable to create constraint `$name`: Node($id) with label `$label` " +
-            s"has no property `$prop`")
-      }
+    constraintViolation(db0.graph, name, label, prop, ctype).foreach { msg =>
+      throw new IllegalStateException(
+        s"Unable to create constraint `$name`: existing data violates it — $msg")
+    }
     db0.constraints.putIfAbsent(name, (label, prop, ctype))
     unit()
   }
@@ -542,6 +527,68 @@ final class GraftSession(val spark: SparkSession,
     bad.select(col("id")).limit(1).collect().headOption.map(_.getLong(0))
   }
 
+  /** Relationship mirrors of the two violation probes — one
+    * relType-pruned scan each (partition-prunable on snapshot-backed
+    * edge sets, which hive-partition by relType). */
+  private def relUniquenessViolation(g: PropertyGraph, relType: String,
+      prop: String): Option[Any] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    if (!g.edges.columns.contains(prop)) return None
+    g.edges.filter(col("relType") === lit(relType) && col(prop).isNotNull)
+      .groupBy(col(prop)).agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+      .limit(1).collect().headOption.map(_.get(0))
+  }
+
+  private def relExistenceViolation(g: PropertyGraph, relType: String,
+      prop: String): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val typed = g.edges.filter(col("relType") === lit(relType))
+    val bad =
+      if (!g.edges.columns.contains(prop)) typed
+      else typed.filter(col(prop).isNull)
+    bad.select(col("src"), col("dst")).limit(1).collect().headOption
+      .map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  /** One constraint evaluated against a graph: Some(violation message
+    * core) when violated. The type string picks the family — node
+    * (UNIQUENESS / NODE_PROPERTY_EXISTENCE / NODE_KEY, label-keyed)
+    * or relationship (REL_* mirrors, relType-keyed); KEY types
+    * enforce both probes. */
+  private def constraintViolation(g: PropertyGraph, name: String,
+      label: String, prop: String, ctype: String): Option[String] = ctype match {
+    case "UNIQUENESS" | "NODE_KEY" | "NODE_PROPERTY_EXISTENCE" =>
+      val uniq =
+        if (ctype != "NODE_PROPERTY_EXISTENCE")
+          uniquenessViolation(g, label, prop).map(v =>
+            s"node already exists with label `$label` and property `$prop` = $v " +
+              s"(uniqueness constraint `$name`)")
+        else None
+      uniq.orElse {
+        if (ctype != "UNIQUENESS")
+          existenceViolation(g, label, prop).map(id =>
+            s"Node($id) with label `$label` must have the property `$prop` " +
+              s"(existence constraint `$name`)")
+        else None
+      }
+    case "REL_UNIQUENESS" | "REL_KEY" | "REL_PROPERTY_EXISTENCE" =>
+      val uniq =
+        if (ctype != "REL_PROPERTY_EXISTENCE")
+          relUniquenessViolation(g, label, prop).map(v =>
+            s"relationship already exists with type `$label` and property " +
+              s"`$prop` = $v (uniqueness constraint `$name`)")
+        else None
+      uniq.orElse {
+        if (ctype != "REL_UNIQUENESS")
+          relExistenceViolation(g, label, prop).map { case (s0, d0) =>
+            s"Relationship($s0)-[:$label]->($d0) must have the property " +
+              s"`$prop` (existence constraint `$name`)"
+          }
+        else None
+      }
+    case other => Some(s"unknown constraint type `$other` (constraint `$name`)")
+  }
+
   /** Wrap a mutation with uniqueness enforcement: on violation the
     * graph pointer is restored to the pre-statement snapshot (the
     * immutable-snapshot design makes statement rollback a pointer
@@ -556,20 +603,10 @@ final class GraftSession(val spark: SparkSession,
     val pre = target.graph
     val out = body
     meta.constraints.foreach { case (name, (label, prop, ctype)) =>
-      if (ctype != "NODE_PROPERTY_EXISTENCE")
-        uniquenessViolation(target.graph, label, prop).foreach { v =>
-          target.graph = pre
-          throw new IllegalStateException(
-            s"Node already exists with label `$label` and property `$prop` = $v " +
-              s"(uniqueness constraint `$name`); statement rolled back")
-        }
-      if (ctype != "UNIQUENESS")
-        existenceViolation(target.graph, label, prop).foreach { id =>
-          target.graph = pre
-          throw new IllegalStateException(
-            s"Node($id) with label `$label` must have the property `$prop` " +
-              s"(existence constraint `$name`); statement rolled back")
-        }
+      constraintViolation(target.graph, name, label, prop, ctype).foreach { msg =>
+        target.graph = pre
+        throw new IllegalStateException(s"$msg; statement rolled back")
+      }
     }
     out
   }
@@ -590,7 +627,10 @@ final class GraftSession(val spark: SparkSession,
         Row(name, "ONLINE", kind, label, prop)
       }
       else db0.constraints.toSeq.sortBy(_._1).map { case (name, (label, prop, ctype)) =>
-        Row(name, ctype, "NODE", label, prop)
+        if (ctype.startsWith("REL_"))
+          Row(name, "RELATIONSHIP_" + ctype.stripPrefix("REL_"), "RELATIONSHIP",
+            label, prop)
+        else Row(name, ctype, "NODE", label, prop)
       }
     val cols =
       if (isIndex) Seq("name", "state", "type", "labelsOrTypes", "properties")
@@ -639,6 +679,15 @@ final class GraftSession(val spark: SparkSession,
         case _          => "NODE_KEY" // NODE KEY = unique AND existing
       }
       createConstraint(catalog.database(database), name, ifNot != null, label, prop,
+        ctype)
+    case CreateRelConstraintDdl(name, ifNot, _, relType, prop, kind) =>
+      requireNoTx(tx, "CREATE CONSTRAINT")
+      val ctype = kind.toUpperCase.replaceAll("\\s+", " ") match {
+        case "UNIQUE"   => "REL_UNIQUENESS"
+        case "NOT NULL" => "REL_PROPERTY_EXISTENCE"
+        case _          => "REL_KEY"
+      }
+      createConstraint(catalog.database(database), name, ifNot != null, relType, prop,
         ctype)
     case DropConstraintDdl(name, ifExists) =>
       requireNoTx(tx, "DROP CONSTRAINT")

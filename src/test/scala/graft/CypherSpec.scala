@@ -242,7 +242,7 @@ class CypherSpec extends AnyFunSuite {
     // violating data (a dog with no name exists right now)
     val exBad = intercept[Exception](
       s.cypher("CREATE CONSTRAINT name_exists FOR (d:dog) REQUIRE d.name IS NOT NULL"))
-    assert(exBad.getMessage.contains("has no property"))
+    assert(exBad.getMessage.contains("must have the property"))
     s.cypher("MATCH (d:dog) WHERE d.name IS NULL DETACH DELETE d")
     s.cypher("CREATE CONSTRAINT name_exists FOR (d:dog) REQUIRE d.name IS NOT NULL")
     // a nameless dog is refused and the statement rolls back
@@ -258,6 +258,31 @@ class CypherSpec extends AnyFunSuite {
       s.cypher("CREATE CONSTRAINT dog_key FOR (d:dog) REQUIRE d.name IS NODE KEY"))
     assert(nk.getMessage.contains("Unable to create constraint"))
     s.cypher("DROP CONSTRAINT name_exists")
+  }
+
+  test("relationship property constraints: uniqueness and existence over a relType") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:acc {k: 1})-[:PAID {ref: 'a'}]->(:acc {k: 2})")
+    s.cypher("CREATE CONSTRAINT paid_ref FOR ()-[r:PAID]-() REQUIRE r.ref IS UNIQUE")
+    s.cypher("CREATE CONSTRAINT paid_has FOR ()-[r:PAID]-() REQUIRE r.ref IS NOT NULL")
+    val shown = s.cypher("SHOW CONSTRAINTS").collect()
+      .map(r => r.getString(0) -> (r.getString(r.fieldIndex("type")),
+        r.getString(r.fieldIndex("entityType")))).toMap
+    assert(shown("paid_ref") == ("RELATIONSHIP_UNIQUENESS", "RELATIONSHIP"))
+    assert(shown("paid_has") == ("RELATIONSHIP_PROPERTY_EXISTENCE", "RELATIONSHIP"))
+    // duplicate ref refused, statement rolled back
+    val dup = intercept[Exception](
+      s.cypher("MATCH (a:acc {k: 1}), (b:acc {k: 2}) CREATE (a)-[:PAID {ref: 'a'}]->(b)"))
+    assert(dup.getMessage.contains("paid_ref"))
+    assert(s.graph().edges.count() == 1)
+    // a ref-less PAID refused by existence
+    val miss = intercept[Exception](
+      s.cypher("MATCH (a:acc {k: 1}), (b:acc {k: 2}) CREATE (a)-[:PAID {amt: 1}]->(b)"))
+    assert(miss.getMessage.contains("paid_has"))
+    // fresh ref and other relTypes insert fine
+    s.cypher("MATCH (a:acc {k: 1}), (b:acc {k: 2}) CREATE (a)-[:PAID {ref: 'b'}]->(b)")
+    s.cypher("MATCH (a:acc {k: 1}), (b:acc {k: 2}) CREATE (a)-[:SAW]->(b)")
+    assert(s.graph().edges.count() == 3)
   }
 
   test("constraints gate transactional writes; schema DDL refuses inside a transaction") {
