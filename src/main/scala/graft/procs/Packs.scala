@@ -277,6 +277,38 @@ object Packs {
       procs.oneRow("batches" -> batches, "total" -> total,
         "failedBatches" -> failed, "errorMessages" -> errs.mkString("; "))
     }
+    // apoc.cypher.run — a DYNAMIC read statement (statements built at
+    // runtime: introspection dashboards, generic tooling). Documented
+    // divergence: APOC yields each row as a MAP `value`; this engine's
+    // map values are typed structs whose shape must be known at
+    // compile time, so the dynamic row serializes to a JSON text
+    // `value` instead. Mutating statements refuse loudly (APOC's
+    // run() is read-only too; apoc.periodic.iterate is the write
+    // driver).
+    procs.register("apoc.cypher.run",
+      "(statement :: STRING, params :: MAP?) :: (value)",
+      "Run a dynamic read statement; each row yields as a JSON text value") { args =>
+      import org.apache.spark.sql.functions.{col, struct, to_json}
+      val stmt = String.valueOf(args.head)
+      val params = args.lift(1) match {
+        case Some(m: collection.Map[_, _]) =>
+          m.asInstanceOf[collection.Map[String, Any]].toMap
+        case _ => Map.empty[String, Any]
+      }
+      val parsed = graft.cypher.CypherParser.parse(stmt)
+      val mutates = parsed.clauses.exists {
+        case _: graft.cypher.ast.Create | _: graft.cypher.ast.SetProps |
+             _: graft.cypher.ast.RemoveProps | _: graft.cypher.ast.SetLabels |
+             _: graft.cypher.ast.Delete | _: graft.cypher.ast.Merge |
+             _: graft.cypher.ast.Foreach => true
+        case _ => false
+      }
+      if (mutates) throw new UnsupportedOperationException(
+        "apoc.cypher.run is read-only — drive writes through " +
+          "apoc.periodic.iterate / apoc.periodic.commit")
+      val df = session.cypher(stmt, params)
+      df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+    }
     // apoc.periodic.commit — loop a SELF-BOUNDED mutating statement
     // until it reports no more work (APOC's contract: the statement
     // bounds itself, canonically `MATCH … WITH n LIMIT $k … DELETE n

@@ -537,6 +537,21 @@ class PacksSpec extends AnyFunSuite {
     assert(cs.map(_.getLong(0)).toSeq == Seq(0L, 1L))
   }
 
+  test("apoc.cypher.run yields dynamic rows as JSON text; writes refuse") {
+    val s = new GraftSession(spark)
+    Packs.install(s, Seq("apoc"))
+    s.cypher("CREATE (:dyn {k: 1}), (:dyn {k: 2})")
+    val rows = s.cypher(
+      "CALL apoc.cypher.run('MATCH (n:dyn) RETURN n.k AS k ORDER BY k') " +
+        "YIELD value RETURN value").collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("""{"k":1}""", """{"k":2}"""))
+    val err = intercept[Exception] {
+      s.cypher("CALL apoc.cypher.run('CREATE (:dyn {k: 3})') YIELD value RETURN value")
+        .collect()
+    }
+    assert(err.getMessage.contains("read-only"))
+  }
+
   test("apoc.periodic.iterate: batched drive, bulk statement per batch, failures counted") {
     val s = sessionWith("apoc")
     s.cypher("UNWIND range(1, 7) AS i CREATE (:src {k: i})")
