@@ -309,6 +309,22 @@ object Packs {
       val df = session.cypher(stmt, params)
       df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
     }
+    // apoc.cypher.doIt — the WRITE variant: same dynamic dispatch, the
+    // statement may mutate (it commits through the ordinary mutation
+    // paths, delta-shaped where they are)
+    procs.register("apoc.cypher.doIt",
+      "(statement :: STRING, params :: MAP?) :: (value)",
+      "Run a dynamic statement (writes allowed); rows yield as JSON text") { args =>
+      import org.apache.spark.sql.functions.{col, struct, to_json}
+      val stmt = String.valueOf(args.head)
+      val params = args.lift(1) match {
+        case Some(m: collection.Map[_, _]) =>
+          m.asInstanceOf[collection.Map[String, Any]].toMap
+        case _ => Map.empty[String, Any]
+      }
+      val df = session.cypher(stmt, params)
+      df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+    }
     // apoc.periodic.commit — loop a SELF-BOUNDED mutating statement
     // until it reports no more work (APOC's contract: the statement
     // bounds itself, canonically `MATCH … WITH n LIMIT $k … DELETE n

@@ -550,6 +550,11 @@ class PacksSpec extends AnyFunSuite {
         .collect()
     }
     assert(err.getMessage.contains("read-only"))
+    // the doIt variant writes
+    s.cypher("CALL apoc.cypher.doIt('CREATE (:dyn {k: 3})') YIELD value RETURN value")
+      .collect()
+    assert(s.cypher("MATCH (n:dyn) RETURN count(n) AS c")
+      .collect().head.getLong(0) == 3L)
   }
 
   test("apoc.periodic.iterate: batched drive, bulk statement per batch, failures counted") {
