@@ -3571,6 +3571,29 @@ final class GraftSession(val spark: SparkSession,
       "DBMS components") { _ =>
       procedures.oneRow("name" -> "graft", "versions" -> "5.26.0", "edition" -> "community")
     }
+    // the routing handshake every neo4j://-scheme driver performs on
+    // connect (the reference's clustering tests exercise it; ref
+    // causal-cluster-compose.yml routes through it). Single-server
+    // deployment: this server serves WRITE, READ, and ROUTE — on a
+    // Spark cluster the EXECUTORS are the scale-out layer, so the
+    // routing table stays one logical endpoint (documented divergence
+    // from multi-member Raft routing).
+    procedures.register("dbms.routing.getRoutingTable",
+      "(context :: MAP?, database :: STRING?) :: (ttl, servers)",
+      "Single-server routing table: this server serves all three roles") { _ =>
+      import org.apache.spark.sql.types.{ArrayType, LongType}
+      val resolved = config.map(_.resolved()).getOrElse(Map.empty) ++ settings
+      val raw = resolved.getOrElse("server.default_advertised_address",
+        resolved.getOrElse("server.default_listen_address", "localhost"))
+      val addr = if (raw.contains(":")) raw else s"$raw:7687"
+      val servers = Seq("WRITE", "READ", "ROUTE").map(r => Row(Seq(addr), r))
+      val schema = StructType(Seq(
+        StructField("ttl", LongType),
+        StructField("servers", ArrayType(StructType(Seq(
+          StructField("addresses", ArrayType(StringType)),
+          StructField("role", StringType)))))))
+      spark.createDataFrame(javaList(Seq(Row(300L, servers))), schema)
+    }
     procedures.register("db.labels", "() :: (label)", "All node labels") { _ =>
       import org.apache.spark.sql.functions.{col, explode}
       graph().nodes.select(explode(col("labels")).as("label")).distinct().orderBy("label")

@@ -537,6 +537,17 @@ class PacksSpec extends AnyFunSuite {
     assert(cs.map(_.getLong(0)).toSeq == Seq(0L, 1L))
   }
 
+  test("dbms.routing.getRoutingTable: single-server table serves all three roles") {
+    val s = new GraftSession(spark)
+    val r = s.cypher(
+      "CALL dbms.routing.getRoutingTable({}, 'neo4j') YIELD ttl, servers " +
+        "RETURN ttl, servers").collect().head
+    assert(r.getLong(0) > 0)
+    val entries = r.getSeq[org.apache.spark.sql.Row](1)
+    assert(entries.map(_.getString(1)).toSet == Set("WRITE", "READ", "ROUTE"))
+    assert(entries.forall(_.getSeq[String](0).nonEmpty))
+  }
+
   test("apoc.cypher.run yields dynamic rows as JSON text; writes refuse") {
     val s = new GraftSession(spark)
     Packs.install(s, Seq("apoc"))
