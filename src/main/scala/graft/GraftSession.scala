@@ -3638,6 +3638,52 @@ final class GraftSession(val spark: SparkSession,
         .select(lit(g.nodes.count()).as("nodeCount"), lit(g.edges.count()).as("relCount"),
           col("labels"))
     }
+    // apoc.meta.schema — the introspection map dashboards/tooling
+    // build UIs from: per label (and per relType), which properties
+    // appear and their Cypher type. One grouped aggregate per side —
+    // count(col) per property column, label-exploded — so the scan is
+    // single-pass however many labels exist; the per-row JSON builds
+    // on the driver over the (small) label list. Divergence from
+    // APOC's nested-MAP value documented at apoc.cypher.run: the map
+    // serializes as JSON text.
+    procedures.register("apoc.meta.schema", "() :: (name, entityType, properties)",
+      "Property map per label / relType (property -> Cypher type) as JSON text") { _ =>
+      import org.apache.spark.sql.functions.{col, count, explode}
+      import org.apache.spark.sql.types._
+      val g = graph()
+      def cyType(t: DataType): String = t match {
+        case LongType | IntegerType | ShortType | ByteType => "INTEGER"
+        case DoubleType | FloatType | _: DecimalType       => "FLOAT"
+        case StringType                                    => "STRING"
+        case BooleanType                                   => "BOOLEAN"
+        case DateType                                      => "DATE"
+        case _: TimestampType                              => "DATETIME"
+        case _: ArrayType                                  => "LIST"
+        case _: StructType                                 => "MAP"
+        case other                                         => other.simpleString.toUpperCase
+      }
+      def side(df: org.apache.spark.sql.DataFrame, nameCol: org.apache.spark.sql.Column,
+          skip: Set[String], entity: String): Seq[Row] = {
+        val props = df.schema.fields.filterNot(f => skip.contains(f.name))
+        if (df.isEmpty) return Nil
+        val agg = df.select((nameCol.as("_n") +: props.map(f => col(f.name))).toIndexedSeq: _*)
+          .groupBy("_n").agg(count(col(props.headOption.map(_.name).getOrElse("_n"))).as("_c0"),
+            props.drop(1).map(f => count(col(f.name)).as(f.name)).toIndexedSeq: _*)
+        agg.collect().toSeq.map { r =>
+          val present = props.zipWithIndex.filter { case (_, i) => r.getLong(i + 1) > 0 }
+          val json = present.map { case (f, _) => s""""${f.name}": "${cyType(f.dataType)}"""" }
+            .mkString("{", ", ", "}")
+          Row(r.getString(0), entity, json)
+        }
+      }
+      val nodeRows = side(g.nodes, explode(col("labels")), Set("id", "labels"), "node")
+      val relRows = side(g.edges, col("relType"),
+        Set("src", "dst", "relType", "eid"), "relationship")
+      val schema = StructType(Seq(StructField("name", StringType),
+        StructField("entityType", StringType), StructField("properties", StringType)))
+      spark.createDataFrame(javaList((nodeRows ++ relRows).sortBy(r => r.getString(0))),
+        schema)
+    }
     // C13: legacy (<4.0) password change (ref DatabaseIO.java:117)
     procedures.register("dbms.changePassword", "(password :: STRING) :: ()",
       "Change the current user's password") { args =>

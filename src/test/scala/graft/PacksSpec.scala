@@ -548,6 +548,22 @@ class PacksSpec extends AnyFunSuite {
     assert(entries.forall(_.getSeq[String](0).nonEmpty))
   }
 
+  test("apoc.meta.schema maps properties to Cypher types per label and relType") {
+    val s = new GraftSession(spark)
+    Packs.install(s, Seq("apoc"))
+    s.cypher("CREATE (:mts {name: 'x', n: 1})-[:MTR {w: 1.5}]->(:mts {name: 'y'})")
+    val rows = s.cypher(
+      "CALL apoc.meta.schema() YIELD name, entityType, properties " +
+        "RETURN name, entityType, properties").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    val mts = rows.find(_._1 == "mts").get
+    assert(mts._2 == "node")
+    assert(mts._3.contains(""""name": "STRING"""") &&
+      mts._3.contains(""""n": "INTEGER""""))
+    val mtr = rows.find(_._1 == "MTR").get
+    assert(mtr._2 == "relationship" && mtr._3.contains(""""w": "FLOAT""""))
+  }
+
   test("apoc.cypher.run yields dynamic rows as JSON text; writes refuse") {
     val s = new GraftSession(spark)
     Packs.install(s, Seq("apoc"))
