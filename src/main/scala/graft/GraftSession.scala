@@ -1982,18 +1982,41 @@ final class GraftSession(val spark: SparkSession,
       if (n <= 0) throw new IllegalArgumentException(
         s"IN TRANSACTIONS OF $n ROWS: batch size must be positive")
       var batches = 0L
-      elems.grouped(n.toInt).foreach { chunk =>
+      var failed = 0L
+      val onError = cs.onError.getOrElse("FAIL")
+      val it = elems.grouped(n.toInt)
+      var stopped = false
+      while (it.hasNext && !stopped) {
+        val chunk = it.next()
         val chunkQ = ast.Query(
           ast.Unwind(ast.ListLit(chunk.map(v => ast.Lit(v)).toSeq), u.alias) +: cs.clauses)
         // one statement per batch = one snapshot swap = one commit; a
-        // throwing batch (including a uniqueness violation) leaves the
-        // previous swaps published — reference batch semantics
-        withConstraintCheck(db, db)(mutate(db, chunkQ))
+        // throwing batch (including a uniqueness violation) rolls only
+        // ITSELF back and leaves the previous swaps published. The
+        // Neo4j 5.23 ON ERROR policy picks what happens next:
+        // FAIL (default) rethrows, CONTINUE counts the batch failed
+        // and keeps going, BREAK stops without error.
+        try {
+          withConstraintCheck(db, db)(mutate(db, chunkQ))
+          batches += 1
+        } catch {
+          case e: Exception => onError match {
+            case "CONTINUE" => failed += 1
+            case "BREAK"    => failed += 1; stopped = true
+            case _          => throw e
+          }
+        }
         db.pendingMutations += 1
-        batches += 1
       }
-      spark.createDataFrame(javaList(Seq(Row(elems.size.toLong, batches))),
-        StructType(Seq(StructField("rows", LongType), StructField("batches", LongType))))
+      // the legacy two-column summary keeps its shape; the ON ERROR
+      // form adds the failedBatches count the policy exists to report
+      if (cs.onError.isEmpty)
+        spark.createDataFrame(javaList(Seq(Row(elems.size.toLong, batches))),
+          StructType(Seq(StructField("rows", LongType), StructField("batches", LongType))))
+      else
+        spark.createDataFrame(javaList(Seq(Row(elems.size.toLong, batches, failed))),
+          StructType(Seq(StructField("rows", LongType), StructField("batches", LongType),
+            StructField("failedBatches", LongType))))
     case _ => throw new UnsupportedOperationException(
       "CALL { … } IN TRANSACTIONS composes as " +
         "`UNWIND <list> AS x CALL { WITH x <mutations> } IN TRANSACTIONS [OF n ROWS]`")

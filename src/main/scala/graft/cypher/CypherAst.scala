@@ -187,8 +187,12 @@ object ast {
     * IN TRANSACTIONS form batches the driving rows and commits per
     * batch (openCypher's huge-ingest surface; executes only over a
     * literal/parameter UNWIND, GraftSession.mutateCallInTx). */
+  /** `onError`: the Neo4j 5.23 `IN TRANSACTIONS ON ERROR CONTINUE |
+    * BREAK | FAIL` batch-failure policy (None = FAIL, the legacy
+    * stop-and-rethrow semantics). */
   final case class CallSub(imports: Seq[String], clauses: Seq[Clause],
-      inTransactions: Boolean = false, batchRows: Option[Long] = None) extends Clause
+      inTransactions: Boolean = false, batchRows: Option[Long] = None,
+      onError: Option[String] = None) extends Clause
 
   /** `FOREACH (x IN list | CREATE …)` — list-iterated mutation. */
   final case class Foreach(variable: String, list: Expr, body: Seq[Clause]) extends Clause

@@ -481,16 +481,20 @@ object CypherParser extends RegexParsers {
         // serialization of concurrent ones), so the hint parses and
         // drops
         (opt(opt(numberLit) <~ kw("concurrent")) ~> kw("transactions")) ~>
-        opt(kw("of") ~> numberLit <~ kw("rows")))) ^^ {
+        (opt(kw("of") ~> numberLit <~ kw("rows")) ~
+          // Neo4j 5.23 batch-failure policy
+          opt(kw("on") ~> kw("error") ~>
+            (kw("continue") | kw("break") | kw("fail")))))) ^^ {
       case scope ~ (imp ~ cls) ~ itx =>
         if (scope.nonEmpty && imp.nonEmpty) throw new IllegalArgumentException(
           "CALL (scope) { … } cannot also declare a WITH import list")
         CallSub(scope.getOrElse(imp.getOrElse(Nil)), cls, itx.isDefined,
-          itx.flatten.map {
+          itx.flatMap(_._1).map {
             case Lit(n: Long) => n
             case Lit(other) => throw new IllegalArgumentException(
               s"IN TRANSACTIONS OF n ROWS needs an integer, got $other")
-          })
+          },
+          itx.flatMap(_._2))
     }
   }
 

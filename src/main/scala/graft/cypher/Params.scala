@@ -38,7 +38,7 @@ object Params {
     case CallProc(n, args, ys, w) =>
       CallProc(n, args.map(expr(_, ps)), ys, w.map(expr(_, ps)))
     case Unwind(e, a) => Unwind(expr(e, ps), a)
-    case CallSub(imp, cls, itx, n) => CallSub(imp, cls.map(clause(_, ps)), itx, n)
+    case CallSub(imp, cls, itx, n, oe) => CallSub(imp, cls.map(clause(_, ps)), itx, n, oe)
     case Foreach(v, l, body) => Foreach(v, expr(l, ps), body.map(clause(_, ps)))
     case other        => other // RemoveProps / SetLabels / Delete carry no exprs
   }

@@ -909,6 +909,24 @@ class CypherSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] {
       s.cypher("UNWIND range(1, 5) AS x CALL { WITH x MATCH (b:bat) RETURN b.k AS k } IN TRANSACTIONS")
     }
+    // ON ERROR CONTINUE (Neo4j 5.23): failing batches count, the rest
+    // land; BREAK stops after the first failure without erroring
+    val contRows = Seq(Map("k" -> 200L), Map("k" -> null), Map("k" -> 201L))
+    val cont = s.cypher(
+      "UNWIND $rows AS row CALL { WITH row MERGE (b:bat {k: row.k}) } " +
+        "IN TRANSACTIONS OF 1 ROWS ON ERROR CONTINUE",
+      Map("rows" -> contRows)).collect().head
+    assert(cont.getLong(1) == 2L && cont.getLong(2) == 1L) // (rows, batches, failed)
+    assert(s.cypher("MATCH (b:bat) WHERE b.k >= 200 RETURN count(b) AS c")
+      .collect().head.getLong(0) == 2L)
+    val brk = s.cypher(
+      "UNWIND $rows AS row CALL { WITH row MERGE (b:bat {k: row.k}) } " +
+        "IN TRANSACTIONS OF 1 ROWS ON ERROR BREAK",
+      Map("rows" -> Seq(Map("k" -> 300L), Map("k" -> null), Map("k" -> 301L))))
+      .collect().head
+    assert(brk.getLong(1) == 1L && brk.getLong(2) == 1L) // stopped at the failure
+    assert(s.cypher("MATCH (b:bat) WHERE b.k >= 300 RETURN count(b) AS c")
+      .collect().head.getLong(0) == 1L)
     // `IN [k] CONCURRENT TRANSACTIONS` (Neo4j 5.21+): the concurrency
     // hint parses and the batched commits run identically
     val conc = s.cypher(
