@@ -3594,6 +3594,13 @@ final class GraftSession(val spark: SparkSession,
       "DBMS components") { _ =>
       procedures.oneRow("name" -> "graft", "versions" -> "5.26.0", "edition" -> "community")
     }
+    // 4.x ops tooling calls the procedure form; SHOW TRANSACTIONS is
+    // the 5.x statement over the same registry
+    procedures.register("dbms.listTransactions",
+      "() :: (transactionId, origin, databases, elapsedMs)",
+      "Open transactions across every surface") { _ =>
+      showTransactions()
+    }
     // the routing handshake every neo4j://-scheme driver performs on
     // connect (the reference's clustering tests exercise it; ref
     // causal-cluster-compose.yml routes through it). Single-server

@@ -1115,6 +1115,10 @@ class CypherSpec extends AnyFunSuite {
     val rows = s.cypher("SHOW TRANSACTIONS").collect()
     assert(rows.length == 2)
     assert(rows.map(_.getString(1)).toSet == Set("bolt", "text"))
+    // the 4.x procedure form reads the same registry
+    assert(s.cypher(
+      "CALL dbms.listTransactions() YIELD transactionId RETURN transactionId")
+      .collect().length == 2)
     val boltRow = rows.find(_.getString(1) == "bolt").get
     assert(boltRow.getString(0).startsWith("graft-transaction-"))
     assert(boltRow.getString(2) == "neo4j") // databases touched
