@@ -3601,6 +3601,24 @@ final class GraftSession(val spark: SparkSession,
       "Open transactions across every surface") { _ =>
       showTransactions()
     }
+    // the admin kill verb: rolls the target back and frees its handle
+    // (the reference's dbms.killTransaction; an unknown id reports
+    // "Transaction not found" instead of erroring, reference shape)
+    procedures.register("dbms.killTransaction",
+      "(id :: STRING) :: (transactionId, message)",
+      "Roll back and close an open transaction by id") { args =>
+      val id = String.valueOf(args.headOption.getOrElse(""))
+      val h = openHandles.values.find(x => s"graft-transaction-${x.id}" == id)
+      h match {
+        case Some(handle) =>
+          rollbackTransaction(handle)
+          procedures.oneRow("transactionId" -> id,
+            "message" -> "Transaction terminated.")
+        case None =>
+          procedures.oneRow("transactionId" -> id,
+            "message" -> "Transaction not found.")
+      }
+    }
     // the routing handshake every neo4j://-scheme driver performs on
     // connect (the reference's clustering tests exercise it; ref
     // causal-cluster-compose.yml routes through it). Single-server

@@ -1119,11 +1119,24 @@ class CypherSpec extends AnyFunSuite {
     assert(s.cypher(
       "CALL dbms.listTransactions() YIELD transactionId RETURN transactionId")
       .collect().length == 2)
+    // kill by id rolls the bolt handle back; its write never lands
+    val killMsg = s.cypher(
+      s"CALL dbms.killTransaction('graft-transaction-${t1.id}') " +
+        "YIELD message RETURN message").collect().head.getString(0)
+    assert(killMsg == "Transaction terminated.")
+    assert(s.cypher("SHOW TRANSACTIONS").collect().length == 1)
+    assert(s.cypher("MATCH (n:stx) RETURN count(n) AS c")
+      .collect().head.getLong(0) == 0L)
+    val miss = s.cypher(
+      "CALL dbms.killTransaction('graft-transaction-99999') " +
+        "YIELD message RETURN message").collect().head.getString(0)
+    assert(miss == "Transaction not found.")
     val boltRow = rows.find(_.getString(1) == "bolt").get
     assert(boltRow.getString(0).startsWith("graft-transaction-"))
     assert(boltRow.getString(2) == "neo4j") // databases touched
     s.cypher("COMMIT")
-    s.rollbackTransaction(t1)
+    // t1 is already closed by the kill: a second rollback refuses
+    intercept[IllegalStateException] { s.rollbackTransaction(t1) }
     assert(s.cypher("SHOW TRANSACTIONS").collect().isEmpty)
   }
 
