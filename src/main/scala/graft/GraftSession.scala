@@ -3601,6 +3601,26 @@ final class GraftSession(val spark: SparkSession,
       "Open transactions across every surface") { _ =>
       showTransactions()
     }
+    // init scripts block on these after CREATE INDEX; this engine's
+    // indexes are metadata (instantly ONLINE — the runtime structure
+    // is the pruned columnar scan), so awaiting validates the name
+    // and returns. clearQueryCaches maps to Spark's own plan cache
+    // being managed by Catalyst — a validated no-op row.
+    procedures.register("db.awaitIndex",
+      "(indexName :: STRING, timeOutSeconds :: INTEGER?) :: ()",
+      "Wait for an index to come online (metadata indexes are instant)") { args =>
+      val name = String.valueOf(args.headOption.getOrElse(""))
+      if (!catalog.database("neo4j").indexes.contains(name))
+        throw new NoSuchElementException(s"no such index: $name")
+      unit()
+    }
+    procedures.register("db.awaitIndexes",
+      "(timeOutSeconds :: INTEGER?) :: ()",
+      "Wait for every index to come online (instant)") { _ => unit() }
+    procedures.register("db.clearQueryCaches", "() :: (value)",
+      "Clear the query caches") { _ =>
+      procedures.oneRow("value" -> "Query caches successfully cleared of 0 queries.")
+    }
     // the admin kill verb: rolls the target back and frees its handle
     // (the reference's dbms.killTransaction; an unknown id reports
     // "Transaction not found" instead of erroring, reference shape)

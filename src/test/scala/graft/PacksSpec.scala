@@ -537,6 +537,16 @@ class PacksSpec extends AnyFunSuite {
     assert(cs.map(_.getLong(0)).toSeq == Seq(0L, 1L))
   }
 
+  test("db.awaitIndex validates the name; awaitIndexes and clearQueryCaches return") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE INDEX wait_idx FOR (d:dog) ON (d.name)")
+    s.cypher("CALL db.awaitIndex('wait_idx', 300)").collect()
+    intercept[Exception] { s.cypher("CALL db.awaitIndex('nope')").collect() }
+    s.cypher("CALL db.awaitIndexes(300)").collect()
+    assert(s.cypher("CALL db.clearQueryCaches() YIELD value RETURN value")
+      .collect().head.getString(0).contains("cleared"))
+  }
+
   test("dbms.routing.getRoutingTable: single-server table serves all three roles") {
     val s = new GraftSession(spark)
     val r = s.cypher(
