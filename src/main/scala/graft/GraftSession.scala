@@ -3752,6 +3752,62 @@ final class GraftSession(val spark: SparkSession,
       spark.createDataFrame(javaList((nodeRows ++ relRows).sortBy(r => r.getString(0))),
         schema)
     }
+    // db.schema.nodeTypeProperties / relTypeProperties — the tabular
+    // schema introspection Neo4j Browser issues on connect: one row
+    // per (label-or-relType, property) with the Cypher type and a
+    // `mandatory` flag (present on EVERY entity of that type). Same
+    // single-pass grouped aggregate as apoc.meta.schema — per-label
+    // non-null counts plus the label's row count, one shuffle per
+    // side regardless of label count.
+    def typeProperties(df: org.apache.spark.sql.DataFrame,
+        nameCol: org.apache.spark.sql.Column, skip: Set[String],
+        nameOut: String, prefix: String): DataFrame = {
+      import org.apache.spark.sql.functions.{col, count, explode, lit}
+      import org.apache.spark.sql.types._
+      def cyType(t: DataType): String = t match {
+        case LongType | IntegerType | ShortType | ByteType => "Long"
+        case DoubleType | FloatType | _: DecimalType       => "Double"
+        case StringType                                    => "String"
+        case BooleanType                                   => "Boolean"
+        case DateType                                      => "Date"
+        case _: TimestampType                              => "DateTime"
+        case a: ArrayType                                  => cyType(a.elementType) + "Array"
+        case other                                         => other.simpleString
+      }
+      val props = df.schema.fields.filterNot(f => skip.contains(f.name))
+      val outSchema = StructType(Seq(
+        StructField(nameOut, StringType),
+        StructField("propertyName", StringType),
+        StructField("propertyTypes", ArrayType(StringType)),
+        StructField("mandatory", BooleanType)))
+      if (df.isEmpty) return spark.createDataFrame(javaList(Seq.empty[Row]), outSchema)
+      val agg = df.select((nameCol.as("_n") +: props.map(f => col(f.name))).toIndexedSeq: _*)
+        .groupBy("_n").agg(count(lit(1)).as("_rows"),
+          props.map(f => count(col(f.name)).as(f.name)).toIndexedSeq: _*)
+      val rows = agg.collect().toSeq.flatMap { r =>
+        val total = r.getLong(1)
+        props.zipWithIndex.collect {
+          case (f, i) if r.getLong(i + 2) > 0 =>
+            Row(s"$prefix${r.getString(0)}`", f.name, Seq(cyType(f.dataType)),
+              r.getLong(i + 2) == total)
+        }
+      }.sortBy(r => (r.getString(0), r.getString(1)))
+      spark.createDataFrame(javaList(rows), outSchema)
+    }
+    procedures.register("db.schema.nodeTypeProperties",
+      "() :: (nodeType, propertyName, propertyTypes, mandatory)",
+      "One row per (label, property): type + whether every node has it") { _ =>
+      import org.apache.spark.sql.functions.{col, explode}
+      typeProperties(graph().nodes, explode(col("labels")),
+        Set("id", "labels"), "nodeType", ":`")
+    }
+    procedures.register("db.schema.relTypeProperties",
+      "() :: (relType, propertyName, propertyTypes, mandatory)",
+      "One row per (relationship type, property): type + mandatory flag") { _ =>
+      import org.apache.spark.sql.functions.col
+      typeProperties(graph().edges, col("relType"),
+        Set("src", "dst", "relType", "eid"), "relType", ":`")
+    }
     // C13: legacy (<4.0) password change (ref DatabaseIO.java:117)
     procedures.register("dbms.changePassword", "(password :: STRING) :: ()",
       "Change the current user's password") { args =>

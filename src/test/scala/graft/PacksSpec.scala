@@ -558,6 +558,22 @@ class PacksSpec extends AnyFunSuite {
     assert(entries.forall(_.getSeq[String](0).nonEmpty))
   }
 
+  test("db.schema.nodeTypeProperties/relTypeProperties: tabular types + mandatory flags") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:tp {a: 1, b: 'x'})-[:TPR {w: 2.0}]->(:tp {a: 2})")
+    val nodeRows = s.cypher(
+      "CALL db.schema.nodeTypeProperties() YIELD nodeType, propertyName, " +
+        "propertyTypes, mandatory RETURN nodeType, propertyName, propertyTypes, mandatory")
+      .collect().map(r => (r.getString(1), r.getSeq[String](2).head, r.getBoolean(3)))
+    assert(nodeRows.contains(("a", "Long", true)))   // every :tp node has a
+    assert(nodeRows.contains(("b", "String", false))) // only one has b
+    val relRows = s.cypher(
+      "CALL db.schema.relTypeProperties() YIELD relType, propertyName, " +
+        "propertyTypes, mandatory RETURN relType, propertyName, propertyTypes, mandatory")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getSeq[String](2).head))
+    assert(relRows.contains((":`TPR`", "w", "Double")))
+  }
+
   test("apoc.meta.schema maps properties to Cypher types per label and relType") {
     val s = new GraftSession(spark)
     Packs.install(s, Seq("apoc"))
