@@ -3601,6 +3601,20 @@ final class GraftSession(val spark: SparkSession,
       "Open transactions across every surface") { _ =>
       showTransactions()
     }
+    // Browser's connect-time identity probes
+    val bootedAt = java.time.Instant.now().toString
+    procedures.register("db.info", "() :: (id, name, creationDate)",
+      "Default database identity") { _ =>
+      procedures.oneRow("id" -> s"graft-db-${System.identityHashCode(catalog)}",
+        "name" -> "neo4j",
+        "creationDate" -> bootedAt)
+    }
+    procedures.register("dbms.info", "() :: (id, name, creationDate)",
+      "DBMS identity") { _ =>
+      procedures.oneRow("id" -> s"graft-dbms-${System.identityHashCode(catalog)}",
+        "name" -> "graft",
+        "creationDate" -> bootedAt)
+    }
     // init scripts block on these after CREATE INDEX; this engine's
     // indexes are metadata (instantly ONLINE — the runtime structure
     // is the pruned columnar scan), so awaiting validates the name

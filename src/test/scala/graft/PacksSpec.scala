@@ -537,6 +537,16 @@ class PacksSpec extends AnyFunSuite {
     assert(cs.map(_.getLong(0)).toSeq == Seq(0L, 1L))
   }
 
+  test("db.info / dbms.info report connect-time identity") {
+    val s = new GraftSession(spark)
+    val dbi = s.cypher("CALL db.info() YIELD id, name, creationDate " +
+      "RETURN id, name, creationDate").collect().head
+    assert(dbi.getString(1) == "neo4j" && dbi.getString(2).nonEmpty)
+    val sysi = s.cypher("CALL dbms.info() YIELD id, name, creationDate " +
+      "RETURN id, name, creationDate").collect().head
+    assert(sysi.getString(1) == "graft")
+  }
+
   test("db.awaitIndex validates the name; awaitIndexes and clearQueryCaches return") {
     val s = new GraftSession(spark)
     s.cypher("CREATE INDEX wait_idx FOR (d:dog) ON (d.name)")
