@@ -277,6 +277,60 @@ object Packs {
       procs.oneRow("batches" -> batches, "total" -> total,
         "failedBatches" -> failed, "errorMessages" -> errs.mkString("; "))
     }
+    // apoc.merge.node — the DYNAMIC upsert (labels and keys chosen at
+    // runtime — ETL tools use it when the schema arrives with the
+    // data). Labels/property KEYS must be plain identifiers (validated
+    // — they interpolate into the statement); property VALUES travel
+    // as query parameters, never as text, so no value can change the
+    // statement's shape. The synthesized MERGE runs the ordinary
+    // literal-upsert path (buffered, delta-shaped).
+    procs.registerWithParams("apoc.merge.node",
+      Seq(procs.Param("labels"), procs.Param("identProps"),
+        procs.Param("onCreateProps", Some(Map.empty[String, Any])),
+        procs.Param("onMatchProps", Some(Map.empty[String, Any]))),
+      "(labels :: LIST<STRING>, identProps :: MAP, onCreateProps :: MAP?, " +
+        "onMatchProps :: MAP?) :: (id)",
+      "MERGE a node with runtime labels/keys; returns its id") { args =>
+      val IdentRx = "^[A-Za-z_][A-Za-z0-9_]*$".r
+      def ident(s: Any, what: String): String = {
+        val v = String.valueOf(s)
+        if (IdentRx.findFirstIn(v).isEmpty) throw new IllegalArgumentException(
+          s"apoc.merge.node $what `$v` must be a plain identifier")
+        v
+      }
+      def toMap(a: Any, what: String): Map[String, Any] = a match {
+        case m: collection.Map[_, _] =>
+          m.asInstanceOf[collection.Map[String, Any]].toMap
+        case null => Map.empty
+        case other => throw new IllegalArgumentException(
+          s"apoc.merge.node $what must be a map, got $other")
+      }
+      val labels = args.head match {
+        case s: Seq[_] if s.nonEmpty => s.map(ident(_, "label"))
+        case other => throw new IllegalArgumentException(
+          s"apoc.merge.node needs a non-empty label list, got $other")
+      }
+      val identProps = toMap(args(1), "identProps")
+      if (identProps.isEmpty) throw new IllegalArgumentException(
+        "apoc.merge.node needs at least one identifying property")
+      val onCreate = toMap(args(2), "onCreateProps")
+      val onMatch = toMap(args(3), "onMatchProps")
+      identProps.keys.foreach(ident(_, "property key"))
+      (onCreate.keys ++ onMatch.keys).foreach(ident(_, "property key"))
+      val pat = identProps.keys.map(k => s"$k: $$_ip_$k").mkString(", ")
+      val ocTxt =
+        if (onCreate.isEmpty) ""
+        else " ON CREATE SET " + onCreate.keys.map(k => s"n.$k = $$_oc_$k").mkString(", ")
+      val omTxt =
+        if (onMatch.isEmpty) ""
+        else " ON MATCH SET " + onMatch.keys.map(k => s"n.$k = $$_om_$k").mkString(", ")
+      val stmt = s"MERGE (n:${labels.mkString(":")} {$pat})$ocTxt$omTxt " +
+        "RETURN id(n) AS id"
+      val params = identProps.map { case (k, v) => s"_ip_$k" -> v } ++
+        onCreate.map { case (k, v) => s"_oc_$k" -> v } ++
+        onMatch.map { case (k, v) => s"_om_$k" -> v }
+      session.cypher(stmt, params)
+    }
     // apoc.cypher.run — a DYNAMIC read statement (statements built at
     // runtime: introspection dashboards, generic tooling). Documented
     // divergence: APOC yields each row as a MAP `value`; this engine's
