@@ -62,6 +62,13 @@ final class GraftSession(val spark: SparkSession,
 
   def graph(db: String = "neo4j"): PropertyGraph = catalog.database(db).graph
 
+  /** Database-scoped state for a procedure body: the database the
+    * dispatching statement resolved to (`USE db CALL …` routes here),
+    * falling back to the default when invoked outside a statement. */
+  private def statementDatabase: GraphDatabase =
+    catalog.database(statementDb.get())
+  private def statementGraph(): PropertyGraph = statementDatabase.graph
+
   def setGraph(g: PropertyGraph, db: String = "neo4j"): Unit = {
     val d = catalog.database(db)
     d.graph = g
@@ -136,18 +143,31 @@ final class GraftSession(val spark: SparkSession,
         (try SnapshotStore.readManifest(dir) == pm
          catch { case _: Exception => false })
     }
+    // the epoch the session's delta-log belongs to, settled BEFORE the
+    // save re-points anything: an incremental save carries it through
+    // (the merged on-disk delta still holds every change an
+    // outstanding CDC cursor hasn't consumed, so cursors SURVIVE the
+    // save); a full write seals a new base and bumps it, as does
+    // writeDelta's size-triggered compaction (via its manifest)
+    val preEpoch = cdcEpoch(d)
     val m =
       if (provOk && nodesClean && edgesClean && (nd.isDefined || ed.isDefined))
         SnapshotStore.writeDelta(spark, nd.map(_.delta), ed.map(_.delta), dir, db,
-          d.nextId.get(), d.nextRelId.get(), schemaMeta(db))
+          d.nextId.get(), d.nextRelId.get(), schemaMeta(db),
+          changeEpoch = preEpoch)
       else
         SnapshotStore.write(graph(db), d.nextId.get(), dir, db,
-          schemaMeta(db), d.nextRelId.get())
+          schemaMeta(db), d.nextRelId.get(), changeEpoch = preEpoch + 1)
     // the manifest's next_id IS the id ceiling — hand it to setGraph
     // so re-pointing at the snapshot never max-scans the base
     setGraph(PropertyGraph(SnapshotStore.readNodes(spark, dir),
       SnapshotStore.readEdges(spark, dir), knownMaxNodeId = Some(m.nextId - 1)), db)
     d.snapshotProvenance = Some((dir, m))
+    // re-seed the epoch tracking against the re-pointed frames: the
+    // MANIFEST's epoch is authoritative (kept by a pure incremental
+    // save, bumped by a full write or an on-disk compaction)
+    d.changeEpoch = m.changeEpoch
+    d.cdcBaseRefs = Some((graph(db).nodes, graph(db).edges))
     // the durable snapshot replaced the append-log lineage: any
     // mutation-pinned caches it referenced can be freed now
     d.releasePinned()
@@ -159,11 +179,37 @@ final class GraftSession(val spark: SparkSession,
     val (g, m) = SnapshotStore.read(spark, dir)
     catalog.createDatabase(db)
     setGraph(g, db)
-    catalog.database(db).nextId.set(m.nextId)
-    catalog.database(db).nextRelId.set(m.nextRelId)
-    catalog.database(db).snapshotProvenance = Some((dir, m))
+    val d = catalog.database(db)
+    d.nextId.set(m.nextId)
+    d.nextRelId.set(m.nextRelId)
+    d.snapshotProvenance = Some((dir, m))
+    // a load re-points the session at frames no outstanding cursor
+    // was minted against: start a fresh epoch past BOTH the session's
+    // and the manifest's (monotonic across restarts)
+    d.changeEpoch = math.max(d.changeEpoch, m.changeEpoch) + 1
+    d.cdcBaseRefs = Some((g.nodes, g.edges))
     applySchemaMeta(db, SnapshotStore.readSchema(dir))
-    catalog.database(db).releasePinned()
+    d.releasePinned()
+  }
+
+  /** The database's current CDC change epoch, settled lazily against
+    * the base frames by reference identity: same frames → same epoch;
+    * ANY re-point of a base the epoch didn't account for (a non-delta
+    * write burst, a compaction that materialized a moved base, an
+    * external setGraph) mints the next counter value at the next CDC
+    * touch. Replaces the r13 32-bit identity-hash check (ADVICE r13:
+    * identity hashes collide; a counter cannot). Statements serialize
+    * under stmtLock, so the read-check-bump is race-free. */
+  private[graft] def cdcEpoch(d: GraphDatabase): Long = {
+    val nb = d.validNodeDelta.map(_.base).getOrElse(d.graph.nodes)
+    val eb = d.validEdgeDelta.map(_.base).getOrElse(d.graph.edges)
+    d.cdcBaseRefs match {
+      case Some((n0, e0)) if (n0 eq nb) && (e0 eq eb) => d.changeEpoch
+      case _ =>
+        d.cdcBaseRefs = Some((nb, eb))
+        d.changeEpoch += 1
+        d.changeEpoch
+    }
   }
 
   /** Offline dump: refuses while the database is started, like
@@ -174,14 +220,16 @@ final class GraftSession(val spark: SparkSession,
       throw new IllegalStateException(
         s"database $db is started; STOP DATABASE $db before dumping")
     SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), s"$toPath/$db.dump", db,
-      schemaMeta(db), catalog.database(db).nextRelId.get())
+      schemaMeta(db), catalog.database(db).nextRelId.get(),
+      changeEpoch = catalog.database(db).changeEpoch)
   }
 
   /** Online backup: the immutable snapshot makes this safe while the
     * database serves reads (ref TestBackupRestore.java:117-127). */
   def backupDatabase(toPath: String, db: String = "neo4j"): Unit =
     SnapshotStore.write(graph(db), catalog.database(db).nextId.get(), s"$toPath/$db.backup", db,
-      schemaMeta(db), catalog.database(db).nextRelId.get())
+      schemaMeta(db), catalog.database(db).nextRelId.get(),
+      changeEpoch = catalog.database(db).changeEpoch)
 
   /** Cluster-availability/readiness probe (SURVEY §2.9 — ref
     * WaitStrategies.java:24-28 polls /db/<db>/cluster/available):
@@ -226,6 +274,10 @@ final class GraftSession(val spark: SparkSession,
     setGraph(g, db)
     catalog.database(db).nextId.set(m.nextId)
     catalog.database(db).nextRelId.set(m.nextRelId)
+    // a restore is an epoch event like a load: fresh monotonic epoch
+    catalog.database(db).changeEpoch =
+      math.max(catalog.database(db).changeEpoch, m.changeEpoch) + 1
+    catalog.database(db).cdcBaseRefs = Some((g.nodes, g.edges))
     applySchemaMeta(db, SnapshotStore.readSchema(s"$fromPath/$db.backup"))
   }
 
@@ -245,13 +297,20 @@ final class GraftSession(val spark: SparkSession,
   // `USE db <query>` — per-statement database routing (cypher-shell's
   // `:use` and the driver's session database both reduce to this)
   private val UseDb = """(?is)\s*USE\s+(\w+)\s+(.+)""".r
-  // LOAD CSV [WITH HEADERS] FROM '<file>' AS row <clauses> — the
-  // classic Cypher ingest clause. Deliberately batched like `UNWIND
-  // $batch`: the file rows become the batch parameter and the tail
-  // clauses run through the engine's bulk paths (ONE append per
-  // statement, not per row). `file:///` URLs and plain paths accepted.
+  // [USING PERIODIC COMMIT [n]] LOAD CSV [WITH HEADERS] FROM '<file>'
+  // AS row <clauses> — the classic Cypher bulk-ingest clause (the
+  // reference's /import mount is exactly this channel,
+  // docker-entrypoint.sh:502-505). STREAMED: the file crosses the
+  // driver in BOUNDED batches (toLocalIterator over the distributed
+  // CSV scan — never a whole-file collect), each batch ONE
+  // distributed `UNWIND $batch` statement through the engine's bulk
+  // paths — so a 100 GB import holds O(batch) rows on the driver, not
+  // the file. USING PERIODIC COMMIT [n] sets the batch bound (default
+  // 10k, the house write-buffer discipline); with or without it,
+  // every batch commits on its own (multi-batch loads are the
+  // chunked-commit shape). `file:///` URLs and plain paths accepted.
   private val LoadCsvQ =
-    """(?is)\s*LOAD\s+CSV\s+(?:(WITH\s+HEADERS)\s+)?FROM\s+'([^']+)'\s+AS\s+(\w+)\s+(.+)""".r
+    """(?is)\s*(?:USING\s+PERIODIC\s+COMMIT(?:\s+(\d+))?\s+)?LOAD\s+CSV\s+(?:(WITH\s+HEADERS)\s+)?FROM\s+'([^']+)'\s+AS\s+(\w+)\s+(.+)""".r
   private val TerminateTxs = """(?is)\s*TERMINATE\s+TRANSACTIONS\s+(.+?)\s*""".r
   // schema DDL. Uniqueness constraints are REAL (enforced on every
   // write, duplicates refuse the statement); indexes are metadata-only
@@ -316,6 +375,18 @@ final class GraftSession(val spark: SparkSession,
     * [[TxHandle]] through the `cypher(…, tx)` overload. */
   private val threadTx = new ThreadLocal[Option[TxHandle]] {
     override def initialValue(): Option[TxHandle] = None
+  }
+
+  /** The database the CURRENTLY-DISPATCHING statement resolved to —
+    * procedures execute inside the statement's compile (under
+    * stmtLock), and database-scoped ones (db.awaitIndex, db.cdc.*,
+    * db.labels, …) must read the statement's database, not a
+    * hard-coded default: `USE db CALL db.awaitIndex(...)` awaits the
+    * index on `db` (ADVICE r13). Thread-local because wire surfaces
+    * dispatch on their own threads; reset in the dispatch `finally`
+    * so a leaked value can never outlive its statement. */
+  private val statementDb = new ThreadLocal[String] {
+    override def initialValue(): String = "neo4j"
   }
   /** Serializes statement execution across threads: Spark plan
     * construction and the snapshot-pointer swap of a mutation are not
@@ -589,22 +660,42 @@ final class GraftSession(val spark: SparkSession,
     case other => Some(s"unknown constraint type `$other` (constraint `$name`)")
   }
 
-  /** Wrap a mutation with uniqueness enforcement: on violation the
-    * graph pointer is restored to the pre-statement snapshot (the
+  /** Wrap a mutation with statement atomicity + uniqueness
+    * enforcement: on a constraint violation OR any other exception
+    * thrown mid-mutation, the graph pointer, delta overlays and id
+    * allocators are restored to the pre-statement state (the
     * immutable-snapshot design makes statement rollback a pointer
-    * write) and the statement errors. Cost: one hash aggregate per
-    * constraint over its label's nodes — proportional to the
-    * constrained label, not the graph; the 100 TB refinement is
-    * diffing only written keys against the snapshot, which this
-    * surface's write volumes don't yet warrant. */
+    * write) and the statement errors — a multi-clause batch that
+    * throws after some clauses applied must never leave partial
+    * writes published (Neo4j rolls the failing statement back
+    * entirely; ON ERROR CONTINUE in IN TRANSACTIONS then commits
+    * later batches on the clean pre-batch state). Constraint cost:
+    * one hash aggregate per constraint over its label's nodes —
+    * proportional to the constrained label, not the graph; the
+    * 100 TB refinement is diffing only written keys against the
+    * snapshot, which this surface's write volumes don't yet warrant. */
   private def withConstraintCheck(target: GraphDatabase,
       meta: GraphDatabase)(body: => DataFrame): DataFrame = {
-    if (meta.constraints.isEmpty) return body
-    val pre = target.graph
-    val out = body
+    val preGraph = target.graph
+    val preNode = target.nodeDeltaState
+    val preEdge = target.edgeDeltaState
+    val preId = target.nextId.get()
+    val preRel = target.nextRelId.get()
+    def rollback(): Unit = {
+      target.graph = preGraph
+      target.nodeDeltaState = preNode
+      target.edgeDeltaState = preEdge
+      // statements run under stmtLock, so nothing allocated since —
+      // restoring keeps minted ids deterministic across retried batches
+      target.nextId.set(preId)
+      target.nextRelId.set(preRel)
+    }
+    val out =
+      try body
+      catch { case e: Throwable => rollback(); throw e }
     meta.constraints.foreach { case (name, (label, prop, ctype)) =>
       constraintViolation(target.graph, name, label, prop, ctype).foreach { msg =>
-        target.graph = pre
+        rollback()
         throw new IllegalStateException(s"$msg; statement rolled back")
       }
     }
@@ -783,19 +874,13 @@ final class GraftSession(val spark: SparkSession,
         case Some(h) => threadTx.set(None); if (h.open) discardTx(h); unit()
       }
     case UseDb(name, rest) => cypherLocked(rest, params, name, tx, wire)
-    case LoadCsvQ(headers, file, alias, rest) =>
-      val path = file.stripPrefix("file://")
-      val df = spark.read.option("header", (headers != null).toString).csv(path)
-      // header mode: one map per row (row.col); headerless: a string
-      // list per row (row[i] is unsupported in the batch path, so the
-      // headerless form only feeds actions that take the whole value)
-      val batch: Seq[Any] =
-        if (headers != null) {
-          val cols = df.columns.toSeq
-          df.collect().toSeq.map(r => cols.zip(r.toSeq.map(v => if (v == null) null else String.valueOf(v))).toMap)
-        } else df.collect().toSeq.map(_.toSeq.map(v => if (v == null) null else String.valueOf(v)))
-      cypherLocked(s"UNWIND $$__loadcsv AS $alias $rest",
-        params + ("__loadcsv" -> batch), database, tx, wire)
+    case LoadCsvQ(periodic, headers, file, alias, rest) =>
+      // per-batch commits cannot nest inside an explicit transaction
+      // (the reference refuses USING PERIODIC COMMIT there the same way)
+      if (periodic != null && tx.isDefined) throw new UnsupportedOperationException(
+        "USING PERIODIC COMMIT is not allowed inside an open transaction")
+      loadCsv(Option(periodic).map(_.toInt), headers != null, file, alias, rest,
+        params, database, tx, wire)
     case ShowDbs() => showDatabases()
     case ShowTxs() => showTransactions()
     case TerminateTxs(rest) =>
@@ -834,33 +919,102 @@ final class GraftSession(val spark: SparkSession,
           val d = catalog.database(database); d.requireStarted(); d
       }
       val parsed = Params.substitute(CypherParser.parse(q), params)
-      if (parsed.clauses.exists { case cs: ast.CallSub => cs.inTransactions; case _ => false }) {
-        // batched-commit ingest: each batch is its own transaction, so
-        // it cannot nest inside an open one (reference refusal)
-        if (tx.isDefined) throw new UnsupportedOperationException(
-          "CALL { … } IN TRANSACTIONS is not allowed inside an open transaction")
-        return mutateCallInTx(db, parsed)
-      }
-      val isMutation = parsed.clauses.exists {
-        case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
-             _: ast.SetLabels | _: ast.Delete | _: ast.Merge | _: ast.Foreach => true
-        case _ => false
-      }
-      if (isMutation) {
-        if (parsed.unions.nonEmpty)
-          throw new UnsupportedOperationException("UNION of mutating queries is not supported")
-        tx.foreach(_.mutated += database)
-        // constraint metadata lives on the REAL database; `db` may be
-        // a transaction shadow (which carries no entries)
-        val meta =
-          if (catalog.listDatabases.contains(database)) catalog.database(database) else db
-        val out = withConstraintCheck(db, meta)(mutate(db, parsed))
-        db.pendingMutations += 1
-        out
-      } else {
-        compactIfNeeded(db)
-        compiler(db, wire).compile(parsed)
-      }
+      // save/restore (not remove): a procedure may itself dispatch a
+      // nested statement (apoc.periodic.iterate), and the outer
+      // statement's database must survive the nested dispatch
+      val prevStatementDb = statementDb.get()
+      statementDb.set(database) // procedures resolve db-scoped state from here
+      try {
+        if (parsed.clauses.exists { case cs: ast.CallSub => cs.inTransactions; case _ => false }) {
+          // batched-commit ingest: each batch is its own transaction, so
+          // it cannot nest inside an open one (reference refusal)
+          if (tx.isDefined) throw new UnsupportedOperationException(
+            "CALL { … } IN TRANSACTIONS is not allowed inside an open transaction")
+          return mutateCallInTx(db, parsed)
+        }
+        val isMutation = parsed.clauses.exists {
+          case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
+               _: ast.SetLabels | _: ast.Delete | _: ast.Merge | _: ast.Foreach => true
+          case _ => false
+        }
+        if (isMutation) {
+          if (parsed.unions.nonEmpty)
+            throw new UnsupportedOperationException("UNION of mutating queries is not supported")
+          tx.foreach(_.mutated += database)
+          // constraint metadata lives on the REAL database; `db` may be
+          // a transaction shadow (which carries no entries)
+          val meta =
+            if (catalog.listDatabases.contains(database)) catalog.database(database) else db
+          val out = withConstraintCheck(db, meta)(mutate(db, parsed))
+          db.pendingMutations += 1
+          out
+        } else {
+          compactIfNeeded(db)
+          compiler(db, wire).compile(parsed)
+        }
+      } finally statementDb.set(prevStatementDb)
+  }
+
+  /** Default LOAD CSV batch bound — the house 10k-row write-buffer
+    * discipline; `USING PERIODIC COMMIT n` overrides it. */
+  private val LoadCsvDefaultBatch = 10000
+  /** Last LOAD CSV's batch count / peak batch rows — the spec probe
+    * for the bounded-driver contract (a file ≫ the bound must never
+    * put more than the bound on the driver at once). */
+  @volatile private[graft] var lastLoadCsvBatches: Long = 0L
+  @volatile private[graft] var lastLoadCsvMaxBatch: Int = 0
+
+  /** LOAD CSV, streamed: `toLocalIterator` walks the distributed CSV
+    * scan one partition at a time, rows buffer up to the batch bound,
+    * and each full buffer dispatches as ONE distributed
+    * `UNWIND $batch AS <alias> <clauses>` statement through the
+    * engine's bulk write paths (two joins per batch, never per-row
+    * probes — the apoc.periodic.iterate shape). Driver memory is
+    * O(batch bound + one scan partition), FLAT in the file size; the
+    * r13 whole-file `collect()` OOMed the driver on exactly the
+    * reference's bulk-import channel. Header mode yields one map per
+    * row (`row.col`); headerless yields a string list per row. A
+    * RETURN-bearing tail unions per-batch results (each batch's frame
+    * reads its own immutable snapshot, so the union stays valid as
+    * later batches commit). */
+  private def loadCsv(batchOverride: Option[Int], headers: Boolean, file: String,
+      alias: String, rest: String, params: Map[String, Any], database: String,
+      tx: Option[TxHandle], wire: Boolean): DataFrame = {
+    val path = file.stripPrefix("file://")
+    val df = spark.read.option("header", headers.toString).csv(path)
+    val batchSize = batchOverride.getOrElse(LoadCsvDefaultBatch)
+    if (batchSize <= 0) throw new IllegalArgumentException(
+      s"USING PERIODIC COMMIT $batchSize: batch size must be positive")
+    val cols = df.columns.toSeq
+    def rowValue(r: Row): Any = {
+      val vals = r.toSeq.map(v => if (v == null) null else String.valueOf(v))
+      if (headers) cols.zip(vals).toMap else vals
+    }
+    val stmt = s"UNWIND $$__loadcsv AS $alias $rest"
+    def run(batch: Seq[Any]): DataFrame =
+      cypherLocked(stmt, params + ("__loadcsv" -> batch), database, tx, wire)
+    var out: DataFrame = null
+    var batches = 0L
+    var maxBatch = 0
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def flush(): Unit = if (buf.nonEmpty) {
+      batches += 1
+      maxBatch = math.max(maxBatch, buf.size)
+      val res = run(buf.toVector)
+      out = if (out == null) res else out.unionByName(res)
+      buf.clear()
+    }
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      buf += rowValue(it.next())
+      if (buf.size >= batchSize) flush()
+    }
+    flush()
+    lastLoadCsvBatches = batches
+    lastLoadCsvMaxBatch = maxBatch
+    // empty file: the statement still runs once over the empty batch
+    // so the result keeps its shape (the single-batch behavior)
+    if (out == null) run(Nil) else out
   }
 
   /** Chained mutations build plan-on-plan lineage: statement K's
@@ -3624,7 +3778,7 @@ final class GraftSession(val spark: SparkSession,
       "(indexName :: STRING, timeOutSeconds :: INTEGER?) :: ()",
       "Wait for an index to come online (metadata indexes are instant)") { args =>
       val name = String.valueOf(args.headOption.getOrElse(""))
-      if (!catalog.database("neo4j").indexes.contains(name))
+      if (!statementDatabase.indexes.contains(name))
         throw new NoSuchElementException(s"no such index: $name")
       unit()
     }
@@ -3678,19 +3832,19 @@ final class GraftSession(val spark: SparkSession,
     }
     procedures.register("db.labels", "() :: (label)", "All node labels") { _ =>
       import org.apache.spark.sql.functions.{col, explode}
-      graph().nodes.select(explode(col("labels")).as("label")).distinct().orderBy("label")
+      statementGraph().nodes.select(explode(col("labels")).as("label")).distinct().orderBy("label")
     }
     procedures.register("db.relationshipTypes", "() :: (relationshipType)",
       "All relationship types") { _ =>
       import org.apache.spark.sql.functions.col
-      graph().edges.select(col("relType").as("relationshipType")).distinct()
+      statementGraph().edges.select(col("relType").as("relationshipType")).distinct()
         .orderBy("relationshipType")
     }
     procedures.register("db.schema.visualization",
       "() :: (srcLabel, relType, dstLabel, n)",
       "Schema summary: one row per (source label, relationship type, target label)") { _ =>
       import org.apache.spark.sql.functions.{col, explode, count, lit}
-      val g = graph()
+      val g = statementGraph()
       // one row per (label, id) — multi-label nodes contribute each label
       val labeled = g.nodes.select(col("id"), explode(col("labels")).as("lbl"))
       val src = labeled.toDF("sid", "srcLabel")
@@ -3703,7 +3857,7 @@ final class GraftSession(val spark: SparkSession,
     procedures.register("db.propertyKeys", "() :: (propertyKey)", "All property keys") { _ =>
       import org.apache.spark.sql.functions.{col, explode, lit, array}
       val meta = Set("id", "labels", "src", "dst", "relType", "eid")
-      val g = graph()
+      val g = statementGraph()
       val keys = (g.nodes.columns ++ g.edges.columns).distinct
         .filterNot(meta.contains).sorted
       val kcol = if (keys.isEmpty) array() else array(keys.map(lit): _*)
@@ -3712,7 +3866,7 @@ final class GraftSession(val spark: SparkSession,
     procedures.register("apoc.meta.stats", "() :: (nodeCount, relCount, labels)",
       "Graph counts + per-label node counts") { _ =>
       import org.apache.spark.sql.functions.{col, explode, map_from_entries, collect_list, struct, count, lit}
-      val g = graph()
+      val g = statementGraph()
       val byLabel = g.nodes.select(explode(col("labels")).as("l"))
         .groupBy("l").agg(count(lit(1)).as("n"))
         .agg(map_from_entries(collect_list(struct(col("l"), col("n")))).as("labels"))
@@ -3732,7 +3886,7 @@ final class GraftSession(val spark: SparkSession,
       "Property map per label / relType (property -> Cypher type) as JSON text") { _ =>
       import org.apache.spark.sql.functions.{col, count, explode}
       import org.apache.spark.sql.types._
-      val g = graph()
+      val g = statementGraph()
       def cyType(t: DataType): String = t match {
         case LongType | IntegerType | ShortType | ByteType => "INTEGER"
         case DoubleType | FloatType | _: DecimalType       => "FLOAT"
@@ -3812,14 +3966,14 @@ final class GraftSession(val spark: SparkSession,
       "() :: (nodeType, propertyName, propertyTypes, mandatory)",
       "One row per (label, property): type + whether every node has it") { _ =>
       import org.apache.spark.sql.functions.{col, explode}
-      typeProperties(graph().nodes, explode(col("labels")),
+      typeProperties(statementGraph().nodes, explode(col("labels")),
         Set("id", "labels"), "nodeType", ":`")
     }
     procedures.register("db.schema.relTypeProperties",
       "() :: (relType, propertyName, propertyTypes, mandatory)",
       "One row per (relationship type, property): type + mandatory flag") { _ =>
       import org.apache.spark.sql.functions.col
-      typeProperties(graph().edges, col("relType"),
+      typeProperties(statementGraph().edges, col("relType"),
         Set("src", "dst", "relType", "eid"), "relType", ":`")
     }
     // C13: legacy (<4.0) password change (ref DatabaseIO.java:117)
@@ -3851,7 +4005,7 @@ final class GraftSession(val spark: SparkSession,
         case other => throw new IllegalArgumentException(s"query must be a list, got $other")
       }
       val (label, prop, kind) = indexOfKind(name, "VECTOR")
-      val g = graph()
+      val g = statementGraph()
       if (!g.nodes.columns.contains(prop))
         throw new IllegalArgumentException(
           s"vector index $name: no node carries property `$prop` yet")
@@ -3877,7 +4031,7 @@ final class GraftSession(val spark: SparkSession,
       val terms = String.valueOf(args(1)).toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
       if (terms.isEmpty) throw new IllegalArgumentException("empty fulltext query")
       val (label, prop, _) = indexOfKind(name, "FULLTEXT")
-      val g = graph()
+      val g = statementGraph()
       if (!g.nodes.columns.contains(prop))
         throw new IllegalArgumentException(
           s"fulltext index $name: no node carries property `$prop` yet")
@@ -3893,40 +4047,41 @@ final class GraftSession(val spark: SparkSession,
     // ---- db.cdc.* — change data capture READ OFF THE DELTA-LOG
     // (the Neo4j 5 CDC surface: db.cdc.earliest/current/query —
     // downstream incremental consumers at corpus scale). A cursor
-    // captures the change epoch (the overlay BASE frames, by
-    // reference identity — the house self-validation pattern) plus
-    // the id-allocator watermarks; db.cdc.query reads the CURRENT
-    // overlay deltas directly — O(delta), never a table diff — and
-    // classifies each row: tombstone → 'd' (delete), key minted
+    // captures the change EPOCH (a monotonic per-database counter,
+    // settled against the base frames by reference identity —
+    // GraftSession.cdcEpoch) plus the id-allocator watermarks;
+    // db.cdc.query reads the epoch's delta-log directly — the live
+    // overlay delta, unioned latest-wins with the snapshot dir's
+    // persisted delta when an incremental save already flushed part
+    // of the epoch (Neo4j's retained-transaction-log analog: cursors
+    // SURVIVE incremental saves) — O(delta), never a table diff.
+    // Each row classifies: tombstone → 'd' (delete), key minted
     // inside [cursor watermark, now) → 'c' (create — exact for
     // session-minted ids; view-hash eids land in the interval with
-    // ~k/2⁶⁴ probability), anything else → 'u' (update). Events are
-    // COALESCED per entity — the overlay keeps latest state per key,
-    // the analog of Neo4j CDC's DIFF enrichment — so an update
-    // committed before the cursor within the same epoch may replay;
-    // consumers are idempotent upserts by contract. A load/save/
-    // compaction replaces the base and invalidates outstanding
-    // cursors: query then refuses loudly (Neo4j errors the same way
-    // when a cursor predates the retained change log), restart from
-    // db.cdc.earliest. Take earliest at epoch start for exact create
-    // classification.
-    def cdcDatabase = catalog.database("neo4j")
-    def cdcBases(d: graft.core.GraphDatabase) = (
-      d.validNodeDelta.map(_.base).getOrElse(d.graph.nodes),
-      d.validEdgeDelta.map(_.base).getOrElse(d.graph.edges))
+    // ~k/2⁶⁴ probability), anything else → 'u' (update); c/u events
+    // carry the latest property state as JSON (`properties` — the
+    // overlay row IS the after-image, so the enrichment is free).
+    // Events are COALESCED per entity — the overlay keeps latest
+    // state per key, the analog of Neo4j CDC's DIFF enrichment — so
+    // an update committed before the cursor within the same epoch may
+    // replay; consumers are idempotent upserts by contract. A load /
+    // FULL save / compaction / non-delta write burst starts a new
+    // epoch and invalidates outstanding cursors: query then refuses
+    // loudly (Neo4j errors the same way when a cursor predates the
+    // retained change log), restart from db.cdc.earliest.
+    def cdcDatabase = statementDatabase
     def cdcCursorNow(): String = {
       val d = cdcDatabase
-      // settle the lineage FIRST: the cursor hashes the SETTLED base
-      // frames, which every later delta fold extends and every later
-      // compaction preserves by reference (compaction only checkpoints
-      // a component whose reference moved) — so cursors survive
-      // housekeeping and invalidate exactly on epoch events: a
-      // load/save re-point, or an append burst that bypasses the log
+      // settle the lineage FIRST: the cursor's epoch settles against
+      // the SETTLED base frames, which every later delta fold extends
+      // and every later compaction preserves by reference (compaction
+      // only checkpoints a component whose reference moved) — so
+      // cursors survive housekeeping and invalidate exactly on epoch
+      // events: a load/full-save re-point, or an append burst that
+      // bypasses the log
       d.pendingMutations = math.max(d.pendingMutations, 2)
       compactIfNeeded(d)
-      val (nb, eb) = cdcBases(d)
-      s"graft:cdc:${d.nextId.get}:${d.nextRelId.get}:" +
-        s"${System.identityHashCode(nb)}:${System.identityHashCode(eb)}"
+      s"graft:cdc:${d.nextId.get}:${d.nextRelId.get}:${cdcEpoch(d)}"
     }
     procedures.register("db.cdc.earliest", "() :: (id)",
       "Earliest change-capture cursor of the current change epoch") { _ =>
@@ -3937,41 +4092,82 @@ final class GraftSession(val spark: SparkSession,
       procedures.oneRow("id" -> cdcCursorNow())
     }
     procedures.register("db.cdc.query",
-      "(from :: STRING) :: (op, entity, id, detail)",
+      "(from :: STRING) :: (op, entity, id, detail, properties)",
       "Changes since the cursor, coalesced per entity, straight off " +
         "the delta-log: op c|u|d, entity node|relationship, detail = " +
-        "labels or relType") { args =>
+        "labels or relType, properties = latest state as JSON (null on d)") { args =>
       import org.apache.spark.sql.functions._
       val cur = String.valueOf(args.headOption.getOrElse(""))
-      val m = """graft:cdc:(-?\d+):(-?\d+):(-?\d+):(-?\d+)""".r
+      val m = """graft:cdc:(-?\d+):(-?\d+):(-?\d+)""".r
         .findFirstMatchIn(cur).getOrElse(throw new IllegalArgumentException(
           s"malformed CDC cursor: $cur"))
       val d = cdcDatabase
-      val (nb, eb) = cdcBases(d)
-      if (m.group(3).toInt != System.identityHashCode(nb) ||
-          m.group(4).toInt != System.identityHashCode(eb))
+      if (m.group(3).toLong != cdcEpoch(d))
         throw new IllegalStateException(
           "CDC cursor predates the current change epoch (the base was " +
-            "replaced by a load/save/compaction or a non-delta write) — " +
+            "replaced by a load/compaction/full save or a non-delta write) — " +
             "restart from db.cdc.earliest")
+      // this epoch's delta-log may live in TWO places: the snapshot
+      // dir's persisted delta (flushed by an incremental save — the
+      // provenance manifest must still match AND carry this epoch)
+      // and the live overlay. Union latest-wins (overlay newer). A
+      // provenance dir claiming THIS epoch whose manifest no longer
+      // matches means someone else touched the snapshot (an external
+      // compaction folds the persisted log away) — refuse loudly
+      // rather than silently dropping the flushed events.
+      val prov = d.snapshotProvenance.filter { case (_, pm) =>
+        pm.changeEpoch == d.changeEpoch
+      }
+      prov.foreach { case (dir, pm) =>
+        val intact = SnapshotStore.exists(dir) &&
+          (try SnapshotStore.readManifest(dir) == pm
+           catch { case _: Exception => false })
+        if (!intact) throw new IllegalStateException(
+          "the snapshot holding this change epoch's persisted delta-log " +
+            "was modified externally (compaction or another writer) — " +
+            "restart from db.cdc.earliest")
+      }
+      def combined(overlay: Option[DataFrame], disk: Option[DataFrame],
+          key: String): Option[DataFrame] = (overlay, disk) match {
+        case (Some(o), Some(k)) => Some(PropertyGraph.appendByName(
+          k.join(o.select(col(key).as("_ck")), k(key) === col("_ck"), "left_anti"), o))
+        case (Some(o), None) => Some(o)
+        case (None, k)       => k
+      }
+      val nodeDelta = combined(d.validNodeDelta.map(_.delta),
+        prov.flatMap { case (dir, _) => SnapshotStore.readNodesDelta(spark, dir) }, "id")
+      val edgeDelta = combined(d.validEdgeDelta.map(_.delta),
+        prov.flatMap { case (dir, _) => SnapshotStore.readEdgesDelta(spark, dir) }, "eid")
       val tombC = PropertyGraph.TombstoneCol
-      def side(delta: Option[DataFrame], key: String, lo: Long, hi: Long,
-          entity: String, detail: org.apache.spark.sql.Column): Option[DataFrame] =
+      def side(delta: Option[DataFrame], key: String, meta: Set[String],
+          lo: Long, hi: Long, entity: String,
+          detail: org.apache.spark.sql.Column): Option[DataFrame] =
         delta.map { df =>
           val tomb =
             if (df.columns.contains(tombC)) coalesce(col(tombC), lit(false))
             else lit(false)
+          // after-image enrichment: every non-meta column of the
+          // latest-state row, as one JSON text per event (dynamic
+          // per-row maps need no compile-time shape this way — the
+          // apoc.cypher.run discipline). Null on deletes.
+          val props = df.columns.filterNot(meta.contains).sorted
+          val propsCol =
+            if (props.isEmpty) lit(null).cast("string")
+            else when(tomb, lit(null).cast("string"))
+              .otherwise(to_json(struct(props.map(col).toIndexedSeq: _*)))
           df.select(
             when(tomb, lit("d"))
               .when(col(key) >= lit(lo) && col(key) < lit(hi), lit("c"))
               .otherwise(lit("u")).as("op"),
             lit(entity).as("entity"),
             col(key).cast("long").as("id"),
-            detail.cast("string").as("detail"))
+            detail.cast("string").as("detail"),
+            propsCol.as("properties"))
         }
-      val nodeEvents = side(d.validNodeDelta.map(_.delta), "id",
+      val nodeEvents = side(nodeDelta, "id", Set("id", "labels", tombC),
         m.group(1).toLong, d.nextId.get, "node", concat_ws(":", col("labels")))
-      val edgeEvents = side(d.validEdgeDelta.map(_.delta), "eid",
+      val edgeEvents = side(edgeDelta, "eid",
+        Set("eid", "src", "dst", "relType", tombC),
         m.group(2).toLong, d.nextRelId.get, "relationship", col("relType"))
       (nodeEvents, edgeEvents) match {
         case (Some(n), Some(e)) => n.unionByName(e)
@@ -3979,15 +4175,16 @@ final class GraftSession(val spark: SparkSession,
         case (None, Some(e))    => e
         case (None, None)       =>
           spark.range(0).select(lit("").as("op"), lit("").as("entity"),
-            lit(0L).as("id"), lit("").as("detail"))
+            lit(0L).as("id"), lit("").as("detail"),
+            lit("").as("properties"))
       }
     }
   }
 
-  /** Resolve an index name that must exist with the given kind (on
-    * the default database — procedures run against `graph()`). */
+  /** Resolve an index name that must exist with the given kind on the
+    * statement's database (procedures run against [[statementDatabase]]). */
   private def indexOfKind(name: String, kind: String): (String, String, String) = {
-    val db0 = catalog.database("neo4j")
+    val db0 = statementDatabase
     val idx = db0.indexes.getOrElse(name,
       throw new NoSuchElementException(s"no such index: $name"))
     if (idx._3 != kind) throw new IllegalArgumentException(

@@ -131,6 +131,20 @@ final class GraphDatabase(val name: String) {
     * the shortcut, never correctness. */
   @volatile var snapshotProvenance: Option[(String, SnapshotStore.Manifest)] = None
 
+  /** CDC change epoch: a MONOTONIC counter identifying the base-frame
+    * generation the delta-log is relative to. `cdcBaseRefs` tracks the
+    * base frames (by reference identity — the house self-validation
+    * pattern) the current epoch was minted against: any re-point of a
+    * base the epoch didn't account for bumps the counter lazily at the
+    * next CDC touch (GraftSession.cdcEpoch). Collision-free where the
+    * old 32-bit identity hashes were not (ADVICE r13), and explicitly
+    * carried across an incremental save (whose on-disk delta still
+    * holds everything an outstanding cursor hasn't consumed) while
+    * full writes / compactions / loads bump it. Persisted in the
+    * snapshot manifest so monotonicity survives restarts. */
+  @volatile var changeEpoch: Long = 0L
+  @volatile var cdcBaseRefs: Option[(AnyRef, AnyRef)] = None
+
   /** Schema metadata, name → (label, property). Uniqueness
     * constraints are ENFORCED on write (GraftSession); plain indexes
     * are metadata-only — Spark's analog of a secondary index is

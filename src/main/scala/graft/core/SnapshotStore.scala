@@ -55,6 +55,15 @@ object SnapshotStore {
       nextId: Long,
       nextRelId: Long)
 
+  /** `changeEpoch`: the CDC change-epoch id this snapshot's delta-log
+    * belongs to — a monotonic per-database counter. An INCREMENTAL
+    * save carries the session's epoch through unchanged (outstanding
+    * CDC cursors stay valid: the on-disk delta still holds every
+    * change they haven't consumed); a full write or a compaction
+    * seals a NEW base and bumps it (the delta-log the cursors were
+    * reading folded away — they must refuse and restart from
+    * db.cdc.earliest). Persisted so the counter stays monotonic
+    * across session restarts. */
   final case class Manifest(
       formatVersion: Int,
       database: String,
@@ -62,7 +71,8 @@ object SnapshotStore {
       edgeCount: Long,
       nextId: Long,
       nextRelId: Long,
-      base: Option[BaseStats] = None)
+      base: Option[BaseStats] = None,
+      changeEpoch: Long = 0L)
 
   /** Schema metadata riding with a snapshot: constraints name ->
     * (label, prop, type); indexes name -> (label, prop, kind). */
@@ -79,7 +89,8 @@ object SnapshotStore {
     * direct overwrite would delete the write job's own input files
     * mid-read. */
   def write(graph: PropertyGraph, nextId: Long, dir: String, database: String,
-      schema: SchemaMeta = SchemaMeta.empty, nextRelId: Long = 0L): Manifest = {
+      schema: SchemaMeta = SchemaMeta.empty, nextRelId: Long = 0L,
+      changeEpoch: Long = 0L): Manifest = {
     val tmp = s"$dir/.tmp-write"
     deleteDir(tmp)
     graph.nodes.write.mode("overwrite").parquet(s"$tmp/nodes")
@@ -104,7 +115,8 @@ object SnapshotStore {
     // allocator watermarks) let every later incremental save compute
     // manifest counts from its delta alone — see [[BaseStats]]
     val m = Manifest(FormatVersion, database, nodeCount, edgeCount, nextId, nextRelId,
-      base = Some(BaseStats(nodeCount, edgeCount, nextId, nextRelId)))
+      base = Some(BaseStats(nodeCount, edgeCount, nextId, nextRelId)),
+      changeEpoch = changeEpoch)
     Files.writeString(Paths.get(s"$tmp/manifest.json"), manifestJson(m))
     Files.writeString(Paths.get(s"$tmp/schema.json"), schemaJson(schema))
     Files.createDirectories(Paths.get(dir))
@@ -168,18 +180,35 @@ object SnapshotStore {
     * never rewritten). */
   def readNodes(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val base = spark.read.parquet(s"$dir/nodes")
-    if (!Files.exists(Paths.get(s"$dir/nodes_delta"))) base
-    else PropertyGraph.overlayById(base, spark.read.parquet(s"$dir/nodes_delta"))
+    readNodesDelta(spark, dir) match {
+      case Some(delta) => PropertyGraph.overlayById(base, delta)
+      case None        => base
+    }
   }
 
   /** The snapshot's edge side with any `edges_delta/` overlay folded
-    * in lazily by eid (relType re-normalized first — the base is
-    * hive-partitioned by relType, the delta is written flat). */
+    * in lazily by eid (relType re-normalized on BOTH sides — base and
+    * delta hive-partition by relType). */
   def readEdges(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val base = normalizeRelType(spark.read.parquet(s"$dir/edges"))
-    if (!Files.exists(Paths.get(s"$dir/edges_delta"))) base
-    else PropertyGraph.overlayByKey(base, spark.read.parquet(s"$dir/edges_delta"), "eid")
+    readEdgesDelta(spark, dir) match {
+      case Some(delta) => PropertyGraph.overlayByKey(base, delta, "eid")
+      case None        => base
+    }
   }
+
+  /** The snapshot's raw node delta-log, if the dir carries one —
+    * tombstones included (CDC feeds read it directly). */
+  def readNodesDelta(spark: SparkSession, dir: String): Option[org.apache.spark.sql.DataFrame] =
+    if (!Files.exists(Paths.get(s"$dir/nodes_delta"))) None
+    else Some(spark.read.parquet(s"$dir/nodes_delta"))
+
+  /** The snapshot's raw edge delta-log, if present — relType
+    * re-normalized (the delta hive-partitions by relType like the
+    * base, so partition-column inference needs the same re-assert). */
+  def readEdgesDelta(spark: SparkSession, dir: String): Option[org.apache.spark.sql.DataFrame] =
+    if (!Files.exists(Paths.get(s"$dir/edges_delta"))) None
+    else Some(normalizeRelType(spark.read.parquet(s"$dir/edges_delta")))
 
   /** INCREMENTAL snapshot write (v5): persist only the DELTAS —
     * latest-wins replacement rows by node id (`nodeDelta`) and/or by
@@ -216,17 +245,23 @@ object SnapshotStore {
       dir: String, database: String, nextId: Long, nextRelId: Long,
       schema: SchemaMeta = SchemaMeta.empty,
       compactMinRows: Long = CompactMinRows,
-      compactFraction: Double = CompactFraction): Manifest = {
+      compactFraction: Double = CompactFraction,
+      changeEpoch: Long = 0L): Manifest = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
     val old = readManifest(dir)
     // stage each side's merged delta in a tmp sibling first; the
-    // on-disk swap happens after the manifest invalidates
+    // on-disk swap happens after the manifest invalidates. The edge
+    // delta hive-partitions by relType like the base (same empty-set
+    // guard): a typed expand over a delta-bearing snapshot prunes the
+    // DELTA side too, instead of scanning the whole log per hop.
     def stage(delta: org.apache.spark.sql.DataFrame, name: String,
         key: String): String = {
+      val partitioned = name == "edges_delta" && delta.columns.contains("relType")
       val merged =
         if (!Files.exists(Paths.get(s"$dir/$name"))) delta
         else {
-          val disk = spark.read.parquet(s"$dir/$name")
+          val disk0 = spark.read.parquet(s"$dir/$name")
+          val disk = if (partitioned) normalizeRelType(disk0) else disk0
           PropertyGraph.appendByName(
             disk.join(delta.select(col(key).as("_dk")),
               disk(key) === col("_dk"), "left_anti"),
@@ -234,7 +269,9 @@ object SnapshotStore {
         }
       val tmp = s"$dir/.tmp-$name"
       deleteDir(tmp)
-      merged.write.mode("overwrite").parquet(tmp)
+      if (partitioned && merged.take(1).nonEmpty)
+        merged.write.mode("overwrite").partitionBy("relType").parquet(tmp)
+      else merged.write.mode("overwrite").parquet(tmp)
       tmp
     }
     val nodeTmp = nodeDelta.map(stage(_, "nodes_delta", "id"))
@@ -302,7 +339,7 @@ object SnapshotStore {
     }
     Files.writeString(Paths.get(s"$dir/schema.json"), schemaJson(schema))
     val m = Manifest(FormatVersion, database, nodeCount, edgeCount, nextId, nextRelId,
-      base = Some(baseStats))
+      base = Some(baseStats), changeEpoch = changeEpoch)
     Files.writeString(Paths.get(s"$dir/manifest.json"), manifestJson(m))
     // compaction policy: fold an outsized delta into the base ONCE,
     // after the incremental manifest committed (crash-safe either way
@@ -322,8 +359,11 @@ object SnapshotStore {
     val old = readManifest(dir)
     if (!Files.exists(Paths.get(s"$dir/nodes_delta")) &&
       !Files.exists(Paths.get(s"$dir/edges_delta"))) return old
+    // folding the delta-log into the base starts a NEW change epoch:
+    // outstanding CDC cursors lose their log and must refuse
     write(PropertyGraph(readNodes(spark, dir), readEdges(spark, dir)),
-      old.nextId, dir, old.database, readSchema(dir), old.nextRelId)
+      old.nextId, dir, old.database, readSchema(dir), old.nextRelId,
+      changeEpoch = old.changeEpoch + 1)
   }
 
   /** Snapshots store edges hive-partitioned by relType, and partition
@@ -469,7 +509,8 @@ object SnapshotStore {
     }.getOrElse("")
     s"""{"format_version": ${m.formatVersion}, "database": "${m.database}", """ +
       s""""node_count": ${m.nodeCount}, "edge_count": ${m.edgeCount}, """ +
-      s""""next_id": ${m.nextId}, "next_rel_id": ${m.nextRelId}$baseFields}"""
+      s""""next_id": ${m.nextId}, "next_rel_id": ${m.nextRelId}, """ +
+      s""""change_epoch": ${m.changeEpoch}$baseFields}"""
   }
 
   private def schemaJson(s: SchemaMeta): String = {
@@ -508,7 +549,8 @@ object SnapshotStore {
       }
     Manifest(field("format_version").toInt, field("database"),
       field("node_count").toLong, edgeCount, field("next_id").toLong,
-      optField("next_rel_id", edgeCount), base)
+      optField("next_rel_id", edgeCount), base,
+      changeEpoch = optField("change_epoch", 0L))
   }
 
   /** Recursive copy used by dump/load/backup/restore verbs (a snapshot

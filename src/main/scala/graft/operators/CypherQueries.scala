@@ -605,6 +605,29 @@ object CypherQueries {
     // GraftSession.mergeRelFromBindings). The read-back sums the
     // counters; the oracle computes each key's expected count = the
     // number of calls whose range covered it.
+    // LOAD CSV end to end — the reference's /import bulk channel
+    // (docker-entrypoint.sh:502-505). The customer table round-trips
+    // through a CSV file on disk and STREAMS back in bounded driver
+    // batches (USING PERIODIC COMMIT 10000 — toLocalIterator, never a
+    // whole-file collect, so driver memory is flat in the file size
+    // while work scales ~linearly with it) as :csvc nodes; the
+    // read-back aggregates the untyped string properties (LOAD CSV is
+    // untyped text, Neo4j semantics). Oracle recomputes from the raw
+    // parquet the CSV was derived from.
+    sql("cy_load_csv",
+      """SELECT CAST(count(*) AS BIGINT) AS n, min(c_name) AS lo, max(c_name) AS hi
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      val csvDir = s"${System.getProperty("java.io.tmpdir")}/graft_loadcsv_" +
+        Integer.toHexString(dir.hashCode)
+      graft.core.SnapshotStore.deleteDir(csvDir)
+      s.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_name")
+        .write.mode("overwrite").option("header", "true").csv(csvDir)
+      gs.cypher(s"USING PERIODIC COMMIT 10000 LOAD CSV WITH HEADERS FROM " +
+        s"'file://$csvDir' AS row CREATE (c:csvc {k: row.c_custkey, name: row.c_name})")
+      gs.cypher("MATCH (c:csvc) RETURN count(c) AS n, min(c.name) AS lo, max(c.name) AS hi")
+    },
+
     sql("cy_rel_upsert_burst",
       """WITH calls AS (SELECT range AS i FROM range(0, 5)),
         |keys AS (SELECT range AS a FROM range(1, 61)),

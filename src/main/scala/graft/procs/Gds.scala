@@ -107,26 +107,51 @@ object Gds {
     * replay). Same shuffle shape as the unweighted form: one
     * aggregateMessages (keyed reduce) + one vertex join per iteration;
     * the per-source weight total is one extra keyed reduce up front.
-    * Vertices with out-edges always have Σw > 0 (messages only flow
-    * along edges), so the division is safe by construction. */
+    *
+    * Weight domain: integral weight columns ride as-is (exact);
+    * fractional columns (GDS weights are typically doubles) scale into
+    * the Long domain by 10⁶ with rounding — floor(rank·(w·S)/(Σw·S))
+    * equals floor(rank·w/Σw) for exactly-scaled weights, so integral
+    * data is bit-identical either way, and 0.5-style weights no longer
+    * truncate to 0. Non-positive effective weights refuse loudly (GDS
+    * requires positive weights; a zero-weight edge would make its
+    * source's Σw divisor 0), and the message send still guards Σw > 0
+    * so no task can throw ArithmeticException. Headroom: rank ≤ S
+    * (10⁶) and scaled w ≤ 10⁶·w_max keep rank·w below Long overflow
+    * for w_max up to ~9·10⁶ — past any realistic weight. */
   def pageRankWeighted(spark: SparkSession, g: PropertyGraph, relType: Option[String],
       iterations: Int, weightProp: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, round => sround}
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     val edgesDf = relType.map(g.edgesOfType).getOrElse(g.edges)
     if (!edgesDf.columns.contains(weightProp)) throw new IllegalArgumentException(
       s"relationship weight property `$weightProp` is not present on the graph " +
         "(declare it via gds.graph.project relationshipProperties)")
+    val wCol = edgesDf.schema(weightProp).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(weightProp).cast("long")
+      case _ => sround(col(weightProp).cast("double") * 1000000L).cast("long")
+    }
     val vertices = g.nodes.select("id").rdd.map(r => (r.getLong(0), r.getLong(0)))
-    val edges = edgesDf.select(col("src"), col("dst"), col(weightProp).cast("long")).rdd
-      .map(r => GXEdge(r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = edgesDf.select(col("src"), col("dst"), wCol.as("_w")).rdd
+      .map(r => GXEdge(r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
     val graph = GXGraph(vertices, edges)
+    // one pass validates: count + min ride the same tree-aggregate
+    val (nE, minW) = graph.edges.aggregate((0L, Long.MaxValue))(
+      (acc, e) => (acc._1 + 1, math.min(acc._2, e.attr)),
+      (a, b) => (a._1 + b._1, math.min(a._2, b._2)))
+    if (nE > 0 && minW <= 0L) throw new IllegalArgumentException(
+      s"relationship weight property `$weightProp` must be positive on every " +
+        s"relationship (found an effective weight of $minW after scaling) — " +
+        "weighted PageRank divides each source's rank by its weight total")
     val sumW = graph.aggregateMessages[Long](ctx => ctx.sendToSrc(ctx.attr), _ + _)
     var ranked = graph.outerJoinVertices(sumW) {
       (_, _, s) => (s.getOrElse(0L), RANK_SCALE)
     }.cache()
     for (_ <- 1 to iterations) {
       val msgs = ranked.aggregateMessages[Long](
-        ctx => ctx.sendToDst(ctx.srcAttr._2 * ctx.attr / ctx.srcAttr._1), _ + _)
+        ctx => if (ctx.srcAttr._1 > 0L)
+          ctx.sendToDst(ctx.srcAttr._2 * ctx.attr / ctx.srcAttr._1), _ + _)
       val prev = ranked
       ranked = ranked.outerJoinVertices(msgs) {
         (_, attr, m) => (attr._1, RANK_SCALE * 15 / 100 + m.getOrElse(0L) * 85 / 100)

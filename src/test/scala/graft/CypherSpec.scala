@@ -942,6 +942,57 @@ class CypherSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 15L)
   }
 
+  test("IN TRANSACTIONS ON ERROR: a failing batch rolls back whole — state AND minted ids") {
+    val s = new GraftSession(spark)
+    // a constraint violation is detected AFTER the batch's writes
+    // applied (the CREATE publishes, then the check fires) — the
+    // rollback must restore the graph, delta overlays AND the id
+    // allocators, so a failed batch neither leaks state nor burns ids
+    // (ADVICE r13: all-or-nothing per batch; deterministic ids)
+    s.cypher("CREATE CONSTRAINT uq_pc FOR (n:pc) REQUIRE n.k IS UNIQUE")
+    s.cypher("CREATE (:pc {k: 1})")
+    val seedId = s.cypher("MATCH (n:pc {k: 1}) RETURN id(n) AS i")
+      .collect().head.getLong(0)
+    val rows = Seq(Map("k" -> 2L), Map("k" -> 1L), Map("k" -> 3L)) // middle violates
+    val res = s.cypher(
+      "UNWIND $rows AS row CALL { WITH row CREATE (:pc {k: row.k}) } " +
+        "IN TRANSACTIONS OF 1 ROWS ON ERROR CONTINUE",
+      Map("rows" -> rows)).collect().head
+    assert(res.getLong(1) == 2L && res.getLong(2) == 1L) // (rows, batches, failed)
+    // the duplicate never published; the two good rows did
+    val ks = s.cypher("MATCH (n:pc) RETURN n.k AS k, id(n) AS i ORDER BY k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ks.keySet == Set(1L, 2L, 3L))
+    // ids stay CONTIGUOUS: the failed batch's minted id was restored,
+    // so k=3 takes the id right after k=2 (no burned hole)
+    assert(ks(2L) == seedId + 1 && ks(3L) == seedId + 2, s"got $ks")
+  }
+
+  test("db-scoped procedures follow USE: awaitIndex and db.cdc read the statement's database") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE DATABASE proddb")
+    // an index created on proddb is awaitable THERE, not on the default
+    s.cypher("USE proddb CREATE INDEX prod_idx FOR (n:item) ON (n.sku)")
+    s.cypher("USE proddb CALL db.awaitIndex('prod_idx')")
+    intercept[NoSuchElementException] {
+      s.cypher("CALL db.awaitIndex('prod_idx')").collect()
+    }
+    // db.labels follows the statement's database too
+    s.cypher("USE proddb CREATE (:item {sku: 1})")
+    assert(s.cypher("USE proddb CALL db.labels() YIELD label RETURN label")
+      .collect().map(_.getString(0)).toSeq == Seq("item"))
+    assert(!s.cypher("CALL db.labels() YIELD label RETURN label")
+      .collect().map(_.getString(0)).contains("item"))
+    // a CDC cursor taken on proddb reads proddb's deltas, and the
+    // default database's feed stays quiet
+    val cur = s.cypher("USE proddb CALL db.cdc.earliest() YIELD id RETURN id")
+      .collect().head.getString(0)
+    s.cypher("USE proddb MATCH (n:item {sku: 1}) SET n.flag = 1")
+    val events = s.cypher(
+      s"USE proddb CALL db.cdc.query('$cur') YIELD op, entity RETURN op, entity").collect()
+    assert(events.length == 1 && events.head.getString(0) == "u")
+  }
+
   test("WITH-bounded writes: LIMIT/ORDER BY/WHERE bound the write set; bad shapes refuse") {
     val s = new GraftSession(spark)
     s.cypher("UNWIND range(1, 25) AS x CREATE (:wq {k: x})")
@@ -1859,6 +1910,86 @@ class CypherSpec extends AnyFunSuite {
     // csv values arrive as strings (Neo4j semantics: LOAD CSV is untyped)
     val ages = s.cypher("MATCH (d:dog {name:'Rex'}) RETURN d.age AS age").collect()
     assert(ages.head.getString(0) == "9")
+  }
+
+  test("LOAD CSV streams in bounded driver batches; USING PERIODIC COMMIT sets the bound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-loadcsv-big").toString
+    // a file ≫ the bound: 25 rows against a 10-row bound → 3 batches,
+    // and the PEAK batch the driver ever holds is the bound, never
+    // the file (the r13 whole-file collect is gone)
+    val body = (1 to 25).map(i => s"n$i,$i").mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/big.csv"),
+      s"name,k\n$body\n")
+    val s = new GraftSession(spark)
+    s.cypher(s"USING PERIODIC COMMIT 10 LOAD CSV WITH HEADERS FROM '$dir/big.csv' " +
+      "AS row CREATE (:csvb {name: row.name, k: row.k})")
+    assert(s.lastLoadCsvBatches == 3L, s"batches = ${s.lastLoadCsvBatches}")
+    assert(s.lastLoadCsvMaxBatch == 10, s"peak batch = ${s.lastLoadCsvMaxBatch}")
+    assert(s.cypher("MATCH (n:csvb) RETURN count(n) AS c").collect().head.getLong(0) == 25L)
+    // every row landed exactly once across the batch boundary
+    val names = s.cypher("MATCH (n:csvb) RETURN n.name AS name").collect()
+      .map(_.getString(0)).toSet
+    assert(names == (1 to 25).map(i => s"n$i").toSet)
+    // the default bound holds a small file in one batch
+    s.cypher(s"LOAD CSV WITH HEADERS FROM '$dir/big.csv' AS row " +
+      "CREATE (:csvd {name: row.name})")
+    assert(s.lastLoadCsvBatches == 1L && s.lastLoadCsvMaxBatch == 25)
+    // per-batch commits refuse inside an explicit transaction
+    s.cypher("BEGIN")
+    val e = intercept[UnsupportedOperationException] {
+      s.cypher(s"USING PERIODIC COMMIT 10 LOAD CSV WITH HEADERS FROM '$dir/big.csv' " +
+        "AS row CREATE (:csvt {name: row.name})")
+    }
+    assert(e.getMessage.contains("open transaction"))
+    s.cypher("ROLLBACK")
+    graft.core.SnapshotStore.deleteDir(dir)
+  }
+
+  test("CDC cursors survive an incremental save; compaction and full writes refuse") {
+    val s = new GraftSession(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_sv_").toString
+    s.cypher("UNWIND range(1, 6) AS x CREATE (:sv {k: x})")
+    s.saveDatabase(tmp) // seals the base, sets provenance
+    val cur = s.cypher("CALL db.cdc.earliest() YIELD id RETURN id")
+      .collect().head.getString(0)
+    // delta-shaped mutations: update, create, delete
+    s.cypher("MATCH (n:sv {k: 1}) SET n.flag = 7")
+    s.cypher("MERGE (n:sv {k: 99})")
+    s.cypher("MATCH (n:sv {k: 6}) DELETE n")
+    // an INCREMENTAL save flushes the delta to disk and keeps the
+    // epoch: the cursor stays valid and the feed answers off the
+    // persisted delta-log (Neo4j's retained-tx-log behavior)
+    s.saveDatabase(tmp)
+    val events = s.cypher(
+      s"CALL db.cdc.query('$cur') YIELD op, entity, id, detail, properties " +
+        "RETURN op, entity, id, detail, properties").collect()
+    val byOp = events.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byOp == Map("u" -> 1, "c" -> 1, "d" -> 1), s"got $byOp")
+    // P6: c/u events carry the latest property state; deletes carry null
+    val upd = events.find(_.getString(0) == "u").get
+    assert(upd.getString(4).contains("\"flag\":7"), s"got ${upd.getString(4)}")
+    val del = events.find(_.getString(0) == "d").get
+    assert(del.isNullAt(4))
+    // mutate again AFTER the save: the same cursor sees old + new
+    s.cypher("MATCH (n:sv {k: 2}) SET n.flag = 8")
+    val events2 = s.cypher(
+      s"CALL db.cdc.query('$cur') YIELD op, id RETURN op, id").collect()
+    assert(events2.length == 4, s"got ${events2.length}")
+    // an external compaction folds the persisted delta-log away →
+    // the feed refuses loudly instead of silently dropping events
+    s.saveDatabase(tmp) // flush the second delta incrementally first
+    assert(s.cypher(s"CALL db.cdc.query('$cur') YIELD op RETURN op")
+      .collect().length == 4) // still alive after the second save
+    graft.core.SnapshotStore.compact(spark, s"$tmp/databases/neo4j")
+    intercept[IllegalStateException] {
+      s.cypher(s"CALL db.cdc.query('$cur') YIELD op RETURN op").collect()
+    }
+    // and a load starts a fresh epoch: still refused
+    s.loadDatabase(tmp)
+    intercept[IllegalStateException] {
+      s.cypher(s"CALL db.cdc.query('$cur') YIELD op RETURN op").collect()
+    }
+    graft.core.SnapshotStore.deleteDir(tmp)
   }
 
   test("label expressions and inline WHERE are refused in write patterns") {

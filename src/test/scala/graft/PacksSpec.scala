@@ -355,6 +355,28 @@ class PacksSpec extends AnyFunSuite {
     assert(e0.getMessage.contains("not present"))
   }
 
+  test("gds.pageRank weighted: fractional weights scale instead of truncating; zero refuses") {
+    val s = sessionWith("graph-data-science")
+    // doubles 0.5 / 0.25 — the ADVICE r13 case: a long cast would
+    // truncate both to 0 and the Σw divisor to 0 (task-level
+    // ArithmeticException); scaled by 1e6 the 2:1 split is exact
+    s.cypher("CREATE (a:n {name:'a'})-[:T {w: 0.5}]->(b:n {name:'b'})")
+    s.cypher("MATCH (a:n {name:'a'}) CREATE (a)-[:T {w: 0.25}]->(c:n {name:'c'})")
+    val rows = s.cypher("CALL gds.pageRank('T', 1, 'w') YIELD node_id, iscore")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same floor arithmetic as the integer 2:1 case: b gets 1e6*2//3
+    assert(rows(0L) == 150000L)
+    assert(rows(1L) == 150000L + 666666L * 85L / 100L)
+    assert(rows(2L) == 150000L + 333333L * 85L / 100L)
+    // a non-positive effective weight refuses loudly instead of
+    // dividing by a zero weight total
+    val s2 = sessionWith("graph-data-science")
+    s2.cypher("CREATE (a:n {name:'a'})-[:T {w: 0}]->(b:n {name:'b'})")
+    val e = intercept[IllegalArgumentException](
+      s2.cypher("CALL gds.pageRank('T', 1, 'w') YIELD node_id, iscore").collect())
+    assert(e.getMessage.contains("positive"))
+  }
+
   test("gds.hits: chain hubs point at authorities; converged 0/1 pattern") {
     val s = chainSession // a -> b -> c, d -> e
     val rows = s.cypher("CALL gds.hits('T', 4) YIELD node_id, ihub, iauth")
