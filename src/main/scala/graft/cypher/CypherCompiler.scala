@@ -681,6 +681,57 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       .select(col("_s"), col("_t"), col("_k"))
       .localCheckpoint()
     val startIds = cur.select(cur(s"$prevVar${SEP}id").as("_s")).distinct()
+
+    // UNBOUNDED expand `[:T*]` / `[:T*1..]` / `+`: a TRUE reachability
+    // fixpoint with a visited-set — frontier = newly-reached (start,
+    // end) pairs, expanded until empty; terminates in graph-diameter
+    // rounds on ANY graph, cycles included (the visited anti-join is
+    // the cycle breaker). Per round: one equi join + one distinct +
+    // one anti join, each frontier localCheckpointed (the house
+    // discipline — bounded lineage, executor-local, GC-reclaimed).
+    // Semantics: DISTINCT endpoint pairs, σ = 1 — sound because any
+    // walk s→t excises to a trail s→t, so trail-reachability equals
+    // walk-reachability; openCypher's per-TRAIL multiplicity is
+    // tracked only for bounded patterns (enumerating unbounded trail
+    // sets is the combinatorial blowup — documented divergence; put a
+    // bound on the pattern to get multiplicities). `*2..` style
+    // lower bounds above 1 refuse: cycle excision can shorten a long
+    // walk below the bound, so min-hop reachability is not expressible
+    // with a visited-set alone.
+    if (hi == Int.MaxValue) {
+      if (lo > 1) throw new UnsupportedOperationException(
+        s"unbounded var-length with a lower bound above 1 (`*$lo..`) is not " +
+          "supported — bind an upper bound, or drop the lower bound")
+      var visited = base.join(startIds, Seq("_s"), "left_semi")
+        .select(col("_s"), col("_t")).distinct().localCheckpoint()
+      var frontier = visited
+      var exhausted0 = frontier.isEmpty
+      while (!exhausted0) {
+        val next = frontier
+          .join(base.select(col("_s").as("_m"), col("_t").as("_u")), col("_t") === col("_m"))
+          .select(col("_s"), col("_u").as("_t")).distinct()
+          .join(visited, Seq("_s", "_t"), "left_anti")
+          .localCheckpoint()
+        if (next.isEmpty) exhausted0 = true
+        else {
+          visited = visited.union(next).localCheckpoint()
+          frontier = next
+        }
+      }
+      val reach0 = visited
+        .select(col("_s").as(s"_vl${SEP}s"), col("_t").as(s"_vl${SEP}t"),
+          lit(1L).as(s"_vl${SEP}c"))
+      val joined0 = cur.join(reach0, cur(s"$prevVar${SEP}id") === col(s"_vl${SEP}s"))
+      val out0 =
+        if (cur.columns.contains(s"$nv${SEP}id"))
+          joined0.filter(col(s"_vl${SEP}t") === col(s"$nv${SEP}id"))
+        else {
+          val n = nodeDf(nv, node)
+          joined0.join(n, col(s"_vl${SEP}t") === n(s"$nv${SEP}id"))
+        }
+      return out0.drop(s"_vl${SEP}s", s"_vl${SEP}t", s"_vl${SEP}c")
+    }
+
     // σ path counting (openCypher row-per-path multiplicity, the
     // cy_all_shortest trick generalized): a frontier row is a distinct
     // (start, end, edge-SET) and `_c` counts the trail SEQUENCES that

@@ -284,14 +284,21 @@ object CypherParser extends RegexParsers {
       case v ~ ts ~ vl ~ m ~ w => (v, ts.getOrElse(Nil), m.getOrElse(Map.empty), vl, w)
     }
 
+  /** Unbounded upper bound sentinel (`*`, `*..`, `*n..`, `{m,}`, `+`):
+    * the σ-count expand runs a TRUE visited-set fixpoint for it (no
+    * silent hop cap — r13's 15-hop truncation was a silent wrong
+    * answer on any deeper chain); path ENUMERATION keeps its explicit
+    * refusal (CypherCompiler.VarPathMaxHops). */
+  val Unbounded: Int = Int.MaxValue
+
   private def varLen: Parser[(Int, Int)] =
     "*" ~> opt("""\d+""".r) ~ opt(".." ~> opt("""\d+""".r)) ^^ {
       case lo ~ hi =>
         val min = lo.map(_.toInt).getOrElse(1)
         val max = hi match {
           case Some(Some(h)) => h.toInt
-          case Some(None)    => 15 // unbounded — engine caps + stops at fixpoint
-          case None          => lo.map(_.toInt).getOrElse(15)
+          case Some(None)    => Unbounded // `*n..`
+          case None          => lo.map(_.toInt).getOrElse(Unbounded) // `*n` | `*`
         }
         (min, max)
     }
@@ -305,9 +312,9 @@ object CypherParser extends RegexParsers {
   private def quant: Parser[(Int, Int)] =
     "{" ~> """\d+""".r ~ opt("," ~> opt("""\d+""".r)) <~ "}" ^^ {
       case lo ~ None            => (lo.toInt, lo.toInt)
-      case lo ~ Some(hi)        => (lo.toInt, hi.map(_.toInt).getOrElse(15))
+      case lo ~ Some(hi)        => (lo.toInt, hi.map(_.toInt).getOrElse(Unbounded))
     } |
-    "+" ^^^ ((1, 15))
+    "+" ^^^ ((1, Unbounded))
 
   private def quantified(r: RelPat, q: Option[(Int, Int)]): RelPat = q match {
     case None => r

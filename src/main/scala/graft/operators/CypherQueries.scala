@@ -605,6 +605,42 @@ object CypherQueries {
     // GraftSession.mergeRelFromBindings). The read-back sums the
     // counters; the oracle computes each key's expected count = the
     // number of calls whose range covered it.
+    // Unbounded var-length reachability `[:T*]` — the first query a
+    // graph user types (r13 verdict #2; the GDS pack the reference
+    // image ships is reachability-first, neo4j-plugins.json:24-30).
+    // The graph is a CYCLE-RICH double functional map over suppliers
+    // (k → 2k mod 61 and k → 3k mod 61), so termination needs the
+    // visited-set fixpoint, not a hop cap; the oracle replays it as a
+    // DuckDB recursive CTE with NO hop bound (UNION dedup = the same
+    // visited set). DISTINCT endpoint semantics on both sides.
+    sql("cy_varlen_unbounded",
+      """WITH RECURSIVE edges AS (
+        |  SELECT s1.s_suppkey AS s, s2.s_suppkey AS t
+        |  FROM supplier s1 JOIN supplier s2 ON s2.s_suppkey = (s1.s_suppkey * 2) % 61
+        |  WHERE s1.s_suppkey BETWEEN 1 AND 60
+        |  UNION
+        |  SELECT s1.s_suppkey, s2.s_suppkey
+        |  FROM supplier s1 JOIN supplier s2 ON s2.s_suppkey = (s1.s_suppkey * 3) % 61
+        |  WHERE s1.s_suppkey BETWEEN 1 AND 60),
+        |reach(t) AS (
+        |  SELECT t FROM edges WHERE s = 1
+        |  UNION
+        |  SELECT e.t FROM reach r JOIN edges e ON e.s = r.t)
+        |SELECT CAST(t AS BIGINT) AS node FROM reach ORDER BY node""".stripMargin) {
+      (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      val batch = (1L to 60L).flatMap(k =>
+        Seq(Map("a" -> k, "b" -> (k * 2 % 61)), Map("a" -> k, "b" -> (k * 3 % 61))))
+      gs.cypher(
+        """UNWIND $batch AS row
+          |MATCH (a:supplier {s_suppkey: row.a}), (b:supplier {s_suppkey: row.b})
+          |MERGE (a)-[:PFLOW]->(b)""".stripMargin, Map("batch" -> batch))
+      gs.cypher(
+        """MATCH (a:supplier {s_suppkey: 1})-[:PFLOW*]->(b:supplier)
+          |RETURN DISTINCT b.s_suppkey AS node ORDER BY node""".stripMargin)
+    },
+
     // LOAD CSV end to end — the reference's /import bulk channel
     // (docker-entrypoint.sh:502-505). The customer table round-trips
     // through a CSV file on disk and STREAMS back in bounded driver
@@ -832,6 +868,46 @@ object CypherQueries {
         .collect()
       gs.cypher(
         "MATCH (:nation)-[b:BELONGS]->(r:region) RETURN id(r) AS rid, count(b) AS n")
+    },
+
+    // apoc.merge.relationship end to end — the dynamic-ETL rel upsert
+    // (runtime relType, ident props as pattern literals, endpoint node
+    // ids from apoc-style id lookups): 4 supplier→nation links
+    // created, 2 re-merged (ON MATCH marks them), all through the
+    // buffered eid-keyed rel-upsert path. Oracle replays the counts
+    // from the raw tables.
+    sql("apoc_merge_rel",
+      """WITH m AS (SELECT s.s_suppkey AS k FROM supplier s
+        |           JOIN nation n ON n.n_nationkey = s.s_suppkey % 5
+        |           WHERE s.s_suppkey BETWEEN 1 AND 4)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rel,
+        |  CAST(count(*) FILTER (WHERE k <= 2) AS BIGINT) AS n_seen
+        |FROM m""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      graft.procs.Packs.install(gs, Seq("apoc"))
+      val sids = gs.cypher(
+        """MATCH (v:supplier) WHERE v.s_suppkey >= 1 AND v.s_suppkey <= 4
+          |RETURN v.s_suppkey AS k, id(v) AS i""".stripMargin)
+        .collect().map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+      val nids = gs.cypher(
+        """MATCH (n:nation) WHERE n.n_nationkey <= 4
+          |RETURN n.n_nationkey AS k, id(n) AS i""".stripMargin)
+        .collect().map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+      (1L to 4L).foreach { k =>
+        gs.cypher(s"CALL apoc.merge.relationship(${sids(k)}, 'AMR', " +
+          s"{via: 1}, {made: 1}, ${nids(k % 5)}, {seen: 2}) YIELD src RETURN src")
+          .collect()
+      }
+      (1L to 2L).foreach { k => // re-merge: ON MATCH marks
+        gs.cypher(s"CALL apoc.merge.relationship(${sids(k)}, 'AMR', " +
+          s"{via: 1}, {made: 1}, ${nids(k % 5)}, {seen: 2}) YIELD src RETURN src")
+          .collect()
+      }
+      gs.cypher(
+        """MATCH (:supplier)-[r:AMR]->(:nation)
+          |RETURN count(r) AS n_rel,
+          |  sum(CASE WHEN r.seen = 2 THEN 1 ELSE 0 END) AS n_seen""".stripMargin)
     },
 
     // Real transactions over snapshot pointers (BEGIN/COMMIT/ROLLBACK —

@@ -331,6 +331,84 @@ object Packs {
         onMatch.map { case (k, v) => s"_om_$k" -> v }
       session.cypher(stmt, params)
     }
+    // apoc.merge.relationship — the natural pair of apoc.merge.node
+    // (dynamic-ETL upserts need both ends): MERGE a relationship of a
+    // RUNTIME type between two already-known nodes. Endpoints arrive
+    // as node ids (the id apoc.merge.node returns — this engine's
+    // procedure arguments are values, documented divergence from
+    // APOC's node objects); the relType and property KEYS must be
+    // plain identifiers (validated — they interpolate), property
+    // VALUES travel as parameters. Ident-prop literals ride the MERGE
+    // pattern so same-type relationships with different ident values
+    // stay distinct, and the synthesized statement runs the ordinary
+    // MATCH … MERGE path (buffered, delta-shaped, eid-keyed).
+    procs.registerWithParams("apoc.merge.relationship",
+      Seq(procs.Param("startNode"), procs.Param("relationshipType"),
+        procs.Param("identProps", Some(Map.empty[String, Any])),
+        procs.Param("onCreateProps", Some(Map.empty[String, Any])),
+        procs.Param("endNode"),
+        procs.Param("onMatchProps", Some(Map.empty[String, Any]))),
+      "(startNode :: INTEGER, relationshipType :: STRING, identProps :: MAP?, " +
+        "onCreateProps :: MAP?, endNode :: INTEGER, onMatchProps :: MAP?) :: (src, dst)",
+      "MERGE a relationship of a runtime type between two node ids") { args =>
+      val IdentRx = "^[A-Za-z_][A-Za-z0-9_]*$".r
+      def ident(s: Any, what: String): String = {
+        val v = String.valueOf(s)
+        if (IdentRx.findFirstIn(v).isEmpty) throw new IllegalArgumentException(
+          s"apoc.merge.relationship $what `$v` must be a plain identifier")
+        v
+      }
+      def toMap(a: Any, what: String): Map[String, Any] = a match {
+        case m: collection.Map[_, _] =>
+          m.asInstanceOf[collection.Map[String, Any]].toMap
+        case null => Map.empty
+        case other => throw new IllegalArgumentException(
+          s"apoc.merge.relationship $what must be a map, got $other")
+      }
+      def nodeId(a: Any, what: String): Long = a match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"apoc.merge.relationship $what must be a node id, got $other")
+      }
+      val sid = nodeId(args(0), "startNode")
+      val relType = ident(args(1), "relationship type")
+      val identProps = toMap(args(2), "identProps")
+      val onCreate = toMap(args(3), "onCreateProps")
+      val did = nodeId(args(4), "endNode")
+      val onMatch = toMap(args(5), "onMatchProps")
+      (identProps.keys ++ onCreate.keys ++ onMatch.keys)
+        .foreach(ident(_, "property key"))
+      // ident props interpolate as LITERALS into the merge pattern
+      // (the matched-merge path matches existing relationships on
+      // literal pattern props); values are scalars only — strings
+      // escape through a parameter-shaped literal check
+      def lit(v: Any): String = v match {
+        case null          => "null"
+        case n: Number     => String.valueOf(n)
+        case b: Boolean    => String.valueOf(b)
+        case s: String     => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        case other => throw new IllegalArgumentException(
+          s"apoc.merge.relationship identProps values must be scalars, got $other")
+      }
+      val pat =
+        if (identProps.isEmpty) ""
+        else " {" + identProps.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k: ${lit(v)}" }.mkString(", ") + "}"
+      val ocTxt =
+        if (onCreate.isEmpty) ""
+        else " ON CREATE SET " + onCreate.keys.map(k => s"r.$k = $$_oc_$k").mkString(", ")
+      val omTxt =
+        if (onMatch.isEmpty) ""
+        else " ON MATCH SET " + onMatch.keys.map(k => s"r.$k = $$_om_$k").mkString(", ")
+      val stmt = s"MATCH (a), (b) WHERE id(a) = $$_sid AND id(b) = $$_did " +
+        s"MERGE (a)-[r:$relType$pat]->(b)$ocTxt$omTxt"
+      val params: Map[String, Any] =
+        Map("_sid" -> sid, "_did" -> did) ++
+          onCreate.map { case (k, v) => s"_oc_$k" -> v } ++
+          onMatch.map { case (k, v) => s"_om_$k" -> v }
+      session.cypher(stmt, params)
+      procs.oneRow("src" -> sid, "dst" -> did)
+    }
     // apoc.cypher.run — a DYNAMIC read statement (statements built at
     // runtime: introspection dashboards, generic tooling). Documented
     // divergence: APOC yields each row as a MAP `value`; this engine's

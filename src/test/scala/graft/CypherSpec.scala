@@ -150,6 +150,48 @@ class CypherSpec extends AnyFunSuite {
     assert(res.collect().map(_.getString(0)).toSeq == Seq("b", "c"))
   }
 
+  test("unbounded [:T*] runs a true visited-set fixpoint: cycles terminate, depth past 15") {
+    val s = new GraftSession(spark)
+    // a 20-node directed cycle — deeper than the r13 silent 15-hop cap,
+    // and cyclic so only a visited-set fixpoint can terminate
+    s.cypher("UNWIND range(1, 20) AS x CREATE (:ub {k: x})")
+    val batch = (1L to 20L).map(k => Map("a" -> k, "b" -> (k % 20 + 1)))
+    s.cypher(
+      """UNWIND $batch AS row MATCH (a:ub {k: row.a}), (b:ub {k: row.b})
+        |MERGE (a)-[:UB]->(b)""".stripMargin, Map("batch" -> batch))
+    // every node is reachable, including the start via the full cycle
+    val reach = s.cypher(
+      "MATCH (a:ub {k: 1})-[:UB*]->(b:ub) RETURN DISTINCT b.k AS k ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(reach == (1L to 20L), s"got $reach")
+    // `*1..` and the GQL `+` quantifier hit the same fixpoint
+    assert(s.cypher("MATCH (a:ub {k: 1})-[:UB*1..]->(b:ub) RETURN count(b) AS c")
+      .collect().head.getLong(0) == 20L)
+    assert(s.cypher("MATCH (a:ub {k: 1})-[:UB]->+(b:ub) RETURN count(b) AS c")
+      .collect().head.getLong(0) == 20L)
+    // a lower bound above 1 refuses loudly (cycle excision can shorten
+    // a walk below the bound — not expressible with a visited set)
+    val e = intercept[UnsupportedOperationException](
+      s.cypher("MATCH (a:ub {k: 1})-[:UB*2..]->(b:ub) RETURN count(b) AS c"))
+    assert(e.getMessage.contains("lower bound"))
+    // unbounded shortestPath finds distances past the old cap
+    val d = s.cypher(
+      """MATCH p = shortestPath((a:ub {k: 1})-[:UB*]->(b:ub {k: 20}))
+        |RETURN length(p) AS l""".stripMargin).collect().head.getLong(0)
+    assert(d == 19L)
+    // bounded patterns keep per-trail σ multiplicity; unbounded is
+    // DISTINCT-pairs by design (documented divergence): on a diamond
+    // a→{x,y}→z the bounded form emits two rows, the unbounded one
+    s.cypher("CREATE (a:di {k:1})-[:D]->(x:di {k:2})-[:D]->(z:di {k:4})")
+    s.cypher("MATCH (a:di {k:1}), (z:di {k:4}) CREATE (a)-[:D]->(y:di {k:3})-[:D]->(z)")
+    assert(s.cypher(
+      "MATCH (a:di {k:1})-[:D*1..3]->(b:di {k:4}) RETURN count(b) AS c")
+      .collect().head.getLong(0) == 2L)
+    assert(s.cypher(
+      "MATCH (a:di {k:1})-[:D*]->(b:di {k:4}) RETURN count(b) AS c")
+      .collect().head.getLong(0) == 1L)
+  }
+
   test("var-length expand has trail semantics: no bounce-back over one relationship") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:tn {name:'a'})-[:T]->(b:tn {name:'b'})-[:T]->(c:tn {name:'c'})")

@@ -649,6 +649,45 @@ class PacksSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("plain identifier"))
   }
 
+  test("apoc.merge.relationship: runtime-typed rel upsert between node ids; injection refuses") {
+    val s = new GraftSession(spark)
+    Packs.install(s, Seq("apoc"))
+    val aid = s.cypher("CALL apoc.merge.node(['amra'], {k: 1}) YIELD id RETURN id")
+      .collect().head.getLong(0)
+    val bid = s.cypher("CALL apoc.merge.node(['amrb'], {k: 2}) YIELD id RETURN id")
+      .collect().head.getLong(0)
+    def call(extra: String = ""): Unit =
+      s.cypher(s"CALL apoc.merge.relationship($aid, 'LINKS', {since: 2020}, " +
+        s"{made: 1}, $bid, {seen: 1}$extra) YIELD src, dst RETURN src, dst").collect()
+    call()
+    call() // second call MATCHES: no duplicate, ON MATCH applies
+    val rows = s.cypher(
+      """MATCH (:amra)-[r:LINKS]->(:amrb)
+        |RETURN r.since AS since, r.made AS made, r.seen AS seen""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 2020L && rows.head.getLong(1) == 1L &&
+      rows.head.getLong(2) == 1L)
+    // a DIFFERENT ident value merges a distinct relationship
+    s.cypher(s"CALL apoc.merge.relationship($aid, 'LINKS', {since: 2021}, " +
+      s"{}, $bid, {}) YIELD src RETURN src").collect()
+    assert(s.cypher("MATCH (:amra)-[r:LINKS]->(:amrb) RETURN count(r) AS c")
+      .collect().head.getLong(0) == 2L)
+    // an injection-shaped relType refuses loudly
+    val badType = intercept[Exception] {
+      s.cypher(s"CALL apoc.merge.relationship($aid, $$t, {}, {}, $bid, {}) " +
+        "YIELD src RETURN src", Map("t" -> "X]->() DETACH DELETE n //")).collect()
+    }
+    assert(badType.getMessage.contains("plain identifier"))
+    // an injection-shaped ident STRING VALUE is escaped, not executed
+    s.cypher(s"CALL apoc.merge.relationship($aid, 'LINKS', $$m, {}, $bid, {}) " +
+      "YIELD src RETURN src", Map("m" -> Map("tag" -> "x'}]->() DETACH DELETE n //")))
+      .collect()
+    assert(s.cypher(
+      s"MATCH (:amra)-[r:LINKS]->(:amrb) WHERE r.tag = $$v RETURN count(r) AS c",
+      Map("v" -> "x'}]->() DETACH DELETE n //")).collect().head.getLong(0) == 1L)
+    assert(s.cypher("MATCH (n) RETURN count(n) AS c").collect().head.getLong(0) == 2L)
+  }
+
   test("apoc.cypher.run yields dynamic rows as JSON text; writes refuse") {
     val s = new GraftSession(spark)
     Packs.install(s, Seq("apoc"))

@@ -48,7 +48,10 @@ class ParserSpec extends AnyFunSuite {
         .patterns.head.hops.head._1
     assert(rel("MATCH (a)-[:T*1..3]->(b) RETURN a").varLength.contains((1, 3)))
     assert(rel("MATCH (a)-[:T*2]->(b) RETURN a").varLength.contains((2, 2)))
-    assert(rel("MATCH (a)-[:T*]->(b) RETURN a").varLength.contains((1, 15)))
+    assert(rel("MATCH (a)-[:T*]->(b) RETURN a").varLength
+      .contains((1, CypherParser.Unbounded)))
+    assert(rel("MATCH (a)-[:T*2..]->(b) RETURN a").varLength
+      .contains((2, CypherParser.Unbounded)))
     assert(rel("MATCH (a)-[:T|U]->(b) RETURN a").types == Seq("T", "U"))
   }
 
