@@ -2119,11 +2119,8 @@ final class GraftSession(val spark: SparkSession,
     * UNWIND…MERGE (batch broadcast against the distributed node
     * table), so batching bounds DRIVER memory for the literal batch
     * rows without introducing per-element probes. */
-  private def mutateCallInTx(db: GraphDatabase, q: ast.Query): DataFrame = q.clauses match {
-    case Seq(u: ast.Unwind, cs: ast.CallSub) if cs.inTransactions =>
-      if (!cs.imports.contains(u.alias))
-        throw new UnsupportedOperationException(
-          s"CALL { … } IN TRANSACTIONS must import the UNWIND alias: CALL { WITH ${u.alias} … }")
+  private def mutateCallInTx(db: GraphDatabase, q: ast.Query): DataFrame = {
+    def requireMutating(cs: ast.CallSub): Unit = {
       val isMut = cs.clauses.exists {
         case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
              _: ast.SetLabels | _: ast.Delete | _: ast.Merge | _: ast.Foreach => true
@@ -2131,25 +2128,30 @@ final class GraftSession(val spark: SparkSession,
       }
       if (!isMut) throw new UnsupportedOperationException(
         "CALL { … } IN TRANSACTIONS expects a mutating body")
-      val elems = unwindElements(u, "UNWIND … CALL { } IN TRANSACTIONS")
+    }
+    def batchSize(cs: ast.CallSub): Int = {
       val n = cs.batchRows.getOrElse(1000L)
       if (n <= 0) throw new IllegalArgumentException(
         s"IN TRANSACTIONS OF $n ROWS: batch size must be positive")
+      n.toInt
+    }
+    // the shared batch-commit loop: one statement per batch = one
+    // snapshot swap = one commit; a throwing batch (including a
+    // uniqueness violation) rolls only ITSELF back — all-or-nothing
+    // via withConstraintCheck — and leaves the previous swaps
+    // published. The Neo4j 5.23 ON ERROR policy picks what happens
+    // next: FAIL (default) rethrows, CONTINUE counts the batch failed
+    // and keeps going, BREAK stops without error.
+    def runBatches(cs: ast.CallSub,
+        chunks: Iterator[(ast.Query, Long)]): DataFrame = {
+      var rows = 0L
       var batches = 0L
       var failed = 0L
       val onError = cs.onError.getOrElse("FAIL")
-      val it = elems.grouped(n.toInt)
       var stopped = false
-      while (it.hasNext && !stopped) {
-        val chunk = it.next()
-        val chunkQ = ast.Query(
-          ast.Unwind(ast.ListLit(chunk.map(v => ast.Lit(v)).toSeq), u.alias) +: cs.clauses)
-        // one statement per batch = one snapshot swap = one commit; a
-        // throwing batch (including a uniqueness violation) rolls only
-        // ITSELF back and leaves the previous swaps published. The
-        // Neo4j 5.23 ON ERROR policy picks what happens next:
-        // FAIL (default) rethrows, CONTINUE counts the batch failed
-        // and keeps going, BREAK stops without error.
+      while (chunks.hasNext && !stopped) {
+        val (chunkQ, size) = chunks.next()
+        rows += size
         try {
           withConstraintCheck(db, db)(mutate(db, chunkQ))
           batches += 1
@@ -2165,15 +2167,75 @@ final class GraftSession(val spark: SparkSession,
       // the legacy two-column summary keeps its shape; the ON ERROR
       // form adds the failedBatches count the policy exists to report
       if (cs.onError.isEmpty)
-        spark.createDataFrame(javaList(Seq(Row(elems.size.toLong, batches))),
+        spark.createDataFrame(javaList(Seq(Row(rows, batches))),
           StructType(Seq(StructField("rows", LongType), StructField("batches", LongType))))
       else
-        spark.createDataFrame(javaList(Seq(Row(elems.size.toLong, batches, failed))),
+        spark.createDataFrame(javaList(Seq(Row(rows, batches, failed))),
           StructType(Seq(StructField("rows", LongType), StructField("batches", LongType),
             StructField("failedBatches", LongType))))
-    case _ => throw new UnsupportedOperationException(
-      "CALL { … } IN TRANSACTIONS composes as " +
-        "`UNWIND <list> AS x CALL { WITH x <mutations> } IN TRANSACTIONS [OF n ROWS]`")
+    }
+    q.clauses match {
+      case Seq(u: ast.Unwind, cs: ast.CallSub) if cs.inTransactions =>
+        if (!cs.imports.contains(u.alias))
+          throw new UnsupportedOperationException(
+            s"CALL { … } IN TRANSACTIONS must import the UNWIND alias: CALL { WITH ${u.alias} … }")
+        requireMutating(cs)
+        val elems = unwindElements(u, "UNWIND … CALL { } IN TRANSACTIONS")
+        val n = batchSize(cs)
+        runBatches(cs, elems.grouped(n).map { chunk =>
+          (ast.Query(ast.Unwind(ast.ListLit(chunk.map(v => ast.Lit(v)).toSeq),
+            u.alias) +: cs.clauses), chunk.size.toLong)
+        })
+      // `MATCH <pattern> CALL { WITH n <mutations> } IN TRANSACTIONS
+      // [OF k ROWS]` — the canonical huge-cleanup shape (`MATCH
+      // (n:Old) CALL { WITH n DETACH DELETE n } IN TRANSACTIONS`).
+      // The driving MATCH binds ONCE against the entry snapshot
+      // (openCypher: the outer row set is fixed before any batch
+      // commits); its matched node ids then STREAM through the driver
+      // in batch-size chunks (toLocalIterator — never a full collect,
+      // driver memory is O(batch)), and each chunk replays the body
+      // over an id-keyed re-match (`WHERE id(n) IN [chunk]` — the
+      // isin pushes into the node scan) as ONE distributed statement
+      // committing its own snapshot swap. Duplicate bindings collapse
+      // (set-based batch writes — the engine's documented batch
+      // discipline), so bodies whose effect depends on per-row
+      // repetition are out of scope; SET/DELETE/REMOVE are idempotent
+      // per entity.
+      case Seq(m: ast.Match, cs: ast.CallSub) if cs.inTransactions =>
+        requireMutating(cs)
+        val v = cs.imports match {
+          case Seq(x) => x
+          case _ => throw new UnsupportedOperationException(
+            "MATCH … CALL { } IN TRANSACTIONS imports exactly ONE matched node variable")
+        }
+        val isNodeVar = m.patterns.exists(p =>
+          (p.start +: p.hops.map(_._2)).exists(_.variable.contains(v)))
+        if (!isNodeVar) throw new UnsupportedOperationException(
+          s"CALL { WITH $v … } IN TRANSACTIONS: `$v` is not a node variable of the MATCH")
+        val n = batchSize(cs)
+        val idsDf = compiler(db).compile(ast.Query(Seq(m,
+          ast.Return(Seq(ast.ReturnItem(ast.FnCall("id", Seq(ast.Variable(v))),
+            Some("_id"))), distinct = true, Nil, None, None))))
+        val chunks = new Iterator[(ast.Query, Long)] {
+          private val it = idsDf.toLocalIterator()
+          def hasNext: Boolean = it.hasNext
+          def next(): (ast.Query, Long) = {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+            while (it.hasNext && buf.size < n) buf += it.next().getLong(0)
+            val rematch = ast.Match(
+              Seq(ast.PathPat(ast.NodePat(Some(v), Nil, Map.empty), Nil)),
+              optional = false,
+              where = Some(ast.In(ast.FnCall("id", Seq(ast.Variable(v))),
+                buf.toSeq.map(x => ast.Lit(x)))))
+            (ast.Query(rematch +: cs.clauses), buf.size.toLong)
+          }
+        }
+        runBatches(cs, chunks)
+      case _ => throw new UnsupportedOperationException(
+        "CALL { … } IN TRANSACTIONS composes as " +
+          "`UNWIND <list> AS x CALL { WITH x <mutations> } IN TRANSACTIONS [OF n ROWS]` " +
+          "or `MATCH <pattern> CALL { WITH n <mutations> } IN TRANSACTIONS [OF n ROWS]`")
+    }
   }
 
   /** Literal elements of an UNWIND over a literal list or range(). */
@@ -4092,12 +4154,19 @@ final class GraftSession(val spark: SparkSession,
       procedures.oneRow("id" -> cdcCursorNow())
     }
     procedures.register("db.cdc.query",
-      "(from :: STRING) :: (op, entity, id, detail, properties)",
+      "(from :: STRING, withBefore :: BOOLEAN?) :: (op, entity, id, detail, properties[, before])",
       "Changes since the cursor, coalesced per entity, straight off " +
         "the delta-log: op c|u|d, entity node|relationship, detail = " +
-        "labels or relType, properties = latest state as JSON (null on d)") { args =>
+        "labels or relType, properties = latest state as JSON (null on d). " +
+        "withBefore=true adds the epoch-start image per touched key " +
+        "(one delta-key-pruned base lookup — optional so the default " +
+        "read stays strictly O(delta))") { args =>
       import org.apache.spark.sql.functions._
       val cur = String.valueOf(args.headOption.getOrElse(""))
+      val withBefore = args.lift(1).exists {
+        case b: Boolean => b
+        case s => String.valueOf(s).equalsIgnoreCase("true")
+      }
       val m = """graft:cdc:(-?\d+):(-?\d+):(-?\d+)""".r
         .findFirstMatchIn(cur).getOrElse(throw new IllegalArgumentException(
           s"malformed CDC cursor: $cur"))
@@ -4139,9 +4208,22 @@ final class GraftSession(val spark: SparkSession,
       val edgeDelta = combined(d.validEdgeDelta.map(_.delta),
         prov.flatMap { case (dir, _) => SnapshotStore.readEdgesDelta(spark, dir) }, "eid")
       val tombC = PropertyGraph.TombstoneCol
+      // epoch-start bases for the OPTIONAL before-image: the pure
+      // on-disk base when the epoch is provenance-backed (the in-memory
+      // frames fold the flushed delta in after a save), else the live
+      // overlay's base / the unmutated frames
+      def epochBase(fromDisk: String => DataFrame,
+          overlayBase: Option[DataFrame], live: DataFrame): DataFrame =
+        prov.map { case (dir, _) => fromDisk(dir) }
+          .orElse(overlayBase).getOrElse(live)
+      lazy val nodeBase = epochBase(dir => spark.read.parquet(s"$dir/nodes"),
+        d.validNodeDelta.map(_.base), d.graph.nodes)
+      lazy val edgeBase = epochBase(
+        dir => SnapshotStore.normalizeRelType(spark.read.parquet(s"$dir/edges")),
+        d.validEdgeDelta.map(_.base), d.graph.edges)
       def side(delta: Option[DataFrame], key: String, meta: Set[String],
           lo: Long, hi: Long, entity: String,
-          detail: org.apache.spark.sql.Column): Option[DataFrame] =
+          detail: org.apache.spark.sql.Column, base: => DataFrame): Option[DataFrame] =
         delta.map { df =>
           val tomb =
             if (df.columns.contains(tombC)) coalesce(col(tombC), lit(false))
@@ -4155,7 +4237,7 @@ final class GraftSession(val spark: SparkSession,
             if (props.isEmpty) lit(null).cast("string")
             else when(tomb, lit(null).cast("string"))
               .otherwise(to_json(struct(props.map(col).toIndexedSeq: _*)))
-          df.select(
+          val ev = df.select(
             when(tomb, lit("d"))
               .when(col(key) >= lit(lo) && col(key) < lit(hi), lit("c"))
               .otherwise(lit("u")).as("op"),
@@ -4163,14 +4245,34 @@ final class GraftSession(val spark: SparkSession,
             col(key).cast("long").as("id"),
             detail.cast("string").as("detail"),
             propsCol.as("properties"))
+          if (!withBefore) ev
+          else {
+            // before-image: the epoch-start row per touched key —
+            // delta-key-pruned (isin pushes into the base scan for
+            // bounded deltas, row-group pruning at scale; a huge delta
+            // falls back to one distributed semi join). Creates and
+            // untouched keys read null.
+            val b = base
+            val keyRows = df.select(col(key).cast("long").as("_bk")).distinct()
+            val keys = keyRows.limit(10001).collect().map(_.getLong(0))
+            val pruned =
+              if (keys.length <= 10000) b.filter(col(key).isin(keys.toIndexedSeq: _*))
+              else b.join(keyRows, b(key) === col("_bk"), "left_semi")
+            val bprops = b.columns.filterNot(meta.contains).sorted
+            val bcol =
+              if (bprops.isEmpty) lit(null).cast("string")
+              else to_json(struct(bprops.map(col).toIndexedSeq: _*))
+            val before = pruned.select(col(key).cast("long").as("_bid"), bcol.as("before"))
+            ev.join(before, ev("id") === col("_bid"), "left_outer").drop("_bid")
+          }
         }
       val nodeEvents = side(nodeDelta, "id", Set("id", "labels", tombC),
-        m.group(1).toLong, d.nextId.get, "node", concat_ws(":", col("labels")))
+        m.group(1).toLong, d.nextId.get, "node", concat_ws(":", col("labels")), nodeBase)
       val edgeEvents = side(edgeDelta, "eid",
         Set("eid", "src", "dst", "relType", tombC),
-        m.group(2).toLong, d.nextRelId.get, "relationship", col("relType"))
+        m.group(2).toLong, d.nextRelId.get, "relationship", col("relType"), edgeBase)
       (nodeEvents, edgeEvents) match {
-        case (Some(n), Some(e)) => n.unionByName(e)
+        case (Some(n), Some(e)) => n.unionByName(e, allowMissingColumns = true)
         case (Some(n), None)    => n
         case (None, Some(e))    => e
         case (None, None)       =>

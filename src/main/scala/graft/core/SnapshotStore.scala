@@ -371,7 +371,7 @@ object SnapshotStore {
     * (and an empty-string relType reads back as null) — diverging from
     * edgeBaseSchema's non-null STRING relType. Re-assert the contract
     * on every read-back; a cheap projection, no shuffle. */
-  private def normalizeRelType(edges: org.apache.spark.sql.DataFrame)
+  private[graft] def normalizeRelType(edges: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     import org.apache.spark.sql.types.StringType

@@ -654,8 +654,10 @@ object CypherQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n, min(c_name) AS lo, max(c_name) AS hi
         |FROM customer""".stripMargin) { (s, dir) =>
       val gs = new GraftSession(s)
+      // per-process dir: two concurrent harness JVMs must never share
+      // the staged CSV (a half-overwritten directory flakes the read)
       val csvDir = s"${System.getProperty("java.io.tmpdir")}/graft_loadcsv_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" + ProcessHandle.current().pid()
       graft.core.SnapshotStore.deleteDir(csvDir)
       s.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_name")
         .write.mode("overwrite").option("header", "true").csv(csvDir)
@@ -962,6 +964,30 @@ object CypherQueries {
           |} IN TRANSACTIONS OF 30 ROWS""".stripMargin)
       val b = gs.cypher(
         "MATCH (c:customer) WHERE c.batched = 1 RETURN count(c) AS batched")
+      b.crossJoin(summary.selectExpr("batches"))
+    },
+
+    // MATCH-driven CALL { } IN TRANSACTIONS — the canonical batched
+    // cleanup (`MATCH (n) CALL { WITH n … } IN TRANSACTIONS`): the
+    // driving MATCH binds ONCE against the entry snapshot, its ids
+    // stream through the driver in 40-row chunks (toLocalIterator,
+    // never a full collect), each chunk ONE id-keyed distributed
+    // statement committing its own swap. Flags the BUILDING-segment
+    // customers ≤ 300; the oracle recomputes the flagged count and
+    // the chunk arithmetic from the raw table.
+    sql("cy_match_in_tx",
+      """WITH m AS (SELECT c_custkey FROM customer
+        |           WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 300)
+        |SELECT CAST(count(*) AS BIGINT) AS flagged,
+        |  CAST(ceil(count(*) / 40.0) AS BIGINT) AS batches
+        |FROM m""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      val summary = gs.cypher(
+        """MATCH (c:customer {c_mktsegment: 'BUILDING'}) WHERE c.c_custkey <= 300
+          |CALL { WITH c SET c.swept = 1 } IN TRANSACTIONS OF 40 ROWS""".stripMargin)
+      val b = gs.cypher(
+        "MATCH (c:customer) WHERE c.swept = 1 RETURN count(c) AS flagged")
       b.crossJoin(summary.selectExpr("batches"))
     },
 

@@ -457,6 +457,175 @@ object Packs {
       val df = session.cypher(stmt, params)
       df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
     }
+    // apoc.do.when — the conditional dynamic dispatcher (ETL guard
+    // rails: "if the row exists do X else Y"). The chosen branch runs
+    // through the ordinary statement paths (writes allowed — this is
+    // the do.* family; apoc.when's read-only twin is served by the
+    // caller using apoc.cypher.run). Rows yield as JSON text, the
+    // apoc.cypher.run divergence documented there.
+    procs.registerWithParams("apoc.do.when",
+      Seq(procs.Param("condition"), procs.Param("ifQuery"),
+        procs.Param("elseQuery", Some("")),
+        procs.Param("params", Some(Map.empty[String, Any]))),
+      "(condition :: BOOLEAN, ifQuery :: STRING, elseQuery :: STRING?, " +
+        "params :: MAP?) :: (value)",
+      "Run ifQuery when the condition holds, else elseQuery (writes allowed)") { args =>
+      import org.apache.spark.sql.functions.{col, struct, to_json, lit}
+      val cond = args(0) match {
+        case b: Boolean => b
+        case other => throw new IllegalArgumentException(
+          s"apoc.do.when condition must be a boolean, got $other")
+      }
+      val stmt = String.valueOf(if (cond) args(1) else args(2))
+      val params = args(3) match {
+        case m: collection.Map[_, _] =>
+          m.asInstanceOf[collection.Map[String, Any]].toMap
+        case _ => Map.empty[String, Any]
+      }
+      if (stmt.trim.isEmpty)
+        session.spark.range(0).select(lit("").as("value"))
+      else {
+        val df = session.cypher(stmt, params)
+        df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+      }
+    }
+    // apoc.when / apoc.case — the READ-ONLY conditional dispatchers
+    // (apoc.do.* are the write twins): the chosen branch must not
+    // mutate, enforced by the same AST gate apoc.cypher.run uses.
+    def readOnlyStatement(stmt: String, params: Map[String, Any],
+        what: String): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.{col, struct, to_json, lit}
+      if (stmt.trim.isEmpty)
+        return session.spark.range(0).select(lit("").as("value"))
+      val parsed = graft.cypher.CypherParser.parse(stmt)
+      val mutates = parsed.clauses.exists {
+        case _: graft.cypher.ast.Create | _: graft.cypher.ast.SetProps |
+             _: graft.cypher.ast.RemoveProps | _: graft.cypher.ast.SetLabels |
+             _: graft.cypher.ast.Delete | _: graft.cypher.ast.Merge |
+             _: graft.cypher.ast.Foreach => true
+        case _ => false
+      }
+      if (mutates) throw new UnsupportedOperationException(
+        s"$what is read-only — use the apoc.do.* write twins")
+      val df = session.cypher(stmt, params)
+      df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+    }
+    procs.registerWithParams("apoc.when",
+      Seq(procs.Param("condition"), procs.Param("ifQuery"),
+        procs.Param("elseQuery", Some("")),
+        procs.Param("params", Some(Map.empty[String, Any]))),
+      "(condition :: BOOLEAN, ifQuery :: STRING, elseQuery :: STRING?, " +
+        "params :: MAP?) :: (value)",
+      "Run the read-only ifQuery when the condition holds, else elseQuery") { args =>
+      val cond = args(0) match {
+        case b: Boolean => b
+        case other => throw new IllegalArgumentException(
+          s"apoc.when condition must be a boolean, got $other")
+      }
+      val params = args(3) match {
+        case m: collection.Map[_, _] =>
+          m.asInstanceOf[collection.Map[String, Any]].toMap
+        case _ => Map.empty[String, Any]
+      }
+      readOnlyStatement(String.valueOf(if (cond) args(1) else args(2)),
+        params, "apoc.when")
+    }
+    procs.registerWithParams("apoc.case",
+      Seq(procs.Param("conditionals"), procs.Param("elseQuery", Some("")),
+        procs.Param("params", Some(Map.empty[String, Any]))),
+      "(conditionals :: LIST<ANY> [cond1, query1, cond2, query2, …], " +
+        "elseQuery :: STRING?, params :: MAP?) :: (value)",
+      "Run the first read-only query whose condition holds, else elseQuery") { args =>
+      val pairs = args(0) match {
+        case s: Seq[_] =>
+          if (s.size % 2 != 0) throw new IllegalArgumentException(
+            "apoc.case conditionals must alternate [condition, query, …]")
+          s.grouped(2).map { case Seq(c, q) => (c, String.valueOf(q)) }.toSeq
+        case other => throw new IllegalArgumentException(
+          s"apoc.case needs a conditionals list, got $other")
+      }
+      val params = args(2) match {
+        case m: collection.Map[_, _] =>
+          m.asInstanceOf[collection.Map[String, Any]].toMap
+        case _ => Map.empty[String, Any]
+      }
+      val chosen = pairs.collectFirst {
+        case (c: Boolean, q) if c => q
+      }.getOrElse(String.valueOf(args(1)))
+      readOnlyStatement(chosen, params, "apoc.case")
+    }
+    // apoc.create.node / apoc.create.relationship — the CREATE siblings
+    // of apoc.merge.*: dynamic labels/relType (identifier-validated —
+    // they interpolate), property VALUES as parameters. Unconditional
+    // creates, so parallel same-shape calls mint distinct entities
+    // (the merge.* procedures are the upsert forms).
+    procs.registerWithParams("apoc.create.node",
+      Seq(procs.Param("labels"), procs.Param("props", Some(Map.empty[String, Any]))),
+      "(labels :: LIST<STRING>, props :: MAP?) :: (id)",
+      "CREATE a node with runtime labels/props; returns its id") { args =>
+      val IdentRx = "^[A-Za-z_][A-Za-z0-9_]*$".r
+      def ident(s: Any, what: String): String = {
+        val v = String.valueOf(s)
+        if (IdentRx.findFirstIn(v).isEmpty) throw new IllegalArgumentException(
+          s"apoc.create.node $what `$v` must be a plain identifier")
+        v
+      }
+      val labels = args.head match {
+        case s: Seq[_] if s.nonEmpty => s.map(ident(_, "label"))
+        case other => throw new IllegalArgumentException(
+          s"apoc.create.node needs a non-empty label list, got $other")
+      }
+      val props = args(1) match {
+        case m: collection.Map[_, _] =>
+          m.asInstanceOf[collection.Map[String, Any]].toMap
+        case _ => Map.empty[String, Any]
+      }
+      props.keys.foreach(ident(_, "property key"))
+      val pat =
+        if (props.isEmpty) ""
+        else " {" + props.keys.map(k => s"$k: $$_p_$k").mkString(", ") + "}"
+      session.cypher(
+        s"CREATE (n:${labels.mkString(":")}$pat) RETURN id(n) AS id",
+        props.map { case (k, v) => s"_p_$k" -> v })
+    }
+    procs.registerWithParams("apoc.create.relationship",
+      Seq(procs.Param("startNode"), procs.Param("relationshipType"),
+        procs.Param("props", Some(Map.empty[String, Any])),
+        procs.Param("endNode")),
+      "(startNode :: INTEGER, relationshipType :: STRING, props :: MAP?, " +
+        "endNode :: INTEGER) :: (src, dst)",
+      "CREATE a relationship of a runtime type between two node ids") { args =>
+      val IdentRx = "^[A-Za-z_][A-Za-z0-9_]*$".r
+      def ident(s: Any, what: String): String = {
+        val v = String.valueOf(s)
+        if (IdentRx.findFirstIn(v).isEmpty) throw new IllegalArgumentException(
+          s"apoc.create.relationship $what `$v` must be a plain identifier")
+        v
+      }
+      def nodeId(a: Any, what: String): Long = a match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"apoc.create.relationship $what must be a node id, got $other")
+      }
+      val sid = nodeId(args(0), "startNode")
+      val relType = ident(args(1), "relationship type")
+      val props = args(2) match {
+        case m: collection.Map[_, _] =>
+          m.asInstanceOf[collection.Map[String, Any]].toMap
+        case _ => Map.empty[String, Any]
+      }
+      val did = nodeId(args(3), "endNode")
+      props.keys.foreach(ident(_, "property key"))
+      val pat =
+        if (props.isEmpty) ""
+        else " {" + props.keys.map(k => s"$k: $$_p_$k").mkString(", ") + "}"
+      session.cypher(
+        s"MATCH (a), (b) WHERE id(a) = $$_sid AND id(b) = $$_did " +
+          s"CREATE (a)-[r:$relType$pat]->(b)",
+        Map[String, Any]("_sid" -> sid, "_did" -> did) ++
+          props.map { case (k, v) => s"_p_$k" -> v })
+      procs.oneRow("src" -> sid, "dst" -> did)
+    }
     // apoc.periodic.commit — loop a SELF-BOUNDED mutating statement
     // until it reports no more work (APOC's contract: the statement
     // bounds itself, canonically `MATCH … WITH n LIMIT $k … DELETE n

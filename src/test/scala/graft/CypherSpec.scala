@@ -984,6 +984,30 @@ class CypherSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 15L)
   }
 
+  test("MATCH-driven CALL { } IN TRANSACTIONS: batched cleanup over a bound match") {
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(1, 25) AS x CREATE (:mtx {k: x})")
+    // batched SET over a filtered match: 20 rows in 7-row batches
+    val res = s.cypher(
+      "MATCH (n:mtx) WHERE n.k <= 20 CALL { WITH n SET n.flag = 1 } " +
+        "IN TRANSACTIONS OF 7 ROWS").collect().head
+    assert(res.getLong(0) == 20L && res.getLong(1) == 3L, s"got $res")
+    assert(s.cypher("MATCH (n:mtx) WHERE n.flag = 1 RETURN count(n) AS c")
+      .collect().head.getLong(0) == 20L)
+    // the flagship shape: batched DETACH DELETE of the whole label
+    val res2 = s.cypher(
+      "MATCH (n:mtx) CALL { WITH n DETACH DELETE n } IN TRANSACTIONS OF 10 ROWS")
+      .collect().head
+    assert(res2.getLong(0) == 25L && res2.getLong(1) == 3L, s"got $res2")
+    assert(s.cypher("MATCH (n:mtx) RETURN count(n) AS c")
+      .collect().head.getLong(0) == 0L)
+    // importing a variable the MATCH doesn't bind refuses loudly
+    s.cypher("CREATE (:mtx {k: 99})")
+    intercept[UnsupportedOperationException] {
+      s.cypher("MATCH (n:mtx) CALL { WITH m SET m.x = 1 } IN TRANSACTIONS")
+    }
+  }
+
   test("IN TRANSACTIONS ON ERROR: a failing batch rolls back whole — state AND minted ids") {
     val s = new GraftSession(spark)
     // a constraint violation is detected AFTER the batch's writes
@@ -2012,6 +2036,16 @@ class CypherSpec extends AnyFunSuite {
     assert(upd.getString(4).contains("\"flag\":7"), s"got ${upd.getString(4)}")
     val del = events.find(_.getString(0) == "d").get
     assert(del.isNullAt(4))
+    // withBefore=true adds the epoch-start image (one delta-key-pruned
+    // base lookup): the update's before shows the pre-flag row, a
+    // created key reads null
+    val withB = s.cypher(
+      s"CALL db.cdc.query('$cur', true) YIELD op, id, properties, before " +
+        "RETURN op, id, properties, before").collect()
+    val ub = withB.find(_.getString(0) == "u").get
+    assert(ub.getString(3) != null && ub.getString(3).contains("\"k\":1") &&
+      !ub.getString(3).contains("flag"), s"before = ${ub.getString(3)}")
+    assert(withB.find(_.getString(0) == "c").get.isNullAt(3))
     // mutate again AFTER the save: the same cursor sees old + new
     s.cypher("MATCH (n:sv {k: 2}) SET n.flag = 8")
     val events2 = s.cypher(

@@ -688,6 +688,65 @@ class PacksSpec extends AnyFunSuite {
     assert(s.cypher("MATCH (n) RETURN count(n) AS c").collect().head.getLong(0) == 2L)
   }
 
+  test("apoc.create.node/relationship + apoc.do.when: dynamic creates and conditional dispatch") {
+    val s = new GraftSession(spark)
+    Packs.install(s, Seq("apoc"))
+    val id1 = s.cypher("CALL apoc.create.node(['acn', 'extra'], {k: 1}) YIELD id RETURN id")
+      .collect().head.getLong(0)
+    val id2 = s.cypher("CALL apoc.create.node(['acn'], {k: 1}) YIELD id RETURN id")
+      .collect().head.getLong(0)
+    // unconditional creates mint DISTINCT nodes (merge.* is the upsert)
+    assert(id1 != id2)
+    assert(s.cypher("MATCH (n:acn {k: 1}) RETURN count(n) AS c")
+      .collect().head.getLong(0) == 2L)
+    assert(s.cypher("MATCH (n:extra) RETURN count(n) AS c")
+      .collect().head.getLong(0) == 1L)
+    s.cypher(s"CALL apoc.create.relationship($id1, 'ACR', {w: 5}, $id2) " +
+      "YIELD src RETURN src").collect()
+    s.cypher(s"CALL apoc.create.relationship($id1, 'ACR', {w: 6}, $id2) " +
+      "YIELD src RETURN src").collect()
+    // two creates = two parallel relationships
+    val ws = s.cypher("MATCH (:extra)-[r:ACR]->(:acn) RETURN r.w AS w ORDER BY w")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ws == Seq(5L, 6L))
+    // injection-shaped label refuses
+    val bad = intercept[Exception] {
+      s.cypher("CALL apoc.create.node($l, {}) YIELD id RETURN id",
+        Map("l" -> Seq("x) DETACH DELETE n //"))).collect()
+    }
+    assert(bad.getMessage.contains("plain identifier"))
+    // apoc.do.when dispatches the matching branch (writes allowed)
+    s.cypher("CALL apoc.do.when(true, 'CREATE (:dwy {k: 1})', " +
+      "'CREATE (:dwn {k: 1})') YIELD value RETURN value").collect()
+    s.cypher("CALL apoc.do.when(false, 'CREATE (:dwy {k: 2})', " +
+      "'CREATE (:dwn {k: 2})') YIELD value RETURN value").collect()
+    assert(s.cypher("MATCH (n:dwy) RETURN count(n) AS c").collect().head.getLong(0) == 1L)
+    assert(s.cypher("MATCH (n:dwn) RETURN count(n) AS c").collect().head.getLong(0) == 1L)
+    // a read branch yields its rows as JSON text
+    val v = s.cypher("CALL apoc.do.when(true, " +
+      "'MATCH (n:dwy) RETURN count(n) AS c', '') YIELD value RETURN value")
+      .collect().head.getString(0)
+    assert(v == """{"c":1}""")
+    // a missing else branch on a false condition yields nothing
+    assert(s.cypher("CALL apoc.do.when(false, 'CREATE (:dwy {k: 3})') " +
+      "YIELD value RETURN value").collect().isEmpty)
+    // the read-only twins: apoc.when refuses writes, apoc.case picks
+    // the first true branch
+    val ro = intercept[Exception] {
+      s.cypher("CALL apoc.when(true, 'CREATE (:dwz)') YIELD value RETURN value")
+        .collect()
+    }
+    assert(ro.getMessage.contains("read-only"))
+    assert(s.cypher("CALL apoc.when(true, 'MATCH (n:dwy) RETURN count(n) AS c') " +
+      "YIELD value RETURN value").collect().head.getString(0) == """{"c":1}""")
+    val cased = s.cypher(
+      "CALL apoc.case([false, 'RETURN 1 AS x', true, 'RETURN 2 AS x'], " +
+        "'RETURN 3 AS x') YIELD value RETURN value").collect().head.getString(0)
+    assert(cased == """{"x":2}""")
+    assert(s.cypher("CALL apoc.case([false, 'RETURN 1 AS x'], 'RETURN 3 AS x') " +
+      "YIELD value RETURN value").collect().head.getString(0) == """{"x":3}""")
+  }
+
   test("apoc.cypher.run yields dynamic rows as JSON text; writes refuse") {
     val s = new GraftSession(spark)
     Packs.install(s, Seq("apoc"))
