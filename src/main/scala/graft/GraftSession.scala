@@ -2789,6 +2789,88 @@ final class GraftSession(val spark: SparkSession,
       Some(graft.core.NodeDeltaState(base, delta, resolved, materialized = !defer))
   }
 
+  /** apoc.refactor.mergeNodes core: merge the duplicate node ids into
+    * `keep` — every relationship touching a duplicate re-points onto
+    * `keep` (full eid-keyed replacement rows through the edge delta —
+    * O(touched edges), the base never rewrites), labels union onto
+    * the kept node, properties merge per `props` mode (`discard` =
+    * keep's values win; `overwrite` = the LAST duplicate's non-null
+    * value wins; `combine` = keep's nulls fill from the duplicates in
+    * order — documented divergence from APOC's array-collecting
+    * combine), and the duplicates tombstone. One distributed fold per
+    * side; the collected rows are bounded by the argument list.
+    * Constraint-checked like any mutation (an overwrite could
+    * duplicate a unique value — the statement then rolls back whole). */
+  private[graft] def refactorMergeNodes(ids: Seq[Long], props: String): Long = {
+    import org.apache.spark.sql.functions._
+    val db = statementDatabase
+    db.requireStarted()
+    val keep = ids.head
+    val dups = ids.tail.distinct.filterNot(_ == keep)
+    if (dups.isEmpty) return keep
+    withConstraintCheck(db, db) {
+      val g = db.graph
+      val all = (keep +: dups)
+      val rows = g.nodes.filter(col("id").isin(all: _*)).collect()
+      def idOf(r: Row): Long = r.getLong(r.fieldIndex("id"))
+      val byId = rows.map(r => idOf(r) -> r).toMap
+      if (!byId.contains(keep))
+        throw new NoSuchElementException(s"apoc.refactor.mergeNodes: no node with id $keep")
+      val missing = dups.filterNot(byId.contains)
+      if (missing.nonEmpty)
+        throw new NoSuchElementException(
+          s"apoc.refactor.mergeNodes: no node with id ${missing.head}")
+      def v(r: Row, name: String): Any = {
+        val i = r.fieldIndex(name); if (r.isNullAt(i)) null else r.get(i)
+      }
+      val keepRow = byId(keep)
+      val dupRows = dups.map(byId)
+      val fields = g.nodes.schema.fields
+      val mergedVals: Seq[Any] = fields.toSeq.map { f =>
+        f.name match {
+          case "id" => keep
+          case "labels" =>
+            (keepRow +: dupRows).flatMap(r => Option(v(r, "labels"))
+              .map(_.asInstanceOf[scala.collection.Seq[_]].toSeq.map(String.valueOf))
+              .getOrElse(Nil)).distinct
+          case n =>
+            val kv = v(keepRow, n)
+            props match {
+              case "overwrite" => dupRows.reverse.map(v(_, n)).find(_ != null).getOrElse(kv)
+              case "combine"   => if (kv != null) kv else dupRows.map(v(_, n)).find(_ != null).orNull
+              case _           => kv // discard
+            }
+        }
+      }
+      val tombC = PropertyGraph.TombstoneCol
+      val outSchema = StructType(fields.toIndexedSeq.map(f => f.copy(nullable = f.name != "id")) :+
+        StructField(tombC, BooleanType))
+      val keepOut = Row.fromSeq(mergedVals :+ java.lang.Boolean.FALSE)
+      val dupOuts = dups.map { d =>
+        Row.fromSeq(fields.toSeq.map { f =>
+          f.name match {
+            case "id"     => d
+            case "labels" => Seq.empty[String]
+            case _        => null
+          }
+        } :+ java.lang.Boolean.TRUE)
+      }
+      foldNodeDeltaRows(db, spark.createDataFrame(javaList(keepOut +: dupOuts), outSchema))
+      // relationship re-point: full replacement rows for every edge a
+      // duplicate touches — self-pairs between merged nodes become
+      // self-loops on the kept node (APOC's default; its mergeRels
+      // dedup knob is out of scope)
+      val touched = g.edges.filter(col("src").isin(dups: _*) || col("dst").isin(dups: _*))
+      val remapped = touched
+        .withColumn("src", when(col("src").isin(dups: _*), lit(keep)).otherwise(col("src")))
+        .withColumn("dst", when(col("dst").isin(dups: _*), lit(keep)).otherwise(col("dst")))
+      foldEdgeDeltaRows(db, remapped)
+      db.pendingMutations += 1
+      unit()
+    }
+    keep
+  }
+
   /** Materialize any LAZY delta a transaction shadow accumulated —
     * called at COMMIT, so published overlays are always checkpointed
     * (the read side may consume a delta twice per resolution). */

@@ -878,36 +878,29 @@ object CypherQueries {
     // created, 2 re-merged (ON MATCH marks them), all through the
     // buffered eid-keyed rel-upsert path. Oracle replays the counts
     // from the raw tables.
+    // One :amrn node per nation key (fresh empty session, so the
+    // minted ids are the deterministic 0..24 — no lookup statement),
+    // then per-call dynamic rel merges between known ids: 3 creates +
+    // 1 ON MATCH re-merge. Each call is a full MATCH…MERGE statement;
+    // the row measures the PROCEDURE's contract (the at-scale matched
+    // -merge plan is graded by cy_merge_path / cy_rel_upsert_burst).
     sql("apoc_merge_rel",
-      """WITH m AS (SELECT s.s_suppkey AS k FROM supplier s
-        |           JOIN nation n ON n.n_nationkey = s.s_suppkey % 5
-        |           WHERE s.s_suppkey BETWEEN 1 AND 4)
+      """WITH m AS (SELECT n_nationkey AS k FROM nation
+        |           WHERE n_nationkey BETWEEN 0 AND 2)
         |SELECT CAST(count(*) AS BIGINT) AS n_rel,
-        |  CAST(count(*) FILTER (WHERE k <= 2) AS BIGINT) AS n_seen
+        |  CAST(count(*) FILTER (WHERE k = 0) AS BIGINT) AS n_seen
         |FROM m""".stripMargin) { (s, dir) =>
       val gs = new GraftSession(s)
-      gs.setGraph(GraphViews.tpch(s, dir))
       graft.procs.Packs.install(gs, Seq("apoc"))
-      val sids = gs.cypher(
-        """MATCH (v:supplier) WHERE v.s_suppkey >= 1 AND v.s_suppkey <= 4
-          |RETURN v.s_suppkey AS k, id(v) AS i""".stripMargin)
-        .collect().map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
-      val nids = gs.cypher(
-        """MATCH (n:nation) WHERE n.n_nationkey <= 4
-          |RETURN n.n_nationkey AS k, id(n) AS i""".stripMargin)
-        .collect().map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
-      (1L to 4L).foreach { k =>
-        gs.cypher(s"CALL apoc.merge.relationship(${sids(k)}, 'AMR', " +
-          s"{via: 1}, {made: 1}, ${nids(k % 5)}, {seen: 2}) YIELD src RETURN src")
-          .collect()
-      }
-      (1L to 2L).foreach { k => // re-merge: ON MATCH marks
-        gs.cypher(s"CALL apoc.merge.relationship(${sids(k)}, 'AMR', " +
-          s"{via: 1}, {made: 1}, ${nids(k % 5)}, {seen: 2}) YIELD src RETURN src")
-          .collect()
-      }
+      val nk = s.read.parquet(s"$dir/nation.parquet").count()
+      gs.cypher(s"UNWIND range(0, ${nk - 1}) AS x CREATE (:amrn {k: x})")
+      def call(k: Long): Unit =
+        gs.cypher(s"CALL apoc.merge.relationship($k, 'AMR', " +
+          s"{via: 1}, {made: 1}, ${k + 10}, {seen: 2}) YIELD src RETURN src").collect()
+      (0L to 2L).foreach(call)
+      call(0L) // re-merge: ON MATCH marks
       gs.cypher(
-        """MATCH (:supplier)-[r:AMR]->(:nation)
+        """MATCH (:amrn)-[r:AMR]->(:amrn)
           |RETURN count(r) AS n_rel,
           |  sum(CASE WHEN r.seen = 2 THEN 1 ELSE 0 END) AS n_seen""".stripMargin)
     },

@@ -626,6 +626,37 @@ object Packs {
           props.map { case (k, v) => s"_p_$k" -> v })
       procs.oneRow("src" -> sid, "dst" -> did)
     }
+    // apoc.refactor.mergeNodes — the dedup-ETL verb: merge duplicate
+    // nodes into the FIRST listed id; relationships re-point through
+    // the eid-keyed edge delta, labels union, properties merge per
+    // config.properties (discard | overwrite | combine — combine
+    // fills nulls, the documented divergence from APOC's
+    // array-collecting mode), duplicates tombstone. Core in
+    // GraftSession.refactorMergeNodes (one distributed fold per side).
+    procs.registerWithParams("apoc.refactor.mergeNodes",
+      Seq(procs.Param("nodes"), procs.Param("config", Some(Map.empty[String, Any]))),
+      "(nodes :: LIST<INTEGER>, config :: MAP?) :: (id)",
+      "Merge the listed node ids into the first; returns the kept id") { args =>
+      val ids = args(0) match {
+        case s: Seq[_] if s.nonEmpty => s.map {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"apoc.refactor.mergeNodes needs node ids, got $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"apoc.refactor.mergeNodes needs a non-empty id list, got $other")
+      }
+      val mode = args(1) match {
+        case m: collection.Map[_, _] =>
+          m.asInstanceOf[collection.Map[String, Any]]
+            .get("properties").map(String.valueOf).getOrElse("discard")
+        case _ => "discard"
+      }
+      if (!Set("discard", "overwrite", "combine").contains(mode))
+        throw new IllegalArgumentException(
+          s"apoc.refactor.mergeNodes properties mode must be discard | overwrite | combine, got $mode")
+      procs.oneRow("id" -> session.refactorMergeNodes(ids, mode))
+    }
     // apoc.periodic.commit — loop a SELF-BOUNDED mutating statement
     // until it reports no more work (APOC's contract: the statement
     // bounds itself, canonically `MATCH … WITH n LIMIT $k … DELETE n

@@ -747,6 +747,49 @@ class PacksSpec extends AnyFunSuite {
       "YIELD value RETURN value").collect().head.getString(0) == """{"x":3}""")
   }
 
+  test("apoc.refactor.mergeNodes: rels re-point, labels union, duplicates tombstone") {
+    val s = new GraftSession(spark)
+    Packs.install(s, Seq("apoc"))
+    s.cypher("CREATE (a:per {name:'a', x: 1})-[:K {w: 1}]->(b:per {name:'b'})")
+    s.cypher("CREATE (c:dup {name:'c', y: 2})")
+    s.cypher("MATCH (c:dup {name:'c'}) CREATE (c)-[:K {w: 2}]->(d:per {name:'d'})")
+    def idOf(q: String): Long =
+      s.cypher(q).collect().head.getLong(0)
+    val a = idOf("MATCH (n:per {name:'a'}) RETURN id(n) AS i")
+    val c = idOf("MATCH (n:dup {name:'c'}) RETURN id(n) AS i")
+    val kept = s.cypher(
+      s"CALL apoc.refactor.mergeNodes([$a, $c], {properties:'combine'}) " +
+        "YIELD id RETURN id").collect().head.getLong(0)
+    assert(kept == a)
+    // the duplicate is gone; the kept node carries BOTH labels and the
+    // combined props (keep's values win, nulls fill from the duplicate)
+    assert(s.cypher("MATCH (n:dup) WHERE n.name = 'c' RETURN count(n) AS c")
+      .collect().head.getLong(0) == 0L)
+    val merged = s.cypher(
+      "MATCH (n:per {name:'a'}) RETURN n.x AS x, n.y AS y, labels(n) AS ls")
+      .collect().head
+    assert(merged.getLong(0) == 1L && merged.getLong(1) == 2L)
+    assert(merged.getSeq[String](2).toSet == Set("per", "dup"))
+    // c's outgoing relationship re-pointed onto a — a now reaches b AND d
+    val outs = s.cypher(
+      "MATCH (n:per {name:'a'})-[r:K]->(m) RETURN m.name AS m, r.w AS w ORDER BY w")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(outs == Seq(("b", 1L), ("d", 2L)))
+    // overwrite mode: the duplicate's value wins on conflict
+    s.cypher("CREATE (e:ow {name:'e', z: 10})")
+    s.cypher("CREATE (f:ow {name:'f', z: 20})")
+    val e = idOf("MATCH (n:ow {name:'e'}) RETURN id(n) AS i")
+    val f = idOf("MATCH (n:ow {name:'f'}) RETURN id(n) AS i")
+    s.cypher(s"CALL apoc.refactor.mergeNodes([$e, $f], {properties:'overwrite'}) " +
+      "YIELD id RETURN id").collect()
+    val ow = s.cypher("MATCH (n:ow) RETURN n.z AS z, n.name AS name").collect()
+    assert(ow.length == 1 && ow.head.getLong(0) == 20L && ow.head.getString(1) == "f")
+    // an unknown id refuses loudly
+    intercept[NoSuchElementException] {
+      s.cypher(s"CALL apoc.refactor.mergeNodes([$a, 99999]) YIELD id RETURN id").collect()
+    }
+  }
+
   test("apoc.cypher.run yields dynamic rows as JSON text; writes refuse") {
     val s = new GraftSession(spark)
     Packs.install(s, Seq("apoc"))
