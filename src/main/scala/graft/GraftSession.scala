@@ -2871,6 +2871,29 @@ final class GraftSession(val spark: SparkSession,
     keep
   }
 
+  /** GDS write-mode core: fold an algorithm's (id, value) result back
+    * onto the statement database's nodes as property `prop` — full
+    * replacement rows through the node delta-log. The result frame
+    * checkpoints FIRST (algorithm outputs are often iterative RDD
+    * lineages; the count and the fold must not re-run the iteration),
+    * then one id-keyed join against the node table builds the
+    * replacement rows. Returns the written-row count. */
+  private[graft] def writeNodeProperty(result: DataFrame, idCol: String,
+      valueCol: String, prop: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val db = statementDatabase
+    db.requireStarted()
+    val scores = result.select(col(idCol).cast("long").as("_wid"),
+      col(valueCol).as("_wval")).localCheckpoint()
+    val n = scores.count()
+    val g = db.graph
+    val updated = g.nodes.join(scores, col("id") === col("_wid"))
+      .withColumn(prop, col("_wval")).drop("_wid", "_wval")
+    foldNodeDeltaRows(db, updated)
+    db.pendingMutations += 1
+    n
+  }
+
   /** Materialize any LAZY delta a transaction shadow accumulated —
     * called at COMMIT, so published overlays are always checkpointed
     * (the read side may consume a delta twice per resolution). */

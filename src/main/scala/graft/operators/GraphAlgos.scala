@@ -840,6 +840,23 @@ object GraphAlgos {
         "CALL gds.pageRank('IN', 10) YIELD node_id, iscore RETURN node_id, iscore")
     },
 
+    // GDS WRITE mode end to end: the same 10-iteration PageRank, but
+    // the scores fold BACK onto the nodes as a property through the
+    // node delta-log (gds.pageRank.write), and the graded read-back
+    // goes through ordinary Cypher property access — algorithms
+    // compose with the mutation machinery, not just YIELD. Fresh
+    // session (the write mutates); identical oracle to gds_pagerank.
+    sql("gds_pagerank_write", pagerankOracleSql(10)) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      Packs.install(gs, Seq("graph-data-science"))
+      gs.cypher(
+        "CALL gds.pageRank.write('IN', 10, 'pr10') " +
+          "YIELD nodePropertiesWritten RETURN nodePropertiesWritten").collect()
+      gs.cypher(
+        "MATCH (n) WHERE n.pr10 IS NOT NULL RETURN id(n) AS node_id, n.pr10 AS iscore")
+    },
+
     // Eigenvector centrality over the CO graph, 10 power iterations:
     // neighbor-sum then max-renormalize, all scaled-Long — the oracle
     // replays the identical integer recurrence (eigenvectorOracleSql).

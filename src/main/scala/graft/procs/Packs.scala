@@ -927,6 +927,42 @@ object Packs {
         case None     => Gds.pageRank(spark, g, rel, iters)
       }
     }
+    // GDS WRITE mode — the algorithm's scores fold straight back onto
+    // the statement database's nodes as a property (full replacement
+    // rows through the node delta-log: every scored node's row
+    // genuinely changes, so the delta is O(scored) — a later save
+    // persists it incrementally, compaction folds it, downstream
+    // Cypher reads it like any property). The write property must be
+    // a plain identifier (it becomes a column name).
+    def writeProp(raw: Any, default: String, what: String): String = {
+      val v = Option(raw).map(String.valueOf).filter(_.nonEmpty).getOrElse(default)
+      if ("^[A-Za-z_][A-Za-z0-9_]*$".r.findFirstIn(v).isEmpty)
+        throw new IllegalArgumentException(
+          s"$what writeProperty `$v` must be a plain identifier")
+      v
+    }
+    procs.register("gds.pageRank.write",
+      "(relType :: STRING?, iterations :: INTEGER?, writeProperty :: STRING?, " +
+        "relationshipWeightProperty :: STRING?) :: (nodePropertiesWritten, writeProperty)",
+      "PageRank, scores written back as a node property via the delta-log") { args =>
+      val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(20)
+      val prop = writeProp(args.lift(2).orNull, "pagerank", "gds.pageRank.write")
+      val (g, rel) = graphArg(args, 0)
+      val scored = relTypeArg(args, 3) match {
+        case Some(wp) => Gds.pageRankWeighted(spark, g, rel, iters, wp)
+        case None     => Gds.pageRank(spark, g, rel, iters)
+      }
+      val n = session.writeNodeProperty(scored, "node_id", "iscore", prop)
+      procs.oneRow("nodePropertiesWritten" -> n, "writeProperty" -> prop)
+    }
+    procs.register("gds.wcc.write",
+      "(relType :: STRING?, writeProperty :: STRING?) :: (nodePropertiesWritten, writeProperty)",
+      "Weakly connected components, written back as a node property") { args =>
+      val prop = writeProp(args.lift(1).orNull, "component", "gds.wcc.write")
+      val scored = Gds.wcc(spark, graphArg(args, 0)._1, graphArg(args, 0)._2)
+      val n = session.writeNodeProperty(scored, "node_id", "component", prop)
+      procs.oneRow("nodePropertiesWritten" -> n, "writeProperty" -> prop)
+    }
     procs.register("gds.degree", "(relType :: STRING?) :: (node_id, out_degree, in_degree)",
       "In/out degree centrality per node (DataFrame hash aggregation)") { args =>
       Gds.degree(spark, graphArg(args, 0)._1, graphArg(args, 0)._2)

@@ -747,6 +747,33 @@ class PacksSpec extends AnyFunSuite {
       "YIELD value RETURN value").collect().head.getString(0) == """{"x":3}""")
   }
 
+  test("gds write mode: scores fold back as node properties through the delta-log") {
+    val s = sessionWith("graph-data-science")
+    s.cypher("CREATE (a:n {name:'a'})-[:T]->(b:n {name:'b'})")
+    s.cypher("MATCH (b:n {name:'b'}) CREATE (b)-[:T]->(c:n {name:'c'})")
+    val w = s.cypher(
+      "CALL gds.wcc.write('T', 'comp') YIELD nodePropertiesWritten, writeProperty " +
+        "RETURN nodePropertiesWritten, writeProperty").collect().head
+    assert(w.getLong(0) == 3L && w.getString(1) == "comp")
+    // the written property reads back through ordinary Cypher: the
+    // chain is one component
+    val comps = s.cypher("MATCH (n:n) RETURN n.name AS name, n.comp AS c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(comps.size == 3 && comps.values.toSet.size == 1)
+    // pageRank.write with the default property name
+    s.cypher("CALL gds.pageRank.write('T', 5) YIELD nodePropertiesWritten " +
+      "RETURN nodePropertiesWritten").collect()
+    val pr = s.cypher("MATCH (n:n) RETURN n.name AS name, n.pagerank AS p").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // downstream beats upstream in a chain
+    assert(pr("c") > pr("b") && pr("b") > pr("a"))
+    // a non-identifier write property refuses loudly (it becomes a column)
+    intercept[IllegalArgumentException] {
+      s.cypher("CALL gds.wcc.write('T', $p) YIELD writeProperty RETURN writeProperty",
+        Map("p" -> "x; DROP")).collect()
+    }
+  }
+
   test("apoc.refactor.mergeNodes: rels re-point, labels union, duplicates tombstone") {
     val s = new GraftSession(spark)
     Packs.install(s, Seq("apoc"))
