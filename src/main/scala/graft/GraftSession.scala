@@ -819,7 +819,7 @@ final class GraftSession(val spark: SparkSession,
       }
       val parsed = Params.substitute(CypherParser.parse(rest), params)
       val isMut = parsed.clauses.exists {
-        case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
+        case _: ast.Create | _: ast.SetProps | _: ast.SetPropsReplace | _: ast.RemoveProps |
              _: ast.SetLabels | _: ast.Delete | _: ast.Merge | _: ast.Foreach => true
         case _ => false
       }
@@ -933,7 +933,7 @@ final class GraftSession(val spark: SparkSession,
           return mutateCallInTx(db, parsed)
         }
         val isMutation = parsed.clauses.exists {
-          case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
+          case _: ast.Create | _: ast.SetProps | _: ast.SetPropsReplace | _: ast.RemoveProps |
                _: ast.SetLabels | _: ast.Delete | _: ast.Merge | _: ast.Foreach => true
           case _ => false
         }
@@ -1179,6 +1179,22 @@ final class GraftSession(val spark: SparkSession,
       case c: ast.Create => c.patterns.foreach(refuseReadOnlyPatternSyntax(_, "CREATE"))
       case m: ast.Merge  => refuseReadOnlyPatternSyntax(m.pattern, "MERGE")
       case _             => ()
+    }
+    // `SET n = {map}` FULL property replace: ONE projection over the
+    // hit rows — mapped keys evaluated, EVERY other property column
+    // null — folded into the delta overlay as ONE replacement-row
+    // batch (an itemized desugar would fold once per column: a wide
+    // union schema made that a 60-fold statement). Relationship
+    // targets key by eid with the edge meta set.
+    q.clauses.collectFirst { case r: ast.SetPropsReplace => r }.foreach { r =>
+      val matches0 = q.clauses.collect { case m: ast.Match => m }
+      val others = q.clauses.filterNot(c =>
+        c.isInstanceOf[ast.Match] || (c eq r))
+      if (matches0.isEmpty || others.nonEmpty || q.unions.nonEmpty)
+        throw new UnsupportedOperationException(
+          "SET <var> = {map} composes as `MATCH … SET n = {map}` only " +
+            "(chain other verbs as separate statements)")
+      return mutateSetReplace(db, matches0, r)
     }
     val matches = q.clauses.collect { case m: ast.Match => m }
     val creates = q.clauses.collect { case c: ast.Create => c }
@@ -1633,6 +1649,62 @@ final class GraftSession(val spark: SparkSession,
     * ZERO driver actions at build (EXPLAIN of a mutation must not
     * execute; CypherSpec pins it) — it opts out of the eager delta
     * fold and keeps the lazy update-by-join. */
+  /** `MATCH … SET n = {map}` — full property replace as ONE delta
+    * fold: the matched rows project to (meta columns, mapped values,
+    * null for every other property) and fold as replacement rows.
+    * Mapped values evaluate over the pre-write row (they may read the
+    * entity's own properties). A mapped key whose value type differs
+    * from the existing column refuses loudly (the latest-wins overlay
+    * unions by name and cannot reconcile types). */
+  private def mutateSetReplace(db: GraphDatabase, matches: Seq[ast.Match],
+      r: ast.SetPropsReplace): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val g = db.graph
+    val isRel = matches.exists(_.patterns.exists(
+      _.hops.exists(_._1.variable.contains(r.v))))
+    val (base, keyCol, meta) =
+      if (isRel) {
+        if (!g.edges.columns.contains("eid")) throw new UnsupportedOperationException(
+          "SET <rel> = {map} needs an eid-bearing edge set (ad-hoc " +
+            "projections without relationship identity cannot key the delta)")
+        (g.edges, "eid",
+          Set("eid", "src", "dst", "relType", PropertyGraph.TombstoneCol))
+      } else (g.nodes, "id", Set("id", "labels", PropertyGraph.TombstoneCol))
+    // bind the matched keys through the ordinary read compiler
+    val keys = new CypherCompiler(spark, g, procedures.procedure, procedures.scalar)
+      .compile(ast.Query(matches ++ Seq(ast.Return(
+        Seq(ast.ReturnItem(
+          if (isRel) ast.Prop(r.v, keyCol) else ast.FnCall("id", Seq(ast.Variable(r.v))),
+          Some("_mid"))), distinct = true, Nil, None, None))))
+    val hit = base.join(keys, base(keyCol) === keys("_mid"), "left_semi")
+    val mapped: Map[String, org.apache.spark.sql.Column] =
+      r.items.map { case (k, e) =>
+        if (meta.contains(k)) throw new UnsupportedOperationException(
+          s"SET ${r.v} = {map}: `$k` is entity identity, not a property")
+        k -> setValueColumn(base, r.v, isRel, e)
+      }.toMap
+    val allCols = base.columns.toSeq ++
+      r.items.map(_._1).filterNot(base.columns.contains)
+    val updated = hit.select(allCols.map { c =>
+      if (meta.contains(c)) col(c)
+      else mapped.get(c) match {
+        case Some(vc) => vc.as(c)
+        case None     => lit(null).cast(base.schema(c).dataType).as(c)
+      }
+    }: _*)
+    updated.schema.fields.foreach { f =>
+      if (base.columns.contains(f.name) &&
+          base.schema(f.name).dataType != f.dataType &&
+          !meta.contains(f.name))
+        throw new UnsupportedOperationException(
+          s"SET ${r.v} = {map} would retype property `${f.name}` " +
+            s"(${base.schema(f.name).dataType.simpleString} -> " +
+            s"${f.dataType.simpleString}) — write the new type under a new key")
+    }
+    if (isRel) foldEdgeDeltaRows(db, updated) else foldNodeDeltaRows(db, updated)
+    unit()
+  }
+
   private def mutateSetDelete(db: GraphDatabase, matches: Seq[ast.Match],
       sets: Seq[ast.SetProps], deletes: Seq[ast.Delete],
       labelSets: Seq[ast.SetLabels] = Nil, lazyRewrite: Boolean = false,
@@ -2122,7 +2194,7 @@ final class GraftSession(val spark: SparkSession,
   private def mutateCallInTx(db: GraphDatabase, q: ast.Query): DataFrame = {
     def requireMutating(cs: ast.CallSub): Unit = {
       val isMut = cs.clauses.exists {
-        case _: ast.Create | _: ast.SetProps | _: ast.RemoveProps |
+        case _: ast.Create | _: ast.SetProps | _: ast.SetPropsReplace | _: ast.RemoveProps |
              _: ast.SetLabels | _: ast.Delete | _: ast.Merge | _: ast.Foreach => true
         case _ => false
       }

@@ -159,6 +159,11 @@ object ast {
   final case class Create(patterns: Seq[PathPat]) extends Clause
   /** SET n.key = <literal expr>, … */
   final case class SetProps(items: Seq[(Prop, Expr)]) extends Clause
+  /** `SET n = {map}` — FULL property replace (openCypher): the mapped
+    * keys set, EVERY other property of the matched entity nulled
+    * (`+=` is the merge form). Desugars in `mutate` once the target's
+    * property columns are known. */
+  final case class SetPropsReplace(v: String, items: Seq[(String, Expr)]) extends Clause
   /** REMOVE n.key, … (property nulled for the matched rows). */
   final case class RemoveProps(items: Seq[Prop]) extends Clause
   /** SET n:Label / REMOVE n:Label (labels array updated for the

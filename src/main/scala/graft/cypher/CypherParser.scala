@@ -394,6 +394,12 @@ object CypherParser extends RegexParsers {
           m.toSeq.sortBy(_._1).map { case (k, l) => (Prop(v, k), mapValueExpr(l)) }
         })
       }
+      // `SET n = {map}` — FULL replace (`+=` already failed to parse,
+      // so a bare `=` here is unambiguous; `n.k = expr` has a dot)
+      | (ident <~ "=") ~ mapLit ^^ { case v ~ m =>
+        SetPropsReplace(v,
+          m.toSeq.sortBy(_._1).map { case (k, l) => (k, mapValueExpr(l)) })
+      }
       | rep1sep((ident ~ ("." ~> ident) ~ ("=" ~> expr)), ",") ^^ { items =>
         SetProps(items.map { case v ~ k ~ e => (Prop(v, k), e) })
       }

@@ -25,6 +25,8 @@ object Params {
       MatchShortest(v, path(pat, ps), where.map(expr(_, ps)), all)
     case Create(pats)            => Create(pats.map(path(_, ps)))
     case SetProps(items)         => SetProps(items.map { case (p, e) => (p, expr(e, ps)) })
+    case SetPropsReplace(v, items) =>
+      SetPropsReplace(v, items.map { case (k, e) => (k, expr(e, ps)) })
     case Merge(pat, oc, om) =>
       Merge(path(pat, ps),
         oc.map { case (p, e) => (p, expr(e, ps)) },

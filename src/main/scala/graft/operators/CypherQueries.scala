@@ -737,6 +737,24 @@ object CypherQueries {
           |RETURN n.n_name AS n_name, n.flag AS flag""".stripMargin)
     },
 
+    // `SET n = {map}` FULL property replace (openCypher; `+=` is the
+    // merge form): every nation node's property set becomes exactly
+    // the mapped keys — n_regionkey reads back NULL afterwards. The
+    // map's values read the node's own pre-write properties. Oracle
+    // recomputes the kept columns and pins the nulled one.
+    sql("cy_set_replace",
+      """SELECT n_name, CAST(n_nationkey AS BIGINT) AS nk,
+        |  CAST(NULL AS BIGINT) AS old_rk
+        |FROM nation""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      gs.cypher(
+        "MATCH (n:nation) SET n = {n_name: n.n_name, n_nationkey: n.n_nationkey}")
+      gs.cypher(
+        """MATCH (n:nation)
+          |RETURN n.n_name AS n_name, n.n_nationkey AS nk, n.n_regionkey AS old_rk""".stripMargin)
+    },
+
     // FOREACH conditional-SET gating idiom — `FOREACH (_ IN CASE WHEN
     // cond THEN [1] ELSE [] END | SET …)` gates the SET on the
     // predicate (the documented desugar; ref uses it in init scripts).

@@ -2068,6 +2068,31 @@ class CypherSpec extends AnyFunSuite {
     graft.core.SnapshotStore.deleteDir(tmp)
   }
 
+  test("SET n = {map} replaces ALL properties; += merges") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:rp {k: 1, a: 10, b: 20})")
+    s.cypher("CREATE (:rp {k: 2, a: 11, b: 21})")
+    // replace: k=1 keeps ONLY the mapped props; k=2 untouched
+    s.cypher("MATCH (n:rp {k: 1}) SET n = {k: 1, c: $v}", Map("v" -> 99L))
+    val r1 = s.cypher(
+      "MATCH (n:rp {k: 1}) RETURN n.a AS a, n.b AS b, n.c AS c").collect().head
+    assert(r1.isNullAt(0) && r1.isNullAt(1) && r1.getLong(2) == 99L)
+    val r2 = s.cypher(
+      "MATCH (n:rp {k: 2}) RETURN n.a AS a, n.b AS b").collect().head
+    assert(r2.getLong(0) == 11L && r2.getLong(1) == 21L)
+    // += only merges
+    s.cypher("MATCH (n:rp {k: 2}) SET n += {c: 5}")
+    val r3 = s.cypher(
+      "MATCH (n:rp {k: 2}) RETURN n.a AS a, n.c AS c").collect().head
+    assert(r3.getLong(0) == 11L && r3.getLong(1) == 5L)
+    // relationship target: replace scopes to the edge schema
+    s.cypher("MATCH (a:rp {k: 1}), (b:rp {k: 2}) CREATE (a)-[:RR {x: 1, y: 2}]->(b)")
+    s.cypher("MATCH (:rp)-[r:RR]->(:rp) SET r = {z: 7}")
+    val re = s.cypher(
+      "MATCH (:rp)-[r:RR]->(:rp) RETURN r.x AS x, r.y AS y, r.z AS z").collect().head
+    assert(re.isNullAt(0) && re.isNullAt(1) && re.getLong(2) == 7L)
+  }
+
   test("label expressions and inline WHERE are refused in write patterns") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (:dog {name:'Arne'})")
