@@ -819,7 +819,7 @@ final class GraftSession(val spark: SparkSession,
       }
       val parsed = Params.substitute(CypherParser.parse(rest), params)
       val isMut = parsed.clauses.exists {
-        case _: ast.Create | _: ast.SetProps | _: ast.SetPropsReplace | _: ast.RemoveProps |
+        case _: ast.Create | _: ast.SetProps | _: ast.SetPropsReplace | _: ast.SetPropsParam | _: ast.RemoveProps |
              _: ast.SetLabels | _: ast.Delete | _: ast.Merge | _: ast.Foreach => true
         case _ => false
       }
@@ -933,7 +933,7 @@ final class GraftSession(val spark: SparkSession,
           return mutateCallInTx(db, parsed)
         }
         val isMutation = parsed.clauses.exists {
-          case _: ast.Create | _: ast.SetProps | _: ast.SetPropsReplace | _: ast.RemoveProps |
+          case _: ast.Create | _: ast.SetProps | _: ast.SetPropsReplace | _: ast.SetPropsParam | _: ast.RemoveProps |
                _: ast.SetLabels | _: ast.Delete | _: ast.Merge | _: ast.Foreach => true
           case _ => false
         }
@@ -2194,7 +2194,7 @@ final class GraftSession(val spark: SparkSession,
   private def mutateCallInTx(db: GraphDatabase, q: ast.Query): DataFrame = {
     def requireMutating(cs: ast.CallSub): Unit = {
       val isMut = cs.clauses.exists {
-        case _: ast.Create | _: ast.SetProps | _: ast.SetPropsReplace | _: ast.RemoveProps |
+        case _: ast.Create | _: ast.SetProps | _: ast.SetPropsReplace | _: ast.SetPropsParam | _: ast.RemoveProps |
              _: ast.SetLabels | _: ast.Delete | _: ast.Merge | _: ast.Foreach => true
         case _ => false
       }

@@ -164,6 +164,11 @@ object ast {
     * (`+=` is the merge form). Desugars in `mutate` once the target's
     * property columns are known. */
   final case class SetPropsReplace(v: String, items: Seq[(String, Expr)]) extends Clause
+  /** `SET n += $map` / `SET n = $map` — whole-map parameter form (the
+    * Bolt drivers' dynamic-update idiom). Param substitution expands
+    * it to SetProps (merge) / SetPropsReplace (replace); reaching the
+    * compiler unexpanded means the parameter was never bound. */
+  final case class SetPropsParam(v: String, param: String, replace: Boolean) extends Clause
   /** REMOVE n.key, … (property nulled for the matched rows). */
   final case class RemoveProps(items: Seq[Prop]) extends Clause
   /** SET n:Label / REMOVE n:Label (labels array updated for the

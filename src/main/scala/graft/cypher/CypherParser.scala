@@ -264,8 +264,16 @@ object CypherParser extends RegexParsers {
     case _                    => None
   }
 
+  /** Whole-map parameter in a node pattern (`(n:L $props)` — the
+    * drivers' dynamic-create idiom). Encoded as a marker entry the
+    * substitution pass expands to the bound map's literal entries;
+    * reaching the compiler unexpanded means the parameter was unbound. */
+  private def nodeMap: Parser[Map[String, Lit]] =
+    mapLit |
+    "$" ~> ident ^^ (n => Map(Params.WholeMapKey -> Lit(ParamRefValue(n))))
+
   private def nodePat: Parser[NodePat] =
-    "(" ~> opt(not(kw("where")) ~> ident) ~ rep(":" ~> labelOrExpr) ~ opt(mapLit) ~
+    "(" ~> opt(not(kw("where")) ~> ident) ~ rep(":" ~> labelOrExpr) ~ opt(nodeMap) ~
       opt(kw("where") ~> expr) <~ ")" ^^ {
       case v ~ ls ~ m ~ w =>
         val props = m.getOrElse(Map.empty)
@@ -394,11 +402,20 @@ object CypherParser extends RegexParsers {
           m.toSeq.sortBy(_._1).map { case (k, l) => (Prop(v, k), mapValueExpr(l)) }
         })
       }
+      // whole-map PARAMETER forms (`SET n += $props`, `SET n = $props`
+      // — the drivers' dynamic-update idiom): expanded by Params once
+      // the map is bound
+      | (ident <~ "+=") ~ ("$" ~> ident) ^^ { case v ~ p =>
+        SetPropsParam(v, p, replace = false)
+      }
       // `SET n = {map}` — FULL replace (`+=` already failed to parse,
       // so a bare `=` here is unambiguous; `n.k = expr` has a dot)
       | (ident <~ "=") ~ mapLit ^^ { case v ~ m =>
         SetPropsReplace(v,
           m.toSeq.sortBy(_._1).map { case (k, l) => (k, mapValueExpr(l)) })
+      }
+      | (ident <~ "=") ~ ("$" ~> ident) ^^ { case v ~ p =>
+        SetPropsParam(v, p, replace = true)
       }
       | rep1sep((ident ~ ("." ~> ident) ~ ("=" ~> expr)), ",") ^^ { items =>
         SetProps(items.map { case v ~ k ~ e => (Prop(v, k), e) })

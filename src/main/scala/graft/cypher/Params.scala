@@ -15,6 +15,11 @@ import ast._
   */
 object Params {
 
+  /** Marker property key the parser uses to encode a WHOLE-MAP
+    * parameter in a pattern (`(n:L $props)`); expanded by [[props]].
+    * Not a legal Cypher identifier, so it can never collide. */
+  val WholeMapKey = "$wholeMap"
+
   def substitute(q: Query, params: Map[String, Any]): Query =
     Query(q.clauses.map(clause(_, params)),
       q.unions.map { case (all, sub) => (all, substitute(sub, params)) })
@@ -27,6 +32,18 @@ object Params {
     case SetProps(items)         => SetProps(items.map { case (p, e) => (p, expr(e, ps)) })
     case SetPropsReplace(v, items) =>
       SetPropsReplace(v, items.map { case (k, e) => (k, expr(e, ps)) })
+    case SetPropsParam(v, name, replace) =>
+      val bound = ps.getOrElse(name, throw new IllegalArgumentException(
+        s"Expected parameter(s): $name"))
+      val items = bound match {
+        case m: scala.collection.Map[_, _] =>
+          m.asInstanceOf[scala.collection.Map[String, Any]].toSeq.sortBy(_._1)
+            .map { case (k, value) => (k, Lit(value): Expr) }
+        case other => throw new IllegalArgumentException(
+          s"SET $v ${if (replace) "=" else "+="} $$$name needs a map parameter, got $other")
+      }
+      if (replace) SetPropsReplace(v, items)
+      else SetProps(items.map { case (k, l) => (Prop(v, k), l) })
     case Merge(pat, oc, om) =>
       Merge(path(pat, ps),
         oc.map { case (p, e) => (p, expr(e, ps)) },
@@ -61,9 +78,21 @@ object Params {
     n.copy(props = props(n.props, ps))
 
   private def props(m: Map[String, Lit], ps: Map[String, Any]): Map[String, Lit] =
-    m.map {
-      case (k, Lit(ParamRefValue(name))) => k -> Lit(scalar(name, ps))
-      case kv                            => kv
+    m.flatMap {
+      // whole-map parameter (`(n:L $props)`): the marker expands to
+      // the bound map's literal entries; explicit entries alongside
+      // cannot occur (the parser allows one map form per pattern)
+      case (WholeMapKey, Lit(ParamRefValue(name))) =>
+        ps.getOrElse(name, throw new IllegalArgumentException(
+          s"Expected parameter(s): $name")) match {
+          case mm: scala.collection.Map[_, _] =>
+            mm.asInstanceOf[scala.collection.Map[String, Any]].toSeq.sortBy(_._1)
+              .map { case (k, v) => k -> Lit(v) }
+          case other => throw new IllegalArgumentException(
+            s"pattern map parameter $$$name must be a map, got $other")
+        }
+      case (k, Lit(ParamRefValue(name))) => Seq(k -> Lit(scalar(name, ps)))
+      case kv                            => Seq(kv)
     }
 
   private def expr(e: Expr, ps: Map[String, Any]): Expr = e match {

@@ -429,7 +429,7 @@ object Packs {
       }
       val parsed = graft.cypher.CypherParser.parse(stmt)
       val mutates = parsed.clauses.exists {
-        case _: graft.cypher.ast.Create | _: graft.cypher.ast.SetProps | _: graft.cypher.ast.SetPropsReplace |
+        case _: graft.cypher.ast.Create | _: graft.cypher.ast.SetProps | _: graft.cypher.ast.SetPropsReplace | _: graft.cypher.ast.SetPropsParam |
              _: graft.cypher.ast.RemoveProps | _: graft.cypher.ast.SetLabels |
              _: graft.cypher.ast.Delete | _: graft.cypher.ast.Merge |
              _: graft.cypher.ast.Foreach => true
@@ -499,7 +499,7 @@ object Packs {
         return session.spark.range(0).select(lit("").as("value"))
       val parsed = graft.cypher.CypherParser.parse(stmt)
       val mutates = parsed.clauses.exists {
-        case _: graft.cypher.ast.Create | _: graft.cypher.ast.SetProps | _: graft.cypher.ast.SetPropsReplace |
+        case _: graft.cypher.ast.Create | _: graft.cypher.ast.SetProps | _: graft.cypher.ast.SetPropsReplace | _: graft.cypher.ast.SetPropsParam |
              _: graft.cypher.ast.RemoveProps | _: graft.cypher.ast.SetLabels |
              _: graft.cypher.ast.Delete | _: graft.cypher.ast.Merge |
              _: graft.cypher.ast.Foreach => true

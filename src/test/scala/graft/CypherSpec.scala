@@ -2085,6 +2085,29 @@ class CypherSpec extends AnyFunSuite {
     val r3 = s.cypher(
       "MATCH (n:rp {k: 2}) RETURN n.a AS a, n.c AS c").collect().head
     assert(r3.getLong(0) == 11L && r3.getLong(1) == 5L)
+    // whole-map parameter forms: += $m merges, = $m replaces
+    s.cypher("MATCH (n:rp {k: 2}) SET n += $m", Map("m" -> Map("d" -> 6L)))
+    val r4 = s.cypher(
+      "MATCH (n:rp {k: 2}) RETURN n.a AS a, n.d AS d").collect().head
+    assert(r4.getLong(0) == 11L && r4.getLong(1) == 6L)
+    s.cypher("MATCH (n:rp {k: 2}) SET n = $m", Map("m" -> Map("k" -> 2L, "e" -> 8L)))
+    val r5 = s.cypher(
+      "MATCH (n:rp {k: 2}) RETURN n.a AS a, n.d AS d, n.e AS e").collect().head
+    assert(r5.isNullAt(0) && r5.isNullAt(1) && r5.getLong(2) == 8L)
+    // an unbound map parameter refuses loudly
+    val miss = intercept[IllegalArgumentException] {
+      s.cypher("MATCH (n:rp {k: 2}) SET n += $nope")
+    }
+    assert(miss.getMessage.contains("Expected parameter"))
+    // whole-map parameter in patterns: CREATE (n:L $props) and the
+    // MATCH twin (every map entry becomes a pattern predicate)
+    s.cypher("CREATE (n:rpp $props)", Map("props" -> Map("k" -> 9L, "tag" -> "alpha")))
+    val cr = s.cypher("MATCH (n:rpp $props) RETURN n.tag AS t",
+      Map("props" -> Map("k" -> 9L))).collect()
+    assert(cr.length == 1 && cr.head.getString(0) == "alpha")
+    intercept[IllegalArgumentException] {
+      s.cypher("CREATE (n:rpp $missing)")
+    }
     // relationship target: replace scopes to the edge schema
     s.cypher("MATCH (a:rp {k: 1}), (b:rp {k: 2}) CREATE (a)-[:RR {x: 1, y: 2}]->(b)")
     s.cypher("MATCH (:rp)-[r:RR]->(:rp) SET r = {z: 7}")
