@@ -192,6 +192,48 @@ class CypherSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("unbounded [:T*] equals transitive closure on randomized digraphs") {
+    // adversarial fixpoint check: deterministic pseudo-random digraphs
+    // (self-loops, cycles, disconnected parts included) — the engine's
+    // visited-set fixpoint must equal a driver-computed transitive
+    // closure from every start node
+    val rnd = new scala.util.Random(421)
+    (1 to 4).foreach { round =>
+      val n = 7
+      val label = s"rt$round"
+      val edges = (for {
+        a <- 0 until n; b <- 0 until n
+        if rnd.nextDouble() < 0.22
+      } yield (a.toLong, b.toLong)).distinct
+      val s = new GraftSession(spark)
+      s.cypher(s"UNWIND range(0, ${n - 1}) AS x CREATE (:$label {k: x})")
+      if (edges.nonEmpty) {
+        val batch = edges.map { case (a, b) => Map("a" -> a, "b" -> b) }
+        s.cypher(
+          s"""UNWIND $$batch AS row MATCH (a:$label {k: row.a}), (b:$label {k: row.b})
+             |MERGE (a)-[:RT]->(b)""".stripMargin, Map("batch" -> batch))
+      }
+      // driver-side closure (Floyd-Warshall-ish over the tiny graph)
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def closure(src: Long): Set[Long] = {
+        var seen = Set.empty[Long]
+        var frontier = adj.getOrElse(src, Set.empty)
+        while (frontier.nonEmpty) {
+          seen ++= frontier
+          frontier = frontier.flatMap(t => adj.getOrElse(t, Set.empty)) -- seen
+        }
+        seen
+      }
+      (0L until n.toLong).foreach { src =>
+        val got = s.cypher(
+          s"MATCH (a:$label {k: $src})-[:RT*]->(b:$label) RETURN DISTINCT b.k AS k")
+          .collect().map(_.getLong(0)).toSet
+        assert(got == closure(src),
+          s"round $round src $src: got $got expected ${closure(src)} (edges $edges)")
+      }
+    }
+  }
+
   test("var-length expand has trail semantics: no bounce-back over one relationship") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:tn {name:'a'})-[:T]->(b:tn {name:'b'})-[:T]->(c:tn {name:'c'})")
