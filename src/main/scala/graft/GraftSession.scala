@@ -292,8 +292,8 @@ final class GraftSession(val spark: SparkSession,
   private val ShowSettings = """(?is)\s*SHOW\s+SETTINGS\b(.*)""".r
   private val CreateDb = """(?is)\s*CREATE\s+DATABASE\s+(\w+)\s*""".r
   private val DropDb = """(?is)\s*DROP\s+DATABASE\s+(\w+)(\s+IF\s+EXISTS)?\s*""".r
-  private val ShowDbs = """(?is)\s*SHOW\s+DATABASES\s*""".r
-  private val ShowTxs = """(?is)\s*SHOW\s+TRANSACTIONS\s*""".r
+  private val ShowDbs = """(?is)\s*SHOW\s+DATABASES\b(.*)""".r
+  private val ShowTxs = """(?is)\s*SHOW\s+TRANSACTIONS\b(.*)""".r
   // `USE db <query>` — per-statement database routing (cypher-shell's
   // `:use` and the driver's session database both reduce to this)
   private val UseDb = """(?is)\s*USE\s+(\w+)\s+(.+)""".r
@@ -881,8 +881,10 @@ final class GraftSession(val spark: SparkSession,
         "USING PERIODIC COMMIT is not allowed inside an open transaction")
       loadCsv(Option(periodic).map(_.toInt), headers != null, file, alias, rest,
         params, database, tx, wire)
-    case ShowDbs() => showDatabases()
-    case ShowTxs() => showTransactions()
+    // YIELD tails project like the other SHOW verbs (cypher-shell's
+    // `SHOW DATABASES YIELD name` is routine ops scripting)
+    case ShowDbs(rest) => applyYield(showDatabases(), rest)
+    case ShowTxs(rest) => applyYield(showTransactions(), rest)
     case TerminateTxs(rest) =>
       // admin counterpart of SHOW TRANSACTIONS: roll back the listed
       // handles; their owners' next statement/commit errors with

@@ -398,6 +398,11 @@ class CypherSpec extends AnyFunSuite {
     assert(rows("neo4j") == "online")
     assert(rows("system") == "online")
     assert(rows("extra") == "offline")
+    // YIELD projects like the other SHOW verbs
+    val names = s.cypher("SHOW DATABASES YIELD name", "system").collect()
+    assert(names.head.schema.fieldNames.toSeq == Seq("name"))
+    assert(names.map(_.getString(0)).toSet.contains("extra"))
+    assert(s.cypher("SHOW TRANSACTIONS YIELD transactionId").collect().isEmpty)
   }
 
   test("DROP DATABASE removes it; IF EXISTS tolerates absence; system refused") {
