@@ -958,8 +958,10 @@ final class GraftSession(val spark: SparkSession,
   }
 
   /** Default LOAD CSV batch bound — the house 10k-row write-buffer
-    * discipline; `USING PERIODIC COMMIT n` overrides it. */
-  private val LoadCsvDefaultBatch = 10000
+    * discipline; `USING PERIODIC COMMIT n` overrides it. A var only
+    * so the multi-batch ATOMICITY contract of the plain form is
+    * testable without a 10k-row fixture. */
+  private[graft] var loadCsvDefaultBatch = 10000
   /** Last LOAD CSV's batch count / peak batch rows — the spec probe
     * for the bounded-driver contract (a file ≫ the bound must never
     * put more than the bound on the driver at once). */
@@ -984,7 +986,7 @@ final class GraftSession(val spark: SparkSession,
       tx: Option[TxHandle], wire: Boolean): DataFrame = {
     val path = file.stripPrefix("file://")
     val df = spark.read.option("header", headers.toString).csv(path)
-    val batchSize = batchOverride.getOrElse(LoadCsvDefaultBatch)
+    val batchSize = batchOverride.getOrElse(loadCsvDefaultBatch)
     if (batchSize <= 0) throw new IllegalArgumentException(
       s"USING PERIODIC COMMIT $batchSize: batch size must be positive")
     val cols = df.columns.toSeq
@@ -995,6 +997,23 @@ final class GraftSession(val spark: SparkSession,
     val stmt = s"UNWIND $$__loadcsv AS $alias $rest"
     def run(batch: Seq[Any]): DataFrame =
       cypherLocked(stmt, params + ("__loadcsv" -> batch), database, tx, wire)
+    // PLAIN LOAD CSV is one atomic statement (reference semantics): the
+    // batches still stream — driver memory stays O(batch + partition) —
+    // but a failure mid-file rolls EVERY published batch back to the
+    // pre-load state (pointer restore, the withConstraintCheck shape;
+    // statements serialize under the reentrant stmtLock so nothing
+    // else allocated meanwhile and ids stay deterministic). Only
+    // `USING PERIODIC COMMIT` opts into chunk-commit durability, where
+    // a failure keeps earlier batches — that IS the knob's contract
+    // (ADVICE r14: the plain form must not chunk-commit).
+    val atomic = batchOverride.isEmpty
+    val targetDb = tx.map(_.database(database)).getOrElse(catalog.database(database))
+    val preGraph = targetDb.graph
+    val preNode = targetDb.nodeDeltaState
+    val preEdge = targetDb.edgeDeltaState
+    val prePending = targetDb.pendingMutations
+    val preId = targetDb.nextId.get()
+    val preRel = targetDb.nextRelId.get()
     var out: DataFrame = null
     var batches = 0L
     var maxBatch = 0
@@ -1006,12 +1025,23 @@ final class GraftSession(val spark: SparkSession,
       out = if (out == null) res else out.unionByName(res)
       buf.clear()
     }
-    val it = df.toLocalIterator()
-    while (it.hasNext) {
-      buf += rowValue(it.next())
-      if (buf.size >= batchSize) flush()
+    try {
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        buf += rowValue(it.next())
+        if (buf.size >= batchSize) flush()
+      }
+      flush()
+    } catch {
+      case e: Throwable if atomic =>
+        targetDb.graph = preGraph
+        targetDb.nodeDeltaState = preNode
+        targetDb.edgeDeltaState = preEdge
+        targetDb.pendingMutations = prePending
+        targetDb.nextId.set(preId)
+        targetDb.nextRelId.set(preRel)
+        throw e
     }
-    flush()
     lastLoadCsvBatches = batches
     lastLoadCsvMaxBatch = maxBatch
     // empty file: the statement still runs once over the empty batch
@@ -1110,7 +1140,14 @@ final class GraftSession(val spark: SparkSession,
       case yieldRe(cols, _) =>
         val names = cols.split(",").map(_.trim).filter(_.nonEmpty)
         df.select(names.head, names.tail.toIndexedSeq: _*)
-      case _ => df
+      case _ if rest == null || rest.trim.isEmpty => df
+      case _ =>
+        // refuse-loudly discipline: a tail this projection can't honor
+        // (WHERE, a YIELD with expressions, …) must error, never
+        // silently return the unfiltered rows (ADVICE r14)
+        throw new UnsupportedOperationException(
+          s"unsupported SHOW tail: `${rest.trim}` (only `YIELD col[, …] " +
+            "[RETURN …]` is supported here)")
     }
   }
 
@@ -1670,8 +1707,8 @@ final class GraftSession(val spark: SparkSession,
           "SET <rel> = {map} needs an eid-bearing edge set (ad-hoc " +
             "projections without relationship identity cannot key the delta)")
         (g.edges, "eid",
-          Set("eid", "src", "dst", "relType", PropertyGraph.TombstoneCol))
-      } else (g.nodes, "id", Set("id", "labels", PropertyGraph.TombstoneCol))
+          Set("eid", "src", "dst", "relType") ++ PropertyGraph.MetaDeltaCols)
+      } else (g.nodes, "id", Set("id", "labels") ++ PropertyGraph.MetaDeltaCols)
     // bind the matched keys through the ordinary read compiler
     val keys = new CypherCompiler(spark, g, procedures.procedure, procedures.scalar)
       .compile(ast.Query(matches ++ Seq(ast.Return(
@@ -2694,14 +2731,25 @@ final class GraftSession(val spark: SparkSession,
         if (!colTypes.contains("id")) colTypes += ("id" -> LongType)
         if (!colTypes.contains("labels"))
           colTypes += ("labels" -> org.apache.spark.sql.types.ArrayType(StringType))
+        if (!colTypes.contains(PropertyGraph.CdcSeqCol))
+          colTypes += (PropertyGraph.CdcSeqCol -> LongType)
         (replacements ++ created).foreach { case (_, cur) =>
           cur.foreach { case (n, v) =>
             if (!colTypes.contains(n)) colTypes += (n -> colType(n, v))
           }
         }
+        // buffered rows carry the CDC stamp IN the buffer map — the
+        // delta LocalRelation rebuilds from the full buffer each fold,
+        // so a stamp outside the map would be lost on the next fold.
+        // Shadows stay unstamped (commit-time ordering — stampSeq doc);
+        // a replacement of an inherited stamped row DROPS the old
+        // stamp so the publishing commit re-stamps it.
+        val stamp = if (isShadow(db)) None
+          else Some(GraftSession.cdcCommitSeq.incrementAndGet())
         var rows = buf0.rows
         (replacements ++ created).foreach { case (id, cur) =>
-          rows += (id -> cur.toMap)
+          val m = cur.toMap - PropertyGraph.CdcSeqCol
+          rows += (id -> stamp.fold(m)(s => m + (PropertyGraph.CdcSeqCol -> s)))
         }
         val buf = graft.core.NodeDeltaBuffer(colTypes, rows, settled, shape)
         val deltaSchema = StructType(colTypes.toSeq.map { case (n, t) =>
@@ -2797,10 +2845,10 @@ final class GraftSession(val spark: SparkSession,
     // dirty base exactly once — see compactIfNeeded). The swapped-in
     // node frame is base ⟵anti⟶ delta ∪ delta, so reads-after-write
     // resolve through the delta without any table rewrite.
-    val newRows = updRows match {
+    val newRows = stampSeq(db, updRows match {
       case Some(u) => PropertyGraph.appendByName(u, missing)
       case None    => missing
-    }
+    })
     val (base, delta0) = db.validNodeDelta match {
       case Some(s) =>
         val kept = s.delta.join(newRows.select(col("id").as("_nk")),
@@ -2845,8 +2893,26 @@ final class GraftSession(val spark: SparkSession,
   private def isShadow(db: GraphDatabase): Boolean =
     !(catalog.listDatabases.contains(db.name) && (catalog.database(db.name) eq db))
 
-  private def foldNodeDeltaRows(db: GraphDatabase, updated: DataFrame): Unit = {
+  /** Stamp freshly-folded delta rows with the next CDC commit
+    * sequence (delta-log metadata — overlay resolution drops the
+    * column, so no query result ever sees it). One `lit` column per
+    * fold, zero extra jobs; older delta rows keep their stamps
+    * through the latest-wins union. Transaction SHADOWS stay
+    * UNSTAMPED (null) — CDC orders by commit, not statement time, so
+    * the publishing COMMIT stamps them once in [[materializeDeltas]];
+    * a null stamp reads as "this transaction / unknown" and always
+    * delivers (read-your-own-writes inside the tx, conservative
+    * over-delivery for pre-stamp legacy rows from disk). */
+  private def stampSeq(db: GraphDatabase, rows: DataFrame): DataFrame =
+    if (isShadow(db))
+      rows.withColumn(PropertyGraph.CdcSeqCol,
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+    else rows.withColumn(PropertyGraph.CdcSeqCol,
+      org.apache.spark.sql.functions.lit(GraftSession.cdcCommitSeq.incrementAndGet()))
+
+  private def foldNodeDeltaRows(db: GraphDatabase, updated0: DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
+    val updated = stampSeq(db, updated0)
     val g = db.graph
     val (base, delta0) = db.validNodeDelta match {
       case Some(s) =>
@@ -2972,26 +3038,59 @@ final class GraftSession(val spark: SparkSession,
     * called at COMMIT, so published overlays are always checkpointed
     * (the read side may consume a delta twice per resolution). */
   private def materializeDeltas(sh: GraphDatabase): Unit = {
-    sh.validNodeDelta.filterNot(_.materialized).foreach { s =>
-      val delta = s.delta.localCheckpoint()
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    // Commit-time CDC ordering (the Neo4j CDC contract: change
+    // identifiers are assigned at COMMIT): rows this transaction wrote
+    // folded UNSTAMPED (stampSeq's shadow branch), so the publishing
+    // commit stamps every null-sequence row with ONE fresh sequence
+    // here — a cursor minted while the transaction was open still sees
+    // its rows. Inherited live-delta rows keep their original stamps
+    // (null-coalesce). Cost: one small checkpoint per mutated side per
+    // COMMIT, on delta-sized data.
+    val seqC = PropertyGraph.CdcSeqCol
+    lazy val pubSeq = GraftSession.cdcCommitSeq.incrementAndGet()
+    def restamp(delta: DataFrame): DataFrame =
+      if (delta.columns.contains(seqC))
+        delta.withColumn(seqC, coalesce(col(seqC), lit(pubSeq)))
+      else delta.withColumn(seqC, lit(pubSeq))
+    sh.validNodeDelta.foreach { s =>
+      val delta = restamp(s.delta).localCheckpoint()
+      // the driver buffer mirrors the stamps: a later buffered fold
+      // rebuilds the LocalRelation from these maps, so a stamp only on
+      // the frame would be lost at the next fold
+      val buf = s.buf.map { b =>
+        b.copy(
+          colTypes = if (b.colTypes.contains(seqC)) b.colTypes
+            else b.colTypes + (seqC -> LongType),
+          rows = b.rows.map { case (k, m) =>
+            if (m.contains(seqC)) (k, m) else (k, m + (seqC -> pubSeq)) })
+      }
       val resolved = overlayNodes(s.base, delta)
       sh.graph = PropertyGraph(resolved, sh.graph.edges)
       sh.nodeDeltaState =
-        Some(graft.core.NodeDeltaState(s.base, delta, resolved, s.buf))
+        Some(graft.core.NodeDeltaState(s.base, delta, resolved, buf))
     }
-    sh.validEdgeDelta.filterNot(_.materialized).foreach { s =>
-      val delta = s.delta.localCheckpoint()
+    sh.validEdgeDelta.foreach { s =>
+      val delta = restamp(s.delta).localCheckpoint()
+      val buf = s.buf.map { b =>
+        b.copy(
+          colTypes = if (b.colTypes.contains(seqC)) b.colTypes
+            else b.colTypes + (seqC -> LongType),
+          rows = b.rows.map { case (k, m) =>
+            if (m.contains(seqC)) (k, m) else (k, m + (seqC -> pubSeq)) })
+      }
       val resolved = overlayEdges(s.base, delta)
       sh.graph = PropertyGraph(sh.graph.nodes, resolved)
       sh.edgeDeltaState =
-        Some(graft.core.EdgeDeltaState(s.base, delta, resolved, s.buf))
+        Some(graft.core.EdgeDeltaState(s.base, delta, resolved, buf))
     }
   }
 
   /** Edge mirror of [[foldNodeDeltaRows]] (replacement rows keyed by
     * surrogate eid). */
-  private def foldEdgeDeltaRows(db: GraphDatabase, updated: DataFrame): Unit = {
+  private def foldEdgeDeltaRows(db: GraphDatabase, updated0: DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
+    val updated = stampSeq(db, updated0)
     val g = db.graph
     val (base, delta0) = db.validEdgeDelta match {
       case Some(s) =>
@@ -3031,9 +3130,14 @@ final class GraftSession(val spark: SparkSession,
       colTypes += ("labels" -> org.apache.spark.sql.types.ArrayType(StringType))
     if (!colTypes.contains(PropertyGraph.TombstoneCol))
       colTypes += (PropertyGraph.TombstoneCol -> BooleanType)
+    if (!colTypes.contains(PropertyGraph.CdcSeqCol))
+      colTypes += (PropertyGraph.CdcSeqCol -> LongType)
+    val stamp = if (isShadow(db)) None
+      else Some(GraftSession.cdcCommitSeq.incrementAndGet())
     var rows = buf0.rows
     ids.foreach { id =>
-      rows += (id -> Map[String, Any]("id" -> id, PropertyGraph.TombstoneCol -> true))
+      val m = Map[String, Any]("id" -> id, PropertyGraph.TombstoneCol -> true)
+      rows += (id -> stamp.fold(m)(s => m + (PropertyGraph.CdcSeqCol -> s)))
     }
     val buf = graft.core.NodeDeltaBuffer(colTypes, rows, buf0.settled, buf0.shape)
     val deltaSchema = StructType(colTypes.toSeq.map { case (n, t) =>
@@ -3066,10 +3170,15 @@ final class GraftSession(val spark: SparkSession,
       PropertyGraph.TombstoneCol -> BooleanType).foreach { case (n, t) =>
       if (!colTypes.contains(n)) colTypes += (n -> t)
     }
+    if (!colTypes.contains(PropertyGraph.CdcSeqCol))
+      colTypes += (PropertyGraph.CdcSeqCol -> LongType)
+    val stamp = if (isShadow(db)) None
+      else Some(GraftSession.cdcCommitSeq.incrementAndGet())
     var rows = buf0.rows
     hits.foreach { case (eid, s, d, rt) =>
-      rows += (eid -> Map[String, Any]("eid" -> eid, "src" -> s, "dst" -> d,
-        "relType" -> rt, PropertyGraph.TombstoneCol -> true))
+      val m = Map[String, Any]("eid" -> eid, "src" -> s, "dst" -> d,
+        "relType" -> rt, PropertyGraph.TombstoneCol -> true)
+      rows += (eid -> stamp.fold(m)(sq => m + (PropertyGraph.CdcSeqCol -> sq)))
     }
     val buf = graft.core.EdgeDeltaBuffer(colTypes, rows, buf0.settled,
       buf0.nodeBind, buf0.nodeBindRef)
@@ -3435,7 +3544,8 @@ final class GraftSession(val spark: SparkSession,
 
     // ---- 5. commit: copy-on-write buffer → LocalRelation delta ------
     Seq("src" -> LongType, "dst" -> LongType,
-      "relType" -> (StringType: DataType), "eid" -> LongType).foreach {
+      "relType" -> (StringType: DataType), "eid" -> LongType,
+      PropertyGraph.CdcSeqCol -> LongType).foreach {
       case (n, t) => if (!colTypes.contains(n)) colTypes += (n -> t)
     }
     (replacements ++ created).foreach { case (_, cur) =>
@@ -3443,8 +3553,12 @@ final class GraftSession(val spark: SparkSession,
         if (!colTypes.contains(n)) colTypes += (n -> colType(n, v))
       }
     }
+    val cdcStamp = if (isShadow(db)) None
+      else Some(GraftSession.cdcCommitSeq.incrementAndGet())
     var rows = buf0.rows
-    (replacements ++ created).foreach { case (eid, cur) => rows += (eid -> cur) }
+    (replacements ++ created).foreach { case (eid, cur) =>
+      val m = cur - PropertyGraph.CdcSeqCol
+      rows += (eid -> cdcStamp.fold(m)(s => m + (PropertyGraph.CdcSeqCol -> s))) }
     val buf = graft.core.EdgeDeltaBuffer(colTypes, rows, settled,
       bindCache, Some(g.nodes))
     val deltaSchema = StructType(colTypes.toSeq.map { case (n, t) =>
@@ -3776,7 +3890,8 @@ final class GraftSession(val spark: SparkSession,
       // extension anti-joins the previous delta, so an unmaterialized
       // chain doubles in plan size per commit — and publish the
       // overlay. The base edge table is never rewritten.
-      deltaAcc.foreach { nd =>
+      deltaAcc.foreach { nd0 =>
+        val nd = stampSeq(db, nd0)
         val (base, delta0) = db.validEdgeDelta match {
           case Some(s) =>
             val kept = s.delta.join(nd.select(col("eid").as("_ek2")),
@@ -4322,7 +4437,13 @@ final class GraftSession(val spark: SparkSession,
       // bypasses the log
       d.pendingMutations = math.max(d.pendingMutations, 2)
       compactIfNeeded(d)
-      s"graft:cdc:${d.nextId.get}:${d.nextRelId.get}:${cdcEpoch(d)}"
+      // the cursor binds its DATABASE (two dbs' epoch counters
+      // routinely coincide — ADVICE r14: a cursor must refuse on the
+      // wrong db, not silently classify against its watermarks) and
+      // the COMMIT SEQUENCE at mint, so a later query delivers only
+      // rows committed past this point (not from epoch start)
+      s"graft:cdc:${d.name}:${d.nextId.get}:${d.nextRelId.get}:" +
+        s"${cdcEpoch(d)}:${GraftSession.cdcCommitSeq.get}"
     }
     procedures.register("db.cdc.earliest", "() :: (id)",
       "Earliest change-capture cursor of the current change epoch") { _ =>
@@ -4346,15 +4467,21 @@ final class GraftSession(val spark: SparkSession,
         case b: Boolean => b
         case s => String.valueOf(s).equalsIgnoreCase("true")
       }
-      val m = """graft:cdc:(-?\d+):(-?\d+):(-?\d+)""".r
+      val m = """graft:cdc:([A-Za-z0-9_.-]+):(-?\d+):(-?\d+):(-?\d+):(-?\d+)""".r
         .findFirstMatchIn(cur).getOrElse(throw new IllegalArgumentException(
           s"malformed CDC cursor: $cur"))
       val d = cdcDatabase
-      if (m.group(3).toLong != cdcEpoch(d))
+      if (m.group(1) != d.name)
+        throw new IllegalArgumentException(
+          s"CDC cursor belongs to database `${m.group(1)}`, but the " +
+            s"statement runs against `${d.name}` — cursors are " +
+            "database-bound (mint one with db.cdc.earliest here)")
+      if (m.group(4).toLong != cdcEpoch(d))
         throw new IllegalStateException(
           "CDC cursor predates the current change epoch (the base was " +
             "replaced by a load/compaction/full save or a non-delta write) — " +
             "restart from db.cdc.earliest")
+      val cursorSeq = m.group(5).toLong
       // this epoch's delta-log may live in TWO places: the snapshot
       // dir's persisted delta (flushed by an incremental save — the
       // provenance manifest must still match AND carry this epoch)
@@ -4403,7 +4530,19 @@ final class GraftSession(val spark: SparkSession,
       def side(delta: Option[DataFrame], key: String, meta: Set[String],
           lo: Long, hi: Long, entity: String,
           detail: org.apache.spark.sql.Column, base: => DataFrame): Option[DataFrame] =
-        delta.map { df =>
+        delta.map { df0 =>
+          // intra-epoch cursor advancement: deliver only rows whose
+          // commit sequence is PAST the cursor's — an update committed
+          // before the cursor no longer replays from epoch start. A
+          // null/absent stamp (pre-stamp legacy rows from an old disk
+          // delta, or this transaction's own uncommitted writes) reads
+          // as newest and always delivers — conservative over-delivery,
+          // never a dropped event.
+          val seqC = PropertyGraph.CdcSeqCol
+          val df =
+            if (df0.columns.contains(seqC))
+              df0.filter(coalesce(col(seqC), lit(Long.MaxValue)) > lit(cursorSeq))
+            else df0
           val tomb =
             if (df.columns.contains(tombC)) coalesce(col(tombC), lit(false))
             else lit(false)
@@ -4445,11 +4584,12 @@ final class GraftSession(val spark: SparkSession,
             ev.join(before, ev("id") === col("_bid"), "left_outer").drop("_bid")
           }
         }
-      val nodeEvents = side(nodeDelta, "id", Set("id", "labels", tombC),
-        m.group(1).toLong, d.nextId.get, "node", concat_ws(":", col("labels")), nodeBase)
+      val nodeEvents = side(nodeDelta, "id",
+        Set("id", "labels") ++ PropertyGraph.MetaDeltaCols,
+        m.group(2).toLong, d.nextId.get, "node", concat_ws(":", col("labels")), nodeBase)
       val edgeEvents = side(edgeDelta, "eid",
-        Set("eid", "src", "dst", "relType", tombC),
-        m.group(2).toLong, d.nextRelId.get, "relationship", col("relType"), edgeBase)
+        Set("eid", "src", "dst", "relType") ++ PropertyGraph.MetaDeltaCols,
+        m.group(3).toLong, d.nextRelId.get, "relationship", col("relType"), edgeBase)
       (nodeEvents, edgeEvents) match {
         case (Some(n), Some(e)) => n.unionByName(e, allowMissingColumns = true)
         case (Some(n), None)    => n
@@ -4475,6 +4615,17 @@ final class GraftSession(val spark: SparkSession,
 }
 
 object GraftSession {
+
+  /** Process-wide monotonic CDC commit sequence. Every delta fold
+    * stamps its new rows with the next value ([[PropertyGraph
+    * .CdcSeqCol]]); a cursor records the counter at mint and
+    * `db.cdc.query` delivers only later-stamped rows — so updates
+    * committed BEFORE the cursor no longer replay from epoch start
+    * (the r14 u-event over-delivery, VERDICT r14 #2). Process-wide
+    * (not per-db) because only ordering matters: per-db stamps form a
+    * monotonic subsequence, and cursors never outlive the process (a
+    * LOAD always bumps the change epoch, which invalidates them). */
+  private[graft] val cdcCommitSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Boot a session the way `docker run neo4j` boots the reference
     * (SURVEY.md §3.1 steps 3-8): assemble layered config from env +

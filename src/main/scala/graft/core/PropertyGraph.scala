@@ -111,16 +111,34 @@ object PropertyGraph {
     * resolved frame. */
   val TombstoneCol = "__tombstone"
 
+  /** Delta rows carry the monotonic COMMIT SEQUENCE they were
+    * published under (stamped at fold/publish time): a CDC cursor
+    * records the sequence at mint, and `db.cdc.query` delivers only
+    * rows with a later stamp — updates committed before the cursor no
+    * longer replay from epoch start (the r14 u-event over-delivery).
+    * Like [[TombstoneCol]] it is delta-log METADATA: resolution drops
+    * it, so no resolved frame (and no query result) ever sees it, but
+    * the persisted `nodes_delta`/`edges_delta` keep it so cursors
+    * survive incremental saves with their sequences intact. */
+  val CdcSeqCol = "__commit_seq"
+
+  /** The delta-log metadata columns — never properties. */
+  val MetaDeltaCols: Set[String] = Set(TombstoneCol, CdcSeqCol)
+
   /** [[overlayById]] generalized over the key column — nodes overlay
     * on `id`, relationships on their surrogate `eid`. Tombstone-aware:
-    * flagged delta rows suppress without re-emitting. */
+    * flagged delta rows suppress without re-emitting; delta-log
+    * metadata columns never reach the resolved frame. */
   def overlayByKey(base: DataFrame, delta: DataFrame, key: String): DataFrame = {
     val kept = base.join(delta.select(col(key).as("_ov_k")),
       base(key) === col("_ov_k"), "left_anti")
-    val live =
+    val tombFiltered =
       if (delta.columns.contains(TombstoneCol))
         delta.filter(!coalesce(col(TombstoneCol), lit(false))).drop(TombstoneCol)
       else delta
+    val live =
+      if (tombFiltered.columns.contains(CdcSeqCol)) tombFiltered.drop(CdcSeqCol)
+      else tombFiltered
     appendByName(kept, live)
   }
 }

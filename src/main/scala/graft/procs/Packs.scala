@@ -934,11 +934,18 @@ object Packs {
     // persists it incrementally, compaction folds it, downstream
     // Cypher reads it like any property). The write property must be
     // a plain identifier (it becomes a column name).
-    def writeProp(raw: Any, default: String, what: String): String = {
+    def writeProp(raw: Any, default: String, what: String,
+        meta: Set[String] = Set("id", "labels") ++ graft.core.PropertyGraph.MetaDeltaCols): String = {
       val v = Option(raw).map(String.valueOf).filter(_.nonEmpty).getOrElse(default)
       if ("^[A-Za-z_][A-Za-z0-9_]*$".r.findFirstIn(v).isEmpty)
         throw new IllegalArgumentException(
           s"$what writeProperty `$v` must be a plain identifier")
+      // meta columns are entity identity / delta-log metadata, not
+      // properties: writing `id` or `labels` through withColumn would
+      // corrupt the table via replacement rows (ADVICE r14 — SET n =
+      // {map} refuses exactly this class, the write verbs must too)
+      if (meta.contains(v)) throw new IllegalArgumentException(
+        s"$what writeProperty `$v` is entity identity, not a property")
       v
     }
     procs.register("gds.pageRank.write",

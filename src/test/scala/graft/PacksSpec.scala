@@ -772,6 +772,16 @@ class PacksSpec extends AnyFunSuite {
       s.cypher("CALL gds.wcc.write('T', $p) YIELD writeProperty RETURN writeProperty",
         Map("p" -> "x; DROP")).collect()
     }
+    // meta columns are entity identity, not properties: writing `id`
+    // or `labels` would corrupt the node table via replacement rows
+    // (ADVICE r14 — the SET n = {map} refusal class)
+    Seq("id", "labels", "__tombstone").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        s.cypher(s"CALL gds.wcc.write('T', '$bad') YIELD writeProperty RETURN writeProperty")
+          .collect()
+      }
+      assert(e.getMessage.contains("entity identity"), s"$bad: ${e.getMessage}")
+    }
   }
 
   test("apoc.refactor.mergeNodes: rels re-point, labels union, duplicates tombstone") {
