@@ -694,31 +694,78 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     // walk-reachability; openCypher's per-TRAIL multiplicity is
     // tracked only for bounded patterns (enumerating unbounded trail
     // sets is the combinatorial blowup — documented divergence; put a
-    // bound on the pattern to get multiplicities). `*2..` style
-    // lower bounds above 1 refuse: cycle excision can shorten a long
-    // walk below the bound, so min-hop reachability is not expressible
-    // with a visited-set alone.
+    // bound on the pattern to get multiplicities).
+    //
+    // `*lo..` with lo ≥ 2 runs the BOUNDED-PREFIX HYBRID (r14 verdict
+    // #4): enumerate the length-lo trail PREFIXES with their edge
+    // sets (the bounded machinery), then run the reachability
+    // fixpoint from each prefix's endpoint over G ∖ prefix-edges.
+    // Sound: a prefix trail plus any walk avoiding its edges excises
+    // to prefix + an edge-disjoint trail — a trail of length ≥ lo.
+    // Complete: any trail of length m ≥ lo is its own length-lo
+    // prefix followed by an edge-disjoint suffix trail, which is a
+    // walk in G ∖ prefix-edges. (A plain pair-visited fixpoint is
+    // UNSOUND here: extending 1→2→1 by the already-used edge 1→2
+    // "reaches" 2 at length 3, but no length-≥2 trail ends at 2 in
+    // that two-cycle — the prefix edge set must scope the extension.)
+    // State space: (start, node, prefix-edge-set) — prefixes ×
+    // vertices, diameter-bounded rounds, each frontier checkpointed.
     if (hi == Int.MaxValue) {
-      if (lo > 1) throw new UnsupportedOperationException(
-        s"unbounded var-length with a lower bound above 1 (`*$lo..`) is not " +
-          "supported — bind an upper bound, or drop the lower bound")
-      var visited = base.join(startIds, Seq("_s"), "left_semi")
-        .select(col("_s"), col("_t")).distinct().localCheckpoint()
-      var frontier = visited
-      var exhausted0 = frontier.isEmpty
-      while (!exhausted0) {
-        val next = frontier
-          .join(base.select(col("_s").as("_m"), col("_t").as("_u")), col("_t") === col("_m"))
-          .select(col("_s"), col("_u").as("_t")).distinct()
-          .join(visited, Seq("_s", "_t"), "left_anti")
-          .localCheckpoint()
-        if (next.isEmpty) exhausted0 = true
-        else {
-          visited = visited.union(next).localCheckpoint()
-          frontier = next
+      val reachPairs: DataFrame = if (lo <= 1) {
+        var visited = base.join(startIds, Seq("_s"), "left_semi")
+          .select(col("_s"), col("_t")).distinct().localCheckpoint()
+        var frontier = visited
+        var exhausted0 = frontier.isEmpty
+        while (!exhausted0) {
+          val next = frontier
+            .join(base.select(col("_s").as("_m"), col("_t").as("_u")), col("_t") === col("_m"))
+            .select(col("_s"), col("_u").as("_t")).distinct()
+            .join(visited, Seq("_s", "_t"), "left_anti")
+            .localCheckpoint()
+          if (next.isEmpty) exhausted0 = true
+          else {
+            visited = visited.union(next).localCheckpoint()
+            frontier = next
+          }
         }
+        visited
+      } else {
+        // length-lo trail prefixes (s, end, edge-set) — the bounded
+        // enumerator's frontier shape without the σ counts
+        var pref = base.join(startIds, Seq("_s"), "left_semi")
+          .select(col("_s"), col("_t"), array(col("_k")).as("_e"))
+        (2 to lo).foreach { _ =>
+          pref = pref
+            .join(base.select(col("_s").as("_m"), col("_t").as("_u"), col("_k")),
+              col("_t") === col("_m"))
+            .filter(!array_contains(col("_e"), col("_k")))
+            .select(col("_s"), col("_u").as("_t"),
+              sort_array(array_union(col("_e"), array(col("_k")))).as("_e"))
+            .distinct()
+        }
+        var visited = pref.localCheckpoint()
+        var frontier = visited
+        var exhausted0 = frontier.isEmpty
+        while (!exhausted0) {
+          // extension steps avoid ONLY the fixed prefix edges (`_e`
+          // never grows): walk-reachability in G ∖ prefix — excision
+          // makes the combined object a genuine ≥lo trail
+          val next = frontier
+            .join(base.select(col("_s").as("_m"), col("_t").as("_u"), col("_k")),
+              col("_t") === col("_m"))
+            .filter(!array_contains(col("_e"), col("_k")))
+            .select(col("_s"), col("_u").as("_t"), col("_e")).distinct()
+            .join(visited, Seq("_s", "_t", "_e"), "left_anti")
+            .localCheckpoint()
+          if (next.isEmpty) exhausted0 = true
+          else {
+            visited = visited.union(next).localCheckpoint()
+            frontier = next
+          }
+        }
+        visited.select(col("_s"), col("_t")).distinct()
       }
-      val reach0 = visited
+      val reach0 = reachPairs
         .select(col("_s").as(s"_vl${SEP}s"), col("_t").as(s"_vl${SEP}t"),
           lit(1L).as(s"_vl${SEP}c"))
       val joined0 = cur.join(reach0, cur(s"$prevVar${SEP}id") === col(s"_vl${SEP}s"))

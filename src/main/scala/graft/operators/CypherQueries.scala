@@ -641,6 +641,49 @@ object CypherQueries {
           |RETURN DISTINCT b.s_suppkey AS node ORDER BY node""".stripMargin)
     },
 
+    // Unbounded var-length with a LOWER BOUND `[:T*2..]` — the
+    // friends-of-friends-and-beyond shape (r14 verdict #4), served by
+    // the bounded-prefix hybrid: length-2 trail prefixes with their
+    // edge sets, then walk-reachability from each prefix end avoiding
+    // that prefix's edges (CypherCompiler.compileVarHop). The graph is
+    // the cycle-rich core plus an ACYCLIC TAIL 90→91→1 anchored at 90:
+    // node 91 is reachable ONLY by the length-1 trail (its sole
+    // in-edge is the anchor's own first hop), so it must be absent —
+    // exactly the case a hop-capped walk CTE also excludes, which
+    // makes the DuckDB replay a faithful oracle here. Hop counts cap
+    // at 2 (`LEAST(d+1, 2)`) so the recursion's state space stays
+    // finite on cycles.
+    sql("cy_varlen_lower_unbounded",
+      """WITH RECURSIVE edges AS (
+        |  SELECT s1.s_suppkey AS s, s2.s_suppkey AS t
+        |  FROM supplier s1 JOIN supplier s2 ON s2.s_suppkey = (s1.s_suppkey * 2) % 61
+        |  WHERE s1.s_suppkey BETWEEN 1 AND 60
+        |  UNION
+        |  SELECT s1.s_suppkey, s2.s_suppkey
+        |  FROM supplier s1 JOIN supplier s2 ON s2.s_suppkey = (s1.s_suppkey * 3) % 61
+        |  WHERE s1.s_suppkey BETWEEN 1 AND 60
+        |  UNION SELECT 90, 91
+        |  UNION SELECT 91, 1),
+        |reach(t, d) AS (
+        |  SELECT t, 1 FROM edges WHERE s = 90
+        |  UNION
+        |  SELECT e.t, LEAST(r.d + 1, 2) FROM reach r JOIN edges e ON e.s = r.t)
+        |SELECT DISTINCT CAST(t AS BIGINT) AS node FROM reach WHERE d >= 2
+        |ORDER BY node""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.tpch(s, dir))
+      val batch = (1L to 60L).flatMap(k =>
+        Seq(Map("a" -> k, "b" -> (k * 2 % 61)), Map("a" -> k, "b" -> (k * 3 % 61)))) ++
+        Seq(Map("a" -> 90L, "b" -> 91L), Map("a" -> 91L, "b" -> 1L))
+      gs.cypher(
+        """UNWIND $batch AS row
+          |MATCH (a:supplier {s_suppkey: row.a}), (b:supplier {s_suppkey: row.b})
+          |MERGE (a)-[:PFLOW]->(b)""".stripMargin, Map("batch" -> batch))
+      gs.cypher(
+        """MATCH (a:supplier {s_suppkey: 90})-[:PFLOW*2..]->(b:supplier)
+          |RETURN DISTINCT b.s_suppkey AS node ORDER BY node""".stripMargin)
+    },
+
     // LOAD CSV end to end — the reference's /import bulk channel
     // (docker-entrypoint.sh:502-505). The customer table round-trips
     // through a CSV file on disk and STREAMS back in bounded driver

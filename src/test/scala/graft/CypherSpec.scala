@@ -169,11 +169,13 @@ class CypherSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 20L)
     assert(s.cypher("MATCH (a:ub {k: 1})-[:UB]->+(b:ub) RETURN count(b) AS c")
       .collect().head.getLong(0) == 20L)
-    // a lower bound above 1 refuses loudly (cycle excision can shorten
-    // a walk below the bound — not expressible with a visited set)
-    val e = intercept[UnsupportedOperationException](
-      s.cypher("MATCH (a:ub {k: 1})-[:UB*2..]->(b:ub) RETURN count(b) AS c"))
-    assert(e.getMessage.contains("lower bound"))
+    // `*2..` (bounded-prefix hybrid) keeps TRAIL semantics on the pure
+    // cycle: node 2 is reachable only by the length-1 trail (any longer
+    // route re-crosses 1→2), every other node has a ≥2 trail
+    val reach2 = s.cypher(
+      "MATCH (a:ub {k: 1})-[:UB*2..]->(b:ub) RETURN DISTINCT b.k AS k ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(reach2 == (1L +: (3L to 20L)), s"got $reach2")
     // unbounded shortestPath finds distances past the old cap
     val d = s.cypher(
       """MATCH p = shortestPath((a:ub {k: 1})-[:UB*]->(b:ub {k: 20}))
@@ -230,6 +232,53 @@ class CypherSpec extends AnyFunSuite {
           .collect().map(_.getLong(0)).toSet
         assert(got == closure(src),
           s"round $round src $src: got $got expected ${closure(src)} (edges $edges)")
+      }
+    }
+  }
+
+  test("unbounded [:T*2..] equals brute-force trail reachability on randomized digraphs") {
+    // adversarial check for the bounded-prefix hybrid: the engine must
+    // equal a driver-side BRUTE-FORCE trail enumeration (DFS over
+    // used-edge sets) — walk-based shortcuts over-deliver on cycles,
+    // prefix-set mistakes under-deliver on diamonds
+    val rnd = new scala.util.Random(1517)
+    (1 to 4).foreach { round =>
+      val n = 6
+      val label = s"tl$round"
+      val edges = (for {
+        a <- 0 until n; b <- 0 until n
+        if rnd.nextDouble() < 0.24
+      } yield (a.toLong, b.toLong)).distinct
+      val s = new GraftSession(spark)
+      s.cypher(s"UNWIND range(0, ${n - 1}) AS x CREATE (:$label {k: x})")
+      if (edges.nonEmpty) {
+        val batch = edges.map { case (a, b) => Map("a" -> a, "b" -> b) }
+        s.cypher(
+          s"""UNWIND $$batch AS row MATCH (a:$label {k: row.a}), (b:$label {k: row.b})
+             |MERGE (a)-[:TL]->(b)""".stripMargin, Map("batch" -> batch))
+      }
+      val adj = edges.zipWithIndex.groupBy(_._1._1)
+        .view.mapValues(_.map { case ((_, b), i) => (b, i) }).toMap
+      def trailReach(src: Long, lo: Int): Set[Long] = {
+        val out = collection.mutable.Set.empty[Long]
+        def dfs(at: Long, used: Set[Int], depth: Int): Unit = {
+          if (depth >= lo) out += at
+          adj.getOrElse(at, Seq.empty).foreach { case (b, i) =>
+            if (!used.contains(i)) dfs(b, used + i, depth + 1)
+          }
+        }
+        dfs(src, Set.empty, 0)
+        out.toSet
+      }
+      Seq(2, 3).foreach { lo =>
+        (0L until n.toLong).foreach { src =>
+          val got = s.cypher(
+            s"MATCH (a:$label {k: $src})-[:TL*$lo..]->(b:$label) RETURN DISTINCT b.k AS k")
+            .collect().map(_.getLong(0)).toSet
+          assert(got == trailReach(src, lo),
+            s"round $round src $src lo $lo: got $got expected " +
+              s"${trailReach(src, lo)} (edges $edges)")
+        }
       }
     }
   }
@@ -403,6 +452,14 @@ class CypherSpec extends AnyFunSuite {
     assert(names.head.schema.fieldNames.toSeq == Seq("name"))
     assert(names.map(_.getString(0)).toSet.contains("extra"))
     assert(s.cypher("SHOW TRANSACTIONS YIELD transactionId").collect().isEmpty)
+    // a tail the YIELD projection can't honor refuses loudly — a
+    // silent unfiltered answer would be a wrong answer (ADVICE r14)
+    intercept[UnsupportedOperationException] {
+      s.cypher("SHOW DATABASES WHERE name = 'extra'", "system")
+    }
+    intercept[Exception] {
+      s.cypher("SHOW DATABASES YIELD name WHERE name = 'extra'", "system")
+    }
   }
 
   test("DROP DATABASE removes it; IF EXISTS tolerates absence; system refused") {
@@ -1179,6 +1236,72 @@ class CypherSpec extends AnyFunSuite {
     assert(s.cypher(s"CALL db.cdc.query('$c2') YIELD op RETURN op")
       .collect().isEmpty)
     graft.core.SnapshotStore.deleteDir(tmp)
+  }
+
+  test("db.cdc: cursors advance within the epoch — updates before the cursor do not replay") {
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(1, 4) AS x CREATE (:cseq {k: x})")
+    def cursor(): String = s.cypher("CALL db.cdc.earliest() YIELD id RETURN id")
+      .collect().head.getString(0)
+    def ops(c: String) = s.cypher(
+      s"CALL db.cdc.query('$c') YIELD op, id RETURN op, id").collect()
+    val c1 = cursor()
+    s.cypher("MATCH (n:cseq {k: 1}) SET n.flag = 1")
+    assert(ops(c1).length == 1)
+    val c2 = cursor()
+    s.cypher("MATCH (n:cseq {k: 2}) SET n.flag = 2")
+    // the r14 over-delivery: c2 used to replay k=1's earlier update
+    // too; the commit sequence in the cursor now scopes the feed to
+    // changes PAST the cursor
+    val e2 = ops(c2)
+    assert(e2.length == 1, s"expected only k=2's update, got ${e2.length}")
+    assert(e2.head.getString(0) == "u")
+    // the older cursor still sees both updates
+    assert(ops(c1).length == 2)
+    // buffered deletes ride the same sequence
+    val c3 = cursor()
+    s.cypher("MATCH (n:cseq {k: 3}) DELETE n")
+    val e3 = ops(c3)
+    assert(e3.length == 1 && e3.head.getString(0) == "d")
+    // a cursor minted after everything reads an empty feed
+    assert(ops(cursor()).isEmpty)
+  }
+
+  test("db.cdc: cursors are database-bound — the wrong database refuses") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE DATABASE cdcdb")
+    s.cypher("CREATE (:cbx {k: 1})")
+    val cur = s.cypher("CALL db.cdc.earliest() YIELD id RETURN id")
+      .collect().head.getString(0)
+    // two fresh databases routinely share epoch counters — the cursor
+    // carries its database and the query refuses a mismatch rather
+    // than classifying against the wrong allocator watermarks
+    val err = intercept[IllegalArgumentException] {
+      s.cypher(s"USE cdcdb CALL db.cdc.query('$cur') YIELD op RETURN op").collect()
+    }
+    assert(err.getMessage.contains("database"))
+  }
+
+  test("db.cdc: transaction writes surface at COMMIT with commit-time ordering") {
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(1, 3) AS x CREATE (:ctx {k: x})")
+    def cursor(): String = s.cypher("CALL db.cdc.earliest() YIELD id RETURN id")
+      .collect().head.getString(0)
+    def ops(c: String) = s.cypher(
+      s"CALL db.cdc.query('$c') YIELD op, id RETURN op, id").collect()
+    val before = cursor()
+    val tx = s.beginTransaction()
+    s.cypher("MATCH (n:ctx {k: 1}) SET n.flag = 1", Map.empty[String, Any], "neo4j", tx)
+    // a cursor minted while the transaction is open — its statement
+    // already ran, but CDC orders by COMMIT, so the row must still
+    // deliver to this cursor once published
+    val during = cursor()
+    assert(ops(during).isEmpty) // uncommitted writes are invisible
+    s.commitTransaction(tx)
+    val evBefore = ops(before)
+    assert(evBefore.length == 1 && evBefore.head.getString(0) == "u")
+    val evDuring = ops(during)
+    assert(evDuring.length == 1 && evDuring.head.getString(0) == "u")
   }
 
   test("apoc.periodic.commit drains a LIMIT-bounded delete loop") {
@@ -2055,6 +2178,41 @@ class CypherSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("open transaction"))
     s.cypher("ROLLBACK")
+    graft.core.SnapshotStore.deleteDir(dir)
+  }
+
+  test("plain LOAD CSV is atomic; USING PERIODIC COMMIT keeps already-committed batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-loadcsv-atomic").toString
+    val s = new GraftSession(spark)
+    s.cypher("CREATE CONSTRAINT csv_uk FOR (n:csva) REQUIRE n.k IS UNIQUE")
+    // 25 rows, a duplicate key in the THIRD 10-row batch: the batches
+    // before the failing one have already dispatched
+    val rows = (1 to 24).map(i => s"n$i,$i") :+ "dup,1"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"),
+      "name,k\n" + rows.mkString("\n") + "\n")
+    // PERIODIC COMMIT contract: per-batch durability — the failure
+    // keeps batches 1-2 (20 rows), the failing batch rolls back alone
+    intercept[Exception] {
+      s.cypher(s"USING PERIODIC COMMIT 10 LOAD CSV WITH HEADERS FROM '$dir/a.csv' " +
+        "AS row CREATE (:csva {name: row.name, k: row.k})")
+    }
+    assert(s.cypher("MATCH (n:csva) RETURN count(n) AS c")
+      .collect().head.getLong(0) == 20L)
+    // plain form: ONE atomic statement (reference semantics, ADVICE
+    // r14) — the same failure must leave NOTHING published, even
+    // though the ingest still streamed in bounded batches
+    s.cypher("MATCH (n:csva) DELETE n")
+    val preId = s.cypher("MATCH (n) RETURN count(n) AS c").collect().head.getLong(0)
+    s.loadCsvDefaultBatch = 10 // force multi-batch streaming on 25 rows
+    intercept[Exception] {
+      s.cypher(s"LOAD CSV WITH HEADERS FROM '$dir/a.csv' AS row " +
+        "CREATE (:csva {name: row.name, k: row.k})")
+    }
+    s.loadCsvDefaultBatch = 10000
+    assert(s.cypher("MATCH (n:csva) RETURN count(n) AS c")
+      .collect().head.getLong(0) == 0L)
+    assert(s.cypher("MATCH (n) RETURN count(n) AS c")
+      .collect().head.getLong(0) == preId)
     graft.core.SnapshotStore.deleteDir(dir)
   }
 
