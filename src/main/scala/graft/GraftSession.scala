@@ -3034,6 +3034,43 @@ final class GraftSession(val spark: SparkSession,
     n
   }
 
+  /** GDS relationship-write core: materialize an algorithm's
+    * (src, dst, value) result as NEW typed relationships carrying the
+    * value as property `prop` — the gds.nodeSimilarity.write shape
+    * (Neo4j writes a fresh SIMILAR edge per scored pair). Rows fold
+    * through the eid-keyed edge delta like any relationship commit:
+    * O(result + delta), the base edge table never rewrites, and the
+    * minted eids ride the same deterministic global (src, dst)
+    * numbering as MERGE's append path (range partitions ordered,
+    * sorted within, per-task slice numbering — no single-task global
+    * window), so snapshot hashes stay stable across runs. */
+  private[graft] def writeRelationships(result: DataFrame, srcCol: String,
+      dstCol: String, valueCol: String, relType: String, prop: String): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val db = statementDatabase
+    db.requireStarted()
+    val rows0 = result.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"), col(valueCol).as("_wval"))
+      .localCheckpoint()
+    val n = rows0.count()
+    val sorted = rows0.repartitionByRange(col("src"), col("dst"))
+      .sortWithinPartitions(col("src"), col("dst"))
+    val rnSchema = StructType(sorted.schema.fields :+
+      StructField("_rn", LongType, nullable = false))
+    val numbered = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, ix) => Row.fromSeq(r.toSeq :+ ix) },
+      rnSchema)
+    val eidBase = db.allocateRel(n)
+    val updated = numbered
+      .withColumn("eid", lit(eidBase) + col("_rn"))
+      .withColumn("relType", lit(relType))
+      .withColumn(prop, col("_wval"))
+      .drop("_rn", "_wval")
+    foldEdgeDeltaRows(db, updated)
+    db.pendingMutations += 1
+    n
+  }
+
   /** Materialize any LAZY delta a transaction shadow accumulated —
     * called at COMMIT, so published overlays are always checkpointed
     * (the read side may consume a delta twice per resolution). */

@@ -1152,6 +1152,41 @@ object GraphAlgos {
           "RETURN node1, node2, ijac")
     },
 
+    // GDS RELATIONSHIP write mode end to end (r14 verdict #5): the same
+    // topK-bounded similarity, but each scored pair materializes as a
+    // NEW (node1)-[:SIMILAR {score}]->(node2) relationship through the
+    // eid-keyed edge delta (GraftSession.writeRelationships), and the
+    // graded read-back goes through ordinary pattern matching —
+    // algorithm output composes with the mutation machinery on the
+    // EDGE side too. Fresh session (the write mutates); identical
+    // oracle to gds_node_similarity_topk.
+    sql("gds_node_similarity_write",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |e AS (SELECT DISTINCT a.p*10+6 AS src, b.p*10+6 AS dst
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |d AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS deg FROM e),
+        |sim AS (SELECT a.src AS node1, b.src AS node2,
+        |    CAST(floor(count(*)*1000000.0/(a.deg + b.deg - count(*)) + 0.5) AS BIGINT) AS ijac
+        |  FROM d a JOIN d b ON a.dst = b.dst AND a.src < b.src
+        |  GROUP BY a.src, b.src, a.deg, b.deg),
+        |ranked AS (SELECT node1, node2, ijac,
+        |    row_number() OVER (PARTITION BY node1 ORDER BY ijac DESC, node2) AS rn
+        |  FROM sim WHERE ijac >= 1)
+        |SELECT node1, node2, ijac FROM ranked WHERE rn <= 3
+        |ORDER BY node1, node2""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      gs.setGraph(GraphViews.copurchase(s, dir))
+      Packs.install(gs, Seq("graph-data-science"))
+      gs.cypher(
+        "CALL gds.nodeSimilarity.write('CO', 1, 3, 'SIMILAR', 'score') " +
+          "YIELD relationshipsWritten RETURN relationshipsWritten").collect()
+      gs.cypher(
+        """MATCH (a:part)-[r:SIMILAR]->(b:part)
+          |RETURN id(a) AS node1, id(b) AS node2, r.score AS ijac
+          |ORDER BY node1, node2""".stripMargin)
+    },
+
     // Per-node triangle count over the bounded part co-purchase graph
     // (parts sharing an order, l_orderkey < 3000, canonical src < dst).
     // The oracle enumerates triangles a<b<c by a three-way edge join

@@ -974,6 +974,60 @@ object Packs {
       "In/out degree centrality per node (DataFrame hash aggregation)") { args =>
       Gds.degree(spark, graphArg(args, 0)._1, graphArg(args, 0)._2)
     }
+    // write-mode sweep (r14 verdict #5): each verb is its read-mode
+    // algorithm + one writeNodeProperty fold — same delta-log cost
+    // model as gds.pageRank.write
+    procs.register("gds.louvain.write",
+      "(relType :: STRING?, rounds :: INTEGER?, writeProperty :: STRING?) " +
+        ":: (nodePropertiesWritten, writeProperty)",
+      "Louvain communities, written back as a node property") { args =>
+      val rounds = args.lift(1).map(String.valueOf(_).toInt).getOrElse(3)
+      val prop = writeProp(args.lift(2).orNull, "community", "gds.louvain.write")
+      val scored = Gds.louvain(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, rounds)
+      val n = session.writeNodeProperty(scored, "node_id", "community", prop)
+      procs.oneRow("nodePropertiesWritten" -> n, "writeProperty" -> prop)
+    }
+    procs.register("gds.labelPropagation.write",
+      "(relType :: STRING?, iterations :: INTEGER?, writeProperty :: STRING?) " +
+        ":: (nodePropertiesWritten, writeProperty)",
+      "Label-propagation communities, written back as a node property") { args =>
+      val iters = args.lift(1).map(String.valueOf(_).toInt).getOrElse(5)
+      val prop = writeProp(args.lift(2).orNull, "label_community", "gds.labelPropagation.write")
+      val scored = Gds.labelPropagation(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters)
+      val n = session.writeNodeProperty(scored, "node_id", "label", prop)
+      procs.oneRow("nodePropertiesWritten" -> n, "writeProperty" -> prop)
+    }
+    procs.register("gds.degree.write",
+      "(relType :: STRING?, writeProperty :: STRING?) " +
+        ":: (nodePropertiesWritten, writeProperty)",
+      "Out-degree centrality, written back as a node property " +
+        "(GDS writes the orientation's degree; out is the default)") { args =>
+      val prop = writeProp(args.lift(1).orNull, "degree", "gds.degree.write")
+      val scored = Gds.degree(spark, graphArg(args, 0)._1, graphArg(args, 0)._2)
+      val n = session.writeNodeProperty(scored, "node_id", "out_degree", prop)
+      procs.oneRow("nodePropertiesWritten" -> n, "writeProperty" -> prop)
+    }
+    procs.register("gds.nodeSimilarity.write",
+      "(relType :: STRING?, minScore :: INTEGER?, topK :: INTEGER?, " +
+        "writeRelationshipType :: STRING?, writeProperty :: STRING?) " +
+        ":: (relationshipsWritten, writeRelationshipType, writeProperty)",
+      "Jaccard similarity written back as NEW typed relationships " +
+        "(node1)-[:SIMILAR {score}]->(node2) through the edge delta-log") { args =>
+      val minScore = args.lift(1).map(String.valueOf(_).toLong).getOrElse(1L)
+      val topK = args.lift(2).map(String.valueOf(_).toLong).getOrElse(Long.MaxValue)
+      val relType = args.lift(3).map(String.valueOf).filter(_.nonEmpty).getOrElse("SIMILAR")
+      if ("^[A-Za-z_][A-Za-z0-9_]*$".r.findFirstIn(relType).isEmpty)
+        throw new IllegalArgumentException(
+          s"gds.nodeSimilarity.write writeRelationshipType `$relType` " +
+            "must be a plain identifier")
+      val prop = writeProp(args.lift(4).orNull, "score", "gds.nodeSimilarity.write",
+        meta = Set("eid", "src", "dst", "relType") ++ graft.core.PropertyGraph.MetaDeltaCols)
+      val scored = Gds.nodeSimilarity(spark, graphArg(args, 0)._1, graphArg(args, 0)._2,
+        minScore, topK)
+      val n = session.writeRelationships(scored, "node1", "node2", "ijac", relType, prop)
+      procs.oneRow("relationshipsWritten" -> n, "writeRelationshipType" -> relType,
+        "writeProperty" -> prop)
+    }
     procs.register("gds.wcc", "(relType :: STRING?) :: (node_id, component)",
       "Weakly connected components (GraphX)") { args =>
       Gds.wcc(spark, graphArg(args, 0)._1, graphArg(args, 0)._2)

@@ -784,6 +784,59 @@ class PacksSpec extends AnyFunSuite {
     }
   }
 
+  test("gds write sweep: louvain/labelPropagation/degree node writes, nodeSimilarity rel write") {
+    val s = sessionWith("graph-data-science")
+    // two triangles sharing no edge: clean communities, real degrees,
+    // and similar neighbor sets for the Jaccard write
+    s.cypher("UNWIND range(0, 5) AS x CREATE (:gw {k: x})")
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L))
+    s.cypher(
+      """UNWIND $batch AS row MATCH (a:gw {k: row.a}), (b:gw {k: row.b})
+        |MERGE (a)-[:GW]->(b)""".stripMargin,
+      Map("batch" -> tri.map { case (a, b) => Map("a" -> a, "b" -> b) }))
+    def prop(p: String): Map[Long, Long] =
+      s.cypher(s"MATCH (n:gw) WHERE n.$p IS NOT NULL RETURN n.k AS k, n.$p AS v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    s.cypher("CALL gds.louvain.write('GW', 3, 'comm') YIELD nodePropertiesWritten " +
+      "RETURN nodePropertiesWritten").collect()
+    val comm = prop("comm")
+    assert(comm.size == 6)
+    assert(Set(comm(0), comm(1), comm(2)).size == 1 &&
+      Set(comm(3), comm(4), comm(5)).size == 1 && comm(0) != comm(3))
+    s.cypher("CALL gds.labelPropagation.write('GW', 5, 'lp') YIELD nodePropertiesWritten " +
+      "RETURN nodePropertiesWritten").collect()
+    assert(prop("lp").size == 6)
+    s.cypher("CALL gds.degree.write('GW', 'odeg') YIELD nodePropertiesWritten " +
+      "RETURN nodePropertiesWritten").collect()
+    val odeg = prop("odeg")
+    assert(odeg(0) == 2 && odeg(1) == 1 && odeg(2) == 0, s"got $odeg")
+    // relationship write: NEW [:SIM {jac}] edges land in the edge
+    // delta and read back through ordinary pattern matching
+    val w = s.cypher(
+      "CALL gds.nodeSimilarity.write('GW', 1, 10, 'SIM', 'jac') " +
+        "YIELD relationshipsWritten, writeRelationshipType, writeProperty " +
+        "RETURN relationshipsWritten, writeRelationshipType, writeProperty")
+      .collect().head
+    assert(w.getLong(0) > 0 && w.getString(1) == "SIM" && w.getString(2) == "jac")
+    val sims = s.cypher(
+      "MATCH (a:gw)-[r:SIM]->(b:gw) RETURN a.k AS a, b.k AS b, r.jac AS jac " +
+        "ORDER BY a, b").collect()
+    assert(sims.length == w.getLong(0))
+    assert(sims.forall(r => r.getLong(2) > 0 && r.getLong(2) <= 1000000))
+    // nodes 0 and 1 both point at 2: Jaccard({1,2},{2}) = 1/2
+    assert(sims.exists(r => r.getLong(0) == 0 && r.getLong(1) == 1 &&
+      r.getLong(2) == 500000), sims.mkString(","))
+    // refusals: rel-side meta names and non-identifier rel types
+    intercept[IllegalArgumentException] {
+      s.cypher("CALL gds.nodeSimilarity.write('GW', 1, 10, 'SIM', 'src') " +
+        "YIELD relationshipsWritten RETURN relationshipsWritten").collect()
+    }
+    intercept[IllegalArgumentException] {
+      s.cypher("CALL gds.nodeSimilarity.write('GW', 1, 10, 'x; DROP', 'jac') " +
+        "YIELD relationshipsWritten RETURN relationshipsWritten").collect()
+    }
+  }
+
   test("apoc.refactor.mergeNodes: rels re-point, labels union, duplicates tombstone") {
     val s = new GraftSession(spark)
     Packs.install(s, Seq("apoc"))
