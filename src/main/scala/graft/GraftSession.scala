@@ -990,11 +990,41 @@ final class GraftSession(val spark: SparkSession,
     if (batchSize <= 0) throw new IllegalArgumentException(
       s"USING PERIODIC COMMIT $batchSize: batch size must be positive")
     val cols = df.columns.toSeq
-    def rowValue(r: Row): Any = {
-      val vals = r.toSeq.map(v => if (v == null) null else String.valueOf(v))
-      if (headers) cols.zip(vals).toMap else vals
+    // metadata functions (Neo4j LOAD CSV surface): `file()` is a
+    // per-statement constant and substitutes as a string literal;
+    // `linenumber()` is per-row — the row ordinal (1-based; +1 under
+    // WITH HEADERS for the header line) rides INSIDE each element:
+    // header rows gain a `__linenumber` key, headerless rows wrap as
+    // {__linenumber, __row} with `row[i]` rewritten to `row.__row[i]`
+    // (whole-row references other than indexing don't compose with
+    // linenumber() on headerless files — refused by the engine's list
+    // checks rather than silently misread). Quoted multi-line fields
+    // make this the ROW ordinal, not the physical file line.
+    val lineRe = """(?i)\blinenumber\s*\(\s*\)""".r
+    val fileRe = """(?i)\bfile\s*\(\s*\)""".r
+    val needLine = lineRe.findFirstIn(rest).isDefined
+    var tail = rest
+    if (fileRe.findFirstIn(tail).isDefined)
+      tail = fileRe.replaceAllIn(tail, java.util.regex.Matcher.quoteReplacement(
+        "'" + file.replace("\\", "\\\\").replace("'", "\\'") + "'"))
+    if (needLine) {
+      tail = lineRe.replaceAllIn(tail, java.util.regex.Matcher.quoteReplacement(
+        s"$alias.__linenumber"))
+      if (!headers)
+        tail = ("""\b""" + java.util.regex.Pattern.quote(alias) + """\s*\[""").r
+          .replaceAllIn(tail, java.util.regex.Matcher.quoteReplacement(s"$alias.__row["))
     }
-    val stmt = s"UNWIND $$__loadcsv AS $alias $rest"
+    var lineNo: Long = if (headers) 1L else 0L
+    def rowValue(r: Row): Any = {
+      lineNo += 1
+      val vals = r.toSeq.map(v => if (v == null) null else String.valueOf(v))
+      if (headers) {
+        val m = cols.zip(vals).toMap
+        if (needLine) m + ("__linenumber" -> lineNo) else m
+      } else if (needLine) Map("__linenumber" -> lineNo, "__row" -> vals)
+      else vals
+    }
+    val stmt = s"UNWIND $$__loadcsv AS $alias $tail"
     def run(batch: Seq[Any]): DataFrame =
       cypherLocked(stmt, params + ("__loadcsv" -> batch), database, tx, wire)
     // PLAIN LOAD CSV is one atomic statement (reference semantics): the
@@ -1407,6 +1437,12 @@ final class GraftSession(val spark: SparkSession,
           }
           case (_, ast.Lit(ast.PropRefValue(other, key))) =>
             throw new NoSuchElementException(s"Variable `$other` not defined (in `$other.$key`)")
+          // `{a: row[0]}` over headerless lists (and `{a: row.key[0]}`
+          // over map elements holding lists) — the LOAD CSV idiom
+          case (k, ast.Lit(ast.SubscriptRefValue(`alias`, key, i))) =>
+            k -> ast.Lit(subscriptVal(elem, key, i, alias))
+          case (_, ast.Lit(ast.SubscriptRefValue(other, _, _))) =>
+            throw new NoSuchElementException(s"Variable `$other` not defined")
           case kv => kv
         }
       val groups = elems.map { elem =>
@@ -2072,7 +2108,8 @@ final class GraftSession(val spark: SparkSession,
       if (m.pattern.hops.isEmpty) {
         val np = m.pattern.start
         def plainLit(e: ast.Expr): Boolean = e match {
-          case ast.Lit(_: ast.VarRefValue) | ast.Lit(_: ast.PropRefValue) => false
+          case ast.Lit(_: ast.VarRefValue) | ast.Lit(_: ast.PropRefValue) |
+               ast.Lit(_: ast.SubscriptRefValue) => false
           case ast.Lit(_) => true
           case _ => false
         }
@@ -2351,11 +2388,16 @@ final class GraftSession(val spark: SparkSession,
 
   /** Literal elements of an UNWIND over a literal list or range(). */
   private def unwindElements(u: ast.Unwind, what: String): Seq[Any] = u.expr match {
-    case ast.ListLit(items) => items.map {
-      case ast.Lit(v) => v
-      case other => throw new UnsupportedOperationException(
-        s"$what needs a literal list, got element $other")
-    }
+    case ast.ListLit(items) =>
+      // nested lists arrive as nested ListLits (a Seq param element —
+      // the headerless LOAD CSV row shape) — unwrap recursively
+      def value(e: ast.Expr): Any = e match {
+        case ast.Lit(v)       => v
+        case ast.ListLit(xs)  => xs.map(value)
+        case other => throw new UnsupportedOperationException(
+          s"$what needs a literal list, got element $other")
+      }
+      items.map(value)
     // the standard bulk-load idiom: UNWIND range(1, 10000) AS x
     case ast.FnCall(f, args, _) if f.equalsIgnoreCase("range") =>
       val nums = args.map {
@@ -2438,6 +2480,7 @@ final class GraftSession(val spark: SparkSession,
       np.props(k).v match {
         case ast.VarRefValue(`alias`)     => norm(elem)
         case ast.PropRefValue(`alias`, f) => field(elem, f)
+        case ast.SubscriptRefValue(`alias`, key, i) => subscriptVal(elem, key, i, alias)
         case ast.VarRefValue(other) =>
           throw new NoSuchElementException(s"Variable `$other` not defined")
         case ast.PropRefValue(other, f) =>
@@ -2481,6 +2524,23 @@ final class GraftSession(val spark: SparkSession,
       case ast.Lit(v)            => norm(v)
       case ast.Prop(`alias`, k)  => field(elem, k)
       case ast.Variable(`alias`) => norm(elem)
+      // SET n.p = row[1] — positional list access, the headerless
+      // LOAD CSV tail; the inner target must resolve to a list
+      case ast.Subscript(inner, idx) =>
+        val i = evalLocal(idx, elem, nodeVal) match {
+          case l: Long => l
+          case other => throw new UnsupportedOperationException(
+            s"$verb subscript index must be an integer, got $other")
+        }
+        evalLocal(inner, elem, nodeVal) match {
+          case null => null
+          case s: scala.collection.Seq[_] =>
+            val n = s.size
+            val ix = if (i < 0) n + i else i
+            if (ix >= 0 && ix < n) norm(s(ix.toInt)) else null
+          case other => throw new UnsupportedOperationException(
+            s"$verb subscript needs a list, got $other")
+        }
       case ast.Prop(`mergeVar`, k) if nodeVal(k).isDefined => nodeVal(k).get
       case ast.Prop(`mergeVar`, k) if keyNames.contains(k) =>
         keyOf(elem)(keyNames.indexOf(k)) // pattern prop of the node being created
@@ -3295,7 +3355,8 @@ final class GraftSession(val spark: SparkSession,
         // or null-literal props need the general path
         val props = rel.props.toSeq.sortBy(_._1).map { case (k, l) =>
           l.v match {
-            case ast.VarRefValue(_) | ast.PropRefValue(_, _) => return None
+            case ast.VarRefValue(_) | ast.PropRefValue(_, _) |
+                 ast.SubscriptRefValue(_, _, _) => return None
             case v =>
               val nv = norm(v)
               if (nv == null) return None
@@ -4116,7 +4177,36 @@ final class GraftSession(val spark: SparkSession,
       s"variable property value `$n` is only supported in UNWIND … CREATE patterns")
     case ast.PropRefValue(n, k) => throw new UnsupportedOperationException(
       s"map-field property value `$n.$k` is only supported in UNWIND … CREATE patterns")
+    case ast.SubscriptRefValue(n, k, i) => throw new UnsupportedOperationException(
+      s"positional property value `$n${k.map("." + _).getOrElse("")}[$i]` is only " +
+        "supported in UNWIND … CREATE / UNWIND … MERGE patterns")
     case other  => other
+  }
+
+  /** Resolve a [[ast.SubscriptRefValue]] against one UNWIND element:
+    * the element itself (or its `key` map field) must be a list;
+    * 0-based, negative from the end, out-of-range reads null — the
+    * headerless LOAD CSV `row[0]` semantics. */
+  private def subscriptVal(elem: Any, key: Option[String], i: Long,
+      alias: String): Any = {
+    val target = key match {
+      case Some(k) => elem match {
+        case m: collection.Map[_, _] =>
+          m.asInstanceOf[collection.Map[String, Any]].getOrElse(k, null)
+        case other => throw new UnsupportedOperationException(
+          s"`$alias.$k[$i]` needs map elements in the UNWIND batch, got $other")
+      }
+      case None => elem
+    }
+    target match {
+      case null => null
+      case s: scala.collection.Seq[_] =>
+        val n = s.size
+        val ix = if (i < 0) n + i else i
+        if (ix >= 0 && ix < n) norm(s(ix.toInt)) else null
+      case other => throw new UnsupportedOperationException(
+        s"`$alias${key.map("." + _).getOrElse("")}[$i]` needs a list, got $other")
+    }
   }
 
   private def javaList(rows: Seq[Row]): java.util.List[Row] = {

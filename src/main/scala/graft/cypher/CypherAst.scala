@@ -105,6 +105,14 @@ object ast {
     * in UNWIND … CREATE; rejected anywhere else. */
   final case class PropRefValue(variable: String, key: String)
 
+  /** Marker wrapped in a pattern-prop Lit: `{v: row[0]}` (optionally
+    * `{v: row.key[0]}`) — positional access into a LIST element of the
+    * UNWIND alias, the headerless LOAD CSV idiom (Neo4j: `LOAD CSV
+    * FROM … AS row CREATE (:X {a: row[0]})`). 0-based, negative counts
+    * from the end, out-of-range reads null. Resolved per element in
+    * UNWIND … CREATE / UNWIND … MERGE; rejected anywhere else. */
+  final case class SubscriptRefValue(variable: String, key: Option[String], index: Long)
+
   /** Neo4j 5 label expression (`:A|B`, `:A&B`, `:!A`, `:%`, parens).
     * Plain conjunctions stay in `NodePat.labels` (the write path needs
     * a concrete label list); anything else lands here and is only

@@ -236,6 +236,9 @@ object CypherParser extends RegexParsers {
   private def mapValue: Parser[Lit] =
     literal |
     "$" ~> ident ^^ (n => Lit(ParamRefValue(n))) |
+    ident ~ opt("." ~> ident) ~ ("[" ~> """-?\d+""".r <~ "]") ^^ {
+      case v ~ k ~ i => Lit(SubscriptRefValue(v, k, i.toLong))
+    } |
     ident ~ ("." ~> ident) ^^ { case v ~ k => Lit(PropRefValue(v, k)) } |
     ident ^^ (n => Lit(VarRefValue(n)))
 
@@ -392,6 +395,8 @@ object CypherParser extends RegexParsers {
     case ParamRefValue(n)   => Param(n)
     case PropRefValue(v, k) => Prop(v, k)
     case VarRefValue(n)     => Variable(n)
+    case SubscriptRefValue(v, k, i) =>
+      Subscript(k.map(Prop(v, _)).getOrElse(Variable(v)), Lit(i))
     case _                  => l
   }
 

@@ -709,6 +709,28 @@ object CypherQueries {
       gs.cypher("MATCH (c:csvc) RETURN count(c) AS n, min(c.name) AS lo, max(c.name) AS hi")
     },
 
+    // Headerless LOAD CSV (r14 verdict #6): rows arrive as string
+    // LISTS with positional `row[i]` access, plus the linenumber()/
+    // file() metadata functions. min/max of linenumber() are
+    // order-independent (1 and the row count) so the gate holds even
+    // though the multi-part CSV directory has no deterministic row
+    // order; file() round-trips as a property on every node.
+    sql("cy_load_csv_headerless",
+      """SELECT CAST(count(*) AS BIGINT) AS n, min(c_name) AS lo, max(c_name) AS hi,
+        |  CAST(1 AS BIGINT) AS ln_min, CAST(count(*) AS BIGINT) AS ln_max
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val gs = new GraftSession(s)
+      val csvDir = s"${System.getProperty("java.io.tmpdir")}/graft_loadcsvh_" +
+        Integer.toHexString(dir.hashCode) + "_" + ProcessHandle.current().pid()
+      graft.core.SnapshotStore.deleteDir(csvDir)
+      s.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_name")
+        .write.mode("overwrite").option("header", "false").csv(csvDir)
+      gs.cypher(s"USING PERIODIC COMMIT 10000 LOAD CSV FROM 'file://$csvDir' AS row " +
+        "CREATE (c:csvh {k: row[0], name: row[1], ln: linenumber()})")
+      gs.cypher("MATCH (c:csvh) RETURN count(c) AS n, min(c.name) AS lo, " +
+        "max(c.name) AS hi, min(c.ln) AS ln_min, max(c.ln) AS ln_max")
+    },
+
     sql("cy_rel_upsert_burst",
       """WITH calls AS (SELECT range AS i FROM range(0, 5)),
         |keys AS (SELECT range AS a FROM range(1, 61)),

@@ -2181,6 +2181,42 @@ class CypherSpec extends AnyFunSuite {
     graft.core.SnapshotStore.deleteDir(dir)
   }
 
+  test("LOAD CSV headerless: row[i] positional access, linenumber() and file()") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-loadcsv-hdrless").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/d.csv"),
+      "Arne,3\nBosse,7\nRex,9\n")
+    val s = new GraftSession(spark)
+    // headerless rows are LISTS: 0-based positional access, negative
+    // from the end, out-of-range null; linenumber() is the 1-based row
+    // ordinal and file() the URL (Neo4j's canonical headerless idiom)
+    s.cypher(s"LOAD CSV FROM 'file://$dir/d.csv' AS row " +
+      "CREATE (:hdog {name: row[0], age: row[1], last: row[-1], oob: row[7], " +
+      "ln: linenumber(), src: file()})")
+    val back = s.cypher(
+      "MATCH (d:hdog) RETURN d.name AS n, d.age AS a, d.last AS l, d.oob AS o, " +
+        "d.ln AS ln, d.src AS src ORDER BY ln").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("Arne", "Bosse", "Rex"))
+    assert(back.map(_.getString(1)).toSeq == Seq("3", "7", "9"))
+    assert(back.map(r => r.getString(1) == r.getString(2)).forall(identity)) // row[-1]
+    assert(back.forall(_.isNullAt(3))) // row[7] out of range
+    assert(back.map(_.getLong(4)).toSeq == Seq(1L, 2L, 3L))
+    assert(back.forall(_.getString(5) == s"file://$dir/d.csv"))
+    // WITH HEADERS: linenumber() counts the header line too (first
+    // data row is physical line 2)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/h.csv"),
+      "name\nX\nY\n")
+    s.cypher(s"LOAD CSV WITH HEADERS FROM 'file://$dir/h.csv' AS row " +
+      "CREATE (:hln {name: row.name, ln: linenumber()})")
+    val lns = s.cypher("MATCH (n:hln) RETURN n.name AS name, n.ln AS ln ORDER BY ln")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(lns == Seq("X" -> 2L, "Y" -> 3L))
+    // the MERGE idiom keys on a positional column
+    s.cypher(s"LOAD CSV FROM 'file://$dir/d.csv' AS row MERGE (n:hmg {k: row[0]})")
+    s.cypher(s"LOAD CSV FROM 'file://$dir/d.csv' AS row MERGE (n:hmg {k: row[0]})")
+    assert(s.cypher("MATCH (n:hmg) RETURN count(n) AS c").collect().head.getLong(0) == 3L)
+    graft.core.SnapshotStore.deleteDir(dir)
+  }
+
   test("plain LOAD CSV is atomic; USING PERIODIC COMMIT keeps already-committed batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-loadcsv-atomic").toString
     val s = new GraftSession(spark)
