@@ -657,6 +657,55 @@ object Packs {
           s"apoc.refactor.mergeNodes properties mode must be discard | overwrite | combine, got $mode")
       procs.oneRow("id" -> session.refactorMergeNodes(ids, mode))
     }
+    // apoc.refactor.cloneNodes — duplicate nodes (labels + properties,
+    // optional relationship copies with fresh eids); the natural next
+    // refactor verb after mergeNodes in dedup-ETL chains. Core in
+    // GraftSession.refactorCloneNodes (delta folds, constraint-checked).
+    procs.registerWithParams("apoc.refactor.cloneNodes",
+      Seq(procs.Param("nodes"),
+        procs.Param("withRelationships", Some(false)),
+        procs.Param("skipProperties", Some(Seq.empty[Any]))),
+      "(nodes :: LIST<INTEGER>, withRelationships :: BOOLEAN?, " +
+        "skipProperties :: LIST<STRING>?) :: (input, output)",
+      "Clone the listed nodes; returns (original id, clone id) rows") { args =>
+      val ids = args(0) match {
+        case s: Seq[_] if s.nonEmpty => s.map {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"apoc.refactor.cloneNodes needs node ids, got $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"apoc.refactor.cloneNodes needs a non-empty id list, got $other")
+      }
+      val withRels = args(1) match {
+        case b: Boolean => b
+        case s => String.valueOf(s).equalsIgnoreCase("true")
+      }
+      val skip = args(2) match {
+        case s: Seq[_] => s.map(String.valueOf).toSet
+        case _         => Set.empty[String]
+      }
+      if (skip.exists(Set("id", "labels").contains))
+        throw new IllegalArgumentException(
+          "apoc.refactor.cloneNodes skipProperties cannot name entity identity")
+      val pairs = session.refactorCloneNodes(ids, withRels, skip)
+      procs.rows(Seq("input", "output"),
+        pairs.map { case (o, c) => Seq[Any](o, c) })
+    }
+    // apoc.refactor.to / .from — re-point one end of a relationship
+    // through the eid-keyed edge delta. Relationship identity (eid)
+    // is preserved — documented divergence from current APOC, which
+    // re-creates under a fresh id.
+    procs.register("apoc.refactor.to", "(rel :: INTEGER, endNode :: INTEGER) :: (id)",
+      "Re-point the relationship's END node; returns the relationship id") { args =>
+      procs.oneRow("id" -> session.refactorRepoint(
+        String.valueOf(args.head).toLong, String.valueOf(args(1)).toLong, "to"))
+    }
+    procs.register("apoc.refactor.from", "(rel :: INTEGER, startNode :: INTEGER) :: (id)",
+      "Re-point the relationship's START node; returns the relationship id") { args =>
+      procs.oneRow("id" -> session.refactorRepoint(
+        String.valueOf(args.head).toLong, String.valueOf(args(1)).toLong, "from"))
+    }
     // apoc.periodic.commit — loop a SELF-BOUNDED mutating statement
     // until it reports no more work (APOC's contract: the statement
     // bounds itself, canonically `MATCH … WITH n LIMIT $k … DELETE n

@@ -82,6 +82,26 @@ final class ProcedureRegistry(spark: SparkSession) {
     }
   }
 
+  /** Multi-row helper: fixed columns, per-column type inferred from
+    * the first non-null value (Long-widened like property literals). */
+  def rows(cols: Seq[String], data: Seq[Seq[Any]]): DataFrame = {
+    def typ(i: Int): org.apache.spark.sql.types.DataType =
+      data.iterator.map(_(i)).find(_ != null) match {
+        case Some(_: String)              => StringType
+        case Some(_: Long) | Some(_: Int) => LongType
+        case Some(_: Double)              => DoubleType
+        case Some(_: Boolean)             => BooleanType
+        case _                            => StringType
+      }
+    val schema = StructType(cols.zipWithIndex.map { case (n, i) =>
+      StructField(n, typ(i)) })
+    val rs = data.map(vals => Row(vals.map {
+      case i: Int => i.toLong
+      case v      => v
+    }: _*))
+    spark.createDataFrame(new java.util.ArrayList[Row](rs.asJava), schema)
+  }
+
   /** One-row helper for procedures returning a fixed record. */
   def oneRow(values: (String, Any)*): DataFrame = {
     val schema = StructType(values.map { case (n, v) =>

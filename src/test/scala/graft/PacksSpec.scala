@@ -837,6 +837,55 @@ class PacksSpec extends AnyFunSuite {
     }
   }
 
+  test("apoc.refactor.cloneNodes and refactor.to/from re-point through the deltas") {
+    val s = new GraftSession(spark)
+    Packs.install(s, Seq("apoc"))
+    s.cypher("CREATE (a:cl {name:'a', v: 1})-[:K {w: 7}]->(b:cl {name:'b'})")
+    s.cypher("MATCH (a:cl {name:'a'}) CREATE (a)-[:K {w: 8}]->(a)") // self-loop
+    def idOf(q: String): Long = s.cypher(q).collect().head.getLong(0)
+    val a = idOf("MATCH (n:cl {name:'a'}) RETURN id(n) AS i")
+    // clone without relationships, skipping one property
+    val pair = s.cypher(
+      s"CALL apoc.refactor.cloneNodes([$a], false, ['v']) YIELD input, output " +
+        "RETURN input, output").collect().head
+    assert(pair.getLong(0) == a)
+    val clone1 = pair.getLong(1)
+    val c1 = s.cypher(s"MATCH (n:cl) WHERE id(n) = $clone1 " +
+      "RETURN n.name AS name, n.v AS v").collect().head
+    assert(c1.getString(0) == "a" && c1.isNullAt(1)) // skipProperties honored
+    assert(s.cypher(s"MATCH (n)-[r:K]->() WHERE id(n) = $clone1 RETURN count(r) AS c")
+      .collect().head.getLong(0) == 0L)
+    // clone WITH relationships: out-edge to b copies, self-loop clones
+    // as a self-loop on the clone, properties ride along
+    val clone2 = s.cypher(
+      s"CALL apoc.refactor.cloneNodes([$a], true) YIELD output RETURN output")
+      .collect().head.getLong(0)
+    val rels = s.cypher(s"MATCH (n)-[r:K]->(m) WHERE id(n) = $clone2 " +
+      "RETURN id(m) AS m, r.w AS w ORDER BY w").collect()
+    assert(rels.length == 2)
+    assert(rels.head.getLong(1) == 7L && rels.head.getLong(0) != clone2) // → b
+    assert(rels(1).getLong(1) == 8L && rels(1).getLong(0) == clone2)     // self-loop
+    assert(s.cypher(s"MATCH (n)-[r:K]->(m) WHERE id(m) = $clone2 AND id(n) <> $clone2 " +
+      "RETURN count(r) AS c").collect().head.getLong(0) == 0L) // no spurious in-copies
+    // refactor.to re-points the original a→b edge onto the clone
+    val eid = idOf(s"MATCH (n)-[r:K {w: 7}]->(:cl {name:'b'}) WHERE id(n) = $a " +
+      "RETURN id(r) AS i")
+    s.cypher(s"CALL apoc.refactor.to($eid, $clone1) YIELD id RETURN id").collect()
+    assert(s.cypher(s"MATCH (n)-[r:K {w: 7}]->(m) WHERE id(n) = $a " +
+      "RETURN id(m) AS m").collect().head.getLong(0) == clone1)
+    // refactor.from re-points its start
+    s.cypher(s"CALL apoc.refactor.from($eid, $clone2) YIELD id RETURN id").collect()
+    assert(s.cypher(s"MATCH (n)-[r:K {w: 7}]->(m) WHERE id(m) = $clone1 " +
+      "RETURN id(n) AS i").collect().head.getLong(0) == clone2)
+    // unknown ids refuse loudly
+    intercept[NoSuchElementException] {
+      s.cypher("CALL apoc.refactor.to(99999, 0) YIELD id RETURN id").collect()
+    }
+    intercept[NoSuchElementException] {
+      s.cypher("CALL apoc.refactor.cloneNodes([99999]) YIELD output RETURN output").collect()
+    }
+  }
+
   test("apoc.refactor.mergeNodes: rels re-point, labels union, duplicates tombstone") {
     val s = new GraftSession(spark)
     Packs.install(s, Seq("apoc"))

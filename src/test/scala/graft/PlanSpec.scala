@@ -222,4 +222,31 @@ class PlanSpec extends AnyFunSuite {
     assert(growth <= 6,
       s"persisted-RDD growth $growth after three GraphX algorithms — graphs not released")
   }
+
+  test("MATCH…MERGE statement job count stays bounded (the multi-statement floor)") {
+    // r14 verdict #3: ~25 Spark jobs per buffered-mutation statement
+    // dominated every multi-statement graded row at local[32]. The
+    // floor is pinned here via job groups: a regression that re-adds
+    // eager checkpoint+count pairs or distributed numbering on bounded
+    // misses fails this, not just the bench.
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(1, 40) AS x CREATE (:jf {k: x})")
+    val batch = (1L to 20L).map(k => Map("a" -> k, "b" -> (k % 40 + 1)))
+    val stmt =
+      """UNWIND $batch AS row MATCH (a:jf {k: row.a}), (b:jf {k: row.b})
+        |MERGE (a)-[r:JF]->(b) ON MATCH SET r.seen = 1""".stripMargin
+    def jobsFor(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    // warm one full create pass (JIT, lazy machinery, delta bootstrap)
+    s.cypher(stmt, Map("batch" -> batch))
+    val createJobs = jobsFor("jf-create") {
+      s.cypher(stmt, Map("batch" -> (21L to 40L).map(k =>
+        Map("a" -> k, "b" -> (k % 40 + 1))))) }
+    val matchJobs = jobsFor("jf-match") { s.cypher(stmt, Map("batch" -> batch)) }
+    assert(createJobs <= 16, s"create-path MATCH…MERGE ran $createJobs jobs")
+    assert(matchJobs <= 14, s"match-path MATCH…MERGE ran $matchJobs jobs")
+  }
 }
