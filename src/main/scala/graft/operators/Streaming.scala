@@ -64,6 +64,24 @@ object Streaming {
     s
   }
 
+  /** Unload the executor-side state-store providers a bounded replay
+    * leaves behind: every graded run opens a FRESH checkpoint dir, so
+    * its providers can never be reused — but StateStore keeps them
+    * (plus their maintenance work) loaded until eviction, and across a
+    * 246-query catalog run that buildup lands on whoever runs next.
+    * Bounded replays unload eagerly; a real deployment's long-running
+    * query keeps its providers, as it should. */
+  private def unloadStateStores(): Unit =
+    try {
+      // StateStore is private[sql]; the bounded-replay unload goes
+      // through reflection (catch-all guarded — a Spark version that
+      // moves it just skips the trim, never fails a query)
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      val mod = cls.getField("MODULE$").get(null)
+      cls.getMethod("unloadAll").invoke(mod)
+    } catch { case _: Throwable => () }
+
   /** Micros-long event for the stateful session counter: integer
     * timestamps end to end (a java.sql.Timestamp would truncate to
     * millis and drift off the µs-resolution oracle). */
@@ -112,6 +130,7 @@ object Streaming {
         }
         .start()
       q.awaitTermination()
+      unloadStateStores()
       s.read.parquet(sink)
     },
 
@@ -165,6 +184,7 @@ object Streaming {
         }
         .start()
       q.awaitTermination()
+      unloadStateStores()
       s.read.parquet(sink)
     },
 
@@ -213,6 +233,7 @@ object Streaming {
         }
         .start()
       q.awaitTermination()
+      unloadStateStores()
       s.read.parquet(sink)
         .groupBy(col("v_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
@@ -277,6 +298,7 @@ object Streaming {
         }
         .start()
       q.awaitTermination()
+      unloadStateStores()
       s.read.parquet(sink)
     },
 
@@ -319,6 +341,7 @@ object Streaming {
         }
         .start()
       q.awaitTermination()
+      unloadStateStores()
       s.read.parquet(sink)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_unique"))
