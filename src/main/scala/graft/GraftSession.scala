@@ -3238,6 +3238,115 @@ final class GraftSession(val spark: SparkSession,
     n
   }
 
+  /** apoc.merge.relationship fast path: MERGE one relationship of a
+    * known type between two DRIVER-KNOWN node ids, straight through
+    * the edge write buffer — two bounded pruned probes (endpoint
+    * existence, edge existence by (src, dst, type, identProps)) and a
+    * LocalRelation fold, ~3 Spark jobs instead of the MATCH…MERGE
+    * machinery's ~15 (binding cross-join + existence joins + append
+    * numbering — r14 verdict #3's last holdout). Returns false when
+    * the shape needs the general path (eid-less edges, distributed
+    * delta, null ident values, >100k buffered rows) — the caller then
+    * dispatches the ordinary statement. Semantics mirror the general
+    * path: MATCH binds or no-op (missing endpoint ⇒ no-op), merge
+    * identity is (type, src, dst, identProps), parallel edges with
+    * different ident values stay distinct, ON MATCH applies to every
+    * matched eid. Constraint-checked like any mutation. */
+  private[graft] def mergeRelByIdsBuffered(sid: Long, did: Long, relType: String,
+      identProps: Map[String, Any], onCreate: Map[String, Any],
+      onMatch: Map[String, Any]): Boolean = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import scala.collection.immutable.VectorMap
+    val db = statementDatabase
+    db.requireStarted()
+    val g = db.graph
+    if (!g.edges.columns.contains("eid")) return false
+    if (!db.validEdgeDelta.forall(_.buf.isDefined)) return false
+    if (!db.validEdgeDelta.flatMap(_.buf).forall(_.rows.size <= 100000)) return false
+    val ident = identProps.view.mapValues(norm).toMap
+    if (ident.valuesIterator.contains(null)) return false // {k: null} needs MERGE's refusal
+    withConstraintCheck(db, db) {
+      // endpoint existence (MATCH semantics: either missing ⇒ no-op)
+      val nodeHits = g.nodes.filter(col("id").isin(Seq(sid, did).distinct: _*))
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      if (nodeHits.contains(sid) && nodeHits.contains(did)) {
+        // edge existence scoped exactly like existingEither: type AND
+        // the literal ident props (null-safe equality; a missing
+        // column matches nothing)
+        var probe = g.edges.filter(col("src") === lit(sid) && col("dst") === lit(did) &&
+          col("relType") === lit(relType))
+        ident.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          probe = if (g.edges.columns.contains(k)) probe.filter(col(k) <=> lit(v))
+            else probe.filter(lit(false))
+        }
+        val hitRows = probe.collect()
+        if (hitRows.isEmpty || onMatch.nonEmpty) {
+          val schema = g.edges.schema
+          val oldState = db.validEdgeDelta
+          val buf0 = oldState.flatMap(_.buf).getOrElse(
+            graft.core.EdgeDeltaBuffer(VectorMap.empty, VectorMap.empty))
+          var colTypes = buf0.colTypes
+          Seq("src" -> LongType, "dst" -> LongType,
+            "relType" -> (StringType: DataType), "eid" -> LongType,
+            PropertyGraph.CdcSeqCol -> LongType).foreach { case (n, t) =>
+            if (!colTypes.contains(n)) colTypes += (n -> t)
+          }
+          val stamp = if (isShadow(db)) None
+            else Some(GraftSession.cdcCommitSeq.incrementAndGet())
+          def withStamp(m: Map[String, Any]): Map[String, Any] =
+            stamp.fold(m - PropertyGraph.CdcSeqCol)(s =>
+              m - PropertyGraph.CdcSeqCol + (PropertyGraph.CdcSeqCol -> s))
+          var rows = buf0.rows
+          if (hitRows.isEmpty) {
+            // miss: one created edge, ON CREATE applied
+            val eid = db.allocateRel(1L)
+            val m = Map[String, Any]("src" -> sid, "dst" -> did,
+              "relType" -> relType, "eid" -> eid) ++
+              ident ++ onCreate.view.mapValues(norm).toMap
+            m.foreach { case (n, v) =>
+              if (v != null && !colTypes.contains(n))
+                colTypes += (n -> PropertyGraph.literalType(v))
+            }
+            rows += (eid -> withStamp(m))
+          } else {
+            // hits: ON MATCH applies to EVERY matched eid (parallel
+            // edges sharing the ident values), full replacement rows
+            val om = onMatch.view.mapValues(norm).toMap
+            om.foreach { case (n, v) =>
+              if (v != null && !colTypes.contains(n))
+                colTypes += (n -> PropertyGraph.literalType(v))
+            }
+            hitRows.foreach { r =>
+              val base: Map[String, Any] = schema.fieldNames.iterator.flatMap { n =>
+                val i = r.fieldIndex(n)
+                if (r.isNullAt(i)) None else Some(n -> r.get(i))
+              }.toMap
+              val eid = r.getLong(r.fieldIndex("eid"))
+              rows += (eid -> withStamp(base ++ om))
+            }
+          }
+          val buf = graft.core.EdgeDeltaBuffer(colTypes, rows, buf0.settled,
+            buf0.nodeBind, buf0.nodeBindRef)
+          val deltaSchema = StructType(colTypes.toSeq.map { case (n, t) =>
+            StructField(n, t,
+              nullable = !Set("src", "dst", "relType", "eid").contains(n)) })
+          val deltaRows = rows.valuesIterator.map { mrow =>
+            Row.fromSeq(colTypes.keysIterator.map(n => mrow.getOrElse(n, null)).toSeq)
+          }.toSeq
+          val delta = spark.createDataFrame(javaList(deltaRows), deltaSchema)
+          val base = oldState.map(_.base).getOrElse(g.edges)
+          val resolved = overlayEdges(base, delta)
+          db.graph = PropertyGraph(g.nodes, resolved)
+          db.edgeDeltaState =
+            Some(graft.core.EdgeDeltaState(base, delta, resolved, Some(buf)))
+          db.pendingMutations += 1
+        }
+      }
+      unit()
+    }
+    true
+  }
+
   /** GDS relationship-write core: materialize an algorithm's
     * (src, dst, value) result as NEW typed relationships carrying the
     * value as property `prop` — the gds.nodeSimilarity.write shape

@@ -810,6 +810,13 @@ class PacksSpec extends AnyFunSuite {
       "RETURN nodePropertiesWritten").collect()
     val odeg = prop("odeg")
     assert(odeg(0) == 2 && odeg(1) == 1 && odeg(2) == 0, s"got $odeg")
+    // centrality writes: same one-fold shape, score columns differ
+    s.cypher("CALL gds.eigenvector.write('GW', 5, 'ev') YIELD nodePropertiesWritten " +
+      "RETURN nodePropertiesWritten").collect()
+    assert(prop("ev").size == 6 && prop("ev").values.forall(_ >= 0))
+    s.cypher("CALL gds.articleRank.write('GW', 5, 'ar') YIELD nodePropertiesWritten " +
+      "RETURN nodePropertiesWritten").collect()
+    assert(prop("ar").size == 6 && prop("ar").values.forall(_ > 0))
     // relationship write: NEW [:SIM {jac}] edges land in the edge
     // delta and read back through ordinary pattern matching
     val w = s.cypher(
