@@ -2287,11 +2287,23 @@ class CypherSpec extends AnyFunSuite {
     assert(ub.getString(3) != null && ub.getString(3).contains("\"k\":1") &&
       !ub.getString(3).contains("flag"), s"before = ${ub.getString(3)}")
     assert(withB.find(_.getString(0) == "c").get.isNullAt(3))
+    // a cursor minted AFTER the incremental save must NOT replay the
+    // flushed delta: the persisted rows carry their original commit
+    // sequences, all at or under this cursor's watermark
+    val postSave = s.cypher("CALL db.cdc.earliest() YIELD id RETURN id")
+      .collect().head.getString(0)
+    assert(s.cypher(s"CALL db.cdc.query('$postSave') YIELD op RETURN op")
+      .collect().isEmpty)
     // mutate again AFTER the save: the same cursor sees old + new
     s.cypher("MATCH (n:sv {k: 2}) SET n.flag = 8")
     val events2 = s.cypher(
       s"CALL db.cdc.query('$cur') YIELD op, id RETURN op, id").collect()
     assert(events2.length == 4, s"got ${events2.length}")
+    // …while the post-save cursor sees ONLY its own increment, read
+    // across the disk ∪ overlay union with the sequence filter
+    val inc = s.cypher(
+      s"CALL db.cdc.query('$postSave') YIELD op, id RETURN op, id").collect()
+    assert(inc.length == 1 && inc.head.getString(0) == "u", s"got ${inc.toSeq}")
     // an external compaction folds the persisted delta-log away →
     // the feed refuses loudly instead of silently dropping events
     s.saveDatabase(tmp) // flush the second delta incrementally first
