@@ -248,5 +248,13 @@ class PlanSpec extends AnyFunSuite {
     val matchJobs = jobsFor("jf-match") { s.cypher(stmt, Map("batch" -> batch)) }
     assert(createJobs <= 16, s"create-path MATCH…MERGE ran $createJobs jobs")
     assert(matchJobs <= 14, s"match-path MATCH…MERGE ran $matchJobs jobs")
+    // the id-IN SET chunk (MATCH-driven IN TRANSACTIONS dispatches one
+    // per batch) takes the BUFFERED path: one bounded id collect, one
+    // bounded hit-row collect, zero distributed fold jobs
+    s.cypher("MATCH (c:jf) WHERE id(c) IN [0, 1] SET c.flag = 1") // warm
+    val setJobs = jobsFor("jf-set") {
+      s.cypher("MATCH (c:jf) WHERE id(c) IN [2, 3, 4] SET c.flag = 1")
+    }
+    assert(setJobs <= 4, s"buffered id-IN SET ran $setJobs jobs")
   }
 }
