@@ -167,6 +167,8 @@ final class GraftSession(val spark: SparkSession,
     // MANIFEST's epoch is authoritative (kept by a pure incremental
     // save, bumped by a full write or an on-disk compaction)
     d.changeEpoch = m.changeEpoch
+    if (m.changeEpoch != preEpoch)
+      d.epochStartIds = Some((d.nextId.get(), d.nextRelId.get()))
     d.cdcBaseRefs = Some((graph(db).nodes, graph(db).edges))
     // the durable snapshot replaced the append-log lineage: any
     // mutation-pinned caches it referenced can be freed now
@@ -187,6 +189,7 @@ final class GraftSession(val spark: SparkSession,
     // was minted against: start a fresh epoch past BOTH the session's
     // and the manifest's (monotonic across restarts)
     d.changeEpoch = math.max(d.changeEpoch, m.changeEpoch) + 1
+    d.epochStartIds = Some((m.nextId, m.nextRelId))
     d.cdcBaseRefs = Some((g.nodes, g.edges))
     applySchemaMeta(db, SnapshotStore.readSchema(dir))
     d.releasePinned()
@@ -208,6 +211,7 @@ final class GraftSession(val spark: SparkSession,
       case _ =>
         d.cdcBaseRefs = Some((nb, eb))
         d.changeEpoch += 1
+        d.epochStartIds = Some((d.nextId.get(), d.nextRelId.get()))
         d.changeEpoch
     }
   }
@@ -277,6 +281,7 @@ final class GraftSession(val spark: SparkSession,
     // a restore is an epoch event like a load: fresh monotonic epoch
     catalog.database(db).changeEpoch =
       math.max(catalog.database(db).changeEpoch, m.changeEpoch) + 1
+    catalog.database(db).epochStartIds = Some((m.nextId, m.nextRelId))
     catalog.database(db).cdcBaseRefs = Some((g.nodes, g.edges))
     applySchemaMeta(db, SnapshotStore.readSchema(s"$fromPath/$db.backup"))
   }
@@ -1002,18 +1007,25 @@ final class GraftSession(val spark: SparkSession,
     // make this the ROW ordinal, not the physical file line.
     val lineRe = """(?i)\blinenumber\s*\(\s*\)""".r
     val fileRe = """(?i)\bfile\s*\(\s*\)""".r
-    val needLine = lineRe.findFirstIn(rest).isDefined
-    var tail = rest
-    if (fileRe.findFirstIn(tail).isDefined)
-      tail = fileRe.replaceAllIn(tail, java.util.regex.Matcher.quoteReplacement(
-        "'" + file.replace("\\", "\\\\").replace("'", "\\'") + "'"))
+    // the substitutions are textual, so they must skip quoted string
+    // literals — `CREATE (:X {note: 'see file()'})` stores the literal
+    // text, not the CSV path (ADVICE r15). Segment the tail into
+    // code/string spans and rewrite code spans only.
+    val segs = GraftSession.splitStringLiterals(rest)
+    def rewriteCode(f: String => String): Unit =
+      for (i <- segs.indices if !segs(i)._2) segs(i) = (f(segs(i)._1), false)
+    val needLine = segs.exists { case (t, isLit) =>
+      !isLit && lineRe.findFirstIn(t).isDefined }
+    rewriteCode(t => fileRe.replaceAllIn(t, java.util.regex.Matcher.quoteReplacement(
+      "'" + file.replace("\\", "\\\\").replace("'", "\\'") + "'")))
     if (needLine) {
-      tail = lineRe.replaceAllIn(tail, java.util.regex.Matcher.quoteReplacement(
-        s"$alias.__linenumber"))
+      rewriteCode(t => lineRe.replaceAllIn(t, java.util.regex.Matcher.quoteReplacement(
+        s"$alias.__linenumber")))
       if (!headers)
-        tail = ("""\b""" + java.util.regex.Pattern.quote(alias) + """\s*\[""").r
-          .replaceAllIn(tail, java.util.regex.Matcher.quoteReplacement(s"$alias.__row["))
+        rewriteCode(t => ("""\b""" + java.util.regex.Pattern.quote(alias) + """\s*\[""").r
+          .replaceAllIn(t, java.util.regex.Matcher.quoteReplacement(s"$alias.__row[")))
     }
+    val tail = segs.map(_._1).mkString
     var lineNo: Long = if (headers) 1L else 0L
     def rowValue(r: Row): Any = {
       lineNo += 1
@@ -1643,6 +1655,9 @@ final class GraftSession(val spark: SparkSession,
     import org.apache.spark.sql.functions._
     def exprCol(e0: ast.Expr): org.apache.spark.sql.Column = e0 match {
       case ast.Lit(x) => lit(norm(x))
+      // list literal (incl. a substituted list parameter — SET
+      // r.tags = $tags): element-wise compile into one array column
+      case ast.ListLit(items) if items.nonEmpty => array(items.map(exprCol): _*)
       case ast.Prop(`v`, k) if base.columns.contains(k) => col(k)
       case ast.Prop(`v`, _) => lit(null) // absent property is null
       case ast.Prop(v2, k) => throw new UnsupportedOperationException(
@@ -1975,7 +1990,11 @@ final class GraftSession(val spark: SparkSession,
             else {
               val c = bindings.select(col(v).as("_mid")).distinct()
                 .limit(10001).collect()
-              if (c.length > 10000) None else Some(c.map(_.getLong(0)).toSeq)
+              // OPTIONAL MATCH miss rows carry null ids; the general
+              // semi-join path ignores them (null never equals), so the
+              // buffered path must drop them too rather than NPE.
+              if (c.length > 10000) None
+              else Some(c.filter(!_.isNullAt(0)).map(_.getLong(0)).toSeq)
             }
           bufferedIds match {
             case Some(idVals) =>
@@ -3362,6 +3381,12 @@ final class GraftSession(val spark: SparkSession,
     import org.apache.spark.sql.functions.{col, lit}
     val db = statementDatabase
     db.requireStarted()
+    // same up-front guard as the sibling relationship mutators
+    // (refactorRepoint/cloneNodes): fail clearly BEFORE advancing the
+    // eid allocator, not deep in overlayByKey (ADVICE r15)
+    if (!db.graph.edges.columns.contains("eid"))
+      throw new UnsupportedOperationException(
+        "gds write-mode relationship output needs an eid-bearing edge set")
     val rows0 = result.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"), col(valueCol).as("_wval"))
       .localCheckpoint()
@@ -3373,13 +3398,19 @@ final class GraftSession(val spark: SparkSession,
     val numbered = spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, ix) => Row.fromSeq(r.toSeq :+ ix) },
       rnSchema)
-    val eidBase = db.allocateRel(n)
-    val updated = numbered
-      .withColumn("eid", lit(eidBase) + col("_rn"))
-      .withColumn("relType", lit(relType))
-      .withColumn(prop, col("_wval"))
-      .drop("_rn", "_wval")
-    foldEdgeDeltaRows(db, updated)
+    // the allocate + fold runs under the constraint-check/rollback
+    // wrapper like the sibling mutators, so a mid-fold failure
+    // restores the eid allocator and the pre-write frames
+    withConstraintCheck(db, db) {
+      val eidBase = db.allocateRel(n)
+      val updated = numbered
+        .withColumn("eid", lit(eidBase) + col("_rn"))
+        .withColumn("relType", lit(relType))
+        .withColumn(prop, col("_wval"))
+        .drop("_rn", "_wval")
+      foldEdgeDeltaRows(db, updated)
+      unit()
+    }
     db.pendingMutations += 1
     n
   }
@@ -4910,7 +4941,7 @@ final class GraftSession(val spark: SparkSession,
     // loudly (Neo4j errors the same way when a cursor predates the
     // retained change log), restart from db.cdc.earliest.
     def cdcDatabase = statementDatabase
-    def cdcCursorNow(): String = {
+    def cdcCursorNow(atEpochStart: Boolean = false): String = {
       val d = cdcDatabase
       // settle the lineage FIRST: the cursor's epoch settles against
       // the SETTLED base frames, which every later delta fold extends
@@ -4926,12 +4957,29 @@ final class GraftSession(val spark: SparkSession,
       // wrong db, not silently classify against its watermarks) and
       // the COMMIT SEQUENCE at mint, so a later query delivers only
       // rows committed past this point (not from epoch start)
-      s"graft:cdc:${d.name}:${d.nextId.get}:${d.nextRelId.get}:" +
-        s"${cdcEpoch(d)}:${GraftSession.cdcCommitSeq.get}"
+      val epoch = cdcEpoch(d)
+      if (atEpochStart) {
+        // epoch-start cursor: sequence 0 replays the epoch's whole
+        // retained delta-log; the epoch-start id watermarks (captured
+        // at the bump; current watermarks for pre-tracking epochs —
+        // conservative `u`) classify entities created during the
+        // epoch as `c` on replay.
+        val (n0, r0) = d.epochStartIds.getOrElse((d.nextId.get(), d.nextRelId.get()))
+        s"graft:cdc:${d.name}:$n0:$r0:$epoch:0"
+      } else
+        s"graft:cdc:${d.name}:${d.nextId.get}:${d.nextRelId.get}:" +
+          s"$epoch:${GraftSession.cdcCommitSeq.get}"
     }
     procedures.register("db.cdc.earliest", "() :: (id)",
-      "Earliest change-capture cursor of the current change epoch") { _ =>
-      procedures.oneRow("id" -> cdcCursorNow())
+      "Earliest change-capture cursor of the current change epoch — " +
+        "replays every retained change of the epoch (sequence 0), the " +
+        "restart point the epoch-mismatch error directs consumers to") { _ =>
+      // seq 0 so the retained epoch delta-log IS replayed; `current`
+      // stays the advancing at-now cursor. A consumer that lost its
+      // cursor restarts from here and re-sees the epoch's events
+      // (idempotent upserts by contract) instead of silently skipping
+      // them.
+      procedures.oneRow("id" -> cdcCursorNow(atEpochStart = true))
     }
     procedures.register("db.cdc.current", "() :: (id)",
       "Change-capture cursor at the current point in time") { _ =>
@@ -5110,6 +5158,36 @@ object GraftSession {
     * monotonic subsequence, and cursors never outlive the process (a
     * LOAD always bumps the change epoch, which invalidates them). */
   private[graft] val cdcCommitSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Segment a Cypher fragment into (span, isStringLiteral) pieces —
+    * literal spans keep their quotes and escapes verbatim, so
+    * re-concatenating the spans reproduces the input. Textual rewrites
+    * (the LOAD CSV metadata-function substitution) apply only to the
+    * non-literal spans, never inside quoted strings (ADVICE r15).
+    * Handles single- and double-quoted literals with backslash
+    * escapes (the Cypher forms the parser accepts). */
+  private[graft] def splitStringLiterals(s: String): Array[(String, Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val cur = new StringBuilder
+    var quote: Char = 0.toChar
+    var i = 0
+    def flush(isLit: Boolean): Unit =
+      if (cur.nonEmpty) { out += ((cur.toString, isLit)); cur.clear() }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote == 0.toChar) {
+        if (c == '\'' || c == '"') { flush(isLit = false); quote = c; cur += c }
+        else cur += c
+      } else {
+        cur += c
+        if (c == '\\' && i + 1 < s.length) { i += 1; cur += s.charAt(i) }
+        else if (c == quote) { quote = 0.toChar; flush(isLit = true) }
+      }
+      i += 1
+    }
+    flush(isLit = quote != 0.toChar) // unterminated literal: keep as-is
+    out.toArray
+  }
 
   /** Boot a session the way `docker run neo4j` boots the reference
     * (SURVEY.md §3.1 steps 3-8): assemble layered config from env +

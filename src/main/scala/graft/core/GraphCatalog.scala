@@ -145,6 +145,14 @@ final class GraphDatabase(val name: String) {
   @volatile var changeEpoch: Long = 0L
   @volatile var cdcBaseRefs: Option[(AnyRef, AnyRef)] = None
 
+  /** Id-allocator watermarks (nextId, nextRelId) captured when the
+    * current change epoch began — db.cdc.earliest mints its cursor at
+    * these so a full epoch replay classifies entities created DURING
+    * the epoch as `c`, not `u`. None (pre-tracking epochs) reads as
+    * the current watermarks: conservative `u` classification, never a
+    * dropped event. */
+  @volatile var epochStartIds: Option[(Long, Long)] = None
+
   /** Schema metadata, name → (label, property). Uniqueness
     * constraints are ENFORCED on write (GraftSession); plain indexes
     * are metadata-only — Spark's analog of a secondary index is

@@ -405,8 +405,18 @@ object Packs {
       // edge write buffer (~3 bounded jobs instead of the MATCH…MERGE
       // machinery's ~15 — r14 verdict #3); shapes it can't serve
       // (eid-less edges, distributed delta, null ident values) fall
-      // back to the ordinary synthesized statement
-      val handled = session.mergeRelByIdsBuffered(
+      // back to the ordinary synthesized statement. Non-scalar
+      // property VALUES (list/map params) must dispatch the fallback
+      // too — they'd throw inside the buffered literal folds, and the
+      // fast path's contract is return-false-and-fall-back, not crash
+      // (ADVICE r15).
+      def scalar(v: Any): Boolean = v match {
+        case null | _: String | _: java.lang.Boolean | _: Number => true
+        case _ => false
+      }
+      val fastShaped =
+        (identProps.values ++ onCreate.values ++ onMatch.values).forall(scalar)
+      val handled = fastShaped && session.mergeRelByIdsBuffered(
         sid, did, relType, identProps, onCreate, onMatch)
       if (!handled) {
         val stmt = s"MATCH (a), (b) WHERE id(a) = $$_sid AND id(b) = $$_did " +

@@ -1201,7 +1201,7 @@ class CypherSpec extends AnyFunSuite {
   test("db.cdc: delta-log change feed classifies c/u/d, epoch change invalidates cursors") {
     val s = new GraftSession(spark)
     s.cypher("UNWIND range(1, 5) AS x CREATE (:cd {k: x})")
-    val cursor = s.cypher("CALL db.cdc.earliest() YIELD id RETURN id")
+    val cursor = s.cypher("CALL db.cdc.current() YIELD id RETURN id")
       .collect().head.getString(0)
     // update two base rows (delta fold), create one (buffered MERGE),
     // tombstone one (buffered DELETE)
@@ -1231,7 +1231,7 @@ class CypherSpec extends AnyFunSuite {
       s.cypher(s"CALL db.cdc.query('$cursor') YIELD op RETURN op").collect()
     }
     // and a fresh cursor over the new epoch reads an empty feed
-    val c2 = s.cypher("CALL db.cdc.earliest() YIELD id RETURN id")
+    val c2 = s.cypher("CALL db.cdc.current() YIELD id RETURN id")
       .collect().head.getString(0)
     assert(s.cypher(s"CALL db.cdc.query('$c2') YIELD op RETURN op")
       .collect().isEmpty)
@@ -1241,7 +1241,7 @@ class CypherSpec extends AnyFunSuite {
   test("db.cdc: cursors advance within the epoch — updates before the cursor do not replay") {
     val s = new GraftSession(spark)
     s.cypher("UNWIND range(1, 4) AS x CREATE (:cseq {k: x})")
-    def cursor(): String = s.cypher("CALL db.cdc.earliest() YIELD id RETURN id")
+    def cursor(): String = s.cypher("CALL db.cdc.current() YIELD id RETURN id")
       .collect().head.getString(0)
     def ops(c: String) = s.cypher(
       s"CALL db.cdc.query('$c') YIELD op, id RETURN op, id").collect()
@@ -1285,7 +1285,7 @@ class CypherSpec extends AnyFunSuite {
   test("db.cdc: transaction writes surface at COMMIT with commit-time ordering") {
     val s = new GraftSession(spark)
     s.cypher("UNWIND range(1, 3) AS x CREATE (:ctx {k: x})")
-    def cursor(): String = s.cypher("CALL db.cdc.earliest() YIELD id RETURN id")
+    def cursor(): String = s.cypher("CALL db.cdc.current() YIELD id RETURN id")
       .collect().head.getString(0)
     def ops(c: String) = s.cypher(
       s"CALL db.cdc.query('$c') YIELD op, id RETURN op, id").collect()
@@ -2290,7 +2290,7 @@ class CypherSpec extends AnyFunSuite {
     // a cursor minted AFTER the incremental save must NOT replay the
     // flushed delta: the persisted rows carry their original commit
     // sequences, all at or under this cursor's watermark
-    val postSave = s.cypher("CALL db.cdc.earliest() YIELD id RETURN id")
+    val postSave = s.cypher("CALL db.cdc.current() YIELD id RETURN id")
       .collect().head.getString(0)
     assert(s.cypher(s"CALL db.cdc.query('$postSave') YIELD op RETURN op")
       .collect().isEmpty)
@@ -3186,5 +3186,77 @@ class CypherSpec extends AnyFunSuite {
     val n = s.cypher("MATCH (:pw)-[r:T]->(:pw) RETURN count(DISTINCT r) AS n")
       .collect().head.getLong(0)
     assert(n == 2L)
+  }
+
+  test("db.cdc.earliest replays the retained epoch delta; current stays at-now") {
+    val s = new GraftSession(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_er_").toString
+    s.cypher("UNWIND range(1, 4) AS x CREATE (:er {k: x})")
+    s.saveDatabase(tmp) // full write: seals the base, fresh epoch
+    s.cypher("MATCH (n:er {k: 1}) SET n.flag = 1")
+    s.cypher("MERGE (:er {k: 50})")
+    s.saveDatabase(tmp) // incremental: flushes the delta, KEEPS the epoch
+    // a consumer that lost its cursor restarts from earliest (the
+    // route the epoch-mismatch error prescribes) and re-sees the
+    // epoch's retained events — seq 0, NOT the live commit watermark
+    // (ADVICE r15: earliest == current made the retained log
+    // unreachable from any mintable cursor)
+    val e = s.cypher("CALL db.cdc.earliest() YIELD id RETURN id")
+      .collect().head.getString(0)
+    val ev = s.cypher(s"CALL db.cdc.query('$e') YIELD op, id RETURN op, id")
+      .collect()
+    assert(ev.length == 2, s"expected the flushed update+create, got ${ev.toSeq}")
+    // the epoch-start id watermarks classify the replayed create as c
+    assert(ev.map(_.getString(0)).sorted.toSeq == Seq("c", "u"), s"got ${ev.toSeq}")
+    // current is the advancing at-now cursor: nothing to deliver
+    val c = s.cypher("CALL db.cdc.current() YIELD id RETURN id")
+      .collect().head.getString(0)
+    assert(s.cypher(s"CALL db.cdc.query('$c') YIELD op RETURN op")
+      .collect().isEmpty)
+    // new mutation: BOTH cursors see it; earliest still replays the rest
+    s.cypher("MATCH (n:er {k: 2}) SET n.flag = 2")
+    assert(s.cypher(s"CALL db.cdc.query('$c') YIELD op RETURN op")
+      .collect().length == 1)
+    assert(s.cypher(s"CALL db.cdc.query('$e') YIELD op RETURN op")
+      .collect().length == 3)
+    graft.core.SnapshotStore.deleteDir(tmp)
+  }
+
+  test("buffered SET skips OPTIONAL MATCH miss rows (null ids) instead of crashing") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:bsn {k: 1})")
+    s.cypher("CREATE (:bsn {k: 2})-[:BSR]->(:bst {k: 3})")
+    // k=1 has no outgoing BSR: its OPTIONAL MATCH row carries a null n.
+    // The buffered literal-SET path must ignore the miss like the
+    // general semi-join does (null never equals), not NPE on getLong
+    // (ADVICE r15).
+    s.cypher("MATCH (a:bsn) OPTIONAL MATCH (a)-[:BSR]->(n) SET n.p = 7")
+    val hit = s.cypher("MATCH (n:bst) RETURN n.p AS p").collect()
+    assert(hit.length == 1 && hit.head.getLong(0) == 7L)
+    // no stray writes: the bsn nodes never gained the property
+    assert(s.cypher("MATCH (n:bsn) WHERE n.p IS NOT NULL RETURN count(n) AS c")
+      .collect().head.getLong(0) == 0L)
+  }
+
+  test("LOAD CSV metadata substitution skips string literals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-loadcsv-lit").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/x.csv"),
+      "alpha\nbeta\n")
+    val s = new GraftSession(spark)
+    // file()/linenumber()/row[ appearing INSIDE a quoted literal are
+    // stored text, not substitution targets (ADVICE r15); the ones in
+    // code position still substitute on the same statement
+    s.cypher(s"LOAD CSV FROM 'file://$dir/x.csv' AS row " +
+      "CREATE (:lcl {v: row[0], note: 'see file() and row[0]', " +
+      "quoted: \"linenumber()\", ln: linenumber(), src: file()})")
+    val back = s.cypher(
+      "MATCH (n:lcl) RETURN n.v AS v, n.note AS note, n.quoted AS q, " +
+        "n.ln AS ln, n.src AS src ORDER BY ln").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("alpha", "beta"))
+    assert(back.forall(_.getString(1) == "see file() and row[0]"))
+    assert(back.forall(_.getString(2) == "linenumber()"))
+    assert(back.map(_.getLong(3)).toSeq == Seq(1L, 2L))
+    assert(back.forall(_.getString(4) == s"file://$dir/x.csv"))
+    graft.core.SnapshotStore.deleteDir(dir)
   }
 }

@@ -1196,4 +1196,46 @@ class PacksSpec extends AnyFunSuite {
     assert(err.contains("Neo4j will continue to start, but \"apoc\" will not be loaded"))
     assert(s.cypher("RETURN 1 AS one").collect().head.getLong(0) == 1L)
   }
+
+  test("apoc.merge.relationship: non-scalar property values dispatch the fallback, not a crash") {
+    val s = new GraftSession(spark)
+    Packs.install(s, Seq("apoc"))
+    val aid = s.cypher("CALL apoc.merge.node(['amfa'], {k: 1}) YIELD id RETURN id")
+      .collect().head.getLong(0)
+    val bid = s.cypher("CALL apoc.merge.node(['amfb'], {k: 2}) YIELD id RETURN id")
+      .collect().head.getLong(0)
+    // a LIST onCreate value can't ride the buffered literal fold — the
+    // fast path's contract is return-false-and-fall-back (ADVICE r15),
+    // so this must land through the ordinary synthesized MERGE
+    s.cypher(s"CALL apoc.merge.relationship($aid, 'MF', {}, $$oc, $bid, {}) " +
+      "YIELD src, dst RETURN src, dst",
+      Map("oc" -> Map("tags" -> Seq("a", "b"))))
+      .collect()
+    val rows = s.cypher(
+      "MATCH (:amfa)-[r:MF]->(:amfb) RETURN r.tags AS tags").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getSeq[String](0).toSeq == Seq("a", "b"))
+    // and a second call with the same shape still MATCHES (no dup)
+    s.cypher(s"CALL apoc.merge.relationship($aid, 'MF', {}, $$oc, $bid, {}) " +
+      "YIELD src RETURN src", Map("oc" -> Map("tags" -> Seq("a", "b")))).collect()
+    assert(s.cypher("MATCH (:amfa)-[r:MF]->(:amfb) RETURN count(r) AS c")
+      .collect().head.getLong(0) == 1L)
+  }
+
+  test("gds.nodeSimilarity.write refuses an eid-less edge set up front") {
+    import org.apache.spark.sql.functions._
+    val s = sessionWith("graph-data-science")
+    val nodes = spark.range(3).select(col("id"), array(lit("nw")).as("labels"))
+    val edges = spark.createDataFrame(Seq((0L, 2L, "NW"), (1L, 2L, "NW")))
+      .toDF("src", "dst", "relType") // deliberately NO eid column
+    s.setGraph(graft.core.PropertyGraph(nodes, edges))
+    val preRel = s.catalog.database("neo4j").nextRelId.get()
+    val err = intercept[UnsupportedOperationException] {
+      s.cypher("CALL gds.nodeSimilarity.write('NW', 1, 10, 'SIM', 'jac') " +
+        "YIELD relationshipsWritten RETURN relationshipsWritten").collect()
+    }
+    assert(err.getMessage.contains("eid"))
+    // the guard fires BEFORE the allocator advances (ADVICE r15)
+    assert(s.catalog.database("neo4j").nextRelId.get() == preRel)
+  }
 }
