@@ -170,6 +170,12 @@ final class GraftSession(val spark: SparkSession,
     if (m.changeEpoch != preEpoch)
       d.epochStartIds = Some((d.nextId.get(), d.nextRelId.get()))
     d.cdcBaseRefs = Some((graph(db).nodes, graph(db).edges))
+    // the re-pointed nodes frame is exactly what the dir's RANGE-index
+    // projections (if the write produced any) were built from; the
+    // lookup side re-checks per-index dir existence, so the
+    // delta-save path (which drops stale projections) needs no
+    // special-casing here
+    d.indexAuxState = Some((graph(db).nodes, dir))
     // the durable snapshot replaced the append-log lineage: any
     // mutation-pinned caches it referenced can be freed now
     d.releasePinned()
@@ -191,6 +197,7 @@ final class GraftSession(val spark: SparkSession,
     d.changeEpoch = math.max(d.changeEpoch, m.changeEpoch) + 1
     d.epochStartIds = Some((m.nextId, m.nextRelId))
     d.cdcBaseRefs = Some((g.nodes, g.edges))
+    d.indexAuxState = Some((g.nodes, dir))
     applySchemaMeta(db, SnapshotStore.readSchema(dir))
     d.releasePinned()
   }
@@ -1145,9 +1152,37 @@ final class GraftSession(val spark: SparkSession,
       db.pendingMutations = 0
     }
 
-  private def compiler(db: GraphDatabase, wire: Boolean = false) =
-    new CypherCompiler(spark, db.graph, procedures.procedure, procedures.scalar,
-      entityStructs = wire)
+  private def compiler(db: GraphDatabase, wire: Boolean = false) = {
+    val g = db.graph
+    new CypherCompiler(spark, g, procedures.procedure, procedures.scalar,
+      entityStructs = wire, rangeAnchor = rangeAnchorFor(db, g))
+  }
+
+  /** Index-backed anchored lookups (r15 verdict #1): when the
+    * statement's node frame IS the snapshot base a full save/load
+    * produced (reference identity — any later node mutation re-points
+    * the frame and silently falls back to the ordinary scan), an
+    * anchored `MATCH (n:L {p: v})` on a RANGE-indexed (label, prop)
+    * routes through the snapshot's `index_aux/<name>/` projection:
+    * the same rows, clustered and sorted by the indexed property, so
+    * the pushed equality/range predicate row-group-prunes instead of
+    * scanning the whole unsorted node base — the reference's
+    * index-backed lookup re-expressed as storage layout + pushdown.
+    * Semantics are untouched: the compiler re-applies every label and
+    * property predicate on the projection, which holds exactly the
+    * label's non-null-prop rows (rows no such predicate can match are
+    * the only ones absent). */
+  private def rangeAnchorFor(db: GraphDatabase, g: PropertyGraph)(
+      label: String, prop: String): Option[DataFrame] =
+    db.indexAuxState match {
+      case Some((ref, dir)) if ref eq g.nodes =>
+        db.indexes.collectFirst {
+          case (name, (l, p, "RANGE")) if l == label && p == prop =>
+            s"$dir/index_aux/$name"
+        }.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          .map(spark.read.parquet(_))
+      case _ => None
+    }
 
   private def changePassword(from: String, to: String): Unit = {
     val store = authStore.getOrElse(throw new IllegalStateException(
@@ -4986,19 +5021,43 @@ final class GraftSession(val spark: SparkSession,
       procedures.oneRow("id" -> cdcCursorNow())
     }
     procedures.register("db.cdc.query",
-      "(from :: STRING, withBefore :: BOOLEAN?) :: (op, entity, id, detail, properties[, before])",
+      "(from :: STRING, selectorsOrWithBefore :: ANY?, selectors :: LIST<MAP>?) " +
+        ":: (op, entity, id, detail, properties[, before])",
       "Changes since the cursor, coalesced per entity, straight off " +
         "the delta-log: op c|u|d, entity node|relationship, detail = " +
         "labels or relType, properties = latest state as JSON (null on d). " +
         "withBefore=true adds the epoch-start image per touched key " +
         "(one delta-key-pruned base lookup — optional so the default " +
-        "read stays strictly O(delta))") { args =>
+        "read stays strictly O(delta)). Neo4j-style selector maps " +
+        "({select: 'n'|'r', labels/type, operations: [c|u|d]}) scope " +
+        "the feed INSIDE the delta read, so a scoped consumer stays " +
+        "O(its slice); they ride at position 1 (Neo4j's own signature) " +
+        "or 2 (after withBefore)") { args =>
       import org.apache.spark.sql.functions._
       val cur = String.valueOf(args.headOption.getOrElse(""))
+      // position 1 is Neo4j's selectors slot; a boolean there is this
+      // engine's withBefore extension — both compose with explicit
+      // selectors at position 2
       val withBefore = args.lift(1).exists {
         case b: Boolean => b
+        case _: Seq[_] | _: Map[_, _] => false
         case s => String.valueOf(s).equalsIgnoreCase("true")
       }
+      def asSelectors(a: Any): Seq[Map[String, Any]] = a match {
+        case l: Seq[_] => l.map {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+          case other => throw new IllegalArgumentException(
+            s"CDC selector must be a map, got: $other")
+        }
+        case m: Map[_, _] => Seq(m.asInstanceOf[Map[String, Any]])
+        case null => Nil
+        case other => throw new IllegalArgumentException(
+          s"CDC selectors must be a list of maps, got: $other")
+      }
+      val selectors =
+        args.lift(1).toSeq.filter {
+          case _: Seq[_] | _: Map[_, _] => true; case _ => false
+        }.flatMap(asSelectors) ++ args.lift(2).toSeq.flatMap(asSelectors)
       val m = """graft:cdc:([A-Za-z0-9_.-]+):(-?\d+):(-?\d+):(-?\d+):(-?\d+)""".r
         .findFirstMatchIn(cur).getOrElse(throw new IllegalArgumentException(
           s"malformed CDC cursor: $cur"))
@@ -5061,7 +5120,19 @@ final class GraftSession(val spark: SparkSession,
         d.validEdgeDelta.map(_.base), d.graph.edges)
       def side(delta: Option[DataFrame], key: String, meta: Set[String],
           lo: Long, hi: Long, entity: String,
-          detail: org.apache.spark.sql.Column, base: => DataFrame): Option[DataFrame] =
+          detail: org.apache.spark.sql.Column, base: => DataFrame): Option[DataFrame] = {
+        // selector scoping (r15 verdict #3): selectors that name the
+        // OTHER side only mean this side's delta is never read at all;
+        // within a side, the selector predicate lands on the delta
+        // union below, before event construction and before-image
+        // lookups — a scoped consumer costs O(its slice).
+        val mine = selectors.filter { sel =>
+          val sv = sel.get("select").map(String.valueOf(_).toLowerCase).getOrElse("e")
+          sv == "e" || sv == "entity" ||
+            (entity == "node" && (sv == "n" || sv == "node")) ||
+            (entity == "relationship" && (sv == "r" || sv == "relationship"))
+        }
+        if (selectors.nonEmpty && mine.isEmpty) return None
         delta.map { df0 =>
           // intra-epoch cursor advancement: deliver only rows whose
           // commit sequence is PAST the cursor's — an update committed
@@ -5071,13 +5142,52 @@ final class GraftSession(val spark: SparkSession,
           // as newest and always delivers — conservative over-delivery,
           // never a dropped event.
           val seqC = PropertyGraph.CdcSeqCol
-          val df =
+          val df1 =
             if (df0.columns.contains(seqC))
               df0.filter(coalesce(col(seqC), lit(Long.MaxValue)) > lit(cursorSeq))
             else df0
           val tomb =
-            if (df.columns.contains(tombC)) coalesce(col(tombC), lit(false))
+            if (df1.columns.contains(tombC)) coalesce(col(tombC), lit(false))
             else lit(false)
+          val opCol = when(tomb, lit("d"))
+            .when(col(key) >= lit(lo) && col(key) < lit(hi), lit("c"))
+            .otherwise(lit("u"))
+          // one predicate per selector, OR'd: label/type scope AND op
+          // scope. A tombstone whose label/type payload reads null (a
+          // delete shadow that dropped it) delivers conservatively —
+          // over-deliver a scoped consumer's delete, never drop it.
+          def selPred(sel: Map[String, Any]): org.apache.spark.sql.Column = {
+            def strs(v: Any): Seq[String] = v match {
+              case null       => Nil
+              case s: Seq[_]  => s.map(String.valueOf)
+              case s          => Seq(String.valueOf(s))
+            }
+            val entC =
+              if (entity == "node") {
+                val labels = strs(sel.getOrElse("labels", null))
+                if (labels.isEmpty) lit(true)
+                else when(col("labels").isNull, tomb).otherwise(
+                  labels.map(l => array_contains(col("labels"), l)).reduce(_ && _))
+              } else {
+                val types = strs(sel.getOrElse("type", sel.getOrElse("types", null)))
+                if (types.isEmpty) lit(true)
+                else when(col("relType").isNull, tomb)
+                  .otherwise(col("relType").isin(types: _*))
+              }
+            val ops = strs(sel.getOrElse("operations", sel.getOrElse("op", null)))
+              .map(_.toLowerCase match {
+                case "create" | "c" => "c"
+                case "update" | "u" => "u"
+                case "delete" | "d" => "d"
+                case other => throw new IllegalArgumentException(
+                  s"CDC selector operation `$other` " +
+                    "(want c|u|d or create|update|delete)")
+              })
+            val opsC = if (ops.isEmpty) lit(true) else opCol.isin(ops: _*)
+            entC && opsC
+          }
+          val df = mine.map(selPred).reduceOption(_ || _)
+            .map(df1.filter).getOrElse(df1)
           // after-image enrichment: every non-meta column of the
           // latest-state row, as one JSON text per event (dynamic
           // per-row maps need no compile-time shape this way — the
@@ -5088,9 +5198,7 @@ final class GraftSession(val spark: SparkSession,
             else when(tomb, lit(null).cast("string"))
               .otherwise(to_json(struct(props.map(col).toIndexedSeq: _*)))
           val ev = df.select(
-            when(tomb, lit("d"))
-              .when(col(key) >= lit(lo) && col(key) < lit(hi), lit("c"))
-              .otherwise(lit("u")).as("op"),
+            opCol.as("op"),
             lit(entity).as("entity"),
             col(key).cast("long").as("id"),
             detail.cast("string").as("detail"),
@@ -5116,6 +5224,7 @@ final class GraftSession(val spark: SparkSession,
             ev.join(before, ev("id") === col("_bid"), "left_outer").drop("_bid")
           }
         }
+      }
       val nodeEvents = side(nodeDelta, "id",
         Set("id", "labels") ++ PropertyGraph.MetaDeltaCols,
         m.group(2).toLong, d.nextId.get, "node", concat_ws(":", col("labels")), nodeBase)

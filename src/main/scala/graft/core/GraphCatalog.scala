@@ -131,6 +131,14 @@ final class GraphDatabase(val name: String) {
     * the shortcut, never correctness. */
   @volatile var snapshotProvenance: Option[(String, SnapshotStore.Manifest)] = None
 
+  /** RANGE-index auxiliary projections on disk: the nodes frame the
+    * `index_aux/<name>/` dirs under `dir` are EXACT for (reference
+    * identity — the house self-validation pattern) plus that snapshot
+    * dir. Set on full save / load; any node mutation re-points
+    * `graph.nodes` and silently invalidates, so an anchored lookup
+    * never reads a projection the live frame has outgrown. */
+  @volatile var indexAuxState: Option[(AnyRef, String)] = None
+
   /** CDC change epoch: a MONOTONIC counter identifying the base-frame
     * generation the delta-log is relative to. `cdcBaseRefs` tracks the
     * base frames (by reference identity — the house self-validation

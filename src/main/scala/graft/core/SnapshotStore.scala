@@ -93,7 +93,17 @@ object SnapshotStore {
       changeEpoch: Long = 0L): Manifest = {
     val tmp = s"$dir/.tmp-write"
     deleteDir(tmp)
-    graph.nodes.write.mode("overwrite").parquet(s"$tmp/nodes")
+    // nodes cluster by id at write (range partition + sort within —
+    // no explicit partition count, so AQE coalesces small graphs to
+    // one file): parquet row-group min/max stats then make every
+    // id-anchored read deterministic — buffered isin probes, CDC
+    // before-image lookups, `MATCH (n) WHERE id(n) = …` — instead of
+    // scanning an unsorted base and hoping (r15 verdict #1).
+    graph.nodes
+      .repartitionByRange(org.apache.spark.sql.functions.col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$tmp/nodes")
+    writeIndexAux(graph.nodes, schema, tmp)
     // edges partition by relType: typed pattern expands prune to the
     // matching partition directories at scale (SURVEY §4 "partition
     // snapshots by label/relType at write"). An empty edge set writes
@@ -125,13 +135,54 @@ object SnapshotStore {
     deleteDir(s"$dir/nodes_delta") // a full write supersedes any overlay
     deleteDir(s"$dir/edges_delta")
     deleteDir(s"$dir/edges")
+    deleteDir(s"$dir/index_aux") // stale vs the new base either way
     Files.deleteIfExists(Paths.get(s"$dir/schema.json"))
     Files.move(Paths.get(s"$tmp/nodes"), Paths.get(s"$dir/nodes"))
     Files.move(Paths.get(s"$tmp/edges"), Paths.get(s"$dir/edges"))
+    if (Files.exists(Paths.get(s"$tmp/index_aux")))
+      Files.move(Paths.get(s"$tmp/index_aux"), Paths.get(s"$dir/index_aux"))
     Files.move(Paths.get(s"$tmp/schema.json"), Paths.get(s"$dir/schema.json"))
     Files.move(Paths.get(s"$tmp/manifest.json"), Paths.get(s"$dir/manifest.json"))
     deleteDir(tmp)
     m
+  }
+
+  /** RANGE-index auxiliary projections, staged next to the base at a
+    * FULL write: one `index_aux/<name>/` parquet copy per RANGE index
+    * — the indexed label's rows with a non-null indexed property,
+    * range-partitioned and sorted by that property — so an anchored
+    * `MATCH (n:L {p: v})` (and range predicates over p) reads a
+    * clustered scan whose pushed filter row-group-prunes to the
+    * matching values, the Spark analog of the reference's index-backed
+    * lookups (the packaged engine answers exactly this shape from its
+    * RANGE indexes after CREATE INDEX — ref TestExtendedConf.java-style
+    * init flows run it as the first query). Null-prop rows are
+    * excluded like the reference's index entries: no equality or range
+    * predicate can match them, and every routed plan re-applies its
+    * own predicates, so the projection is never visible semantically —
+    * only as a pruned scan. Non-orderable property types (arrays,
+    * structs) are skipped: they cannot cluster and Neo4j refuses to
+    * RANGE-index them too. Readers that predate the layout ignore the
+    * directory; [[writeDelta]] deletes it when a node delta lands
+    * (base-only projections would miss delta rows) and the next full
+    * write/compaction rebuilds it. */
+  private def writeIndexAux(nodes: org.apache.spark.sql.DataFrame,
+      schema: SchemaMeta, tmp: String): Unit = {
+    import org.apache.spark.sql.functions.{array_contains, col}
+    import org.apache.spark.sql.types._
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    schema.indexes.foreach {
+      case (name, (label, prop, "RANGE"))
+          if nodes.columns.contains(prop) && orderable(nodes.schema(prop).dataType) =>
+        nodes.filter(array_contains(col("labels"), label) && col(prop).isNotNull)
+          .repartitionByRange(col(prop)).sortWithinPartitions(prop)
+          .write.mode("overwrite").parquet(s"$tmp/index_aux/$name")
+      case _ => ()
+    }
   }
 
   /** Read a snapshot back. Snapshots from older format versions pass
@@ -333,6 +384,12 @@ object SnapshotStore {
     Files.deleteIfExists(Paths.get(s"$dir/manifest.json")) // invalidate first
     nodeTmp.foreach { t =>
       deleteDir(s"$dir/nodes_delta"); Files.move(Paths.get(t), Paths.get(s"$dir/nodes_delta"))
+      // base-only RANGE projections go stale the moment a node delta
+      // lands (a delta row with the indexed value would be invisible
+      // to a routed lookup): drop them; the next full write or
+      // compaction rebuilds. Edge-only incremental saves keep them —
+      // the node side is untouched by contract.
+      deleteDir(s"$dir/index_aux")
     }
     edgeTmp.foreach { t =>
       deleteDir(s"$dir/edges_delta"); Files.move(Paths.get(t), Paths.get(s"$dir/edges_delta"))

@@ -19,7 +19,8 @@ import ast._
 final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     procedures: String => Option[Seq[Any] => DataFrame] = _ => None,
     scalarFns: String => Option[Seq[Column] => Column] = _ => None,
-    entityStructs: Boolean = false) {
+    entityStructs: Boolean = false,
+    rangeAnchor: (String, String) => Option[DataFrame] = (_, _) => None) {
 
   private val SEP = "__"
   private var freshId = 0
@@ -1243,7 +1244,19 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   }
 
   private def nodeDf(v: String, n: NodePat): DataFrame = {
-    var df = graph.nodes
+    // index-backed anchor: a plain label plus an inline literal
+    // property predicate on a RANGE-indexed (label, prop) swaps the
+    // scan base for the snapshot's property-clustered projection (the
+    // session supplies it only while provably exact — see
+    // GraftSession.rangeAnchorFor). Every predicate below is still
+    // applied, so the swap is pure plan shape: the pushed equality
+    // row-group-prunes a sorted scan instead of reading the whole
+    // unsorted base. Null-prop rows absent from the projection can
+    // never satisfy the equality that selected it.
+    val aux = n.labels.iterator.flatMap(l =>
+      n.props.iterator.collect { case (k, Lit(value)) if value != null => k }
+        .flatMap(k => rangeAnchor(l, k))).nextOption()
+    var df = aux.getOrElse(graph.nodes)
     n.labels.foreach(l => df = df.filter(array_contains(col("labels"), l)))
     n.labelExpr.foreach(e => df = df.filter(labelPred(col("labels"), e)))
     n.props.foreach { case (k, Lit(value)) => df = propFilter(df, k, value) }

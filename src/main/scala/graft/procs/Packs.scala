@@ -1096,6 +1096,59 @@ object Packs {
       val n = session.writeNodeProperty(scored, "node_id", "iscore", prop)
       procs.oneRow("nodePropertiesWritten" -> n, "writeProperty" -> prop)
     }
+    // r15 verdict #2: the write family must not stop mid-sweep — a
+    // user who adopted `.write` verbs hits the next algorithm
+    // immediately. Each is its read-mode algorithm + one
+    // writeNodeProperty fold, like the rest of the sweep.
+    // BFS-family write verbs carry the read verbs' source sampling
+    // (sampleMod/sampleK): exact all-pairs BFS is O(V·E) message
+    // volume by definition, so the affordable-at-scale shape IS the
+    // sampled one — same contract as gds.closeness/harmonic/betweenness.
+    def bfsWriteArgs(args: Seq[Any], dIters: Int, dProp: String, what: String)
+        : (Int, Long, Long, String) = (
+      args.lift(1).map(String.valueOf(_).toInt).getOrElse(dIters),
+      args.lift(2).map(String.valueOf(_).toLong).getOrElse(1L),
+      args.lift(3).map(String.valueOf(_).toLong).getOrElse(1L),
+      writeProp(args.lift(4).orNull, dProp, what))
+    procs.register("gds.closeness.write",
+      "(relType :: STRING?, maxIter :: INTEGER?, sampleMod :: INTEGER?, " +
+        "sampleK :: INTEGER?, writeProperty :: STRING?) " +
+        ":: (nodePropertiesWritten, writeProperty)",
+      "Closeness centrality, written back as a node property") { args =>
+      val (iters, sm, sk, prop) = bfsWriteArgs(args, 10, "closeness", "gds.closeness.write")
+      val scored = Gds.closeness(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters, sm, sk)
+      val n = session.writeNodeProperty(scored, "node_id", "iscore", prop)
+      procs.oneRow("nodePropertiesWritten" -> n, "writeProperty" -> prop)
+    }
+    procs.register("gds.harmonic.write",
+      "(relType :: STRING?, maxIter :: INTEGER?, sampleMod :: INTEGER?, " +
+        "sampleK :: INTEGER?, writeProperty :: STRING?) " +
+        ":: (nodePropertiesWritten, writeProperty)",
+      "Harmonic centrality, written back as a node property") { args =>
+      val (iters, sm, sk, prop) = bfsWriteArgs(args, 10, "harmonic", "gds.harmonic.write")
+      val scored = Gds.harmonic(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters, sm, sk)
+      val n = session.writeNodeProperty(scored, "node_id", "hscore", prop)
+      procs.oneRow("nodePropertiesWritten" -> n, "writeProperty" -> prop)
+    }
+    procs.register("gds.betweenness.write",
+      "(relType :: STRING?, maxIter :: INTEGER?, sampleMod :: INTEGER?, " +
+        "sampleK :: INTEGER?, writeProperty :: STRING?) " +
+        ":: (nodePropertiesWritten, writeProperty)",
+      "Betweenness (integer stress form), written back as a node property") { args =>
+      val (iters, sm, sk, prop) = bfsWriteArgs(args, 6, "betweenness", "gds.betweenness.write")
+      val scored = Gds.betweenness(spark, graphArg(args, 0)._1, graphArg(args, 0)._2, iters, sm, sk)
+      val n = session.writeNodeProperty(scored, "node_id", "stress", prop)
+      procs.oneRow("nodePropertiesWritten" -> n, "writeProperty" -> prop)
+    }
+    procs.register("gds.triangleCount.write",
+      "(relType :: STRING?, writeProperty :: STRING?) " +
+        ":: (nodePropertiesWritten, writeProperty)",
+      "Per-node triangle count, written back as a node property") { args =>
+      val prop = writeProp(args.lift(1).orNull, "triangles", "gds.triangleCount.write")
+      val scored = Gds.triangleCount(spark, graphArg(args, 0)._1, graphArg(args, 0)._2)
+      val n = session.writeNodeProperty(scored, "node_id", "triangles", prop)
+      procs.oneRow("nodePropertiesWritten" -> n, "writeProperty" -> prop)
+    }
     procs.register("gds.nodeSimilarity.write",
       "(relType :: STRING?, minScore :: INTEGER?, topK :: INTEGER?, " +
         "writeRelationshipType :: STRING?, writeProperty :: STRING?) " +

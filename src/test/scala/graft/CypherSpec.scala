@@ -1267,6 +1267,61 @@ class CypherSpec extends AnyFunSuite {
     assert(ops(cursor()).isEmpty)
   }
 
+  test("db.cdc selectors scope the feed inside the delta read") {
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(1, 4) AS x CREATE (:sa {k: x})")
+    s.cypher("UNWIND range(1, 3) AS x CREATE (:sb {k: x})")
+    val c = s.cypher("CALL db.cdc.current() YIELD id RETURN id")
+      .collect().head.getString(0)
+    s.cypher("MATCH (n:sa {k: 1}) SET n.f = 1") // u :sa
+    s.cypher("MERGE (n:sa {k: 99})") // c :sa (buffered — stays on the delta-log)
+    s.cypher("MATCH (n:sb {k: 3}) DELETE n") // d :sb
+    s.cypher("MATCH (a:sa {k: 1}), (b:sb {k: 1}) MERGE (a)-[:SR]->(b)") // c SR
+    s.cypher("MATCH (a:sa {k: 2}), (b:sb {k: 2}) MERGE (a)-[:SQ]->(b)") // c SQ
+    def q(sel: String) = s.cypher(
+      s"CALL db.cdc.query('$c'$sel) YIELD op, entity, id, detail " +
+        "RETURN op, entity, id, detail").collect()
+    // no selectors: the full feed — 3 node events + 2 rel events
+    assert(q("").length == 5)
+    // entity scope: the relationship delta is never read at all
+    val n = q(", [{select: 'n'}]")
+    assert(n.length == 3 && n.forall(_.getString(1) == "node"), n.mkString(","))
+    // label scope
+    val sa = q(", [{select: 'n', labels: ['sa']}]")
+    assert(sa.length == 2 && sa.forall(_.getString(3) == "sa"), sa.mkString(","))
+    // op scope composes with label scope
+    val saC = q(", [{select: 'n', labels: ['sa'], operations: ['c']}]")
+    assert(saC.length == 1 && saC.head.getString(0) == "c")
+    // Neo4j-style long op names normalize
+    val saC2 = q(", [{select: 'n', labels: ['sa'], operations: ['CREATE']}]")
+    assert(saC2.length == 1 && saC2.head.getString(0) == "c")
+    // relationship type scope
+    val sr = q(", [{select: 'r', type: 'SR'}]")
+    assert(sr.length == 1 && sr.head.getString(3) == "SR")
+    // multiple selectors union across sides: d on :sb plus the SQ create
+    val both = q(", [{select: 'n', labels: ['sb']}, {select: 'r', type: 'SQ'}]")
+    assert(both.length == 2, both.mkString(","))
+    // selectors compose with withBefore (positions 1 + 2): scoped AND enriched
+    val wb = s.cypher(
+      s"CALL db.cdc.query('$c', true, [{select: 'n', labels: ['sa']}]) " +
+        "YIELD op, entity, before RETURN op, entity, before").collect()
+    assert(wb.length == 2 && wb.forall(_.getString(1) == "node"))
+    assert(wb.exists(r => r.getString(0) == "u" && r.getString(2) != null))
+    // sequence advancement is untouched by scoping: a later cursor
+    // with a selector sees only its slice of LATER changes
+    val c2 = s.cypher("CALL db.cdc.current() YIELD id RETURN id")
+      .collect().head.getString(0)
+    s.cypher("MATCH (x:sa {k: 2}) SET x.f = 7")
+    def q2(sel: String) = s.cypher(
+      s"CALL db.cdc.query('$c2'$sel) YIELD op RETURN op").collect()
+    assert(q2(", [{select: 'n', labels: ['sb']}]").isEmpty)
+    assert(q2(", [{select: 'n', labels: ['sa']}]").length == 1)
+    // a malformed selector refuses loudly
+    intercept[Exception] {
+      q(", [{select: 'n', operations: ['bogus']}]")
+    }
+  }
+
   test("db.cdc: cursors are database-bound — the wrong database refuses") {
     val s = new GraftSession(spark)
     s.cypher("CREATE DATABASE cdcdb")

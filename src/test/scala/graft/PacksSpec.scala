@@ -817,6 +817,39 @@ class PacksSpec extends AnyFunSuite {
     s.cypher("CALL gds.articleRank.write('GW', 5, 'ar') YIELD nodePropertiesWritten " +
       "RETURN nodePropertiesWritten").collect()
     assert(prop("ar").size == 6 && prop("ar").values.forall(_ > 0))
+    // BFS-family writes (r15 verdict #2: the sweep must not stop at
+    // articleRank) — sampled-source signature like their read verbs;
+    // sampleMod=1 scores every node on the bounded fixture
+    s.cypher("CALL gds.closeness.write('GW', 10, 1, 1, 'clw') " +
+      "YIELD nodePropertiesWritten RETURN nodePropertiesWritten").collect()
+    val clw = prop("clw")
+    // undirected triangle: every node reaches the other 2 at distance
+    // 1 → closeness = 2*1e6 // 2 = 1e6, both components alike
+    assert(clw.size == 6 && clw.values.forall(_ == 1000000L), s"got $clw")
+    s.cypher("CALL gds.harmonic.write('GW', 10, 1, 1, 'hw') " +
+      "YIELD nodePropertiesWritten RETURN nodePropertiesWritten").collect()
+    val hw = prop("hw")
+    assert(hw.size == 6 && hw.values.forall(_ == 2000000L), s"got $hw")
+    s.cypher("CALL gds.triangleCount.write('GW', 'tcw') " +
+      "YIELD nodePropertiesWritten RETURN nodePropertiesWritten").collect()
+    val tcw = prop("tcw")
+    assert(tcw.size == 6 && tcw.values.forall(_ == 1L), s"got $tcw")
+    // triangles have no interior vertices (stress 0 everywhere, and
+    // the stress output is positive-only): the write verb writes
+    // nothing — then a bridge node between the components becomes the
+    // interior of every cross-triangle shortest path and gets real
+    // stress written back
+    val bw0 = s.cypher("CALL gds.betweenness.write('GW', 6, 1, 1, 'bw') " +
+      "YIELD nodePropertiesWritten RETURN nodePropertiesWritten").collect().head.getLong(0)
+    assert(bw0 == 0L && prop("bw").isEmpty)
+    s.cypher("CREATE (:gw {k: 6})")
+    s.cypher("MATCH (a:gw {k: 2}), (c:gw {k: 6}) MERGE (a)-[:GW]->(c)")
+    s.cypher("MATCH (c:gw {k: 6}), (b:gw {k: 3}) MERGE (c)-[:GW]->(b)")
+    s.cypher("CALL gds.betweenness.write('GW', 6, 1, 1, 'bw') " +
+      "YIELD nodePropertiesWritten RETURN nodePropertiesWritten").collect()
+    val bw = prop("bw")
+    assert(bw.nonEmpty && bw.values.forall(_ > 0), s"got $bw")
+    assert(bw.contains(6L), s"bridge node has no stress: $bw")
     // relationship write: NEW [:SIM {jac}] edges land in the edge
     // delta and read back through ordinary pattern matching
     val w = s.cypher(
