@@ -3269,6 +3269,51 @@ final class GraftSession(val spark: SparkSession,
     eid
   }
 
+  /** apoc.refactor.setType — re-label one relationship's type in
+    * place, an eid-keyed replacement-row fold like [[refactorRepoint]]
+    * (identity preserved, O(1) delta rows). The new type is visible to
+    * typed expands immediately: the delta partitioning and the overlay
+    * fold both key on the replacement row's relType. */
+  private[graft] def refactorSetType(eid: Long, newType: String): Long = {
+    import org.apache.spark.sql.functions._
+    val db = statementDatabase
+    db.requireStarted()
+    val g = db.graph
+    if (!g.edges.columns.contains("eid")) throw new UnsupportedOperationException(
+      "apoc.refactor.setType needs an eid-bearing edge set")
+    if ("^[A-Za-z_][A-Za-z0-9_]*$".r.findFirstIn(newType).isEmpty)
+      throw new IllegalArgumentException(
+        s"apoc.refactor.setType type `$newType` must be a plain identifier")
+    val hit = g.edges.filter(col("eid") === lit(eid))
+    if (hit.take(1).isEmpty) throw new NoSuchElementException(
+      s"apoc.refactor.setType: no relationship with id $eid")
+    foldEdgeDeltaRows(db, hit.withColumn("relType", lit(newType)))
+    db.pendingMutations += 1
+    eid
+  }
+
+  /** apoc.refactor.invert — swap one relationship's stored
+    * orientation (src ↔ dst), same eid-keyed fold. */
+  private[graft] def refactorInvert(eid: Long): Long = {
+    import org.apache.spark.sql.functions._
+    val db = statementDatabase
+    db.requireStarted()
+    val g = db.graph
+    if (!g.edges.columns.contains("eid")) throw new UnsupportedOperationException(
+      "apoc.refactor.invert needs an eid-bearing edge set")
+    val hit = g.edges.filter(col("eid") === lit(eid))
+    if (hit.take(1).isEmpty) throw new NoSuchElementException(
+      s"apoc.refactor.invert: no relationship with id $eid")
+    val inverted = hit.select(hit.columns.map {
+      case "src" => col("dst").as("src")
+      case "dst" => col("src").as("dst")
+      case c     => col(c)
+    }.toIndexedSeq: _*)
+    foldEdgeDeltaRows(db, inverted)
+    db.pendingMutations += 1
+    eid
+  }
+
   /** GDS write-mode core: fold an algorithm's (id, value) result back
     * onto the statement database's nodes as property `prop` — full
     * replacement rows through the node delta-log. The result frame

@@ -726,6 +726,20 @@ object Packs {
       procs.oneRow("id" -> session.refactorRepoint(
         String.valueOf(args.head).toLong, String.valueOf(args(1)).toLong, "from"))
     }
+    // apoc.refactor.setType / .invert — the remaining high-traffic
+    // refactor verbs (r15 verdict #6), both eid-keyed replacement-row
+    // folds on the to/from plumbing. Identity (eid) preserved —
+    // the same documented divergence from APOC's re-create-under-a-
+    // fresh-id as refactor.to/.from.
+    procs.register("apoc.refactor.setType", "(rel :: INTEGER, newType :: STRING) :: (id)",
+      "Change the relationship's type in place; returns the relationship id") { args =>
+      procs.oneRow("id" -> session.refactorSetType(
+        String.valueOf(args.head).toLong, String.valueOf(args(1))))
+    }
+    procs.register("apoc.refactor.invert", "(rel :: INTEGER) :: (id)",
+      "Swap the relationship's stored orientation; returns the relationship id") { args =>
+      procs.oneRow("id" -> session.refactorInvert(String.valueOf(args.head).toLong))
+    }
     // apoc.periodic.commit — loop a SELF-BOUNDED mutating statement
     // until it reports no more work (APOC's contract: the statement
     // bounds itself, canonically `MATCH … WITH n LIMIT $k … DELETE n

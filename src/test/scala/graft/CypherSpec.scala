@@ -283,6 +283,36 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("*lo.. prefix enumeration refuses past the cap with a bounded rewrite hint") {
+    // r15 verdict #5: the prefix state space is ~deg^lo per start, so
+    // an unanchored pattern over a dense graph must refuse loudly at
+    // the cap instead of building an unbounded intermediate. Pinned by
+    // lowering the cap over a two-layer complete bipartite graph
+    // (3×3 + 3×3 → 27 length-2 prefixes).
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(0, 8) AS x CREATE (:ht {k: x})")
+    val batch = (for { a <- 0 to 2; b <- 3 to 5 } yield Map("a" -> a.toLong, "b" -> b.toLong)) ++
+      (for { b <- 3 to 5; c <- 6 to 8 } yield Map("a" -> b.toLong, "b" -> c.toLong))
+    s.cypher(
+      """UNWIND $batch AS row MATCH (a:ht {k: row.a}), (b:ht {k: row.b})
+        |MERGE (a)-[:HT]->(b)""".stripMargin, Map("batch" -> batch))
+    val old = cypher.CypherCompiler.PrefixEnumerationCap
+    cypher.CypherCompiler.PrefixEnumerationCap = 5
+    try {
+      val e = intercept[UnsupportedOperationException] {
+        s.cypher("MATCH (a:ht)-[:HT*2..]->(b:ht) RETURN count(*) AS n").collect()
+      }
+      assert(e.getMessage.contains("*2..") && e.getMessage.contains("prefix"),
+        e.getMessage)
+      assert(e.getMessage.contains("anchor"), e.getMessage)
+    } finally cypher.CypherCompiler.PrefixEnumerationCap = old
+    // under the restored default the same pattern runs: every A-layer
+    // node reaches every C-layer node by a ≥2 trail, nothing else does
+    val n = s.cypher("MATCH (a:ht)-[:HT*2..]->(b:ht) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n == 9L, s"expected 9 (A×C pairs), got $n")
+  }
+
   test("var-length expand has trail semantics: no bounce-back over one relationship") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:tn {name:'a'})-[:T]->(b:tn {name:'b'})-[:T]->(c:tn {name:'c'})")

@@ -926,6 +926,39 @@ class PacksSpec extends AnyFunSuite {
     }
   }
 
+  test("apoc.refactor.setType and refactor.invert rewrite in place, eid preserved") {
+    val s = new GraftSession(spark)
+    Packs.install(s, Seq("apoc"))
+    s.cypher("CREATE (a:rst {name:'a'})-[:OLD {w: 5}]->(b:rst {name:'b'})")
+    def idOf(q: String): Long = s.cypher(q).collect().head.getLong(0)
+    val eid = idOf("MATCH (:rst {name:'a'})-[r:OLD]->() RETURN id(r) AS i")
+    // setType: the NEW type is visible to typed expands, the old one
+    // matches nothing, properties and identity ride along
+    val got = idOf(s"CALL apoc.refactor.setType($eid, 'NEW') YIELD id RETURN id")
+    assert(got == eid)
+    assert(s.cypher("MATCH ()-[r:OLD]->() RETURN count(r) AS c")
+      .collect().head.getLong(0) == 0L)
+    val row = s.cypher(
+      "MATCH (a:rst)-[r:NEW]->(b:rst) RETURN a.name AS a, b.name AS b, r.w AS w, id(r) AS i")
+      .collect().head
+    assert(row.getString(0) == "a" && row.getString(1) == "b" &&
+      row.getLong(2) == 5L && row.getLong(3) == eid)
+    // invert: stored orientation flips, type/props/eid untouched
+    assert(idOf(s"CALL apoc.refactor.invert($eid) YIELD id RETURN id") == eid)
+    val inv = s.cypher(
+      "MATCH (x:rst)-[r:NEW]->(y:rst) RETURN x.name AS x, y.name AS y, r.w AS w, id(r) AS i")
+      .collect().head
+    assert(inv.getString(0) == "b" && inv.getString(1) == "a" &&
+      inv.getLong(2) == 5L && inv.getLong(3) == eid)
+    // refusals: unknown eid, non-identifier type
+    intercept[NoSuchElementException] {
+      s.cypher("CALL apoc.refactor.invert(99999) YIELD id RETURN id").collect()
+    }
+    intercept[IllegalArgumentException] {
+      s.cypher(s"CALL apoc.refactor.setType($eid, 'x; DROP') YIELD id RETURN id").collect()
+    }
+  }
+
   test("apoc.refactor.mergeNodes: rels re-point, labels union, duplicates tombstone") {
     val s = new GraftSession(spark)
     Packs.install(s, Seq("apoc"))

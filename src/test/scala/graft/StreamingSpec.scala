@@ -153,4 +153,20 @@ class StreamingSpec extends AnyFunSuite {
     // user 2: one session, 2 events
     assert(rows(2L).getLong(1) == 1L && rows(2L).getLong(2) == 2L)
   }
+
+  test("bounded replays actually unload their state-store providers") {
+    // pins the reflection into Spark's private StateStore registry
+    // (r15 verdict "what's wrong" #1): a Spark upgrade that moves the
+    // API turns the eager unload into a silent no-op and re-opens the
+    // ~5 s provider buildup across a catalog run — this fails loudly
+    // instead. Run a STATEFUL graded replay end to end, then assert
+    // the registry is readable AND empty.
+    operators.Streaming.all.find(_.name == "stream_sessions").get
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    val n = operators.Streaming.loadedStateStoreProviders
+    assert(n.nonEmpty,
+      "StateStore provider registry not readable via reflection — the " +
+        "bounded-replay unload has gone dark (Spark private API moved?)")
+    assert(n.get == 0, s"bounded replay left ${n.get} state-store providers loaded")
+  }
 }
