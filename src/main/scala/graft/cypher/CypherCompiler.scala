@@ -32,6 +32,17 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * multi-type patterns whose traversed type is unknowable. */
   private val pathMeta = collection.mutable.Map.empty[String, (Int, Seq[String])]
 
+  /** Sargable WHERE anchors of the MATCH clause currently compiling:
+    * variable → properties compared to non-null literals in top-level
+    * conjuncts (`n.p = 5`, `n.p > 5`, `n.p IN [..]`). [[nodeDf]] may
+    * route such a variable's scan through a RANGE-index projection —
+    * safe because any such conjunct excludes null-prop rows by SQL
+    * comparison semantics, and the conjunct itself is always applied
+    * within the same clause (early or at the end). Set/restored by
+    * [[compileMatch]]; compile is single-threaded, one compiler per
+    * query (the pathMeta discipline). */
+  private var whereAnchorProps: Map[String, Set[String]] = Map.empty
+
   // ------------------------------------------------------------------
   // clause pipeline
   // ------------------------------------------------------------------
@@ -111,11 +122,34 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       .getOrElse((Nil, Nil))
     val pending = collection.mutable.ArrayBuffer.empty[Expr]
     pending ++= rest
-    m.patterns.foreach { p => df = compilePath(Option(df), p, pending = pending) }
-    existencePreds.foreach { case (pats, w, negated) =>
-      df = applyExists(df, pats, w, negated) }
-    pending.foreach(r => df = filterWithSubqueries(df, r))
-    df
+    val prevAnchors = whereAnchorProps
+    whereAnchorProps = sargableAnchors(rest)
+    try {
+      m.patterns.foreach { p => df = compilePath(Option(df), p, pending = pending) }
+      existencePreds.foreach { case (pats, w, negated) =>
+        df = applyExists(df, pats, w, negated) }
+      pending.foreach(r => df = filterWithSubqueries(df, r))
+      df
+    } finally whereAnchorProps = prevAnchors
+  }
+
+  /** Top-level conjuncts that anchor a variable's property to non-null
+    * literals — the shapes a RANGE index serves (equality, range, IN).
+    * Only exact top-level forms qualify: under OR/NOT the null-prop
+    * exclusion argument breaks, so they never reach here (they arrive
+    * as one composite conjunct). */
+  private def sargableAnchors(conjuncts: Seq[Expr]): Map[String, Set[String]] = {
+    val ops = Set("=", "<", "<=", ">", ">=")
+    val pairs = conjuncts.flatMap {
+      case Cmp(op, Prop(v, p), Lit(value)) if ops.contains(op) && value != null =>
+        Some(v -> p)
+      case Cmp(op, Lit(value), Prop(v, p)) if ops.contains(op) && value != null =>
+        Some(v -> p)
+      case In(Prop(v, p), items) if items.nonEmpty && items.forall {
+        case Lit(x) => x != null; case _ => false } => Some(v -> p)
+      case _ => None
+    }
+    pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
   }
 
   /** Conjuncts safe to apply EARLY (before a var-length expansion
@@ -1268,9 +1302,11 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     // row-group-prunes a sorted scan instead of reading the whole
     // unsorted base. Null-prop rows absent from the projection can
     // never satisfy the equality that selected it.
+    val anchorKeys =
+      n.props.iterator.collect { case (k, Lit(value)) if value != null => k }.toSeq ++
+        whereAnchorProps.getOrElse(v, Set.empty)
     val aux = n.labels.iterator.flatMap(l =>
-      n.props.iterator.collect { case (k, Lit(value)) if value != null => k }
-        .flatMap(k => rangeAnchor(l, k))).nextOption()
+      anchorKeys.iterator.flatMap(k => rangeAnchor(l, k))).nextOption()
     var df = aux.getOrElse(graph.nodes)
     n.labels.foreach(l => df = df.filter(array_contains(col("labels"), l)))
     n.labelExpr.foreach(e => df = df.filter(labelPred(col("labels"), e)))

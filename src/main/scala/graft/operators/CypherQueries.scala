@@ -21,6 +21,31 @@ object CypherQueries {
       gs
     })
 
+  /** Snapshot-backed session with a RANGE index on (customer,
+    * c_acctbal) — the index-anchored-lookup fixture (r15 verdict #1,
+    * graded end to end): customer nodes only, CREATE INDEX, one full
+    * save (which writes the id-clustered base AND the prop-clustered
+    * `index_aux` projection), so anchored reads route through the
+    * projection with the predicate pushed into its sorted scan. */
+  private val idxCache = new java.util.concurrent.ConcurrentHashMap[String, GraftSession]()
+  private def indexedSession(s: SparkSession, dir: String): GraftSession =
+    idxCache.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.functions._
+      val gs = new GraftSession(s)
+      val c = graft.core.Tables(s, dir, "customer")
+      val nodes = c.select(
+        (col("c_custkey") * 10 + 3).cast("long").as("id"),
+        array(lit("customer")).as("labels"),
+        col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      gs.setGraph(graft.core.PropertyGraph(nodes,
+        graft.core.PropertyGraph.empty(s).edges))
+      gs.cypher("CREATE INDEX cust_bal FOR (n:customer) ON (n.c_acctbal)")
+      gs.cypher("CREATE INDEX cust_seg FOR (n:customer) ON (n.c_mktsegment)")
+      gs.saveDatabase(
+        java.nio.file.Files.createTempDirectory("graft_idx_row_").toString)
+      gs
+    })
+
   private def q(name: String, oracle: String)(cypher: String): QueryDef =
     sql(name, oracle) { (s, dir) => session(s, dir).cypher(cypher) }
 
@@ -1324,6 +1349,25 @@ object CypherQueries {
       """MATCH (o:order) WHERE o.o_orderkey <= 1000
         |RETURN o.o_orderkey AS k,
         |  o.o_orderdate + duration({days: 30, hours: 12}) AS due,
-        |  o.o_orderdate - duration({weeks: 1}) AS earlier""".stripMargin)
+        |  o.o_orderdate - duration({weeks: 1}) AS earlier""".stripMargin),
+
+    // Index-backed anchored lookup end to end (r15 verdict #1): CREATE
+    // INDEX → save → the range anchor routes through the snapshot's
+    // prop-clustered index_aux projection (predicate pushed into its
+    // sorted scan, row-group pruned — PlanSpec pins the plan shape;
+    // this row grades the ANSWER through the projection). Equality
+    // anchors share the same path (`cy_index_anchor_eq`).
+    sql("cy_index_anchor",
+      """SELECT c_custkey*10+3 AS node_id FROM customer
+        |WHERE c_acctbal > 9900.0""".stripMargin) { (s, dir) =>
+      indexedSession(s, dir).cypher(
+        "MATCH (n:customer) WHERE n.c_acctbal > 9900.0 RETURN id(n) AS node_id")
+    },
+    sql("cy_index_anchor_eq",
+      """SELECT c_custkey*10+3 AS node_id FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin) { (s, dir) =>
+      indexedSession(s, dir).cypher(
+        "MATCH (n:customer {c_mktsegment: 'BUILDING'}) RETURN id(n) AS node_id")
+    }
   )
 }

@@ -258,6 +258,15 @@ class PlanSpec extends AnyFunSuite {
     assert(setJobs <= 4, s"buffered id-IN SET ran $setJobs jobs")
   }
 
+  test("graded index-anchor rows plan through the index_aux projection") {
+    Seq("cy_index_anchor", "cy_index_anchor_eq").foreach { qn =>
+      val p = plan(qn)
+      assert(p.contains("index_aux"), s"$qn does not read the RANGE projection:\n$p")
+      assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+        s"$qn pushes nothing into the projection scan")
+    }
+  }
+
   test("RANGE-index anchored MATCH reads the clustered projection, pruned") {
     // r15 verdict #1: after CREATE INDEX + save, MATCH (n:L {p: v})
     // must route through the snapshot's index_aux projection (sorted
@@ -279,6 +288,24 @@ class PlanSpec extends AnyFunSuite {
     val viaIndex = df.collect().map(_.getLong(0)).sorted
     assert(viaIndex.sameElements(Array(41L, 131L, 221L, 311L, 401L, 491L)),
       s"projection-routed result wrong: ${viaIndex.mkString(",")}")
+    // WHERE-clause range anchors route too (the 'RANGE' in RANGE
+    // index): sargable top-level conjuncts are null-excluding, so the
+    // projection is exact for them as well
+    val rdf = s.cypher("MATCH (n:Person) WHERE n.age >= 87 RETURN n.ref AS ref")
+    val rp = rdf.queryExecution.executedPlan.toString
+    assert(rp.contains("index_aux"),
+      "range anchor does not read the RANGE projection:\n" + rp)
+    assert(rp.contains("GreaterThanOrEqual(age,87"),
+      "range predicate not pushed into the projection scan:\n" + rp)
+    // ages 87..89 ← x ∈ {87,88,89,177,178,179,...,447,448,449}: 15 rows
+    assert(rdf.collect().map(_.getLong(0)).length == 15)
+    // a disjunctive WHERE must NOT route (null-prop rows could match
+    // the other branch — the base scan serves it)
+    val odf = s.cypher(
+      "MATCH (n:Person) WHERE n.age = 41 OR n.ref = 13 RETURN n.ref AS ref")
+    assert(!odf.queryExecution.executedPlan.toString.contains("index_aux"),
+      "disjunctive predicate wrongly routed through the projection")
+    assert(odf.collect().map(_.getLong(0)).sorted.sameElements((viaIndex :+ 13L).sorted))
     // the node BASE is id-clustered at write: per-file id ranges are
     // disjoint, so id-anchored probes prune row groups deterministically
     val byFile = spark.read.parquet(s"$dataDir/databases/neo4j/nodes")
