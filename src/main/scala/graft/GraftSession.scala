@@ -3269,6 +3269,106 @@ final class GraftSession(val spark: SparkSession,
     eid
   }
 
+  /** apoc.refactor.rename.type — BULK type rename through the edge
+    * delta-log: one distributed filter builds O(matching) replacement
+    * rows (localCheckpointed once so the count and the fold share the
+    * scan), the base is never rewritten. Returns the renamed count. */
+  private[graft] def refactorRenameType(oldType: String, newType: String): Long = {
+    import org.apache.spark.sql.functions._
+    val db = statementDatabase
+    db.requireStarted()
+    val g = db.graph
+    if (!g.edges.columns.contains("eid")) throw new UnsupportedOperationException(
+      "apoc.refactor.rename.type needs an eid-bearing edge set")
+    if ("^[A-Za-z_][A-Za-z0-9_]*$".r.findFirstIn(newType).isEmpty)
+      throw new IllegalArgumentException(
+        s"apoc.refactor.rename.type target `$newType` must be a plain identifier")
+    val renamed = g.edges.filter(col("relType") === lit(oldType))
+      .withColumn("relType", lit(newType)).localCheckpoint()
+    val n = renamed.count()
+    if (n > 0) { foldEdgeDeltaRows(db, renamed); db.pendingMutations += 1 }
+    n
+  }
+
+  /** apoc.refactor.rename.label — BULK label rename: replacement rows
+    * whose `labels` array substitutes old → new (deduplicated — a node
+    * carrying both collapses to one entry), constraint-checked like
+    * every node mutation (the renamed label may fall under a
+    * uniqueness constraint). Returns the renamed count. */
+  private[graft] def refactorRenameLabel(oldLabel: String, newLabel: String): Long = {
+    import org.apache.spark.sql.functions._
+    val db = statementDatabase
+    db.requireStarted()
+    if ("^[A-Za-z_][A-Za-z0-9_]*$".r.findFirstIn(newLabel).isEmpty)
+      throw new IllegalArgumentException(
+        s"apoc.refactor.rename.label target `$newLabel` must be a plain identifier")
+    var n = 0L
+    withConstraintCheck(db, db) {
+      val g = db.graph
+      val renamed = g.nodes.filter(array_contains(col("labels"), oldLabel))
+        .withColumn("labels", array_distinct(transform(col("labels"),
+          x => when(x === lit(oldLabel), lit(newLabel)).otherwise(x))))
+        .localCheckpoint()
+      n = renamed.count()
+      if (n > 0) { foldNodeDeltaRows(db, renamed); db.pendingMutations += 1 }
+      unit()
+    }
+    n
+  }
+
+  /** apoc.refactor.rename.nodeProperty / .typeProperty — BULK property
+    * renames: replacement rows carry the value under the new column
+    * and null out the old (the delta machinery already widens schemas
+    * for SET of a fresh property, so base rows simply read null for
+    * the new name). Only rows whose old property is non-null fold —
+    * O(matching), never a base rewrite. Node side constraint-checked
+    * (the target may fall under a uniqueness constraint). */
+  private def renamePropertyFrame(df: DataFrame, oldName: String,
+      newName: String, meta: Set[String], what: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (Seq(oldName, newName).exists(meta.contains))
+      throw new IllegalArgumentException(
+        s"$what cannot rename entity identity / metadata columns")
+    if ("^[A-Za-z_][A-Za-z0-9_]*$".r.findFirstIn(newName).isEmpty)
+      throw new IllegalArgumentException(
+        s"$what target `$newName` must be a plain identifier")
+    df.filter(col(oldName).isNotNull)
+      .withColumn(newName, col(oldName))
+      .withColumn(oldName, lit(null).cast(df.schema(oldName).dataType))
+  }
+
+  private[graft] def refactorRenameNodeProperty(oldName: String, newName: String): Long = {
+    val db = statementDatabase
+    db.requireStarted()
+    val g = db.graph
+    if (!g.nodes.columns.contains(oldName)) return 0L
+    var n = 0L
+    withConstraintCheck(db, db) {
+      val renamed = renamePropertyFrame(g.nodes, oldName, newName,
+        Set("id", "labels") ++ PropertyGraph.MetaDeltaCols,
+        "apoc.refactor.rename.nodeProperty").localCheckpoint()
+      n = renamed.count()
+      if (n > 0) { foldNodeDeltaRows(db, renamed); db.pendingMutations += 1 }
+      unit()
+    }
+    n
+  }
+
+  private[graft] def refactorRenameTypeProperty(oldName: String, newName: String): Long = {
+    val db = statementDatabase
+    db.requireStarted()
+    val g = db.graph
+    if (!g.edges.columns.contains("eid")) throw new UnsupportedOperationException(
+      "apoc.refactor.rename.typeProperty needs an eid-bearing edge set")
+    if (!g.edges.columns.contains(oldName)) return 0L
+    val renamed = renamePropertyFrame(g.edges, oldName, newName,
+      Set("eid", "src", "dst", "relType") ++ PropertyGraph.MetaDeltaCols,
+      "apoc.refactor.rename.typeProperty").localCheckpoint()
+    val n = renamed.count()
+    if (n > 0) { foldEdgeDeltaRows(db, renamed); db.pendingMutations += 1 }
+    n
+  }
+
   /** apoc.refactor.setType — re-label one relationship's type in
     * place, an eid-keyed replacement-row fold like [[refactorRepoint]]
     * (identity preserved, O(1) delta rows). The new type is visible to

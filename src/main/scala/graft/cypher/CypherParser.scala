@@ -360,10 +360,36 @@ object CypherParser extends RegexParsers {
   // ---- clauses ----
   private def whereClause: Parser[Expr] = kw("where") ~> expr
 
-  private def matchClause: Parser[Match] =
-    opt(kw("optional")) ~ (kw("match") ~> patternList) ~ opt(whereClause) ^^ {
-      case o ~ ps ~ w => Match(ps, o.isDefined, w)
+  /** Planner hints (`USING INDEX [SEEK] v:L(p, …)`, `USING SCAN v:L`,
+    * `USING JOIN ON v, …`): accepted and VALIDATED — each hinted
+    * variable must appear in the clause's patterns — but not binding.
+    * Catalyst owns physical planning, and RANGE-projection routing is
+    * automatic where a backing exists, so the hint's plan-forcing role
+    * is a documented no-op (a hint naming a missing index does not
+    * error, unlike Neo4j). Yields the hinted variable names. */
+  private def usingHint: Parser[Seq[String]] =
+    kw("using") ~> (
+      (kw("index") ~> opt(kw("seek")) ~> ident <~
+        (":" ~ ident ~ "(" ~ rep1sep(ident, ",") ~ ")") ^^ (v => Seq(v))) |
+      (kw("scan") ~> ident <~ (":" ~ ident) ^^ (v => Seq(v))) |
+      (kw("join") ~> kw("on") ~> rep1sep(ident, ",")))
+
+  private def validateHints(hints: Seq[Seq[String]], ps: Seq[PathPat]): Unit = {
+    val vars = ps.flatMap(p =>
+      (p.start.variable ++ p.hops.flatMap(_._2.variable)).toSeq).toSet
+    hints.flatten.find(!vars.contains(_)).foreach { v =>
+      throw new IllegalArgumentException(
+        s"USING hint names `$v`, which is not a node variable of the MATCH pattern")
     }
+  }
+
+  private def matchClause: Parser[Match] =
+    opt(kw("optional")) ~ (kw("match") ~> patternList) ~ rep(usingHint) ~
+      opt(whereClause) ^^ {
+        case o ~ ps ~ hints ~ w =>
+          validateHints(hints, ps)
+          Match(ps, o.isDefined, w)
+      }
 
   /** `MATCH p = shortestPath((a)-[:T*..k]->(b)) [WHERE …]` — tried
     * before matchClause; a plain MATCH starts with `(` and fails the

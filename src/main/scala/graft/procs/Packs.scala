@@ -740,6 +740,33 @@ object Packs {
       "Swap the relationship's stored orientation; returns the relationship id") { args =>
       procs.oneRow("id" -> session.refactorInvert(String.valueOf(args.head).toLong))
     }
+    // apoc.refactor.rename.* — the bulk ETL renames: one distributed
+    // filter each, O(matching) replacement rows through the delta-log
+    // (the 100 TB base is never rewritten for a schema-hygiene pass)
+    procs.register("apoc.refactor.rename.type",
+      "(oldType :: STRING, newType :: STRING) :: (total)",
+      "Rename every relationship of a type; returns the renamed count") { args =>
+      procs.oneRow("total" -> session.refactorRenameType(
+        String.valueOf(args.head), String.valueOf(args(1))))
+    }
+    procs.register("apoc.refactor.rename.label",
+      "(oldLabel :: STRING, newLabel :: STRING) :: (total)",
+      "Rename a label on every node carrying it; returns the renamed count") { args =>
+      procs.oneRow("total" -> session.refactorRenameLabel(
+        String.valueOf(args.head), String.valueOf(args(1))))
+    }
+    procs.register("apoc.refactor.rename.nodeProperty",
+      "(oldName :: STRING, newName :: STRING) :: (total)",
+      "Rename a node property wherever non-null; returns the renamed count") { args =>
+      procs.oneRow("total" -> session.refactorRenameNodeProperty(
+        String.valueOf(args.head), String.valueOf(args(1))))
+    }
+    procs.register("apoc.refactor.rename.typeProperty",
+      "(oldName :: STRING, newName :: STRING) :: (total)",
+      "Rename a relationship property wherever non-null; returns the renamed count") { args =>
+      procs.oneRow("total" -> session.refactorRenameTypeProperty(
+        String.valueOf(args.head), String.valueOf(args(1))))
+    }
     // apoc.periodic.commit — loop a SELF-BOUNDED mutating statement
     // until it reports no more work (APOC's contract: the statement
     // bounds itself, canonically `MATCH … WITH n LIMIT $k … DELETE n

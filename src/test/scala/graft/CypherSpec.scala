@@ -283,6 +283,24 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("USING hints parse, validate their variables, and never change results") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (a:uh {k: 1})-[:UH]->(b:uh {k: 2})")
+    def ks(q: String) = s.cypher(q).collect().map(_.getLong(0)).toSeq.sorted
+    val plainQ = ks("MATCH (n:uh) WHERE n.k >= 1 RETURN n.k AS k")
+    assert(ks("MATCH (n:uh) USING INDEX n:uh(k) WHERE n.k >= 1 RETURN n.k AS k") == plainQ)
+    assert(ks("MATCH (n:uh) USING INDEX SEEK n:uh(k) WHERE n.k >= 1 RETURN n.k AS k") == plainQ)
+    assert(ks("MATCH (n:uh) USING SCAN n:uh WHERE n.k >= 1 RETURN n.k AS k") == plainQ)
+    assert(ks("MATCH (a:uh)-[:UH]->(b:uh) USING JOIN ON b RETURN a.k AS k") == Seq(1L))
+    // stacked hints compose; an unknown variable refuses loudly
+    assert(ks("MATCH (a:uh)-[:UH]->(b:uh) USING SCAN a:uh USING JOIN ON b " +
+      "RETURN b.k AS k") == Seq(2L))
+    val e = intercept[IllegalArgumentException] {
+      s.cypher("MATCH (n:uh) USING INDEX m:uh(k) WHERE n.k = 1 RETURN n.k AS k").collect()
+    }
+    assert(e.getMessage.contains("`m`"), e.getMessage)
+  }
+
   test("*lo.. prefix enumeration refuses past the cap with a bounded rewrite hint") {
     // r15 verdict #5: the prefix state space is ~deg^lo per start, so
     // an unanchored pattern over a dense graph must refuse loudly at

@@ -959,6 +959,50 @@ class PacksSpec extends AnyFunSuite {
     }
   }
 
+  test("apoc.refactor.rename.type/.label rewrite in bulk through the deltas") {
+    val s = new GraftSession(spark)
+    Packs.install(s, Seq("apoc"))
+    s.cypher("CREATE (a:rlb {k: 1})-[:OT {w: 1}]->(b:rlb {k: 2})")
+    s.cypher("MATCH (a:rlb {k: 1}) CREATE (a)-[:OT {w: 2}]->(a)")
+    s.cypher("MATCH (a:rlb {k: 2}) CREATE (a)-[:KEEP {w: 3}]->(a)")
+    def one(q: String): Long = s.cypher(q).collect().head.getLong(0)
+    assert(one("CALL apoc.refactor.rename.type('OT', 'NT') YIELD total RETURN total") == 2L)
+    assert(one("MATCH ()-[r:OT]->() RETURN count(r) AS c") == 0L)
+    assert(one("MATCH ()-[r:NT]->() RETURN count(r) AS c") == 2L)
+    assert(one("MATCH ()-[r:KEEP]->() RETURN count(r) AS c") == 1L) // untouched
+    assert(s.cypher("MATCH ()-[r:NT]->() RETURN r.w AS w ORDER BY w")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L)) // props ride along
+    // label rename; a node already carrying BOTH labels dedups to one
+    s.cypher("MATCH (n:rlb {k: 2}) SET n:rlb2")
+    assert(one("CALL apoc.refactor.rename.label('rlb', 'rlb2') YIELD total RETURN total") == 2L)
+    assert(one("MATCH (n:rlb) RETURN count(n) AS c") == 0L)
+    assert(one("MATCH (n:rlb2) RETURN count(n) AS c") == 2L)
+    val ls = s.cypher("MATCH (n:rlb2 {k: 2}) RETURN labels(n) AS ls")
+      .collect().head.getSeq[String](0)
+    assert(ls == Seq("rlb2"), s"got $ls")
+    // zero-match renames are no-ops returning 0; bad targets refuse
+    assert(one("CALL apoc.refactor.rename.type('NOPE', 'X') YIELD total RETURN total") == 0L)
+    intercept[IllegalArgumentException] {
+      s.cypher("CALL apoc.refactor.rename.label('rlb2', 'x; DROP') YIELD total RETURN total")
+        .collect()
+    }
+    // property renames: non-null rows move to the new name, nulls
+    // untouched, old name reads null afterwards
+    assert(one("CALL apoc.refactor.rename.nodeProperty('k', 'key') YIELD total RETURN total") == 2L)
+    assert(s.cypher("MATCH (n:rlb2) RETURN n.key AS k ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(s.cypher("MATCH (n:rlb2) WHERE n.k IS NOT NULL RETURN count(n) AS c")
+      .collect().head.getLong(0) == 0L)
+    assert(one("CALL apoc.refactor.rename.typeProperty('w', 'weight') YIELD total RETURN total") == 3L)
+    assert(s.cypher("MATCH ()-[r]->() WHERE r.weight IS NOT NULL RETURN count(r) AS c")
+      .collect().head.getLong(0) == 3L)
+    assert(one("CALL apoc.refactor.rename.nodeProperty('gone', 'g2') YIELD total RETURN total") == 0L)
+    intercept[IllegalArgumentException] {
+      s.cypher("CALL apoc.refactor.rename.nodeProperty('key', 'labels') YIELD total RETURN total")
+        .collect()
+    }
+  }
+
   test("apoc.refactor.mergeNodes: rels re-point, labels union, duplicates tombstone") {
     val s = new GraftSession(spark)
     Packs.install(s, Seq("apoc"))
