@@ -1184,6 +1184,20 @@ final class GraftSession(val spark: SparkSession,
       case _ => None
     }
 
+  /** The on-disk `index_aux/<name>` dir for the statement database,
+    * when its node frame is provably the snapshot base the projection
+    * was written from (reference identity — the rangeAnchorFor
+    * validity argument, shared by the VECTOR IVF probe path). */
+  private def indexAuxDirFor(name: String): Option[String] = {
+    val d = statementDatabase
+    d.indexAuxState match {
+      case Some((ref, dir)) if ref eq d.graph.nodes =>
+        Some(s"$dir/index_aux/$name")
+          .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      case _ => None
+    }
+  }
+
   private def changePassword(from: String, to: String): Unit = {
     val store = authStore.getOrElse(throw new IllegalStateException(
       "Auth is disabled; there is no password to change"))
@@ -5036,8 +5050,11 @@ final class GraftSession(val spark: SparkSession,
     // operators/Similarity for the ANN-at-scale path.
     procedures.register("db.index.vector.queryNodes",
       "(indexName :: STRING, numberOfNearestNeighbours :: INTEGER, " +
-        "query :: LIST<FLOAT>) :: (nodeId, score)",
-      "Query a vector index for the k nearest nodes by cosine similarity") { args =>
+        "query :: LIST<FLOAT>, options :: MAP?) :: (nodeId, score)",
+      "Query a vector index for the k nearest nodes by cosine similarity. " +
+        "options {probes: n} routes through the snapshot's IVF projection " +
+        "when one exists (approximate — scans only the n best coarse " +
+        "cells, partition-pruned); default is the exact scan") { args =>
       import org.apache.spark.sql.functions.{col, array, lit, array_contains}
       val name = String.valueOf(args.head)
       val k = args(1) match {
@@ -5051,6 +5068,17 @@ final class GraftSession(val spark: SparkSession,
         }
         case other => throw new IllegalArgumentException(s"query must be a list, got $other")
       }
+      val probes = args.lift(3).flatMap {
+        case m: collection.Map[_, _] =>
+          m.asInstanceOf[collection.Map[String, Any]].get("probes").map {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"probes must be a number, got $other")
+          }
+        case null  => None
+        case other => throw new IllegalArgumentException(
+          s"options must be a map, got $other")
+      }
       val (label, prop, kind) = indexOfKind(name, "VECTOR")
       val g = statementGraph()
       if (!g.nodes.columns.contains(prop))
@@ -5058,12 +5086,40 @@ final class GraftSession(val spark: SparkSession,
           s"vector index $name: no node carries property `$prop` yet")
       val V = graft.functions.VectorFunctions
       val qCol = array(q.map(lit): _*)
-      g.nodes
-        .filter(array_contains(col("labels"), label) && col(prop).isNotNull)
-        .select(col("id").as("nodeId"),
-          V.cosine(col(prop).cast("array<double>"), qCol).as("score"))
-        .orderBy(col("score").desc, col("nodeId"))
-        .limit(k)
+      // IVF probe path (the 100 TB shape): rank the tiny centroid
+      // table on the driver, scan ONLY the `probes` best coarse cells
+      // (hive-partition-pruned), brute-force cosine within. Valid only
+      // while the statement frame IS the saved base (reference
+      // identity) — any mutation falls back to the exact scan, as does
+      // a session that never saved.
+      val ivfDir = probes.filter(_ > 0).flatMap(_ => indexAuxDirFor(name))
+        .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/centroids")))
+      ivfDir match {
+        case Some(dir) =>
+          def cos(a: Seq[Double], b: Seq[Double]): Double = {
+            val dot = a.lazyZip(b).map(_ * _).sum
+            val na = math.sqrt(a.map(x => x * x).sum)
+            val nb = math.sqrt(b.map(x => x * x).sum)
+            if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+          }
+          val cents = spark.read.parquet(s"$dir/centroids").collect()
+            .map(r => (r.getInt(0), r.getSeq[Double](1)))
+          val cells = cents.sortBy { case (c, v) => (-cos(q, v), c) }
+            .take(probes.get).map(_._1)
+          spark.read.parquet(s"$dir/cells")
+            .filter(col("_ivf_cell").isin(cells.toIndexedSeq: _*))
+            .select(col("id").as("nodeId"),
+              V.cosine(col(prop).cast("array<double>"), qCol).as("score"))
+            .orderBy(col("score").desc, col("nodeId"))
+            .limit(k)
+        case None =>
+          g.nodes
+            .filter(array_contains(col("labels"), label) && col(prop).isNotNull)
+            .select(col("id").as("nodeId"),
+              V.cosine(col(prop).cast("array<double>"), qCol).as("score"))
+            .orderBy(col("score").desc, col("nodeId"))
+            .limit(k)
+      }
     }
     // Neo4j fulltext index query. Lucene's scoring is index-internal;
     // the documented divergence here is a deterministic term-frequency

@@ -166,13 +166,23 @@ object SnapshotStore {
     * directory; [[writeDelta]] deletes it when a node delta lands
     * (base-only projections would miss delta rows) and the next full
     * write/compaction rebuilds it. */
+  /** IVF coarse-quantizer width for VECTOR-index projections: the
+    * centroid table must stay driver/broadcast-small (the probe reads
+    * it whole), and 64 cells already turn a full-label scan into a
+    * probes/64 slice at 100 TB. */
+  val IvfCentroids = 64
+
   private def writeIndexAux(nodes: org.apache.spark.sql.DataFrame,
       schema: SchemaMeta, tmp: String): Unit = {
-    import org.apache.spark.sql.functions.{array_contains, col}
+    import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     def orderable(dt: DataType): Boolean = dt match {
       case _: NumericType | StringType | BooleanType | DateType |
            TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    def numericArray(dt: DataType): Boolean = dt match {
+      case ArrayType(_: NumericType, _) => true
       case _ => false
     }
     schema.indexes.foreach {
@@ -181,6 +191,38 @@ object SnapshotStore {
         nodes.filter(array_contains(col("labels"), label) && col(prop).isNotNull)
           .repartitionByRange(col(prop)).sortWithinPartitions(prop)
           .write.mode("overwrite").parquet(s"$tmp/index_aux/$name")
+      case (name, (label, prop, "VECTOR"))
+          if nodes.columns.contains(prop) && numericArray(nodes.schema(prop).dataType) =>
+        // IVF projection: `cells/` hive-partitioned by coarse cell (a
+        // probe scans probes/IvfCentroids of the label, partition-
+        // pruned) + the tiny `centroids/` table the query ranks on the
+        // driver. Coarse quantizer: the IvfCentroids lowest-id vectors
+        // (the ann_topk_ivf discipline — deterministic, no training
+        // pass; swapping in k-means centroids changes recall, not the
+        // layout or the probe path).
+        val V = graft.functions.VectorFunctions
+        val base = nodes.filter(array_contains(col("labels"), label) && col(prop).isNotNull)
+        val cents = base.select(col("id"), col(prop).cast("array<double>").as("_v"))
+          .orderBy("id").limit(IvfCentroids).collect()
+          .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+        if (cents.nonEmpty) {
+          // cell = argmax centroid cosine, ties → lowest cell id (the
+          // struct sorts by (score, -cell) descending)
+          val scoredCells = array(cents.map { case (cid, v) =>
+            struct(
+              V.cosine(col(prop).cast("array<double>"), array(v.map(lit): _*)).as("s"),
+              lit(-cid).as("nc"))
+          }.toIndexedSeq: _*)
+          base.withColumn("_ivf_cell",
+              -sort_array(scoredCells, asc = false).getItem(0).getField("nc"))
+            .repartition(col("_ivf_cell"))
+            .write.mode("overwrite").partitionBy("_ivf_cell")
+            .parquet(s"$tmp/index_aux/$name/cells")
+          val spark = nodes.sparkSession
+          import spark.implicits._
+          cents.toSeq.toDF("cell", "vector").coalesce(1)
+            .write.mode("overwrite").parquet(s"$tmp/index_aux/$name/centroids")
+        }
       case _ => ()
     }
   }

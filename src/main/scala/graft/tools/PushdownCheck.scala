@@ -16,7 +16,7 @@ object PushdownCheck {
       val df = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
       df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
-        .map(_.trim.take(200)).foreach(println)
+        .map(_.trim.take(2000)).foreach(println)
     }
     spark.stop()
   }

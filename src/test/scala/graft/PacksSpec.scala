@@ -1124,6 +1124,35 @@ class PacksSpec extends AnyFunSuite {
         "OPTIONS {indexConfig: {`vector.similarity_function`: 'euclidean'}}")
     }
     assert(err.getMessage.contains("euclidean"))
+    // IVF probe path: a full save writes the index's cells/ (hive-
+    // partitioned by coarse cell) + centroids/; {probes: n} then scans
+    // only the n best cells. With ≤64 vectors every vector is its own
+    // centroid, so probing p cells IS the exact top-p — equality holds.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    s.saveDatabase(tmp)
+    val ivf2 = s.cypher(
+      "CALL db.index.vector.queryNodes('doc_vec', 2, [1.0, 0.0], {probes: 2}) " +
+        "YIELD nodeId, score RETURN nodeId, score")
+    val p2 = ivf2.queryExecution.executedPlan.toString
+    assert(p2.contains("index_aux"), "probe path does not read the IVF projection:\n" + p2)
+    assert(p2.contains("_ivf_cell"), "probe path not partition-pruned by cell:\n" + p2)
+    val got2 = ivf2.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got2.map(_._1).toSeq == Seq(0L, 1L), got2.mkString(","))
+    assert(math.abs(got2(0)._2 - 1.0) < 1e-9 && math.abs(got2(1)._2 - 0.8) < 1e-9)
+    // probes=1 narrows to the single best cell — genuinely approximate
+    val got1 = s.cypher(
+      "CALL db.index.vector.queryNodes('doc_vec', 2, [1.0, 0.0], {probes: 1}) " +
+        "YIELD nodeId RETURN nodeId").collect().map(_.getLong(0))
+    assert(got1.toSeq == Seq(0L), got1.mkString(","))
+    // a mutation invalidates the projection: falls back to the exact scan
+    s.cypher("CREATE (:doc {note: 1})")
+    val after = s.cypher(
+      "CALL db.index.vector.queryNodes('doc_vec', 2, [1.0, 0.0], {probes: 1}) " +
+        "YIELD nodeId RETURN nodeId")
+    assert(!after.queryExecution.executedPlan.toString.contains("index_aux"),
+      "stale IVF projection served after a node mutation")
+    assert(after.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    graft.core.SnapshotStore.deleteDir(tmp)
   }
 
   test("db.index.fulltext.queryNodes: term-frequency scored, ordered, misses dropped") {
