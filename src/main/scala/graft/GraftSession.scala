@@ -170,12 +170,13 @@ final class GraftSession(val spark: SparkSession,
     if (m.changeEpoch != preEpoch)
       d.epochStartIds = Some((d.nextId.get(), d.nextRelId.get()))
     d.cdcBaseRefs = Some((graph(db).nodes, graph(db).edges))
-    // the re-pointed nodes frame is exactly what the dir's RANGE-index
+    // the re-pointed nodes frame is exactly what the dir's index
     // projections (if the write produced any) were built from; the
     // lookup side re-checks per-index dir existence, so the
     // delta-save path (which drops stale projections) needs no
-    // special-casing here
-    d.indexAuxState = Some((graph(db).nodes, dir))
+    // special-casing here. The index schema seals alongside: a later
+    // DROP + re-CREATE under the same name must not route.
+    d.indexAuxState = Some((graph(db).nodes, dir, d.indexes.toMap))
     // the durable snapshot replaced the append-log lineage: any
     // mutation-pinned caches it referenced can be freed now
     d.releasePinned()
@@ -197,8 +198,8 @@ final class GraftSession(val spark: SparkSession,
     d.changeEpoch = math.max(d.changeEpoch, m.changeEpoch) + 1
     d.epochStartIds = Some((m.nextId, m.nextRelId))
     d.cdcBaseRefs = Some((g.nodes, g.edges))
-    d.indexAuxState = Some((g.nodes, dir))
     applySchemaMeta(db, SnapshotStore.readSchema(dir))
+    d.indexAuxState = Some((g.nodes, dir, d.indexes.toMap))
     d.releasePinned()
   }
 
@@ -1175,9 +1176,14 @@ final class GraftSession(val spark: SparkSession,
   private def rangeAnchorFor(db: GraphDatabase, g: PropertyGraph)(
       label: String, prop: String): Option[DataFrame] =
     db.indexAuxState match {
-      case Some((ref, dir)) if ref eq g.nodes =>
+      case Some((ref, dir, sealedIdx)) if ref eq g.nodes =>
         db.indexes.collectFirst {
-          case (name, (l, p, "RANGE")) if l == label && p == prop =>
+          // the LIVE entry must equal the entry SEALED at save time —
+          // DROP + re-CREATE under a reused name re-points no frame,
+          // so only the schema equality protects against routing
+          // through a projection built for a different (label, prop)
+          case (name, e @ (l, p, "RANGE"))
+              if l == label && p == prop && sealedIdx.get(name).contains(e) =>
             s"$dir/index_aux/$name"
         }.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
           .map(spark.read.parquet(_))
@@ -1191,7 +1197,8 @@ final class GraftSession(val spark: SparkSession,
   private def indexAuxDirFor(name: String): Option[String] = {
     val d = statementDatabase
     d.indexAuxState match {
-      case Some((ref, dir)) if ref eq d.graph.nodes =>
+      case Some((ref, dir, sealedIdx)) if (ref eq d.graph.nodes) &&
+          d.indexes.get(name).exists(e => sealedIdx.get(name).contains(e)) =>
         Some(s"$dir/index_aux/$name")
           .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
       case _ => None
@@ -3346,6 +3353,9 @@ final class GraftSession(val spark: SparkSession,
     if ("^[A-Za-z_][A-Za-z0-9_]*$".r.findFirstIn(newName).isEmpty)
       throw new IllegalArgumentException(
         s"$what target `$newName` must be a plain identifier")
+    if (oldName == newName) throw new IllegalArgumentException(
+      s"$what: old and new name are both `$oldName` — the null-out of " +
+        "the old column would destroy the values it just moved")
     df.filter(col(oldName).isNotNull)
       .withColumn(newName, col(oldName))
       .withColumn(oldName, lit(null).cast(df.schema(oldName).dataType))
@@ -5437,9 +5447,14 @@ final class GraftSession(val spark: SparkSession,
         case (Some(n), None)    => n
         case (None, Some(e))    => e
         case (None, None)       =>
-          spark.range(0).select(lit("").as("op"), lit("").as("entity"),
+          // empty feed (no deltas, or selectors deselected both sides):
+          // keep the declared shape — withBefore consumers still YIELD
+          // a (null-typed) before column
+          val empty0 = spark.range(0).select(lit("").as("op"), lit("").as("entity"),
             lit(0L).as("id"), lit("").as("detail"),
             lit("").as("properties"))
+          if (withBefore) empty0.withColumn("before", lit(null).cast("string"))
+          else empty0
       }
     }
   }

@@ -131,13 +131,18 @@ final class GraphDatabase(val name: String) {
     * the shortcut, never correctness. */
   @volatile var snapshotProvenance: Option[(String, SnapshotStore.Manifest)] = None
 
-  /** RANGE-index auxiliary projections on disk: the nodes frame the
+  /** Index auxiliary projections on disk: the nodes frame the
     * `index_aux/<name>/` dirs under `dir` are EXACT for (reference
-    * identity — the house self-validation pattern) plus that snapshot
-    * dir. Set on full save / load; any node mutation re-points
-    * `graph.nodes` and silently invalidates, so an anchored lookup
-    * never reads a projection the live frame has outgrown. */
-  @volatile var indexAuxState: Option[(AnyRef, String)] = None
+    * identity — the house self-validation pattern), that snapshot
+    * dir, and the index schema SEALED at save time (name →
+    * (label, prop, kind)). Set on full save / load; any node mutation
+    * re-points `graph.nodes` and silently invalidates. A lookup must
+    * check the LIVE index entry still equals the sealed one: DROP +
+    * re-CREATE under the same name with a different (label, prop)
+    * re-points no frame, and without the seal it would route through
+    * the old projection and silently return wrong rows. */
+  @volatile var indexAuxState:
+      Option[(AnyRef, String, Map[String, (String, String, String)])] = None
 
   /** CDC change epoch: a MONOTONIC counter identifying the base-frame
     * generation the delta-log is relative to. `cdcBaseRefs` tracks the

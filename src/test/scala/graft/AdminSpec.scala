@@ -56,6 +56,22 @@ class AdminSpec extends AnyFunSuite {
     assert(fresh.graph().nodes.select("id").distinct().count() == 3)
   }
 
+  test("an EMPTY database saves and loads (id-clustered write tolerates zero rows)") {
+    // the node base now range-clusters by id at write; zero-row and
+    // fresh-database saves must keep working (the shuffle sees no data)
+    val data = tmp("graft-empty")
+    val s = new GraftSession(spark)
+    s.cypher("CREATE DATABASE nulldb")
+    s.cypher("USE nulldb CREATE INDEX empty_idx FOR (n:ghost) ON (n.p)")
+    s.saveDatabase(data, "nulldb")
+    val s2 = new GraftSession(spark)
+    s2.loadDatabase(data, "nulldb")
+    assert(s2.cypher("USE nulldb MATCH (n) RETURN count(n) AS c")
+      .collect().head.getLong(0) == 0L)
+    assert(s2.cypher("SHOW INDEXES", Map.empty[String, Any], "nulldb")
+      .collect().exists(_.getString(0) == "empty_idx"))
+  }
+
   test("snapshot commit point is the manifest: a mid-swap crash never reuses ids") {
     val data = tmp("graft-crash")
     val s = dogsSession()

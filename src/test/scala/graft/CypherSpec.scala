@@ -1368,6 +1368,13 @@ class CypherSpec extends AnyFunSuite {
     intercept[Exception] {
       q(", [{select: 'n', operations: ['bogus']}]")
     }
+    // a no-delta feed keeps the withBefore shape: YIELD before on the
+    // empty frame analyzes (the before column is served, null-typed)
+    val s3 = new GraftSession(spark)
+    val c3 = s3.cypher("CALL db.cdc.current() YIELD id RETURN id")
+      .collect().head.getString(0)
+    assert(s3.cypher(s"CALL db.cdc.query('$c3', true) YIELD op, before " +
+      "RETURN op, before").collect().isEmpty)
   }
 
   test("db.cdc: cursors are database-bound — the wrong database refuses") {

@@ -1001,6 +1001,12 @@ class PacksSpec extends AnyFunSuite {
       s.cypher("CALL apoc.refactor.rename.nodeProperty('key', 'labels') YIELD total RETURN total")
         .collect()
     }
+    // same-name rename refuses: moving a column onto itself would
+    // null it out right after
+    intercept[IllegalArgumentException] {
+      s.cypher("CALL apoc.refactor.rename.nodeProperty('key', 'key') YIELD total RETURN total")
+        .collect()
+    }
   }
 
   test("apoc.refactor.mergeNodes: rels re-point, labels union, duplicates tombstone") {

@@ -340,5 +340,14 @@ class PlanSpec extends AnyFunSuite {
     assert(df4.queryExecution.executedPlan.toString.contains("index_aux"),
       "projection not rebuilt by compaction / not routed after load")
     assert(df4.collect().map(_.getLong(0)).sorted.sameElements(viaIndex :+ 999L))
+    // DROP + re-CREATE under the SAME name with a different (label,
+    // prop) re-points no frame — only the sealed save-time schema
+    // stops the old projection from serving wrong rows
+    s.cypher("DROP INDEX person_age")
+    s.cypher("CREATE INDEX person_age FOR (n:Person) ON (n.ref)")
+    val df5 = s.cypher("MATCH (n:Person {ref: 41}) RETURN n.ref AS ref")
+    assert(!df5.queryExecution.executedPlan.toString.contains("index_aux"),
+      "re-created index routed through the stale projection")
+    assert(df5.collect().map(_.getLong(0)).sameElements(Array(41L)))
   }
 }
