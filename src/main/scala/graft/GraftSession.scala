@@ -340,9 +340,16 @@ final class GraftSession(val spark: SparkSession,
   private val DropConstraintDdl =
     """(?is)\s*DROP\s+CONSTRAINT\s+(\w+)\s*(?:(IF)\s+EXISTS\s*)?""".r
   private val ShowConstraintsQ =
-    """(?is)\s*SHOW\s+(?:UNIQUE(?:NESS)?\s+|ALL\s+)?CONSTRAINTS\s*""".r
+    """(?is)\s*SHOW\s+(?:UNIQUE(?:NESS)?\s+|ALL\s+)?CONSTRAINTS\b(.*)""".r
   private val CreateIndexDdl =
     """(?is)\s*CREATE\s+(?:(RANGE|TEXT|POINT)\s+)?INDEX\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*(\w+)\s*:\s*(\w+)\s*\)\s*ON\s*\(\s*\w+\.(\w+)\s*\)\s*""".r
+  // relationship property indexes (Neo4j 5):
+  // CREATE [RANGE|TEXT|POINT] INDEX n FOR ()-[r:T]-() ON (r.p) —
+  // recorded with a REL_ kind marker (metadata + SHOW; typed-edge
+  // scans already prune by the relType hive partitioning, so there is
+  // no aux projection for the relationship side yet)
+  private val CreateRelIndexDdl =
+    """(?is)\s*CREATE\s+(?:(RANGE|TEXT|POINT)\s+)?INDEX\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*\)\s*-\s*\[\s*(\w+)\s*:\s*(\w+)\s*\]\s*-\s*\(\s*\)\s*ON\s*\(\s*\w+\.(\w+)\s*\)\s*""".r
   // CREATE VECTOR INDEX name FOR (n:L) ON n.prop [OPTIONS {…}] — the
   // OPTIONS blob is accepted but checked: a similarity function other
   // than cosine is refused rather than silently served as cosine
@@ -353,7 +360,7 @@ final class GraftSession(val spark: SparkSession,
     """(?is)\s*CREATE\s+FULLTEXT\s+INDEX\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*(\w+)\s*:\s*(\w+)\s*\)\s*ON\s+EACH\s*\[\s*\w+\.(\w+)\s*\]\s*""".r
   private val DropIndexDdl =
     """(?is)\s*DROP\s+INDEX\s+(\w+)\s*(?:(IF)\s+EXISTS\s*)?""".r
-  private val ShowIndexesQ = """(?is)\s*SHOW\s+INDEXES\s*""".r
+  private val ShowIndexesQ = """(?is)\s*SHOW\s+INDEXES\b(.*)""".r
   private val IndexDdl =
     """(?is)\s*(CREATE|DROP)\s+(INDEX|CONSTRAINT)\b.*""".r
   // C12 (ref DatabaseIO.java:113-115) — issued against the system db
@@ -728,7 +735,9 @@ final class GraftSession(val spark: SparkSession,
   private def showSchemaMeta(db0: GraphDatabase, isIndex: Boolean): DataFrame = {
     val rows =
       if (isIndex) db0.indexes.toSeq.sortBy(_._1).map { case (name, (label, prop, kind)) =>
-        Row(name, "ONLINE", kind, label, prop)
+        if (kind.startsWith("REL_"))
+          Row(name, "ONLINE", kind.stripPrefix("REL_"), "RELATIONSHIP", label, prop)
+        else Row(name, "ONLINE", kind, "NODE", label, prop)
       }
       else db0.constraints.toSeq.sortBy(_._1).map { case (name, (label, prop, ctype)) =>
         if (ctype.startsWith("REL_"))
@@ -737,7 +746,7 @@ final class GraftSession(val spark: SparkSession,
         else Row(name, ctype, "NODE", label, prop)
       }
     val cols =
-      if (isIndex) Seq("name", "state", "type", "labelsOrTypes", "properties")
+      if (isIndex) Seq("name", "state", "type", "entityType", "labelsOrTypes", "properties")
       else Seq("name", "type", "entityType", "labelsOrTypes", "properties")
     spark.createDataFrame(javaList(rows),
       StructType(cols.map(StructField(_, StringType))))
@@ -799,10 +808,14 @@ final class GraftSession(val spark: SparkSession,
       if (db0.constraints.remove(name).isEmpty && ifExists == null)
         throw new NoSuchElementException(s"no such constraint: $name")
       unit()
-    case ShowConstraintsQ() => showSchemaMeta(catalog.database(database), isIndex = false)
+    case ShowConstraintsQ(rest) =>
+      applyYield(showSchemaMeta(catalog.database(database), isIndex = false), rest)
     case CreateIndexDdl(kind, name, ifNot, _, label, prop) =>
       createIndexMeta(tx, database, name, ifNot, label, prop,
         Option(kind).map(_.toUpperCase).getOrElse("RANGE"))
+    case CreateRelIndexDdl(kind, name, ifNot, _, relType, prop) =>
+      createIndexMeta(tx, database, name, ifNot, relType, prop,
+        "REL_" + Option(kind).map(_.toUpperCase).getOrElse("RANGE"))
     case CreateVectorIndexDdl(name, ifNot, _, label, prop, options) =>
       if (options != null) {
         val sim = """(?i)similarity_function[`'"]*\s*:\s*['"](\w+)['"]""".r
@@ -819,7 +832,8 @@ final class GraftSession(val spark: SparkSession,
       if (db0.indexes.remove(name).isEmpty && ifExists == null)
         throw new NoSuchElementException(s"no such index: $name")
       unit()
-    case ShowIndexesQ() => showSchemaMeta(catalog.database(database), isIndex = true)
+    case ShowIndexesQ(rest) =>
+      applyYield(showSchemaMeta(catalog.database(database), isIndex = true), rest)
     case IndexDdl(verb, kind) => throw new UnsupportedOperationException(
       s"unsupported $verb $kind form — supported: single-property uniqueness " +
         "constraints (CREATE CONSTRAINT n FOR (v:Label) REQUIRE v.prop IS UNIQUE) " +
@@ -1233,11 +1247,20 @@ final class GraftSession(val spark: SparkSession,
     * shape the reference tests issue (ref TestPluginInstallation
     * .java:184,215). */
   private def applyYield(df: DataFrame, rest: String): DataFrame = {
-    val yieldRe = """(?is)\s*YIELD\s+([\w,\s]+?)(\s+RETURN\s+.*)?$""".r
+    // a RETURN tail of plain column names PROJECTS (it used to be
+    // silently discarded — `YIELD a RETURN b` answered with column a);
+    // anything beyond plain columns (WHERE, expressions, aliases)
+    // refuses loudly below rather than mis-shaping the answer
+    val yieldRe = """(?is)\s*YIELD\s+([\w,\s]+?)(?:\s+RETURN\s+([\w,\s]+?))?\s*$""".r
     rest match {
-      case yieldRe(cols, _) =>
-        val names = cols.split(",").map(_.trim).filter(_.nonEmpty)
-        df.select(names.head, names.tail.toIndexedSeq: _*)
+      case yieldRe(cols, ret) =>
+        def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty)
+        val names = split(cols)
+        val yielded = df.select(names.head, names.tail.toIndexedSeq: _*)
+        Option(ret).map(split) match {
+          case Some(r) if r.nonEmpty => yielded.select(r.head, r.tail.toIndexedSeq: _*)
+          case _ => yielded
+        }
       case _ if rest == null || rest.trim.isEmpty => df
       case _ =>
         // refuse-loudly discipline: a tail this projection can't honor
@@ -1245,7 +1268,7 @@ final class GraftSession(val spark: SparkSession,
         // silently return the unfiltered rows (ADVICE r14)
         throw new UnsupportedOperationException(
           s"unsupported SHOW tail: `${rest.trim}` (only `YIELD col[, …] " +
-            "[RETURN …]` is supported here)")
+            "[RETURN col[, …]]` is supported here)")
     }
   }
 

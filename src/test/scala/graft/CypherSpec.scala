@@ -385,6 +385,40 @@ class CypherSpec extends AnyFunSuite {
     assert(un.collect().head.getLong(0) == 10L)
   }
 
+  test("relationship property index DDL parses, shows RELATIONSHIP, round-trips") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE INDEX rel_w FOR ()-[r:KNOWS]-() ON (r.weight)")
+    def row(gs: GraftSession, db: String = "neo4j") =
+      gs.cypher("SHOW INDEXES", Map.empty[String, Any], db).collect()
+        .find(_.getAs[String]("name") == "rel_w").get
+    val r0 = row(s)
+    assert(r0.getAs[String]("entityType") == "RELATIONSHIP")
+    assert(r0.getAs[String]("type") == "RANGE")
+    assert(r0.getAs[String]("labelsOrTypes") == "KNOWS")
+    assert(r0.getAs[String]("properties") == "weight")
+    // kinds survive the snapshot round-trip with the REL marker intact
+    val tmp = java.nio.file.Files.createTempDirectory("graft_relidx_").toString
+    s.saveDatabase(tmp)
+    val s2 = new GraftSession(spark)
+    s2.loadDatabase(tmp)
+    val r1 = row(s2)
+    assert(r1.getAs[String]("entityType") == "RELATIONSHIP" &&
+      r1.getAs[String]("type") == "RANGE")
+    // SHOW INDEXES / SHOW CONSTRAINTS take the ops-scripting YIELD
+    // tails like SHOW DATABASES; the RETURN tail projects (it used to
+    // be discarded), unsupported tails refuse loudly
+    val names = s.cypher("SHOW INDEXES YIELD name, entityType RETURN name")
+      .collect()
+    assert(names.head.schema.fieldNames.toSeq == Seq("name"))
+    assert(names.map(_.getString(0)).toSeq == Seq("rel_w"))
+    assert(s.cypher("SHOW CONSTRAINTS YIELD name RETURN name").collect().isEmpty)
+    intercept[UnsupportedOperationException] {
+      s.cypher("SHOW INDEXES YIELD name WHERE name = 'rel_w' RETURN name").collect()
+    }
+    s.cypher("DROP INDEX rel_w")
+    graft.core.SnapshotStore.deleteDir(tmp)
+  }
+
   test("uniqueness constraints are enforced; indexes are tracked metadata") {
     val s = new GraftSession(spark)
     assert(s.cypher("CREATE INDEX dog_name IF NOT EXISTS FOR (d:dog) ON (d.name)").count() == 1)
