@@ -170,13 +170,14 @@ final class GraftSession(val spark: SparkSession,
     if (m.changeEpoch != preEpoch)
       d.epochStartIds = Some((d.nextId.get(), d.nextRelId.get()))
     d.cdcBaseRefs = Some((graph(db).nodes, graph(db).edges))
-    // the re-pointed nodes frame is exactly what the dir's index
+    // the re-pointed frames are exactly what the dir's index
     // projections (if the write produced any) were built from; the
     // lookup side re-checks per-index dir existence, so the
-    // delta-save path (which drops stale projections) needs no
+    // delta-save path (which drops stale projections by kind) needs no
     // special-casing here. The index schema seals alongside: a later
     // DROP + re-CREATE under the same name must not route.
-    d.indexAuxState = Some((graph(db).nodes, dir, d.indexes.toMap))
+    d.indexAuxState = Some(graft.core.IndexAuxState(
+      graph(db).nodes, graph(db).edges, dir, d.indexes.toMap))
     // the durable snapshot replaced the append-log lineage: any
     // mutation-pinned caches it referenced can be freed now
     d.releasePinned()
@@ -199,7 +200,8 @@ final class GraftSession(val spark: SparkSession,
     d.epochStartIds = Some((m.nextId, m.nextRelId))
     d.cdcBaseRefs = Some((g.nodes, g.edges))
     applySchemaMeta(db, SnapshotStore.readSchema(dir))
-    d.indexAuxState = Some((g.nodes, dir, d.indexes.toMap))
+    d.indexAuxState = Some(graft.core.IndexAuxState(
+      g.nodes, g.edges, dir, d.indexes.toMap))
     d.releasePinned()
   }
 
@@ -1170,7 +1172,8 @@ final class GraftSession(val spark: SparkSession,
   private def compiler(db: GraphDatabase, wire: Boolean = false) = {
     val g = db.graph
     new CypherCompiler(spark, g, procedures.procedure, procedures.scalar,
-      entityStructs = wire, rangeAnchor = rangeAnchorFor(db, g))
+      entityStructs = wire, rangeAnchor = rangeAnchorFor(db, g),
+      relRangeAnchor = relRangeAnchorFor(db, g))
   }
 
   /** Index-backed anchored lookups (r15 verdict #1): when the
@@ -1190,15 +1193,33 @@ final class GraftSession(val spark: SparkSession,
   private def rangeAnchorFor(db: GraphDatabase, g: PropertyGraph)(
       label: String, prop: String): Option[DataFrame] =
     db.indexAuxState match {
-      case Some((ref, dir, sealedIdx)) if ref eq g.nodes =>
+      case Some(st) if st.nodesRef eq g.nodes =>
         db.indexes.collectFirst {
           // the LIVE entry must equal the entry SEALED at save time —
           // DROP + re-CREATE under a reused name re-points no frame,
           // so only the schema equality protects against routing
           // through a projection built for a different (label, prop)
           case (name, e @ (l, p, "RANGE"))
-              if l == label && p == prop && sealedIdx.get(name).contains(e) =>
-            s"$dir/index_aux/$name"
+              if l == label && p == prop && st.sealedIndexes.get(name).contains(e) =>
+            s"${st.dir}/index_aux/$name"
+        }.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          .map(spark.read.parquet(_))
+      case _ => None
+    }
+
+  /** Edge-side twin of [[rangeAnchorFor]]: a REL_RANGE-indexed
+    * (relType, prop) typed scan routes through the snapshot's
+    * prop-clustered edge projection. Validity is the EDGES frame
+    * reference (node mutations re-point only the node side, so edge
+    * projections survive them). */
+  private def relRangeAnchorFor(db: GraphDatabase, g: PropertyGraph)(
+      relType: String, prop: String): Option[DataFrame] =
+    db.indexAuxState match {
+      case Some(st) if st.edgesRef eq g.edges =>
+        db.indexes.collectFirst {
+          case (name, e @ (t, p, "REL_RANGE"))
+              if t == relType && p == prop && st.sealedIndexes.get(name).contains(e) =>
+            s"${st.dir}/index_aux/$name"
         }.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
           .map(spark.read.parquet(_))
       case _ => None
@@ -1211,9 +1232,9 @@ final class GraftSession(val spark: SparkSession,
   private def indexAuxDirFor(name: String): Option[String] = {
     val d = statementDatabase
     d.indexAuxState match {
-      case Some((ref, dir, sealedIdx)) if (ref eq d.graph.nodes) &&
-          d.indexes.get(name).exists(e => sealedIdx.get(name).contains(e)) =>
-        Some(s"$dir/index_aux/$name")
+      case Some(st) if (st.nodesRef eq d.graph.nodes) &&
+          d.indexes.get(name).exists(e => st.sealedIndexes.get(name).contains(e)) =>
+        Some(s"${st.dir}/index_aux/$name")
           .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
       case _ => None
     }

@@ -79,6 +79,13 @@ final case class EdgeDeltaState(
     buf: Option[EdgeDeltaBuffer] = None,
     materialized: Boolean = true)
 
+/** See [[GraphDatabase.indexAuxState]]. */
+final case class IndexAuxState(
+    nodesRef: AnyRef,
+    edgesRef: AnyRef,
+    dir: String,
+    sealedIndexes: Map[String, (String, String, String)])
+
 final class GraphDatabase(val name: String) {
   @volatile var graph: PropertyGraph = _
   @volatile var stopped: Boolean = false
@@ -131,18 +138,18 @@ final class GraphDatabase(val name: String) {
     * the shortcut, never correctness. */
   @volatile var snapshotProvenance: Option[(String, SnapshotStore.Manifest)] = None
 
-  /** Index auxiliary projections on disk: the nodes frame the
-    * `index_aux/<name>/` dirs under `dir` are EXACT for (reference
-    * identity — the house self-validation pattern), that snapshot
-    * dir, and the index schema SEALED at save time (name →
-    * (label, prop, kind)). Set on full save / load; any node mutation
-    * re-points `graph.nodes` and silently invalidates. A lookup must
-    * check the LIVE index entry still equals the sealed one: DROP +
-    * re-CREATE under the same name with a different (label, prop)
-    * re-points no frame, and without the seal it would route through
-    * the old projection and silently return wrong rows. */
-  @volatile var indexAuxState:
-      Option[(AnyRef, String, Map[String, (String, String, String)])] = None
+  /** Index auxiliary projections on disk: the node AND edge frames
+    * the `index_aux/<name>/` dirs under `dir` are EXACT for (reference
+    * identity per side — the house self-validation pattern; a node
+    * mutation re-points only `graph.nodes`, so edge-side projections
+    * stay valid through it and vice versa), that snapshot dir, and the
+    * index schema SEALED at save time (name → (label, prop, kind)).
+    * Set on full save / load. A lookup must check the LIVE index entry
+    * still equals the sealed one: DROP + re-CREATE under the same name
+    * with a different (label, prop) re-points no frame, and without
+    * the seal it would route through the old projection and silently
+    * return wrong rows. */
+  @volatile var indexAuxState: Option[IndexAuxState] = None
 
   /** CDC change epoch: a MONOTONIC counter identifying the base-frame
     * generation the delta-log is relative to. `cdcBaseRefs` tracks the

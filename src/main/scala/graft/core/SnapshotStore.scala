@@ -103,7 +103,7 @@ object SnapshotStore {
       .repartitionByRange(org.apache.spark.sql.functions.col("id"))
       .sortWithinPartitions("id")
       .write.mode("overwrite").parquet(s"$tmp/nodes")
-    writeIndexAux(graph.nodes, schema, tmp)
+    writeIndexAux(graph.nodes, graph.edges, schema, tmp)
     // edges partition by relType: typed pattern expands prune to the
     // matching partition directories at scale (SURVEY §4 "partition
     // snapshots by label/relType at write"). An empty edge set writes
@@ -173,6 +173,7 @@ object SnapshotStore {
   val IvfCentroids = 64
 
   private def writeIndexAux(nodes: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame,
       schema: SchemaMeta, tmp: String): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -189,6 +190,15 @@ object SnapshotStore {
       case (name, (label, prop, "RANGE"))
           if nodes.columns.contains(prop) && orderable(nodes.schema(prop).dataType) =>
         nodes.filter(array_contains(col("labels"), label) && col(prop).isNotNull)
+          .repartitionByRange(col(prop)).sortWithinPartitions(prop)
+          .write.mode("overwrite").parquet(s"$tmp/index_aux/$name")
+      case (name, (relType, prop, "REL_RANGE"))
+          if edges.columns.contains(prop) && orderable(edges.schema(prop).dataType) =>
+        // edge-side RANGE projection: one type's non-null-prop edges,
+        // clustered by the indexed property (typed scans already prune
+        // by the relType hive partitioning; this adds row-group
+        // pruning WITHIN the type for `-[r:T {p: v}]->` anchors)
+        edges.filter(col("relType") === lit(relType) && col(prop).isNotNull)
           .repartitionByRange(col(prop)).sortWithinPartitions(prop)
           .write.mode("overwrite").parquet(s"$tmp/index_aux/$name")
       case (name, (label, prop, "VECTOR"))
@@ -424,17 +434,25 @@ object SnapshotStore {
         (nc, ec, bs)
     }
     Files.deleteIfExists(Paths.get(s"$dir/manifest.json")) // invalidate first
+    // base-only index projections go stale the moment their side's
+    // delta lands (a delta row with the indexed value would be
+    // invisible to a routed lookup): drop them BY KIND — a node delta
+    // kills node-side projections (RANGE/VECTOR), an edge delta kills
+    // REL_* ones, and the untouched side's projections stay valid (its
+    // base is untouched by contract). The next full write or
+    // compaction rebuilds everything from the folded views.
+    def dropAuxByKind(relSide: Boolean): Unit = schema.indexes.foreach {
+      case (name, (_, _, kind)) if kind.startsWith("REL_") == relSide =>
+        deleteDir(s"$dir/index_aux/$name")
+      case _ => ()
+    }
     nodeTmp.foreach { t =>
       deleteDir(s"$dir/nodes_delta"); Files.move(Paths.get(t), Paths.get(s"$dir/nodes_delta"))
-      // base-only RANGE projections go stale the moment a node delta
-      // lands (a delta row with the indexed value would be invisible
-      // to a routed lookup): drop them; the next full write or
-      // compaction rebuilds. Edge-only incremental saves keep them —
-      // the node side is untouched by contract.
-      deleteDir(s"$dir/index_aux")
+      dropAuxByKind(relSide = false)
     }
     edgeTmp.foreach { t =>
       deleteDir(s"$dir/edges_delta"); Files.move(Paths.get(t), Paths.get(s"$dir/edges_delta"))
+      dropAuxByKind(relSide = true)
     }
     Files.writeString(Paths.get(s"$dir/schema.json"), schemaJson(schema))
     val m = Manifest(FormatVersion, database, nodeCount, edgeCount, nextId, nextRelId,

@@ -20,7 +20,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     procedures: String => Option[Seq[Any] => DataFrame] = _ => None,
     scalarFns: String => Option[Seq[Column] => Column] = _ => None,
     entityStructs: Boolean = false,
-    rangeAnchor: (String, String) => Option[DataFrame] = (_, _) => None) {
+    rangeAnchor: (String, String) => Option[DataFrame] = (_, _) => None,
+    relRangeAnchor: (String, String) => Option[DataFrame] = (_, _) => None) {
 
   private val SEP = "__"
   private var freshId = 0
@@ -1323,7 +1324,22 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   }
 
   private def typedEdges(rel: RelPat): DataFrame = {
-    var df = graph.edges
+    // edge-side index anchor (the node-side aux routing, mirrored): a
+    // SINGLE-type pattern with an inline literal prop predicate — or a
+    // sargable WHERE anchor on the relationship variable — on a
+    // REL_RANGE-indexed (type, prop) swaps the scan for the snapshot's
+    // prop-clustered projection. All predicates below still apply; the
+    // projection holds exactly the type's non-null-prop edges, which
+    // no such predicate can miss.
+    val aux =
+      if (rel.types.size != 1) None
+      else {
+        val anchorKeys =
+          rel.props.iterator.collect { case (k, Lit(value)) if value != null => k }.toSeq ++
+            rel.variable.toSeq.flatMap(whereAnchorProps.getOrElse(_, Set.empty))
+        anchorKeys.iterator.flatMap(k => relRangeAnchor(rel.types.head, k)).nextOption()
+      }
+    var df = aux.getOrElse(graph.edges)
     if (rel.types.nonEmpty) df = df.filter(col("relType").isin(rel.types: _*))
     rel.props.foreach { case (k, Lit(value)) => df = propFilter(df, k, value) }
     df

@@ -267,6 +267,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("REL_RANGE-indexed typed-edge anchors read the edge projection") {
+    val s = new GraftSession(spark)
+    val dataDir = java.nio.file.Files.createTempDirectory("graft_relaux_").toString
+    s.cypher("UNWIND range(0, 40) AS x CREATE (:re {k: x})")
+    (0 to 39).groupBy(_ % 7).foreach { case (w, xs) =>
+      s.cypher(
+        s"""UNWIND $$rows AS row MATCH (a:re {k: row.a}), (b:re {k: row.b})
+           |MERGE (a)-[:KN {w: $w}]->(b)""".stripMargin,
+        Map("rows" -> xs.map(x => Map("a" -> x.toLong, "b" -> (x + 1).toLong))))
+    }
+    s.cypher("CREATE INDEX kn_w FOR ()-[r:KN]-() ON (r.w)")
+    s.saveDatabase(dataDir)
+    val df = s.cypher("MATCH (a:re)-[r:KN {w: 5}]->(b:re) RETURN a.k AS k")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("index_aux"), "typed-edge anchor does not read the projection:\n" + p)
+    assert(p.contains("EqualTo(w,5"), "edge predicate not pushed:\n" + p)
+    // w = 5 ← a.k ∈ {5, 12, 19, 26, 33}
+    assert(df.collect().map(_.getLong(0)).sorted.sameElements(
+      Array(5L, 12L, 19L, 26L, 33L)))
+    // a NODE mutation leaves the edge projection valid (the edge frame
+    // is untouched); an EDGE mutation invalidates it
+    s.cypher("CREATE (:re {k: 999})")
+    val df2 = s.cypher("MATCH (a:re)-[r:KN {w: 5}]->(b:re) RETURN a.k AS k")
+    assert(df2.queryExecution.executedPlan.toString.contains("index_aux"),
+      "edge projection dropped by a node-side mutation")
+    assert(df2.collect().length == 5)
+    s.cypher("MATCH (a:re {k: 0}), (b:re {k: 2}) MERGE (a)-[:KN {w: 5}]->(b)")
+    val df3 = s.cypher("MATCH (a:re)-[r:KN {w: 5}]->(b:re) RETURN a.k AS k")
+    assert(!df3.queryExecution.executedPlan.toString.contains("index_aux"),
+      "stale edge projection served after an edge mutation")
+    assert(df3.collect().map(_.getLong(0)).sorted.sameElements(
+      Array(0L, 5L, 12L, 19L, 26L, 33L)))
+  }
+
   test("RANGE-index anchored MATCH reads the clustered projection, pruned") {
     // r15 verdict #1: after CREATE INDEX + save, MATCH (n:L {p: v})
     // must route through the snapshot's index_aux projection (sorted
