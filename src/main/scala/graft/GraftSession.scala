@@ -1199,7 +1199,7 @@ final class GraftSession(val spark: SparkSession,
           // DROP + re-CREATE under a reused name re-points no frame,
           // so only the schema equality protects against routing
           // through a projection built for a different (label, prop)
-          case (name, e @ (l, p, "RANGE"))
+          case (name, e @ (l, p, "RANGE" | "TEXT"))
               if l == label && p == prop && st.sealedIndexes.get(name).contains(e) =>
             s"${st.dir}/index_aux/$name"
         }.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
@@ -1217,7 +1217,7 @@ final class GraftSession(val spark: SparkSession,
     db.indexAuxState match {
       case Some(st) if st.edgesRef eq g.edges =>
         db.indexes.collectFirst {
-          case (name, e @ (t, p, "REL_RANGE"))
+          case (name, e @ (t, p, "REL_RANGE" | "REL_TEXT"))
               if t == relType && p == prop && st.sealedIndexes.get(name).contains(e) =>
             s"${st.dir}/index_aux/$name"
         }.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))

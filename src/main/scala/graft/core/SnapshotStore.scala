@@ -187,14 +187,23 @@ object SnapshotStore {
       case _ => false
     }
     schema.indexes.foreach {
-      case (name, (label, prop, "RANGE"))
-          if nodes.columns.contains(prop) && orderable(nodes.schema(prop).dataType) =>
+      // TEXT indexes share the clustered-projection layout: sorted
+      // strings row-group-prune equality AND prefix (STARTS WITH
+      // pushes as StringStartsWith, a range over the sort); CONTAINS/
+      // ENDS WITH still route — correct (the projection holds every
+      // non-null-prop row) — they just scan the projection unpruned.
+      case (name, (label, prop, kind @ ("RANGE" | "TEXT")))
+          if nodes.columns.contains(prop) &&
+            (if (kind == "TEXT") nodes.schema(prop).dataType == StringType
+             else orderable(nodes.schema(prop).dataType)) =>
         nodes.filter(array_contains(col("labels"), label) && col(prop).isNotNull)
           .repartitionByRange(col(prop)).sortWithinPartitions(prop)
           .write.mode("overwrite").parquet(s"$tmp/index_aux/$name")
-      case (name, (relType, prop, "REL_RANGE"))
-          if edges.columns.contains(prop) && orderable(edges.schema(prop).dataType) =>
-        // edge-side RANGE projection: one type's non-null-prop edges,
+      case (name, (relType, prop, kind @ ("REL_RANGE" | "REL_TEXT")))
+          if edges.columns.contains(prop) &&
+            (if (kind == "REL_TEXT") edges.schema(prop).dataType == StringType
+             else orderable(edges.schema(prop).dataType)) =>
+        // edge-side projection: one type's non-null-prop edges,
         // clustered by the indexed property (typed scans already prune
         // by the relType hive partitioning; this adds row-group
         // pruning WITHIN the type for `-[r:T {p: v}]->` anchors)

@@ -148,6 +148,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         Some(v -> p)
       case In(Prop(v, p), items) if items.nonEmpty && items.forall {
         case Lit(x) => x != null; case _ => false } => Some(v -> p)
+      // string predicates null-exclude like comparisons do (null
+      // STARTS WITH 'x' is null → filtered), so a TEXT projection is
+      // exact for them; STARTS WITH additionally prunes (a prefix is
+      // a range over the sorted strings)
+      case StringPred("starts" | "ends" | "contains", Prop(v, p), Lit(value))
+          if value != null => Some(v -> p)
       case _ => None
     }
     pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap

@@ -267,6 +267,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("TEXT-index STARTS WITH routes through the sorted string projection") {
+    val s = new GraftSession(spark)
+    val dataDir = java.nio.file.Files.createTempDirectory("graft_textaux_").toString
+    s.cypher("UNWIND $rows AS row CREATE (:Word {w: row.w, r: row.r})",
+      Map("rows" -> Seq("apple", "apricot", "banana", "berry", "cherry")
+        .zipWithIndex.map { case (w, i) => Map("w" -> w, "r" -> i.toLong) }))
+    s.cypher("CREATE TEXT INDEX word_w FOR (n:Word) ON (n.w)")
+    s.saveDatabase(dataDir)
+    val df = s.cypher("MATCH (n:Word) WHERE n.w STARTS WITH 'ap' RETURN n.r AS r")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("index_aux"), "STARTS WITH not routed through the projection:\n" + p)
+    assert(p.contains("StringStartsWith(w,ap"), "prefix predicate not pushed:\n" + p)
+    assert(df.collect().map(_.getLong(0)).sorted.sameElements(Array(0L, 1L)))
+    // CONTAINS routes too (correct — the projection holds every
+    // non-null row; no prefix pruning, just the clustered scan)
+    val dfc = s.cypher("MATCH (n:Word) WHERE n.w CONTAINS 'anan' RETURN n.r AS r")
+    assert(dfc.queryExecution.executedPlan.toString.contains("index_aux"))
+    assert(dfc.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("REL_RANGE-indexed typed-edge anchors read the edge projection") {
     val s = new GraftSession(spark)
     val dataDir = java.nio.file.Files.createTempDirectory("graft_relaux_").toString
