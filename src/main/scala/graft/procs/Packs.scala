@@ -168,6 +168,12 @@ object Packs {
         regexp_replace(a(0), "^[^A-Za-z0-9]+|[^A-Za-z0-9]+$", ""),
         lit("[^A-Za-z0-9]+"), if (a.length > 1) a(1) else lit("-")))
     // digests — Catalyst's codegen'd hash expressions, no UDFs
+    // generic JSON serialization: wrap the value in a one-field struct
+    // (to_json handles any nested type that way, scalars included) and
+    // unwrap the envelope textually — codegen'd end to end, no UDF
+    procs.registerScalar("apoc.convert.toJson", "(value :: ANY) :: STRING")(a =>
+      when(a(0).isNull, lit("null")).otherwise(
+        regexp_extract(to_json(struct(a(0).as("v"))), "^\\{\"v\":(.*)\\}$", 1)))
     procs.registerScalar("apoc.util.md5",
       "(values :: LIST<STRING>) :: STRING")(a => md5(concat_ws("", a(0))))
     procs.registerScalar("apoc.util.sha1",
@@ -766,6 +772,113 @@ object Packs {
       "Rename a relationship property wherever non-null; returns the renamed count") { args =>
       procs.oneRow("total" -> session.refactorRenameTypeProperty(
         String.valueOf(args.head), String.valueOf(args(1))))
+    }
+    // apoc.meta.stats — the ops-dashboard introspection call: counts
+    // by label and relType as two distributed aggregates (label/type
+    // cardinality is schema-like, so the per-group collect is
+    // bounded), maps emitted as JSON text (the apoc.cypher.run
+    // dynamic-shape discipline).
+    procs.register("apoc.meta.stats",
+      "() :: (labelCount, relTypeCount, propertyKeyCount, nodeCount, " +
+        "relCount, labels, relTypes)",
+      "Graph statistics: counts overall and per label / relationship type") { _ =>
+      import org.apache.spark.sql.functions.{col, explode}
+      val g = session.graph()
+      val meta = Set("id", "labels", "eid", "src", "dst", "relType") ++
+        graft.core.PropertyGraph.MetaDeltaCols
+      val labelCounts = g.nodes.select(explode(col("labels")).as("l"))
+        .groupBy("l").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      val relCounts =
+        if (g.edges.columns.contains("relType"))
+          g.edges.groupBy("relType").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+        else Array.empty[(String, Long)]
+      def jmap(m: Array[(String, Long)]): String =
+        m.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+      val propKeys = (g.nodes.columns ++ g.edges.columns).filterNot(meta.contains).distinct
+      procs.oneRow(
+        "labelCount" -> labelCounts.length.toLong,
+        "relTypeCount" -> relCounts.length.toLong,
+        "propertyKeyCount" -> propKeys.length.toLong,
+        "nodeCount" -> g.nodes.count(),
+        "relCount" -> g.edges.count(),
+        "labels" -> jmap(labelCounts),
+        "relTypes" -> jmap(relCounts))
+    }
+    // apoc.schema.assert — init scripts' idempotent "make the schema
+    // exactly this": wanted NODE RANGE indexes / uniqueness
+    // constraints create (IF NOT EXISTS), existing ones not listed
+    // DROP (APOC's dropExisting default). Other kinds (TEXT/VECTOR/
+    // FULLTEXT/relationship) are left untouched — they have their own
+    // DDL surfaces and APOC's assert never managed them either.
+    procs.registerWithParams("apoc.schema.assert",
+      Seq(procs.Param("indexes", Some(Map.empty[String, Any])),
+        procs.Param("constraints", Some(Map.empty[String, Any]))),
+      "(indexes :: MAP<STRING, LIST<STRING>>?, constraints :: " +
+        "MAP<STRING, LIST<STRING>>?) :: (label, key, unique, action)",
+      "Assert the schema: create the listed RANGE indexes/uniqueness " +
+        "constraints, drop unlisted ones; returns one row per change") { args =>
+      def asMap(a: Any, what: String): Map[String, Seq[String]] = a match {
+        case null => Map.empty
+        case m: collection.Map[_, _] => m.map { case (k, v) =>
+          String.valueOf(k) -> (v match {
+            case s: Seq[_] => s.map(String.valueOf)
+            case other => throw new IllegalArgumentException(
+              s"apoc.schema.assert $what values must be LIST<STRING>, got $other")
+          })
+        }.toMap
+        case other => throw new IllegalArgumentException(
+          s"apoc.schema.assert $what must be a map, got $other")
+      }
+      def ident(s: String, what: String): String = {
+        if ("^[A-Za-z_][A-Za-z0-9_]*$".r.findFirstIn(s).isEmpty)
+          throw new IllegalArgumentException(
+            s"apoc.schema.assert $what `$s` must be a plain identifier")
+        s
+      }
+      val wantIdx = asMap(args(0), "indexes")
+        .map { case (l, ps) => ident(l, "label") -> ps.map(ident(_, "property")) }
+      val wantCons = asMap(args(1), "constraints")
+        .map { case (l, ps) => ident(l, "label") -> ps.map(ident(_, "property")) }
+      val rows = collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      def existing(show: String, wantType: String): Seq[(String, String, String)] =
+        session.cypher(show).collect().toSeq
+          .filter(r => r.getString(r.fieldIndex("entityType")) == "NODE" &&
+            r.getString(r.fieldIndex("type")) == wantType)
+          .map(r => (r.getString(r.fieldIndex("name")),
+            r.getString(r.fieldIndex("labelsOrTypes")),
+            r.getString(r.fieldIndex("properties"))))
+      def sync(wanted: Map[String, Seq[String]], unique: Boolean): Unit = {
+        val (show, wantType) =
+          if (unique) ("SHOW CONSTRAINTS", "UNIQUENESS") else ("SHOW INDEXES", "RANGE")
+        val have = existing(show, wantType)
+        val wantedPairs = wanted.flatMap { case (l, ps) => ps.map(l -> _) }.toSet
+        have.foreach { case (name, l, p) =>
+          if (wantedPairs.contains(l -> p))
+            rows += Seq(l, p, unique, "KEPT")
+          else {
+            session.cypher(
+              (if (unique) "DROP CONSTRAINT " else "DROP INDEX ") + name)
+            rows += Seq(l, p, unique, "DROPPED")
+          }
+        }
+        val havePairs = have.map(e => (e._2, e._3)).toSet
+        wantedPairs.toSeq.sorted.foreach { case (l, p) =>
+          if (!havePairs.contains(l -> p)) {
+            if (unique) session.cypher(
+              s"CREATE CONSTRAINT assert_uniq_${l}_$p IF NOT EXISTS " +
+                s"FOR (n:$l) REQUIRE n.$p IS UNIQUE")
+            else session.cypher(
+              s"CREATE INDEX assert_idx_${l}_$p IF NOT EXISTS " +
+                s"FOR (n:$l) ON (n.$p)")
+            rows += Seq(l, p, unique, "CREATED")
+          }
+        }
+      }
+      sync(wantIdx, unique = false)
+      sync(wantCons, unique = true)
+      procs.rows(Seq("label", "key", "unique", "action"), rows.toSeq)
     }
     // apoc.periodic.commit — loop a SELF-BOUNDED mutating statement
     // until it reports no more work (APOC's contract: the statement

@@ -926,6 +926,49 @@ class PacksSpec extends AnyFunSuite {
     }
   }
 
+  test("apoc.meta.stats / apoc.schema.assert / apoc.convert.toJson") {
+    val s = new GraftSession(spark)
+    Packs.install(s, Seq("apoc"))
+    s.cypher("CREATE (a:ms {k: 1})-[:MA]->(b:ms {k: 2})")
+    s.cypher("CREATE (c:ms:extra {k: 3, note: 'x'})")
+    s.cypher("MATCH (a:ms {k: 1}), (c:ms {k: 3}) MERGE (a)-[:MB]->(c)")
+    val st = s.cypher(
+      "CALL apoc.meta.stats() YIELD labelCount, relTypeCount, nodeCount, " +
+        "relCount, labels, relTypes " +
+        "RETURN labelCount, relTypeCount, nodeCount, relCount, labels, relTypes")
+      .collect().head
+    assert(st.getLong(0) == 2L && st.getLong(1) == 2L) // ms, extra | MA, MB
+    assert(st.getLong(2) == 3L && st.getLong(3) == 2L)
+    assert(st.getString(4) == """{"extra": 1, "ms": 3}""", st.getString(4))
+    assert(st.getString(5) == """{"MA": 1, "MB": 1}""", st.getString(5))
+    // schema.assert: creates the wanted, keeps the matching, drops the
+    // unlisted — the init-script idempotent shape
+    s.cypher("CREATE INDEX old_idx FOR (n:ms) ON (n.gone)")
+    val a1 = s.cypher(
+      "CALL apoc.schema.assert({ms: ['k']}, {ms: ['note']}) " +
+        "YIELD label, key, unique, action RETURN label, key, unique, action")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+    assert(a1.toSet == Set(("ms", "gone", false, "DROPPED"),
+      ("ms", "k", false, "CREATED"), ("ms", "note", true, "CREATED")), a1.mkString(","))
+    // re-assert: everything KEPT, nothing recreated
+    val a2 = s.cypher(
+      "CALL apoc.schema.assert({ms: ['k']}, {ms: ['note']}) " +
+        "YIELD action RETURN action").collect().map(_.getString(0))
+    assert(a2.toSeq == Seq("KEPT", "KEPT"), a2.mkString(","))
+    // the asserted constraint ENFORCES (duplicate note refuses)
+    s.cypher("MATCH (n:ms {k: 1}) SET n.note = 'dup'")
+    intercept[Exception] {
+      s.cypher("MATCH (n:ms {k: 2}) SET n.note = 'dup'")
+    }
+    // toJson: scalars, lists, maps — one serialization surface
+    val j = s.cypher(
+      "RETURN apoc.convert.toJson(1) AS a, apoc.convert.toJson('x') AS b, " +
+        "apoc.convert.toJson([1, 2]) AS c, apoc.convert.toJson(null) AS d")
+      .collect().head
+    assert(j.getString(0) == "1" && j.getString(1) == "\"x\"")
+    assert(j.getString(2) == "[1,2]" && j.getString(3) == "null")
+  }
+
   test("apoc.refactor.setType and refactor.invert rewrite in place, eid preserved") {
     val s = new GraftSession(spark)
     Packs.install(s, Seq("apoc"))
