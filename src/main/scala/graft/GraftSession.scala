@@ -4978,16 +4978,37 @@ final class GraftSession(val spark: SparkSession,
       val kcol = if (keys.isEmpty) array() else array(keys.map(lit): _*)
       spark.range(1).select(explode(kcol).as("propertyKey"))
     }
-    procedures.register("apoc.meta.stats", "() :: (nodeCount, relCount, labels)",
-      "Graph counts + per-label node counts") { _ =>
-      import org.apache.spark.sql.functions.{col, explode, map_from_entries, collect_list, struct, count, lit}
+    procedures.register("apoc.meta.stats",
+      "() :: (labelCount, relTypeCount, propertyKeyCount, nodeCount, " +
+        "relCount, labels, relTypes)",
+      "Graph counts overall and per label / relationship type " +
+        "(maps; label/type cardinality is schema-like, so the grouped " +
+        "collect is bounded)") { _ =>
+      import org.apache.spark.sql.functions.{array, col, explode, lit, map_from_arrays}
       val g = statementGraph()
-      val byLabel = g.nodes.select(explode(col("labels")).as("l"))
-        .groupBy("l").agg(count(lit(1)).as("n"))
-        .agg(map_from_entries(collect_list(struct(col("l"), col("n")))).as("labels"))
-      byLabel.crossJoin(spark.range(1))
-        .select(lit(g.nodes.count()).as("nodeCount"), lit(g.edges.count()).as("relCount"),
-          col("labels"))
+      val labelCounts = g.nodes.select(explode(col("labels")).as("l"))
+        .groupBy("l").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      val relCounts =
+        if (g.edges.columns.contains("relType"))
+          g.edges.groupBy("relType").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+        else Array.empty[(String, Long)]
+      def mapCol(m: Array[(String, Long)]) =
+        map_from_arrays(
+          array(m.map(e => lit(e._1)).toIndexedSeq: _*).cast("array<string>"),
+          array(m.map(e => lit(e._2)).toIndexedSeq: _*).cast("array<bigint>"))
+      val propKeys = (g.nodes.columns ++ g.edges.columns).distinct
+        .filterNot((Set("id", "labels", "eid", "src", "dst", "relType") ++
+          PropertyGraph.MetaDeltaCols).contains)
+      spark.range(1).select(
+        lit(labelCounts.length.toLong).as("labelCount"),
+        lit(relCounts.length.toLong).as("relTypeCount"),
+        lit(propKeys.length.toLong).as("propertyKeyCount"),
+        lit(g.nodes.count()).as("nodeCount"),
+        lit(g.edges.count()).as("relCount"),
+        mapCol(labelCounts).as("labels"),
+        mapCol(relCounts).as("relTypes"))
     }
     // apoc.meta.schema — the introspection map dashboards/tooling
     // build UIs from: per label (and per relType), which properties

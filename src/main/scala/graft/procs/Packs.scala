@@ -773,39 +773,6 @@ object Packs {
       procs.oneRow("total" -> session.refactorRenameTypeProperty(
         String.valueOf(args.head), String.valueOf(args(1))))
     }
-    // apoc.meta.stats — the ops-dashboard introspection call: counts
-    // by label and relType as two distributed aggregates (label/type
-    // cardinality is schema-like, so the per-group collect is
-    // bounded), maps emitted as JSON text (the apoc.cypher.run
-    // dynamic-shape discipline).
-    procs.register("apoc.meta.stats",
-      "() :: (labelCount, relTypeCount, propertyKeyCount, nodeCount, " +
-        "relCount, labels, relTypes)",
-      "Graph statistics: counts overall and per label / relationship type") { _ =>
-      import org.apache.spark.sql.functions.{col, explode}
-      val g = session.graph()
-      val meta = Set("id", "labels", "eid", "src", "dst", "relType") ++
-        graft.core.PropertyGraph.MetaDeltaCols
-      val labelCounts = g.nodes.select(explode(col("labels")).as("l"))
-        .groupBy("l").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-      val relCounts =
-        if (g.edges.columns.contains("relType"))
-          g.edges.groupBy("relType").count().collect()
-            .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-        else Array.empty[(String, Long)]
-      def jmap(m: Array[(String, Long)]): String =
-        m.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
-      val propKeys = (g.nodes.columns ++ g.edges.columns).filterNot(meta.contains).distinct
-      procs.oneRow(
-        "labelCount" -> labelCounts.length.toLong,
-        "relTypeCount" -> relCounts.length.toLong,
-        "propertyKeyCount" -> propKeys.length.toLong,
-        "nodeCount" -> g.nodes.count(),
-        "relCount" -> g.edges.count(),
-        "labels" -> jmap(labelCounts),
-        "relTypes" -> jmap(relCounts))
-    }
     // apoc.schema.assert — init scripts' idempotent "make the schema
     // exactly this": wanted NODE RANGE indexes / uniqueness
     // constraints create (IF NOT EXISTS), existing ones not listed

@@ -939,8 +939,8 @@ class PacksSpec extends AnyFunSuite {
       .collect().head
     assert(st.getLong(0) == 2L && st.getLong(1) == 2L) // ms, extra | MA, MB
     assert(st.getLong(2) == 3L && st.getLong(3) == 2L)
-    assert(st.getString(4) == """{"extra": 1, "ms": 3}""", st.getString(4))
-    assert(st.getString(5) == """{"MA": 1, "MB": 1}""", st.getString(5))
+    assert(st.getAs[Map[String, Long]]("labels") == Map("extra" -> 1L, "ms" -> 3L))
+    assert(st.getAs[Map[String, Long]]("relTypes") == Map("MA" -> 1L, "MB" -> 1L))
     // schema.assert: creates the wanted, keeps the matching, drops the
     // unlisted — the init-script idempotent shape
     s.cypher("CREATE INDEX old_idx FOR (n:ms) ON (n.gone)")
