@@ -1340,9 +1340,15 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val aux =
       if (rel.types.size != 1) None
       else {
+        // WHERE anchors apply only to SINGLE-edge variables: a
+        // var-length `r` binds a LIST, so `r.p = v` (if it compiles at
+        // all) is not a per-edge predicate and must not narrow the
+        // scan. Inline props on var-length patterns ARE per-edge
+        // (every traversed edge matches), so those still route.
         val anchorKeys =
           rel.props.iterator.collect { case (k, Lit(value)) if value != null => k }.toSeq ++
-            rel.variable.toSeq.flatMap(whereAnchorProps.getOrElse(_, Set.empty))
+            rel.variable.filter(_ => rel.varLength.isEmpty)
+              .toSeq.flatMap(whereAnchorProps.getOrElse(_, Set.empty))
         anchorKeys.iterator.flatMap(k => relRangeAnchor(rel.types.head, k)).nextOption()
       }
     var df = aux.getOrElse(graph.edges)
