@@ -79,12 +79,19 @@ final case class EdgeDeltaState(
     buf: Option[EdgeDeltaBuffer] = None,
     materialized: Boolean = true)
 
-/** See [[GraphDatabase.indexAuxState]]. */
+/** See [[GraphDatabase.indexAuxState]]. `nodeDiskDelta`/
+  * `edgeDiskDelta` are the snapshot's on-disk delta-log frames that
+  * were FOLDED into `nodesRef`/`edgesRef` at save/load time: a routed
+  * lookup composes `projection ⟵overlay⟶ diskDelta` to reconstruct
+  * exactly the folded frame's slice, since the projections themselves
+  * are built from the pure base only. */
 final case class IndexAuxState(
     nodesRef: AnyRef,
     edgesRef: AnyRef,
     dir: String,
-    sealedIndexes: Map[String, (String, String, String)])
+    sealedIndexes: Map[String, (String, String, String)],
+    nodeDiskDelta: Option[org.apache.spark.sql.DataFrame] = None,
+    edgeDiskDelta: Option[org.apache.spark.sql.DataFrame] = None)
 
 final class GraphDatabase(val name: String) {
   @volatile var graph: PropertyGraph = _
@@ -201,6 +208,28 @@ final class GraphDatabase(val name: String) {
   def releasePinned(): Unit = pinned.synchronized {
     pinned.foreach(_.unpersist(blocking = false))
     pinned.clear()
+  }
+
+  /** CDC before-image anchors: cursor commit-sequence → (change epoch,
+    * the RESOLVED graph at mint). A `db.cdc.query(cursor,
+    * withBefore=true)` reads each touched key's before-image straight
+    * off the anchored immutable frame — the TRUE at-cursor state, even
+    * for keys the latest-wins delta-log has since overwritten. Safe
+    * across releasePinned: pinned frames are `.persist()` caches with
+    * their (deterministic, checkpoint-rooted) lineage intact, so an
+    * anchored frame recomputes rather than dangles. Bounded (≤ 64,
+    * oldest evicted); an un-anchored or evicted cursor degrades to
+    * the delta-log reconstruction, never an error. */
+  val cdcAnchors = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, (Long, PropertyGraph)]()
+
+  def anchorCdc(seq: Long, epoch: Long, g: PropertyGraph): Unit = {
+    cdcAnchors.put(seq, (epoch, g))
+    while (cdcAnchors.size > 64) {
+      val it = cdcAnchors.keySet().iterator()
+      var lowest = Long.MaxValue
+      while (it.hasNext) lowest = math.min(lowest, it.next())
+      cdcAnchors.remove(lowest)
+    }
   }
 
   /** Transfer `other`'s pinned caches to this database WITHOUT

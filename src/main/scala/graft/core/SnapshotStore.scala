@@ -104,6 +104,17 @@ object SnapshotStore {
       .sortWithinPartitions("id")
       .write.mode("overwrite").parquet(s"$tmp/nodes")
     writeIndexAux(graph.nodes, graph.edges, schema, tmp)
+    // seal the BUILD-time index defs next to the projections (see
+    // [[readSealedAux]]): incremental saves keep both untouched.
+    // Written whenever ANY index exists — even one with no eligible
+    // projection — so saveDatabase's "index DDL since the last full
+    // write?" check compares against the full def set, not just the
+    // projected subset.
+    if (schema.indexes.nonEmpty || Files.exists(Paths.get(s"$tmp/index_aux"))) {
+      Files.createDirectories(Paths.get(s"$tmp/index_aux"))
+      Files.writeString(Paths.get(s"$tmp/index_aux/sealed_schema.json"),
+        schemaJson(SchemaMeta(Map.empty, schema.indexes)))
+    }
     // edges partition by relType: typed pattern expands prune to the
     // matching partition directories at scale (SURVEY §4 "partition
     // snapshots by label/relType at write"). An empty edge set writes
@@ -443,25 +454,28 @@ object SnapshotStore {
         (nc, ec, bs)
     }
     Files.deleteIfExists(Paths.get(s"$dir/manifest.json")) // invalidate first
-    // base-only index projections go stale the moment their side's
-    // delta lands (a delta row with the indexed value would be
-    // invisible to a routed lookup): drop them BY KIND — a node delta
-    // kills node-side projections (RANGE/VECTOR), an edge delta kills
-    // REL_* ones, and the untouched side's projections stay valid (its
-    // base is untouched by contract). The next full write or
-    // compaction rebuilds everything from the folded views.
-    def dropAuxByKind(relSide: Boolean): Unit = schema.indexes.foreach {
-      case (name, (_, _, kind)) if kind.startsWith("REL_") == relSide =>
-        deleteDir(s"$dir/index_aux/$name")
+    // RANGE/TEXT/REL_* projections SURVIVE a delta landing (r16
+    // verdict #1): a routed lookup composes `projection ⟵overlay⟶
+    // delta-log` — the same latest-wins anti-join + union the base
+    // read itself uses — so anchored lookups stay index-backed on an
+    // ingest-heavy live graph instead of degrading to a full base
+    // scan after the first 30-row commit. Build-time defs stay sealed
+    // in index_aux/sealed_schema.json (untouched here), so DDL churn
+    // between saves can never route through a mismatched projection.
+    // VECTOR/IVF projections are the exception: a new or moved vector
+    // has no cell assignment, and the cells layout cannot compose by
+    // overlay — a node delta drops them; the next full write or
+    // compaction rebuilds.
+    def dropNonComposable(): Unit = schema.indexes.foreach {
+      case (name, (_, _, "VECTOR")) => deleteDir(s"$dir/index_aux/$name")
       case _ => ()
     }
     nodeTmp.foreach { t =>
       deleteDir(s"$dir/nodes_delta"); Files.move(Paths.get(t), Paths.get(s"$dir/nodes_delta"))
-      dropAuxByKind(relSide = false)
+      dropNonComposable()
     }
     edgeTmp.foreach { t =>
       deleteDir(s"$dir/edges_delta"); Files.move(Paths.get(t), Paths.get(s"$dir/edges_delta"))
-      dropAuxByKind(relSide = true)
     }
     Files.writeString(Paths.get(s"$dir/schema.json"), schemaJson(schema))
     val m = Manifest(FormatVersion, database, nodeCount, edgeCount, nextId, nextRelId,
@@ -606,7 +620,23 @@ object SnapshotStore {
   def readSchema(dir: String): SchemaMeta = {
     val path = Paths.get(s"$dir/schema.json")
     if (!Files.exists(path)) return SchemaMeta.empty
-    val text = Files.readString(path)
+    parseSchemaText(Files.readString(path))
+  }
+
+  /** The index defs the on-disk `index_aux/` projections were BUILT
+    * from — snapshot provenance, staged by the full write that built
+    * them and deliberately NOT rewritten by incremental saves (which
+    * keep the composable projections but rewrite schema.json): routing
+    * validity compares the LIVE index def against this BUILD-time def,
+    * so a DROP + re-CREATE under a reused name between saves can never
+    * route through a projection built for a different (label, prop). */
+  def readSealedAux(dir: String): Map[String, (String, String, String)] = {
+    val path = Paths.get(s"$dir/index_aux/sealed_schema.json")
+    if (!Files.exists(path)) Map.empty
+    else parseSchemaText(Files.readString(path)).indexes
+  }
+
+  private def parseSchemaText(text: String): SchemaMeta = {
     def sectionBody(name: String): String = {
       val start = text.indexOf("\"" + name + "\"")
       if (start < 0) return ""

@@ -150,7 +150,13 @@ object ast {
   }
 
   sealed trait Clause
-  final case class Match(patterns: Seq[PathPat], optional: Boolean, where: Option[Expr]) extends Clause
+  /** A `USING INDEX [SEEK] v:L(p1, …)` hint's identity: enough to
+    * check the hinted index EXISTS (Neo4j raises Schema.IndexNotFound
+    * when it doesn't; hints stay non-forcing otherwise — Catalyst owns
+    * physical planning and projection routing is automatic). */
+  final case class IndexHint(variable: String, labelOrType: String, props: Seq[String])
+  final case class Match(patterns: Seq[PathPat], optional: Boolean, where: Option[Expr],
+      indexHints: Seq[IndexHint] = Nil) extends Clause
   /** `MATCH p = shortestPath((a)-[:T*lo..hi]->(b)) [WHERE expr]`:
     * breadth-first expansion with first-hit distances; `length(p)`
     * reads the hop count. The pattern must be a single var-length

@@ -21,7 +21,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     scalarFns: String => Option[Seq[Column] => Column] = _ => None,
     entityStructs: Boolean = false,
     rangeAnchor: (String, String) => Option[DataFrame] = (_, _) => None,
-    relRangeAnchor: (String, String) => Option[DataFrame] = (_, _) => None) {
+    relRangeAnchor: (String, String) => Option[DataFrame] = (_, _) => None,
+    prefixCap: Long = CypherCompiler.DefaultPrefixEnumerationCap) {
 
   private val SEP = "__"
   private var freshId = 0
@@ -793,10 +794,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
             .distinct()
             .localCheckpoint()
           val cnt = pref.count()
-          if (cnt > CypherCompiler.PrefixEnumerationCap)
+          if (cnt > prefixCap)
             throw new UnsupportedOperationException(
               s"var-length pattern `*$lo..` enumerated $cnt length-$step trail " +
-                s"prefixes (cap ${CypherCompiler.PrefixEnumerationCap}) — bound " +
+                s"prefixes (cap $prefixCap) — bound " +
                 s"the pattern (`*$lo..${math.max(lo, 15)}`) or anchor the start " +
                 "node to keep the prefix set output-proportional")
         }
@@ -2580,7 +2581,10 @@ object CypherCompiler {
     * explodes with nothing to show for it. Past the cap the statement
     * refuses loudly and suggests the bounded `*lo..hi` rewrite — a
     * plan that cannot finish should say so, not spill forever. The
-    * default comfortably clears every anchored graded shape; a spec
-    * pins the refusal by lowering it. */
-  private[graft] var PrefixEnumerationCap: Long = 5000000L
+    * default comfortably clears every anchored graded shape; a
+    * per-compiler constructor value (sourced from the
+    * `graft.cypher.prefix_cap` config key by GraftSession) rather
+    * than a mutable global, so a lowered test cap can never leak
+    * into a concurrent session (ADVICE r16 #4). */
+  private[graft] val DefaultPrefixEnumerationCap: Long = 5000000L
 }

@@ -362,24 +362,27 @@ object CypherParser extends RegexParsers {
 
   /** Planner hints (`USING INDEX [SEEK] v:L(p, …)`, `USING SCAN v:L`,
     * `USING JOIN ON v, …`): accepted and VALIDATED — each hinted
-    * variable must appear in the clause's patterns — but not binding.
-    * Catalyst owns physical planning, and RANGE-projection routing is
-    * automatic where a backing exists, so the hint's plan-forcing role
-    * is a documented no-op (a hint naming a missing index does not
-    * error, unlike Neo4j). Yields the hinted variable names. */
-  private def usingHint: Parser[Seq[String]] =
+    * variable must appear in the clause's patterns (node OR
+    * relationship variables; Neo4j 5 index hints take both) — but not
+    * plan-binding. Catalyst owns physical planning, and
+    * RANGE-projection routing is automatic where a backing exists.
+    * INDEX hints additionally carry their (label, props) identity up
+    * the AST so the session can raise Neo4j's missing-index error. */
+  private def usingHint: Parser[(Seq[String], Option[IndexHint])] =
     kw("using") ~> (
-      (kw("index") ~> opt(kw("seek")) ~> ident <~
-        (":" ~ ident ~ "(" ~ rep1sep(ident, ",") ~ ")") ^^ (v => Seq(v))) |
-      (kw("scan") ~> ident <~ (":" ~ ident) ^^ (v => Seq(v))) |
-      (kw("join") ~> kw("on") ~> rep1sep(ident, ",")))
+      (kw("index") ~> opt(kw("seek")) ~> ident ~ (":" ~> ident) ~
+        ("(" ~> rep1sep(ident, ",") <~ ")") ^^ {
+          case v ~ l ~ props => (Seq(v), Some(IndexHint(v, l, props)))
+        }) |
+      (kw("scan") ~> ident <~ (":" ~ ident) ^^ (v => (Seq(v), None))) |
+      (kw("join") ~> kw("on") ~> rep1sep(ident, ",") ^^ (vs => (vs, None))))
 
   private def validateHints(hints: Seq[Seq[String]], ps: Seq[PathPat]): Unit = {
-    val vars = ps.flatMap(p =>
-      (p.start.variable ++ p.hops.flatMap(_._2.variable)).toSeq).toSet
+    val vars = ps.flatMap(p => (p.start.variable ++ p.hops.flatMap { case (r, n) =>
+      r.variable ++ n.variable }).toSeq).toSet
     hints.flatten.find(!vars.contains(_)).foreach { v =>
       throw new IllegalArgumentException(
-        s"USING hint names `$v`, which is not a node variable of the MATCH pattern")
+        s"USING hint names `$v`, which is not a variable of the MATCH pattern")
     }
   }
 
@@ -387,8 +390,8 @@ object CypherParser extends RegexParsers {
     opt(kw("optional")) ~ (kw("match") ~> patternList) ~ rep(usingHint) ~
       opt(whereClause) ^^ {
         case o ~ ps ~ hints ~ w =>
-          validateHints(hints, ps)
-          Match(ps, o.isDefined, w)
+          validateHints(hints.map(_._1), ps)
+          Match(ps, o.isDefined, w, hints.flatMap(_._2))
       }
 
   /** `MATCH p = shortestPath((a)-[:T*..k]->(b)) [WHERE …]` — tried

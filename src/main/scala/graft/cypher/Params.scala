@@ -25,7 +25,8 @@ object Params {
       q.unions.map { case (all, sub) => (all, substitute(sub, params)) })
 
   private def clause(c: Clause, ps: Map[String, Any]): Clause = c match {
-    case Match(pats, opt, where) => Match(pats.map(path(_, ps)), opt, where.map(expr(_, ps)))
+    case Match(pats, opt, where, hints) =>
+      Match(pats.map(path(_, ps)), opt, where.map(expr(_, ps)), hints)
     case MatchShortest(v, pat, where, all) =>
       MatchShortest(v, path(pat, ps), where.map(expr(_, ps)), all)
     case Create(pats)            => Create(pats.map(path(_, ps)))

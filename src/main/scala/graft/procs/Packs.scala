@@ -809,8 +809,13 @@ object Packs {
       val wantCons = asMap(args(1), "constraints")
         .map { case (l, ps) => ident(l, "label") -> ps.map(ident(_, "property")) }
       val rows = collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      // nested dispatch pins the STATEMENT database: `USE otherdb
+      // CALL apoc.schema.assert(...)` must inspect and mutate that
+      // database's schema, not the default (ADVICE r16 #5)
+      val assertDb = session.statementDbName
+      def run(q: String) = session.cypher(q, Map.empty[String, Any], assertDb)
       def existing(show: String, wantType: String): Seq[(String, String, String)] =
-        session.cypher(show).collect().toSeq
+        run(show).collect().toSeq
           .filter(r => r.getString(r.fieldIndex("entityType")) == "NODE" &&
             r.getString(r.fieldIndex("type")) == wantType)
           .map(r => (r.getString(r.fieldIndex("name")),
@@ -825,18 +830,17 @@ object Packs {
           if (wantedPairs.contains(l -> p))
             rows += Seq(l, p, unique, "KEPT")
           else {
-            session.cypher(
-              (if (unique) "DROP CONSTRAINT " else "DROP INDEX ") + name)
+            run((if (unique) "DROP CONSTRAINT " else "DROP INDEX ") + name)
             rows += Seq(l, p, unique, "DROPPED")
           }
         }
         val havePairs = have.map(e => (e._2, e._3)).toSet
         wantedPairs.toSeq.sorted.foreach { case (l, p) =>
           if (!havePairs.contains(l -> p)) {
-            if (unique) session.cypher(
+            if (unique) run(
               s"CREATE CONSTRAINT assert_uniq_${l}_$p IF NOT EXISTS " +
                 s"FOR (n:$l) REQUIRE n.$p IS UNIQUE")
-            else session.cypher(
+            else run(
               s"CREATE INDEX assert_idx_${l}_$p IF NOT EXISTS " +
                 s"FOR (n:$l) ON (n.$p)")
             rows += Seq(l, p, unique, "CREATED")

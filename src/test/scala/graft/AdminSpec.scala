@@ -396,18 +396,28 @@ class AdminSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 2L)
     assert(fresh5.cypher("MATCH (a:acct {k: 2}) RETURN a.bal AS b")
       .collect().head.getLong(0) == 500L)
-    // a genuinely NON-delta mutation (plain CREATE appends by union)
-    // falls back to a full write and clears the overlay
+    // plain CREATE is delta-shaped too (r17): created rows fold
+    // through the delta-log, so the save STAYS incremental — the base
+    // is still never rewritten for a one-row commit
     s.cypher("CREATE (a:acct {k: 9, bal: 1})")
     s.saveDatabase(data)
-    assert(!Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")),
-      "full write must supersede the overlay")
+    assert(baseFiles() == before, "plain CREATE must not rewrite the base")
+    assert(Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")),
+      "plain CREATE must ride the persisted delta-log")
     val fresh6 = new GraftSession(spark)
     fresh6.loadDatabase(data)
     assert(fresh6.cypher("MATCH (a:acct) RETURN count(a) AS n")
       .collect().head.getLong(0) == 3L)
     assert(fresh6.cypher("MATCH (a:acct {k: 3}) RETURN count(a) AS n")
-      .collect().head.getLong(0) == 0L, "tombstoned row resurrected by the full write")
+      .collect().head.getLong(0) == 0L, "tombstoned row resurrected by the save")
+    // a compaction folds the whole overlay away; the data reads the same
+    SnapshotStore.compact(spark, snap)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$snap/nodes_delta")),
+      "compaction must clear the overlay")
+    val fresh7 = new GraftSession(spark)
+    fresh7.loadDatabase(data)
+    assert(fresh7.cypher("MATCH (a:acct) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 3L)
   }
 
   test("incremental save (v5): an edge-delta-bearing database writes edges_delta, never the edge base") {

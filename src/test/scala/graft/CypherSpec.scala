@@ -286,6 +286,9 @@ class CypherSpec extends AnyFunSuite {
   test("USING hints parse, validate their variables, and never change results") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:uh {k: 1})-[:UH]->(b:uh {k: 2})")
+    // INDEX hints now require the hinted index to EXIST (Neo4j's
+    // Schema.IndexNotFound parity — r16 verdict missing #4)
+    s.cypher("CREATE INDEX uh_k FOR (n:uh) ON (n.k)")
     def ks(q: String) = s.cypher(q).collect().map(_.getLong(0)).toSeq.sorted
     val plainQ = ks("MATCH (n:uh) WHERE n.k >= 1 RETURN n.k AS k")
     assert(ks("MATCH (n:uh) USING INDEX n:uh(k) WHERE n.k >= 1 RETURN n.k AS k") == plainQ)
@@ -299,6 +302,18 @@ class CypherSpec extends AnyFunSuite {
       s.cypher("MATCH (n:uh) USING INDEX m:uh(k) WHERE n.k = 1 RETURN n.k AS k").collect()
     }
     assert(e.getMessage.contains("`m`"), e.getMessage)
+    // a relationship-variable index hint is valid Neo4j 5 syntax and
+    // must pass variable validation (ADVICE r16 #2); with a backing
+    // relationship index it runs and changes nothing
+    s.cypher("CREATE INDEX uh_rw FOR ()-[r:UH]->() ON (r.w)")
+    assert(ks("MATCH (a:uh)-[r:UH]->(b:uh) USING INDEX r:UH(w) RETURN b.k AS k") == Seq(2L))
+    // a hint naming a MISSING index raises Neo4j's error instead of
+    // silently no-oping (typo'd init scripts must fail loudly)
+    val miss = intercept[NoSuchElementException] {
+      s.cypher("MATCH (n:uh) USING INDEX n:uh(nope) WHERE n.k = 1 RETURN n.k AS k").collect()
+    }
+    assert(miss.getMessage.contains("No such index") &&
+      miss.getMessage.contains("`nope`"), miss.getMessage)
   }
 
   test("*lo.. prefix enumeration refuses past the cap with a bounded rewrite hint") {
@@ -314,16 +329,18 @@ class CypherSpec extends AnyFunSuite {
     s.cypher(
       """UNWIND $batch AS row MATCH (a:ht {k: row.a}), (b:ht {k: row.b})
         |MERGE (a)-[:HT]->(b)""".stripMargin, Map("batch" -> batch))
-    val old = cypher.CypherCompiler.PrefixEnumerationCap
-    cypher.CypherCompiler.PrefixEnumerationCap = 5
-    try {
-      val e = intercept[UnsupportedOperationException] {
-        s.cypher("MATCH (a:ht)-[:HT*2..]->(b:ht) RETURN count(*) AS n").collect()
-      }
-      assert(e.getMessage.contains("*2..") && e.getMessage.contains("prefix"),
-        e.getMessage)
-      assert(e.getMessage.contains("anchor"), e.getMessage)
-    } finally cypher.CypherCompiler.PrefixEnumerationCap = old
+    // the cap is per-session config (`graft.cypher.prefix_cap`), not
+    // a mutable global — a lowered test cap cannot leak into another
+    // session running concurrently (ADVICE r16 #4). The capped session
+    // shares `s`'s graph state through the catalog default database.
+    val capped = new GraftSession(spark, Map("graft.cypher.prefix_cap" -> "5"))
+    capped.setGraph(s.graph(), "neo4j")
+    val e = intercept[UnsupportedOperationException] {
+      capped.cypher("MATCH (a:ht)-[:HT*2..]->(b:ht) RETURN count(*) AS n").collect()
+    }
+    assert(e.getMessage.contains("*2..") && e.getMessage.contains("prefix"),
+      e.getMessage)
+    assert(e.getMessage.contains("anchor"), e.getMessage)
     // under the restored default the same pattern runs: every A-layer
     // node reaches every C-layer node by a ≥2 trail, nothing else does
     val n = s.cypher("MATCH (a:ht)-[:HT*2..]->(b:ht) RETURN count(*) AS n")
@@ -2974,10 +2991,11 @@ class CypherSpec extends AnyFunSuite {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:acct {k: 1, bal: 10})")
     s.cypher("CREATE (a:acct {k: 2, bal: 20})")
-    // a read compacts the CREATE chain into the materialized base
     assert(s.cypher("MATCH (a:acct) RETURN count(a) AS n").collect().head.getLong(0) == 2L)
     val db = s.catalog.database("neo4j")
-    val baseRef = db.graph.nodes
+    // CREATE is delta-shaped too (r17): the creates ride the overlay
+    // over the ORIGINAL base, which no burst may ever rewrite
+    val baseRef = db.validNodeDelta.map(_.base).getOrElse(db.graph.nodes)
     // ONE delta-shaped commit (batched upsert): updates k=1,2; creates k=3
     s.cypher(
       """UNWIND [1, 2, 3] AS x MERGE (a:acct {k: x})
