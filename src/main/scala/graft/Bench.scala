@@ -92,6 +92,12 @@ object Bench {
       val t0 = System.nanoTime()
       try materialize(q.fn(spark, sfDir)) catch { case _: Throwable => () }
       val cold = (System.nanoTime() - t0) / 1e9
+      // quiesce INSIDE the row too: the cold run's localCheckpoint
+      // debris (mutation-heavy rows checkpoint aggressively) otherwise
+      // contends with the steady run's executor memory and a 3 s row
+      // reads as 10 s — r16's cy_varlen_lower_unbounded steady entry
+      // was exactly this artifact (verdict r16 "what's wrong" #2)
+      quiesce()
       val t1 = System.nanoTime()
       try materialize(q.fn(spark, sfDir)) catch { case _: Throwable => () }
       val steady = (System.nanoTime() - t1) / 1e9
@@ -271,8 +277,17 @@ object Bench {
         .find(_.getName.endsWith(".parquet")).get
       java.nio.file.Files.move(orgPart.toPath,
         java.nio.file.Paths.get(s"$orgDir/documents.parquet"))
-      val orgParts = timeAt("dedup_minhash_lsh", orgDir)
-        .map(j => s""""dedup_minhash_lsh_organic":$j""").toSeq
+      // the linearity claim ships with its evidence (r16 verdict #2):
+      // candidate-pair volume and post-refinement bucket stats at ×10,
+      // so a moving slope is attributable — pair blow-up vs fixed-cost
+      // artifacts — instead of re-diagnosed from scratch
+      val orgParts = timeAt("dedup_minhash_lsh", orgDir).map { j =>
+        val (pairs, maxB, hot) =
+          try graft.operators.Dedup.lshCandidateStats(spark, orgDir)
+          catch { case _: Throwable => (-1L, -1L, -1L) }
+        s""""dedup_minhash_lsh_organic":${j.dropRight(1)}""" +
+          s""","cand_pairs":$pairs,"max_bucket":$maxB,"hot_buckets":$hot}"""
+      }.toSeq
 
       // v5 incremental-save probe — the O(delta) claim measured
       // directly: a synthetic base of N rows full-writes once

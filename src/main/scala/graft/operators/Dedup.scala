@@ -40,6 +40,72 @@ object Dedup {
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(shinglesOfTokens(col("t"), 3)).as("s"))
 
+  /** LSH bucket keys per (doc, band): MinHash signatures → banding →
+    * the two-level overflow re-banding (see the dedup_minhash_lsh
+    * entry for the semantics). Bucket sizing rides map-side-combinable
+    * aggregates + a join back of ONLY the oversized buckets (≤ n/CAP
+    * rows — AQE broadcasts it), not a window: the window's per-bucket
+    * sort is pure overhead when all we need is hot-set membership. */
+  private def lshKeyed(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("h", md5Int(col("s")))
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min(permHash(col("h"), a, b)).as(s"m$i") }
+    val sigs = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    def bandCols(bnd: Int) =
+      (0 until K / BANDS).map(r => s"m${bnd * (K / BANDS) + r}").mkString(", ")
+    val stackExpr = (0 until BANDS).map { bnd =>
+      s"$bnd, md5(concat_ws(',', ${bandCols(bnd)})), " +
+        s"md5(concat_ws(',', ${bandCols((bnd + 1) % BANDS)})), " +
+        s"md5(concat_ws(',', ${bandCols((bnd + 2) % BANDS)}))"
+    }.mkString(s"stack($BANDS, ", ", ", ") AS (band, sig, rsig, rsig2)")
+    val bands = sigs.select(col("doc_id"), expr(stackExpr))
+    val big1 = bands.groupBy("band", "sig").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > BUCKET_CAP)
+      .select(col("band"), col("sig"), lit(1).as("_hot"))
+    val k1 = bands.join(big1, Seq("band", "sig"), "left_outer")
+      .select(col("doc_id"), col("band"), col("sig"), col("rsig2"),
+        when(col("_hot").isNotNull, col("rsig")).otherwise(lit("")).as("sub"))
+    // level 2: a sub-bucket still over the cap refines once more by
+    // the band after next ('' buckets can never match big2 — its rows
+    // all carry a non-empty sub — so the join needs no extra guard)
+    val big2 = k1.filter(col("sub") =!= "")
+      .groupBy("band", "sig", "sub").agg(count(lit(1)).as("bn2"))
+      .filter(col("bn2") > BUCKET_CAP)
+      .select(col("band"), col("sig"), col("sub"), lit(1).as("_hot2"))
+    k1.join(big2, Seq("band", "sig", "sub"), "left_outer")
+      .select(col("doc_id"), col("band"), col("sig"),
+        when(col("_hot2").isNotNull, concat(col("sub"), col("rsig2")))
+          .otherwise(col("sub")).as("sub"))
+  }
+
+  /** LSH candidate pairs (d1 < d2) for the given shingle table. */
+  private def lshCandidates(sh: DataFrame): DataFrame = {
+    val keyed = lshKeyed(sh)
+    keyed.toDF("d1", "band", "sig", "sub")
+      .join(keyed.toDF("d2", "band2", "sig2", "sub2"),
+        col("band") === col("band2") && col("sig") === col("sig2") &&
+          col("sub") === col("sub2") && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Measured evidence for the LSH linearity claim (r16 verdict #2,
+    * the "no silent caps" discipline): (candidate pairs, max
+    * post-refinement bucket size, buckets still over the cap after the
+    * two-level budget). The bench's organic scaling probe reports
+    * these next to the slope, so "candidate volume stays
+    * output-proportional" is a measured number, not a design claim. */
+  def lshCandidateStats(s: SparkSession, d: String): (Long, Long, Long) = {
+    val sh = shingleDf(s, d).localCheckpoint()
+    val sizes = lshKeyed(sh).groupBy("band", "sig", "sub")
+      .agg(count(lit(1)).as("bn"))
+      .agg(max("bn").as("mx"),
+        sum(when(col("bn") > BUCKET_CAP, 1L).otherwise(0L)).as("hot"))
+      .collect().head
+    val cands = lshCandidates(sh).count()
+    (cands, if (sizes.isNullAt(0)) 0L else sizes.getLong(0),
+      if (sizes.isNullAt(1)) 0L else sizes.getLong(1))
+  }
+
   /** Exact Jaccard for the given candidate pairs (d1 < d2), as an
     * integer score ijac = floor(jac * 1e6 + 0.5): the inputs are exact
     * integers and /, *, +, floor are deterministic on identical
@@ -345,14 +411,21 @@ object Dedup {
     // ---- MinHash + LSH banding: the scale path ----
     // Bucket-growth bound (r10 organic slope was 1.16): with FIXED
     // band width, LSH buckets densify as the corpus grows and the
-    // bucket self-join trends quadratic. Overflow re-banding caps it:
-    // any (band, sig) bucket larger than BUCKET_CAP is subdivided by
-    // the NEXT band's signature (a deterministic refinement both
-    // engines replay — one window count + a CASE, no new shuffle key).
+    // bucket self-join trends quadratic. Overflow re-banding caps it,
+    // RECURSIVELY with a fixed two-level budget (r16 verdict #2): a
+    // (band, sig) bucket larger than BUCKET_CAP subdivides by the NEXT
+    // band's signature; a sub-bucket STILL over the cap subdivides
+    // again by the band after that (a deterministic refinement both
+    // engines replay — sizing aggregates + CASEs, no new shuffle key).
     // True near-dups agree on other bands with high probability, so
     // recall loss concentrates on the hash-collision mass that caused
-    // the densification; at correctness scale every bucket is under
-    // the cap and the refinement is the identity.
+    // the densification. A bucket hot after BOTH levels is docs with
+    // three consecutive identical band signatures — near-certain true
+    // duplicates, whose pairs are output-proportional by definition —
+    // so the residual is kept, not capped (no silent drops;
+    // [[lshCandidateStats]] measures the volumes the claim rests on).
+    // At correctness scale every bucket is under the cap and the
+    // refinement is the identity.
     sql("dedup_minhash_lsh", {
       val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
         s"min(($a * $hSql + $b) % $P) AS m$i" }.mkString(",\n    ")
@@ -360,7 +433,8 @@ object Dedup {
         (0 until K / BANDS).map(r => s"m${bnd * (K / BANDS) + r}").mkString(", ")
       val bandSigs = (0 until BANDS).map { bnd =>
         s"SELECT doc_id, $bnd AS band, md5(concat_ws(',', ${bandCols(bnd)})) AS sig, " +
-          s"md5(concat_ws(',', ${bandCols((bnd + 1) % BANDS)})) AS rsig FROM sigs"
+          s"md5(concat_ws(',', ${bandCols((bnd + 1) % BANDS)})) AS rsig, " +
+          s"md5(concat_ws(',', ${bandCols((bnd + 2) % BANDS)})) AS rsig2 FROM sigs"
       }.mkString("\n  UNION ALL ")
       s"""WITH $shSql,
          |sigs AS (
@@ -370,11 +444,18 @@ object Dedup {
          |bands AS (
          |  $bandSigs),
          |sized AS (
-         |  SELECT doc_id, band, sig, rsig,
+         |  SELECT doc_id, band, sig, rsig, rsig2,
          |         count(*) OVER (PARTITION BY band, sig) AS bn FROM bands),
+         |keyed1 AS (
+         |  SELECT doc_id, band, sig, rsig2,
+         |         CASE WHEN bn > $BUCKET_CAP THEN rsig ELSE '' END AS sub FROM sized),
+         |sized2 AS (
+         |  SELECT doc_id, band, sig, rsig2, sub,
+         |         count(*) OVER (PARTITION BY band, sig, sub) AS bn2 FROM keyed1),
          |keyed AS (
          |  SELECT doc_id, band, sig,
-         |         CASE WHEN bn > $BUCKET_CAP THEN rsig ELSE '' END AS sub FROM sized),
+         |         CASE WHEN sub <> '' AND bn2 > $BUCKET_CAP
+         |              THEN sub || rsig2 ELSE sub END AS sub FROM sized2),
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |  FROM keyed a JOIN keyed b
@@ -383,33 +464,12 @@ object Dedup {
          |${verifySql("cands")}
          |WHERE ijac >= 700000""".stripMargin
     }) { (s, d) =>
-      val sh = shingleDf(s, d)
-      val hashed = sh.withColumn("h", md5Int(col("s")))
-      val aggs = params.zipWithIndex.map { case ((a, b), i) =>
-        min(permHash(col("h"), a, b)).as(s"m$i") }
-      val sigs = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      def bandCols(bnd: Int) =
-        (0 until K / BANDS).map(r => s"m${bnd * (K / BANDS) + r}").mkString(", ")
-      val stackExpr = (0 until BANDS).map { bnd =>
-        s"$bnd, md5(concat_ws(',', ${bandCols(bnd)})), " +
-          s"md5(concat_ws(',', ${bandCols((bnd + 1) % BANDS)}))"
-      }.mkString(s"stack($BANDS, ", ", ", ") AS (band, sig, rsig)")
-      val bands = sigs.select(col("doc_id"), expr(stackExpr))
-      // bucket sizing via a map-side-combinable aggregate + join back
-      // of ONLY the oversized buckets (≤ n/CAP rows — AQE broadcasts
-      // it), not a window: the window's per-(band, sig) sort is pure
-      // overhead when all we need is membership in the hot set
-      val big = bands.groupBy("band", "sig").agg(count(lit(1)).as("bn"))
-        .filter(col("bn") > BUCKET_CAP).select(col("band"), col("sig"), lit(1).as("_hot"))
-      val keyed = bands.join(big, Seq("band", "sig"), "left_outer")
-        .select(col("doc_id"), col("band"), col("sig"),
-          when(col("_hot").isNotNull, col("rsig")).otherwise(lit("")).as("sub"))
-      val cands = keyed.toDF("d1", "band", "sig", "sub")
-        .join(keyed.toDF("d2", "band2", "sig2", "sub2"),
-          col("band") === col("band2") && col("sig") === col("sig2") &&
-            col("sub") === col("sub2") && col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
-      verifyJaccard(sh, cands).filter(col("ijac") >= 700000)
+      // the shingle table feeds the signature aggregate AND three
+      // verify-join subtrees — checkpoint it ONCE instead of re-running
+      // the tokenizer per subtree (the r16 organic probe spent ~5
+      // single-file tokenization passes per run on exactly this)
+      val sh = shingleDf(s, d).localCheckpoint()
+      verifyJaccard(sh, lshCandidates(sh)).filter(col("ijac") >= 700000)
     },
 
     // ---- SimHash: 32-bit near-dup fingerprint in one agg pass ----
