@@ -366,8 +366,14 @@ final class GraftSession(val spark: SparkSession,
     """(?is)\s*DROP\s+CONSTRAINT\s+(\w+)\s*(?:(IF)\s+EXISTS\s*)?""".r
   private val ShowConstraintsQ =
     """(?is)\s*SHOW\s+(?:UNIQUE(?:NESS)?\s+|ALL\s+)?CONSTRAINTS\b(.*)""".r
+  // the ON list takes one or more properties: a COMPOSITE index
+  // `ON (n.p1, n.p2)` (standard Neo4j 5 DDL, r16 verdict #5) records
+  // its key as the comma-joined property list in the existing
+  // (label, prop, kind) schema tuple — identifiers cannot contain
+  // commas, so the encoding is unambiguous and the on-disk
+  // schema.json format (and every migration) is unchanged
   private val CreateIndexDdl =
-    """(?is)\s*CREATE\s+(?:(RANGE|TEXT|POINT)\s+)?INDEX\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*(\w+)\s*:\s*(\w+)\s*\)\s*ON\s*\(\s*\w+\.(\w+)\s*\)\s*""".r
+    """(?is)\s*CREATE\s+(?:(RANGE|TEXT|POINT)\s+)?INDEX\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*(\w+)\s*:\s*(\w+)\s*\)\s*ON\s*\(\s*(\w+\.\w+(?:\s*,\s*\w+\.\w+)*)\s*\)\s*""".r
   // relationship property indexes (Neo4j 5):
   // CREATE [RANGE|TEXT|POINT] INDEX n FOR ()-[r:T]-() ON (r.p) —
   // recorded with a REL_ kind marker (metadata + SHOW; typed-edge
@@ -377,7 +383,7 @@ final class GraftSession(val spark: SparkSession,
   // ()-[r:T]->(), ()<-[r:T]-() — direction is irrelevant to the
   // recorded index metadata (ADVICE r16 #3)
   private val CreateRelIndexDdl =
-    """(?is)\s*CREATE\s+(?:(RANGE|TEXT|POINT)\s+)?INDEX\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*\)\s*(?:<\s*)?-\s*\[\s*(\w+)\s*:\s*(\w+)\s*\]\s*-\s*(?:>\s*)?\(\s*\)\s*ON\s*\(\s*\w+\.(\w+)\s*\)\s*""".r
+    """(?is)\s*CREATE\s+(?:(RANGE|TEXT|POINT)\s+)?INDEX\s+(\w+)\s*(?:(IF)\s+NOT\s+EXISTS\s*)?FOR\s*\(\s*\)\s*(?:<\s*)?-\s*\[\s*(\w+)\s*:\s*(\w+)\s*\]\s*-\s*(?:>\s*)?\(\s*\)\s*ON\s*\(\s*(\w+\.\w+(?:\s*,\s*\w+\.\w+)*)\s*\)\s*""".r
   // CREATE VECTOR INDEX name FOR (n:L) ON n.prop [OPTIONS {…}] — the
   // OPTIONS blob is accepted but checked: a similarity function other
   // than cosine is refused rather than silently served as cosine
@@ -750,6 +756,17 @@ final class GraftSession(val spark: SparkSession,
     out
   }
 
+  /** Parse the `ON (v.p1[, v.p2…])` property list to the comma-joined
+    * composite key. Composite keys are RANGE-only (Neo4j refuses
+    * composite TEXT/POINT too). */
+  private def parseIndexProps(propList: String, kind: Option[String]): String = {
+    val props = """\w+\.(\w+)""".r.findAllMatchIn(propList).map(_.group(1)).toSeq
+    if (props.size > 1 && kind.exists(k => !k.equalsIgnoreCase("range")))
+      throw new UnsupportedOperationException(
+        s"composite ${kind.get.toUpperCase} indexes are not supported (RANGE only)")
+    props.mkString(",")
+  }
+
   private def createIndexMeta(tx: Option[TxHandle], database: String, name: String,
       ifNot: String, label: String, prop: String, kind: String): DataFrame = {
     requireNoTx(tx, "CREATE INDEX")
@@ -838,11 +855,13 @@ final class GraftSession(val spark: SparkSession,
       unit()
     case ShowConstraintsQ(rest) =>
       applyYield(showSchemaMeta(catalog.database(database), isIndex = false), rest)
-    case CreateIndexDdl(kind, name, ifNot, _, label, prop) =>
-      createIndexMeta(tx, database, name, ifNot, label, prop,
+    case CreateIndexDdl(kind, name, ifNot, _, label, propList) =>
+      createIndexMeta(tx, database, name, ifNot, label,
+        parseIndexProps(propList, Option(kind)),
         Option(kind).map(_.toUpperCase).getOrElse("RANGE"))
-    case CreateRelIndexDdl(kind, name, ifNot, _, relType, prop) =>
-      createIndexMeta(tx, database, name, ifNot, relType, prop,
+    case CreateRelIndexDdl(kind, name, ifNot, _, relType, propList) =>
+      createIndexMeta(tx, database, name, ifNot, relType,
+        parseIndexProps(propList, Option(kind)),
         "REL_" + Option(kind).map(_.toUpperCase).getOrElse("RANGE"))
     case CreateVectorIndexDdl(name, ifNot, _, label, prop, options) =>
       if (options != null) {
@@ -864,8 +883,9 @@ final class GraftSession(val spark: SparkSession,
       applyYield(showSchemaMeta(catalog.database(database), isIndex = true), rest)
     case IndexDdl(verb, kind) => throw new UnsupportedOperationException(
       s"unsupported $verb $kind form — supported: single-property uniqueness " +
-        "constraints (CREATE CONSTRAINT n FOR (v:Label) REQUIRE v.prop IS UNIQUE) " +
-        "and single-property indexes; refusing rather than silently ignoring")
+        "constraints (CREATE CONSTRAINT n FOR (v:Label) REQUIRE v.prop IS UNIQUE), " +
+        "single-property indexes, and composite RANGE indexes " +
+        "(ON (v.p1, v.p2)); refusing rather than silently ignoring")
     case ExplainQ(mode, rest) =>
       val db = tx match {
         case Some(h) => h.database(database)
@@ -1280,8 +1300,12 @@ final class GraftSession(val spark: SparkSession,
           // name re-points no frame, so only the schema equality
           // protects against routing through a projection built for a
           // different (label, prop)
+          // a COMPOSITE key routes on its FIRST property (the prefix
+          // rule): the projection holds exactly the label's rows with
+          // that property non-null, whatever the rest of the key
           case (name, e @ (l, p, "RANGE" | "TEXT"))
-              if l == label && p == prop && st.sealedIndexes.get(name).contains(e) =>
+              if l == label && p.split(",").head == prop &&
+                st.sealedIndexes.get(name).contains(e) =>
             s"${st.dir}/index_aux/$name"
         }.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
           .map { path =>
@@ -1307,7 +1331,8 @@ final class GraftSession(val spark: SparkSession,
       memDelta.flatMap { mem =>
         db.indexes.collectFirst {
           case (name, e @ (t, p, "REL_RANGE" | "REL_TEXT"))
-              if t == relType && p == prop && st.sealedIndexes.get(name).contains(e) =>
+              if t == relType && p.split(",").head == prop &&
+                st.sealedIndexes.get(name).contains(e) =>
             s"${st.dir}/index_aux/$name"
         }.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
           .map { path =>

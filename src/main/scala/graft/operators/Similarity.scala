@@ -431,6 +431,63 @@ object Similarity {
         .agg(sum("pdot").as("iadc"))
       val w = Window.partitionBy("q_id").orderBy(col("iadc").desc, col("neighbor"))
       scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+    },
+
+    // ---- IVF recall, measured end to end (r16 verdict #3) ----
+    // The VECTOR-index probe path against its own exact scan: a
+    // snapshot-backed session trains the IVF coarse quantizer at save
+    // (Lloyd from the lowest-id seeds — SnapshotStore.writeIndexAux),
+    // then for NQ query vectors the probes=8 partition-pruned read is
+    // scored against the exhaustive top-10. The recall number is a
+    // deterministic function of the corpus (seeding, tie-breaks, and
+    // the decimal centroid means are all order-independent) but NOT
+    // SQL-expressible — DuckDB cannot replay the trained quantizer —
+    // so this row is rows-only by design; PacksSpec pins the recall
+    // floor on a clustered synthetic corpus.
+    QueryDef.rowsOnly("ann_ivf_recall") { (s, d) =>
+      val gs = vectorSession(s, d)
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < NQ)
+        .orderBy("vec_id").collect().map { r =>
+          (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))
+        }
+      val rows = queries.map { case (qid, v) =>
+        // the vector rides as a parameter — double literals can carry
+        // scientific notation the Cypher lexer doesn't take
+        def ids(opts: String) = gs.cypher(
+          s"CALL db.index.vector.queryNodes('emb_ivf', 10, $$v$opts) " +
+            "YIELD nodeId RETURN nodeId", Map("v" -> v)).collect().map(_.getLong(0)).toSet
+        val ivf = ids(", {probes: 8}")
+        val exact = ids("")
+        (qid, exact.size.toLong, ivf.intersect(exact).size.toLong)
+      }.toSeq
+      import s.implicits._
+      rows.toDF("q_id", "k", "overlap")
+        .select(col("q_id"), col("k"), col("overlap"),
+          floor(col("overlap") * lit(1000000.0) / col("k") + lit(0.5))
+            .cast("long").as("irecall"))
     }
   )
+
+  /** Snapshot-backed session with a VECTOR index over the embeddings
+    * table — the IVF-recall fixture: one full save trains the coarse
+    * quantizer and lays out the cells/centroids projection the probe
+    * path partition-prunes. */
+  private val vecCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.GraftSession]()
+  private def vectorSession(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.GraftSession =
+    vecCache.computeIfAbsent(dir, _ => {
+      val gs = new graft.GraftSession(s)
+      val nodes = Tables.embeddings(s, dir).select(
+        (col("vec_id") * 10 + 5).cast("long").as("id"),
+        array(lit("emb")).as("labels"),
+        col("embedding"), col("vec_id"))
+      gs.setGraph(graft.core.PropertyGraph(nodes,
+        graft.core.PropertyGraph.empty(s).edges))
+      gs.cypher("CREATE VECTOR INDEX emb_ivf FOR (n:emb) ON n.embedding " +
+        "OPTIONS {indexConfig: {`vector.similarity_function`: 'cosine'}}")
+      gs.saveDatabase(
+        java.nio.file.Files.createTempDirectory("graft_ivfrec_row_").toString)
+      gs
+    })
 }

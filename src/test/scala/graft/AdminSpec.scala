@@ -578,11 +578,19 @@ class AdminSpec extends AnyFunSuite {
     val data = tmp("graft-data")
     val s = dogsSession()
     s.cypher("CREATE CONSTRAINT uniq_snap FOR (d:dog) REQUIRE d.name IS UNIQUE")
+    // a COMPOSITE index's comma-joined key round-trips in the same
+    // (label, prop, kind) schema tuple — no format bump needed, the
+    // on-disk schema.json shape is unchanged (r16 verdict #5)
+    s.cypher("CREATE INDEX dog_comp FOR (d:dog) ON (d.name, d.age)")
     s.saveDatabase(data)
     val fresh = new GraftSession(spark)
     fresh.loadDatabase(data)
     val cons = fresh.cypher("SHOW CONSTRAINTS").collect()
     assert(cons.exists(_.getString(cons.head.fieldIndex("name")) == "uniq_snap"))
+    val idx = fresh.cypher("SHOW INDEXES YIELD name, properties").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(idx.get("dog_comp").contains("name,age"),
+      s"composite key lost in round-trip: ${idx.get("dog_comp")}")
     // and it ENFORCES: a duplicate name is refused post-load
     intercept[Exception] {
       fresh.cypher("CREATE (d:dog {name:'Arne'})")

@@ -1428,6 +1428,39 @@ class CypherSpec extends AnyFunSuite {
       "RETURN op, before").collect().isEmpty)
   }
 
+  test("db.cdc withBefore: at-cursor images, selector-scoped enrichment (r16 verdict #7)") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:bx {k: 1, v: 10})")
+    s.cypher("CREATE (:by {k: 1, v: 20})")
+    val c = s.cypher("CALL db.cdc.current() YIELD id RETURN id")
+      .collect().head.getString(0)
+    s.cypher("MATCH (n:bx) SET n.v = 11")
+    s.cypher("MATCH (n:by) SET n.v = 21")
+    // label-scoped + withBefore: exactly the scoped slice is
+    // delivered AND enriched — the before-image machinery runs over
+    // the selector-filtered keys only (the unscoped :by key never
+    // enters the lookup), and the image is the TRUE at-cursor state
+    // even though the node was CREATED this epoch and its delta row
+    // has since been overwritten (the anchored-frame path)
+    val wb = s.cypher(
+      s"CALL db.cdc.query('$c', true, [{select: 'n', labels: ['bx']}]) " +
+        "YIELD op, detail, before RETURN op, detail, before").collect()
+    assert(wb.length == 1 && wb.head.getString(1) == "bx", wb.mkString(","))
+    assert(wb.head.getString(0) == "u")
+    val before = wb.head.getString(2)
+    assert(before != null && before.contains("\"v\":10"), s"before: $before")
+    // an update AFTER a second SET still reads the SECOND cursor's
+    // at-cursor value (not epoch start, not latest)
+    val c2 = s.cypher("CALL db.cdc.current() YIELD id RETURN id")
+      .collect().head.getString(0)
+    s.cypher("MATCH (n:bx) SET n.v = 12")
+    val wb2 = s.cypher(
+      s"CALL db.cdc.query('$c2', true, [{select: 'n', labels: ['bx']}]) " +
+        "YIELD op, before RETURN op, before").collect()
+    assert(wb2.length == 1 && wb2.head.getString(1) != null &&
+      wb2.head.getString(1).contains("\"v\":11"), wb2.mkString(","))
+  }
+
   test("db.cdc: cursors are database-bound — the wrong database refuses") {
     val s = new GraftSession(spark)
     s.cypher("CREATE DATABASE cdcdb")

@@ -325,6 +325,46 @@ class PlanSpec extends AnyFunSuite {
       Array(0L, 5L, 12L, 19L, 26L, 33L)))
   }
 
+  test("composite RANGE index: prefix anchors route, full-key anchors push both") {
+    // r16 verdict #5: CREATE INDEX … ON (n.p1, n.p2). The projection
+    // holds the label's non-null-p1 rows clustered by (p1, p2); the
+    // compiler routes on the key PREFIX (p1 anchors), never on p2
+    // alone (rows with null p1 could match a p2-only predicate).
+    val s = new GraftSession(spark)
+    val dataDir = java.nio.file.Files.createTempDirectory("graft_ci_").toString
+    s.cypher("UNWIND $rows AS row CREATE (:Acct {region: row.r, tier: row.t, ref: row.x})",
+      Map("rows" -> (0 until 600).map(i =>
+        Map("r" -> (i % 10).toLong, "t" -> (i % 6).toLong, "x" -> i.toLong))))
+    s.cypher("CREATE INDEX acct_rt FOR (n:Acct) ON (n.region, n.tier)")
+    // SHOW INDEXES carries the composite key
+    val shown = s.cypher("SHOW INDEXES YIELD name, properties").collect()
+      .filter(_.getString(0) == "acct_rt")
+    assert(shown.length == 1 && shown.head.getString(1) == "region,tier")
+    s.saveDatabase(dataDir)
+    val expect: Array[Long] =
+      (0 until 600).filter(i => i % 10 == 3 && i % 6 == 2).map(_.toLong).toArray
+    val df = s.cypher("MATCH (n:Acct {region: 3, tier: 2}) RETURN n.ref AS ref")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("index_aux"), "full-key anchor not routed:\n" + p)
+    assert(p.contains("EqualTo(region,3") && p.contains("EqualTo(tier,2"),
+      "composite predicates not both pushed:\n" + p)
+    assert(df.collect().map(_.getLong(0)).sorted.sameElements(expect))
+    // prefix anchor (first key property alone) routes too
+    val df2 = s.cypher("MATCH (n:Acct {region: 3}) RETURN n.ref AS ref")
+    val p2 = df2.queryExecution.executedPlan.toString
+    assert(p2.contains("index_aux"), "prefix anchor not routed:\n" + p2)
+    assert(df2.collect().length == 60)
+    // a NON-prefix anchor (second property alone) must NOT route
+    val df3 = s.cypher("MATCH (n:Acct {tier: 2}) RETURN n.ref AS ref")
+    assert(!df3.queryExecution.executedPlan.toString.contains("index_aux"),
+      "tier-only anchor wrongly routed through the (region, tier) projection")
+    assert(df3.collect().length == 100)
+    // composite TEXT refuses at DDL (Neo4j parity)
+    intercept[UnsupportedOperationException] {
+      s.cypher("CREATE TEXT INDEX acct_tt FOR (n:Acct) ON (n.region, n.tier)")
+    }
+  }
+
   test("RANGE-index anchored MATCH reads the clustered projection, pruned") {
     // r15 verdict #1: after CREATE INDEX + save, MATCH (n:L {p: v})
     // must route through the snapshot's index_aux projection (sorted
