@@ -1347,21 +1347,33 @@ final class GraftSession(val spark: SparkSession,
     * when its node frame is provably the snapshot base the projection
     * was written from (reference identity — the rangeAnchorFor
     * validity argument, shared by the VECTOR IVF probe path). */
-  private def indexAuxDirFor(name: String): Option[String] = {
+  /** VECTOR/IVF routing state: the on-disk `index_aux/<name>` dir
+    * plus the NODE delta the probe must compose with — on-disk
+    * (folded into the save/load frame) and/or live — under the same
+    * two-layer reference-identity proof as [[rangeAnchorFor]]. The
+    * probe then answers `pruned cells ⟵anti-join touched ids⟶ ∪
+    * brute-forced delta slice`: exact relative to the trained
+    * quantizer, O(delta) extra work per query. */
+  private def indexAuxVectorRoute(name: String)
+      : Option[(String, Option[DataFrame], Option[DataFrame])] = {
     val d = statementDatabase
-    d.indexAuxState match {
-      // unlike RANGE/TEXT, the IVF cells layout cannot compose with a
-      // delta overlay (a new vector has no cell assignment), so the
-      // VECTOR path requires a PURE base: same frame, no disk delta
-      // folded in (writeDelta also drops the cells dir on a node
-      // delta — the existence check below is the second line)
-      case Some(st) if (st.nodesRef eq d.graph.nodes) && st.nodeDiskDelta.isEmpty &&
-          d.indexes.get(name).exists(e => st.sealedIndexes.get(name).contains(e)) =>
-        Some(s"${st.dir}/index_aux/$name")
+    d.indexAuxState.flatMap { st =>
+      val memDelta: Option[Option[DataFrame]] =
+        if (st.nodesRef eq d.graph.nodes) Some(None)
+        else d.validNodeDelta.filter(_.base eq st.nodesRef).map(s => Some(s.delta))
+      memDelta.flatMap { mem =>
+        if (!d.indexes.get(name).exists(e => st.sealedIndexes.get(name).contains(e))) None
+        else Some(s"${st.dir}/index_aux/$name")
           .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-      case _ => None
+          .map(p => (p, st.nodeDiskDelta, mem))
+      }
     }
   }
+
+  private def indexAuxDirFor(name: String): Option[String] =
+    indexAuxVectorRoute(name).collect {
+      case (dir, None, None) => dir
+    }
 
   private def changePassword(from: String, to: String): Unit = {
     val store = authStore.getOrElse(throw new IllegalStateException(
@@ -1391,16 +1403,25 @@ final class GraftSession(val spark: SparkSession,
     * shape the reference tests issue (ref TestPluginInstallation
     * .java:184,215). */
   private def applyYield(df: DataFrame, rest: String): DataFrame = {
-    // a RETURN tail of plain column names PROJECTS (it used to be
-    // silently discarded — `YIELD a RETURN b` answered with column a);
-    // anything beyond plain columns (WHERE, expressions, aliases)
-    // refuses loudly below rather than mis-shaping the answer
-    val yieldRe = """(?is)\s*YIELD\s+([\w,\s]+?)(?:\s+RETURN\s+([\w,\s]+?))?\s*$""".r
+    // `YIELD col[, …] [WHERE expr] [RETURN col[, …]]` — the WHERE
+    // filter rides the FULL Cypher expression grammar over the yielded
+    // columns (`SHOW INDEXES YIELD name, type WHERE name STARTS WITH
+    // 'idx_'` is standard Neo4j ops-script shape). A RETURN tail of
+    // plain column names PROJECTS; anything beyond that refuses
+    // loudly rather than mis-shaping the answer (ADVICE r14).
+    val yieldRe =
+      """(?is)\s*YIELD\s+([\w,\s]+?)(?:\s+WHERE\s+(.+?))?(?:\s+RETURN\s+([\w,\s]+?))?\s*$""".r
     rest match {
-      case yieldRe(cols, ret) =>
+      case yieldRe(cols, where, ret) =>
         def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty)
         val names = split(cols)
-        val yielded = df.select(names.head, names.tail.toIndexedSeq: _*)
+        var yielded = df.select(names.head, names.tail.toIndexedSeq: _*)
+        Option(where).foreach { w =>
+          val pred = CypherParser.parseExpr(w)
+          yielded = yielded.filter(
+            new CypherCompiler(spark, graft.core.PropertyGraph.empty(spark))
+              .compileExpr(pred, yielded))
+        }
         Option(ret).map(split) match {
           case Some(r) if r.nonEmpty => yielded.select(r.head, r.tail.toIndexedSeq: _*)
           case _ => yielded
@@ -1408,11 +1429,10 @@ final class GraftSession(val spark: SparkSession,
       case _ if rest == null || rest.trim.isEmpty => df
       case _ =>
         // refuse-loudly discipline: a tail this projection can't honor
-        // (WHERE, a YIELD with expressions, …) must error, never
-        // silently return the unfiltered rows (ADVICE r14)
+        // must error, never silently return the unfiltered rows
         throw new UnsupportedOperationException(
           s"unsupported SHOW tail: `${rest.trim}` (only `YIELD col[, …] " +
-            "[RETURN col[, …]]` is supported here)")
+            "[WHERE expr] [RETURN col[, …]]` is supported here)")
     }
   }
 
@@ -4957,6 +4977,7 @@ final class GraftSession(val spark: SparkSession,
 
   private def norm(v: Any): Any = v match {
     case i: Int => i.toLong
+    case s: Seq[_] => s.map(norm) // list property: normalize elements
     case ast.VarRefValue(n) => throw new UnsupportedOperationException(
       s"variable property value `$n` is only supported in UNWIND … CREATE patterns")
     case ast.PropRefValue(n, k) => throw new UnsupportedOperationException(
@@ -5282,7 +5303,7 @@ final class GraftSession(val spark: SparkSession,
         "options {probes: n} routes through the snapshot's IVF projection " +
         "when one exists (approximate — scans only the n best coarse " +
         "cells, partition-pruned); default is the exact scan") { args =>
-      import org.apache.spark.sql.functions.{col, array, lit, array_contains}
+      import org.apache.spark.sql.functions.{col, array, lit, array_contains, coalesce}
       val name = String.valueOf(args.head)
       val k = args(1) match {
         case n: Number => n.intValue()
@@ -5315,14 +5336,18 @@ final class GraftSession(val spark: SparkSession,
       val qCol = array(q.map(lit): _*)
       // IVF probe path (the 100 TB shape): rank the tiny centroid
       // table on the driver, scan ONLY the `probes` best coarse cells
-      // (hive-partition-pruned), brute-force cosine within. Valid only
-      // while the statement frame IS the saved base (reference
-      // identity) — any mutation falls back to the exact scan, as does
-      // a session that never saved.
-      val ivfDir = probes.filter(_ > 0).flatMap(_ => indexAuxDirFor(name))
-        .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/centroids")))
-      ivfDir match {
-        case Some(dir) =>
+      // (hive-partition-pruned), brute-force cosine within —
+      // DELTA-COMPOSED (r17): a mutated graph stays probe-routed by
+      // excluding every delta-touched id from the cell scan (its cell
+      // row is stale) and brute-forcing the delta's live indexed slice
+      // alongside — O(delta) extra work, exact relative to the trained
+      // quantizer. Falls back to the exact scan only when the frame
+      // moved by a non-overlay path, or the session never saved.
+      val ivfRoute = probes.filter(_ > 0).flatMap(_ => indexAuxVectorRoute(name))
+        .filter { case (d, _, _) =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/centroids")) }
+      ivfRoute match {
+        case Some((dir, diskDelta, memDelta)) =>
           def cos(a: Seq[Double], b: Seq[Double]): Double = {
             val dot = a.lazyZip(b).map(_ * _).sum
             val na = math.sqrt(a.map(x => x * x).sum)
@@ -5333,12 +5358,32 @@ final class GraftSession(val spark: SparkSession,
             .map(r => (r.getInt(0), r.getSeq[Double](1)))
           val cells = cents.sortBy { case (c, v) => (-cos(q, v), c) }
             .take(probes.get).map(_._1)
-          spark.read.parquet(s"$dir/cells")
+          val cellScan = spark.read.parquet(s"$dir/cells")
             .filter(col("_ivf_cell").isin(cells.toIndexedSeq: _*))
-            .select(col("id").as("nodeId"),
-              V.cosine(col(prop).cast("array<double>"), qCol).as("score"))
-            .orderBy(col("score").desc, col("nodeId"))
-            .limit(k)
+          // latest-wins combination of the two delta layers (the live
+          // overlay is newer than the persisted log)
+          val combined = (diskDelta, memDelta) match {
+            case (Some(dk), Some(o)) => Some(PropertyGraph.appendByName(
+              dk.join(o.select(col("id").as("_ck")), dk("id") === col("_ck"), "left_anti"), o))
+            case (dk, o) => o.orElse(dk)
+          }
+          def scoreOf(df: DataFrame) = df.select(col("id").as("nodeId"),
+            V.cosine(col(prop).cast("array<double>"), qCol).as("score"))
+          val scored = combined match {
+            case None => scoreOf(cellScan)
+            case Some(dl) =>
+              val kept = scoreOf(cellScan.join(dl.select(col("id").as("_dk")),
+                cellScan("id") === col("_dk"), "left_anti"))
+              val tombC = PropertyGraph.TombstoneCol
+              val live0 =
+                if (dl.columns.contains(tombC))
+                  dl.filter(!coalesce(col(tombC), lit(false)))
+                else dl
+              if (!live0.columns.contains(prop)) kept
+              else kept.unionByName(scoreOf(live0.filter(
+                array_contains(col("labels"), label) && col(prop).isNotNull)))
+          }
+          scored.orderBy(col("score").desc, col("nodeId")).limit(k)
         case None =>
           g.nodes
             .filter(array_contains(col("labels"), label) && col(prop).isNotNull)

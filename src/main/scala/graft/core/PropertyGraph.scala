@@ -85,6 +85,12 @@ object PropertyGraph {
     case _: Int     => LongType
     case _: Double  => DoubleType
     case _: Boolean => BooleanType
+    // LIST properties (Neo4j stores homogeneous lists; the canonical
+    // case is a node embedding fed to a VECTOR index): element type
+    // from the first non-null element, like map-batch inference
+    case s: Seq[_] =>
+      org.apache.spark.sql.types.ArrayType(
+        s.find(_ != null).map(literalType).getOrElse(StringType))
     case null       => StringType
     case other => throw new IllegalArgumentException(s"unsupported property type: $other")
   }

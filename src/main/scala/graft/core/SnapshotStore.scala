@@ -491,25 +491,20 @@ object SnapshotStore {
         (nc, ec, bs)
     }
     Files.deleteIfExists(Paths.get(s"$dir/manifest.json")) // invalidate first
-    // RANGE/TEXT/REL_* projections SURVIVE a delta landing (r16
-    // verdict #1): a routed lookup composes `projection ⟵overlay⟶
-    // delta-log` — the same latest-wins anti-join + union the base
-    // read itself uses — so anchored lookups stay index-backed on an
-    // ingest-heavy live graph instead of degrading to a full base
-    // scan after the first 30-row commit. Build-time defs stay sealed
-    // in index_aux/sealed_schema.json (untouched here), so DDL churn
-    // between saves can never route through a mismatched projection.
-    // VECTOR/IVF projections are the exception: a new or moved vector
-    // has no cell assignment, and the cells layout cannot compose by
-    // overlay — a node delta drops them; the next full write or
-    // compaction rebuilds.
-    def dropNonComposable(): Unit = schema.indexes.foreach {
-      case (name, (_, _, "VECTOR")) => deleteDir(s"$dir/index_aux/$name")
-      case _ => ()
-    }
+    // ALL index projections SURVIVE a delta landing (r16 verdict #1):
+    // a routed lookup composes `projection ⟵overlay⟶ delta-log` — the
+    // same latest-wins anti-join + union the base read itself uses —
+    // so anchored lookups stay index-backed on an ingest-heavy live
+    // graph instead of degrading to full base scans after the first
+    // 30-row commit. RANGE/TEXT/REL_* compose by key overlay; the IVF
+    // probe composes as `pruned cells ⟵anti touched ids⟶ ∪
+    // brute-forced delta slice` (GraftSession queryNodes — exact
+    // relative to the quantizer, O(delta) extra work). Build-time
+    // defs stay sealed in index_aux/sealed_schema.json (untouched
+    // here), so DDL churn between saves can never route through a
+    // mismatched projection.
     nodeTmp.foreach { t =>
       deleteDir(s"$dir/nodes_delta"); Files.move(Paths.get(t), Paths.get(s"$dir/nodes_delta"))
-      dropNonComposable()
     }
     edgeTmp.foreach { t =>
       deleteDir(s"$dir/edges_delta"); Files.move(Paths.get(t), Paths.get(s"$dir/edges_delta"))

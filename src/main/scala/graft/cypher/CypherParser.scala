@@ -579,6 +579,17 @@ object CypherParser extends RegexParsers {
       case h ~ t => h.copy(unions = t.map { case all ~ q => (all.isDefined, q) })
     }
 
+  /** Parse one standalone expression (SHOW/YIELD WHERE tails reuse
+    * the full Cypher expression grammar rather than growing a second
+    * mini-parser). */
+  def parseExpr(s: String): Expr = parseAll(expr, s) match {
+    case Success(res, _) => res
+    case NoSuccess(msg, next) =>
+      throw new IllegalArgumentException(
+        s"Cypher expression parse error at ${next.pos.column}: $msg")
+    case other => throw new IllegalArgumentException(s"Cypher expression parse error: $other")
+  }
+
   def parse(q: String): Query = parseAll(query, q) match {
     case Success(res, _) => res
     case NoSuccess(msg, next) =>

@@ -445,22 +445,34 @@ object Similarity {
     // so this row is rows-only by design; PacksSpec pins the recall
     // floor on a clustered synthetic corpus.
     QueryDef.rowsOnly("ann_ivf_recall") { (s, d) =>
+      import s.implicits._
       val gs = vectorSession(s, d)
       val queries = Tables.embeddings(s, d).filter(col("vec_id") < NQ)
         .orderBy("vec_id").collect().map { r =>
           (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))
         }
+      // exact side in ONE pass: the NQ query vectors broadcast against
+      // the indexed slice, rank ≤ 10 per query under the probe path's
+      // exact ordering (cosine desc, id asc) — not NQ separate scans
+      val qdf = queries.toSeq.toDF("q_id", "qv")
+      val scored = gs.graph().nodes
+        .filter(array_contains(col("labels"), "emb") && col("embedding").isNotNull)
+        .crossJoin(broadcast(qdf))
+        .select(col("q_id"), col("id"),
+          V.cosine(col("embedding").cast("array<double>"), col("qv")).as("score"))
+      val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("id"))
+      val exact = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10).select("q_id", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
       val rows = queries.map { case (qid, v) =>
         // the vector rides as a parameter — double literals can carry
         // scientific notation the Cypher lexer doesn't take
-        def ids(opts: String) = gs.cypher(
-          s"CALL db.index.vector.queryNodes('emb_ivf', 10, $$v$opts) " +
+        val ivf = gs.cypher(
+          s"CALL db.index.vector.queryNodes('emb_ivf', 10, $$v, {probes: 8}) " +
             "YIELD nodeId RETURN nodeId", Map("v" -> v)).collect().map(_.getLong(0)).toSet
-        val ivf = ids(", {probes: 8}")
-        val exact = ids("")
-        (qid, exact.size.toLong, ivf.intersect(exact).size.toLong)
+        val ex = exact.getOrElse(qid, Set.empty)
+        (qid, ex.size.toLong, ivf.intersect(ex).size.toLong)
       }.toSeq
-      import s.implicits._
       rows.toDF("q_id", "k", "overlap")
         .select(col("q_id"), col("k"), col("overlap"),
           floor(col("overlap") * lit(1000000.0) / col("k") + lit(0.5))

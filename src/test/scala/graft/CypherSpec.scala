@@ -429,9 +429,12 @@ class CypherSpec extends AnyFunSuite {
     assert(names.head.schema.fieldNames.toSeq == Seq("name"))
     assert(names.map(_.getString(0)).toSeq == Seq("rel_w"))
     assert(s.cypher("SHOW CONSTRAINTS YIELD name RETURN name").collect().isEmpty)
-    intercept[UnsupportedOperationException] {
-      s.cypher("SHOW INDEXES YIELD name WHERE name = 'rel_w' RETURN name").collect()
-    }
+    // the WHERE tail filters with the full Cypher expression grammar
+    // (STARTS WITH and all — standard Neo4j ops-script shape)
+    assert(s.cypher("SHOW INDEXES YIELD name WHERE name = 'rel_w' RETURN name")
+      .collect().map(_.getString(0)).toSeq == Seq("rel_w"))
+    assert(s.cypher("SHOW INDEXES YIELD name WHERE name STARTS WITH 'nope'")
+      .collect().isEmpty)
     s.cypher("DROP INDEX rel_w")
     graft.core.SnapshotStore.deleteDir(tmp)
   }
@@ -552,13 +555,13 @@ class CypherSpec extends AnyFunSuite {
     assert(names.map(_.getString(0)).toSet.contains("extra"))
     assert(s.cypher("SHOW TRANSACTIONS YIELD transactionId").collect().isEmpty)
     // a tail the YIELD projection can't honor refuses loudly — a
-    // silent unfiltered answer would be a wrong answer (ADVICE r14)
+    // silent unfiltered answer would be a wrong answer (ADVICE r14);
+    // a YIELD + WHERE tail filters (full Cypher expression grammar)
     intercept[UnsupportedOperationException] {
       s.cypher("SHOW DATABASES WHERE name = 'extra'", "system")
     }
-    intercept[Exception] {
-      s.cypher("SHOW DATABASES YIELD name WHERE name = 'extra'", "system")
-    }
+    assert(s.cypher("SHOW DATABASES YIELD name WHERE name = 'extra'", "system")
+      .collect().map(_.getString(0)).toSeq == Seq("extra"))
   }
 
   test("DROP DATABASE removes it; IF EXISTS tolerates absence; system refused") {

@@ -1193,14 +1193,26 @@ class PacksSpec extends AnyFunSuite {
       "CALL db.index.vector.queryNodes('doc_vec', 2, [1.0, 0.0], {probes: 1}) " +
         "YIELD nodeId RETURN nodeId").collect().map(_.getLong(0))
     assert(got1.toSeq == Seq(0L), got1.mkString(","))
-    // a mutation invalidates the projection: falls back to the exact scan
+    // a mutation COMPOSES (r17): the probe stays cell-pruned, the
+    // delta-touched ids leave the cell scan, and the delta's live
+    // indexed slice is brute-forced alongside. A non-vector CREATE
+    // changes nothing except staying routed…
     s.cypher("CREATE (:doc {note: 1})")
     val after = s.cypher(
       "CALL db.index.vector.queryNodes('doc_vec', 2, [1.0, 0.0], {probes: 1}) " +
         "YIELD nodeId RETURN nodeId")
-    assert(!after.queryExecution.executedPlan.toString.contains("index_aux"),
-      "stale IVF projection served after a node mutation")
-    assert(after.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(after.queryExecution.executedPlan.toString.contains("index_aux"),
+      "node mutation degraded the IVF probe to the exact scan")
+    assert(after.collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // …and a NEW vector is visible to the probe despite probes=1 —
+    // it rides the delta slice, not any (stale) cell
+    s.cypher("CREATE (:doc {embedding: $v})", Map("v" -> Seq(0.99, 0.01)))
+    val withNew = s.cypher(
+      "CALL db.index.vector.queryNodes('doc_vec', 2, [1.0, 0.0], {probes: 1}) " +
+        "YIELD nodeId RETURN nodeId")
+    assert(withNew.queryExecution.executedPlan.toString.contains("index_aux"))
+    assert(withNew.collect().map(_.getLong(0)).toSeq == Seq(0L, 5L),
+      "delta-born vector missing from the composed probe")
     graft.core.SnapshotStore.deleteDir(tmp)
   }
 

@@ -337,9 +337,9 @@ class PlanSpec extends AnyFunSuite {
         Map("r" -> (i % 10).toLong, "t" -> (i % 6).toLong, "x" -> i.toLong))))
     s.cypher("CREATE INDEX acct_rt FOR (n:Acct) ON (n.region, n.tier)")
     // SHOW INDEXES carries the composite key
-    val shown = s.cypher("SHOW INDEXES YIELD name, properties").collect()
-      .filter(_.getString(0) == "acct_rt")
-    assert(shown.length == 1 && shown.head.getString(1) == "region,tier")
+    val shown = s.cypher("SHOW INDEXES YIELD name, properties " +
+      "WHERE name = 'acct_rt' RETURN properties").collect()
+    assert(shown.length == 1 && shown.head.getString(0) == "region,tier")
     s.saveDatabase(dataDir)
     val expect: Array[Long] =
       (0 until 600).filter(i => i % 10 == 3 && i % 6 == 2).map(_.toLong).toArray
