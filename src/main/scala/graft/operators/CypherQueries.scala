@@ -46,6 +46,32 @@ object CypherQueries {
       gs
     })
 
+  /** Snapshot-backed session with a COMPOSITE index on (customer,
+    * (c_nationkey, c_acctbal)) AND a post-save CREATE riding the
+    * delta-log — the r17 delta-composed-routing fixture: the anchored
+    * read must stay projection-routed THROUGH the commit (projection
+    * ⟵overlay⟶ live delta) and still return the delta-born row. */
+  private val idxDeltaCache = new java.util.concurrent.ConcurrentHashMap[String, GraftSession]()
+  private def indexedDeltaSession(s: SparkSession, dir: String): GraftSession =
+    idxDeltaCache.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.functions._
+      val gs = new GraftSession(s)
+      val c = graft.core.Tables(s, dir, "customer")
+      val nodes = c.select(
+        (col("c_custkey") * 10 + 3).cast("long").as("id"),
+        array(lit("customer")).as("labels"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_acctbal"), col("c_custkey"))
+      gs.setGraph(graft.core.PropertyGraph(nodes,
+        graft.core.PropertyGraph.empty(s).edges))
+      gs.cypher("CREATE INDEX cust_nat_bal FOR (n:customer) ON (n.c_nationkey, n.c_acctbal)")
+      gs.saveDatabase(
+        java.nio.file.Files.createTempDirectory("gidxd_").toString)
+      gs.cypher(
+        "CREATE (:customer {c_custkey: 999999, c_nationkey: 5, c_acctbal: 9999.5})")
+      gs
+    })
+
   private def q(name: String, oracle: String)(cypher: String): QueryDef =
     sql(name, oracle) { (s, dir) => session(s, dir).cypher(cypher) }
 
@@ -1368,6 +1394,21 @@ object CypherQueries {
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin) { (s, dir) =>
       indexedSession(s, dir).cypher(
         "MATCH (n:customer {c_mktsegment: 'BUILDING'}) RETURN id(n) AS node_id")
+    },
+
+    // Composite-key + DELTA-COMPOSED routing, graded end to end (r16
+    // verdict #1 + #5): the anchor routes through the (c_nationkey,
+    // c_acctbal) projection's key prefix — BOTH predicates pushed into
+    // its sorted scan (PlanSpec pins the shape) — AND the fixture
+    // committed one CREATE after the save, so the answer must include
+    // the delta-born row the on-disk projection has never seen.
+    sql("cy_index_anchor_composite",
+      """SELECT c_custkey FROM customer
+        |WHERE c_nationkey = 5 AND c_acctbal > 5000
+        |UNION ALL SELECT CAST(999999 AS BIGINT) AS c_custkey""".stripMargin) { (s, dir) =>
+      indexedDeltaSession(s, dir).cypher(
+        """MATCH (n:customer {c_nationkey: 5}) WHERE n.c_acctbal > 5000
+          |RETURN n.c_custkey AS c_custkey""".stripMargin)
     }
   )
 }

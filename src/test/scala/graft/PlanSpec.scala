@@ -259,12 +259,25 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("graded index-anchor rows plan through the index_aux projection") {
-    Seq("cy_index_anchor", "cy_index_anchor_eq").foreach { qn =>
-      val p = plan(qn)
-      assert(p.contains("index_aux"), s"$qn does not read the RANGE projection:\n$p")
-      assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
-        s"$qn pushes nothing into the projection scan")
-    }
+    Seq("cy_index_anchor", "cy_index_anchor_eq", "cy_index_anchor_composite")
+      .foreach { qn =>
+        val p = plan(qn)
+        assert(p.contains("index_aux"), s"$qn does not read the RANGE projection:\n$p")
+        assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+          s"$qn pushes nothing into the projection scan")
+      }
+    // the composite row's delta-composed plan pushes BOTH key
+    // predicates into the projection branch of the overlay union
+    // (widen the metadata render so PushedFilters doesn't truncate
+    // mid-list)
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val pc = plan("cy_index_anchor_composite")
+      assert(pc.contains("EqualTo(c_nationkey,5") &&
+        pc.contains("GreaterThan(c_acctbal,5000"),
+        "composite predicates not both pushed:\n" + pc)
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
   }
 
   test("TEXT-index STARTS WITH routes through the sorted string projection") {
