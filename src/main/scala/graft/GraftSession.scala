@@ -1411,10 +1411,24 @@ final class GraftSession(val spark: SparkSession,
     // loudly rather than mis-shaping the answer (ADVICE r14).
     val yieldRe =
       """(?is)\s*YIELD\s+([\w,\s]+?)(?:\s+WHERE\s+(.+?))?(?:\s+RETURN\s+([\w,\s]+?))?\s*$""".r
+    // bare `SHOW … WHERE expr` (no YIELD) filters over the full column
+    // set — Neo4j accepts both forms
+    val whereRe = """(?is)\s*WHERE\s+(.+?)\s*$""".r
     rest match {
+      case whereRe(w) =>
+        df.filter(new CypherCompiler(spark, graft.core.PropertyGraph.empty(spark))
+          .compileExpr(CypherParser.parseExpr(w), df))
       case yieldRe(cols, where, ret) =>
         def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty)
         val names = split(cols)
+        // a whitespace-run that isn't a plain column list (ORDER BY,
+        // aliases, …) must refuse loudly, not reach Spark's resolver
+        // as one garbled column name
+        names.find(!_.matches("\\w+")).foreach { bad =>
+          throw new UnsupportedOperationException(
+            s"unsupported SHOW tail near `$bad` (only `YIELD col[, …] " +
+              "[WHERE expr] [RETURN col[, …]]` is supported here)")
+        }
         var yielded = df.select(names.head, names.tail.toIndexedSeq: _*)
         Option(where).foreach { w =>
           val pred = CypherParser.parseExpr(w)

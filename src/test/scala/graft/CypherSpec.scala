@@ -554,14 +554,17 @@ class CypherSpec extends AnyFunSuite {
     assert(names.head.schema.fieldNames.toSeq == Seq("name"))
     assert(names.map(_.getString(0)).toSet.contains("extra"))
     assert(s.cypher("SHOW TRANSACTIONS YIELD transactionId").collect().isEmpty)
-    // a tail the YIELD projection can't honor refuses loudly — a
-    // silent unfiltered answer would be a wrong answer (ADVICE r14);
-    // a YIELD + WHERE tail filters (full Cypher expression grammar)
-    intercept[UnsupportedOperationException] {
-      s.cypher("SHOW DATABASES WHERE name = 'extra'", "system")
-    }
+    // WHERE tails filter with the full Cypher expression grammar —
+    // both the bare form and the YIELD-scoped form (Neo4j accepts
+    // both); a tail neither can honor still refuses loudly rather
+    // than silently returning unfiltered rows (ADVICE r14)
+    assert(s.cypher("SHOW DATABASES WHERE name = 'extra'", "system")
+      .collect().map(_.getString(0)).toSeq == Seq("extra"))
     assert(s.cypher("SHOW DATABASES YIELD name WHERE name = 'extra'", "system")
       .collect().map(_.getString(0)).toSeq == Seq("extra"))
+    intercept[Exception] {
+      s.cypher("SHOW DATABASES YIELD name ORDER BY name", "system")
+    }
   }
 
   test("DROP DATABASE removes it; IF EXISTS tolerates absence; system refused") {
