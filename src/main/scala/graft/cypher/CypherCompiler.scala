@@ -22,6 +22,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     entityStructs: Boolean = false,
     rangeAnchor: (String, String) => Option[DataFrame] = (_, _) => None,
     relRangeAnchor: (String, String) => Option[DataFrame] = (_, _) => None,
+    labelScan: String => Option[DataFrame] = _ => None,
     prefixCap: Long = CypherCompiler.DefaultPrefixEnumerationCap) {
 
   private val SEP = "__"
@@ -1313,8 +1314,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val anchorKeys =
       n.props.iterator.collect { case (k, Lit(value)) if value != null => k }.toSeq ++
         whereAnchorProps.getOrElse(v, Set.empty)
+    // routing preference: a property-clustered RANGE/TEXT projection
+    // (row-group-pruned on the anchor value) beats the label-partition
+    // scan (directory-pruned to the label), which beats the full base
     val aux = n.labels.iterator.flatMap(l =>
       anchorKeys.iterator.flatMap(k => rangeAnchor(l, k))).nextOption()
+      .orElse(n.labels.headOption.flatMap(labelScan))
     var df = aux.getOrElse(graph.nodes)
     n.labels.foreach(l => df = df.filter(array_contains(col("labels"), l)))
     n.labelExpr.foreach(e => df = df.filter(labelPred(col("labels"), e)))

@@ -338,6 +338,45 @@ class PlanSpec extends AnyFunSuite {
       Array(0L, 5L, 12L, 19L, 26L, 33L)))
   }
 
+  test("label-partitioned node base: MATCH (n:L) prunes to the label's directories") {
+    // r17 label-scan-store analog: the saved node base hive-partitions
+    // by sorted label set; an unanchored label scan routes through a
+    // partition-pruned read (directory pruning — other labels' data
+    // files never open) composed with the delta-log like every other
+    // index route.
+    val s = new GraftSession(spark)
+    val dataDir = java.nio.file.Files.createTempDirectory("graft_lbl_").toString
+    s.cypher("UNWIND range(0, 499) AS x CREATE (:Person {ref: x})")
+    s.cypher("UNWIND range(500, 999) AS x CREATE (:Org {ref: x})")
+    s.cypher("CREATE (n:Person:Org {ref: 1000})")
+    s.saveDatabase(dataDir)
+    val df = s.cypher("MATCH (n:Person) RETURN count(n) AS n")
+    val p = df.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(scanLine.contains("_label_key"),
+      "label scan not partition-pruned:\n" + p)
+    assert(df.collect().head.getLong(0) == 501L) // multi-label node included
+    // delta composition: a post-save CREATE stays routed AND visible
+    s.cypher("CREATE (:Person {ref: 2000})")
+    val df2 = s.cypher("MATCH (n:Person) RETURN count(n) AS n")
+    val p2 = df2.queryExecution.executedPlan.toString
+    assert(p2.linesIterator.filter(_.contains("PartitionFilters")).mkString
+      .contains("_label_key"),
+      "label routing degraded after a commit:\n" + p2)
+    assert(df2.collect().head.getLong(0) == 502L)
+    // an incremental save + fresh load keeps the route
+    s.saveDatabase(dataDir)
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(dataDir)
+    val df3 = fresh.cypher("MATCH (n:Org) RETURN count(n) AS n")
+    assert(df3.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString.contains("_label_key"))
+    assert(df3.collect().head.getLong(0) == 501L)
+    // the derived partition column is NEVER a property: no result or
+    // schema surface carries it
+    assert(!fresh.graph().nodes.columns.contains("_label_key"))
+  }
+
   test("composite RANGE index: prefix anchors route, full-key anchors push both") {
     // r16 verdict #5: CREATE INDEX … ON (n.p1, n.p2). The projection
     // holds the label's non-null-p1 rows clustered by (p1, p2); the
