@@ -379,6 +379,13 @@ object SnapshotStore {
   def readNodesPrunedByLabel(spark: SparkSession, dir: String,
       label: String): Option[org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions.{array_contains, col, lit, split}
+    // a label CONTAINING the separator would fragment in the key
+    // split and its own rows would be missed — such a label (only
+    // reachable via programmatic setGraph frames; Cypher labels are
+    // identifiers) takes the full scan instead. Extra rows from OTHER
+    // fragmented keys are harmless either way: the compiler re-applies
+    // the real labels predicate on every routed frame.
+    if (label.contains(";")) return None
     val base0 = spark.read.parquet(s"$dir/nodes")
     if (!base0.columns.contains(LabelKeyCol)) None
     else Some(base0
