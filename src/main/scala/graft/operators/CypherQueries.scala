@@ -1409,6 +1409,16 @@ object CypherQueries {
       indexedDeltaSession(s, dir).cypher(
         """MATCH (n:customer {c_nationkey: 5}) WHERE n.c_acctbal > 5000
           |RETURN n.c_custkey AS c_custkey""".stripMargin)
+    },
+
+    // Label-scan route graded end to end (r17): an UNANCHORED label
+    // scan over the saved fixture reads the label-partition-pruned
+    // base composed with the post-save delta (the CREATE above) — the
+    // count must include the delta-born row the partitions never saw.
+    sql("cy_label_scan",
+      "SELECT count(*) + 1 AS n FROM customer") { (s, dir) =>
+      indexedDeltaSession(s, dir).cypher(
+        "MATCH (n:customer) RETURN count(n) AS n")
     }
   )
 }

@@ -266,6 +266,11 @@ class PlanSpec extends AnyFunSuite {
         assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
           s"$qn pushes nothing into the projection scan")
       }
+    // the graded label-scan row reads the label-partition-pruned base
+    val pl = plan("cy_label_scan")
+    assert(pl.linesIterator.filter(_.contains("PartitionFilters")).mkString
+      .contains("_label_key"),
+      "cy_label_scan not partition-pruned by label:\n" + pl)
     // the composite row's delta-composed plan pushes BOTH key
     // predicates into the projection branch of the overlay union
     // (widen the metadata render so PushedFilters doesn't truncate
