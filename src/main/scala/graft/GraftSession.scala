@@ -1278,7 +1278,8 @@ final class GraftSession(val spark: SparkSession,
         if (st.nodesRef eq g.nodes) Some(None)
         else db.validNodeDelta.filter(_.base eq st.nodesRef).map(s => Some(s.delta))
       memDelta.flatMap { mem =>
-        SnapshotStore.readNodesPrunedByLabel(spark, st.dir, label).map { pruned =>
+        st.cachedRead(s"label:$label")(
+          SnapshotStore.readNodesPrunedByLabel(spark, st.dir, label)).map { pruned =>
           val withDisk = st.nodeDiskDelta.map(overlayNodes(pruned, _)).getOrElse(pruned)
           mem.map(overlayNodes(withDisk, _)).getOrElse(withDisk)
         }
@@ -1333,12 +1334,15 @@ final class GraftSession(val spark: SparkSession,
               if l == label && p.split(",").head == prop &&
                 st.sealedIndexes.get(name).contains(e) =>
             s"${st.dir}/index_aux/$name"
-        }.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-          .map { path =>
-            val proj = spark.read.parquet(path)
-            val withDisk = st.nodeDiskDelta.map(overlayNodes(proj, _)).getOrElse(proj)
-            mem.map(overlayNodes(withDisk, _)).getOrElse(withDisk)
-          }
+        }.flatMap { path =>
+          st.cachedRead(path)(
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+              Some(spark.read.parquet(path))
+            else None)
+        }.map { proj =>
+          val withDisk = st.nodeDiskDelta.map(overlayNodes(proj, _)).getOrElse(proj)
+          mem.map(overlayNodes(withDisk, _)).getOrElse(withDisk)
+        }
       }
     }
 
@@ -1360,12 +1364,15 @@ final class GraftSession(val spark: SparkSession,
               if t == relType && p.split(",").head == prop &&
                 st.sealedIndexes.get(name).contains(e) =>
             s"${st.dir}/index_aux/$name"
-        }.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-          .map { path =>
-            val proj = spark.read.parquet(path)
-            val withDisk = st.edgeDiskDelta.map(overlayEdges(proj, _)).getOrElse(proj)
-            mem.map(overlayEdges(withDisk, _)).getOrElse(withDisk)
-          }
+        }.flatMap { path =>
+          st.cachedRead(path)(
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+              Some(spark.read.parquet(path))
+            else None)
+        }.map { proj =>
+          val withDisk = st.edgeDiskDelta.map(overlayEdges(proj, _)).getOrElse(proj)
+          mem.map(overlayEdges(withDisk, _)).getOrElse(withDisk)
+        }
       }
     }
 
@@ -1380,8 +1387,8 @@ final class GraftSession(val spark: SparkSession,
     * probe then answers `pruned cells ⟵anti-join touched ids⟶ ∪
     * brute-forced delta slice`: exact relative to the trained
     * quantizer, O(delta) extra work per query. */
-  private def indexAuxVectorRoute(name: String)
-      : Option[(String, Option[DataFrame], Option[DataFrame])] = {
+  private def indexAuxVectorRoute(name: String): Option[
+      (String, Option[DataFrame], Option[DataFrame], graft.core.IndexAuxState)] = {
     val d = statementDatabase
     d.indexAuxState.flatMap { st =>
       val memDelta: Option[Option[DataFrame]] =
@@ -1391,14 +1398,14 @@ final class GraftSession(val spark: SparkSession,
         if (!d.indexes.get(name).exists(e => st.sealedIndexes.get(name).contains(e))) None
         else Some(s"${st.dir}/index_aux/$name")
           .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-          .map(p => (p, st.nodeDiskDelta, mem))
+          .map(p => (p, st.nodeDiskDelta, mem, st))
       }
     }
   }
 
   private def indexAuxDirFor(name: String): Option[String] =
     indexAuxVectorRoute(name).collect {
-      case (dir, None, None) => dir
+      case (dir, None, None, _) => dir
     }
 
   private def changePassword(from: String, to: String): Unit = {
@@ -5384,21 +5391,23 @@ final class GraftSession(val spark: SparkSession,
       // quantizer. Falls back to the exact scan only when the frame
       // moved by a non-overlay path, or the session never saved.
       val ivfRoute = probes.filter(_ > 0).flatMap(_ => indexAuxVectorRoute(name))
-        .filter { case (d, _, _) =>
+        .filter { case (d, _, _, _) =>
           java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/centroids")) }
       ivfRoute match {
-        case Some((dir, diskDelta, memDelta)) =>
+        case Some((dir, diskDelta, memDelta, st)) =>
           def cos(a: Seq[Double], b: Seq[Double]): Double = {
             val dot = a.lazyZip(b).map(_ * _).sum
             val na = math.sqrt(a.map(x => x * x).sum)
             val nb = math.sqrt(b.map(x => x * x).sum)
             if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
           }
-          val cents = spark.read.parquet(s"$dir/centroids").collect()
+          val cents = st.cachedRead(s"$dir/centroids")(
+            Some(spark.read.parquet(s"$dir/centroids"))).get.collect()
             .map(r => (r.getInt(0), r.getSeq[Double](1)))
           val cells = cents.sortBy { case (c, v) => (-cos(q, v), c) }
             .take(probes.get).map(_._1)
-          val cellScan = spark.read.parquet(s"$dir/cells")
+          val cellScan = st.cachedRead(s"$dir/cells")(
+            Some(spark.read.parquet(s"$dir/cells"))).get
             .filter(col("_ivf_cell").isin(cells.toIndexedSeq: _*))
           // latest-wins combination of the two delta layers (the live
           // overlay is newer than the persisted log)

@@ -91,7 +91,21 @@ final case class IndexAuxState(
     dir: String,
     sealedIndexes: Map[String, (String, String, String)],
     nodeDiskDelta: Option[org.apache.spark.sql.DataFrame] = None,
-    edgeDiskDelta: Option[org.apache.spark.sql.DataFrame] = None)
+    edgeDiskDelta: Option[org.apache.spark.sql.DataFrame] = None) {
+  /** Memoized routed reads, keyed per projection/label — a
+    * `spark.read.parquet` re-lists the file index on every call, and
+    * at 100 TB a projection is tens of thousands of files: the listing
+    * must be paid once per SAVE GENERATION (this state object), not
+    * once per statement. The state is rebuilt by every save/load, so
+    * staleness is impossible by construction. */
+  private val reads =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  def cachedRead(key: String)(mk: => Option[org.apache.spark.sql.DataFrame])
+      : Option[org.apache.spark.sql.DataFrame] =
+    Option(reads.get(key)).orElse {
+      val v = mk; v.foreach(reads.put(key, _)); v
+    }
+}
 
 final class GraphDatabase(val name: String) {
   @volatile var graph: PropertyGraph = _
