@@ -36,9 +36,23 @@ object Dedup {
     * materialized in their own projection first (see
     * [[graft.functions.TextFunctions.shinglesOfTokens]]). */
   private def shingleDf(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
+    shingleDfOf(Tables.documents(s, d))
+
+  private def shingleDfOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(shinglesOfTokens(col("t"), 3)).as("s"))
+
+  /** The minhash rows' shingle input: documents REPARTITIONED by
+    * doc_id before the CPU-heavy tokenize+shingle pass, then
+    * checkpointed once. A corpus delivered as a few unsplittable
+    * parquet files otherwise runs the tokenizer on one core per file
+    * regardless of cluster width — the bench's one-file ×10 organic
+    * probe measured 17-36 s (high-variance, single-core) for what is
+    * ~1 s of 32-way work; the shuffled bytes are the raw texts, cheap
+    * next to the per-token work they unlock. Only the signature rows
+    * pay the exchange — the other dedup rows keep the bare scan. */
+  private def shingleDfRepart(s: SparkSession, d: String): DataFrame =
+    shingleDfOf(Tables.documents(s, d).repartition(col("doc_id")))
 
   /** LSH bucket keys per (doc, band): MinHash signatures → banding →
     * the two-level overflow re-banding (see the dedup_minhash_lsh
@@ -95,7 +109,7 @@ object Dedup {
     * these next to the slope, so "candidate volume stays
     * output-proportional" is a measured number, not a design claim. */
   def lshCandidateStats(s: SparkSession, d: String): (Long, Long, Long) = {
-    val sh = shingleDf(s, d).localCheckpoint()
+    val sh = shingleDfRepart(s, d).localCheckpoint()
     val sizes = lshKeyed(sh).groupBy("band", "sig", "sub")
       .agg(count(lit(1)).as("bn"))
       .agg(max("bn").as("mx"),
@@ -465,10 +479,11 @@ object Dedup {
          |WHERE ijac >= 700000""".stripMargin
     }) { (s, d) =>
       // the shingle table feeds the signature aggregate AND three
-      // verify-join subtrees — checkpoint it ONCE instead of re-running
-      // the tokenizer per subtree (the r16 organic probe spent ~5
-      // single-file tokenization passes per run on exactly this)
-      val sh = shingleDf(s, d).localCheckpoint()
+      // verify-join subtrees — repartitioned for pre-shuffle
+      // parallelism and checkpointed ONCE instead of re-running the
+      // tokenizer per subtree (the r16 organic probe spent ~5
+      // single-file single-core tokenization passes per run on this)
+      val sh = shingleDfRepart(s, d).localCheckpoint()
       verifyJaccard(sh, lshCandidates(sh)).filter(col("ijac") >= 700000)
     },
 
