@@ -1443,24 +1443,27 @@ final class GraftSession(val spark: SparkSession,
     // plain column names PROJECTS; anything beyond that refuses
     // loudly rather than mis-shaping the answer (ADVICE r14).
     val yieldRe =
-      """(?is)\s*YIELD\s+([\w,\s]+?)(?:\s+WHERE\s+(.+?))?(?:\s+RETURN\s+([\w,\s]+?))?\s*$""".r
+      ("""(?is)\s*YIELD\s+([\w,\s]+?)(?:\s+WHERE\s+(.+?))?""" +
+        """(?:\s+ORDER\s+BY\s+(\w+)(?:\s+(ASC|DESC))?)?(?:\s+SKIP\s+(\d+))?""" +
+        """(?:\s+LIMIT\s+(\d+))?(?:\s+RETURN\s+([\w,\s]+?))?\s*$""").r
     // bare `SHOW … WHERE expr` (no YIELD) filters over the full column
     // set — Neo4j accepts both forms
     val whereRe = """(?is)\s*WHERE\s+(.+?)\s*$""".r
+    val supported = "(only `YIELD col[, …] [WHERE expr] [ORDER BY col " +
+      "[ASC|DESC]] [SKIP n] [LIMIT n] [RETURN col[, …]]` is supported here)"
     rest match {
       case whereRe(w) =>
         df.filter(new CypherCompiler(spark, graft.core.PropertyGraph.empty(spark))
           .compileExpr(CypherParser.parseExpr(w), df))
-      case yieldRe(cols, where, ret) =>
+      case yieldRe(cols, where, ordBy, ordDir, skip, limit, ret) =>
         def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty)
         val names = split(cols)
-        // a whitespace-run that isn't a plain column list (ORDER BY,
-        // aliases, …) must refuse loudly, not reach Spark's resolver
-        // as one garbled column name
+        // a whitespace-run that isn't a plain column list (aliases,
+        // expressions, …) must refuse loudly, not reach Spark's
+        // resolver as one garbled column name
         names.find(!_.matches("\\w+")).foreach { bad =>
           throw new UnsupportedOperationException(
-            s"unsupported SHOW tail near `$bad` (only `YIELD col[, …] " +
-              "[WHERE expr] [RETURN col[, …]]` is supported here)")
+            s"unsupported SHOW tail near `$bad` $supported")
         }
         var yielded = df.select(names.head, names.tail.toIndexedSeq: _*)
         Option(where).foreach { w =>
@@ -1469,6 +1472,17 @@ final class GraftSession(val spark: SparkSession,
             new CypherCompiler(spark, graft.core.PropertyGraph.empty(spark))
               .compileExpr(pred, yielded))
         }
+        Option(ordBy).foreach { c =>
+          val col0 = org.apache.spark.sql.functions.col(c)
+          yielded = yielded.orderBy(
+            if (Option(ordDir).exists(_.equalsIgnoreCase("desc"))) col0.desc else col0.asc)
+        }
+        // SKIP without a window: ordered-offset via a rank filter only
+        // when asked for — SHOW surfaces are catalog-small by contract
+        Option(skip).map(_.toLong).filter(_ > 0).foreach { n =>
+          yielded = yielded.offset(n.toInt)
+        }
+        Option(limit).map(_.toInt).foreach(n => yielded = yielded.limit(n))
         Option(ret).map(split) match {
           case Some(r) if r.nonEmpty => yielded.select(r.head, r.tail.toIndexedSeq: _*)
           case _ => yielded
@@ -1478,8 +1492,7 @@ final class GraftSession(val spark: SparkSession,
         // refuse-loudly discipline: a tail this projection can't honor
         // must error, never silently return the unfiltered rows
         throw new UnsupportedOperationException(
-          s"unsupported SHOW tail: `${rest.trim}` (only `YIELD col[, …] " +
-            "[WHERE expr] [RETURN col[, …]]` is supported here)")
+          s"unsupported SHOW tail: `${rest.trim}` $supported")
     }
   }
 

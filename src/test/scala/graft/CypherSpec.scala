@@ -562,8 +562,19 @@ class CypherSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq == Seq("extra"))
     assert(s.cypher("SHOW DATABASES YIELD name WHERE name = 'extra'", "system")
       .collect().map(_.getString(0)).toSeq == Seq("extra"))
+    // ORDER BY / SKIP / LIMIT tails (the ops-script paging shape)
+    val ordered = s.cypher(
+      "SHOW DATABASES YIELD name ORDER BY name DESC LIMIT 1", "system")
+      .collect().map(_.getString(0)).toSeq
+    assert(ordered.length == 1)
+    val all = s.cypher("SHOW DATABASES YIELD name ORDER BY name", "system")
+      .collect().map(_.getString(0)).toSeq
+    assert(all == all.sorted)
+    assert(s.cypher("SHOW DATABASES YIELD name ORDER BY name SKIP 1", "system")
+      .collect().map(_.getString(0)).toSeq == all.drop(1))
+    // a tail this projection can't honor still refuses loudly
     intercept[Exception] {
-      s.cypher("SHOW DATABASES YIELD name ORDER BY name", "system")
+      s.cypher("SHOW DATABASES YIELD name AS n RETURN n", "system")
     }
   }
 
