@@ -87,8 +87,20 @@ object Bench {
       Thread.sleep(50) // ContextCleaner unpersists asynchronously
     }
     quiesce()
+    // Contention stamping (r17 verdict #8): the per-round driver
+    // artifact repeatedly inflated UNTOUCHED rows (r14 streaming, r16
+    // varlen, r17 streaming again) because something else shared the
+    // machine — adjudication kept needing a manual exclusive re-run.
+    // Sample the 1-minute system load before each row; a row measured
+    // while load exceeds this JVM's own worker count (plus slack for
+    // GC/daemon threads) is stamped into a `contended` list so the
+    // judge can discount it mechanically. Exclusive runs emit [].
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val contendedAbove = cpus.toDouble * 1.25
+    val loadAtStart = osBean.getSystemLoadAverage
     val results = SparkEntry.catalog.map { q =>
       quiesce()
+      val load = osBean.getSystemLoadAverage
       val t0 = System.nanoTime()
       try materialize(q.fn(spark, sfDir)) catch { case _: Throwable => () }
       val cold = (System.nanoTime() - t0) / 1e9
@@ -101,7 +113,7 @@ object Bench {
       val t1 = System.nanoTime()
       try materialize(q.fn(spark, sfDir)) catch { case _: Throwable => () }
       val steady = (System.nanoTime() - t1) / 1e9
-      (q.name, cold, steady)
+      (q.name, cold, steady, load)
     }
     // field order matters: the driver's log capture keeps only the
     // LAST ~4k chars of the line, so the headline metric, the scaling
@@ -110,17 +122,23 @@ object Bench {
     // contains the expensive ones); 3-decimal values keep more of the
     // catalog inside the window. The full line lands in
     // BENCH_LOCAL.json regardless.
-    val qs = results.sortBy(_._2).map { case (k, v, _) => f""""$k":$v%.3f""" }
+    val qs = results.sortBy(_._2).map { case (k, v, _, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val steadyQs = results.sortBy(_._3).map { case (k, _, v) => f""""$k":$v%.3f""" }
+    val steadyQs = results.sortBy(_._3).map { case (k, _, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val steadyTotal = results.map(_._3).sum
-    val steadyMap = results.map { case (k, _, v) => k -> v }.toMap
+    val steadyMap = results.map { case (k, _, v, _) => k -> v }.toMap
     val scaling = scalingSlopes(spark, sfDir, steadyMap)
       .map(s => s""","scaling":$s""").getOrElse("")
+    // cap the stamped list (a fully-contended run would otherwise push
+    // the steady map out of the driver's ~4k tail window); the count
+    // always ships
+    val contendedRows = results.filter(_._4 > contendedAbove).map(_._1)
+    val contended = contendedRows.take(40)
+      .map(n => s""""$n"""").mkString("[", ",", "]")
     val line =
-      f"""{"queries":$qs,"sf":"$sfDir"$scaling,"steady":$steadyQs,"steady_total":$steadyTotal%.3f,"metric":"total","unit":"sec","n_queries":${results.size},"value":$total%.3f}"""
+      f"""{"queries":$qs,"sf":"$sfDir"$scaling,"load_at_start":$loadAtStart%.1f,"contended_n":${contendedRows.size},"contended":$contended,"steady":$steadyQs,"steady_total":$steadyTotal%.3f,"metric":"total","unit":"sec","n_queries":${results.size},"value":$total%.3f}"""
     println(line)
     // the stdout capture that archives this line keeps only a ~4k tail
     // (r9's line was truncated to unparseable); mirror the full JSON

@@ -198,6 +198,7 @@ final class GraftSession(val spark: SparkSession,
       graph(db).nodes, graph(db).edges, dir, SnapshotStore.readSealedAux(dir),
       SnapshotStore.readNodesDelta(spark, dir),
       SnapshotStore.readEdgesDelta(spark, dir)))
+    refreshGraphStats(d, dir)
     // the durable snapshot replaced the append-log lineage: any
     // mutation-pinned caches it referenced can be freed now
     d.releasePinned()
@@ -224,8 +225,90 @@ final class GraftSession(val spark: SparkSession,
       g.nodes, g.edges, dir, SnapshotStore.readSealedAux(dir),
       SnapshotStore.readNodesDelta(spark, dir),
       SnapshotStore.readEdgesDelta(spark, dir)))
+    refreshGraphStats(d, dir)
     d.releasePinned()
   }
+
+  /** Re-key the database's cardinality stats to its just-re-pointed
+    * frames: the sealed pure-base stats (stats.json, written by the
+    * last FULL write) overlaid ONCE with the on-disk delta-log's
+    * counts — the frames fold that delta in, so the stats must too.
+    * Eager (one small aggregate per delta side, paid at save/load,
+    * never per statement); LIVE deltas overlay lazily in [[statsFor]].
+    * A dir without stats.json leaves ordering textual. */
+  private def refreshGraphStats(d: GraphDatabase, dir: String): Unit = {
+    d.graphStats = SnapshotStore.readStats(dir).map { s0 =>
+      val s1 = statsOverlaid(s0,
+        SnapshotStore.readNodesDelta(spark, dir),
+        SnapshotStore.readEdgesDelta(spark, dir))
+      (d.graph.nodes, d.graph.edges, s1)
+    }
+    d.statsMemo = None
+  }
+
+  /** Overlay delta-log counts onto sealed stats: each non-tombstone
+    * node row adds to its labels (replacement rows count AGAIN — a
+    * deliberate upper bound: over-counting can only make a label look
+    * less selective, the safe direction for an ordering heuristic),
+    * tombstones subtract from the totals. Edge side mirrors by
+    * relType. O(delta) — two small aggregates. */
+  private def statsOverlaid(s0: graft.core.GraphStats,
+      nodeDelta: Option[DataFrame],
+      edgeDelta: Option[DataFrame]): graft.core.GraphStats = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, explode, lit, sum, when}
+    def tomb(df: DataFrame) =
+      if (df.columns.contains(PropertyGraph.TombstoneCol))
+        coalesce(col(PropertyGraph.TombstoneCol), lit(false))
+      else lit(false)
+    val (labelAdds, nodeAdd) = nodeDelta.map { nd =>
+      val live = nd.filter(!tomb(nd))
+      val adds =
+        if (!nd.columns.contains("labels")) Map.empty[String, Long]
+        else live.select(explode(col("labels")).as("_l")).groupBy("_l")
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val net = nd.agg(sum(when(tomb(nd), -1L).otherwise(1L))).collect()(0)
+      (adds, if (net.isNullAt(0)) 0L else net.getLong(0))
+    }.getOrElse((Map.empty[String, Long], 0L))
+    val (typeAdds, edgeAdd) = edgeDelta.map { ed =>
+      val adds =
+        if (!ed.columns.contains("relType")) Map.empty[String, Long]
+        else ed.filter(!tomb(ed)).groupBy("relType").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val net = ed.agg(sum(when(tomb(ed), -1L).otherwise(1L))).collect()(0)
+      (adds, if (net.isNullAt(0)) 0L else net.getLong(0))
+    }.getOrElse((Map.empty[String, Long], 0L))
+    if (labelAdds.isEmpty && typeAdds.isEmpty && nodeAdd == 0L && edgeAdd == 0L) s0
+    else s0.bumped(labelAdds, typeAdds, nodeAdd, edgeAdd)
+  }
+
+  /** The cardinality stats valid for the statement frames, if any —
+    * the sealed+disk-delta stats when the frames ARE the save/load
+    * frames, or those overlaid with the LIVE delta counts when the
+    * frames are a delta overlay whose base is the save/load frame
+    * (the rangeAnchorFor two-layer identity proof, applied to the
+    * cost model). Memoized per resolved frame pair: the delta-count
+    * jobs run once per mutation state, not once per statement. Any
+    * foreign re-point returns None — join ordering then stays
+    * textual rather than mis-estimating. */
+  private def statsFor(db: GraphDatabase, g: PropertyGraph): Option[graft.core.GraphStats] =
+    db.graphStats.flatMap { case (nRef, eRef, sealedStats) =>
+      val nodePure = g.nodes eq nRef
+      val edgePure = g.edges eq eRef
+      val nodeOk = nodePure || db.validNodeDelta.exists(_.base eq nRef)
+      val edgeOk = edgePure || db.validEdgeDelta.exists(_.base eq eRef)
+      if (!nodeOk || !edgeOk) None
+      else if (nodePure && edgePure) Some(sealedStats)
+      else db.statsMemo match {
+        case Some((mn, me, s)) if (mn eq g.nodes) && (me eq g.edges) => Some(s)
+        case _ =>
+          val s = statsOverlaid(sealedStats,
+            if (nodePure) None else db.validNodeDelta.map(_.delta),
+            if (edgePure) None else db.validEdgeDelta.map(_.delta))
+          db.statsMemo = Some((g.nodes, g.edges, s))
+          Some(s)
+      }
+    }
 
   /** The database's current CDC change epoch, settled lazily against
     * the base frames by reference identity: same frames → same epoch;
@@ -1009,8 +1092,18 @@ final class GraftSession(val spark: SparkSession,
           qq.clauses.foreach {
             case m: ast.Match => m.indexHints.foreach { h =>
               val key = h.props.mkString(",")
-              if (!metaDb.indexes.values.exists { case (l, p, _) =>
-                    l == h.labelOrType && p == key })
+              // a uniqueness/key CONSTRAINT implies a backing index in
+              // Neo4j, so a hint on a constraint-backed (label, props)
+              // is valid upstream and must be accepted here too
+              // (ADVICE r17 #1 — db.indexes alone regressed it)
+              val indexed = metaDb.indexes.values.exists { case (l, p, _) =>
+                l == h.labelOrType && p == key }
+              // existence constraints are index-less upstream — only
+              // uniqueness/key constraints own a backing index
+              val constraintBacked = metaDb.constraints.values.exists {
+                case (l, p, t) => l == h.labelOrType && p == key &&
+                  t != "NODE_PROPERTY_EXISTENCE" }
+              if (!indexed && !constraintBacked)
                 throw new NoSuchElementException(
                   s"No such index: INDEX FOR (`${h.variable}`:`${h.labelOrType}`) ON " +
                     h.props.map(p => s"`${h.variable}`.`$p`").mkString("(", ", ", ")"))
@@ -1257,7 +1350,8 @@ final class GraftSession(val spark: SparkSession,
       entityStructs = wire, rangeAnchor = rangeAnchorFor(db, g),
       relRangeAnchor = relRangeAnchorFor(db, g),
       labelScan = labelScanFor(db, g),
-      prefixCap = prefixEnumerationCap)
+      prefixCap = prefixEnumerationCap,
+      stats = statsFor(db, g))
   }
 
   /** Label-scan routing (r17 — the label-scan-store analog): an
@@ -1268,18 +1362,21 @@ final class GraftSession(val spark: SparkSession,
     * like [[rangeAnchorFor]]: same two-layer reference-identity proof,
     * same latest-wins overlay, and the compiler re-applies every label
     * and property predicate on the routed frame, so semantics are
-    * untouched. Typed EDGE scans need no twin: relType is a real
-    * column and the edge base hive-partitions by it, so the typed
-    * filter prunes through the ordinary frame. */
+    * untouched. A label SET routes as one union-pruned read (r17
+    * verdict #2: `MATCH (n:A|B)` prunes to the A ∪ B directories; the
+    * compiler passes a covering set whenever the label expression's
+    * boolean shape admits one). Typed EDGE scans need no twin: relType
+    * is a real column and the edge base hive-partitions by it, so the
+    * typed filter prunes through the ordinary frame. */
   private def labelScanFor(db: GraphDatabase, g: PropertyGraph)(
-      label: String): Option[DataFrame] =
+      labels: Seq[String]): Option[DataFrame] =
     db.indexAuxState.flatMap { st =>
       val memDelta: Option[Option[DataFrame]] =
         if (st.nodesRef eq g.nodes) Some(None)
         else db.validNodeDelta.filter(_.base eq st.nodesRef).map(s => Some(s.delta))
       memDelta.flatMap { mem =>
-        st.cachedRead(s"label:$label")(
-          SnapshotStore.readNodesPrunedByLabel(spark, st.dir, label)).map { pruned =>
+        st.cachedRead(s"label:${labels.sorted.mkString(";")}")(
+          SnapshotStore.readNodesPrunedByLabels(spark, st.dir, labels)).map { pruned =>
           val withDisk = st.nodeDiskDelta.map(overlayNodes(pruned, _)).getOrElse(pruned)
           mem.map(overlayNodes(withDisk, _)).getOrElse(withDisk)
         }
@@ -1376,10 +1473,6 @@ final class GraftSession(val spark: SparkSession,
       }
     }
 
-  /** The on-disk `index_aux/<name>` dir for the statement database,
-    * when its node frame is provably the snapshot base the projection
-    * was written from (reference identity — the rangeAnchorFor
-    * validity argument, shared by the VECTOR IVF probe path). */
   /** VECTOR/IVF routing state: the on-disk `index_aux/<name>` dir
     * plus the NODE delta the probe must compose with — on-disk
     * (folded into the save/load frame) and/or live — under the same
@@ -1402,11 +1495,6 @@ final class GraftSession(val spark: SparkSession,
       }
     }
   }
-
-  private def indexAuxDirFor(name: String): Option[String] =
-    indexAuxVectorRoute(name).collect {
-      case (dir, None, None, _) => dir
-    }
 
   private def changePassword(from: String, to: String): Unit = {
     val store = authStore.getOrElse(throw new IllegalStateException(
@@ -1449,23 +1537,33 @@ final class GraftSession(val spark: SparkSession,
     // bare `SHOW … WHERE expr` (no YIELD) filters over the full column
     // set — Neo4j accepts both forms
     val whereRe = """(?is)\s*WHERE\s+(.+?)\s*$""".r
-    val supported = "(only `YIELD col[, …] [WHERE expr] [ORDER BY col " +
-      "[ASC|DESC]] [SKIP n] [LIMIT n] [RETURN col[, …]]` is supported here)"
+    val supported = "(only `YIELD col [AS alias][, …] [WHERE expr] [ORDER BY col " +
+      "[ASC|DESC]] [SKIP n] [LIMIT n] [RETURN col [AS alias][, …]]` is supported here)"
+    // `col` or `col AS alias` (r17 verdict #4: Neo4j accepts aliases in
+    // YIELD, and ops scripts ported from its world hit this early); the
+    // rename happens BEFORE the WHERE/ORDER tail binds, so those
+    // reference the alias — openCypher's YIELD scoping
+    val aliasRe = """(?is)^(\w+)(?:\s+AS\s+(\w+))?$""".r
+    def projected(df0: DataFrame, items: Array[String]): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      val sel = items.map {
+        case aliasRe(c, a) => col(c).as(Option(a).getOrElse(c))
+        case bad =>
+          // a whitespace-run that isn't `col [AS alias]` (expressions,
+          // …) must refuse loudly, not reach Spark's resolver as one
+          // garbled column name
+          throw new UnsupportedOperationException(
+            s"unsupported SHOW tail near `$bad` $supported")
+      }
+      df0.select(sel.toIndexedSeq: _*)
+    }
     rest match {
       case whereRe(w) =>
         df.filter(new CypherCompiler(spark, graft.core.PropertyGraph.empty(spark))
           .compileExpr(CypherParser.parseExpr(w), df))
       case yieldRe(cols, where, ordBy, ordDir, skip, limit, ret) =>
         def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty)
-        val names = split(cols)
-        // a whitespace-run that isn't a plain column list (aliases,
-        // expressions, …) must refuse loudly, not reach Spark's
-        // resolver as one garbled column name
-        names.find(!_.matches("\\w+")).foreach { bad =>
-          throw new UnsupportedOperationException(
-            s"unsupported SHOW tail near `$bad` $supported")
-        }
-        var yielded = df.select(names.head, names.tail.toIndexedSeq: _*)
+        var yielded = projected(df, split(cols))
         Option(where).foreach { w =>
           val pred = CypherParser.parseExpr(w)
           yielded = yielded.filter(
@@ -1484,7 +1582,7 @@ final class GraftSession(val spark: SparkSession,
         }
         Option(limit).map(_.toInt).foreach(n => yielded = yielded.limit(n))
         Option(ret).map(split) match {
-          case Some(r) if r.nonEmpty => yielded.select(r.head, r.tail.toIndexedSeq: _*)
+          case Some(r) if r.nonEmpty => projected(yielded, r)
           case _ => yielded
         }
       case _ if rest == null || rest.trim.isEmpty => df
@@ -5564,7 +5662,7 @@ final class GraftSession(val spark: SparkSession,
     }
     procedures.register("db.cdc.query",
       "(from :: STRING, selectorsOrWithBefore :: ANY?, selectors :: LIST<MAP>?) " +
-        ":: (op, entity, id, detail, properties[, before])",
+        ":: (op, entity, id, detail, properties[, before, before_exact])",
       "Changes since the cursor, coalesced per entity, straight off " +
         "the delta-log: op c|u|d, entity node|relationship, detail = " +
         "labels or relType, properties = latest state as JSON (null on d). " +
@@ -5780,7 +5878,18 @@ final class GraftSession(val spark: SparkSession,
               if (bprops.isEmpty) lit(null).cast("string")
               else to_json(struct(bprops.map(col).toIndexedSeq: _*))
             val before = pruned.select(col(key).cast("long").as("_bid"), bcol.as("before"))
+            // exactness surface (ADVICE r17 #4): an anchored cursor
+            // reads the TRUE at-cursor frame, and a seq-0 epoch-start
+            // cursor's before IS the base — both exact. Anything else
+            // is the best-effort pre-cursor reconstruction: the
+            // latest-wins delta keeps only a key's NEWEST row, so a
+            // key updated both before and after the cursor (anchor
+            // since evicted) silently reads the epoch-base value.
+            // Consumers distinguish via the flag instead of trusting a
+            // silently-degraded image.
+            val exact = anchor.isDefined || cursorSeq == 0L
             ev.join(before, ev("id") === col("_bid"), "left_outer").drop("_bid")
+              .withColumn("before_exact", lit(exact))
           }
         }
       }
@@ -5802,6 +5911,7 @@ final class GraftSession(val spark: SparkSession,
             lit(0L).as("id"), lit("").as("detail"),
             lit("").as("properties"))
           if (withBefore) empty0.withColumn("before", lit(null).cast("string"))
+            .withColumn("before_exact", lit(true))
           else empty0
       }
     }

@@ -172,6 +172,20 @@ final class GraphDatabase(val name: String) {
     * return wrong rows. */
   @volatile var indexAuxState: Option[IndexAuxState] = None
 
+  /** Graph-cardinality statistics (join-ordering cost model): the
+    * stats sealed by the snapshot the session last saved/loaded, valid
+    * for exactly the (nodes, edges) frames recorded here — reference
+    * identity, the house self-validation pattern. A live delta overlay
+    * whose base IS one of these frames composes on top
+    * (GraftSession.statsFor); any other re-point silently disables
+    * ordering rather than mis-estimating against foreign frames. */
+  @volatile var graphStats: Option[(AnyRef, AnyRef, GraphStats)] = None
+
+  /** One-slot memo for the delta-overlaid stats: keyed by the RESOLVED
+    * frames (immutable per mutation state), so the small delta-count
+    * jobs run once per state, not once per statement. */
+  @volatile var statsMemo: Option[(AnyRef, AnyRef, GraphStats)] = None
+
   /** CDC change epoch: a MONOTONIC counter identifying the base-frame
     * generation the delta-log is relative to. `cdcBaseRefs` tracks the
     * base frames (by reference identity — the house self-validation

@@ -109,6 +109,16 @@ object SnapshotStore {
     // partitioned empty write loses the schema).
     locally {
       import org.apache.spark.sql.functions.{col, concat_ws, sort_array}
+      // the derived partition column must never shadow a real property:
+      // withColumn would silently overwrite it here and readNodes would
+      // drop it at load — silent data loss on round-trip. Refuse loudly
+      // (ADVICE r17 #3); only programmatic setGraph frames can carry
+      // the name (Cypher property tokens come from user identifiers,
+      // but SET n.`_label_key` is expressible).
+      if (graph.nodes.columns.contains(LabelKeyCol))
+        throw new IllegalArgumentException(
+          s"node property '$LabelKeyCol' collides with the snapshot's " +
+            "derived label-partition column; rename the property before saving")
       val withLk = graph.nodes.withColumn(LabelKeyCol,
         concat_ws(";", sort_array(col("labels"))))
       if (graph.nodes.take(1).isEmpty)
@@ -146,8 +156,38 @@ object SnapshotStore {
     // id + 1) — new data is never paired with a stale manifest's
     // next_id, so recovered databases can never reuse ids.
     val spark = graph.nodes.sparkSession
-    val nodeCount = spark.read.parquet(s"$tmp/nodes").count()
-    val edgeCount = spark.read.parquet(s"$tmp/edges").count()
+    // graph-wide cardinality stats ride with the snapshot (stats.json)
+    // as the join-ordering cost model's input. Label counts come from
+    // the PARTITION COLUMN of the just-written base — a metadata-only
+    // aggregate over the (schema-like, bounded) distinct label keys,
+    // split driver-side so multi-label nodes count toward each
+    // constituent label — and the node count is their sum, so sealing
+    // stats costs no extra base scan over the count we already paid.
+    val nodesBack = spark.read.parquet(s"$tmp/nodes")
+    val (nodeCount, labelCounts) =
+      if (nodesBack.columns.contains(LabelKeyCol)) {
+        import org.apache.spark.sql.functions.{col, count => scount}
+        val keys = nodesBack.groupBy(col(LabelKeyCol).cast("string"))
+          .agg(scount(org.apache.spark.sql.functions.lit(1)).as("n")).collect()
+          .map(r => (Option(r.getString(0)).getOrElse(""), r.getLong(1)))
+        val labels = keys.iterator.flatMap { case (k, n) =>
+          k.split(';').iterator.filter(_.nonEmpty).map(_ -> n)
+        }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        (keys.iterator.map(_._2).sum, labels)
+      } else (nodesBack.count(), Map.empty[String, Long])
+    val edgesBack = spark.read.parquet(s"$tmp/edges")
+    val (edgeCount, relTypeStats) =
+      if (edgesBack.columns.contains("relType") && edgesBack.columns.contains("src")) {
+        import org.apache.spark.sql.functions.{approx_count_distinct, col, count => scount, lit}
+        val rows = normalizeRelType(edgesBack).groupBy("relType")
+          .agg(scount(lit(1)).as("n"),
+            approx_count_distinct(col("src")).as("s"),
+            approx_count_distinct(col("dst")).as("d")).collect()
+          .map(r => r.getString(0) -> RelTypeStats(r.getLong(1), r.getLong(2), r.getLong(3)))
+        (rows.iterator.map(_._2.count).sum, rows.toMap)
+      } else (edgesBack.count(), Map.empty[String, RelTypeStats])
+    Files.writeString(Paths.get(s"$tmp/stats.json"),
+      statsJson(GraphStats(nodeCount, edgeCount, labelCounts, relTypeStats)))
     // a full write seals a fresh pure base: its stats (incl. the
     // allocator watermarks) let every later incremental save compute
     // manifest counts from its delta alone — see [[BaseStats]]
@@ -164,10 +204,12 @@ object SnapshotStore {
     deleteDir(s"$dir/edges")
     deleteDir(s"$dir/index_aux") // stale vs the new base either way
     Files.deleteIfExists(Paths.get(s"$dir/schema.json"))
+    Files.deleteIfExists(Paths.get(s"$dir/stats.json"))
     Files.move(Paths.get(s"$tmp/nodes"), Paths.get(s"$dir/nodes"))
     Files.move(Paths.get(s"$tmp/edges"), Paths.get(s"$dir/edges"))
     if (Files.exists(Paths.get(s"$tmp/index_aux")))
       Files.move(Paths.get(s"$tmp/index_aux"), Paths.get(s"$dir/index_aux"))
+    Files.move(Paths.get(s"$tmp/stats.json"), Paths.get(s"$dir/stats.json"))
     Files.move(Paths.get(s"$tmp/schema.json"), Paths.get(s"$dir/schema.json"))
     Files.move(Paths.get(s"$tmp/manifest.json"), Paths.get(s"$dir/manifest.json"))
     deleteDir(tmp)
@@ -377,22 +419,37 @@ object SnapshotStore {
     * zero data files from other labels are ever opened). None when
     * the layout predates label partitioning. */
   def readNodesPrunedByLabel(spark: SparkSession, dir: String,
-      label: String): Option[org.apache.spark.sql.DataFrame] = {
+      label: String): Option[org.apache.spark.sql.DataFrame] =
+    readNodesPrunedByLabels(spark, dir, Seq(label))
+
+  /** Label-UNION pruned read (`MATCH (n:A|B)` — r17 verdict #2): ONE
+    * scan whose partition predicate keeps directories containing ANY
+    * of `labels` — a single pruned read, so a node carrying several of
+    * the requested labels (one directory, one row) can never
+    * duplicate the way a union of per-label reads would. */
+  def readNodesPrunedByLabels(spark: SparkSession, dir: String,
+      labels: Seq[String]): Option[org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions.{array_contains, col, lit, split}
-    // a label CONTAINING the separator would fragment in the key
-    // split and its own rows would be missed — such a label (only
-    // reachable via programmatic setGraph frames; Cypher labels are
-    // identifiers) takes the full scan instead. Extra rows from OTHER
-    // fragmented keys are harmless either way: the compiler re-applies
-    // the real labels predicate on every routed frame.
-    if (label.contains(";")) return None
+    // Only identifier-shaped labels route (ADVICE r17 #2): a label
+    // containing the separator would fragment in the key split and
+    // miss its own rows, and an all-NUMERIC/date-shaped label ('007',
+    // '1E3') can be retyped by partition-value inference before the
+    // cast back to string ('007' -> 7 -> '7'), silently missing rows.
+    // Cypher labels are identifiers; anything else (programmatic
+    // setGraph frames) takes the full scan — correct, just unpruned.
+    // Extra rows from OTHER fragmented keys are harmless either way:
+    // the compiler re-applies the real labels predicate on every
+    // routed frame.
+    if (labels.isEmpty || !labels.forall(_.matches("[A-Za-z_]\\w*"))) return None
     val base0 = spark.read.parquet(s"$dir/nodes")
     if (!base0.columns.contains(LabelKeyCol)) None
-    else Some(base0
+    else {
       // cast defends against partition-column type inference retyping
       // an all-numeric label key (the relType lesson)
-      .filter(array_contains(split(col(LabelKeyCol).cast("string"), ";"), lit(label)))
-      .drop(LabelKeyCol))
+      val keyLabels = split(col(LabelKeyCol).cast("string"), ";")
+      val pred = labels.map(l => array_contains(keyLabels, lit(l))).reduce(_ || _)
+      Some(base0.filter(pred).drop(LabelKeyCol))
+    }
   }
 
   /** The snapshot's edge side with any `edges_delta/` overlay folded
@@ -748,6 +805,47 @@ object SnapshotStore {
       s""""node_count": ${m.nodeCount}, "edge_count": ${m.edgeCount}, """ +
       s""""next_id": ${m.nextId}, "next_rel_id": ${m.nextRelId}, """ +
       s""""change_epoch": ${m.changeEpoch}$baseFields}"""
+  }
+
+  private def statsJson(s: GraphStats): String = {
+    val labels = s.labels.toSeq.sortBy(_._1)
+      .map { case (l, n) => s""""$l": $n""" }.mkString("{", ", ", "}")
+    val types = s.relTypes.toSeq.sortBy(_._1)
+      .map { case (t, r) => s""""$t": [${r.count}, ${r.srcCount}, ${r.dstCount}]""" }
+      .mkString("{", ", ", "}")
+    s"""{"node_count": ${s.nodeCount}, "edge_count": ${s.edgeCount}, """ +
+      s""""labels": $labels, "rel_types": $types}"""
+  }
+
+  /** Read the graph-cardinality stats sealed with a snapshot — None
+    * when the dir predates stats.json (join ordering then simply
+    * stays textual; stats are an optimizer input, never required). */
+  def readStats(dir: String): Option[GraphStats] = {
+    val path = Paths.get(s"$dir/stats.json")
+    if (!Files.exists(path)) return None
+    val text = Files.readString(path)
+    def long(name: String): Long =
+      s""""$name"\\s*:\\s*([-0-9]+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong).getOrElse(0L)
+    // section body = between the '{' that follows the key and the
+    // next '}' — the key itself stays outside, so a label literally
+    // named "labels" still parses
+    def section(name: String): String = {
+      val key = text.indexOf("\"" + name + "\"")
+      if (key < 0) return ""
+      val start = text.indexOf('{', key)
+      if (start < 0) return ""
+      val end = text.indexOf('}', start)
+      text.substring(start + 1, if (end < 0) text.length else end)
+    }
+    val labels = """"([^"]+)"\s*:\s*([0-9]+)""".r
+      .findAllMatchIn(section("labels"))
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    val types = """"([^"]+)"\s*:\s*\[\s*([0-9]+)\s*,\s*([0-9]+)\s*,\s*([0-9]+)\s*\]""".r
+      .findAllMatchIn(section("rel_types"))
+      .map(m => m.group(1) ->
+        RelTypeStats(m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)).toMap
+    Some(GraphStats(long("node_count"), long("edge_count"), labels, types))
   }
 
   private def schemaJson(s: SchemaMeta): String = {

@@ -22,8 +22,9 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     entityStructs: Boolean = false,
     rangeAnchor: (String, String) => Option[DataFrame] = (_, _) => None,
     relRangeAnchor: (String, String) => Option[DataFrame] = (_, _) => None,
-    labelScan: String => Option[DataFrame] = _ => None,
-    prefixCap: Long = CypherCompiler.DefaultPrefixEnumerationCap) {
+    labelScan: Seq[String] => Option[DataFrame] = _ => None,
+    prefixCap: Long = CypherCompiler.DefaultPrefixEnumerationCap,
+    stats: Option[graft.core.GraphStats] = None) {
 
   private val SEP = "__"
   private var freshId = 0
@@ -128,7 +129,11 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val prevAnchors = whereAnchorProps
     whereAnchorProps = sargableAnchors(rest)
     try {
-      m.patterns.foreach { p => df = compilePath(Option(df), p, pending = pending) }
+      val ctxVars = Option(df).map(boundIdVars).getOrElse(Set.empty)
+      orderPatterns(m.patterns, ctxVars).foreach { p =>
+        val bound = Option(df).map(boundIdVars).getOrElse(ctxVars)
+        df = compilePath(Option(df), orientPath(p, bound), pending = pending)
+      }
       existencePreds.foreach { case (pats, w, negated) =>
         df = applyExists(df, pats, w, negated) }
       pending.foreach(r => df = filterWithSubqueries(df, r))
@@ -160,6 +165,174 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     }
     pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
   }
+
+  // ------------------------------------------------------------------
+  // statistics-driven pattern-join ordering (SURVEY §4's one custom
+  // optimizer task — the reference's Cypher planner is cost-based on
+  // exactly these label/relType counts)
+  // ------------------------------------------------------------------
+
+  private def boundIdVars(df: DataFrame): Set[String] =
+    df.columns.iterator.collect {
+      case c if c.endsWith(s"${SEP}id") => c.stripSuffix(s"${SEP}id")
+    }.toSet
+
+  /** Estimated binding count of a node pattern: 1 for an
+    * already-bound variable, the cheapest label's sealed count for a
+    * labeled one (label expressions estimate by boolean shape), the
+    * whole node count otherwise — then one decimation per literal /
+    * sargable property anchor (order-of-magnitude heuristic; enough
+    * to RANK anchors, which is all join ordering needs). */
+  private def estimateNodeCard(n: NodePat, bound: Set[String],
+      s: graft.core.GraphStats): Double = {
+    if (n.variable.exists(bound.contains)) return 1.0
+    val labelCard: Double =
+      if (n.labels.nonEmpty)
+        n.labels.iterator.map(l => s.labels.getOrElse(l, 0L)).min.toDouble
+      else n.labelExpr.flatMap(labelExprCard(_, s))
+        .getOrElse(s.nodeCount.toDouble)
+    val anchors =
+      n.props.count { case (_, Lit(v)) => v != null } +
+        n.variable.map(v => whereAnchorProps.getOrElse(v, Set.empty).size).getOrElse(0)
+    labelCard / math.pow(10.0, math.min(anchors, 3).toDouble)
+  }
+
+  /** Cardinality of a label expression where the boolean shape allows
+    * an estimate: | sums (an upper bound — overlap uncounted), & takes
+    * the tighter side, ! and % decline (the caller falls back to the
+    * node count). */
+  private def labelExprCard(e: LabelExpr, s: graft.core.GraphStats): Option[Double] =
+    e match {
+      case LabelExpr.Leaf(n)    => Some(s.labels.getOrElse(n, 0L).toDouble)
+      case LabelExpr.LOr(l, r)  =>
+        for { a <- labelExprCard(l, s); b <- labelExprCard(r, s) } yield a + b
+      case LabelExpr.LAnd(l, r) =>
+        (labelExprCard(l, s), labelExprCard(r, s)) match {
+          case (Some(a), Some(b)) => Some(math.min(a, b))
+          case (a, b)             => a.orElse(b)
+        }
+      case _ => None
+    }
+
+  /** Average fan-out per frontier node of one traversal step over
+    * `rel`, in the hop's OWN direction: edges-of-type over distinct
+    * sources (`->`), over distinct sinks (`<-`), or both ways summed
+    * relative to the tighter endpoint set (undirected — each node
+    * sees the edge from both sides). Untyped hops average over every
+    * type. A type absent from the stats contributes nothing — the
+    * pattern can't match through it, making that end a free anchor. */
+  private def relBranch(rel: RelPat, s: graft.core.GraphStats): Double = {
+    val sts =
+      if (rel.types.nonEmpty) rel.types.flatMap(s.relTypes.get)
+      else s.relTypes.values.toSeq
+    if (sts.isEmpty) {
+      if (rel.types.nonEmpty) return 0.0
+      return s.edgeCount.toDouble / math.max(1L, s.nodeCount).toDouble
+    }
+    val cnt = sts.iterator.map(_.count).sum.toDouble
+    rel.dir match {
+      case 1  => cnt / math.max(1L, sts.iterator.map(_.srcCount).sum).toDouble
+      case -1 => cnt / math.max(1L, sts.iterator.map(_.dstCount).sum).toDouble
+      case _  =>
+        2.0 * cnt / math.max(1L,
+          math.min(sts.iterator.map(_.srcCount).sum,
+            sts.iterator.map(_.dstCount).sum)).toDouble
+    }
+  }
+
+  /** Estimated total work of compiling `p` left-to-right: the start
+    * anchor's cardinality, then per hop the frontier fans out by the
+    * traversal branch factor (var-length hops compound a bounded
+    * number of steps — enough to rank orientations) and the far
+    * node's own selectivity caps it back down (uniform-independence
+    * join estimate). The sum of frontier sizes approximates rows
+    * flowing through the join chain. */
+  private def pathCost(p: PathPat, bound: Set[String],
+      s: graft.core.GraphStats): Double = {
+    var frontier = estimateNodeCard(p.start, bound, s)
+    var total = frontier
+    p.hops.foreach { case (rel, n) =>
+      val steps = rel.varLength match {
+        case Some((lo, hi)) =>
+          math.max(1, math.min(if (hi == Int.MaxValue) math.max(lo, 2) else hi, 4))
+        case None => 1
+      }
+      val b = relBranch(rel, s)
+      (1 to steps).foreach { _ =>
+        frontier *= b
+        total += frontier
+      }
+      val sel = estimateNodeCard(n, bound, s) / math.max(1.0, s.nodeCount.toDouble)
+      frontier *= math.min(1.0, sel)
+      total += frontier
+    }
+    total
+  }
+
+  /** `(a)-[r1]->(b)-[r2]->(c)` reversed to `(c)<-[r2]-(b)<-[r1]-(a)`:
+    * the same pattern read from the other end — each hop keeps its
+    * own relationship but flips traversal direction. */
+  private def reversePath(p: PathPat): PathPat = {
+    val nodes = p.start +: p.hops.map(_._2)
+    val rels = p.hops.map(_._1)
+    PathPat(nodes.last,
+      rels.indices.reverse.map(i => (rels(i).copy(dir = -rels(i).dir), nodes(i))))
+  }
+
+  /** Reversal is a pure plan-shape change EXCEPT for one corner: an
+    * UNDIRECTED hop whose relationship variable is bound projects
+    * (src, dst) in TRAVERSAL orientation (edgeDf symmetrizes), so
+    * flipping the walk would flip what the query observes. Directed
+    * hops keep stored (src, dst) whichever side joins first, and
+    * anonymous relationships are never observed. */
+  private def reversible(p: PathPat): Boolean =
+    p.hops.forall { case (rel, _) => rel.dir != 0 || rel.variable.isEmpty }
+
+  /** Orient one path pattern by cost: compile from the cheaper end.
+    * Only fires on a clear win ([[CypherCompiler.ReorderFactor]]) —
+    * near-ties keep the textual plan (stability beats a coin-flip
+    * estimate), and no stats means no change at all. */
+  private def orientPath(p: PathPat, bound: Set[String]): PathPat = stats match {
+    case Some(s) if p.hops.nonEmpty && reversible(p) =>
+      val rev = reversePath(p)
+      if (pathCost(rev, bound, s) * CypherCompiler.ReorderFactor <
+          pathCost(p, bound, s)) rev
+      else p
+    case _ => p
+  }
+
+  /** Order a MATCH clause's comma-separated patterns: start from the
+    * one with the cheapest anchor, then greedily take the cheapest
+    * pattern CONNECTED to the already-bound variables (a connected
+    * pattern compiles to joins; only when nothing connects does the
+    * cartesian the textual order would also have paid happen).
+    * Identity without stats or with a single pattern — all existing
+    * plans are untouched until a snapshot seals counts. */
+  private def orderPatterns(pats: Seq[PathPat], ctxVars: Set[String]): Seq[PathPat] =
+    stats match {
+      case Some(s) if pats.size > 1 =>
+        def vars(p: PathPat): Set[String] =
+          ((p.start +: p.hops.map(_._2)).flatMap(_.variable) ++
+            p.hops.flatMap(_._1.variable)).toSet
+        def anchorCost(p: PathPat, bound: Set[String]): Double =
+          (p.start +: p.hops.map(_._2)).iterator
+            .map(n => estimateNodeCard(n, bound, s)).min
+        val remaining = collection.mutable.ArrayBuffer(pats: _*)
+        val out = collection.mutable.ArrayBuffer.empty[PathPat]
+        var bound = ctxVars
+        while (remaining.nonEmpty) {
+          val connected =
+            if (bound.isEmpty) remaining.toSeq
+            else remaining.filter(p => vars(p).intersect(bound).nonEmpty)
+          val pool = if (connected.nonEmpty) connected else remaining.toSeq
+          val pick = pool.minBy(p => anchorCost(p, bound))
+          remaining -= pick
+          out += pick
+          bound ++= vars(pick)
+        }
+        out.toSeq
+      case _ => pats
+    }
 
   /** Conjuncts safe to apply EARLY (before a var-length expansion
     * seeds): plain column-computable predicates — no pattern/exists
@@ -1291,6 +1464,31 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       else df.filter(lit(false))
   }
 
+  /** A COVERING label set for a label expression: every node
+    * satisfying the expression carries at least one member, so the
+    * union of the members' partition directories is a superset of the
+    * answer and the (re-applied) predicate closes the gap. `|` needs
+    * both sides covered; `&` is covered by EITHER side (prefer the
+    * cheaper by sealed counts when stats exist); `!` and `%` admit no
+    * cover. */
+  private def coveringLabels(e: LabelExpr): Option[Set[String]] = e match {
+    case LabelExpr.Leaf(n) => Some(Set(n))
+    case LabelExpr.LOr(l, r) =>
+      for { a <- coveringLabels(l); b <- coveringLabels(r) } yield a ++ b
+    case LabelExpr.LAnd(l, r) =>
+      (coveringLabels(l), coveringLabels(r)) match {
+        case (Some(a), Some(b)) =>
+          stats match {
+            case Some(s) =>
+              def card(set: Set[String]) = set.iterator.map(s.labels.getOrElse(_, 0L)).sum
+              Some(if (card(b) < card(a)) b else a)
+            case None => Some(if (b.size < a.size) b else a)
+          }
+        case (a, b) => a.orElse(b)
+      }
+    case _ => None
+  }
+
   /** Label-expression predicate over the `labels` array column:
     * Leaf → membership, &/|/! → boolean algebra, % → any label. */
   private def labelPred(labelsCol: Column, e: LabelExpr): Column = e match {
@@ -1316,10 +1514,25 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         whereAnchorProps.getOrElse(v, Set.empty)
     // routing preference: a property-clustered RANGE/TEXT projection
     // (row-group-pruned on the anchor value) beats the label-partition
-    // scan (directory-pruned to the label), which beats the full base
+    // scan (directory-pruned to the label), which beats the full base.
+    // A label EXPRESSION routes through its covering set when the
+    // boolean shape admits one (`:A|B` → one A ∪ B union-pruned read,
+    // `:A&B` → either side's directories then the re-filter below;
+    // `:!A` / `:%` fall back — no directory set covers them).
+    // a multi-label conjunction (`:A:B` / `:A&B` — parsed into
+    // `labels`) is covered by ANY one label's directories: prune by
+    // the cheapest when counts are sealed, the first otherwise
+    val cheapestLabel = stats match {
+      case Some(s) if n.labels.size > 1 =>
+        Some(n.labels.minBy(l => s.labels.getOrElse(l, 0L)))
+      case _ => n.labels.headOption
+    }
     val aux = n.labels.iterator.flatMap(l =>
       anchorKeys.iterator.flatMap(k => rangeAnchor(l, k))).nextOption()
-      .orElse(n.labels.headOption.flatMap(labelScan))
+      .orElse(cheapestLabel.flatMap(l => labelScan(Seq(l))))
+      .orElse(n.labelExpr.filter(_ => n.labels.isEmpty)
+        .flatMap(coveringLabels)
+        .flatMap(ls => labelScan(ls.toSeq.sorted)))
     var df = aux.getOrElse(graph.nodes)
     n.labels.foreach(l => df = df.filter(array_contains(col("labels"), l)))
     n.labelExpr.foreach(e => df = df.filter(labelPred(col("labels"), e)))
@@ -2592,4 +2805,10 @@ object CypherCompiler {
     * than a mutable global, so a lowered test cap can never leak
     * into a concurrent session (ADVICE r16 #4). */
   private[graft] val DefaultPrefixEnumerationCap: Long = 5000000L
+
+  /** A path only reverses (and a pattern only jumps the textual
+    * queue) on an estimated win at least this large: the cost model
+    * is order-of-magnitude, so near-ties keep the textual plan —
+    * stability over churn. */
+  private[graft] val ReorderFactor: Double = 2.0
 }

@@ -437,10 +437,13 @@ object Similarity {
     // The VECTOR-index probe path against its own exact scan: a
     // snapshot-backed session trains the IVF coarse quantizer at save
     // (Lloyd from the lowest-id seeds — SnapshotStore.writeIndexAux),
-    // then for NQ query vectors the probes=8 partition-pruned read is
-    // scored against the exhaustive top-10. The recall number is a
-    // deterministic function of the corpus (seeding, tie-breaks, and
-    // the decimal centroid means are all order-independent) but NOT
+    // then for NQ query vectors each partition-pruned probe budget in
+    // {4, 8, 16} (of 64 cells) is scored against the exhaustive
+    // top-10 — the recall-vs-probe-budget CURVE, not one point (r17
+    // verdict #3): a user tuning `probes` reads the measured tradeoff
+    // straight off this row. The recall numbers are a deterministic
+    // function of the corpus (seeding, tie-breaks, and the decimal
+    // centroid means are all order-independent) but NOT
     // SQL-expressible — DuckDB cannot replay the trained quantizer —
     // so this row is rows-only by design; PacksSpec pins the recall
     // floor on a clustered synthetic corpus.
@@ -464,17 +467,20 @@ object Similarity {
       val exact = scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 10).select("q_id", "id").collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      val rows = queries.map { case (qid, v) =>
+      val rows = for {
+        probes <- Seq(4, 8, 16)
+        (qid, v) <- queries
+      } yield {
         // the vector rides as a parameter — double literals can carry
         // scientific notation the Cypher lexer doesn't take
         val ivf = gs.cypher(
-          s"CALL db.index.vector.queryNodes('emb_ivf', 10, $$v, {probes: 8}) " +
+          s"CALL db.index.vector.queryNodes('emb_ivf', 10, $$v, {probes: $probes}) " +
             "YIELD nodeId RETURN nodeId", Map("v" -> v)).collect().map(_.getLong(0)).toSet
         val ex = exact.getOrElse(qid, Set.empty)
-        (qid, ex.size.toLong, ivf.intersect(ex).size.toLong)
-      }.toSeq
-      rows.toDF("q_id", "k", "overlap")
-        .select(col("q_id"), col("k"), col("overlap"),
+        (probes.toLong, qid, ex.size.toLong, ivf.intersect(ex).size.toLong)
+      }
+      rows.toDF("probes", "q_id", "k", "overlap")
+        .select(col("probes"), col("q_id"), col("k"), col("overlap"),
           floor(col("overlap") * lit(1000000.0) / col("k") + lit(0.5))
             .cast("long").as("irecall"))
     }

@@ -56,6 +56,97 @@ class AdminSpec extends AnyFunSuite {
     assert(fresh.graph().nodes.select("id").distinct().count() == 3)
   }
 
+  test("stats.json: full write seals label/relType counts; delta overlays track them") {
+    // r17 verdict #1's substrate: the join-ordering cost model reads
+    // per-label node counts and per-relType (count, srcCount, dstCount)
+    // sealed at the full write, carried through incremental saves, and
+    // refreshed by compaction.
+    val data = tmp("graft-stats")
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(0, 99) AS x CREATE (:SA {k: x})")
+    s.cypher("UNWIND range(0, 9) AS x CREATE (:SB {k: x})")
+    s.cypher("CREATE (:SA:SB {k: 500})") // multi-label: counts toward both
+    s.cypher("UNWIND $rows AS row MATCH (a:SA {k: row.a}), (b:SB {k: row.b}) " +
+      "MERGE (a)-[:ST]->(b)",
+      Map("rows" -> (0 until 20).map(i => Map("a" -> i.toLong, "b" -> (i % 10).toLong))))
+    s.saveDatabase(data)
+    val dir = s"$data/databases/neo4j"
+    val st = graft.core.SnapshotStore.readStats(dir).get
+    assert(st.nodeCount == 111L && st.edgeCount == 20L, st.toString)
+    assert(st.labels == Map("SA" -> 101L, "SB" -> 11L), st.labels.toString)
+    val t = st.relTypes("ST")
+    assert(t.count == 20L, t.toString)
+    // approx distincts on 20 exact-small values are exact
+    assert(t.srcCount == 20L && t.dstCount == 10L, t.toString)
+    // incremental save: base stats carry through (the overlay is the
+    // session's job, not the file's)
+    s.cypher("UNWIND range(100, 119) AS x CREATE (:SB {k: x})")
+    s.saveDatabase(data)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/nodes_delta")))
+    assert(graft.core.SnapshotStore.readStats(dir).get.labels("SB") == 11L)
+    // compaction refreshes the sealed counts from the folded base
+    graft.core.SnapshotStore.compact(spark, dir)
+    assert(graft.core.SnapshotStore.readStats(dir).get.labels("SB") == 31L)
+    // a fresh load of a delta-BEARING snapshot folds the disk delta
+    // into the session's stats eagerly (readNodes folds the data, so
+    // statsFor must see the folded counts too) — exercised via a new
+    // delta on the compacted base
+    s.loadDatabase(data)
+    s.cypher("UNWIND range(200, 204) AS x CREATE (:SC {k: x})")
+    s.saveDatabase(data) // incremental again
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(data)
+    // the sealed file still has no SC…
+    assert(!graft.core.SnapshotStore.readStats(dir).get.labels.contains("SC"))
+    // …but the loaded session's plans already anchor on it: a 1-hop
+    // pattern from the 5-row SC side would reverse — proven indirectly
+    // by correctness of a mixed query (the direct plan pin lives in
+    // PlanSpec; here we pin that stats presence never breaks results)
+    assert(fresh.cypher("MATCH (n:SC) RETURN count(n) AS n")
+      .collect().head.getLong(0) == 5L)
+  }
+
+  test("a node property named _label_key refuses the save (derived-column collision)") {
+    // ADVICE r17 #3: withColumn would silently overwrite the property
+    // at write and readNodes would drop it at load — data loss with no
+    // refusal. Only programmatic frames can carry the name.
+    import org.apache.spark.sql.functions._
+    val s = new GraftSession(spark)
+    val nodes = spark.range(3).select(col("id"),
+      array(lit("LK")).as("labels"), lit("x").as("_label_key"))
+    s.setGraph(graft.core.PropertyGraph(nodes,
+      graft.core.PropertyGraph.empty(spark).edges))
+    val e = intercept[IllegalArgumentException] { s.saveDatabase(tmp("graft-lkc")) }
+    assert(e.getMessage.contains("_label_key"), e.getMessage)
+  }
+
+  test("non-identifier labels never route through the partition key (type-inference trap)") {
+    // ADVICE r17 #2: partition-value inference can retype an
+    // all-numeric label key ('007' -> 7 -> '7') so the split/contains
+    // match misses the label's own rows. Such labels (setGraph-only;
+    // Cypher labels are identifiers) take the full scan — correct,
+    // just unpruned.
+    import org.apache.spark.sql.functions._
+    val s = new GraftSession(spark)
+    val nodes = spark.range(6).select(col("id"),
+      when(col("id") < 4, array(lit("007"))).otherwise(array(lit("Real")))
+        .as("labels"), col("id").as("k"))
+    s.setGraph(graft.core.PropertyGraph(nodes,
+      graft.core.PropertyGraph.empty(spark).edges))
+    val data = tmp("graft-numlbl")
+    s.saveDatabase(data)
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(data)
+    assert(graft.core.SnapshotStore.readNodesPrunedByLabels(
+      spark, s"$data/databases/neo4j", Seq("007")).isEmpty,
+      "numeric-shaped label wrongly offered a pruned read")
+    // the unpruned read keeps every row of the numeric-shaped label
+    assert(fresh.graph().nodes
+      .filter(array_contains(col("labels"), "007")).count() == 4L)
+    assert(fresh.cypher("MATCH (n:Real) RETURN count(n) AS n")
+      .collect().head.getLong(0) == 2L)
+  }
+
   test("an EMPTY database saves and loads (id-clustered write tolerates zero rows)") {
     // the node base now range-clusters by id at write; zero-row and
     // fresh-database saves must keep working (the shuffle sees no data)

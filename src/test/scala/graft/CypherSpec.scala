@@ -314,6 +314,19 @@ class CypherSpec extends AnyFunSuite {
     }
     assert(miss.getMessage.contains("No such index") &&
       miss.getMessage.contains("`nope`"), miss.getMessage)
+    // a uniqueness constraint implies a backing index upstream, so a
+    // hint on the constrained (label, prop) is VALID with no explicit
+    // index (ADVICE r17 #1: db.indexes alone regressed this)
+    s.cypher("CREATE CONSTRAINT uh_uc FOR (n:uh) REQUIRE n.u IS UNIQUE")
+    s.cypher("MATCH (n:uh {k: 1}) SET n.u = 10")
+    assert(ks("MATCH (n:uh) USING INDEX n:uh(u) WHERE n.u = 10 RETURN n.k AS k") == Seq(1L))
+    // an EXISTENCE constraint is index-less upstream — the hint still
+    // refuses (only uniqueness/key constraints own a backing index)
+    s.cypher("MATCH (n:uh) SET n.e2 = n.k")
+    s.cypher("CREATE CONSTRAINT uh_ex FOR (n:uh) REQUIRE n.e2 IS NOT NULL")
+    intercept[NoSuchElementException] {
+      s.cypher("MATCH (n:uh) USING INDEX n:uh(e2) WHERE n.e2 = 1 RETURN n.k AS k").collect()
+    }
   }
 
   test("*lo.. prefix enumeration refuses past the cap with a bounded rewrite hint") {
@@ -572,9 +585,22 @@ class CypherSpec extends AnyFunSuite {
     assert(all == all.sorted)
     assert(s.cypher("SHOW DATABASES YIELD name ORDER BY name SKIP 1", "system")
       .collect().map(_.getString(0)).toSeq == all.drop(1))
+    // YIELD aliases (r17 verdict #4): the rename binds BEFORE the
+    // WHERE / ORDER BY tail, so both reference the alias — and the
+    // RETURN tail re-projects (with its own aliases too)
+    val aliased = s.cypher("SHOW DATABASES YIELD name AS n RETURN n", "system")
+      .collect()
+    assert(aliased.head.schema.fieldNames.toSeq == Seq("n"))
+    assert(aliased.map(_.getString(0)).toSet.contains("extra"))
+    assert(s.cypher(
+      "SHOW DATABASES YIELD name AS n WHERE n = 'extra' ORDER BY n RETURN n AS db",
+      "system").collect().map(_.getString(0)).toSeq == Seq("extra"))
+    assert(s.cypher(
+      "SHOW DATABASES YIELD name AS n, currentStatus ORDER BY n DESC LIMIT 2",
+      "system").collect().map(_.getString(0)).toSeq == all.sorted.reverse.take(2))
     // a tail this projection can't honor still refuses loudly
     intercept[Exception] {
-      s.cypher("SHOW DATABASES YIELD name AS n RETURN n", "system")
+      s.cypher("SHOW DATABASES YIELD name + '!' AS n RETURN n", "system")
     }
   }
 
@@ -1476,6 +1502,31 @@ class CypherSpec extends AnyFunSuite {
         "YIELD op, before RETURN op, before").collect()
     assert(wb2.length == 1 && wb2.head.getString(1) != null &&
       wb2.head.getString(1).contains("\"v\":11"), wb2.mkString(","))
+    // exactness surface (ADVICE r17 #4): an ANCHORED cursor reports
+    // before_exact = true …
+    assert(s.cypher(
+      s"CALL db.cdc.query('$c2', true) YIELD before_exact RETURN before_exact")
+      .collect().forall(_.getBoolean(0)))
+    // … and once the anchor is gone (the ≤64 cache evicts the lowest
+    // sequence as newer cursors mint — simulated directly; 64 real
+    // interleaved commits would pin the same path at 100× the test
+    // cost), the reconstruction declares itself best-effort instead
+    // of silently degrading: a key updated both before and after the
+    // cursor reads the epoch-base image there
+    s.catalog.database("neo4j").cdcAnchors.clear()
+    s.cypher("MATCH (n:bx) SET n.v = 13")
+    val wb3 = s.cypher(
+      s"CALL db.cdc.query('$c2', true, [{select: 'n', labels: ['bx']}]) " +
+        "YIELD before, before_exact RETURN before, before_exact").collect()
+    assert(wb3.length == 1 && !wb3.head.getBoolean(1),
+      "evicted-anchor reconstruction not flagged best-effort")
+    // a seq-0 epoch-start cursor needs no anchor: its before IS the
+    // base — exact by construction
+    val e0 = s.cypher("CALL db.cdc.earliest() YIELD id RETURN id")
+      .collect().head.getString(0)
+    assert(s.cypher(
+      s"CALL db.cdc.query('$e0', true) YIELD before_exact RETURN before_exact")
+      .collect().forall(_.getBoolean(0)))
   }
 
   test("db.cdc: cursors are database-bound — the wrong database refuses") {

@@ -1245,19 +1245,25 @@ class PacksSpec extends AnyFunSuite {
       "OPTIONS {indexConfig: {`vector.similarity_function`: 'cosine'}}")
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivftrain_").toString
     s.saveDatabase(tmp)
-    // recall@10, probes=8, one query per cluster center
-    val recalls = (0 until 8).map { c =>
+    // recall@10 across the probe-budget curve (r17 verdict #3): one
+    // query per cluster center, probes ∈ {4, 8, 16} of 64 cells
+    def recallAt(probes: Int): Double = (0 until 8).map { c =>
       val q = (0 until dim).map(d =>
         if (d == 2 * c) 1.0 else if (d == 2 * c + 1) 0.5 else 0.0)
       def ids(opts: String) = s.cypher(
         s"CALL db.index.vector.queryNodes('cl_vec', 10, $$v$opts) " +
           "YIELD nodeId RETURN nodeId", Map("v" -> q))
         .collect().map(_.getLong(0)).toSet
-      val ivf = ids(", {probes: 8}")
+      val ivf = ids(s", {probes: $probes}")
       ids("").intersect(ivf).size / 10.0
-    }
-    val avg = recalls.sum / recalls.size
-    assert(avg >= 0.9, s"trained-IVF recall@10 too low: $avg (${recalls.mkString(",")})")
+    }.sum / 8.0
+    val avg = recallAt(8)
+    assert(avg >= 0.9, s"trained-IVF recall@10 too low at probes=8: $avg")
+    val avg16 = recallAt(16)
+    assert(avg16 >= 0.9, s"trained-IVF recall@10 too low at probes=16: $avg16")
+    // a bigger probe budget can only widen the scanned cell set
+    assert(avg16 >= recallAt(4) - 1e-9,
+      "recall not monotone in the probe budget")
     // training must have MOVED the quantizer off its lowest-id seeds:
     // most centroids are multi-member means, not stored vectors
     val cents = spark.read.parquet(s"$tmp/databases/neo4j/index_aux/cl_vec/centroids")
@@ -1269,6 +1275,62 @@ class PacksSpec extends AnyFunSuite {
     // their centroids became means — at least one per cluster
     assert(moved >= 8,
       s"only $moved/${cents.length} centroids moved off the lowest-id seeds")
+    graft.core.SnapshotStore.deleteDir(tmp)
+  }
+
+  test("compaction retrains the IVF quantizer; the probe path routes after reload") {
+    // r17 verdict #3: an incremental save keeps the sealed centroids
+    // (the projection composes with the delta), but a COMPACTION folds
+    // the delta into the base — the quantizer must retrain on the
+    // folded data (compact → write → writeIndexAux runs the Lloyd
+    // trainer), not keep serving pre-delta cells with drifting recall.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = 8
+    def member(i: Int): Seq[Double] = (0 until dim).map { d =>
+      (if (d == 2 * (i % 4)) 1.0 else 0.0) + ((i * 13 + d * 7) % 9 - 4) * 0.02
+    }
+    val nodes = (0 until 256).map(i => (i.toLong, member(i)))
+      .toDF("id", "v")
+      .select(col("id"), array(lit("emb")).as("labels"), col("v").as("embedding"))
+    val s = new GraftSession(spark)
+    s.setGraph(graft.core.PropertyGraph(nodes,
+      graft.core.PropertyGraph.empty(spark).edges))
+    s.cypher("CREATE VECTOR INDEX cp_vec FOR (n:emb) ON n.embedding " +
+      "OPTIONS {indexConfig: {`vector.similarity_function`: 'cosine'}}")
+    val tmp = java.nio.file.Files.createTempDirectory("gcpr_").toString
+    s.saveDatabase(tmp)
+    val dir = s"$tmp/databases/neo4j"
+    def cents(): Seq[(Int, Seq[Double])] =
+      spark.read.parquet(s"$dir/index_aux/cp_vec/centroids")
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    val sealedCents = cents()
+    // a delta lands (a new dense blob far from every trained cell) and
+    // the save stays INCREMENTAL: centroids untouched, probe composed
+    val blob = (0 until dim).map(d => if (d == 7) 1.0 else 0.0)
+    s.cypher("UNWIND $rows AS row CREATE (:emb {embedding: row.v})",
+      Map("rows" -> (0 until 40).map(i =>
+        Map("v" -> blob.updated(0, i * 0.001)))))
+    s.saveDatabase(tmp)
+    assert(cents() == sealedCents,
+      "incremental save rewrote the sealed centroids")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/nodes_delta")))
+    // compaction folds the delta AND retrains on the folded corpus
+    graft.core.SnapshotStore.compact(spark, dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/nodes_delta")))
+    assert(cents() != sealedCents,
+      "compaction kept the stale pre-delta quantizer")
+    // a fresh load routes through the retrained projection: a blob
+    // query at probes=1 (single best cell) finds blob members — the
+    // retrained cells cover the new mass
+    val s2 = new GraftSession(spark)
+    s2.loadDatabase(tmp)
+    val got = s2.cypher(
+      "CALL db.index.vector.queryNodes('cp_vec', 5, $v, {probes: 1}) " +
+        "YIELD nodeId RETURN nodeId", Map("v" -> blob))
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == 5 && got.forall(_ >= 256L),
+      s"probe after compaction+reload missed the folded blob: $got")
     graft.core.SnapshotStore.deleteDir(tmp)
   }
 
