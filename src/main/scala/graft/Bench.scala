@@ -341,7 +341,77 @@ object Bench {
           Seq(f""""save_incremental":{"t1":$s1%.3f,"t10":$s10%.3f,"slope":$slope%.2f}""")
         } catch { case _: Throwable => Nil }
 
-      val allParts = parts ++ orgParts ++ saveParts :+
+      // statistics-driven join ordering + frontier broadcast hints,
+      // measured (r17 verdict #1's done-bar): ONE skewed saved fixture
+      // — 4M :Big (with a payload column) → 1k :Mid → 10 :Tiny, 12M
+      // R1 edges — and the 3-hop pattern WRITTEN big-first with the
+      // selective anchor at the far END, timed steady on two sessions
+      // over the same snapshot: one with the sealed stats (compiles
+      // Tiny-anchored, reversed, each tiny frontier broadcast-hinted
+      // so the 12M-edge table is scanned once and never shuffled) and
+      // one with stats stripped (textual order: the Big ⋈ R1 join
+      // runs before anything cuts it down). Label routing is identical
+      // in both (indexAuxState untouched), so the delta is the join
+      // ORDER + hints alone. Shuffle volume ships next to the seconds:
+      // wall-clock at probe scale understates the 100 TB gap (the
+      // textual plan here survives on a 4M-row static broadcast that
+      // cannot exist at 10⁹ rows), shuffled records don't.
+      val orderParts =
+        try {
+          import org.apache.spark.sql.functions.{array, col, concat, lit}
+          val data = s"$tmp/_joinorder"
+          val gs = new GraftSession(spark)
+          val big = spark.range(4000000L).select((col("id") * 10 + 3).as("id"),
+            array(lit("Big")).as("labels"), (col("id") % 1000).as("fk"),
+            concat(lit("payload-of-node-"), col("id")).as("note"))
+          val mid = spark.range(1000L).select((col("id") * 10 + 1).as("id"),
+            array(lit("Mid")).as("labels"), (col("id") % 10).as("fk"),
+            lit(null).cast("string").as("note"))
+          val tiny = spark.range(10L).select((col("id") * 10).as("id"),
+            array(lit("Tiny")).as("labels"), lit(null).cast("long").as("fk"),
+            lit(null).cast("string").as("note"), col("id").as("tx"))
+          val nodes = big.unionByName(mid, allowMissingColumns = true)
+            .unionByName(tiny, allowMissingColumns = true)
+          val e1 = spark.range(12000000L).select(
+            ((col("id") / 3) * 10 + 3).cast("long").as("src"),
+            ((col("id") % 1000) * 10 + 1).cast("long").as("dst"),
+            lit("R1").as("relType"))
+          val e2 = mid.select(col("id").as("src"), (col("fk") * 10).as("dst"),
+            lit("R2").as("relType"))
+          val edges = e1.unionByName(e2)
+            .withColumn("eid", graft.core.GraphViews.viewEid)
+          gs.setGraph(graft.core.PropertyGraph(nodes, edges))
+          gs.saveDatabase(data)
+          val q = "MATCH (a:Big)-[:R1]->(m:Mid)-[:R2]->(t:Tiny {tx: 0}) " +
+            "RETURN count(*) AS n"
+          val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              if (t.taskMetrics != null)
+                shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          }
+          def timeSteady(s0: GraftSession): (Double, Long) = {
+            s0.cypher(q).write.format("noop").mode("overwrite").save()
+            System.gc()
+            spark.sparkContext.addSparkListener(listener)
+            shuffled.set(0)
+            val t0 = System.nanoTime()
+            s0.cypher(q).write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(400) // listener events drain asynchronously
+            spark.sparkContext.removeSparkListener(listener)
+            (dt, shuffled.get)
+          }
+          val (ordered, shOrd) = timeSteady(gs)
+          val gsT = new GraftSession(spark)
+          gsT.loadDatabase(data)
+          gsT.catalog.database("neo4j").graphStats = None // ordering off, routing kept
+          val (textual, shTxt) = timeSteady(gsT)
+          Seq(f""""join_order_probe":{"textual":$textual%.3f,"ordered":$ordered%.3f,"speedup":${textual / ordered}%.2f,"shuffled_textual":$shTxt,"shuffled_ordered":$shOrd}""")
+        } catch { case _: Throwable => Nil }
+
+      val allParts = parts ++ orgParts ++ saveParts ++ orderParts :+
         """"gds_label_propagation":"constant-input (bounded CO probe, l_orderkey<3000)""""
       Some(allParts.mkString(s"""{"factor":$factor,""", ",", "}"))
     } catch { case _: Throwable => None }

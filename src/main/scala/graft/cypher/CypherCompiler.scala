@@ -719,7 +719,14 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   private def compileOptional(ctx: Option[DataFrame], m: Match): DataFrame = {
     val left = ctx.getOrElse(return compileMatch(ctx, m.copy(optional = false)))
     var right: DataFrame = null
-    m.patterns.foreach { p => right = compilePath(Option(right), p) }
+    // the right side compiles standalone (then left-joins on the
+    // shared ids), so it orders/orients by the same cost model as a
+    // plain MATCH — reversal never drops a variable, and the join
+    // below keys on whatever ids both sides share
+    orderPatterns(m.patterns, Set.empty).foreach { p =>
+      val bound = Option(right).map(boundIdVars).getOrElse(Set.empty[String])
+      right = compilePath(Option(right), orientPath(p, bound))
+    }
     m.where.foreach(e => right = right.filter(compileExpr(e, right)))
     val shared = left.columns.toSet.intersect(right.columns.toSet)
       .filter(_.endsWith(s"${SEP}id")).toSeq.sorted
@@ -764,6 +771,21 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     }
 
     bindStart(p.start)
+    // Frontier-cardinality estimate, maintained only when the path
+    // starts UNBOUND from the sealed stats (ctx present means an
+    // unknown-size binding table — never hint against it). A frontier
+    // estimated under [[CypherCompiler.BroadcastFrontierRows]] gets a
+    // broadcast hint before each join: Catalyst's static size
+    // estimates degrade through a join chain, so without the hint a
+    // tiny anchored frontier joining a huge edge table plans (and
+    // pays the map side of) a full edge shuffle that AQE can only
+    // partially unwind — at 100 TB the edge shuffle IS the query cost.
+    // Only this one join is hinted; the output's own estimate decides
+    // the next hop. A wrong estimate can only mis-size one broadcast
+    // (bounded by the threshold × row width), never change semantics.
+    var frontierEst: Option[Double] =
+      if (ctx.isEmpty && cur != null) stats.map(s => estimateNodeCard(p.start, Set.empty, s))
+      else None
     p.hops.foreach { case (rel, node) =>
       // seed a var-length expansion from FILTERED starts: consume any
       // pending plain conjunct whose variables are all bound already
@@ -782,7 +804,15 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         }
         pending.clear(); pending ++= keep
       }
-      cur = compileHop(cur, prevVar, rel, node, idsOnly)
+      cur = compileHop(cur, prevVar, rel, node, idsOnly,
+        frontierEst.filter(_ => rel.varLength.isEmpty))
+      frontierEst = (frontierEst, stats) match {
+        case (Some(e0), Some(s)) if rel.varLength.isEmpty =>
+          val far = estimateNodeCard(node, boundIdVars(cur), s)
+          Some(e0 * relBranch(rel, s) *
+            math.min(1.0, far / math.max(1.0, s.nodeCount.toDouble)))
+        case _ => None // var-length expansion output size is unmodeled
+      }
       prevVar = node.variable.getOrElse {
         // compileHop bound it under a fresh name recorded on the node pat
         lastNodeVar
@@ -804,9 +834,15 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   private var lastNodeVar: String = _
 
   private def compileHop(cur: DataFrame, prevVar: String, rel: RelPat, node: NodePat,
-      idsOnly: Boolean = false): DataFrame = {
+      idsOnly: Boolean = false, frontierEst: Option[Double] = None): DataFrame = {
     val nv = node.variable.getOrElse(fresh("n"))
     lastNodeVar = nv
+    // a stats-estimated SMALL side broadcasts explicitly — see the
+    // frontierEst note in compilePath
+    def hinted(df: DataFrame, est: Option[Double]): DataFrame =
+      if (est.exists(_ <= CypherCompiler.BroadcastFrontierRows))
+        org.apache.spark.sql.functions.broadcast(df)
+      else df
     rel.varLength match {
       case Some((lo, hi)) =>
         if (rel.where.nonEmpty) throw new UnsupportedOperationException(
@@ -819,10 +855,13 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         val joined =
           if (cur == null) // deferred idsOnly start: id comes from the edge
             e.withColumn(s"$prevVar${SEP}id", col(nearSide))
-          else rel.dir match {
-            case 1  => cur.join(e, cur(s"$prevVar${SEP}id") === e(s"$rv${SEP}src"))
-            case -1 => cur.join(e, cur(s"$prevVar${SEP}id") === e(s"$rv${SEP}dst"))
-            case 0  => cur.join(e, cur(s"$prevVar${SEP}id") === e(s"$rv${SEP}src")) // e pre-symmetrized
+          else {
+            val c = hinted(cur, frontierEst)
+            rel.dir match {
+              case 1  => c.join(e, c(s"$prevVar${SEP}id") === e(s"$rv${SEP}src"))
+              case -1 => c.join(e, c(s"$prevVar${SEP}id") === e(s"$rv${SEP}dst"))
+              case 0  => c.join(e, c(s"$prevVar${SEP}id") === e(s"$rv${SEP}src")) // e pre-symmetrized
+            }
           }
         val farSide = if (rel.dir == -1) s"$rv${SEP}src" else s"$rv${SEP}dst"
         if (joined.columns.contains(s"$nv${SEP}id")) {
@@ -837,7 +876,14 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           joined.withColumn(s"$nv${SEP}id", col(farSide))
         } else {
           val n = nodeDf(nv, node)
-          joined.join(n, col(farSide) === n(s"$nv${SEP}id"))
+          // post-expand frontier estimate: one hop's fan-out over the
+          // pre-join frontier — if still small, broadcast it against
+          // the (possibly huge) far node table too
+          val expandedEst = (frontierEst, stats) match {
+            case (Some(e0), Some(s)) => Some(e0 * relBranch(rel, s))
+            case _ => None
+          }
+          hinted(joined, expandedEst).join(n, col(farSide) === n(s"$nv${SEP}id"))
         }
     }
   }
@@ -2811,4 +2857,14 @@ object CypherCompiler {
     * is order-of-magnitude, so near-ties keep the textual plan —
     * stability over churn. */
   private[graft] val ReorderFactor: Double = 2.0
+
+  /** A frontier ESTIMATED at or under this many rows gets an explicit
+    * broadcast hint on its next pattern join: Catalyst's static
+    * estimates degrade through join chains, so a provably-anchored
+    * tiny frontier would otherwise plan a full shuffle of the big
+    * edge/node side (AQE converts the join at runtime but the map-side
+    * shuffle write is already paid). Conservative: the estimate's
+    * decimation heuristic is order-of-magnitude, and a broadcast this
+    * size is a few MB even with wide rows. */
+  private[graft] val BroadcastFrontierRows: Double = 10000.0
 }

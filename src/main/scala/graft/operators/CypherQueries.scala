@@ -72,6 +72,50 @@ object CypherQueries {
       gs
     })
 
+  /** Snapshot-backed session over a SKEWED three-label graph —
+    * customer (big) → nation (25) → region (5) with IN / OF edges —
+    * the statistics-driven join-ordering fixture (r17 verdict #1): the
+    * full save seals per-label counts + label partitions, so a
+    * multi-hop MATCH written big-label-first must still anchor at the
+    * selective end (PlanSpec pins the plan; the rows here grade the
+    * ANSWER through the reordered, label-routed plan). */
+  private val orderCache = new java.util.concurrent.ConcurrentHashMap[String, GraftSession]()
+  private def orderedSession(s: SparkSession, dir: String): GraftSession =
+    orderCache.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.functions._
+      val gs = new GraftSession(s)
+      def t(n: String) = graft.core.Tables(s, dir, n)
+      val cust = t("customer").select(
+        (col("c_custkey") * 10 + 3).cast("long").as("id"),
+        array(lit("customer")).as("labels"),
+        col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"))
+      val nat = t("nation").select(
+        (col("n_nationkey") * 10 + 1).cast("long").as("id"),
+        array(lit("nation")).as("labels"),
+        col("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+      val reg = t("region").select(
+        (col("r_regionkey") * 10 + 0).cast("long").as("id"),
+        array(lit("region")).as("labels"),
+        col("r_regionkey"), col("r_name"))
+      val nodes = cust.unionByName(nat, allowMissingColumns = true)
+        .unionByName(reg, allowMissingColumns = true)
+      val inE = t("customer").select(
+        (col("c_custkey") * 10 + 3).cast("long").as("src"),
+        (col("c_nationkey") * 10 + 1).cast("long").as("dst"),
+        lit("IN").as("relType"))
+      val ofE = t("nation").select(
+        (col("n_nationkey") * 10 + 1).cast("long").as("src"),
+        (col("n_regionkey") * 10 + 0).cast("long").as("dst"),
+        lit("OF").as("relType"))
+      val edges = inE.unionByName(ofE)
+        .withColumn("eid", graft.core.GraphViews.viewEid)
+      gs.setGraph(graft.core.PropertyGraph(nodes, edges))
+      gs.saveDatabase(
+        java.nio.file.Files.createTempDirectory("gord_").toString)
+      gs
+    })
+
   private def q(name: String, oracle: String)(cypher: String): QueryDef =
     sql(name, oracle) { (s, dir) => session(s, dir).cypher(cypher) }
 
@@ -1419,6 +1463,40 @@ object CypherQueries {
       "SELECT count(*) + 1 AS n FROM customer") { (s, dir) =>
       indexedDeltaSession(s, dir).cypher(
         "MATCH (n:customer) RETURN count(n) AS n")
+    },
+
+    // Statistics-driven join ordering graded end to end (r17 verdict
+    // #1): the 3-hop pattern is WRITTEN big-label-first, but the saved
+    // fixture's sealed label counts make the compiler anchor at the
+    // 5-row region side (with its prop anchor) and walk backward —
+    // PlanSpec pins the reversed plan shape; this row grades the
+    // answer through it. The per-nation breakdown makes a silently
+    // mis-joined reversal (wrong multiplicity, dropped hop) hash-fail.
+    sql("cy_join_order",
+      """SELECT n.n_name AS n_name, count(*) AS cnt
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA' GROUP BY n.n_name ORDER BY n_name""".stripMargin) {
+      (s, dir) =>
+        orderedSession(s, dir).cypher(
+          """MATCH (c:customer)-[:IN]->(n:nation)-[:OF]->(r:region {r_name: 'ASIA'})
+            |RETURN n.n_name AS n_name, count(*) AS cnt ORDER BY n_name""".stripMargin)
+    },
+
+    // Label-EXPRESSION routing graded end to end (r17 verdict #2): the
+    // A|B scan over the saved fixture reads ONE union-pruned
+    // label-partition scan (covering set {nation, region} — PlanSpec
+    // pins the partition filter); counts per label prove no row was
+    // duplicated or dropped by the union pruning.
+    sql("cy_label_expr_scan",
+      """SELECT l, cnt FROM (
+        |  SELECT 'nation' AS l, count(*) AS cnt FROM nation
+        |  UNION ALL SELECT 'region' AS l, count(*) AS cnt FROM region)
+        |ORDER BY l""".stripMargin) { (s, dir) =>
+      orderedSession(s, dir).cypher(
+        """MATCH (n:nation|region)
+          |WITH CASE WHEN n.n_name IS NOT NULL THEN 'nation' ELSE 'region' END AS l
+          |RETURN l, count(*) AS cnt ORDER BY l""".stripMargin)
     }
   )
 }

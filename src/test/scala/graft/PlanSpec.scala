@@ -416,6 +416,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!df3.queryExecution.executedPlan.toString.contains("index_aux"),
       "tier-only anchor wrongly routed through the (region, tier) projection")
     assert(df3.collect().length == 100)
+    // prefix EQUALITY + next-key RANGE (r17 verdict #5): the routed
+    // projection is sorted by the FULL key, so `region = 3 AND
+    // tier > 2` pushes BOTH — the equality prunes to the region-3 row
+    // groups and the range prunes within them
+    val df4 = s.cypher(
+      "MATCH (n:Acct) WHERE n.region = 3 AND n.tier > 2 RETURN n.ref AS ref")
+    val p4 = df4.queryExecution.executedPlan.toString
+    assert(p4.contains("index_aux"), "prefix-eq + next-key-range not routed:\n" + p4)
+    assert(p4.contains("EqualTo(region,3") && p4.contains("GreaterThan(tier,2"),
+      "composite eq+range predicates not both pushed:\n" + p4)
+    val expect4: Array[Long] =
+      (0 until 600).filter(i => i % 10 == 3 && i % 6 > 2).map(_.toLong).toArray
+    assert(df4.collect().map(_.getLong(0)).sorted.sameElements(expect4))
     // composite TEXT refuses at DDL (Neo4j parity)
     intercept[UnsupportedOperationException] {
       s.cypher("CREATE TEXT INDEX acct_tt FOR (n:Acct) ON (n.region, n.tier)")
@@ -590,6 +603,27 @@ class PlanSpec extends AnyFunSuite {
     s2.cypher("UNWIND range(0, 9) AS x CREATE (:Tiny {tx: x})")
     val df4 = s2.cypher("MATCH (a:Big), (t:Tiny) RETURN count(*) AS n")
     assert(df4.collect().head.getLong(0) == 100L)
+  }
+
+  test("graded cy_join_order / cy_label_expr_scan rows plan routed + reordered") {
+    // the graded rows' own fixture: the 3-hop written big-first must
+    // anchor at the 5-row region side, and the A|B scan must prune to
+    // the covering {nation, region} directories in ONE read
+    val prevMeta = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val jo = SparkEntry.queries("cy_join_order")(spark, sf)
+      val scan = firstNodeScan(jo)
+      assert(scan.contains("region") && !scan.contains("customer"),
+        "cy_join_order did not anchor at the selective label:\n" +
+          jo.queryExecution.executedPlan.toString)
+      val lx = SparkEntry.queries("cy_label_expr_scan")(spark, sf)
+      val scan2 = firstNodeScan(lx)
+      assert(scan2.contains("nation") && scan2.contains("region") &&
+        !scan2.contains("customer"),
+        "cy_label_expr_scan not pruned to the covering set:\n" +
+          lx.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevMeta)
   }
 
   test("var-length expand direction flips on relType degree skew") {
