@@ -804,8 +804,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         }
         pending.clear(); pending ++= keep
       }
-      cur = compileHop(cur, prevVar, rel, node, idsOnly,
-        frontierEst.filter(_ => rel.varLength.isEmpty))
+      cur = compileHop(cur, prevVar, rel, node, idsOnly, frontierEst)
       frontierEst = (frontierEst, stats) match {
         case (Some(e0), Some(s)) if rel.varLength.isEmpty =>
           val far = estimateNodeCard(node, boundIdVars(cur), s)
@@ -847,7 +846,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case Some((lo, hi)) =>
         if (rel.where.nonEmpty) throw new UnsupportedOperationException(
           "inline WHERE is not supported on a var-length relationship pattern")
-        compileVarHop(cur, prevVar, rel, node, nv, lo, hi)
+        compileVarHop(cur, prevVar, rel, node, nv, lo, hi, frontierEst)
       case None =>
         val rv = rel.variable.getOrElse(fresh("e"))
         val e = edgeDf(rv, rel)
@@ -912,15 +911,53 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * leak cache entries across catalog invocations. The fixpoint probe
     * (`isEmpty`) is one bounded driver action per hop past `lo`. */
   private def compileVarHop(cur: DataFrame, prevVar: String, rel: RelPat,
-      node: NodePat, nv: String, lo: Int, hi: Int): DataFrame = {
+      node: NodePat, nv: String, lo: Int, hi: Int,
+      seedEst: Option[Double] = None): DataFrame = {
     val hasEid = graph.edges.columns.contains("eid")
     def oriented(s: String, t: String)(e: DataFrame) =
       if (hasEid) e.select(col(s).as("_s"), col(t).as("_t"), col("eid"))
       else e.select(col(s).as("_s"), col(t).as("_t"))
-    val base0 = rel.dir match {
+    val rawOriented = rel.dir match {
       case 1  => oriented("src", "dst")(typedEdges(rel))
       case -1 => oriented("dst", "src")(typedEdges(rel))
       case 0  => oriented("src", "dst")(symmetrized(typedEdges(rel)))
+    }
+    val startIds = cur.select(cur(s"$prevVar${SEP}id").as("_s")).distinct()
+    // NEIGHBORHOOD PRE-REDUCTION (r18): when the sealed stats prove
+    // the seed frontier tiny and the pattern is bounded, the expansion
+    // can only ever traverse edges within hi forward hops of the
+    // seeds — computed here as hi broadcast semi joins over the raw
+    // typed scan. Without it the materialization below checkpoints
+    // the WHOLE typed edge set to executor-local disk (at 10¹⁰ edges
+    // that is the query's real cost, not the expansion); with it the
+    // checkpoint is output-proportional. Guarded per step by the same
+    // fan-out estimate the join-order model uses: a frontier estimated
+    // past the broadcast bound aborts the reduction and falls back to
+    // the whole-set materialization — a wrong estimate costs the
+    // fallback, never rows (the reduced set is a superset of every
+    // traversable edge by construction).
+    val base0 = (seedEst, stats) match {
+      case (Some(e0), Some(s)) if hi != Int.MaxValue &&
+          e0 <= CypherCompiler.BroadcastFrontierRows =>
+        val branch = relBranch(rel, s)
+        val hops = collection.mutable.ArrayBuffer.empty[DataFrame]
+        var ids = startIds
+        var est = e0
+        var step = 0
+        var ok = true
+        while (ok && step < hi) {
+          step += 1
+          if (est > CypherCompiler.BroadcastFrontierRows) ok = false
+          else {
+            val stepEdges = rawOriented.join(
+              org.apache.spark.sql.functions.broadcast(ids), Seq("_s"), "left_semi")
+            hops += stepEdges
+            est *= math.max(1.0, branch)
+            if (step < hi) ids = stepEdges.select(col("_t").as("_s")).distinct()
+          }
+        }
+        if (ok && hops.nonEmpty) hops.reduce(_ union _) else rawOriented
+      case _ => rawOriented
     }
     // edge key for trail uniqueness: the surrogate eid when the edge
     // set carries one — orientation-free by construction (both
@@ -943,7 +980,6 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val base = base0.distinct().withColumn("_k", edgeKey)
       .select(col("_s"), col("_t"), col("_k"))
       .localCheckpoint()
-    val startIds = cur.select(cur(s"$prevVar${SEP}id").as("_s")).distinct()
 
     // UNBOUNDED expand `[:T*]` / `[:T*1..]` / `+`: a TRUE reachability
     // fixpoint with a visited-set — frontier = newly-reached (start,
@@ -1092,12 +1128,25 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val reach = pairs.groupBy("_s", "_t").agg(sum(col("_c")).as(s"_vl${SEP}c"))
       .withColumnRenamed("_s", s"_vl${SEP}s").withColumnRenamed("_t", s"_vl${SEP}t")
     val joined = cur.join(reach, cur(s"$prevVar${SEP}id") === col(s"_vl${SEP}s"))
+    // post-expansion frontier estimate: the far node join is the one
+    // remaining big-table contact — hint it small when the cost model
+    // bounds the expanded pair set (the same reasoning as compileHop's
+    // frontier hints; a miss costs one oversized broadcast, never rows)
+    val expandedSmall = (seedEst, stats) match {
+      case (Some(e0), Some(s)) if hi != Int.MaxValue =>
+        val steps = math.min(hi, 4)
+        e0 * math.pow(math.max(1.0, relBranch(rel, s)), steps.toDouble) <=
+          CypherCompiler.BroadcastFrontierRows
+      case _ => false
+    }
     val out =
       if (cur.columns.contains(s"$nv${SEP}id"))
         joined.filter(col(s"_vl${SEP}t") === col(s"$nv${SEP}id"))
       else {
         val n = nodeDf(nv, node)
-        joined.join(n, col(s"_vl${SEP}t") === n(s"$nv${SEP}id"))
+        val j = if (expandedSmall) org.apache.spark.sql.functions.broadcast(joined)
+          else joined
+        j.join(n, col(s"_vl${SEP}t") === n(s"$nv${SEP}id"))
       }
     // one row per path: multiply each binding by its σ count (a no-op
     // explode when every count is 1). RETURN DISTINCT collapses right

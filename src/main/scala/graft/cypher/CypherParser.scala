@@ -18,7 +18,15 @@ object CypherParser extends RegexParsers {
   private def kw(s: String): Parser[String] =
     ("""(?i)\b""" + s + """\b""").r ^^ (_ => s.toUpperCase)
 
-  private val ident: Parser[String] = """[A-Za-z_][A-Za-z0-9_]*""".r
+  /** Plain identifier, or a BACKTICK-QUOTED one (Neo4j's escape for
+    * names that aren't plain identifiers: `MATCH (n:`007`)`,
+    * `RETURN n.`my prop``). The quoted form admits anything but a
+    * backtick; downstream layers already tolerate non-identifier
+    * names (label-partition routing falls back to the full scan for
+    * them, Spark columns may contain spaces). */
+  private val ident: Parser[String] =
+    """[A-Za-z_][A-Za-z0-9_]*""".r |
+    """`[^`]+`""".r ^^ (s => s.substring(1, s.length - 1))
   private val qualIdent: Parser[String] = """[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*""".r
 
   // ---- literals ----

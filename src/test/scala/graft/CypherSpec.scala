@@ -283,6 +283,37 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("backtick-quoted identifiers: labels, relTypes, property keys, variables") {
+    // Neo4j's escape for non-identifier names; the label-partition
+    // route falls back to the full scan for them (AdminSpec pins the
+    // guard), but parse/compile must accept the names end to end
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:`007` {`my prop`: 1, k: 10})")
+    s.cypher("CREATE (:`007` {`my prop`: 2, k: 20})")
+    s.cypher("CREATE (:Plain {k: 30})")
+    assert(s.cypher("MATCH (n:`007`) RETURN count(n) AS n")
+      .collect().head.getLong(0) == 2L)
+    assert(s.cypher("MATCH (n:`007`) WHERE n.`my prop` = 2 RETURN n.k AS k")
+      .collect().map(_.getLong(0)).toSeq == Seq(20L))
+    s.cypher("MATCH (n:`007` {`my prop`: 1}) SET n.`my prop` = 7")
+    assert(s.cypher("MATCH (n:`007`) RETURN n.`my prop` AS p ORDER BY p")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 7L))
+    // backticked relationship type + backticked variable
+    s.cypher("MATCH (a:`007` {k: 10}), (b:`007` {k: 20}) " +
+      "MERGE (a)-[:`ODD TYPE`]->(b)")
+    assert(s.cypher("MATCH (a)-[`r 1`:`ODD TYPE`]->(b) " +
+      "RETURN a.k AS ak, b.k AS bk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 20L)))
+    // a saved round-trip keeps the non-identifier label correct
+    // (routing guard: full scan, never a mis-pruned read)
+    val data = java.nio.file.Files.createTempDirectory("gbt_").toString
+    s.saveDatabase(data)
+    val fresh = new GraftSession(spark)
+    fresh.loadDatabase(data)
+    assert(fresh.cypher("MATCH (n:`007`) RETURN count(n) AS n")
+      .collect().head.getLong(0) == 2L)
+  }
+
   test("USING hints parse, validate their variables, and never change results") {
     val s = new GraftSession(spark)
     s.cypher("CREATE (a:uh {k: 1})-[:UH]->(b:uh {k: 2})")

@@ -647,6 +647,43 @@ class PlanSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == 5000L) // 1-hop only; no Doc->Doc edges
   }
 
+  test("var-length expand pre-reduces the edge set around a tiny seed") {
+    // r18: with sealed stats proving the seed frontier tiny, a BOUNDED
+    // var-length expansion materializes only the ≤hi-hop neighborhood
+    // (broadcast semi joins over the raw typed scan), not the whole
+    // typed edge set — at 10¹⁰ edges the whole-set distinct+checkpoint
+    // IS the query cost. Pinned by shuffle volume: the distinct() of
+    // the materialized base is the only full shuffle in the expansion,
+    // so total shuffled records must track the NEIGHBORHOOD (~60
+    // edges), not the 50k-edge type.
+    val s = new GraftSession(spark)
+    val dataDir = java.nio.file.Files.createTempDirectory("gvr_").toString
+    s.cypher("UNWIND range(0, 49999) AS x CREATE (:VN {vk: x})")
+    // a long chain + heavy unrelated fan-out elsewhere: 50k edges, but
+    // only ~20 reachable within 2 hops of the anchor
+    s.cypher("UNWIND $rows AS row MATCH (a:VN {vk: row.a}), (b:VN {vk: row.b}) " +
+      "MERGE (a)-[:VE]->(b)",
+      Map("rows" -> (0 until 49999).map(i => Map("a" -> i.toLong, "b" -> (i + 1).toLong))))
+    s.saveDatabase(dataDir)
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = s.cypher(
+        "MATCH (a:VN {vk: 100})-[:VE*1..2]->(b:VN) RETURN count(*) AS n")
+      assert(df.collect().head.getLong(0) == 2L) // 101 and 102
+      Thread.sleep(500) // listener events drain asynchronously
+      val got = shuffled.get
+      assert(got < 5000L,
+        s"var-length expansion shuffled $got records — the whole-set " +
+          "materialization is back")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("label-expression scans route through the covering partition set") {
     // r17 verdict #2: `MATCH (n:A|B)` prunes to the A ∪ B directories
     // in ONE read (a union of per-label reads would duplicate
