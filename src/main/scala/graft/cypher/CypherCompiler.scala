@@ -433,7 +433,14 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * could read property columns. */
   private def compileSub(patterns: Seq[PathPat], where: Option[Expr]): DataFrame = {
     var df: DataFrame = null
-    patterns.foreach { p => df = compilePath(Option(df), p, idsOnly = where.isEmpty) }
+    // the sub-compile is standalone (its result semi/anti-joins back
+    // on the shared ids), so it orders/orients by the same cost model
+    // as a plain MATCH — an outer-bound variable is a full scan HERE,
+    // which is exactly what the estimate sees
+    orderPatterns(patterns, Set.empty).foreach { p =>
+      val bound = Option(df).map(boundIdVars).getOrElse(Set.empty[String])
+      df = compilePath(Option(df), orientPath(p, bound), idsOnly = where.isEmpty)
+    }
     where.foreach(e => df = df.filter(compileExpr(e, df)))
     df
   }
