@@ -51,6 +51,10 @@ object ast {
   /** Neo4j 5.9 type predicate `x IS :: TYPE` / `x IS NOT :: TYPE`;
     * tpe is normalized upper-case with whitespace stripped. */
   final case class TypePred(e: Expr, tpe: String, negated: Boolean) extends Expr
+  /** Label predicate as an EXPRESSION (`WHERE n:Person`, `n:A|B`,
+    * `NOT n:A` — Neo4j's label test outside the pattern): boolean over
+    * the entity's labels column. */
+  final case class HasLabel(e: Expr, label: LabelExpr) extends Expr
   /** List comprehension `[x IN list WHERE pred | proj]`. */
   /** `[(a)-[:T]->(b) WHERE pred | proj]` — pattern comprehension: the
     * list of `proj` values over the pattern's matches, per outer row. */
@@ -214,9 +218,12 @@ object ast {
   /** `onError`: the Neo4j 5.23 `IN TRANSACTIONS ON ERROR CONTINUE |
     * BREAK | FAIL` batch-failure policy (None = FAIL, the legacy
     * stop-and-rethrow semantics). */
+  /** `unions`: UNION [ALL] branches INSIDE the braces (`CALL { … UNION
+    * … }` — the composite-result idiom); legal only uncorrelated. */
   final case class CallSub(imports: Seq[String], clauses: Seq[Clause],
       inTransactions: Boolean = false, batchRows: Option[Long] = None,
-      onError: Option[String] = None) extends Clause
+      onError: Option[String] = None,
+      unions: Seq[(Boolean, Seq[Clause])] = Nil) extends Clause
 
   /** `FOREACH (x IN list | CREATE …)` — list-iterated mutation. */
   final case class Foreach(variable: String, list: Expr, body: Seq[Clause]) extends Clause

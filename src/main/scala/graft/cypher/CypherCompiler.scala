@@ -345,6 +345,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case Not(x)              => pushableEarly(x)
     case In(x, list)         => pushableEarly(x) && list.forall(pushableEarly)
     case IsNull(x, _)        => pushableEarly(x)
+    case HasLabel(x, _)      => pushableEarly(x)
     case Arith(_, l, r)      => pushableEarly(l) && pushableEarly(r)
     case StringPred(_, l, r) => pushableEarly(l) && pushableEarly(r)
     case FnCall(fn, args, _) if Set("id", "tolower", "toupper", "abs",
@@ -559,9 +560,14 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * row_number window over the import keys, not a global sort. */
   private def compileCallSub(ctx: Option[DataFrame], cs: CallSub): DataFrame = {
     if (cs.imports.isEmpty) {
-      val inner = compileSingle(Query(cs.clauses))
+      // UNION branches inside the braces compose exactly like a
+      // top-level query's (by-name union, plain UNION dedups)
+      val inner = compile(Query(cs.clauses,
+        unions = cs.unions.map { case (all, q) => (all, Query(q)) }))
       return ctx.map(_.crossJoin(inner)).getOrElse(inner)
     }
+    if (cs.unions.nonEmpty) throw new UnsupportedOperationException(
+      "UNION inside a correlated CALL { WITH … } subquery is not supported")
     val outer = ctx.getOrElse(throw new UnsupportedOperationException(
       "CALL { WITH … } needs a preceding MATCH to import from"))
     val ret = cs.clauses.lastOption match {
@@ -1525,6 +1531,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case And(l, r)       => referencedVars(l) ++ referencedVars(r)
     case Or(l, r)        => referencedVars(l) ++ referencedVars(r)
     case Not(x)          => referencedVars(x)
+    case HasLabel(x, _)  => referencedVars(x)
     case In(x, list)     => referencedVars(x) ++ list.flatMap(referencedVars)
     case IsNull(x, _)    => referencedVars(x)
     case Arith(_, l, r)  => referencedVars(l) ++ referencedVars(r)
@@ -2441,6 +2448,14 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case StringPred(op, _, _)         => throw new UnsupportedOperationException(op)
     case IsNull(x, false) => compileExpr(x, df).isNull
     case IsNull(x, true)  => compileExpr(x, df).isNotNull
+    // label predicate as an expression (`WHERE n:Person`, `n:A|B`):
+    // boolean algebra over the bound variable's labels column — the
+    // same labelPred the pattern path uses, so semantics agree
+    case HasLabel(Variable(v), le) if df.columns.contains(s"$v${SEP}labels") =>
+      labelPred(col(s"$v${SEP}labels"), le)
+    case HasLabel(x, _) =>
+      throw new UnsupportedOperationException(
+        s"label predicate needs a bound node variable, got: $x")
     // `x IS :: TYPE`: columns are statically typed, so the value's
     // type IS the resolved column type — a matching type is TRUE for
     // every row, a mismatch is TRUE only where the value is null
@@ -2616,6 +2631,11 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       // {year, month, day[, hour, minute, second]} map forms build
       // through make_date/make_timestamp (month/day default 1,
       // time-of-day components default 0)
+      // zero-arg forms read the statement clock (current_date/
+      // current_timestamp — per-query-constant under Spark, matching
+      // Neo4j's statement-clock semantics; nondeterministic, so never
+      // on an oracle-graded path)
+      case "date" if f.args.isEmpty => current_date()
       case "date" => f.args.head match {
         case MapLit(items) =>
           val m = items.toMap
@@ -2624,6 +2644,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           make_date(c("year", 0), c("month", 1), c("day", 1))
         case _ => to_date(a(0))
       }
+      case "datetime" | "localdatetime" if f.args.isEmpty => current_timestamp()
       case "datetime" | "localdatetime" => f.args.head match {
         case MapLit(items) =>
           val m = items.toMap
@@ -2735,6 +2756,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         else a(0).substr(a(1) + lit(1), lit(Int.MaxValue))
       case "replace"            => regexp_replace(a(0), lit(java.util.regex.Pattern.quote(litStr(f.args(1)))), lit(java.util.regex.Matcher.quoteReplacement(litStr(f.args(2)))))
       case "split"              => split(a(0), litStr(f.args(1)))
+      case "char_length" | "character_length" => length(a(0)).cast("long")
+      case "nullif"             => when(a(0) === a(1), lit(null)).otherwise(a(0))
       case "left"               => a(0).substr(lit(1), a(1))
       case "right"              => expr(s"substring(${a(0).toString}, -${litStr(f.args(1))})")
       case "reverse"            => reverse(a(0))

@@ -84,7 +84,14 @@ object CypherParser extends RegexParsers {
     kw("is") ~> kw("null") ^^ { _ => (l: Expr) => IsNull(l, negated = false) } |
     // Neo4j 5.9 type predicate `x IS :: TYPE` / `x IS NOT :: TYPE`
     kw("is") ~> kw("not") ~> "::" ~> typeName ^^ { t => (l: Expr) => TypePred(l, t, negated = true) } |
-    kw("is") ~> "::" ~> typeName ^^ { t => (l: Expr) => TypePred(l, t, negated = false) }
+    kw("is") ~> "::" ~> typeName ^^ { t => (l: Expr) => TypePred(l, t, negated = false) } |
+    // label predicate as an expression: `n:Person`, `n:A|B`, `n:!A&%`.
+    // Each |-alternative guards against a following '.', '(' or '['
+    // so a list comprehension's projection bar (`[x IN l WHERE x:A |
+    // x.name]`) is never swallowed as a label alternative.
+    ":" ~> rep1sep(labelAndExpr <~ guard(not("." | "(" | "[")), "|") ^^ {
+      es => (l: Expr) => HasLabel(l, es.reduceLeft(LabelExpr.LOr))
+    }
   private def typeName: Parser[String] =
     """(?i)[A-Za-z]+(\s*<\s*[A-Za-z ]+\s*>)?""".r ^^ (_.toUpperCase.replaceAll("\\s", ""))
   private def addExpr: Parser[Expr] =
@@ -544,7 +551,7 @@ object CypherParser extends RegexParsers {
         "CALL (*) { … } is not supported — list the imported variables explicitly")) |
       "(" ~> repsep(ident, ",") <~ ")"
     ((kw("call") ~> opt(scopeImports)) ~ ("{" ~> opt(kw("with") ~> rep1sep(ident, ",")) ~
-      rep1(clause) <~ "}") ~
+      (rep1(clause) ~ rep((kw("union") ~> opt(kw("all"))) ~ rep1(clause))) <~ "}") ~
       opt(kw("in") ~>
         // `IN [k] CONCURRENT TRANSACTIONS` (Neo4j 5.21+): the
         // concurrency k is an execution hint — batches run through
@@ -557,7 +564,7 @@ object CypherParser extends RegexParsers {
           // Neo4j 5.23 batch-failure policy
           opt(kw("on") ~> kw("error") ~>
             (kw("continue") | kw("break") | kw("fail")))))) ^^ {
-      case scope ~ (imp ~ cls) ~ itx =>
+      case scope ~ (imp ~ (cls ~ us)) ~ itx =>
         if (scope.nonEmpty && imp.nonEmpty) throw new IllegalArgumentException(
           "CALL (scope) { … } cannot also declare a WITH import list")
         CallSub(scope.getOrElse(imp.getOrElse(Nil)), cls, itx.isDefined,
@@ -566,7 +573,8 @@ object CypherParser extends RegexParsers {
             case Lit(other) => throw new IllegalArgumentException(
               s"IN TRANSACTIONS OF n ROWS needs an integer, got $other")
           },
-          itx.flatMap(_._2))
+          itx.flatMap(_._2),
+          unions = us.map { case all ~ q => (all.isDefined, q) })
     }
   }
 

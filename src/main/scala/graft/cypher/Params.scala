@@ -58,7 +58,9 @@ object Params {
     case CallProc(n, args, ys, w) =>
       CallProc(n, args.map(expr(_, ps)), ys, w.map(expr(_, ps)))
     case Unwind(e, a) => Unwind(expr(e, ps), a)
-    case CallSub(imp, cls, itx, n, oe) => CallSub(imp, cls.map(clause(_, ps)), itx, n, oe)
+    case CallSub(imp, cls, itx, n, oe, us) =>
+      CallSub(imp, cls.map(clause(_, ps)), itx, n, oe,
+        us.map { case (all, q) => (all, q.map(clause(_, ps))) })
     case Foreach(v, l, body) => Foreach(v, expr(l, ps), body.map(clause(_, ps)))
     case other        => other // RemoveProps / SetLabels / Delete carry no exprs
   }

@@ -283,6 +283,61 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("label predicate as an expression: WHERE n:A, NOT n:A, n:A|B, WITH scope") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:LP {k: 1})")
+    s.cypher("CREATE (:LP:LQ {k: 2})")
+    s.cypher("CREATE (:LQ {k: 3})")
+    s.cypher("CREATE (:LR {k: 4})")
+    def n(q: String) = s.cypher(q).collect().head.getLong(0)
+    assert(n("MATCH (x) WHERE x:LP RETURN count(x) AS n") == 2L)
+    assert(n("MATCH (x) WHERE NOT x:LP RETURN count(x) AS n") == 2L)
+    assert(n("MATCH (x) WHERE x:LP|LQ RETURN count(x) AS n") == 3L)
+    assert(n("MATCH (x) WHERE x:LP&LQ RETURN count(x) AS n") == 1L)
+    assert(n("MATCH (x) WHERE x:LP AND x.k > 1 RETURN count(x) AS n") == 1L)
+    // composes with other predicates and survives WITH (labels column
+    // rides the binding table)
+    assert(n("MATCH (x) WITH x WHERE x:LQ RETURN count(x) AS n") == 2L)
+    // in RETURN position it is a plain boolean value
+    assert(s.cypher("MATCH (x {k: 2}) RETURN x:LP AS b").collect().head.getBoolean(0))
+    // list comprehension's projection bar is NOT swallowed as a label
+    // alternative (the lookahead guard)
+    val lc = s.cypher("MATCH (x) WHERE x:LP RETURN [y IN [1,2,3] WHERE y > 1 | y * 10] AS l")
+      .collect().head.getSeq[Long](0)
+    assert(lc == Seq(20L, 30L))
+  }
+
+  test("gap-hunt scalars: char_length, nullIf, zero-arg date/datetime clock") {
+    val s = new GraftSession(spark)
+    val r = s.cypher("RETURN char_length('abc') AS a, character_length('abcd') AS b, " +
+      "coalesce(nullIf(1, 1), 9) AS c, nullIf(1, 2) AS d").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L &&
+      r.getLong(2) == 9L && r.getLong(3) == 1L)
+    // statement clock: today >= a fixed past date, and datetime() ticks
+    assert(s.cypher("RETURN date() >= date('2020-01-01') AS ok")
+      .collect().head.getBoolean(0))
+    assert(s.cypher("RETURN datetime() > datetime('2020-01-01T00:00:00Z') AS ok")
+      .collect().head.getBoolean(0))
+  }
+
+  test("CALL { } subqueries take UNION [ALL] branches (uncorrelated)") {
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (:CU1 {v: 1}) CREATE (:CU1 {v: 2}) CREATE (:CU2 {v: 2})")
+    val u = s.cypher(
+      "CALL { MATCH (n:CU1) RETURN n.v AS x UNION MATCH (n:CU2) RETURN n.v AS x } " +
+        "RETURN x ORDER BY x").collect().map(_.getLong(0)).toSeq
+    assert(u == Seq(1L, 2L)) // plain UNION dedups across branches
+    val ua = s.cypher(
+      "CALL { MATCH (n:CU1) RETURN n.v AS x UNION ALL MATCH (n:CU2) RETURN n.v AS x } " +
+        "RETURN x ORDER BY x").collect().map(_.getLong(0)).toSeq
+    assert(ua == Seq(1L, 2L, 2L))
+    // correlated + UNION refuses loudly (documented)
+    intercept[UnsupportedOperationException] {
+      s.cypher("MATCH (m:CU1) CALL { WITH m MATCH (n:CU2) RETURN n.v AS x " +
+        "UNION MATCH (n:CU1) RETURN n.v AS x } RETURN count(x) AS n").collect()
+    }
+  }
+
   test("backtick-quoted identifiers: labels, relTypes, property keys, variables") {
     // Neo4j's escape for non-identifier names; the label-partition
     // route falls back to the full scan for them (AdminSpec pins the
