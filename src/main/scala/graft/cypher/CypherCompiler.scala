@@ -2435,7 +2435,15 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case And(l, r)       => compileExpr(l, df) && compileExpr(r, df)
     case Or(l, r)        => compileExpr(l, df) || compileExpr(r, df)
     case Not(x)          => !compileExpr(x, df)
-    case In(x, list)     => compileExpr(x, df).isin(list.map { case Lit(v) => v; case o => o }: _*)
+    // IN over literal elements stays the codegen'd isin; elements that
+    // are themselves expressions (list literals — `[1,2] IN [[1,2]]`,
+    // computed values) fold to an equality disjunction, which keeps
+    // openCypher's null shape (no match + a null operand → null)
+    case In(x, list) if list.forall(_.isInstanceOf[Lit]) =>
+      compileExpr(x, df).isin(list.map { case Lit(v) => v; case o => o }: _*)
+    case In(x, list) if list.nonEmpty =>
+      val c = compileExpr(x, df)
+      list.map(e0 => c === compileExpr(e0, df)).reduce(_ || _)
     case StringPred("starts", l, r)   => compileExpr(l, df).startsWith(compileExpr(r, df))
     case StringPred("ends", l, r)     => compileExpr(l, df).endsWith(compileExpr(r, df))
     case StringPred("contains", l, r) => compileExpr(l, df).contains(compileExpr(r, df))
@@ -2450,12 +2458,23 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case IsNull(x, true)  => compileExpr(x, df).isNotNull
     // label predicate as an expression (`WHERE n:Person`, `n:A|B`):
     // boolean algebra over the bound variable's labels column — the
-    // same labelPred the pattern path uses, so semantics agree
+    // same labelPred the pattern path uses, so semantics agree. On a
+    // RELATIONSHIP variable it is Neo4j's type test (`r:KNOWS`,
+    // `r:A|B`) over the single relType value.
     case HasLabel(Variable(v), le) if df.columns.contains(s"$v${SEP}labels") =>
       labelPred(col(s"$v${SEP}labels"), le)
+    case HasLabel(Variable(v), le) if df.columns.contains(s"$v${SEP}relType") =>
+      def typePred(e: LabelExpr): Column = e match {
+        case LabelExpr.Leaf(n)    => col(s"$v${SEP}relType") === lit(n)
+        case LabelExpr.LAnd(l, r) => typePred(l) && typePred(r)
+        case LabelExpr.LOr(l, r)  => typePred(l) || typePred(r)
+        case LabelExpr.LNot(x)    => !typePred(x)
+        case LabelExpr.Wildcard   => col(s"$v${SEP}relType").isNotNull
+      }
+      typePred(le)
     case HasLabel(x, _) =>
       throw new UnsupportedOperationException(
-        s"label predicate needs a bound node variable, got: $x")
+        s"label/type predicate needs a bound node or relationship variable, got: $x")
     // `x IS :: TYPE`: columns are statically typed, so the value's
     // type IS the resolved column type — a matching type is TRUE for
     // every row, a mismatch is TRUE only where the value is null
@@ -2517,6 +2536,15 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
             "the values through WITH first or use a literal operand")
         case _ => cl + cr
       }
+    // GQL / Cypher 25 `||`: concatenation only — two lists concatenate,
+    // anything else coerces to string (never numeric)
+    case Arith("||", l, r) =>
+      val (cl, cr) = (compileExpr(l, df), compileExpr(r, df))
+      (staticType(l, cl, df), staticType(r, cr, df)) match {
+        case (Some(_: org.apache.spark.sql.types.ArrayType),
+              Some(_: org.apache.spark.sql.types.ArrayType)) => concat(cl, cr)
+        case _ => concat(cl.cast("string"), cr.cast("string"))
+      }
     case Arith("-", l, r) => compileExpr(l, df) - compileExpr(r, df)
     case Arith("*", l, r) => compileExpr(l, df) * compileExpr(r, df)
     case Arith("/", l, r) => compileExpr(l, df) / compileExpr(r, df)
@@ -2528,7 +2556,11 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case ListLit(items)   => array(items.map(compileExpr(_, df)): _*)
     case CaseExpr(whens, other) =>
       val chain = whens.foldLeft(Option.empty[Column]) { case (acc, (c, v)) =>
-        val cond = compileExpr(c, df)
+        // `null IS NOT TRUE` (openCypher): a null condition selects the
+        // next branch — coalesce to false so Spark's boolean-typed WHEN
+        // accepts it (a bare NULL literal condition otherwise refuses
+        // at analysis)
+        val cond = coalesce(compileExpr(c, df), lit(false))
         val value = compileExpr(v, df)
         Some(acc.map(_.when(cond, value)).getOrElse(when(cond, value)))
       }.get
@@ -2654,11 +2686,24 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
             c("hour", 0), c("minute", 0), c("second", 0).cast("decimal(18,6)"))
         case _ => to_timestamp(a(0))
       }
+      // TIME values ride as strings (documented divergence: Spark has
+      // no TIME type); zero-arg forms read the statement clock in the
+      // session timezone
+      case "time" | "localtime" =>
+        if (f.args.isEmpty) date_format(current_timestamp(), "HH:mm:ss")
+        else a(0).cast("string")
       // long seconds (documented divergence: a Duration value on the
       // wire is epoch-second difference); DATE inputs route through a
       // timestamp cast first — date→long is not a valid Spark cast
       case "duration.between" =>
         a(1).cast("timestamp").cast("long") - a(0).cast("timestamp").cast("long")
+      // unit-truncated duration components (Neo4j's duration.inX
+      // family), long-valued like duration.between
+      case "duration.indays" => datediff(a(1).cast("date"), a(0).cast("date")).cast("long")
+      case "duration.inseconds" =>
+        a(1).cast("timestamp").cast("long") - a(0).cast("timestamp").cast("long")
+      case "duration.inmonths" =>
+        floor(months_between(a(1).cast("timestamp"), a(0).cast("timestamp"))).cast("long")
       // datetime.truncate('month', d) — unit names shared with Spark's
       // date_trunc (year/quarter/month/week/day/hour/minute/second)
       case "date.truncate"      => to_date(date_trunc(litStr(f.args(0)), a(1)))
@@ -2764,6 +2809,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "tostring"           => a(0).cast("string")
       case "tointeger"          => a(0).cast("long")
       case "tofloat"            => a(0).cast("double")
+      // element-wise list casts (Neo4j's toXList family; unconvertible
+      // elements read null, like the scalar OrNull forms)
+      case "tointegerlist"      => transform(a(0), _.cast("long"))
+      case "tofloatlist"        => transform(a(0), _.cast("double"))
+      case "tostringlist"       => transform(a(0), _.cast("string"))
+      case "tobooleanlist"      => transform(a(0), _.cast("boolean"))
       case "abs"                => abs(a(0))
       case "ceil"               => ceil(a(0))
       case "floor"              => floor(a(0))

@@ -95,7 +95,7 @@ object CypherParser extends RegexParsers {
   private def typeName: Parser[String] =
     """(?i)[A-Za-z]+(\s*<\s*[A-Za-z ]+\s*>)?""".r ^^ (_.toUpperCase.replaceAll("\\s", ""))
   private def addExpr: Parser[Expr] =
-    mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ { case h ~ t =>
+    mulExpr ~ rep(("||" | "+" | "-") ~ mulExpr) ^^ { case h ~ t =>
       t.foldLeft(h) { case (l, op ~ r) => Arith(op, l, r) } }
   private def mulExpr: Parser[Expr] =
     powExpr ~ rep(("*" | "/" | "%") ~ powExpr) ^^ { case h ~ t =>
@@ -248,8 +248,17 @@ object CypherParser extends RegexParsers {
     }
 
   // ---- patterns ----
+  /** Literal LIST in a pattern property map (`{tags: ['x','y']}`,
+    * `{embedding: [0.1, 0.2]}` — Neo4j stores homogeneous list
+    * properties; the canonical case here is a literal node
+    * embedding). Elements are literals or nested lists — the
+    * restricted pattern-map discipline, not full expressions. */
+  private def literalList: Parser[Lit] =
+    "[" ~> repsep(literal | literalList, ",") <~ "]" ^^ (items => Lit(items.map(_.v)))
+
   private def mapValue: Parser[Lit] =
     literal |
+    literalList |
     "$" ~> ident ^^ (n => Lit(ParamRefValue(n))) |
     ident ~ opt("." ~> ident) ~ ("[" ~> """-?\d+""".r <~ "]") ^^ {
       case v ~ k ~ i => Lit(SubscriptRefValue(v, k, i.toLong))

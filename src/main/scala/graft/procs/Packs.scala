@@ -113,6 +113,8 @@ object Packs {
       when(size(a(0)) === 0, lit("")).otherwise(
         aggregate(slice(a(0), lit(2), size(a(0))),
           element_at(a(0), 1), (acc, x) => concat(acc, a(1), x))))
+    procs.registerScalar("apoc.create.uuid", "() :: STRING")(_ =>
+      expr("uuid()"))
     procs.registerScalar("apoc.coll.sum", "(coll :: LIST<FLOAT>) :: FLOAT")(a =>
       aggregate(a(0), lit(0.0), (acc, x) => acc + x.cast("double")))
     procs.registerScalar("apoc.coll.max", "(coll :: LIST<ANY>) :: ANY")(a => array_max(a(0)))

@@ -307,6 +307,46 @@ class CypherSpec extends AnyFunSuite {
     assert(lc == Seq(20L, 30L))
   }
 
+  test("gap-hunt round 2: rel-type predicate, list props, IN lists, ||, CASE null") {
+    val s = new GraftSession(spark)
+    // literal LIST property in a pattern map (the embedding idiom)
+    s.cypher("CREATE (:G2 {k: 1, tags: ['x','y'], emb: [0.1, 0.2]})")
+    s.cypher("CREATE (:G2 {k: 2, tags: ['z']})")
+    val t = s.cypher("MATCH (n:G2 {k: 1}) RETURN n.tags AS t, n.emb AS e").collect().head
+    assert(t.getSeq[String](0) == Seq("x", "y"))
+    assert(t.getSeq[Double](1) == Seq(0.1, 0.2))
+    // relationship TYPE predicate as an expression
+    s.cypher("MATCH (a:G2 {k: 1}), (b:G2 {k: 2}) MERGE (a)-[:T1]->(b)")
+    s.cypher("MATCH (a:G2 {k: 2}), (b:G2 {k: 1}) MERGE (a)-[:T2]->(b)")
+    def n(q: String) = s.cypher(q).collect().head.getLong(0)
+    assert(n("MATCH ()-[r]->() WHERE r:T1 RETURN count(r) AS n") == 1L)
+    assert(n("MATCH ()-[r]->() WHERE r:T1|T2 RETURN count(r) AS n") == 2L)
+    assert(n("MATCH ()-[r]->() WHERE NOT r:T1 RETURN count(r) AS n") == 1L)
+    // IN over list-valued elements
+    assert(s.cypher("RETURN [1,2] IN [[1,2],[3]] AS b").collect().head.getBoolean(0))
+    assert(!s.cypher("RETURN [1,4] IN [[1,2],[3]] AS b").collect().head.getBoolean(0))
+    // || concatenation: strings and lists
+    val c = s.cypher("RETURN 'a' || 'b' AS s, [1] || [2,3] AS l").collect().head
+    assert(c.getString(0) == "ab" && c.getSeq[Long](1) == Seq(1L, 2L, 3L))
+    // a null CASE condition selects the next branch (null IS NOT TRUE)
+    assert(n("RETURN CASE WHEN null THEN 1 ELSE 2 END AS c") == 2L)
+    // duration.inX family (long-valued, the duration.between divergence)
+    val d = s.cypher("RETURN duration.inDays(date('2024-01-01'), date('2024-02-01')) AS d, " +
+      "duration.inSeconds(datetime('2024-01-01T00:00:00Z'), datetime('2024-01-01T00:01:00Z')) AS s, " +
+      "duration.inMonths(date('2024-01-15'), date('2024-04-20')) AS m").collect().head
+    assert(d.getLong(0) == 31L && d.getLong(1) == 60L && d.getLong(2) == 3L)
+    // element-wise list casts
+    val lc = s.cypher("RETURN toIntegerList(['1','2']) AS a, toStringList([1,2]) AS b")
+      .collect().head
+    assert(lc.getSeq[Long](0) == Seq(1L, 2L))
+    assert(lc.getSeq[String](1) == Seq("1", "2"))
+    // time()/localtime() are string-valued (documented: no TIME type)
+    assert(s.cypher("RETURN time() AS t").collect().head.getString(0).matches("\\d\\d:\\d\\d:\\d\\d"))
+    // apoc.create.uuid
+    graft.procs.Packs.install(s, Seq("apoc"))
+    assert(s.cypher("RETURN apoc.create.uuid() AS u").collect().head.getString(0).length == 36)
+  }
+
   test("gap-hunt scalars: char_length, nullIf, zero-arg date/datetime clock") {
     val s = new GraftSession(spark)
     val r = s.cypher("RETURN char_length('abc') AS a, character_length('abcd') AS b, " +
