@@ -358,7 +358,7 @@ object Bench {
       // cannot exist at 10⁹ rows), shuffled records don't.
       val orderParts =
         try {
-          import org.apache.spark.sql.functions.{array, col, concat, lit}
+          import org.apache.spark.sql.functions.{array, col, concat, floor, lit}
           val data = s"$tmp/_joinorder"
           val gs = new GraftSession(spark)
           val big = spark.range(4000000L).select((col("id") * 10 + 3).as("id"),
@@ -373,7 +373,9 @@ object Bench {
           val nodes = big.unionByName(mid, allowMissingColumns = true)
             .unionByName(tiny, allowMissingColumns = true)
           val e1 = spark.range(12000000L).select(
-            ((col("id") / 3) * 10 + 3).cast("long").as("src"),
+            // floor div — col/3 alone is a fractional Divide and would
+            // mint src ids that match no Big node
+            (floor(col("id") / 3) * 10 + 3).cast("long").as("src"),
             ((col("id") % 1000) * 10 + 1).cast("long").as("dst"),
             lit("R1").as("relType"))
           val e2 = mid.select(col("id").as("src"), (col("fk") * 10).as("dst"),

@@ -2731,6 +2731,11 @@ final class GraftSession(val spark: SparkSession,
     * rows without introducing per-element probes. */
   private def mutateCallInTx(db: GraphDatabase, q: ast.Query): DataFrame = {
     def requireMutating(cs: ast.CallSub): Unit = {
+      // the batch executor replays cs.clauses per chunk; UNION branches
+      // have no batched-commit semantics here — refuse loudly rather
+      // than silently executing only the first branch
+      if (cs.unions.nonEmpty) throw new UnsupportedOperationException(
+        "UNION inside CALL { … } IN TRANSACTIONS is not supported")
       val isMut = cs.clauses.exists {
         case _: ast.Create | _: ast.SetProps | _: ast.SetPropsReplace | _: ast.SetPropsParam | _: ast.RemoveProps |
              _: ast.SetLabels | _: ast.Delete | _: ast.Merge | _: ast.Foreach => true

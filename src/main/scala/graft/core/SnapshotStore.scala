@@ -808,9 +808,15 @@ object SnapshotStore {
   }
 
   private def statsJson(s: GraphStats): String = {
-    val labels = s.labels.toSeq.sortBy(_._1)
+    // names that would break the (regex-parsed) JSON — quotes,
+    // backslashes, control chars; backtick identifiers make them
+    // user-reachable — are DROPPED from the sealed stats rather than
+    // corrupting a durable artifact: stats are an optimizer estimate,
+    // and an absent label simply reads as count 0 (never wrong rows)
+    def safe(n: String): Boolean = !n.exists(c => c == '"' || c == '\\' || c < ' ')
+    val labels = s.labels.toSeq.filter(e => safe(e._1)).sortBy(_._1)
       .map { case (l, n) => s""""$l": $n""" }.mkString("{", ", ", "}")
-    val types = s.relTypes.toSeq.sortBy(_._1)
+    val types = s.relTypes.toSeq.filter(e => safe(e._1)).sortBy(_._1)
       .map { case (t, r) => s""""$t": [${r.count}, ${r.srcCount}, ${r.dstCount}]""" }
       .mkString("{", ", ", "}")
     s"""{"node_count": ${s.nodeCount}, "edge_count": ${s.edgeCount}, """ +

@@ -817,10 +817,16 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         }
         pending.clear(); pending ++= keep
       }
+      // far-node selectivity must come from the PRE-hop bound set: the
+      // hop itself binds the far variable, so a post-hop lookup would
+      // read every named far node as already-bound (card 1.0) and the
+      // estimate would collapse toward zero after one hop — forcing
+      // broadcast hints onto huge intermediates
+      val preBound = Option(cur).map(boundIdVars).getOrElse(Set.empty[String])
       cur = compileHop(cur, prevVar, rel, node, idsOnly, frontierEst)
       frontierEst = (frontierEst, stats) match {
         case (Some(e0), Some(s)) if rel.varLength.isEmpty =>
-          val far = estimateNodeCard(node, boundIdVars(cur), s)
+          val far = estimateNodeCard(node, preBound, s)
           Some(e0 * relBranch(rel, s) *
             math.min(1.0, far / math.max(1.0, s.nodeCount.toDouble)))
         case _ => None // var-length expansion output size is unmodeled
@@ -1147,8 +1153,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     // frontier hints; a miss costs one oversized broadcast, never rows)
     val expandedSmall = (seedEst, stats) match {
       case (Some(e0), Some(s)) if hi != Int.MaxValue =>
-        val steps = math.min(hi, 4)
-        e0 * math.pow(math.max(1.0, relBranch(rel, s)), steps.toDouble) <=
+        // FULL hi, uncapped: this estimate gates a hard broadcast
+        // decision, so under-modeling deep expansions would broadcast
+        // an unbounded pair set (overflow reads as +Inf → no hint —
+        // the safe direction); pathCost's step cap is fine there
+        // because it only RANKS orientations
+        e0 * math.pow(math.max(1.0, relBranch(rel, s)), hi.toDouble) <=
           CypherCompiler.BroadcastFrontierRows
       case _ => false
     }
@@ -1569,8 +1579,16 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case VarRefValue(n) => throw new UnsupportedOperationException(
       s"variable property value `$n` is only supported in UNWIND … CREATE patterns")
     case _ =>
-      if (df.columns.contains(k)) df.filter(col(k) === lit(value))
+      if (df.columns.contains(k)) df.filter(col(k) === literalColumn(value))
       else df.filter(lit(false))
+  }
+
+  /** A pattern-map value as a Column literal: scala Seq (the literal
+    * LIST property form, `{tags: ['x','y']}`) builds element-wise —
+    * Spark's `lit` has no List case and would throw at match time. */
+  private def literalColumn(value: Any): Column = value match {
+    case s: Seq[_] => array(s.map(literalColumn): _*)
+    case v         => lit(v)
   }
 
   /** A COVERING label set for a label expression: every node

@@ -86,11 +86,26 @@ object CypherParser extends RegexParsers {
     kw("is") ~> kw("not") ~> "::" ~> typeName ^^ { t => (l: Expr) => TypePred(l, t, negated = true) } |
     kw("is") ~> "::" ~> typeName ^^ { t => (l: Expr) => TypePred(l, t, negated = false) } |
     // label predicate as an expression: `n:Person`, `n:A|B`, `n:!A&%`.
-    // Each |-alternative guards against a following '.', '(' or '['
-    // so a list comprehension's projection bar (`[x IN l WHERE x:A |
-    // x.name]`) is never swallowed as a label alternative.
-    ":" ~> rep1sep(labelAndExpr <~ guard(not("." | "(" | "[")), "|") ^^ {
-      es => (l: Expr) => HasLabel(l, es.reduceLeft(LabelExpr.LOr))
+    // A `|`-continuation is taken ONLY when what follows the
+    // alternative is a predicate boundary (AND/OR/RETURN/…/','/')'/
+    // end of input): the bar is AMBIGUOUS with a comprehension's
+    // projection bar (`[x IN l WHERE x:A | x]` — Neo4j's own grammar
+    // note), and mis-eating the projection breaks valid queries. The
+    // un-whitelisted cases read as the projection; parenthesize
+    // (`x:(A|B)`) to force the label reading there.
+    ":" ~> labelAndExpr ~ rep("|" ~> labelAndExpr <~ guard(labelAltBoundary)) ^^ {
+      case h ~ t => (l: Expr) => HasLabel(l, t.foldLeft(h)(LabelExpr.LOr))
+    }
+  private def labelAltBoundary: Parser[Any] =
+    kw("and") | kw("or") | kw("xor") | kw("not") | kw("return") | kw("with") |
+    kw("where") | kw("then") | kw("else") | kw("end") | kw("as") | kw("order") |
+    kw("limit") | kw("skip") | kw("union") | kw("asc") | kw("desc") |
+    kw("match") | kw("set") | kw("remove") | kw("delete") | kw("detach") |
+    kw("merge") | kw("unwind") | "," | ")" | "}" |
+    Parser { in =>
+      val r = handleWhiteSpace(in.source, in.offset)
+      if (r >= in.source.length) Success((), in)
+      else Failure("end of input expected", in)
     }
   private def typeName: Parser[String] =
     """(?i)[A-Za-z]+(\s*<\s*[A-Za-z ]+\s*>)?""".r ^^ (_.toUpperCase.replaceAll("\\s", ""))

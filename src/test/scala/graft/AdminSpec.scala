@@ -104,6 +104,18 @@ class AdminSpec extends AnyFunSuite {
     // PlanSpec; here we pin that stats presence never breaks results)
     assert(fresh.cypher("MATCH (n:SC) RETURN count(n) AS n")
       .collect().head.getLong(0) == 5L)
+    // a label whose name would break the regex-parsed JSON (quotes —
+    // reachable via backtick identifiers) is DROPPED from the sealed
+    // stats, never written as malformed JSON (review r18)
+    val s2 = new GraftSession(spark)
+    s2.cypher("CREATE (:`A\"B` {k: 1})")
+    s2.cypher("CREATE (:Plain {k: 2})")
+    val data2 = tmp("graft-stats-esc")
+    s2.saveDatabase(data2)
+    val st2 = graft.core.SnapshotStore.readStats(s"$data2/databases/neo4j").get
+    assert(st2.labels.get("Plain").contains(1L), st2.labels.toString)
+    assert(!st2.labels.keys.exists(_.contains("\"")), st2.labels.toString)
+    assert(st2.nodeCount == 2L)
   }
 
   test("a node property named _label_key refuses the save (derived-column collision)") {

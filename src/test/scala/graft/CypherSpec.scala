@@ -345,6 +345,23 @@ class CypherSpec extends AnyFunSuite {
     // apoc.create.uuid
     graft.procs.Packs.install(s, Seq("apoc"))
     assert(s.cypher("RETURN apoc.create.uuid() AS u").collect().head.getString(0).length == 36)
+    // MATCHING on a literal list property (review r18: lit() has no
+    // List case — the match phase must build the array element-wise)
+    assert(n("MATCH (x:G2 {tags: ['x','y']}) RETURN count(x) AS n") == 1L)
+    assert(n("MATCH (x:G2) WHERE x.emb = [0.1, 0.2] RETURN count(x) AS n") == 1L)
+    // the comprehension projection bar is NOT swallowed as a label
+    // alternative when the projection is an expression or bare variable
+    val pj = s.cypher("MATCH (x:G2 {k: 1}) " +
+      "RETURN [y IN [1,2] WHERE x:G2 | y * 10] AS l").collect().head.getSeq[Long](0)
+    assert(pj == Seq(10L, 20L))
+    val pj2 = s.cypher("RETURN [y IN [1,2] | y] AS l").collect().head.getSeq[Long](0)
+    assert(pj2 == Seq(1L, 2L))
+    // UNION inside CALL { } IN TRANSACTIONS refuses loudly (the batch
+    // executor replays only the first branch's clauses)
+    intercept[UnsupportedOperationException] {
+      s.cypher("UNWIND [1,2] AS x CALL { WITH x CREATE (:UA {k: x}) " +
+        "UNION ALL CREATE (:UB {k: x}) } IN TRANSACTIONS")
+    }
   }
 
   test("gap-hunt scalars: char_length, nullIf, zero-arg date/datetime clock") {
