@@ -85,6 +85,13 @@ final class GraftSession(val spark: SparkSession,
     d.pendingMutations = 0
     d.nodeDeltaState = None
     d.edgeDeltaState = None
+    // wholesale replacement: sealed stats describe frames that are no
+    // longer the graph (they'd never validate again), and a stale live
+    // memo must not drift-serve the REPLACED graph's counts (r19 lazy
+    // stats recompute for the new frames on first pattern compile)
+    d.graphStats = None
+    d.statsMemo = None
+    d.statsDrift = 0
     // Seed the node-id allocator PAST the view's ids: nodes created by
     // later upserts must never collide with existing ones — id
     // identity keys the delta overlay, Bolt wire entities, and
@@ -244,6 +251,7 @@ final class GraftSession(val spark: SparkSession,
       (d.graph.nodes, d.graph.edges, s1)
     }
     d.statsMemo = None
+    d.statsDrift = 0
   }
 
   /** Overlay delta-log counts onto sealed stats: each non-tombstone
@@ -292,23 +300,73 @@ final class GraftSession(val spark: SparkSession,
     * foreign re-point returns None — join ordering then stays
     * textual rather than mis-estimating. */
   private def statsFor(db: GraphDatabase, g: PropertyGraph): Option[graft.core.GraphStats] =
-    db.graphStats.flatMap { case (nRef, eRef, sealedStats) =>
-      val nodePure = g.nodes eq nRef
-      val edgePure = g.edges eq eRef
-      val nodeOk = nodePure || db.validNodeDelta.exists(_.base eq nRef)
-      val edgeOk = edgePure || db.validEdgeDelta.exists(_.base eq eRef)
-      if (!nodeOk || !edgeOk) None
-      else if (nodePure && edgePure) Some(sealedStats)
-      else db.statsMemo match {
-        case Some((mn, me, s)) if (mn eq g.nodes) && (me eq g.edges) => Some(s)
-        case _ =>
-          val s = statsOverlaid(sealedStats,
-            if (nodePure) None else db.validNodeDelta.map(_.delta),
-            if (edgePure) None else db.validEdgeDelta.map(_.delta))
-          db.statsMemo = Some((g.nodes, g.edges, s))
-          Some(s)
-      }
+    if (db.statsOff) None
+    else db.graphStats match {
+      case Some((nRef, eRef, sealedStats)) =>
+        val nodePure = g.nodes eq nRef
+        val edgePure = g.edges eq eRef
+        val nodeOk = nodePure || db.validNodeDelta.exists(_.base eq nRef)
+        val edgeOk = edgePure || db.validEdgeDelta.exists(_.base eq eRef)
+        if (!nodeOk || !edgeOk) None
+        else if (nodePure && edgePure) Some(sealedStats)
+        else db.statsMemo match {
+          case Some((mn, me, s)) if (mn eq g.nodes) && (me eq g.edges) => Some(s)
+          case _ =>
+            val s = statsOverlaid(sealedStats,
+              if (nodePure) None else db.validNodeDelta.map(_.delta),
+              if (edgePure) None else db.validEdgeDelta.map(_.delta))
+            db.statsMemo = Some((g.nodes, g.edges, s))
+            Some(s)
+        }
+      // never saved/loaded (r18 verdict #4): compute live stats once,
+      // memoized by frame identity. A mutation re-points the frames on
+      // EVERY statement, and a recompute per mutation would put two
+      // full scans on each CREATE of an ingest burst — so up to
+      // MaxStatsDrift re-points serve the stale memo (stats only shape
+      // plans, every predicate re-applies: staleness can cost time,
+      // never rows), then one recompute refreshes it. The call is
+      // reached lazily — only when a statement's pattern shape
+      // actually consults the cost model (CypherCompiler.statsIn).
+      case None =>
+        db.statsMemo match {
+          case Some((mn, me, s)) if (mn eq g.nodes) && (me eq g.edges) => Some(s)
+          case Some((_, _, s)) if db.statsDrift < GraftSession.MaxStatsDrift =>
+            db.statsDrift += 1
+            Some(s)
+          case _ =>
+            val s = computeLiveStats(g)
+            db.statsMemo = Some((g.nodes, g.edges, s))
+            db.statsDrift = 0
+            Some(s)
+        }
     }
+
+  /** One-shot cardinality stats for a never-saved graph: the same
+    * per-label / per-relType aggregates the save-time sealer derives
+    * from its partition keys (SnapshotStore.scala:117-190), computed
+    * from the live frames instead — two grouped aggregates, bounded by
+    * schema cardinality. */
+  private def computeLiveStats(g: PropertyGraph): graft.core.GraphStats = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count, explode, lit}
+    val nodeCount = g.nodes.count()
+    val labels =
+      if (!g.nodes.columns.contains("labels")) Map.empty[String, Long]
+      else g.nodes.select(explode(col("labels")).as("_l")).groupBy("_l")
+        .agg(count(lit(1)).as("n")).collect()
+        .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
+    if (!g.edges.columns.contains("relType"))
+      graft.core.GraphStats(nodeCount, g.edges.count(), labels, Map.empty)
+    else {
+      val rows = g.edges.groupBy("relType").agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("src")).as("s"),
+        approx_count_distinct(col("dst")).as("d")).collect()
+      val relTypes = rows.flatMap { r =>
+        Option(r.getString(0)).map(_ ->
+          graft.core.RelTypeStats(r.getLong(1), r.getLong(2), r.getLong(3)))
+      }.toMap
+      graft.core.GraphStats(nodeCount, rows.map(_.getLong(1)).sum, labels, relTypes)
+    }
+  }
 
   /** The database's current CDC change epoch, settled lazily against
     * the base frames by reference identity: same frames → same epoch;
@@ -1099,10 +1157,11 @@ final class GraftSession(val spark: SparkSession,
               val indexed = metaDb.indexes.values.exists { case (l, p, _) =>
                 l == h.labelOrType && p == key }
               // existence constraints are index-less upstream — only
-              // uniqueness/key constraints own a backing index
+              // uniqueness/key constraints own a backing index (both
+              // node AND relationship existence types)
               val constraintBacked = metaDb.constraints.values.exists {
                 case (l, p, t) => l == h.labelOrType && p == key &&
-                  t != "NODE_PROPERTY_EXISTENCE" }
+                  !t.endsWith("PROPERTY_EXISTENCE") }
               if (!indexed && !constraintBacked)
                 throw new NoSuchElementException(
                   s"No such index: INDEX FOR (`${h.variable}`:`${h.labelOrType}`) ON " +
@@ -1351,7 +1410,7 @@ final class GraftSession(val spark: SparkSession,
       relRangeAnchor = relRangeAnchorFor(db, g),
       labelScan = labelScanFor(db, g),
       prefixCap = prefixEnumerationCap,
-      stats = statsFor(db, g))
+      statsIn = () => statsFor(db, g))
   }
 
   /** Label-scan routing (r17 — the label-scan-store analog): an
@@ -1375,7 +1434,9 @@ final class GraftSession(val spark: SparkSession,
         if (st.nodesRef eq g.nodes) Some(None)
         else db.validNodeDelta.filter(_.base eq st.nodesRef).map(s => Some(s.delta))
       memDelta.flatMap { mem =>
-        st.cachedRead(s"label:${labels.sorted.mkString(";")}")(
+        // length-prefixed key: injective even when a backticked label
+        // itself contains ';' (`A;B` vs Seq("A","B") must not collide)
+        st.cachedRead(s"label:${labels.sorted.map(l => s"${l.length}:$l").mkString(";")}")(
           SnapshotStore.readNodesPrunedByLabels(spark, st.dir, labels)).map { pruned =>
           val withDisk = st.nodeDiskDelta.map(overlayNodes(pruned, _)).getOrElse(pruned)
           mem.map(overlayNodes(withDisk, _)).getOrElse(withDisk)
@@ -5548,7 +5609,10 @@ final class GraftSession(val spark: SparkSession,
               else kept.unionByName(scoreOf(live0.filter(
                 array_contains(col("labels"), label) && col(prop).isNotNull)))
           }
-          scored.orderBy(col("score").desc, col("nodeId")).limit(k)
+          // multi-assigned cells can surface one id from two probed
+          // cells — identical score, dedup before the top-k
+          scored.dropDuplicates("nodeId")
+            .orderBy(col("score").desc, col("nodeId")).limit(k)
         case None =>
           g.nodes
             .filter(array_contains(col("labels"), label) && col(prop).isNotNull)
@@ -5935,6 +5999,12 @@ final class GraftSession(val spark: SparkSession,
 }
 
 object GraftSession {
+
+  /** How many frame re-points a never-saved graph's live stats memo
+    * may serve stale before recomputing (statsFor): bounds the
+    * per-mutation cost of lazy stats at 1/32 of a recompute while a
+    * heavy ingest drifts at most 32 statements from the truth. */
+  private[graft] val MaxStatsDrift: Int = 32
 
   /** Process-wide monotonic CDC commit sequence. Every delta fold
     * stamps its new rows with the next value ([[PropertyGraph

@@ -186,6 +186,18 @@ final class GraphDatabase(val name: String) {
     * jobs run once per state, not once per statement. */
   @volatile var statsMemo: Option[(AnyRef, AnyRef, GraphStats)] = None
 
+  /** Frame re-points served from a stale statsMemo since the last live
+    * computation (never-saved graphs only — sealed-stats overlays are
+    * O(delta) and recompute per state). Bounded by
+    * GraftSession.MaxStatsDrift. */
+  @volatile var statsDrift: Int = 0
+
+  /** Hard off-switch for the cost model (bench/test control runs):
+    * with r19's lazy live stats, clearing graphStats alone no longer
+    * yields a textual-plan session — statsFor would just compute
+    * fresh counts. */
+  @volatile var statsOff: Boolean = false
+
   /** CDC change epoch: a MONOTONIC counter identifying the base-frame
     * generation the delta-log is relative to. `cdcBaseRefs` tracks the
     * base frames (by reference identity — the house self-validation

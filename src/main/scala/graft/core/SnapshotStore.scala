@@ -240,6 +240,10 @@ object SnapshotStore {
     * it whole), and 64 cells already turn a full-label scan into a
     * probes/64 slice at 100 TB. */
   val IvfCentroids = 64
+  /** Cells each vector is assigned to (multi-assignment / spilling):
+    * index bytes scale by this factor, recall@probes rises because
+    * boundary vectors appear in every nearby probed cell. */
+  val IvfAssign = 2
   /** Lloyd iterations for the IVF coarse quantizer at save time —
     * fixed (bounded save cost, deterministic layout); 3 rounds moves
     * seeds from "lowest ids" to actual density centers, which is
@@ -339,7 +343,24 @@ object SnapshotStore {
             // never fewer than one centroid since the data is non-empty
             if (trained.nonEmpty) cents = trained
           }
-          base.withColumn("_ivf_cell", cellOf(col(prop).cast("array<double>"), cents))
+          // MULTI-ASSIGNMENT (r18 verdict #7): each vector lands in its
+          // top-IvfAssign cells, not just the argmax — probing p cells
+          // then covers ~IvfAssign×p worth of neighborhoods, which is
+          // what lifts recall@10 past 0.9 at probes ≤ 16 on a uniform
+          // corpus whose true neighbors straddle cell boundaries. The
+          // index doubles in bytes (the documented tradeoff; reads stay
+          // partition-pruned to the probed cells) and the probe path
+          // dedups ids. Training above stays argmax — Lloyd over
+          // primary assignment is the standard quantizer.
+          val scoredAll = array(cents.map { case (cid, v) =>
+            struct(
+              V.cosine(col(prop).cast("array<double>"), array(v.map(lit): _*)).as("s"),
+              lit(-cid).as("nc"))
+          }.toIndexedSeq: _*)
+          base.withColumn("_ivf_a", explode(slice(
+              sort_array(scoredAll, asc = false), 1, math.min(IvfAssign, cents.length))))
+            .withColumn("_ivf_cell", -col("_ivf_a").getField("nc"))
+            .drop("_ivf_a")
             .repartition(col("_ivf_cell"))
             .write.mode("overwrite").partitionBy("_ivf_cell")
             .parquet(s"$tmp/index_aux/$name/cells")
@@ -813,7 +834,11 @@ object SnapshotStore {
     // user-reachable — are DROPPED from the sealed stats rather than
     // corrupting a durable artifact: stats are an optimizer estimate,
     // and an absent label simply reads as count 0 (never wrong rows)
-    def safe(n: String): Boolean = !n.exists(c => c == '"' || c == '\\' || c < ' ')
+    // braces and brackets are also dropped: readStats' section scan
+    // cuts at the first '}', so a label named "a}b" would silently
+    // truncate the section and zero every later entry
+    def safe(n: String): Boolean = !n.exists(c =>
+      c == '"' || c == '\\' || c < ' ' || c == '{' || c == '}' || c == '[' || c == ']')
     val labels = s.labels.toSeq.filter(e => safe(e._1)).sortBy(_._1)
       .map { case (l, n) => s""""$l": $n""" }.mkString("{", ", ", "}")
     val types = s.relTypes.toSeq.filter(e => safe(e._1)).sortBy(_._1)

@@ -24,7 +24,13 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     relRangeAnchor: (String, String) => Option[DataFrame] = (_, _) => None,
     labelScan: Seq[String] => Option[DataFrame] = _ => None,
     prefixCap: Long = CypherCompiler.DefaultPrefixEnumerationCap,
-    stats: Option[graft.core.GraphStats] = None) {
+    statsIn: () => Option[graft.core.GraphStats] = () => None) {
+
+  /** Forced at most once per statement, and only when a pattern shape
+    * actually consults the cost model (r19): a session whose stats
+    * require a live computation (never-saved graphs) must not pay it
+    * on CREATE-only / clause-less statements. */
+  private lazy val stats: Option[graft.core.GraphStats] = statsIn()
 
   private val SEP = "__"
   private var freshId = 0
@@ -292,14 +298,18 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * Only fires on a clear win ([[CypherCompiler.ReorderFactor]]) —
     * near-ties keep the textual plan (stability beats a coin-flip
     * estimate), and no stats means no change at all. */
-  private def orientPath(p: PathPat, bound: Set[String]): PathPat = stats match {
-    case Some(s) if p.hops.nonEmpty && reversible(p) =>
-      val rev = reversePath(p)
-      if (pathCost(rev, bound, s) * CypherCompiler.ReorderFactor <
-          pathCost(p, bound, s)) rev
-      else p
-    case _ => p
-  }
+  private def orientPath(p: PathPat, bound: Set[String]): PathPat =
+    // shape guards FIRST: a trivial pattern must not force the lazy
+    // stats (a live computation on never-saved graphs)
+    if (p.hops.isEmpty || !reversible(p)) p
+    else stats match {
+      case Some(s) =>
+        val rev = reversePath(p)
+        if (pathCost(rev, bound, s) * CypherCompiler.ReorderFactor <
+            pathCost(p, bound, s)) rev
+        else p
+      case _ => p
+    }
 
   /** Order a MATCH clause's comma-separated patterns: start from the
     * one with the cheapest anchor, then greedily take the cheapest
@@ -309,8 +319,9 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * Identity without stats or with a single pattern — all existing
     * plans are untouched until a snapshot seals counts. */
   private def orderPatterns(pats: Seq[PathPat], ctxVars: Set[String]): Seq[PathPat] =
-    stats match {
-      case Some(s) if pats.size > 1 =>
+    if (pats.size <= 1) pats
+    else stats match {
+      case Some(s) =>
         def vars(p: PathPat): Set[String] =
           ((p.start +: p.hops.map(_._2)).flatMap(_.variable) ++
             p.hops.flatMap(_._1.variable)).toSet
@@ -410,7 +421,14 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * inner WHERE (props are read by the projection, so no idsOnly). */
   private def compileCollectSub(ps: Seq[PathPat], w: Option[Expr]): DataFrame = {
     var sub: DataFrame = null
-    ps.foreach(p => sub = compilePath(Option(sub), p))
+    // r19: the same cost-model ordering/orientation as compileSub —
+    // a COLLECT subquery's pattern chain is a standalone compile, so
+    // anchoring it at the big end pays the full-shuffle cost the
+    // plain-MATCH reorder already avoids
+    orderPatterns(ps, Set.empty).foreach { p =>
+      val bound = Option(sub).map(boundIdVars).getOrElse(Set.empty[String])
+      sub = compilePath(Option(sub), orientPath(p, bound))
+    }
     w.foreach(e => sub = filterWithSubqueries(sub, e))
     sub
   }
@@ -566,8 +584,72 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         unions = cs.unions.map { case (all, q) => (all, Query(q)) }))
       return ctx.map(_.crossJoin(inner)).getOrElse(inner)
     }
-    if (cs.unions.nonEmpty) throw new UnsupportedOperationException(
-      "UNION inside a correlated CALL { WITH … } subquery is not supported")
+    if (cs.unions.nonEmpty) {
+      // r19 (r18 verdict #5): correlated CALL { WITH … } UNION. Each
+      // branch compiles through the single-branch machinery against a
+      // DISTINCT frame of the imported variables' columns (a branch
+      // runs once per distinct import binding, never per outer row),
+      // branches union by name (plain UNION dedups, openCypher set
+      // semantics), and ONE join brings the combined rows back to the
+      // outer frame. Neo4j requires each branch to restate its
+      // importing WITH and to return the same columns — a branch
+      // without a leading import-WITH compiles standalone
+      // (uncorrelated) and applies to every import binding.
+      val outer = ctx.getOrElse(throw new UnsupportedOperationException(
+        "CALL { WITH … } needs a preceding MATCH to import from"))
+      val keys = cs.imports.map { v =>
+        val k = s"$v${SEP}id"
+        if (!outer.columns.contains(k)) throw new UnsupportedOperationException(
+          s"CALL { WITH $v }: $v must be a node/rel variable bound outside")
+        k
+      }
+      val importCols = outer.columns
+        .filter(c => cs.imports.exists(v => c.startsWith(s"$v$SEP"))).toSeq
+      val seed = outer.select(importCols.map(col): _*).distinct()
+      // a union branch restates its import as a leading bare WITH
+      def stripImport(clauses: Seq[Clause]): (Seq[String], Seq[Clause]) =
+        clauses.headOption match {
+          case Some(w: With) if w.items.nonEmpty && w.items.forall(i =>
+              i.expr match {
+                // bare or self-aliased (`WITH p` — alias normalization
+                // upstream may fill the default): a pure import item
+                case Variable(n) => i.alias.forall(_ == n)
+                case _ => false
+              }) &&
+              !w.distinct && w.where.isEmpty && w.orderBy.isEmpty &&
+              w.skip.isEmpty && w.limit.isEmpty =>
+            (w.items.map(_.expr.asInstanceOf[Variable].name), clauses.tail)
+          case _ => (Nil, clauses)
+        }
+      if (!cs.unions.forall(_._1 == cs.unions.head._1))
+        throw new UnsupportedOperationException(
+          "CALL { } UNION branches must be uniformly UNION or UNION ALL")
+      val dedup = !cs.unions.head._1
+      def retNames(clauses: Seq[Clause]): Seq[String] = clauses.lastOption match {
+        case Some(r: Return) => r.items.map(_.name)
+        case _ => throw new UnsupportedOperationException("CALL { } must end in RETURN")
+      }
+      val itemNames = retNames(cs.clauses)
+      val branches: Seq[(Seq[String], Seq[Clause])] =
+        (cs.imports, cs.clauses) +: cs.unions.map { case (_, q) => stripImport(q) }
+      branches.drop(1).foreach { case (_, cl) =>
+        if (retNames(cl) != itemNames) throw new UnsupportedOperationException(
+          "CALL { } UNION branches must return the same columns: " +
+            s"${itemNames.mkString(", ")} vs ${retNames(cl).mkString(", ")}")
+      }
+      val parts = branches.map { case (imps, cl) =>
+        val r =
+          if (imps.isEmpty) seed.crossJoin(compile(Query(cl)))
+          else compileCallSub(Some(seed), CallSub(imps, cl))
+        r.select((keys ++ itemNames).map(col): _*)
+      }
+      var u = parts.reduce(_ unionByName _)
+      if (dedup) u = u.distinct()
+      val renamed = keys.foldLeft(u)((d, c) => d.withColumnRenamed(c, s"_csu_$c"))
+      val cond = keys.map(c => outer(c) === renamed(s"_csu_$c")).reduce(_ && _)
+      val joined = outer.join(renamed, cond, "inner")
+      return keys.foldLeft(joined)((d, c) => d.drop(s"_csu_$c"))
+    }
     val outer = ctx.getOrElse(throw new UnsupportedOperationException(
       "CALL { WITH … } needs a preceding MATCH to import from"))
     val ret = cs.clauses.lastOption match {
@@ -851,14 +933,29 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
 
   private var lastNodeVar: String = _
 
+  /** Measured gate for every explicit broadcast hint (ADVICE r18): is
+    * the frontier ACTUALLY within the hint bound? `limit(B+1).count`
+    * short-circuits — a genuinely tiny frontier (the case the estimate
+    * claimed) pays one bounded job, a huge one stops each task at B+1
+    * rows. The probe re-executes the frontier's join chain, which is
+    * cheap exactly when the hint is valid; a failed probe costs the
+    * bounded scan and the plan keeps Catalyst's own join choice. */
+  private def frontierSmall(df: DataFrame): Boolean =
+    df.limit(CypherCompiler.BroadcastFrontierRows.toInt + 1).count() <=
+      CypherCompiler.BroadcastFrontierRows
+
   private def compileHop(cur: DataFrame, prevVar: String, rel: RelPat, node: NodePat,
       idsOnly: Boolean = false, frontierEst: Option[Double] = None): DataFrame = {
     val nv = node.variable.getOrElse(fresh("n"))
     lastNodeVar = nv
     // a stats-estimated SMALL side broadcasts explicitly — see the
-    // frontierEst note in compilePath
+    // frontierEst note in compilePath. The estimate gates the ATTEMPT;
+    // the measured probe gates the HINT (ADVICE r18: explicit
+    // broadcast() bypasses autoBroadcastJoinThreshold, so degree skew
+    // or a non-selective anchor behind a small AVERAGE estimate must
+    // not ship an unbounded frontier to every executor).
     def hinted(df: DataFrame, est: Option[Double]): DataFrame =
-      if (est.exists(_ <= CypherCompiler.BroadcastFrontierRows))
+      if (est.exists(_ <= CypherCompiler.BroadcastFrontierRows) && frontierSmall(df))
         org.apache.spark.sql.functions.broadcast(df)
       else df
     rel.varLength match {
@@ -958,20 +1055,22 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val base0 = (seedEst, stats) match {
       case (Some(e0), Some(s)) if hi != Int.MaxValue &&
           e0 <= CypherCompiler.BroadcastFrontierRows =>
-        val branch = relBranch(rel, s)
         val hops = collection.mutable.ArrayBuffer.empty[DataFrame]
         var ids = startIds
-        var est = e0
         var step = 0
         var ok = true
         while (ok && step < hi) {
           step += 1
-          if (est > CypherCompiler.BroadcastFrontierRows) ok = false
+          // MEASURED per-step gate (ADVICE r18, replacing the average-
+          // fan-out estimate): one hub node behind a tiny seed makes
+          // the next frontier huge while the estimate stays small —
+          // probe before each broadcast; a failed probe aborts to the
+          // whole-set fallback (superset by construction, never rows)
+          if (!frontierSmall(ids)) ok = false
           else {
             val stepEdges = rawOriented.join(
               org.apache.spark.sql.functions.broadcast(ids), Seq("_s"), "left_semi")
             hops += stepEdges
-            est *= math.max(1.0, branch)
             if (step < hi) ids = stepEdges.select(col("_t").as("_s")).distinct()
           }
         }
@@ -1167,7 +1266,9 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         joined.filter(col(s"_vl${SEP}t") === col(s"$nv${SEP}id"))
       else {
         val n = nodeDf(nv, node)
-        val j = if (expandedSmall) org.apache.spark.sql.functions.broadcast(joined)
+        // estimate attempts, measured probe decides (ADVICE r18)
+        val j = if (expandedSmall && frontierSmall(joined))
+          org.apache.spark.sql.functions.broadcast(joined)
           else joined
         j.join(n, col(s"_vl${SEP}t") === n(s"$nv${SEP}id"))
       }
@@ -1318,21 +1419,42 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       return shared.foldLeft(joined)((d, c) => d.drop(r2(c)))
     }
 
-    // start side mirrors compileShortest: bound context or fresh scan,
-    // start-only WHERE pushed before seeding
-    var cur = ctx match {
-      case Some(df) if df.columns.contains(s"$av${SEP}id") => filterBound(df, av, m.pat.start)
-      case Some(df) => df.crossJoin(nodeDf(av, m.pat.start))
-      case None     => nodeDf(av, m.pat.start)
+    // Orientation mirrors compileShortest (r19): enumeration cost is
+    // output-proportional but the WALK cost tracks the seed side's
+    // fan-out — seed from a context-bound endpoint when exactly one is
+    // bound, else let the sealed stats pick the cheaper end. Node and
+    // relationship arrays build in TEXTUAL order either way (a
+    // reversed walk PREPENDS, and `_rel` structs keep STORED
+    // orientation), so the enumerated path set is identical.
+    val boundInCtx = (v: String) => ctx.exists(_.columns.contains(s"$v${SEP}id"))
+    val fromEnd = {
+      val (aB, bB) = (boundInCtx(av), boundInCtx(bv))
+      if (aB != bB) bB
+      else stats.exists { s =>
+        estimateNodeCard(endPat, Set.empty, s) * CypherCompiler.ReorderFactor <
+          estimateNodeCard(m.pat.start, Set.empty, s)
+      }
     }
-    val (existsPreds, startOnlyWhere, restWhere) = m.where match {
+    val (seedVar, seedPat, otherVar, otherPat) =
+      if (fromEnd) (bv, endPat, av, m.pat.start) else (av, m.pat.start, bv, endPat)
+    val walkDir = if (fromEnd) -rel.dir else rel.dir
+
+    // seed side: bound context or fresh scan, seed-only WHERE pushed
+    // before seeding
+    var cur = ctx match {
+      case Some(df) if df.columns.contains(s"$seedVar${SEP}id") =>
+        filterBound(df, seedVar, seedPat)
+      case Some(df) => df.crossJoin(nodeDf(seedVar, seedPat))
+      case None     => nodeDf(seedVar, seedPat)
+    }
+    val (existsPreds, seedOnlyWhere, restWhere) = m.where match {
       case Some(w) =>
         val (conj, rest) = splitConjuncts(w)
-        val (so, rw) = rest.partition(e => referencedVars(e).subsetOf(Set(av)))
+        val (so, rw) = rest.partition(e => referencedVars(e).subsetOf(Set(seedVar)))
         (conj, so, rw)
       case None => (Nil, Nil, Nil)
     }
-    startOnlyWhere.foreach(e => cur = cur.filter(compileExpr(e, cur)))
+    seedOnlyWhere.foreach(e => cur = cur.filter(compileExpr(e, cur)))
 
     val te = typedEdges(rel)
     val idCol =
@@ -1341,7 +1463,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     def orient(s: String, t: String) = te.select(col(s).as("_f"), col(t).as("_g"),
       idCol.as("_id"),
       struct(col("src"), col("dst"), col("relType")).as("_rel"))
-    val base0 = rel.dir match {
+    val base0 = walkDir match {
       case 1  => orient("src", "dst")
       case -1 => orient("dst", "src")
       case 0  => orient("src", "dst").unionByName(orient("dst", "src"))
@@ -1351,7 +1473,9 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val base = base0.dropDuplicates("_f", "_g", "_id").localCheckpoint()
 
     val relArrType = "array<struct<src:bigint,dst:bigint,relType:string>>"
-    val seeds = cur.select(cur(s"$av${SEP}id").as("_s")).distinct()
+    val seeds = cur.select(cur(s"$seedVar${SEP}id").as("_s")).distinct()
+    def grow(arr: Column, next: Column): Column =
+      if (fromEnd) concat(array(next), arr) else concat(arr, array(next))
     var frontier = seeds.select(col("_s"), col("_s").as("_t"),
       array(col("_s")).as("_ns"),
       array().cast(relArrType).as("_rs"),
@@ -1366,8 +1490,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         .join(base, col("_t") === col("_f"))
         .filter(!array_contains(col("_ids"), col("_id")))
         .select(col("_s"), col("_g").as("_t"),
-          concat(col("_ns"), array(col("_g"))).as("_ns"),
-          concat(col("_rs"), array(col("_rel"))).as("_rs"),
+          grow(col("_ns"), col("_g")).as("_ns"),
+          grow(col("_rs"), col("_rel")).as("_rs"),
           concat(col("_ids"), array(col("_id"))).as("_ids"))
         .localCheckpoint() // reused by the next step, kept-union, and the probe
       if (frontier.isEmpty) exhausted = true
@@ -1376,13 +1500,13 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val paths0 = kept.reduceOption(_ unionByName _).getOrElse(frontier.limit(0))
     val paths = paths0
       .withColumnRenamed("_s", s"_vp${SEP}s").withColumnRenamed("_t", s"_vp${SEP}t")
-    var out = cur.join(paths, cur(s"$av${SEP}id") === col(s"_vp${SEP}s"))
+    var out = cur.join(paths, cur(s"$seedVar${SEP}id") === col(s"_vp${SEP}s"))
     out =
-      if (out.columns.contains(s"$bv${SEP}id"))
-        out.filter(col(s"_vp${SEP}t") === col(s"$bv${SEP}id"))
+      if (out.columns.contains(s"$otherVar${SEP}id"))
+        out.filter(col(s"_vp${SEP}t") === col(s"$otherVar${SEP}id"))
       else {
-        val n = nodeDf(bv, endPat)
-        out.join(n, col(s"_vp${SEP}t") === n(s"$bv${SEP}id"))
+        val n = nodeDf(otherVar, otherPat)
+        out.join(n, col(s"_vp${SEP}t") === n(s"$otherVar${SEP}id"))
       }
     out = out
       .withColumn(s"${m.pathVar}${SEP}nodes", col("_ns"))
@@ -1442,39 +1566,72 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val av = p.start.variable.getOrElse(fresh("n"))
     val bv = endPat.variable.getOrElse(fresh("n"))
 
-    // start side: bound context or a fresh node scan; a start-only
-    // WHERE is pushed here so the BFS seeds are already filtered
-    var cur = ctx match {
-      case Some(df) if df.columns.contains(s"$av${SEP}id") => filterBound(df, av, p.start)
-      case Some(df) => df.crossJoin(nodeDf(av, p.start))
-      case None     => nodeDf(av, p.start)
+    // Orientation (r19 — the r18 orientPath model extended to the
+    // search forms): BFS work is proportional to the SEED frontier,
+    // so a shortestPath anchored at the big end walks the whole graph
+    // to reach a few targets. Seed from the context-bound endpoint
+    // when exactly one is bound (the search then walks only relevant
+    // ids); with neither or both bound, the sealed stats pick the
+    // cheaper end on a clear win. Witness arrays build in TEXTUAL
+    // order either way (a reversed walk PREPENDS), and greedy
+    // min-per-(seed, node) over textual-order arrays selects the same
+    // global lexicographic witness from either end: if a smaller
+    // prefix/suffix reached a shared node at the same depth, splicing
+    // it through that node would yield a smaller shortest path —
+    // contradiction. Orientation is pure plan shape, never an answer
+    // change.
+    val boundInCtx = (v: String) => ctx.exists(_.columns.contains(s"$v${SEP}id"))
+    val fromEnd = {
+      val (aB, bB) = (boundInCtx(av), boundInCtx(bv))
+      if (aB != bB) bB
+      else stats.exists { s =>
+        estimateNodeCard(endPat, Set.empty, s) * CypherCompiler.ReorderFactor <
+          estimateNodeCard(p.start, Set.empty, s)
+      }
     }
-    val (existsPreds, startOnlyWhere, restWhere) = m.where match {
+    val (seedVar, seedPat, otherVar, otherPat) =
+      if (fromEnd) (bv, endPat, av, p.start) else (av, p.start, bv, endPat)
+    val walkDir = if (fromEnd) -rel.dir else rel.dir
+
+    // seed side: bound context or a fresh node scan; a seed-only
+    // WHERE is pushed here so the BFS seeds are already filtered
+    // (other-side conjuncts land in restWhere after the final join,
+    // where Catalyst pushes them into that side's scan)
+    var cur = ctx match {
+      case Some(df) if df.columns.contains(s"$seedVar${SEP}id") =>
+        filterBound(df, seedVar, seedPat)
+      case Some(df) => df.crossJoin(nodeDf(seedVar, seedPat))
+      case None     => nodeDf(seedVar, seedPat)
+    }
+    val (existsPreds, seedOnlyWhere, restWhere) = m.where match {
       case Some(w) =>
         val (conj, rest) = splitConjuncts(w)
-        val (so, rw) = rest.partition(e => referencedVars(e).subsetOf(Set(av)))
+        val (so, rw) = rest.partition(e => referencedVars(e).subsetOf(Set(seedVar)))
         (conj, so, rw)
       case None => (Nil, Nil, Nil)
     }
-    startOnlyWhere.foreach(e => cur = cur.filter(compileExpr(e, cur)))
+    seedOnlyWhere.foreach(e => cur = cur.filter(compileExpr(e, cur)))
 
     // materialized once: every BFS step, fixpoint probe, and the final
     // join re-reference the typed edge set (same discipline as
     // compileVarHop — localCheckpoint is executor-local, GC-reclaimed)
-    val base = (rel.dir match {
+    val base = (walkDir match {
       case 1  => typedEdges(rel).select(col("src").as("_s"), col("dst").as("_t"))
       case -1 => typedEdges(rel).select(col("dst").as("_s"), col("src").as("_t"))
       case 0  => symmetrized(typedEdges(rel)).select(col("src").as("_s"), col("dst").as("_t"))
     }).distinct().localCheckpoint()
-    val seeds = cur.select(cur(s"$av${SEP}id").as("_s")).distinct()
+    val seeds = cur.select(cur(s"$seedVar${SEP}id").as("_s")).distinct()
     // `_p` carries the witness path (node-id array) per (start, end):
     // the first-hit level IS the shortest distance, and the groupBy
     // min(_p) keeps the lexicographically smallest shortest path —
     // deterministic, so nodes(p) is oracle-hashable. Array width is
     // bounded by `hi`, so state per pair stays O(hi).
+    def grow(pathCol: Column, next: Column): Column =
+      if (fromEnd) concat(array(next), pathCol) else concat(pathCol, array(next))
     var frontier = base.join(seeds, Seq("_s"), "left_semi")
       .withColumn("_d", lit(1L))
-      .withColumn("_p", array(col("_s"), col("_t")))
+      .withColumn("_p",
+        if (fromEnd) array(col("_t"), col("_s")) else array(col("_s"), col("_t")))
     var reached = frontier
     var step = 1
     var exhausted = false
@@ -1483,7 +1640,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       val ext = frontier.drop("_d")
         .join(base.withColumnRenamed("_s", "_m").withColumnRenamed("_t", "_u"),
           col("_t") === col("_m"))
-        .select(col("_s"), col("_u").as("_t"), concat(col("_p"), array(col("_u"))).as("_p"))
+        .select(col("_s"), col("_u").as("_t"), grow(col("_p"), col("_u")).as("_p"))
       // allShortestPaths keeps EVERY first-hit path (one row per
       // path); the witness form keeps the lexicographically smallest.
       // Extending only shortest paths is complete either way: every
@@ -1511,13 +1668,13 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     }
     val dist = reached.filter(col("_d") >= lo)
       .withColumnRenamed("_s", s"_sp${SEP}s").withColumnRenamed("_t", s"_sp${SEP}t")
-    var out = cur.join(dist, cur(s"$av${SEP}id") === col(s"_sp${SEP}s"))
+    var out = cur.join(dist, cur(s"$seedVar${SEP}id") === col(s"_sp${SEP}s"))
     out =
-      if (out.columns.contains(s"$bv${SEP}id"))
-        out.filter(col(s"_sp${SEP}t") === col(s"$bv${SEP}id"))
+      if (out.columns.contains(s"$otherVar${SEP}id"))
+        out.filter(col(s"_sp${SEP}t") === col(s"$otherVar${SEP}id"))
       else {
-        val n = nodeDf(bv, endPat)
-        out.join(n, col(s"_sp${SEP}t") === n(s"$bv${SEP}id"))
+        val n = nodeDf(otherVar, otherPat)
+        out.join(n, col(s"_sp${SEP}t") === n(s"$otherVar${SEP}id"))
       }
     pathMeta(m.pathVar) = (rel.dir, rel.types)
     out = out.withColumn(s"${m.pathVar}${SEP}len", col("_d"))
@@ -2720,8 +2877,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "duration.indays" => datediff(a(1).cast("date"), a(0).cast("date")).cast("long")
       case "duration.inseconds" =>
         a(1).cast("timestamp").cast("long") - a(0).cast("timestamp").cast("long")
+      // cast (not floor) truncates TOWARD ZERO, matching Neo4j on
+      // reversed arguments: -3.2 months → -3, not floor's -4
       case "duration.inmonths" =>
-        floor(months_between(a(1).cast("timestamp"), a(0).cast("timestamp"))).cast("long")
+        months_between(a(1).cast("timestamp"), a(0).cast("timestamp")).cast("long")
       // datetime.truncate('month', d) — unit names shared with Spark's
       // date_trunc (year/quarter/month/week/day/hour/minute/second)
       case "date.truncate"      => to_date(date_trunc(litStr(f.args(0)), a(1)))

@@ -101,7 +101,12 @@ object CypherParser extends RegexParsers {
     kw("where") | kw("then") | kw("else") | kw("end") | kw("as") | kw("order") |
     kw("limit") | kw("skip") | kw("union") | kw("asc") | kw("desc") |
     kw("match") | kw("set") | kw("remove") | kw("delete") | kw("detach") |
-    kw("merge") | kw("unwind") | "," | ")" | "}" |
+    kw("merge") | kw("unwind") | kw("create") | kw("optional") | kw("call") |
+    // `]` stays OFF the whitelist: inside a comprehension the bar
+    // before `]` is the projection bar (`[x IN l WHERE x:A | x]`),
+    // exactly the ambiguity this guard exists to resolve
+    kw("foreach") | kw("show") | kw("yield") | kw("on") | kw("when") |
+    "," | ")" | "}" |
     Parser { in =>
       val r = handleWhiteSpace(in.source, in.offset)
       if (r >= in.source.length) Success((), in)

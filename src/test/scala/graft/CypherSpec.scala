@@ -388,11 +388,42 @@ class CypherSpec extends AnyFunSuite {
       "CALL { MATCH (n:CU1) RETURN n.v AS x UNION ALL MATCH (n:CU2) RETURN n.v AS x } " +
         "RETURN x ORDER BY x").collect().map(_.getLong(0)).toSeq
     assert(ua == Seq(1L, 2L, 2L))
-    // correlated + UNION refuses loudly (documented)
+    // mismatched branch columns refuse loudly
     intercept[UnsupportedOperationException] {
-      s.cypher("MATCH (m:CU1) CALL { WITH m MATCH (n:CU2) RETURN n.v AS x " +
-        "UNION MATCH (n:CU1) RETURN n.v AS x } RETURN count(x) AS n").collect()
+      s.cypher("MATCH (m:CU1) CALL { WITH m MATCH (m)-[:X]->(n) RETURN n.v AS x " +
+        "UNION WITH m MATCH (m)-[:X]->(n) RETURN n.v AS y } RETURN count(x) AS n")
+        .collect()
     }
+  }
+
+  test("correlated CALL { WITH … } takes UNION [ALL] branches (r19)") {
+    // r18 verdict #5: each branch compiles against the imported
+    // binding frame (restating its import-WITH, Neo4j's grammar) and
+    // the branch results union per import binding — the batch-ingest
+    // "compose alternatives" idiom.
+    val s = new GraftSession(spark)
+    s.cypher("CREATE (p:CP {k: 1})-[:CA]->(:CQ {w: 10})")
+    s.cypher("MATCH (p:CP {k: 1}) CREATE (p)-[:CB]->(:CQ {w: 20})")
+    s.cypher("CREATE (p:CP {k: 2})-[:CA]->(:CQ {w: 30})")
+    val ua = s.cypher(
+      "MATCH (p:CP) CALL { WITH p MATCH (p)-[:CA]->(q) RETURN q.w AS w " +
+        "UNION ALL WITH p MATCH (p)-[:CB]->(q) RETURN q.w AS w } " +
+        "RETURN p.k AS k, w ORDER BY k, w").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ua.toSeq == Seq((1L, 10L), (1L, 20L), (2L, 30L)))
+    // plain UNION dedups per binding: point both rel types at w=10
+    s.cypher("MATCH (p:CP {k: 2}), (q:CQ {w: 30}) CREATE (p)-[:CB]->(q)")
+    val u = s.cypher(
+      "MATCH (p:CP {k: 2}) CALL { WITH p MATCH (p)-[:CA]->(q) RETURN q.w AS w " +
+        "UNION WITH p MATCH (p)-[:CB]->(q) RETURN q.w AS w } " +
+        "RETURN w ORDER BY w").collect().map(_.getLong(0)).toSeq
+    assert(u == Seq(30L)) // one row, not two: both branches hit the same q
+    // a branch WITHOUT an import-WITH is uncorrelated: applies to
+    // every import binding
+    val mixed = s.cypher(
+      "MATCH (p:CP) CALL { WITH p MATCH (p)-[:CA]->(q) RETURN q.w AS w " +
+        "UNION ALL RETURN 99 AS w } " +
+        "RETURN p.k AS k, w ORDER BY k, w").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mixed.toSeq == Seq((1L, 10L), (1L, 99L), (2L, 30L), (2L, 99L)))
   }
 
   test("backtick-quoted identifiers: labels, relTypes, property keys, variables") {

@@ -1188,11 +1188,19 @@ class PacksSpec extends AnyFunSuite {
     val got2 = ivf2.collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(got2.map(_._1).toSeq == Seq(0L, 1L), got2.mkString(","))
     assert(math.abs(got2(0)._2 - 1.0) < 1e-9 && math.abs(got2(1)._2 - 0.8) < 1e-9)
-    // probes=1 narrows to the single best cell — genuinely approximate
+    // probes=1 narrows to the single best cell — genuinely
+    // approximate. With r19 MULTI-ASSIGNMENT (top-2 cells per vector)
+    // vector 1 also lives in vector 0's cell, so k=2 at probes=1 is
+    // now exact — the recall win, pinned; k=3 shows the
+    // approximation: vector 2's primary cell stays unprobed.
     val got1 = s.cypher(
       "CALL db.index.vector.queryNodes('doc_vec', 2, [1.0, 0.0], {probes: 1}) " +
         "YIELD nodeId RETURN nodeId").collect().map(_.getLong(0))
-    assert(got1.toSeq == Seq(0L), got1.mkString(","))
+    assert(got1.toSeq == Seq(0L, 1L), got1.mkString(","))
+    val got1k3 = s.cypher(
+      "CALL db.index.vector.queryNodes('doc_vec', 3, [1.0, 0.0], {probes: 1}) " +
+        "YIELD nodeId RETURN nodeId").collect().map(_.getLong(0))
+    assert(got1k3.toSeq == Seq(0L, 1L), got1k3.mkString(","))
     // a mutation COMPOSES (r17): the probe stays cell-pruned, the
     // delta-touched ids leave the cell scan, and the delta's live
     // indexed slice is brute-forced alongside. A non-vector CREATE
@@ -1203,7 +1211,7 @@ class PacksSpec extends AnyFunSuite {
         "YIELD nodeId RETURN nodeId")
     assert(after.queryExecution.executedPlan.toString.contains("index_aux"),
       "node mutation degraded the IVF probe to the exact scan")
-    assert(after.collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(after.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L))
     // …and a NEW vector is visible to the probe despite probes=1 —
     // it rides the delta slice, not any (stale) cell
     s.cypher("CREATE (:doc {embedding: $v})", Map("v" -> Seq(0.99, 0.01)))
