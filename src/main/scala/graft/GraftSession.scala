@@ -471,6 +471,11 @@ final class GraftSession(val spark: SparkSession,
   private val CreateDb = """(?is)\s*CREATE\s+DATABASE\s+(\w+)\s*""".r
   private val DropDb = """(?is)\s*DROP\s+DATABASE\s+(\w+)(\s+IF\s+EXISTS)?\s*""".r
   private val ShowDbs = """(?is)\s*SHOW\s+DATABASES\b(.*)""".r
+  // 4.x ops verbs, still issued by migration scripts (r19 gap-hunt):
+  // DEFAULT DATABASE = the session default ('neo4j'); HOME DATABASE
+  // is per-user and resolves the same here (single-user parity)
+  private val ShowDefaultDb =
+    """(?is)\s*SHOW\s+(?:DEFAULT|HOME)\s+DATABASE\b(.*)""".r
   private val ShowTxs = """(?is)\s*SHOW\s+TRANSACTIONS\b(.*)""".r
   // `USE db <query>` — per-statement database routing (cypher-shell's
   // `:use` and the driver's session database both reduce to this)
@@ -1099,6 +1104,9 @@ final class GraftSession(val spark: SparkSession,
         params, database, tx, wire)
     // YIELD tails project like the other SHOW verbs (cypher-shell's
     // `SHOW DATABASES YIELD name` is routine ops scripting)
+    case ShowDefaultDb(rest) =>
+      applyYield(showDatabases().filter(
+        org.apache.spark.sql.functions.col("name") === "neo4j"), rest)
     case ShowDbs(rest) => applyYield(showDatabases(), rest)
     case ShowTxs(rest) => applyYield(showTransactions(), rest)
     case TerminateTxs(rest) =>
@@ -1122,8 +1130,21 @@ final class GraftSession(val spark: SparkSession,
     case ShowFuncs(rest) => applyYield(procedures.functionsDataFrame, rest)
     case ShowSettings(rest) =>
       // Neo4j 5.8 SHOW SETTINGS — the declarative face of
-      // dbms.listConfig: same resolved (name, value) rows
-      applyYield(procedures.procedure("dbms.listConfig").get(Nil), rest)
+      // dbms.listConfig: same resolved (name, value) rows. A leading
+      // quoted name list (`SHOW SETTINGS 'a', 'b' [YIELD …]`) filters
+      // to those settings (r19 gap-hunt).
+      val namedRe =
+        """(?is)^\s*((?:'[^']*'|"[^"]*")(?:\s*,\s*(?:'[^']*'|"[^"]*"))*)\s*(.*)$""".r
+      val all = procedures.procedure("dbms.listConfig").get(Nil)
+      rest match {
+        case namedRe(names, tail) =>
+          val wanted = names.split(",").map(_.trim
+            .stripPrefix("'").stripSuffix("'")
+            .stripPrefix("\"").stripSuffix("\"")).toIndexedSeq
+          applyYield(all.filter(
+            org.apache.spark.sql.functions.col("name").isin(wanted: _*)), tail)
+        case _ => applyYield(all, rest)
+      }
     case _ =>
       // inside a transaction every statement targets the handle's
       // private shadow (read-your-writes; invisible elsewhere until
@@ -1585,6 +1606,15 @@ final class GraftSession(val spark: SparkSession,
     * shape the reference tests issue (ref TestPluginInstallation
     * .java:184,215). */
   private def applyYield(df: DataFrame, rest: String): DataFrame = {
+    // `YIELD *` = every column (r19 gap-hunt): rewrite to the explicit
+    // list and re-enter, so WHERE/ORDER/RETURN tails compose unchanged
+    val yieldStar = """(?is)\s*YIELD\s+\*\s*(.*)$""".r
+    if (rest != null) rest match {
+      case yieldStar(tail) =>
+        return applyYield(df, s" YIELD ${df.columns.mkString(", ")}" +
+          (if (tail.trim.nonEmpty) " " + tail.trim else ""))
+      case _ => ()
+    }
     // `YIELD col[, …] [WHERE expr] [RETURN col[, …]]` — the WHERE
     // filter rides the FULL Cypher expression grammar over the yielded
     // columns (`SHOW INDEXES YIELD name, type WHERE name STARTS WITH

@@ -20,6 +20,11 @@ object ast {
   final case class Param(name: String) extends Expr
   final case class Variable(name: String) extends Expr
   final case class Prop(variable: String, key: String) extends Expr
+  /** Property/component access on a NON-variable base expression:
+    * `date('2020-03-04').year`, `duration('P3D').days`, `{a: 1}.a`,
+    * `apoc.map.fromPairs(...).k` — temporal components, struct
+    * fields, and map keys resolve by the base's static type. */
+  final case class PropOf(base: Expr, key: String) extends Expr
   final case class FnCall(name: String, args: Seq[Expr], distinct: Boolean = false) extends Expr
   final case class Cmp(op: String, l: Expr, r: Expr) extends Expr // = <> < <= > >=
   final case class And(l: Expr, r: Expr) extends Expr
@@ -244,7 +249,8 @@ object ast {
 
   val aggregateFns: Set[String] =
     Set("count", "sum", "min", "max", "avg", "collect", "stdev", "stdevp",
-      "percentilecont", "percentiledisc")
+      "percentilecont", "percentiledisc",
+      "apoc.agg.first", "apoc.agg.last", "apoc.agg.median", "apoc.agg.statistics")
 
   def containsAggregate(e: Expr): Boolean = e match {
     case FnCall(n, args, _) =>

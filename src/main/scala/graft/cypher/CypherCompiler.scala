@@ -409,6 +409,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case In(x, _)         => collectSubqueries(x)
     case IsNull(x, _)     => collectSubqueries(x)
     case FnCall(_, args, _) => args.flatMap(collectSubqueries)
+    case PropOf(b, _)     => collectSubqueries(b)
     case p: PatternPred   => Seq(p)
     case s: ExistsSub     => Seq(s)
     case c: CountSub      => Seq(c)
@@ -443,6 +444,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case In(x, list)     => In(substSubquery(x, target, repl), list)
     case IsNull(x, n)    => IsNull(substSubquery(x, target, repl), n)
     case FnCall(n, args, d) => FnCall(n, args.map(substSubquery(_, target, repl)), d)
+    case PropOf(b, k)    => PropOf(substSubquery(b, target, repl), k)
     case ListComp(v, l, w, p) => ListComp(v, substSubquery(l, target, repl), w, p)
     case other        => other
   }
@@ -741,6 +743,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           case ProjExpr(k, e0) => ProjExpr(k, decompose(e0))
           case o               => o
         })
+        case PropOf(b, k)    => PropOf(decompose(b), k)
         case other           => other // containsAggregate looks no deeper
       }
       val rewritten = aggItems.map(i => i.name -> decompose(i.expr))
@@ -1693,6 +1696,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * args), for start-only WHERE pushdown in shortestPath. */
   private def referencedVars(e: Expr): Set[String] = e match {
     case Prop(v, _)      => Set(v)
+    case PropOf(b, _)    => referencedVars(b)
     case Variable(v)     => Set(v)
     case Cmp(_, l, r)    => referencedVars(l) ++ referencedVars(r)
     case And(l, r)       => referencedVars(l) ++ referencedVars(r)
@@ -2360,6 +2364,36 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           "week, day, ordinalDay, dayOfWeek, hour, minute, second, epochSeconds, epochMillis")
     }).cast("long")
 
+  /** Duration (CalendarInterval) component accessors, Neo4j's
+    * canonical groups: `months`/`days` are the stored fields
+    * (months = years·12 + month-part), the time group composes from
+    * the hour/minute/second extractors. Extraction runs through the
+    * native Catalyst interval extractors (codegen'd) via the
+    * Column↔Expression bridge. */
+  private def durationComponent(c: Column, key: String): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{ExtractIntervalDays,
+      ExtractIntervalHours, ExtractIntervalMinutes, ExtractIntervalMonths,
+      ExtractIntervalSeconds, ExtractIntervalYears}
+    val ex = org.apache.spark.sql.GraftSqlBridge.expression(c)
+    def w(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(e).cast("long")
+    lazy val months = w(ExtractIntervalYears(ex)) * 12L + w(ExtractIntervalMonths(ex))
+    lazy val secs = w(ExtractIntervalHours(ex)) * 3600L +
+      w(ExtractIntervalMinutes(ex)) * 60L + w(ExtractIntervalSeconds(ex))
+    key.toLowerCase match {
+      case "years"        => w(ExtractIntervalYears(ex))
+      case "months"       => months
+      case "days"         => w(ExtractIntervalDays(ex))
+      case "hours"        => w(ExtractIntervalHours(ex))
+      case "minutes"      => w(ExtractIntervalHours(ex)) * 60L + w(ExtractIntervalMinutes(ex))
+      case "seconds"      => secs
+      case "milliseconds" => secs * 1000L
+      case other => throw new UnsupportedOperationException(
+        s"unknown duration component `.$other` — supported: years, months, days, " +
+          "hours, minutes, seconds, milliseconds")
+    }
+  }
+
   /** In-scope comprehension-lambda bindings (compile is single-
     * threaded; nested comprehensions save/restore around the body). */
   private var lambdaBinds: Map[String, Column] = Map.empty
@@ -2455,6 +2489,24 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         }
       }
       else lit(null).cast("string")
+    // property/component access on a non-variable base (r19 gap-hunt:
+    // `date('…').year`, `duration('P3D').days`, `{a: 1}.a`) — same
+    // type-directed dispatch as the post-WITH Prop path, keyed off the
+    // base expression's probed type
+    case PropOf(base, k) =>
+      import org.apache.spark.sql.types.{CalendarIntervalType, DateType,
+        MapType, StructType, TimestampNTZType, TimestampType}
+      val c = compileExpr(base, df)
+      colType(c, df) match {
+        case Some(DateType | TimestampType | TimestampNTZType) =>
+          temporalComponent(c, k)
+        case Some(CalendarIntervalType) => durationComponent(c, k)
+        case Some(st: StructType) =>
+          // missing map key is null (openCypher), never an analysis error
+          if (st.fieldNames.contains(k)) c.getField(k) else lit(null)
+        case Some(_: MapType) => try_element_at(c, lit(k))
+        case _ => c.getField(k)
+      }
     case Variable(n) if lambdaBinds.contains(n) => lambdaBinds(n)
     case Variable(n)    =>
       if (df.columns.contains(n)) col(n)
@@ -2768,6 +2820,15 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "stdevp"                  => stddev_pop(a(0))
       case "percentilecont"          => call_function("percentile", a(0), a(1))
       case "percentiledisc"          => call_function("percentile_approx", a(0), a(1), lit(10000))
+      // apoc.agg.* aggregate functions (r19 gap-hunt): built-ins here
+      // (a registry scalar cannot be an aggregate); first/last follow
+      // the frame's row order like Neo4j's follow aggregation order
+      case "apoc.agg.first"          => first(a(0))
+      case "apoc.agg.last"           => last(a(0))
+      case "apoc.agg.median"         => call_function("percentile", a(0), lit(0.5))
+      case "apoc.agg.statistics"     => struct(
+        count(a(0)).as("total"), min(a(0)).as("min"), max(a(0)).as("max"),
+        avg(a(0)).as("mean"), stddev_pop(a(0)).as("stdev"))
       // graph accessors. id(r) on a relationship variable reads the
       // surrogate eid (its own id space — the reference's separate
       // node/relationship stores); elementId() is the Bolt 5 string
@@ -2980,6 +3041,13 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "split"              => split(a(0), litStr(f.args(1)))
       case "char_length" | "character_length" => length(a(0)).cast("long")
       case "nullif"             => when(a(0) === a(1), lit(null)).otherwise(a(0))
+      // r19 gap-hunt scalars
+      case "btrim" =>
+        if (f.args.size >= 2) call_function("btrim", a(0), a(1)) else trim(a(0))
+      case "isnan" => isnan(a(0).cast("double"))
+      // Neo4j 5.17 normalize(): Unicode NFC via a codegen'd
+      // StaticInvoke of a house helper (no Scala UDF)
+      case "normalize" => graft.functions.TextFunctions.normalizeNFC(a(0))
       case "left"               => a(0).substr(lit(1), a(1))
       case "right"              => expr(s"substring(${a(0).toString}, -${litStr(f.args(1))})")
       case "reverse"            => reverse(a(0))
@@ -3120,12 +3188,40 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       }
       case other =>
         scalarFns(f.name) match {
-          case Some(fn) => fn(f.args.map(compileExpr(_, df)))
+          case Some(fn) =>
+            val args = f.args.map(compileExpr(_, df))
+            // apoc.map.* helpers operate on MapType, but Cypher map
+            // literals compile to named STRUCTS (the documented
+            // homogeneous-collection encoding) — convert struct args
+            // whose fields share a type; mixed-type maps refuse loudly
+            // like every other heterogeneous collection
+            val normalized =
+              if (other.startsWith("apoc.map.")) args.map(structToMap(_, df))
+              else args
+            fn(normalized)
           case None =>
             throw new UnsupportedOperationException(s"Unknown function: $other")
         }
     }
   }
+
+  /** Struct column → MapType(string, common field type) when every
+    * field shares one type (or is null-typed); non-struct columns pass
+    * through. Mixed field types refuse — Spark maps are homogeneous
+    * (README "homogeneous collections" deviation). */
+  private def structToMap(c: Column, df: DataFrame): Column =
+    colType(c, df) match {
+      case Some(st: org.apache.spark.sql.types.StructType) =>
+        val types = st.fields.map(_.dataType)
+          .filterNot(_ == org.apache.spark.sql.types.NullType).distinct
+        if (types.length > 1) throw new UnsupportedOperationException(
+          s"apoc.map.* over a mixed-type map {${st.fieldNames.mkString(", ")}}: " +
+            "Spark maps are homogeneous (README deviations)")
+        if (st.isEmpty) typedLit(Map.empty[String, String])
+        else map(st.fieldNames.toIndexedSeq.flatMap(n =>
+          Seq(lit(n), c.getField(n))): _*)
+      case _ => c
+    }
 
   /** The property columns of a bound entity variable: its prefixed
     * columns minus the structural meta columns. */

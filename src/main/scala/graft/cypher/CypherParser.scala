@@ -130,12 +130,20 @@ object CypherParser extends RegexParsers {
     atomExpr ~ rep(subscript) ^^ { case h ~ t => t.foldLeft(h)((e, f) => f(e)) }
 
   /** Postfix `[i]` / `[lo..hi]` (slice tried first: a bare index has
-    * no `..`). */
+    * no `..`) and `.key` — property/component access on any primary
+    * (`date('…').year`, `duration('P3D').days`, `{a: 1}.a`). A
+    * variable base keeps the classic binding-table Prop node. */
   private def subscript: Parser[Expr => Expr] =
     ("[" ~> opt(expr) <~ "..") ~ (opt(expr) <~ "]") ^^ {
       case lo ~ hi => (e: Expr) => ListSlice(e, lo, hi)
     } |
-    "[" ~> expr <~ "]" ^^ { i => (e: Expr) => Subscript(e, i) }
+    "[" ~> expr <~ "]" ^^ { i => (e: Expr) => Subscript(e, i) } |
+    "." ~> ident ^^ { k => (e: Expr) =>
+      e match {
+        case Variable(v) => Prop(v, k)
+        case other       => PropOf(other, k)
+      }
+    }
 
   private def atomExpr: Parser[Expr] =
     literal |

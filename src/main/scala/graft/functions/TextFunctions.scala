@@ -158,4 +158,17 @@ object TextFunctions {
     * a pre-projected token array (see [[shinglesOfTokens]]). */
   def minShingleFingerprint(t: Column): Column =
     array_min(transform(shinglesOfTokens(t, 5), s => md5(s)))
+
+  /** Unicode NFC normalization (Neo4j 5.17 `normalize()`): a
+    * codegen'd StaticInvoke of [[TextNormJava.nfc]] — Catalyst
+    * evaluates the static call directly, no Scala UDF wrapping. */
+  def normalizeNFC(c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.types.StringType
+    org.apache.spark.sql.GraftSqlBridge.column(StaticInvoke(
+      classOf[TextNormJava], StringType, "nfc",
+      Seq(org.apache.spark.sql.GraftSqlBridge.expression(c)),
+      inputTypes = Seq(StringType),
+      propagateNull = true, returnNullable = true))
+  }
 }

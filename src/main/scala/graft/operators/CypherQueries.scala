@@ -1497,6 +1497,21 @@ object CypherQueries {
         """MATCH (n:nation|region)
           |WITH CASE WHEN n.n_name IS NOT NULL THEN 'nation' ELSE 'region' END AS l
           |RETURN l, count(*) AS cnt ORDER BY l""".stripMargin)
-    }
+    },
+
+    // Temporal component accessors graded end to end (r19 gap-hunt):
+    // `o.o_orderdate.year` is postfix component access on a DATE-typed
+    // property (PropOf → the native year() extractor — codegen'd, no
+    // UDF), aggregated per year so a wrong component mapping
+    // hash-fails, not just row-counts
+    q("cy_temporal_components",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       count(*) AS n
+        |FROM orders WHERE o_orderdate >= DATE '1996-06-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      """MATCH (o:order) WHERE o.o_orderdate >= date('1996-06-01')
+        |RETURN o.o_orderdate.year AS y, o.o_orderdate.month AS m,
+        |count(*) AS n ORDER BY y, m""".stripMargin)
   )
 }

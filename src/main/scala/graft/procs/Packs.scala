@@ -197,9 +197,43 @@ object Packs {
         .otherwise(a(0).cast("long"))
       call_function("date_format", timestamp_millis(ms), a(2))
     }
-    // (no apoc.map.* scalars: this engine compiles Cypher map literals
-    // and projections to named STRUCTs — see CypherCompiler MapLit —
-    // so a MapType-column helper would never receive its input type)
+    // apoc.map.* (r19 gap-hunt): implemented over MapType — the
+    // compiler converts struct-encoded map literals whose fields share
+    // a type (CypherCompiler.structToMap; mixed-type maps refuse, the
+    // documented homogeneous-collection deviation). All Column-only,
+    // no UDFs; merge/setKey are right-wins via an entry filter.
+    def mergeMaps(l: org.apache.spark.sql.Column,
+        r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      map_from_entries(concat(
+        filter(map_entries(l), e => !map_contains_key(r, e.getField("key"))),
+        map_entries(r)))
+    procs.registerScalar("apoc.map.fromPairs",
+      "(pairs :: LIST<LIST<ANY>>) :: MAP")(a =>
+      map_from_entries(transform(a(0), p =>
+        struct(element_at(p, 1).cast("string").as("key"),
+          element_at(p, 2).as("value")))))
+    procs.registerScalar("apoc.map.fromLists",
+      "(keys :: LIST<STRING>, values :: LIST<ANY>) :: MAP")(a =>
+      map_from_arrays(a(0), a(1)))
+    procs.registerScalar("apoc.map.merge",
+      "(first :: MAP, second :: MAP) :: MAP")(a => mergeMaps(a(0), a(1)))
+    procs.registerScalar("apoc.map.setKey",
+      "(map :: MAP, key :: STRING, value :: ANY) :: MAP")(a =>
+      mergeMaps(a(0), map(a(1).cast("string"), a(2))))
+    procs.registerScalar("apoc.map.removeKey",
+      "(map :: MAP, key :: STRING) :: MAP")(a =>
+      map_from_entries(filter(map_entries(a(0)),
+        e => e.getField("key") =!= a(1))))
+    procs.registerScalar("apoc.map.get",
+      "(map :: MAP, key :: STRING, default :: ANY?) :: ANY")(a =>
+      if (a.size >= 3) coalesce(try_element_at(a(0), a(1)), a(2))
+      else try_element_at(a(0), a(1)))
+    procs.registerScalar("apoc.text.distance",
+      "(text1 :: STRING, text2 :: STRING) :: INTEGER")(a =>
+      levenshtein(a(0), a(1)).cast("long"))
+    procs.registerScalar("apoc.text.levenshteinDistance",
+      "(text1 :: STRING, text2 :: STRING) :: INTEGER")(a =>
+      levenshtein(a(0), a(1)).cast("long"))
     procs.registerScalar("apoc.coll.flatten",
       "(coll :: LIST<LIST<ANY>>) :: LIST<ANY>")(a => flatten(a(0)))
     procs.registerScalar("apoc.coll.zip",

@@ -364,6 +364,51 @@ class CypherSpec extends AnyFunSuite {
     }
   }
 
+  test("gap-hunt r19: temporal/duration component accessors on expressions") {
+    val s = new GraftSession(spark)
+    def one(q: String) = s.cypher(q).collect().head
+    // postfix `.component` on a non-variable base (PropOf)
+    val d = one("RETURN date('2020-03-04').year AS y, date('2020-03-04').month AS m, " +
+      "date('2020-03-04').day AS d, date('2020-03-04').quarter AS q")
+    assert((d.getLong(0), d.getLong(1), d.getLong(2), d.getLong(3)) == ((2020L, 3L, 4L, 1L)))
+    assert(one("RETURN datetime('2020-03-04T05:06:07Z').hour AS h").getLong(0) == 5L)
+    assert(one("RETURN datetime('1970-01-02T00:00:00Z').epochMillis AS v")
+      .getLong(0) == 86400000L)
+    // ISO dayOfWeek: Monday = 1 … Sunday = 7
+    assert(one("RETURN date('2024-01-01').dayOfWeek AS v").getLong(0) == 1L)
+    assert(one("RETURN date('2024-01-07').dayOfWeek AS v").getLong(0) == 7L)
+    // duration components: months = years·12 + months; the seconds
+    // group composes hours/minutes/seconds (hour-overflow normalizes
+    // into days per Spark's CalendarInterval — documented)
+    val du = one("RETURN duration('P1Y2M3DT4H5M6S').months AS mo, " +
+      "duration('P1Y2M3DT4H5M6S').days AS dd, duration('PT3H30M5S').seconds AS ss")
+    assert((du.getLong(0), du.getLong(1), du.getLong(2)) == ((14L, 3L, 12605L)))
+    // map-literal key access and chained postfix
+    assert(one("RETURN {a: 41}.a + 1 AS v").getLong(0) == 42L)
+    // new scalars: btrim(trim-chars), isNaN, normalize (NFC)
+    assert(one("RETURN btrim('xxhixx', 'x') AS v").getString(0) == "hi")
+    assert(one("RETURN isNaN(sqrt(-1)) AS a, isNaN(1.0) AS b").getBoolean(0))
+    assert(!one("RETURN isNaN(sqrt(-1)) AS a, isNaN(1.0) AS b").getBoolean(1))
+    // U+0061 U+0301 (a + combining acute) normalizes to U+00E1
+    assert(one("RETURN normalize('á') AS v").getString(0) == "á")
+  }
+
+  test("gap-hunt r19: SHOW DEFAULT DATABASE, SHOW SETTINGS 'name', YIELD *") {
+    val s = new GraftSession(spark, Map(
+      "server.memory.pagecache.size" -> "512M",
+      "server.default_listen_address" -> "0.0.0.0"))
+    val dd = s.cypher("SHOW DEFAULT DATABASE").collect()
+    assert(dd.map(_.getString(0)).toSeq == Seq("neo4j"))
+    // quoted name list filters; YIELD * projects every column
+    val named = s.cypher("SHOW SETTINGS 'server.default_listen_address'").collect()
+    assert(named.map(_.getString(0)).toSeq == Seq("server.default_listen_address"))
+    val two = s.cypher("SHOW SETTINGS 'server.default_listen_address', " +
+      "'server.memory.pagecache.size' YIELD name, value WHERE value = '512M' RETURN name")
+    assert(two.collect().map(_.getString(0)).toSeq == Seq("server.memory.pagecache.size"))
+    val star = s.cypher("SHOW DATABASES YIELD * WHERE name = 'neo4j' RETURN name")
+    assert(star.collect().map(_.getString(0)).toSeq == Seq("neo4j"))
+  }
+
   test("gap-hunt scalars: char_length, nullIf, zero-arg date/datetime clock") {
     val s = new GraftSession(spark)
     val r = s.cypher("RETURN char_length('abc') AS a, character_length('abcd') AS b, " +

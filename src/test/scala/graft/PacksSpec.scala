@@ -25,6 +25,45 @@ class PacksSpec extends AnyFunSuite {
     s
   }
 
+  test("apoc.map.* over MapType (struct literals auto-convert) + apoc.agg.*") {
+    // r19 gap-hunt: map helpers ride MapType columns; Cypher map
+    // literals (struct-encoded) convert when fields share a type,
+    // mixed-type maps refuse (the homogeneous-collection deviation)
+    val s = sessionWith("apoc")
+    def one(q: String) = s.cypher(q).collect().head
+    assert(one("RETURN apoc.map.merge({a: 1}, {a: 9, b: 2}) AS v")
+      .getMap[String, Long](0) == Map("a" -> 9L, "b" -> 2L)) // right wins
+    assert(one("RETURN apoc.map.setKey({a: 1}, 'b', 7) AS v")
+      .getMap[String, Long](0) == Map("a" -> 1L, "b" -> 7L))
+    assert(one("RETURN apoc.map.removeKey({a: 1, b: 2}, 'b') AS v")
+      .getMap[String, Long](0) == Map("a" -> 1L))
+    assert(one("RETURN apoc.map.get({a: 7}, 'a', -1) AS v").getLong(0) == 7L)
+    assert(one("RETURN apoc.map.get({a: 7}, 'zz', -1) AS v").getLong(0) == -1L)
+    assert(one("RETURN apoc.map.fromPairs([['a', '1'], ['b', '2']]) AS v")
+      .getMap[String, String](0) == Map("a" -> "1", "b" -> "2"))
+    assert(one("RETURN apoc.map.fromLists(['a', 'b'], [1, 2]) AS v")
+      .getMap[String, Long](0) == Map("a" -> 1L, "b" -> 2L))
+    // cross-map type mixing fails LOUDLY (within one map it's the
+    // UnsupportedOperationException refusal; across the two merge args
+    // Spark's own cast raises) — never a silent wrong answer
+    intercept[Exception] {
+      s.cypher("RETURN apoc.map.merge({a: 1}, {b: 'x'}) AS v").collect()
+    }
+    intercept[UnsupportedOperationException] {
+      s.cypher("RETURN apoc.map.removeKey({a: 1, b: 'x'}, 'b') AS v").collect()
+    }
+    // aggregate family: first/last follow row order, median is exact,
+    // statistics is the summary struct
+    assert(one("UNWIND [3, 1, 2] AS x RETURN apoc.agg.first(x) AS v").getLong(0) == 3L)
+    assert(one("UNWIND [3, 1, 2] AS x RETURN apoc.agg.last(x) AS v").getLong(0) == 2L)
+    assert(one("UNWIND [1, 2, 3, 4] AS x RETURN apoc.agg.median(x) AS v")
+      .getDouble(0) == 2.5)
+    val st = one("UNWIND [1, 2, 3] AS x RETURN apoc.agg.statistics(x) AS v").getStruct(0)
+    assert(st.getLong(0) == 3L && st.getLong(1) == 1L && st.getLong(2) == 3L &&
+      st.getDouble(3) == 2.0)
+    assert(one("RETURN apoc.text.distance('kitten', 'sitting') AS v").getLong(0) == 3L)
+  }
+
   test("C10: RETURN apoc.version() (TestConfSettings.java:411)") {
     val s = sessionWith("apoc")
     val res = s.cypher("RETURN apoc.version() AS version")
