@@ -341,6 +341,25 @@ final class GraftSession(val spark: SparkSession,
         }
     }
 
+  /** [[statsFor]] restricted to what is available WITHOUT a job this
+    * statement (r19): sealed/overlaid snapshot stats (O(delta) by
+    * design) or a memoized live computation from an earlier statement
+    * (drift-tolerant, same budget as statsFor — a consult past the
+    * budget returns None rather than recomputing; the next FULL
+    * consult refreshes). The compiler reads this for opportunistic
+    * refinements so a one-shot session never pays a full-graph scan
+    * for a decision an anchor-rank gap already forces. */
+  private def statsCheapFor(db: GraphDatabase, g: PropertyGraph): Option[graft.core.GraphStats] =
+    if (db.statsOff) None
+    else if (db.graphStats.isDefined) statsFor(db, g)
+    else db.statsMemo match {
+      case Some((mn, me, s)) if (mn eq g.nodes) && (me eq g.edges) => Some(s)
+      case Some((_, _, s)) if db.statsDrift < GraftSession.MaxStatsDrift =>
+        db.statsDrift += 1
+        Some(s)
+      case _ => None
+    }
+
   /** One-shot cardinality stats for a never-saved graph: the same
     * per-label / per-relType aggregates the save-time sealer derives
     * from its partition keys (SnapshotStore.scala:117-190), computed
@@ -348,6 +367,7 @@ final class GraftSession(val spark: SparkSession,
     * schema cardinality. */
   private def computeLiveStats(g: PropertyGraph): graft.core.GraphStats = {
     import org.apache.spark.sql.functions.{approx_count_distinct, col, count, explode, lit}
+    GraftSession.liveStatsRuns.incrementAndGet()
     val nodeCount = g.nodes.count()
     val labels =
       if (!g.nodes.columns.contains("labels")) Map.empty[String, Long]
@@ -1431,7 +1451,9 @@ final class GraftSession(val spark: SparkSession,
       relRangeAnchor = relRangeAnchorFor(db, g),
       labelScan = labelScanFor(db, g),
       prefixCap = prefixEnumerationCap,
-      statsIn = () => statsFor(db, g))
+      statsIn = () => statsFor(db, g),
+      statsCheapIn = () => statsCheapFor(db, g),
+      probeHints = true)
   }
 
   /** Label-scan routing (r17 — the label-scan-store analog): an
@@ -1711,31 +1733,75 @@ final class GraftSession(val spark: SparkSession,
     // append + ONE snapshot swap. Other body clauses (SET/MERGE per
     // element) are refused loudly rather than run once.
     q.clauses.collectFirst { case f: ast.Foreach => f }.foreach { f =>
-      // MATCH … FOREACH (x IN list | SET …): the conditional-SET idiom
-      // (`FOREACH (_ IN CASE WHEN cond THEN [1] ELSE [] END | SET …)`).
-      // Desugars to gating the SET on a non-empty list — exact when
-      // the RHS doesn't read the loop variable (then every iteration
-      // writes the same value), refused loudly when it does.
-      val others = q.clauses.filterNot(_ eq f)
-      if (others.nonEmpty && others.forall(_.isInstanceOf[ast.Match]) &&
+      // MATCH … FOREACH (x IN list | SET …) [RETURN …]: a SET-only
+      // body is order-exact under LAST-WRITE-WINS — iterations run in
+      // list order and each (entity, prop) write lands on the same
+      // cell, so the final state equals one SET with the LAST
+      // element's value. Desugars to gating the SET on a non-empty
+      // list and substituting `x` with `list[-1]`. The one shape that
+      // is NOT last-write-only — a value reading a property the body
+      // itself writes (`SET n.a = n.a + 1`: each iteration observes
+      // the previous one; the result depends on size(list)) — refuses
+      // loudly (r19; the earlier gating desugar silently applied such
+      // a body ONCE, a wrong answer on any multi-element list).
+      val idx = q.clauses.indexWhere(_ eq f)
+      val pre = q.clauses.take(idx)
+      val post = q.clauses.drop(idx + 1)
+      if (pre.nonEmpty && pre.forall(_.isInstanceOf[ast.Match]) &&
+          post.forall(_.isInstanceOf[ast.Return]) &&
           f.body.nonEmpty && f.body.forall(_.isInstanceOf[ast.SetProps])) {
-        def mentionsLoopVar(x: Any): Boolean = x match {
-          case ast.Variable(n)  => n == f.variable
-          case s: Seq[_]        => s.exists(mentionsLoopVar)
-          case o: Option[_]     => o.exists(mentionsLoopVar)
-          case p: Product       => p.productIterator.exists(mentionsLoopVar)
+        val sets = f.body.collect { case sp: ast.SetProps => sp }
+        val writtenVars = sets.flatMap(_.items.map(_._1.variable)).toSet
+        def readsWrittenVar(x: Any): Boolean = x match {
+          case ast.Prop(v, _)   => writtenVars(v)
+          case s: Seq[_]        => s.exists(readsWrittenVar)
+          case o: Option[_]     => o.exists(readsWrittenVar)
+          case p: Product       => p.productIterator.exists(readsWrittenVar)
           case _                => false
         }
-        if (f.body.exists(mentionsLoopVar))
+        if (sets.exists(sp => sp.items.exists { case (_, v) => readsWrittenVar(v) }))
           throw new UnsupportedOperationException(
-            s"FOREACH body reading the loop variable `${f.variable}` is not " +
-              "supported after MATCH (only the gating idiom, whose SET value " +
-              "is iteration-independent)")
-        val ms = others.collect { case m: ast.Match => m }
+            "FOREACH body reading a property it writes is iteration-" +
+              "dependent (each pass observes the previous one) — " +
+              "unsupported after MATCH; rewrite with an aggregate over " +
+              "the list (e.g. SET n.a = n.a + size(list))")
+        val lastElem = ast.Subscript(f.list, ast.Lit(-1L))
+        def subst(e: ast.Expr): ast.Expr = e match {
+          case ast.Variable(n) if n == f.variable => lastElem
+          case ast.Arith(op, l, r)  => ast.Arith(op, subst(l), subst(r))
+          case ast.Cmp(op, l, r)    => ast.Cmp(op, subst(l), subst(r))
+          case ast.And(l, r)        => ast.And(subst(l), subst(r))
+          case ast.Or(l, r)         => ast.Or(subst(l), subst(r))
+          case ast.Not(x)           => ast.Not(subst(x))
+          case ast.FnCall(n, args, d) => ast.FnCall(n, args.map(subst), d)
+          case ast.CaseExpr(ws, o)  =>
+            ast.CaseExpr(ws.map { case (c, v) => (subst(c), subst(v)) }, o.map(subst))
+          case ast.ListLit(items)   => ast.ListLit(items.map(subst))
+          case ast.Subscript(b, i)  => ast.Subscript(subst(b), subst(i))
+          case ast.PropOf(b, k)     => ast.PropOf(subst(b), k)
+          case ast.IsNull(x, n)     => ast.IsNull(subst(x), n)
+          case other =>
+            // an unhandled node still reading the loop variable would
+            // silently keep the unbound name — refuse instead
+            def mentions(x: Any): Boolean = x match {
+              case ast.Variable(n) => n == f.variable
+              case s: Seq[_]       => s.exists(mentions)
+              case o: Option[_]    => o.exists(mentions)
+              case p: Product      => p.productIterator.exists(mentions)
+              case _               => false
+            }
+            if (mentions(other)) throw new UnsupportedOperationException(
+              s"FOREACH loop variable `${f.variable}` inside a " +
+                s"${other.getClass.getSimpleName} expression is not supported")
+            other
+        }
+        val substituted = sets.map(sp =>
+          ast.SetProps(sp.items.map { case (p, v) => (p, subst(v)) }))
+        val ms = pre.collect { case m: ast.Match => m }
         val gate = ast.Cmp(">", ast.FnCall("size", Seq(f.list)), ast.Lit(0L))
         val gated = ms.last.copy(where =
           Some(ms.last.where.map(w => ast.And(w, gate)).getOrElse(gate)))
-        return mutate(db, ast.Query((ms.init :+ gated) ++ f.body))
+        return mutate(db, ast.Query((ms.init :+ gated) ++ substituted ++ post))
       }
       if (q.clauses.size != 1)
         throw new UnsupportedOperationException(
@@ -2199,6 +2265,20 @@ final class GraftSession(val spark: SparkSession,
         op match {
           case "=" => lc === rc; case "<>" => lc =!= rc; case "<" => lc < rc
           case "<=" => lc <= rc; case ">" => lc > rc; case ">=" => lc >= rc
+        }
+      // literal lists and list/map subscripts (the FOREACH last-element
+      // desugar emits `list[-1]`) — read-path index semantics: Cypher
+      // 0-based non-negative, negative from the end, both via the
+      // 1-based/negative element_at
+      case ast.ListLit(items) => array(items.map(exprCol): _*)
+      case ast.Subscript(b, i) =>
+        val bc = exprCol(b)
+        i match {
+          case ast.Lit(s: String) => try_element_at(bc, lit(s))
+          case _ =>
+            val ic = exprCol(i)
+            when(ic >= 0, try_element_at(bc, (ic + lit(1)).cast("int")))
+              .otherwise(try_element_at(bc, ic.cast("int")))
         }
       case other => throw new UnsupportedOperationException(
         s"SET value must be a literal or an expression over $v's properties, got $other")
@@ -2707,7 +2787,7 @@ final class GraftSession(val spark: SparkSession,
       .compile(ast.Query(Seq(
         ast.Match(Seq(m.pattern), optional = false, None),
         ast.Return(Seq(ast.ReturnItem(ast.Lit(1L), Some("_gate"))),
-          distinct = false, Nil, None, Some(1L)))))
+          distinct = false, Nil, None, Some(ast.Lit(1L))))))
 
     // ON MATCH: update-by-join over the pre-existing matches (an empty
     // match marks nothing — the join is a no-op on the data)
@@ -5224,8 +5304,10 @@ final class GraftSession(val spark: SparkSession,
       }
       outDf = outDf.orderBy(sortCols: _*)
     }
-    r.skip.foreach(sk => outDf = outDf.offset(sk.toInt))
-    r.limit.foreach(l => outDf = outDf.limit(l.toInt))
+    r.skip.foreach(sk =>
+      outDf = outDf.offset(graft.cypher.CypherCompiler.longArg("SKIP", sk).toInt))
+    r.limit.foreach(l =>
+      outDf = outDf.limit(graft.cypher.CypherCompiler.longArg("LIMIT", l).toInt))
     outDf
   }
 
@@ -6035,6 +6117,11 @@ object GraftSession {
     * per-mutation cost of lazy stats at 1/32 of a recompute while a
     * heavy ingest drifts at most 32 statements from the truth. */
   private[graft] val MaxStatsDrift: Int = 32
+
+  /** Test observability: how many LIVE stats computations (full-graph
+    * aggregate jobs on a never-saved graph) have run in this process.
+    * PlanSpec pins that forced-shape decisions never bump it. */
+  private[graft] val liveStatsRuns = new java.util.concurrent.atomic.AtomicLong
 
   /** Process-wide monotonic CDC commit sequence. Every delta fold
     * stamps its new rows with the next value ([[PropertyGraph

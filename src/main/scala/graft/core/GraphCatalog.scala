@@ -195,8 +195,9 @@ final class GraphDatabase(val name: String) {
   /** Hard off-switch for the cost model (bench/test control runs):
     * with r19's lazy live stats, clearing graphStats alone no longer
     * yields a textual-plan session — statsFor would just compute
-    * fresh counts. */
-  @volatile var statsOff: Boolean = false
+    * fresh counts. `-Dgraft.statsOff=true` flips the default for
+    * whole-JVM control experiments (TimeOne A/B). */
+  @volatile var statsOff: Boolean = java.lang.Boolean.getBoolean("graft.statsOff")
 
   /** CDC change epoch: a MONOTONIC counter identifying the base-frame
     * generation the delta-log is relative to. `cdcBaseRefs` tracks the

@@ -203,10 +203,13 @@ object ast {
     * ON MATCH SET items apply to whichever branch was taken. */
   final case class Merge(pattern: PathPat,
       onCreate: Seq[(Prop, Expr)] = Nil, onMatch: Seq[(Prop, Expr)] = Nil) extends Clause
+  /** skip/limit are expressions so `SKIP $n` / `LIMIT $n` parameters
+    * substitute like any other (r19); the compiler requires them to
+    * resolve to integer literals by compile time. */
   final case class With(items: Seq[ReturnItem], distinct: Boolean, where: Option[Expr],
-      orderBy: Seq[(Expr, Boolean)], skip: Option[Long], limit: Option[Long]) extends Clause
+      orderBy: Seq[(Expr, Boolean)], skip: Option[Expr], limit: Option[Expr]) extends Clause
   final case class Return(items: Seq[ReturnItem], distinct: Boolean,
-      orderBy: Seq[(Expr, Boolean)], skip: Option[Long], limit: Option[Long]) extends Clause
+      orderBy: Seq[(Expr, Boolean)], skip: Option[Expr], limit: Option[Expr]) extends Clause
   /** yields: (procedure column, output name) — `YIELD x` keeps the
     * name, `YIELD x AS y` renames. */
   final case class CallProc(name: String, args: Seq[Expr], yields: Seq[(String, String)],

@@ -24,13 +24,39 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     relRangeAnchor: (String, String) => Option[DataFrame] = (_, _) => None,
     labelScan: Seq[String] => Option[DataFrame] = _ => None,
     prefixCap: Long = CypherCompiler.DefaultPrefixEnumerationCap,
-    statsIn: () => Option[graft.core.GraphStats] = () => None) {
+    statsIn: () => Option[graft.core.GraphStats] = () => None,
+    statsCheapIn: () => Option[graft.core.GraphStats] = () => None,
+    probeHints: Boolean = false) {
 
-  /** Forced at most once per statement, and only when a pattern shape
-    * actually consults the cost model (r19): a session whose stats
-    * require a live computation (never-saved graphs) must not pay it
-    * on CREATE-only / clause-less statements. */
-  private lazy val stats: Option[graft.core.GraphStats] = statsIn()
+  /** Stats available WITHOUT running a job this statement: sealed
+    * snapshot counts (possibly O(delta)-overlaid) or a memoized live
+    * computation from an earlier statement. Opportunistic refinements
+    * (broadcast-hint estimates, covering-set tie-breaks) consult ONLY
+    * this — they must never be the reason a one-shot session pays a
+    * full-graph scan. */
+  private lazy val cheapStats: Option[graft.core.GraphStats] = statsCheapIn()
+
+  /** Full stats, computing live counts on a never-saved graph if
+    * needed. Forced at most once per statement, and only at a
+    * genuinely AMBIGUOUS plan decision (r19): anchor-rank ties in
+    * orientation, multi-pattern-with-hops ordering. Forced-shape
+    * decisions (one end equality-anchored, the other bare) and
+    * CREATE-only statements never reach it. */
+  private lazy val stats: Option[graft.core.GraphStats] =
+    cheapStats.orElse(statsIn())
+
+  /** How strongly a node pattern pins its own cardinality with no
+    * statistics at all: context-bound variable (3) > equality/range
+    * property anchor (2) > label confinement (1) > bare node (0). A
+    * STRICT rank gap forces the orientation decision the same way
+    * under any cardinality assignment, so it is decided rank-only —
+    * live stats are worth computing exactly when ranks tie. */
+  private def anchorRank(n: NodePat, bound: Set[String]): Int =
+    if (n.variable.exists(bound.contains)) 3
+    else if (n.props.nonEmpty ||
+      n.variable.exists(v => whereAnchorProps.getOrElse(v, Set.empty).nonEmpty)) 2
+    else if (n.labels.nonEmpty || n.labelExpr.isDefined) 1
+    else 0
 
   private val SEP = "__"
   private var freshId = 0
@@ -302,13 +328,25 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     // shape guards FIRST: a trivial pattern must not force the lazy
     // stats (a live computation on never-saved graphs)
     if (p.hops.isEmpty || !reversible(p)) p
-    else stats match {
-      case Some(s) =>
+    else {
+      def model(s: graft.core.GraphStats): PathPat = {
         val rev = reversePath(p)
         if (pathCost(rev, bound, s) * CypherCompiler.ReorderFactor <
             pathCost(p, bound, s)) rev
         else p
-      case _ => p
+      }
+      cheapStats match {
+        case Some(s) => model(s)
+        case None =>
+          // no free stats: a strict anchor-rank gap forces the answer
+          // (seed the pinned end) without a live scan; only a TIE is
+          // worth the one-shot live computation
+          val rs = anchorRank(p.start, bound)
+          val re = anchorRank(p.hops.last._2, bound)
+          if (rs > re) p
+          else if (re > rs) reversePath(p)
+          else stats.map(model).getOrElse(p)
+      }
     }
 
   /** Order a MATCH clause's comma-separated patterns: start from the
@@ -320,7 +358,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * plans are untouched until a snapshot seals counts. */
   private def orderPatterns(pats: Seq[PathPat], ctxVars: Set[String]): Seq[PathPat] =
     if (pats.size <= 1) pats
-    else stats match {
+    // hop-less comma patterns (MERGE/CREATE anchor lookups) gain
+    // nothing from ordering — never let them force a live stats scan
+    else cheapStats.orElse(
+      if (pats.exists(_.hops.nonEmpty)) stats else None) match {
       case Some(s) =>
         def vars(p: PathPat): Set[String] =
           ((p.start +: p.hops.map(_._2)).flatMap(_.variable) ++
@@ -780,15 +821,16 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           hidden.map { case (h, c, _) => c.as(h) }): _*)
       if (ret.distinct)
         proj = proj.dropDuplicates(keys.map(c => s"_cs_$c") ++ rowItems.map(_.name))
-      (ret.orderBy, ret.limit) match {
+      (ret.orderBy, ret.limit.map(CypherCompiler.longArg("LIMIT", _))) match {
         case (ob, Some(k)) if ob.nonEmpty =>
+          val skipN = ret.skip.map(CypherCompiler.longArg("SKIP", _)).getOrElse(0L)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(keys.map(c => col(s"_cs_$c")): _*)
             .orderBy(hidden.map { case (h, _, asc) =>
               if (asc) col(h).asc else col(h).desc }: _*)
           proj = proj.withColumn("_cs_rn", row_number().over(w))
-            .filter(col("_cs_rn") <= k + ret.skip.getOrElse(0L) &&
-              col("_cs_rn") > ret.skip.getOrElse(0L))
+            .filter(col("_cs_rn") <= k + skipN &&
+              col("_cs_rn") > skipN)
             .drop("_cs_rn")
         case (Nil, None) =>
           // refuse rather than silently return unskipped rows: SKIP
@@ -882,7 +924,17 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     // the next hop. A wrong estimate can only mis-size one broadcast
     // (bounded by the threshold × row width), never change semantics.
     var frontierEst: Option[Double] =
-      if (ctx.isEmpty && cur != null) stats.map(s => estimateNodeCard(p.start, Set.empty, s))
+      if (ctx.isEmpty && cur != null)
+        cheapStats.map(s => estimateNodeCard(p.start, Set.empty, s))
+          // no free stats: an equality/range-anchored start is worth an
+          // ATTEMPT at the broadcast bound itself — the measured probe
+          // (which doubles as the frontier's materialization) decides,
+          // and the first failed probe stops further attempts. Gated to
+          // READ-statement compilers (probeHints): mutation compiles
+          // stay job-free — the declarative-MERGE discipline
+          .orElse(if (probeHints && anchorRank(p.start, Set.empty) >= 2)
+            Some(CypherCompiler.BroadcastFrontierRows.toDouble)
+          else None)
       else None
     p.hops.foreach { case (rel, node) =>
       // seed a var-length expansion from FILTERED starts: consume any
@@ -909,11 +961,13 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       // broadcast hints onto huge intermediates
       val preBound = Option(cur).map(boundIdVars).getOrElse(Set.empty[String])
       cur = compileHop(cur, prevVar, rel, node, idsOnly, frontierEst)
-      frontierEst = (frontierEst, stats) match {
+      frontierEst = (frontierEst, cheapStats) match {
         case (Some(e0), Some(s)) if rel.varLength.isEmpty =>
           val far = estimateNodeCard(node, preBound, s)
           Some(e0 * relBranch(rel, s) *
             math.min(1.0, far / math.max(1.0, s.nodeCount.toDouble)))
+        case (Some(e0), None) if rel.varLength.isEmpty && !probeFailed =>
+          Some(e0) // probe-carried attempt: the measured gate decides
         case _ => None // var-length expansion output size is unmodeled
       }
       prevVar = node.variable.getOrElse {
@@ -936,16 +990,52 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
 
   private var lastNodeVar: String = _
 
+  /** Temporal map constructors refuse unknown component keys loudly —
+    * an ignored key (e.g. a typo'd `epochMilis`) would otherwise build
+    * a silently-wrong default-component value. */
+  private def checkTemporalKeys(fn: String, items: Seq[(String, Expr)],
+      known: Seq[String]): Unit = {
+    val bad = items.map(_._1).filterNot(known.contains)
+    if (bad.nonEmpty) throw new UnsupportedOperationException(
+      s"$fn() components ${bad.mkString(", ")} not supported " +
+        s"(known: ${known.mkString(", ")})")
+  }
+
+  /** Set by the first broadcast-hint probe that measures a frontier
+    * past the bound: later hops of the same statement stop attempting
+    * (a frontier only grows through fan-out; re-probing a chain that
+    * already blew the bound wastes jobs). */
+  private var probeFailed: Boolean = false
+
   /** Measured gate for every explicit broadcast hint (ADVICE r18): is
     * the frontier ACTUALLY within the hint bound? `limit(B+1).count`
-    * short-circuits — a genuinely tiny frontier (the case the estimate
-    * claimed) pays one bounded job, a huge one stops each task at B+1
-    * rows. The probe re-executes the frontier's join chain, which is
-    * cheap exactly when the hint is valid; a failed probe costs the
-    * bounded scan and the plan keeps Catalyst's own join choice. */
-  private def frontierSmall(df: DataFrame): Boolean =
-    df.limit(CypherCompiler.BroadcastFrontierRows.toInt + 1).count() <=
-      CypherCompiler.BroadcastFrontierRows
+    * short-circuits, so a genuinely tiny frontier pays one bounded job.
+    *
+    * When the session has NO free stats (rank-gated attempts on a
+    * never-saved graph), the frontier is localCheckpointed FIRST and
+    * the probe counts the checkpoint: the probe's execution IS the
+    * materialization every downstream consumer (the broadcast build,
+    * the join, the next hop's probe) then reads — one execution of the
+    * chain total, where probe-then-broadcast would pay one per probe
+    * (r19: that repeated re-execution was the measured cost of the
+    * blanket r18-shaped probes on the varlen bench rows). A frontier
+    * past the bound costs its one materialization — data the join was
+    * about to shuffle anyway — and stops further attempts.
+    *
+    * With SEALED stats the plain probe is kept instead: the estimate
+    * is already trustworthy (one confirmation probe per statement, on
+    * a chain the optimizer believes tiny), and the un-checkpointed
+    * frontier keeps the anchored scan visible to Catalyst and to plan
+    * audits — `.explain` shows the partition-pruned anchor FileScan,
+    * not an opaque ExistingRDD. */
+  private def probed(df: DataFrame): (DataFrame, Boolean) = {
+    val m = if (cheapStats.isEmpty) df.localCheckpoint() else df
+    val small =
+      m.limit(CypherCompiler.BroadcastFrontierRows.toInt + 1).count() <=
+        CypherCompiler.BroadcastFrontierRows
+    if (!small) probeFailed = true
+    (m, small)
+  }
 
   private def compileHop(cur: DataFrame, prevVar: String, rel: RelPat, node: NodePat,
       idsOnly: Boolean = false, frontierEst: Option[Double] = None): DataFrame = {
@@ -958,9 +1048,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     // or a non-selective anchor behind a small AVERAGE estimate must
     // not ship an unbounded frontier to every executor).
     def hinted(df: DataFrame, est: Option[Double]): DataFrame =
-      if (est.exists(_ <= CypherCompiler.BroadcastFrontierRows) && frontierSmall(df))
-        org.apache.spark.sql.functions.broadcast(df)
-      else df
+      if (est.exists(_ <= CypherCompiler.BroadcastFrontierRows)) {
+        val (m, small) = probed(df)
+        if (small) org.apache.spark.sql.functions.broadcast(m) else m
+      } else df
     rel.varLength match {
       case Some((lo, hi)) =>
         if (rel.where.nonEmpty) throw new UnsupportedOperationException(
@@ -997,8 +1088,9 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           // post-expand frontier estimate: one hop's fan-out over the
           // pre-join frontier — if still small, broadcast it against
           // the (possibly huge) far node table too
-          val expandedEst = (frontierEst, stats) match {
+          val expandedEst = (frontierEst, cheapStats) match {
             case (Some(e0), Some(s)) => Some(e0 * relBranch(rel, s))
+            case (Some(e0), None) if !probeFailed => Some(e0) // probe decides
             case _ => None
           }
           hinted(joined, expandedEst).join(n, col(farSide) === n(s"$nv${SEP}id"))
@@ -1055,8 +1147,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     // the whole-set materialization — a wrong estimate costs the
     // fallback, never rows (the reduced set is a superset of every
     // traversable edge by construction).
-    val base0 = (seedEst, stats) match {
-      case (Some(e0), Some(s)) if hi != Int.MaxValue &&
+    val base0 = seedEst match {
+      case Some(e0) if hi != Int.MaxValue &&
           e0 <= CypherCompiler.BroadcastFrontierRows =>
         val hops = collection.mutable.ArrayBuffer.empty[DataFrame]
         var ids = startIds
@@ -1067,12 +1159,15 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           // MEASURED per-step gate (ADVICE r18, replacing the average-
           // fan-out estimate): one hub node behind a tiny seed makes
           // the next frontier huge while the estimate stays small —
-          // probe before each broadcast; a failed probe aborts to the
-          // whole-set fallback (superset by construction, never rows)
-          if (!frontierSmall(ids)) ok = false
+          // probe before each broadcast (the probe checkpoints the id
+          // set, which the semi join below then reads — one execution
+          // per step); a failed probe aborts to the whole-set fallback
+          // (superset by construction, never rows)
+          val (idsM, small) = probed(ids)
+          if (!small) ok = false
           else {
             val stepEdges = rawOriented.join(
-              org.apache.spark.sql.functions.broadcast(ids), Seq("_s"), "left_semi")
+              org.apache.spark.sql.functions.broadcast(idsM), Seq("_s"), "left_semi")
             hops += stepEdges
             if (step < hi) ids = stepEdges.select(col("_t").as("_s")).distinct()
           }
@@ -1253,7 +1348,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     // remaining big-table contact — hint it small when the cost model
     // bounds the expanded pair set (the same reasoning as compileHop's
     // frontier hints; a miss costs one oversized broadcast, never rows)
-    val expandedSmall = (seedEst, stats) match {
+    val expandedSmall = (seedEst, cheapStats) match {
       case (Some(e0), Some(s)) if hi != Int.MaxValue =>
         // FULL hi, uncapped: this estimate gates a hard broadcast
         // decision, so under-modeling deep expansions would broadcast
@@ -1262,6 +1357,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         // because it only RANKS orientations
         e0 * math.pow(math.max(1.0, relBranch(rel, s)), hi.toDouble) <=
           CypherCompiler.BroadcastFrontierRows
+      case (Some(_), None) if hi != Int.MaxValue && !probeFailed =>
+        true // no free stats: the measured probe below decides
       case _ => false
     }
     val out =
@@ -1270,9 +1367,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       else {
         val n = nodeDf(nv, node)
         // estimate attempts, measured probe decides (ADVICE r18)
-        val j = if (expandedSmall && frontierSmall(joined))
-          org.apache.spark.sql.functions.broadcast(joined)
-          else joined
+        val j = if (expandedSmall) {
+          val (m, small) = probed(joined)
+          if (small) org.apache.spark.sql.functions.broadcast(m) else m
+        } else joined
         j.join(n, col(s"_vl${SEP}t") === n(s"$nv${SEP}id"))
       }
     // one row per path: multiply each binding by its σ count (a no-op
@@ -1433,9 +1531,16 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val fromEnd = {
       val (aB, bB) = (boundInCtx(av), boundInCtx(bv))
       if (aB != bB) bB
-      else stats.exists { s =>
-        estimateNodeCard(endPat, Set.empty, s) * CypherCompiler.ReorderFactor <
-          estimateNodeCard(m.pat.start, Set.empty, s)
+      else {
+        // a strict anchor-rank gap forces the seed side without stats;
+        // only a tie is worth a live computation (r19)
+        val rs = anchorRank(m.pat.start, Set.empty)
+        val re = anchorRank(endPat, Set.empty)
+        if (rs != re && cheapStats.isEmpty) re > rs
+        else stats.exists { s =>
+          estimateNodeCard(endPat, Set.empty, s) * CypherCompiler.ReorderFactor <
+            estimateNodeCard(m.pat.start, Set.empty, s)
+        }
       }
     }
     val (seedVar, seedPat, otherVar, otherPat) =
@@ -1587,9 +1692,16 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     val fromEnd = {
       val (aB, bB) = (boundInCtx(av), boundInCtx(bv))
       if (aB != bB) bB
-      else stats.exists { s =>
-        estimateNodeCard(endPat, Set.empty, s) * CypherCompiler.ReorderFactor <
-          estimateNodeCard(p.start, Set.empty, s)
+      else {
+        // a strict anchor-rank gap forces the seed side without stats;
+        // only a tie is worth a live computation (r19)
+        val rs = anchorRank(p.start, Set.empty)
+        val re = anchorRank(endPat, Set.empty)
+        if (rs != re && cheapStats.isEmpty) re > rs
+        else stats.exists { s =>
+          estimateNodeCard(endPat, Set.empty, s) * CypherCompiler.ReorderFactor <
+            estimateNodeCard(p.start, Set.empty, s)
+        }
       }
     }
     val (seedVar, seedPat, otherVar, otherPat) =
@@ -1766,7 +1878,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case LabelExpr.LAnd(l, r) =>
       (coveringLabels(l), coveringLabels(r)) match {
         case (Some(a), Some(b)) =>
-          stats match {
+          cheapStats match { // tie-break only — never worth a live scan
             case Some(s) =>
               def card(set: Set[String]) = set.iterator.map(s.labels.getOrElse(_, 0L)).sum
               Some(if (card(b) < card(a)) b else a)
@@ -1810,7 +1922,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     // a multi-label conjunction (`:A:B` / `:A&B` — parsed into
     // `labels`) is covered by ANY one label's directories: prune by
     // the cheapest when counts are sealed, the first otherwise
-    val cheapestLabel = stats match {
+    val cheapestLabel = cheapStats match { // tie-break only (see above)
       case Some(s) if n.labels.size > 1 =>
         Some(n.labels.minBy(l => s.labels.getOrElse(l, 0L)))
       case _ => n.labels.headOption
@@ -1933,8 +2045,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
   // ------------------------------------------------------------------
 
   private def compileProjection(ctx: Option[DataFrame], items0: Seq[ReturnItem],
-      distinct: Boolean, orderBy0: Seq[(Expr, Boolean)], skip: Option[Long],
-      limit: Option[Long], keepVarCols: Boolean): DataFrame = {
+      distinct: Boolean, orderBy0: Seq[(Expr, Boolean)], skipE: Option[Expr],
+      limitE: Option[Expr], keepVarCols: Boolean): DataFrame = {
+    val skip = skipE.map(CypherCompiler.longArg("SKIP", _))
+    val limit = limitE.map(CypherCompiler.longArg("LIMIT", _))
     var df = ctx.getOrElse(unitDf)
     // `*` expands to every bound variable (node/rel prefix groups) plus
     // every scalar column, name-sorted for determinism; internal helper
@@ -2496,6 +2610,19 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     case PropOf(base, k) =>
       import org.apache.spark.sql.types.{CalendarIntervalType, DateType,
         MapType, StructType, TimestampNTZType, TimestampType}
+      base match {
+        // startNode(r)/endNode(r) compile to the endpoint's ID — a
+        // property access on one would need a node-table join no
+        // Column can express; refuse with the working rewrite instead
+        // of Spark's opaque "Can't extract a value from BIGINT"
+        case FnCall(fn, _, _)
+            if fn.equalsIgnoreCase("startnode") || fn.equalsIgnoreCase("endnode") =>
+          throw new UnsupportedOperationException(
+            s"property access on $fn() is not supported — bind the " +
+              "endpoint in the pattern ((a)-[r]->(b)) and read a." + k +
+              " / b." + k + " directly")
+        case _ => ()
+      }
       val c = compileExpr(base, df)
       colType(c, df) match {
         case Some(DateType | TimestampType | TimestampNTZType) =>
@@ -2754,6 +2881,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           concat(cl.cast("string"), cr.cast("string"))
         case (Some(_: org.apache.spark.sql.types.ArrayType),
               Some(_: org.apache.spark.sql.types.ArrayType)) => concat(cl, cr)
+        // openCypher list append/prepend: [1,2] + 3 = [1,2,3],
+        // 3 + [1,2] = [3,1,2] (r19 gap-hunt)
+        case (Some(_: org.apache.spark.sql.types.ArrayType), _) =>
+          concat(cl, array(cr))
+        case (_, Some(_: org.apache.spark.sql.types.ArrayType)) =>
+          concat(array(cl), cr)
         case (None, _) | (_, None) if litStr(l) || litStr(r) =>
           concat(cl.cast("string"), cr.cast("string"))
         case (None, None) => throw new UnsupportedOperationException(
@@ -2895,6 +3028,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "trim"               => trim(a(0))
       case "ltrim"              => ltrim(a(0))
       case "rtrim"              => rtrim(a(0))
+      // temporal map constructors refuse unknown component keys LOUDLY
+      // (r19): before this, datetime({epochMillis: x}) silently built
+      // year-0 from the ignored key — the duration() constructor's
+      // refusal discipline, applied to the whole family
       // temporal constructors (openCypher temporal subset); the
       // {year, month, day[, hour, minute, second]} map forms build
       // through make_date/make_timestamp (month/day default 1,
@@ -2906,6 +3043,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       case "date" if f.args.isEmpty => current_date()
       case "date" => f.args.head match {
         case MapLit(items) =>
+          checkTemporalKeys("date", items, Seq("year", "month", "day"))
           val m = items.toMap
           def c(k: String, dflt: Int): Column =
             m.get(k).map(e0 => compileExpr(e0, df).cast("int")).getOrElse(lit(dflt))
@@ -2914,12 +3052,29 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       }
       case "datetime" | "localdatetime" if f.args.isEmpty => current_timestamp()
       case "datetime" | "localdatetime" => f.args.head match {
+        // epoch forms FIRST (Neo4j: datetime({epochMillis}) /
+        // ({epochSeconds}) — mutually exclusive with calendar
+        // components, enforced by checkTemporalKeys's whitelists)
+        case MapLit(items) if items.exists(_._1 == "epochMillis") =>
+          checkTemporalKeys("datetime", items, Seq("epochMillis"))
+          timestamp_millis(
+            compileExpr(items.toMap.apply("epochMillis"), df).cast("long"))
+        case MapLit(items) if items.exists(_._1 == "epochSeconds") =>
+          checkTemporalKeys("datetime", items, Seq("epochSeconds"))
+          timestamp_seconds(
+            compileExpr(items.toMap.apply("epochSeconds"), df).cast("long"))
         case MapLit(items) =>
+          checkTemporalKeys("datetime", items,
+            Seq("year", "month", "day", "hour", "minute", "second",
+              "millisecond", "microsecond"))
           val m = items.toMap
           def c(k: String, dflt: Int): Column =
             m.get(k).map(e0 => compileExpr(e0, df).cast("int")).getOrElse(lit(dflt))
+          val secs = (c("second", 0) +
+            c("millisecond", 0) / lit(1000.0) +
+            c("microsecond", 0) / lit(1000000.0)).cast("decimal(18,6)")
           make_timestamp(c("year", 0), c("month", 1), c("day", 1),
-            c("hour", 0), c("minute", 0), c("second", 0).cast("decimal(18,6)"))
+            c("hour", 0), c("minute", 0), secs)
         case _ => to_timestamp(a(0))
       }
       // TIME values ride as strings (documented divergence: Spark has
@@ -3242,6 +3397,18 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
 }
 
 object CypherCompiler {
+
+  /** SKIP/LIMIT resolver: by compile time the expression must be an
+    * integer literal (parameters were substituted by Params); an
+    * unresolved `$name` means the caller never bound it. */
+  private[graft] def longArg(what: String, e: Expr): Long = e match {
+    case Lit(n: Long) => n
+    case Lit(n: Int)  => n.toLong
+    case Param(n) => throw new IllegalArgumentException(s"Expected parameter(s): $n")
+    case other => throw new UnsupportedOperationException(
+      s"$what takes a non-negative integer literal or parameter, got $other")
+  }
+
   /** Cap on the `*lo..` bounded-prefix enumeration (per expansion
     * step): the prefix state space is (start, node, prefix-edge-set),
     * ~deg^lo rows per start, so a hub-heavy unanchored pattern

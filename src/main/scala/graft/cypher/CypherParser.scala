@@ -404,8 +404,32 @@ object CypherParser extends RegexParsers {
       case None                    => RelPat(None, Nil, Map.empty, dir, None)
     }
 
+  /** Neo4j 5 Quantified Path Pattern, single-hop form: `(a)
+    * ((x)-[:R]->(y)){m,n} (b)` desugars onto the var-length machinery
+    * (the engine's σ-counted expand already implements the trail
+    * semantics GQL quantifiers specify — same target as the postfix
+    * rel quantifier above). The inner node patterns must be BARE:
+    * per-step node labels/properties/WHERE have no hook in var-length
+    * expansion, so anything else refuses loudly rather than silently
+    * weakening the per-step filter to the endpoints. Multi-hop groups
+    * refuse for the same reason. */
+  private def qppHop: Parser[(RelPat, NodePat)] =
+    ("(" ~> nodePat ~ hop <~ ")") ~ quant ~ nodePat ^^ {
+      case inner ~ hp ~ q ~ next =>
+        val (rel, innerEnd) = hp
+        def bare(n: NodePat) = n.labels.isEmpty && n.props.isEmpty &&
+          n.labelExpr.isEmpty && n.where.isEmpty
+        if (!bare(inner) || !bare(innerEnd)) throw new IllegalArgumentException(
+          "quantified path pattern: inner node labels/properties/WHERE " +
+            "are not supported — put the predicate on the outer nodes or " +
+            "use -[:R*m..n]->")
+        if (rel.varLength.nonEmpty) throw new IllegalArgumentException(
+          "quantified path pattern cannot contain a var-length relationship")
+        (rel.copy(varLength = Some(q)), next)
+    }
+
   private def pathPat: Parser[PathPat] =
-    nodePat ~ rep(hop) ^^ { case n ~ hs => PathPat(n, hs) }
+    nodePat ~ rep(qppHop | hop) ^^ { case n ~ hs => PathPat(n, hs) }
 
   private def patternList: Parser[Seq[PathPat]] = rep1sep(pathPat, ",")
 
@@ -538,10 +562,16 @@ object CypherParser extends RegexParsers {
   private def orderItem: Parser[(Expr, Boolean)] =
     expr ~ opt(kw("desc") | kw("asc")) ^^ { case e ~ d => (e, !d.contains("DESC")) }
 
-  private def tail: Parser[(Seq[(Expr, Boolean)], Option[Long], Option[Long])] =
+  /** SKIP/LIMIT argument: an integer literal or a `$param` (resolved
+    * to an integer literal by Params.substitute before compile). */
+  private def skipLimitArg: Parser[Expr] =
+    """\d+""".r ^^ (s => Lit(s.toLong): Expr) |
+    "$" ~> ident ^^ (n => Param(n): Expr)
+
+  private def tail: Parser[(Seq[(Expr, Boolean)], Option[Expr], Option[Expr])] =
     opt(kw("order") ~> kw("by") ~> rep1sep(orderItem, ",")) ~
-    opt(kw("skip") ~> """\d+""".r) ~ opt(kw("limit") ~> """\d+""".r) ^^ {
-      case ob ~ sk ~ li => (ob.getOrElse(Nil), sk.map(_.toLong), li.map(_.toLong))
+    opt(kw("skip") ~> skipLimitArg) ~ opt(kw("limit") ~> skipLimitArg) ^^ {
+      case ob ~ sk ~ li => (ob.getOrElse(Nil), sk, li)
     }
 
   /** `*` (all bound variables) optionally followed by more items:

@@ -51,10 +51,12 @@ object Params {
         om.map { case (p, e) => (p, expr(e, ps)) })
     case With(items, d, w, ob, sk, li) =>
       With(items.map(item(_, ps)), d, w.map(expr(_, ps)),
-        ob.map { case (e, asc) => (expr(e, ps), asc) }, sk, li)
+        ob.map { case (e, asc) => (expr(e, ps), asc) },
+        sk.map(expr(_, ps)), li.map(expr(_, ps)))
     case Return(items, d, ob, sk, li) =>
       Return(items.map(item(_, ps)), d,
-        ob.map { case (e, asc) => (expr(e, ps), asc) }, sk, li)
+        ob.map { case (e, asc) => (expr(e, ps), asc) },
+        sk.map(expr(_, ps)), li.map(expr(_, ps)))
     case CallProc(n, args, ys, w) =>
       CallProc(n, args.map(expr(_, ps)), ys, w.map(expr(_, ps)))
     case Unwind(e, a) => Unwind(expr(e, ps), a)

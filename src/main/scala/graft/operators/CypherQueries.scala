@@ -422,6 +422,18 @@ object CypherQueries {
         |       COUNT { (c)-[:PLACED]->(:order) } AS n_orders
         |ORDER BY c_custkey""".stripMargin),
 
+    // Quantified path pattern (Neo4j 5 QPP, r19): `((x)-[:IN]->(y)){2,2}`
+    // desugars onto the var-length trail machinery — exactly-two IN hops
+    // walk customer → nation → region. Oracle: the equivalent static
+    // two-join with the graph view's region node-id encoding.
+    q("cy_qpp",
+      """SELECT c.c_custkey AS c_custkey,
+        |  CAST(n.n_regionkey * 10 + 1 AS BIGINT) AS node_id
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey <= 100""".stripMargin)(
+      """MATCH (c:customer) ((x)-[:IN]->(y)){2,2} (r) WHERE c.c_custkey <= 100
+        |RETURN c.c_custkey AS c_custkey, id(r) AS node_id""".stripMargin),
+
     // shortestPath: BFS first-hit distances over IN edges — customer
     // reaches its nation at 1 hop, its region at 2.
     q("cy_shortest_path",

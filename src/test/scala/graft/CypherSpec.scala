@@ -1991,6 +1991,61 @@ class CypherSpec extends AnyFunSuite {
     assert(t.getDate(0).toString == "2020-02-03")
     assert(t.getTimestamp(1).toString.startsWith("2020-02-03 04:00"))
     assert(t.getDate(2).toString == "2020-01-31")
+    // epoch map constructors (r19): datetime({epochMillis}) /
+    // ({epochSeconds}); unknown component keys refuse loudly instead
+    // of silently building year-0 from the ignored key
+    val ep = s.cypher(
+      """RETURN datetime({epochMillis: 1580702400123}) AS ms,
+        |  datetime({epochSeconds: 1580702400}) AS sec,
+        |  datetime({year: 2020, month: 2, day: 3, hour: 4, minute: 0,
+        |            second: 1, millisecond: 500}) AS sub""".stripMargin)
+      .collect().head
+    assert(ep.getTimestamp(0).toInstant.toEpochMilli == 1580702400123L)
+    assert(ep.getTimestamp(1).toInstant.getEpochSecond == 1580702400L)
+    assert(ep.getTimestamp(2).toInstant.getNano == 500000000)
+    val badKey = intercept[UnsupportedOperationException](
+      s.cypher("RETURN datetime({epochMilis: 5}) AS x").collect())
+    assert(badKey.getMessage.contains("epochMilis"))
+    // ---- gap-hunt round 4 closes (r19) ----
+    // openCypher list append/prepend via `+`
+    val ap = s.cypher("RETURN [1,2] + 3 AS a, 3 + [1,2] AS b").collect().head
+    assert(ap.getSeq[Long](0) == Seq(1L, 2L, 3L))
+    assert(ap.getSeq[Long](1) == Seq(3L, 1L, 2L))
+    // quantified path pattern desugars onto var-length (trail semantics)
+    s.cypher("CREATE (:QP {k: 1})-[:QR]->(:QP {k: 2})")
+    s.cypher("MATCH (a:QP {k: 2}) CREATE (a)-[:QR]->(:QP {k: 3})")
+    val qpp = s.cypher(
+      "MATCH (a:QP {k: 1}) ((x)-[:QR]->(y)){1,2} (b) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(qpp == 2L) // k=2 at one hop, k=3 at two
+    // inner labels refuse loudly (no per-step hook in var-length)
+    val qref = intercept[IllegalArgumentException](
+      s.cypher("MATCH (a:QP {k: 1}) ((x:QP)-[:QR]->(y)){1,2} (b) RETURN count(*) AS n"))
+    assert(qref.getMessage.contains("quantified path pattern"))
+    // SKIP/LIMIT take parameters; an unbound one raises the Neo4j error
+    assert(s.cypher("UNWIND range(1, 10) AS x RETURN x SKIP $s LIMIT $l",
+      Map("s" -> 2L, "l" -> 3L)).collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
+    val unbound = intercept[IllegalArgumentException](
+      s.cypher("UNWIND range(1, 3) AS x RETURN x LIMIT $nope").collect())
+    assert(unbound.getMessage.contains("nope"))
+    // FOREACH after MATCH reading the loop variable: exact under
+    // last-write-wins (iterations run in list order onto one cell)
+    s.cypher("CREATE (:FE {k: 1})")
+    s.cypher("MATCH (n:FE {k: 1}) FOREACH (i IN [1, 2, 3] | SET n.fe = i * 10)")
+    assert(s.cypher("MATCH (n:FE) RETURN n.fe AS v").collect().head.getLong(0) == 30L)
+    // ... and an empty list writes nothing
+    s.cypher("MATCH (n:FE {k: 1}) FOREACH (i IN [] | SET n.fe = 99)")
+    assert(s.cypher("MATCH (n:FE) RETURN n.fe AS v").collect().head.getLong(0) == 30L)
+    // a body reading a property it writes is iteration-dependent — refuse
+    val acc = intercept[UnsupportedOperationException](
+      s.cypher("MATCH (n:FE {k: 1}) FOREACH (i IN [1, 2] | SET n.fe = n.fe + 1)"))
+    assert(acc.getMessage.contains("iteration-dependent"))
+    // startNode(r).prop refuses with the working rewrite, not an
+    // opaque Spark analysis error
+    s.cypher("CREATE (:SN {k: 1})-[:SR]->(:SN {k: 2})")
+    val sn = intercept[UnsupportedOperationException](
+      s.cypher("MATCH ()-[r:SR]->() RETURN startNode(r).k AS v").collect())
+    assert(sn.getMessage.contains("bind the endpoint"))
     // dynamic (literal) property access on entities; absent key is null
     val d = s.cypher(
       "MATCH (n:nation {n_nationkey: 1}) RETURN n['n_name'] AS x, n['nope'] AS miss")
@@ -2016,10 +2071,11 @@ class CypherSpec extends AnyFunSuite {
     val rows = s.cypher("MATCH (n:fe) RETURN n.k AS k, n.hit AS hit")
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(rows == Map(1L -> Some("y"), 2L -> None))
-    // loop-variable-dependent bodies refuse loudly
-    val e = intercept[UnsupportedOperationException](s.cypher(
-      "MATCH (n:fe) FOREACH (i IN [1, 2] | SET n.v = i)"))
-    assert(e.getMessage.contains("loop variable"))
+    // loop-variable bodies apply exactly (r19): iterations run in list
+    // order onto one cell, so the final value is the LAST element's
+    s.cypher("MATCH (n:fe) FOREACH (i IN [1, 2] | SET n.v = i)")
+    assert(s.cypher("MATCH (n:fe {k: 1}) RETURN n.v AS v")
+      .collect().head.getLong(0) == 2L)
   }
 
   test("allShortestPaths: one row per shortest path, witness form keeps one") {

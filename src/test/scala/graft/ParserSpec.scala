@@ -78,7 +78,7 @@ class ParserSpec extends AnyFunSuite {
       "match (a:dog) // a comment\nreturn a.name as name order by name limit 3")
     assert(q.clauses.size == 2)
     val r = q.clauses(1).asInstanceOf[Return]
-    assert(r.limit.contains(3L))
+    assert(r.limit.contains(Lit(3L))) // skip/limit are Exprs since r19 ($param support)
     assert(r.orderBy.size == 1)
   }
 

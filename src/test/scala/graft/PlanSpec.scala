@@ -848,4 +848,34 @@ class PlanSpec extends AnyFunSuite {
     assert(s.cypher("MATCH (a:Big)-[:R1]->(m:Mid)-[:R2]->(t:Tiny) RETURN count(*) AS n")
       .collect().head.getLong(0) == 2000L)
   }
+
+  test("forced-shape decisions never pay the live stats scan") {
+    // r19: a one-shot session whose pattern decision is FORCED by an
+    // anchor-rank gap (equality-anchored start vs label-only end, or a
+    // hop-less MERGE comma pattern) must not run the two full-graph
+    // stats aggregates — at 100 TB that scan would double the cost of
+    // every anchored one-shot query. Only a genuine tie (label vs
+    // label) is worth the one-shot computation.
+    val s = new GraftSession(spark)
+    s.cypher("UNWIND range(0, 99) AS x CREATE (:P {px: x})")
+    s.cypher(
+      "UNWIND $rows AS row MATCH (a:P {px: row.a}), (b:P {px: row.b}) " +
+        "MERGE (a)-[:E]->(b)",
+      Map("rows" -> (0L until 99L).map(i => Map("a" -> i, "b" -> (i + 1)))))
+    val before = GraftSession.liveStatsRuns.get()
+    // equality anchor (rank 2) vs bare label (rank 1): orientation is
+    // forced, the broadcast-hint attempt is probe-gated — no stats job
+    val n1 = s.cypher("MATCH (a:P {px: 1})-[:E*1..2]->(b:P) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n1 == 2L)
+    assert(GraftSession.liveStatsRuns.get() == before,
+      "a rank-forced var-length pattern paid a live stats computation")
+    // label-label TIE on a multi-hop pattern: genuinely ambiguous —
+    // the live computation fires (once; the memo serves the statement)
+    val n2 = s.cypher("MATCH (a:P)-[:E]->(b:P)-[:E]->(c:P) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n2 == 98L)
+    assert(GraftSession.liveStatsRuns.get() == before + 1,
+      "a label-label tie should have computed live stats exactly once")
+  }
 }
