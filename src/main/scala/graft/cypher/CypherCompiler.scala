@@ -1147,8 +1147,18 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     // the whole-set materialization — a wrong estimate costs the
     // fallback, never rows (the reduced set is a superset of every
     // traversable edge by construction).
-    val base0 = seedEst match {
-      case Some(e0) if hi != Int.MaxValue &&
+    // Pre-reduction trades (up to hi) RE-EXECUTIONS of the typed-edge
+    // lineage for not materializing the full typed set — a win exactly
+    // when that set is huge and scan-backed (the 10¹⁰-edge stored
+    // graph: each semi join is a pushed-down scan). It therefore
+    // requires a REAL cardinality estimate (sealed or memoized stats);
+    // the rank-based attempt marker alone must not trigger it — on a
+    // COMPUTED edge view (unions/joins) each re-execution repeats the
+    // view's whole build, and materialize-once is the cheaper default
+    // (measured r19: the marker-triggered reduction tripled the
+    // graph-view varlen bench rows).
+    val base0 = (seedEst, cheapStats) match {
+      case (Some(e0), Some(_)) if hi != Int.MaxValue &&
           e0 <= CypherCompiler.BroadcastFrontierRows =>
         val hops = collection.mutable.ArrayBuffer.empty[DataFrame]
         var ids = startIds
