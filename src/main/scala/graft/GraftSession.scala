@@ -1453,7 +1453,13 @@ final class GraftSession(val spark: SparkSession,
       prefixCap = prefixEnumerationCap,
       statsIn = () => statsFor(db, g),
       statsCheapIn = () => statsCheapFor(db, g),
-      probeHints = true)
+      probeHints = true,
+      // save/load-backed frames are parquet scans — re-executing a
+      // frontier or typed-edge subtree is a pruned scan, so plain
+      // probes and pre-reduction pay scan-cost, not view-build cost;
+      // setGraph frames are arbitrary computed views (see probed /
+      // compileVarHop base0)
+      scanBackedGraph = db.graphStats.isDefined)
   }
 
   /** Label-scan routing (r17 — the label-scan-store analog): an

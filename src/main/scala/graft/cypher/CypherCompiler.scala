@@ -26,7 +26,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     prefixCap: Long = CypherCompiler.DefaultPrefixEnumerationCap,
     statsIn: () => Option[graft.core.GraphStats] = () => None,
     statsCheapIn: () => Option[graft.core.GraphStats] = () => None,
-    probeHints: Boolean = false) {
+    probeHints: Boolean = false,
+    scanBackedGraph: Boolean = false) {
 
   /** Stats available WITHOUT running a job this statement: sealed
     * snapshot counts (possibly O(delta)-overlaid) or a memoized live
@@ -1029,7 +1030,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * audits — `.explain` shows the partition-pruned anchor FileScan,
     * not an opaque ExistingRDD. */
   private def probed(df: DataFrame): (DataFrame, Boolean) = {
-    val m = if (cheapStats.isEmpty) df.localCheckpoint() else df
+    val m = if (!scanBackedGraph) df.localCheckpoint() else df
     val small =
       m.limit(CypherCompiler.BroadcastFrontierRows.toInt + 1).count() <=
         CypherCompiler.BroadcastFrontierRows
@@ -1149,16 +1150,18 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     // traversable edge by construction).
     // Pre-reduction trades (up to hi) RE-EXECUTIONS of the typed-edge
     // lineage for not materializing the full typed set — a win exactly
-    // when that set is huge and scan-backed (the 10¹⁰-edge stored
-    // graph: each semi join is a pushed-down scan). It therefore
-    // requires a REAL cardinality estimate (sealed or memoized stats);
-    // the rank-based attempt marker alone must not trigger it — on a
-    // COMPUTED edge view (unions/joins) each re-execution repeats the
-    // view's whole build, and materialize-once is the cheaper default
-    // (measured r19: the marker-triggered reduction tripled the
-    // graph-view varlen bench rows).
+    // when that set is huge and SCAN-BACKED (the 10¹⁰-edge stored
+    // graph: each semi join is a partition/row-group-pruned scan). It
+    // therefore requires BOTH a real cardinality estimate (sealed or
+    // memoized stats — the rank marker alone must not trigger it) and
+    // a snapshot-backed graph: on a COMPUTED edge view (setGraph over
+    // unions/joins) each re-execution repeats the view's whole build,
+    // and materialize-once is the cheaper default (measured r19: the
+    // reduction tripled the graph-view varlen bench rows — first via
+    // the rank marker solo, then again in-bench once the shared
+    // session's memoized live stats re-enabled it).
     val base0 = (seedEst, cheapStats) match {
-      case (Some(e0), Some(_)) if hi != Int.MaxValue &&
+      case (Some(e0), Some(_)) if scanBackedGraph && hi != Int.MaxValue &&
           e0 <= CypherCompiler.BroadcastFrontierRows =>
         val hops = collection.mutable.ArrayBuffer.empty[DataFrame]
         var ids = startIds
