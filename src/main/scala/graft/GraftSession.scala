@@ -5701,9 +5701,22 @@ final class GraftSession(val spark: SparkSession,
             .map(r => (r.getInt(0), r.getSeq[Double](1)))
           val cells = cents.sortBy { case (c, v) => (-cos(q, v), c) }
             .take(probes.get).map(_._1)
-          val cellScan = st.cachedRead(s"$dir/cells")(
+          val cellScan0 = st.cachedRead(s"$dir/cells")(
             Some(spark.read.parquet(s"$dir/cells"))).get
             .filter(col("_ivf_cell").isin(cells.toIndexedSeq: _*))
+          // multi-assignment dedup as a FILTER, not an exchange: each
+          // vector keeps its primary-cell copy when that cell is
+          // probed, else its (single, IvfAssign=2) secondary copy —
+          // exactly one row per id survives, so no dropDuplicates over
+          // the probed slice is needed. Old snapshots without the
+          // column fall back to the top-(k·IvfAssign) + dedup tail.
+          val dedupByFilter = cellScan0.columns.contains("_ivf_primary") &&
+            graft.core.SnapshotStore.IvfAssign <= 2
+          val cellScan =
+            if (dedupByFilter)
+              cellScan0.filter(col("_ivf_cell") === col("_ivf_primary") ||
+                !col("_ivf_primary").isin(cells.toIndexedSeq: _*))
+            else cellScan0
           // latest-wins combination of the two delta layers (the live
           // overlay is newer than the persisted log)
           val combined = (diskDelta, memDelta) match {
@@ -5727,10 +5740,23 @@ final class GraftSession(val spark: SparkSession,
               else kept.unionByName(scoreOf(live0.filter(
                 array_contains(col("labels"), label) && col(prop).isNotNull)))
           }
-          // multi-assigned cells can surface one id from two probed
-          // cells — identical score, dedup before the top-k
-          scored.dropDuplicates("nodeId")
-            .orderBy(col("score").desc, col("nodeId")).limit(k)
+          if (dedupByFilter)
+            // ids are already unique (primary-copy filter above; the
+            // delta union is anti-joined) — one TakeOrderedAndProject
+            scored.orderBy(col("score").desc, col("nodeId")).limit(k)
+          else
+            // legacy cells layout: copies are identical (nodeId, score)
+            // rows. Take the global top k·IvfAssign FIRST
+            // (TakeOrderedAndProject, no exchange), then dedup: in the
+            // (score desc, id) order the k-th distinct id appears
+            // within the first k·IvfAssign rows (each id contributes
+            // ≤ IvfAssign copies), so the truncated dedup'd top-k
+            // equals the full dedup'd top-k — no dropDuplicates
+            // shuffle over the whole probed slice.
+            scored.orderBy(col("score").desc, col("nodeId"))
+              .limit(k * graft.core.SnapshotStore.IvfAssign)
+              .dropDuplicates("nodeId")
+              .orderBy(col("score").desc, col("nodeId")).limit(k)
         case None =>
           g.nodes
             .filter(array_contains(col("labels"), label) && col(prop).isNotNull)

@@ -357,10 +357,17 @@ object SnapshotStore {
               V.cosine(col(prop).cast("array<double>"), array(v.map(lit): _*)).as("s"),
               lit(-cid).as("nc"))
           }.toIndexedSeq: _*)
-          base.withColumn("_ivf_a", explode(slice(
-              sort_array(scoredAll, asc = false), 1, math.min(IvfAssign, cents.length))))
+          // `_ivf_primary` (the argmax cell) rides on every copy so the
+          // probe can keep exactly ONE copy per vector with a plain
+          // filter — `cell == primary OR primary not probed` — instead
+          // of a dropDuplicates exchange over the whole probed slice
+          // (r19: that per-probe shuffle was the recall row's cost)
+          base.withColumn("_ivf_sorted", sort_array(scoredAll, asc = false))
+            .withColumn("_ivf_primary", -col("_ivf_sorted").getItem(0).getField("nc"))
+            .withColumn("_ivf_a", explode(slice(
+              col("_ivf_sorted"), 1, math.min(IvfAssign, cents.length))))
             .withColumn("_ivf_cell", -col("_ivf_a").getField("nc"))
-            .drop("_ivf_a")
+            .drop("_ivf_a", "_ivf_sorted")
             .repartition(col("_ivf_cell"))
             .write.mode("overwrite").partitionBy("_ivf_cell")
             .parquet(s"$tmp/index_aux/$name/cells")

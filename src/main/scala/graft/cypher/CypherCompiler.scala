@@ -346,6 +346,18 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           val re = anchorRank(p.hops.last._2, bound)
           if (rs > re) p
           else if (re > rs) reversePath(p)
+          // a tie of context-BOUND or equality-anchored ends means both
+          // seeds are already tiny, and a single-hop tie caps the
+          // misorientation penalty at one join's build-side choice —
+          // in either case the two full-graph aggregates of a live
+          // stats computation cost more than any orientation win
+          // (measured r19: the rank-3/3 MERGE ties of the mutation
+          // catalog rows each paid ~3 full scans of the 6-table view
+          // for plans the reversal could not improve). Only label/bare
+          // ties on MULTI-hop paths — where misorientation compounds
+          // across hops, the r18 join-ordering argument — are worth
+          // the one-shot computation.
+          else if (rs >= 2 || p.hops.size < 2) p
           else stats.map(model).getOrElse(p)
       }
     }
@@ -1546,10 +1558,14 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       if (aB != bB) bB
       else {
         // a strict anchor-rank gap forces the seed side without stats;
-        // only a tie is worth a live computation (r19)
+        // only a label/bare tie is worth a live computation (r19): a
+        // tie of equality-anchored ends means both seeds are already
+        // tiny and either walk direction is fine — never pay the
+        // full-graph aggregates for that coin flip
         val rs = anchorRank(m.pat.start, Set.empty)
         val re = anchorRank(endPat, Set.empty)
         if (rs != re && cheapStats.isEmpty) re > rs
+        else if (rs >= 2 && cheapStats.isEmpty) false
         else stats.exists { s =>
           estimateNodeCard(endPat, Set.empty, s) * CypherCompiler.ReorderFactor <
             estimateNodeCard(m.pat.start, Set.empty, s)
@@ -1707,10 +1723,14 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
       if (aB != bB) bB
       else {
         // a strict anchor-rank gap forces the seed side without stats;
-        // only a tie is worth a live computation (r19)
+        // only a label/bare tie is worth a live computation (r19) —
+        // same discipline as compileVarPath: equality-anchored ties
+        // have two tiny candidate seeds, so the full-graph aggregates
+        // can never pay for themselves
         val rs = anchorRank(p.start, Set.empty)
         val re = anchorRank(endPat, Set.empty)
         if (rs != re && cheapStats.isEmpty) re > rs
+        else if (rs >= 2 && cheapStats.isEmpty) false
         else stats.exists { s =>
           estimateNodeCard(endPat, Set.empty, s) * CypherCompiler.ReorderFactor <
             estimateNodeCard(p.start, Set.empty, s)
