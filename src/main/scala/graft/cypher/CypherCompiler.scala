@@ -1256,7 +1256,9 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           .select(col("_s"), col("_t")).distinct().localCheckpoint()
         var frontier = visited
         var exhausted0 = frontier.isEmpty
+        var round = 0
         while (!exhausted0) {
+          round += 1
           val next = frontier
             .join(base.select(col("_s").as("_m"), col("_t").as("_u")), col("_t") === col("_m"))
             .select(col("_s"), col("_u").as("_t")).distinct()
@@ -1264,7 +1266,16 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
             .localCheckpoint()
           if (next.isEmpty) exhausted0 = true
           else {
-            visited = visited.union(next).localCheckpoint()
+            // hybrid visited maintenance (r19, measured): re-checkpointing
+            // the union EVERY round copies O(V) settled pairs per round
+            // (O(V*diameter) total); a fully lazy union grows the
+            // anti-join's input to rounds*partitions tiny map tasks
+            // (measured 2-3x slower at 15 rounds). Compact every
+            // VisitedCompactEvery rounds: copies drop by that factor
+            // while the task count per round stays bounded.
+            visited = visited.union(next)
+            if (round % CypherCompiler.VisitedCompactEvery == 0)
+              visited = visited.localCheckpoint()
             frontier = next
           }
         }
@@ -1301,7 +1312,9 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         var visited = pref
         var frontier = visited
         var exhausted0 = frontier.isEmpty
+        var round = 0
         while (!exhausted0) {
+          round += 1
           // extension steps avoid ONLY the fixed prefix edges (`_e`
           // never grows): walk-reachability in G ∖ prefix — excision
           // makes the combined object a genuine ≥lo trail
@@ -1314,7 +1327,10 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
             .localCheckpoint()
           if (next.isEmpty) exhausted0 = true
           else {
-            visited = visited.union(next).localCheckpoint()
+            // hybrid visited maintenance — see the lo <= 1 arm
+            visited = visited.union(next)
+            if (round % CypherCompiler.VisitedCompactEvery == 0)
+              visited = visited.localCheckpoint()
             frontier = next
           }
         }
@@ -3430,6 +3446,15 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
 }
 
 object CypherCompiler {
+
+  /** Reachability-fixpoint visited-set compaction interval (r19,
+    * measured): checkpoint the growing visited union every N rounds.
+    * Every-round compaction copies O(V) settled pairs per round
+    * (O(V·diameter) total rewrite); never compacting feeds the
+    * per-round anti-join rounds × shuffle-partitions tiny map tasks
+    * (2-3× slower wall at 15 rounds, sf0.1). N balances the two:
+    * copies drop N-fold, task count per round stays ≤ N× bounded. */
+  private[cypher] val VisitedCompactEvery = 4
 
   /** SKIP/LIMIT resolver: by compile time the expression must be an
     * integer literal (parameters were substituted by Params); an

@@ -40,11 +40,32 @@ object TimeOne {
         override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
           jobMillis.computeIfPresent(e.jobId, (_, t0) => t0 + e.time)
       })
+    // SPARK_GRAFT_SHUFFLE=1: total shuffle records/bytes written per run
+    // (the scale-faithful metric — wall seconds at sf0.1 can hide a
+    // per-round edge-table re-shuffle that IS the cost at 10^10 edges)
+    val countShuffle = sys.env.get("SPARK_GRAFT_SHUFFLE").contains("1")
+    val shRecs = new java.util.concurrent.atomic.AtomicLong(0)
+    val shBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val tasks = new java.util.concurrent.atomic.AtomicLong(0)
+    if (countShuffle) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) {
+            tasks.incrementAndGet()
+            shRecs.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+            shBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          }
+      })
     (1 to n).foreach { i =>
       jobs.set(0); jobMillis.clear()
+      shRecs.set(0); shBytes.set(0); tasks.set(0)
       val t0 = System.nanoTime()
       val df = mat(graft.SparkEntry.queries(name)(spark, sf))
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (countShuffle) {
+        Thread.sleep(300) // listener bus drains asynchronously
+        println(s"shuffle: records=${shRecs.get} bytes=${shBytes.get} tasks=${tasks.get}")
+      }
       if (countJobs) {
         Thread.sleep(300) // let the listener bus drain
         import scala.jdk.CollectionConverters._
