@@ -313,11 +313,20 @@ object Dedup {
          |  FROM shared)
          |WHERE ijac >= 800000""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val shrn = shingleDf(s, d)
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-        .filter(col("df") <= DF_CAP)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .select("doc_id", "s", "n")
+      // Window-free blocking (r19, guide §2.3 "aggregate before you
+      // shuffle"): each count-over-partition window shuffled AND
+      // sorted the whole exploded shingle table. The same rows come
+      // from (a) an aggregate of hot shingles (map-side combined, df >
+      // cap keeps it tiny by construction) anti-joined back — the
+      // shingle table itself is never shuffled by s — and (b) a
+      // per-doc size aggregate joined back (AQE broadcasts it locally;
+      // at cluster scale it is the window's shuffle without the sort).
+      val sh0 = shingleDf(s, d)
+      val hotSh = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > DF_CAP).select("s")
+      val shr = sh0.join(hotSh, Seq("s"), "left_anti")
+      val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shrn = shr.join(sizes, Seq("doc_id")).select("doc_id", "s", "n")
       // shuffle_hash hint on BOTH sides: without it AQE sees the
       // post-shuffle compressed size under the broadcast threshold and
       // builds a driver-side HashedRelation of the ENTIRE exploded
@@ -375,11 +384,20 @@ object Dedup {
         "\nSELECT label AS cluster_rep, CAST(count(*) AS BIGINT) AS n_docs FROM c6 GROUP BY label"
     }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val shrn = shingleDf(s, d)
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-        .filter(col("df") <= DF_CAP)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .select("doc_id", "s", "n")
+      // Window-free blocking (r19, guide §2.3 "aggregate before you
+      // shuffle"): each count-over-partition window shuffled AND
+      // sorted the whole exploded shingle table. The same rows come
+      // from (a) an aggregate of hot shingles (map-side combined, df >
+      // cap keeps it tiny by construction) anti-joined back — the
+      // shingle table itself is never shuffled by s — and (b) a
+      // per-doc size aggregate joined back (AQE broadcasts it locally;
+      // at cluster scale it is the window's shuffle without the sort).
+      val sh0 = shingleDf(s, d)
+      val hotSh = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > DF_CAP).select("s")
+      val shr = sh0.join(hotSh, Seq("s"), "left_anti")
+      val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shrn = shr.join(sizes, Seq("doc_id")).select("doc_id", "s", "n")
       // Same shuffle_hash pinning as dedup_ngram_jaccard (see comment
       // there): never let AQE broadcast the exploded-shingle side.
       val a = shrn.toDF("d1", "s", "na").hint("shuffle_hash")
@@ -724,10 +742,18 @@ object Dedup {
         |  CAST(sum(len + 4) AS BIGINT) AS span_tokens
         |FROM spans GROUP BY doc_id""".stripMargin) { (s, d) =>
       val SK = 5 // gram width = minimum duplicated-run length detected
+      // materialized once (r19, guide §1.2 "don't compute things
+      // twice"): `grams` feeds BOTH the duplicated-gram aggregate and
+      // the semi join's probe side — without the checkpoint each side
+      // re-runs the tokenize+hash+explode pass over the raw text (the
+      // two ~1.1 s twin jobs in the profile). The checkpointed rows
+      // are three narrow integer columns — smaller than the text they
+      // derive from, so materialize-once is also the 100 TB shape.
       val grams = Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .select(col("doc_id"), posexplode(positionalShingleHashes(col("t"), SK)))
         .toDF("doc_id", "p", "g")
+        .localCheckpoint()
       val dupg = grams.groupBy("g")
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2)
