@@ -180,6 +180,80 @@ object Bench {
     spark.stop()
   }
 
+  /** The statistics-driven join-ordering probe (r17 verdict #1's
+    * done-bar, r18 verdict #2's sign-stable metric): one skewed saved
+    * fixture — `nBig` :Big (payload column) → 1k :Mid → 10 :Tiny,
+    * 3·nBig R1 edges — and the 3-hop pattern WRITTEN big-first with
+    * the selective anchor at the far END, timed steady on two sessions
+    * over the same snapshot: one with the sealed stats (compiles
+    * Tiny-anchored, reversed, tiny frontiers broadcast-hinted so the
+    * R1 table is scanned once and never shuffled) and one with
+    * statsOff (fully textual compilation — r19 widened the switch to
+    * also suppress rank-gap orientation and probe hints, which had
+    * quietly turned this control into the ordered plan). PRIMARY
+    * metric = shuffled records: wall-clock at probe scale understates
+    * the 100 TB gap (a static broadcast rescues the textual plan at
+    * 4M rows; it cannot at 10⁹), shuffled records don't. Callable
+    * standalone via `graft.tools.ProbeMain` for plan inspection. */
+  private[graft] def joinOrderProbeJson(spark: SparkSession, data: String,
+      nBig: Long = 4000000L, debug: Boolean = false): String = {
+    import org.apache.spark.sql.functions.{array, col, concat, floor, lit}
+    val gs = new GraftSession(spark)
+    val big = spark.range(nBig).select((col("id") * 10 + 3).as("id"),
+      array(lit("Big")).as("labels"), (col("id") % 1000).as("fk"),
+      concat(lit("payload-of-node-"), col("id")).as("note"))
+    val mid = spark.range(1000L).select((col("id") * 10 + 1).as("id"),
+      array(lit("Mid")).as("labels"), (col("id") % 10).as("fk"),
+      lit(null).cast("string").as("note"))
+    val tiny = spark.range(10L).select((col("id") * 10).as("id"),
+      array(lit("Tiny")).as("labels"), lit(null).cast("long").as("fk"),
+      lit(null).cast("string").as("note"), col("id").as("tx"))
+    val nodes = big.unionByName(mid, allowMissingColumns = true)
+      .unionByName(tiny, allowMissingColumns = true)
+    val e1 = spark.range(nBig * 3).select(
+      // floor div — col/3 alone is a fractional Divide and would
+      // mint src ids that match no Big node
+      (floor(col("id") / 3) * 10 + 3).cast("long").as("src"),
+      ((col("id") % 1000) * 10 + 1).cast("long").as("dst"),
+      lit("R1").as("relType"))
+    val e2 = mid.select(col("id").as("src"), (col("fk") * 10).as("dst"),
+      lit("R2").as("relType"))
+    val edges = e1.unionByName(e2)
+      .withColumn("eid", graft.core.GraphViews.viewEid)
+    gs.setGraph(graft.core.PropertyGraph(nodes, edges))
+    gs.saveDatabase(data)
+    val q = "MATCH (a:Big)-[:R1]->(m:Mid)-[:R2]->(t:Tiny {tx: 0}) " +
+      "RETURN count(*) AS n"
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def timeSteady(s0: GraftSession): (Double, Long) = {
+      s0.cypher(q).write.format("noop").mode("overwrite").save()
+      System.gc()
+      spark.sparkContext.addSparkListener(listener)
+      shuffled.set(0)
+      val t0 = System.nanoTime()
+      val df = s0.cypher(q)
+      df.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400) // listener events drain asynchronously
+      spark.sparkContext.removeSparkListener(listener)
+      if (debug) println(df.queryExecution.executedPlan.toString)
+      (dt, shuffled.get)
+    }
+    val (ordered, shOrd) = timeSteady(gs)
+    val gsT = new GraftSession(spark)
+    gsT.loadDatabase(data)
+    gsT.catalog.database("neo4j").statsOff = true // fully textual control
+    val (textual, shTxt) = timeSteady(gsT)
+    val red = if (shOrd > 0) shTxt.toDouble / shOrd else Double.NaN
+    f""""join_order_probe":{"shuffled_textual":$shTxt,"shuffled_ordered":$shOrd,"shuffle_reduction":$red%.1f,"wall_textual_informational":$textual%.3f,"wall_ordered_informational":$ordered%.3f}"""
+  }
+
   /** Empirical scaling slopes for the worst catalog queries whose
     * input actually scales: replicate their scale-bearing tables ×10
     * (ids re-keyed per replica so cardinality grows too), re-time, and
@@ -388,69 +462,8 @@ object Bench {
       // textual plan here survives on a 4M-row static broadcast that
       // cannot exist at 10⁹ rows), shuffled records don't.
       val orderParts =
-        try {
-          import org.apache.spark.sql.functions.{array, col, concat, floor, lit}
-          val data = s"$tmp/_joinorder"
-          val gs = new GraftSession(spark)
-          val big = spark.range(4000000L).select((col("id") * 10 + 3).as("id"),
-            array(lit("Big")).as("labels"), (col("id") % 1000).as("fk"),
-            concat(lit("payload-of-node-"), col("id")).as("note"))
-          val mid = spark.range(1000L).select((col("id") * 10 + 1).as("id"),
-            array(lit("Mid")).as("labels"), (col("id") % 10).as("fk"),
-            lit(null).cast("string").as("note"))
-          val tiny = spark.range(10L).select((col("id") * 10).as("id"),
-            array(lit("Tiny")).as("labels"), lit(null).cast("long").as("fk"),
-            lit(null).cast("string").as("note"), col("id").as("tx"))
-          val nodes = big.unionByName(mid, allowMissingColumns = true)
-            .unionByName(tiny, allowMissingColumns = true)
-          val e1 = spark.range(12000000L).select(
-            // floor div — col/3 alone is a fractional Divide and would
-            // mint src ids that match no Big node
-            (floor(col("id") / 3) * 10 + 3).cast("long").as("src"),
-            ((col("id") % 1000) * 10 + 1).cast("long").as("dst"),
-            lit("R1").as("relType"))
-          val e2 = mid.select(col("id").as("src"), (col("fk") * 10).as("dst"),
-            lit("R2").as("relType"))
-          val edges = e1.unionByName(e2)
-            .withColumn("eid", graft.core.GraphViews.viewEid)
-          gs.setGraph(graft.core.PropertyGraph(nodes, edges))
-          gs.saveDatabase(data)
-          val q = "MATCH (a:Big)-[:R1]->(m:Mid)-[:R2]->(t:Tiny {tx: 0}) " +
-            "RETURN count(*) AS n"
-          val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
-          val listener = new org.apache.spark.scheduler.SparkListener {
-            override def onTaskEnd(
-                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-              if (t.taskMetrics != null)
-                shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
-          }
-          def timeSteady(s0: GraftSession): (Double, Long) = {
-            s0.cypher(q).write.format("noop").mode("overwrite").save()
-            System.gc()
-            spark.sparkContext.addSparkListener(listener)
-            shuffled.set(0)
-            val t0 = System.nanoTime()
-            s0.cypher(q).write.format("noop").mode("overwrite").save()
-            val dt = (System.nanoTime() - t0) / 1e9
-            Thread.sleep(400) // listener events drain asynchronously
-            spark.sparkContext.removeSparkListener(listener)
-            (dt, shuffled.get)
-          }
-          val (ordered, shOrd) = timeSteady(gs)
-          val gsT = new GraftSession(spark)
-          gsT.loadDatabase(data)
-          gsT.catalog.database("neo4j").statsOff = true // ordering off, routing kept
-          val (textual, shTxt) = timeSteady(gsT)
-          // PRIMARY metric = shuffled records (r18 verdict #2): sign-
-          // stable and scale-faithful — at probe scale Catalyst
-          // rescues the textual plan with a static broadcast that
-          // cannot exist at 10⁹ rows, so wall-clock flips run to run
-          // (r18 shipped 0.84× after a 1.50× re-measure on the same
-          // code); the 32-vs-1032 record gap does not. Seconds ship
-          // as informational.
-          val red = if (shOrd > 0) shTxt.toDouble / shOrd else Double.NaN
-          Seq(f""""join_order_probe":{"shuffled_textual":$shTxt,"shuffled_ordered":$shOrd,"shuffle_reduction":$red%.1f,"wall_textual_informational":$textual%.3f,"wall_ordered_informational":$ordered%.3f}""")
-        } catch { case _: Throwable => Nil }
+        try Seq(joinOrderProbeJson(spark, s"$tmp/_joinorder"))
+        catch { case _: Throwable => Nil }
 
       val allParts = parts ++ orgParts ++ saveParts ++ orderParts :+
         """"gds_label_propagation":"constant-input (bounded CO probe, l_orderkey<3000)""""

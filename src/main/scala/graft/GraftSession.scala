@@ -1454,6 +1454,13 @@ final class GraftSession(val spark: SparkSession,
       statsIn = () => statsFor(db, g),
       statsCheapIn = () => statsCheapFor(db, g),
       probeHints = true,
+      // statsOff = the bench/test CONTROL switch: fully textual
+      // compilation (no rank-gap orientation, no comma reordering, no
+      // probe-hint attempts) so ordered-vs-textual A/Bs measure the
+      // whole cost model, not its stats-free residue (r19: rank-gap
+      // orientation had silently turned the join-order probe's control
+      // into the ordered plan — shuffle_reduction read 1.0)
+      textualOrder = db.statsOff,
       // save/load-backed frames are parquet scans — re-executing a
       // frontier or typed-edge subtree is a pruned scan, so plain
       // probes and pre-reduction pay scan-cost, not view-build cost;

@@ -27,7 +27,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     statsIn: () => Option[graft.core.GraphStats] = () => None,
     statsCheapIn: () => Option[graft.core.GraphStats] = () => None,
     probeHints: Boolean = false,
-    scanBackedGraph: Boolean = false) {
+    scanBackedGraph: Boolean = false,
+    textualOrder: Boolean = false) {
 
   /** Stats available WITHOUT running a job this statement: sealed
     * snapshot counts (possibly O(delta)-overlaid) or a memoized live
@@ -327,8 +328,12 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * estimate), and no stats means no change at all. */
   private def orientPath(p: PathPat, bound: Set[String]): PathPat =
     // shape guards FIRST: a trivial pattern must not force the lazy
-    // stats (a live computation on never-saved graphs)
-    if (p.hops.isEmpty || !reversible(p)) p
+    // stats (a live computation on never-saved graphs).
+    // textualOrder (r19): the statsOff control session must compile in
+    // TEXTUAL order, full stop — rank-gap orientation silently turned
+    // the bench's join-order probe control into the ordered plan
+    // (shuffle_reduction degenerated to 1.0), making the A/B a no-op.
+    if (textualOrder || p.hops.isEmpty || !reversible(p)) p
     else {
       def model(s: graft.core.GraphStats): PathPat = {
         val rev = reversePath(p)
@@ -370,7 +375,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * Identity without stats or with a single pattern — all existing
     * plans are untouched until a snapshot seals counts. */
   private def orderPatterns(pats: Seq[PathPat], ctxVars: Set[String]): Seq[PathPat] =
-    if (pats.size <= 1) pats
+    if (textualOrder || pats.size <= 1) pats
     // hop-less comma patterns (MERGE/CREATE anchor lookups) gain
     // nothing from ordering — never let them force a live stats scan
     else cheapStats.orElse(
@@ -945,7 +950,7 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
           // and the first failed probe stops further attempts. Gated to
           // READ-statement compilers (probeHints): mutation compiles
           // stay job-free — the declarative-MERGE discipline
-          .orElse(if (probeHints && anchorRank(p.start, Set.empty) >= 2)
+          .orElse(if (probeHints && !textualOrder && anchorRank(p.start, Set.empty) >= 2)
             Some(CypherCompiler.BroadcastFrontierRows.toDouble)
           else None)
       else None
@@ -1043,9 +1048,18 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
     * not an opaque ExistingRDD. */
   private def probed(df: DataFrame): (DataFrame, Boolean) = {
     val m = if (!scanBackedGraph) df.localCheckpoint() else df
-    val small =
-      m.limit(CypherCompiler.BroadcastFrontierRows.toInt + 1).count() <=
-        CypherCompiler.BroadcastFrontierRows
+    // bounded-take probe, NOT limit().count() (r19): a count over a
+    // limit plans GlobalLimit — an Exchange that ships up to B+1 rows
+    // from EVERY partition (measured: the join-order probe's ordered
+    // session shuffled 320k records at the 4M fixture that were
+    // nothing but this gate). limit().collect() runs as
+    // CollectLimitExec.executeCollect — an incremental driver-side
+    // take with no exchange that early-exits as soon as B+1 rows
+    // exist, so a huge frontier pays a partial scan, not a full one.
+    // The single-value projection bounds what the driver holds.
+    val small = m.select(org.apache.spark.sql.functions.lit(1))
+      .limit(CypherCompiler.BroadcastFrontierRows.toInt + 1)
+      .collect().length <= CypherCompiler.BroadcastFrontierRows
     if (!small) probeFailed = true
     (m, small)
   }
@@ -1580,7 +1594,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         // full-graph aggregates for that coin flip
         val rs = anchorRank(m.pat.start, Set.empty)
         val re = anchorRank(endPat, Set.empty)
-        if (rs != re && cheapStats.isEmpty) re > rs
+        if (textualOrder) false
+        else if (rs != re && cheapStats.isEmpty) re > rs
         else if (rs >= 2 && cheapStats.isEmpty) false
         else stats.exists { s =>
           estimateNodeCard(endPat, Set.empty, s) * CypherCompiler.ReorderFactor <
@@ -1745,7 +1760,8 @@ final class CypherCompiler(spark: SparkSession, graph: PropertyGraph,
         // can never pay for themselves
         val rs = anchorRank(p.start, Set.empty)
         val re = anchorRank(endPat, Set.empty)
-        if (rs != re && cheapStats.isEmpty) re > rs
+        if (textualOrder) false
+        else if (rs != re && cheapStats.isEmpty) re > rs
         else if (rs >= 2 && cheapStats.isEmpty) false
         else stats.exists { s =>
           estimateNodeCard(endPat, Set.empty, s) * CypherCompiler.ReorderFactor <

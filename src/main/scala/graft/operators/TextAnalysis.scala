@@ -386,9 +386,14 @@ object TextAnalysis {
          |    // count(*) AS BIGINT) AS novelty_ppm
          |FROM gs g JOIN fo f USING (gram)
          |GROUP BY g.doc_id""".stripMargin) { (s, d) =>
+      // materialized once (r19): AQE broadcasts the first-occurrence
+      // side, so without the checkpoint the tokenize+4-gram explode
+      // runs twice — once under the broadcast build's aggregate and
+      // again on the probe side (no exchange there for reuse to share)
       val gs = Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .select(col("doc_id"), explode(shinglesOfTokens(col("t"), 4)).as("gram"))
+        .localCheckpoint()
       val fo = gs.groupBy("gram").agg(min("doc_id").as("first_doc"))
       gs.join(fo, Seq("gram"))
         .groupBy("doc_id")
