@@ -1,8 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main (driver contract): one JSON line with per-query and
-  * total wall seconds at SPARK_GRAFT_SF_DIR.
+/** Benchmark main (driver contract): one JSON line with total wall
+  * seconds (+ calibration, scaling, slowest rows) at
+  * SPARK_GRAFT_SF_DIR; the complete per-query cold ("queries") and
+  * steady maps mirror to BENCH_LOCAL.json / BENCH_LOCAL_c$cpus.json —
+  * the printed line stays ≤4k so the driver's stdout-tail capture can
+  * parse it (r20 contract fix; "parsed": null since r15 otherwise).
   *
   * Methodology: every query first runs once at sf0.001 (untimed) so
   * JIT/codegen warmup isn't charged to whichever query happens to run
@@ -142,13 +146,21 @@ object Bench {
       val steady = (System.nanoTime() - t1) / 1e9
       (q.name, cold, steady, load)
     }
-    // field order matters: the driver's log capture keeps only the
-    // LAST ~4k chars of the line, so the headline metric, the scaling
-    // slopes, the steady-state map, and the slowest queries go at the
-    // END (both maps ascending by time ⇒ the tail window always
-    // contains the expensive ones); 3-decimal values keep more of the
-    // catalog inside the window. The full line lands in
-    // BENCH_LOCAL.json regardless.
+    // Output contract (r20 fix, VERDICT r19 #2): the driver archives
+    // only a ~4k stdout TAIL, and at 256 queries the full per-query
+    // line is ~13.5 KB — every BENCH artifact from r15 through r19
+    // shipped "parsed": null because the captured line was truncated
+    // mid-map. The PRINTED line is therefore a ≤4k summary (totals,
+    // calibration, contention, the slowest steady rows, the full
+    // scaling/probe section) that always survives the tail window and
+    // parses; the COMPLETE per-query cold+steady maps — the historical
+    // "queries"/"value" semantics, unchanged — land in two mirror
+    // files: BENCH_LOCAL.json (legacy name) and BENCH_LOCAL_c$cpus.json
+    // (per-core-count, so the driver's low-core scaling run no longer
+    // clobbers the 32-core map — r19 lost its 32-core calibration
+    // exactly that way). Nothing is dropped or renamed: every query
+    // keeps its cold and steady number, they just ship in the mirror
+    // the tail cannot truncate.
     val qs = results.sortBy(_._2).map { case (k, v, _, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val steadyQs = results.sortBy(_._3).map { case (k, _, v, _) => f""""$k":$v%.3f""" }
@@ -158,25 +170,31 @@ object Bench {
     val steadyMap = results.map { case (k, _, v, _) => k -> v }.toMap
     val scaling = scalingSlopes(spark, sfDir, steadyMap)
       .map(s => s""","scaling":$s""").getOrElse("")
-    // cap the stamped list (a fully-contended run would otherwise push
-    // the steady map out of the driver's ~4k tail window); the count
-    // always ships
+    // cap the stamped list (a fully-contended run would otherwise blow
+    // the 4k budget); the count always ships
     val contendedRows = results.filter(_._4 > contendedAbove).map(_._1)
-    val contended = contendedRows.take(40)
+    val contended = contendedRows.take(10)
       .map(n => s""""$n"""").mkString("[", ",", "]")
     val (calSingle1, calMulti1) = calibrate()
     if (calSink.get == 42L) println("calibration sink") // defeat DCE
     val calibration =
       f"""{"single_start":$calSingle0%.3f,"multi_start":$calMulti0%.3f,"single_end":$calSingle1%.3f,"multi_end":$calMulti1%.3f}"""
-    val line =
+    val fullLine =
       f"""{"queries":$qs,"sf":"$sfDir"$scaling,"load_at_start":$loadAtStart%.1f,"contended_n":${contendedRows.size},"contended":$contended,"calibration":$calibration,"steady":$steadyQs,"steady_total":$steadyTotal%.3f,"metric":"total","unit":"sec","n_queries":${results.size},"value":$total%.3f}"""
+    val mirror = s"BENCH_LOCAL_c$cpus.json"
+    Seq("BENCH_LOCAL.json", mirror).foreach { f =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"/root/repo/$f"), fullLine + "\n")
+      catch { case _: Throwable => () }
+    }
+    // the 30 slowest steady rows inline (the rows a verdict reads
+    // first); the complete maps are in the mirror
+    val slowest = results.sortBy(-_._3).take(30).sortBy(_._3)
+      .map { case (k, _, v, _) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val line =
+      f"""{"sf":"$sfDir","cpus":$cpus,"queries_file":"$mirror"$scaling,"load_at_start":$loadAtStart%.1f,"contended_n":${contendedRows.size},"contended":$contended,"calibration":$calibration,"steady_slowest":$slowest,"steady_total":$steadyTotal%.3f,"metric":"total","unit":"sec","n_queries":${results.size},"value":$total%.3f}"""
     println(line)
-    // the stdout capture that archives this line keeps only a ~4k tail
-    // (r9's line was truncated to unparseable); mirror the full JSON
-    // to a repo-local file so complete per-query numbers survive
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
-    catch { case _: Throwable => () }
     spark.stop()
   }
 

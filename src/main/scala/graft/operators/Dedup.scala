@@ -54,6 +54,47 @@ object Dedup {
   private def shingleDfRepart(s: SparkSession, d: String): DataFrame =
     shingleDfOf(Tables.documents(s, d).repartition(col("doc_id")))
 
+  /** Capped-shingle blocking rows (doc_id, s, n) shared by
+    * dedup_ngram_jaccard and dedup_clusters. Window-free (r19, guide
+    * §2.3 "aggregate before you shuffle"): each count-over-partition
+    * window shuffled AND sorted the whole exploded shingle table. The
+    * same rows come from (a) an aggregate of hot shingles (map-side
+    * combined, df > cap keeps it tiny by construction) anti-joined
+    * back — the shingle table itself is never shuffled by s — and (b)
+    * a per-doc size aggregate joined back (AQE broadcasts it locally;
+    * at cluster scale it is the window's shuffle without the sort).
+    * The tokenize+3-gram explode is localCheckpointed ONCE (r20; the
+    * proven dedup_substring pattern, guide §1.2): it otherwise re-runs
+    * under the hot-shingle aggregate, the size aggregate, and the
+    * self-join's shared exchange — the r19 window-free rewrite left it
+    * un-checkpointed and the recomputation showed up as a 2× wall
+    * regression in the driver bench (dedup_clusters 3.25→5.33 s,
+    * dedup_ngram_jaccard 1.64→3.27 s) even though the shuffle plan
+    * improved. Materialize-once is also the 100 TB shape: the window
+    * plan shuffled the whole exploded table anyway, so holding it once
+    * costs no more than the plan it replaced moved. */
+  private def cappedShingleBlocking(s: SparkSession, d: String): DataFrame = {
+    // Pinned-width repartition, not shingleDf: the corpus ships as one
+    // parquet file, so the un-repartitioned tokenize+explode runs on
+    // ONE core — checkpointing a single-task explode just serializes
+    // the same serial work (measured flat). Repartitioning by doc_id
+    // first spreads the CPU-heavy pass across the cluster and the
+    // checkpoint holds distributed blocks (the minhash rows' proven
+    // shape). The width is PINNED to defaultParallelism because AQE's
+    // byte-based coalescing sees ~5 MB of text and merges the exchange
+    // back to 1-2 partitions — bytes are the wrong proxy for a
+    // CPU-bound stage (tokenize cost rides row count, not input size);
+    // cluster width is the scale-correct divisor for per-row CPU work.
+    val sh0 = shingleDfOf(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      .localCheckpoint()
+    val hotSh = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DF_CAP).select("s")
+    val shr = sh0.join(hotSh, Seq("s"), "left_anti")
+    val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    shr.join(sizes, Seq("doc_id")).select("doc_id", "s", "n")
+  }
+
   /** LSH bucket keys per (doc, band): MinHash signatures → banding →
     * the two-level overflow re-banding (see the dedup_minhash_lsh
     * entry for the semantics). Bucket sizing rides map-side-combinable
@@ -312,21 +353,9 @@ object Dedup {
          |    CAST(floor(shared*1000000.0/(na + nb - shared) + 0.5) AS BIGINT) AS ijac
          |  FROM shared)
          |WHERE ijac >= 800000""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      // Window-free blocking (r19, guide §2.3 "aggregate before you
-      // shuffle"): each count-over-partition window shuffled AND
-      // sorted the whole exploded shingle table. The same rows come
-      // from (a) an aggregate of hot shingles (map-side combined, df >
-      // cap keeps it tiny by construction) anti-joined back — the
-      // shingle table itself is never shuffled by s — and (b) a
-      // per-doc size aggregate joined back (AQE broadcasts it locally;
-      // at cluster scale it is the window's shuffle without the sort).
-      val sh0 = shingleDf(s, d)
-      val hotSh = sh0.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") > DF_CAP).select("s")
-      val shr = sh0.join(hotSh, Seq("s"), "left_anti")
-      val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val shrn = shr.join(sizes, Seq("doc_id")).select("doc_id", "s", "n")
+      // Window-free blocking + checkpoint-once explode: see
+      // [[cappedShingleBlocking]].
+      val shrn = cappedShingleBlocking(s, d)
       // shuffle_hash hint on BOTH sides: without it AQE sees the
       // post-shuffle compressed size under the broadcast threshold and
       // builds a driver-side HashedRelation of the ENTIRE exploded
@@ -383,21 +412,9 @@ object Dedup {
       (Seq(base) ++ steps).mkString(",\n") +
         "\nSELECT label AS cluster_rep, CAST(count(*) AS BIGINT) AS n_docs FROM c6 GROUP BY label"
     }) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      // Window-free blocking (r19, guide §2.3 "aggregate before you
-      // shuffle"): each count-over-partition window shuffled AND
-      // sorted the whole exploded shingle table. The same rows come
-      // from (a) an aggregate of hot shingles (map-side combined, df >
-      // cap keeps it tiny by construction) anti-joined back — the
-      // shingle table itself is never shuffled by s — and (b) a
-      // per-doc size aggregate joined back (AQE broadcasts it locally;
-      // at cluster scale it is the window's shuffle without the sort).
-      val sh0 = shingleDf(s, d)
-      val hotSh = sh0.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") > DF_CAP).select("s")
-      val shr = sh0.join(hotSh, Seq("s"), "left_anti")
-      val sizes = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val shrn = shr.join(sizes, Seq("doc_id")).select("doc_id", "s", "n")
+      // Window-free blocking + checkpoint-once explode: see
+      // [[cappedShingleBlocking]].
+      val shrn = cappedShingleBlocking(s, d)
       // Same shuffle_hash pinning as dedup_ngram_jaccard (see comment
       // there): never let AQE broadcast the exploded-shingle side.
       val a = shrn.toDF("d1", "s", "na").hint("shuffle_hash")
@@ -423,21 +440,32 @@ object Dedup {
       val und = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
         .toDF("src", "dst")
         .localCheckpoint()
-      var labels = und.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint()
-      for (_ <- 1 to 6) {
-        val nbrMin = und.join(labels.select(col("id").as("nid"), col("label")),
-            col("dst") === col("nid"))
-          .groupBy("src").agg(min("label").as("nmin"))
-        labels = labels.join(nbrMin.select(col("src").as("id2"), col("nmin")),
-            col("id") === col("id2"), "left_outer")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // Loop partitions sized to the edge list, not the core count
+      // (guide §2.2): each of the 6 min-label rounds launches a join +
+      // aggregate + checkpoint over the (tiny at this SF) pair graph,
+      // and at 32 shuffle partitions the per-round task scheduling
+      // dominated — ~100-130 ms per sub-job measured, and the r19
+      // driver artifact showed the row INVERSELY core-scaled
+      // (c8/c32 = 0.87). The count is one job over the checkpointed
+      // blocks; at real scale the clamp returns the configured width.
+      graft.core.AdaptiveParts.withLoopPartitions(s, und.count()) {
+        var labels = und.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id"))
+          .localCheckpoint()
+        for (_ <- 1 to 6) {
+          val nbrMin = und.join(labels.select(col("id").as("nid"), col("label")),
+              col("dst") === col("nid"))
+            .groupBy("src").agg(min("label").as("nmin"))
+          labels = labels.join(nbrMin.select(col("src").as("id2"), col("nmin")),
+              col("id") === col("id2"), "left_outer")
+            .select(col("id"),
+              least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+            .localCheckpoint()
+        }
+        labels.groupBy("label").agg(count(lit(1)).cast("long").as("n_docs"))
+          .select(col("label").as("cluster_rep"), col("n_docs"))
           .localCheckpoint()
       }
-      labels.groupBy("label").agg(count(lit(1)).cast("long").as("n_docs"))
-        .select(col("label").as("cluster_rep"), col("n_docs"))
     },
 
     // ---- MinHash + LSH banding: the scale path ----
