@@ -5703,8 +5703,12 @@ final class GraftSession(val spark: SparkSession,
             val nb = math.sqrt(b.map(x => x * x).sum)
             if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
           }
-          val cents = st.cachedRead(s"$dir/centroids")(
-            Some(spark.read.parquet(s"$dir/centroids"))).get.collect()
+          // collected once per save generation (cachedCollect): the
+          // centroid table is index metadata — a collect() JOB per
+          // probe statement was pure scheduler overhead (×24 in the
+          // recall row)
+          val cents = st.cachedCollect(s"$dir/centroids")(
+            Some(spark.read.parquet(s"$dir/centroids"))).get
             .map(r => (r.getInt(0), r.getSeq[Double](1)))
           val cells = cents.sortBy { case (c, v) => (-cos(q, v), c) }
             .take(probes.get).map(_._1)
@@ -5717,8 +5721,12 @@ final class GraftSession(val spark: SparkSession,
           // exactly one row per id survives, so no dropDuplicates over
           // the probed slice is needed. Old snapshots without the
           // column fall back to the top-(k·IvfAssign) + dedup tail.
+          // gated on the WRITE-TIME assignment count (ivf_meta.json,
+          // ADVICE r19), not the compile-time constant: old cells read
+          // by a binary with a different IvfAssign must not pass a
+          // gate that is only exact for the count they were built with
           val dedupByFilter = cellScan0.columns.contains("_ivf_primary") &&
-            graft.core.SnapshotStore.IvfAssign <= 2
+            st.ivfAssignOf(dir) <= 2
           val cellScan =
             if (dedupByFilter)
               cellScan0.filter(col("_ivf_cell") === col("_ivf_primary") ||
@@ -5752,16 +5760,22 @@ final class GraftSession(val spark: SparkSession,
             // delta union is anti-joined) — one TakeOrderedAndProject
             scored.orderBy(col("score").desc, col("nodeId")).limit(k)
           else
-            // legacy cells layout: copies are identical (nodeId, score)
-            // rows. Take the global top k·IvfAssign FIRST
+            // legacy/unknown-assign cells layout: copies are identical
+            // (nodeId, score) rows. Take the global top k·assign FIRST
             // (TakeOrderedAndProject, no exchange), then dedup: in the
             // (score desc, id) order the k-th distinct id appears
-            // within the first k·IvfAssign rows (each id contributes
-            // ≤ IvfAssign copies), so the truncated dedup'd top-k
-            // equals the full dedup'd top-k — no dropDuplicates
-            // shuffle over the whole probed slice.
+            // within the first k·assign rows (each id contributes
+            // ≤ assign copies), so the truncated dedup'd top-k equals
+            // the full dedup'd top-k — no dropDuplicates shuffle over
+            // the whole probed slice. `assign` uses the stored
+            // write-time count when present; pre-meta snapshots were
+            // all written with ≤ 2 assignments.
             scored.orderBy(col("score").desc, col("nodeId"))
-              .limit(k * graft.core.SnapshotStore.IvfAssign)
+              .limit(k * {
+                val stored = st.ivfAssignOf(dir)
+                if (stored != Int.MaxValue) stored
+                else math.max(2, graft.core.SnapshotStore.IvfAssign)
+              })
               .dropDuplicates("nodeId")
               .orderBy(col("score").desc, col("nodeId")).limit(k)
         case None =>

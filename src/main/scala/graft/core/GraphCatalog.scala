@@ -105,6 +105,44 @@ final case class IndexAuxState(
     Option(reads.get(key)).orElse {
       val v = mk; v.foreach(reads.put(key, _)); v
     }
+
+  /** Driver-side memo of COLLECTED metadata-scale tables (the IVF
+    * centroid table: one row per coarse cell, ≤ a few hundred rows by
+    * construction). The r19 probe cached the DataFrame but still ran a
+    * collect() JOB per probe statement — 24 scheduler round-trips in
+    * the recall row for rows that cannot change within a save
+    * generation (this state object is rebuilt by every save/load, so
+    * staleness is impossible by construction — same lifecycle argument
+    * as [[reads]]). Index METADATA only; never query results. */
+  private val collected =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+  def cachedCollect(key: String)(mk: => Option[org.apache.spark.sql.DataFrame])
+      : Option[Array[org.apache.spark.sql.Row]] =
+    Option(collected.get(key)).orElse {
+      cachedRead(key)(mk).map { df =>
+        val rows = df.collect(); collected.put(key, rows); rows
+      }
+    }
+
+  /** The IVF assignment count the snapshot's cells were WRITTEN with
+    * (ADVICE r19): read from `<indexAuxDir>/ivf_meta.json`, memoized
+    * per dir. Legacy snapshots without the file report Int.MaxValue so
+    * the probe's dedup-as-filter gate (exact only for ≤ 2 assignments)
+    * fails safe into the bounded top-(k·assign)+dedup tail. */
+  private val ivfAssigns =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+  def ivfAssignOf(indexAuxDir: String): Int =
+    ivfAssigns.computeIfAbsent(indexAuxDir, d => {
+      try {
+        val p = java.nio.file.Paths.get(s"$d/ivf_meta.json")
+        if (java.nio.file.Files.exists(p))
+          "\"assign\"\\s*:\\s*(\\d+)".r
+            .findFirstMatchIn(java.nio.file.Files.readString(p))
+            .map(m => Integer.valueOf(m.group(1).toInt))
+            .getOrElse(Integer.valueOf(Int.MaxValue))
+        else Integer.valueOf(Int.MaxValue)
+      } catch { case _: Throwable => Integer.valueOf(Int.MaxValue) }
+    }).intValue
 }
 
 final class GraphDatabase(val name: String) {
@@ -192,11 +230,16 @@ final class GraphDatabase(val name: String) {
     * GraftSession.MaxStatsDrift. */
   @volatile var statsDrift: Int = 0
 
-  /** Hard off-switch for the cost model (bench/test control runs):
-    * with r19's lazy live stats, clearing graphStats alone no longer
-    * yields a textual-plan session — statsFor would just compute
-    * fresh counts. `-Dgraft.statsOff=true` flips the default for
-    * whole-JVM control experiments (TimeOne A/B). */
+  /** Hard off-switch for FULLY TEXTUAL compilation (bench/test control
+    * runs) — broader than just the cost model since r19: it disables
+    * stats computation AND the stats-free plan transforms (rank-gap
+    * path orientation, comma reordering of MATCH patterns, and
+    * broadcast-probe hints — CypherCompiler.textualOrder), so the
+    * session plans patterns exactly as written. With r19's lazy live
+    * stats, clearing graphStats alone no longer yields a textual-plan
+    * session — statsFor would just compute fresh counts.
+    * `-Dgraft.statsOff=true` flips the default for whole-JVM control
+    * experiments (TimeOne A/B). */
   @volatile var statsOff: Boolean = java.lang.Boolean.getBoolean("graft.statsOff")
 
   /** CDC change epoch: a MONOTONIC counter identifying the base-frame

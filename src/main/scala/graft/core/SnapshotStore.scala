@@ -375,6 +375,15 @@ object SnapshotStore {
           import spark.implicits._
           cents.toSeq.toDF("cell", "vector").coalesce(1)
             .write.mode("overwrite").parquet(s"$tmp/index_aux/$name/centroids")
+          // write-time assignment count persisted with the cells
+          // (ADVICE r19): the probe's dedup-as-filter is exact only
+          // for ≤ 2 assignments, and it must gate on the count the
+          // snapshot was WRITTEN with, not whatever this binary
+          // compiles — a later IvfAssign bump reading old cells (or
+          // vice versa) would otherwise pass the gate and return
+          // duplicate ids
+          Files.writeString(Paths.get(s"$tmp/index_aux/$name/ivf_meta.json"),
+            s"""{"assign":$IvfAssign}""")
         }
       case _ => ()
     }

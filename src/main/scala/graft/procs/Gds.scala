@@ -213,13 +213,20 @@ object Gds {
       iterations: Int = 10): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val part = new org.apache.spark.HashPartitioner(
-      spark.sparkContext.defaultParallelism)
     // Adjacency keyed by sender, hash-partitioned ONCE; rank state
     // lives on the SAME partitioner, so the per-iteration join is
     // narrow and the only shuffle is the unavoidable message
     // re-keying (reduceByKey back onto `part`). Cheaper than GraphX
     // here: no per-iteration graph construction/unpersist churn.
+    // r20 negative result (guide §1 discipline): sizing `part` to the
+    // counted edge volume (AdaptiveParts) instead of the core count
+    // was measured 3.5 → 5.0-6.1 s solo — the up-front count + cache +
+    // re-partition passes cost more than the narrower loop stages
+    // saved, and per-round job wall was ~unchanged at 1 partition vs
+    // 32 (the per-job cost here is driver/job latency, not task
+    // fan-out). Reverted; the defaultParallelism partitioner stays.
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
     val ed = relType.map(g.edgesOfType).getOrElse(g.edges)
       .select("src", "dst").rdd.map(r => (r.getLong(0), r.getLong(1)))
     val und = ed.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
@@ -264,8 +271,6 @@ object Gds {
       iterations: Int = 8): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val part = new org.apache.spark.HashPartitioner(
-      spark.sparkContext.defaultParallelism)
     // Same co-partitioned message-passing design as [[eigenvector]]:
     // the edge list is keyed by each half-round's sender and
     // partitioned once (forward for hub→auth, reversed for auth→hub);
@@ -274,6 +279,10 @@ object Gds {
     // Nodes that never receive a message hold score 0 and re-enter in
     // the final left join — dropping them mid-loop is exact because a
     // 0 score contributes 0 to every downstream sum.
+    // (Edge-count-sized partitioner measured and reverted — see the
+    // r20 negative-result note on [[eigenvector]].)
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
     val ed = relType.map(g.edgesOfType).getOrElse(g.edges)
       .select("src", "dst").rdd.map(r => (r.getLong(0), r.getLong(1)))
     val bySrc = ed.partitionBy(part).cache()
@@ -484,19 +493,26 @@ object Gds {
     // per iteration inside one deep plan
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .localCheckpoint()
-    var labels = g.nodes.select(col("id"), col("id").as("label"))
-    for (_ <- 1 to iterations) {
-      val nbr = und.join(labels.select(col("id").as("nid"), col("label")),
-          col("dst") === col("nid"))
-        .select(col("src").as("id"), col("label"))
-      val w = Window.partitionBy("id").orderBy(col("c").desc, col("label").asc)
-      val pick = nbr.groupBy("id", "label").agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("id").as("pid"), col("label").as("newLabel"))
-      labels = labels.join(pick, col("id") === col("pid"), "left_outer")
-        .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
+    // iteration shuffles sized to the (bounded) edge list, not the
+    // core count (r20, guide §2.2) — the 5-iteration plan carries 5
+    // joins + 5 windows, each a keyed shuffle; the count is one job
+    // over the checkpointed blocks and the result materializes inside
+    // the scope so every iteration's exchange gets the sized width
+    graft.core.AdaptiveParts.withLoopPartitions(spark, und.count()) {
+      var labels = g.nodes.select(col("id"), col("id").as("label"))
+      for (_ <- 1 to iterations) {
+        val nbr = und.join(labels.select(col("id").as("nid"), col("label")),
+            col("dst") === col("nid"))
+          .select(col("src").as("id"), col("label"))
+        val w = Window.partitionBy("id").orderBy(col("c").desc, col("label").asc)
+        val pick = nbr.groupBy("id", "label").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("id").as("pid"), col("label").as("newLabel"))
+        labels = labels.join(pick, col("id") === col("pid"), "left_outer")
+          .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
+      }
+      labels.select(col("id").as("node_id"), col("label")).localCheckpoint()
     }
-    labels.select(col("id").as("node_id"), col("label"))
   }
 
   /** Deterministic synchronous Louvain-style community detection:
@@ -528,6 +544,9 @@ object Gds {
     val twoM = und.count() // = 2m: each undirected edge appears twice
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    // round shuffles sized to the edge list (r20, guide §2.2 — twoM is
+    // already counted); every per-round checkpoint executes in scope
+    graft.core.AdaptiveParts.withLoopPartitions(spark, twoM) {
     var comm = g.nodes.select(col("id"), col("id").as("c")).localCheckpoint()
     // monotone moves: a node may only adopt a community id <= its
     // current one. A fully synchronous unconstrained update ping-pongs
@@ -568,6 +587,7 @@ object Gds {
         .localCheckpoint()
     }
     comm.select(col("id").as("node_id"), col("c").as("community"))
+    }
   }
 
   /** FastRP-family node embeddings, integer-exact: start from a
@@ -684,17 +704,32 @@ object Gds {
     var dists = roots
       .select(col("id").as("node"), col("id").as("root"), lit(0L).as("dist"))
       .localCheckpoint()
+    // Per-round shuffle partitions sized to the round's expanded
+    // frontier (frontier rows × average degree), not the core count
+    // (r20, guide §2.2): each round launches a join + aggregate +
+    // anti-join + checkpoint, and a fixed 32-partition width made the
+    // BFS rows the slowest family in the driver bench with NEAR-SERIAL
+    // core scaling (gds_closeness_write 4.69 s, c8/c32 = 0.94). The
+    // frontier count replaces the old isEmpty probe (same job, now
+    // also the size signal); at real graph sizes the clamp returns the
+    // configured width.
+    val undN = und.count()
+    var frontierN = dists.count()
+    val avgDeg = math.max(1L, undN / math.max(1L, frontierN))
     var frontier = dists
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      val next = frontier.join(und, frontier("node") === und("a"))
-        .select(col("b").as("node"), col("root"), (col("dist") + 1L).as("dist"))
-        .groupBy("node", "root").agg(min("dist").as("dist"))
-      val fresh = next
-        .join(dists.select("node", "root"), Seq("node", "root"), "left_anti")
-        .localCheckpoint()
-      if (fresh.isEmpty) converged = true
+      val fresh = graft.core.AdaptiveParts.withLoopPartitions(
+          spark, frontierN * avgDeg) {
+        frontier.join(und, frontier("node") === und("a"))
+          .select(col("b").as("node"), col("root"), (col("dist") + 1L).as("dist"))
+          .groupBy("node", "root").agg(min("dist").as("dist"))
+          .join(dists.select("node", "root"), Seq("node", "root"), "left_anti")
+          .localCheckpoint()
+      }
+      frontierN = fresh.count()
+      if (frontierN == 0) converged = true
       else {
         // union of already-checkpointed rounds — NOT re-checkpointed:
         // re-materializing the whole growing dists every round was the
@@ -773,19 +808,28 @@ object Gds {
       .localCheckpoint()
     // per-level frames kept for the backward pass (≤ maxIter frames)
     val frames = scala.collection.mutable.ArrayBuffer(settled)
+    // per-round shuffle width from the expanded frontier, not the core
+    // count — same r20 §2.2 sizing as [[hopDistances]] (the count
+    // replaces the isEmpty probe)
+    val undN = und.count()
+    var frontierN = settled.count()
+    val avgDeg = math.max(1L, undN / math.max(1L, frontierN))
     var frontier = settled
     var lvl = 0
     var converged = false
     while (lvl < maxIter && !converged) {
-      val cand = frontier.join(und, frontier("node") === und("a"))
-        .select(col("b").as("node"), col("root"), col("sigma"))
-        .groupBy("node", "root").agg(sum("sigma").as("sigma"))
-      val fresh = cand
-        .join(settled.select("node", "root"), Seq("node", "root"), "left_anti")
-        .withColumn("dist", lit(lvl + 1L))
-        .select("node", "root", "dist", "sigma")
-        .localCheckpoint()
-      if (fresh.isEmpty) converged = true
+      val fresh = graft.core.AdaptiveParts.withLoopPartitions(
+          spark, frontierN * avgDeg) {
+        frontier.join(und, frontier("node") === und("a"))
+          .select(col("b").as("node"), col("root"), col("sigma"))
+          .groupBy("node", "root").agg(sum("sigma").as("sigma"))
+          .join(settled.select("node", "root"), Seq("node", "root"), "left_anti")
+          .withColumn("dist", lit(lvl + 1L))
+          .select("node", "root", "dist", "sigma")
+          .localCheckpoint()
+      }
+      frontierN = fresh.count()
+      if (frontierN == 0) converged = true
       else {
         settled = settled.union(fresh)
         frames += fresh
@@ -794,9 +838,12 @@ object Gds {
       lvl += 1
     }
     // backward: f starts at 0 on the deepest level; each shallower
-    // level sums (f(w) + 1) over its DAG successors
+    // level sums (f(w) + 1) over its DAG successors. Per-level joins
+    // are bounded by the DAG edge set — the same adaptive width as the
+    // forward pass (each fNext checkpoint executes inside the scope).
     var stress: DataFrame = null
     var fNext: DataFrame = null // (root, node, f) for level l+1
+    graft.core.AdaptiveParts.withLoopPartitions(spark, undN) {
     (frames.size - 2) to 0 by -1 foreach { l =>
       val deeper = frames(l + 1).select(col("root"), col("node").as("b2"))
       val fN = Option(fNext).getOrElse(
@@ -817,11 +864,19 @@ object Gds {
         .select(col("node"), (col("sigma") * col("f")).as("c"))
       stress = if (stress == null) contrib else stress.union(contrib)
     }
-    if (stress == null)
-      return spark.emptyDataFrame.select(lit(0L).as("node_id"), lit(0L).as("stress")).limit(0)
-    stress.groupBy(col("node").as("node_id"))
+    // the final fold executes inside the scope too (the lazy contrib
+    // joins over the checkpointed frames would otherwise plan at the
+    // restored width)
+    if (stress == null) null
+    else stress.groupBy(col("node").as("node_id"))
       .agg(sum("c").as("stress"))
       .filter(col("stress") > 0)
+      .localCheckpoint()
+    } match {
+      case null =>
+        spark.emptyDataFrame.select(lit(0L).as("node_id"), lit(0L).as("stress")).limit(0)
+      case out => out
+    }
   }
 
   /** gds.kcore: the k-core of the undirected projection by synchronous

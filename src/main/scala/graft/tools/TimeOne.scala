@@ -11,8 +11,11 @@ object TimeOne {
     val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val n = if (args.length > 2) args(2).toInt else 3
     val warm = if (args.length > 3) args(3) else "none"
+    // honors the bench's core-count contract so c8-vs-c32 per-query
+    // probes don't need a full Bench run
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]").config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def mat(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -29,13 +32,21 @@ object TimeOne {
     }
     // SPARK_GRAFT_JOBS=1: per-run Spark job count + per-job wall time
     // (where does a multi-statement row spend its actions?)
-    val countJobs = sys.env.get("SPARK_GRAFT_JOBS").contains("1")
+    val jobsMode = sys.env.getOrElse("SPARK_GRAFT_JOBS", "0")
+    val countJobs = jobsMode != "0"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val jobMillis = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     if (countJobs) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet(); jobMillis.put(s.jobId, -s.time)
+          // SPARK_GRAFT_JOBS=2 additionally attributes each job to its
+          // action call site (where does a fixed per-row job prelude
+          // come from?)
+          if (jobsMode == "2") jobSite.put(s.jobId,
+            s.stageInfos.lastOption.map(_.name.takeWhile(_ != '+').trim)
+              .getOrElse("?"))
         }
         override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
           jobMillis.computeIfPresent(e.jobId, (_, t0) => t0 + e.time)
@@ -72,6 +83,8 @@ object TimeOne {
         val times = jobMillis.asScala.toSeq.sortBy(_._1)
         println(s"jobs ${jobs.get()}: " +
           times.map { case (id, ms) => s"$id=${ms}ms" }.mkString(" "))
+        if (jobsMode == "2") println("sites: " + times.map { case (id, ms) =>
+          s"$id=${jobSite.getOrDefault(id, "?")}(${ms}ms)" }.mkString(" "))
       }
       if (i == n) println(df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("Join") || l.contains("Exchange"))

@@ -1260,6 +1260,21 @@ class PacksSpec extends AnyFunSuite {
     assert(withNew.queryExecution.executedPlan.toString.contains("index_aux"))
     assert(withNew.collect().map(_.getLong(0)).toSeq == Seq(0L, 5L),
       "delta-born vector missing from the composed probe")
+    // ADVICE r19: the dedup-as-filter probe removed the dropDuplicates
+    // safety net, so top-k uniqueness also rests on the delta layers
+    // holding ONE row per id. Touch the same indexed node twice (two
+    // SET statements fold into the overlay) and pin that the probe
+    // still returns each id at most once, with the LATEST value.
+    s.cypher("MATCH (d:doc) WHERE id(d) = 0 SET d.embedding = $v",
+      Map("v" -> Seq(0.98, 0.02)))
+    s.cypher("MATCH (d:doc) WHERE id(d) = 0 SET d.embedding = $v",
+      Map("v" -> Seq(0.97, 0.03)))
+    val twice = s.cypher(
+      "CALL db.index.vector.queryNodes('doc_vec', 4, [1.0, 0.0], {probes: 1}) " +
+        "YIELD nodeId RETURN nodeId").collect().map(_.getLong(0))
+    assert(twice.length == twice.distinct.length,
+      s"probe returned duplicate ids after repeated delta writes: ${twice.mkString(",")}")
+    assert(twice.contains(0L), "twice-written vector missing from the probe")
     graft.core.SnapshotStore.deleteDir(tmp)
   }
 

@@ -810,6 +810,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join-order probe contrast stays sign-stable (textual shuffles more)") {
+    // r19 verdict #9: the bench's headline scale evidence is the
+    // statsOff A/B — and it silently degenerated once (the r19-build
+    // rank-gap orientation compiled the "textual" control into the
+    // ordered plan; the bench reported reduction 1.0 and only a manual
+    // read caught it). Pin the contrast: on the skewed saved fixture
+    // the sealed-stats session must shuffle strictly less than the
+    // fully textual (statsOff) session — at 1M :Big rows the measured
+    // contrast is 1032 vs 32 records (the textual plan's Big⋈R1 join
+    // runs before anything cuts it down; wall stays informational
+    // because a static broadcast rescues it at probe scale).
+    val dir = java.nio.file.Files.createTempDirectory("gjo_probe_").toString
+    val json = Bench.joinOrderProbeJson(spark, s"$dir/_joinorder", nBig = 1000000L)
+    val rec = "\"shuffled_textual\":(\\d+),\"shuffled_ordered\":(\\d+)".r
+    val m = rec.findFirstMatchIn(json).getOrElse(
+      fail(s"probe JSON unparseable: $json"))
+    val (txt, ord) = (m.group(1).toLong, m.group(2).toLong)
+    assert(ord > 0, s"ordered session shuffled nothing — probe degenerate: $json")
+    assert(txt >= ord * 2,
+      s"statsOff control no longer contrasts with the ordered plan " +
+        s"(textual=$txt ordered=$ord) — the A/B has degenerated again: $json")
+  }
+
   test("setGraph-only sessions get lazy live stats: skewed 3-hop reorders") {
     // r18 verdict #4: a session that never saves used to run textual
     // plans with no signal — now statsFor computes the two grouped
