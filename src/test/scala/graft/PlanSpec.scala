@@ -810,6 +810,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AdaptiveParts: loop widths derive from rows, clamp to the configured width, restore") {
+    // r20: iterative operators (dedup_clusters labels, hopDistances,
+    // betweenness, LPA, louvain) size their per-round shuffles from
+    // the loop's input volume — tiny state collapses to 1 partition,
+    // real volume returns the session's configured width (nothing is
+    // tuned to local mode), and the conf always restores.
+    import graft.core.AdaptiveParts
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(AdaptiveParts.forRows(spark, 0L) == 1)
+    assert(AdaptiveParts.forRows(spark, AdaptiveParts.RowsPerPartition) == 1)
+    assert(AdaptiveParts.forRows(spark, AdaptiveParts.RowsPerPartition + 1) == 2)
+    assert(AdaptiveParts.forRows(spark, Long.MaxValue / 4) == cap,
+      "huge volumes must clamp to the configured width")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val inScope = AdaptiveParts.withLoopPartitions(spark, 1L) {
+      spark.conf.get("spark.sql.shuffle.partitions")
+    }
+    assert(inScope == "1")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prev,
+      "withLoopPartitions must restore the session width")
+    // restores on exception too
+    intercept[RuntimeException] {
+      AdaptiveParts.withLoopPartitions(spark, 1L) { throw new RuntimeException("x") }
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prev)
+  }
+
   test("join-order probe contrast stays sign-stable (textual shuffles more)") {
     // r19 verdict #9: the bench's headline scale evidence is the
     // statsOff A/B — and it silently degenerated once (the r19-build
